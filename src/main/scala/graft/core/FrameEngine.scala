@@ -1,0 +1,395 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native re-implementation of the reference's one abstraction: a
+  * "puffy table" — a table whose data cells hold nested values (arrays,
+  * maps, nested tables) alongside flat key ("index") columns — plus the
+  * operators to flatten it to long format and back.
+  *
+  * Reference: `puffbird/frame.py:50-145` (`FrameEngine`). Key design
+  * translations (see SURVEY.md §1.4):
+  *  - pandas `MultiIndex` → ordinary key columns (`indexCols`); uniqueness
+  *    is an opt-in distributed check (`validateKeys()`) rather than an
+  *    eager per-mutation scan (`puffbird/frame.py:204-207`) — an O(n)
+  *    shuffle per mutation would be unacceptable at scale.
+  *  - per-cell runtime type dispatch → static `DataType`-driven planning
+  *    (see [[Explode]]).
+  *  - in-place mutation returning `self` → immutable builder returning a
+  *    new engine (same chaining ergonomics, Scala-idiomatic).
+  *
+  * All methods only *build* a lazy plan; Catalyst owns optimization
+  * (column pruning, filter pushdown through `Generate`, join selection)
+  * and AQE owns runtime re-planning of the merge-chain shuffles.
+  */
+final class FrameEngine private (
+    val df: DataFrame,
+    val indexCols: Seq[String]) {
+
+  import FrameEngine._
+
+  /** Data columns: everything not in the key. `puffbird/frame.py:215-242`. */
+  def datacols: Seq[String] = df.columns.toSeq.filterNot(indexCols.contains)
+  def indexcols: Seq[String] = indexCols
+  def cols: Seq[String] = df.columns.toSeq
+
+  /** Projection to a subset of datacols, keeping the key.
+    * Reference `__getitem__`: `puffbird/frame.py:602-625`.
+    */
+  def select(selCols: String*): FrameEngine = {
+    val missing = selCols.filterNot(datacols.contains)
+    if (missing.nonEmpty)
+      throw new PuffbirdException(s"not datacols: ${missing.mkString(",")}")
+    new FrameEngine(df.select((indexCols ++ selCols).map(col): _*), indexCols)
+  }
+
+  def apply(selCols: String*): FrameEngine = select(selCols: _*)
+
+  /** Drop columns (data or key). Reference `puffbird/frame.py:831-899`;
+    * the reference re-verifies key uniqueness when key columns are dropped
+    * — here that stays an opt-in `validateKeys()` action.
+    */
+  def drop(dropCols: String*): FrameEngine =
+    new FrameEngine(df.drop(dropCols: _*), indexCols.filterNot(dropCols.contains))
+
+  /** Rename columns. Reference `puffbird/frame.py:901-948`. */
+  def rename(mapping: Map[String, String]): FrameEngine = {
+    checkNames(mapping.values.toSeq)
+    new FrameEngine(
+      df.withColumnsRenamed(mapping),
+      indexCols.map(c => mapping.getOrElse(c, c)))
+  }
+
+  /** Scalar function over one column (data or key).
+    * Reference `col_apply`: `puffbird/frame.py:700-747`. Prefer passing
+    * native `Column` functions (codegen'd); a Scala UDF also works but is
+    * slower. `assignToIndex` appends the result to the key
+    * (`puffbird/frame.py:805-829`).
+    */
+  def colApply(
+      fn: Column => Column,
+      c: String,
+      newColName: Option[String] = None,
+      assignToIndex: Boolean = false): FrameEngine = {
+    if (!cols.contains(c)) throw new PuffbirdException(s"no such column: $c")
+    val name = newColName.getOrElse(c)
+    if (name != c && cols.contains(name))
+      throw new PuffbirdException(s"column exists: $name")
+    val out = df.withColumn(name, fn(col(c)))
+    val idx = if (assignToIndex && !indexCols.contains(name)) indexCols :+ name
+              else indexCols
+    new FrameEngine(out, idx)
+  }
+
+  /** Row-wise function over multiple columns.
+    * Reference `apply`: `puffbird/frame.py:749-803` (default output name
+    * `"apply_result"` per `puffbird/frame.py:787-788`).
+    */
+  def applyRow(
+      fn: Seq[Column] => Column,
+      argCols: Seq[String],
+      newColName: String = "apply_result",
+      assignToIndex: Boolean = false): FrameEngine = {
+    val missing = argCols.filterNot(cols.contains)
+    if (missing.nonEmpty)
+      throw new PuffbirdException(s"no such columns: ${missing.mkString(",")}")
+    val out = df.withColumn(newColName, fn(argCols.map(col)))
+    val idx = if (assignToIndex && !indexCols.contains(newColName))
+                indexCols :+ newColName
+              else indexCols
+    new FrameEngine(out, idx)
+  }
+
+  // ---------------------------------------------------------------------
+  // Core operator: toLong — recursive explosion + outer-merge chain.
+  // Reference `to_long`: `puffbird/frame.py:334-542`.
+  // ---------------------------------------------------------------------
+
+  /** Flatten selected (default: all) data columns to long format.
+    *
+    * Per column: explode one schema level at a time (see [[Explode]]) up
+    * to `maxDepth` (reference default 3, `puffbird/frame.py:30`), each
+    * level becoming a column `"{c}_level{i}"` — or a shared-axis name when
+    * `(c -> i)` appears in `sharedAxes` (reference `**shared_axes`,
+    * `puffbird/frame.py:1104-1110`). Then combine the per-column long
+    * frames with chained full-outer equi-joins on the shared columns
+    * (original key + any shared-axis levels), exactly the reference's
+    * accumulating `pd.merge(..., how="outer")` (`puffbird/frame.py:527-534`).
+    *
+    * `dropna = true` reproduces the implemented (not documented, see
+    * SURVEY §2.13.4) semantics: null cells dropped per column *before*
+    * explosion (`puffbird/frame.py:505-506`) and per explosion step; nulls
+    * reintroduced by the outer merge remain.
+    *
+    * Scale notes: explosions are `GenerateExec` (pipelined, no shuffle);
+    * each merge join shuffles on its key set — unavoidable in general
+    * because `sharedAxes` changes the key set per join; AQE handles skew
+    * from uneven fan-out. Columns listed in `expandCols` use [[expandCol]]
+    * (struct fields stay separate columns, prefixed `"{c}_"`) instead of
+    * being melted — reference `puffbird/frame.py:489-503`.
+    */
+  def toLong(
+      selCols: Seq[String] = Nil,
+      maxDepth: Int = DefaultMaxDepth,
+      maxDepthPer: Map[String, Int] = Map.empty,
+      dropna: Boolean = true,
+      dropnaPer: Map[String, Boolean] = Map.empty,
+      sharedAxes: Map[String, Map[String, Int]] = Map.empty,
+      expandCols: Seq[String] = Nil): DataFrame = {
+    checkSharedAxes(sharedAxes)
+    val targets = if (selCols.nonEmpty) selCols else datacols
+    val missing = targets.filterNot(datacols.contains)
+    if (missing.nonEmpty)
+      throw new PuffbirdException(s"not datacols: ${missing.mkString(",")}")
+
+    val longs = targets.map { c =>
+      val depth = maxDepthPer.getOrElse(c, maxDepth)
+      val drop = dropnaPer.getOrElse(c, dropna)
+      if (expandCols.contains(c)) expandColFrame(c, drop, prefix = true)
+      else explodeColumn(c, depth, drop, sharedAxes)
+    }
+    longs.reduceLeft { (acc, nxt) =>
+      val shared = acc.columns.toSeq.intersect(nxt.columns.toSeq)
+      acc.join(nxt, shared, "full_outer")
+    }
+  }
+
+  /** Single-column toLong convenience. */
+  def toLong(c: String): DataFrame = toLong(Seq(c))
+
+  private def explodeColumn(
+      c: String,
+      maxDepth: Int,
+      drop: Boolean,
+      sharedAxes: Map[String, Map[String, Int]]): DataFrame = {
+    def levelName(i: Int): String =
+      sharedAxes.collectFirst {
+        case (axis, m) if m.get(c).contains(i) => axis
+      }.getOrElse(s"${c}_level$i")
+
+    var frame = df.select((indexCols :+ c).map(col): _*)
+    if (drop) frame = frame.na.drop(Seq(c))
+    var n = 0
+    var depth = 0
+    while (depth < maxDepth &&
+           Explode.stepKind(frame.schema(c).dataType) != Explode.Stop) {
+      val (f2, n2) = Explode.explodeOnce(frame, c, levelName, n, drop)
+      frame = f2; n = n2; depth += 1
+    }
+    frame
+  }
+
+  // ---------------------------------------------------------------------
+  // expandCol — unnest a column of nested tables (array<struct>).
+  // Reference `expand_col`: `puffbird/frame.py:627-698`.
+  // ---------------------------------------------------------------------
+
+  /** Explode an `ArrayType(StructType)` column keeping struct fields as
+    * separate columns (vs. [[toLong]]'s melt-to-one-value). Field names
+    * colliding with key columns get an `"_{c}"` suffix (the reference's
+    * merge suffix behavior, `puffbird/frame.py:533`, tutorial cells 21-26);
+    * with `prefix = true` every field is prefixed `"{c}_"` (reference
+    * `puffbird/frame.py:499-502` for non-MultiIndex cells).
+    */
+  def expandCol(c: String, dropna: Boolean = true, prefix: Boolean = false): DataFrame =
+    expandColFrame(c, dropna, prefix)
+
+  private def expandColFrame(c: String, drop: Boolean, prefix: Boolean): DataFrame = {
+    val st = df.schema(c).dataType match {
+      case ArrayType(s: StructType, _) => s
+      case other =>
+        throw new PuffbirdException(
+          s"expandCol needs array<struct>, got $other for $c")
+    }
+    val ex = if (drop) explode(col(c)) else explode_outer(col(c))
+    val tmp = df.select(indexCols.map(col) :+ ex.as(RowAlias): _*)
+    val fieldCols = st.fieldNames.toSeq.map { f =>
+      val out =
+        if (prefix) s"${c}_$f"
+        else if (indexCols.contains(f)) s"${f}_$c"
+        else f
+      col(RowAlias).getField(f).as(out)
+    }
+    tmp.select(indexCols.map(col) ++ fieldCols: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // toPuffy — inverse: group-collect back to nested cells.
+  // Reference `to_puffy`: `puffbird/frame.py:950-1016`.
+  // ---------------------------------------------------------------------
+
+  /** Group by a subset of the key and collect the remaining columns into
+    * nested cells. `keepMissingIdcs = true` demotes the non-grouping key
+    * columns to data and collects them too (`puffbird/frame.py:991-996`).
+    * Default `aggfunc` is list-collection (`puffbird/frame.py:31`); pass
+    * e.g. `(_, c) => avg(c)` or a per-column function for other
+    * aggregates (`puffbird/frame.py:974-976`). Spark's `collect_list`
+    * order is nondeterministic across shuffles — for deterministic output
+    * use `(_, c) => sort_array(collect_list(c))` (documented divergence:
+    * the reference preserves pandas row order, which has no distributed
+    * analog).
+    *
+    * Scale: a single hash-partitioned `groupBy` — map-side partial
+    * aggregation applies for algebraic aggfuncs; `collect_list` is an
+    * `ObjectHashAggregate`.
+    */
+  def toPuffy(
+      keys: Seq[String],
+      keepMissingIdcs: Boolean = true,
+      dropna: Boolean = false,
+      aggfunc: (String, Column) => Column = (_, c) => collect_list(c)): DataFrame = {
+    val missing = keys.filterNot(indexCols.contains)
+    if (missing.nonEmpty)
+      throw new PuffbirdException(s"not indexcols: ${missing.mkString(",")}")
+    val demoted = indexCols.filterNot(keys.contains)
+    val valueCols = (if (keepMissingIdcs) demoted else Nil) ++ datacols
+    if (valueCols.isEmpty)
+      throw new PuffbirdException("toPuffy: nothing to aggregate")
+    var t = if (keepMissingIdcs) df else df.drop(demoted: _*)
+    if (dropna) t = t.na.drop()
+    val aggs = valueCols.map(c => aggfunc(c, col(c)).as(c))
+    t.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // multidPivot — group-by mean (long) and 2-D wide pivot.
+  // Reference `multid_pivot`: `puffbird/frame.py:1018-1075` (the
+  // implementation is groupby(dims).mean() only — SURVEY §2.13.6).
+  // ---------------------------------------------------------------------
+
+  /** Mean of `values` (default: all datacols) grouped by `dims` — the
+    * long form of the reference's pivot (it converts to a dense xarray
+    * tensor locally; a distributed engine returns the long frame and
+    * leaves densification to [[multidPivotWide]] or the caller).
+    */
+  def multidPivot(values: Seq[String], dims: Seq[String]): DataFrame = {
+    val vs = if (values.nonEmpty) values else datacols
+    val aggs = vs.map(v => avg(col(v)).as(v))
+    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 2-D wide pivot: rows `rowDim`, columns `colDim`, cell = mean of
+    * `value`. Pass `colValues` when known to skip the extra distinct-scan
+    * job Spark otherwise runs to discover pivot columns (matters at scale).
+    */
+  def multidPivotWide(
+      value: String,
+      rowDim: String,
+      colDim: String,
+      colValues: Seq[Any] = Nil): DataFrame = {
+    val g = df.groupBy(col(rowDim))
+    val p = if (colValues.nonEmpty) g.pivot(colDim, colValues) else g.pivot(colDim)
+    p.agg(avg(col(value)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Validation
+  // ---------------------------------------------------------------------
+
+  /** Distributed row-key uniqueness check (reference eagerly validates on
+    * construction and key mutation: `puffbird/frame.py:204-207,816-822,
+    * 888-890`). Opt-in because it is a full aggregation job.
+    */
+  def validateKeys(): Unit = {
+    if (indexCols.isEmpty) throw new PuffbirdException("no index columns")
+    val dups = df.groupBy(indexCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    if (dups > 0)
+      throw new PuffbirdException(
+        s"index columns ${indexCols.mkString(",")} do not form a unique key")
+  }
+}
+
+object FrameEngine {
+
+  /** Reference reserved words: `puffbird/frame.py:25-29`. */
+  val ReservedWords: Set[String] = Set(
+    "apply_result", "max_depth", "dropna", "iterable", "datacols",
+    "indexcols", "handle_column_types", "enforce_identifier_string",
+    "aggfunc")
+
+  /** Reference default explosion depth: `puffbird/frame.py:30`. */
+  val DefaultMaxDepth = 3
+
+  /** Synthesized key column name for keyless input, mirroring the
+    * reference's `index_level{i}` naming (`puffbird/frame.py:1296-1297`).
+    */
+  val SyntheticIndex = "index_level0"
+
+  private[core] val RowAlias = "__pb_row"
+
+  /** Construct an engine over `df`.
+    *
+    * Column-role resolution mirrors `puffbird/frame.py:1207-1237`:
+    * pass `indexcols` and/or `datacols`; unspecified columns fall into the
+    * other role; with neither, every column is data and a synthetic
+    * `index_level0` key is generated (`monotonically_increasing_id` — the
+    * scalable analog of the reference's RangeIndex promotion at
+    * `puffbird/frame.py:188-194`; values are unique but not dense).
+    *
+    * Name validation (reference `puffbird/frame.py:1328-1355`): reserved
+    * words rejected; duplicates rejected; an index column may not look
+    * like a future explosion output of a datacol
+    * (`"{datacol}(_level)?[0-9]*"`, `puffbird/frame.py:33`).
+    */
+  def apply(
+      df: DataFrame,
+      indexcols: Seq[String] = Nil,
+      datacols: Seq[String] = Nil): FrameEngine = {
+    val all = df.columns.toSeq
+    checkNames(all)
+    val unknown = (indexcols ++ datacols).filterNot(all.contains)
+    if (unknown.nonEmpty)
+      throw new PuffbirdException(s"unknown columns: ${unknown.mkString(",")}")
+
+    val (frame, idx) =
+      if (indexcols.nonEmpty && datacols.nonEmpty) {
+        val keep = (indexcols ++ datacols).distinct
+        (df.select(keep.map(col): _*), indexcols)
+      } else if (indexcols.nonEmpty) {
+        (df, indexcols)
+      } else if (datacols.nonEmpty) {
+        (df, all.filterNot(datacols.contains))
+      } else {
+        (df.withColumn(SyntheticIndex, monotonically_increasing_id()),
+         Seq(SyntheticIndex))
+      }
+
+    val dataCols = frame.columns.toSeq.filterNot(idx.contains)
+    // Reference `_check_table_column_types` (`puffbird/frame.py:1328-1355`):
+    // an index name must not collide with a datacol's explosion outputs.
+    // The reference pattern is `"{datacol}(_level)?[1-9]*$"`
+    // (`puffbird/frame.py:33`) — note `[1-9]`: names like `a_level0` are
+    // allowed, which keeps toLong outputs re-wrappable.
+    for (d <- dataCols; i <- idx) {
+      if (i.matches(java.util.regex.Pattern.quote(d) + "(_level)?[1-9]*"))
+        throw new PuffbirdException(
+          s"index column '$i' collides with datacol '$d' explosion names")
+    }
+    new FrameEngine(frame, idx)
+  }
+
+  private[core] def checkNames(names: Seq[String]): Unit = {
+    val reserved = names.filter(ReservedWords.contains)
+    if (reserved.nonEmpty)
+      throw new PuffbirdException(
+        s"reserved column names: ${reserved.mkString(",")}")
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    if (dups.nonEmpty)
+      throw new PuffbirdException(
+        s"duplicate column names: ${dups.mkString(",")}")
+  }
+
+  /** Shared-axes argument validation, reference
+    * `_check_shared_axes_argument` (`puffbird/frame.py:1358-1384`).
+    */
+  private[core] def checkSharedAxes(sharedAxes: Map[String, Map[String, Int]]): Unit =
+    sharedAxes.foreach { case (axis, m) =>
+      if (m.isEmpty)
+        throw new PuffbirdException(s"shared axis '$axis' maps no columns")
+      if (m.values.exists(_ < 0))
+        throw new PuffbirdException(s"shared axis '$axis' has negative level")
+    }
+}

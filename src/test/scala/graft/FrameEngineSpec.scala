@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{FrameEngine, PuffbirdException}
+
+/** Golden tests transcribing the reference's docstring examples
+  * (`puffbird/frame.py:110-144, 431-463`, `puffbird/shortcuts.py:98-129`)
+  * plus constructor/validation semantics (SURVEY §1.1, §5).
+  */
+class FrameEngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** F1 — canonical docstring puffy frame (`puffbird/frame.py:112-117`). */
+  private lazy val f1 = Seq(
+    (0L, Seq(1L, 2L, 3L), Map("c" -> Seq("asdf"), "d" -> Seq("ret"))),
+    (1L, Seq(4L, 5L, 6L, 7L), Map("d" -> Seq("r"))),
+    (2L, Seq(3L, 4L, 5L), Map("c" -> Seq("ff")))
+  ).toDF("index_level0", "a", "b")
+
+  test("F1 toLong: schema and row count match the docstring golden output") {
+    val out = FrameEngine(f1, Seq("index_level0")).toLong()
+    assert(out.columns.toSet ===
+      Set("index_level0", "a_level0", "a", "b_level0", "b_level1", "b"))
+    // a: 3+4+3 = 10 long rows; b: 2+1+1 = 4; outer merge on the key:
+    // 3*2 + 4*1 + 3*1 = 13 rows (`puffbird/frame.py:449-463`).
+    assert(out.count() === 13L)
+  }
+
+  test("F1 toLong: exact values for row key 0") {
+    val out = FrameEngine(f1, Seq("index_level0")).toLong()
+    val rows = out.filter($"index_level0" === 0)
+      .select("a_level0", "a", "b_level0", "b_level1", "b")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getInt(3), r.getString(4))).toSet
+    val expected = for {
+      (pos, av) <- Seq((0, 1L), (1, 2L), (2, 3L))
+      (k, bv) <- Seq(("c", "asdf"), ("d", "ret"))
+    } yield (pos, av, k, 0, bv)
+    assert(rows === expected.toSet)
+  }
+
+  test("F1 single column toLong('a')") {
+    val out = FrameEngine(f1, Seq("index_level0")).toLong("a")
+    assert(out.columns.toSeq === Seq("index_level0", "a_level0", "a"))
+    assert(out.count() === 10L)
+  }
+
+  test("toLong dropna=false keeps null cells as null-level rows") {
+    val df = Seq(
+      (0L, Some(Seq(1L, 2L))),
+      (1L, None)
+    ).toDF("index_level0", "a")
+    val kept = FrameEngine(df, Seq("index_level0"))
+      .toLong(selCols = Seq("a"), dropna = false)
+    assert(kept.count() === 3L)
+    val dropped = FrameEngine(df, Seq("index_level0")).toLong("a")
+    assert(dropped.count() === 2L)
+  }
+
+  test("sharedAxes aligns levels instead of crossing them") {
+    val df = Seq((0L, Seq(1, 2, 3), Seq(10, 20, 30))).toDF("k", "x", "y")
+    val eng = FrameEngine(df, Seq("k"))
+    assert(eng.toLong().count() === 9L) // cross product per key
+    val aligned = eng.toLong(sharedAxes = Map("axis" -> Map("x" -> 0, "y" -> 0)))
+    assert(aligned.count() === 3L)
+    assert(aligned.columns.toSet === Set("k", "axis", "x", "y"))
+  }
+
+  test("nested-table step: array<struct> melts pos + field levels in one step") {
+    val df = Seq((0L, Seq((1.0, 2.0), (3.0, 4.0)))).toDF("k", "c")
+    val out = FrameEngine(df, Seq("k")).toLong("c")
+    assert(out.columns.toSet === Set("k", "c_level0", "c_level1", "c"))
+    assert(out.count() === 4L) // 2 rows x 2 fields
+  }
+
+  test("maxDepth bounds explosion") {
+    val df = Seq((0L, Seq(Seq(1, 2), Seq(3)))).toDF("k", "a")
+    val out = FrameEngine(df, Seq("k"))
+      .toLong(selCols = Seq("a"), maxDepth = 1)
+    // one step only: a stays array<int>
+    assert(out.columns.toSet === Set("k", "a_level0", "a"))
+    assert(out.schema("a").dataType.typeName === "array")
+  }
+
+  test("toPuffy inverts toLong (modulo list order)") {
+    val eng = FrameEngine(f1.select("index_level0", "a"), Seq("index_level0"))
+    val long = eng.toLong("a")
+    val back = FrameEngine(long, Seq("index_level0", "a_level0"))
+      .toPuffy(Seq("index_level0"), keepMissingIdcs = false,
+        aggfunc = (_, c) => sort_array(collect_list(c)))
+    val got = back.orderBy("index_level0").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(got === Seq(
+      (0L, Seq(1L, 2L, 3L)), (1L, Seq(4L, 5L, 6L, 7L)), (2L, Seq(3L, 4L, 5L))))
+  }
+
+  test("expandCol keeps struct fields as columns, suffixes key collisions") {
+    val df = Seq((1L, Seq((1, "x"), (2, "y")))).toDF("k", "items")
+      .select($"k", $"items".cast("array<struct<n:int,k:string>>"))
+    val out = FrameEngine(df, Seq("k")).expandCol("items")
+    assert(out.columns.toSeq === Seq("k", "n", "k_items"))
+    assert(out.count() === 2L)
+  }
+
+  test("constructor rejects reserved and colliding names") {
+    val bad = Seq((1, 2)).toDF("dropna", "x")
+    intercept[PuffbirdException] { FrameEngine(bad, Seq("x")) }
+    // index name colliding with a datacol's explosion-output pattern
+    // (reference regex `[1-9]*` — `a_level0` is legal, `a_level1` is not;
+    // `puffbird/frame.py:33`)
+    val bad2 = Seq((1, Seq(2))).toDF("a_level1", "a")
+    intercept[PuffbirdException] { FrameEngine(bad2, Seq("a_level1")) }
+    FrameEngine(Seq((1, Seq(2))).toDF("a_level0", "a"), Seq("a_level0"))
+  }
+
+  test("validateKeys detects duplicate keys") {
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    intercept[PuffbirdException] {
+      FrameEngine(dup, Seq("k")).validateKeys()
+    }
+    FrameEngine(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k")).validateKeys()
+  }
+
+  test("colApply / applyRow / drop / rename / select chain") {
+    val df = Seq((1L, "ab", 2.0, 0.5)).toDF("k", "s", "p", "d")
+    val eng = FrameEngine(df, Seq("k"))
+      .colApply(upper, "s", Some("s_up"))
+      .applyRow(cs => cs(0) * (lit(1.0) - cs(1)), Seq("p", "d"), "rev")
+      .drop("d")
+      .rename(Map("p" -> "price"))
+    assert(eng.cols.toSet === Set("k", "s", "s_up", "price", "rev"))
+    val r = eng.df.collect().head
+    assert(r.getAs[String]("s_up") === "AB")
+    assert(r.getAs[Double]("rev") === 1.0)
+  }
+
+  test("synthetic index when no key given") {
+    val eng = FrameEngine(Seq(Seq(1, 2), Seq(3)).toDF("a"))
+    assert(eng.indexCols === Seq("index_level0"))
+    assert(eng.toLong("a").count() === 3L)
+  }
+}
