@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.FrameEngine
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Events
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2 and the LLM-pipeline extensions.
@@ -139,6 +142,141 @@ object SparkEntry {
       .rename(Map("s_name" -> "supplier_name")).df
 
   // -------------------------------------------------------------------
+  // LLM-pipeline extensions: dedup / similarity / text / multimodal /
+  // events (north-star scope, SURVEY §7.6)
+  // -------------------------------------------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+
+  private def dedupExactNorm(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactNormalized(docs(s, dir), "doc_id", "text")
+
+  private def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")
+
+  private def dedupLshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text")
+
+  private def dedupNgramPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3)
+
+  private def dedupCosinePairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", "label",
+      threshold = 0.4)
+
+  private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnBruteForce(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5)
+  }
+
+  private def annLshBucketsQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshBuckets(embs(s, dir), "vec_id", "embedding")
+
+  private def annLshTopKQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.annLshTopK(embs(s, dir), "vec_id", "embedding", k = 5)
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(docs(s, dir), "doc_id", "text")
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), "doc_id", "text")
+
+  private def tokenCountsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+
+  private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fakeDimensions(docs(s, dir), "doc_id", "text")
+
+  private def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Events.hourlyAgg(t(s, dir, "events"))
+
+  private def eventsSessionize(s: SparkSession, dir: String): DataFrame =
+    Events.sessionize(t(s, dir, "events"), gapNanos = 1800L * 1000 * 1000 * 1000)
+
+  // -------------------------------------------------------------------
+  // Oracle SQL generators (mirror the Scala expressions exactly)
+  // -------------------------------------------------------------------
+
+  /** Portable 60-bit hash in DuckDB SQL (= TextFunctions.hash60). */
+  private def dkHash(x: String): String =
+    s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+
+  /** Shingle CTEs (w, s) over documents: distinct word 3-grams, matching
+    * TextFunctions.shingles.
+    */
+  private val dkShingles: String =
+    """w AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS words FROM documents),
+       s AS (SELECT doc_id, CASE WHEN len(words) >= 3
+           THEN list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
+           ELSE [array_to_string(words, ' ')] END AS sh FROM w)"""
+
+  private val dkMinhashSigSelect: String = {
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    s"""WITH $dkShingles,
+       h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s)
+       SELECT doc_id, ${sigs.mkString(", ")} FROM h"""
+  }
+
+  private val dkLshPairs: String = {
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    s"""WITH $dkShingles,
+       h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
+       sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
+       bk AS ($bucketSelects)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        AND a.doc_id < b.doc_id"""
+  }
+
+  private val dkSimhash: String = {
+    val terms = (0 until 16).map(j =>
+      s"(CASE WHEN list_sum([((x >> $j) & 1)*2 - 1 for x in hs]) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $dkShingles,
+       h AS (SELECT doc_id, [${dkHash("x")} for x in sh] AS hs FROM s)
+       SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h"""
+  }
+
+  private val dkNgramPairs: String =
+    s"""WITH $dkShingles,
+       a AS (SELECT doc_id, sh, list_min(sh) AS anchor FROM s)
+       SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+       FROM a x JOIN a y ON x.anchor = y.anchor AND x.doc_id < y.doc_id
+       WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.3"""
+
+  private val dkLshBucketExpr: String = (0 until 8).map { j =>
+    s"(CASE WHEN list_sum([vd[k+1] * ((($j*73856093 + k*19349663) % 2000 - 1000)/1000.0) for k in range(0,64)]) >= 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val dkStopFilter: Map[String, String] =
+    TextAnalysis.Stopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString(", ")
+    }
+
+  // -------------------------------------------------------------------
   // Registry
   // -------------------------------------------------------------------
 
@@ -160,6 +298,23 @@ object SparkEntry {
     "row_apply"        -> (rowApplyQ _),
     "getitem_select"   -> (getitemQ _),
     "drop_rename"      -> (dropRenameQ _),
+    "dedup_exact"      -> (dedupExact _),
+    "dedup_exact_norm" -> (dedupExactNorm _),
+    "dedup_minhash_sig" -> (dedupMinhashSig _),
+    "dedup_lsh_pairs"  -> (dedupLshPairs _),
+    "dedup_simhash"    -> (dedupSimhash _),
+    "dedup_ngram_pairs" -> (dedupNgramPairs _),
+    "dedup_cosine_pairs" -> (dedupCosinePairs _),
+    "knn_brute"        -> (knnBrute _),
+    "ann_lsh_buckets"  -> (annLshBucketsQ _),
+    "ann_lsh_topk"     -> (annLshTopKQ _),
+    "text_stats"       -> (textStats _),
+    "lang_id"          -> (langIdQ _),
+    "token_counts"     -> (tokenCountsQ _),
+    "doc_fingerprint"  -> (fingerprintQ _),
+    "multimodal_meta"  -> (multimodalMeta _),
+    "events_hourly"    -> (eventsHourly _),
+    "events_sessionize" -> (eventsSessionize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -237,5 +392,103 @@ object SparkEntry {
       "SELECT p_partkey, p_name, p_retailprice FROM part",
     "drop_rename" ->
       "SELECT s_suppkey, s_name AS supplier_name, s_nationkey FROM supplier",
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+         count(*) AS dup_count FROM documents GROUP BY 1""",
+    "dedup_exact_norm" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+         min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+    "dedup_minhash_sig" -> dkMinhashSigSelect,
+    "dedup_lsh_pairs" -> dkLshPairs,
+    "dedup_simhash" -> dkSimhash,
+    "dedup_ngram_pairs" -> dkNgramPairs,
+    "dedup_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
+    "knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         sc AS (SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+           FROM q, c WHERE query_id <> neighbor_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5""",
+    "ann_lsh_buckets" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
+         SELECT vec_id, CAST($dkLshBucketExpr AS BIGINT) AS bucket FROM v""",
+    "ann_lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         bk AS (SELECT vec_id, vd, CAST($dkLshBucketExpr AS BIGINT) AS bucket FROM v),
+         sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.vd, b.vd), 6) AS cos_sim
+           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5""",
+    "text_stats" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents)
+         SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(ws), 6) AS avg_word_len,
+           round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS distinct_ratio,
+           round(CAST(len(list_filter(ws, x -> x IN (${dkStopFilter("en")}))) AS DOUBLE) / len(ws), 6) AS stopword_ratio
+         FROM w""",
+    "lang_id" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents),
+         sc AS (SELECT doc_id,
+           CAST(len(list_filter(ws, x -> x IN (${dkStopFilter("en")}))) AS INTEGER) AS score_en,
+           CAST(len(list_filter(ws, x -> x IN (${dkStopFilter("de")}))) AS INTEGER) AS score_de,
+           CAST(len(list_filter(ws, x -> x IN (${dkStopFilter("es")}))) AS INTEGER) AS score_es,
+           CAST(len(list_filter(ws, x -> x IN (${dkStopFilter("fr")}))) AS INTEGER) AS score_fr
+         FROM w)
+         SELECT *, CASE
+           WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+           WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+           WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+           WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+           ELSE 'fr' END AS pred_lang
+         FROM sc""",
+    "token_counts" ->
+      """WITH w AS (SELECT doc_id, text,
+           string_split_regex(trim(lower(text)), '\s+') AS ws,
+           regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS re_toks
+         FROM documents)
+         SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_ws_tokens,
+           CAST(len(re_toks) AS INTEGER) AS n_re_tokens,
+           round(CAST(length(text) AS DOUBLE) / NULLIF(len(re_toks), 0), 6) AS chars_per_token
+         FROM w""",
+    "doc_fingerprint" ->
+      s"""WITH $dkShingles
+         SELECT doc_id, md5(array_to_string(list_sort(sh), ' ')) AS fingerprint FROM s""",
+    "multimodal_meta" ->
+      s"""SELECT doc_id,
+         CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+         hex(substr(text, 1, 8)::BLOB) AS header_hex,
+         CAST(256 + ${dkHash("text")} % 1024 AS INTEGER) AS width,
+         CAST(256 + ${dkHash("reverse(text)")} % 1024 AS INTEGER) AS height
+         FROM documents""",
+    "events_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+         count(*) AS n_events, sum(value) AS value_sum
+         FROM events GROUP BY 1, 2""",
+    "events_sessionize" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (SELECT user_id, tsn, value,
+             CASE WHEN prev IS NULL OR tsn - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM l),
+         s AS (SELECT user_id, tsn, value,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsn
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM f)
+         SELECT user_id, session_idx, min(tsn) AS session_start,
+           max(tsn) AS session_end, count(*) AS n_events, sum(value) AS value_sum
+         FROM s GROUP BY 1, 2""",
   )
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared codegen-friendly column helpers for the text / dedup /
+  * similarity operator family. Everything here is built from
+  * `org.apache.spark.sql.functions._` (no UDFs), so it stays inside
+  * whole-stage codegen and scales linearly with input — the property that
+  * matters at 100 TB.
+  *
+  * Hashing is md5-based (not Spark's `xxhash64`) so the DuckDB oracle can
+  * reproduce the exact same values portably.
+  */
+object TextFunctions {
+
+  /** Mersenne prime 2^31-1: modulus for the universal-hash family used by
+    * MinHash (a*h+b mod p with a,b < p keeps products within 2^62, i.e.
+    * inside signed-64 range).
+    */
+  val HashP: Long = 2147483647L
+
+  /** Deterministic universal-hash parameters (a_j, b_j) for up to 32
+    * MinHash functions — fixed constants so any engine (and the SQL
+    * oracle) derives identical signatures.
+    */
+  def hashParams(j: Int): (Long, Long) = (2L * j + 3L, 101L * j + 17L)
+
+  /** Portable 60-bit hash: first 15 hex digits of md5 as a non-negative
+    * long. Codegen'd (`Md5` + `Conv` are native expressions).
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  /** Normalized word list: lowercase, trim, split on runs of whitespace. */
+  def words(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct word n-gram shingles. Texts shorter than `n` words collapse
+    * to a single whole-text shingle (so every document has >= 1 shingle
+    * and set operations stay total). Native expression ([[ShinglesExpr]])
+    * — one loop per row instead of per-element interpreted lambdas.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(ShinglesExpr(toExpression(text), n))
+  }
+
+  /** 60-bit hashes of a shingle set (native [[Hash60ArrayExpr]],
+    * bit-identical to mapping [[hash60]]).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(Hash60ArrayExpr(ShinglesExpr(toExpression(text), n)))
+  }
+
+  /** One MinHash signature component: min over shingles of
+    * (a_j * (h mod p) + b_j) mod p.
+    */
+  def minhash(hashes: Column, j: Int): Column = {
+    val (a, b) = hashParams(j)
+    array_min(transform(hashes,
+      h => (lit(a) * (h % HashP) + lit(b)) % HashP))
+  }
+
+  /** SimHash over the low `bits` bits of the shingle hashes: bit j of the
+    * result is set when more shingles have bit j set than clear.
+    */
+  def simhash(hashes: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact Jaccard similarity of two pre-distinct arrays, rounded to 6
+    * decimals (rounding makes the value stable across engines).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - inter), 6)
+  }
+
+  /** Dot product of two numeric arrays, computed in doubles with a
+    * deterministic left-to-right fold.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a.cast("array<double>"), x => x * x),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity rounded to 6 decimals (stable across engines /
+    * summation orders).
+    */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosineFast
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection. Not part
+  * of the reference surface (it has no dedup operators) — designed
+  * Spark-first for the driver's north star.
+  *
+  * Scale design:
+  *  - every per-document computation (shingling, hashing, signatures) is
+  *    a codegen'd column expression — one linear pass, no UDFs, no
+  *    shuffles;
+  *  - candidate generation never compares all pairs: exact dedup shuffles
+  *    on a content hash, MinHash-LSH shuffles on (band, bucket), Jaccard
+  *    blocks on a cheap anchor hash. The only joins are equi-joins on
+  *    those keys, so Catalyst plans ordinary shuffled hash joins and AQE
+  *    splits skewed buckets (a stop-word-like bucket at 100 TB would
+  *    otherwise hot-spot one task).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. One shuffle on the hash.
+    * Returns one row per distinct content: the surviving (minimum) id,
+    * and the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Exact dedup after whitespace/case normalization — catches
+    * formatting-only duplicates.
+    */
+  def exactNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(
+      md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+        .as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Materialize the shingle-hash array once behind a shuffle barrier.
+    *
+    * Without the barrier, Catalyst's project-collapse inlines the
+    * shingle+md5 pipeline into EVERY downstream column that references it
+    * (higher-order functions are interpreted, so no codegen
+    * subexpression elimination rescues it) — 16 signature columns would
+    * recompute the md5 of every shingle 16 times. The repartition (a)
+    * cuts that to one evaluation, and (b) spreads rows across cores even
+    * when the source is a single parquet file. The shuffled payload is
+    * the hash array (~8B/shingle), a small fraction of the input text.
+    */
+  private def hashedShingles(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int): DataFrame =
+    docs.select(col(idCol),
+        shingleHashes(col(textCol), shingleN).as("__hs"))
+      .repartition(col(idCol))
+
+  /** Per-document MinHash signature (`numHashes` components over word
+    * `shingleN`-gram shingles). One pass to hash shingles + one small
+    * shuffle (see [[hashedShingles]]).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    val hsDf = hashedShingles(docs, idCol, textCol, shingleN)
+    val sigCols = (0 until numHashes).map(j =>
+      minhash(col("__hs"), j).as(s"sig_$j"))
+    hsDf.select((col(idCol) +: sigCols): _*)
+  }
+
+  /** LSH candidate pairs: the signature is cut into `bands` bands; a pair
+    * is a candidate iff it agrees on all rows of at least one band.
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * The self-join key is (band_idx, bucket_hash) — shuffle size is
+    * #docs × #bands rows, never #docs².
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    val bucketCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
+      md5(concat_ws("_", parts: _*)).as(s"bucket_$b")
+    }
+    val buckets = sig.select((col(idCol) +: bucketCols): _*)
+      .select(col(idCol),
+        posexplode(array((0 until bands).map(b => col(s"bucket_$b")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Per-document SimHash fingerprint over the low `bits` bits of the
+    * shingle hashes. Near-dups have small Hamming distance. Linear scan.
+    */
+  def simhashFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bits: Int = 16): DataFrame =
+    hashedShingles(docs, idCol, textCol, shingleN)
+      .select(col(idCol), simhash(col("__hs"), bits).as("simhash"))
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked on an anchor (the
+    * minimum shingle hash): only documents sharing their rarest-ish
+    * shingle are compared, so candidate generation is an equi-join, not a
+    * cross product. Jaccard >= `threshold` survives. Recall is partial
+    * (anchor must collide) — the LSH variant is the high-recall path;
+    * this one is exact on what it compares.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    // Same materialize-and-spread barrier as hashedShingles: sh and
+    // anchor are computed once, then the self-join reuses the attribute.
+    val withSh = docs.select(col(idCol),
+        shingles(col(textCol), shingleN).as("sh"))
+      .repartition(col(idCol))
+      .withColumn("anchor", array_min(col("sh")))  // lexicographic-min shingle: no per-shingle hashing needed for blocking
+    val a = withSh.as("a")
+    val b = withSh.as("b")
+    a.join(b,
+        col("a.anchor") === col("b.anchor") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: cosine >= `threshold` within a blocking
+    * key (e.g. a coarse cluster/label or LSH bucket) — the block keeps the
+    * self-join from being quadratic in the corpus.
+    */
+  def embeddingCosinePairs(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    // repartition: spread the self-join compute even when the source is a
+    // single small file (and pre-hash on the block key, which the join
+    // then reuses).
+    val v = vecs.select(col(idCol), col(vecCol), col(blockCol))
+      .repartition(col(blockCol))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b,
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosineFast(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

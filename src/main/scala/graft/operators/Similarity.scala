@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosineFast
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Baseline: brute-force cosine top-k (exact). Scale
+  * path: random-hyperplane LSH bucketing — search only within a bucket,
+  * turning the quadratic scan into an equi-join.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine: every query row is compared with
+    * every corpus row. The query set is broadcast (it must be small —
+    * that is the contract of a brute-force scan), so the corpus is
+    * streamed once with no shuffle; ranking shuffles only
+    * |queries| × |corpus| similarity rows.
+    *
+    * Ties are broken by corpus id so results are deterministic.
+    */
+  def knnBruteForce(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    // repartition: parallelize the scan side even from one small file
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .repartition(col("neighbor_id"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("__qv"), col("__cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for plane `j`,
+    * vector dimension `k` (0-based): uniform-ish in [-1, 1). Pure integer
+    * arithmetic so any engine reproduces it exactly.
+    */
+  def hyperplaneCoef(j: Int, k: Column): Column =
+    ((lit(j.toLong * 73856093L) + k * 19349663L) % 2000L - 1000L) / 1000.0
+
+  /** Random-hyperplane LSH bucket id: bit j of the bucket is the sign of
+    * the dot product with hyperplane j. Cosine-similar vectors collide
+    * with high probability. Linear scan, no shuffle.
+    */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val vd = vec.cast("array<double>")
+    (0 until planes).map { j =>
+      val d = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, k) => acc + element_at(vd, k + 1) * hyperplaneCoef(j, k))
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucket assignment for a whole table: (id, bucket). */
+  def lshBuckets(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 8,
+      dim: Int = 64): DataFrame =
+    vecs.select(col(idCol),
+      lshBucket(col(vecCol), planes, dim).as("bucket"))
+
+  /** ANN top-k: brute-force cosine *within* each LSH bucket. The join key
+    * is the bucket id — shuffle is linear in corpus size; AQE splits hot
+    * buckets. Recall < 1 by construction (bucket-boundary misses); raise
+    * `planes` for precision, or query multiple probe buckets upstream.
+    */
+  def annLshTopK(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    // Materialize buckets behind a shuffle on the join key itself: the
+    // self-join then reuses this partitioning (no second shuffle), and
+    // the 8-plane dot products are computed once per row.
+    val withBucket = vecs.select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), planes, dim).as("bucket"))
+      .repartition(col("bucket"))
+    val a = withBucket.as("a")
+    val b = withBucket.as("b")
+    val scored = a.join(b,
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("query_id"),
+        col(s"b.$idCol").as("neighbor_id"),
+        cosineFast(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: quality stats,
+  * heuristic language id, token counting, and content fingerprinting.
+  * All pure column expressions — one codegen'd pass per document, no
+  * UDFs, no shuffles.
+  */
+object TextAnalysis {
+
+  /** Small fixed stopword lists for the n-gram/stopword language-id
+    * heuristic. Deterministic and oracle-reproducible; a production
+    * model would plug in here behind the same column contract.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "en", "por", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "pour", "dans", "que"))
+
+  private def stopwordCount(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isin(Stopwords(lang): _*)))
+
+  /** Per-document quality stats: char count, word count, average word
+    * length, distinct-word ratio, stopword ratio (en).
+    */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val ws = words(txt)
+    docs.select(
+      col(idCol),
+      length(txt).as("n_chars_m"),
+      size(ws).as("n_words"),
+      round(length(regexp_replace(txt, "\\s+", "")).cast("double") / size(ws), 6)
+        .as("avg_word_len"),
+      round(size(array_distinct(ws)).cast("double") / size(ws), 6)
+        .as("distinct_ratio"),
+      round(stopwordCount(ws, "en").cast("double") / size(ws), 6)
+        .as("stopword_ratio"))
+  }
+
+  /** Heuristic language id: stopword-hit counts per language; the
+    * prediction is the highest-scoring language in a fixed priority
+    * order (en, de, es, fr), `und` when nothing matches.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val scores = Seq("en", "de", "es", "fr").map(l =>
+      stopwordCount(ws, l).as(s"score_$l"))
+    val scored = docs.select((col(idCol) +: scores): _*)
+    val best = greatest(col("score_en"), col("score_de"),
+      col("score_es"), col("score_fr"))
+    scored.withColumn("pred_lang",
+      when(best === 0, lit("und"))
+        .when(col("score_en") === best, lit("en"))
+        .when(col("score_de") === best, lit("de"))
+        .when(col("score_es") === best, lit("es"))
+        .otherwise(lit("fr")))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other symbols), plus a
+    * chars-per-token ratio — the usual cheap proxy for tokenizer cost.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val reTokens = size(regexp_extract_all(txt, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    docs.select(
+      col(idCol),
+      size(words(txt)).as("n_ws_tokens"),
+      reTokens.as("n_re_tokens"),
+      // try_divide: empty text has 0 regex tokens (ANSI x/0 would fail)
+      round(try_divide(length(txt).cast("double"), reTokens), 6)
+        .as("chars_per_token"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct shingle set —
+    * invariant to word order at the shingle level and to shingle
+    * multiplicity; equal fingerprints are near-certain duplicates.
+    */
+  def fingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      md5(array_join(sort_array(shingles(col(textCol), shingleN)), " "))
+        .as("fingerprint"))
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators over the `events` table (`event_id, ts,
+  * user_id, event_type, value, props`). `ts` arrives as BIGINT
+  * nanoseconds (the parquet stores TIMESTAMP(NANOS), which Spark reads
+  * only via `nanosAsLong`).
+  *
+  * Both a batch form (oracle-verifiable) and a Structured Streaming form
+  * (watermark + windowed aggregation) are provided; the streaming form is
+  * the incremental execution of the same logical aggregation.
+  */
+object Events {
+
+  val NanosPerHour: Long = 3600L * 1000 * 1000 * 1000
+
+  /** Tumbling-hour aggregation (batch): exact integer bucketing on the
+    * nanosecond timestamp — `ts div 1h`. One shuffle on
+    * (hour_id, event_type) with map-side partial aggregation.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(
+        expr(s"ts div ${NanosPerHour}L").as("hour_id"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("value_sum"))
+
+  /** Gap-based sessionization (batch): a new session starts when the gap
+    * to the previous event of the same user exceeds `gapNanos`. Windowed
+    * lag + running sum — one shuffle on user_id, sorted within
+    * partitions; then the session aggregation reuses the same
+    * partitioning (no second shuffle of the full data).
+    *
+    * Timestamps are truncated to microseconds (`ts div 1000`) — the
+    * common portable resolution (DuckDB and most engines store µs).
+    */
+  def sessionize(events: DataFrame, gapNanos: Long): DataFrame = {
+    val evs = events.withColumn("ts", expr("ts div 1000"))
+    val gapMicros = gapNanos / 1000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val flagged = evs.withColumn("__new_session",
+      when(col("ts") - lag(col("ts"), 1).over(byUser) > gapMicros, 1)
+        .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .otherwise(0))
+    flagged
+      .withColumn("session_idx",
+        sum(col("__new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("value_sum"))
+  }
+
+  /** Structured Streaming form of [[hourlyAgg]]: parquet source →
+    * event-time window + watermark → windowed counts. Late data beyond
+    * the watermark is dropped; state is bounded by the watermark horizon.
+    * Convert the nano longs to timestamps for event-time semantics.
+    */
+  def streamingHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Events
+
+/** Behavior tests for the LLM-pipeline extension operators on small
+  * synthetic fixtures (the sf-scale oracle checks live in the driver
+  * harness / tools/check_oracle.py).
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different content with no overlap at all here"),
+    (3L, "the quick brown fox jumps over the lazy dog") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length === 3)
+    val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("normalized dedup catches whitespace/case variants") {
+    val d = Seq((0L, "Hello  World"), (1L, "hello world ")).toDF("doc_id", "text")
+    assert(Dedup.exactNormalized(d, "doc_id", "text").count() === 1L)
+  }
+
+  test("minhash signatures: identical texts get identical signatures") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(0L) === sig(3L))
+    assert(sig(0L) !== sig(2L))
+  }
+
+  test("LSH pairs find near and exact dups, not disjoint docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: exact dups equal, near-dups close in Hamming distance") {
+    val sh = Dedup.simhashFingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) <= hamming(sh(0L), sh(2L)))
+  }
+
+  test("ngram jaccard pairs: dup pair scores 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 3L)) === 1.0)
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knn brute force: nearest neighbor and determinism") {
+    val out = Similarity.knnBruteForce(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2)
+      .orderBy("knn_rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+    assert(out.head.getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("cosine pairs within block") {
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+      "label", threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+  }
+
+  test("lsh buckets: opposite vectors land in different buckets") {
+    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", planes = 8, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) !== b(3L)) // sign-flipped vector flips every plane bit
+  }
+
+  test("text stats and token counts are consistent") {
+    val st = TextAnalysis.stats(docs, "doc_id", "text")
+      .filter($"doc_id" === 0).collect().head
+    assert(st.getAs[Int]("n_words") === 9)
+    assert(st.getAs[Double]("stopword_ratio") > 0.2) // two 'the'
+    val tc = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .filter($"doc_id" === 0).collect().head
+    assert(tc.getAs[Int]("n_ws_tokens") === 9)
+    assert(tc.getAs[Int]("n_re_tokens") === 9)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val d = Seq(
+      (0L, "the cat is on the mat"),
+      (1L, "der hund und die katze"),
+      (2L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    assert(out === Map(0L -> "en", 1L -> "de", 2L -> "und"))
+  }
+
+  test("fingerprints: equal for dups, distinct otherwise") {
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) === fp(3L))
+    assert(fp(0L) !== fp(1L))
+  }
+
+  test("multimodal pack + stub decode plumbing") {
+    val packed = Multimodal.pack(docs, "doc_id", "text", "image")
+    assert(packed.schema("payload").dataType.typeName === "binary")
+    val meta = packed.select("meta.*").collect().head
+    assert(meta.getAs[Long]("byte_len") > 0)
+    val decoded = Multimodal.decodeImageStub(packed, "doc_id")
+    val r = decoded.collect().head
+    assert(r.getAs[Int]("width") >= 256 && r.getAs[Int]("width") < 1280)
+    assert(r.getAs[Int]("channels") === 3)
+    // deterministic: same payload → same fake dims
+    val again = Multimodal.decodeImageStub(packed, "doc_id").collect().head
+    assert(again.getAs[Int]("width") === r.getAs[Int]("width"))
+  }
+
+  test("frame sampling explodes stride-spaced indices") {
+    val out = Multimodal.sampleFrames(docs.limit(1), "doc_id", nFrames = 10, stride = 3)
+    assert(out.select("frame_idx").as[Int].collect().toSeq === Seq(0, 3, 6, 9))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val us = 1000L * 1000
+    val evs = Seq(
+      (1L, 0L * us, 1.0), (1L, 60L * us, 1.0),       // session 1
+      (1L, 4000L * 1000 * 1000, 2.0),                 // gap > 30min → session 2
+      (2L, 0L * us, 5.0)
+    ).toDF("user_id", "ts", "value")
+      .withColumn("ts", $"ts" * 1000) // to nanos, as read from parquet
+    val out = Events.sessionize(evs, gapNanos = 1800L * 1000 * 1000 * 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(out === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming hourly agg matches batch on static input") {
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    val us = 1000L * 1000
+    Seq((0L, 100L * us * 1000, 1L, "click", 1.0, "{}"),
+        (1L, 101L * us * 1000, 1L, "click", 2.0, "{}"),
+        (2L, 7200L * us * 1000 * 1000 / 1000, 2L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val q = Events.streamingHourlyAgg(spark, dir)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_type, n_events FROM hourly_out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("click", 2L), ("view", 1L)))
+  }
+}
