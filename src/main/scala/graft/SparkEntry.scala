@@ -141,6 +141,43 @@ object SparkEntry {
       .drop("s_acctbal")
       .rename(Map("s_name" -> "supplier_name")).df
 
+  private def toLongExpand(s: SparkSession, dir: String): DataFrame = {
+    // expand_cols path inside toLong: struct fields stay separate
+    // columns, prefixed "{col}_" (`puffbird/frame.py:489-503`).
+    val puffy = t(s, dir, "lineitem").groupBy("l_orderkey")
+      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity")))
+        .as("items"))
+    FrameEngine(puffy, indexcols = Seq("l_orderkey"))
+      .toLong(selCols = Seq("items"), expandCols = Seq("items"))
+  }
+
+  private def puffyRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // applyRow → toPuffy → expandCol reproduces the original projection:
+    // rows are packed as correlated structs (zipping independently
+    // collected columns would break row correlation).
+    val puffy = FrameEngine(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+      indexcols = Seq("l_orderkey", "l_linenumber"))
+      .applyRow(cs => struct(cs(0), cs(1)),
+        Seq("l_linenumber", "l_quantity"), "item")
+      .select("item")
+      .toPuffy(Seq("l_orderkey"), keepMissingIdcs = false,
+        aggfunc = (_, c) => sort_array(collect_list(c)))
+    FrameEngine(puffy, indexcols = Seq("l_orderkey")).expandCol("item")
+  }
+
+  private def identifierSanitize(s: SparkSession, dir: String): DataFrame = {
+    // enforce_identifier_string parity: messy source names are sanitized
+    // while methods still accept the originals.
+    val messy = t(s, dir, "part").select(
+      col("p_partkey").as("part key"),
+      col("p_name").as("part#name"),
+      col("p_retailprice").as("retail.price"))
+    FrameEngine(messy, indexcols = Seq("part key"),
+      enforceIdentifierString = true)
+      .select("part#name", "retail.price").df
+  }
+
   // -------------------------------------------------------------------
   // LLM-pipeline extensions: dedup / similarity / text / multimodal /
   // events (north-star scope, SURVEY §7.6)
@@ -298,6 +335,9 @@ object SparkEntry {
     "row_apply"        -> (rowApplyQ _),
     "getitem_select"   -> (getitemQ _),
     "drop_rename"      -> (dropRenameQ _),
+    "to_long_expand"   -> (toLongExpand _),
+    "puffy_roundtrip"  -> (puffyRoundtrip _),
+    "identifier_sanitize" -> (identifierSanitize _),
     "dedup_exact"      -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -392,6 +432,14 @@ object SparkEntry {
       "SELECT p_partkey, p_name, p_retailprice FROM part",
     "drop_rename" ->
       "SELECT s_suppkey, s_name AS supplier_name, s_nationkey FROM supplier",
+    "to_long_expand" ->
+      """SELECT l_orderkey, l_linenumber AS items_l_linenumber,
+         l_quantity AS items_l_quantity FROM lineitem""",
+    "puffy_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "identifier_sanitize" ->
+      """SELECT p_partkey AS part_key, p_name AS part_HASH_name,
+         p_retailprice AS retail_DOT_price FROM part""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
          count(*) AS dup_count FROM documents GROUP BY 1""",

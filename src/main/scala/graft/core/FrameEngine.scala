@@ -26,23 +26,44 @@ import org.apache.spark.sql.types._
   */
 final class FrameEngine private (
     val df: DataFrame,
-    val indexCols: Seq[String]) {
+    val indexCols: Seq[String],
+    val renames: Map[String, String]) {
 
   import FrameEngine._
+
+  private def this(df: DataFrame, indexCols: Seq[String]) =
+    this(df, indexCols, Map.empty)
 
   /** Data columns: everything not in the key. `puffbird/frame.py:215-242`. */
   def datacols: Seq[String] = df.columns.toSeq.filterNot(indexCols.contains)
   def indexcols: Seq[String] = indexCols
   def cols: Seq[String] = df.columns.toSeq
 
+  /** Original → sanitized name maps (reference `*_rename` properties,
+    * `puffbird/frame.py:257-332`): user-facing methods accept the
+    * original names when `enforceIdentifierString` renamed them.
+    */
+  def datacolsRename: Map[String, String] =
+    renames.filter { case (_, v) => datacols.contains(v) }
+  def indexcolsRename: Map[String, String] =
+    renames.filter { case (_, v) => indexCols.contains(v) }
+
+  /** Resolve a possibly-original column name to the current one. */
+  private def resolve(c: String): String = {
+    val r = renames.getOrElse(c, c)
+    if (df.columns.contains(r)) r else c
+  }
+
   /** Projection to a subset of datacols, keeping the key.
     * Reference `__getitem__`: `puffbird/frame.py:602-625`.
     */
   def select(selCols: String*): FrameEngine = {
-    val missing = selCols.filterNot(datacols.contains)
+    val sel = selCols.map(resolve)
+    val missing = sel.filterNot(datacols.contains)
     if (missing.nonEmpty)
       throw new PuffbirdException(s"not datacols: ${missing.mkString(",")}")
-    new FrameEngine(df.select((indexCols ++ selCols).map(col): _*), indexCols)
+    new FrameEngine(df.select((indexCols ++ sel).map(col): _*), indexCols,
+      renames)
   }
 
   def apply(selCols: String*): FrameEngine = select(selCols: _*)
@@ -51,15 +72,18 @@ final class FrameEngine private (
     * the reference re-verifies key uniqueness when key columns are dropped
     * — here that stays an opt-in `validateKeys()` action.
     */
-  def drop(dropCols: String*): FrameEngine =
-    new FrameEngine(df.drop(dropCols: _*), indexCols.filterNot(dropCols.contains))
+  def drop(dropCols: String*): FrameEngine = {
+    val dc = dropCols.map(resolve)
+    new FrameEngine(df.drop(dc: _*), indexCols.filterNot(dc.contains), renames)
+  }
 
   /** Rename columns. Reference `puffbird/frame.py:901-948`. */
   def rename(mapping: Map[String, String]): FrameEngine = {
-    checkNames(mapping.values.toSeq)
+    val m = mapping.map { case (k, v) => resolve(k) -> v }
+    checkNames(m.values.toSeq)
     new FrameEngine(
-      df.withColumnsRenamed(mapping),
-      indexCols.map(c => mapping.getOrElse(c, c)))
+      df.withColumnsRenamed(m),
+      indexCols.map(c => m.getOrElse(c, c)), renames)
   }
 
   /** Scalar function over one column (data or key).
@@ -73,14 +97,16 @@ final class FrameEngine private (
       c: String,
       newColName: Option[String] = None,
       assignToIndex: Boolean = false): FrameEngine = {
-    if (!cols.contains(c)) throw new PuffbirdException(s"no such column: $c")
-    val name = newColName.getOrElse(c)
-    if (name != c && cols.contains(name))
+    val rc = resolve(c)
+    if (!cols.contains(rc))
+      throw new PuffbirdException(s"no such column: $c")
+    val name = newColName.getOrElse(rc)
+    if (name != rc && cols.contains(name))
       throw new PuffbirdException(s"column exists: $name")
-    val out = df.withColumn(name, fn(col(c)))
+    val out = df.withColumn(name, fn(col(rc)))
     val idx = if (assignToIndex && !indexCols.contains(name)) indexCols :+ name
               else indexCols
-    new FrameEngine(out, idx)
+    new FrameEngine(out, idx, renames)
   }
 
   /** Row-wise function over multiple columns.
@@ -92,14 +118,15 @@ final class FrameEngine private (
       argCols: Seq[String],
       newColName: String = "apply_result",
       assignToIndex: Boolean = false): FrameEngine = {
-    val missing = argCols.filterNot(cols.contains)
+    val args = argCols.map(resolve)
+    val missing = args.filterNot(cols.contains)
     if (missing.nonEmpty)
       throw new PuffbirdException(s"no such columns: ${missing.mkString(",")}")
-    val out = df.withColumn(newColName, fn(argCols.map(col)))
+    val out = df.withColumn(newColName, fn(args.map(col)))
     val idx = if (assignToIndex && !indexCols.contains(newColName))
                 indexCols :+ newColName
               else indexCols
-    new FrameEngine(out, idx)
+    new FrameEngine(out, idx, renames)
   }
 
   // ---------------------------------------------------------------------
@@ -137,9 +164,11 @@ final class FrameEngine private (
       dropna: Boolean = true,
       dropnaPer: Map[String, Boolean] = Map.empty,
       sharedAxes: Map[String, Map[String, Int]] = Map.empty,
-      expandCols: Seq[String] = Nil): DataFrame = {
+      expandCols: Seq[String] = Nil,
+      iterable: Map[String, ExplodeStep] = Map.empty): DataFrame = {
     checkSharedAxes(sharedAxes)
-    val targets = if (selCols.nonEmpty) selCols else datacols
+    val targets =
+      (if (selCols.nonEmpty) selCols else datacols).map(resolve)
     val missing = targets.filterNot(datacols.contains)
     if (missing.nonEmpty)
       throw new PuffbirdException(s"not datacols: ${missing.mkString(",")}")
@@ -148,7 +177,8 @@ final class FrameEngine private (
       val depth = maxDepthPer.getOrElse(c, maxDepth)
       val drop = dropnaPer.getOrElse(c, dropna)
       if (expandCols.contains(c)) expandColFrame(c, drop, prefix = true)
-      else explodeColumn(c, depth, drop, sharedAxes)
+      else explodeColumn(c, depth, drop, sharedAxes,
+        iterable.get(c).orElse(iterable.get(DefaultKey)))
     }
     longs.reduceLeft { (acc, nxt) =>
       val shared = acc.columns.toSeq.intersect(nxt.columns.toSeq)
@@ -163,7 +193,8 @@ final class FrameEngine private (
       c: String,
       maxDepth: Int,
       drop: Boolean,
-      sharedAxes: Map[String, Map[String, Int]]): DataFrame = {
+      sharedAxes: Map[String, Map[String, Int]],
+      customStep: Option[ExplodeStep] = None): DataFrame = {
     def levelName(i: Int): String =
       sharedAxes.collectFirst {
         case (axis, m) if m.get(c).contains(i) => axis
@@ -173,9 +204,15 @@ final class FrameEngine private (
     if (drop) frame = frame.na.drop(Seq(c))
     var n = 0
     var depth = 0
-    while (depth < maxDepth &&
+    val step: ExplodeStep =
+      customStep.getOrElse(Explode.explodeOnce(_, _, _, _, _))
+    var done = false
+    while (!done && depth < maxDepth &&
            Explode.stepKind(frame.schema(c).dataType) != Explode.Stop) {
-      val (f2, n2) = Explode.explodeOnce(frame, c, levelName, n, drop)
+      val (f2, n2) = step(frame, c, levelName, n, drop)
+      // a custom step that makes no progress ends the loop (the analog of
+      // the reference's user `cond`, `puffbird/frame.py:341,381-391`)
+      done = n2 == n
       frame = f2; n = n2; depth += 1
     }
     frame
@@ -240,17 +277,18 @@ final class FrameEngine private (
       keepMissingIdcs: Boolean = true,
       dropna: Boolean = false,
       aggfunc: (String, Column) => Column = (_, c) => collect_list(c)): DataFrame = {
-    val missing = keys.filterNot(indexCols.contains)
+    val ks = keys.map(resolve)
+    val missing = ks.filterNot(indexCols.contains)
     if (missing.nonEmpty)
       throw new PuffbirdException(s"not indexcols: ${missing.mkString(",")}")
-    val demoted = indexCols.filterNot(keys.contains)
+    val demoted = indexCols.filterNot(ks.contains)
     val valueCols = (if (keepMissingIdcs) demoted else Nil) ++ datacols
     if (valueCols.isEmpty)
       throw new PuffbirdException("toPuffy: nothing to aggregate")
     var t = if (keepMissingIdcs) df else df.drop(demoted: _*)
     if (dropna) t = t.na.drop()
     val aggs = valueCols.map(c => aggfunc(c, col(c)).as(c))
-    t.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    t.groupBy(ks.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   // ---------------------------------------------------------------------
@@ -320,6 +358,18 @@ object FrameEngine {
 
   private[core] val RowAlias = "__pb_row"
 
+  /** One explosion step: (frame, column, levelName, levelOrdinal, dropna)
+    * → (new frame, next level ordinal). The plan-time analog of the
+    * reference's per-column `iterable` override
+    * (`puffbird/frame.py:337,354-366`); pass per-column via `toLong`'s
+    * `iterable` (the `"_default"` key applies to all columns, mirroring
+    * `_mapping_variable_converter`, `puffbird/frame.py:1171-1186`).
+    */
+  type ExplodeStep = (DataFrame, String, Int => String, Int, Boolean) => (DataFrame, Int)
+
+  /** `"_default"` key for per-column option maps (`puffbird/frame.py:1174`). */
+  val DefaultKey = "_default"
+
   /** Construct an engine over `df`.
     *
     * Column-role resolution mirrors `puffbird/frame.py:1207-1237`:
@@ -337,7 +387,8 @@ object FrameEngine {
   def apply(
       df: DataFrame,
       indexcols: Seq[String] = Nil,
-      datacols: Seq[String] = Nil): FrameEngine = {
+      datacols: Seq[String] = Nil,
+      enforceIdentifierString: Boolean = false): FrameEngine = {
     val all = df.columns.toSeq
     checkNames(all)
     val unknown = (indexcols ++ datacols).filterNot(all.contains)
@@ -368,7 +419,21 @@ object FrameEngine {
         throw new PuffbirdException(
           s"index column '$i' collides with datacol '$d' explosion names")
     }
-    new FrameEngine(frame, idx)
+
+    // enforce_identifier_string: sanitize names, recording original →
+    // sanitized so methods keep accepting originals
+    // (`puffbird/frame.py:1240-1325`, `295-332`).
+    if (enforceIdentifierString) {
+      val renames = (
+        dataCols.map(c => c -> Identifiers.sanitizeDatacol(c)) ++
+        idx.map(c => c -> Identifiers.sanitizeIndexcol(c))
+      ).filter { case (o, n) => o != n }.toMap
+      checkNames(frame.columns.toSeq.map(c => renames.getOrElse(c, c)))
+      new FrameEngine(
+        frame.withColumnsRenamed(renames),
+        idx.map(c => renames.getOrElse(c, c)),
+        renames)
+    } else new FrameEngine(frame, idx)
   }
 
   private[core] def checkNames(names: Seq[String]): Unit = {

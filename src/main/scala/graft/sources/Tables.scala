@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source/sink helpers. The reference has no I/O layer at all (tables
+  * arrive as in-memory pandas objects — SURVEY §2.1); on Spark the engine
+  * reads the columnar lake directly. Parquet is the harness format; the
+  * same calls take orc/csv/json via `spark.read`.
+  */
+object Tables {
+
+  val StarSchema: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table of the test lake. `events` needs nanos→long (its
+    * parquet stores TIMESTAMP(NANOS), which Spark cannot read natively).
+    */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Read the whole star schema as a name → DataFrame map and register
+    * temp views so `spark.sql` works over it.
+    */
+  def readAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    StarSchema.map { n =>
+      val df = read(spark, dir, n)
+      df.createOrReplaceTempView(n)
+      n -> df
+    }.toMap
+
+  /** Write a table bucketed+sorted by its join key: repeated joins and
+    * groupBys on `keys` then skip the shuffle entirely (bucket pruning +
+    * sorted merge). The standard prep step for fact tables that are
+    * joined many times at scale.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      path: String,
+      table: String,
+      keys: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

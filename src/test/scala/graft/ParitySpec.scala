@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{CallableContainer, FrameEngine, Identifiers, Shortcuts, TensorHelper}
+import graft.streaming.Events
+
+/** Tests for the remaining parity surface: identifier sanitation, the
+  * per-column iterable override, shortcuts, the dense-tensor helper, and
+  * stateful streaming sessionization.
+  */
+class ParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("identifier sanitation matches the reference replacement table") {
+    assert(Identifiers.replaceCharacters("a#b-c+d@e") ===
+      "a_HASH_b_MINUS_c_PLUS_d_AT_e")
+    assert(Identifiers.replaceCharacters("x (y) z.w") === "x__OPEN_y_CLOSE__z_DOT_w")
+    assert(Identifiers.replaceCharacters("""he"llo'the`re""") === "hellothere")
+    assert(Identifiers.sanitizeDatacol("123") === "data_col_123")
+    assert(Identifiers.sanitizeIndexcol("42") === "index_col_42")
+  }
+
+  test("enforceIdentifierString renames but methods accept originals") {
+    val df = Seq((1L, 2.0)).toDF("the key", "the#value")
+    val eng = FrameEngine(df, indexcols = Seq("the key"),
+      enforceIdentifierString = true)
+    assert(eng.indexCols === Seq("the_key"))
+    assert(eng.datacols === Seq("the_HASH_value"))
+    assert(eng.datacolsRename === Map("the#value" -> "the_HASH_value"))
+    // original names still resolve
+    val sel = eng.select("the#value")
+    assert(sel.datacols === Seq("the_HASH_value"))
+    val applied = eng.colApply(c => c * 2, "the#value")
+    assert(applied.df.collect().head.getDouble(1) === 4.0)
+  }
+
+  test("custom iterable step overrides the schema-driven explosion") {
+    val df = Seq((0L, Map("a" -> 1L, "b" -> 2L))).toDF("k", "m")
+    // custom step: explode only the map VALUES (discard keys) — something
+    // the default dispatch would never do.
+    val valuesOnly: FrameEngine.ExplodeStep = (frame, c, lvl, n, _) => {
+      val others = frame.columns.filterNot(_ == c).map(col).toSeq
+      (frame.select(others :+ posexplode(map_values(col(c))): _*)
+        .withColumnRenamed("pos", lvl(n)).withColumnRenamed("col", c), n + 1)
+    }
+    val out = FrameEngine(df, Seq("k"))
+      .toLong(selCols = Seq("m"), iterable = Map("m" -> valuesOnly))
+    assert(out.columns.toSet === Set("k", "m_level0", "m"))
+    assert(out.select("m").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("CallableContainer dispatches first match, later add wins") {
+    val c = new CallableContainer[Int, String]
+    c.add(_ > 0, "pos")
+    c.add(_ > 10, "big")
+    assert(c(5) === "pos")
+    assert(c(20) === "big") // registered later, takes precedence
+    intercept[graft.core.PuffbirdException] { c(-1) }
+  }
+
+  test("puffyToLong shortcut equals ctor + toLong") {
+    val df = Seq((0L, Seq(1, 2, 3))).toDF("k", "a")
+    val viaShortcut = Shortcuts.puffyToLong(df, indexcols = Seq("k"))
+    val direct = FrameEngine(df, Seq("k")).toLong()
+    assert(viaShortcut.collect().toSet === direct.collect().toSet)
+  }
+
+  test("dense tensor helper reproduces the multid_pivot fixture (F3)") {
+    // `tests/test_frameengine.py:30-62` fixture semantics
+    val df = Seq(
+      ("foo", "one", 10L), ("foo", "one", 30L),
+      ("foo", "two", 20L),
+      ("bar", "one", 40L), ("bar", "three", 50L)
+    ).toDF("A", "B", "D")
+    val piv = FrameEngine(df, datacols = Seq("D"))
+      .multidPivot(Seq("D"), Seq("A", "B"))
+    val t = TensorHelper.toDense(piv, Seq("A", "B"), "D")
+    assert(t.coords(0) === Seq("bar", "foo"))
+    assert(t.coords(1) === Seq("one", "three", "two"))
+    assert(t(Seq(1, 0)) === 20.0) // foo/one → mean(10,30)
+    assert(t(Seq(0, 1)) === 50.0) // bar/three
+    assert(t(Seq(1, 1)).isNaN)    // foo/three missing
+  }
+
+  test("streaming stateful sessionize matches the batch sessionizer") {
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    val ns = 1000L * 1000 * 1000
+    val rows = Seq(
+      (0L, 1L * ns, 7L, "c", 1.0, "{}"),
+      (1L, 2L * ns, 7L, "c", 2.0, "{}"),
+      (2L, 4000L * ns, 7L, "c", 3.0, "{}"), // gap > 30 min
+      (3L, 5L * ns, 8L, "c", 4.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = Events.streamingSessionize(spark, dir, gapMicros = 1800L * 1000 * 1000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // Append mode emits only CLOSED sessions (open state stays buffered):
+    // user 7's first session closed when the 4000s event arrived.
+    val emitted = spark.sql("SELECT user_id, n_events, value_sum FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(emitted === Set((7L, 2L, 3.0)))
+
+    // batch equivalent sees all three sessions
+    val batch = Events.sessionize(
+      spark.read.parquet(dir), gapNanos = 1800L * ns)
+    assert(batch.count() === 3L)
+  }
+
+  test("Tables.readAll registers the star schema; SQL works over views") {
+    val tables = graft.sources.Tables.readAll(spark, "/root/testdata/sf0.001")
+    assert(tables.keySet.size === 10)
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect().head.getLong(0)
+    assert(n > 0)
+  }
+
+  test("saltedJoin equals plain join") {
+    val large = Seq.tabulate(100)(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val plain = large.join(small, "k")
+    val salted = graft.operators.SkewJoin.saltedJoin(large, small, "k", 4)
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "v", "name").collect().toSet ===
+      plain.select("k", "v", "name").collect().toSet)
+  }
+}
