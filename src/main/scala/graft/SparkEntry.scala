@@ -178,6 +178,24 @@ object SparkEntry {
       .select("part#name", "retail.price").df
   }
 
+  private def toLongMixed(s: SparkSession, dir: String): DataFrame = {
+    // Heterogeneous cells (SURVEY §7.5): a column whose rows are JSON
+    // arrays, objects, or scalars — per-cell dispatch via the
+    // JsonExplodeExpr generator (toLong iterable override). Arrays give
+    // position levels, objects key levels, scalars null levels.
+    val m3 = col("doc_id") % 3
+    val src = docs(s, dir).select(col("doc_id"),
+      when(m3 === 0,
+        concat(lit("["), col("n_chars"), lit(","), col("doc_id"), lit("]")))
+        .when(m3 === 1,
+          concat(lit("{\"a\":"), col("n_chars"), lit(",\"b\":\""),
+            col("lang"), lit("\"}")))
+        .otherwise(col("n_chars").cast("string")).as("v"))
+    FrameEngine(src, indexcols = Seq("doc_id"))
+      .toLong(selCols = Seq("v"), maxDepth = 2,
+        iterable = Map("v" -> graft.core.Explode.jsonStep))
+  }
+
   // -------------------------------------------------------------------
   // LLM-pipeline extensions: dedup / similarity / text / multimodal /
   // events (north-star scope, SURVEY §7.6)
@@ -336,6 +354,7 @@ object SparkEntry {
     "getitem_select"   -> (getitemQ _),
     "drop_rename"      -> (dropRenameQ _),
     "to_long_expand"   -> (toLongExpand _),
+    "to_long_mixed"    -> (toLongMixed _),
     "puffy_roundtrip"  -> (puffyRoundtrip _),
     "identifier_sanitize" -> (identifierSanitize _),
     "dedup_exact"      -> (dedupExact _),
@@ -437,6 +456,29 @@ object SparkEntry {
          l_quantity AS items_l_quantity FROM lineitem""",
     "puffy_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "to_long_mixed" ->
+      """WITH src AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN '[' || n_chars || ',' || doc_id || ']'
+             WHEN 1 THEN '{"a":' || n_chars || ',"b":"' || lang || '"}'
+             ELSE CAST(n_chars AS VARCHAR) END AS j
+         FROM documents),
+         l1 AS (
+           SELECT doc_id, CAST(u AS VARCHAR) AS v_level0,
+             json_extract(j, '$[' || u || ']')::VARCHAR AS v
+           FROM (SELECT doc_id, j,
+               unnest(range(0, CAST(json_array_length(j) AS BIGINT))) AS u
+             FROM src WHERE doc_id % 3 = 0)
+           UNION ALL
+           SELECT doc_id, k AS v_level0,
+             json_extract(j, '$.' || k)::VARCHAR AS v
+           FROM (SELECT doc_id, j, unnest(json_keys(j)) AS k
+             FROM src WHERE doc_id % 3 = 1)
+           UNION ALL
+           SELECT doc_id, CAST(NULL AS VARCHAR) AS v_level0, j AS v
+           FROM src WHERE doc_id % 3 = 2)
+         SELECT doc_id, v_level0, CAST(NULL AS VARCHAR) AS v_level1, v
+         FROM l1""",
     "identifier_sanitize" ->
       """SELECT p_partkey AS part_key, p_name AS part_HASH_name,
          p_retailprice AS retail_DOT_price FROM part""",

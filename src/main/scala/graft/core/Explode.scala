@@ -30,7 +30,28 @@ import org.apache.spark.sql.types._
   *  - primitive                  → stop (reference stop-cond
   *    `puffbird/utils.py:13-14`).
   */
-private[graft] object Explode {
+object Explode {
+
+  /** Explosion step for heterogeneous JSON-string cells (SURVEY §7.5):
+    * pass per column via `toLong(iterable = Map(col -> Explode.jsonStep))`.
+    * Runtime per-cell dispatch via the [[graft.functions.JsonExplodeExpr]]
+    * generator — arrays by position, objects by key, scalars with a null
+    * level. Values remain JSON text so the step composes under
+    * `maxDepth`; a whole-column of scalars keeps emitting identity rows
+    * (exactly the reference's repeated `{NaN: x}` wrapping).
+    */
+  val jsonStep: (DataFrame, String, Int => String, Int, Boolean) => (DataFrame, Int) =
+    (frame, c, levelName, n, drop) => {
+      import org.apache.spark.sql.GraftColumnCompat._
+      import org.apache.spark.sql.catalyst.expressions.GeneratorOuter
+      val gen = graft.functions.JsonExplodeExpr(toExpression(col(c)))
+      val genCol = toColumn(if (drop) gen else GeneratorOuter(gen))
+      val others = frame.columns.filterNot(_ == c).map(col).toSeq
+      val out = frame.select(others :+ genCol: _*)
+        .withColumnRenamed("key", levelName(n))
+        .withColumnRenamed("value", c)
+      (out, n + 1)
+    }
 
   sealed trait StepKind
   case object Stop extends StepKind

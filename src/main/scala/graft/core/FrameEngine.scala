@@ -207,8 +207,12 @@ final class FrameEngine private (
     val step: ExplodeStep =
       customStep.getOrElse(Explode.explodeOnce(_, _, _, _, _))
     var done = false
-    while (!done && depth < maxDepth &&
-           Explode.stepKind(frame.schema(c).dataType) != Explode.Stop) {
+    // a custom step owns its own stop semantics (the static DataType stop
+    // would end e.g. JSON-string explosion before it starts); progress +
+    // maxDepth bound it instead
+    def canStep: Boolean = customStep.isDefined ||
+      Explode.stepKind(frame.schema(c).dataType) != Explode.Stop
+    while (!done && depth < maxDepth && canStep) {
       val (f2, n2) = step(frame, c, levelName, n, drop)
       // a custom step that makes no progress ends the loop (the analog of
       // the reference's user `cond`, `puffbird/frame.py:341,381-391`)

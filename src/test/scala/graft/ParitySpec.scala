@@ -54,8 +54,12 @@ class ParitySpec extends AnyFunSuite {
       (frame.select(others :+ posexplode(map_values(col(c))): _*)
         .withColumnRenamed("pos", lvl(n)).withColumnRenamed("col", c), n + 1)
     }
+    // a custom step owns its stop condition: bound it with maxDepth (the
+    // reference pairs custom `iterable` with `cond`/`max_depth` the same
+    // way, `puffbird/frame.py:337-391`)
     val out = FrameEngine(df, Seq("k"))
-      .toLong(selCols = Seq("m"), iterable = Map("m" -> valuesOnly))
+      .toLong(selCols = Seq("m"), maxDepth = 1,
+        iterable = Map("m" -> valuesOnly))
     assert(out.columns.toSet === Set("k", "m_level0", "m"))
     assert(out.select("m").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
@@ -137,5 +141,31 @@ class ParitySpec extends AnyFunSuite {
     assert(salted.count() === plain.count())
     assert(salted.select("k", "v", "name").collect().toSet ===
       plain.select("k", "v", "name").collect().toSet)
+  }
+
+  test("jsonStep: per-cell dispatch — array/object/scalar/invalid") {
+    val df = Seq(
+      (0L, """[10,20]"""),
+      (1L, """{"x":1,"y":"s"}"""),
+      (2L, "42"),
+      (3L, "not json at all")
+    ).toDF("k", "v")
+    val out = FrameEngine(df, Seq("k"))
+      .toLong(selCols = Seq("v"), maxDepth = 1,
+        iterable = Map("v" -> graft.core.Explode.jsonStep))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set(
+      (0L, "0", "10"), (0L, "1", "20"),
+      (1L, "x", "1"), (1L, "y", "\"s\""),
+      (2L, null, "42"),
+      (3L, null, "\"not json at all\"")))
+  }
+
+  test("jsonStep dropna=false keeps null cells") {
+    val df = Seq((0L, Some("""[1]""")), (1L, None)).toDF("k", "v")
+    val out = FrameEngine(df, Seq("k"))
+      .toLong(selCols = Seq("v"), maxDepth = 1, dropna = false,
+        iterable = Map("v" -> graft.core.Explode.jsonStep))
+    assert(out.count() === 2L)
   }
 }
