@@ -13,6 +13,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen paths so the first measured query doesn't pay
+    // one-time JIT + classloading cost
+    try {
+      spark.range(1000).selectExpr("sum(id)").write
+        .format("noop").mode("overwrite").save()
+      SparkEntry.queries.get("q1_agg").foreach(fn =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every column (count() lets

@@ -57,6 +57,39 @@ case class ShinglesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Content fingerprint of a string array in one pass: md5 over the
+  * elements sorted ascending and joined with a single space — equal to
+  * `md5(array_join(sort_array(arr), " "))` (and the DuckDB oracle's
+  * `md5(array_to_string(list_sort(sh), ' '))`) without the interpreted
+  * sort/join/copy chain.
+  */
+case class FingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val elems = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { elems(i) = arr.getUTF8String(i); i += 1 }
+    // UTF8String's natural order is binary — identical to sort_array and
+    // to DuckDB's byte-order list_sort, also for non-ASCII
+    java.util.Arrays.sort(elems,
+      java.util.Comparator.naturalOrder[UTF8String]())
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(
+      UTF8String.concatWs(UTF8String.fromString(" "), elems: _*).getBytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): FingerprintExpr =
+    copy(child = c)
+}
+
 /** Portable 60-bit hash of every element of a string array: the first 15
   * hex digits of md5 as a long — bit-identical to
   * `conv(substr(md5(s),1,15),16,10)` and to the DuckDB oracle's

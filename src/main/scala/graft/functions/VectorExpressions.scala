@@ -60,6 +60,48 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket id in one pass: bit j of the result is
+  * the sign of the dot product with the deterministic pseudo-random
+  * hyperplane j (coefficients `((j*73856093 + k*19349663) % 2000 - 1000)
+  * / 1000`). Same left-to-right summation order as the composable
+  * `aggregate` form, so results are bit-identical to the SQL oracle.
+  */
+case class LshBucketExpr(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = v.numElements()
+    val dots = new Array[Double](planes)
+    var k = 0
+    while (k < n) {
+      val x = if (v.isNullAt(k)) 0.0
+              else if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)
+      var j = 0
+      while (j < planes) {
+        dots(j) += x * (((j.toLong * 73856093L + k.toLong * 19349663L) % 2000L - 1000L) / 1000.0)
+        j += 1
+      }
+      k += 1
+    }
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      if (dots(j) >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnCompat
   import org.apache.spark.sql.functions.round

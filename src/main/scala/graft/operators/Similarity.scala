@@ -51,15 +51,13 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: bit j of the bucket is the sign of
     * the dot product with hyperplane j. Cosine-similar vectors collide
-    * with high probability. Linear scan, no shuffle.
+    * with high probability. Linear scan, no shuffle; native expression
+    * (one loop over the vector computes all planes). `dim` is implied by
+    * the vector length.
     */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
-    val vd = vec.cast("array<double>")
-    (0 until planes).map { j =>
-      val d = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-        (acc, k) => acc + element_at(vd, k + 1) * hyperplaneCoef(j, k))
-      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(graft.functions.LshBucketExpr(toExpression(vec), planes))
   }
 
   /** Bucket assignment for a whole table: (id, bucket). */

@@ -86,8 +86,10 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleN: Int = 3): DataFrame =
+      shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
     docs.select(col(idCol),
-      md5(array_join(sort_array(shingles(col(textCol), shingleN)), " "))
-        .as("fingerprint"))
+      toColumn(graft.functions.FingerprintExpr(
+        toExpression(shingles(col(textCol), shingleN)))).as("fingerprint"))
+  }
 }
