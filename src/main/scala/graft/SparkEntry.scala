@@ -38,6 +38,33 @@ object SparkEntry {
     t(s, dir, "lineitem").groupBy("l_returnflag")
       .agg(sum("l_quantity").as("sum_qty"))
 
+  private def qStarJoin(s: SparkSession, dir: String): DataFrame = {
+    // Star-schema join: small dims broadcast, fact scanned once.
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  private def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    // Top-3 orders per customer by total price (rank-limit pushdown:
+    // Spark 4 plans WindowGroupLimit, partial top-k before the shuffle).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
   private def toLongArray(s: SparkSession, dir: String): DataFrame =
     FrameEngine(t(s, dir, "embeddings"), indexcols = Seq("vec_id", "label"))
       .toLong("embedding")
@@ -337,6 +364,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"           -> (qAgg _),
+    "q2_star_join"     -> (qStarJoin _),
+    "q3_window_topn"   -> (qWindowTopN _),
     "to_long_array"    -> (toLongArray _),
     "to_long_map"      -> (toLongMap _),
     "to_long_nested"   -> (toLongNested _),
@@ -379,6 +408,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+    "q2_star_join" ->
+      """SELECT n_name, sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+         count(*) AS n_lineitems
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "q3_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+           FROM orders)
+         WHERE rn <= 3""",
     "to_long_array" ->
       """SELECT vec_id, label,
          CAST(generate_subscripts(embedding,1)-1 AS INTEGER) AS embedding_level0,

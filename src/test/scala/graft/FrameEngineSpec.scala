@@ -150,4 +150,36 @@ class FrameEngineSpec extends AnyFunSuite {
     assert(eng.indexCols === Seq("index_level0"))
     assert(eng.toLong("a").count() === 3L)
   }
+
+  test("F2 composite: 2-D arrays with shared axis + nested table via expandCols") {
+    // tutorial fixture shape (`tutorials/Create_Long_DataFrames.ipynb`
+    // cell 4): b and d are 2-D arrays sharing axis 1; e is a nested table
+    val df = Seq(
+      (0L,
+        Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)),            // b: 2x2
+        Seq(Seq(10.0, 20.0), Seq(30.0, 40.0), Seq(50.0, 60.0)), // d: 3x2
+        Seq(("x", 1L, 2L), ("y", 3L, 4L))             // e: nested table
+      )).toDF("k", "b", "d", "e")
+      .select($"k", $"b", $"d",
+        $"e".cast("array<struct<a:string,c1:bigint,c2:bigint>>"))
+
+    val eng = FrameEngine(df, Seq("k"))
+    val out = eng.toLong(
+      selCols = Seq("b", "d", "e"),
+      sharedAxes = Map("aligned_axis" -> Map("b" -> 1, "d" -> 1)),
+      expandCols = Seq("e"))
+
+    // b long: 4 rows keyed (k, b_level0, aligned_axis);
+    // d long: 6 rows keyed (k, d_level0, aligned_axis);
+    // join on (k, aligned_axis): per axis value b has 2 rows, d has 3 -> 6;
+    // axis has 2 values -> 12; e expand: 2 rows, joined on k -> 24.
+    assert(out.count() === 24L)
+    assert(out.columns.toSet === Set(
+      "k", "b_level0", "aligned_axis", "b", "d_level0", "d",
+      "e_a", "e_c1", "e_c2"))
+    // aligned axis: b and d values co-occur only at equal axis positions
+    val r = out.filter($"b_level0" === 0 && $"d_level0" === 0 &&
+      $"aligned_axis" === 1 && $"e_a" === "x").collect().head
+    assert(r.getAs[Double]("b") === 2.0 && r.getAs[Double]("d") === 20.0)
+  }
 }
