@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** `SparkSessionExtensions` entry point: wire the engine's custom
+  * expressions into any session via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` — the standard deployment path
+  * for a Spark-native library on a shared cluster (no code changes in
+  * the user's jobs, functions visible from pure SQL).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+
+    inject("cosine_sim", "cosine similarity of two numeric arrays") {
+      exprs => CosineSimExpr(exprs(0), exprs(1))
+    }
+    inject("shingles3", "distinct word 3-gram shingles") {
+      exprs => ShinglesExpr(exprs.head, 3)
+    }
+    inject("hash60_array", "portable md5-based 60-bit hash per element") {
+      exprs => Hash60ArrayExpr(exprs.head)
+    }
+    inject("doc_fingerprint", "md5 of the sorted shingle set") {
+      exprs => FingerprintExpr(exprs.head)
+    }
+    inject("lsh_bucket8", "8-plane random-hyperplane LSH bucket") {
+      exprs => LshBucketExpr(exprs.head, 8)
+    }
+    inject("json_explode", "explode a heterogeneous JSON cell") {
+      exprs => JsonExplodeExpr(exprs.head)
+    }
+    inject("variant_explode", "explode a variant cell") {
+      exprs => VariantExplodeExpr(exprs.head)
+    }
+  }
+}

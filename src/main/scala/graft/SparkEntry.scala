@@ -135,6 +135,17 @@ object SparkEntry {
       .toPuffy(Seq("l_returnflag"), keepMissingIdcs = false,
         aggfunc = (_, c) => avg(c))
 
+  private def toPuffyGeomean(s: SparkSession, dir: String): DataFrame = {
+    // custom typed Aggregator as the toPuffy aggfunc (UDAF surface)
+    val geo = udaf(graft.functions.GeoMean)
+    FrameEngine(
+      t(s, dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+      indexcols = Seq("l_returnflag", "l_orderkey", "l_linenumber"))
+      .toPuffy(Seq("l_returnflag"), keepMissingIdcs = false,
+        aggfunc = (_, c) => round(geo(c), 6))
+  }
+
   private def multidPivotQ(s: SparkSession, dir: String): DataFrame =
     FrameEngine(t(s, dir, "lineitem"),
       indexcols = Seq("l_orderkey", "l_linenumber"))
@@ -221,6 +232,24 @@ object SparkEntry {
     FrameEngine(src, indexcols = Seq("doc_id"))
       .toLong(selCols = Seq("v"), maxDepth = 2,
         iterable = Map("v" -> graft.core.Explode.jsonStep))
+  }
+
+  private def toLongVariant(s: SparkSession, dir: String): DataFrame = {
+    // Same mixed cells as to_long_mixed but via native VariantType:
+    // parse_json → automatic VariantStep dispatch in toLong (no override
+    // needed), final variant rendered back to JSON text for the oracle.
+    val m3 = col("doc_id") % 3
+    val src = docs(s, dir).select(col("doc_id"),
+      parse_json(
+        when(m3 === 0,
+          concat(lit("["), col("n_chars"), lit(","), col("doc_id"), lit("]")))
+          .when(m3 === 1,
+            concat(lit("{\"a\":"), col("n_chars"), lit(",\"b\":\""),
+              col("lang"), lit("\"}")))
+          .otherwise(col("n_chars").cast("string"))).as("v"))
+    FrameEngine(src, indexcols = Seq("doc_id"))
+      .toLong(selCols = Seq("v"), maxDepth = 2)
+      .withColumn("v", to_json(col("v")))
   }
 
   // -------------------------------------------------------------------
@@ -376,6 +405,7 @@ object SparkEntry {
     "expand_col"       -> (expandColQ _),
     "to_puffy"         -> (toPuffyQ _),
     "to_puffy_agg"     -> (toPuffyAgg _),
+    "to_puffy_geomean" -> (toPuffyGeomean _),
     "multid_pivot"     -> (multidPivotQ _),
     "multid_pivot_wide" -> (multidPivotWideQ _),
     "col_apply"        -> (colApplyQ _),
@@ -384,6 +414,7 @@ object SparkEntry {
     "drop_rename"      -> (dropRenameQ _),
     "to_long_expand"   -> (toLongExpand _),
     "to_long_mixed"    -> (toLongMixed _),
+    "to_long_variant"  -> (toLongVariant _),
     "puffy_roundtrip"  -> (puffyRoundtrip _),
     "identifier_sanitize" -> (identifierSanitize _),
     "dedup_exact"      -> (dedupExact _),
@@ -477,6 +508,9 @@ object SparkEntry {
       """SELECT l_returnflag, avg(l_quantity) AS l_quantity,
          avg(l_extendedprice) AS l_extendedprice
          FROM lineitem GROUP BY 1""",
+    "to_puffy_geomean" ->
+      """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS l_quantity
+         FROM lineitem GROUP BY 1""",
     "multid_pivot" ->
       """SELECT l_returnflag, l_linestatus,
          avg(l_extendedprice) AS l_extendedprice
@@ -501,6 +535,29 @@ object SparkEntry {
     "puffy_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "to_long_mixed" ->
+      """WITH src AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN '[' || n_chars || ',' || doc_id || ']'
+             WHEN 1 THEN '{"a":' || n_chars || ',"b":"' || lang || '"}'
+             ELSE CAST(n_chars AS VARCHAR) END AS j
+         FROM documents),
+         l1 AS (
+           SELECT doc_id, CAST(u AS VARCHAR) AS v_level0,
+             json_extract(j, '$[' || u || ']')::VARCHAR AS v
+           FROM (SELECT doc_id, j,
+               unnest(range(0, CAST(json_array_length(j) AS BIGINT))) AS u
+             FROM src WHERE doc_id % 3 = 0)
+           UNION ALL
+           SELECT doc_id, k AS v_level0,
+             json_extract(j, '$.' || k)::VARCHAR AS v
+           FROM (SELECT doc_id, j, unnest(json_keys(j)) AS k
+             FROM src WHERE doc_id % 3 = 1)
+           UNION ALL
+           SELECT doc_id, CAST(NULL AS VARCHAR) AS v_level0, j AS v
+           FROM src WHERE doc_id % 3 = 2)
+         SELECT doc_id, v_level0, CAST(NULL AS VARCHAR) AS v_level1, v
+         FROM l1""",
+    "to_long_variant" ->
       """WITH src AS (SELECT doc_id,
            CASE CAST(doc_id % 3 AS INTEGER)
              WHEN 0 THEN '[' || n_chars || ',' || doc_id || ']'

@@ -59,12 +59,14 @@ object Explode {
   case object MapStep extends StepKind
   case object NestedTableStep extends StepKind
   case object StructStep extends StepKind
+  case object VariantStep extends StepKind
 
   def stepKind(dt: DataType): StepKind = dt match {
     case ArrayType(_: StructType, _) => NestedTableStep
     case ArrayType(_, _)             => ArrayStep
     case MapType(_, _, _)            => MapStep
     case _: StructType               => StructStep
+    case VariantType                 => VariantStep
     case _                           => Stop
   }
 
@@ -121,6 +123,18 @@ object Explode {
         (out, n + 1)
       case _: StructType =>
         (meltStruct(frame, c, levelName(n), drop), n + 1)
+      case VariantType =>
+        // runtime per-cell dispatch (heterogeneous cells): arrays by
+        // position, objects by key, scalars with a null level — values
+        // stay variant, so maxDepth bounds the recursion
+        import org.apache.spark.sql.GraftColumnCompat._
+        import org.apache.spark.sql.catalyst.expressions.GeneratorOuter
+        val gen = graft.functions.VariantExplodeExpr(toExpression(col(c)))
+        val genCol = toColumn(if (drop) gen else GeneratorOuter(gen))
+        val out = frame.select(others :+ genCol: _*)
+          .withColumnRenamed("key", levelName(n))
+          .withColumnRenamed("value", c)
+        (out, n + 1)
       case _ => (frame, n) // scalar: caller stops
     }
   }

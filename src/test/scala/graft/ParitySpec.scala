@@ -168,4 +168,30 @@ class ParitySpec extends AnyFunSuite {
         iterable = Map("v" -> graft.core.Explode.jsonStep))
     assert(out.count() === 2L)
   }
+
+  test("SQL registration: custom expressions usable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+             doc_fingerprint(shingles3('a b c d')) AS fp,
+             lsh_bucket8(array(1.0D, -1.0D)) AS b,
+             geo_mean(x) AS g
+      FROM VALUES (2.0), (8.0) AS t(x)
+      GROUP BY 1, 2, 3""").collect().head
+    assert(r.getAs[Double]("c") === 1.0)
+    assert(r.getAs[String]("fp").length === 32)
+    assert(r.getAs[Double]("g") === 4.0) // geomean(2, 8)
+    val lat = spark.sql("""
+      SELECT key, value FROM (SELECT '{"p": 1}' AS j)
+      LATERAL VIEW json_explode(j) AS key, value""").collect().head
+    assert(lat.getString(0) === "p" && lat.getString(1) === "1")
+  }
+
+  test("GeoMean aggregator: partial/merge semantics") {
+    import graft.functions.GeoMean
+    val m = GeoMean.merge(
+      GeoMean.reduce(GeoMean.zero, 2.0), GeoMean.reduce(GeoMean.zero, 8.0))
+    assert(math.abs(GeoMean.finish(m) - 4.0) < 1e-12)
+    assert(GeoMean.finish(GeoMean.zero).isNaN)
+  }
 }
