@@ -272,6 +272,12 @@ object SparkEntry {
   private def dedupLshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
 
+  private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
+      Dedup.minhashLshPairs(d, "doc_id", "text"))
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text")
 
@@ -421,6 +427,7 @@ object SparkEntry {
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs"  -> (dedupLshPairs _),
+    "dedup_drop_near"  -> (dedupDropNear _),
     "dedup_simhash"    -> (dedupSimhash _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
@@ -592,6 +599,9 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "dedup_minhash_sig" -> dkMinhashSigSelect,
     "dedup_lsh_pairs" -> dkLshPairs,
+    "dedup_drop_near" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id_b FROM ($dkLshPairs))""",
     "dedup_simhash" -> dkSimhash,
     "dedup_ngram_pairs" -> dkNgramPairs,
     "dedup_cosine_pairs" ->

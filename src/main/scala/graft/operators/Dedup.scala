@@ -156,6 +156,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The end-to-end dedup application: drop every document that appears
+    * as the higher id of a near-dup candidate pair — greedy
+    * keep-lowest-id survivor selection (for a chain a<b<c of pairs
+    * (a,b),(b,c), b and c drop and a survives). An anti-join against the
+    * pair set; with LSH pairs this is the standard linear-shuffle corpus
+    * dedup at scale.
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Exact-dup corpus dedup: keep the minimum id per content hash. */
+  def dropDuplicatesExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val keep = exact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Embedding near-dup pairs: cosine >= `threshold` within a blocking
     * key (e.g. a coarse cluster/label or LSH bucket) — the block keeps the
     * self-join from being quadratic in the corpus.
