@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.FrameEngine
+import graft.operators.{Dedup, Similarity}
+
+/** Scale stress: replicate sf0.1 N× with shifted keys (≈ sf1 and beyond,
+  * in memory — the driver's testdata stays read-only) and time the
+  * shuffle/join-heavy pipelines. The point is observing that the plans
+  * scale linearly, not producing oracle output.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    def replicate(df: DataFrame, idCols: Seq[String], shift: Long): DataFrame =
+      (0 until mult).map { i =>
+        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
+      }.reduce(_ unionAll _)
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"STRESS $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val li = replicate(spark.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey"), 10000000L)
+    val docs = replicate(spark.read.parquet(s"$dir/documents.parquet"),
+      Seq("doc_id"), 10000000L)
+    val embs = replicate(spark.read.parquet(s"$dir/embeddings.parquet"),
+      Seq("vec_id"), 10000000L)
+    println(s"rows: lineitem=${li.count()} docs=${docs.count()} embs=${embs.count()}")
+
+    time("to_long_struct") {
+      val puffy = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(col("l_quantity"), col("l_discount"))))
+          .as("item"))
+      FrameEngine(puffy, indexcols = Seq("l_orderkey")).toLong("item")
+    }
+    time("to_puffy") {
+      FrameEngine(li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        indexcols = Seq("l_orderkey", "l_linenumber"))
+        .toPuffy(Seq("l_orderkey"),
+          aggfunc = (_, c) => sort_array(collect_list(c)))
+    }
+    time("dedup_lsh_pairs") {
+      Dedup.minhashLshPairs(docs, "doc_id", "text")
+    }
+    time("dedup_ngram_pairs") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    }
+    time("ann_lsh_topk") {
+      Similarity.annLshTopK(embs, "vec_id", "embedding", k = 5)
+    }
+    time("cosine_pairs_blocked") {
+      Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.4)
+    }
+    spark.stop()
+  }
+}
