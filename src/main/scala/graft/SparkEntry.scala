@@ -312,6 +312,12 @@ object SparkEntry {
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
 
+  private def textVocabulary(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")
+
+  private def textLenQuantiles(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthQuantiles(docs(s, dir), "lang", "n_chars")
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.fakeDimensions(docs(s, dir), "doc_id", "text")
 
@@ -438,6 +444,8 @@ object SparkEntry {
     "lang_id"          -> (langIdQ _),
     "token_counts"     -> (tokenCountsQ _),
     "doc_fingerprint"  -> (fingerprintQ _),
+    "text_vocabulary"  -> (textVocabulary _),
+    "text_len_quantiles" -> (textLenQuantiles _),
     "multimodal_meta"  -> (multimodalMeta _),
     "events_hourly"    -> (eventsHourly _),
     "events_sessionize" -> (eventsSessionize _),
@@ -666,6 +674,19 @@ object SparkEntry {
     "doc_fingerprint" ->
       s"""WITH $dkShingles
          SELECT doc_id, md5(array_to_string(list_sort(sh), ' ')) AS fingerprint FROM s""",
+    "text_vocabulary" ->
+      """SELECT word, count(*) AS term_freq,
+         count(DISTINCT doc_id) AS doc_freq
+         FROM (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM documents)
+         GROUP BY 1""",
+    "text_len_quantiles" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,
+         round(quantile_cont(n_chars, 0.5), 6) AS p50,
+         round(quantile_cont(n_chars, 0.75), 6) AS p75,
+         count(*) AS n_docs
+         FROM documents GROUP BY 1""",
     "multimodal_meta" ->
       s"""SELECT doc_id,
          CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,

@@ -78,6 +78,32 @@ object TextAnalysis {
         .as("chars_per_token"))
   }
 
+  /** Corpus vocabulary: one row per distinct word with corpus-wide term
+    * frequency and document frequency — the building block for
+    * stopword/rare-word filtering and tokenizer vocab induction. One
+    * explode + one shuffle on the word.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("term_freq"),
+        countDistinct(col(idCol)).as("doc_freq"))
+
+  /** Exact length quantiles per group (25/50/75th, interpolated) — data
+    * profiling for curation cutoffs. `percentile` is exact (full sort per
+    * group); for 100 TB profiling swap in `approx_percentile` — same
+    * call shape, sketch-based.
+    */
+  def lengthQuantiles(
+      docs: DataFrame,
+      groupCol: String,
+      lenCol: String): DataFrame =
+    docs.groupBy(col(groupCol)).agg(
+      round(percentile(col(lenCol), lit(0.25)), 6).as("p25"),
+      round(percentile(col(lenCol), lit(0.5)), 6).as("p50"),
+      round(percentile(col(lenCol), lit(0.75)), 6).as("p75"),
+      count(lit(1)).as("n_docs"))
+
   /** Content fingerprint: md5 over the sorted distinct shingle set —
     * invariant to word order at the shingle level and to shingle
     * multiplicity; equal fingerprints are near-certain duplicates.

@@ -32,6 +32,32 @@ object Tables {
       n -> df
     }.toMap
 
+  /** Read any lake format (parquet/csv/json/orc) — same engine surface,
+    * different codec. CSV/JSON get an explicit schema (inference is a
+    * full extra pass at scale).
+    */
+  def readAs(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.read.format(format).options(options)
+    schema.foreach(s => r = r.schema(s))
+    r.load(path)
+  }
+
+  /** Write partitioned by a column (e.g. a date) — the standard lake
+    * layout so per-partition predicates prune whole directories.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      format: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").format(format)
+      .partitionBy(partitionCols: _*).save(path)
+
   /** Write a table bucketed+sorted by its join key: repeated joins and
     * groupBys on `keys` then skip the shuffle entirely (bucket pruning +
     * sorted merge). The standard prep step for fact tables that are

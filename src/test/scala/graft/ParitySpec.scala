@@ -194,4 +194,32 @@ class ParitySpec extends AnyFunSuite {
     assert(math.abs(GeoMean.finish(m) - 4.0) < 1e-12)
     assert(GeoMean.finish(GeoMean.zero).isNaN)
   }
+
+  test("Tables.readAs/writePartitioned round-trip csv and json") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val df = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("id", "v", "day")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("day", StringType)))
+    for (fmt <- Seq("csv", "json")) {
+      graft.sources.Tables.writePartitioned(df, s"$dir/$fmt", fmt, Seq("day"))
+      val back = graft.sources.Tables.readAs(spark, s"$dir/$fmt", fmt,
+        Some(schema), if (fmt == "csv") Map("header" -> "false") else Map.empty)
+      assert(back.select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        === Set((1L, "a"), (2L, "b")), fmt)
+    }
+  }
+
+  test("dropNearDuplicates / dropDuplicatesExact") {
+    val d = Seq((0L, "x y z"), (1L, "x y z"), (2L, "other text here"))
+      .toDF("doc_id", "text")
+    val exactKept = graft.operators.Dedup.dropDuplicatesExact(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept === Set(0L, 2L))
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val nearKept = graft.operators.Dedup.dropNearDuplicates(d, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nearKept === Set(0L, 2L))
+  }
 }
