@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.FrameEngine
+
+/** Differential-golden side B: the same puffy fixtures as
+  * tools/ref_golden.py (which runs the ACTUAL reference), through this
+  * engine, dumped as CSV for tools/compare_golden.py.
+  */
+object GoldenDump {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_golden")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def dump(name: String, df: DataFrame): Unit = {
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$out/$name")
+      println(s"$name: ${df.count()} rows, cols=${df.columns.mkString(",")}")
+    }
+
+    // c1 — F1 canonical docstring frame
+    val f1 = Seq(
+      (0L, Seq(1L, 2L, 3L), Map("c" -> Seq("asdf"), "d" -> Seq("ret"))),
+      (1L, Seq(4L, 5L, 6L, 7L), Map("d" -> Seq("r"))),
+      (2L, Seq(3L, 4L, 5L), Map("c" -> Seq("ff")))
+    ).toDF("index_level0", "a", "b")
+    dump("c1_f1", FrameEngine(f1, Seq("index_level0")).toLong())
+
+    // c2 — 2-D array column
+    val f2 = Seq(
+      (0L, Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))),
+      (1L, Seq(Seq(7.0, 8.0, 9.0), Seq(10.0, 11.0, 12.0)))
+    ).toDF("index_level0", "b")
+    dump("c2_2d", FrameEngine(f2, Seq("index_level0")).toLong("b"))
+
+    // c3 — shared axis across two array columns
+    val f3 = Seq(
+      (0L, Seq(1L, 2L, 3L), Seq(10L, 20L, 30L)),
+      (1L, Seq(4L, 5L), Seq(40L, 50L))
+    ).toDF("index_level0", "x", "y")
+    dump("c3_shared", FrameEngine(f3, Seq("index_level0"))
+      .toLong(sharedAxes = Map("axis" -> Map("x" -> 0, "y" -> 0))))
+
+    // c4 — scalar column merged with an array column
+    val f4 = Seq((0L, "u", Seq(1L, 2L)), (1L, "v", Seq(3L)))
+      .toDF("index_level0", "s", "a")
+    dump("c4_scalar_mix", FrameEngine(f4, Seq("index_level0")).toLong())
+
+    // c5 — missing cell, dropna=true
+    val f5 = Seq((0L, Some(Seq(1L, 2L))), (1L, None), (2L, Some(Seq(3L))))
+      .toDF("index_level0", "a")
+    dump("c5_dropna_true", FrameEngine(f5, Seq("index_level0")).toLong("a"))
+
+    // c7 — dict of dicts
+    val f7 = Seq(
+      (0L, Map("k1" -> Map("x" -> 1L, "y" -> 2L), "k2" -> Map("x" -> 3L))),
+      (1L, Map("k3" -> Map("z" -> 4L)))
+    ).toDF("index_level0", "b")
+    dump("c7_deep_dict", FrameEngine(f7, Seq("index_level0")).toLong("b"))
+
+    // c6/c8 — nested-table cells (array<struct>), expand and stack paths
+    val f6 = Seq(
+      (0L, Seq((1L, 5L), (2L, 6L))),
+      (1L, Seq((3L, 7L)))
+    ).toDF("index_level0", "e")
+      .select($"index_level0", $"e".cast("array<struct<c1:bigint,c2:bigint>>"))
+    dump("c6_expand", FrameEngine(f6, Seq("index_level0"))
+      .toLong(selCols = Seq("e"), expandCols = Seq("e")))
+    dump("c8_nested_frame", FrameEngine(f6, Seq("index_level0")).toLong("e"))
+
+    spark.stop()
+  }
+}

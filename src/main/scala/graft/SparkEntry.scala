@@ -113,8 +113,8 @@ object SparkEntry {
 
   private def expandColQ(s: SparkSession, dir: String): DataFrame = {
     val puffy = t(s, dir, "lineitem").groupBy("l_orderkey")
-      .agg(collect_list(struct(
-        col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))))
         .as("items"))
     FrameEngine(puffy, indexcols = Seq("l_orderkey")).expandCol("items")
   }
@@ -183,7 +183,7 @@ object SparkEntry {
     // expand_cols path inside toLong: struct fields stay separate
     // columns, prefixed "{col}_" (`puffbird/frame.py:489-503`).
     val puffy = t(s, dir, "lineitem").groupBy("l_orderkey")
-      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity")))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
         .as("items"))
     FrameEngine(puffy, indexcols = Seq("l_orderkey"))
       .toLong(selCols = Seq("items"), expandCols = Seq("items"))
@@ -504,16 +504,19 @@ object SparkEntry {
     "to_long_struct" ->
       """WITH s AS (SELECT l_orderkey,
              CAST(row_number() OVER (PARTITION BY l_orderkey
-               ORDER BY l_quantity, l_discount) - 1 AS INTEGER) AS item_level0,
+               ORDER BY l_quantity, l_discount) - 1 AS INTEGER) AS item_level0_0,
              l_quantity, l_discount
            FROM lineitem)
-         SELECT l_orderkey, item_level0, 'l_quantity' AS item_level1,
+         SELECT l_orderkey, item_level0_0, 'l_quantity' AS item_level0_1,
                 l_quantity AS item FROM s
          UNION ALL
-         SELECT l_orderkey, item_level0, 'l_discount' AS item_level1,
+         SELECT l_orderkey, item_level0_0, 'l_discount' AS item_level0_1,
                 l_discount AS item FROM s""",
     "expand_col" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+      """SELECT l_orderkey,
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice) - 1 AS INTEGER) AS level_1,
+         l_linenumber, l_quantity, l_extendedprice FROM lineitem""",
     "to_puffy" ->
       """SELECT l_orderkey,
          list(l_linenumber ORDER BY l_linenumber) AS l_linenumber,
@@ -545,10 +548,16 @@ object SparkEntry {
     "drop_rename" ->
       "SELECT s_suppkey, s_name AS supplier_name, s_nationkey FROM supplier",
     "to_long_expand" ->
-      """SELECT l_orderkey, l_linenumber AS items_l_linenumber,
+      """SELECT l_orderkey,
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity) - 1 AS INTEGER) AS level_1,
+         l_linenumber AS items_l_linenumber,
          l_quantity AS items_l_quantity FROM lineitem""",
     "puffy_roundtrip" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+      """SELECT l_orderkey,
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity) - 1 AS INTEGER) AS level_1,
+         l_linenumber, l_quantity FROM lineitem""",
     "to_long_mixed" ->
       """WITH src AS (SELECT doc_id,
            CASE CAST(doc_id % 3 AS INTEGER)

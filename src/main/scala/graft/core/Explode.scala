@@ -99,14 +99,17 @@ object Explode {
     val others = frame.columns.filterNot(_ == c).map(col).toSeq
     frame.schema(c).dataType match {
       case ArrayType(_: StructType, _) =>
-        // Nested table: row ordinal level + field-name level in ONE step,
-        // matching the stack-all-levels-at-once of `puffbird/frame.py:39-43`.
+        // Nested table: row ordinal + field-name sub-levels in ONE step,
+        // named "{base}_0"/"{base}_1" — matching the reference's
+        // stack-all-levels-at-once with `{col_name}_{i}`-suffixed names
+        // (`puffbird/frame.py:39-43`, `565-588`; golden c8).
+        val base = levelName(n)
         val ex = if (drop) posexplode(col(c)) else posexplode_outer(col(c))
         val step1 = frame
           .select(others :+ ex: _*)
-          .withColumnRenamed("pos", levelName(n))
+          .withColumnRenamed("pos", s"${base}_0")
           .withColumnRenamed("col", c)
-        (meltStruct(step1, c, levelName(n + 1), drop), n + 2)
+        (meltStruct(step1, c, s"${base}_1", drop), n + 1)
       case ArrayType(_, _) =>
         val ex = if (drop) posexplode(col(c)) else posexplode_outer(col(c))
         val out = frame

@@ -244,8 +244,14 @@ final class FrameEngine private (
         throw new PuffbirdException(
           s"expandCol needs array<struct>, got $other for $c")
     }
-    val ex = if (drop) explode(col(c)) else explode_outer(col(c))
-    val tmp = df.select(indexCols.map(col) :+ ex.as(RowAlias): _*)
+    // the cell's row ordinal becomes a key column named "level_{k}" for k
+    // outer key levels — the reference's reset_index naming after the
+    // keyed concat (`puffbird/frame.py:671-681`; golden c6)
+    val ordName = s"level_${indexCols.size}"
+    val ex = if (drop) posexplode(col(c)) else posexplode_outer(col(c))
+    val tmp = df.select(indexCols.map(col) :+ ex: _*)
+      .withColumnRenamed("pos", ordName)
+      .withColumnRenamed("col", RowAlias)
     val fieldCols = st.fieldNames.toSeq.map { f =>
       val out =
         if (prefix) s"${c}_$f"
@@ -253,7 +259,7 @@ final class FrameEngine private (
         else f
       col(RowAlias).getField(f).as(out)
     }
-    tmp.select(indexCols.map(col) ++ fieldCols: _*)
+    tmp.select((indexCols :+ ordName).map(col) ++ fieldCols: _*)
   }
 
   // ---------------------------------------------------------------------

@@ -80,7 +80,7 @@ class FrameEngineSpec extends AnyFunSuite {
   test("nested-table step: array<struct> melts pos + field levels in one step") {
     val df = Seq((0L, Seq((1.0, 2.0), (3.0, 4.0)))).toDF("k", "c")
     val out = FrameEngine(df, Seq("k")).toLong("c")
-    assert(out.columns.toSet === Set("k", "c_level0", "c_level1", "c"))
+    assert(out.columns.toSet === Set("k", "c_level0_0", "c_level0_1", "c"))
     assert(out.count() === 4L) // 2 rows x 2 fields
   }
 
@@ -109,7 +109,7 @@ class FrameEngineSpec extends AnyFunSuite {
     val df = Seq((1L, Seq((1, "x"), (2, "y")))).toDF("k", "items")
       .select($"k", $"items".cast("array<struct<n:int,k:string>>"))
     val out = FrameEngine(df, Seq("k")).expandCol("items")
-    assert(out.columns.toSeq === Seq("k", "n", "k_items"))
+    assert(out.columns.toSeq === Seq("k", "level_1", "n", "k_items"))
     assert(out.count() === 2L)
   }
 
@@ -176,7 +176,7 @@ class FrameEngineSpec extends AnyFunSuite {
     assert(out.count() === 24L)
     assert(out.columns.toSet === Set(
       "k", "b_level0", "aligned_axis", "b", "d_level0", "d",
-      "e_a", "e_c1", "e_c2"))
+      "level_1", "e_a", "e_c1", "e_c2"))
     // aligned axis: b and d values co-occur only at equal axis positions
     val r = out.filter($"b_level0" === 0 && $"d_level0" === 0 &&
       $"aligned_axis" === 1 && $"e_a" === "x").collect().head

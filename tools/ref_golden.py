@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Run the ACTUAL reference (puffbird, /root/reference) on shared puffy
+fixtures and dump long-format outputs as CSV — the differential-golden
+side A. Side B is graft.GoldenDump (same fixtures via the Spark engine);
+tools/compare_golden.py diffs them.
+"""
+import sys, types, os
+
+xr = types.ModuleType('xarray'); xr.DataArray = object; xr.Dataset = object
+sys.modules['xarray'] = xr
+sys.path.insert(0, '/root/reference')
+
+import warnings
+warnings.filterwarnings('ignore')
+import numpy as np
+import pandas as pd
+import puffbird as pb
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else '/tmp/ref_golden'
+os.makedirs(OUT, exist_ok=True)
+
+
+def dump(name, df):
+    df = df.reset_index(drop=True)
+    df.to_csv(f"{OUT}/{name}.csv", index=False)
+    print(f"{name}: {len(df)} rows, cols={list(df.columns)}")
+
+
+# c1 — F1 canonical docstring frame (frame.py:112-117)
+f1 = pd.DataFrame({
+    'a': [[1, 2, 3], [4, 5, 6, 7], [3, 4, 5]],
+    'b': [{'c': ['asdf'], 'd': ['ret']}, {'d': ['r']}, {'c': ['ff']}],
+})
+dump('c1_f1', pb.puffy_to_long(f1))
+
+# c2 — 2-D ndarray column → two positional levels
+f2 = pd.DataFrame({'b': [np.array([[1., 2., 3.], [4., 5., 6.]]),
+                         np.array([[7., 8., 9.], [10., 11., 12.]])]})
+dump('c2_2d', pb.puffy_to_long(f2, 'b'))
+
+# c3 — shared axis across two array columns
+f3 = pd.DataFrame({'x': [[1, 2, 3], [4, 5]],
+                   'y': [[10, 20, 30], [40, 50]]})
+dump('c3_shared', pb.puffy_to_long(f3, axis={'x': 0, 'y': 0}))
+
+# c4 — scalar column merged with an array column
+f4 = pd.DataFrame({'s': ['u', 'v'], 'a': [[1, 2], [3]]})
+dump('c4_scalar_mix', pb.puffy_to_long(f4))
+
+# c5 — missing cells with dropna=True. (dropna=False CRASHES in the
+# reference — `iter(None)` in DEFAULT_ITERABLE, callables.py:52 — so the
+# engine's keep-null-rows behavior is a documented improvement, see
+# DIVERGENCES.md.)
+f5 = pd.DataFrame({'a': [[1, 2], None, [3]]})
+dump('c5_dropna_true', pb.puffy_to_long(f5, 'a', dropna=True))
+
+# c7 — dict of dicts → two key levels
+f7 = pd.DataFrame({'b': [{'k1': {'x': 1, 'y': 2}, 'k2': {'x': 3}},
+                         {'k3': {'z': 4}}]})
+dump('c7_deep_dict', pb.puffy_to_long(f7, 'b'))
+
+# c6 — nested DataFrame cells via expand_cols
+cell1 = pd.DataFrame({'c1': [1, 2], 'c2': [5, 6]})
+cell2 = pd.DataFrame({'c1': [3], 'c2': [7]})
+f6 = pd.DataFrame({'e': [cell1, cell2]})
+dump('c6_expand', pb.puffy_to_long(f6, 'e', expand_cols=['e']))
+
+# c8 — nested DataFrame cells through the default stack path
+dump('c8_nested_frame', pb.puffy_to_long(f6, 'e'))
