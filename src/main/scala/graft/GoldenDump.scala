@@ -76,6 +76,43 @@ object GoldenDump {
       .toLong(selCols = Seq("e"), expandCols = Seq("e")))
     dump("c8_nested_frame", FrameEngine(f6, Seq("index_level0")).toLong("e"))
 
+    // c9 — 3-D array: three positional levels
+    val f9 = Seq(
+      (0L, Seq(Seq(Seq(0.0, 1.0), Seq(2.0, 3.0)),
+               Seq(Seq(4.0, 5.0), Seq(6.0, 7.0))))
+    ).toDF("index_level0", "t")
+    dump("c9_3d", FrameEngine(f9, Seq("index_level0")).toLong("t"))
+
+    // c11 — ragged dict-of-lists
+    val f11 = Seq(
+      (0L, Map("p" -> Seq(1L, 2L, 3L), "q" -> Seq(9L))),
+      (1L, Map("q" -> Seq(7L, 8L)))
+    ).toDF("index_level0", "b")
+    dump("c11_ragged_dict", FrameEngine(f11, Seq("index_level0")).toLong("b"))
+
+    // c12 — F2-composite: shared inner axis across two 2-D arrays plus a
+    // nested-frame column via expandCols, in one toLong
+    val f12 = Seq(
+      (0L,
+        Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+        Seq(Seq(10.0, 20.0), Seq(30.0, 40.0), Seq(50.0, 60.0)),
+        Seq((1L, 5L), (2L, 6L))),
+      (1L,
+        Seq(Seq(5.0, 6.0), Seq(7.0, 8.0)),
+        Seq(Seq(70.0, 80.0)),
+        Seq((3L, 7L)))
+    ).toDF("index_level0", "b", "d", "e")
+      .select($"index_level0", $"b", $"d",
+        $"e".cast("array<struct<c1:bigint,c2:bigint>>"))
+    dump("c12_composite", FrameEngine(f12, Seq("index_level0"))
+      .toLong(selCols = Seq("b", "d", "e"), expandCols = Seq("e"),
+        sharedAxes = Map("aligned_axis" -> Map("b" -> 1, "d" -> 1))))
+
+    // c14 — empty-list cell vanishes under dropna=true
+    val f14 = Seq((0L, Seq(1L)), (1L, Seq.empty[Long]), (2L, Seq(2L, 3L)))
+      .toDF("index_level0", "a")
+    dump("c14_empty_cell", FrameEngine(f14, Seq("index_level0")).toLong("a"))
+
     spark.stop()
   }
 }

@@ -281,6 +281,9 @@ object SparkEntry {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text")
 
+  private def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")
+
   private def dedupNgramPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3)
 
@@ -435,6 +438,7 @@ object SparkEntry {
     "dedup_lsh_pairs"  -> (dedupLshPairs _),
     "dedup_drop_near"  -> (dedupDropNear _),
     "dedup_simhash"    -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "knn_brute"        -> (knnBrute _),
@@ -620,6 +624,18 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT id_b FROM ($dkLshPairs))""",
     "dedup_simhash" -> dkSimhash,
+    "dedup_simhash_pairs" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 4}) & 15 AS band_bits FROM sim"
+      }.mkString(" UNION ALL ")
+      s"""WITH sim AS ($dkSimhash),
+         bk AS ($bandSelects)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM bk a JOIN bk b ON a.band = b.band
+           AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    },
     "dedup_ngram_pairs" -> dkNgramPairs,
     "dedup_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -127,6 +127,43 @@ object Dedup {
     hashedShingles(docs, idCol, textCol, shingleN)
       .select(col(idCol), simhash(col("__hs"), bits).as("simhash"))
 
+  /** SimHash near-dup pairs: candidates share at least one of `bands`
+    * equal bit-bands (a pair within Hamming distance < bands MUST share
+    * a band — pigeonhole — so recall is exact for the returned
+    * threshold); survivors filtered by true Hamming distance <=
+    * `maxHamming`. Equi-join on (band, band-bits): linear shuffle.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bits: Int = 16,
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sim = simhashFingerprints(docs, idCol, textCol, shingleN, bits)
+    val buckets = sim.select(col(idCol), col("simhash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_bits")
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, blocked on an anchor (the
     * minimum shingle hash): only documents sharing their rarest-ish
     * shingle are compared, so candidate generation is an equi-join, not a

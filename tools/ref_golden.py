@@ -67,3 +67,30 @@ dump('c6_expand', pb.puffy_to_long(f6, 'e', expand_cols=['e']))
 
 # c8 — nested DataFrame cells through the default stack path
 dump('c8_nested_frame', pb.puffy_to_long(f6, 'e'))
+
+# c9 — 3-D ndarray: three positional levels within default max_depth=3
+f9 = pd.DataFrame({'t': [np.arange(8.).reshape(2, 2, 2)]})
+dump('c9_3d', pb.puffy_to_long(f9, 't'))
+
+# c11 — ragged dict-of-lists (per-key list lengths differ)
+f11 = pd.DataFrame({'b': [{'p': [1, 2, 3], 'q': [9]},
+                          {'q': [7, 8]}]})
+dump('c11_ragged_dict', pb.puffy_to_long(f11, 'b'))
+
+# c12 — F2-composite shape: two 2-D arrays with a shared inner axis plus
+# a nested-frame column through expand_cols, all in one to_long
+cells = [pd.DataFrame({'c1': [1, 2], 'c2': [5, 6]}),
+         pd.DataFrame({'c1': [3], 'c2': [7]})]
+f12 = pd.DataFrame({
+    'b': [np.array([[1., 2.], [3., 4.]]), np.array([[5., 6.], [7., 8.]])],
+    'd': [np.array([[10., 20.], [30., 40.], [50., 60.]]),
+          np.array([[70., 80.]])],
+    'e': cells,
+})
+dump('c12_composite', pb.puffy_to_long(
+    f12, 'b', 'd', 'e', expand_cols=['e'],
+    aligned_axis={'b': 1, 'd': 1}))
+
+# c14 — empty-list cell with dropna=True vanishes entirely
+f14 = pd.DataFrame({'a': [[1], [], [2, 3]]})
+dump('c14_empty_cell', pb.puffy_to_long(f14, 'a'))
