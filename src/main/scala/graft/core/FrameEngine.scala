@@ -165,7 +165,8 @@ final class FrameEngine private (
       dropnaPer: Map[String, Boolean] = Map.empty,
       sharedAxes: Map[String, Map[String, Int]] = Map.empty,
       expandCols: Seq[String] = Nil,
-      iterable: Map[String, ExplodeStep] = Map.empty): DataFrame = {
+      iterable: Map[String, ExplodeStep] = Map.empty,
+      cond: Map[String, DataType => Boolean] = Map.empty): DataFrame = {
     checkSharedAxes(sharedAxes)
     val targets =
       (if (selCols.nonEmpty) selCols else datacols).map(resolve)
@@ -178,7 +179,8 @@ final class FrameEngine private (
       val drop = dropnaPer.getOrElse(c, dropna)
       if (expandCols.contains(c)) expandColFrame(c, drop, prefix = true)
       else explodeColumn(c, depth, drop, sharedAxes,
-        iterable.get(c).orElse(iterable.get(DefaultKey)))
+        iterable.get(c).orElse(iterable.get(DefaultKey)),
+        cond.get(c).orElse(cond.get(DefaultKey)))
     }
     longs.reduceLeft { (acc, nxt) =>
       val shared = acc.columns.toSeq.intersect(nxt.columns.toSeq)
@@ -194,7 +196,8 @@ final class FrameEngine private (
       maxDepth: Int,
       drop: Boolean,
       sharedAxes: Map[String, Map[String, Int]],
-      customStep: Option[ExplodeStep] = None): DataFrame = {
+      customStep: Option[ExplodeStep] = None,
+      stopCond: Option[DataType => Boolean] = None): DataFrame = {
     def levelName(i: Int): String =
       sharedAxes.collectFirst {
         case (axis, m) if m.get(c).contains(i) => axis
@@ -210,8 +213,12 @@ final class FrameEngine private (
     // a custom step owns its own stop semantics (the static DataType stop
     // would end e.g. JSON-string explosion before it starts); progress +
     // maxDepth bound it instead
-    def canStep: Boolean = customStep.isDefined ||
-      Explode.stepKind(frame.schema(c).dataType) != Explode.Stop
+    // user `cond` (reference `puffbird/frame.py:341,381-391`): stop when
+    // the predicate says the column's current type is "done" — the
+    // plan-time analog of the per-cell hashability check
+    def condStops: Boolean = stopCond.exists(p => p(frame.schema(c).dataType))
+    def canStep: Boolean = !condStops && (customStep.isDefined ||
+      Explode.stepKind(frame.schema(c).dataType) != Explode.Stop)
     while (!done && depth < maxDepth && canStep) {
       val (f2, n2) = step(frame, c, levelName, n, drop)
       // a custom step that makes no progress ends the loop (the analog of

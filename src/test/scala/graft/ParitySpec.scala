@@ -222,4 +222,35 @@ class ParitySpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(nearKept === Set(0L, 2L))
   }
+
+  test("cond stops explosion early per column; per-column option maps") {
+    import org.apache.spark.sql.types._
+    // 2-level array, cond says stop once the element is a plain array
+    val df = Seq((0L, Seq(Seq(1L, 2L), Seq(3L)), Seq(9L)))
+      .toDF("k", "deep", "flat")
+    val out = FrameEngine(df, Seq("k")).toLong(
+      selCols = Seq("deep", "flat"),
+      cond = Map("deep" -> (dt => dt match {
+        case ArrayType(_: ArrayType, _) => false // keep going on 2-D
+        case _ => true                           // stop at 1-D cells
+      })))
+    // deep exploded once (cells remain array<long>), flat fully exploded
+    assert(out.schema("deep").dataType.typeName === "array")
+    assert(out.columns.toSet ===
+      Set("k", "deep_level0", "deep", "flat_level0", "flat"))
+
+    // per-column maxDepth map
+    val out2 = FrameEngine(df, Seq("k")).toLong(
+      selCols = Seq("deep", "flat"), maxDepthPer = Map("deep" -> 1))
+    assert(out2.schema("deep").dataType.typeName === "array")
+    assert(out2.schema("flat").dataType === LongType)
+
+    // per-column dropna map
+    val df2 = Seq((0L, Some(Seq(1L)), Option.empty[Seq[Long]]),
+      (1L, None, Some(Seq(2L)))).toDF("k", "p", "q")
+    val out3 = FrameEngine(df2, Seq("k")).toLong(
+      dropnaPer = Map("p" -> true, "q" -> false))
+    // p: null row dropped (1 row); q: null kept (2 rows); outer merge
+    assert(out3.count() === 2L)
+  }
 }
