@@ -172,4 +172,38 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got === Set(("click", 2L), ("view", 1L)))
   }
+
+  test("streaming watermark drops events later than the horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("late").toString
+    val us = 1000L * 1000
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)], f: String): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: events up to hour 10 → watermark advances to ~hour 9
+    write(Seq(
+      (0L, 3600L * us * 1000 * 1, 1L, "a", 1.0, "{}"),
+      (1L, 3600L * us * 1000 * 10, 1L, "a", 1.0, "{}")), "b1")
+    val q = graft.streaming.Events.streamingHourlyAgg(spark, dir)
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: an event at hour 2 — older than watermark (10h - 1h) → dropped;
+    // and one at hour 11 — accepted
+    write(Seq(
+      (2L, 3600L * us * 1000 * 2, 1L, "a", 1.0, "{}"),
+      (3L, 3600L * us * 1000 * 11, 1L, "a", 1.0, "{}")), "b2")
+    q.processAllAvailable()
+    // batch 3: push watermark far forward so hours <= 11 finalize and emit
+    write(Seq((4L, 3600L * us * 1000 * 100, 1L, "a", 1.0, "{}")), "b3")
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.sql(
+      "SELECT hour(hour_start) AS h, n_events FROM wm_out ORDER BY 1")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    // hour 1 and hour 2... hour-2 event arrived AFTER the watermark passed
+    // it, so it must NOT appear; hours 1, 10, 11 do.
+    assert(emitted.map(_._1).contains(1))
+    assert(!emitted.map(_._1).contains(2))
+    assert(emitted.map(_._1).count(h => h == 10 || h == 11) === 2)
+  }
 }
