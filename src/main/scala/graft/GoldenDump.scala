@@ -113,6 +113,23 @@ object GoldenDump {
       .toDF("index_level0", "a")
     dump("c14_empty_cell", FrameEngine(f14, Seq("index_level0")).toLong("a"))
 
+    // c15 — two-level row key: merge runs on both key columns
+    val f15 = Seq(
+      ("g1", 0L, Seq(1L, 2L), Seq("p")),
+      ("g1", 1L, Seq(3L), Seq("q", "r")),
+      ("g2", 0L, Seq(4L, 5L), Seq("s"))
+    ).toDF("i1", "i2", "a", "b")
+    dump("c15_multikey", FrameEngine(f15, Seq("i1", "i2")).toLong())
+
+    // c16 — expand_cols under a two-level key → ordinal named level_2
+    val f16 = Seq(
+      ("g1", 0L, Seq(Tuple1(1L), Tuple1(2L))),
+      ("g2", 1L, Seq(Tuple1(3L)))
+    ).toDF("i1", "i2", "e")
+      .select($"i1", $"i2", $"e".cast("array<struct<c1:bigint>>"))
+    dump("c16_multikey_expand", FrameEngine(f16, Seq("i1", "i2"))
+      .toLong(selCols = Seq("e"), expandCols = Seq("e")))
+
     spark.stop()
   }
 }

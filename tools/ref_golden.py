@@ -94,3 +94,22 @@ dump('c12_composite', pb.puffy_to_long(
 # c14 — empty-list cell with dropna=True vanishes entirely
 f14 = pd.DataFrame({'a': [[1], [], [2, 3]]})
 dump('c14_empty_cell', pb.puffy_to_long(f14, 'a'))
+
+# c15 — two-level row key (MultiIndex): merge keys include both
+f15 = pd.DataFrame({
+    'i1': ['g1', 'g1', 'g2'], 'i2': [0, 1, 0],
+    'a': [[1, 2], [3], [4, 5]],
+    'b': [['p'], ['q', 'r'], ['s']],
+}).set_index(['i1', 'i2'])
+dump('c15_multikey', pb.puffy_to_long(f15))
+
+# c16 — expand_cols under a two-level key → ordinal named level_2
+cells16 = [pd.DataFrame({'c1': [1, 2]}), pd.DataFrame({'c1': [3]})]
+f16 = pd.DataFrame({'i1': ['g1', 'g2'], 'i2': [0, 1],
+                    'e': cells16}).set_index(['i1', 'i2'])
+dump('c16_multikey_expand', pb.puffy_to_long(f16, 'e', expand_cols=['e']))
+
+# (to_puffy can't run differentially: the reference's group helper uses a
+# pandas to_dict(into=...) signature incompatible with modern pandas —
+# covered instead by the to_puffy oracle queries and round-trip
+# property tests.)
