@@ -303,6 +303,10 @@ object SparkEntry {
   private def annLshTopKQ(s: SparkSession, dir: String): DataFrame =
     Similarity.annLshTopK(embs(s, dir), "vec_id", "embedding", k = 5)
 
+  private def annIvfTopKQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 5,
+      centroidPred = col("vec_id") % 100 === 0)
+
   private def textStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(docs(s, dir), "doc_id", "text")
 
@@ -444,6 +448,7 @@ object SparkEntry {
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
+    "ann_ivf_topk"     -> (annIvfTopKQ _),
     "text_stats"       -> (textStats _),
     "lang_id"          -> (langIdQ _),
     "token_counts"     -> (tokenCountsQ _),
@@ -655,6 +660,25 @@ object SparkEntry {
     "ann_lsh_buckets" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
          SELECT vec_id, CAST($dkLshBucketExpr AS BIGINT) AS bucket FROM v""",
+    "ann_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         asg AS (SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                          centroid_id) AS rn
+             FROM v, c) WHERE rn = 1),
+         j AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(av.vd, bv.vd), 6) AS cos_sim
+           FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+             AND a.vec_id <> b.vec_id
+           JOIN v av ON av.vec_id = a.vec_id
+           JOIN v bv ON bv.vec_id = b.vec_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM j)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5""",
     "ann_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
          bk AS (SELECT vec_id, vd, CAST($dkLshBucketExpr AS BIGINT) AS bucket FROM v),

@@ -70,6 +70,61 @@ object Similarity {
     vecs.select(col(idCol),
       lshBucket(col(vecCol), planes, dim).as("bucket"))
 
+  /** IVF cell assignment: each vector goes to its nearest centroid
+    * (cosine, deterministic tie-break on centroid id). Centroids are
+    * broadcast — assignment is one linear pass. `centroids` must be
+    * small ((centroid_id, vec) pairs); at real scale they come from a
+    * sampled k-means, here from any deterministic selection.
+    */
+  def ivfAssign(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("centroid_id").asc)
+    vecs.join(cents)
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"),
+        cosineFast(col(vecCol), col("__cv")).as("__csim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** Single-probe IVF top-k: assign every vector to its nearest centroid
+    * cell, then brute-force cosine *within* the cell. The search join
+    * keys on centroid_id — shuffle is linear; recall misses only
+    * cell-boundary neighbors (probe more cells upstream to trade
+    * compute for recall). The coarse quantizer here is a deterministic
+    * id-based selection so results are reproducible (swap in sampled
+    * k-means centroids at scale — the plan shape is identical).
+    */
+  def ivfTopK(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidPred: Column): DataFrame = {
+    val centroids = vecs.filter(centroidPred)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
+    val assigned = ivfAssign(vecs, idCol, vecCol, centroids)
+      .repartition(col("centroid_id"))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val scored = a.join(b,
+        col("a.centroid_id") === col("b.centroid_id") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("query_id"),
+        col(s"b.$idCol").as("neighbor_id"),
+        cosineFast(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** ANN top-k: brute-force cosine *within* each LSH bucket. The join key
     * is the bucket id — shuffle is linear in corpus size; AQE splits hot
     * buckets. Recall < 1 by construction (bucket-boundary misses); raise
