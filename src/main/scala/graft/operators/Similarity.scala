@@ -125,6 +125,51 @@ object Similarity {
       .filter(col("knn_rank") <= k)
   }
 
+  /** Lloyd's k-means for IVF coarse quantizers, as pure DataFrame ops:
+    * per iteration, assign every vector to its nearest centroid
+    * (broadcast join) and recompute centroids as element-wise means
+    * (explode to (cell, dim) and aggregate — one shuffle per iteration,
+    * linear in corpus size). Seeds are the first `k` vectors by id
+    * (deterministic); a few iterations suffice for a coarse quantizer.
+    */
+  def trainCentroids(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol).asc)
+    // spread the seeds across the id range (taking the first k risks
+    // seeding one dense region and collapsing the other cells)
+    val n = vecs.count()
+    val stride = math.max(1L, n / k)
+    var centroids = vecs
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .filter(col("__rn") % stride === 0)
+      .limit(k)
+      .select((col("__rn") / stride).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(
+        vecs.select(col(idCol), col(vecCol)), idCol, vecCol, centroids)
+      val recomputed = assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol).cast("array<double>")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
+        .select(col("centroid_id"),
+          transform(col("__ps"), p => p.getField("m")).as("__nv"))
+      // a cell that attracted no vectors keeps its previous centroid
+      centroids = centroids.join(recomputed, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__nv"), col("__cv")).as("__cv"))
+    }
+    centroids
+  }
+
   /** ANN top-k: brute-force cosine *within* each LSH bucket. The join key
     * is the bucket id — shuffle is linear in corpus size; AQE splits hot
     * buckets. Recall < 1 by construction (bucket-boundary misses); raise

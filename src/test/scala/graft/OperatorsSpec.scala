@@ -206,4 +206,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!emitted.map(_._1).contains(2))
     assert(emitted.map(_._1).count(h => h == 10 || h == 11) === 2)
   }
+
+  test("trainCentroids separates well-clustered vectors") {
+    // two tight clusters around (1,0) and (0,1)
+    val pts = (0 until 20).map { i =>
+      if (i < 10) (i.toLong, Array(1.0f + i * 0.001f, 0.0f))
+      else (i.toLong, Array(0.0f, 1.0f + i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(pts, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getSeq[Double](1)).sortBy(_.head)
+    assert(cents.length === 2)
+    // one centroid near (0,1), the other near (1,0)
+    assert(cents(0)(0) < 0.1 && cents(0)(1) > 0.9)
+    assert(cents(1)(0) > 0.9 && cents(1)(1) < 0.1)
+    // end-to-end: assignment with trained centroids groups the clusters
+    val trained = Similarity.trainCentroids(pts, "vec_id", "embedding", 2)
+    val asg = Similarity.ivfAssign(pts, "vec_id", "embedding", trained)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("centroid_id")).toMap
+    assert((0L until 10L).map(asg).toSet.size === 1)
+    assert((10L until 20L).map(asg).toSet.size === 1)
+    assert(asg(0L) !== asg(15L))
+  }
 }
