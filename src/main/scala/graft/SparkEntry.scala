@@ -325,6 +325,9 @@ object SparkEntry {
   private def textLenQuantiles(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthQuantiles(docs(s, dir), "lang", "n_chars")
 
+  private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.fakeDimensions(docs(s, dir), "doc_id", "text")
 
@@ -455,6 +458,7 @@ object SparkEntry {
     "doc_fingerprint"  -> (fingerprintQ _),
     "text_vocabulary"  -> (textVocabulary _),
     "text_len_quantiles" -> (textLenQuantiles _),
+    "text_quality_flags" -> (textQualityFlags _),
     "multimodal_meta"  -> (multimodalMeta _),
     "events_hourly"    -> (eventsHourly _),
     "events_sessionize" -> (eventsSessionize _),
@@ -736,6 +740,23 @@ object SparkEntry {
          round(quantile_cont(n_chars, 0.75), 6) AS p75,
          count(*) AS n_docs
          FROM documents GROUP BY 1""",
+    "text_quality_flags" ->
+      """WITH w AS (SELECT doc_id, text,
+           string_split_regex(trim(lower(text)), '\s+') AS ws,
+           CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+             THEN list_distinct([array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+2], ' ')
+               for i in range(1, len(string_split_regex(trim(lower(text)), '\s+'))-1)])
+             ELSE [array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')] END AS sh
+         FROM documents),
+         m AS (SELECT doc_id,
+           round(1.0 - CAST(len(sh) AS DOUBLE)
+             / CAST(greatest(len(ws) - 2, 1) AS DOUBLE), 6) AS rep_ratio,
+           round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS symbol_ratio
+         FROM w)
+         SELECT doc_id, rep_ratio, symbol_ratio,
+           (rep_ratio <= 0.3 AND symbol_ratio <= 0.2) AS keep
+         FROM m""",
     "multimodal_meta" ->
       s"""SELECT doc_id,
          CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,

@@ -104,6 +104,33 @@ object TextAnalysis {
       round(percentile(col(lenCol), lit(0.75)), 6).as("p75"),
       count(lit(1)).as("n_docs"))
 
+  /** Repetition / symbol quality flags in the style of published
+    * web-corpus filtering rules: the fraction of repeated word 3-grams
+    * (1 - distinct/total windows), the symbol-to-character ratio, and a
+    * combined keep flag with the usual cutoffs. One codegen pass.
+    */
+  def qualityFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxRepetition: Double = 0.3,
+      maxSymbolRatio: Double = 0.2): DataFrame = {
+    val txt = col(textCol)
+    val ws = words(txt)
+    val windows = greatest(size(ws) - 2, lit(1)).cast("double")
+    val repRatio = round(lit(1.0) -
+      size(shingles(txt, 3)).cast("double") / windows, 6)
+    val symbolRatio = round(
+      length(regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("double") /
+        greatest(length(txt), lit(1)), 6)
+    docs.select(
+      col(idCol),
+      repRatio.as("rep_ratio"),
+      symbolRatio.as("symbol_ratio"),
+      (repRatio <= maxRepetition && symbolRatio <= maxSymbolRatio)
+        .as("keep"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct shingle set —
     * invariant to word order at the shingle level and to shingle
     * multiplicity; equal fingerprints are near-certain duplicates.
