@@ -334,6 +334,9 @@ object SparkEntry {
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
 
+  private def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(t(s, dir, "events"), Seq("signup", "click", "purchase"))
+
   private def eventsSessionize(s: SparkSession, dir: String): DataFrame =
     Events.sessionize(t(s, dir, "events"), gapNanos = 1800L * 1000 * 1000 * 1000)
 
@@ -461,6 +464,7 @@ object SparkEntry {
     "text_quality_flags" -> (textQualityFlags _),
     "multimodal_meta"  -> (multimodalMeta _),
     "events_hourly"    -> (eventsHourly _),
+    "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
   )
 
@@ -768,6 +772,21 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum
          FROM events GROUP BY 1, 2""",
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t_signup FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t_signup GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+         SELECT s1.user_id, t_signup, t_click, t_purchase,
+           CASE WHEN t_purchase IS NOT NULL THEN 3
+                WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS steps_reached
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         LEFT JOIN s3 ON s1.user_id = s3.user_id""",
     "events_sessionize" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -65,6 +65,38 @@ object Events {
         sum(col("value")).as("value_sum"))
   }
 
+  /** Ordered-step funnel: for each user, the earliest time each step was
+    * reached *after* the previous step, and the number of steps
+    * completed in order. Built as a fold of conditional min-aggregations
+    * (one groupBy on user_id per step, all joined on user_id —
+    * broadcast-sized intermediate per step at any scale since it is one
+    * row per user). Timestamps are µs (`ts div 1000`).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val evs = events.select(col("user_id"),
+      expr("ts div 1000").as("ts"), col("event_type"))
+    // step 1: unconditional earliest occurrence
+    var acc = evs.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as(s"t_${steps.head}"))
+    // step k: earliest occurrence strictly after step k-1
+    steps.sliding(2).foreach {
+      case Seq(prev, next) =>
+        val nxt = evs.filter(col("event_type") === next)
+          .join(acc.select(col("user_id"), col(s"t_$prev")), Seq("user_id"))
+          .filter(col("ts") > col(s"t_$prev"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as(s"t_$next"))
+        acc = acc.join(nxt, Seq("user_id"), "left")
+      case _ => ()
+    }
+    val reached = steps.zipWithIndex.map { case (st, i) =>
+      when(col(s"t_$st").isNotNull, i + 1).otherwise(0)
+    }.reduce((a, b) => greatest(a, b))
+    acc.withColumn("steps_reached", reached)
+  }
+
   /** Stateful streaming sessionization: the incremental form of
     * [[sessionize]] via `flatMapGroupsWithState`. State per user is just
     * (session start, last seen, count, sum); a session is emitted when
