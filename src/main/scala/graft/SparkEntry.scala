@@ -119,12 +119,21 @@ object SparkEntry {
     FrameEngine(puffy, indexcols = Seq("l_orderkey")).expandCol("items")
   }
 
-  private def toPuffyQ(s: SparkSession, dir: String): DataFrame =
-    FrameEngine(
+  private def toPuffyQ(s: SparkSession, dir: String): DataFrame = {
+    val puffy = FrameEngine(
       t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
       indexcols = Seq("l_orderkey", "l_linenumber"))
       .toPuffy(Seq("l_orderkey"),
         aggfunc = (_, c) => sort_array(collect_list(c)))
+    // the driver comparator cannot hash array-typed cells — serialize the
+    // puffy (nested) columns to comma-joined strings, doubles at 6 decimals
+    puffy.select(
+      col("l_orderkey"),
+      array_join(transform(col("l_linenumber"), x => x.cast("string")), ",")
+        .as("l_linenumber"),
+      array_join(transform(col("l_quantity"), x => format_string("%.6f", x)), ",")
+        .as("l_quantity"))
+  }
 
   private def toPuffyAgg(s: SparkSession, dir: String): DataFrame =
     FrameEngine(
@@ -536,8 +545,8 @@ object SparkEntry {
          l_linenumber, l_quantity, l_extendedprice FROM lineitem""",
     "to_puffy" ->
       """SELECT l_orderkey,
-         list(l_linenumber ORDER BY l_linenumber) AS l_linenumber,
-         list(l_quantity ORDER BY l_quantity) AS l_quantity
+         array_to_string([CAST(x AS VARCHAR) for x in list(l_linenumber ORDER BY l_linenumber)], ',') AS l_linenumber,
+         array_to_string([printf('%.6f', x) for x in list(l_quantity ORDER BY l_quantity)], ',') AS l_quantity
          FROM lineitem GROUP BY l_orderkey""",
     "to_puffy_agg" ->
       """SELECT l_returnflag, avg(l_quantity) AS l_quantity,

@@ -8,16 +8,15 @@ import scala.collection.mutable.ArrayBuffer
   * dispatch key is the static `DataType` (or any predicate `K => Boolean`)
   * and the dispatch happens once while building the plan, not per row.
   *
-  * Like the reference (`callables.py:45-52`), the first registered
-  * predicate that accepts the key wins; [[add]] prepends so later
-  * registrations take precedence, mirroring `add`'s override behavior
-  * (`callables.py:36-43`).
+  * Like the reference (`callables.py:36-52`), [[add]] appends and
+  * dispatch takes the FIRST registered predicate that accepts the key —
+  * on overlapping predicates the earlier registration wins.
   */
 final class CallableContainer[K, V] {
   private val handlers = ArrayBuffer.empty[(K => Boolean, V)]
 
   def add(pred: K => Boolean, value: V): this.type = {
-    handlers.prepend((pred, value))
+    handlers.append((pred, value))
     this
   }
 

@@ -45,11 +45,12 @@ object Explode {
       import org.apache.spark.sql.GraftColumnCompat._
       import org.apache.spark.sql.catalyst.expressions.GeneratorOuter
       val gen = graft.functions.JsonExplodeExpr(toExpression(col(c)))
+      // alias the generator outputs directly (MultiAlias) — renaming the
+      // default "key"/"value" names would also hit same-named user columns
       val genCol = toColumn(if (drop) gen else GeneratorOuter(gen))
+        .as(Seq(levelName(n), c))
       val others = frame.columns.filterNot(_ == c).map(col).toSeq
       val out = frame.select(others :+ genCol: _*)
-        .withColumnRenamed("key", levelName(n))
-        .withColumnRenamed("value", c)
       (out, n + 1)
     }
 
@@ -104,26 +105,20 @@ object Explode {
         // stack-all-levels-at-once with `{col_name}_{i}`-suffixed names
         // (`puffbird/frame.py:39-43`, `565-588`; golden c8).
         val base = levelName(n)
-        val ex = if (drop) posexplode(col(c)) else posexplode_outer(col(c))
-        val step1 = frame
-          .select(others :+ ex: _*)
-          .withColumnRenamed("pos", s"${base}_0")
-          .withColumnRenamed("col", c)
+        // alias generator outputs directly (MultiAlias) — renaming the
+        // default "pos"/"col" names would also hit same-named user columns
+        val ex = (if (drop) posexplode(col(c)) else posexplode_outer(col(c)))
+          .as(Seq(s"${base}_0", c))
+        val step1 = frame.select(others :+ ex: _*)
         (meltStruct(step1, c, s"${base}_1", drop), n + 1)
       case ArrayType(_, _) =>
-        val ex = if (drop) posexplode(col(c)) else posexplode_outer(col(c))
-        val out = frame
-          .select(others :+ ex: _*)
-          .withColumnRenamed("pos", levelName(n))
-          .withColumnRenamed("col", c)
-        (out, n + 1)
+        val ex = (if (drop) posexplode(col(c)) else posexplode_outer(col(c)))
+          .as(Seq(levelName(n), c))
+        (frame.select(others :+ ex: _*), n + 1)
       case MapType(_, _, _) =>
-        val ex = if (drop) explode(col(c)) else explode_outer(col(c))
-        val out = frame
-          .select(others :+ ex: _*)
-          .withColumnRenamed("key", levelName(n))
-          .withColumnRenamed("value", c)
-        (out, n + 1)
+        val ex = (if (drop) explode(col(c)) else explode_outer(col(c)))
+          .as(Seq(levelName(n), c))
+        (frame.select(others :+ ex: _*), n + 1)
       case _: StructType =>
         (meltStruct(frame, c, levelName(n), drop), n + 1)
       case VariantType =>
@@ -134,10 +129,8 @@ object Explode {
         import org.apache.spark.sql.catalyst.expressions.GeneratorOuter
         val gen = graft.functions.VariantExplodeExpr(toExpression(col(c)))
         val genCol = toColumn(if (drop) gen else GeneratorOuter(gen))
-        val out = frame.select(others :+ genCol: _*)
-          .withColumnRenamed("key", levelName(n))
-          .withColumnRenamed("value", c)
-        (out, n + 1)
+          .as(Seq(levelName(n), c))
+        (frame.select(others :+ genCol: _*), n + 1)
       case _ => (frame, n) // scalar: caller stops
     }
   }

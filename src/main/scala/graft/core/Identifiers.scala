@@ -20,8 +20,13 @@ object Identifiers {
     "[" -> "_OPEN_", "]" -> "_CLOSE_", "{" -> "_OPEN_", "}" -> "_CLOSE_",
     "!" -> "_EXCLAIM_")
 
+  /** Note: the reference calls `label.strip('')` (`frame.py:1114-1116`),
+    * which strips NOTHING (empty char set) — leading/trailing spaces
+    * survive and become underscores via the `' '→'_'` rule below, so
+    * `" a"` sanitizes to `"_a"`, not `"a"`.
+    */
   def replaceCharacters(label: String): String =
-    Replacements.foldLeft(label.strip) { case (s, (from, to)) =>
+    Replacements.foldLeft(label) { case (s, (from, to)) =>
       s.replace(from, to)
     }
 

@@ -29,6 +29,9 @@ class ParitySpec extends AnyFunSuite {
     assert(Identifiers.replaceCharacters("""he"llo'the`re""") === "hellothere")
     assert(Identifiers.sanitizeDatacol("123") === "data_col_123")
     assert(Identifiers.sanitizeIndexcol("42") === "index_col_42")
+    // reference strip('') strips NOTHING: edge spaces become underscores
+    assert(Identifiers.replaceCharacters(" a") === "_a")
+    assert(Identifiers.replaceCharacters("b  ") === "b__")
   }
 
   test("enforceIdentifierString renames but methods accept originals") {
@@ -64,12 +67,14 @@ class ParitySpec extends AnyFunSuite {
     assert(out.select("m").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
-  test("CallableContainer dispatches first match, later add wins") {
+  test("CallableContainer dispatches first match in insertion order") {
+    // reference `callables.py:36-52`: add() appends, __call__ takes the
+    // first registered predicate that matches — earlier registration wins
     val c = new CallableContainer[Int, String]
     c.add(_ > 0, "pos")
     c.add(_ > 10, "big")
     assert(c(5) === "pos")
-    assert(c(20) === "big") // registered later, takes precedence
+    assert(c(20) === "pos") // earlier registration wins on overlap
     intercept[graft.core.PuffbirdException] { c(-1) }
   }
 
