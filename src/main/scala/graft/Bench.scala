@@ -34,7 +34,9 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries stay out of the per-query map (the `failed` array
+    // carries them) so downstream tooling can't sum a -1 marker
+    val qs = results.collect { case (k, v) if v >= 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

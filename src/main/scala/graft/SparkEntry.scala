@@ -126,14 +126,29 @@ object SparkEntry {
       .toPuffy(Seq("l_orderkey"),
         aggfunc = (_, c) => sort_array(collect_list(c)))
     // the driver comparator cannot hash array-typed cells — serialize the
-    // puffy (nested) columns to comma-joined strings, doubles at 6 decimals
+    // puffy (nested) columns to comma-joined strings, doubles at 6
+    // decimals (round() first so format_string never lands on a
+    // HALF_UP-vs-half-even formatting tie)
     puffy.select(
       col("l_orderkey"),
       array_join(transform(col("l_linenumber"), x => x.cast("string")), ",")
         .as("l_linenumber"),
-      array_join(transform(col("l_quantity"), x => format_string("%.6f", x)), ",")
+      array_join(transform(col("l_quantity"),
+        x => format_string("%.6f", round(x, 6))), ",")
         .as("l_quantity"))
   }
+
+  /** The same group-collect with the nested cells left as native arrays —
+    * no oracle SQL on purpose: the driver records a rows+schema-only
+    * check, which directly covers the un-serialized array output path
+    * (ADVICE r3: the hashable projection alone never compares it).
+    */
+  private def toPuffyNative(s: SparkSession, dir: String): DataFrame =
+    FrameEngine(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+      indexcols = Seq("l_orderkey", "l_linenumber"))
+      .toPuffy(Seq("l_orderkey"),
+        aggfunc = (_, c) => sort_array(collect_list(c)))
 
   private def toPuffyAgg(s: SparkSession, dir: String): DataFrame =
     FrameEngine(
@@ -316,6 +331,29 @@ object SparkEntry {
     Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 5,
       centroidPred = col("vec_id") % 100 === 0)
 
+  /** IVF k-means training: hash-sampled seeds + 1 Lloyd iteration, cells
+    * serialized for the hash comparator (doubles rounded to 6 decimals
+    * before formatting).
+    */
+  private def ivfTrainQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.trainCentroids(embs(s, dir), "vec_id", "embedding",
+      k = 8, iters = 1)
+      .select(col("centroid_id"),
+        array_join(transform(col("__cv"),
+          x => format_string("%.6f", round(x, 6))), ",").as("centroid"))
+
+  /** Salted skew join: the salt must be invisible in the results — the
+    * oracle is the plain (unsalted) join.
+    */
+  private def skewJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+    graft.operators.SkewJoin.saltedJoin(li, o, "okey", saltFactor = 4)
+      .select("okey", "l_quantity", "o_totalprice")
+  }
+
   private def textStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(docs(s, dir), "doc_id", "text")
 
@@ -438,6 +476,7 @@ object SparkEntry {
     "to_long_struct"   -> (toLongStruct _),
     "expand_col"       -> (expandColQ _),
     "to_puffy"         -> (toPuffyQ _),
+    "to_puffy_native"  -> (toPuffyNative _),
     "to_puffy_agg"     -> (toPuffyAgg _),
     "to_puffy_geomean" -> (toPuffyGeomean _),
     "multid_pivot"     -> (multidPivotQ _),
@@ -464,6 +503,8 @@ object SparkEntry {
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
     "ann_ivf_topk"     -> (annIvfTopKQ _),
+    "ivf_train"        -> (ivfTrainQ _),
+    "skew_join"        -> (skewJoinQ _),
     "text_stats"       -> (textStats _),
     "lang_id"          -> (langIdQ _),
     "token_counts"     -> (tokenCountsQ _),
@@ -546,7 +587,7 @@ object SparkEntry {
     "to_puffy" ->
       """SELECT l_orderkey,
          array_to_string([CAST(x AS VARCHAR) for x in list(l_linenumber ORDER BY l_linenumber)], ',') AS l_linenumber,
-         array_to_string([printf('%.6f', x) for x in list(l_quantity ORDER BY l_quantity)], ',') AS l_quantity
+         array_to_string([printf('%.6f', round(x, 6)) for x in list(l_quantity ORDER BY l_quantity)], ',') AS l_quantity
          FROM lineitem GROUP BY l_orderkey""",
     "to_puffy_agg" ->
       """SELECT l_returnflag, avg(l_quantity) AS l_quantity,
@@ -696,6 +737,34 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM j)
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5""",
+    "ivf_train" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         h AS (SELECT vec_id, vd,
+             CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT) AS hk
+           FROM v),
+         seeds AS (SELECT vec_id, vd,
+             CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS centroid_id
+           FROM (SELECT * FROM h ORDER BY hk, vec_id LIMIT 8)),
+         asg AS (SELECT vec_id, vd, centroid_id FROM (
+             SELECT v.vec_id, v.vd, s.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.vd, s.vd), 6) DESC,
+                          s.centroid_id) AS rn
+             FROM v, seeds s) WHERE rn = 1),
+         rec AS (SELECT centroid_id, pos, avg(x) AS m FROM (
+             SELECT centroid_id,
+               CAST(generate_subscripts(vd,1)-1 AS INTEGER) AS pos,
+               unnest(vd) AS x FROM asg)
+           GROUP BY 1, 2),
+         newc AS (SELECT centroid_id, list(m ORDER BY pos) AS nv
+           FROM rec GROUP BY 1)
+         SELECT s.centroid_id,
+           array_to_string([printf('%.6f', round(x, 6))
+             for x in coalesce(n.nv, s.vd)], ',') AS centroid
+         FROM seeds s LEFT JOIN newc n USING (centroid_id)""",
+    "skew_join" ->
+      """SELECT l_orderkey AS okey, l_quantity, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     "ann_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
          bk AS (SELECT vec_id, vd, CAST($dkLshBucketExpr AS BIGINT) AS bucket FROM v),

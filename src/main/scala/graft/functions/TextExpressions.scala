@@ -90,6 +90,194 @@ case class FingerprintExpr(child: Expression)
     copy(child = c)
 }
 
+/** All `numHashes` MinHash signature components in one pass over the
+  * shingle-hash array: sig_j = min over h of ((h mod p)*a_j + b_j) mod p
+  * with `(a_j, b_j) = TextFunctions.hashParams(j)` and p = 2^31-1 —
+  * bit-identical to mapping `TextFunctions.minhash(hs, j)` per j, which
+  * evaluates `numHashes` interpreted `transform` lambdas per row.
+  */
+case class MinHashSigsExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val P = 2147483647L
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sigs = new Array[Long](numHashes)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hm = hs.getLong(i) % P
+      var j = 0
+      while (j < numHashes) {
+        val v = (hm * (2L * j + 3L) + (101L * j + 17L)) % P
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigsExpr =
+    copy(child = c)
+}
+
+/** LSH band buckets in one pass: the MinHash signature (as computed by
+  * [[MinHashSigsExpr]]) cut into `bands` bands of `numHashes/bands` rows;
+  * element b is the lowercase-hex md5 of the band's signature components
+  * joined with "_" — bit-identical to
+  * `md5(concat_ws("_", sig_{b*r}, ..., sig_{b*r+r-1}))` over the
+  * composable signature columns (and the DuckDB oracle's
+  * `md5(concat_ws('_', ...))`).
+  */
+case class MinHashBucketsExpr(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val P = 2147483647L
+  private val rows = numHashes / bands
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sigs = new Array[Long](numHashes)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hm = hs.getLong(i) % P
+      var j = 0
+      while (j < numHashes) {
+        val v = (hm * (2L * j + 3L) + (101L * j + 17L)) % P
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rows * 11)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append('_')
+        sb.append(sigs(b * rows + r))
+        r += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      val hex = new java.lang.StringBuilder(32)
+      d.foreach(x => hex.append(f"${x & 0xff}%02x"))
+      out(b) = UTF8String.fromString(hex.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBucketsExpr =
+    copy(child = c)
+}
+
+/** SimHash over the low `bits` bits of the shingle hashes in one pass:
+  * bit j of the result is set when more shingles have bit j set than
+  * clear — bit-identical to the composable form (`bits` interpreted
+  * `aggregate` lambdas per row).
+  */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        votes(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashExpr =
+    copy(child = c)
+}
+
+/** SimHash band fan-out in one pass: one struct per bit-band —
+  * (band, band_bits, simhash) with band_bits = the band's
+  * `bits/bands`-bit slice of the fingerprint. Designed to sit under an
+  * `inline()` generate: the fingerprint is computed exactly once per row,
+  * and because every output is a *generated* attribute, inferred
+  * `isnotnull` join constraints cannot be pushed below the Generate and
+  * re-evaluate the pipeline (the trap the composable form falls into).
+  */
+case class SimHashBandsExpr(child: Expression, bits: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bits % bands == 0, "bands must divide bits")
+  private val width = bits / bands
+  private val mask = (1L << width) - 1
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("band_bits", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        votes(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) sh |= (1L << j)
+      j += 1
+    }
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(
+        b, (sh >> (b * width)) & mask, sh)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashBandsExpr =
+    copy(child = c)
+}
+
 /** Portable 60-bit hash of every element of a string array: the first 15
   * hex digits of md5 as a long — bit-identical to
   * `conv(substr(md5(s),1,15),16,10)` and to the DuckDB oracle's

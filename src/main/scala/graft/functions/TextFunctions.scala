@@ -55,7 +55,9 @@ object TextFunctions {
   }
 
   /** One MinHash signature component: min over shingles of
-    * (a_j * (h mod p) + b_j) mod p.
+    * (a_j * (h mod p) + b_j) mod p. Composable reference form — the
+    * operators use [[minhashSigs]] (all components in one native pass);
+    * kept for specs that cross-check the native expression.
     */
   def minhash(hashes: Column, j: Int): Column = {
     val (a, b) = hashParams(j)
@@ -63,15 +65,39 @@ object TextFunctions {
       h => (lit(a) * (h % HashP) + lit(b)) % HashP))
   }
 
-  /** SimHash over the low `bits` bits of the shingle hashes: bit j of the
-    * result is set when more shingles have bit j set than clear.
+  /** All `numHashes` MinHash signature components in one native pass
+    * (array<long>, element j = [[minhash]](hashes, j)).
     */
-  def simhash(hashes: Column, bits: Int): Column =
-    (0 until bits).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def minhashSigs(hashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(MinHashSigsExpr(toExpression(hashes), numHashes))
+  }
+
+  /** LSH band bucket hashes in one native pass (array<string>, element b
+    * = md5 of band b's signature components joined with "_").
+    */
+  def minhashBuckets(hashes: Column, numHashes: Int, bands: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(MinHashBucketsExpr(toExpression(hashes), numHashes, bands))
+  }
+
+  /** SimHash over the low `bits` bits of the shingle hashes: bit j of the
+    * result is set when more shingles have bit j set than clear. Native
+    * one-pass expression ([[SimHashExpr]]) — the composable
+    * `aggregate`-per-bit form runs `bits` interpreted lambdas per row.
+    */
+  def simhash(hashes: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(SimHashExpr(toExpression(hashes), bits))
+  }
+
+  /** SimHash band structs (band, band_bits, simhash) for `inline()` —
+    * see [[SimHashBandsExpr]].
+    */
+  def simhashBands(hashes: Column, bits: Int, bands: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(SimHashBandsExpr(toExpression(hashes), bits, bands))
+  }
 
   /** Exact Jaccard similarity of two pre-distinct arrays, rounded to 6
     * decimals (rounding makes the value stable across engines).

@@ -43,29 +43,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_count"))
 
-  /** Materialize the shingle-hash array once behind a shuffle barrier.
-    *
-    * Without the barrier, Catalyst's project-collapse inlines the
-    * shingle+md5 pipeline into EVERY downstream column that references it
-    * (higher-order functions are interpreted, so no codegen
-    * subexpression elimination rescues it) — 16 signature columns would
-    * recompute the md5 of every shingle 16 times. The repartition (a)
-    * cuts that to one evaluation, and (b) spreads rows across cores even
-    * when the source is a single parquet file. The shuffled payload is
-    * the hash array (~8B/shingle), a small fraction of the input text.
-    */
-  private def hashedShingles(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleN: Int): DataFrame =
-    docs.select(col(idCol),
-        shingleHashes(col(textCol), shingleN).as("__hs"))
-      .repartition(col(idCol))
-
   /** Per-document MinHash signature (`numHashes` components over word
-    * `shingleN`-gram shingles). One pass to hash shingles + one small
-    * shuffle (see [[hashedShingles]]).
+    * `shingleN`-gram shingles). The whole signature is one native pass
+    * ([[graft.functions.MinHashSigsExpr]]); the per-component columns
+    * are element extractions of that array — Catalyst's project-collapse
+    * does not inline a non-cheap expression consumed more than once, so
+    * the signature is computed exactly once per row with no shuffle
+    * barrier needed.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -73,18 +57,27 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 16): DataFrame = {
-    val hsDf = hashedShingles(docs, idCol, textCol, shingleN)
+    val sigDf = Spread.ifNarrow(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        minhashSigs(shingleHashes(col(textCol), shingleN), numHashes)
+          .as("__sigs"))
     val sigCols = (0 until numHashes).map(j =>
-      minhash(col("__hs"), j).as(s"sig_$j"))
-    hsDf.select((col(idCol) +: sigCols): _*)
+      col("__sigs").getItem(j).as(s"sig_$j"))
+    sigDf.select((col(idCol) +: sigCols): _*)
   }
 
   /** LSH candidate pairs: the signature is cut into `bands` bands; a pair
     * is a candidate iff it agrees on all rows of at least one band.
     * Output: (id_a, id_b) with id_a < id_b, distinct.
     *
-    * The self-join key is (band_idx, bucket_hash) — shuffle size is
-    * #docs × #bands rows, never #docs².
+    * Shape: one native pass computes all band bucket hashes
+    * ([[graft.functions.MinHashBucketsExpr]]), `posexplode` fans them out
+    * (`Generate` evaluates its child once per row — it doubles as the
+    * materialization barrier), and the self-join keys on
+    * (band, bucket) — shuffle size is #docs × #bands rows, never #docs².
+    * Both join sides are the identical subtree, so the exchange is
+    * planned (and AQE-reused) once.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -94,15 +87,12 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
-    val bucketCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
-      md5(concat_ws("_", parts: _*)).as(s"bucket_$b")
-    }
-    val buckets = sig.select((col(idCol) +: bucketCols): _*)
+    val buckets = Spread.ifNarrow(
+        docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),
-        posexplode(array((0 until bands).map(b => col(s"bucket_$b")): _*)))
+        posexplode(
+          minhashBuckets(shingleHashes(col(textCol), shingleN),
+            numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val a = buckets.as("a")
@@ -116,7 +106,8 @@ object Dedup {
   }
 
   /** Per-document SimHash fingerprint over the low `bits` bits of the
-    * shingle hashes. Near-dups have small Hamming distance. Linear scan.
+    * shingle hashes. Near-dups have small Hamming distance. One native
+    * pass per row ([[graft.functions.SimHashExpr]]), no shuffle.
     */
   def simhashFingerprints(
       docs: DataFrame,
@@ -124,14 +115,21 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       bits: Int = 16): DataFrame =
-    hashedShingles(docs, idCol, textCol, shingleN)
-      .select(col(idCol), simhash(col("__hs"), bits).as("simhash"))
+    Spread.ifNarrow(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        simhash(shingleHashes(col(textCol), shingleN), bits).as("simhash"))
 
   /** SimHash near-dup pairs: candidates share at least one of `bands`
     * equal bit-bands (a pair within Hamming distance < bands MUST share
     * a band — pigeonhole — so recall is exact for the returned
     * threshold); survivors filtered by true Hamming distance <=
     * `maxHamming`. Equi-join on (band, band-bits): linear shuffle.
+    *
+    * The band fan-out happens *inside* the generator
+    * ([[graft.functions.SimHashBandsExpr]] under `inline()`): the
+    * fingerprint is computed exactly once per row, and the join keys are
+    * generated attributes, so inferred `isnotnull` constraints cannot be
+    * pushed below the Generate and re-evaluate the pipeline.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -143,14 +141,11 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
-    val width = bits / bands
-    val mask = (1L << width) - 1
-    val sim = simhashFingerprints(docs, idCol, textCol, shingleN, bits)
-    val buckets = sim.select(col(idCol), col("simhash"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_bits")
+    val buckets = Spread.ifNarrow(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        inline(simhashBands(shingleHashes(col(textCol), shingleN),
+          bits, bands)))
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
@@ -177,11 +172,12 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    // Same materialize-and-spread barrier as hashedShingles: sh and
-    // anchor are computed once, then the self-join reuses the attribute.
-    val withSh = docs.select(col(idCol),
-        shingles(col(textCol), shingleN).as("sh"))
-      .repartition(col(idCol))
+    // Spread the raw text first (gated), then build shingles once; the
+    // anchor consumes the `sh` alias a second time, which is exactly the
+    // case project-collapse refuses to inline for non-cheap expressions.
+    val withSh = Spread.ifNarrow(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("anchor", array_min(col("sh")))  // lexicographic-min shingle: no per-shingle hashing needed for blocking
     val a = withSh.as("a")
     val b = withSh.as("b")
@@ -227,11 +223,11 @@ object Dedup {
       vecCol: String,
       blockCol: String,
       threshold: Double = 0.95): DataFrame = {
-    // repartition: spread the self-join compute even when the source is a
-    // single small file (and pre-hash on the block key, which the join
-    // then reuses).
-    val v = vecs.select(col(idCol), col(vecCol), col(blockCol))
-      .repartition(col(blockCol))
+    // spread (gated): parallelize the self-join compute when the source
+    // is a single small file; at scale the join's own (block) exchange
+    // provides the partitioning.
+    val v = Spread.ifNarrow(
+      vecs.select(col(idCol), col(vecCol), col(blockCol)), col(blockCol))
     val a = v.as("a")
     val b = v.as("b")
     a.join(b,

