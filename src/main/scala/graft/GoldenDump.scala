@@ -130,6 +130,25 @@ object GoldenDump {
     dump("c16_multikey_expand", FrameEngine(f16, Seq("i1", "i2"))
       .toLong(selCols = Seq("e"), expandCols = Seq("e")))
 
+    // c17 — ragged nested-table cells (the handle_diff recovery,
+    // frame.py:683-698): cells whose schemas disagree are ingested as
+    // JSON record arrays; expandCol unifies the key set and stringifies
+    // values — same shape as the reference's flatten/stringify retry
+    // (its reset_index turns cell index levels into columns, and an
+    // unnamed RangeIndex into a column literally named "index").
+    val f17 = Seq(
+      (0L, """[{"i":"a","j":"x","c1":1,"c2":5},{"i":"b","j":"y","c1":2,"c2":6}]"""),
+      (1L, """[{"index":0,"c1":3,"c3":9}]""")
+    ).toDF("index_level0", "e")
+    dump("c17_ragged_expand",
+      FrameEngine(f17, Seq("index_level0")).expandCol("e"))
+
+    // c18 — keyless frame with the opt-in dense synthetic index: exact
+    // RangeIndex parity (frame.py:188-194), index_level0 = 0..n-1
+    val f18 = Seq(Seq(1L, 2L), Seq(3L, 4L, 5L)).toDF("a")
+    dump("c18_dense_keyless",
+      FrameEngine(f18, denseIndex = true).toLong("a"))
+
     spark.stop()
   }
 }

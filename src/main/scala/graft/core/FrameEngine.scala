@@ -156,6 +156,22 @@ final class FrameEngine private (
     * from uneven fan-out. Columns listed in `expandCols` use [[expandCol]]
     * (struct fields stay separate columns, prefixed `"{c}_"`) instead of
     * being melted — reference `puffbird/frame.py:489-503`.
+    *
+    * Explain-verified shuffle budget (r4): for two columns the plan is
+    * minimal — one exchange per side into one full-outer sort-merge join.
+    * For k > 2 columns the accumulator re-shuffles before each further
+    * join: Spark reports `UnknownPartitioning` for full-outer join output
+    * (null-extended rows violate either side's *attribute* partitioning,
+    * and Catalyst cannot see that the coalesced USING key still preserves
+    * the hash clustering), so `EnsureRequirements` re-partitions the
+    * accumulator — k−1 accumulator shuffles total. Pre-co-partitioning
+    * the per-column frames cannot remove these (the exchange would just
+    * move); eliminating them would need a custom physical rule that
+    * re-derives partitioning over the coalesced key. The per-side input
+    * shuffle remains exactly one, and the fold order is kept because
+    * outer merges on differing key sets (`sharedAxes`) are not
+    * associative — a balanced reduction could change null-extension
+    * results.
     */
   def toLong(
       selCols: Seq[String] = Nil,
@@ -177,7 +193,10 @@ final class FrameEngine private (
     val longs = targets.map { c =>
       val depth = maxDepthPer.getOrElse(c, maxDepth)
       val drop = dropnaPer.getOrElse(c, dropna)
-      if (expandCols.contains(c)) expandColFrame(c, drop, prefix = true)
+      if (expandCols.contains(c)) df.schema(c).dataType match {
+        case StringType => expandColJsonFrame(c, drop, prefix = true)
+        case _ => expandColFrame(c, drop, prefix = true)
+      }
       else explodeColumn(c, depth, drop, sharedAxes,
         iterable.get(c).orElse(iterable.get(DefaultKey)),
         cond.get(c).orElse(cond.get(DefaultKey)))
@@ -240,9 +259,68 @@ final class FrameEngine private (
     * merge suffix behavior, `puffbird/frame.py:533`, tutorial cells 21-26);
     * with `prefix = true` every field is prefixed `"{c}_"` (reference
     * `puffbird/frame.py:499-502` for non-MultiIndex cells).
+    *
+    * `handleDiff` is the analog of the reference's ragged-cell recovery
+    * (`puffbird/frame.py:683-698`, helper `frame.py:1088-1097`): when the
+    * aligned concat fails, the reference flattens/stringifies each cell
+    * and retries. Spark columns are statically typed, so "ragged" cells
+    * arrive as a *string* column of JSON record arrays (one JSON object
+    * per nested-table row — the ingest form of cells whose schemas
+    * disagree); with `handleDiff = true` (the reference's default) such a
+    * column is expanded over the union of record keys with stringified
+    * values — same output shape as the reference's recovery. Any other
+    * type is a typed error pointing at the JSON path.
     */
-  def expandCol(c: String, dropna: Boolean = true, prefix: Boolean = false): DataFrame =
-    expandColFrame(c, dropna, prefix)
+  def expandCol(
+      c: String,
+      dropna: Boolean = true,
+      prefix: Boolean = false,
+      handleDiff: Boolean = true): DataFrame = {
+    val rc = resolve(c)
+    df.schema(rc).dataType match {
+      case ArrayType(_: StructType, _) => expandColFrame(rc, dropna, prefix)
+      case StringType if handleDiff => expandColJsonFrame(rc, dropna, prefix)
+      case other =>
+        throw new PuffbirdException(
+          s"expandCol needs array<struct> for $c (got $other); ragged " +
+            "cells can be ingested as a string column of JSON record " +
+            "arrays and expanded with handleDiff = true")
+    }
+  }
+
+  /** Ragged-cell expansion (the `handle_diff` recovery path): `c` holds
+    * JSON arrays of records with per-cell key sets. The output schema is
+    * the union of record keys across the corpus — discovered by one
+    * small aggregation job (the distributed analog of pandas' column
+    * alignment, which also scans every cell) — and every value is
+    * stringified, exactly like the reference's flatten/stringify retry.
+    * Scale: the key-union job shuffles only distinct key strings; the
+    * expansion itself is one pipelined `Generate`.
+    */
+  private def expandColJsonFrame(c: String, drop: Boolean, prefix: Boolean): DataFrame = {
+    val cellsType = ArrayType(MapType(StringType, StringType))
+    val keys = df.select(explode(from_json(col(c), cellsType)).as(RowAlias))
+      .select(explode(map_keys(col(RowAlias))).as("__k"))
+      .distinct().orderBy("__k")
+      .collect().map(_.getString(0)).toSeq
+    if (keys.isEmpty)
+      throw new PuffbirdException(
+        s"expandCol($c): no JSON records found to expand")
+    val ordName = s"level_${indexCols.size}"
+    val cells = from_json(col(c), cellsType)
+    val ex = if (drop) posexplode(cells) else posexplode_outer(cells)
+    val tmp = df.select(indexCols.map(col) :+ ex: _*)
+      .withColumnRenamed("pos", ordName)
+      .withColumnRenamed("col", RowAlias)
+    val fieldCols = keys.map { f =>
+      val out =
+        if (prefix) s"${c}_$f"
+        else if (indexCols.contains(f)) s"${f}_$c"
+        else f
+      col(RowAlias).getItem(f).as(out)
+    }
+    tmp.select((indexCols :+ ordName).map(col) ++ fieldCols: _*)
+  }
 
   private def expandColFrame(c: String, drop: Boolean, prefix: Boolean): DataFrame = {
     val st = df.schema(c).dataType match {
@@ -401,11 +479,28 @@ object FrameEngine {
     * like a future explosion output of a datacol
     * (`"{datacol}(_level)?[0-9]*"`, `puffbird/frame.py:33`).
     */
+  /** Dense 0..n-1 synthetic key — exact parity with the reference's
+    * RangeIndex promotion (`puffbird/frame.py:188-194`). Opt-in because
+    * `zipWithIndex` runs an extra job (per-partition counts) and pins the
+    * input partition order; the default `monotonically_increasing_id`
+    * stays a single pipelined pass (unique but not dense — documented
+    * divergence #7).
+    */
+  private def denseSyntheticIndex(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(SyntheticIndex, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   def apply(
       df: DataFrame,
       indexcols: Seq[String] = Nil,
       datacols: Seq[String] = Nil,
-      enforceIdentifierString: Boolean = false): FrameEngine = {
+      enforceIdentifierString: Boolean = false,
+      denseIndex: Boolean = false): FrameEngine = {
     val all = df.columns.toSeq
     checkNames(all)
     val unknown = (indexcols ++ datacols).filterNot(all.contains)
@@ -420,6 +515,8 @@ object FrameEngine {
         (df, indexcols)
       } else if (datacols.nonEmpty) {
         (df, all.filterNot(datacols.contains))
+      } else if (denseIndex) {
+        (denseSyntheticIndex(df), Seq(SyntheticIndex))
       } else {
         (df.withColumn(SyntheticIndex, monotonically_increasing_id()),
          Seq(SyntheticIndex))

@@ -182,4 +182,41 @@ class FrameEngineSpec extends AnyFunSuite {
       $"aligned_axis" === 1 && $"e_a" === "x").collect().head
     assert(r.getAs[Double]("b") === 2.0 && r.getAs[Double]("d") === 20.0)
   }
+
+  test("expandCol handleDiff: ragged JSON cells expand over the key union" +
+      " with stringified values (handle_diff recovery, frame.py:683-698)") {
+    val f = Seq(
+      (0L, """[{"i":"a","c1":1,"c2":5},{"i":"b","c1":2,"c2":6}]"""),
+      (1L, """[{"index":0,"c1":3,"c3":9}]""")
+    ).toDF("index_level0", "e")
+    val out = FrameEngine(f, Seq("index_level0")).expandCol("e")
+    assert(out.columns.toSet ===
+      Set("index_level0", "level_1", "c1", "c2", "c3", "i", "index"))
+    val rows = out.orderBy("index_level0", "level_1").collect()
+    assert(rows.length === 3)
+    // union columns are null where a cell lacks the key
+    assert(rows(0).getAs[String]("c2") === "5" &&
+      rows(0).getAs[String]("c3") === null)
+    assert(rows(2).getAs[String]("c3") === "9" &&
+      rows(2).getAs[String]("i") === null)
+    // a non-string, non-array<struct> column is a typed error
+    val bad = Seq((0L, 1.5)).toDF("index_level0", "x")
+    val e = intercept[PuffbirdException] {
+      FrameEngine(bad, Seq("index_level0")).expandCol("x")
+    }
+    assert(e.getMessage.contains("JSON"))
+  }
+
+  test("denseIndex: keyless frame gets an exact 0..n-1 index_level0" +
+      " (RangeIndex parity, frame.py:188-194)") {
+    val f = Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L, 6L)).toDF("a")
+    val eng = FrameEngine(f, denseIndex = true)
+    assert(eng.indexcols === Seq("index_level0"))
+    val keys = eng.df.select("index_level0")
+      .collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq === Seq(0L, 1L, 2L))
+    // and the explosion carries the dense key through
+    val out = eng.toLong("a")
+    assert(out.filter($"index_level0" === 2L).count() === 3L)
+  }
 }

@@ -113,3 +113,20 @@ dump('c16_multikey_expand', pb.puffy_to_long(f16, 'e', expand_cols=['e']))
 # pandas to_dict(into=...) signature incompatible with modern pandas —
 # covered instead by the to_puffy oracle queries and round-trip
 # property tests.)
+
+# c17 — ragged nested-table cells: mismatched index nlevels make the
+# aligned concat raise (AssertionError: "Cannot concat indices that do
+# not have the same number of levels"); handle_diff flattens/stringifies
+# each cell (reset_index: index levels -> columns, an unnamed RangeIndex
+# -> a column named "index") and retries with a fresh ordinal level.
+e17a = pd.DataFrame({'c1': [1, 2], 'c2': [5, 6]},
+                    index=pd.MultiIndex.from_arrays(
+                        [['a', 'b'], ['x', 'y']], names=['i', 'j']))
+e17b = pd.DataFrame({'c1': [3], 'c3': [9]})
+f17 = pd.DataFrame({'e': [e17a, e17b]})
+dump('c17_ragged_expand', pb.FrameEngine(f17).expand_col('e'))
+
+# c18 — keyless frame: the RangeIndex promotion gives a dense 0..n-1
+# index_level0 (frame.py:188-194)
+f18 = pd.DataFrame({'a': [[1, 2], [3, 4, 5]]})
+dump('c18_dense_keyless', pb.puffy_to_long(f18, 'a'))
