@@ -170,6 +170,40 @@ object SparkEntry {
         aggfunc = (_, c) => round(geo(c), 6))
   }
 
+  /** Per-column aggfunc dict with the `"_default"` fallback
+    * (`puffbird/frame.py:974-976`, `1171-1186`).
+    */
+  private def toPuffyDict(s: SparkSession, dir: String): DataFrame =
+    FrameEngine(
+      t(s, dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice"),
+      indexcols = Seq("l_returnflag", "l_orderkey", "l_linenumber"))
+      .toPuffy(Seq("l_returnflag"),
+        aggfuncs = Map(
+          "l_quantity" -> ((_, c) => avg(c)),
+          "_default"   -> ((_, c) => max(c))),
+        keepMissingIdcs = false, dropna = false)
+
+  /** assign-to-index (`_assign_output_series`, `puffbird/frame.py:805-829`):
+    * the derived column joins the key, which is what lets the follow-up
+    * toPuffy group by it (toPuffy validates keys ⊆ indexcols).
+    */
+  private def assignIndexQ(s: SparkSession, dir: String): DataFrame =
+    FrameEngine(
+      t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+      indexcols = Seq("c_custkey"))
+      .colApply(length, "c_name", Some("name_len"), assignToIndex = true)
+      .drop("c_name")
+      .toPuffy(Seq("name_len"), keepMissingIdcs = false,
+        aggfunc = (_, c) => avg(c))
+
+  /** `puffy_to_long` shortcut (`puffbird/shortcuts.py:8-132`). */
+  private def shortcutLongQ(s: SparkSession, dir: String): DataFrame =
+    graft.core.Shortcuts.puffyToLong(
+      t(s, dir, "embeddings"), cols = Seq("embedding"),
+      indexcols = Seq("vec_id", "label"))
+
   private def multidPivotQ(s: SparkSession, dir: String): DataFrame =
     FrameEngine(t(s, dir, "lineitem"),
       indexcols = Seq("l_orderkey", "l_linenumber"))
@@ -479,6 +513,9 @@ object SparkEntry {
     "to_puffy_native"  -> (toPuffyNative _),
     "to_puffy_agg"     -> (toPuffyAgg _),
     "to_puffy_geomean" -> (toPuffyGeomean _),
+    "to_puffy_dict"    -> (toPuffyDict _),
+    "assign_index"     -> (assignIndexQ _),
+    "shortcut_long"    -> (shortcutLongQ _),
     "multid_pivot"     -> (multidPivotQ _),
     "multid_pivot_wide" -> (multidPivotWideQ _),
     "col_apply"        -> (colApplyQ _),
@@ -596,6 +633,19 @@ object SparkEntry {
     "to_puffy_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS l_quantity
          FROM lineitem GROUP BY 1""",
+    "to_puffy_dict" ->
+      """SELECT l_returnflag, avg(l_quantity) AS l_quantity,
+         max(l_extendedprice) AS l_extendedprice
+         FROM lineitem GROUP BY 1""",
+    "assign_index" ->
+      """SELECT CAST(length(c_name) AS INTEGER) AS name_len,
+         avg(c_acctbal) AS c_acctbal
+         FROM customer GROUP BY 1""",
+    "shortcut_long" ->
+      """SELECT vec_id, label,
+         CAST(generate_subscripts(embedding,1)-1 AS INTEGER) AS embedding_level0,
+         unnest(embedding) AS embedding
+         FROM embeddings""",
     "multid_pivot" ->
       """SELECT l_returnflag, l_linestatus,
          avg(l_extendedprice) AS l_extendedprice

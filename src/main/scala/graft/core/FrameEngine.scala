@@ -386,6 +386,32 @@ final class FrameEngine private (
     t.groupBy(ks.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-column `aggfunc` dict form, with the `"_default"` key as the
+    * fallback for unlisted columns — reference `aggfunc` dict handling
+    * (`puffbird/frame.py:974-976` via `_mapping_variable_converter`,
+    * `frame.py:1171-1186`). Keys naming columns that are not aggregated
+    * values are rejected, as in the reference.
+    */
+  def toPuffy(
+      keys: Seq[String],
+      aggfuncs: Map[String, (String, Column) => Column],
+      keepMissingIdcs: Boolean,
+      dropna: Boolean): DataFrame = {
+    val ks = keys.map(resolve)
+    val demoted = indexCols.filterNot(ks.contains)
+    val valueCols = (if (keepMissingIdcs) demoted else Nil) ++ datacols
+    val perCol = (aggfuncs - DefaultKey).map { case (k, v) => resolve(k) -> v }
+    val unknown = perCol.keySet -- valueCols
+    if (unknown.nonEmpty)
+      throw new PuffbirdException(
+        s"aggfunc dictionary contains keys that are not aggregated " +
+          s"columns (${valueCols.mkString(",")}): ${unknown.mkString(",")}")
+    val default = aggfuncs.getOrElse(DefaultKey,
+      (_: String, c: Column) => collect_list(c))
+    toPuffy(keys, keepMissingIdcs, dropna,
+      (n, c) => perCol.getOrElse(n, default)(n, c))
+  }
+
   // ---------------------------------------------------------------------
   // multidPivot — group-by mean (long) and 2-D wide pivot.
   // Reference `multid_pivot`: `puffbird/frame.py:1018-1075` (the

@@ -207,6 +207,24 @@ class FrameEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("JSON"))
   }
 
+  test("toPuffy aggfunc dict: per-column functions with _default fallback," +
+      " unknown keys rejected (frame.py:974-976, 1171-1186)") {
+    val f = Seq((0L, 1L, 10.0, 100.0), (0L, 2L, 20.0, 200.0),
+      (1L, 1L, 30.0, 300.0)).toDF("g", "i", "x", "y")
+    val eng = FrameEngine(f, Seq("g", "i"))
+    val out = eng.toPuffy(Seq("g"),
+      aggfuncs = Map("x" -> ((_, c) => sum(c)), "_default" -> ((_, c) => max(c))),
+      keepMissingIdcs = false, dropna = false)
+      .orderBy("g").collect()
+    assert(out(0).getAs[Double]("x") === 30.0)  // sum
+    assert(out(0).getAs[Double]("y") === 200.0) // _default max
+    val e = intercept[PuffbirdException] {
+      eng.toPuffy(Seq("g"), aggfuncs = Map("nope" -> ((_, c) => sum(c))),
+        keepMissingIdcs = false, dropna = false)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("denseIndex: keyless frame gets an exact 0..n-1 index_level0" +
       " (RangeIndex parity, frame.py:188-194)") {
     val f = Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L, 6L)).toDF("a")
