@@ -223,6 +223,112 @@ case class SimHashExpr(child: Expression, bits: Int)
     copy(child = c)
 }
 
+/** Token counts in one character scan — no regex engine, no token-array
+  * materialization. Output struct:
+  *  - `n_ws`: fields of `split(trim(text), "\s+")` with Java semantics
+  *    (trim strips ASCII spaces only; split keeps leading/trailing empty
+  *    fields, so the count is #maximal-whitespace-runs + 1);
+  *  - `n_re`: matches of `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]` — maximal
+  *    ASCII letter runs, maximal digit runs, and one token per other
+  *    non-whitespace *codepoint* (surrogate pairs counted once, as the
+  *    regex would).
+  * Bit-identical to the composable `size(split(...))` /
+  * `size(regexp_extract_all(...))` forms and the DuckDB oracle.
+  */
+case class TokenStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ws", IntegerType, nullable = false),
+    StructField("n_re", IntegerType, nullable = false)))
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // n_ws over the ASCII-space-trimmed string
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    var nWs = 1
+    var i = lo
+    while (i < hi) {
+      if (isWs(s.charAt(i))) {
+        nWs += 1
+        while (i < hi && isWs(s.charAt(i))) i += 1
+      } else i += 1
+    }
+    // n_re over the raw string
+    var nRe = 0
+    i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isLetter(c)) {
+        nRe += 1
+        while (i < n && isLetter(s.charAt(i))) i += 1
+      } else if (isDigit(c)) {
+        nRe += 1
+        while (i < n && isDigit(s.charAt(i))) i += 1
+      } else if (isWs(c)) {
+        i += 1
+      } else {
+        nRe += 1
+        i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+                  Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nWs, nRe)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenStatsExpr =
+    copy(child = c)
+}
+
+/** Stopword-hit counts for several languages in one pass over a word
+  * array: element l = how many words are in language l's stopword set —
+  * equal to `size(filter(ws, w => w.isin(stopwords(l))))` per language,
+  * which evaluates an interpreted lambda per word per language.
+  */
+case class StopwordScoresExpr(child: Expression, langs: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    langs.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](langs.size)
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      var l = 0
+      while (l < counts.length) {
+        if (sets(l).contains(w)) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): StopwordScoresExpr =
+    copy(child = c)
+}
+
 /** SimHash band fan-out in one pass: one struct per bit-band —
   * (band, band_bits, simhash) with band_bits = the band's
   * `bits/bands`-bit slice of the fingerprint. Designed to sit under an

@@ -22,8 +22,15 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "en", "por", "que"),
     "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "pour", "dans", "que"))
 
-  private def stopwordCount(ws: Column, lang: String): Column =
-    size(filter(ws, w => w.isin(Stopwords(lang): _*)))
+  /** All languages' stopword-hit counts in one native pass over the word
+    * array ([[graft.functions.StopwordScoresExpr]] — the `filter`-HOF
+    * form runs an interpreted lambda per word per language).
+    */
+  private def stopwordScores(ws: Column, langs: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(graft.functions.StopwordScoresExpr(
+      toExpression(ws), langs.map(Stopwords)))
+  }
 
   /** Per-document quality stats: char count, word count, average word
     * length, distinct-word ratio, stopword ratio (en).
@@ -39,19 +46,24 @@ object TextAnalysis {
         .as("avg_word_len"),
       round(size(array_distinct(ws)).cast("double") / size(ws), 6)
         .as("distinct_ratio"),
-      round(stopwordCount(ws, "en").cast("double") / size(ws), 6)
+      round(stopwordScores(ws, Seq("en")).getItem(0).cast("double") / size(ws), 6)
         .as("stopword_ratio"))
   }
 
   /** Heuristic language id: stopword-hit counts per language; the
     * prediction is the highest-scoring language in a fixed priority
-    * order (en, de, es, fr), `und` when nothing matches.
+    * order (en, de, es, fr), `und` when nothing matches. One native pass
+    * computes all four scores (the score-array alias is consumed four
+    * times — exactly the case project-collapse refuses to inline).
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
-    val scores = Seq("en", "de", "es", "fr").map(l =>
-      stopwordCount(ws, l).as(s"score_$l"))
-    val scored = docs.select((col(idCol) +: scores): _*)
+    val langs = Seq("en", "de", "es", "fr")
+    val scored = docs
+      .select(col(idCol),
+        stopwordScores(words(col(textCol)), langs).as("__scores"))
+      .select((col(idCol) +: langs.zipWithIndex.map { case (l, i) =>
+        col("__scores").getItem(i).as(s"score_$l")
+      }): _*)
     val best = greatest(col("score_en"), col("score_de"),
       col("score_es"), col("score_fr"))
     scored.withColumn("pred_lang",
@@ -65,17 +77,22 @@ object TextAnalysis {
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other symbols), plus a
     * chars-per-token ratio — the usual cheap proxy for tokenizer cost.
+    * One native character scan per document
+    * ([[graft.functions.TokenStatsExpr]]) — no regex engine and no
+    * token-array materialization on the hot path.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
     val txt = col(textCol)
-    val reTokens = size(regexp_extract_all(txt, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
-    docs.select(
-      col(idCol),
-      size(words(txt)).as("n_ws_tokens"),
-      reTokens.as("n_re_tokens"),
-      // try_divide: empty text has 0 regex tokens (ANSI x/0 would fail)
-      round(try_divide(length(txt).cast("double"), reTokens), 6)
-        .as("chars_per_token"))
+    val tc = toColumn(graft.functions.TokenStatsExpr(toExpression(txt)))
+    docs.select(col(idCol), length(txt).as("__len"), tc.as("__tc"))
+      .select(
+        col(idCol),
+        col("__tc").getField("n_ws").as("n_ws_tokens"),
+        col("__tc").getField("n_re").as("n_re_tokens"),
+        // try_divide: empty text has 0 regex tokens (ANSI x/0 would fail)
+        round(try_divide(col("__len").cast("double"),
+          col("__tc").getField("n_re")), 6).as("chars_per_token"))
   }
 
   /** Corpus vocabulary: one row per distinct word with corpus-wide term
