@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.FrameEngine
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, SkewJoin}
 
 /** Scale stress: replicate sf0.1 N× with shifted keys (≈ sf1 and beyond,
   * in memory — the driver's testdata stays read-only) and time the
@@ -66,6 +66,27 @@ object Stress {
     }
     time("cosine_pairs_blocked") {
       Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.4)
+    }
+    time("dedup_simhash_pairs") {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+    }
+    time("dedup_drop_near") {
+      Dedup.dropNearDuplicates(docs.select("doc_id", "n_chars"), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    }
+    time("ivf_train_k64") {
+      Similarity.trainCentroids(embs, "vec_id", "embedding", k = 64, iters = 2)
+    }
+    time("salted_join_hotkey") {
+      // power-law key: ~1/8 of the fact rows collapse onto one key — the
+      // case AQE skew-split or explicit salting must break up
+      val fact = li.select(
+        when(col("l_orderkey") % 8 === 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("okey"),
+        col("l_quantity"))
+      val dim = li.select(col("l_orderkey").as("okey")).distinct()
+        .withColumn("w", col("okey") % 97)
+      SkewJoin.saltedJoin(fact, dim, "okey", saltFactor = 16)
     }
     spark.stop()
   }
