@@ -143,6 +143,11 @@ object Similarity {
     * driver-side `count()` — the r3 seeding serialized the whole corpus
     * through one task (VERDICT r3 finding #1). The hash ordering spreads
     * seeds uniformly over the corpus regardless of id clustering.
+    *
+    * Each iteration nests one assign + recompute layer into the lazy
+    * plan; for the usual coarse-quantizer 2-5 iterations that is fine.
+    * Beyond that, persist/checkpoint `centroids` between iterations
+    * (k×dim doubles — driver-trivial) to keep the plan flat.
     */
   def trainCentroids(
       vecs: DataFrame,

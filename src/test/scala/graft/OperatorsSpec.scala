@@ -227,4 +227,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert((10L until 20L).map(asg).toSet.size === 1)
     assert(asg(0L) !== asg(15L))
   }
+
+  test("streaming exact dedup keeps only the first occurrence per content") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, txt) => (id, txt, "en", "web", txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha")))
+    val q = graft.streaming.StreamingDedup.exactStream(spark, dir)
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a duplicate arriving in a LATER micro-batch is also dropped:
+    // the dedup state persists across batches
+    write(Seq((3L, "beta"), (4L, "gamma")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT text FROM sdedup_out")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got === Seq("alpha", "beta", "gamma"))
+  }
 }
