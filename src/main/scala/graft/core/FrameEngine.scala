@@ -223,7 +223,17 @@ final class FrameEngine private (
       }.getOrElse(s"${c}_level$i")
 
     var frame = df.select((indexCols :+ c).map(col): _*)
-    if (drop) frame = frame.na.drop(Seq(c))
+    // dropna before explosion (`puffbird/frame.py:505-506`) — but only
+    // when no built-in explosion step will run: the inner
+    // posexplode/explode (and the melt's value filter) already drop null
+    // cells, and an extra na.drop would be constraint-pushed below the
+    // projection, evaluating an expensive cell expression (e.g. a
+    // `from_json` feeding this column) twice per row.
+    val kind0 = Explode.stepKind(df.schema(c).dataType)
+    val builtinExplodes = customStep.isEmpty && maxDepth > 0 &&
+      kind0 != Explode.Stop && kind0 != Explode.VariantStep &&
+      !stopCond.exists(p => p(df.schema(c).dataType))
+    if (drop && !builtinExplodes) frame = frame.na.drop(Seq(c))
     var n = 0
     var depth = 0
     val step: ExplodeStep =
