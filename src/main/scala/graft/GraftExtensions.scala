@@ -43,5 +43,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("variant_explode", "explode a variant cell") {
       exprs => VariantExplodeExpr(exprs.head)
     }
+    inject("minhash_sigs16", "16-component MinHash signature of a hash array") {
+      exprs => MinHashSigsExpr(exprs.head, 16)
+    }
+    inject("minhash_buckets", "8 LSH band bucket hashes of a hash array") {
+      exprs => MinHashBucketsExpr(exprs.head, numHashes = 16, bands = 8)
+    }
+    inject("simhash16", "16-bit SimHash of a hash array") {
+      exprs => SimHashExpr(exprs.head, 16)
+    }
+    inject("simhash_bands", "SimHash band structs for inline()") {
+      exprs => SimHashBandsExpr(exprs.head, bits = 16, bands = 4)
+    }
+    inject("token_stats", "whitespace/regex-class token counts in one scan") {
+      exprs => TokenStatsExpr(exprs.head)
+    }
   }
 }

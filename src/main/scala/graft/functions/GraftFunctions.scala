@@ -45,6 +45,18 @@ object GraftFunctions {
       exprs => JsonExplodeExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("variant_explode",
       exprs => VariantExplodeExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sigs16",
+      exprs => MinHashSigsExpr(exprs.head, 16), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_buckets",
+      exprs => MinHashBucketsExpr(exprs.head, numHashes = 16, bands = 8),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("simhash16",
+      exprs => SimHashExpr(exprs.head, 16), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_bands",
+      exprs => SimHashBandsExpr(exprs.head, bits = 16, bands = 4),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("token_stats",
+      exprs => TokenStatsExpr(exprs.head), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
   }
 }

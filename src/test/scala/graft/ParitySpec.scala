@@ -190,6 +190,15 @@ class ParitySpec extends AnyFunSuite {
       SELECT key, value FROM (SELECT '{"p": 1}' AS j)
       LATERAL VIEW json_explode(j) AS key, value""").collect().head
     assert(lat.getString(0) === "p" && lat.getString(1) === "1")
+    // r4 additions: one-pass minhash/simhash/token expressions from SQL
+    val r4 = spark.sql("""
+      SELECT size(minhash_sigs16(hash60_array(shingles3('a b c d e')))) AS ns,
+             size(minhash_buckets(hash60_array(shingles3('a b c d e')))) AS nb,
+             simhash16(hash60_array(shingles3('a b c d e'))) AS sh,
+             token_stats('hello, world 42').n_re AS nre""").collect().head
+    assert(r4.getAs[Int]("ns") === 16 && r4.getAs[Int]("nb") === 8)
+    assert(r4.getAs[Long]("sh") >= 0L)
+    assert(r4.getAs[Int]("nre") === 4) // "hello" "," "world" "42"
   }
 
   test("GeoMean aggregator: partial/merge semantics") {
