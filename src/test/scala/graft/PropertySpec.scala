@@ -80,4 +80,78 @@ class PropertySpec extends AnyFunSuite {
       assert(aligned.count() === expected, s"rows=$rows")
     }
   }
+
+  // ---- native one-pass expressions ≡ their composable reference forms ----
+  // The oracle SQL mirrors the composable forms; these properties pin the
+  // native rewrites to them bit-for-bit on generated text so a drift in
+  // either implementation fails immediately.
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaStr.map(_.take(5)),
+      Gen.oneOf("the", "a", "und", "42", "a-b", "x,y", "\tz")))
+    seps <- Gen.listOfN(n, Gen.oneOf(" ", "  ", " \t "))
+  } yield ws.zip(seps).map { case (w, s) => w + s }.mkString
+
+  private def sampleTexts(n: Int): Seq[String] =
+    (1 to n).map(i => textGen.pureApply(Gen.Parameters.default,
+      rng.Seed(1000L + i)))
+
+  test("MinHashSigsExpr / SimHashExpr ≡ composable minhash/aggregate forms") {
+    import graft.functions.TextFunctions
+    val df = sampleTexts(60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val hs = TextFunctions.shingleHashes(col("t"), 3)
+    // composable reference: per-component interpreted transform lambdas
+    // and the per-bit aggregate votes
+    val composableSimhash = (0 until 16).map { j =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = df.select(
+      TextFunctions.minhashSigs(hs, 16).as("sigs"),
+      array((0 until 16).map(j => TextFunctions.minhash(hs, j)): _*).as("ref_sigs"),
+      TextFunctions.simhash(hs, 16).as("sh"),
+      composableSimhash.as("ref_sh")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
+  test("TokenStatsExpr ≡ split/regexp_extract_all counts") {
+    import org.apache.spark.sql.GraftColumnCompat._
+    val df = (sampleTexts(60) ++ Seq("", " ", "\t", "a", "héllo wörld!", "1+1=2"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val tc = toColumn(graft.functions.TokenStatsExpr(toExpression(col("t"))))
+    val rows = df.select(
+      tc.getField("n_ws").as("nws"),
+      size(split(trim(lower(col("t"))), "\\s+")).as("ref_nws"),
+      tc.getField("n_re").as("nre"),
+      size(regexp_extract_all(col("t"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("ref_nre"),
+      col("t")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1), s"n_ws for '${r.getString(4)}'")
+      assert(r.getInt(2) === r.getInt(3), s"n_re for '${r.getString(4)}'")
+    }
+  }
+
+  test("MinHashBucketsExpr ≡ md5(concat_ws) over signature bands") {
+    import graft.functions.TextFunctions
+    val df = sampleTexts(40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val hs = TextFunctions.shingleHashes(col("t"), 3)
+    val refBuckets = array((0 until 8).map { b =>
+      md5(concat_ws("_",
+        TextFunctions.minhash(hs, 2 * b).cast("string"),
+        TextFunctions.minhash(hs, 2 * b + 1).cast("string")))
+    }: _*)
+    val rows = df.select(
+      TextFunctions.minhashBuckets(hs, 16, 8).as("bk"),
+      refBuckets.as("ref_bk")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
 }
