@@ -149,6 +149,31 @@ object GoldenDump {
     dump("c18_dense_keyless",
       FrameEngine(f18, denseIndex = true).toLong("a"))
 
+    // c19 — named-MultiIndex cells: the declared indexFields become key
+    // columns, no positional ordinal (tutorial cell 21 shape)
+    val f19 = Seq(
+      (0L, Seq(("a", "x", 1L, 5L), ("b", "y", 2L, 6L))),
+      (1L, Seq(("c", "z", 3L, 7L)))
+    ).toDF("index_level0", "e")
+      .select($"index_level0",
+        $"e".cast("array<struct<i:string,j:string,c1:bigint,c2:bigint>>"))
+    dump("c19_multiindex_expand",
+      FrameEngine(f19, Seq("index_level0"))
+        .expandCol("e", indexFields = Seq("i", "j")))
+
+    // c20 — tutorial cell 23: expand cells whose index field collides
+    // with a simultaneously exploded datacol → merge suffix `a_e`
+    val f20 = Seq(
+      (0L, Seq("u", "v"), Seq(("p", 1L), ("q", 2L))),
+      (1L, Seq("w"), Seq(("r", 3L)))
+    ).toDF("index_level0", "a", "e")
+      .select($"index_level0", $"a",
+        $"e".cast("array<struct<a:string,c1:bigint>>"))
+    dump("c20_expand_collision",
+      FrameEngine(f20, Seq("index_level0"))
+        .toLong(selCols = Seq("a", "e"), expandCols = Seq("e"),
+          expandIndexFields = Map("e" -> Seq("a"))))
+
     spark.stop()
   }
 }

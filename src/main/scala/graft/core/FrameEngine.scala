@@ -182,7 +182,8 @@ final class FrameEngine private (
       sharedAxes: Map[String, Map[String, Int]] = Map.empty,
       expandCols: Seq[String] = Nil,
       iterable: Map[String, ExplodeStep] = Map.empty,
-      cond: Map[String, DataType => Boolean] = Map.empty): DataFrame = {
+      cond: Map[String, DataType => Boolean] = Map.empty,
+      expandIndexFields: Map[String, Seq[String]] = Map.empty): DataFrame = {
     checkSharedAxes(sharedAxes)
     val targets =
       (if (selCols.nonEmpty) selCols else datacols).map(resolve)
@@ -190,20 +191,40 @@ final class FrameEngine private (
     if (missing.nonEmpty)
       throw new PuffbirdException(s"not datacols: ${missing.mkString(",")}")
 
-    val longs = targets.map { c =>
+    val longs: Seq[(String, DataFrame, Boolean)] = targets.map { c =>
       val depth = maxDepthPer.getOrElse(c, maxDepth)
       val drop = dropnaPer.getOrElse(c, dropna)
-      if (expandCols.contains(c)) df.schema(c).dataType match {
-        case StringType => expandColJsonFrame(c, drop, prefix = true)
-        case _ => expandColFrame(c, drop, prefix = true)
-      }
-      else explodeColumn(c, depth, drop, sharedAxes,
+      if (expandCols.contains(c)) {
+        val frame = df.schema(c).dataType match {
+          case StringType => expandColJsonFrame(c, drop, prefix = true)
+          case _ => expandColFrame(c, drop, prefix = true,
+            expandIndexFields.getOrElse(c, Nil))
+        }
+        (c, frame, true)
+      } else (c, explodeColumn(c, depth, drop, sharedAxes,
         iterable.get(c).orElse(iterable.get(DefaultKey)),
-        cond.get(c).orElse(cond.get(DefaultKey)))
+        cond.get(c).orElse(cond.get(DefaultKey))), false)
     }
-    longs.reduceLeft { (acc, nxt) =>
-      val shared = acc.columns.toSeq.intersect(nxt.columns.toSeq)
-      acc.join(nxt, shared, "full_outer")
+    // Accumulating outer merge (`puffbird/frame.py:527-534`). Melted
+    // frames join on the full column intersection (= key + level names —
+    // a melted frame's only other column is its value, whose name is
+    // collision-checked). Expanded frames join on the ROW KEY only, with
+    // any other colliding column renamed `"{name}_{c}"` — the reference's
+    // merge `suffixes=("", f"_{datacol}")` (tutorial cell 23: a cell
+    // index field named like an exploded datacol becomes `a_e`).
+    longs.tail.foldLeft(longs.head._2) { case (acc, (c, nxt0, isExpand)) =>
+      if (isExpand) {
+        val shared = indexCols.filter(k =>
+          acc.columns.contains(k) && nxt0.columns.contains(k))
+        val collisions = nxt0.columns.toSeq
+          .filterNot(shared.contains).filter(acc.columns.contains)
+        val nxt = nxt0.withColumnsRenamed(
+          collisions.map(n => n -> s"${n}_$c").toMap)
+        acc.join(nxt, shared, "full_outer")
+      } else {
+        val shared = acc.columns.toSeq.intersect(nxt0.columns.toSeq)
+        acc.join(nxt0, shared, "full_outer")
+      }
     }
   }
 
@@ -280,15 +301,25 @@ final class FrameEngine private (
     * column is expanded over the union of record keys with stringified
     * values — same output shape as the reference's recovery. Any other
     * type is a typed error pointing at the JSON path.
+    *
+    * `indexFields` declares which struct fields are the nested table's
+    * *named row index* (the reference's named-MultiIndex cells, tutorial
+    * cells 18-26): those fields join the output as plain key columns and
+    * NO positional ordinal is emitted — exactly the reference's
+    * keyed-concat of cells whose index carries names (golden c19/c20).
+    * With `indexFields` empty the cell rows get the `level_{k}` ordinal
+    * (an unnamed RangeIndex, golden c6/c16).
     */
   def expandCol(
       c: String,
       dropna: Boolean = true,
       prefix: Boolean = false,
-      handleDiff: Boolean = true): DataFrame = {
+      handleDiff: Boolean = true,
+      indexFields: Seq[String] = Nil): DataFrame = {
     val rc = resolve(c)
     df.schema(rc).dataType match {
-      case ArrayType(_: StructType, _) => expandColFrame(rc, dropna, prefix)
+      case ArrayType(_: StructType, _) =>
+        expandColFrame(rc, dropna, prefix, indexFields)
       case StringType if handleDiff => expandColJsonFrame(rc, dropna, prefix)
       case other =>
         throw new PuffbirdException(
@@ -332,29 +363,44 @@ final class FrameEngine private (
     tmp.select((indexCols :+ ordName).map(col) ++ fieldCols: _*)
   }
 
-  private def expandColFrame(c: String, drop: Boolean, prefix: Boolean): DataFrame = {
+  private def expandColFrame(
+      c: String,
+      drop: Boolean,
+      prefix: Boolean,
+      indexFields: Seq[String] = Nil): DataFrame = {
     val st = df.schema(c).dataType match {
       case ArrayType(s: StructType, _) => s
       case other =>
         throw new PuffbirdException(
           s"expandCol needs array<struct>, got $other for $c")
     }
+    val badIdx = indexFields.filterNot(st.fieldNames.contains)
+    if (badIdx.nonEmpty)
+      throw new PuffbirdException(
+        s"expandCol($c): indexFields not in the cell struct: " +
+          badIdx.mkString(","))
     // the cell's row ordinal becomes a key column named "level_{k}" for k
     // outer key levels — the reference's reset_index naming after the
-    // keyed concat (`puffbird/frame.py:671-681`; golden c6)
+    // keyed concat (`puffbird/frame.py:671-681`; golden c6). Cells with a
+    // NAMED index (`indexFields`) contribute those fields instead of an
+    // ordinal (golden c19).
     val ordName = s"level_${indexCols.size}"
     val ex = if (drop) posexplode(col(c)) else posexplode_outer(col(c))
     val tmp = df.select(indexCols.map(col) :+ ex: _*)
       .withColumnRenamed("pos", ordName)
       .withColumnRenamed("col", RowAlias)
-    val fieldCols = st.fieldNames.toSeq.map { f =>
-      val out =
-        if (prefix) s"${c}_$f"
-        else if (indexCols.contains(f)) s"${f}_$c"
-        else f
-      col(RowAlias).getField(f).as(out)
-    }
-    tmp.select((indexCols :+ ordName).map(col) ++ fieldCols: _*)
+    def outName(f: String, isIndexField: Boolean): String =
+      if (!isIndexField && prefix) s"${c}_$f"
+      else if (indexCols.contains(f)) s"${f}_$c"
+      else f
+    val idxCols = indexFields.map(f =>
+      col(RowAlias).getField(f).as(outName(f, isIndexField = true)))
+    val fieldCols = st.fieldNames.toSeq.filterNot(indexFields.contains).map(
+      f => col(RowAlias).getField(f).as(outName(f, isIndexField = false)))
+    val keyPart =
+      if (indexFields.nonEmpty) indexCols.map(col) ++ idxCols
+      else (indexCols :+ ordName).map(col)
+    tmp.select(keyPart ++ fieldCols: _*)
   }
 
   // ---------------------------------------------------------------------

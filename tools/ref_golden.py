@@ -130,3 +130,22 @@ dump('c17_ragged_expand', pb.FrameEngine(f17).expand_col('e'))
 # index_level0 (frame.py:188-194)
 f18 = pd.DataFrame({'a': [[1, 2], [3, 4, 5]]})
 dump('c18_dense_keyless', pb.puffy_to_long(f18, 'a'))
+
+# c19 — named-MultiIndex cells: index names become columns, no ordinal
+# (tutorial cell 21 shape)
+e19a = pd.DataFrame({'c1': [1, 2], 'c2': [5, 6]},
+                    index=pd.MultiIndex.from_arrays(
+                        [['a', 'b'], ['x', 'y']], names=['i', 'j']))
+e19b = pd.DataFrame({'c1': [3], 'c2': [7]},
+                    index=pd.MultiIndex.from_arrays(
+                        [['c'], ['z']], names=['i', 'j']))
+f19 = pd.DataFrame({'e': [e19a, e19b]})
+dump('c19_multiindex_expand', pb.FrameEngine(f19).expand_col('e'))
+
+# c20 — tutorial cell 23: a cell index field named like a simultaneously
+# exploded datacol gets the merge suffix (a -> a_e)
+f20 = pd.DataFrame({
+    'a': [['u', 'v'], ['w']],
+    'e': [pd.DataFrame({'c1': [1, 2]}, index=pd.Index(['p', 'q'], name='a')),
+          pd.DataFrame({'c1': [3]}, index=pd.Index(['r'], name='a'))]})
+dump('c20_expand_collision', pb.puffy_to_long(f20, 'a', 'e', expand_cols=['e']))
