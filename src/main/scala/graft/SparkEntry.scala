@@ -119,6 +119,17 @@ object SparkEntry {
     FrameEngine(puffy, indexcols = Seq("l_orderkey")).expandCol("items")
   }
 
+  /** expandCol with named index fields (tutorial cells 18-26): the
+    * declared fields join the key, no positional ordinal.
+    */
+  private def expandColNamed(s: SparkSession, dir: String): DataFrame = {
+    val puffy = t(s, dir, "lineitem").groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+        .as("items"))
+    FrameEngine(puffy, indexcols = Seq("l_orderkey"))
+      .expandCol("items", indexFields = Seq("l_linenumber"))
+  }
+
   private def toPuffyQ(s: SparkSession, dir: String): DataFrame = {
     val puffy = FrameEngine(
       t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
@@ -509,6 +520,7 @@ object SparkEntry {
     "to_long_scalar"   -> (toLongScalar _),
     "to_long_struct"   -> (toLongStruct _),
     "expand_col"       -> (expandColQ _),
+    "expand_col_named" -> (expandColNamed _),
     "to_puffy"         -> (toPuffyQ _),
     "to_puffy_native"  -> (toPuffyNative _),
     "to_puffy_agg"     -> (toPuffyAgg _),
@@ -621,6 +633,8 @@ object SparkEntry {
          CAST(row_number() OVER (PARTITION BY l_orderkey
            ORDER BY l_linenumber, l_quantity, l_extendedprice) - 1 AS INTEGER) AS level_1,
          l_linenumber, l_quantity, l_extendedprice FROM lineitem""",
+    "expand_col_named" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "to_puffy" ->
       """SELECT l_orderkey,
          array_to_string([CAST(x AS VARCHAR) for x in list(l_linenumber ORDER BY l_linenumber)], ',') AS l_linenumber,
