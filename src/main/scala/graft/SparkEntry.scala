@@ -347,6 +347,14 @@ object SparkEntry {
       Dedup.minhashLshPairs(d, "doc_id", "text"))
   }
 
+  /** Connected components over the LSH pair graph — component = min
+    * reachable id (unique fixpoint, so the iterative propagation and the
+    * oracle's recursive CTE agree exactly).
+    */
+  private def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text"))
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text")
 
@@ -544,6 +552,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs"  -> (dedupLshPairs _),
     "dedup_drop_near"  -> (dedupDropNear _),
+    "dedup_components" -> (dedupComponents _),
     "dedup_simhash"    -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
@@ -750,6 +759,16 @@ object SparkEntry {
     "dedup_drop_near" ->
       s"""SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT id_b FROM ($dkLshPairs))""",
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($dkLshPairs),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS label FROM edges
+           UNION
+           SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+         )
+         SELECT id, min(label) AS component FROM cc GROUP BY id""",
     "dedup_simhash" -> dkSimhash,
     "dedup_simhash_pairs" -> {
       val bandSelects = (0 until 4).map { b =>

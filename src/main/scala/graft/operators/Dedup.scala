@@ -203,6 +203,110 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Connected components over a near-dup pair set by min-label
+    * propagation: every node ends up labeled with the smallest id
+    * reachable through the pair graph — the survivor-selection step of
+    * corpus dedup done right (the greedy pair anti-join in
+    * [[dropNearDuplicates]] is order-sensitive on chains a<b<c; grouping
+    * a component keeps exactly one document per duplicate *cluster*).
+    *
+    * Output: (id, component) for every id in `pairs`, component = the
+    * minimum id of its cluster.
+    *
+    * Scale: the pair graph is orders of magnitude smaller than the
+    * corpus (it holds only near-duplicates). Below `localEdgeLimit`
+    * edges (~tens of MB) the component labeling runs as a driver-side
+    * union-find on the collected edge list — milliseconds, zero jobs —
+    * which is the standard hybrid for graph post-processing of a
+    * distributed candidate stage. Above the limit it switches to
+    * distributed min-label propagation with pointer jumping
+    * (label := label of label, O(log diameter) rounds), one neighbor-min
+    * equi-join + one contraction self-join per round, lineage cut per
+    * round with `localCheckpoint`, stopping at the fixpoint. Both paths
+    * compute the same unique fixpoint (component = min reachable id).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      localEdgeLimit: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val nEdges = edges.count() // free: the checkpoint just materialized
+    if (nEdges <= localEdgeLimit) {
+      // driver union-find over the bounded edge list
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      val edgeRows = edges.collect()
+      edgeRows.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // union by min root: the root of a set is always its minimum id
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      // src covers every node: edges carries both directions
+      val out = edgeRows.map(_.getLong(0)).distinct.toSeq
+        .map(id => (id, find(id)))
+      import spark.implicits._
+      out.toDF("id", "component")
+    } else {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        // smallest label among each node's neighbors
+        val prop = edges.join(labels.withColumnRenamed("id", "__n"),
+            col("dst") === col("__n"))
+          .groupBy(col("src")).agg(min(col("component")).as("__nl"))
+        val stepped = labels.join(prop, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("__nl"), col("component")))
+              .as("component"))
+        // pointer jumping: follow the label to ITS label — labels are
+        // always node ids, so the lookup is a self-join; halves the
+        // remaining chain length every round
+        val lookup = stepped
+          .select(col("id").as("__lid"), col("component").as("__lcomp"))
+        val next = stepped
+          .join(lookup, col("component") === col("__lid"), "left")
+          .select(col("id"),
+            coalesce(col("__lcomp"), col("component")).as("component"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("component", "__old"),
+            Seq("id"))
+          .filter(col("component") < col("__old")).isEmpty
+        labels = next
+        i += 1
+      }
+      labels
+    }
+  }
+
+  /** Corpus near-dup drop with component-exact survivor selection: every
+    * document whose cluster contains a smaller id is dropped — one
+    * survivor per duplicate cluster, chain-safe.
+    */
+  def dropNearDuplicateClusters(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact-dup corpus dedup: keep the minimum id per content hash. */
   def dropDuplicatesExact(
       docs: DataFrame,

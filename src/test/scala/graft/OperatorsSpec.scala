@@ -228,6 +228,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(asg(0L) !== asg(15L))
   }
 
+  test("connectedComponents: chains collapse to one cluster, " +
+      "dropNearDuplicateClusters keeps one survivor per cluster") {
+    // chain 1-2, 2-3 (one cluster) + pair 10-11; 20 is untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = graft.operators.Dedup
+      .dropNearDuplicateClusters(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // greedy pair-drop would also keep exactly {1, 10, 20} here, but on a
+    // chain a<b<c it drops b AND c; components keep the cluster minimum
+    assert(kept === Seq(1L, 10L, 20L))
+    // the distributed label-propagation path (forced past the local
+    // union-find threshold) computes the same fixpoint
+    val ccLoop = graft.operators.Dedup
+      .connectedComponents(pairs, localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccLoop === cc)
+  }
+
   test("streaming exact dedup keeps only the first occurrence per content") {
     val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
     def write(rows: Seq[(Long, String)]): Unit =
