@@ -74,6 +74,10 @@ object Stress {
       Dedup.dropNearDuplicates(docs.select("doc_id", "n_chars"), "doc_id",
         Dedup.minhashLshPairs(docs, "doc_id", "text"))
     }
+    time("dedup_components") {
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    }
     time("ivf_train_k64") {
       Similarity.trainCentroids(embs, "vec_id", "embedding", k = 64, iters = 2)
     }
