@@ -17,8 +17,13 @@ import graft.streaming.Events
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS), which Spark reads only with
+    // this legacy session flag. The harness entry points (Bench / Verify /
+    // Explain) set it at session build; this fallback covers ad-hoc
+    // sessions. It is a session-conf mutation inside a read helper —
+    // acceptable for the driver harness, NOT a pattern for library code
+    // (a library would require the caller to configure the session).
     if (name == "events")
-      // events.parquet stores TIMESTAMP(NANOS): readable only as long
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
   }
