@@ -139,6 +139,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents ≡ BFS reference on random graphs, both paths") {
+    import graft.operators.Dedup
+    (1 to 8).foreach { trial =>
+      val seed = rng.Seed(7000L + trial)
+      val nEdges = 5 + trial * 4
+      val edges = (0 until nEdges).map { e =>
+        val g = for {
+          a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L) if a != b
+        } yield (math.min(a, b), math.max(a, b))
+        g.pureApply(Gen.Parameters.default, seed.slide.reseed(e))
+      }.distinct
+      // independent reference: BFS flood fill
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val nodes = adj.keySet
+      val expected = scala.collection.mutable.Map[Long, Long]()
+      nodes.toSeq.sorted.foreach { start =>
+        if (!expected.contains(start)) {
+          var frontier = Set(start)
+          while (frontier.nonEmpty) {
+            frontier.foreach(n => expected(n) = start)
+            frontier = frontier.flatMap(adj)
+              .filterNot(expected.contains)
+          }
+        }
+      }
+      val pairs = edges.toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === expected.toMap, s"local path, trial $trial")
+      val dist = Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === expected.toMap, s"distributed path, trial $trial")
+    }
+  }
+
   test("MinHashBucketsExpr ≡ md5(concat_ws) over signature bands") {
     import graft.functions.TextFunctions
     val df = sampleTexts(40).zipWithIndex
