@@ -225,6 +225,16 @@ object SparkEntry {
       indexcols = Seq("l_orderkey", "l_linenumber"))
       .multidPivot(Seq("l_extendedprice"), Seq("l_returnflag", "l_linestatus"))
 
+  /** multidPivot with a non-default aggfunc — the reference docstring's
+    * promised `aggfunc` (`frame.py:1065-1067`, divergence #4).
+    */
+  private def multidPivotAgg(s: SparkSession, dir: String): DataFrame =
+    FrameEngine(t(s, dir, "lineitem"),
+      indexcols = Seq("l_orderkey", "l_linenumber"))
+      .multidPivot(Seq("l_extendedprice", "l_quantity"),
+        Seq("l_returnflag", "l_linestatus"),
+        aggfunc = (n, c) => if (n == "l_quantity") sum(c) else max(c))
+
   private def multidPivotWideQ(s: SparkSession, dir: String): DataFrame =
     FrameEngine(t(s, dir, "lineitem"),
       indexcols = Seq("l_orderkey", "l_linenumber"))
@@ -542,6 +552,7 @@ object SparkEntry {
     "assign_index"     -> (assignIndexQ _),
     "shortcut_long"    -> (shortcutLongQ _),
     "multid_pivot"     -> (multidPivotQ _),
+    "multid_pivot_agg" -> (multidPivotAgg _),
     "multid_pivot_wide" -> (multidPivotWideQ _),
     "col_apply"        -> (colApplyQ _),
     "row_apply"        -> (rowApplyQ _),
@@ -677,6 +688,11 @@ object SparkEntry {
     "multid_pivot" ->
       """SELECT l_returnflag, l_linestatus,
          avg(l_extendedprice) AS l_extendedprice
+         FROM lineitem GROUP BY 1, 2""",
+    "multid_pivot_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         max(l_extendedprice) AS l_extendedprice,
+         sum(l_quantity) AS l_quantity
          FROM lineitem GROUP BY 1, 2""",
     "multid_pivot_wide" ->
       """SELECT l_returnflag,
