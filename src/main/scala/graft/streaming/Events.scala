@@ -147,6 +147,68 @@ object Events {
       .toDF()
   }
 
+  /** Per-user funnel state for [[streamingFunnel]]: earliest time each
+    * ordered step was reached strictly after the previous one.
+    */
+  case class FunnelEv(user_id: Long, ts: Long, event_type: String)
+  case class FunnelState(times: Seq[Option[Long]])
+  case class FunnelOut(user_id: Long, steps_reached: Int, step_times: Seq[Long])
+
+  /** Stateful streaming funnel: the incremental form of [[funnel]].
+    * State per user is one Option[Long] per step (earliest in-order
+    * completion time) — O(#steps) per key, updated as events arrive in
+    * any batch pattern; each update emits the user's current funnel
+    * progress (Update-mode semantics).
+    *
+    * Within a micro-batch events are processed in timestamp order;
+    * across batches the monotone earliest-time update keeps the result
+    * independent of batch boundaries for in-order arrivals (a
+    * late-arriving earlier event can only improve a step time, and
+    * downstream steps are re-derived from state on every update).
+    */
+  def streamingFunnel(
+      spark: SparkSession,
+      dir: String,
+      steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    require(steps.nonEmpty)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+    def step(user: Long, evs: Iterator[FunnelEv],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      val times = state.getOption
+        .map(_.times.toArray)
+        .getOrElse(Array.fill[Option[Long]](steps.size)(None))
+      evs.toSeq.sortBy(_.ts).foreach { e =>
+        val i = steps.indexOf(e.event_type)
+        if (i >= 0) {
+          val prevOk = i == 0 || times(i - 1).exists(_ < e.ts)
+          if (prevOk && times(i).forall(_ > e.ts)) times(i) = Some(e.ts)
+        }
+      }
+      state.update(FunnelState(times.toSeq))
+      val reached = times.takeWhile(_.isDefined).size
+      Iterator.single(
+        FunnelOut(user, reached, times.take(reached).map(_.get).toSeq))
+    }
+
+    spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_type"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(step)
+      .toDF()
+  }
+
   /** Structured Streaming form of [[hourlyAgg]]: parquet source →
     * event-time window + watermark → windowed counts. Late data beyond
     * the watermark is dropped; state is bounded by the watermark horizon.

@@ -250,6 +250,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ccLoop === cc)
   }
 
+  test("streaming funnel advances per-user state across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("sfunnel").toString
+    val ns = 1000L * 1000 * 1000
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, ts, u, et) => (id, ts, u, et, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: user 1 signs up and clicks; user 2 clicks WITHOUT signup
+    write(Seq((0L, 10L * ns, 1L, "signup"), (1L, 20L * ns, 1L, "click"),
+      (2L, 10L * ns, 2L, "click")))
+    val q = Events.streamingFunnel(spark, dir, Seq("signup", "click", "purchase"))
+      .writeStream.format("memory").queryName("sfunnel_out")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // batch 2: user 1 purchases — state from batch 1 must carry over
+    write(Seq((3L, 30L * ns, 1L, "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.sql("""SELECT user_id, max(steps_reached) AS r
+      FROM sfunnel_out GROUP BY 1""")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(last === Map(1L -> 3, 2L -> 0))
+  }
+
   test("streaming exact dedup keeps only the first occurrence per content") {
     val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
     def write(rows: Seq[(Long, String)]): Unit =
