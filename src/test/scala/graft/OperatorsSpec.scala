@@ -250,6 +250,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ccLoop === cc)
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val orders = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("okey", "total")
+    val items = Seq((1L, 5.0), (1L, 6.0), (2L, 7.0))
+      .toDF("okey", "qty")
+    graft.sources.Tables.writeBucketed(orders, s"$wh/o", "bk_orders",
+      Seq("okey"), buckets = 4)
+    graft.sources.Tables.writeBucketed(items, s"$wh/i", "bk_items",
+      Seq("okey"), buckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_orders")
+        .join(spark.table("bk_items"), "okey")
+      assert(joined.count() === 3L)
+      // bucket-co-located join: both scans report the bucket hash
+      // partitioning, so EnsureRequirements inserts NO shuffle
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"expected a shuffle-free bucketed join, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_items")
+    }
+  }
+
   test("streaming funnel advances per-user state across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("sfunnel").toString
     val ns = 1000L * 1000 * 1000
