@@ -21,17 +21,30 @@ object Bench {
       SparkEntry.queries.get("q1_agg").foreach(fn =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => () }
+    // contention-proof timing: repeat each query and keep the per-query
+    // MINIMUM — one System.nanoTime sample is at the mercy of host load
+    // (r4: the single-shot record overstated two unchanged queries 3-4x
+    // and the suite total by 40% vs an uncontended re-run)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every column (count() lets
-      // Catalyst prune the compute away for projection-only plans)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      var best = Double.MaxValue
+      var failed = false
+      var r = 0
+      while (!failed && r < reps) {
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every column (count() lets
+        // Catalyst prune the compute away for projection-only plans)
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = best.min((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed = true
         }
+        r += 1
+      }
       // a failed query must not record a healthy-looking time: -1 marker
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (failed) -1.0 else best)
     }
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     // failed queries stay out of the per-query map (the `failed` array
@@ -40,7 +53,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      s""""failed":${failed.mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

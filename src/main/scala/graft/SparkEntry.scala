@@ -154,10 +154,14 @@ object SparkEntry {
         .as("l_quantity"))
   }
 
-  /** The same group-collect with the nested cells left as native arrays —
-    * no oracle SQL on purpose: the driver records a rows+schema-only
-    * check, which directly covers the un-serialized array output path
-    * (ADVICE r3: the hashable projection alone never compares it).
+  /** The same group-collect with the nested cells left as native arrays,
+    * then projected to per-array scalars (size, first/last element) the
+    * driver comparator can sort — r4's un-projected entry crashed the
+    * oracle-side pandas comparator (`sort_values` cannot hash numpy array
+    * cells), so its rows+schema check never ran. The native collect path
+    * is still exercised (the scalars are computed FROM the un-serialized
+    * arrays); the deep array-identity check is the JVM round-trip
+    * property test ("toPuffy(sorted) inverts toLong", PropertySpec).
     */
   private def toPuffyNative(s: SparkSession, dir: String): DataFrame =
     FrameEngine(
@@ -165,6 +169,13 @@ object SparkEntry {
       indexcols = Seq("l_orderkey", "l_linenumber"))
       .toPuffy(Seq("l_orderkey"),
         aggfunc = (_, c) => sort_array(collect_list(c)))
+      .select(
+        col("l_orderkey"),
+        size(col("l_linenumber")).as("ln_n"),
+        element_at(col("l_linenumber"), 1).as("ln_first"),
+        element_at(col("l_linenumber"), -1).as("ln_last"),
+        element_at(col("l_quantity"), 1).as("qty_min"),
+        element_at(col("l_quantity"), -1).as("qty_max"))
 
   private def toPuffyAgg(s: SparkSession, dir: String): DataFrame =
     FrameEngine(
@@ -664,6 +675,14 @@ object SparkEntry {
       """SELECT l_orderkey,
          array_to_string([CAST(x AS VARCHAR) for x in list(l_linenumber ORDER BY l_linenumber)], ',') AS l_linenumber,
          array_to_string([printf('%.6f', round(x, 6)) for x in list(l_quantity ORDER BY l_quantity)], ',') AS l_quantity
+         FROM lineitem GROUP BY l_orderkey""",
+    "to_puffy_native" ->
+      """SELECT l_orderkey,
+         CAST(count(*) AS INTEGER) AS ln_n,
+         min(l_linenumber) AS ln_first,
+         max(l_linenumber) AS ln_last,
+         min(l_quantity) AS qty_min,
+         max(l_quantity) AS qty_max
          FROM lineitem GROUP BY l_orderkey""",
     "to_puffy_agg" ->
       """SELECT l_returnflag, avg(l_quantity) AS l_quantity,

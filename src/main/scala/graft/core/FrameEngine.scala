@@ -48,6 +48,23 @@ final class FrameEngine private (
   def indexcolsRename: Map[String, String] =
     renames.filter { case (_, v) => indexCols.contains(v) }
 
+  /** Merged data + index rename map — reference `cols_rename`
+    * (`puffbird/frame.py:284-293`).
+    */
+  def colsRename: Map[String, String] = datacolsRename ++ indexcolsRename
+
+  /** Reference `__repr__`/`__str__` delegate to the pandas table repr
+    * (`puffbird/frame.py:251-255`). A distributed analog must not run a
+    * job inside toString, so this renders the roles and schema; use
+    * [[show]] for the eager row display the reference repr prints.
+    */
+  override def toString: String =
+    s"FrameEngine(indexcols=[${indexCols.mkString(", ")}], " +
+      s"datacols=[${datacols.mkString(", ")}])"
+
+  /** Eager row display passthrough (the reference's repr table view). */
+  def show(n: Int = 20, truncate: Boolean = true): Unit = df.show(n, truncate)
+
   /** Resolve a possibly-original column name to the current one. */
   private def resolve(c: String): String = {
     val r = renames.getOrElse(c, c)
@@ -336,21 +353,32 @@ final class FrameEngine private (
     * alignment, which also scans every cell) — and every value is
     * stringified, exactly like the reference's flatten/stringify retry.
     * Scale: the key-union job shuffles only distinct key strings; the
-    * expansion itself is one pipelined `Generate`.
+    * expansion itself is one pipelined `Generate`. Each JSON cell is
+    * parsed ONCE — the parsed `array<map>` projection is persisted
+    * (MEMORY_AND_DISK) before the key scan, and the expansion reads the
+    * same materialized parse instead of re-running `from_json` (r4 paid
+    * the parse twice, once per pass). Block eviction degrades to a
+    * re-parse, never to failure; the two passes themselves are inherent
+    * (the output schema must be known at plan time).
     */
   private def expandColJsonFrame(c: String, drop: Boolean, prefix: Boolean): DataFrame = {
     val cellsType = ArrayType(MapType(StringType, StringType))
-    val keys = df.select(explode(from_json(col(c), cellsType)).as(RowAlias))
+    val cellsAlias = RowAlias + "_cells"
+    val parsed = df
+      .select(indexCols.map(col) :+ from_json(col(c), cellsType).as(cellsAlias): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = parsed.select(explode(col(cellsAlias)).as(RowAlias))
       .select(explode(map_keys(col(RowAlias))).as("__k"))
       .distinct().orderBy("__k")
       .collect().map(_.getString(0)).toSeq
-    if (keys.isEmpty)
+    if (keys.isEmpty) {
+      parsed.unpersist()
       throw new PuffbirdException(
         s"expandCol($c): no JSON records found to expand")
+    }
     val ordName = s"level_${indexCols.size}"
-    val cells = from_json(col(c), cellsType)
-    val ex = if (drop) posexplode(cells) else posexplode_outer(cells)
-    val tmp = df.select(indexCols.map(col) :+ ex: _*)
+    val ex = if (drop) posexplode(col(cellsAlias)) else posexplode_outer(col(cellsAlias))
+    val tmp = parsed.select(indexCols.map(col) :+ ex: _*)
       .withColumnRenamed("pos", ordName)
       .withColumnRenamed("col", RowAlias)
     val fieldCols = keys.map { f =>

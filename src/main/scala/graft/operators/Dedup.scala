@@ -215,15 +215,21 @@ object Dedup {
     *
     * Scale: the pair graph is orders of magnitude smaller than the
     * corpus (it holds only near-duplicates). Below `localEdgeLimit`
-    * edges (~tens of MB) the component labeling runs as a driver-side
-    * union-find on the collected edge list — milliseconds, zero jobs —
-    * which is the standard hybrid for graph post-processing of a
-    * distributed candidate stage. Above the limit it switches to
-    * distributed min-label propagation with pointer jumping
-    * (label := label of label, O(log diameter) rounds), one neighbor-min
-    * equi-join + one contraction self-join per round, lineage cut per
-    * round with `localCheckpoint`, stopping at the fixpoint. Both paths
-    * compute the same unique fixpoint (component = min reachable id).
+    * edges the component labeling runs as a driver-side union-find on
+    * the collected edge list — collected as primitive long pairs
+    * (2M directed edges ≈ 64 MB of specialized tuples, not Row objects)
+    * — milliseconds, zero jobs — which is the standard hybrid for graph
+    * post-processing of a distributed candidate stage. Above the limit
+    * it switches to distributed min-label propagation with pointer
+    * jumping (label := label of label, O(log diameter) rounds), one
+    * neighbor-min equi-join + one contraction self-join per round,
+    * lineage cut per round with `localCheckpoint`, stopping at the
+    * fixpoint. Both paths compute the same unique fixpoint (component =
+    * min reachable id). If `maxIter` rounds pass without convergence the
+    * distributed path THROWS rather than silently returning
+    * partially-merged labels (with pointer jumping, 20 rounds cover any
+    * component diameter up to ~2^20 — hitting the bound means the labels
+    * are wrong, not slow).
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -246,15 +252,18 @@ object Dedup {
         }
         r
       }
-      val edgeRows = edges.collect()
-      edgeRows.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      // collect primitive pairs, not Rows: (Long, Long) specializes to
+      // Tuple2$mcJJ$sp — a fraction of an InternalRow's footprint
+      val edgePairs = edges.rdd
+        .map(r => (r.getLong(0), r.getLong(1))).collect()
+      edgePairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
         // union by min root: the root of a set is always its minimum id
         if (ra < rb) parent.put(rb, ra)
         else if (rb < ra) parent.put(ra, rb)
       }
       // src covers every node: edges carries both directions
-      val out = edgeRows.map(_.getLong(0)).distinct.toSeq
+      val out = edgePairs.map(_._1).distinct.toSeq
         .map(id => (id, find(id)))
       import spark.implicits._
       out.toDF("id", "component")
@@ -289,6 +298,12 @@ object Dedup {
         labels = next
         i += 1
       }
+      if (!converged)
+        throw new graft.core.PuffbirdException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "labels would be partially merged (raise maxIter; pointer " +
+            s"jumping covers diameter ~2^$maxIter, so this indicates a " +
+            "pathological graph, not normal slowness)")
       labels
     }
   }

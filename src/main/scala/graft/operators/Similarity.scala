@@ -85,6 +85,10 @@ object Similarity {
       vecCol: String,
       centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids)
+    // __csim is cosineFast, which is ALREADY rounded to 6 decimals — the
+    // window therefore ranks by the same round(cosine, 6) the DuckDB
+    // oracles use, so near-ties resolve identically on both engines via
+    // the centroid-id tie-break (no raw-double ordering anywhere)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__csim").desc, col("centroid_id").asc)
     vecs.join(cents)
@@ -146,8 +150,9 @@ object Similarity {
     *
     * Each iteration nests one assign + recompute layer into the lazy
     * plan; for the usual coarse-quantizer 2-5 iterations that is fine.
-    * Beyond that, persist/checkpoint `centroids` between iterations
-    * (k×dim doubles — driver-trivial) to keep the plan flat.
+    * Beyond 5 iterations the centroids are localCheckpointed each round
+    * (k×dim doubles — a trivial job) so the plan stays flat instead of
+    * growing one assign+recompute layer per iteration.
     */
   def trainCentroids(
       vecs: DataFrame,
@@ -156,18 +161,34 @@ object Similarity {
       k: Int,
       iters: Int = 3): DataFrame = {
     import graft.functions.TextFunctions.hash60
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = vecs.sparkSession
     val ordKey = hash60(col(idCol).cast("string"))
-    val seeds = vecs.select(col(idCol), col(vecCol))
-      .orderBy(ordKey.asc, col(idCol).asc)
+    // global top-k seed selection plans as TakeOrderedAndProject
+    // (per-partition top-k, driver merges k×partitions rows). The k seeds
+    // are then RANKED DRIVER-SIDE: ranking them with a global window —
+    // even post-limit over exactly k rows — plans an unpartitioned
+    // WindowExec and logs Spark's single-partition warning on every run,
+    // for work the driver does for free on k rows it already holds.
+    val seedRows = vecs
+      .select(ordKey.as("__hk"), col(vecCol).cast("array<double>").as("__cv"))
+      .orderBy(col("__hk").asc, col(idCol).asc)
       .limit(k)
-    // the rank window runs over exactly k rows (post-limit), not the corpus
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(ordKey.asc, col(idCol).asc)
-    var centroids = seeds
-      .withColumn("centroid_id", row_number().over(w).cast("long") - 1)
-      .select(col("centroid_id"),
-        col(vecCol).cast("array<double>").as("__cv"))
-    for (_ <- 0 until iters) {
+      .collect()
+    // executeCollect of a TakeOrderedAndProject returns sorted rows;
+    // stable re-sort on the hash defends the order anyway (preserves the
+    // executed id tie-break within equal hashes)
+    val seedLocal = seedRows.sortBy(_.getLong(0)).zipWithIndex.map {
+      case (r, i) => Row(i.toLong, r.getSeq[Double](1))
+    }
+    val seedSchema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("__cv", ArrayType(DoubleType), nullable = true)))
+    var centroids = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(seedLocal: _*)),
+      seedSchema)
+    for (i <- 0 until iters) {
       val assigned = ivfAssign(
         vecs.select(col(idCol), col(vecCol)), idCol, vecCol, centroids)
       val recomputed = assigned
@@ -183,6 +204,11 @@ object Similarity {
       centroids = centroids.join(recomputed, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("__nv"), col("__cv")).as("__cv"))
+      // deep-iteration runs: cut the lineage every round so the plan does
+      // not nest one assign+recompute layer per iteration (k rows — the
+      // checkpoint job is trivial; the final iteration stays lazy)
+      if (iters > 5 && i < iters - 1)
+        centroids = centroids.localCheckpoint()
     }
     centroids
   }

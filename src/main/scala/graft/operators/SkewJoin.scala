@@ -22,11 +22,16 @@ object SkewJoin {
       small: DataFrame,
       key: String,
       saltFactor: Int): DataFrame = {
-    // deterministic pseudo-salt from a second column-independent hash of
-    // the whole row would be ideal; monotonically_increasing_id gives a
-    // uniform, cheap spread without requiring any extra column
+    // the salt is a HASH OF THE ROW, not monotonically_increasing_id:
+    // mid values depend on which task computed the row, so a speculative
+    // or retried task could re-salt rows differently mid-shuffle; a row
+    // hash is bit-stable under any retry. The seed decorrelates the salt
+    // from the join key's own hash partitioning (same-key rows spread
+    // across salts as long as payload columns differ; fully identical
+    // rows share a salt, which only matters if ONE row value dominates
+    // the hot key — at that point use AQE skew handling instead).
     val salted = large.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
+      pmod(hash(large.columns.map(col) :+ lit(0x5417) : _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

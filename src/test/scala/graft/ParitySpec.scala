@@ -41,11 +41,21 @@ class ParitySpec extends AnyFunSuite {
     assert(eng.indexCols === Seq("the_key"))
     assert(eng.datacols === Seq("the_HASH_value"))
     assert(eng.datacolsRename === Map("the#value" -> "the_HASH_value"))
+    // cols_rename: the merged data + index map (`puffbird/frame.py:284-293`)
+    assert(eng.indexcolsRename === Map("the key" -> "the_key"))
+    assert(eng.colsRename ===
+      Map("the#value" -> "the_HASH_value", "the key" -> "the_key"))
     // original names still resolve
     val sel = eng.select("the#value")
     assert(sel.datacols === Seq("the_HASH_value"))
     val applied = eng.colApply(c => c * 2, "the#value")
     assert(applied.df.collect().head.getDouble(1) === 4.0)
+  }
+
+  test("toString renders roles without running a job (`frame.py:251-255`)") {
+    val eng = FrameEngine(Seq((1L, 2.0)).toDF("k", "v"),
+      indexcols = Seq("k"))
+    assert(eng.toString === "FrameEngine(indexcols=[k], datacols=[v])")
   }
 
   test("custom iterable step overrides the schema-driven explosion") {
