@@ -99,6 +99,19 @@ object SparkEntry {
   private def toLongMulti(s: SparkSession, dir: String): DataFrame =
     FrameEngine(xyFrame(s, dir), indexcols = Seq("vec_id")).toLong()
 
+  /** k=4 melt: exercises the single-shuffle uniform-key merge (k >= 3)
+    * instead of the chained full-outer fold — same output, one exchange.
+    */
+  private def toLongMulti4(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      slice(col("embedding"), 1, 2).as("x"),
+      slice(col("embedding"), 9, 2).as("y"),
+      slice(col("embedding"), 17, 2).as("z"),
+      slice(col("embedding"), 25, 2).as("w"))
+    FrameEngine(f, indexcols = Seq("vec_id")).toLong()
+  }
+
   private def toLongShared(s: SparkSession, dir: String): DataFrame =
     FrameEngine(xyFrame(s, dir), indexcols = Seq("vec_id"))
       .toLong(sharedAxes = Map("axis" -> Map("x" -> 0, "y" -> 0)))
@@ -550,6 +563,7 @@ object SparkEntry {
     "to_long_map"      -> (toLongMap _),
     "to_long_nested"   -> (toLongNested _),
     "to_long_multi"    -> (toLongMulti _),
+    "to_long_multi4"   -> (toLongMulti4 _),
     "to_long_shared"   -> (toLongShared _),
     "to_long_scalar"   -> (toLongScalar _),
     "to_long_struct"   -> (toLongStruct _),
@@ -646,6 +660,16 @@ object SparkEntry {
          lx AS (SELECT vec_id, CAST(generate_subscripts(x,1)-1 AS INTEGER) AS x_level0, unnest(x) AS x FROM t),
          ly AS (SELECT vec_id, CAST(generate_subscripts(y,1)-1 AS INTEGER) AS y_level0, unnest(y) AS y FROM t)
          SELECT vec_id, x_level0, x, y_level0, y FROM lx FULL JOIN ly USING (vec_id)""",
+    "to_long_multi4" ->
+      """WITH t AS (SELECT vec_id, embedding[1:2] AS x, embedding[9:10] AS y,
+             embedding[17:18] AS z, embedding[25:26] AS w FROM embeddings),
+         lx AS (SELECT vec_id, CAST(generate_subscripts(x,1)-1 AS INTEGER) AS x_level0, unnest(x) AS x FROM t),
+         ly AS (SELECT vec_id, CAST(generate_subscripts(y,1)-1 AS INTEGER) AS y_level0, unnest(y) AS y FROM t),
+         lz AS (SELECT vec_id, CAST(generate_subscripts(z,1)-1 AS INTEGER) AS z_level0, unnest(z) AS z FROM t),
+         lw AS (SELECT vec_id, CAST(generate_subscripts(w,1)-1 AS INTEGER) AS w_level0, unnest(w) AS w FROM t)
+         SELECT vec_id, x_level0, x, y_level0, y, z_level0, z, w_level0, w
+         FROM lx FULL JOIN ly USING (vec_id) FULL JOIN lz USING (vec_id)
+         FULL JOIN lw USING (vec_id)""",
     "to_long_shared" ->
       """WITH t AS (SELECT vec_id, embedding[1:3] AS x, embedding[5:7] AS y FROM embeddings),
          lx AS (SELECT vec_id, CAST(generate_subscripts(x,1)-1 AS INTEGER) AS axis, unnest(x) AS x FROM t),

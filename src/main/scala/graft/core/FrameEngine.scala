@@ -174,21 +174,24 @@ final class FrameEngine private (
     * (struct fields stay separate columns, prefixed `"{c}_"`) instead of
     * being melted — reference `puffbird/frame.py:489-503`.
     *
-    * Explain-verified shuffle budget (r4): for two columns the plan is
+    * Explain-verified shuffle budget: for two columns the plan is
     * minimal — one exchange per side into one full-outer sort-merge join.
-    * For k > 2 columns the accumulator re-shuffles before each further
-    * join: Spark reports `UnknownPartitioning` for full-outer join output
-    * (null-extended rows violate either side's *attribute* partitioning,
-    * and Catalyst cannot see that the coalesced USING key still preserves
-    * the hash clustering), so `EnsureRequirements` re-partitions the
-    * accumulator — k−1 accumulator shuffles total. Pre-co-partitioning
-    * the per-column frames cannot remove these (the exchange would just
-    * move); eliminating them would need a custom physical rule that
-    * re-derives partitioning over the coalesced key. The per-side input
-    * shuffle remains exactly one, and the fold order is kept because
-    * outer merges on differing key sets (`sharedAxes`) are not
-    * associative — a balanced reduction could change null-extension
-    * results.
+    * For k ≥ 3 columns whose melted frames all share the SAME join key
+    * set (the common case — level names are per-column, so the shared
+    * set is the row key at every fold step), the chained-join fold is
+    * replaced by a single-shuffle equivalent (see [[mergeUniformKey]]):
+    * union the frames, ONE groupBy on the key collecting one
+    * struct-array per frame, then a chain of pipelined `explode_outer`s
+    * reproduces the per-key outer cartesian. The chained fold would pay
+    * k input shuffles plus k−2 accumulator re-shuffles (full-outer join
+    * output reports `UnknownPartitioning`: Catalyst cannot see that the
+    * coalesced USING key preserves the hash clustering, so
+    * `EnsureRequirements` re-partitions the ever-wider accumulator
+    * before every further join — the r4 100×-scale structural cost).
+    * When key sets differ across steps (`sharedAxes` on a subset of
+    * columns, expand frames, or level-name collisions) the fold is kept:
+    * outer merges on differing key sets are not associative and the
+    * accumulating order is semantics.
     */
   def toLong(
       selCols: Seq[String] = Nil,
@@ -222,6 +225,27 @@ final class FrameEngine private (
         iterable.get(c).orElse(iterable.get(DefaultKey)),
         cond.get(c).orElse(cond.get(DefaultKey))), false)
     }
+    // Single-shuffle path: every fold step would join on the same key
+    // set — simulate the fold's shared-column computation to prove it
+    // (and require identical key types: the chained join would
+    // implicit-cast, which the union path must not silently change).
+    val uniformKey: Option[Seq[String]] =
+      if (longs.size >= 3 && longs.forall(!_._3)) {
+        val k0 = longs(0)._2.columns.toSeq.intersect(longs(1)._2.columns.toSeq)
+        var accCols = (longs(0)._2.columns.toSeq ++
+          longs(1)._2.columns.toSeq).distinct
+        var ok = k0.nonEmpty
+        for ((_, f, _) <- longs.drop(2)) {
+          ok &&= accCols.intersect(f.columns.toSeq) == k0
+          accCols = (accCols ++ f.columns.toSeq).distinct
+        }
+        ok &&= k0.forall { kc =>
+          val t0 = longs.head._2.schema(kc).dataType
+          longs.forall(_._2.schema(kc).dataType == t0)
+        }
+        if (ok) Some(k0) else None
+      } else None
+
     // Accumulating outer merge (`puffbird/frame.py:527-534`). Melted
     // frames join on the full column intersection (= key + level names —
     // a melted frame's only other column is its value, whose name is
@@ -229,20 +253,78 @@ final class FrameEngine private (
     // any other colliding column renamed `"{name}_{c}"` — the reference's
     // merge `suffixes=("", f"_{datacol}")` (tutorial cell 23: a cell
     // index field named like an exploded datacol becomes `a_e`).
-    longs.tail.foldLeft(longs.head._2) { case (acc, (c, nxt0, isExpand)) =>
-      if (isExpand) {
-        val shared = indexCols.filter(k =>
-          acc.columns.contains(k) && nxt0.columns.contains(k))
-        val collisions = nxt0.columns.toSeq
-          .filterNot(shared.contains).filter(acc.columns.contains)
-        val nxt = nxt0.withColumnsRenamed(
-          collisions.map(n => n -> s"${n}_$c").toMap)
-        acc.join(nxt, shared, "full_outer")
-      } else {
-        val shared = acc.columns.toSeq.intersect(nxt0.columns.toSeq)
-        acc.join(nxt0, shared, "full_outer")
+    uniformKey.map(mergeUniformKey(longs, _)).getOrElse {
+      longs.tail.foldLeft(longs.head._2) { case (acc, (c, nxt0, isExpand)) =>
+        if (isExpand) {
+          val shared = indexCols.filter(k =>
+            acc.columns.contains(k) && nxt0.columns.contains(k))
+          val collisions = nxt0.columns.toSeq
+            .filterNot(shared.contains).filter(acc.columns.contains)
+          val nxt = nxt0.withColumnsRenamed(
+            collisions.map(n => n -> s"${n}_$c").toMap)
+          acc.join(nxt, shared, "full_outer")
+        } else {
+          val shared = acc.columns.toSeq.intersect(nxt0.columns.toSeq)
+          acc.join(nxt0, shared, "full_outer")
+        }
       }
     }
+  }
+
+  /** Single-shuffle k-way outer merge for melted frames sharing one join
+    * key set. Equivalence with the chained full-outer fold: per key, the
+    * fold emits the cartesian product of each frame's rows for that key
+    * (an absent frame contributes one all-null row). Reproduced as: pad
+    * each frame to (key, struct-of-own-columns), union (no shuffle), ONE
+    * groupBy(key) collecting one array per frame (`collect_list` skips
+    * the union's null padding), then chained `explode_outer` — the
+    * cartesian, pipelined, with an empty array yielding exactly the one
+    * null-extended row. Total: one shuffle, vs the fold's k input
+    * shuffles + k−2 accumulator re-shuffles.
+    *
+    * Null-key subtlety: SQL join equality never matches null keys, so in
+    * the fold a row with a null key passes through null-extended and
+    * never multiplies — but `groupBy` would GROUP null keys together. A
+    * disambiguator column gives every null-key row its own singleton
+    * group (the id value itself is dropped; any unique value works), so
+    * such rows come out exactly one-per-input-row, null-extended.
+    *
+    * Skew: all rows of one key meet in one aggregation buffer — the same
+    * per-key locality the join's cartesian needs anyway; AQE handles the
+    * single exchange's skew.
+    */
+  private def mergeUniformKey(
+      longs: Seq[(String, DataFrame, Boolean)],
+      key: Seq[String]): DataFrame = {
+    val payloads = longs.zipWithIndex.map { case ((_, f, _), i) =>
+      val own = f.columns.toSeq.filterNot(key.contains)
+      (s"${RowAlias}_p$i", own,
+        f.select(key.map(col) :+ struct(own.map(col): _*).as(s"${RowAlias}_p$i"): _*))
+    }
+    val unioned = payloads.map(_._3)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val anyNullKey = key.map(col(_).isNull).reduce(_ || _)
+    val nullDisamb = s"${RowAlias}_nk"
+    val aggs = payloads.map { case (p, _, _) => collect_list(col(p)).as(p) }
+    val grouped = unioned
+      .withColumn(nullDisamb,
+        when(anyNullKey, monotonically_increasing_id()).otherwise(lit(0L)))
+      .groupBy((key :+ nullDisamb).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val exploded = payloads.foldLeft(grouped) { case (acc, (p, _, _)) =>
+      acc.withColumn(p, explode_outer(col(p)))
+    }
+    // the fold's exact output column order: F1's columns, then each
+    // later frame's non-shared columns in frame order
+    val finalCols = longs.map(_._2.columns.toSeq)
+      .reduce((a, b) => a ++ b.filterNot(a.contains))
+    exploded.select(finalCols.map { cn =>
+      if (key.contains(cn)) col(cn)
+      else {
+        val p = payloads.find(_._2.contains(cn)).get._1
+        col(p).getField(cn).as(cn)
+      }
+    }: _*)
   }
 
   /** Single-column toLong convenience. */

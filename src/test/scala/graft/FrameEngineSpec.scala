@@ -237,4 +237,47 @@ class FrameEngineSpec extends AnyFunSuite {
     val out = eng.toLong("a")
     assert(out.filter($"index_level0" === 2L).count() === 3L)
   }
+
+  test("k>=3 uniform-key merge matches the chained full-outer fold" +
+      " (incl. null keys and one-sided keys)") {
+    // three columns, a key with uneven fan-out (2x1x3), a key missing
+    // from one frame (y empty for k=1), and a NULL key row — the cases
+    // where the single-shuffle rewrite could diverge from join semantics
+    val df = Seq(
+      (Some(0L), Seq(1L, 2L), Seq(10L), Seq(100L, 200L, 300L)),
+      (Some(1L), Seq(3L), Seq.empty[Long], Seq(400L)),
+      (Option.empty[Long], Seq(9L), Seq(90L), Seq(900L))
+    ).toDF("k", "x", "y", "z")
+    val out = FrameEngine(df, Seq("k")).toLong()
+    // expected = the chained fold the rewrite replaces, built explicitly
+    def melt(c: String) = df.select(col("k"), posexplode(col(c)))
+      .select(col("k"), col("pos").as(s"${c}_level0"), col("col").as(c))
+    val expected = melt("x")
+      .join(melt("y"), Seq("k"), "full_outer")
+      .join(melt("z"), Seq("k"), "full_outer")
+    assert(out.columns.toSeq === expected.columns.toSeq)
+    val got = out.collect().map(_.toSeq).sortBy(_.toString())
+    val want = expected.collect().map(_.toSeq).sortBy(_.toString())
+    assert(got === want)
+    // null-key rows never join: one pass-through row per frame
+    assert(out.filter($"k".isNull).count() === 3L)
+  }
+
+  test("k>=3 uniform-key merge plans exactly ONE shuffle exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Seq((0L, Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+        .toDF("k", "a", "b", "c", "d")
+      val out = FrameEngine(df, Seq("k")).toLong()
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      // the chained fold would plan 4 input shuffles + 2 accumulator
+      // re-shuffles; the union+groupBy+explode_outer rewrite plans one
+      assert(shuffles.size === 1,
+        s"expected 1 shuffle, got ${shuffles.size}:\n" +
+          out.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
