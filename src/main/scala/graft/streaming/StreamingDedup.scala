@@ -50,4 +50,96 @@ object StreamingDedup {
       .withColumn("ingest_time", current_timestamp())
       .withWatermark("ingest_time", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  case class BandRow(doc_id: Long, band: Int, bucket: String,
+      ingest_ts: java.sql.Timestamp)
+  case class BucketState(owner: Long)
+  case class BandVerdict(doc_id: Long, ingest_ts: java.sql.Timestamp,
+      fresh: Boolean)
+
+  /** Streaming MinHash-LSH NEAR-duplicate dedup within a watermark
+    * horizon — the incremental form of `Dedup.minhashLshPairs` +
+    * `dropNearDuplicates`: a near-duplicate (not necessarily byte-equal)
+    * of any document seen within the horizon is dropped.
+    *
+    * Source rows must carry an `ingest_ts` timestamp (event time). Two
+    * chained stateful stages (flatMapGroupsWithState in Append mode may
+    * be followed by a streaming aggregation):
+    *
+    *  1. Band claim: each document fans out to `bands` (band, bucket)
+    *     rows via the native one-pass [[graft.functions.MinHashBucketsExpr]].
+    *     Keyed state per (band, bucket) records the first document to
+    *     present that bucket; rows of any other document come back
+    *     flagged as collisions. State is ONE long per live bucket,
+    *     evicted by event-time timeout one horizon after the bucket's
+    *     last sighting — memory is bounded by the distinct buckets
+    *     inside the horizon, never the corpus.
+    *  2. Survivor select: a windowed per-document aggregation keeps a
+    *     document iff ALL its bands were fresh (LSH semantics: ≥1 shared
+    *     band = near-dup candidate = dropped). The window closes — and
+    *     the survivor emits, Append-mode — once the watermark passes it.
+    *
+    * Same trade as the batch LSH path: collisions are probabilistic
+    * (false-positive drops possible at band granularity; raise
+    * `numHashes`/`bands` for precision). A near-dup arriving later than
+    * the horizon re-enters (and is caught by batch dedup downstream).
+    *
+    * NOTE: Spark's global-watermark heuristic flags ANY
+    * flatMapGroupsWithState followed by a stateful aggregation as a
+    * possible correctness issue; the pattern is safe here — stage 1
+    * emits each verdict in the same micro-batch as its input row,
+    * stamped with that row's own `ingest_ts` (which just passed the
+    * upstream watermark filter), so verdicts are never later than the
+    * input's allowed lateness. Callers must acknowledge this by setting
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled` to
+    * `false` for this query.
+    */
+  def nearDupStream(
+      spark: SparkSession,
+      dir: String,
+      horizon: String = "1 hour",
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val schema = StructType(DocSchema.fields :+
+      StructField("ingest_ts", TimestampType))
+
+    def step(key: (Int, String), rows: Iterator[BandRow],
+        state: GroupState[BucketState]): Iterator[BandVerdict] =
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // deterministic claim order within a batch: earliest ingest, then
+        // smallest id, owns the bucket
+        val rs = rows.toSeq.sortBy(r => (r.ingest_ts.getTime, r.doc_id))
+        val owner = state.getOption.map(_.owner).getOrElse(rs.head.doc_id)
+        if (state.getOption.isEmpty) state.update(BucketState(owner))
+        state.setTimeoutTimestamp(rs.map(_.ingest_ts.getTime).max, horizon)
+        rs.iterator.map(r =>
+          BandVerdict(r.doc_id, r.ingest_ts, fresh = r.doc_id == owner))
+      }
+
+    val bandRows = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ingest_ts", horizon)
+      .select(col("doc_id"), col("ingest_ts"),
+        posexplode(
+          minhashBuckets(shingleHashes(col("text"), shingleN),
+            numHashes, bands)))
+      .select(col("doc_id"), col("pos").as("band"),
+        col("col").as("bucket"), col("ingest_ts"))
+      .as[BandRow]
+    val verdicts = bandRows
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(step)
+    verdicts.toDF()
+      .withWatermark("ingest_ts", horizon)
+      .groupBy(window(col("ingest_ts"), horizon), col("doc_id"))
+      .agg(bool_and(col("fresh")).as("all_bands_fresh"))
+      .filter(col("all_bands_fresh"))
+      .select(col("window.start").as("window_start"), col("doc_id"))
+  }
 }

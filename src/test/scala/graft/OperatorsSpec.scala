@@ -333,4 +333,62 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted.toSeq
     assert(got === Seq("alpha", "beta", "gamma"))
   }
+
+  test("streaming near-dup dedup drops an LSH near-duplicate arriving in" +
+      " a later micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("snear").toString
+    val base = Seq.tabulate(40)(i =>
+      s"token$i alpha bravo charlie delta echo").mkString(" ")
+    val nearDup = base + " trailing-extra-word" // NOT byte-equal
+    val unrelated = Seq.tabulate(40)(i =>
+      s"zulu$i yankee xray whiskey victor uniform").mkString(" ")
+    // precondition of the LSH drop: the near-dup pair shares >= 1 band
+    // bucket, the unrelated doc shares none (deterministic expressions —
+    // this either always holds or never does)
+    import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
+    val bk = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("id", "text")
+      .select($"id", minhashBuckets(shingleHashes($"text", 3), 16, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bk(0L).intersect(bk(1L)).nonEmpty, "fixture: pair must collide")
+    assert(bk(0L).intersect(bk(2L)).isEmpty, "fixture: unrelated must not")
+
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.map { case (id, txt, sec) =>
+        (id, txt, "en", "web", txt.length.toLong,
+          new java.sql.Timestamp(sec * 1000L))
+      }.toDF("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // horizon 10s => 10s windows; survivors emit when the watermark
+    // passes their window end. The chained fMGWS -> agg pattern requires
+    // acknowledging Spark's global-watermark heuristic (safe here — see
+    // nearDupStream scaladoc)
+    val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCk = spark.conf.get(ckKey)
+    try {
+      spark.conf.set(ckKey, "false")
+      // t=100 base, NOT t=0: epoch 0 sits exactly on the initial
+      // watermark boundary and is filtered as late
+      write(Seq((0L, base, 100L), (2L, unrelated, 101L)))
+      val q = graft.streaming.StreamingDedup
+        .nearDupStream(spark, dir, horizon = "10 seconds")
+        .writeStream.format("memory").queryName("snear_out")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // batch 2: the near-dup arrives in window [100,110) — its buckets
+      // are owned by doc 0 from batch 1 (cross-batch state); the late doc
+      // at t=140 pushes the watermark to 130, closing window [100,110)
+      write(Seq((1L, nearDup, 105L), (3L, "totally different text entirely", 140L)))
+      q.processAllAvailable()
+      // batch 3: push the watermark past window [140,150) to flush doc 3
+      write(Seq((4L, "another unrelated closer document", 170L)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql("SELECT doc_id FROM snear_out")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // doc 1 (the near-duplicate) is dropped; everything else survives
+      assert(got === Seq(0L, 2L, 3L))
+    } finally spark.conf.set(ckKey, prevCk)
+  }
 }
