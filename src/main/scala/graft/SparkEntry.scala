@@ -70,6 +70,20 @@ object SparkEntry {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
 
+  /** Role props (`table/datacols/indexcols/cols`, frame.py:215-250) made
+    * oracle-checkable: the projection is built FROM `cols` and the role
+    * lists are emitted as literal columns the oracle states independently.
+    */
+  private def framePropsQ(s: SparkSession, dir: String): DataFrame = {
+    val eng = FrameEngine(
+      t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice"),
+      indexcols = Seq("p_partkey"))
+    eng.df.select(
+      eng.cols.map(col) ++ Seq(
+        lit(eng.datacols.mkString(",")).as("datacols_csv"),
+        lit(eng.indexcols.mkString(",")).as("indexcols_csv")): _*)
+  }
+
   private def toLongArray(s: SparkSession, dir: String): DataFrame =
     FrameEngine(t(s, dir, "embeddings"), indexcols = Seq("vec_id", "label"))
       .toLong("embedding")
@@ -582,6 +596,7 @@ object SparkEntry {
     "col_apply"        -> (colApplyQ _),
     "row_apply"        -> (rowApplyQ _),
     "getitem_select"   -> (getitemQ _),
+    "frame_props"      -> (framePropsQ _),
     "drop_rename"      -> (dropRenameQ _),
     "to_long_expand"   -> (toLongExpand _),
     "to_long_mixed"    -> (toLongMixed _),
@@ -749,6 +764,11 @@ object SparkEntry {
          l_extendedprice * (1 - l_discount) AS revenue FROM lineitem""",
     "getitem_select" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part",
+    "frame_props" ->
+      """SELECT p_partkey, p_name, p_retailprice,
+         'p_name,p_retailprice' AS datacols_csv,
+         'p_partkey' AS indexcols_csv
+         FROM part""",
     "drop_rename" ->
       "SELECT s_suppkey, s_name AS supplier_name, s_nationkey FROM supplier",
     "to_long_expand" ->
