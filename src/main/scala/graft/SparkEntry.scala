@@ -421,6 +421,27 @@ object SparkEntry {
     Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", "label",
       threshold = 0.4)
 
+  /** Decontamination: the eval probe is the doc_id % 7 == 0 slice; every
+    * corpus doc sharing a MinHash band bucket with a probe doc drops.
+    */
+  private def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text")
+      .select("doc_id", "lang")
+  }
+
+  private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedHashSample(
+      t(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+      .select("doc_id", "lang")
+
+  private def splitAssignQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.assignSplit(
+      t(s, dir, "documents").select("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   private def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.knnBruteForce(e.filter(col("vec_id") < 10), e,
@@ -537,6 +558,27 @@ object SparkEntry {
         AND a.doc_id < b.doc_id"""
   }
 
+  /** Cross-corpus band join: probe = doc_id % 7 = 0; contaminated = any
+    * corpus doc sharing a (band, bucket) with a probe doc.
+    */
+  private val dkDecontaminate: String = {
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    s"""WITH $dkShingles,
+       h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
+       sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
+       bk AS ($bucketSelects),
+       pbk AS (SELECT DISTINCT band, bucket FROM bk WHERE doc_id % 7 = 0),
+       bad AS (SELECT DISTINCT bk.doc_id FROM bk JOIN pbk USING (band, bucket))
+       SELECT d.doc_id, d.lang FROM documents d
+       WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)"""
+  }
+
   private val dkSimhash: String = {
     val terms = (0 until 16).map(j =>
       s"(CASE WHEN list_sum([((x >> $j) & 1)*2 - 1 for x in hs]) > 0 THEN ${1L << j} ELSE 0 END)")
@@ -613,6 +655,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
+    "decontaminate"    -> (decontaminateQ _),
+    "sample_stratified" -> (sampleStratifiedQ _),
+    "split_assign"     -> (splitAssignQ _),
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
@@ -873,6 +918,19 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
+    "decontaminate" -> dkDecontaminate,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
+           < (CASE WHEN lang = 'en' THEN 500000
+                   WHEN lang = 'de' THEN 250000 ELSE 100000 END)""",
+    "split_assign" ->
+      s"""SELECT doc_id,
+         CASE WHEN h < 800000 THEN 'train'
+              WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+           FROM documents)""",
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -175,7 +175,10 @@ final class FrameEngine private (
     * being melted — reference `puffbird/frame.py:489-503`.
     *
     * Explain-verified shuffle budget: for two columns the plan is
-    * minimal — one exchange per side into one full-outer sort-merge join.
+    * minimal — one exchange per side into one full-outer sort-merge join
+    * (measured against the union+groupBy form at sf0.1: within noise for
+    * k = 2, and the SMJ streams the per-key cartesian without buffering,
+    * so the fold is kept there).
     * For k ≥ 3 columns whose melted frames all share the SAME join key
     * set (the common case — level names are per-column, so the shared
     * set is the row key at every fold step), the chained-join fold is

@@ -322,6 +322,46 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination: drop every corpus document that is a NEAR-duplicate
+    * of any document in `probe` (the eval/benchmark set) — the standard
+    * train/test-overlap scrub of a training-data pipeline, as a
+    * cross-corpus MinHash-LSH band join. A corpus document is
+    * contaminated iff it shares at least one (band, bucket) with a probe
+    * document (same collision semantics as [[minhashLshPairs]]; raise
+    * `numHashes`/`bands` for precision).
+    *
+    * Scale: the probe side is an eval set — orders of magnitude smaller
+    * than the corpus — so its distinct bucket set broadcasts, the
+    * left-semi band join runs map-side with NO corpus shuffle, and the
+    * final anti join broadcasts the (small) contaminated-id set. The
+    * corpus is scanned once; everything per-document is the native
+    * one-pass bucket expression.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def bucketRows(df: DataFrame) =
+      Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol),
+          posexplode(
+            minhashBuckets(shingleHashes(col(textCol), shingleN),
+              numHashes, bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+    val probeBuckets =
+      bucketRows(probe).select(col("band"), col("bucket")).distinct()
+    val contaminated = bucketRows(corpus)
+      .join(broadcast(probeBuckets), Seq("band", "bucket"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Exact-dup corpus dedup: keep the minimum id per content hash. */
   def dropDuplicatesExact(
       docs: DataFrame,

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash60
+
+/** Deterministic sampling and split assignment for training-data mixing.
+  * Not part of the reference surface — a north-star extension every
+  * large-scale pipeline needs: corpus mixing ratios (per-source / per-lang
+  * quotas) and reproducible train/val/test splits.
+  *
+  * All decisions are pure functions of a row's id (`hash60(md5)` range
+  * tests), never of `rand()`: re-running the pipeline, re-trying a task,
+  * or adding columns cannot change membership, and any engine reproduces
+  * the same sample (the properties that make sampling auditable at
+  * 100 TB). Every operator is a stateless filter/projection — no shuffle,
+  * no state, fully pipelined into the scan.
+  */
+object Sampling {
+
+  private val Scale = 1000000L
+
+  /** id → uniform bucket in [0, 1e6): the shared hash-range primitive. */
+  private def hashBucket(idCol: Column): Column =
+    pmod(hash60(idCol.cast("string")), lit(Scale))
+
+  /** Uniform deterministic sample: keep `fraction` of rows by id-hash
+    * range. Same contract as `df.sample` but reproducible and
+    * content-addressed (a row's membership never changes across runs or
+    * engines).
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(hashBucket(col(idCol)) < lit((fraction * Scale).toLong))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fractions (the
+    * corpus-mixing quota map, e.g. lang -> fraction), `defaultFraction`
+    * for unlisted strata. One pipelined filter — the per-stratum
+    * fraction is a CASE over the stratum column, the keep decision the
+    * same id-hash range test as [[hashSample]].
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val threshold = fractions.foldLeft(
+      lit((defaultFraction * Scale).toLong)) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit((f * Scale).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+
+  /** Deterministic split assignment: append a `split` column mapping each
+    * row to one of the named `splits` by cumulative id-hash range (e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`). Weights must
+    * sum to 1 (±1e-9). Every engine and every run assigns the same row
+    * to the same split.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val bucket = hashBucket(col(idCol))
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // last split catches the remainder so rounding never drops a row
+    val expr = splits.init.zip(cuts.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cut), acc) =>
+      when(bucket < lit((cut * Scale).toLong), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

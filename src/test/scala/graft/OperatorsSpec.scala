@@ -334,6 +334,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq("alpha", "beta", "gamma"))
   }
 
+  test("deterministic sampling: splits partition the corpus, samples nest" +
+      " and are stable") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 1000).toDF("id")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val sp = Sampling.assignSplit(df, "id", weights)
+    val bySplit = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one split, all splits populated,
+    // roughly proportional (hash-uniform, wide tolerance)
+    assert(bySplit.values.sum === 1000L)
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > 700L && bySplit("train") < 900L)
+    // content-addressed: a re-run assigns identically
+    val again = Sampling.assignSplit(df, "id", weights)
+    assert(sp.except(again).isEmpty && again.except(sp).isEmpty)
+    // samples are subsets and NEST: the 10% sample is inside the 30% one
+    val s30 = Sampling.hashSample(df, "id", 0.3)
+    val s10 = Sampling.hashSample(df, "id", 0.1)
+    assert(s30.join(df, Seq("id"), "left_anti").isEmpty)
+    assert(s10.join(s30, Seq("id"), "left_anti").isEmpty)
+  }
+
   test("streaming near-dup dedup drops an LSH near-duplicate arriving in" +
       " a later micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("snear").toString
