@@ -421,6 +421,10 @@ object SparkEntry {
     Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", "label",
       threshold = 0.4)
 
+  private def chunkTokensQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 40, overlap = 8)
+
   /** Decontamination: the eval probe is the doc_id % 7 == 0 slice; every
     * corpus doc sharing a MinHash band bucket with a probe doc drops.
     */
@@ -656,6 +660,7 @@ object SparkEntry {
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "decontaminate"    -> (decontaminateQ _),
+    "chunk_tokens"     -> (chunkTokensQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "split_assign"     -> (splitAssignQ _),
     "knn_brute"        -> (knnBrute _),
@@ -919,6 +924,16 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
     "decontaminate" -> dkDecontaminate,
+    "chunk_tokens" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+             greatest(1, CAST(ceil((len(toks) - 8) / 32.0) AS INTEGER)) AS nc
+           FROM tk)
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(len(toks[(i*32+1):(i*32+40)]) AS INTEGER) AS n_tokens,
+           array_to_string(toks[(i*32+1):(i*32+40)], ' ') AS chunk_text
+         FROM c, unnest(range(0, nc)) AS t(i)""",
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000

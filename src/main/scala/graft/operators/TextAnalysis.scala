@@ -151,6 +151,39 @@ object TextAnalysis {
         .as("keep"))
   }
 
+  /** Fixed-token-budget chunking with overlap — training-sequence prep:
+    * each document becomes ceil((n − overlap) / (chunk − overlap))
+    * whitespace-token windows of `chunkTokens` tokens, consecutive
+    * windows sharing `overlap` tokens (the last window is short). One
+    * pipelined pass: the token array is computed once, chunk windows are
+    * `slice`s over a generated index sequence, and `posexplode` fans
+    * them out — no shuffle, no UDF, document-parallel at any corpus
+    * size. Output: (id, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkByTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    // alias the split once: a non-cheap alias consumed more than once is
+    // not re-inlined by CollapseProject, so the tokenization runs once
+    val pre = docs.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    val nChunks = greatest(lit(1),
+      ceil((size(col("__toks")) - lit(overlap)).cast("double") / step)
+        .cast("int"))
+    val windows = transform(sequence(lit(0), nChunks - 1),
+      i => slice(col("__toks"), i * step + 1, lit(chunkTokens)))
+    pre.select(col(idCol), posexplode(windows))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        size(col("col")).as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct shingle set —
     * invariant to word order at the shingle level and to shingle
     * multiplicity; equal fingerprints are near-certain duplicates.
