@@ -421,6 +421,18 @@ object SparkEntry {
     Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", "label",
       threshold = 0.4)
 
+  /** Int8 embedding quantization: codes serialized for the comparator;
+    * the scale is a pure double both engines derive identically.
+    */
+  private def quantizeQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("__q"))
+      .select(col("vec_id"),
+        col("__q.scale").as("scale"),
+        array_join(transform(col("__q.q"), x => x.cast("string")), ",")
+          .as("q_csv"))
+
   private def chunkTokensQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 40, overlap = 8)
@@ -661,6 +673,7 @@ object SparkEntry {
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "decontaminate"    -> (decontaminateQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
+    "quantize_int8"    -> (quantizeQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "split_assign"     -> (splitAssignQ _),
     "knn_brute"        -> (knnBrute _),
@@ -946,6 +959,14 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
            FROM documents)""",
+    "quantize_int8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         q AS (SELECT vec_id, vd,
+             list_max([abs(x) for x in vd]) / 127.0 AS scale FROM v)
+         SELECT vec_id, scale,
+           array_to_string([CAST(floor(x / scale + 0.5) AS INTEGER)
+             for x in vd], ',') AS q_csv
+         FROM q""",
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -104,10 +104,41 @@ case class LshBucketExpr(child: Expression, planes: Int)
 
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnCompat
-  import org.apache.spark.sql.functions.round
+  import org.apache.spark.sql.functions._
 
   /** Cosine similarity rounded to 6 decimals (cross-engine stable). */
   def cosineFast(a: Column, b: Column): Column =
     round(GraftColumnCompat.toColumn(CosineSimExpr(
       GraftColumnCompat.toExpression(a), GraftColumnCompat.toExpression(b))), 6)
+
+  /** Symmetric int8 quantization (the FAISS-SQ8 shape): per-vector
+    * `scale = max|x| / 127`, `q_i = floor(x_i / scale + 0.5)` ∈
+    * [-127, 127]. Returns `struct(scale double, q array<int>)` — 4× (vs
+    * float32) storage/shuffle reduction for a 100 TB embedding corpus,
+    * with max dequantization error `scale / 2` per component.
+    * `floor(· + 0.5)` (round-half-toward-+∞) rather than `round` because
+    * it is bit-identical across engines; an all-zero vector quantizes to
+    * scale 0 and zero codes. One pipelined pass at write time; read the
+    * codes back with [[dequantizeInt8]].
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    // bind the scale as a lambda variable so it is evaluated ONCE per
+    // row — referencing the scale expression inside the per-element
+    // lambda would re-run the array_max for every component (O(d^2))
+    element_at(
+      transform(array(scale), s =>
+        struct(
+          s.as("scale"),
+          transform(v, x =>
+            coalesce(floor(try_divide(x, s) + lit(0.5)), lit(0L))
+              .cast("int")).as("q"))),
+      1)
+  }
+
+  /** Inverse of [[quantizeInt8]]: `x_i ≈ q_i * scale`. */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      q => q.cast("double") * quantized.getField("scale"))
 }

@@ -334,6 +334,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq("alpha", "beta", "gamma"))
   }
 
+  test("int8 quantization round-trips within scale/2 per component") {
+    import graft.functions.VectorFunctions.{quantizeInt8, dequantizeInt8}
+    val vecs = Seq(
+      (0L, Seq(1.0f, -2.5f, 0.3f, 127.0f)),
+      (1L, Seq(-0.001f, 0.002f, 0.0f, 0.0005f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero: scale 0, zero codes
+    ).toDF("id", "v")
+    val out = vecs.select($"id", $"v",
+      quantizeInt8($"v").as("q"),
+      dequantizeInt8(quantizeInt8($"v")).as("dq"))
+    out.collect().foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val scale = r.getStruct(2).getDouble(0)
+      val codes = r.getStruct(2).getSeq[Int](1)
+      val dq = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      v.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12,
+          s"component error ${math.abs(x - y)} > ${scale / 2}")
+      }
+    }
+  }
+
   test("deterministic sampling: splits partition the corpus, samples nest" +
       " and are stable") {
     import graft.operators.Sampling
