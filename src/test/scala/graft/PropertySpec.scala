@@ -52,6 +52,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("k=3 uniform-key merge ≡ chained full-outer fold on random frames" +
+      " (empty arrays, null keys, duplicate keys)") {
+    val gen: Gen[(Option[Long], List[Long], List[Long], List[String])] = for {
+      k <- Gen.option(Gen.choose(0L, 3L)) // few keys => collisions + dups
+      na <- Gen.choose(0, 3); a <- Gen.listOfN(na, Gen.choose(-9L, 9L))
+      nb <- Gen.choose(0, 2); b <- Gen.listOfN(nb, Gen.choose(-9L, 9L))
+      nc <- Gen.choose(0, 2); c <- Gen.listOfN(nc, Gen.alphaStr.map(_.take(3)))
+    } yield (k, a, b, c)
+    (1 to 8).foreach { i =>
+      val seed = rng.Seed(1000L + i)
+      val rows = (0 until (2 + i % 5)).toList.map(r =>
+        gen.pureApply(Gen.Parameters.default, seed.slide.reseed(r)))
+      val df = rows.toDF("k", "a", "b", "c")
+      val out = FrameEngine(df, Seq("k")).toLong()
+      def melt(cn: String) = df.select(col("k"), posexplode(col(cn)))
+        .select(col("k"), col("pos").as(s"${cn}_level0"), col("col").as(cn))
+      val expected = melt("a")
+        .join(melt("b"), Seq("k"), "full_outer")
+        .join(melt("c"), Seq("k"), "full_outer")
+      assert(out.columns.toSeq === expected.columns.toSeq, s"rows=$rows")
+      val got = out.collect().map(_.toSeq).sortBy(_.toString())
+      val want = expected.collect().map(_.toSeq).sortBy(_.toString())
+      assert(got === want, s"rows=$rows")
+    }
+  }
+
   test("toPuffy(sorted) inverts toLong on array columns") {
     sampleTables(10).foreach { rows =>
       val nonEmpty = rows.filter(_._2.nonEmpty)
