@@ -421,6 +421,21 @@ object SparkEntry {
     Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", "label",
       threshold = 0.4)
 
+  /** As-of join: each order paired with the same customer's most recent
+    * STRICTLY-earlier order day's max total (right side pre-aggregated to
+    * one row per (custkey, date) — required for deterministic ties).
+    * Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val left = o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val right = o.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("prev_total"))
+    graft.operators.AsofJoin.asofJoin(left, right,
+      keys = Seq("o_custkey"), leftTs = "o_orderdate",
+      rightTs = "o_orderdate", inclusive = false)
+  }
+
   /** Int8 embedding quantization: codes serialized for the comparator;
     * the scale is a pure double both engines derive identically.
     */
@@ -674,6 +689,7 @@ object SparkEntry {
     "decontaminate"    -> (decontaminateQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "quantize_int8"    -> (quantizeQ _),
+    "asof_join"        -> (asofJoinQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "split_assign"     -> (splitAssignQ _),
     "knn_brute"        -> (knnBrute _),
@@ -959,6 +975,14 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
            FROM documents)""",
+    "asof_join" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate,
+             max(o_totalprice) AS prev_total
+           FROM orders GROUP BY 1, 2)
+         SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, l.o_totalprice,
+           r.prev_total
+         FROM orders l ASOF LEFT JOIN r
+           ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""",
     "quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
          q AS (SELECT vec_id, vd,

@@ -334,6 +334,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq("alpha", "beta", "gamma"))
   }
 
+  test("asofJoin: most recent right row per key, inclusive and strict" +
+      " tie modes, left-join nulls") {
+    import graft.operators.AsofJoin.asofJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 15L, "c"),
+      (2L, 5L, "d"), (3L, 7L, "e"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 18L, 180.0), (2L, 5L, 50.0))
+      .toDF("k", "t", "v")
+    def resultMap(inclusive: Boolean) =
+      asofJoin(left, right, Seq("k"), "t", "t", inclusive)
+        .collect().map(r => r.getString(2) ->
+          (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // inclusive: a right row at the same instant matches
+    assert(resultMap(true) === Map(
+      "a" -> 100.0, // t=10 matches right t=10 exactly
+      "b" -> 180.0, // most recent of {10, 18}
+      "c" -> 100.0, // 18 is in the future
+      "d" -> 50.0,  // same-instant match
+      "e" -> null)) // key 3 has no right rows at all
+    // strict: same-instant right rows are invisible
+    assert(resultMap(false) === Map(
+      "a" -> null, "b" -> 180.0, "c" -> 100.0, "d" -> null, "e" -> null))
+    // right payload colliding with a left column is rejected
+    val e = intercept[graft.core.PuffbirdException] {
+      asofJoin(left, right.withColumnRenamed("v", "tag"), Seq("k"), "t", "t")
+    }
+    assert(e.getMessage.contains("tag"))
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     import graft.functions.VectorFunctions.{quantizeInt8, dequantizeInt8}
     val vecs = Seq(
