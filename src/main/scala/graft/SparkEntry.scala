@@ -436,6 +436,22 @@ object SparkEntry {
       rightTs = "o_orderdate", inclusive = false)
   }
 
+  /** Range join: orders matched into overlapping price bands (bands
+    * derived from every 997th order's total). Bin width = band width, so
+    * each interval covers at most 2 bins.
+    */
+  private def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val bands = o.filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey").as("band_id"),
+        col("o_totalprice").as("lo"),
+        (col("o_totalprice") + 20000).as("hi"))
+    graft.operators.RangeJoin.rangeJoin(
+      o.select("o_orderkey", "o_totalprice"), bands,
+      "o_totalprice", "lo", "hi", binWidth = 20000)
+      .select("band_id", "o_orderkey", "o_totalprice")
+  }
+
   /** Int8 embedding quantization: codes serialized for the comparator;
     * the scale is a pure double both engines derive identically.
     */
@@ -690,6 +706,7 @@ object SparkEntry {
     "chunk_tokens"     -> (chunkTokensQ _),
     "quantize_int8"    -> (quantizeQ _),
     "asof_join"        -> (asofJoinQ _),
+    "range_join"       -> (rangeJoinQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "split_assign"     -> (splitAssignQ _),
     "knn_brute"        -> (knnBrute _),
@@ -983,6 +1000,13 @@ object SparkEntry {
            r.prev_total
          FROM orders l ASOF LEFT JOIN r
            ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""",
+    "range_join" ->
+      """WITH r AS (SELECT o_orderkey AS band_id, o_totalprice AS lo,
+             o_totalprice + 20000 AS hi
+           FROM orders WHERE o_orderkey % 997 = 0)
+         SELECT r.band_id, l.o_orderkey, l.o_totalprice
+         FROM orders l JOIN r
+           ON l.o_totalprice >= r.lo AND l.o_totalprice <= r.hi""",
     "quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
          q AS (SELECT vec_id, vd,

@@ -363,6 +363,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tag"))
   }
 
+  test("rangeJoin: inclusive bounds, multi-bin intervals, no duplicate" +
+      " matches, keyed variant") {
+    import graft.operators.RangeJoin.rangeJoin
+    val vals = Seq((1L, 5.0), (2L, 10.0), (3L, 20.0), (4L, 35.0), (5L, 9.99))
+      .toDF("id", "v")
+    // interval B spans many bins (width 30 vs binWidth 10); A and B overlap
+    val ivs = Seq(("A", 5.0, 10.0), ("B", 8.0, 38.0)).toDF("band", "lo", "hi")
+    val got = rangeJoin(vals, ivs, "v", "lo", "hi", binWidth = 10.0)
+      .select("id", "band").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq
+    // 5.0 and 10.0 hit A's inclusive bounds; 10, 20, 35 fall in B; each
+    // (value, interval) pair appears exactly once despite B covering 4 bins
+    assert(got === Seq((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B"),
+      (4L, "B"), (5L, "A"), (5L, "B")))
+    // keyed: the same value only matches intervals of its own key
+    val kv = Seq((1L, 10L, 7.0), (2L, 20L, 7.0)).toDF("k", "id2", "v")
+    val ki = Seq((1L, 0.0, 10.0)).toDF("k", "lo", "hi")
+    val kg = rangeJoin(kv, ki, "v", "lo", "hi", 10.0, keys = Seq("k"))
+      .select("id2").collect().map(_.getLong(0)).toSeq
+    assert(kg === Seq(10L))
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     import graft.functions.VectorFunctions.{quantizeInt8, dequantizeInt8}
     val vecs = Seq(
