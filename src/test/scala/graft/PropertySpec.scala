@@ -78,6 +78,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin ≡ naive join+rank; rangeJoin ≡ naive inequality join" +
+      " (random keys/times/intervals)") {
+    import graft.operators.{AsofJoin, RangeJoin}
+    val leftGen: Gen[(Long, Long, Long)] = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 50L); id <- Gen.choose(0L, 999L)
+    } yield (k, t, id)
+    val rightGen: Gen[(Long, Long, Double)] = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 50L)
+      v <- Gen.choose(0, 100).map(_.toDouble)
+    } yield (k, t, v)
+    (1 to 5).foreach { i =>
+      val seed = rng.Seed(7000L + i)
+      val lRows = (0 until 12).toList.map(r =>
+        leftGen.pureApply(Gen.Parameters.default, seed.slide.reseed(r)))
+        .zipWithIndex.map { case ((k, t, _), ix) => (k, t, ix.toLong) }
+      val rRows = (0 until 8).toList.map(r =>
+        rightGen.pureApply(Gen.Parameters.default, seed.slide.reseed(100 + r)))
+        // unique (key, ts) per the asofJoin contract
+        .groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      val l = lRows.toDF("k", "t", "lid")
+      val r = rRows.toDF("k", "t", "v")
+      for (inclusive <- Seq(true, false)) {
+        val got = AsofJoin.asofJoin(l, r, Seq("k"), "t", "t", inclusive)
+          .collect().map(x => (x.getLong(2),
+            if (x.isNullAt(3)) null else x.getDouble(3))).toMap
+        // naive reference: all candidate pairs, keep the latest
+        val want = lRows.map { case (k, t, lid) =>
+          val cands = rRows.filter(rr => rr._1 == k &&
+            (if (inclusive) rr._2 <= t else rr._2 < t))
+          lid -> (if (cands.isEmpty) null
+                  else cands.maxBy(_._2)._3.asInstanceOf[Any])
+        }.toMap
+        assert(got === want, s"i=$i inclusive=$inclusive")
+      }
+      // range join vs naive filter over the cross product
+      val ivs = rRows.zipWithIndex
+        .map { case ((k, t, _), ix) => (ix.toLong, t.toDouble, (t + 7).toDouble) }
+      val iv = ivs.toDF("band", "lo", "hi")
+      val vals = lRows.map { case (_, t, lid) => (lid, t.toDouble) }
+        .toDF("lid", "x")
+      val gotR = RangeJoin.rangeJoin(vals, iv, "x", "lo", "hi", binWidth = 5.0)
+        .select("lid", "band").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val wantR = (for {
+        (lid, x) <- lRows.map { case (_, t, lid) => (lid, t.toDouble) }
+        (band, lo, hi) <- ivs if x >= lo && x <= hi
+      } yield (lid, band)).sorted
+      assert(gotR === wantR, s"i=$i range")
+    }
+  }
+
   test("toPuffy(sorted) inverts toLong on array columns") {
     sampleTables(10).foreach { rows =>
       val nonEmpty = rows.filter(_._2.nonEmpty)
