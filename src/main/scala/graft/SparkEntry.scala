@@ -464,6 +464,19 @@ object SparkEntry {
         array_join(transform(col("__q.q"), x => x.cast("string")), ",")
           .as("q_csv"))
 
+  /** PII scrub over text with synthetic PII injected from doc_id (the
+    * corpus itself is clean), so the oracle actually verifies masking.
+    */
+  private def piiScrubQ(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or "),
+      lit("555-12"), (col("doc_id") % 10).cast("string"),
+      lit("-4567 from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".1"))
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.scrubPii(dirty).as("clean_text"))
+  }
+
   private def chunkTokensQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 40, overlap = 8)
@@ -704,6 +717,7 @@ object SparkEntry {
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "decontaminate"    -> (decontaminateQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
+    "pii_scrub"        -> (piiScrubQ _),
     "quantize_int8"    -> (quantizeQ _),
     "asof_join"        -> (asofJoinQ _),
     "range_join"       -> (rangeJoinQ _),
@@ -1007,6 +1021,19 @@ object SparkEntry {
          SELECT r.band_id, l.o_orderkey, l.o_totalprice
          FROM orders l JOIN r
            ON l.o_totalprice >= r.lo AND l.o_totalprice <= r.hi""",
+    "pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or 555-12' ||
+           (doc_id % 10) || '-4567 from 10.0.' || (doc_id % 256) || '.1' AS t
+         FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '(\+?[0-9]{1,2}[ .-])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}', '<PHONE>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean_text
+         FROM d""",
     "quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
          q AS (SELECT vec_id, vd,

@@ -184,6 +184,24 @@ object TextAnalysis {
         array_join(col("col"), " ").as("chunk_text"))
   }
 
+  /** PII scrub (the Dolma/RefinedWeb masking step): replace email
+    * addresses, North-American-style phone numbers, and IPv4 addresses
+    * with fixed mask tokens. Pure `regexp_replace` chain — codegen'd,
+    * pipelined, linear; the patterns are deliberately simple/auditable
+    * (high-recall masking belongs in a model pass; this is the cheap
+    * regex tier every pipeline runs first).
+    */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "(\\+?[0-9]{1,2}[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}"
+    val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      ipv4, "<IP>")
+  }
+
   /** Content fingerprint: md5 over the sorted distinct shingle set —
     * invariant to word order at the shingle level and to shingle
     * multiplicity; equal fingerprints are near-certain duplicates.

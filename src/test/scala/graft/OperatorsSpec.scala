@@ -334,6 +334,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq("alpha", "beta", "gamma"))
   }
 
+  test("scrubPii masks emails, phones, and IPv4s, leaves clean text alone") {
+    import graft.operators.TextAnalysis.scrubPii
+    val got = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "call (555) 123-4567 or +1 555.123.4567",
+      "server at 192.168.0.1 responded",
+      "no pii here at all").toDF("t")
+      .select(scrubPii($"t").as("c")).collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "mail me at <EMAIL> today",
+      "call <PHONE> or <PHONE>",
+      "server at <IP> responded",
+      "no pii here at all"))
+  }
+
   test("asofJoin: most recent right row per key, inclusive and strict" +
       " tie modes, left-join nulls") {
     import graft.operators.AsofJoin.asofJoin
