@@ -481,6 +481,10 @@ object SparkEntry {
     TextAnalysis.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 40, overlap = 8)
 
+  private def dedupLshVerifiedQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairsVerified(docs(s, dir), "doc_id", "text",
+      threshold = 0.3)
+
   /** Decontamination: the eval probe is the doc_id % 7 == 0 slice; every
     * corpus doc sharing a MinHash band bucket with a probe doc drops.
     */
@@ -716,6 +720,7 @@ object SparkEntry {
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "decontaminate"    -> (decontaminateQ _),
+    "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
     "quantize_int8"    -> (quantizeQ _),
@@ -984,6 +989,16 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
     "decontaminate" -> dkDecontaminate,
+    "dedup_lsh_verified" ->
+      s"""WITH pairs AS ($dkLshPairs),
+         $dkShingles
+         SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+         FROM pairs p JOIN s x ON x.doc_id = p.id_a
+           JOIN s y ON y.doc_id = p.id_b
+         WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.3""",
     "chunk_tokens" ->
       """WITH tk AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),

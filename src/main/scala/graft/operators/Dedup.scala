@@ -189,6 +189,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH candidates post-verified by EXACT shingle Jaccard — the
+    * standard two-stage fuzzy dedup: banding proposes (cheap, linear,
+    * but a band collision can be a false positive), the exact set
+    * overlap disposes. Output: (id_a, id_b, jaccard) with
+    * jaccard >= `threshold`.
+    *
+    * Scale: two extra equi-joins re-attach the shingle sets to the pair
+    * endpoints (pairs are already near-linear from the band join); the
+    * per-pair intersection is a native array op. This is the precision
+    * knob that lets `bands` stay high (recall) without over-dropping.
+    */
+  def minhashLshPairsVerified(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.3,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands)
+    val sh = Spread.ifNarrow(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The end-to-end dedup application: drop every document that appears
     * as the higher id of a near-dup candidate pair — greedy
     * keep-lowest-id survivor selection (for a chain a<b<c of pairs
@@ -330,12 +360,16 @@ object Dedup {
     * document (same collision semantics as [[minhashLshPairs]]; raise
     * `numHashes`/`bands` for precision).
     *
-    * Scale: the probe side is an eval set — orders of magnitude smaller
-    * than the corpus — so its distinct bucket set broadcasts, the
-    * left-semi band join runs map-side with NO corpus shuffle, and the
-    * final anti join broadcasts the (small) contaminated-id set. The
-    * corpus is scanned once; everything per-document is the native
-    * one-pass bucket expression.
+    * Scale: with `broadcastProbe = true` (the default — the probe is an
+    * eval set, orders of magnitude smaller than the corpus) its distinct
+    * bucket set broadcasts, the left-semi band join runs map-side with
+    * NO corpus shuffle, and the final anti join broadcasts the (small)
+    * contaminated-id set — the corpus is scanned once. With
+    * `broadcastProbe = false` (corpus-vs-corpus scrubs where the probe
+    * does not fit a broadcast) both joins run as ordinary shuffled
+    * semi/anti joins on (band, bucket) / id — two linear shuffles, still
+    * never pairwise. Everything per-document is the native one-pass
+    * bucket expression either way.
     */
   def decontaminate(
       corpus: DataFrame,
@@ -344,7 +378,8 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      broadcastProbe: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def bucketRows(df: DataFrame) =
       Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol))
@@ -354,12 +389,14 @@ object Dedup {
               numHashes, bands)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
+    def maybeBroadcast(df: DataFrame) =
+      if (broadcastProbe) broadcast(df) else df
     val probeBuckets =
       bucketRows(probe).select(col("band"), col("bucket")).distinct()
     val contaminated = bucketRows(corpus)
-      .join(broadcast(probeBuckets), Seq("band", "bucket"), "left_semi")
+      .join(maybeBroadcast(probeBuckets), Seq("band", "bucket"), "left_semi")
       .select(col(idCol)).distinct()
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    corpus.join(maybeBroadcast(contaminated), Seq(idCol), "left_anti")
   }
 
   /** Exact-dup corpus dedup: keep the minimum id per content hash. */
