@@ -334,6 +334,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq("alpha", "beta", "gamma"))
   }
 
+  test("shuffle budgets: operator plans stay shuffle-minimal") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.core.FrameEngine
+    import graft.operators.{AsofJoin, Dedup, Sampling, TextAnalysis}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def shuffles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeLike => s
+        }.size
+      val docs = Seq((0L, "a b c d e"), (1L, "f g h i j"))
+        .toDF("doc_id", "text")
+      val li = Seq((1L, 1, 2.0), (1L, 2, 3.0)).toDF("k", "ln", "qty")
+      // pipelined, shuffle-free passes
+      assert(shuffles(TextAnalysis.chunkByTokens(docs, "doc_id", "text", 3, 1)) === 0)
+      assert(shuffles(Sampling.assignSplit(docs, "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.5))) === 0)
+      assert(shuffles(Dedup.minhashSignatures(docs, "doc_id", "text")) === 0)
+      // exactly one exchange: single hash-partitioned pass
+      assert(shuffles(FrameEngine(li, Seq("k", "ln"))
+        .toPuffy(Seq("k"), aggfunc = (_, c) => sort_array(collect_list(c)))) === 1)
+      assert(shuffles(Dedup.exact(docs, "doc_id", "text")) === 1)
+      assert(shuffles(AsofJoin.asofJoin(
+        li.select($"k", $"ln".as("t"), $"qty"),
+        li.select($"k", $"ln".as("t"), $"qty".as("v")),
+        Seq("k"), "t", "t")) === 1)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("scrubPii masks emails, phones, and IPv4s, leaves clean text alone") {
     import graft.operators.TextAnalysis.scrubPii
     val got = Seq(
