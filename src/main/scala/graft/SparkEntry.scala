@@ -522,6 +522,10 @@ object SparkEntry {
     Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 5,
       centroidPred = col("vec_id") % 100 === 0)
 
+  private def annIvfMultiprobeQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 5,
+      centroidPred = col("vec_id") % 100 === 0, probes = 2)
+
   /** IVF k-means training: hash-sampled seeds + 1 Lloyd iteration, cells
     * serialized for the hash comparator (doubles rounded to 6 decimals
     * before formatting).
@@ -732,6 +736,7 @@ object SparkEntry {
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
     "ann_ivf_topk"     -> (annIvfTopKQ _),
+    "ann_ivf_multiprobe" -> (annIvfMultiprobeQ _),
     "ivf_train"        -> (ivfTrainQ _),
     "skew_join"        -> (skewJoinQ _),
     "text_stats"       -> (textStats _),
@@ -1082,6 +1087,26 @@ object SparkEntry {
          j AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(av.vd, bv.vd), 6) AS cos_sim
            FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+             AND a.vec_id <> b.vec_id
+           JOIN v av ON av.vec_id = a.vec_id
+           JOIN v bv ON bv.vec_id = b.vec_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM j)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5""",
+    "ann_ivf_multiprobe" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         ranked AS (SELECT v.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                        centroid_id) AS rn
+           FROM v, c),
+         asg1 AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+         asgp AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2),
+         j AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(av.vd, bv.vd), 6) AS cos_sim
+           FROM asgp a JOIN asg1 b ON a.centroid_id = b.centroid_id
              AND a.vec_id <> b.vec_id
            JOIN v av ON av.vec_id = a.vec_id
            JOIN v bv ON bv.vec_id = b.vec_id),

@@ -100,27 +100,57 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
-  /** Single-probe IVF top-k: assign every vector to its nearest centroid
-    * cell, then brute-force cosine *within* the cell. The search join
-    * keys on centroid_id — shuffle is linear; recall misses only
-    * cell-boundary neighbors (probe more cells upstream to trade
-    * compute for recall). The coarse quantizer here is a deterministic
-    * id-based selection so results are reproducible (swap in sampled
-    * k-means centroids at scale — the plan shape is identical).
+  /** Like [[ivfAssign]] but keeps each vector's `probes` nearest cells
+    * (multi-probe): the standard recall knob — a query near a cell
+    * boundary also searches the adjacent cell(s). Output rows fan out
+    * `probes`× on the query side only.
+    */
+  def ivfAssignProbes(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      probes: Int): DataFrame = {
+    val cents = broadcast(centroids)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("centroid_id").asc)
+    vecs.join(cents)
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"),
+        cosineFast(col(vecCol), col("__cv")).as("__csim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= probes)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid cell, then
+    * brute-force cosine *within* the cell. The search join keys on
+    * centroid_id — shuffle is linear. `probes` > 1 lets each QUERY
+    * vector search its `probes` nearest cells (multi-probe), recovering
+    * cell-boundary neighbors at `probes`× the query-side join volume;
+    * the corpus side always sits in exactly one cell, so a (query,
+    * neighbor) pair still matches at most once and no dedup is needed.
+    * The coarse quantizer here is a deterministic id-based selection so
+    * results are reproducible (swap in sampled k-means centroids at
+    * scale — the plan shape is identical).
     */
   def ivfTopK(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      centroidPred: Column): DataFrame = {
+      centroidPred: Column,
+      probes: Int = 1): DataFrame = {
     val centroids = vecs.filter(centroidPred)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
     // no explicit repartition: the self-join below plans its own
-    // (centroid_id) exchange, and both sides are the identical subtree so
-    // the exchange is built once and AQE-reused
+    // (centroid_id) exchange; for probes = 1 both sides are the identical
+    // subtree so the exchange is built once and AQE-reused
     val assigned = ivfAssign(vecs, idCol, vecCol, centroids)
-    val a = assigned.as("a")
+    val probed =
+      if (probes == 1) assigned
+      else ivfAssignProbes(vecs, idCol, vecCol, centroids, probes)
+    val a = probed.as("a")
     val b = assigned.as("b")
     val scored = a.join(b,
         col("a.centroid_id") === col("b.centroid_id") &&
