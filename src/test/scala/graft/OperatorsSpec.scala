@@ -334,6 +334,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq("alpha", "beta", "gamma"))
   }
 
+  test("decontaminate: shuffled variant equals broadcast variant; probe" +
+      " near-dups and members drop, unrelated docs survive") {
+    import graft.operators.Dedup.decontaminate
+    val base = Seq.tabulate(30)(i => s"w$i common phrase tail").mkString(" ")
+    val corpus = Seq(
+      (0L, base),                       // probe member -> drops
+      (1L, base + " extra"),            // near-dup of probe -> drops
+      (2L, Seq.tabulate(30)(i => s"z$i other words here").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probe = corpus.filter($"doc_id" === 0L)
+    val a = decontaminate(corpus, probe, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = decontaminate(corpus, probe, "doc_id", "text",
+      broadcastProbe = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === Seq(2L))
+    assert(b === a)
+  }
+
   test("shuffle budgets: operator plans stay shuffle-minimal") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
