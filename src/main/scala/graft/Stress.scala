@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.FrameEngine
-import graft.operators.{Dedup, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Dedup, RangeJoin, Similarity, SkewJoin}
 
 /** Scale stress: replicate sf0.1 N× with shifted keys (≈ sf1 and beyond,
   * in memory — the driver's testdata stays read-only) and time the
@@ -80,6 +80,31 @@ object Stress {
     }
     time("ivf_train_k64") {
       Similarity.trainCentroids(embs, "vec_id", "embedding", k = 64, iters = 2)
+    }
+    time("decontaminate") {
+      // probe = every 7th doc of the replicated corpus
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+    }
+    time("asof_join") {
+      val orders = replicate(spark.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey"), 10000000L)
+      val left = orders.select("o_orderkey", "o_custkey", "o_orderdate",
+        "o_totalprice")
+      val right = orders.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("prev_total"))
+      AsofJoin.asofJoin(left, right, Seq("o_custkey"),
+        "o_orderdate", "o_orderdate", inclusive = false)
+    }
+    time("range_join") {
+      val orders = replicate(spark.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey"), 10000000L)
+      val bands = orders.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("band_id"),
+          col("o_totalprice").as("lo"),
+          (col("o_totalprice") + 20000).as("hi"))
+      RangeJoin.rangeJoin(orders.select("o_orderkey", "o_totalprice"),
+        bands, "o_totalprice", "lo", "hi", binWidth = 20000)
     }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
