@@ -114,15 +114,27 @@ object TextAnalysis {
     * group); for 100 TB profiling swap in `approx_percentile` — same
     * call shape, sketch-based.
     */
+  /** Per-group length quartiles. `approx = false` (default) computes
+    * exact percentiles — cross-engine reproducible, which the
+    * correctness oracle needs, but the aggregation buffers each group's
+    * values. At 100 TB pass `approx = true`: `approx_percentile`'s
+    * constant-size t-digest-style sketch merges map-side like any
+    * algebraic aggregate (bounded memory, one shuffle, small error).
+    */
   def lengthQuantiles(
       docs: DataFrame,
       groupCol: String,
-      lenCol: String): DataFrame =
+      lenCol: String,
+      approx: Boolean = false): DataFrame = {
+    def pct(q: Double) =
+      if (approx) approx_percentile(col(lenCol), lit(q), lit(10000))
+      else percentile(col(lenCol), lit(q))
     docs.groupBy(col(groupCol)).agg(
-      round(percentile(col(lenCol), lit(0.25)), 6).as("p25"),
-      round(percentile(col(lenCol), lit(0.5)), 6).as("p50"),
-      round(percentile(col(lenCol), lit(0.75)), 6).as("p75"),
+      round(pct(0.25), 6).as("p25"),
+      round(pct(0.5), 6).as("p50"),
+      round(pct(0.75), 6).as("p75"),
       count(lit(1)).as("n_docs"))
+  }
 
   /** Repetition / symbol quality flags in the style of published
     * web-corpus filtering rules: the fraction of repeated word 3-grams
