@@ -18,6 +18,13 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").write
         .format("noop").mode("overwrite").save()
+      // warm EVERY source table (full scan into the OS page cache +
+      // parquet footer/codegen init): without this, whichever query first
+      // touches a table absorbs its cold-read cost even under min-of-N
+      // (r4+r5 both recorded 3-5x phantom regressions on first-toucher
+      // queries that did not reproduce in isolated warm re-runs)
+      graft.sources.Tables.readAll(spark, sfDir).values.foreach(df =>
+        df.write.format("noop").mode("overwrite").save())
       SparkEntry.queries.get("q1_agg").foreach(fn =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => () }

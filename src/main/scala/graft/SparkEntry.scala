@@ -526,6 +526,10 @@ object SparkEntry {
     Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 5,
       centroidPred = col("vec_id") % 100 === 0, probes = 2)
 
+  private def annLshMultiprobeQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.annLshMultiprobe(embs(s, dir), "vec_id", "embedding",
+      k = 5, probes = 3)
+
   /** IVF k-means training: hash-sampled seeds + 1 Lloyd iteration, cells
     * serialized for the hash comparator (doubles rounded to 6 decimals
     * before formatting).
@@ -571,7 +575,40 @@ object SparkEntry {
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.fakeDimensions(docs(s, dir), "doc_id", "text")
+    Multimodal.pack(docs(s, dir), "doc_id", "text", "text")
+      .select(col("doc_id"),
+        col("meta").getField("kind").as("kind"),
+        col("meta").getField("byte_len").as("byte_len"),
+        col("meta").getField("header_hex").as("header_hex"))
+
+  /** Real container-header decode roundtrip: per-doc image payloads are
+    * CONSTRUCTED byte-for-byte (PNG / JPEG+APP0 / GIF, dims derived from
+    * doc_id; every 4th doc truncated garbage) and then PARSED back by the
+    * native header expression — the oracle recomputes the expected dims
+    * arithmetically, so a parse that misreads any byte hash-mismatches.
+    */
+  private def multimodalDecodeQ(s: SparkSession, dir: String): DataFrame = {
+    def hex4be(c: Column) = lpad(hex(c), 8, "0")
+    def hex2be(c: Column) = lpad(hex(c), 4, "0")
+    def hex2le(c: Column) =
+      concat(substring(hex2be(c), 3, 2), substring(hex2be(c), 1, 2))
+    val d = docs(s, dir).select(col("doc_id"),
+      (lit(1) + col("doc_id") % 2048).cast("int").as("w"),
+      (lit(1) + (col("doc_id") * 7) % 2048).cast("int").as("h"),
+      (col("doc_id") % 4).cast("int").as("m"))
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      hex4be(col("w")), hex4be(col("h")), lit("0806000000"))
+    val jpegHex = concat(
+      lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      hex2be(col("h")), hex2be(col("w")), lit("03011100021101031101"))
+    val gifHex = concat(lit("474946383961"),
+      hex2le(col("w")), hex2le(col("h")), lit("000000"))
+    val payload = unhex(
+      when(col("m") === 0, pngHex).when(col("m") === 1, jpegHex)
+        .when(col("m") === 2, gifHex).otherwise(lit("89504E47")))
+    Multimodal.decodeImage(
+      d.select(col("doc_id"), payload.as("payload")), "doc_id")
+  }
 
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
@@ -581,6 +618,44 @@ object SparkEntry {
 
   private def eventsSessionize(s: SparkSession, dir: String): DataFrame =
     Events.sessionize(t(s, dir, "events"), gapNanos = 1800L * 1000 * 1000 * 1000)
+
+  /** Run a streaming query to completion (AvailableNow → memory sink)
+    * and return its result as a batch frame — how the streaming engine
+    * gets under the same DuckDB hash gate as every batch operator.
+    */
+  private def runStreamToTable(
+      s: SparkSession, out: DataFrame, name: String): DataFrame = {
+    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming exact dedup, gated on the one projection that is
+    * deterministic across arrival orders: the kept distinct content-hash
+    * set (WHICH duplicate row survives is first-arrival-dependent).
+    */
+  private def streamingDedupExactQ(s: SparkSession, dir: String): DataFrame =
+    runStreamToTable(s,
+      // {x} glob: the stream source needs a directory/glob, not a file
+      graft.streaming.StreamingDedup.exactStream(s, s"$dir/{documents.parquet}"),
+      "stream_dedup_exact").select(col("text_hash"))
+
+  /** Streaming sessionize, gated against the batch result MINUS each
+    * user's last session — exactly the rows an unbounded stream has
+    * CLOSED (the final session per user is still open in state when the
+    * AvailableNow run ends; emitting it would be making data up).
+    */
+  private def streamingSessionizeQ(s: SparkSession, dir: String): DataFrame =
+    runStreamToTable(s,
+      Events.streamingSessionize(s, s"$dir/{events.parquet}",
+        gapMicros = 1800L * 1000 * 1000),
+      "stream_sessionize")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_sum"))
 
   // -------------------------------------------------------------------
   // Oracle SQL generators (mirror the Scala expressions exactly)
@@ -658,16 +733,28 @@ object SparkEntry {
 
   private val dkNgramPairs: String =
     s"""WITH $dkShingles,
-       a AS (SELECT doc_id, sh, list_min(sh) AS anchor FROM s)
+       a AS (SELECT doc_id, sh, list_sort(list_distinct(
+           [${dkHash("x")} % 2147483647 for x in sh]))[1:4] AS anchors FROM s),
+       e AS (SELECT doc_id, sh, anchors, unnest(anchors) AS anchor FROM a)
        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
          round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
-       FROM a x JOIN a y ON x.anchor = y.anchor AND x.doc_id < y.doc_id
-       WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       FROM e x JOIN e y ON x.anchor = y.anchor AND x.doc_id < y.doc_id
+       WHERE x.anchor = list_min(list_intersect(x.anchors, y.anchors))
+         AND round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.3"""
 
   private val dkLshBucketExpr: String = (0 until 8).map { j =>
     s"(CASE WHEN list_sum([vd[k+1] * ((($j*73856093 + k*19349663) % 2000 - 1000)/1000.0) for k in range(0,64)]) >= 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Per-plane dot products (same summation order as LshProbesExpr). */
+  private val dkLshDots: String = "[" + (0 until 8).map { j =>
+    s"list_sum([vd[k+1] * ((($j*73856093 + k*19349663) % 2000 - 1000)/1000.0) for k in range(0,64)])"
+  }.mkString(", ") + "]"
+
+  private val dkLshBucketFromDots: String = (0 until 8).map { j =>
+    s"(CASE WHEN dots[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
   private val dkStopFilter: Map[String, String] =
@@ -737,6 +824,7 @@ object SparkEntry {
     "ann_lsh_topk"     -> (annLshTopKQ _),
     "ann_ivf_topk"     -> (annIvfTopKQ _),
     "ann_ivf_multiprobe" -> (annIvfMultiprobeQ _),
+    "ann_lsh_multiprobe" -> (annLshMultiprobeQ _),
     "ivf_train"        -> (ivfTrainQ _),
     "skew_join"        -> (skewJoinQ _),
     "text_stats"       -> (textStats _),
@@ -747,9 +835,12 @@ object SparkEntry {
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
     "multimodal_meta"  -> (multimodalMeta _),
+    "multimodal_decode" -> (multimodalDecodeQ _),
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
+    "streaming_dedup_exact" -> (streamingDedupExactQ _),
+    "streaming_sessionize" -> (streamingSessionizeQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1150,6 +1241,23 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5""",
+    "ann_lsh_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         d AS (SELECT vec_id, vd, $dkLshDots AS dots FROM v),
+         bs AS (SELECT vec_id, vd, dots,
+             CAST($dkLshBucketFromDots AS BIGINT) AS bucket FROM d),
+         o AS (SELECT vec_id, vd, bucket,
+             list_sort([{'m': abs(dots[j+1]), 'j': j} for j in range(0,8)]) AS ord
+           FROM bs),
+         pr AS (SELECT vec_id, vd, unnest([bucket,
+             xor(bucket, 1::BIGINT << o.ord[1].j),
+             xor(bucket, 1::BIGINT << o.ord[2].j)]) AS bucket FROM o),
+         sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.vd, b.vd), 6) AS cos_sim
+           FROM pr a JOIN bs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5""",
     "text_stats" ->
       s"""WITH w AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents)
          SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
@@ -1216,12 +1324,22 @@ object SparkEntry {
            (rep_ratio <= 0.3 AND symbol_ratio <= 0.2) AS keep
          FROM m""",
     "multimodal_meta" ->
-      s"""SELECT doc_id,
+      """SELECT doc_id, 'text' AS kind,
          CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
-         hex(substr(text, 1, 8)::BLOB) AS header_hex,
-         CAST(256 + ${dkHash("text")} % 1024 AS INTEGER) AS width,
-         CAST(256 + ${dkHash("reverse(text)")} % 1024 AS INTEGER) AS height
+         lower(hex(substr(text, 1, 8)::BLOB)) AS header_hex
          FROM documents""",
+    "multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2048 AS w,
+             1 + (doc_id * 7) % 2048 AS h, doc_id % 4 AS m
+           FROM documents)
+         SELECT doc_id,
+           CAST(CASE m WHEN 0 THEN 29 WHEN 1 THEN 39 WHEN 2 THEN 13
+                ELSE 4 END AS BIGINT) AS byte_len,
+           CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                ELSE NULL END AS format,
+           CAST(CASE WHEN m <= 2 THEN w ELSE NULL END AS INTEGER) AS width,
+           CAST(CASE WHEN m <= 2 THEN h ELSE NULL END AS INTEGER) AS height
+         FROM d""",
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum
@@ -1255,5 +1373,26 @@ object SparkEntry {
          SELECT user_id, session_idx, min(tsn) AS session_start,
            max(tsn) AS session_end, count(*) AS n_events, sum(value) AS value_sum
          FROM s GROUP BY 1, 2""",
+    "streaming_dedup_exact" ->
+      "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    "streaming_sessionize" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (SELECT user_id, tsn, value,
+             CASE WHEN prev IS NULL OR tsn - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM l),
+         s AS (SELECT user_id, tsn, value,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsn
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM f),
+         g AS (SELECT user_id, session_idx, min(tsn) AS session_start,
+             max(tsn) AS session_end, count(*) AS n_events,
+             sum(value) AS value_sum
+           FROM s GROUP BY 1, 2),
+         m AS (SELECT user_id, max(session_idx) AS last_idx FROM g GROUP BY 1)
+         SELECT g.user_id, session_start, session_end, n_events, value_sum
+         FROM g JOIN m ON g.user_id = m.user_id
+           AND g.session_idx < m.last_idx""",
   )
 }

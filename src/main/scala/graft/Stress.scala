@@ -64,6 +64,40 @@ object Stress {
     time("ann_lsh_topk") {
       Similarity.annLshTopK(embs, "vec_id", "embedding", k = 5)
     }
+    time("ann_lsh_multiprobe") {
+      Similarity.annLshMultiprobe(embs, "vec_id", "embedding", k = 5,
+        probes = 3)
+    }
+    time("ann_ivf_multiprobe") {
+      Similarity.ivfTopK(embs, "vec_id", "embedding", k = 5,
+        centroidPred = col("vec_id") % 100 === 0, probes = 2)
+    }
+    time("dedup_lsh_verified") {
+      Dedup.minhashLshPairsVerified(docs, "doc_id", "text")
+    }
+    locally {
+      // quantize→dequantize→search roundtrip: the int8 path must keep
+      // brute-force top-k recall ≈ 1 while shrinking storage 4x
+      import graft.functions.VectorFunctions.{dequantizeInt8, quantizeInt8}
+      val t0 = System.nanoTime()
+      val queries = embs.filter(col("vec_id") % 997 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val deq = embs.select(col("vec_id"),
+        dequantizeInt8(quantizeInt8(col("embedding"))).as("embedding"))
+      val exact = Similarity.knnBruteForce(
+          queries, embs.select("vec_id", "embedding"), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val viaInt8 = Similarity.knnBruteForce(
+          queries.select(col("vec_id"),
+            dequantizeInt8(quantizeInt8(col("embedding"))).as("embedding")),
+          deq, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val nExact = exact.count()
+      val recall = exact.join(viaInt8, Seq("query_id", "neighbor_id"))
+        .count().toDouble / nExact
+      println(f"STRESS quantize_roundtrip      ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  (top-5 recall vs float: $recall%.4f over $nExact pairs)")
+    }
     time("cosine_pairs_blocked") {
       Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.4)
     }

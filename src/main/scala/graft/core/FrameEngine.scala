@@ -287,10 +287,14 @@ final class FrameEngine private (
     *
     * Null-key subtlety: SQL join equality never matches null keys, so in
     * the fold a row with a null key passes through null-extended and
-    * never multiplies — but `groupBy` would GROUP null keys together. A
-    * disambiguator column gives every null-key row its own singleton
-    * group (the id value itself is dropped; any unique value works), so
-    * such rows come out exactly one-per-input-row, null-extended.
+    * never multiplies — but `groupBy` would GROUP null keys together.
+    * Null-key rows are therefore routed AROUND the shuffle: filtered out
+    * before the aggregation and unioned back after the explode stage as a
+    * pipelined projection (their one populated payload struct, the rest
+    * null). Deterministic under stage retry/speculation — the earlier
+    * disambiguator (`monotonically_increasing_id` feeding the exchange)
+    * could re-assign ids on a recomputed map task and silently duplicate
+    * or lose null-key rows.
     *
     * Skew: all rows of one key meet in one aggregation buffer — the same
     * per-key locality the join's cartesian needs anyway; AQE handles the
@@ -307,16 +311,18 @@ final class FrameEngine private (
     val unioned = payloads.map(_._3)
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val anyNullKey = key.map(col(_).isNull).reduce(_ || _)
-    val nullDisamb = s"${RowAlias}_nk"
     val aggs = payloads.map { case (p, _, _) => collect_list(col(p)).as(p) }
-    val grouped = unioned
-      .withColumn(nullDisamb,
-        when(anyNullKey, monotonically_increasing_id()).otherwise(lit(0L)))
-      .groupBy((key :+ nullDisamb).map(col): _*)
+    val grouped = unioned.filter(!anyNullKey)
+      .groupBy(key.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val exploded = payloads.foldLeft(grouped) { case (acc, (p, _, _)) =>
+    val explodedGrouped = payloads.foldLeft(grouped) { case (acc, (p, _, _)) =>
       acc.withColumn(p, explode_outer(col(p)))
     }
+    // null-key rows bypass the exchange: one-per-input-row, each carrying
+    // its own payload struct with the others null (unionByName padded)
+    val payloadCols = (key ++ payloads.map(_._1)).map(col)
+    val exploded = explodedGrouped.select(payloadCols: _*)
+      .unionByName(unioned.filter(anyNullKey).select(payloadCols: _*))
     // the fold's exact output column order: F1's columns, then each
     // later frame's non-shared columns in frame order
     val finalCols = longs.map(_._2.columns.toSeq)
@@ -439,28 +445,33 @@ final class FrameEngine private (
     * stringified, exactly like the reference's flatten/stringify retry.
     * Scale: the key-union job shuffles only distinct key strings; the
     * expansion itself is one pipelined `Generate`. Each JSON cell is
-    * parsed ONCE — the parsed `array<map>` projection is persisted
-    * (MEMORY_AND_DISK) before the key scan, and the expansion reads the
-    * same materialized parse instead of re-running `from_json` (r4 paid
-    * the parse twice, once per pass). Block eviction degrades to a
-    * re-parse, never to failure; the two passes themselves are inherent
-    * (the output schema must be known at plan time).
+    * parsed ONCE — the parsed `array<map>` projection is eagerly
+    * `localCheckpoint`ed before the key scan, and the expansion reads
+    * the same materialized parse instead of re-running `from_json` (r4
+    * paid the parse twice, once per pass). localCheckpoint rather than
+    * persist: cached-plan entries live in the CacheManager until an
+    * explicit unpersist, and the returned lazy frame gave no hook to
+    * release them (repeated expandCol calls leaked cache bookkeeping);
+    * checkpoint blocks are freed by the ContextCleaner as soon as the
+    * frame is unreachable. Tradeoff: an executor lost while the frame is
+    * alive forfeits recompute (lineage is truncated) and fails the job —
+    * acceptable for a parse scoped to one expansion; the two passes
+    * themselves are inherent (the output schema must be known at plan
+    * time).
     */
   private def expandColJsonFrame(c: String, drop: Boolean, prefix: Boolean): DataFrame = {
     val cellsType = ArrayType(MapType(StringType, StringType))
     val cellsAlias = RowAlias + "_cells"
     val parsed = df
       .select(indexCols.map(col) :+ from_json(col(c), cellsType).as(cellsAlias): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val keys = parsed.select(explode(col(cellsAlias)).as(RowAlias))
       .select(explode(map_keys(col(RowAlias))).as("__k"))
       .distinct().orderBy("__k")
       .collect().map(_.getString(0)).toSeq
-    if (keys.isEmpty) {
-      parsed.unpersist()
+    if (keys.isEmpty)
       throw new PuffbirdException(
         s"expandCol($c): no JSON records found to expand")
-    }
     val ordName = s"level_${indexCols.size}"
     val ex = if (drop) posexplode(col(cellsAlias)) else posexplode_outer(col(cellsAlias))
     val tmp = parsed.select(indexCols.map(col) :+ ex: _*)

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnCompat}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Container-header image decoding — format + pixel dimensions read
+  * straight from the first bytes of a `binary` column, no codec
+  * dependency. Covers the four containers whose headers are fixed-layout
+  * or marker-walkable: PNG (IHDR, big-endian), JPEG (SOF0/1/2/...
+  * segment walk, big-endian), GIF87a/89a (logical screen, little-endian)
+  * and BMP (BITMAPINFOHEADER / BITMAPCOREHEADER, little-endian).
+  *
+  * Truncated, corrupt, or unrecognized payloads yield NULL — never an
+  * exception: at corpus scale a crawl always contains garbage bytes and
+  * one bad cell must not fail a 100 TB scan.
+  */
+object ImageHeaders {
+
+  val DimsType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  @inline private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
+  @inline private def be16(a: Array[Byte], i: Int): Int =
+    (u8(a, i) << 8) | u8(a, i + 1)
+  @inline private def be32(a: Array[Byte], i: Int): Long =
+    (u8(a, i).toLong << 24) | (u8(a, i + 1) << 16) |
+      (u8(a, i + 2) << 8) | u8(a, i + 3)
+  @inline private def le16(a: Array[Byte], i: Int): Int =
+    u8(a, i) | (u8(a, i + 1) << 8)
+  @inline private def le32(a: Array[Byte], i: Int): Long =
+    u8(a, i).toLong | (u8(a, i + 1).toLong << 8) |
+      (u8(a, i + 2).toLong << 16) | (u8(a, i + 3).toLong << 24)
+
+  private def row(fmt: String, w: Long, h: Long): InternalRow =
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) null
+    else new GenericInternalRow(
+      Array[Any](UTF8String.fromString(fmt), w.toInt, h.toInt))
+
+  /** Parse (format, width, height) from leading bytes; null if not a
+    * recognizable intact header.
+    */
+  def dims(a: Array[Byte]): InternalRow = {
+    if (a == null || a.length < 2) return null
+    // PNG: 8-byte signature, 4-byte chunk length, "IHDR", w/h as BE32
+    if (a.length >= 24 && u8(a, 0) == 0x89 && a(1) == 'P' && a(2) == 'N' &&
+        a(3) == 'G' && u8(a, 4) == 0x0d && u8(a, 5) == 0x0a &&
+        u8(a, 6) == 0x1a && u8(a, 7) == 0x0a) {
+      if (a(12) != 'I' || a(13) != 'H' || a(14) != 'D' || a(15) != 'R')
+        return null
+      return row("png", be32(a, 16), be32(a, 20))
+    }
+    // JPEG: SOI then a marker walk to the first frame header (SOFn).
+    if (u8(a, 0) == 0xff && u8(a, 1) == 0xd8) {
+      var i = 2
+      while (i + 1 < a.length) {
+        if (u8(a, i) != 0xff) return null
+        var m = u8(a, i + 1)
+        // fill bytes: consecutive 0xFF before a marker are padding
+        while (m == 0xff && i + 2 < a.length) { i += 1; m = u8(a, i + 1) }
+        if (m == 0xd9) return null // EOI before any SOF
+        else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
+        else {
+          if (i + 3 >= a.length) return null
+          val segLen = be16(a, i + 2)
+          if (segLen < 2) return null
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            // FF Cx LL LL precision H H W W
+            if (i + 8 >= a.length) return null
+            return row("jpeg", be16(a, 7 + i).toLong, be16(a, 5 + i).toLong)
+          }
+          i += 2 + segLen
+        }
+      }
+      return null
+    }
+    // GIF87a / GIF89a: logical screen descriptor, LE16
+    if (a.length >= 10 && a(0) == 'G' && a(1) == 'I' && a(2) == 'F' &&
+        a(3) == '8' && (a(4) == '7' || a(4) == '9') && a(5) == 'a')
+      return row("gif", le16(a, 6).toLong, le16(a, 8).toLong)
+    // BMP: "BM", DIB header size at 14 picks the layout
+    if (a.length >= 26 && a(0) == 'B' && a(1) == 'M') {
+      val dib = le32(a, 14)
+      if (dib == 12) // BITMAPCOREHEADER: LE16 dims
+        return row("bmp", le16(a, 18).toLong, le16(a, 20).toLong)
+      if (dib >= 40 && a.length >= 30) // BITMAPINFOHEADER+: LE32, h signed
+        return row("bmp", le32(a, 18), math.abs(le32(a, 22).toInt).toLong)
+      return null
+    }
+    null
+  }
+}
+
+/** `binary -> struct<format,width,height>` wrapper around
+  * [[ImageHeaders.dims]]; one static call per row (the parse is a short
+  * branchy byte walk — nothing to gain from inlined codegen).
+  */
+case class ImageDimsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ImageHeaders.DimsType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"image_dims needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ImageHeaders.dims(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageDimsExpr = copy(child = newChild)
+}
+
+object ImageFunctions {
+  /** struct(format, width, height) parsed from an image payload's
+    * leading bytes; null when the header is absent/corrupt/truncated.
+    */
+  def imageDims(payload: Column): Column =
+    GraftColumnCompat.toColumn(ImageDimsExpr(
+      GraftColumnCompat.toExpression(payload)))
+}

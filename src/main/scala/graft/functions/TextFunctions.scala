@@ -54,6 +54,14 @@ object TextFunctions {
     toColumn(Hash60ArrayExpr(ShinglesExpr(toExpression(text), n)))
   }
 
+  /** Portable 60-bit hash of each element of an existing string array
+    * (one native pass — the array form of [[hash60]]).
+    */
+  def hash60Array(arr: Column): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(Hash60ArrayExpr(toExpression(arr)))
+  }
+
   /** One MinHash signature component: min over shingles of
     * (a_j * (h mod p) + b_j) mod p. Composable reference form — the
     * operators use [[minhashSigs]] (all components in one native pass);

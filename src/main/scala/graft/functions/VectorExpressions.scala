@@ -102,6 +102,59 @@ case class LshBucketExpr(child: Expression, planes: Int)
     copy(child = c)
 }
 
+/** Multi-probe LSH probe list: the base [[LshBucketExpr]] bucket plus
+  * the buckets reached by flipping the `probes - 1` LOWEST-MARGIN
+  * hyperplane bits (smallest |dot| — the planes the vector sits closest
+  * to, where a true near-neighbor most likely landed on the other side).
+  * Probing widens the QUERY side only: recall rises without touching the
+  * corpus-side bucket layout or adding a corpus shuffle. Dots use the
+  * exact [[LshBucketExpr]] summation order (bit-identical to the SQL
+  * oracle); margin ties break by plane index.
+  */
+case class LshProbesExpr(child: Expression, planes: Int, probes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = v.numElements()
+    val dots = new Array[Double](planes)
+    var k = 0
+    while (k < n) {
+      val x = if (v.isNullAt(k)) 0.0
+              else if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)
+      var j = 0
+      while (j < planes) {
+        dots(j) += x * (((j.toLong * 73856093L + k.toLong * 19349663L) % 2000L - 1000L) / 1000.0)
+        j += 1
+      }
+      k += 1
+    }
+    var base = 0L
+    var j = 0
+    while (j < planes) {
+      if (dots(j) >= 0) base |= (1L << j)
+      j += 1
+    }
+    val byMargin = (0 until planes).sortBy(j => (math.abs(dots(j)), j))
+    val out = new Array[Any](math.min(probes, planes + 1).max(1))
+    out(0) = base
+    var i = 1
+    while (i < out.length) {
+      out(i) = base ^ (1L << byMargin(i - 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshProbesExpr =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnCompat
   import org.apache.spark.sql.functions._

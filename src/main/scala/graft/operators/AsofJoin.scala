@@ -28,7 +28,9 @@ import graft.core.PuffbirdException
   * keys minus its time column). The right side must be unique per
   * (key, time) — pre-aggregate duplicates, or the pick among equal
   * timestamps is nondeterministic; payload names colliding with left
-  * columns are rejected.
+  * columns are rejected. Null timestamps never match (DuckDB ASOF
+  * comparison semantics): null-ts right rows are dropped, null-ts left
+  * rows pass through null-extended.
   */
 object AsofJoin {
 
@@ -52,6 +54,15 @@ object AsofJoin {
         s"asofJoin: right payload collides with left columns: " +
           collisions.mkString(",") + " — rename before joining")
 
+    // ASOF semantics never match a null time (DuckDB: `l.t > r.t` is
+    // NULL for null operands): a null-ts right row must not become the
+    // running match, and a null-ts left row matches nothing. Under
+    // `ts.asc` nulls sort FIRST, so without this filter a null-ts right
+    // row would be last() for every later left row until superseded.
+    val right1 = right.filter(col(rightTs).isNotNull)
+    val (leftIn, leftNullTs) =
+      (left.filter(col(leftTs).isNotNull), left.filter(col(leftTs).isNull))
+
     val ts = "__asof_ts"
     val lStruct = struct(lCols.map(col): _*)
     val rStruct = struct(rPayload.map(col): _*)
@@ -59,19 +70,24 @@ object AsofJoin {
     val rType = right.select(rStruct.as("s")).schema("s").dataType
     // side tag = sort order at equal timestamps (see scaladoc)
     val (rightTag, leftTag) = if (inclusive) (0, 1) else (1, 0)
-    val lPart = left.select(keys.map(col) ++ Seq(
+    val lPart = leftIn.select(keys.map(col) ++ Seq(
       col(leftTs).as(ts), lit(leftTag).as("__src"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
-    val rPart = right.select(keys.map(col) ++ Seq(
+    val rPart = right1.select(keys.map(col) ++ Seq(
       col(rightTs).as(ts), lit(rightTag).as("__src"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lPart.unionByName(rPart)
+    val matched = lPart.unionByName(rPart)
       .withColumn("__rm", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__l").isNotNull)
       .select(lCols.map(c => col("__l").getField(c).as(c)) ++
         rPayload.map(c => col("__rm").getField(c).as(c)): _*)
+    // null-ts left rows re-enter null-extended (left-join semantics),
+    // pipelined around the exchange
+    matched.unionByName(leftNullTs.select(lCols.map(col) ++
+      rPayload.map(c => lit(null).cast(rType)
+        .getField(c).as(c)): _*))
   }
 }

@@ -159,31 +159,46 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard near-dup pairs, blocked on an anchor (the
-    * minimum shingle hash): only documents sharing their rarest-ish
-    * shingle are compared, so candidate generation is an equi-join, not a
-    * cross product. Jaccard >= `threshold` survives. Recall is partial
-    * (anchor must collide) — the LSH variant is the high-recall path;
-    * this one is exact on what it compares.
+  /** Exact n-gram Jaccard near-dup pairs, blocked on the `anchors`
+    * SMALLEST shingle hashes (k-min sketch blocking): two documents are
+    * candidates when they share ANY of their k minimum hashes, so
+    * candidate generation stays an equi-join — never a cross product —
+    * while (a) recall no longer requires the single lexicographic-min
+    * shingle to coincide (by the MinHash argument, near-dups share a
+    * k-min anchor with probability ≈ 1-(1-J)^k vs ≈ J for one anchor),
+    * and (b) no single corpus-common shingle can collect a quadratic hot
+    * block: a doc lands in a block only for hashes among its k smallest,
+    * which a stop-word-ish shingle is for few documents. A pair sharing
+    * several anchors is emitted ONCE — owned by the smallest shared
+    * anchor (a per-row array test, no dedup shuffle). Jaccard >=
+    * `threshold` survives; this stage is exact on what it compares, the
+    * LSH variant remains the tunable-recall path.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      anchors: Int = 4): DataFrame = {
     // Spread the raw text first (gated), then build shingles once; the
-    // anchor consumes the `sh` alias a second time, which is exactly the
+    // anchors consume the `sh` alias a second time, which is exactly the
     // case project-collapse refuses to inline for non-cheap expressions.
     val withSh = Spread.ifNarrow(
         docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("anchor", array_min(col("sh")))  // lexicographic-min shingle: no per-shingle hashing needed for blocking
-    val a = withSh.as("a")
-    val b = withSh.as("b")
+      .withColumn("anchors", slice(array_sort(array_distinct(
+        transform(hash60Array(col("sh")), _ % HashP))), 1, anchors))
+    val ex = withSh.select(col(idCol), col("sh"), col("anchors"),
+      explode(col("anchors")).as("anchor"))
+    val a = ex.as("a")
+    val b = ex.as("b")
     a.join(b,
         col("a.anchor") === col("b.anchor") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
+      // anchor ownership: exactly-once per pair, at its min shared anchor
+      .filter(col("a.anchor") ===
+        array_min(array_intersect(col("a.anchors"), col("b.anchors"))))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -362,9 +377,13 @@ object Dedup {
     *
     * Scale: with `broadcastProbe = true` (the default — the probe is an
     * eval set, orders of magnitude smaller than the corpus) its distinct
-    * bucket set broadcasts, the left-semi band join runs map-side with
-    * NO corpus shuffle, and the final anti join broadcasts the (small)
-    * contaminated-id set — the corpus is scanned once. With
+    * bucket set broadcasts and the left-semi band join runs map-side
+    * with NO corpus shuffle — the corpus is scanned once. The final
+    * anti join's contaminated-id set is bounded by CORPUS size, not
+    * probe size (a heavily-contaminated corpus, or over-collisional
+    * bands, can make it corpus-scale), so it is never broadcast-hinted:
+    * AQE broadcasts it at runtime when its measured size is small and
+    * falls back to a shuffled anti join when it is not. With
     * `broadcastProbe = false` (corpus-vs-corpus scrubs where the probe
     * does not fit a broadcast) both joins run as ordinary shuffled
     * semi/anti joins on (band, bucket) / id — two linear shuffles, still
@@ -396,7 +415,7 @@ object Dedup {
     val contaminated = bucketRows(corpus)
       .join(maybeBroadcast(probeBuckets), Seq("band", "bucket"), "left_semi")
       .select(col(idCol)).distinct()
-    corpus.join(maybeBroadcast(contaminated), Seq(idCol), "left_anti")
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Exact-dup corpus dedup: keep the minimum id per content hash. */

@@ -32,7 +32,9 @@ object Sampling {
     */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
-    df.filter(hashBucket(col(idCol)) < lit((fraction * Scale).toLong))
+    // round, don't truncate: 0.3*1e6 is 299999.99999999994 in doubles —
+    // toLong would systematically under-sample by one bucket
+    df.filter(hashBucket(col(idCol)) < lit(math.round(fraction * Scale)))
   }
 
   /** Stratified deterministic sample: per-stratum keep fractions (the
@@ -50,8 +52,8 @@ object Sampling {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0,1]")
     val threshold = fractions.foldLeft(
-      lit((defaultFraction * Scale).toLong)) { case (acc, (k, f)) =>
-      when(col(strataCol) === lit(k), lit((f * Scale).toLong)).otherwise(acc)
+      lit(math.round(defaultFraction * Scale))) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit(math.round(f * Scale))).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
@@ -74,7 +76,7 @@ object Sampling {
     // last split catches the remainder so rounding never drops a row
     val expr = splits.init.zip(cuts.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), cut), acc) =>
-      when(bucket < lit((cut * Scale).toLong), lit(name)).otherwise(acc)
+      when(bucket < lit(math.round(cut * Scale)), lit(name)).otherwise(acc)
     }
     df.withColumn("split", expr)
   }

@@ -275,4 +275,43 @@ object Similarity {
     scored.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
   }
+
+  /** Multi-probe variant of [[annLshTopK]]: each query additionally
+    * searches the buckets reached by flipping its `probes - 1`
+    * lowest-margin hyperplane bits ([[graft.functions.LshProbesExpr]]) —
+    * the standard multi-probe LSH recall lift. Only the query side fans
+    * out (shuffle grows `probes`×, still linear); the corpus side keeps
+    * exactly one bucket per vector, so a (query, neighbor) pair arises
+    * at most once and needs no dedup. Candidate sets are supersets of
+    * the single-bucket run's, so per-query top-k quality is monotone in
+    * `probes`.
+    */
+  def annLshMultiprobe(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 8,
+      dim: Int = 64,
+      probes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    val probeCol = toColumn(graft.functions.LshProbesExpr(
+      toExpression(col(vecCol)), planes, probes))
+    val base = Spread.ifNarrow(
+        vecs.select(col(idCol), col(vecCol)), col(idCol))
+    val q = base.select(col(idCol), col(vecCol),
+      explode(probeCol).as("bucket"))
+    val c = base.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes, dim).as("bucket"))
+    val scored = q.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("query_id"),
+        col(s"b.$idCol").as("neighbor_id"),
+        cosineFast(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
 }

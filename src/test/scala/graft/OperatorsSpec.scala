@@ -69,6 +69,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs((0L, 3L)) === 1.0)
   }
 
+  test("ngram jaccard pairs: k-min anchors find near-dups whose minimum" +
+      " shingle differs; multi-anchor pairs emitted once") {
+    // first word differs, so the lexicographic-min shingle of each doc is
+    // its own ("aardvark ..." vs "abacus ...") — single-min-shingle
+    // blocking can never pair them; 4 of 5 shingles are shared, J = 2/3
+    val d = Seq(
+      (0L, "aardvark common tail one two three four"),
+      (1L, "abacus common tail one two three four")
+    ).toDF("doc_id", "text")
+    import graft.functions.TextFunctions.shingles
+    val mins = d.select(array_min(shingles(col("text"), 3))).as[String]
+      .collect()
+    assert(mins(0) !== mins(1)) // the scenario the old blocking missed
+    val rows = Dedup.ngramJaccardPairs(d, "doc_id", "text").collect()
+    assert(rows.length === 1) // found, and exactly once (anchor ownership)
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 0.666667) < 1e-6)
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f, 0.0f), 0),
@@ -88,6 +106,28 @@ class OperatorsSpec extends AnyFunSuite {
     val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
       "label", threshold = 0.9).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+  }
+
+  test("ann lsh multiprobe: recall vs brute force beats single bucket") {
+    val n = 60; val dim = 8
+    val df = (0 until n).map { i =>
+      (i.toLong,
+        Array.tabulate(dim)(d => ((((i * 31 + d * 17) % 19) - 9) / 9.0f)))
+    }.toDF("vec_id", "embedding")
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(
+      Similarity.knnBruteForce(df, df, "vec_id", "embedding", k = 3))
+    val single = pairs(
+      Similarity.annLshTopK(df, "vec_id", "embedding", k = 3, dim = dim))
+    val multi = pairs(Similarity.annLshMultiprobe(
+      df, "vec_id", "embedding", k = 3, dim = dim, probes = 3))
+    val rs = (single & truth).size
+    val rm = (multi & truth).size
+    // candidates are a superset per query, so recall is monotone — and
+    // on this fixture probing the 2 lowest-margin planes visibly lifts it
+    assert(rm >= rs)
+    assert(rm > rs)
   }
 
   test("lsh buckets: opposite vectors land in different buckets") {
@@ -124,18 +164,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp(0L) !== fp(1L))
   }
 
-  test("multimodal pack + stub decode plumbing") {
+  test("multimodal pack + decode keeps non-image rows with null dims") {
     val packed = Multimodal.pack(docs, "doc_id", "text", "image")
     assert(packed.schema("payload").dataType.typeName === "binary")
     val meta = packed.select("meta.*").collect().head
     assert(meta.getAs[Long]("byte_len") > 0)
-    val decoded = Multimodal.decodeImageStub(packed, "doc_id")
-    val r = decoded.collect().head
-    assert(r.getAs[Int]("width") >= 256 && r.getAs[Int]("width") < 1280)
-    assert(r.getAs[Int]("channels") === 3)
-    // deterministic: same payload → same fake dims
-    val again = Multimodal.decodeImageStub(packed, "doc_id").collect().head
-    assert(again.getAs[Int]("width") === r.getAs[Int]("width"))
+    // text bytes are no image container: every row survives, dims null
+    val decoded = Multimodal.decodeImage(packed, "doc_id")
+    assert(decoded.count() === docs.count())
+    assert(decoded.filter(col("format").isNotNull).count() === 0L)
+  }
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("image header parse: png/jpeg/gif/bmp dims recovered byte-exactly") {
+    import graft.functions.ImageHeaders.dims
+    val png = dims(hx(
+      "89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000"))
+    assert(png.getUTF8String(0).toString === "png")
+    assert((png.getInt(1), png.getInt(2)) === ((640, 480)))
+    val jpeg = dims(hx("FFD8 FFE00010 4A46494600 0101 00 0001 0001 00 00" +
+      " FFC00011 08 01E0 0280 03 011100 021101 031101"))
+    assert(jpeg.getUTF8String(0).toString === "jpeg")
+    assert((jpeg.getInt(1), jpeg.getInt(2)) === ((640, 480)))
+    val gif = dims(hx("474946383961 8002 E001 00 00 00"))
+    assert(gif.getUTF8String(0).toString === "gif")
+    assert((gif.getInt(1), gif.getInt(2)) === ((640, 480)))
+    val bmp = dims(hx("424D 00000000 0000 0000 36000000 28000000" +
+      " 80020000 E0010000 0100 1800"))
+    assert(bmp.getUTF8String(0).toString === "bmp")
+    assert((bmp.getInt(1), bmp.getInt(2)) === ((640, 480)))
+    // top-down BMP stores negative height: dims come back positive
+    val bmpNeg = dims(hx("424D 00000000 0000 0000 36000000 28000000" +
+      " 80020000 20FEFFFF 0100 1800"))
+    assert((bmpNeg.getInt(1), bmpNeg.getInt(2)) === ((640, 480)))
+  }
+
+  test("image header parse: corrupt/truncated payloads yield null, not throw") {
+    import graft.functions.ImageHeaders.dims
+    assert(dims(null) === null)
+    assert(dims(Array.emptyByteArray) === null)
+    assert(dims(hx("89504E47")) === null) // truncated PNG signature
+    assert(dims(hx("89504E470D0A1A0A 0000000D 58585858" + // not IHDR
+      " 00000280 000001E0 0806000000")) === null)
+    assert(dims(hx("89504E470D0A1A0A 0000000D 49484452 00000000" +
+      " 000001E0 0806000000")) === null) // zero width
+    assert(dims(hx("FFD8 FFE00010 4A46494600 0101 00 0001 0001 00 00" +
+      " FFD9")) === null) // EOI before any SOF
+    assert(dims(hx("FFD8 FFE000")) === null) // truncated mid-segment
+    assert(dims(hx("FFD8 00C0")) === null)   // broken marker alignment
+    assert(dims("plain text bytes".getBytes("UTF-8")) === null)
+    // through the engine: null input row stays null, no NPE
+    val out = Seq(Some(hx("474946383961 0100 0100 000000")), None)
+      .toDF("b")
+      .select(graft.functions.ImageFunctions.imageDims(col("b")).as("d"))
+      .collect()
+    assert(out(0).getStruct(0).getString(0) === "gif")
+    assert(out(1).isNullAt(0))
   }
 
   test("frame sampling explodes stride-spaced indices") {
