@@ -58,5 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("token_stats", "whitespace/regex-class token counts in one scan") {
       exprs => TokenStatsExpr(exprs.head)
     }
+    inject("image_dims",
+      "struct(format,width,height) from PNG/JPEG/GIF/BMP header bytes") {
+      exprs => ImageDimsExpr(exprs.head)
+    }
+    inject("lsh_probes8",
+      "multi-probe LSH buckets: base + 2 lowest-margin bit flips") {
+      exprs => LshProbesExpr(exprs.head, planes = 8, probes = 3)
+    }
   }
 }

@@ -624,10 +624,11 @@ object SparkEntry {
     * gets under the same DuckDB hash gate as every batch operator.
     */
   private def runStreamToTable(
-      s: SparkSession, out: DataFrame, name: String): DataFrame = {
+      s: SparkSession, out: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
     try s.catalog.dropTempView(name) catch { case _: Throwable => () }
     val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -643,6 +644,19 @@ object SparkEntry {
       // {x} glob: the stream source needs a directory/glob, not a file
       graft.streaming.StreamingDedup.exactStream(s, s"$dir/{documents.parquet}"),
       "stream_dedup_exact").select(col("text_hash"))
+
+  /** Streaming windowed hourly aggregation, gated against the exact
+    * batch oracle: Complete output mode emits every window at the final
+    * AvailableNow commit (the watermark only bounds state in the
+    * unbounded deployment), so the result IS the batch aggregation.
+    */
+  private def streamingHourlyQ(s: SparkSession, dir: String): DataFrame =
+    runStreamToTable(s,
+      Events.streamingHourlyAgg(s, s"$dir/{events.parquet}"),
+      "stream_hourly", mode = "complete")
+      .select((unix_micros(col("hour_start")) / lit(3600000000L))
+          .cast("long").as("hour_id"),
+        col("event_type"), col("n_events"), col("value_sum"))
 
   /** Streaming sessionize, gated against the batch result MINUS each
     * user's last session — exactly the rows an unbounded stream has
@@ -841,6 +855,7 @@ object SparkEntry {
     "events_sessionize" -> (eventsSessionize _),
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
+    "streaming_hourly" -> (streamingHourlyQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1375,6 +1390,10 @@ object SparkEntry {
          FROM s GROUP BY 1, 2""",
     "streaming_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    "streaming_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+         count(*) AS n_events, sum(value) AS value_sum
+         FROM events GROUP BY 1, 2""",
     "streaming_sessionize" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -57,6 +57,10 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("token_stats",
       exprs => TokenStatsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_dims",
+      exprs => ImageDimsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_probes8",
+      exprs => LshProbesExpr(exprs.head, planes = 8, probes = 3), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
   }
 }

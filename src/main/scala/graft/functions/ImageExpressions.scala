@@ -108,6 +108,9 @@ case class ImageDimsExpr(child: Expression)
 
   override def dataType: DataType = ImageHeaders.DimsType
 
+  // null for any unrecognized payload, even when the child can't be null
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case BinaryType => TypeCheckResult.TypeCheckSuccess

@@ -209,6 +209,18 @@ class ParitySpec extends AnyFunSuite {
     assert(r4.getAs[Int]("ns") === 16 && r4.getAs[Int]("nb") === 8)
     assert(r4.getAs[Long]("sh") >= 0L)
     assert(r4.getAs[Int]("nre") === 4) // "hello" "," "world" "42"
+    // r6 additions: image-header decode and multi-probe LSH from SQL
+    val r6 = spark.sql("""
+      SELECT image_dims(unhex(concat('89504E470D0A1A0A0000000D49484452',
+               '00000280000001E0', '0806000000'))) AS d,
+             image_dims(cast('not an image' AS BINARY)) AS bad,
+             lsh_probes8(array(1.0D, -1.0D)) AS pr""").collect().head
+    val dims = r6.getStruct(0)
+    assert(dims.getString(0) === "png")
+    assert(dims.getInt(1) === 640 && dims.getInt(2) === 480)
+    assert(r6.isNullAt(1))
+    val probes = r6.getSeq[Long](2)
+    assert(probes.length === 3 && probes.distinct.length === 3)
   }
 
   test("GeoMean aggregator: partial/merge semantics") {
