@@ -749,14 +749,16 @@ object SparkEntry {
     s"""WITH $dkShingles,
        a AS (SELECT doc_id, sh, list_sort(list_distinct(
            [${dkHash("x")} % 2147483647 for x in sh]))[1:4] AS anchors FROM s),
-       e AS (SELECT doc_id, sh, anchors, unnest(anchors) AS anchor FROM a)
-       SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
-       FROM e x JOIN e y ON x.anchor = y.anchor AND x.doc_id < y.doc_id
-       WHERE x.anchor = list_min(list_intersect(x.anchors, y.anchors))
-         AND round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.3"""
+       e AS (SELECT doc_id, anchors, unnest(anchors) AS anchor FROM a),
+       cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM e x JOIN e y ON x.anchor = y.anchor AND x.doc_id < y.doc_id
+         WHERE x.anchor = list_min(list_intersect(x.anchors, y.anchors)))
+       SELECT id_a, id_b,
+         round(CAST(len(list_intersect(p.sh, q.sh)) AS DOUBLE)
+           / (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh))), 6) AS jaccard
+       FROM cand JOIN a p ON p.doc_id = id_a JOIN a q ON q.doc_id = id_b
+       WHERE round(CAST(len(list_intersect(p.sh, q.sh)) AS DOUBLE)
+           / (len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh))), 6) >= 0.3"""
 
   private val dkLshBucketExpr: String = (0 until 8).map { j =>
     s"(CASE WHEN list_sum([vd[k+1] * ((($j*73856093 + k*19349663) % 2000 - 1000)/1000.0) for k in range(0,64)]) >= 0 THEN ${1L << j} ELSE 0 END)"

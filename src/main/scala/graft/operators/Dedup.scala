@@ -168,11 +168,20 @@ object Dedup {
     * k-min anchor with probability ≈ 1-(1-J)^k vs ≈ J for one anchor),
     * and (b) no single corpus-common shingle can collect a quadratic hot
     * block: a doc lands in a block only for hashes among its k smallest,
-    * which a stop-word-ish shingle is for few documents. A pair sharing
-    * several anchors is emitted ONCE — owned by the smallest shared
-    * anchor (a per-row array test, no dedup shuffle). Jaccard >=
+    * which a stop-word-ish shingle is for few documents. Jaccard >=
     * `threshold` survives; this stage is exact on what it compares, the
     * LSH variant remains the tunable-recall path.
+    *
+    * Shape (same as [[minhashLshPairsVerified]]): candidate generation
+    * is a SLIM self-join — only (id, anchors[k], anchor) rows go through
+    * the anchor exchange (the k-long anchor array rides along so a pair
+    * colliding on several anchors is kept exactly once, owned by its
+    * minimum shared anchor — a per-row array test, NOT a distinct over
+    * the exploded pair volume, which on a replica-heavy corpus is the
+    * dominant shuffle); the heavy shingle arrays are re-attached by two
+    * linear equi-joins afterwards, so each doc's shingles cross a
+    * shuffle once per side instead of `anchors`× through the blocking
+    * join.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -189,18 +198,21 @@ object Dedup {
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("anchors", slice(array_sort(array_distinct(
         transform(hash60Array(col("sh")), _ % HashP))), 1, anchors))
-    val ex = withSh.select(col(idCol), col("sh"), col("anchors"),
+    val slim = withSh.select(col(idCol), col("anchors"),
       explode(col("anchors")).as("anchor"))
-    val a = ex.as("a")
-    val b = ex.as("b")
-    a.join(b,
+    val cand = slim.as("a").join(slim.as("b"),
         col("a.anchor") === col("b.anchor") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       // anchor ownership: exactly-once per pair, at its min shared anchor
       .filter(col("a.anchor") ===
         array_min(array_intersect(col("a.anchors"), col("b.anchors"))))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val sh = withSh.select(col(idCol), col("sh"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
