@@ -658,6 +658,28 @@ object SparkEntry {
           .cast("long").as("hour_id"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Streaming funnel, gated against the exact batch oracle: with the
+    * single AvailableNow micro-batch the per-user state step processes
+    * events in timestamp order, so the emitted final state IS the batch
+    * funnel. Users that never reached step 1 emit `steps_reached = 0`
+    * rows (Update-mode progress) — the batch form has no such rows, so
+    * they are filtered; step times are unpacked guarded (ANSI mode:
+    * an unguarded out-of-bounds array index would throw).
+    */
+  private def streamingFunnelQ(s: SparkSession, dir: String): DataFrame =
+    runStreamToTable(s,
+      Events.streamingFunnel(s, s"$dir/{events.parquet}",
+        Seq("signup", "click", "purchase")),
+      "stream_funnel", mode = "update")
+      .filter(col("steps_reached") >= 1)
+      .select(col("user_id"),
+        col("step_times").getItem(0).as("t_signup"),
+        when(col("steps_reached") >= 2, col("step_times").getItem(1))
+          .as("t_click"),
+        when(col("steps_reached") >= 3, col("step_times").getItem(2))
+          .as("t_purchase"),
+        col("steps_reached"))
+
   /** Streaming sessionize, gated against the batch result MINUS each
     * user's last session — exactly the rows an unbounded stream has
     * CLOSED (the final session per user is still open in state when the
@@ -858,6 +880,7 @@ object SparkEntry {
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
     "streaming_hourly" -> (streamingHourlyQ _),
+    "streaming_funnel" -> (streamingFunnelQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1396,6 +1419,21 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum
          FROM events GROUP BY 1, 2""",
+    "streaming_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t_signup FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t_signup GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+         SELECT s1.user_id, t_signup, t_click, t_purchase,
+           CASE WHEN t_purchase IS NOT NULL THEN 3
+                WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS steps_reached
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         LEFT JOIN s3 ON s1.user_id = s3.user_id""",
     "streaming_sessionize" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
