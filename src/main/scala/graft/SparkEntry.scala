@@ -661,10 +661,14 @@ object SparkEntry {
   /** Streaming funnel, gated against the exact batch oracle: with the
     * single AvailableNow micro-batch the per-user state step processes
     * events in timestamp order, so the emitted final state IS the batch
-    * funnel. Users that never reached step 1 emit `steps_reached = 0`
-    * rows (Update-mode progress) — the batch form has no such rows, so
-    * they are filtered; step times are unpacked guarded (ANSI mode:
-    * an unguarded out-of-bounds array index would throw).
+    * funnel. The Update-mode memory sink accumulates one progress row
+    * per user PER MICRO-BATCH, so the projection folds them to the
+    * final state instead of assuming a single batch: step times only
+    * ever improve (decrease) and steps_reached only grows, so
+    * min(times)/max(reached) per user IS the last emission even if the
+    * source splits into several batches. Users that never reached step 1
+    * drop out (the batch form has no such rows); step times are unpacked
+    * guarded (ANSI mode: an unguarded out-of-bounds index would throw).
     */
   private def streamingFunnelQ(s: SparkSession, dir: String): DataFrame =
     runStreamToTable(s,
@@ -679,6 +683,11 @@ object SparkEntry {
         when(col("steps_reached") >= 3, col("step_times").getItem(2))
           .as("t_purchase"),
         col("steps_reached"))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_signup")).as("t_signup"),
+        min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"),
+        max(col("steps_reached")).as("steps_reached"))
 
   /** Streaming sessionize, gated against the batch result MINUS each
     * user's last session — exactly the rows an unbounded stream has
@@ -1366,7 +1375,7 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, 'text' AS kind,
          CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
-         lower(hex(substr(text, 1, 8)::BLOB)) AS header_hex
+         lower(substr(hex(text::BLOB), 1, 16)) AS header_hex
          FROM documents""",
     "multimodal_decode" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 2048 AS w,

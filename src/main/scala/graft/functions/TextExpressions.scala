@@ -387,9 +387,12 @@ case class SimHashBandsExpr(child: Expression, bits: Int, bands: Int)
 /** Portable 60-bit hash of every element of a string array: the first 15
   * hex digits of md5 as a long — bit-identical to
   * `conv(substr(md5(s),1,15),16,10)` and to the DuckDB oracle's
-  * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`.
+  * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`. Optional `mod`
+  * (> 0) reduces each hash modulo that constant inside the same loop —
+  * callers that need `hash % p` (anchor blocking) stay in one native
+  * pass instead of wrapping this in an interpreted `transform` HOF.
   */
-case class Hash60ArrayExpr(child: Expression)
+case class Hash60ArrayExpr(child: Expression, mod: Long = 0L)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -407,7 +410,8 @@ case class Hash60ArrayExpr(child: Expression)
       var v = 0L
       var b = 0
       while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      out(i) = v >>> 4
+      val h = v >>> 4
+      out(i) = if (mod > 0) h % mod else h
       i += 1
     }
     new GenericArrayData(out)

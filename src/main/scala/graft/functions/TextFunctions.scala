@@ -55,11 +55,12 @@ object TextFunctions {
   }
 
   /** Portable 60-bit hash of each element of an existing string array
-    * (one native pass — the array form of [[hash60]]).
+    * (one native pass — the array form of [[hash60]]). `mod > 0` folds a
+    * `% mod` reduction into the same loop.
     */
-  def hash60Array(arr: Column): Column = {
+  def hash60Array(arr: Column, mod: Long = 0L): Column = {
     import org.apache.spark.sql.GraftColumnCompat._
-    toColumn(Hash60ArrayExpr(toExpression(arr)))
+    toColumn(Hash60ArrayExpr(toExpression(arr), mod))
   }
 
   /** One MinHash signature component: min over shingles of

@@ -28,9 +28,9 @@ import graft.core.PuffbirdException
   * keys minus its time column). The right side must be unique per
   * (key, time) — pre-aggregate duplicates, or the pick among equal
   * timestamps is nondeterministic; payload names colliding with left
-  * columns are rejected. Null timestamps never match (DuckDB ASOF
-  * comparison semantics): null-ts right rows are dropped, null-ts left
-  * rows pass through null-extended.
+  * columns are rejected. Null timestamps and null keys never match
+  * (DuckDB ASOF comparison semantics): such right rows are dropped,
+  * such left rows pass through null-extended.
   */
 object AsofJoin {
 
@@ -54,14 +54,21 @@ object AsofJoin {
         s"asofJoin: right payload collides with left columns: " +
           collisions.mkString(",") + " — rename before joining")
 
-    // ASOF semantics never match a null time (DuckDB: `l.t > r.t` is
-    // NULL for null operands): a null-ts right row must not become the
-    // running match, and a null-ts left row matches nothing. Under
-    // `ts.asc` nulls sort FIRST, so without this filter a null-ts right
-    // row would be last() for every later left row until superseded.
-    val right1 = right.filter(col(rightTs).isNotNull)
+    // ASOF semantics never match a null time OR a null key (DuckDB:
+    // `l.t > r.t` and the key equality are NULL for null operands): a
+    // null-ts/key right row must not become the running match, and a
+    // null-ts/key left row matches nothing. Under `ts.asc` nulls sort
+    // FIRST (a null-ts right row would be last() for every later left
+    // row until superseded), and `partitionBy` GROUPS null keys — both
+    // the opposite of join semantics — so such rows are filtered here
+    // and, for the left side, re-enter null-extended at the end.
+    val matchable = (col(rightTs).isNotNull +: keys.map(col(_).isNotNull))
+      .reduce(_ && _)
+    val leftMatchable = (col(leftTs).isNotNull +: keys.map(col(_).isNotNull))
+      .reduce(_ && _)
+    val right1 = right.filter(matchable)
     val (leftIn, leftNullTs) =
-      (left.filter(col(leftTs).isNotNull), left.filter(col(leftTs).isNull))
+      (left.filter(leftMatchable), left.filter(!leftMatchable))
 
     val ts = "__asof_ts"
     val lStruct = struct(lCols.map(col): _*)

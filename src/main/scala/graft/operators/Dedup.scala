@@ -197,7 +197,7 @@ object Dedup {
         docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("anchors", slice(array_sort(array_distinct(
-        transform(hash60Array(col("sh")), _ % HashP))), 1, anchors))
+        hash60Array(col("sh"), mod = HashP))), 1, anchors))
     val slim = withSh.select(col(idCol), col("anchors"),
       explode(col("anchors")).as("anchor"))
     val cand = slim.as("a").join(slim.as("b"),

@@ -520,6 +520,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tag"))
   }
 
+  test("asofJoin: null timestamps and null keys never match, left rows" +
+      " survive null-extended") {
+    import graft.operators.AsofJoin.asofJoin
+    val left = Seq(
+      (Some(1L), Some(10L), "a"),
+      (Some(1L), Option.empty[Long], "nullts"),
+      (Option.empty[Long], Some(10L), "nullkey"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(5L), 50.0),
+      (Some(1L), Option.empty[Long], 666.0), // null-ts: must never match
+      (Option.empty[Long], Some(1L), 777.0)) // null-key: must never match
+      .toDF("k", "t", "v")
+    val got = asofJoin(left, right, Seq("k"), "t", "t")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // "a" matches the real (k=1, t=5) row — NOT the null-ts 666 (which
+    // sorts first under ts.asc and would otherwise be the running match)
+    assert(got === Map("a" -> 50.0, "nullts" -> null, "nullkey" -> null))
+  }
+
   test("rangeJoin: inclusive bounds, multi-bin intervals, no duplicate" +
       " matches, keyed variant") {
     import graft.operators.RangeJoin.rangeJoin
