@@ -574,6 +574,18 @@ object SparkEntry {
   private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
+  /** Unicode normalization gate: accents/case/spacing are injected
+    * (testdata text is pure ASCII — without the suffix the oracle would
+    * be vacuous), incl. a COMBINING ACUTE sequence to force the NFD
+    * path. Oracle = DuckDB lower(strip_accents(nfc_normalize(...))).
+    */
+  private def textNormalizeQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.normalizeText(
+        concat(col("text"),
+          lit(" Caf\u00e9 \u00dcBER stra\u00dfe NA\u00cfVE e\u0301lan  x")))
+        .as("norm_text"))
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.pack(docs(s, dir), "doc_id", "text", "text")
       .select(col("doc_id"),
@@ -881,6 +893,7 @@ object SparkEntry {
     "text_vocabulary"  -> (textVocabulary _),
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
+    "text_normalize"    -> (textNormalizeQ _),
     "multimodal_meta"  -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecodeQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -1181,6 +1194,10 @@ object SparkEntry {
          SELECT r.band_id, l.o_orderkey, l.o_totalprice
          FROM orders l JOIN r
            ON l.o_totalprice >= r.lo AND l.o_totalprice <= r.hi""",
+    "text_normalize" ->
+      s"""SELECT doc_id, trim(regexp_replace(lower(strip_accents(
+           nfc_normalize(text || ' Caf\u00e9 \u00dcBER stra\u00dfe NA\u00cfVE e\u0301lan  x'))), '\\s+', ' ', 'g')) AS norm_text
+         FROM documents""",
     "pii_scrub" ->
       """WITH d AS (SELECT doc_id,
            text || ' contact user' || doc_id || '@example.com or 555-12' ||

@@ -420,3 +420,44 @@ case class Hash60ArrayExpr(child: Expression, mod: Long = 0L)
   override protected def withNewChildInternal(c: Expression): Hash60ArrayExpr =
     copy(child = c)
 }
+
+/** Unicode canonicalization for dedup keys: NFD-decompose, drop every
+  * combining mark, NFC-recompose, lowercase (root locale). Matches
+  * DuckDB's `lower(strip_accents(nfc_normalize(s)))` for Latin
+  * accent/diacritic text — the characters injected by the oracle gate —
+  * so normalized exact-dedup hashes agree across engines. One JVM pass
+  * per row; no regex.
+  */
+case class NormalizeTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize_text needs string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    import java.text.Normalizer
+    val s = input.asInstanceOf[UTF8String].toString
+    val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    val recomposed = Normalizer.normalize(sb, Normalizer.Form.NFC)
+    UTF8String.fromString(recomposed.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NormalizeTextExpr =
+    copy(child = c)
+}

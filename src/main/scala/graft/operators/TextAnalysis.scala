@@ -214,6 +214,21 @@ object TextAnalysis {
       ipv4, "<IP>")
   }
 
+  /** Unicode canonicalization (the standard pre-dedup text key): NFD →
+    * strip combining marks → NFC → lowercase, then collapse runs of
+    * whitespace and trim. "Café  Ü" and "cafe u" normalize equal, so
+    * normalized exact dedup catches accent/case/spacing variants. The
+    * unicode step is one native JVM pass
+    * ([[graft.functions.NormalizeTextExpr]]); the whitespace collapse
+    * stays a codegen'd `regexp_replace`.
+    */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    trim(regexp_replace(
+      toColumn(graft.functions.NormalizeTextExpr(toExpression(text))),
+      "\\s+", " "))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct shingle set —
     * invariant to word order at the shingle level and to shingle
     * multiplicity; equal fingerprints are near-certain duplicates.

@@ -476,6 +476,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeText: accents/case/space variants collapse to one key;" +
+      " composed and combining forms agree") {
+    import graft.operators.TextAnalysis.normalizeText
+    val got = Seq(
+      "Café  Über    straße", // composed é, Ü; nbsp-free
+      "cafe uber straße",
+      "CAFE\u0301 U\u0308BER stra\u00dfe", // combining acute / diaeresis
+      "naïve  ÉLAN").toDF("t")
+      .select(normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) === "cafe uber straße")
+    assert(got(1) === got(0))
+    assert(got(2) === got(0)) // NFD path: combining marks stripped too
+    assert(got(3) === "naive elan")
+  }
+
   test("scrubPii masks emails, phones, and IPv4s, leaves clean text alone") {
     import graft.operators.TextAnalysis.scrubPii
     val got = Seq(
