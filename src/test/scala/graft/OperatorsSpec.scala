@@ -470,6 +470,16 @@ class OperatorsSpec extends AnyFunSuite {
         li.select($"k", $"ln".as("t"), $"qty"),
         li.select($"k", $"ln".as("t"), $"qty".as("v")),
         Seq("k"), "t", "t")) === 1)
+      // r6 additions: header decode is pipelined; multiprobe ANN pays
+      // one exchange per join side + one for the rank window; the slim
+      // ngram shape is 2 (anchor join) + 2 (shingle re-attach joins —
+      // each reuses one side's existing partitioning)
+      assert(shuffles(Multimodal.decodeImage(
+        Multimodal.pack(docs, "doc_id", "text", "image"), "doc_id")) === 0)
+      assert(shuffles(Similarity.annLshMultiprobe(
+        Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, dim = 2)) === 3)
+      assert(shuffles(Dedup.ngramJaccardPairs(docs, "doc_id", "text")) === 4)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
