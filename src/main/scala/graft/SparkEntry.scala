@@ -586,6 +586,19 @@ object SparkEntry {
           lit(" Caf\u00e9 \u00dcBER stra\u00dfe NA\u00cfVE e\u0301lan  x")))
         .as("norm_text"))
 
+  /** Char-n-gram fingerprint gate: a CJK suffix is injected (testdata is
+    * ASCII) so the code-point indexing — where Spark UTF8String and
+    * DuckDB `substr`/`length` must agree on multi-byte text — is
+    * actually exercised by the hash compare.
+    */
+  private def docCharFingerprintQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charFingerprints(
+      docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\u0020\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u78ba\u8a8d"))
+          .as("text")),
+      "doc_id", "text")
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.pack(docs(s, dir), "doc_id", "text", "text")
       .select(col("doc_id"),
@@ -894,6 +907,7 @@ object SparkEntry {
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
     "text_normalize"    -> (textNormalizeQ _),
+    "doc_char_fingerprint" -> (docCharFingerprintQ _),
     "multimodal_meta"  -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecodeQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -1198,6 +1212,13 @@ object SparkEntry {
       s"""SELECT doc_id, trim(regexp_replace(lower(strip_accents(
            nfc_normalize(text || ' Caf\u00e9 \u00dcBER stra\u00dfe NA\u00cfVE e\u0301lan  x'))), '\\s+', ' ', 'g')) AS norm_text
          FROM documents""",
+    "doc_char_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, text || '\u0020\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u78ba\u8a8d' AS t FROM documents),
+         g AS (SELECT doc_id, CASE WHEN length(t) >= 5
+             THEN [substr(t, CAST(i AS INTEGER), 5) for i in range(1, length(t) - 3)]
+             ELSE [t] END AS sh FROM d)
+         SELECT doc_id, md5(array_to_string(list_sort(list_distinct(sh)), ' '))
+           AS char_fingerprint FROM g""",
     "pii_scrub" ->
       """WITH d AS (SELECT doc_id,
            text || ' contact user' || doc_id || '@example.com or 555-12' ||

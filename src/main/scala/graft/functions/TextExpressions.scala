@@ -461,3 +461,47 @@ case class NormalizeTextExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): NormalizeTextExpr =
     copy(child = c)
 }
+
+/** Distinct CHARACTER n-gram shingles — the language-agnostic analog of
+  * [[ShinglesExpr]] for scripts without whitespace word boundaries
+  * (CJK, Thai, ...). Indexing is by Unicode code point (UTF8String
+  * substring semantics), matching DuckDB's character-based
+  * `substr`/`length`, so the cross-engine oracle agrees on non-ASCII
+  * text; texts shorter than `n` chars yield the single whole-text
+  * shingle (mirroring the word form). Compose with `normalizeText`
+  * upstream for case/accent folding.
+  */
+case class CharShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_shingles needs string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (len >= n) {
+      var i = 0
+      while (i <= len - n) {
+        out.add(s.substring(i, i + n))
+        i += 1
+      }
+    } else out.add(s)
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharShinglesExpr =
+    copy(child = c)
+}

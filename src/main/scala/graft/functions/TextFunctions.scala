@@ -54,6 +54,15 @@ object TextFunctions {
     toColumn(Hash60ArrayExpr(ShinglesExpr(toExpression(text), n)))
   }
 
+  /** Distinct character n-gram shingles (code-point indexed) — the
+    * language-agnostic form of [[shingles]] for scripts without
+    * whitespace word boundaries. Native one-pass ([[CharShinglesExpr]]).
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(CharShinglesExpr(toExpression(text), n))
+  }
+
   /** Portable 60-bit hash of each element of an existing string array
     * (one native pass — the array form of [[hash60]]). `mod > 0` folds a
     * `% mod` reduction into the same loop.

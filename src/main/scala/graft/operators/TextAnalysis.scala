@@ -229,6 +229,23 @@ object TextAnalysis {
       "\\s+", " "))
   }
 
+  /** Character-n-gram content fingerprint: md5 over the sorted distinct
+    * CHAR shingle set — the fingerprint for scripts where whitespace
+    * word shingles degenerate to whole-line tokens (CJK, Thai). Same
+    * single native pass per row as [[fingerprints]].
+    */
+  def charFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      charN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    docs.select(col(idCol),
+      toColumn(graft.functions.FingerprintExpr(
+        toExpression(charShingles(col(textCol), charN))))
+        .as("char_fingerprint"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct shingle set —
     * invariant to word order at the shingle level and to shingle
     * multiplicity; equal fingerprints are near-certain duplicates.

@@ -157,6 +157,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map(0L -> "en", 1L -> "de", 2L -> "und"))
   }
 
+  test("charShingles: code-point n-grams work where word shingles" +
+      " degenerate (CJK); char fingerprints separate near-identical docs") {
+    import graft.functions.TextFunctions.{charShingles, shingles}
+    // no whitespace: the WORD shingle set is one whole-line token
+    val cjk = "日本語のテキスト"
+    val d = Seq((0L, cjk), (1L, cjk), (2L, cjk.dropRight(1) + "本"))
+      .toDF("doc_id", "text")
+    val wordCount = d.select(size(shingles(col("text"), 3)))
+      .as[Int].collect()
+    assert(wordCount.forall(_ === 1)) // word shingles blind on CJK
+    val n = d.select(size(charShingles(col("text"), 3)).as("n"))
+      .as[Int].collect()
+    assert(n(0) === 6) // 8 chars -> 6 distinct 3-grams
+    val fp = TextAnalysis.charFingerprints(d, "doc_id", "text", charN = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) === fp(1L))   // identical text, same fingerprint
+    assert(fp(0L) !== fp(2L))   // one-char difference is visible
+    // shorter than n: single whole-text shingle, like the word form
+    assert(d.limit(1).select(charShingles(lit("ab"), 3)).collect()
+      .head.getSeq[String](0) === Seq("ab"))
+  }
+
   test("fingerprints: equal for dups, distinct otherwise") {
     val fp = TextAnalysis.fingerprints(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
