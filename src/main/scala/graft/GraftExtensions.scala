@@ -66,5 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "multi-probe LSH buckets: base + 2 lowest-margin bit flips") {
       exprs => LshProbesExpr(exprs.head, planes = 8, probes = 3)
     }
+    inject("normalize_text",
+      "NFD + strip combining marks + NFC + lowercase") {
+      exprs => NormalizeTextExpr(exprs.head)
+    }
+    inject("char_shingles3", "distinct code-point 3-gram shingles") {
+      exprs => CharShinglesExpr(exprs.head, 3)
+    }
   }
 }

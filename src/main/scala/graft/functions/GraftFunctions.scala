@@ -61,6 +61,10 @@ object GraftFunctions {
       exprs => ImageDimsExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_probes8",
       exprs => LshProbesExpr(exprs.head, planes = 8, probes = 3), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_text",
+      exprs => NormalizeTextExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_shingles3",
+      exprs => CharShinglesExpr(exprs.head, 3), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
   }
 }

@@ -221,6 +221,12 @@ class ParitySpec extends AnyFunSuite {
     assert(r6.isNullAt(1))
     val probes = r6.getSeq[Long](2)
     assert(probes.length === 3 && probes.distinct.length === 3)
+    val r6b = spark.sql("""
+      SELECT normalize_text('Café  ÜBER') AS n,
+             size(char_shingles3('日本語のテ')) AS cs""")
+      .collect().head
+    assert(r6b.getString(0) === "cafe  uber")
+    assert(r6b.getInt(1) === 3)
   }
 
   test("GeoMean aggregator: partial/merge semantics") {

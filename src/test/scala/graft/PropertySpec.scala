@@ -267,4 +267,56 @@ class PropertySpec extends AnyFunSuite {
       refBuckets.as("ref_bk")).collect()
     rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
+
+  test("ImageHeaders.dims: arbitrary byte fuzz never throws; valid-prefix" +
+      " payloads with trailing garbage still parse") {
+    import graft.functions.ImageHeaders.dims
+    val byteGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+    (0 until 500).foreach { i =>
+      val bytes = byteGen
+        .pureApply(Gen.Parameters.default, rng.Seed(i.toLong)).toArray
+      val r = dims(bytes) // null or a sane struct — never an exception
+      if (r != null) {
+        assert(r.getInt(1) > 0 && r.getInt(2) > 0)
+        assert(Set("png", "jpeg", "gif", "bmp")(r.getUTF8String(0).toString))
+      }
+      // magic-byte prefixes + random tails: the parser reads bounded
+      // offsets, so garbage after a complete header must not matter
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+        0x0a, 0, 0, 0, 0x0d, 'I', 'H', 'D', 'R', 0, 0, 1, 0, 0, 0, 2, 0) ++
+        bytes
+      val pr = dims(png)
+      assert(pr != null && pr.getInt(1) === 256 && pr.getInt(2) === 512)
+    }
+  }
+
+  test("normalizeText is idempotent and charShingles is total on random" +
+      " unicode strings") {
+    import graft.operators.TextAnalysis.normalizeText
+    import graft.functions.TextFunctions.charShingles
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const('\u00e9'),
+      Gen.const('\u0301'), Gen.const('\u65e5'), Gen.const('\u00df'),
+      Gen.const('\t'))).map(_.mkString)
+    val samples = (0 until 200).map(i =>
+      strGen.pureApply(Gen.Parameters.default, rng.Seed(i.toLong)))
+    val df = samples.toDF("t")
+    val once = df.select(normalizeText(col("t")).as("n"))
+    val twice = once.select(normalizeText(col("n")).as("n2"), col("n"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // charShingles: total (no throw), distinct, each shingle 3 chars
+    // (code points) unless the input is shorter
+    val sh = df.select(col("t"), charShingles(col("t"), 3).as("sh")).collect()
+    sh.foreach { r =>
+      val t = r.getString(0)
+      val arr = r.getSeq[String](1)
+      assert(arr.distinct.length === arr.length)
+      val tCp = t.codePointCount(0, t.length)
+      if (tCp >= 3) {
+        assert(arr.forall(s => s.codePointCount(0, s.length) === 3))
+        assert(arr.length <= tCp - 2)
+      } else assert(arr === Seq(t))
+    }
+  }
 }
