@@ -394,6 +394,9 @@ object SparkEntry {
   private def dedupLshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
 
+  private def dedupLshCharQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairsChar(docs(s, dir), "doc_id", "text")
+
   private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
@@ -801,6 +804,29 @@ object SparkEntry {
        SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM h"""
   }
 
+  /** Char-5-gram LSH pairs (= Dedup.minhashLshPairsChar): same sig/band
+    * pipeline as [[dkLshPairs]] over code-point 5-gram shingles.
+    */
+  private val dkLshCharPairs: String = {
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    s"""WITH c AS (SELECT doc_id, CASE WHEN length(text) >= 5
+         THEN list_distinct([substr(text, CAST(i AS INTEGER), 5)
+           for i in range(1, length(text) - 3)])
+         ELSE [text] END AS sh FROM documents),
+       h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM c),
+       sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
+       bk AS ($bucketSelects)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        AND a.doc_id < b.doc_id"""
+  }
+
   private val dkNgramPairs: String =
     s"""WITH $dkShingles,
        a AS (SELECT doc_id, sh, list_sort(list_distinct(
@@ -876,6 +902,7 @@ object SparkEntry {
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs"  -> (dedupLshPairs _),
+    "dedup_lsh_char"   -> (dedupLshCharQ _),
     "dedup_drop_near"  -> (dedupDropNear _),
     "dedup_components" -> (dedupComponents _),
     "dedup_simhash"    -> (dedupSimhash _),
@@ -1127,6 +1154,7 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "dedup_minhash_sig" -> dkMinhashSigSelect,
     "dedup_lsh_pairs" -> dkLshPairs,
+    "dedup_lsh_char" -> dkLshCharPairs,
     "dedup_drop_near" ->
       s"""SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT id_b FROM ($dkLshPairs))""",

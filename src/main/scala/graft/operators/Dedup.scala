@@ -85,14 +85,41 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8): DataFrame =
+    lshPairsFromText(docs, idCol, textCol,
+      shingleHashes(_, shingleN), numHashes, bands)
+
+  /** [[minhashLshPairs]] over CHARACTER n-gram shingles — the
+    * language-agnostic candidate generator for scripts where whitespace
+    * word shingles degenerate to whole-line tokens (CJK, Thai).
+    * Identical band-join shape and scale behavior.
+    */
+  def minhashLshPairsChar(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      charN: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame =
+    lshPairsFromText(docs, idCol, textCol,
+      t => hash60Array(charShingles(t, charN)), numHashes, bands)
+
+  /** Shared band-join candidate generation: spread the RAW text first
+    * (the shingle/hash pipeline then runs after the exchange, on all
+    * cores), fan out to (band, bucket) rows, equi-join.
+    */
+  private def lshPairsFromText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mkHashes: Column => Column,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val buckets = Spread.ifNarrow(
         docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),
-        posexplode(
-          minhashBuckets(shingleHashes(col(textCol), shingleN),
-            numHashes, bands)))
+        posexplode(minhashBuckets(mkHashes(col(textCol)), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val a = buckets.as("a")
