@@ -1243,9 +1243,11 @@ object SparkEntry {
     "doc_char_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, text || '\u0020\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u78ba\u8a8d' AS t FROM documents),
          g AS (SELECT doc_id, CASE WHEN length(t) >= 5
-             THEN [substr(t, CAST(i AS INTEGER), 5) for i in range(1, length(t) - 3)]
+             THEN list_distinct([substr(t, CAST(i AS INTEGER), 5)
+               for i in range(1, length(t) - 3)])
              ELSE [t] END AS sh FROM d)
-         SELECT doc_id, md5(array_to_string(list_sort(list_distinct(sh)), ' '))
+         SELECT doc_id, md5(array_to_string(list_sort(
+             [${dkHash("x")} for x in sh]), ' '))
            AS char_fingerprint FROM g""",
     "pii_scrub" ->
       """WITH d AS (SELECT doc_id,

@@ -505,3 +505,45 @@ case class CharShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): CharShinglesExpr =
     copy(child = c)
 }
+
+/** Content fingerprint of a LONG array in one pass: md5 over the
+  * elements sorted ascending and joined with a single space — the
+  * primitive-array analog of [[FingerprintExpr]] for hashed shingle
+  * sets, where sorting longs (one `Arrays.sort` of a primitive array)
+  * replaces sorting thousands of short strings per row.
+  */
+case class LongArrayFingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_fingerprint needs array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(a)
+    val sb = new java.lang.StringBuilder(a.length * 20)
+    var i = 0
+    while (i < a.length) {
+      if (i > 0) sb.append(' ')
+      sb.append(a(i))
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(sb.toString.getBytes("UTF-8"))
+    val hex = new java.lang.StringBuilder(32)
+    d.foreach(b => hex.append(f"${b & 0xff}%02x"))
+    UTF8String.fromString(hex.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LongArrayFingerprintExpr =
+    copy(child = c)
+}

@@ -229,10 +229,17 @@ object TextAnalysis {
       "\\s+", " "))
   }
 
-  /** Character-n-gram content fingerprint: md5 over the sorted distinct
-    * CHAR shingle set — the fingerprint for scripts where whitespace
-    * word shingles degenerate to whole-line tokens (CJK, Thai). Same
-    * single native pass per row as [[fingerprints]].
+  /** Character-n-gram content fingerprint: md5 over the sorted HASHED
+    * char shingle set — the fingerprint for scripts where whitespace
+    * word shingles degenerate to whole-line tokens (CJK, Thai). Char
+    * shingling yields ~|text| shingles per doc (vs ~|words| for the word
+    * form), so the set is hashed to longs first and the sort runs over a
+    * primitive array — one `Arrays.sort` per row instead of a
+    * thousands-of-short-strings comparison sort with its per-element
+    * allocations. Runtime is dominated either way by the portable
+    * per-shingle md5 (~|text| digests per doc — the price of a
+    * cross-engine-reproducible fingerprint); the pass is pipelined,
+    * shuffle-free, and embarrassingly parallel at corpus scale.
     */
   def charFingerprints(
       docs: DataFrame,
@@ -241,8 +248,8 @@ object TextAnalysis {
       charN: Int = 5): DataFrame = {
     import org.apache.spark.sql.GraftColumnCompat._
     docs.select(col(idCol),
-      toColumn(graft.functions.FingerprintExpr(
-        toExpression(charShingles(col(textCol), charN))))
+      toColumn(graft.functions.LongArrayFingerprintExpr(
+        toExpression(hash60Array(charShingles(col(textCol), charN)))))
         .as("char_fingerprint"))
   }
 
