@@ -75,6 +75,21 @@ object Stress {
     time("dedup_lsh_verified") {
       Dedup.minhashLshPairsVerified(docs, "doc_id", "text")
     }
+    time("dedup_lsh_char") {
+      Dedup.minhashLshPairsChar(docs, "doc_id", "text")
+    }
+    time("dedup_lsh_char_mod4") {
+      // mod-4 universe sampling + retuned bands (4x2 instead of 8x2):
+      // sampling shrinks each doc's signature evidence, so band count
+      // must drop to hold per-band precision — measured UNtuned (8
+      // bands) the candidate-pair volume explodes on this replica-heavy
+      // corpus and sampling is a net loss (92s vs 44s)
+      Dedup.minhashLshPairsChar(docs, "doc_id", "text", sampleMod = 4,
+        numHashes = 16, bands = 4)
+    }
+    time("doc_char_fingerprint") {
+      graft.operators.TextAnalysis.charFingerprints(docs, "doc_id", "text")
+    }
     locally {
       // quantize→dequantize→search roundtrip: the int8 path must keep
       // brute-force top-k recall ≈ 1 while shrinking storage 4x

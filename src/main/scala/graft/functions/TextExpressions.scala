@@ -471,7 +471,7 @@ case class NormalizeTextExpr(child: Expression)
   * shingle (mirroring the word form). Compose with `normalizeText`
   * upstream for case/accent folding.
   */
-case class CharShinglesExpr(child: Expression, n: Int)
+case class CharShinglesExpr(child: Expression, n: Int, keepLastCpMod: Int = 0)
     extends UnaryExpression with CodegenFallback {
 
   require(n > 0, "shingle size must be positive")
@@ -488,17 +488,32 @@ case class CharShinglesExpr(child: Expression, n: Int)
           s"char_shingles needs string, got ${other.simpleString}")
     }
 
+  // keepLastCpMod > 0 = universe sampling INSIDE the shingle loop: keep a
+  // shingle iff its last code point % mod == 0. The selection rule is a
+  // pure function of shingle content, so every document samples the same
+  // sub-universe (what Jaccard estimation needs), and dropped shingles
+  // cost nothing downstream — no md5, no minhash, no array slot. This is
+  // where char-grade shingling (~|text| shingles/doc) buys back its
+  // ~10x-the-word-form hashing bill; an after-the-fact hash-mod filter
+  // measured SLOWER than no sampling (the md5s were already paid).
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val len = s.numChars()
+    val str = input.asInstanceOf[UTF8String].toString
+    val cps = str.codePoints().toArray
     val out = new java.util.LinkedHashSet[UTF8String]()
-    if (len >= n) {
+    def keeps(lastCp: Int): Boolean =
+      keepLastCpMod <= 1 || lastCp % keepLastCpMod == 0
+    if (cps.length >= n) {
       var i = 0
-      while (i <= len - n) {
-        out.add(s.substring(i, i + n))
+      while (i <= cps.length - n) {
+        if (keeps(cps(i + n - 1)))
+          out.add(UTF8String.fromString(new String(cps, i, n)))
         i += 1
       }
-    } else out.add(s)
+    } else if (cps.length > 0 && keeps(cps(cps.length - 1))) {
+      out.add(UTF8String.fromString(str))
+    } else if (cps.length == 0 && keepLastCpMod <= 1) {
+      out.add(UTF8String.fromString(str))
+    }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 

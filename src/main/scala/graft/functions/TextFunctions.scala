@@ -58,9 +58,9 @@ object TextFunctions {
     * language-agnostic form of [[shingles]] for scripts without
     * whitespace word boundaries. Native one-pass ([[CharShinglesExpr]]).
     */
-  def charShingles(text: Column, n: Int): Column = {
+  def charShingles(text: Column, n: Int, keepLastCpMod: Int = 0): Column = {
     import org.apache.spark.sql.GraftColumnCompat._
-    toColumn(CharShinglesExpr(toExpression(text), n))
+    toColumn(CharShinglesExpr(toExpression(text), n, keepLastCpMod))
   }
 
   /** Portable 60-bit hash of each element of an existing string array

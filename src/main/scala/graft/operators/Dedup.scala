@@ -92,7 +92,26 @@ object Dedup {
   /** [[minhashLshPairs]] over CHARACTER n-gram shingles — the
     * language-agnostic candidate generator for scripts where whitespace
     * word shingles degenerate to whole-line tokens (CJK, Thai).
-    * Identical band-join shape and scale behavior.
+    * Identical band-join shape.
+    *
+    * Char shingling yields ~|text| shingles per doc (≈10× the word
+    * form), and the per-shingle md5 + minhash work scales with it —
+    * `sampleMod > 1` applies universe sampling INSIDE the native
+    * shingle loop (keep a shingle iff its last code point % sampleMod
+    * == 0 — a pure function of shingle content, so all documents sample
+    * the same sub-universe): Jaccard over a fixed sub-universe still
+    * estimates the full-universe value, banding recall degrades
+    * gracefully, and dropped shingles never reach the md5/minhash
+    * stages at all. RETUNE `bands` down when sampling (e.g. 8 → 4 at
+    * sampleMod = 4): each signature now rests on `sampleMod`× fewer
+    * shingles, so per-band match probability rises and an untuned band
+    * count inflates candidate-pair volume — measured at 10×, untuned
+    * sampling was a net LOSS (the pair join, not hashing, dominated).
+    * Docs whose sample comes up empty are excluded from
+    * candidate generation (NOT collapsed into a shared empty-signature
+    * bucket — that would be a corpus-sized false block); with ~1000
+    * shingles per doc the probability is negligible, but the guard
+    * makes it structural.
     */
   def minhashLshPairsChar(
       docs: DataFrame,
@@ -100,9 +119,11 @@ object Dedup {
       textCol: String,
       charN: Int = 5,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame =
+      bands: Int = 8,
+      sampleMod: Int = 1): DataFrame =
     lshPairsFromText(docs, idCol, textCol,
-      t => hash60Array(charShingles(t, charN)), numHashes, bands)
+      t => hash60Array(charShingles(t, charN, keepLastCpMod = sampleMod)),
+      numHashes, bands, dropEmpty = sampleMod > 1)
 
   /** Shared band-join candidate generation: spread the RAW text first
     * (the shingle/hash pipeline then runs after the exchange, on all
@@ -114,12 +135,16 @@ object Dedup {
       textCol: String,
       mkHashes: Column => Column,
       numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      dropEmpty: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val buckets = Spread.ifNarrow(
+    val hashed = Spread.ifNarrow(
         docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), mkHashes(col(textCol)).as("__hs"))
+    val guarded = if (dropEmpty) hashed.filter(size(col("__hs")) > 0) else hashed
+    val buckets = guarded
       .select(col(idCol),
-        posexplode(minhashBuckets(mkHashes(col(textCol)), numHashes, bands)))
+        posexplode(minhashBuckets(col("__hs"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val a = buckets.as("a")

@@ -55,6 +55,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("char LSH pairs: finds exact dups; mod-sampling keeps them and" +
+      " drops empty-sample docs instead of false-bucketing them") {
+    val pairs = Dedup.minhashLshPairsChar(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // sampled variant: exact dups still collide on every surviving band
+    val sampled = Dedup.minhashLshPairsChar(docs, "doc_id", "text",
+      sampleMod = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled.contains((0L, 3L)))
+    // two DIFFERENT single-shingle docs whose shingle fails the mod
+    // selection ('c' = 99 ≡ 3, 'e' = 101 ≡ 1 mod 4): the unguarded
+    // pipeline would give both the empty-input signature and falsely
+    // pair them; the guard must yield zero pairs
+    val d2 = Seq((10L, "abc"), (11L, "abe")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairsChar(d2, "doc_id", "text", sampleMod = 4)
+      .count() === 0L)
+  }
+
   test("simhash: exact dups equal, near-dups close in Hamming distance") {
     val sh = Dedup.simhashFingerprints(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
