@@ -20,6 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * sort, set-intersect) is order-insensitive.
   */
 
+/** Shared lowercase-hex md5 encode — the cross-engine fingerprint format
+  * (must match DuckDB's `md5()` output); factored so the three
+  * fingerprint/bucket expressions cannot drift apart.
+  */
+private[functions] object PortableHash {
+  def hexDigest(d: Array[Byte]): UTF8String = {
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Distinct word n-gram shingles of a lowercased, whitespace-split text.
   * Matches `TextFunctions.shingles`: texts shorter than `n` words yield
   * the single whole-text shingle.
@@ -79,11 +91,8 @@ case class FingerprintExpr(child: Expression)
     java.util.Arrays.sort(elems,
       java.util.Comparator.naturalOrder[UTF8String]())
     val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(
-      UTF8String.concatWs(UTF8String.fromString(" "), elems: _*).getBytes)
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    UTF8String.fromString(sb.toString)
+    PortableHash.hexDigest(md.digest(
+      UTF8String.concatWs(UTF8String.fromString(" "), elems: _*).getBytes))
   }
 
   override protected def withNewChildInternal(c: Expression): FingerprintExpr =
@@ -147,6 +156,12 @@ case class MinHashBucketsExpr(child: Expression, numHashes: Int, bands: Int)
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    // empty shingle set → NO buckets (empty array): a downstream
+    // posexplode then emits no band rows for the doc. The alternative —
+    // bands over the Long.MaxValue empty-signature constants — would
+    // put every empty-set doc into ONE shared bucket: a corpus-scale
+    // false block of mutual "near-duplicates".
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val sigs = new Array[Long](numHashes)
     java.util.Arrays.fill(sigs, Long.MaxValue)
     var i = 0
@@ -173,10 +188,7 @@ case class MinHashBucketsExpr(child: Expression, numHashes: Int, bands: Int)
         r += 1
       }
       md.reset()
-      val d = md.digest(sb.toString.getBytes("UTF-8"))
-      val hex = new java.lang.StringBuilder(32)
-      d.foreach(x => hex.append(f"${x & 0xff}%02x"))
-      out(b) = UTF8String.fromString(hex.toString)
+      out(b) = PortableHash.hexDigest(md.digest(sb.toString.getBytes("UTF-8")))
       b += 1
     }
     new GenericArrayData(out)
@@ -451,7 +463,15 @@ case class NormalizeTextExpr(child: Expression)
     var i = 0
     while (i < nfd.length) {
       val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      // strip ALL combining-mark categories (Mn, Mc, Me) — utf8proc's
+      // STRIPMARK (DuckDB strip_accents) removes spacing and enclosing
+      // marks too, e.g. the Devanagari vowel sign (Mc); Mn-only would
+      // diverge from the oracle on the first Indic/enclosed-mark text.
+      // Hangul is safe: NFD yields Jamo (Lo), NFC recomposes.
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.append(c)
       i += 1
     }
     val recomposed = Normalizer.normalize(sb, Normalizer.Form.NFC)
@@ -509,9 +529,13 @@ case class CharShinglesExpr(child: Expression, n: Int, keepLastCpMod: Int = 0)
           out.add(UTF8String.fromString(new String(cps, i, n)))
         i += 1
       }
-    } else if (cps.length > 0 && keeps(cps(cps.length - 1))) {
-      out.add(UTF8String.fromString(str))
-    } else if (cps.length == 0 && keepLastCpMod <= 1) {
+    } else {
+      // texts shorter than n ALWAYS keep their whole-text shingle, even
+      // when sampling: the mod test on a single shingle would exclude
+      // ~(1 - 1/mod) of all short docs outright — two identical tiny
+      // docs would silently never pair. Sampling is a budget knob for
+      // long documents (~|text| shingles); a short doc's one shingle IS
+      // its whole budget.
       out.add(UTF8String.fromString(str))
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
@@ -553,10 +577,7 @@ case class LongArrayFingerprintExpr(child: Expression)
       i += 1
     }
     val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(sb.toString.getBytes("UTF-8"))
-    val hex = new java.lang.StringBuilder(32)
-    d.foreach(b => hex.append(f"${b & 0xff}%02x"))
-    UTF8String.fromString(hex.toString)
+    PortableHash.hexDigest(md.digest(sb.toString.getBytes("UTF-8")))
   }
 
   override protected def withNewChildInternal(c: Expression): LongArrayFingerprintExpr =

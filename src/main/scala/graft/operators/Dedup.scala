@@ -107,11 +107,12 @@ object Dedup {
     * shingles, so per-band match probability rises and an untuned band
     * count inflates candidate-pair volume — measured at 10×, untuned
     * sampling was a net LOSS (the pair join, not hashing, dominated).
-    * Docs whose sample comes up empty are excluded from
-    * candidate generation (NOT collapsed into a shared empty-signature
-    * bucket — that would be a corpus-sized false block); with ~1000
-    * shingles per doc the probability is negligible, but the guard
-    * makes it structural.
+    * Texts shorter than `charN` always keep their whole-text shingle
+    * (their one shingle IS their budget — sampling it away would
+    * silently unpair identical tiny docs); a longer doc whose sample
+    * comes up empty gets no band rows at all (empty bucket array inside
+    * the expression), never a shared empty-signature bucket — that
+    * would be a corpus-sized false block.
     */
   def minhashLshPairsChar(
       docs: DataFrame,
@@ -123,11 +124,16 @@ object Dedup {
       sampleMod: Int = 1): DataFrame =
     lshPairsFromText(docs, idCol, textCol,
       t => hash60Array(charShingles(t, charN, keepLastCpMod = sampleMod)),
-      numHashes, bands, dropEmpty = sampleMod > 1)
+      numHashes, bands)
 
   /** Shared band-join candidate generation: spread the RAW text first
     * (the shingle/hash pipeline then runs after the exchange, on all
-    * cores), fan out to (band, bucket) rows, equi-join.
+    * cores), fan out to (band, bucket) rows, equi-join. A doc whose
+    * hash set is empty gets NO band rows (MinHashBucketsExpr returns an
+    * empty array and the posexplode drops it) — the exclusion is inside
+    * the expression, not a `filter(size > 0)` on the aliased column,
+    * which predicate-pushdown would rewrite to a second full
+    * shingle+md5 evaluation below the Spread exchange.
     */
   private def lshPairsFromText(
       docs: DataFrame,
@@ -135,16 +141,12 @@ object Dedup {
       textCol: String,
       mkHashes: Column => Column,
       numHashes: Int,
-      bands: Int,
-      dropEmpty: Boolean = false): DataFrame = {
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val hashed = Spread.ifNarrow(
+    val buckets = Spread.ifNarrow(
         docs.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol), mkHashes(col(textCol)).as("__hs"))
-    val guarded = if (dropEmpty) hashed.filter(size(col("__hs")) > 0) else hashed
-    val buckets = guarded
       .select(col(idCol),
-        posexplode(minhashBuckets(col("__hs"), numHashes, bands)))
+        posexplode(minhashBuckets(mkHashes(col(textCol)), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val a = buckets.as("a")

@@ -224,9 +224,12 @@ object TextAnalysis {
     */
   def normalizeText(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnCompat._
+    // explicit class, not \s: Java \s includes vertical tab \x0B, RE2
+    // (the DuckDB oracle's regex engine) does not — the explicit class
+    // is exactly RE2's \s on both engines
     trim(regexp_replace(
       toColumn(graft.functions.NormalizeTextExpr(toExpression(text))),
-      "\\s+", " "))
+      "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** Character-n-gram content fingerprint: md5 over the sorted HASHED

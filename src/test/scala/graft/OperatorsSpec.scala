@@ -65,13 +65,18 @@ class OperatorsSpec extends AnyFunSuite {
     val sampled = Dedup.minhashLshPairsChar(docs, "doc_id", "text",
       sampleMod = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sampled.contains((0L, 3L)))
-    // two DIFFERENT single-shingle docs whose shingle fails the mod
-    // selection ('c' = 99 ≡ 3, 'e' = 101 ≡ 1 mod 4): the unguarded
-    // pipeline would give both the empty-input signature and falsely
-    // pair them; the guard must yield zero pairs
-    val d2 = Seq((10L, "abc"), (11L, "abe")).toDF("doc_id", "text")
+    // two DIFFERENT 5-char docs whose single shingle fails the mod
+    // selection ('e' = 101 ≡ 1 mod 4): empty sample → NO band rows —
+    // an empty-signature bucket would falsely pair them
+    val d2 = Seq((10L, "abcde"), (11L, "xyzqe")).toDF("doc_id", "text")
     assert(Dedup.minhashLshPairsChar(d2, "doc_id", "text", sampleMod = 4)
       .count() === 0L)
+    // texts shorter than charN keep their whole-text shingle even under
+    // sampling ('c' = 99 fails mod 4): identical tiny docs still pair
+    val d3 = Seq((12L, "abc"), (13L, "abc")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairsChar(d3, "doc_id", "text", sampleMod = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((12L, 13L)))
   }
 
   test("simhash: exact dups equal, near-dups close in Hamming distance") {
