@@ -108,10 +108,15 @@ object Stress {
           deq, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val nExact = exact.count()
-      val recall = exact.join(viaInt8, Seq("query_id", "neighbor_id"))
-        .count().toDouble / nExact
+      val recallStr =
+        if (nExact == 0) "n/a (empty query set at this SF)"
+        else {
+          val r = exact.join(viaInt8, Seq("query_id", "neighbor_id"))
+            .count().toDouble / nExact
+          f"$r%.4f"
+        }
       println(f"STRESS quantize_roundtrip      ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-        f"  (top-5 recall vs float: $recall%.4f over $nExact pairs)")
+        f"  (top-5 recall vs float: $recallStr over $nExact pairs)")
     }
     time("cosine_pairs_blocked") {
       Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.4)

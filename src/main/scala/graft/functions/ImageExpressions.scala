@@ -65,6 +65,11 @@ object ImageHeaders {
         // fill bytes: consecutive 0xFF before a marker are padding
         while (m == 0xff && i + 2 < a.length) { i += 1; m = u8(a, i + 1) }
         if (m == 0xd9) return null // EOI before any SOF
+        // markers that cannot appear in the pre-SOF header stream: a
+        // second SOI (0xD8) or a stuffed-byte pseudo-marker (0x00) mean
+        // the walk has wandered into corrupt/entropy-coded bytes —
+        // reject rather than trust a bogus segment length from here on
+        else if (m == 0xd8 || m == 0x00) return null
         else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
         else {
           if (i + 3 >= a.length) return null

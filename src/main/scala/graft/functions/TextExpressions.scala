@@ -457,7 +457,16 @@ case class NormalizeTextExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     import java.text.Normalizer
+    // Lowercase BEFORE the NFD/strip pass: some case mappings introduce
+    // combining marks (U+0130 LATIN CAPITAL I WITH DOT ABOVE lowers to
+    // "i" + U+0307) which must also be stripped; lowercasing after the
+    // strip would let them survive and diverge from utf8proc's
+    // strip-then-casefold result. On Latin text the two orders agree,
+    // so the existing oracle gate is unaffected. A final lowercase
+    // after recomposition keeps the output casefolded even if NFC were
+    // ever to compose a titlecase form (idempotent on the common path).
     val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
     var i = 0

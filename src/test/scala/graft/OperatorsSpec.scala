@@ -261,6 +261,12 @@ class OperatorsSpec extends AnyFunSuite {
       " FFD9")) === null) // EOI before any SOF
     assert(dims(hx("FFD8 FFE000")) === null) // truncated mid-segment
     assert(dims(hx("FFD8 00C0")) === null)   // broken marker alignment
+    // markers impossible before SOF mean the walk hit corrupt bytes —
+    // rejected, even when a bogus segment would land on an FF Cx pair
+    assert(dims(hx("FFD8 FFD8" + // spurious second SOI mid-stream
+      " FFC00011 08 01E0 0280 03 011100 021101 031101")) === null)
+    assert(dims(hx("FFD8 FF00" + // stuffed-byte pseudo-marker
+      " FFC00011 08 01E0 0280 03 011100 021101 031101")) === null)
     assert(dims("plain text bytes".getBytes("UTF-8")) === null)
     // through the engine: null input row stays null, no NPE
     val out = Seq(Some(hx("474946383961 0100 0100 000000")), None)
@@ -539,13 +545,18 @@ class OperatorsSpec extends AnyFunSuite {
       "Café  Über    straße", // composed é, Ü; nbsp-free
       "cafe uber straße",
       "CAFE\u0301 U\u0308BER stra\u00dfe", // combining acute / diaeresis
-      "naïve  ÉLAN").toDF("t")
+      "naïve  ÉLAN",
+      "İstanbul" // dotted capital I: lowering emits U+0307
+      ).toDF("t")
       .select(normalizeText(col("t")).as("n"))
       .collect().map(_.getString(0)).toSeq
     assert(got(0) === "cafe uber straße")
     assert(got(1) === got(0))
     assert(got(2) === got(0)) // NFD path: combining marks stripped too
     assert(got(3) === "naive elan")
+    // case-mapping-introduced combining dot is stripped because the
+    // lowercase pass runs BEFORE the NFD/strip pass
+    assert(got(4) === "istanbul")
   }
 
   test("scrubPii masks emails, phones, and IPv4s, leaves clean text alone") {
