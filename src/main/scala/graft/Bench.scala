@@ -33,7 +33,20 @@ object Bench {
     // (r4: the single-shot record overstated two unchanged queries 3-4x
     // and the suite total by 40% vs an uncontended re-run)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional isolation: SPARK_GRAFT_BENCH_ONLY=q1_agg,q2_star_join runs
+    // just those queries (profiling aid; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val explain = sys.env.contains("SPARK_GRAFT_BENCH_EXPLAIN")
+    val results = selected.map { case (name, fn) =>
+      if (explain) {
+        System.err.println(s"==== $name ====")
+        fn(spark, sfDir).explain("formatted")
+      }
       var best = Double.MaxValue
       var failed = false
       var r = 0
@@ -51,6 +64,19 @@ object Bench {
         r += 1
       }
       // a failed query must not record a healthy-looking time: -1 marker
+      //
+      // release per-query state before the next query: expand_col-style
+      // queries localCheckpoint an intermediate (checkpoint blocks are
+      // only reaped when the owning DataFrame is GC'd), so across 79
+      // queries x 3 reps the block manager fills and the suite TAIL runs
+      // GC-bound — r6 recorded 4.5s/3.7s for two tail queries that
+      // measure 0.74s/0.72s isolated. Unpersist everything eagerly and
+      // nudge the ContextCleaner with one GC per query (bench-only; the
+      // library itself never calls System.gc()).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       name -> (if (failed) -1.0 else best)
     }
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
