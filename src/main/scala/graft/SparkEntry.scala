@@ -424,6 +424,53 @@ object SparkEntry {
     Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", "label",
       threshold = 0.4)
 
+  /** documents with INJECTED line structure: every 6th space becomes a
+    * newline. The testdata text is single-line, so line-level operators
+    * (C4 line dedup, Gopher duplicate-line stats) would be vacuously
+    * green without it — same pattern as the r6 accent/CJK injection for
+    * normalize/char-shingle gates. The regex consumes six
+    * space-separated words plus the following space; both engines scan
+    * leftmost non-overlapping, so the line splits agree.
+    */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      regexp_replace(col("text"), "((?:\\S+ ){5}\\S+) ", "$1\n").as("text"))
+
+  private def dedupLinesQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(linedDocs(s, dir), "doc_id", "text")
+
+  private def dedupKeepBestQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicatesKeepBest(docs(s, dir), "doc_id", "text",
+      col("n_chars"))
+
+  /** SemDeDup gate: deterministic id-selected centroids (same floats in
+    * both engines — averaged k-means centroids would put a cross-engine
+    * summation-order epsilon under every cosine threshold test) and a
+    * low tau so the sf0.01 embedding corpus actually drops vectors.
+    */
+  private def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    Dedup.semanticDedup(e, "vec_id", "embedding", centroids, tau = 0.3)
+  }
+
+  /** Repetition gate: lined docs plus each document's own first line
+    * appended, so the duplicate-line fields are exercised on every row
+    * (random testdata text almost never repeats a 6-word line by
+    * itself).
+    */
+  private def repetitionScoresQ(s: SparkSession, dir: String): DataFrame = {
+    val rep = linedDocs(s, dir).select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        element_at(split(col("text"), "\n"), 1)).as("text"))
+    TextAnalysis.repetitionScores(rep, "doc_id", "text")
+  }
+
+  private def winnowQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text",
+      k = 7, w = 4)
+
   /** As-of join: each order paired with the same customer's most recent
     * STRICTLY-earlier order day's max total (right side pre-aggregated to
     * one row per (custkey, date) — required for deterministic ties).
@@ -900,6 +947,11 @@ object SparkEntry {
     "identifier_sanitize" -> (identifierSanitize _),
     "dedup_exact"      -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
+    "dedup_lines"      -> (dedupLinesQ _),
+    "dedup_keep_best"  -> (dedupKeepBestQ _),
+    "dedup_semantic"   -> (semanticDedupQ _),
+    "repetition_scores" -> (repetitionScoresQ _),
+    "winnow_fingerprint" -> (winnowQ _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs"  -> (dedupLshPairs _),
     "dedup_lsh_char"   -> (dedupLshCharQ _),
@@ -1152,6 +1204,107 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
+    "dedup_lines" ->
+      """WITH src AS (SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g') AS t
+           FROM documents),
+         l AS (SELECT doc_id,
+             CAST(generate_subscripts(ls, 1) - 1 AS INTEGER) AS pos,
+             unnest(ls) AS line
+           FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src)),
+         f AS (SELECT doc_id, pos, line,
+             (length(trim(line)) < 1) OR
+             (row_number() OVER (PARTITION BY md5(line)
+                ORDER BY doc_id, pos) = 1) AS keep
+           FROM l)
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END,
+             chr(10) ORDER BY pos), '') AS text_kept,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
+         FROM f GROUP BY doc_id""",
+    "dedup_keep_best" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash
+           FROM documents),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY text_hash
+               ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY text_hash) AS dup_count
+           FROM h)
+         SELECT text_hash, doc_id AS keep_id, n_chars AS keep_score,
+           dup_count FROM r WHERE rn = 1""",
+    "dedup_semantic" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, vd AS cv FROM v WHERE vec_id % 100 = 0),
+         asg AS (SELECT vec_id, vd, centroid_id FROM (
+             SELECT v.vec_id, v.vd, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.vd, c.cv), 6) DESC,
+                          c.centroid_id) AS rn
+             FROM v, c) WHERE rn = 1)
+         SELECT a.vec_id, a.centroid_id FROM asg a
+         WHERE NOT EXISTS (SELECT 1 FROM asg b
+           WHERE b.centroid_id = a.centroid_id AND b.vec_id < a.vec_id
+             AND round(list_cosine_similarity(a.vd, b.vd), 6) >= 0.3)""",
+    "repetition_scores" ->
+      """WITH src AS (SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g') AS t0
+           FROM documents),
+         src2 AS (SELECT doc_id,
+             t0 || chr(10) || string_split(t0, chr(10))[1] AS t FROM src),
+         l AS (SELECT doc_id, line FROM (SELECT doc_id,
+               unnest(string_split(t, chr(10))) AS line FROM src2)
+           WHERE trim(line) <> ''),
+         lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+           FROM l GROUP BY 1, 2),
+         lstats AS (SELECT doc_id,
+             round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_line_frac,
+             round(CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len), 6) AS dup_line_char_frac
+           FROM lc GROUP BY 1),
+         w AS (SELECT doc_id, length(t) AS tlen,
+             string_split_regex(trim(lower(t)), '\s+') AS ws FROM src2),
+         g2 AS (SELECT doc_id, tlen, unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])) AS g
+           FROM w WHERE len(ws) >= 2),
+         g2c AS (SELECT doc_id, tlen, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+         g2t AS (SELECT doc_id,
+             round(CAST(c * length(g) AS DOUBLE) / tlen, 6) AS v,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, length(g) DESC, g DESC) AS rn FROM g2c),
+         g3 AS (SELECT doc_id, tlen, unnest(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+           FROM w WHERE len(ws) >= 3),
+         g3c AS (SELECT doc_id, tlen, g, count(*) AS c FROM g3 GROUP BY 1, 2, 3),
+         g3t AS (SELECT doc_id,
+             round(CAST(c * length(g) AS DOUBLE) / tlen, 6) AS v,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, length(g) DESC, g DESC) AS rn FROM g3c)
+         SELECT s.doc_id,
+           coalesce(ls.dup_line_frac, 0) AS dup_line_frac,
+           coalesce(ls.dup_line_char_frac, 0) AS dup_line_char_frac,
+           coalesce(t2.v, 0) AS top_2gram_char_frac,
+           coalesce(t3.v, 0) AS top_3gram_char_frac
+         FROM src2 s
+         LEFT JOIN lstats ls USING (doc_id)
+         LEFT JOIN (SELECT doc_id, v FROM g2t WHERE rn = 1) t2 USING (doc_id)
+         LEFT JOIN (SELECT doc_id, v FROM g3t WHERE rn = 1) t3 USING (doc_id)""",
+    "winnow_fingerprint" ->
+      """WITH g AS (SELECT doc_id,
+             CASE WHEN length(text) < 7 THEN [text]
+                  ELSE list_transform(range(1, length(text) - 5),
+                    i -> substr(text, i, 7)) END AS grams
+           FROM documents),
+         h AS (SELECT doc_id, list_transform(grams,
+             g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+           FROM g),
+         wm AS (SELECT doc_id,
+             CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 2),
+                    i -> list_min(hs[i:i + 3])) END AS mins
+           FROM h)
+         SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fingerprint
+         FROM wm""",
     "dedup_minhash_sig" -> dkMinhashSigSelect,
     "dedup_lsh_pairs" -> dkLshPairs,
     "dedup_lsh_char" -> dkLshCharPairs,

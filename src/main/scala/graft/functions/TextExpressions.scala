@@ -592,3 +592,193 @@ case class LongArrayFingerprintExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): LongArrayFingerprintExpr =
     copy(child = c)
 }
+
+/** Per-document repetition statistics (the Gopher repetition-quality
+  * family, Rae et al. 2021 "Scaling Language Models", Table A1) in ONE
+  * pass over the text — a training-data quality filter drops documents
+  * whose content is dominated by repeated lines or n-grams.
+  *
+  * Returns `struct(dup_line_frac, dup_line_char_frac,
+  * top_2gram_char_frac, top_3gram_char_frac)` of RAW doubles — callers
+  * round to 6 decimals at the column level (same contract as
+  * [[CosineSimExpr]]/`cosineFast`) so the DuckDB oracle reproduces the
+  * values exactly. Definitions (all lengths in Unicode code points, the
+  * unit both Spark's `length` and DuckDB's `length` count):
+  *
+  *  - lines = text split on `\n`, blank-after-trim lines ignored;
+  *    `dup_line_frac` = (occurrences beyond first) / lines;
+  *    `dup_line_char_frac` = chars in occurrences beyond first / chars
+  *    in all lines. Zero when the document has no non-blank lines.
+  *  - words = lowercased trimmed text split on whitespace runs (same
+  *    tokenization as [[ShinglesExpr]]); the top word n-gram is the
+  *    most frequent one, ties broken by longer gram then lexicographic
+  *    max; `top_{n}gram_char_frac` = count(top) * len(top) / len(text).
+  *    Zero when the document has fewer than n words.
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("top_2gram_char_frac", DoubleType, nullable = false),
+    StructField("top_3gram_char_frac", DoubleType, nullable = false)))
+
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** count(top) * cpLen(top) with the pinned tie-break: max count, then
+    * max code-point length, then lexicographic max (String compareTo =
+    * UTF-16 code-unit order = code-point order for BMP text; the SQL
+    * oracle's `ORDER BY c DESC, length(g) DESC, g DESC` agrees).
+    */
+  private def topGramChars(words: Array[String], n: Int): Long = {
+    if (words.length < n) return 0L
+    val counts = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder(n * 12)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, Integer.sum _)
+      i += 1
+    }
+    var bestCount = 0
+    var bestLen = 0L
+    var bestGram: String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      val len = cpLen(e.getKey)
+      if (c > bestCount ||
+          (c == bestCount && (len > bestLen ||
+            (len == bestLen && e.getKey.compareTo(bestGram) > 0)))) {
+        bestCount = c; bestLen = len; bestGram = e.getKey
+      }
+    }
+    bestCount.toLong * bestLen
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // line family
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var nLines = 0L
+    var lineChars = 0L
+    text.split("\n", -1).foreach { raw =>
+      if (!raw.trim.isEmpty) {
+        nLines += 1
+        lineChars += cpLen(raw)
+        lineCounts.merge(raw, 1, Integer.sum _)
+      }
+    }
+    var dupLines = 0L
+    var dupChars = 0L
+    val it = lineCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val beyond = e.getValue.intValue() - 1
+      if (beyond > 0) {
+        dupLines += beyond
+        dupChars += beyond * cpLen(e.getKey)
+      }
+    }
+    // n-gram family
+    val words = text.trim.toLowerCase.split("\\s+")
+    val totalChars = cpLen(text)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    row.update(0, if (nLines > 0) dupLines.toDouble / nLines else 0.0)
+    row.update(1, if (lineChars > 0) dupChars.toDouble / lineChars else 0.0)
+    row.update(2, if (totalChars > 0)
+      topGramChars(words, 2).toDouble / totalChars else 0.0)
+    row.update(3, if (totalChars > 0)
+      topGramChars(words, 3).toDouble / totalChars else 0.0)
+    row
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aho 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+  * algorithm): hash every character `k`-gram, slide a window of `w`
+  * consecutive hashes, select each window's minimum. The selected-value
+  * SET is position-independent (which occurrence of the minimum is
+  * chosen does not change the set), so the output — the sorted distinct
+  * selected hashes — is deterministic and engine-portable. Guarantee:
+  * any shared substring of length >= k + w - 1 between two documents
+  * yields at least one shared fingerprint.
+  *
+  * Hash = [[Hash60ArrayExpr]]'s portable 60-bit md5 prefix, so the
+  * DuckDB oracle reproduces it (`CAST(concat('0x', substr(md5(g),1,15))
+  * AS BIGINT)`). Texts shorter than `k` code points collapse to the
+  * single whole-text hash (total, like [[CharShinglesExpr]]); fewer
+  * hashes than `w` collapse to one whole-range window. One JVM pass per
+  * row: O(len) hashing + O(len) windowed-min via a monotonic deque.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "winnow needs k >= 1 and w >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def hash60(s: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // code-point boundaries (substr semantics match DuckDB's substr)
+    val cps = text.codePoints().toArray
+    val nGrams = cps.length - k + 1
+    val hashes =
+      if (nGrams < 1) Array(hash60(text))
+      else {
+        val out = new Array[Long](nGrams)
+        var i = 0
+        while (i < nGrams) {
+          out(i) = hash60(new String(cps, i, k))
+          i += 1
+        }
+        out
+      }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (hashes.length <= w) {
+      var m = hashes(0)
+      var i = 1
+      while (i < hashes.length) { if (hashes(i) < m) m = hashes(i); i += 1 }
+      selected.add(m)
+    } else {
+      // monotonic deque of indices: head is the current window minimum
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < hashes.length) {
+        while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i))
+          deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - w) deque.pollFirst()
+        if (i >= w - 1) selected.add(hashes(deque.peekFirst()))
+        i += 1
+      }
+    }
+    val out = new Array[Any](selected.size())
+    val sit = selected.iterator()
+    var j = 0
+    while (sit.hasNext) { out(j) = sit.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+}

@@ -63,6 +63,23 @@ object TextFunctions {
     toColumn(CharShinglesExpr(toExpression(text), n, keepLastCpMod))
   }
 
+  /** Per-document repetition statistics (raw doubles; see
+    * [[RepetitionStatsExpr]]) — round to 6 decimals before comparing
+    * across engines.
+    */
+  def repetitionStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(RepetitionStatsExpr(toExpression(text)))
+  }
+
+  /** Winnowing fingerprint set (sorted distinct window-min hashes of
+    * char `k`-gram hashes; see [[WinnowExpr]]).
+    */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(WinnowExpr(toExpression(text), k, w))
+  }
+
   /** Portable 60-bit hash of each element of an existing string array
     * (one native pass — the array form of [[hash60]]). `mod > 0` folds a
     * `% mod` reduction into the same loop.

@@ -518,4 +518,113 @@ object Dedup {
         cosineFast(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Corpus-level LINE deduplication (the C4 recipe, Raffel et al. 2020
+    * §2.2: drop repeated spans corpus-wide, keeping one occurrence):
+    * every line keeps only its first occurrence over the whole corpus —
+    * "first" = smallest (doc id, line position), so the result is
+    * deterministic and retry-stable. Lines whose trimmed length is
+    * below `minLineChars` are exempt (blank/separator lines carry no
+    * signal and would hot-spot the shuffle).
+    *
+    * Returns one row per input document: the surviving text (kept lines
+    * re-joined in original order; empty string when everything was
+    * dropped) plus kept/dropped counts.
+    *
+    * Scale shape: ONE shuffle keyed on the line hash ranks occurrences
+    * (a window, not a groupBy + join-back — no second exchange and no
+    * keeper table to broadcast), then one shuffle on the doc id
+    * reassembles documents. Shuffle volume is linear in corpus lines;
+    * boilerplate lines that repeat corpus-wide make hot hash keys, which
+    * is why the rank is a `row_number` (cheap streaming rank) and blank
+    * lines — the worst offenders — never enter the window at all.
+    */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val w = Window.partitionBy(md5(col("__line")))
+      .orderBy(col(idCol).asc, col("__pos").asc)
+    val flagged = lines.withColumn("__keep",
+      (length(trim(col("__line"))) < minLineChars) ||
+        (row_number().over(w) === 1))
+    flagged.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          "\n").as("text_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_lines_dropped"))
+  }
+
+  /** Exact-dup survivor selection by QUALITY instead of id: within each
+    * (normalized) content-hash group the document with the highest
+    * `scoreCol` survives, ties broken by the smaller id — e.g. keep the
+    * longest/cleanest copy of a page that was crawled many times with
+    * formatting variations. Same single-shuffle shape as [[exact]]; the
+    * argmax is a struct-max (one partial-aggregable expression), not a
+    * window, so map-side combine still applies.
+    */
+  def dropDuplicatesKeepBest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: Column,
+      normalized: Boolean = true): DataFrame = {
+    val key =
+      if (normalized)
+        md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      else md5(col(textCol))
+    docs
+      .groupBy(key.as("text_hash"))
+      .agg(count(lit(1)).as("dup_count"),
+        // max(struct(score, -id)) = highest score, then LOWEST id — a
+        // deterministic argmax (max_by ties are engine-dependent)
+        max(struct(scoreCol.as("s"), (-col(idCol)).as("nid"))).as("__m"))
+      .select(col("text_hash"), (-col("__m.nid")).as("keep_id"),
+        col("__m.s").as("keep_score"), col("dup_count"))
+  }
+
+  /** Semantic deduplication over an embedding column (the SemDeDup
+    * recipe, Abbas et al. 2023: cluster, then drop all-but-one of every
+    * within-cluster group of semantically near-identical points). Each
+    * vector is assigned to its nearest centroid
+    * ([[Similarity.ivfAssign]] — centroids broadcast, one linear pass);
+    * within a cell, a vector is dropped iff some SMALLER-id cell-mate
+    * has cosine >= `tau` with it (the paper keeps one arbitrary point
+    * per extreme-similarity group; smallest-id is that choice made
+    * deterministic). Returns the survivors as (id, centroid_id).
+    *
+    * Scale shape: the only joins are the broadcast centroid assignment
+    * and a self-equi-join on `centroid_id` — shuffle linear in corpus
+    * size, pair work quadratic only WITHIN a cell (bounded by cell
+    * size: that is the clustering's job, and exactly the SemDeDup
+    * design; AQE splits skewed cells). The drop-set anti-join keys on
+    * the id — linear. No driver-side state.
+    */
+  def semanticDedup(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      tau: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(vecs, idCol, vecCol, centroids)
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dropped = a.join(b,
+        col(s"a.centroid_id") === col(s"b.centroid_id") &&
+        col(s"a.$idCol") > col(s"b.$idCol") &&
+        cosineFast(col(s"a.$vecCol"), col(s"b.$vecCol")) >= lit(tau))
+      .select(col(s"a.$idCol").as(idCol))
+      .distinct()
+    assigned.select(col(idCol), col("centroid_id"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
 }

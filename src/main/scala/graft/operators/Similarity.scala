@@ -110,6 +110,25 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
+      probes: Int): DataFrame =
+    ivfAssignRanked(vecs, idCol, vecCol, centroids, probes)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+
+  /** [[ivfAssignProbes]] keeping the probe rank (`__probe_rn` = 1 for
+    * the nearest cell). Lets one ranked frame serve BOTH sides of a
+    * multi-probe search: rank-1 rows are exactly [[ivfAssign]]'s
+    * output, so the corpus side is a post-window filter on the same
+    * subtree instead of a second scoring pass — with identical window
+    * limits on both sides the pre-window exchange is reused, where a
+    * `rank = 1` window next to a `rank <= probes` window plans two
+    * different `WindowGroupLimit` partial limits and two full scoring
+    * joins.
+    */
+  def ivfAssignRanked(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
       probes: Int): DataFrame = {
     val cents = broadcast(centroids)
     val w = Window.partitionBy(col(idCol))
@@ -118,9 +137,10 @@ object Similarity {
       .select(col(idCol), col(vecCol),
         col("centroid_id"),
         cosineFast(col(vecCol), col("__cv")).as("__csim"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= probes)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .withColumn("__probe_rn", row_number().over(w))
+      .filter(col("__probe_rn") <= probes)
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        col("__probe_rn"))
   }
 
   /** IVF top-k: assign every vector to its nearest centroid cell, then
@@ -145,13 +165,22 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
     // no explicit repartition: the self-join below plans its own
     // (centroid_id) exchange; for probes = 1 both sides are the identical
-    // subtree so the exchange is built once and AQE-reused
-    val assigned = ivfAssign(vecs, idCol, vecCol, centroids)
-    val probed =
-      if (probes == 1) assigned
-      else ivfAssignProbes(vecs, idCol, vecCol, centroids, probes)
-    val a = probed.as("a")
-    val b = assigned.as("b")
+    // subtree so the exchange is built once and AQE-reused. For
+    // probes > 1 both sides derive from ONE ranked frame (same window
+    // limit) — the corpus side filters probe rank 1 post-window, so the
+    // scoring join + its exchange are built once instead of per-side
+    // (a rank-1 window next to a rank<=probes window plans different
+    // WindowGroupLimit partial limits and defeats exchange reuse).
+    val (a, b) =
+      if (probes == 1) {
+        val assigned = ivfAssign(vecs, idCol, vecCol, centroids)
+        (assigned.as("a"), assigned.as("b"))
+      } else {
+        val ranked = ivfAssignRanked(vecs, idCol, vecCol, centroids, probes)
+        (ranked.drop("__probe_rn").as("a"),
+          ranked.filter(col("__probe_rn") === 1)
+            .drop("__probe_rn").as("b"))
+      }
     val scored = a.join(b,
         col("a.centroid_id") === col("b.centroid_id") &&
         col(s"a.$idCol") =!= col(s"b.$idCol"))

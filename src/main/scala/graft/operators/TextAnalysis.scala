@@ -270,4 +270,43 @@ object TextAnalysis {
       toColumn(graft.functions.FingerprintExpr(
         toExpression(shingles(col(textCol), shingleN)))).as("fingerprint"))
   }
+
+  /** Gopher-style repetition quality signals per document (Rae et al.
+    * 2021, Table A1): fraction of duplicate lines, of characters in
+    * duplicate lines, and of characters inside the most frequent word
+    * 2-/3-gram. One native pass per row
+    * ([[graft.functions.RepetitionStatsExpr]]) — shuffle-free, linear;
+    * a filter on these columns is the standard "drop
+    * repetition-degenerate documents" stage of a training-data
+    * pipeline. Values rounded to 6 decimals (cross-engine stable).
+    */
+  def repetitionScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val st = repetitionStats(col(textCol))
+    docs.select(col(idCol),
+      round(st.getField("dup_line_frac"), 6).as("dup_line_frac"),
+      round(st.getField("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+      round(st.getField("top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+      round(st.getField("top_3gram_char_frac"), 6).as("top_3gram_char_frac"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003 / MOSS), one output
+    * row per (doc, fingerprint): every shared substring of length
+    * >= k + w - 1 across the corpus is guaranteed to surface as a
+    * shared fingerprint, so an equi-join of this table with itself
+    * finds copied passages with bounded fingerprint density (~2/(w+1)
+    * of the k-grams are selected). Hashing is the portable 60-bit md5
+    * prefix; the per-row pass is native and shuffle-free
+    * ([[graft.functions.WinnowExpr]]).
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 7,
+      w: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      explode(winnow(col(textCol), k, w)).as("fingerprint"))
 }
