@@ -36,7 +36,16 @@ object Bench {
     // optional isolation: SPARK_GRAFT_BENCH_ONLY=q1_agg,q2_star_join runs
     // just those queries (profiling aid; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must not silently bench a partial (or empty) suite
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
@@ -85,8 +94,18 @@ object Bench {
     val qs = results.collect { case (k, v) if v >= 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's stdout capture truncates long lines — persist the full
+    // record so every per-query time survives regardless of the window
+    try {
+      val out = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_full.json: $e")
+    }
     spark.stop()
   }
 }

@@ -471,6 +471,23 @@ object SparkEntry {
     TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text",
       k = 7, w = 4)
 
+  /** Overlap-pairs gate: random testdata text shares no real passages,
+    * so every 97th doc gets a fixed tail appended — a shared substring
+    * far above k + w - 1 = 10 chars, guaranteeing those docs pair up
+    * (plus whatever chance 7-gram collisions both engines equally see).
+    */
+  private val winnowPassage =
+    "the licensed boilerplate passage shared across many crawls"
+
+  private def winnowPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 97 === 0,
+        concat(col("text"), lit(" " + winnowPassage)))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.winnowOverlapPairs(d, "doc_id", "text",
+      k = 7, w = 4, minShared = 2, maxDocFreq = 50)
+  }
+
   /** As-of join: each order paired with the same customer's most recent
     * STRICTLY-earlier order day's max total (right side pre-aggregated to
     * one row per (custkey, date) — required for deterministic ties).
@@ -952,6 +969,7 @@ object SparkEntry {
     "dedup_semantic"   -> (semanticDedupQ _),
     "repetition_scores" -> (repetitionScoresQ _),
     "winnow_fingerprint" -> (winnowQ _),
+    "winnow_pairs"      -> (winnowPairsQ _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs"  -> (dedupLshPairs _),
     "dedup_lsh_char"   -> (dedupLshCharQ _),
@@ -1255,7 +1273,7 @@ object SparkEntry {
              t0 || chr(10) || string_split(t0, chr(10))[1] AS t FROM src),
          l AS (SELECT doc_id, line FROM (SELECT doc_id,
                unnest(string_split(t, chr(10))) AS line FROM src2)
-           WHERE trim(line) <> ''),
+           WHERE regexp_matches(line, '[^\x00-\x20]')),
          lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
            FROM l GROUP BY 1, 2),
          lstats AS (SELECT doc_id,
@@ -1263,7 +1281,9 @@ object SparkEntry {
              round(CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len), 6) AS dup_line_char_frac
            FROM lc GROUP BY 1),
          w AS (SELECT doc_id, length(t) AS tlen,
-             string_split_regex(trim(lower(t)), '\s+') AS ws FROM src2),
+             string_split_regex(regexp_replace(lower(t),
+               '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '[\s\x0b]+') AS ws
+           FROM src2),
          g2 AS (SELECT doc_id, tlen, unnest(list_transform(range(1, len(ws)),
              i -> ws[i] || ' ' || ws[i + 1])) AS g
            FROM w WHERE len(ws) >= 2),
@@ -1305,6 +1325,34 @@ object SparkEntry {
            FROM h)
          SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fingerprint
          FROM wm""",
+    "winnow_pairs" ->
+      s"""WITH src AS (SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN text || ' $winnowPassage'
+                  ELSE text END AS text
+           FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN length(text) < 7 THEN [text]
+                  ELSE list_transform(range(1, length(text) - 5),
+                    i -> substr(text, i, 7)) END AS grams
+           FROM src),
+         h AS (SELECT doc_id, list_transform(grams,
+             g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+           FROM g),
+         wm AS (SELECT doc_id,
+             CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 2),
+                    i -> list_min(hs[i:i + 3])) END AS mins
+           FROM h),
+         fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint
+           FROM wm),
+         rare AS (SELECT fingerprint FROM fp GROUP BY 1
+           HAVING count(*) <= 50),
+         f AS (SELECT fp.doc_id, fp.fingerprint FROM fp
+           JOIN rare USING (fingerprint))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM f a JOIN f b
+           ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     "dedup_minhash_sig" -> dkMinhashSigSelect,
     "dedup_lsh_pairs" -> dkLshPairs,
     "dedup_lsh_char" -> dkLshCharPairs,

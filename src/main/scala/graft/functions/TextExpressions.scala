@@ -43,7 +43,9 @@ case class ShinglesExpr(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.trim.toLowerCase.split("\\s+")
+    // Locale.ROOT: default-locale lowercasing diverges from DuckDB's
+    // locale-independent lower() on e.g. a Turkish JVM ('I' -> U+0131)
+    val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (words.length >= n) {
       val sb = new java.lang.StringBuilder(n * 12)
@@ -688,8 +690,9 @@ case class RepetitionStatsExpr(child: Expression)
         dupChars += beyond * cpLen(e.getKey)
       }
     }
-    // n-gram family
-    val words = text.trim.toLowerCase.split("\\s+")
+    // n-gram family (Locale.ROOT: match DuckDB's locale-independent
+    // lower() regardless of the JVM default locale)
+    val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val totalChars = cpLen(text)
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
     row.update(0, if (nLines > 0) dupLines.toDouble / nLines else 0.0)
@@ -728,8 +731,10 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private def hash60(s: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
+  // one digest per row, reset between grams: getInstance per k-gram cost
+  // ~10k allocations on a 10 kB document (measured as the slow tail of
+  // winnow_fingerprint); digest() leaves the instance reset for reuse
+  private def hash60(md: MessageDigest, s: String): Long = {
     val d = md.digest(s.getBytes("UTF-8"))
     var v = 0L
     var b = 0
@@ -739,16 +744,17 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
+    val md = MessageDigest.getInstance("MD5")
     // code-point boundaries (substr semantics match DuckDB's substr)
     val cps = text.codePoints().toArray
     val nGrams = cps.length - k + 1
     val hashes =
-      if (nGrams < 1) Array(hash60(text))
+      if (nGrams < 1) Array(hash60(md, text))
       else {
         val out = new Array[Long](nGrams)
         var i = 0
         while (i < nGrams) {
-          out(i) = hash60(new String(cps, i, k))
+          out(i) = hash60(md, new String(cps, i, k))
           i += 1
         }
         out

@@ -531,28 +531,50 @@ object Dedup {
     * re-joined in original order; empty string when everything was
     * dropped) plus kept/dropped counts.
     *
-    * Scale shape: ONE shuffle keyed on the line hash ranks occurrences
-    * (a window, not a groupBy + join-back — no second exchange and no
-    * keeper table to broadcast), then one shuffle on the doc id
-    * reassembles documents. Shuffle volume is linear in corpus lines;
-    * boilerplate lines that repeat corpus-wide make hot hash keys, which
-    * is why the rank is a `row_number` (cheap streaming rank) and blank
-    * lines — the worst offenders — never enter the window at all.
+    * Scale shape — every per-key step is PARTIAL-AGGREGABLE, so a
+    * corpus-wide hot line ("Subscribe to our newsletter" × 10⁹) is
+    * absorbed by map-side combine instead of landing in one task:
+    *
+    *  1. Exempt lines (trimmed length < `minLineChars` — blank and
+    *     separator lines, the worst repeat offenders) are routed AROUND
+    *     the dedup entirely and unioned back flagged kept: they never
+    *     reach the line-hash shuffle.
+    *  2. First occurrence per line = `groupBy(md5(line))
+    *     .agg(min(struct(id, pos)))` — min combines map-side, so the
+    *     exchange carries one row per distinct line per input partition,
+    *     not one row per occurrence. (A `row_number` window over the
+    *     line hash would sort ALL occurrences of a hot key in a single
+    *     task — the classic straggler; a window partition cannot be
+    *     skew-split by AQE.)
+    *  3. Join-back on the line hash marks each occurrence kept/dropped.
+    *     The firsts side has exactly one row per key, so a hot key skews
+    *     only the occurrence side of a sort-merge join — the shape AQE
+    *     skew-join splits.
+    *  4. One shuffle on the doc id reassembles documents.
     */
   def dedupLines(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minLineChars: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-    val w = Window.partitionBy(md5(col("__line")))
-      .orderBy(col(idCol).asc, col("__pos").asc)
-    val flagged = lines.withColumn("__keep",
-      (length(trim(col("__line"))) < minLineChars) ||
-        (row_number().over(w) === 1))
-    flagged.groupBy(col(idCol))
+    // Spark `trim` strips spaces only — exactly DuckDB trim() semantics
+    // (the oracle's blank-line check must keep agreeing)
+    val exempt = lines
+      .filter(length(trim(col("__line"))) < minLineChars)
+      .select(col(idCol), col("__pos"), col("__line"), lit(true).as("__keep"))
+    val ranked = lines
+      .filter(length(trim(col("__line"))) >= minLineChars)
+      .withColumn("__h", md5(col("__line")))
+    val firsts = ranked.groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__pos").as("__fpos")))
+        .as("__f"))
+    val flagged = ranked.join(firsts, Seq("__h"))
+      .select(col(idCol), col("__pos"), col("__line"),
+        (col("__f").getField("__fid") === col(idCol) &&
+          col("__f").getField("__fpos") === col("__pos")).as("__keep"))
+    exempt.unionByName(flagged).groupBy(col(idCol))
       .agg(
         array_join(
           transform(
@@ -569,8 +591,12 @@ object Dedup {
     * `scoreCol` survives, ties broken by the smaller id — e.g. keep the
     * longest/cleanest copy of a page that was crawled many times with
     * formatting variations. Same single-shuffle shape as [[exact]]; the
-    * argmax is a struct-max (one partial-aggregable expression), not a
+    * argmax is a struct-min (one partial-aggregable expression), not a
     * window, so map-side combine still applies.
+    *
+    * Contract: `scoreCol` must be NUMERIC (it is negated to invert the
+    * struct ordering — a quality score always is); the id may be ANY
+    * orderable type (long, string, …) since it is compared as-is.
     */
   def dropDuplicatesKeepBest(
       docs: DataFrame,
@@ -585,11 +611,13 @@ object Dedup {
     docs
       .groupBy(key.as("text_hash"))
       .agg(count(lit(1)).as("dup_count"),
-        // max(struct(score, -id)) = highest score, then LOWEST id — a
-        // deterministic argmax (max_by ties are engine-dependent)
-        max(struct(scoreCol.as("s"), (-col(idCol)).as("nid"))).as("__m"))
-      .select(col("text_hash"), (-col("__m.nid")).as("keep_id"),
-        col("__m.s").as("keep_score"), col("dup_count"))
+        // min(struct(-score, id)) = highest score, then LOWEST id — a
+        // deterministic argmax (max_by ties are engine-dependent) that
+        // stays type-agnostic in the id: negating the numeric score
+        // instead of the id keeps string/any-type ids working
+        min(struct((-scoreCol).as("ns"), col(idCol).as("kid"))).as("__m"))
+      .select(col("text_hash"), col("__m.kid").as("keep_id"),
+        (-col("__m.ns")).as("keep_score"), col("dup_count"))
   }
 
   /** Semantic deduplication over an embedding column (the SemDeDup

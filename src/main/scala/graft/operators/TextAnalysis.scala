@@ -309,4 +309,47 @@ object TextAnalysis {
       w: Int = 4): DataFrame =
     docs.select(col(idCol),
       explode(winnow(col(textCol), k, w)).as("fingerprint"))
+
+  /** Cross-document overlap detection over [[winnowFingerprints]] — the
+    * corpus-level half of the MOSS pipeline (Schleimer et al. 2003 §4:
+    * rank document pairs by the number of shared selected fingerprints).
+    * Emits `(id_a, id_b, n_shared)` for every pair sharing at least
+    * `minShared` fingerprints, `id_a < id_b`; the winnowing guarantee
+    * makes any shared substring of length >= k + w - 1 surface here.
+    *
+    * Scale shape: fingerprints whose DOCUMENT FREQUENCY exceeds
+    * `maxDocFreq` are dropped before the self-join (standard in
+    * plagiarism pipelines — license boilerplate appearing in half the
+    * corpus carries no copy signal and would otherwise generate a
+    * quadratic hot block in one join task, the same window-skew lesson
+    * as [[Dedup.dedupLines]]). The frequency pass is a partial-aggregable
+    * `groupBy(fingerprint).count`, the pair generation an equi-join on
+    * the fingerprint with per-key work bounded by `maxDocFreq`², and the
+    * final pair count another partial-aggregable groupBy — every shuffle
+    * is linear in the fingerprint table.
+    */
+  def winnowOverlapPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 7,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    // winnowFingerprints emits each (doc, fingerprint) once, so the row
+    // count per fingerprint IS its document frequency
+    val rare = fps.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("fingerprint"))
+    val f = fps.join(rare, Seq("fingerprint"), "left_semi")
+    val a = f.as("a")
+    val b = f.as("b")
+    a.join(b, col("a.fingerprint") === col("b.fingerprint") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -749,4 +749,63 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got === Seq(0L, 2L, 3L))
     } finally spark.conf.set(ckKey, prevCk)
   }
+
+  test("dedupLines keeps first corpus-wide occurrence, exempts short" +
+      " lines, and plans WITHOUT a window (skew-safe shape)") {
+    val d = Seq(
+      (0L, "common line\nunique a\n\nshort tail"),
+      (1L, "common line\nunique b"),
+      (2L, "\n\n")) // all-blank doc: everything exempt-kept
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "doc_id", "text")
+    // the hot-key rank must be a partial-aggregable groupBy, not a
+    // row_number window partitioned by the line hash: a corpus-wide
+    // repeated line would otherwise sort in ONE task (r7 verdict)
+    val windows = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+    }
+    assert(windows.isEmpty,
+      s"dedupLines must not plan a Window:\n${out.queryExecution.executedPlan}")
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text_kept"), r.getAs[Long]("n_lines_kept"),
+        r.getAs[Long]("n_lines_dropped")))).toMap
+    assert(rows(0L) === (("common line\nunique a\n\nshort tail", 4L, 0L)))
+    assert(rows(1L) === (("unique b", 1L, 1L))) // "common line" seen in doc 0
+    assert(rows(2L) === (("\n\n", 3L, 0L))) // blank lines always survive
+  }
+
+  test("winnowOverlapPairs surfaces docs sharing a >= k+w-1 substring;" +
+      " the doc-frequency cap suppresses corpus-wide boilerplate") {
+    // 36 shared chars >> k + w - 1 = 10: the winnowing guarantee says at
+    // least one shared fingerprint MUST surface for docs 0 and 1
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val d = Seq(
+      (0L, s"prefix one $shared tail one"),
+      (1L, s"other start $shared different end"),
+      (2L, "QQQ WWW EEE RRR TTT YYY UUU III OOO PPP")) // disjoint alphabet
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(d, "doc_id", "text",
+        k = 7, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // maxDocFreq = 1: every shared fingerprint has document frequency 2
+    // and is dropped before the self-join -> no pairs survive
+    assert(TextAnalysis.winnowOverlapPairs(d, "doc_id", "text",
+      k = 7, w = 4, minShared = 1, maxDocFreq = 1).count() === 0L)
+  }
+
+  test("dropDuplicatesKeepBest works with STRING ids: max score wins," +
+      " ties break to the lexicographically smallest id") {
+    val d = Seq(
+      ("b", "Same Text", 5.0),
+      ("a", "same  text ", 5.0), // normalized dup, tied score -> "a" wins
+      ("c", "same text", 3.0),
+      ("d", "other", 1.0)).toDF("id", "text", "score")
+    val out = Dedup.dropDuplicatesKeepBest(d, "id", "text", col("score"))
+      .collect().map(r => r.getAs[Long]("dup_count") ->
+        ((r.getAs[String]("keep_id"), r.getAs[Double]("keep_score")))).toMap
+    assert(out(3L) === (("a", 5.0)))
+    assert(out(1L) === (("d", 1.0)))
+  }
 }
