@@ -737,6 +737,55 @@ object SparkEntry {
       graft.streaming.StreamingDedup.exactStream(s, s"$dir/{documents.parquet}"),
       "stream_dedup_exact").select(col("text_hash"))
 
+  /** Streaming NEAR-dup dedup, gated against the batch MinHash-LSH
+    * survivor set. The corpus is staged once with a constant `ingest_ts`
+    * (single event-time window, so the stream's per-window LSH state
+    * sees exactly the batch corpus and bucket ownership = min doc_id —
+    * the batch-expressible projection), then two far-future sentinel
+    * rows advance the watermark across two micro-batches: watermark for
+    * batch N is computed from batch N-1's max event time, so the first
+    * sentinel batch establishes it and the second closes + emits the
+    * corpus window. Sentinel windows themselves never close — filtered
+    * by doc_id >= 0. Survivor set = docs owning ALL their band buckets
+    * = docs with no smaller doc sharing any (band, bucket): the oracle
+    * re-derives that set from the batch LSH signatures.
+    */
+  private def streamingDedupNearQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCk = s.conf.get(ckKey)
+    s.conf.set(ckKey, "false")
+    try {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("neardup_gate").toString
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ingest_ts"))
+        .coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val out = graft.streaming.StreamingDedup.nearDupStream(s, srcDir,
+        horizon = "10 seconds", bands = 8)
+      try s.catalog.dropTempView("stream_dedup_near")
+      catch { case _: Throwable => () }
+      val q = out.writeStream.format("memory").queryName("stream_dedup_near")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      def sentinel(ts: String): Unit =
+        Seq((-1L, s"zz sentinel $ts zz", "en", "web", 0L, ts))
+          .toDF("doc_id", "text", "lang", "source", "n_chars", "ts")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"), col("ts").cast("timestamp").as("ingest_ts"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      sentinel("2024-01-02 00:00:00")
+      q.processAllAvailable()
+      sentinel("2024-01-03 00:00:00")
+      q.processAllAvailable()
+      q.stop()
+      s.table("stream_dedup_near").filter(col("doc_id") >= 0)
+        .select(col("doc_id"))
+    } finally s.conf.set(ckKey, prevCk)
+  }
+
   /** Streaming windowed hourly aggregation, gated against the exact
     * batch oracle: Complete output mode emits every window at the final
     * AvailableNow commit (the watermark only bounds state in the
@@ -836,6 +885,28 @@ object SparkEntry {
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
         AND a.doc_id < b.doc_id"""
+  }
+
+  /** Batch-expressible survivor set of the streaming near-dup gate: a
+    * doc survives iff no SMALLER doc shares any (band, bucket) — the
+    * constant-ingest-ts single-window stream's bucket-ownership rule.
+    */
+  private val dkStreamingNearDup: String = {
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    s"""WITH $dkShingles,
+       h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
+       sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
+       bk AS ($bucketSelects),
+       coll AS (SELECT DISTINCT a.doc_id FROM bk a JOIN bk b
+         ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id < a.doc_id)
+       SELECT d.doc_id FROM documents d
+       WHERE d.doc_id NOT IN (SELECT doc_id FROM coll)"""
   }
 
   /** Cross-corpus band join: probe = doc_id % 7 = 0; contaminated = any
@@ -1011,6 +1082,7 @@ object SparkEntry {
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
+    "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
     "streaming_hourly" -> (streamingHourlyQ _),
     "streaming_funnel" -> (streamingFunnelQ _),
@@ -1693,6 +1765,7 @@ object SparkEntry {
          FROM s GROUP BY 1, 2""",
     "streaming_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    "streaming_dedup_neardup" -> dkStreamingNearDup,
     "streaming_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum
