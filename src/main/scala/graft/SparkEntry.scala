@@ -484,8 +484,11 @@ object SparkEntry {
       when(col("doc_id") % 97 === 0,
         concat(col("text"), lit(" " + winnowPassage)))
         .otherwise(col("text")).as("text"))
+    // cap 20: the injected passage's doc frequency at sf0.01 is 6 (500
+    // docs / 97), comfortably under; chance-shared 7-grams above 20 docs
+    // are boilerplate-grade and cost df^2 join work each
     TextAnalysis.winnowOverlapPairs(d, "doc_id", "text",
-      k = 7, w = 4, minShared = 2, maxDocFreq = 50)
+      k = 7, w = 4, minShared = 2, maxDocFreq = 20)
   }
 
   /** As-of join: each order paired with the same customer's most recent
@@ -753,8 +756,14 @@ object SparkEntry {
   private def streamingDedupNearQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
     val prevCk = s.conf.get(ckKey)
+    val prevSp = s.conf.get(spKey)
     s.conf.set(ckKey, "false")
+    // the two stateful stages each run per-partition state tasks in every
+    // micro-batch (3 batches x 3 bench reps); at gate scale the state fits
+    // in a handful of partitions and task overhead dominates
+    s.conf.set(spKey, "8")
     try {
       val srcDir = java.nio.file.Files
         .createTempDirectory("neardup_gate").toString
@@ -783,7 +792,10 @@ object SparkEntry {
       q.stop()
       s.table("stream_dedup_near").filter(col("doc_id") >= 0)
         .select(col("doc_id"))
-    } finally s.conf.set(ckKey, prevCk)
+    } finally {
+      s.conf.set(ckKey, prevCk)
+      s.conf.set(spKey, prevSp)
+    }
   }
 
   /** Streaming windowed hourly aggregation, gated against the exact
@@ -1418,7 +1430,7 @@ object SparkEntry {
          fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint
            FROM wm),
          rare AS (SELECT fingerprint FROM fp GROUP BY 1
-           HAVING count(*) <= 50),
+           HAVING count(*) <= 20),
          f AS (SELECT fp.doc_id, fp.fingerprint FROM fp
            JOIN rare USING (fingerprint))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared

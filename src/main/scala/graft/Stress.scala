@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.FrameEngine
-import graft.operators.{AsofJoin, Dedup, RangeJoin, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Dedup, RangeJoin, Similarity, SkewJoin, TextAnalysis}
 
 /** Scale stress: replicate sf0.1 N× with shifted keys (≈ sf1 and beyond,
   * in memory — the driver's testdata stays read-only) and time the
@@ -159,6 +159,40 @@ object Stress {
           (col("o_totalprice") + 20000).as("hi"))
       RangeJoin.rangeJoin(orders.select("o_orderkey", "o_totalprice"),
         bands, "o_totalprice", "lo", "hi", binWidth = 20000)
+    }
+    time("dedup_lines_hotline") {
+      // the r7 scale-killer case: ONE boilerplate line repeated across
+      // 10% of the corpus. The groupBy(min(struct)) shape partial-
+      // aggregates the hot key map-side; the old row_number window
+      // would sort every occurrence in a single task.
+      val lined = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){5}\\S+) ", "$1\n").as("text"))
+      val hot = lined.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("subscribe to our newsletter\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupLines(hot, "doc_id", "text")
+    }
+    time("repetition_scores") {
+      TextAnalysis.repetitionScores(docs, "doc_id", "text")
+    }
+    time("winnow_fingerprint") {
+      TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+    }
+    time("winnow_pairs") {
+      // replication multiplies every fingerprint's doc frequency 10x, so
+      // most chance-shared fingerprints hit the cap — exactly the
+      // boilerplate-suppression behavior the cap is for
+      TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        maxDocFreq = 100)
+    }
+    time("semdedup_trained_k256") {
+      // composed pipeline: k-means training feeds semanticDedup — the
+      // end-to-end shuffle profile (broadcast assigns + within-cell
+      // self-join; cell count scaled so cells stay ~1k vectors)
+      val cents = Similarity.trainCentroids(embs, "vec_id", "embedding",
+        k = 256, iters = 2)
+      Dedup.semanticDedup(embs, "vec_id", "embedding", cents, tau = 0.7)
     }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the

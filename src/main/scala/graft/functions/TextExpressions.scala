@@ -759,29 +759,44 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
         }
         out
       }
-    val selected = new java.util.TreeSet[java.lang.Long]()
+    // primitive-array selection (no TreeSet/ArrayDeque boxing): collect
+    // window minima skipping consecutive repeats, then sort + unique —
+    // the output contract (sorted distinct set) is unchanged
+    var sel: Array[Long] = null
+    var m = 0
     if (hashes.length <= w) {
-      var m = hashes(0)
+      var mn = hashes(0)
       var i = 1
-      while (i < hashes.length) { if (hashes(i) < m) m = hashes(i); i += 1 }
-      selected.add(m)
+      while (i < hashes.length) { if (hashes(i) < mn) mn = hashes(i); i += 1 }
+      sel = Array(mn); m = 1
     } else {
-      // monotonic deque of indices: head is the current window minimum
-      val deque = new java.util.ArrayDeque[Int]()
+      sel = new Array[Long](hashes.length - w + 1)
+      // monotonic deque of indices over an int ring: head = window min
+      val dq = new Array[Int](hashes.length)
+      var head = 0
+      var tail = 0 // exclusive
       var i = 0
       while (i < hashes.length) {
-        while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i))
-          deque.pollLast()
-        deque.addLast(i)
-        if (deque.peekFirst() <= i - w) deque.pollFirst()
-        if (i >= w - 1) selected.add(hashes(deque.peekFirst()))
+        while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) {
+          val v = hashes(dq(head))
+          if (m == 0 || sel(m - 1) != v) { sel(m) = v; m += 1 }
+        }
         i += 1
       }
     }
-    val out = new Array[Any](selected.size())
-    val sit = selected.iterator()
+    java.util.Arrays.sort(sel, 0, m)
+    var uniq = 0
     var j = 0
-    while (sit.hasNext) { out(j) = sit.next().longValue(); j += 1 }
+    while (j < m) {
+      if (j == 0 || sel(j) != sel(j - 1)) { sel(uniq) = sel(j); uniq += 1 }
+      j += 1
+    }
+    val out = new Array[Any](uniq)
+    j = 0
+    while (j < uniq) { out(j) = sel(j); j += 1 }
     new GenericArrayData(out)
   }
 
