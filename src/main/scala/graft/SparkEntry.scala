@@ -611,6 +611,55 @@ object SparkEntry {
         array_join(transform(col("__cv"),
           x => format_string("%.6f", round(x, 6))), ",").as("centroid"))
 
+  /** PQ encode: m = 8 subspaces over the 64-dim embeddings, codebook
+    * from the 8 smallest-id anchor vectors (deterministic — the same
+    * id-selected-quantizer convention as the IVF gates); codes
+    * serialized for the comparator.
+    */
+  private def pqEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding",
+      col("vec_id") < 8)
+    Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8)
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("codes_csv"))
+  }
+
+  /** ADC top-k over the PQ-compressed corpus: exact query vectors
+    * (vec_id < 10) against corpus codes only.
+    */
+  private def annPqTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding",
+      col("vec_id") < 8)
+    Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", cb, m = 8, k = 5)
+  }
+
+  /** Group top-k via the bounded-heap partial-aggregable Aggregator —
+    * same result set as q3_window_topn's window plan, produced with no
+    * per-key window sort (the skew-safe plan shape).
+    */
+  private def groupTopKQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.topKPerKey(t(s, dir, "orders"),
+      Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+
+  private def ngramFreqQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.frequentNgrams(docs(s, dir), "doc_id", "text",
+      n = 3, minCount = 5L)
+
+  /** Streaming decontamination, gated against the batch oracle: the
+    * filter is stateless, so the AvailableNow pass emits exactly the
+    * batch decontaminate survivor set.
+    */
+  private def streamingDecontaminateQ(s: SparkSession, dir: String): DataFrame =
+    runStreamToTable(s,
+      graft.streaming.StreamingDedup.decontaminateStream(s,
+        s"$dir/{documents.parquet}",
+        probe = docs(s, dir).filter(col("doc_id") % 7 === 0)),
+      "stream_decontaminate").select(col("doc_id"), col("lang"))
+
   /** Salted skew join: the salt must be invisible in the results — the
     * oracle is the plain (unsalted) join.
     */
@@ -924,6 +973,25 @@ object SparkEntry {
   /** Cross-corpus band join: probe = doc_id % 7 = 0; contaminated = any
     * corpus doc sharing a (band, bucket) with a probe doc.
     */
+  /** Shared PQ CTEs (DuckDB): 8 smallest-id anchor codebook and the
+    * per-(vector, subspace) nearest-code assignment — the independent
+    * re-derivation of `PqEncodeExpr` (round-6 L2², tie to smaller code).
+    */
+  private val dkPqEnc: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+       a AS (SELECT vec_id AS code, vd AS av FROM v WHERE vec_id < 8),
+       cand AS (SELECT v.vec_id, a.code,
+           [round(list_sum([pow(vd[CAST(j*8+i+1 AS INTEGER)]
+               - av[CAST(j*8+i+1 AS INTEGER)], 2) for i in range(0,8)]), 6)
+             for j in range(0,8)] AS d2s
+         FROM v, a),
+       unn AS (SELECT vec_id, code,
+           CAST(generate_subscripts(d2s,1)-1 AS INTEGER) AS j,
+           unnest(d2s) AS d2 FROM cand),
+       enc AS (SELECT vec_id, j, code FROM (
+           SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j
+             ORDER BY d2, code) AS rn FROM unn) WHERE rn = 1)"""
+
   private val dkDecontaminate: String = {
     val bucketSelects = (0 until 8).map { b =>
       s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
@@ -1078,6 +1146,11 @@ object SparkEntry {
     "ann_ivf_multiprobe" -> (annIvfMultiprobeQ _),
     "ann_lsh_multiprobe" -> (annLshMultiprobeQ _),
     "ivf_train"        -> (ivfTrainQ _),
+    "pq_encode"        -> (pqEncodeQ _),
+    "ann_pq_topk"      -> (annPqTopKQ _),
+    "group_topk"       -> (groupTopKQ _),
+    "ngram_freq"       -> (ngramFreqQ _),
+    "streaming_decontaminate" -> (streamingDecontaminateQ _),
     "skew_join"        -> (skewJoinQ _),
     "text_stats"       -> (textStats _),
     "lang_id"          -> (langIdQ _),
@@ -1631,6 +1704,44 @@ object SparkEntry {
            array_to_string([printf('%.6f', round(x, 6))
              for x in coalesce(n.nv, s.vd)], ',') AS centroid
          FROM seeds s LEFT JOIN newc n USING (centroid_id)""",
+    "pq_encode" ->
+      s"""WITH $dkPqEnc
+         SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes_csv
+         FROM enc GROUP BY vec_id""",
+    "ann_pq_topk" ->
+      s"""WITH $dkPqEnc,
+         sub AS (SELECT e.vec_id, e.j,
+             [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
+           FROM enc e JOIN a ON a.code = e.code),
+         recon AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rv
+           FROM sub GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, vd AS qv FROM v WHERE vec_id < 10),
+         sc AS (SELECT query_id, r.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv, rv), 6) AS cos_sim
+           FROM q, recon r WHERE query_id <> r.vec_id),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
+         WHERE knn_rank <= 5""",
+    "group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+           FROM orders)
+         WHERE rk <= 3""",
+    "ngram_freq" ->
+      """WITH w AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest([array_to_string(ws[i:i+2], ' ')
+               for i in range(1, len(ws)-1)]) AS ngram
+           FROM w WHERE len(ws) >= 3),
+         d AS (SELECT ngram, doc_id, count(*) AS tf FROM g GROUP BY 1, 2)
+         SELECT ngram, CAST(sum(tf) AS BIGINT) AS term_freq,
+           count(*) AS doc_freq
+         FROM d GROUP BY 1 HAVING sum(tf) >= 5""",
     "skew_join" ->
       """SELECT l_orderkey AS okey, l_quantity, o_totalprice
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
@@ -1778,6 +1889,8 @@ object SparkEntry {
     "streaming_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_dedup_neardup" -> dkStreamingNearDup,
+    // stateless filter => the stream emits exactly the batch survivor set
+    "streaming_decontaminate" -> dkDecontaminate,
     "streaming_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum

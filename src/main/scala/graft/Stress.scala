@@ -194,6 +194,35 @@ object Stress {
         k = 256, iters = 2)
       Dedup.semanticDedup(embs, "vec_id", "embedding", cents, tau = 0.7)
     }
+    time("group_topk_hotkey") {
+      // one key holding ~10% of the corpus: the window row_number plan
+      // sorts every hot-key row in ONE task; the bounded-heap aggregate
+      // reduces each map task's share to <= k entries pre-exchange
+      val skewed = li.select(
+        when(col("l_orderkey") % 10 === 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_linenumber").cast("long").as("id"),
+        col("l_extendedprice").as("score"))
+      graft.operators.TopK.topKPerKey(skewed, Seq("k"), "score", "id", 5)
+    }
+    locally {
+      // PQ pipeline at 10x: encode the replicated corpus (shuffle-free
+      // pass), then ADC-score 1/997 of it as queries against the codes
+      val t0 = System.nanoTime()
+      val cb = Similarity.pqCodebook(embs, "vec_id", "embedding",
+        col("vec_id") < 64)
+      val queries = embs.filter(col("vec_id") % 997 === 0)
+      Similarity.pqTopK(queries, embs, "vec_id", "embedding", cb,
+        m = 8, k = 5).write.format("noop").mode("overwrite").save()
+      println(f"STRESS pq_encode_topk          ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        s"  (k=64 codebook, ${mult}x corpus)")
+    }
+    time("ngram_freq") {
+      // replication multiplies every n-gram's tf 10x — hot boilerplate
+      // n-grams are absorbed by the two partial-aggregable groupBys
+      TextAnalysis.frequentNgrams(docs, "doc_id", "text",
+        n = 3, minCount = 50L)
+    }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
       // case AQE skew-split or explicit salting must break up

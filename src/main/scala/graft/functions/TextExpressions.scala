@@ -71,6 +71,50 @@ case class ShinglesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** ALL positional word n-grams (repeats kept, document order) of a
+  * lowercased, whitespace-split text — the term-frequency counterpart
+  * of [[ShinglesExpr]]'s distinct shingle set. Tokenization matches
+  * `TextFunctions.words` exactly (space-only trim, `\s+` split with
+  * trailing empties kept) so SQL oracles re-derive it verbatim. Texts
+  * shorter than `n` words yield an empty array. One native pass, no
+  * per-element lambda re-evaluation.
+  */
+case class NgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    // space-only trim (Spark/DuckDB `trim`), NOT Java String.trim which
+    // also strips \t\n\r and diverges from the SQL oracles
+    var s = 0; var e = raw.length
+    while (s < e && raw.charAt(s) == ' ') s += 1
+    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
+    val words = raw.substring(s, e).split("\\s+", -1)
+    val count = math.max(0, words.length - n + 1)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder(n * 12)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NgramsExpr =
+    copy(child = c)
+}
+
 /** Content fingerprint of a string array in one pass: md5 over the
   * elements sorted ascending and joined with a single space — equal to
   * `md5(array_join(sort_array(arr), " "))` (and the DuckDB oracle's

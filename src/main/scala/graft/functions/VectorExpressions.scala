@@ -175,6 +175,196 @@ case class LshProbesExpr(child: Expression, planes: Int, probes: Int)
     copy(child = c)
 }
 
+/** Product-quantization encode (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): split the vector into `m`
+  * contiguous subspaces and store, per subspace, the index of the
+  * nearest codebook entry (L2², deterministic tie-break on the smaller
+  * code). Output is `array<int>` of length `m` — at the standard
+  * m=8/k≤256 setting that is 8 bytes per vector vs 256 for a 64-dim
+  * float32 embedding: the 32× reduction is what makes a 100 TB ANN
+  * corpus shuffle-able and cacheable.
+  *
+  * `codebook(c)` is a FULL-dimension anchor vector; subspace `j` of code
+  * `c` is its slice `[j*d/m, (j+1)*d/m)`. The codebook is tiny by
+  * construction (k vectors) and ships inside the expression — no join,
+  * no shuffle: encode is one codegen-adjacent pass over the corpus.
+  * Distances are compared after `round(·, 6)` (BigDecimal HALF_UP — the
+  * same rounding `functions.round` applies) so near-ties resolve by the
+  * code index identically in any engine re-deriving the assignment.
+  */
+case class PqEncodeExpr(
+    child: Expression,
+    codebook: Array[Array[Double]],
+    m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode needs array<float|double>, got ${other.simpleString}")
+    }
+
+  @inline private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val d = v.numElements()
+    val sub = d / m
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < codebook.length) {
+        val cb = codebook(c)
+        var s = 0.0
+        var i = j * sub
+        val end = math.min((j + 1) * sub, math.min(d, cb.length))
+        while (i < end) {
+          val x = if (v.isNullAt(i)) 0.0
+                  else if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          val dx = x - cb(i)
+          s += dx * dx
+          i += 1
+        }
+        val r = round6(s)
+        if (r < bestD) { bestD = r; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** Query-side PQ lookup table for asymmetric distance computation (ADC):
+  * one row per QUERY precomputes `lut[j*k + c] = dot(q_subj, cb_c_subj)`
+  * plus the query norm, so scoring a corpus vector from its codes is
+  * O(m) table lookups instead of O(d) multiply-adds — the FAISS ADC
+  * design. Emits `struct(lut array<double>, qn double)` (`qn` = ‖q‖²).
+  * Cost is O(k·d) per query row — queries are the small side by the ANN
+  * contract, the corpus pays only the O(m) lookups.
+  */
+case class PqLutExpr(
+    child: Expression,
+    codebook: Array[Array[Double]],
+    m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lut", ArrayType(DoubleType, containsNull = false)),
+    StructField("qn", DoubleType)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut needs array<float|double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val d = v.numElements()
+    val sub = d / m
+    val k = codebook.length
+    val lut = new Array[Any](m * k)
+    var qn = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (v.isNullAt(i)) 0.0
+              else if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      qn += x * x
+      i += 1
+    }
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        val cb = codebook(c)
+        var s = 0.0
+        var t = j * sub
+        val end = math.min((j + 1) * sub, math.min(d, cb.length))
+        while (t < end) {
+          val x = if (v.isNullAt(t)) 0.0
+                  else if (isFloat) v.getFloat(t).toDouble else v.getDouble(t)
+          s += x * cb(t)
+          t += 1
+        }
+        lut(j * k + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(lut), qn)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLutExpr =
+    copy(child = c)
+}
+
+/** ADC cosine score from a query LUT ([[PqLutExpr]]) and corpus codes
+  * ([[PqEncodeExpr]]): `cos ≈ Σj lut[j,cj] / (‖q‖ · √(Σj ‖cb_cj,j‖²))`.
+  * The codebook-entry subspace norms `cbn[j*k + c] = ‖cb_c_subj‖²` are
+  * static per codebook and ship in the expression. Subspaces are
+  * orthogonal coordinate blocks, so the reconstruction norm decomposes
+  * exactly — the score equals `cos(q, reconstruction)` (the standard
+  * ADC identity), at O(m) per (query, corpus) pair.
+  */
+case class PqAdcScoreExpr(
+    left: Expression,
+    right: Expression,
+    cbNormSq: Array[Double],
+    k: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lutRow = l.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val lut = lutRow.getArray(0)
+    val qn = lutRow.getDouble(1)
+    val codes = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var dot = 0.0
+    var rn = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      dot += lut.getDouble(j * k + c)
+      rn += cbNormSq(j * k + c)
+      j += 1
+    }
+    if (qn == 0.0 || rn == 0.0) null
+    else dot / (math.sqrt(qn) * math.sqrt(rn))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnCompat
   import org.apache.spark.sql.functions._
@@ -214,4 +404,43 @@ object VectorFunctions {
   def dequantizeInt8(quantized: Column): Column =
     transform(quantized.getField("q"),
       q => q.cast("double") * quantized.getField("scale"))
+
+  /** PQ codes for a vector column ([[PqEncodeExpr]]). */
+  def pqEncode(vec: Column, codebook: Array[Array[Double]], m: Int): Column =
+    GraftColumnCompat.toColumn(PqEncodeExpr(
+      GraftColumnCompat.toExpression(vec), codebook, m))
+
+  /** Query-side ADC lookup table ([[PqLutExpr]]). */
+  def pqLut(vec: Column, codebook: Array[Array[Double]], m: Int): Column =
+    GraftColumnCompat.toColumn(PqLutExpr(
+      GraftColumnCompat.toExpression(vec), codebook, m))
+
+  /** ADC cosine (rounded to 6 decimals, cross-engine stable) from a
+    * [[pqLut]] struct and a [[pqEncode]] codes array. `cbNormSq` must be
+    * [[pqSubNormSq]] of the same codebook.
+    */
+  def pqAdcCosine(
+      lut: Column, codes: Column,
+      cbNormSq: Array[Double], k: Int): Column =
+    round(GraftColumnCompat.toColumn(PqAdcScoreExpr(
+      GraftColumnCompat.toExpression(lut),
+      GraftColumnCompat.toExpression(codes), cbNormSq, k)), 6)
+
+  /** Static per-(subspace, code) squared norms of a PQ codebook:
+    * `out(j*k + c) = ‖codebook(c)[j*d/m, (j+1)*d/m)‖²`.
+    */
+  def pqSubNormSq(codebook: Array[Array[Double]], m: Int): Array[Double] = {
+    val k = codebook.length
+    val d = if (k == 0) 0 else codebook(0).length
+    val sub = if (m == 0) 0 else d / m
+    val out = new Array[Double](m * k)
+    for (j <- 0 until m; c <- 0 until k) {
+      var s = 0.0
+      var i = j * sub
+      val end = math.min((j + 1) * sub, codebook(c).length)
+      while (i < end) { s += codebook(c)(i) * codebook(c)(i); i += 1 }
+      out(j * k + c) = s
+    }
+    out
+  }
 }

@@ -272,6 +272,77 @@ object Similarity {
     centroids
   }
 
+  /** Product-quantization codebook from deterministically selected
+    * anchor vectors: code `c` is the `c`-th smallest-id row matching
+    * `pred`, taken whole — subspace `j` of code `c` is its coordinate
+    * slice. The collect is bounded by construction (k anchor rows, the
+    * same driver-side contract as [[trainCentroids]]'s seed rank); at
+    * scale swap in per-subspace k-means over a sample — the plan shape
+    * of everything downstream is identical.
+    */
+  def pqCodebook(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pred: Column): Array[Array[Double]] =
+    vecs.filter(pred)
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol).asc)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Encode a corpus to PQ codes: `(id, codes array<int>)`. One
+    * shuffle-free pass ([[graft.functions.PqEncodeExpr]]); the output is
+    * `m` ints per row — the compressed representation a 100 TB corpus
+    * stores, shuffles, and caches in place of raw float vectors.
+    */
+  def pqEncode(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[Array[Double]],
+      m: Int): DataFrame =
+    vecs.select(col(idCol),
+      graft.functions.VectorFunctions.pqEncode(col(vecCol), codebook, m)
+        .as("codes"))
+
+  /** ANN top-k over a PQ-compressed corpus via asymmetric distance
+    * computation: exact query vectors score against corpus CODES only.
+    * Each query row precomputes its O(k·d) lookup table once
+    * ([[graft.functions.PqLutExpr]]); scoring a corpus row is then O(m)
+    * lookups. The query side is broadcast (small by the brute-force-scan
+    * contract — same shape as [[knnBruteForce]]); the corpus streams
+    * its codes once with no shuffle, and only |queries| × |corpus|
+    * scored rows reach the ranking exchange.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[Array[Double]],
+      m: Int,
+      k: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val nCodes = codebook.length
+    val norms = VF.pqSubNormSq(codebook, m)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"),
+      VF.pqLut(col(vecCol), codebook, m).as("__lut")))
+    val c = Spread.ifNarrow(
+      pqEncode(corpus, idCol, vecCol, codebook, m)
+        .withColumnRenamed(idCol, "neighbor_id"),
+      col("neighbor_id"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VF.pqAdcCosine(col("__lut"), col("codes"), norms, nCodes)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** ANN top-k: brute-force cosine *within* each LSH bucket. The join key
     * is the bucket id — shuffle is linear in corpus size; AQE splits hot
     * buckets. Recall < 1 by construction (bucket-boundary misses); raise

@@ -352,4 +352,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Corpus-wide frequent word n-grams with a minimum-support cut — the
+    * heavy-hitters pass behind boilerplate mining, contamination probe
+    * construction, and the Gopher-style "fraction of docs dominated by a
+    * common n-gram" diagnostics. Emits one row per n-gram with corpus
+    * term frequency and document frequency, keeping n-grams whose TOTAL
+    * count reaches `minCount`.
+    *
+    * Scale shape: n-grams explode ~`words` rows per doc (n-1 fewer),
+    * then two partial-aggregable shuffles — `groupBy(ngram, doc)` to
+    * collapse within-doc repeats, `groupBy(ngram)` to fold doc-level
+    * counts into (tf, df). Hot n-grams ("terms of service") are exactly
+    * the rows this operator exists to find, and map-side combine absorbs
+    * them: no single task ever holds more than one combined row per
+    * distinct n-gram. Tokenization matches [[vocabulary]] (lowercased
+    * whitespace split); n-grams are space-joined POSITIONAL grams —
+    * unlike [[graft.functions.ShinglesExpr]]'s distinct shingle SET,
+    * repeats inside a doc count toward tf.
+    */
+  def frequentNgrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minCount: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    val grams = docs.select(col(idCol).as("__doc"),
+        explode(toColumn(graft.functions.NgramsExpr(
+          toExpression(col(textCol)), n))).as("ngram"))
+    grams
+      .groupBy(col("ngram"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__tf")).as("term_freq"),
+        count(lit(1)).as("doc_freq"))
+      .filter(col("term_freq") >= minCount)
+  }
 }

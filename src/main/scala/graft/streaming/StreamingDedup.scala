@@ -142,4 +142,40 @@ object StreamingDedup {
       .filter(col("all_bands_fresh"))
       .select(col("window.start").as("window_start"), col("doc_id"))
   }
+
+  /** Streaming decontamination — the ingest-time form of
+    * `Dedup.decontaminate`: a document sharing any MinHash (band,
+    * bucket) with the eval-probe set is dropped as it arrives.
+    *
+    * The probe's distinct bucket set is computed ONCE, batch-side, and
+    * shipped as a literal array (band-prefixed bucket strings). That is
+    * the same boundedness argument as the batch operator's broadcast
+    * default — the probe is an eval set, orders of magnitude smaller
+    * than the corpus — and it buys the strongest possible streaming
+    * plan: a STATELESS filter. No state store, no watermark, Append
+    * mode, one native bucket pass + one `arrays_overlap` per document.
+    * Probe updates (new eval sets) are a stream restart, which is the
+    * operational reality of decontamination anyway.
+    */
+  def decontaminateStream(
+      spark: SparkSession,
+      dir: String,
+      probe: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def bandKeys(c: org.apache.spark.sql.Column) =
+      transform(minhashBuckets(shingleHashes(c, shingleN), numHashes, bands),
+        (b, i) => concat(i.cast("string"), lit(":"), b))
+    // bounded by the probe's distinct bucket count (eval-set scale);
+    // sorted so the literal — and with it the plan — is deterministic
+    val probeKeys = probe
+      .select(explode(bandKeys(col(textCol))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    spark.readStream.schema(DocSchema).parquet(dir)
+      .filter(!arrays_overlap(bandKeys(col(textCol)), typedLit(probeKeys)))
+  }
 }

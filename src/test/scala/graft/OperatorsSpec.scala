@@ -808,4 +808,119 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) === (("a", 5.0)))
     assert(out(1L) === (("d", 1.0)))
   }
+
+  test("topKPerKey equals the window row_number reference (hot key, ties)" +
+      " and plans as a partial aggregate with NO window or sort") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot key (80% of rows), score ties inside and outside the top-k
+    val rows = Seq.tabulate(100) { i =>
+      val key = if (i % 5 == 0) i.toLong % 7 else 999L
+      (key, i.toLong, (i % 13).toDouble)
+    }
+    val df = rows.toDF("k", "id", "score")
+    val got = graft.operators.TopK.topKPerKey(df, Seq("k"), "score", "id", 3)
+    val w = Window.partitionBy($"k").orderBy($"score".desc, $"id".asc)
+    val ref = df.withColumn("rk", row_number().over(w).cast("int"))
+      .filter($"rk" <= 3).select($"k", $"id", $"score", $"rk")
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    val plan = got.queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"topKPerKey must not plan a Window or Sort:\n$plan")
+    // the map-side partial must exist: a hot key reduces to <= k entries
+    // per task BEFORE the exchange
+    assert(plan.toString.contains("partial_topkaggregator"),
+      s"expected a partial aggregation phase:\n$plan")
+  }
+
+  test("PQ: anchors encode to their own code; ADC cosine equals the" +
+      " reconstruct-then-cosine reference") {
+    import graft.operators.Similarity
+    // 4 dims, m = 2 subspaces, 3 anchors
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f, 0.2f, 0.9f)), // near anchor 0 in both halves
+      (4L, Array(0.1f, 0.9f, 0.9f, 0.1f))) // near anchor 1 in both halves
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding", $"vec_id" < 3)
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", cb, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(0L) === Seq(0, 0) && enc(1L) === Seq(1, 1) &&
+      enc(2L) === Seq(2, 2))
+    assert(enc(3L) === Seq(0, 0) && enc(4L) === Seq(1, 1))
+    // ADC vs reference: reconstruct from codes, then plain cosine
+    val got = Similarity.pqTopK(vecs.filter($"vec_id" === 3L), vecs,
+        "vec_id", "embedding", cb, m = 2, k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // float32 source values, converted exactly as Spark's float->double cast
+    val q = Array(0.9f, 0.1f, 0.2f, 0.9f).map(_.toDouble)
+    val recon = Map( // codes -> codebook slices, per the encodings above
+      0L -> cb(0), 1L -> cb(1), 2L -> cb(2),
+      4L -> cb(1)) // doc 4 encodes to (1, 1) = anchor 1 both halves
+    recon.foreach { case (id, rv) =>
+      assert(math.abs(got(id) - cos(q, rv)) < 1e-9,
+        s"ADC mismatch for neighbor $id: ${got(id)} vs ${cos(q, rv)}")
+    }
+  }
+
+  test("frequentNgrams counts positional repeats (tf) and distinct docs" +
+      " (df); short docs contribute nothing") {
+    val d = Seq(
+      (0L, "a b c a b c"),   // "a b c" twice, "b c a"/"c a b" once
+      (1L, "a b c"),         // exactly one trigram
+      (2L, "x y"))           // < 3 words -> no trigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.frequentNgrams(d, "doc_id", "text",
+        n = 3, minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a b c") === ((3L, 2L)))
+    assert(out("b c a") === ((1L, 1L)))
+    assert(out.keySet === Set("a b c", "b c a", "c a b"))
+    assert(TextAnalysis.frequentNgrams(d, "doc_id", "text",
+      n = 3, minCount = 3L).count() === 1L)
+  }
+
+  test("streaming decontamination drops probe-colliding docs as they" +
+      " arrive and matches the batch operator") {
+    val base = Seq.tabulate(30)(i => s"w$i common phrase tail").mkString(" ")
+    val corpusRows = Seq(
+      (0L, base),                      // probe member -> drops
+      (1L, base + " extra"),           // near-dup of probe -> drops
+      (2L, Seq.tabulate(30)(i => s"z$i other words here").mkString(" ")))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val probe = corpus.filter($"doc_id" === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("sdecon").toString
+    corpusRows.map { case (id, txt) => (id, txt, "en", "web", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = graft.streaming.StreamingDedup
+      .decontaminateStream(spark, dir, probe)
+      .writeStream.format("memory").queryName("sdecon_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a contaminated doc arriving in a later micro-batch also drops
+    Seq((3L, base + " more", "en", "web", 0L), (4L, "tiny clean", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id FROM sdecon_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = graft.operators.Dedup.decontaminate(corpus, probe,
+      "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.filter(_ <= 2L) === batch) // stream ≡ batch on the same input
+    assert(got === Seq(2L, 4L))
+  }
 }
