@@ -565,6 +565,19 @@ object SparkEntry {
       .select("doc_id", "lang")
   }
 
+  /** Domain mixing to a 10k-token budget: src0/src1 get explicit
+    * weights, the other 18 sources split the remaining 0.2 evenly; the
+    * two weighted domains exercise fractional sampling, the cap path is
+    * spec-covered (at this SF no domain under-fills its share).
+    */
+  private def mixBudgetQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixToTokenBudget(
+      docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars",
+      weights = Map("src0" -> 0.5, "src1" -> 0.3),
+      budget = 10000L,
+      defaultWeight = 0.2 / 18)
+
   private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedHashSample(
       t(s, dir, "documents"), "doc_id", "lang",
@@ -1139,6 +1152,7 @@ object SparkEntry {
     "range_join"       -> (rangeJoinQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "split_assign"     -> (splitAssignQ _),
+    "mix_budget"       -> (mixBudgetQ _),
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
@@ -1572,6 +1586,18 @@ object SparkEntry {
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < (CASE WHEN lang = 'en' THEN 500000
                    WHEN lang = 'de' THEN 250000 ELSE 100000 END)""",
+    "mix_budget" ->
+      s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tk
+           FROM documents GROUP BY 1),
+         fr AS (SELECT source,
+             least(1.0, 10000 * (CASE WHEN source = 'src0' THEN 0.5
+                                      WHEN source = 'src1' THEN 0.3
+                                      ELSE 0.2 / 18 END) / tk) AS f
+           FROM tot)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN fr USING (source)
+         WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
+           < round(f * 1000000)""",
     "split_assign" ->
       s"""SELECT doc_id,
          CASE WHEN h < 800000 THEN 'train'

@@ -80,4 +80,47 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic domain mixing to a token budget — the static
+    * data-mixture step of a training-data pipeline (fixed target
+    * proportions à la The Pile / Llama mixes; learned-weight schemes
+    * like DoReMi plug their output into the same `weights` map): domain
+    * `d` keeps `min(1, budget·w_d / tokens_d)` of its rows so the
+    * expected sampled token mass is `budget·w_d`, by the same id-hash
+    * range test as every sampler here (reproducible across runs,
+    * retries, and engines). Weights must sum to 1 (±1e-9, counting
+    * `defaultWeight` once per unlisted domain). A domain too small to
+    * fill its share keeps everything — the cap surfaces as fraction 1;
+    * re-spreading the shortfall (temperature resampling, epoch
+    * up-weighting) is caller policy, not plan shape.
+    *
+    * Two jobs: a partial-aggregable per-domain token count whose result
+    * is one row per DOMAIN — collected driver-side (domains number in
+    * the tens-to-thousands at any scale; document-scale data never moves)
+    * — then one stateless pipelined filter ([[stratifiedHashSample]]).
+    */
+  def mixToTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokenCol: String,
+      weights: Map[String, Double],
+      budget: Long,
+      defaultWeight: Double = 0.0): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be >= 0")
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wsum = totals.keysIterator
+      .map(d => weights.getOrElse(d, defaultWeight)).sum
+    require(math.abs(wsum - 1.0) < 1e-9,
+      s"domain weights must sum to 1 over the observed domains (got $wsum)")
+    val fractions = totals.map { case (d, tk) =>
+      val w = weights.getOrElse(d, defaultWeight)
+      d -> (if (tk <= 0L) 0.0 else math.min(1.0, budget * w / tk))
+    }
+    stratifiedHashSample(df, idCol, domainCol, fractions)
+  }
 }

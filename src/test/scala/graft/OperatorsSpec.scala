@@ -891,6 +891,37 @@ class OperatorsSpec extends AnyFunSuite {
       n = 3, minCount = 3L).count() === 1L)
   }
 
+  test("mixToTokenBudget: fraction = min(1, budget*w/tokens), small" +
+      " domains cap at keep-all, and the sample is deterministic") {
+    import graft.operators.Sampling
+    // big: 100 rows x 100 tok; small: 10 x 100; rest: 90 x 100
+    val d = Seq.tabulate(200) { i =>
+      val dom = if (i < 100) "big" else if (i < 110) "small" else "rest"
+      (i.toLong, dom, 100L)
+    }.toDF("id", "dom", "tok")
+    val out = Sampling.mixToTokenBudget(d, "id", "dom", "tok",
+      weights = Map("big" -> 0.5, "small" -> 0.4, "rest" -> 0.1),
+      budget = 5000L)
+    val by = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small's share (2000 tokens) exceeds its 1000 tokens -> fraction 1
+    assert(by("small") === 10L)
+    // big's fraction is exactly 0.25 -> identical to the plain
+    // stratified sampler at that fraction (same id-hash range test)
+    val ref = Sampling.stratifiedHashSample(d, "id", "dom",
+      Map("big" -> 0.25)).count()
+    assert(by("big") === ref)
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ===
+      Sampling.mixToTokenBudget(d, "id", "dom", "tok",
+        weights = Map("big" -> 0.5, "small" -> 0.4, "rest" -> 0.1),
+        budget = 5000L).collect().map(_.getLong(0)).sorted.toSeq)
+    // weights that do not sum to 1 over observed domains are rejected
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTokenBudget(d, "id", "dom", "tok",
+        weights = Map("big" -> 0.5), budget = 5000L)
+    }
+  }
+
   test("streaming decontamination drops probe-colliding docs as they" +
       " arrive and matches the batch operator") {
     val base = Seq.tabulate(30)(i => s"w$i common phrase tail").mkString(" ")
