@@ -650,6 +650,20 @@ object SparkEntry {
       "vec_id", "embedding", cb, m = 8, k = 5)
   }
 
+  /** IVF-PQ: id-selected coarse centroids (as the IVF gates) + the
+    * 8-anchor PQ codebook; 2-probe query fan-out, ADC scoring within
+    * cells.
+    */
+  private def annIvfPqTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cb = Similarity.pqCodebook(e, "vec_id", "embedding",
+      col("vec_id") < 8)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", centroids, cb, m = 8, k = 5, probes = 2)
+  }
+
   /** Group top-k via the bounded-heap partial-aggregable Aggregator —
     * same result set as q3_window_topn's window plan, produced with no
     * per-key window sort (the skew-safe plan shape).
@@ -1162,6 +1176,7 @@ object SparkEntry {
     "ivf_train"        -> (ivfTrainQ _),
     "pq_encode"        -> (pqEncodeQ _),
     "ann_pq_topk"      -> (annPqTopKQ _),
+    "ann_ivfpq_topk"   -> (annIvfPqTopKQ _),
     "group_topk"       -> (groupTopKQ _),
     "ngram_freq"       -> (ngramFreqQ _),
     "streaming_decontaminate" -> (streamingDecontaminateQ _),
@@ -1745,6 +1760,33 @@ object SparkEntry {
          sc AS (SELECT query_id, r.vec_id AS neighbor_id,
              round(list_cosine_similarity(qv, rv), 6) AS cos_sim
            FROM q, recon r WHERE query_id <> r.vec_id),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
+         WHERE knn_rank <= 5""",
+    "ann_ivfpq_topk" ->
+      s"""WITH $dkPqEnc,
+         sub AS (SELECT e.vec_id, e.j,
+             [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
+           FROM enc e JOIN a ON a.code = e.code),
+         recon AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rv
+           FROM sub GROUP BY vec_id),
+         cen AS (SELECT vec_id AS centroid_id, vd AS cv FROM v
+           WHERE vec_id % 100 = 0),
+         ranked AS (SELECT v.vec_id, cen.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                        centroid_id) AS rn
+           FROM v, cen),
+         asg1 AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+         asgp AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2),
+         sc AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv.vd, r.rv), 6) AS cos_sim
+           FROM asgp p JOIN asg1 b ON p.centroid_id = b.centroid_id
+             AND p.vec_id <> b.vec_id
+           JOIN v qv ON qv.vec_id = p.vec_id
+           JOIN recon r ON r.vec_id = b.vec_id
+           WHERE p.vec_id < 10),
          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk

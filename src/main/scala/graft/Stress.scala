@@ -217,6 +217,21 @@ object Stress {
       println(f"STRESS pq_encode_topk          ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         s"  (k=64 codebook, ${mult}x corpus)")
     }
+    locally {
+      // the full billion-scale composition, TRAINED end to end: k-means
+      // coarse quantizer -> PQ codes within cells -> 2-probe ADC search
+      val t0 = System.nanoTime()
+      val cents = Similarity.trainCentroids(embs, "vec_id", "embedding",
+        k = 64, iters = 2)
+      val cb = Similarity.pqCodebook(embs, "vec_id", "embedding",
+        col("vec_id") < 64)
+      val queries = embs.filter(col("vec_id") % 997 === 0)
+      Similarity.ivfPqTopK(queries, embs, "vec_id", "embedding",
+        cents, cb, m = 8, k = 5, probes = 2)
+        .write.format("noop").mode("overwrite").save()
+      println(f"STRESS ivfpq_trained           ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        s"  (trained k=64 cells, k=64 codebook, ${mult}x corpus)")
+    }
     time("ngram_freq") {
       // replication multiplies every n-gram's tf 10x — hot boilerplate
       // n-grams are absorbed by the two partial-aggregable groupBys

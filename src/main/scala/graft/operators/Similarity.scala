@@ -343,6 +343,56 @@ object Similarity {
       .filter(col("knn_rank") <= k)
   }
 
+  /** IVF-PQ top-k — the standard billion-scale ANN composition (FAISS
+    * `IVFxx,PQyy`): the IVF coarse quantizer restricts each query to its
+    * `probes` nearest cells, and within a cell the query's exact vector
+    * scores corpus PQ CODES via ADC. The search join keys on
+    * `centroid_id` (linear shuffle, AQE splits hot cells); the corpus
+    * side carries `m` ints + a cell id per vector — at m=8 that is the
+    * difference between shuffling 100 TB of float vectors and ~3 TB of
+    * codes. Query-side-only fan-out (`probes`×), so a (query, neighbor)
+    * pair arises at most once, exactly as in [[ivfTopK]].
+    *
+    * `centroids` must be `(centroid_id, __cv)` (small, broadcast); the
+    * PQ `codebook` refines WITHIN cells, so both quantizers are
+    * independent — the same two-level layout as the paper (Jégou et al.
+    * 2011 §IV: coarse quantizer + product-quantized residual; cosine
+    * ADC here scores the vector itself rather than the residual, which
+    * keeps the score engine-reproducible).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      probes: Int = 1): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val nCodes = codebook.length
+    val norms = VF.pqSubNormSq(codebook, m)
+    // corpus: one cell per vector, codes instead of the raw vector
+    val c = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        VF.pqEncode(col(vecCol), codebook, m).as("codes"))
+    // queries: probes cells each, exact vector -> per-query ADC LUT
+    val q = ivfAssignRanked(queries, idCol, vecCol, centroids, probes)
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        VF.pqLut(col(vecCol), codebook, m).as("__lut"))
+    val scored = q.join(c,
+        q("centroid_id") === c("centroid_id") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VF.pqAdcCosine(col("__lut"), col("codes"), norms, nCodes)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** ANN top-k: brute-force cosine *within* each LSH bucket. The join key
     * is the bucket id — shuffle is linear in corpus size; AQE splits hot
     * buckets. Recall < 1 by construction (bucket-boundary misses); raise
