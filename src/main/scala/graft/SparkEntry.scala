@@ -790,6 +790,9 @@ object SparkEntry {
   private def eventsSessionize(s: SparkSession, dir: String): DataFrame =
     Events.sessionize(t(s, dir, "events"), gapNanos = 1800L * 1000 * 1000 * 1000)
 
+  private def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    Events.retention(t(s, dir, "events"), maxOffsetDays = 30)
+
   /** Run a streaming query to completion (AvailableNow → memory sink)
     * and return its result as a batch frame — how the streaming engine
     * gets under the same DuckDB hash gate as every batch operator.
@@ -1195,6 +1198,7 @@ object SparkEntry {
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
+    "events_retention" -> (eventsRetention _),
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
@@ -1925,6 +1929,14 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum
          FROM events GROUP BY 1, 2""",
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day_id FROM events),
+         c AS (SELECT user_id, day_id,
+             min(day_id) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+         SELECT cohort_day, day_id - cohort_day AS day_offset,
+           count(*) AS n_users
+         FROM c WHERE day_id - cohort_day <= 30 GROUP BY 1, 2""",
     "events_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
          s1 AS (SELECT user_id, min(ts) AS t_signup FROM e

@@ -65,6 +65,35 @@ object Events {
         sum(col("value")).as("value_sum"))
   }
 
+  val NanosPerDay: Long = 24L * NanosPerHour
+
+  /** Cohort retention triangle — the standard product-analytics rollup:
+    * users are cohorted by the UTC day of their first event, and cell
+    * `(cohort_day, day_offset)` counts how many of them were active
+    * `day_offset` days later.
+    *
+    * Scale shape: the raw event volume collapses FIRST into distinct
+    * (user, day) pairs (partial-aggregable — map-side combine absorbs a
+    * chatty user's millions of events); the per-user window that finds
+    * the cohort day then runs over rows bounded by the observation range
+    * in days, so no window partition can be hot; the final count is
+    * another partial-aggregable groupBy. Day ids are `ts div 24h` over
+    * the nanosecond timestamp, matching [[hourlyAgg]]'s convention.
+    */
+  def retention(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr(s"ts div ${NanosPerDay}L").as("day_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    days
+      .withColumn("cohort_day", min(col("day_id")).over(w))
+      .select(col("cohort_day"),
+        (col("day_id") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered-step funnel: for each user, the earliest time each step was
     * reached *after* the previous step, and the number of steps
     * completed in order. Built as a fold of conditional min-aggregations

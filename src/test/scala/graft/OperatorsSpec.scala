@@ -891,6 +891,23 @@ class OperatorsSpec extends AnyFunSuite {
       n = 3, minCount = 3L).count() === 1L)
   }
 
+  test("retention cohorts: first-day cohort, per-offset distinct actives," +
+      " offsets beyond the horizon cut") {
+    val day = graft.streaming.Events.NanosPerDay
+    // user 1: days 0,1,2; user 2: days 0,2; user 3: day 1 only (later
+    // cohort); user 1 has TWO events on day 0 (distinct collapse)
+    val evs = Seq(
+      (1L, 0L * day + 5), (1L, 0L * day + 9), (1L, 1L * day + 1),
+      (1L, 2L * day + 1), (2L, 0L * day + 2), (2L, 2L * day + 7),
+      (3L, 1L * day + 3))
+      .toDF("user_id", "ts")
+    val got = graft.streaming.Events.retention(evs, maxOffsetDays = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cohort 0: day 0 -> users 1,2; offset 1 -> user 1 only
+    // cohort 1: user 3; offset 2 rows (user 1&2 on day 2) cut by horizon
+    assert(got === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("mixToTokenBudget: fraction = min(1, budget*w/tokens), small" +
       " domains cap at keep-all, and the sample is deterministic") {
     import graft.operators.Sampling
