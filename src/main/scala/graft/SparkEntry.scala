@@ -578,6 +578,18 @@ object SparkEntry {
       budget = 10000L,
       defaultWeight = 0.2 / 18)
 
+  /** Composed curation: length gate -> exact-normalized dedup ->
+    * decontaminate (probe = %13 docs) -> train/val/test assignment.
+    * The near-dup and line-dedup stages are off here (their survivor
+    * rules are gated separately); the full path runs in specs + Stress.
+    */
+  private def curatePipelineQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curate(
+      docs(s, dir), "doc_id", "text",
+      probe = Some(docs(s, dir).filter(col("doc_id") % 13 === 0)),
+      minChars = 250, maxChars = 100000)
+      .select(col("doc_id"), col("split"))
+
   private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedHashSample(
       t(s, dir, "documents"), "doc_id", "lang",
@@ -1022,7 +1034,11 @@ object SparkEntry {
            SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j
              ORDER BY d2, code) AS rn FROM unn) WHERE rn = 1)"""
 
-  private val dkDecontaminate: String = {
+  /** Shared LSH band-bucket CTEs (w, s, h, sig, bk) over documents —
+    * one (doc_id, band, bucket) row per band per doc, mirroring
+    * `TextFunctions.minhashBuckets` with the default 16x8 layout.
+    */
+  private val dkBk: String = {
     val bucketSelects = (0 until 8).map { b =>
       s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
@@ -1030,15 +1046,37 @@ object SparkEntry {
       val (a, b) = TextFunctions.hashParams(j)
       s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
     }
-    s"""WITH $dkShingles,
+    s"""$dkShingles,
        h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
        sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
-       bk AS ($bucketSelects),
+       bk AS ($bucketSelects)"""
+  }
+
+  private val dkDecontaminate: String =
+    s"""WITH $dkBk,
        pbk AS (SELECT DISTINCT band, bucket FROM bk WHERE doc_id % 7 = 0),
        bad AS (SELECT DISTINCT bk.doc_id FROM bk JOIN pbk USING (band, bucket))
        SELECT d.doc_id, d.lang FROM documents d
        WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)"""
-  }
+
+  /** Composed curation oracle: length gate -> exact-normalized dedup
+    * (min id) -> decontaminate vs the %13 probe -> split assignment.
+    */
+  private val dkCurate: String =
+    s"""WITH $dkBk,
+       q AS (SELECT doc_id, text FROM documents
+         WHERE length(text) >= 250 AND length(text) <= 100000),
+       ex AS (SELECT min(doc_id) AS doc_id FROM q
+         GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+       pbk AS (SELECT DISTINCT band, bucket FROM bk WHERE doc_id % 13 = 0),
+       bad AS (SELECT DISTINCT bk.doc_id FROM bk JOIN pbk USING (band, bucket)),
+       fin AS (SELECT doc_id FROM ex
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+       SELECT doc_id,
+         CASE WHEN h < 800000 THEN 'train'
+              WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)"""
 
   private val dkSimhash: String = {
     val terms = (0 until 16).map(j =>
@@ -1170,6 +1208,7 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratifiedQ _),
     "split_assign"     -> (splitAssignQ _),
     "mix_budget"       -> (mixBudgetQ _),
+    "curate_pipeline"  -> (curatePipelineQ _),
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
@@ -1580,6 +1619,7 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
     "decontaminate" -> dkDecontaminate,
+    "curate_pipeline" -> dkCurate,
     "dedup_lsh_verified" ->
       s"""WITH pairs AS ($dkLshPairs),
          $dkShingles

@@ -238,6 +238,15 @@ object Stress {
       TextAnalysis.frequentNgrams(docs, "doc_id", "text",
         n = 3, minCount = 50L)
     }
+    time("curate_full") {
+      // the whole curation composition on the 50k-doc replica: length
+      // gate -> line dedup -> exact-normalized dedup -> LSH bucket-
+      // ownership near-dup (replication makes every doc a 10-way
+      // near-dup group - the worst case) -> decontaminate -> splits
+      graft.operators.Pipeline.curate(docs, "doc_id", "text",
+        probe = Some(docs.filter(col("doc_id") % 97 === 0)),
+        minChars = 50, dedupLines = true, nearDup = true)
+    }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
       // case AQE skew-split or explicit salting must break up

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
+
+/** End-to-end corpus curation — the composition every training-data
+  * pipeline runs before a corpus reaches the trainer, owned as ONE
+  * operator so stage ORDER is a reviewed decision instead of ad-hoc
+  * glue. Stages (each individually oracle-gated elsewhere):
+  *
+  *  1. length gate — the cheap per-row filter runs FIRST: at 100 TB,
+  *     cutting empty/boilerplate docs before ANY shuffle is the largest
+  *     single cost lever, and a pure `length(text)` predicate pipelines
+  *     into the scan.
+  *  2. optional line-level dedup ([[Dedup.dedupLines]], C4 recipe) —
+  *     rewrites `textCol` to the surviving lines.
+  *  3. exact-normalized dedup, keep smallest id ([[Dedup.exactNormalized]])
+  *     — one linear partial-aggregable shuffle.
+  *  4. optional near-dup dedup by MinHash-LSH *bucket ownership*: a doc
+  *     survives iff it has the smallest id in EVERY one of its band
+  *     buckets — the same batch-expressible survivor rule the streaming
+  *     near-dup gate uses. One groupBy over band rows (min is absorbed
+  *     map-side, so a viral duplicate's hot bucket cannot strangle a
+  *     task) + one anti join. More aggressive than pair+component
+  *     survivor selection (a doc bridging two clusters drops); choose
+  *     [[Dedup.dropNearDuplicateClusters]] when cluster-level survivor
+  *     policy matters more than a single-pass plan.
+  *  5. optional decontamination against an eval probe
+  *     ([[Dedup.decontaminate]] — probe buckets broadcast).
+  *  6. deterministic split assignment ([[Sampling.assignSplit]]) —
+  *     stateless id-hash ranges, LAST so a surviving doc keeps its split
+  *     across reruns and upstream config changes.
+  *
+  * Dedup precedes decontamination so bucket stats are computed once on
+  * the smaller deduped corpus; both precede split assignment so splits
+  * never reference dropped docs.
+  */
+object Pipeline {
+
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probe: Option[DataFrame] = None,
+      minChars: Int = 1,
+      maxChars: Int = Int.MaxValue,
+      dedupLines: Boolean = false,
+      nearDup: Boolean = false,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val len = length(col(textCol))
+    var d = docs.filter(len >= minChars && len <= maxChars)
+    if (dedupLines)
+      d = Dedup.dedupLines(d, idCol, textCol)
+        .select(col(idCol), col("text_kept").as(textCol))
+    val keepExact = Dedup.exactNormalized(d, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    d = d.join(keepExact, Seq(idCol), "left_semi")
+    if (nearDup) {
+      val bandRows = d.select(col(idCol),
+          posexplode(minhashBuckets(shingleHashes(col(textCol), shingleN),
+            numHashes, bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+      val owners = bandRows.groupBy(col("band"), col("bucket"))
+        .agg(min(col(idCol)).as("__owner"))
+      val losers = bandRows.join(owners, Seq("band", "bucket"))
+        .filter(col("__owner") < col(idCol))
+        .select(col(idCol)).distinct()
+      d = d.join(losers, Seq(idCol), "left_anti")
+    }
+    probe.foreach { p =>
+      d = Dedup.decontaminate(d, p, idCol, textCol, shingleN, numHashes,
+        bands)
+    }
+    Sampling.assignSplit(d, idCol, splits)
+  }
+}

@@ -891,6 +891,35 @@ class OperatorsSpec extends AnyFunSuite {
       n = 3, minCount = 3L).count() === 1L)
   }
 
+  test("curate pipeline, full path: length gate, line+exact+near dedup," +
+      " decontamination, split assignment") {
+    import graft.operators.Pipeline
+    val base = Seq.tabulate(30)(i => s"w$i unique body text").mkString(" ")
+    val other = Seq.tabulate(30)(i => s"z$i different words").mkString(" ")
+    val evalDoc = Seq.tabulate(30)(i => s"e$i eval probe content").mkString(" ")
+    val d = Seq(
+      (0L, base),            // survives
+      (1L, base + " "),      // exact-normalized dup of 0 -> drops
+      (2L, base + " tail"),  // near-dup of 0 (shares buckets) -> drops
+      (3L, other),           // survives
+      (4L, "too short"),     // length gate -> drops
+      (5L, evalDoc))         // probe member -> drops
+      .toDF("doc_id", "text")
+    val probe = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val out = Pipeline.curate(d, "doc_id", "text", probe = Some(probe),
+      minChars = 50, nearDup = true, dedupLines = true)
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids === Seq(0L, 3L))
+    // split column present and deterministic across runs
+    val splits = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val again = Pipeline.curate(d, "doc_id", "text", probe = Some(probe),
+      minChars = 50, nearDup = true, dedupLines = true)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(splits === again)
+  }
+
   test("retention cohorts: first-day cohort, per-offset distinct actives," +
       " offsets beyond the horizon cut") {
     val day = graft.streaming.Events.NanosPerDay
