@@ -547,6 +547,23 @@ object SparkEntry {
       TextAnalysis.scrubPii(dirty).as("clean_text"))
   }
 
+  /** URL canonicalization over synthetic tracking-link variants built
+    * from doc_id (the corpus has no URL column): uppercase scheme/host,
+    * www, default port, utm/fbclid params, and a fragment all normalize
+    * away; the id param survives re-anchored to `?`.
+    */
+  private def urlNormalizeQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("HTTPS://WWW.Example"), (col("doc_id") % 50).cast("string"),
+      lit(".COM:443/Path"), (col("doc_id") % 7).cast("string"),
+      lit("/?utm_source=s"), (col("doc_id") % 3).cast("string"),
+      lit("&id="), col("doc_id").cast("string"),
+      lit("&fbclid=abc#sec"), (col("doc_id") % 5).cast("string"))
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.normalizeUrl(raw).as("url_norm"),
+      TextAnalysis.urlHost(raw).as("host"))
+  }
+
   private def chunkTokensQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 40, overlap = 8)
@@ -1202,6 +1219,7 @@ object SparkEntry {
     "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
+    "url_normalize"    -> (urlNormalizeQ _),
     "quantize_int8"    -> (quantizeQ _),
     "asof_join"        -> (asofJoinQ _),
     "range_join"       -> (rangeJoinQ _),
@@ -1705,6 +1723,36 @@ object SparkEntry {
                '(\+?[0-9]{1,2}[ .-])?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}', '<PHONE>', 'g'),
              '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean_text
          FROM d""",
+    "url_normalize" ->
+      """WITH r AS (SELECT doc_id,
+           'HTTPS://WWW.Example' || (doc_id % 50) || '.COM:443/Path'
+             || (doc_id % 7) || '/?utm_source=s' || (doc_id % 3)
+             || '&id=' || doc_id || '&fbclid=abc#sec' || (doc_id % 5) AS u
+         FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM r),
+         s2 AS (SELECT doc_id,
+             lower(regexp_extract(u, '(^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u
+           FROM s1),
+         s3 AS (SELECT doc_id,
+             regexp_replace(u, '^([a-z0-9+.-]*://)www\.', '\1') AS u FROM s2),
+         s4 AS (SELECT doc_id,
+             regexp_replace(u, '^(https://[^/:?]*):443([/?]|$)', '\1\2') AS u
+           FROM s3),
+         s5 AS (SELECT doc_id,
+             regexp_replace(u, '^(http://[^/:?]*):80([/?]|$)', '\1\2') AS u
+           FROM s4),
+         s6 AS (SELECT doc_id,
+             regexp_replace(u, '[?&](utm_[A-Za-z]+|gclid|fbclid)=[^&]*', '', 'g') AS u
+           FROM s5),
+         s7 AS (SELECT doc_id,
+             regexp_replace(u, '^([^?&]*)&', '\1?') AS u FROM s6),
+         s8 AS (SELECT doc_id, regexp_replace(u, '[?&/]+$', '') AS u FROM s7)
+         SELECT s8.doc_id, s8.u AS url_norm,
+           regexp_replace(regexp_replace(
+             lower(regexp_extract(r.u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             '^www\.', ''), ':[0-9]+$', '') AS host
+         FROM s8 JOIN r ON s8.doc_id = r.doc_id""",
     "quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
          q AS (SELECT vec_id, vd,

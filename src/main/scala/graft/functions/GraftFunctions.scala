@@ -65,6 +65,8 @@ object GraftFunctions {
       exprs => NormalizeTextExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("char_shingles3",
       exprs => CharShinglesExpr(exprs.head, 3), "scala_udf")
+    reg.createOrReplaceTempFunction("ngrams3",
+      exprs => NgramsExpr(exprs.head, 3), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
   }
 }

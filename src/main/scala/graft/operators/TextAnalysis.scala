@@ -353,6 +353,42 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** URL canonicalization — the Common-Crawl-style dedup key (one fetch
+    * of a page per tracking-link variant): drop the fragment, lowercase
+    * `scheme://host[:port]` (the case-insensitive parts ONLY — paths
+    * stay case-sensitive per RFC 3986), strip `www.`, strip default
+    * ports, drop tracking query params (`utm_*`, `gclid`, `fbclid`),
+    * re-anchor the first surviving param to `?`, and trim trailing
+    * `?`/`&`/`/`. Pure codegen'd `regexp_replace` chain — no UDF, no
+    * lookaround (RE2-safe, so any engine's regex dialect reproduces it),
+    * one pipelined pass.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val prefixRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val u1 = concat(
+      lower(regexp_extract(noFrag, s"($prefixRe)", 1)),
+      regexp_replace(noFrag, prefixRe, ""))
+    val u2 = regexp_replace(u1, "^([a-z0-9+.-]*://)www\\.", "$1")
+    val u3 = regexp_replace(u2, "^(https://[^/:?]*):443([/?]|$)", "$1$2")
+    val u4 = regexp_replace(u3, "^(http://[^/:?]*):80([/?]|$)", "$1$2")
+    val u5 = regexp_replace(u4,
+      "[?&](utm_[A-Za-z]+|gclid|fbclid)=[^&]*", "")
+    // [^?&]*: anchor to the FIRST '&' (a greedy [^?]* would backtrack
+    // from the end and re-anchor the LAST one)
+    val u6 = regexp_replace(u5, "^([^?&]*)&", "$1?")
+    regexp_replace(u6, "[?&/]+$", "")
+  }
+
+  /** Registered host of a URL (lowercased, `www.` and port stripped):
+    * the partition/blocking key for per-site quotas and crawls.
+    */
+  def urlHost(url: Column): Column = {
+    val host = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    regexp_replace(regexp_replace(host, "^www\\.", ""), ":[0-9]+$", "")
+  }
+
   /** Corpus-wide frequent word n-grams with a minimum-support cut — the
     * heavy-hitters pass behind boilerplate mining, contamination probe
     * construction, and the Gopher-style "fraction of docs dominated by a

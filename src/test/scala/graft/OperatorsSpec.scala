@@ -891,6 +891,25 @@ class OperatorsSpec extends AnyFunSuite {
       n = 3, minCount = 3L).count() === 1L)
   }
 
+  test("normalizeUrl canonicalizes tracking-link variants; urlHost" +
+      " lowercases and strips www/port; paths stay case-sensitive") {
+    val d = Seq(
+      (0L, "HTTP://WWW.Ex.COM:80/A/b/?utm_source=x&q=1&gclid=z#top"),
+      (1L, "https://ex.com/A/b?q=1"),
+      (2L, "https://ex.com:8443/path/"), // non-default port survives
+      (3L, "http://ex.com/?utm_only=nope"))
+      .toDF("id", "url")
+    val out = d.select(col("id"),
+        TextAnalysis.normalizeUrl(col("url")).as("n"),
+        TextAnalysis.urlHost(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(out(0L) === (("http://ex.com/A/b/?q=1", "ex.com")))
+    assert(out(1L) === (("https://ex.com/A/b?q=1", "ex.com")))
+    assert(out(2L) === (("https://ex.com:8443/path", "ex.com")))
+    assert(out(3L) === (("http://ex.com", "ex.com")))
+  }
+
   test("curate pipeline, full path: length gate, line+exact+near dedup," +
       " decontamination, split assignment") {
     import graft.operators.Pipeline
