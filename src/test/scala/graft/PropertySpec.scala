@@ -319,4 +319,68 @@ class PropertySpec extends AnyFunSuite {
       } else assert(arr === Seq(t))
     }
   }
+
+  test("topKPerKey ≡ window row_number reference on random keyed data") {
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      k <- Gen.choose(0L, 6L)   // few keys -> plenty of per-key ties
+      s <- Gen.choose(0, 9).map(_.toDouble) // coarse scores -> tie-breaks
+    } yield (k, s)
+    (1 to 5).foreach { round =>
+      val rows = (0 until 120).map { i =>
+        val (k, s) = rowGen.pureApply(Gen.Parameters.default,
+          rng.Seed(round * 1000L + i))
+        (k, i.toLong, s)
+      }
+      val df = rows.toDF("k", "id", "score")
+      val kk = 1 + round % 4
+      val got = graft.operators.TopK.topKPerKey(df, Seq("k"), "score", "id", kk)
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy($"k").orderBy($"score".desc, $"id".asc)
+      val ref = df.withColumn("rk", row_number().over(w).cast("int"))
+        .filter($"rk" <= kk).select($"k", $"id", $"score", $"rk")
+        .collect().map(_.toSeq).toSet
+      assert(got === ref, s"round $round k=$kk")
+    }
+  }
+
+  test("NgramsExpr is total on random unicode and emits exactly" +
+      " max(0, words-n+1) positional grams; normalizeUrl is idempotent") {
+    import org.apache.spark.sql.GraftColumnCompat._
+    import graft.operators.TextAnalysis.normalizeUrl
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const('\t'),
+      Gen.const('日'), Gen.const('é'))).map(_.mkString)
+    val samples = (0 until 200).map(i =>
+      strGen.pureApply(Gen.Parameters.default, rng.Seed(i.toLong)))
+    val df = samples.toDF("t")
+    val ng = toColumn(graft.functions.NgramsExpr(toExpression(col("t")), 3))
+    df.select(col("t"), ng.as("g")).collect().foreach { r =>
+      val t = r.getString(0)
+      // mirror the documented tokenization: space-only trim, \s+ split
+      var s = 0; var e = t.length
+      while (s < e && t.charAt(s) == ' ') s += 1
+      while (e > s && t.charAt(e - 1) == ' ') e -= 1
+      val words = t.substring(s, e).split("\\s+", -1)
+      assert(r.getSeq[String](1).length === math.max(0, words.length - 2))
+    }
+    // URL canonicalization is a projection: applying it twice = once
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+      www <- Gen.oneOf("", "WWW.", "www.")
+      host <- Gen.oneOf("Ex.COM", "a-b.org", "X.Y.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/p/")
+      q <- Gen.oneOf("", "?q=1", "?utm_source=x", "?utm_a=1&q=2&gclid=3",
+        "?a=1&utm_b=2")
+      frag <- Gen.oneOf("", "#top")
+    } yield s"$scheme://$www$host$port$path$q$frag"
+    val urls = (0 until 300).map(i =>
+      urlGen.pureApply(Gen.Parameters.default, rng.Seed(i.toLong)))
+    urls.toDF("u")
+      .select(normalizeUrl(col("u")).as("n"))
+      .select(col("n"), normalizeUrl(col("n")).as("n2"))
+      .collect()
+      .foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
 }
