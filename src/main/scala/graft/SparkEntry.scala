@@ -613,6 +613,11 @@ object SparkEntry {
       Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
       .select("doc_id", "lang")
 
+  private def sampleExactQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.sampleExactPerStratum(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      n = 20)
+
   private def splitAssignQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.assignSplit(
       t(s, dir, "documents").select("doc_id"), "doc_id",
@@ -1226,6 +1231,7 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratifiedQ _),
     "split_assign"     -> (splitAssignQ _),
     "mix_budget"       -> (mixBudgetQ _),
+    "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
@@ -1663,6 +1669,13 @@ object SparkEntry {
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < (CASE WHEN lang = 'en' THEN 500000
                    WHEN lang = 'de' THEN 250000 ELSE 100000 END)""",
+    "sample_exact" ->
+      s"""SELECT lang, doc_id, sample_rank FROM (
+           SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY h % 4503599627370496, doc_id) AS INTEGER) AS sample_rank
+           FROM (SELECT lang, doc_id,
+               ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents))
+         WHERE sample_rank <= 20""",
     "mix_budget" ->
       s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tk
            FROM documents GROUP BY 1),

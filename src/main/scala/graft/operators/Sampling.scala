@@ -81,6 +81,32 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic EXACT-SIZE sample per stratum: the `n` rows with the
+    * smallest id-hash in each stratum — fraction samplers
+    * ([[hashSample]]/[[stratifiedHashSample]]) give binomially-varying
+    * sizes, but eval sets, few-shot pools, and inspection samples need
+    * exactly-n. Implemented as [[TopK.topKPerKey]] over the NEGATED
+    * 60-bit id hash (its bounded-heap Aggregator partial-aggregates
+    * map-side), so the per-stratum selection never window-sorts a hot
+    * stratum — a whole-corpus "rest" stratum reduces to ≤ n entries per
+    * map task before the exchange. Same determinism contract as every
+    * sampler here: membership is a pure function of the id.
+    */
+  def sampleExactPerStratum(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      n: Int): DataFrame = {
+    // mod 2^52 keeps the order key exactly representable as the
+    // Aggregator's double (raw 60-bit hashes would alias above 2^53 and
+    // could tie-break differently than an engine ordering the longs)
+    val hashed = df.withColumn("__neg_hash",
+      -pmod(hash60(col(idCol).cast("string")), lit(1L << 52)).cast("double"))
+    TopK.topKPerKey(hashed, Seq(strataCol), "__neg_hash", idCol, n)
+      .select(col(strataCol), col(idCol),
+        col("rk").as("sample_rank"))
+  }
+
   /** Deterministic domain mixing to a token budget — the static
     * data-mixture step of a training-data pipeline (fixed target
     * proportions à la The Pile / Llama mixes; learned-weight schemes

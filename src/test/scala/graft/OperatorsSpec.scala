@@ -956,6 +956,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("sampleExactPerStratum: exactly n per stratum (all rows when the" +
+      " stratum is smaller), deterministic, no window in the plan") {
+    import graft.operators.Sampling
+    val d = Seq.tabulate(60)(i =>
+      (i.toLong, if (i < 50) "big" else "small")).toDF("id", "stratum")
+    val out = Sampling.sampleExactPerStratum(d, "id", "stratum", n = 8)
+    val by = out.collect().groupBy(_.getString(0))
+    assert(by("big").length === 8)
+    assert(by("small").length === 8) // 10 rows > 8
+    val small3 = Sampling.sampleExactPerStratum(
+      d.filter($"stratum" === "small"), "id", "stratum", n = 20)
+    assert(small3.count() === 10L) // stratum smaller than n -> keep all
+    assert(out.collect().map(_.toSeq).toSet ===
+      Sampling.sampleExactPerStratum(d, "id", "stratum", n = 8)
+        .collect().map(_.toSeq).toSet)
+    assert(out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase => w
+    }.isEmpty)
+  }
+
   test("mixToTokenBudget: fraction = min(1, budget*w/tokens), small" +
       " domains cap at keep-all, and the sample is deterministic") {
     import graft.operators.Sampling
