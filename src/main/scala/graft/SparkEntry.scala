@@ -843,6 +843,26 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** Streaming stratified sampling, gated against the BATCH sampler's
+    * oracle: membership is a pure id-hash function, so the stateless
+    * stream filter emits exactly the batch sample regardless of
+    * micro-batching — the property that lets one quota config govern
+    * both the backfill and the live ingest path.
+    */
+  private def streamingSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    runStreamToTable(s,
+      graft.operators.Sampling.stratifiedHashSample(
+        s.readStream.schema(schema).parquet(s"$dir/{documents.parquet}"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25),
+        defaultFraction = 0.1),
+      "stream_sample").select(col("doc_id"), col("lang"))
+  }
+
   /** Streaming exact dedup, gated on the one projection that is
     * deterministic across arrival orders: the kept distinct content-hash
     * set (WHICH duplicate row survives is first-arrival-dependent).
@@ -1262,6 +1282,7 @@ object SparkEntry {
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _),
+    "streaming_sample" -> (streamingSampleQ _),
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
@@ -1665,6 +1686,12 @@ object SparkEntry {
            array_to_string(toks[(i*32+1):(i*32+40)], ' ') AS chunk_text
          FROM c, unnest(range(0, nc)) AS t(i)""",
     "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
+           < (CASE WHEN lang = 'en' THEN 500000
+                   WHEN lang = 'de' THEN 250000 ELSE 100000 END)""",
+    // stateless filter => the stream emits exactly the batch sample
+    "streaming_sample" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < (CASE WHEN lang = 'en' THEN 500000
