@@ -721,6 +721,19 @@ object SparkEntry {
         probe = docs(s, dir).filter(col("doc_id") % 7 === 0)),
       "stream_decontaminate").select(col("doc_id"), col("lang"))
 
+  /** Unit-norm embeddings, serialized with the ivf_train convention. */
+  private def embedL2NormQ(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id"),
+      array_join(transform(
+        graft.functions.VectorFunctions.l2Normalize(col("embedding")),
+        x => format_string("%.6f", round(x, 6))), ",").as("unit_csv"))
+
+  private def embedCentroidsQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(embs(s, dir), "label", "embedding")
+      .select(col("label"),
+        array_join(transform(col("centroid"),
+          x => format_string("%.6f", round(x, 6))), ",").as("centroid_csv"))
+
   /** Salted skew join: the salt must be invisible in the results — the
     * oracle is the plain (unsalted) join.
     */
@@ -1260,6 +1273,8 @@ object SparkEntry {
     "ann_ivf_multiprobe" -> (annIvfMultiprobeQ _),
     "ann_lsh_multiprobe" -> (annLshMultiprobeQ _),
     "ivf_train"        -> (ivfTrainQ _),
+    "embed_l2norm"     -> (embedL2NormQ _),
+    "embed_centroids"  -> (embedCentroidsQ _),
     "pq_encode"        -> (pqEncodeQ _),
     "ann_pq_topk"      -> (annPqTopKQ _),
     "ann_ivfpq_topk"   -> (annIvfPqTopKQ _),
@@ -1877,6 +1892,22 @@ object SparkEntry {
            array_to_string([printf('%.6f', round(x, 6))
              for x in coalesce(n.nv, s.vd)], ',') AS centroid
          FROM seeds s LEFT JOIN newc n USING (centroid_id)""",
+    "embed_l2norm" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         n AS (SELECT vec_id, vd,
+             sqrt(list_sum([x*x for x in vd])) AS nm FROM v)
+         SELECT vec_id, array_to_string([printf('%.6f', round(x / nm, 6))
+           for x in vd], ',') AS unit_csv
+         FROM n""",
+    "embed_centroids" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS vd FROM embeddings),
+         rec AS (SELECT label,
+             CAST(generate_subscripts(vd,1)-1 AS INTEGER) AS pos,
+             unnest(vd) AS x FROM v),
+         ag AS (SELECT label, pos, avg(x) AS m FROM rec GROUP BY 1, 2)
+         SELECT label, array_to_string([printf('%.6f', round(x, 6))
+           for x in list(m ORDER BY pos)], ',') AS centroid_csv
+         FROM ag GROUP BY label""",
     "pq_encode" ->
       s"""WITH $dkPqEnc
          SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes_csv

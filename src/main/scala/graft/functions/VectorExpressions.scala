@@ -405,6 +405,22 @@ object VectorFunctions {
     transform(quantized.getField("q"),
       q => q.cast("double") * quantized.getField("scale"))
 
+  /** L2 (unit-norm) normalization — the standard pre-ANN step that
+    * turns dot product into cosine: `x / ‖x‖`, null-safe (an all-zero
+    * vector normalizes to itself). The norm is bound once per row via
+    * the single-element-array trick (same rationale as [[quantizeInt8]]:
+    * a bare reference inside the per-element lambda would re-run the
+    * `aggregate` per component — O(d²)).
+    */
+  def l2Normalize(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    element_at(
+      transform(array(norm), n =>
+        transform(v, x => coalesce(try_divide(x, n), x))),
+      1)
+  }
+
   /** PQ codes for a vector column ([[PqEncodeExpr]]). */
   def pqEncode(vec: Column, codebook: Array[Array[Double]], m: Int): Column =
     GraftColumnCompat.toColumn(PqEncodeExpr(

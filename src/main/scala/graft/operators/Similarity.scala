@@ -272,6 +272,27 @@ object Similarity {
     centroids
   }
 
+  /** Per-label mean embedding — class centroids for label diagnostics,
+    * SemDeDup-style cluster summaries, and nearest-centroid filters.
+    * Same explode-and-aggregate shape as [[trainCentroids]]'s recompute
+    * step: per-(label, dim) partial-aggregable averages, then each
+    * label's vector reassembles from its sorted dims — two linear
+    * shuffles, and no whole vector ever rides the aggregation path (a
+    * hot label shuffles d combined rows, not its member vectors).
+    */
+  def labelCentroids(
+      vecs: DataFrame,
+      labelCol: String,
+      vecCol: String): DataFrame =
+    vecs.select(col(labelCol),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
+      .select(col(labelCol),
+        transform(col("__ps"), p => p.getField("m")).as("centroid"))
+
   /** Product-quantization codebook from deterministically selected
     * anchor vectors: code `c` is the `c`-th smallest-id row matching
     * `pred`, taken whole — subspace `j` of code `c` is its coordinate

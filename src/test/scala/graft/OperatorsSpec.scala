@@ -891,6 +891,26 @@ class OperatorsSpec extends AnyFunSuite {
       n = 3, minCount = 3L).count() === 1L)
   }
 
+  test("l2Normalize yields unit vectors (zero vector unchanged);" +
+      " labelCentroids equals the hand-computed per-label mean") {
+    import graft.functions.VectorFunctions.l2Normalize
+    val d = Seq(
+      (0L, 0, Array(3.0f, 4.0f)),
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 0.0f)))
+      .toDF("id", "label", "v")
+    val norms = d.select(col("id"), l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(norms(0L).zip(Seq(0.6, 0.8)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(norms(2L) === Seq(0.0, 0.0)) // zero vector: no NaN, unchanged
+    val cents = Similarity.labelCentroids(d, "label", "v")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(0).zip(Seq(2.0, 2.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(cents(1) === Seq(0.0, 0.0))
+  }
+
   test("normalizeUrl canonicalizes tracking-link variants; urlHost" +
       " lowercases and strips www/port; paths stay case-sensitive") {
     val d = Seq(
