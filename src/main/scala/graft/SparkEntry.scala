@@ -439,6 +439,15 @@ object SparkEntry {
   private def dedupLinesQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupLines(linedDocs(s, dir), "doc_id", "text")
 
+  /** Boilerplate stripping gate: a digit-only line and a too-short line
+    * are injected ahead of the lined text, so both drop rules fire.
+    */
+  private def stripBoilerplateQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stripBoilerplateLines(
+      linedDocs(s, dir).select(col("doc_id"),
+        concat(lit("12345 67890 2024\nok\n"), col("text")).as("text")),
+      "doc_id", "text")
+
   private def dedupKeepBestQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dropDuplicatesKeepBest(docs(s, dir), "doc_id", "text",
       col("n_chars"))
@@ -1239,6 +1248,7 @@ object SparkEntry {
     "dedup_exact"      -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_lines"      -> (dedupLinesQ _),
+    "strip_boilerplate" -> (stripBoilerplateQ _),
     "dedup_keep_best"  -> (dedupKeepBestQ _),
     "dedup_semantic"   -> (semanticDedupQ _),
     "repetition_scores" -> (repetitionScoresQ _),
@@ -1530,6 +1540,21 @@ object SparkEntry {
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
            CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
          FROM f GROUP BY doc_id""",
+    "strip_boilerplate" ->
+      """WITH src AS (SELECT doc_id,
+             '12345 67890 2024' || chr(10) || 'ok' || chr(10) ||
+             regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g') AS t
+           FROM documents),
+         l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+         k AS (SELECT doc_id, ls, list_filter(ls, x ->
+             len(list_filter(string_split_regex(x, '\s+'), w -> len(w) > 0)) >= 3
+             AND CAST(length(regexp_replace(x, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(regexp_replace(x, '\s', '', 'g')), 1) <= 0.5
+           ) AS ks FROM l)
+         SELECT doc_id, array_to_string(ks, chr(10)) AS text_clean,
+           CAST(len(ks) AS BIGINT) AS n_lines_kept,
+           CAST(len(ls) - len(ks) AS BIGINT) AS n_lines_dropped
+         FROM k""",
     "dedup_keep_best" ->
       """WITH h AS (SELECT doc_id, n_chars,
              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash

@@ -353,6 +353,39 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Boilerplate line stripping — the RefinedWeb/jusText-style
+    * "line-wise correction": drop navigation/footer junk lines (too few
+    * words, or digit-dominated like timestamps and counters) and keep
+    * the document otherwise intact. A line survives with at least
+    * `minWords` whitespace-separated words AND a digit share of its
+    * non-space characters at most `maxDigitRatio`. Pure per-row HOF
+    * chain (split → filter → array_join): pipelined, shuffle-free, and
+    * expressed so a SQL engine mirrors it lambda for lambda.
+    */
+  def stripBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 3,
+      maxDigitRatio: Double = 0.5): DataFrame = {
+    val lined = docs.select(col(idCol),
+      split(col(textCol), "\n").as("__lines"))
+    val kept = filter(col("__lines"), l => {
+      val wc = size(filter(split(l, "\\s+"), w => length(w) > lit(0)))
+      val digits = length(regexp_replace(l, "[^0-9]", "")).cast("double")
+      val chars = greatest(
+        length(regexp_replace(l, "\\s", "")), lit(1)).cast("double")
+      wc >= lit(minWords) && digits / chars <= lit(maxDigitRatio)
+    })
+    lined.select(col(idCol),
+        kept.as("__kept"), col("__lines"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("text_clean"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_lines_dropped"))
+  }
+
   /** URL canonicalization — the Common-Crawl-style dedup key (one fetch
     * of a page per tracking-link variant): drop the fragment, lowercase
     * `scheme://host[:port]` (the case-insensitive parts ONLY — paths

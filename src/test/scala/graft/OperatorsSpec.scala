@@ -891,6 +891,21 @@ class OperatorsSpec extends AnyFunSuite {
       n = 3, minCount = 3L).count() === 1L)
   }
 
+  test("stripBoilerplateLines drops short and digit-dominated lines," +
+      " keeps prose, and counts both sides") {
+    val d = Seq(
+      (0L, "a good long prose line here\n12:45 2024 99\nok\nanother fine line of text"),
+      (1L, "x y z"), // exactly minWords
+      (2L, ""))      // one empty line -> dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) === (("a good long prose line here\nanother fine line of text", 2L, 2L)))
+    assert(out(1L) === (("x y z", 1L, 0L)))
+    assert(out(2L) === (("", 0L, 1L)))
+  }
+
   test("l2Normalize yields unit vectors (zero vector unchanged);" +
       " labelCentroids equals the hand-computed per-label mean") {
     import graft.functions.VectorFunctions.l2Normalize
