@@ -245,7 +245,7 @@ object Stress {
       // near-dup group - the worst case) -> decontaminate -> splits
       graft.operators.Pipeline.curate(docs, "doc_id", "text",
         probe = Some(docs.filter(col("doc_id") % 97 === 0)),
-        minChars = 50, dedupLines = true, nearDup = true)
+        minChars = 50, stripBoilerplate = true, dedupLines = true, nearDup = true)
     }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the

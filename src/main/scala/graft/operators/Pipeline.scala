@@ -46,6 +46,7 @@ object Pipeline {
       probe: Option[DataFrame] = None,
       minChars: Int = 1,
       maxChars: Int = Int.MaxValue,
+      stripBoilerplate: Boolean = false,
       dedupLines: Boolean = false,
       nearDup: Boolean = false,
       shingleN: Int = 3,
@@ -56,6 +57,11 @@ object Pipeline {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val len = length(col(textCol))
     var d = docs.filter(len >= minChars && len <= maxChars)
+    // boilerplate stripping before the dedups: junk lines would otherwise
+    // pollute content hashes and MinHash shingles
+    if (stripBoilerplate)
+      d = TextAnalysis.stripBoilerplateLines(d, idCol, textCol)
+        .select(col(idCol), col("text_clean").as(textCol))
     if (dedupLines)
       d = Dedup.dedupLines(d, idCol, textCol)
         .select(col(idCol), col("text_kept").as(textCol))

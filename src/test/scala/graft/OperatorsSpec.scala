@@ -961,14 +961,14 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val probe = Seq((100L, evalDoc)).toDF("doc_id", "text")
     val out = Pipeline.curate(d, "doc_id", "text", probe = Some(probe),
-      minChars = 50, nearDup = true, dedupLines = true)
+      minChars = 50, stripBoilerplate = true, nearDup = true, dedupLines = true)
     val ids = out.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(ids === Seq(0L, 3L))
     // split column present and deterministic across runs
     val splits = out.collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     val again = Pipeline.curate(d, "doc_id", "text", probe = Some(probe),
-      minChars = 50, nearDup = true, dedupLines = true)
+      minChars = 50, stripBoilerplate = true, nearDup = true, dedupLines = true)
       .collect().map(r =>
         r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(splits === again)
