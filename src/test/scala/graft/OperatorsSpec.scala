@@ -873,6 +873,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK searches only the probed cells: a cross-cell neighbor" +
+      " is invisible at probes=1 and found at probes=2") {
+    import graft.operators.Similarity
+    // two well-separated cells on the first axis; query 10 sits in cell A
+    // but its best ADC match by cosine is 21 in cell B
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.05f, 0.0f)),  // centroid A
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.05f)),  // centroid B
+      (10L, Array(0.9f, 0.35f, 0.0f, 0.0f)), // query: cell A
+      (11L, Array(1.0f, 0.1f, 0.0f, 0.0f)),  // cell A corpus
+      (21L, Array(0.55f, 0.85f, 0.0f, 0.0f)))// cell B corpus, 2nd-best for q
+      .toDF("vec_id", "embedding")
+    val centroids = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("__cv"))
+    val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding",
+      $"vec_id" >= 10) // anchors = the corpus itself: exact reconstruction
+    def hits(probes: Int) = Similarity.ivfPqTopK(
+        vecs.filter($"vec_id" === 10L), vecs.filter($"vec_id" >= 10),
+        "vec_id", "embedding", centroids, cb, m = 2, k = 2, probes = probes)
+      .collect().map(_.getLong(1)).toSet
+    // sanity: 21 really is in the other cell
+    val cells = Similarity.ivfAssign(vecs.filter($"vec_id" >= 10),
+        "vec_id", "embedding", centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cells(10L) === 0L && cells(11L) === 0L && cells(21L) === 1L)
+    assert(hits(1) === Set(11L))       // cell-bounded: 21 invisible
+    assert(hits(2) === Set(11L, 21L))  // second probe reaches cell B
+  }
+
   test("frequentNgrams counts positional repeats (tf) and distinct docs" +
       " (df); short docs contribute nothing") {
     val d = Seq(

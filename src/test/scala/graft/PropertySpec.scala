@@ -320,6 +320,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncodeExpr ≡ scalar argmin reference on random vectors;" +
+      " ADC score equals cosine against the reconstruction") {
+    import graft.operators.Similarity
+    val dim = 16; val m = 4; val nAnchors = 5
+    def vecGen(seed: Long): Array[Float] =
+      Array.tabulate(dim) { d =>
+        Gen.choose(-1.0, 1.0).pureApply(Gen.Parameters.default,
+          rng.Seed(seed * 100 + d)).toFloat
+      }
+    val rows = (0 until 40).map(i => (i.toLong, vecGen(i.toLong)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(df, "vec_id", "embedding",
+      col("vec_id") < nAnchors)
+    // scalar reference: per subspace, nearest anchor slice by round-6 L2²
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def refEncode(v: Array[Float]): Seq[Int] =
+      (0 until m).map { j =>
+        (0 until nAnchors).map { c =>
+          val d2 = (j * dim / m until (j + 1) * dim / m)
+            .map(i => { val dx = v(i).toDouble - cb(c)(i); dx * dx }).sum
+          (round6(d2), c)
+        }.min._2
+      }
+    val got = Similarity.pqEncode(df, "vec_id", "embedding", cb, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) === refEncode(v), s"vec $id")
+    }
+    // ADC = cosine(query, reconstruction-from-codes), rounded to 6
+    val q = rows.head._2.map(_.toDouble)
+    val adc = Similarity.pqTopK(df.filter($"vec_id" === 0L), df,
+        "vec_id", "embedding", cb, m, k = 39)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    rows.tail.foreach { case (id, _) =>
+      val recon = got(id).zipWithIndex.flatMap { case (c, j) =>
+        cb(c).slice(j * dim / m, (j + 1) * dim / m) }.toArray
+      val dot = q.zip(recon).map { case (a, b) => a * b }.sum
+      val expect = round6(dot / (math.sqrt(q.map(x => x * x).sum) *
+        math.sqrt(recon.map(x => x * x).sum)))
+      assert(math.abs(adc(id) - expect) < 2e-6, s"neighbor $id")
+    }
+  }
+
   test("topKPerKey ≡ window row_number reference on random keyed data") {
     import org.apache.spark.sql.expressions.Window
     val rowGen = for {
