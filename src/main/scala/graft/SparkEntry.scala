@@ -770,6 +770,9 @@ object SparkEntry {
   private def textVocabulary(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")
 
+  private def unigramSurprisalQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(docs(s, dir), "doc_id", "text")
+
   private def textLenQuantiles(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthQuantiles(docs(s, dir), "lang", "n_chars")
 
@@ -1297,6 +1300,7 @@ object SparkEntry {
     "token_counts"     -> (tokenCountsQ _),
     "doc_fingerprint"  -> (fingerprintQ _),
     "text_vocabulary"  -> (textVocabulary _),
+    "unigram_surprisal" -> (unigramSurprisalQ _),
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
     "text_normalize"    -> (textNormalizeQ _),
@@ -2069,6 +2073,15 @@ object SparkEntry {
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
            FROM documents)
          GROUP BY 1""",
+    "unigram_surprisal" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM documents),
+         v AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v)
+         SELECT doc_id,
+           round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
+         FROM w JOIN v USING (word), t GROUP BY doc_id""",
     "text_len_quantiles" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,
          round(quantile_cont(n_chars, 0.5), 6) AS p50,

@@ -353,6 +353,36 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-document unigram surprisal — the deterministic analog of the
+    * CCNet/RedPajama perplexity filter (Wenzek et al. 2020 bucket docs
+    * by LM perplexity; a KenLM is not reproducible cross-engine, a
+    * corpus unigram LM is): `mean(-ln(count(w) / total))` over the
+    * document's words, scored against the corpus itself. Low = common
+    * fluent vocabulary, high = rare/garbled tokens — the same
+    * head/middle/tail bucketing signal, thresholdable downstream.
+    *
+    * Scale shape: the vocabulary is one partial-aggregable groupBy (hot
+    * words combine map-side), the corpus-wide total is a single
+    * collected scalar, and the scoring join keys words-to-vocab — a
+    * linear shuffle whose one-row-per-word build side AQE broadcasts
+    * when small and skew-splits when "the" dominates the probe side.
+    */
+  def unigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol).as("__doc"),
+      explode(words(col(textCol))).as("word"))
+    val vocab = ws.groupBy(col("word")).agg(count(lit(1)).as("__cnt"))
+    // one scalar: the corpus word count (a bounded driver round-trip)
+    val total = vocab.agg(sum(col("__cnt"))).collect()(0).getLong(0)
+    ws.join(vocab, Seq("word"))
+      .groupBy(col("__doc"))
+      .agg(round(avg(-log(col("__cnt").cast("double") / lit(total.toDouble))), 6)
+        .as("surprisal"))
+      .withColumnRenamed("__doc", idCol)
+  }
+
   /** Boilerplate line stripping — the RefinedWeb/jusText-style
     * "line-wise correction": drop navigation/footer junk lines (too few
     * words, or digit-dominated like timestamps and counters) and keep

@@ -920,6 +920,20 @@ class OperatorsSpec extends AnyFunSuite {
       n = 3, minCount = 3L).count() === 1L)
   }
 
+  test("unigramSurprisal: hand-computed corpus unigram LM; rare words" +
+      " score higher than common ones") {
+    val d = Seq((0L, "a a b"), (1L, "a rare")).toDF("doc_id", "text")
+    // corpus counts: a=3, b=1, rare=1, total=5
+    val out = TextAnalysis.unigramSurprisal(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def s(counts: Seq[Long]) =
+      BigDecimal(counts.map(c => -math.log(c / 5.0)).sum / counts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) === s(Seq(3L, 3L, 1L)))
+    assert(out(1L) === s(Seq(3L, 1L)))
+    assert(out(1L) > out(0L)) // the rare-word doc is more surprising
+  }
+
   test("stripBoilerplateLines drops short and digit-dominated lines," +
       " keeps prose, and counts both sides") {
     val d = Seq(
