@@ -840,6 +840,38 @@ object SparkEntry {
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
 
+  /** Audio header decode roundtrip: per-doc WAV payloads are CONSTRUCTED
+    * byte-for-byte (RIFF/fmt/data, params derived from doc_id; every 4th
+    * doc garbage bytes) and PARSED back by the native header expression;
+    * the oracle recomputes the expected stream params arithmetically.
+    * FLAC parsing is spec-covered (handcrafted STREAMINFO bytes).
+    */
+  private def multimodalAudioQ(s: SparkSession, dir: String): DataFrame = {
+    def hex4be(c: Column) = lpad(hex(c), 8, "0")
+    def hex2be(c: Column) = lpad(hex(c), 4, "0")
+    def hex2le(c: Column) =
+      concat(substring(hex2be(c), 3, 2), substring(hex2be(c), 1, 2))
+    def hex4le(c: Column) =
+      concat(substring(hex4be(c), 7, 2), substring(hex4be(c), 5, 2),
+        substring(hex4be(c), 3, 2), substring(hex4be(c), 1, 2))
+    val d = docs(s, dir).select(col("doc_id"),
+      (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+      (lit(8000) * (lit(1) + col("doc_id") % 5)).cast("int").as("rate"),
+      (lit(100) + col("doc_id") % 900).cast("long").as("nf"),
+      (col("doc_id") % 4).cast("int").as("m"))
+    val ba = (col("ch") * 2).cast("int")
+    val dataSize = (col("nf") * ba).cast("int")
+    val wavHex = concat(
+      lit("52494646"), hex4le((lit(36) + dataSize).cast("int")),
+      lit("57415645666D7420100000000100"), hex2le(col("ch")),
+      hex4le(col("rate")), hex4le((col("rate") * ba).cast("int")),
+      hex2le(ba), lit("100064617461"), hex4le(dataSize))
+    val payload = unhex(
+      when(col("m") === 3, lit("4641524247")).otherwise(wavHex))
+    Multimodal.decodeAudio(
+      d.select(col("doc_id"), payload.as("payload")), "doc_id")
+  }
+
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
 
@@ -1307,6 +1339,7 @@ object SparkEntry {
     "doc_char_fingerprint" -> (docCharFingerprintQ _),
     "multimodal_meta"  -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecodeQ _),
+    "multimodal_audio" -> (multimodalAudioQ _),
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
@@ -2121,6 +2154,23 @@ object SparkEntry {
                 ELSE NULL END AS format,
            CAST(CASE WHEN m <= 2 THEN w ELSE NULL END AS INTEGER) AS width,
            CAST(CASE WHEN m <= 2 THEN h ELSE NULL END AS INTEGER) AS height
+         FROM d""",
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id,
+           1 + doc_id % 2 AS ch,
+           8000 * (1 + doc_id % 5) AS rate,
+           100 + doc_id % 900 AS nf,
+           doc_id % 4 AS m
+         FROM documents)
+         SELECT doc_id,
+           CAST(CASE WHEN m = 3 THEN 5 ELSE 44 END AS BIGINT) AS byte_len,
+           CASE WHEN m = 3 THEN NULL ELSE 'wav' END AS format,
+           CAST(CASE WHEN m = 3 THEN NULL ELSE ch END AS INTEGER) AS channels,
+           CAST(CASE WHEN m = 3 THEN NULL ELSE rate END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN m = 3 THEN NULL ELSE 16 END AS INTEGER) AS bits,
+           CAST(CASE WHEN m = 3 THEN NULL ELSE nf END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN m = 3 THEN NULL
+                ELSE (nf * 1000) // rate END AS BIGINT) AS duration_ms
          FROM d""",
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,

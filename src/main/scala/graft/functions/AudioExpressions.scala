@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnCompat}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Container-header audio decoding — the audio sibling of
+  * [[ImageHeaders]]: stream parameters read straight from the first
+  * bytes of a `binary` column, no codec dependency. Covers the two
+  * fixed-layout lossless containers: WAV (RIFF chunk walk, little-
+  * endian `fmt `/`data`) and FLAC (STREAMINFO bit fields, big-endian).
+  * Frame counts come from the DECLARED sizes (a metadata pass trusts
+  * the header, exactly like ffprobe's quick mode); full sample decode
+  * would slot in as a later stage over the same payload column.
+  *
+  * Truncated, corrupt, or unrecognized payloads yield NULL — never an
+  * exception (the same 100 TB-scan contract as the image decoder).
+  */
+object AudioHeaders {
+
+  val InfoType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  @inline private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
+  @inline private def le16(a: Array[Byte], i: Int): Int =
+    u8(a, i) | (u8(a, i + 1) << 8)
+  @inline private def le32(a: Array[Byte], i: Int): Long =
+    u8(a, i).toLong | (u8(a, i + 1).toLong << 8) |
+      (u8(a, i + 2).toLong << 16) | (u8(a, i + 3).toLong << 24)
+  @inline private def be32(a: Array[Byte], i: Int): Long =
+    (u8(a, i).toLong << 24) | (u8(a, i + 1) << 16) |
+      (u8(a, i + 2) << 8) | u8(a, i + 3)
+  @inline private def tag(a: Array[Byte], i: Int, s: String): Boolean =
+    a.length >= i + 4 && a(i) == s.charAt(0).toByte &&
+      a(i + 1) == s.charAt(1).toByte && a(i + 2) == s.charAt(2).toByte &&
+      a(i + 3) == s.charAt(3).toByte
+
+  private def row(fmt: String, ch: Int, rate: Int, bits: Int,
+      frames: Long, durMs: Long): InternalRow =
+    if (ch <= 0 || rate <= 0 || bits <= 0 || frames < 0) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(fmt), ch, rate, bits, frames, durMs))
+
+  /** Parse stream info from leading bytes; null if not a recognizable
+    * intact WAV/FLAC header.
+    */
+  def info(a: Array[Byte]): InternalRow = {
+    if (a == null || a.length < 12) return null
+    if (tag(a, 0, "RIFF") && tag(a, 8, "WAVE")) {
+      // RIFF chunk walk: need one `fmt ` and one `data` declaration
+      var off = 12
+      var haveFmt = false
+      var ch = 0; var rate = 0; var bits = 0; var blockAlign = 0
+      var dataSize = -1L
+      while (off + 8 <= a.length && !(haveFmt && dataSize >= 0)) {
+        val size = le32(a, off + 4)
+        if (tag(a, off, "fmt ") && off + 8 + 16 <= a.length) {
+          ch = le16(a, off + 10)
+          rate = le32(a, off + 12).toInt
+          blockAlign = le16(a, off + 20)
+          bits = le16(a, off + 22)
+          haveFmt = true
+        } else if (tag(a, off, "data")) {
+          dataSize = size
+        }
+        // RIFF pads odd-sized chunks to even offsets
+        off += 8 + size.toInt + (size.toInt & 1)
+        if (size < 0 || size > Int.MaxValue) return null
+      }
+      if (!haveFmt || dataSize < 0 || blockAlign <= 0) return null
+      val frames = dataSize / blockAlign
+      if (rate <= 0) return null
+      return row("wav", ch, rate, bits, frames, frames * 1000L / rate)
+    }
+    if (tag(a, 0, "fLaC") && a.length >= 4 + 4 + 34 &&
+        (u8(a, 4) & 0x7f) == 0) { // first block must be STREAMINFO
+      // STREAMINFO payload starts at 8; packed fields at +10:
+      // sample rate (20 bits) | channels-1 (3) | bps-1 (5) | samples (36)
+      val b = 8
+      val rate = (u8(a, b + 10) << 12) | (u8(a, b + 11) << 4) |
+        (u8(a, b + 12) >> 4)
+      val ch = ((u8(a, b + 12) >> 1) & 0x7) + 1
+      val bits = (((u8(a, b + 12) & 1) << 4) | (u8(a, b + 13) >> 4)) + 1
+      val frames = ((u8(a, b + 13) & 0xf).toLong << 32) | be32(a, b + 14)
+      if (rate <= 0) return null
+      return row("flac", ch, rate, bits, frames, frames * 1000L / rate)
+    }
+    null
+  }
+}
+
+/** `binary -> struct<format,channels,sample_rate,bits,n_frames,
+  * duration_ms>` wrapper around [[AudioHeaders.info]].
+  */
+case class AudioInfoExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = AudioHeaders.InfoType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"audio_info needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    AudioHeaders.info(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AudioInfoExpr = copy(child = newChild)
+}
+
+object AudioFunctions {
+  /** struct(format, channels, sample_rate, bits, n_frames, duration_ms)
+    * parsed from a WAV/FLAC payload's leading bytes; null when the
+    * header is absent/corrupt/truncated.
+    */
+  def audioInfo(payload: Column): Column =
+    GraftColumnCompat.toColumn(AudioInfoExpr(
+      GraftColumnCompat.toExpression(payload)))
+}

@@ -42,6 +42,25 @@ object Multimodal {
         lower(hex(substring(payload, 1, 8))).as("header_hex")).as("meta"))
   }
 
+  /** Audio metadata decode: (format, channels, sample_rate, bits,
+    * n_frames, duration_ms) parsed from a WAV/FLAC payload's header
+    * ([[graft.functions.AudioHeaders]]); same null-on-garbage contract
+    * and plan shape as [[decodeImage]].
+    */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val i = graft.functions.AudioFunctions.audioInfo(
+      col(payloadCol).cast(BinaryType))
+    df.select(
+      col(idCol),
+      octet_length(col(payloadCol).cast(BinaryType)).cast(LongType).as("byte_len"),
+      i.getField("format").as("format"),
+      i.getField("channels").as("channels"),
+      i.getField("sample_rate").as("sample_rate"),
+      i.getField("bits").as("bits"),
+      i.getField("n_frames").as("n_frames"),
+      i.getField("duration_ms").as("duration_ms"))
+  }
+
   /** Image metadata decode: (format, width, height) parsed from the
     * payload's container header, plus payload size. Unrecognized or
     * corrupt payloads keep their row with null format/dims (a crawl

@@ -920,6 +920,58 @@ class OperatorsSpec extends AnyFunSuite {
       n = 3, minCount = 3L).count() === 1L)
   }
 
+  test("AudioHeaders: FLAC STREAMINFO bit fields decode; fuzz never" +
+      " throws; WAV chunk walk tolerates a leading extra chunk") {
+    import graft.functions.AudioHeaders
+    // handcrafted FLAC: rate 44100, stereo, 16-bit, 220500 samples (5s)
+    def flacBytes(rate: Int, ch: Int, bits: Int, samples: Long): Array[Byte] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      out ++= "fLaC".getBytes
+      out += 0x80.toByte; out ++= Array[Byte](0, 0, 34) // last, STREAMINFO
+      out ++= Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0) // block/frame sizes
+      out += ((rate >> 12) & 0xff).toByte
+      out += ((rate >> 4) & 0xff).toByte
+      out += (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)).toByte
+      out += ((((bits - 1) & 0xf) << 4) | ((samples >> 32) & 0xf).toInt).toByte
+      out += ((samples >> 24) & 0xff).toByte
+      out += ((samples >> 16) & 0xff).toByte
+      out += ((samples >> 8) & 0xff).toByte
+      out += (samples & 0xff).toByte
+      out ++= Array.fill[Byte](16)(0) // md5
+      out.toArray
+    }
+    val r = AudioHeaders.info(flacBytes(44100, 2, 16, 220500L))
+    assert(r !== null)
+    assert(r.getUTF8String(0).toString === "flac")
+    assert(r.getInt(1) === 2 && r.getInt(2) === 44100 && r.getInt(3) === 16)
+    assert(r.getLong(4) === 220500L && r.getLong(5) === 5000L)
+    // WAV whose fmt chunk comes after an unknown chunk still parses
+    def le16b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32b(1000) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32b(4) ++ Array.fill[Byte](4)(0) ++
+      "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(2) ++ le32b(16000) ++
+      le32b(64000) ++ le16b(4) ++ le16b(16) ++
+      "data".getBytes ++ le32b(4 * 123)
+    val w = AudioHeaders.info(wav)
+    assert(w !== null)
+    assert(w.getUTF8String(0).toString === "wav")
+    assert(w.getInt(1) === 2 && w.getInt(2) === 16000 && w.getInt(3) === 16)
+    assert(w.getLong(4) === 123L)
+    // arbitrary byte fuzz: total, never throws
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b)
+      AudioHeaders.info(b) // must not throw
+    }
+    // truncated real prefixes: total as well
+    val good = flacBytes(8000, 1, 8, 100L)
+    (0 until good.length).foreach(n =>
+      AudioHeaders.info(good.take(n)))
+    (0 until wav.length).foreach(n => AudioHeaders.info(wav.take(n)))
+  }
+
   test("unigramSurprisal: hand-computed corpus unigram LM; rare words" +
       " score higher than common ones") {
     val d = Seq((0L, "a a b"), (1L, "a rare")).toDF("doc_id", "text")
