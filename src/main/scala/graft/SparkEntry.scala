@@ -872,6 +872,28 @@ object SparkEntry {
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
 
+  /** Video (MP4) header decode roundtrip: ftyp + moov/mvhd v0 boxes
+    * constructed from doc_id, parsed back natively; every 4th doc
+    * garbage. v1 (64-bit) mvhd and box-walk edge cases are spec-covered.
+    */
+  private def multimodalVideoQ(s: SparkSession, dir: String): DataFrame = {
+    def hex4be(c: Column) = lpad(hex(c), 8, "0")
+    val d = docs(s, dir).select(col("doc_id"),
+      (lit(1000) * (lit(1) + col("doc_id") % 4)).cast("int").as("ts"),
+      (lit(1000) + col("doc_id") % 9000).cast("int").as("dur"),
+      (col("doc_id") % 4).cast("int").as("m"))
+    val mp4Hex = concat(
+      lit("000000106674797069736F6D00000200"),
+      lit("000000246D6F6F76"),
+      lit("0000001C6D766864"),
+      lit("000000000000000000000000"),
+      hex4be(col("ts")), hex4be(col("dur")))
+    val payload = unhex(
+      when(col("m") === 3, lit("4641524247")).otherwise(mp4Hex))
+    Multimodal.decodeVideo(
+      d.select(col("doc_id"), payload.as("payload")), "doc_id")
+  }
+
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
 
@@ -1340,6 +1362,7 @@ object SparkEntry {
     "multimodal_meta"  -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecodeQ _),
     "multimodal_audio" -> (multimodalAudioQ _),
+    "multimodal_video" -> (multimodalVideoQ _),
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
@@ -2171,6 +2194,20 @@ object SparkEntry {
            CAST(CASE WHEN m = 3 THEN NULL ELSE nf END AS BIGINT) AS n_frames,
            CAST(CASE WHEN m = 3 THEN NULL
                 ELSE (nf * 1000) // rate END AS BIGINT) AS duration_ms
+         FROM d""",
+    "multimodal_video" ->
+      """WITH d AS (SELECT doc_id,
+           1000 * (1 + doc_id % 4) AS ts,
+           1000 + doc_id % 9000 AS dur,
+           doc_id % 4 AS m
+         FROM documents)
+         SELECT doc_id,
+           CAST(CASE WHEN m = 3 THEN 5 ELSE 52 END AS BIGINT) AS byte_len,
+           CASE WHEN m = 3 THEN NULL ELSE 'mp4' END AS format,
+           CAST(CASE WHEN m = 3 THEN NULL ELSE ts END AS INTEGER) AS timescale,
+           CAST(CASE WHEN m = 3 THEN NULL ELSE dur END AS BIGINT) AS duration_units,
+           CAST(CASE WHEN m = 3 THEN NULL
+                ELSE (dur * 1000) // ts END AS BIGINT) AS duration_ms
          FROM d""",
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,

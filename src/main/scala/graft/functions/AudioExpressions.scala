@@ -131,3 +131,105 @@ object AudioFunctions {
     GraftColumnCompat.toColumn(AudioInfoExpr(
       GraftColumnCompat.toExpression(payload)))
 }
+
+/** MP4/ISO-BMFF movie-header decoding — the video sibling of
+  * [[AudioHeaders]]: walk the top-level boxes to `moov`, then its
+  * children to `mvhd`, and read timescale + duration (version 0's
+  * 32-bit and version 1's 64-bit layouts). No codec dependency; track
+  * dimensions live in per-track `tkhd` boxes and would slot into the
+  * same walk. Corrupt/truncated/unrecognized payloads yield NULL.
+  */
+object VideoHeaders {
+
+  val InfoType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_units", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  @inline private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
+  @inline private def be32(a: Array[Byte], i: Int): Long =
+    (u8(a, i).toLong << 24) | (u8(a, i + 1) << 16) |
+      (u8(a, i + 2) << 8) | u8(a, i + 3)
+  @inline private def be64(a: Array[Byte], i: Int): Long =
+    (be32(a, i) << 32) | be32(a, i + 4)
+  @inline private def tag(a: Array[Byte], i: Int, s: String): Boolean =
+    a.length >= i + 4 && a(i) == s.charAt(0).toByte &&
+      a(i + 1) == s.charAt(1).toByte && a(i + 2) == s.charAt(2).toByte &&
+      a(i + 3) == s.charAt(3).toByte
+
+  /** Scan sibling boxes in [from, until) for `name`; returns the box's
+    * content offset (after size+type) and its end, or null.
+    */
+  private def findBox(a: Array[Byte], from: Int, until: Int,
+      name: String): Array[Int] = {
+    var off = from
+    while (off + 8 <= until) {
+      val size = be32(a, off)
+      if (size < 8 || off + size > Int.MaxValue) return null
+      if (tag(a, off + 4, name))
+        return Array(off + 8, math.min(until, off + size.toInt))
+      off += size.toInt
+    }
+    null
+  }
+
+  /** Parse (timescale, duration) from an MP4's moov/mvhd; null if not a
+    * recognizable intact header. Requires a leading `ftyp` box (the
+    * ISO-BMFF brand signature).
+    */
+  def info(a: Array[Byte]): InternalRow = {
+    if (a == null || a.length < 16 || !tag(a, 4, "ftyp")) return null
+    val moov = findBox(a, 0, a.length, "moov")
+    if (moov == null) return null
+    val mvhd = findBox(a, moov(0), moov(1), "mvhd")
+    if (mvhd == null || mvhd(0) + 4 > a.length) return null
+    val v = u8(a, mvhd(0))
+    val (timescale, duration) =
+      if (v == 0) {
+        if (mvhd(0) + 20 > a.length) return null
+        (be32(a, mvhd(0) + 12), be32(a, mvhd(0) + 16))
+      } else if (v == 1) {
+        if (mvhd(0) + 32 > a.length) return null
+        (be32(a, mvhd(0) + 20), be64(a, mvhd(0) + 24))
+      } else return null
+    if (timescale <= 0 || duration < 0 || timescale > Int.MaxValue)
+      return null
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString("mp4"), timescale.toInt, duration,
+      duration * 1000L / timescale))
+  }
+}
+
+/** `binary -> struct<format,timescale,duration_units,duration_ms>`
+  * wrapper around [[VideoHeaders.info]].
+  */
+case class VideoInfoExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = VideoHeaders.InfoType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"video_info needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VideoHeaders.info(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VideoInfoExpr = copy(child = newChild)
+}
+
+object VideoFunctions {
+  /** struct(format, timescale, duration_units, duration_ms) parsed from
+    * an MP4 payload's box structure; null when absent/corrupt/truncated.
+    */
+  def videoInfo(payload: Column): Column =
+    GraftColumnCompat.toColumn(VideoInfoExpr(
+      GraftColumnCompat.toExpression(payload)))
+}

@@ -61,6 +61,22 @@ object Multimodal {
       i.getField("duration_ms").as("duration_ms"))
   }
 
+  /** Video metadata decode: (format, timescale, duration) parsed from
+    * an MP4's moov/mvhd box walk ([[graft.functions.VideoHeaders]]);
+    * same null-on-garbage contract and plan shape as [[decodeImage]].
+    */
+  def decodeVideo(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val i = graft.functions.VideoFunctions.videoInfo(
+      col(payloadCol).cast(BinaryType))
+    df.select(
+      col(idCol),
+      octet_length(col(payloadCol).cast(BinaryType)).cast(LongType).as("byte_len"),
+      i.getField("format").as("format"),
+      i.getField("timescale").as("timescale"),
+      i.getField("duration_units").as("duration_units"),
+      i.getField("duration_ms").as("duration_ms"))
+  }
+
   /** Image metadata decode: (format, width, height) parsed from the
     * payload's container header, plus payload size. Unrecognized or
     * corrupt payloads keep their row with null format/dims (a crawl

@@ -972,6 +972,32 @@ class OperatorsSpec extends AnyFunSuite {
     (0 until wav.length).foreach(n => AudioHeaders.info(wav.take(n)))
   }
 
+  test("VideoHeaders: mvhd v1 (64-bit) decodes; moov after a free box" +
+      " found; fuzz/truncation never throw") {
+    import graft.functions.VideoHeaders
+    def be32b(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, content: Array[Byte]): Array[Byte] =
+      be32b(8 + content.length) ++ name.getBytes ++ content
+    val ftyp = box("ftyp", "isom".getBytes ++ be32b(0x200))
+    // v1 mvhd: version 1, 64-bit ctime/mtime, 32-bit timescale, 64-bit dur
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](16)(0) ++ be32b(90000) ++ be32b(0) ++ be32b(450000))
+    val free = box("free", Array.fill[Byte](12)(0))
+    val mp4 = ftyp ++ free ++ box("moov", free ++ mvhd1)
+    val r = VideoHeaders.info(mp4)
+    assert(r !== null)
+    assert(r.getUTF8String(0).toString === "mp4")
+    assert(r.getInt(1) === 90000 && r.getLong(2) === 450000L)
+    assert(r.getLong(3) === 5000L)
+    val rnd = new scala.util.Random(11)
+    (0 until 500).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b)
+      VideoHeaders.info(b)
+    }
+    (0 until mp4.length).foreach(n => VideoHeaders.info(mp4.take(n)))
+  }
+
   test("unigramSurprisal: hand-computed corpus unigram LM; rare words" +
       " score higher than common ones") {
     val d = Seq((0L, "a a b"), (1L, "a rare")).toDF("doc_id", "text")
