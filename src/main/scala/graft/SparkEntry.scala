@@ -878,16 +878,28 @@ object SparkEntry {
     */
   private def multimodalVideoQ(s: SparkSession, dir: String): DataFrame = {
     def hex4be(c: Column) = lpad(hex(c), 8, "0")
+    def hex2be(c: Column) = lpad(hex(c), 4, "0")
     val d = docs(s, dir).select(col("doc_id"),
       (lit(1000) * (lit(1) + col("doc_id") % 4)).cast("int").as("ts"),
       (lit(1000) + col("doc_id") % 9000).cast("int").as("dur"),
+      (lit(16) * (lit(1) + col("doc_id") % 120)).cast("int").as("w"),
+      (lit(16) * (lit(1) + (col("doc_id") * 7) % 120)).cast("int").as("h"),
       (col("doc_id") % 4).cast("int").as("m"))
+    // tkhd v0: v/flags, ctime, mtime, track 1, reserved, duration,
+    // reserved x8, layer/alt/volume/reserved, unity matrix, 16.16 dims
+    val tkhdHex = concat(
+      lit("0000005C746B6864" + "00000000" + "00000000" + "00000000" +
+        "00000001" + "00000000" + "00000000" + "0000000000000000" +
+        "0000000000000000" +
+        "000100000000000000000000000000000001000000000000000000000000000040000000"),
+      hex2be(col("w")), lit("0000"), hex2be(col("h")), lit("0000"))
     val mp4Hex = concat(
       lit("000000106674797069736F6D00000200"),
-      lit("000000246D6F6F76"),
+      lit("000000886D6F6F76"),
       lit("0000001C6D766864"),
       lit("000000000000000000000000"),
-      hex4be(col("ts")), hex4be(col("dur")))
+      hex4be(col("ts")), hex4be(col("dur")),
+      lit("000000647472616B"), tkhdHex)
     val payload = unhex(
       when(col("m") === 3, lit("4641524247")).otherwise(mp4Hex))
     Multimodal.decodeVideo(
@@ -2199,15 +2211,19 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id,
            1000 * (1 + doc_id % 4) AS ts,
            1000 + doc_id % 9000 AS dur,
+           16 * (1 + doc_id % 120) AS w,
+           16 * (1 + (doc_id * 7) % 120) AS h,
            doc_id % 4 AS m
          FROM documents)
          SELECT doc_id,
-           CAST(CASE WHEN m = 3 THEN 5 ELSE 52 END AS BIGINT) AS byte_len,
+           CAST(CASE WHEN m = 3 THEN 5 ELSE 152 END AS BIGINT) AS byte_len,
            CASE WHEN m = 3 THEN NULL ELSE 'mp4' END AS format,
            CAST(CASE WHEN m = 3 THEN NULL ELSE ts END AS INTEGER) AS timescale,
            CAST(CASE WHEN m = 3 THEN NULL ELSE dur END AS BIGINT) AS duration_units,
            CAST(CASE WHEN m = 3 THEN NULL
-                ELSE (dur * 1000) // ts END AS BIGINT) AS duration_ms
+                ELSE (dur * 1000) // ts END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN m = 3 THEN NULL ELSE w END AS INTEGER) AS width,
+           CAST(CASE WHEN m = 3 THEN NULL ELSE h END AS INTEGER) AS height
          FROM d""",
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,

@@ -145,7 +145,9 @@ object VideoHeaders {
     StructField("format", StringType, nullable = false),
     StructField("timescale", IntegerType, nullable = false),
     StructField("duration_units", LongType, nullable = false),
-    StructField("duration_ms", LongType, nullable = false)))
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
 
   @inline private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
   @inline private def be32(a: Array[Byte], i: Int): Long =
@@ -195,9 +197,33 @@ object VideoHeaders {
       } else return null
     if (timescale <= 0 || duration < 0 || timescale > Int.MaxValue)
       return null
+    // first video track's presentation size from its tkhd (16.16 fixed
+    // point; audio tracks carry zero width — skipped)
+    var tw = 0; var th = 0
+    var toff = moov(0)
+    while (toff + 8 <= moov(1) && tw == 0) {
+      val size = be32(a, toff)
+      if (size < 8) toff = moov(1)
+      else {
+        if (tag(a, toff + 4, "trak")) {
+          val end = math.min(moov(1), toff + size.toInt)
+          val tk = findBox(a, toff + 8, end, "tkhd")
+          if (tk != null) {
+            val tv = u8(a, tk(0))
+            val wOff = if (tv == 1) tk(0) + 88 else tk(0) + 76
+            if (wOff + 8 <= tk(1) && wOff + 8 <= a.length) {
+              val w = (be32(a, wOff) >> 16).toInt
+              val h = (be32(a, wOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) { tw = w; th = h }
+            }
+          }
+        }
+        toff += size.toInt
+      }
+    }
     new GenericInternalRow(Array[Any](
       UTF8String.fromString("mp4"), timescale.toInt, duration,
-      duration * 1000L / timescale))
+      duration * 1000L / timescale, tw, th))
   }
 }
 

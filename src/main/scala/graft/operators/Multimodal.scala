@@ -74,7 +74,9 @@ object Multimodal {
       i.getField("format").as("format"),
       i.getField("timescale").as("timescale"),
       i.getField("duration_units").as("duration_units"),
-      i.getField("duration_ms").as("duration_ms"))
+      i.getField("duration_ms").as("duration_ms"),
+      i.getField("width").as("width"),
+      i.getField("height").as("height"))
   }
 
   /** Image metadata decode: (format, width, height) parsed from the

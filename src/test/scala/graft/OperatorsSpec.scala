@@ -990,6 +990,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getUTF8String(0).toString === "mp4")
     assert(r.getInt(1) === 90000 && r.getLong(2) === 450000L)
     assert(r.getLong(3) === 5000L)
+    assert(r.getInt(4) === 0 && r.getInt(5) === 0) // no trak -> no dims
     val rnd = new scala.util.Random(11)
     (0 until 500).foreach { _ =>
       val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b)
