@@ -954,6 +954,24 @@ object SparkEntry {
       "stream_sample").select(col("doc_id"), col("lang"))
   }
 
+  /** Streaming quality filtering, gated against the batch oracle: the
+    * whole per-row TextAnalysis family is pure column expressions, so
+    * applied to a stream unchanged it emits exactly the batch scores —
+    * ingest-time quality gating needs no second implementation.
+    */
+  private def streamingQualityQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    runStreamToTable(s,
+      TextAnalysis.qualityFlags(
+        s.readStream.schema(schema).parquet(s"$dir/{documents.parquet}"),
+        "doc_id", "text"),
+      "stream_quality")
+  }
+
   /** Streaming exact dedup, gated on the one projection that is
     * deterministic across arrival orders: the kept distinct content-hash
     * set (WHICH duplicate row survives is first-arrival-dependent).
@@ -1185,6 +1203,27 @@ object SparkEntry {
        bk AS ($bucketSelects)"""
   }
 
+  /** Quality-flags re-derivation, shared by the batch gate and its
+    * streaming twin (stateless exprs: the stream emits the batch scores).
+    */
+  private val oracleSqlQualityFlags: String =
+    """WITH w AS (SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\s+') AS ws,
+         CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+           THEN list_distinct([array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+2], ' ')
+             for i in range(1, len(string_split_regex(trim(lower(text)), '\s+'))-1)])
+           ELSE [array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')] END AS sh
+       FROM documents),
+       m AS (SELECT doc_id,
+         round(1.0 - CAST(len(sh) AS DOUBLE)
+           / CAST(greatest(len(ws) - 2, 1) AS DOUBLE), 6) AS rep_ratio,
+         round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1), 6) AS symbol_ratio
+       FROM w)
+       SELECT doc_id, rep_ratio, symbol_ratio,
+         (rep_ratio <= 0.3 AND symbol_ratio <= 0.2) AS keep
+       FROM m"""
+
   private val dkDecontaminate: String =
     s"""WITH $dkBk,
        pbk AS (SELECT DISTINCT band, bucket FROM bk WHERE doc_id % 7 = 0),
@@ -1380,6 +1419,7 @@ object SparkEntry {
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _),
     "streaming_sample" -> (streamingSampleQ _),
+    "streaming_quality" -> (streamingQualityQ _),
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
@@ -2156,23 +2196,7 @@ object SparkEntry {
          round(quantile_cont(n_chars, 0.75), 6) AS p75,
          count(*) AS n_docs
          FROM documents GROUP BY 1""",
-    "text_quality_flags" ->
-      """WITH w AS (SELECT doc_id, text,
-           string_split_regex(trim(lower(text)), '\s+') AS ws,
-           CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 3
-             THEN list_distinct([array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+2], ' ')
-               for i in range(1, len(string_split_regex(trim(lower(text)), '\s+'))-1)])
-             ELSE [array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')] END AS sh
-         FROM documents),
-         m AS (SELECT doc_id,
-           round(1.0 - CAST(len(sh) AS DOUBLE)
-             / CAST(greatest(len(ws) - 2, 1) AS DOUBLE), 6) AS rep_ratio,
-           round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1), 6) AS symbol_ratio
-         FROM w)
-         SELECT doc_id, rep_ratio, symbol_ratio,
-           (rep_ratio <= 0.3 AND symbol_ratio <= 0.2) AS keep
-         FROM m""",
+    "text_quality_flags" -> oracleSqlQualityFlags,
     "multimodal_meta" ->
       """SELECT doc_id, 'text' AS kind,
          CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
@@ -2266,6 +2290,8 @@ object SparkEntry {
          SELECT user_id, session_idx, min(tsn) AS session_start,
            max(tsn) AS session_end, count(*) AS n_events, sum(value) AS value_sum
          FROM s GROUP BY 1, 2""",
+    // stateless column exprs => the stream emits exactly the batch scores
+    "streaming_quality" -> oracleSqlQualityFlags,
     "streaming_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_dedup_neardup" -> dkStreamingNearDup,
