@@ -67,6 +67,10 @@ object GraftFunctions {
       exprs => CharShinglesExpr(exprs.head, 3), "scala_udf")
     reg.createOrReplaceTempFunction("ngrams3",
       exprs => NgramsExpr(exprs.head, 3), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_info",
+      exprs => AudioInfoExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("video_info",
+      exprs => VideoInfoExpr(exprs.head), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
   }
 }

@@ -227,6 +227,13 @@ class ParitySpec extends AnyFunSuite {
       .collect().head
     assert(r6b.getString(0) === "cafe  uber")
     assert(r6b.getInt(1) === 3)
+    // r8 additions: positional n-grams and audio/video header decode
+    val r8 = spark.sql("""
+      SELECT ngrams3('a b c d') AS g,
+             audio_info(cast('garbage' AS BINARY)) AS a,
+             video_info(cast('garbage' AS BINARY)) AS v""").collect().head
+    assert(r8.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r8.isNullAt(1) && r8.isNullAt(2))
   }
 
   test("GeoMean aggregator: partial/merge semantics") {
