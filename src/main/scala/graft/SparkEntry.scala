@@ -1851,7 +1851,7 @@ object SparkEntry {
     "sample_exact" ->
       s"""SELECT lang, doc_id, sample_rank FROM (
            SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
-               ORDER BY h % 4503599627370496, doc_id) AS INTEGER) AS sample_rank
+               ORDER BY h % 4503599627370496, h) AS INTEGER) AS sample_rank
            FROM (SELECT lang, doc_id,
                ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents))
          WHERE sample_rank <= 20""",

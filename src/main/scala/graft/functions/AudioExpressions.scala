@@ -56,25 +56,29 @@ object AudioHeaders {
   def info(a: Array[Byte]): InternalRow = {
     if (a == null || a.length < 12) return null
     if (tag(a, 0, "RIFF") && tag(a, 8, "WAVE")) {
-      // RIFF chunk walk: need one `fmt ` and one `data` declaration
-      var off = 12
+      // RIFF chunk walk: need one `fmt ` and one `data` declaration.
+      // The offset is a Long: le32 sizes are unsigned 32-bit, so a
+      // declared size near 2^31 would wrap an Int offset negative and
+      // turn the walk into an out-of-bounds read instead of a null.
+      var off = 12L
       var haveFmt = false
       var ch = 0; var rate = 0; var bits = 0; var blockAlign = 0
       var dataSize = -1L
       while (off + 8 <= a.length && !(haveFmt && dataSize >= 0)) {
-        val size = le32(a, off + 4)
-        if (tag(a, off, "fmt ") && off + 8 + 16 <= a.length) {
-          ch = le16(a, off + 10)
-          rate = le32(a, off + 12).toInt
-          blockAlign = le16(a, off + 20)
-          bits = le16(a, off + 22)
+        val o = off.toInt
+        val size = le32(a, o + 4)
+        if (tag(a, o, "fmt ") && off + 8 + 16 <= a.length) {
+          ch = le16(a, o + 10)
+          rate = le32(a, o + 12).toInt
+          blockAlign = le16(a, o + 20)
+          bits = le16(a, o + 22)
           haveFmt = true
-        } else if (tag(a, off, "data")) {
+        } else if (tag(a, o, "data")) {
           dataSize = size
         }
-        // RIFF pads odd-sized chunks to even offsets
-        off += 8 + size.toInt + (size.toInt & 1)
-        if (size < 0 || size > Int.MaxValue) return null
+        // RIFF pads odd-sized chunks to even offsets; size >= 0 always,
+        // so the Long offset strictly grows and the walk terminates
+        off += 8L + size + (size & 1L)
       }
       if (!haveFmt || dataSize < 0 || blockAlign <= 0) return null
       val frames = dataSize / blockAlign
@@ -203,10 +207,12 @@ object VideoHeaders {
     var toff = moov(0)
     while (toff + 8 <= moov(1) && tw == 0) {
       val size = be32(a, toff)
-      if (size < 8) toff = moov(1)
+      // same guard as findBox: a box size with the top bit set would
+      // make size.toInt negative and walk the offset out of bounds
+      if (size < 8 || toff + size > Int.MaxValue) toff = moov(1)
       else {
         if (tag(a, toff + 4, "trak")) {
-          val end = math.min(moov(1), toff + size.toInt)
+          val end = math.min(moov(1), (toff + size).toInt)
           val tk = findBox(a, toff + 8, end, "tkhd")
           if (tk != null) {
             val tv = u8(a, tk(0))

@@ -70,12 +70,20 @@ object Pipeline {
     // exact-dedup aggregate, its semi join back, near-dup band rows,
     // decontamination bands): left lazy, EACH branch re-runs the
     // rewrites over the scan — measured 2.8x wall on the 10x stress
-    // corpus. Persisting the cleaned text is exactly what a production
-    // pipeline does between the clean and dedup phases
-    // (MEMORY_AND_DISK: spills, stays recomputable; callers may
-    // unpersist after the terminal action).
+    // corpus. Materialize via localCheckpoint rather than persist: the
+    // returned lazy frame exposes no unpersist hook, so a persist here
+    // pinned a CacheManager entry per curate() call for the life of the
+    // SparkContext (r8 advice); checkpoint blocks are instead freed by
+    // the ContextCleaner once the frame is unreachable — same lifecycle
+    // decision (and same executor-loss tradeoff + `persist` escape
+    // hatch) as FrameEngine.expandColJsonFrame.
     if (stripBoilerplate || dedupLines)
-      d = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d = docs.sparkSession.conf
+        .get("graft.curate.materialize", "localCheckpoint") match {
+        case "persist" =>
+          d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case _ => d.localCheckpoint()
+      }
     val keepExact = Dedup.exactNormalized(d, idCol, textCol)
       .select(col("keep_id").as(idCol))
     d = d.join(keepExact, Seq(idCol), "left_semi")

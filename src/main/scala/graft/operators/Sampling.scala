@@ -97,14 +97,27 @@ object Sampling {
       idCol: String,
       strataCol: String,
       n: Int): DataFrame = {
+    // Arbitrary id types: the id is folded to its 60-bit string-hash
+    // surrogate before the top-k aggregate — the sibling samplers hash
+    // the id as a string too, and [[TopKAggregator]]'s long field can't
+    // hold a non-numeric id (a string id cast to long was a runtime
+    // null failure, r8 advice). Original id values are recovered by a
+    // broadcast join on (stratum, surrogate) — the top side is ≤ n rows
+    // per stratum, so the join is map-side, no extra shuffle. A 60-bit
+    // collision inside one stratum (p ≈ pairs/2^61) would emit both
+    // colliding rows at the same rank.
+    val keyed = df.select(col(strataCol), col(idCol))
+      .withColumn("__sid", hash60(col(idCol).cast("string")))
     // mod 2^52 keeps the order key exactly representable as the
     // Aggregator's double (raw 60-bit hashes would alias above 2^53 and
-    // could tie-break differently than an engine ordering the longs)
-    val hashed = df.withColumn("__neg_hash",
-      -pmod(hash60(col(idCol).cast("string")), lit(1L << 52)).cast("double"))
-    TopK.topKPerKey(hashed, Seq(strataCol), "__neg_hash", idCol, n)
-      .select(col(strataCol), col(idCol),
-        col("rk").as("sample_rank"))
+    // could tie-break differently than an engine ordering the longs);
+    // ties fall back to the full surrogate, ascending
+    val hashed = keyed.withColumn("__neg_hash",
+      -pmod(col("__sid"), lit(1L << 52)).cast("double"))
+    val top = TopK.topKPerKey(hashed, Seq(strataCol), "__neg_hash", "__sid", n)
+      .select(col(strataCol), col("__sid"), col("rk"))
+    keyed.join(broadcast(top), Seq(strataCol, "__sid"))
+      .select(col(strataCol), col(idCol), col("rk").as("sample_rank"))
   }
 
   /** Deterministic domain mixing to a token budget — the static

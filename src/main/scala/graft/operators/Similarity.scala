@@ -15,10 +15,18 @@ import graft.functions.VectorFunctions.cosineFast
 object Similarity {
 
   /** Exact brute-force top-k by cosine: every query row is compared with
-    * every corpus row. The query set is broadcast (it must be small —
+    * every corpus row. The query set is broadcast (it MUST be small —
     * that is the contract of a brute-force scan), so the corpus is
     * streamed once with no shuffle; ranking shuffles only
     * |queries| × |corpus| similarity rows.
+    *
+    * The contract is ENFORCED, not advisory: the query side is counted
+    * up front and the call fails fast above `maxQueries` — without the
+    * guard a caller passing a large query frame gets a silent
+    * near-cartesian (|q|×|corpus| scored rows) instead of an error
+    * pointing at the ANN variants, which are the scale path. The count
+    * is one cheap job on the (small, by contract) query side; the
+    * corpus side is never counted.
     *
     * Ties are broken by corpus id so results are deterministic.
     */
@@ -27,7 +35,14 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxQueries: Int = 100000): DataFrame = {
+    val nq = queries.select(col(idCol)).limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"knnBruteForce query side exceeds maxQueries=$maxQueries rows; " +
+        "it is broadcast and scored against EVERY corpus row — use the " +
+        "ANN variants (lshTopK/ivfTopK) for large query sets, or raise " +
+        "maxQueries explicitly if the cross product is intended")
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv")))
     // spread (gated): parallelize the scan side from one small file; at

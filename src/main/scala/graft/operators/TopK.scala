@@ -36,16 +36,19 @@ case class TopKBuf(items: Seq[TopKItem])
 class TopKAggregator(k: Int)
     extends Aggregator[TopKItem, TopKBuf, TopKBuf] {
 
+  // total order matching Spark's sort semantics (ord DESC, id ASC):
+  // java.lang.Double.compare so NaN is a real value (greatest, equal to
+  // itself) — raw </== predicates would pin every NaN row at the head
+  // with arrival-order ties, diverging from the row_number reference
+  private def precedes(a: TopKItem, b: TopKItem): Boolean = {
+    val c = java.lang.Double.compare(b.ord, a.ord)
+    c < 0 || (c == 0 && a.id < b.id)
+  }
+
   private def insert(items: Seq[TopKItem], x: TopKItem): Seq[TopKItem] = {
     // no-op fast path: buffer full and x sorts after the current floor
-    if (items.lengthCompare(k) >= 0) {
-      val floor = items.last
-      val after = x.ord < floor.ord ||
-        (x.ord == floor.ord && x.id >= floor.id)
-      if (after) return items
-    }
-    val (before, after) = items.span(it =>
-      it.ord > x.ord || (it.ord == x.ord && it.id < x.id))
+    if (items.lengthCompare(k) >= 0 && !precedes(x, items.last)) return items
+    val (before, after) = items.span(precedes(_, x))
     ((before :+ x) ++ after).take(k)
   }
 

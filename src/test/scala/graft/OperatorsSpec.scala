@@ -126,6 +126,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("cos_sim") > 0.99)
   }
 
+  test("knn brute force enforces the broadcast-small query contract") {
+    val big = Seq.tabulate(10)(i => (i.toLong, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnBruteForce(big, vecs, "vec_id", "embedding", k = 1,
+        maxQueries = 5)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    // at the bound it still runs
+    assert(Similarity.knnBruteForce(big.limit(5), vecs, "vec_id",
+      "embedding", k = 1, maxQueries = 5).count() > 0)
+  }
+
   test("cosine pairs within block") {
     val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
       "label", threshold = 0.9).collect()
@@ -834,6 +847,27 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected a partial aggregation phase:\n$plan")
   }
 
+  test("topKPerKey: NaN order values sort greatest with deterministic id" +
+      " tie-break, matching the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq(
+      (0L, 1L, Double.NaN), (0L, 5L, Double.NaN), (0L, 3L, Double.NaN),
+      (0L, 2L, 9.0), (0L, 4L, 7.0))
+      .toDF("k", "id", "score")
+    val got = graft.operators.TopK.topKPerKey(d, Seq("k"), "score", "id", 3)
+    val w = Window.partitionBy($"k").orderBy($"score".desc, $"id".asc)
+    val ref = d.withColumn("rk", row_number().over(w).cast("int"))
+      .filter($"rk" <= 3).select($"k", $"id", $"score", $"rk")
+    // Spark sorts NaN above all doubles; ties break by id — so the top 3
+    // are the NaN rows with ids 1,3,5 in that order, regardless of the
+    // arrival order the aggregator sees
+    assert(got.collect().map(r => (r.getLong(1), r.getInt(3))).toSet ===
+      Set((1L, 1), (3L, 2), (5L, 3)))
+    // NaN != NaN under ==, so compare (id, rank) projections
+    assert(got.collect().map(r => (r.getLong(1), r.getInt(3))).toSet ===
+      ref.collect().map(r => (r.getLong(1), r.getInt(3))).toSet)
+  }
+
   test("PQ: anchors encode to their own code; ADC cosine equals the" +
       " reconstruct-then-cosine reference") {
     import graft.operators.Similarity
@@ -999,6 +1033,38 @@ class OperatorsSpec extends AnyFunSuite {
     (0 until mp4.length).foreach(n => VideoHeaders.info(mp4.take(n)))
   }
 
+  test("Audio/VideoHeaders: declared sizes near 2^31 cannot wrap the" +
+      " walk offset — null/partial result, never a throw") {
+    import graft.functions.{AudioHeaders, VideoHeaders}
+    def le32b(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be32b(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // WAV chunk declaring size 0x7FFFFFFF: an Int offset would wrap
+    // negative and read out of bounds; the walk must just run off the
+    // end and return null (no fmt/data seen)
+    val evilWav = "RIFF".getBytes ++ le32b(1000) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32b(0x7FFFFFFFL) ++ Array.fill[Byte](32)(0)
+    assert(AudioHeaders.info(evilWav) === null)
+    // and with the top bit set (unsigned size > Int.MaxValue)
+    val evilWav2 = "RIFF".getBytes ++ le32b(1000) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32b(0xFFFFFFF0L) ++ Array.fill[Byte](32)(0)
+    assert(AudioHeaders.info(evilWav2) === null)
+    // MP4 moov child with size 0x80000010 after a valid mvhd: the trak
+    // walk must stop (not step a negative size.toInt), keeping the
+    // already-decoded movie header
+    def box(name: String, content: Array[Byte]): Array[Byte] =
+      be32b(8 + content.length) ++ name.getBytes ++ content
+    val ftyp = box("ftyp", "isom".getBytes ++ be32b(0x200))
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++
+      Array.fill[Byte](8)(0) ++ be32b(1000) ++ be32b(5000))
+    val evilChild = be32b(0x80000010L) ++ "aaaa".getBytes
+    val mp4 = ftyp ++ box("moov", mvhd ++ evilChild ++ Array.fill[Byte](16)(0))
+    val r = VideoHeaders.info(mp4)
+    assert(r !== null)
+    assert(r.getInt(1) === 1000 && r.getLong(2) === 5000L)
+  }
+
   test("unigramSurprisal: hand-computed corpus unigram LM; rare words" +
       " score higher than common ones") {
     val d = Seq((0L, "a a b"), (1L, "a rare")).toDF("doc_id", "text")
@@ -1094,6 +1160,11 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r =>
         r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(splits === again)
+    // the materialized rewrite stage must not pin CacheManager entries:
+    // repeated curate() calls used to leak one cached plan each (r8
+    // advice) — localCheckpoint leaves the cache untouched
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "curate must not leave cached plans behind")
   }
 
   test("retention cohorts: first-day cohort, per-offset distinct actives," +
@@ -1131,6 +1202,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExecBase => w
     }.isEmpty)
+  }
+
+  test("sampleExactPerStratum accepts non-numeric ids (same contract as" +
+      " the sibling samplers) and stays deterministic") {
+    import graft.operators.Sampling
+    val d = Seq.tabulate(40)(i =>
+      (s"doc-${"%03d".format(i)}", if (i < 30) "big" else "small"))
+      .toDF("id", "stratum")
+    val out = Sampling.sampleExactPerStratum(d, "id", "stratum", n = 5)
+    val by = out.collect().groupBy(_.getString(0))
+    assert(by("big").length === 5 && by("small").length === 5)
+    // ranks are 1..n and ids are original (string) values
+    assert(by("big").map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    assert(by("big").forall(_.getString(1).startsWith("doc-")))
+    assert(out.collect().map(_.toSeq).toSet ===
+      Sampling.sampleExactPerStratum(d, "id", "stratum", n = 5)
+        .collect().map(_.toSeq).toSet)
   }
 
   test("mixToTokenBudget: fraction = min(1, budget*w/tokens), small" +
