@@ -906,6 +906,35 @@ object SparkEntry {
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
 
+  /** Multimodal payload near-dup: payload FAMILIES are constructed
+    * byte-for-byte (base = 64 bytes of repeated family-md5; in-family
+    * variants append 8 metadata bytes, prepend a 2-byte container
+    * prefix, or trim the last 6 bytes — the re-encode/re-host mutations
+    * payload near-dup exists to catch; every 5th doc is an unrelated
+    * singleton) and paired by byte-shingle MinHash-LSH
+    * ([[Multimodal.nearDupPairs]]). The oracle re-derives the identical
+    * byte shingles as hex substrings and replays the full
+    * minhash/band/join pipeline in SQL, so any drift in shingling,
+    * hashing, banding, or the join hash-mismatches.
+    */
+  private def multimodalNeardupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      (col("doc_id") / 5).cast("long").as("fam"),
+      (col("doc_id") % 5).cast("int").as("m"))
+    val base = repeat(md5(
+      concat(lit("fam"), col("fam").cast("string")).cast("binary")), 4)
+    val soloHex = repeat(md5(
+      concat(lit("solo"), col("doc_id").cast("string")).cast("binary")), 4)
+    val payloadHex = when(col("m") === 0, base)
+      .when(col("m") === 1, concat(base, lit("deadbeef00112233")))
+      .when(col("m") === 2, concat(lit("cafe"), base))
+      .when(col("m") === 3, substring(base, 1, 116))
+      .otherwise(soloHex)
+    val p = d.select(col("doc_id"), unhex(payloadHex).as("payload"))
+    Multimodal.nearDupPairs(p, "doc_id", "payload",
+      byteN = 8, numHashes = 16, bands = 8)
+  }
+
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
 
@@ -1133,6 +1162,40 @@ object SparkEntry {
       s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
     }
     s"""WITH $dkShingles,
+       h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
+       sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
+       bk AS ($bucketSelects)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        AND a.doc_id < b.doc_id"""
+  }
+
+  /** Byte-shingle MinHash-LSH pairs over the constructed payload
+    * families — the independent SQL re-derivation of
+    * `multimodal_neardup`: payload hex rebuilt arithmetically from
+    * doc_id, byte shingles as 16-hex-char substrings at every byte
+    * offset, then the exact minhash/band/join pipeline of `dkLshPairs`.
+    */
+  private val dkPayloadNeardup: String = {
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH f AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m
+           FROM documents),
+       p AS (SELECT doc_id,
+           CASE m WHEN 0 THEN repeat(md5('fam' || CAST(fam AS VARCHAR)), 4)
+                  WHEN 1 THEN repeat(md5('fam' || CAST(fam AS VARCHAR)), 4) || 'deadbeef00112233'
+                  WHEN 2 THEN 'cafe' || repeat(md5('fam' || CAST(fam AS VARCHAR)), 4)
+                  WHEN 3 THEN substr(repeat(md5('fam' || CAST(fam AS VARCHAR)), 4), 1, 116)
+                  ELSE repeat(md5('solo' || CAST(doc_id AS VARCHAR)), 4) END AS ph
+         FROM f),
+       s AS (SELECT doc_id, CASE WHEN len(ph) >= 16
+           THEN list_distinct([substr(ph, 2*i+1, 16) for i in range(0, len(ph)//2 - 7)])
+           ELSE [ph] END AS sh FROM p),
        h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
        sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
        bk AS ($bucketSelects)
@@ -1414,6 +1477,7 @@ object SparkEntry {
     "multimodal_decode" -> (multimodalDecodeQ _),
     "multimodal_audio" -> (multimodalAudioQ _),
     "multimodal_video" -> (multimodalVideoQ _),
+    "multimodal_neardup" -> (multimodalNeardupQ _),
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
@@ -2249,6 +2313,7 @@ object SparkEntry {
            CAST(CASE WHEN m = 3 THEN NULL ELSE w END AS INTEGER) AS width,
            CAST(CASE WHEN m = 3 THEN NULL ELSE h END AS INTEGER) AS height
          FROM d""",
+    "multimodal_neardup" -> dkPayloadNeardup,
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum

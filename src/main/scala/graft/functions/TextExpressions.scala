@@ -71,6 +71,56 @@ case class ShinglesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Distinct byte n-gram shingles of a BINARY payload, emitted as
+  * lowercase-hex strings — the byte-level analog of [[ShinglesExpr]],
+  * for multimodal payload near-dup detection: re-encoded/re-hosted
+  * copies of the same image/audio bytes (appended metadata, trimmed
+  * trailers, container prefixes) share most n-byte windows, and taking
+  * a window at EVERY byte offset makes the fingerprint alignment-free
+  * (a 2-byte prefix shifts positions but not window contents). Payloads
+  * shorter than `n` bytes collapse to a single whole-payload shingle so
+  * every payload has >= 1 shingle and set ops stay total; all empty
+  * payloads share the empty-string shingle, which is correct — they are
+  * byte-identical, i.e. exact duplicates. Hex (not raw-byte) shingle
+  * strings keep the downstream md5 hashing oracle-reproducible: a SQL
+  * engine re-derives the identical shingle as a substring of the
+  * payload's hex encoding.
+  */
+case class ByteShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "byte shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[Array[Byte]]
+    val hex = new Array[Char](a.length * 2)
+    var i = 0
+    while (i < a.length) {
+      hex(2 * i) = HexDigits((a(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexDigits(a(i) & 0xf)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (a.length >= n) {
+      var s = 0
+      while (s <= a.length - n) {
+        out.add(UTF8String.fromString(new String(hex, 2 * s, 2 * n)))
+        s += 1
+      }
+    } else {
+      out.add(UTF8String.fromString(new String(hex)))
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): ByteShinglesExpr =
+    copy(child = c)
+}
+
 /** ALL positional word n-grams (repeats kept, document order) of a
   * lowercased, whitespace-split text — the term-frequency counterpart
   * of [[ShinglesExpr]]'s distinct shingle set. Tokenization matches

@@ -54,6 +54,23 @@ object TextFunctions {
     toColumn(Hash60ArrayExpr(ShinglesExpr(toExpression(text), n)))
   }
 
+  /** Distinct byte n-gram shingles of a binary payload as lowercase-hex
+    * strings (native [[ByteShinglesExpr]]) — the payload-level analog of
+    * [[shingles]] for multimodal near-dup detection.
+    */
+  def byteShingles(payload: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(ByteShinglesExpr(toExpression(payload), n))
+  }
+
+  /** 60-bit hashes of a payload's byte-shingle set — drop-in input for
+    * the same minhash/band machinery as [[shingleHashes]].
+    */
+  def byteShingleHashes(payload: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(Hash60ArrayExpr(ByteShinglesExpr(toExpression(payload), n)))
+  }
+
   /** Distinct character n-gram shingles (code-point indexed) — the
     * language-agnostic form of [[shingles]] for scripts without
     * whitespace word boundaries. Native one-pass ([[CharShinglesExpr]]).

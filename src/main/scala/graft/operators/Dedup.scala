@@ -135,7 +135,7 @@ object Dedup {
     * which predicate-pushdown would rewrite to a second full
     * shingle+md5 evaluation below the Spread exchange.
     */
-  private def lshPairsFromText(
+  private[operators] def lshPairsFromText(
       docs: DataFrame,
       idCol: String,
       textCol: String,

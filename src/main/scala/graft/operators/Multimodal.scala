@@ -95,6 +95,33 @@ object Multimodal {
       d.getField("height").as("height"))
   }
 
+  /** Near-duplicate payload candidate pairs by byte-shingle MinHash-LSH
+    * — payload-level near-dup detection for media columns: a crawl
+    * corpus is full of re-encoded/re-hosted copies of the same
+    * image/audio bytes (appended EXIF/ID3 metadata, trimmed trailers,
+    * container prefixes), which exact content-hash dedup misses but
+    * which share most n-byte windows. The payload's distinct byte
+    * shingles ([[graft.functions.ByteShinglesExpr]] — alignment-free:
+    * a prefix shifts positions, not window contents) feed the SAME
+    * native minhash signature + (band, bucket) equi-join as the text
+    * dedup family ([[Dedup.minhashLshPairs]]): shuffle is
+    * payloads × bands band rows, never payloads². Output: (id_a, id_b)
+    * with id_a < id_b, distinct. Verification against raw similarity
+    * (byte-level Jaccard over the shingle sets) composes downstream
+    * exactly as for text ([[Dedup.minhashLshPairsVerified]]'s shape).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String = "payload",
+      byteN: Int = 8,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame =
+    Dedup.lshPairsFromText(df, idCol, payloadCol,
+      p => graft.functions.TextFunctions.hash60Array(
+        graft.functions.TextFunctions.byteShingles(p.cast(BinaryType), byteN)),
+      numHashes, bands)
+
   /** Deterministic frame sampling for a video payload: emit every
     * `stride`-th frame index below `nFrames` — the plumbing for
     * frame-level fan-out (posexplode), independent of any real codec.

@@ -1033,6 +1033,41 @@ class OperatorsSpec extends AnyFunSuite {
     (0 until mp4.length).foreach(n => VideoHeaders.info(mp4.take(n)))
   }
 
+  test("multimodal payload near-dup: byte-shingle LSH pairs metadata" +
+      " variants of the same bytes, not unrelated payloads; total on fuzz") {
+    import graft.operators.Multimodal
+    import graft.functions.TextFunctions.byteShingles
+    val rnd = new scala.util.Random(42)
+    val base = new Array[Byte](64); rnd.nextBytes(base)
+    val other = new Array[Byte](64); rnd.nextBytes(other)
+    val d = Seq(
+      (0L, base),                                     // original
+      (1L, base ++ Array[Byte](1, 2, 3, 4)),          // appended metadata
+      (2L, Array[Byte](9, 9) ++ base),                // container prefix
+      (3L, base.dropRight(6)),                        // trimmed trailer
+      (4L, other))                                    // unrelated
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.nearDupPairs(d, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 1L), (0L, 2L), (0L, 3L)).subsetOf(pairs))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // alignment-freeness: a 1-byte prefix shift keeps base's windows
+    val sh = d.select(byteShingles(col("payload"), 8)).collect()
+      .map(_.getSeq[String](0).toSet)
+    assert((sh(0) & sh(2)).size === sh(0).size) // prefix adds, never removes
+    // totality: short/empty payloads yield the whole-payload shingle
+    val tiny = Seq((0L, Array[Byte](1, 2)), (1L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val tsh = tiny.select(byteShingles(col("payload"), 8)).collect()
+      .map(_.getSeq[String](0))
+    assert(tsh(0) === Seq("0102") && tsh(1) === Seq(""))
+    // fuzz: arbitrary bytes through the full pair pipeline never throw
+    val fz = Seq.tabulate(50) { i =>
+      val b = new Array[Byte](rnd.nextInt(40)); rnd.nextBytes(b); (i.toLong, b)
+    }.toDF("doc_id", "payload")
+    Multimodal.nearDupPairs(fz, "doc_id").count() // must not throw
+  }
+
   test("Audio/VideoHeaders: declared sizes near 2^31 cannot wrap the" +
       " walk offset — null/partial result, never a throw") {
     import graft.functions.{AudioHeaders, VideoHeaders}
