@@ -682,29 +682,51 @@ object SparkEntry {
           .as("codes_csv"))
   }
 
+  /** Per-subspace-trained PQ codebook (8×8 over the 64-dim embeddings,
+    * hash-sampled half of the corpus, 1 Lloyd iteration — seeded like
+    * ivf_train), rounded to 6 decimals so both engines' downstream ADC
+    * math runs on IDENTICAL numbers (the trained averages differ in
+    * final ulps across engines; unrounded they could flip a 6-decimal
+    * cosine at a rounding boundary).
+    */
+  private def trainedPqCb(e: DataFrame): Array[Array[Double]] =
+    Similarity.pqTrainCodebook(e, "vec_id", "embedding", m = 8, k = 8,
+      iters = 1, sampleFraction = 0.5)
+      .map(_.map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+
+  /** Per-subspace PQ codebook training gate: distributed Lloyd over the
+    * subvector fan-out ([[Similarity.pqTrainSubCentroids]]); the oracle
+    * replays sample/seed/assign/recompute in SQL.
+    */
+  private def pqTrainQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTrainSubCentroids(embs(s, dir), "vec_id", "embedding",
+      m = 8, k = 8, iters = 1, sampleFraction = 0.5)
+      .select(col("sub"), col("code"),
+        array_join(transform(col("__cv"),
+          x => format_string("%.6f", round(x, 6))), ",").as("centroid_csv"))
+
   /** ADC top-k over the PQ-compressed corpus: exact query vectors
-    * (vec_id < 10) against corpus codes only.
+    * (vec_id < 10) against corpus codes only — codes from the TRAINED
+    * per-subspace codebook (r8: anchor-selected).
     */
   private def annPqTopKQ(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cb = Similarity.pqCodebook(e, "vec_id", "embedding",
-      col("vec_id") < 8)
     Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
-      "vec_id", "embedding", cb, m = 8, k = 5)
+      "vec_id", "embedding", trainedPqCb(e), m = 8, k = 5)
   }
 
   /** IVF-PQ: id-selected coarse centroids (as the IVF gates) + the
-    * 8-anchor PQ codebook; 2-probe query fan-out, ADC scoring within
-    * cells.
+    * TRAINED per-subspace PQ codebook; 2-probe query fan-out, ADC
+    * scoring within cells.
     */
   private def annIvfPqTopKQ(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cb = Similarity.pqCodebook(e, "vec_id", "embedding",
-      col("vec_id") < 8)
     val centroids = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
     Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e,
-      "vec_id", "embedding", centroids, cb, m = 8, k = 5, probes = 2)
+      "vec_id", "embedding", centroids, trainedPqCb(e), m = 8, k = 5,
+      probes = 2)
   }
 
   /** Group top-k via the bounded-heap partial-aggregable Aggregator —
@@ -1233,10 +1255,14 @@ object SparkEntry {
     * per-(vector, subspace) nearest-code assignment — the independent
     * re-derivation of `PqEncodeExpr` (round-6 L2², tie to smaller code).
     */
-  private val dkPqEnc: String =
-    """v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-       a AS (SELECT vec_id AS code, vd AS av FROM v WHERE vec_id < 8),
-       cand AS (SELECT v.vec_id, a.code,
+  /** Shared PQ encode tail (cand, unn, enc) over CTEs `v(vec_id, vd)`
+    * and `a(code, av)`: per-(vector, subspace) nearest-code assignment
+    * (round-6 L2², tie to smaller code) — the independent re-derivation
+    * of `PqEncodeExpr`, parameterized by where the codebook `a` comes
+    * from (anchor-selected or trained).
+    */
+  private val dkPqEncTail: String =
+    """cand AS (SELECT v.vec_id, a.code,
            [round(list_sum([pow(vd[CAST(j*8+i+1 AS INTEGER)]
                - av[CAST(j*8+i+1 AS INTEGER)], 2) for i in range(0,8)]), 6)
              for j in range(0,8)] AS d2s
@@ -1247,6 +1273,63 @@ object SparkEntry {
        enc AS (SELECT vec_id, j, code FROM (
            SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j
              ORDER BY d2, code) AS rn FROM unn) WHERE rn = 1)"""
+
+  private val dkPqEnc: String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+       a AS (SELECT vec_id AS code, vd AS av FROM v WHERE vec_id < 8),
+       $dkPqEncTail"""
+
+  /** Trained per-subspace PQ sub-centroids in DuckDB SQL, ending in
+    * `tc(sub, code, cv)` — the independent replay of
+    * `Similarity.pqTrainSubCentroids` at m=8, k=8, one Lloyd iteration
+    * over the hash-sampled half of the corpus: seeds are the 8 smallest-
+    * (hash, id) sample rows sliced per subspace; assignment is round-6
+    * L2² with smaller-code tie-break; recompute is per-(sub, code, dim)
+    * averages; an empty cell keeps its seed.
+    */
+  private val dkPqTrainCTEs: String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+       hh AS (SELECT vec_id, vd,
+           ${dkHash("CAST(vec_id AS VARCHAR)")} AS hk FROM v),
+       samp AS (SELECT * FROM hh WHERE hk % 1000000 < 500000),
+       seeds AS (SELECT vd,
+           CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS code
+         FROM (SELECT * FROM samp ORDER BY hk, vec_id LIMIT 8)),
+       jj AS (SELECT unnest(range(0, 8)) AS j),
+       sseed AS (SELECT CAST(jj.j AS INTEGER) AS sub, seeds.code,
+           list_slice(seeds.vd, jj.j*8 + 1, jj.j*8 + 8) AS sv
+         FROM seeds, jj),
+       svv AS (SELECT samp.vec_id, CAST(jj.j AS INTEGER) AS sub,
+           list_slice(samp.vd, jj.j*8 + 1, jj.j*8 + 8) AS xv
+         FROM samp, jj),
+       asg AS (SELECT vec_id, sub, code, xv FROM (
+           SELECT s.vec_id, s.sub, c.code, s.xv,
+             row_number() OVER (PARTITION BY s.vec_id, s.sub
+               ORDER BY round(list_sum([pow(s.xv[CAST(i+1 AS INTEGER)]
+                 - c.sv[CAST(i+1 AS INTEGER)], 2) for i in range(0,8)]), 6),
+                 c.code) AS rn
+           FROM svv s JOIN sseed c ON s.sub = c.sub) WHERE rn = 1),
+       rec AS (SELECT sub, code, pos, avg(x) AS mn FROM (
+           SELECT sub, code,
+             CAST(generate_subscripts(xv,1)-1 AS INTEGER) AS pos,
+             unnest(xv) AS x FROM asg)
+         GROUP BY 1, 2, 3),
+       newc AS (SELECT sub, code, list(mn ORDER BY pos) AS nv
+         FROM rec GROUP BY 1, 2),
+       tc AS (SELECT s.sub, s.code, coalesce(n.nv, s.sv) AS cv
+         FROM sseed s LEFT JOIN newc n ON s.sub = n.sub AND s.code = n.code)"""
+
+  /** PQ encode CTEs over the TRAINED codebook: `tc` assembled per code
+    * (subspace slices concatenated in order) and rounded to 6 decimals —
+    * the same rounding the Spark side applies to the trained codebook,
+    * so both engines' ADC math runs on identical numbers.
+    */
+  private val dkPqEncTrained: String =
+    s"""$dkPqTrainCTEs,
+       a AS (SELECT code,
+           [round(x, 6) for x in flatten(list(cv ORDER BY sub))] AS av
+         FROM tc GROUP BY code),
+       $dkPqEncTail"""
 
   /** Shared LSH band-bucket CTEs (w, s, h, sig, bk) over documents —
     * one (doc_id, band, bucket) row per band per doc, mirroring
@@ -1454,6 +1537,7 @@ object SparkEntry {
     "ann_ivf_multiprobe" -> (annIvfMultiprobeQ _),
     "ann_lsh_multiprobe" -> (annLshMultiprobeQ _),
     "ivf_train"        -> (ivfTrainQ _),
+    "pq_train"         -> (pqTrainQ _),
     "embed_l2norm"     -> (embedL2NormQ _),
     "embed_centroids"  -> (embedCentroidsQ _),
     "pq_encode"        -> (pqEncodeQ _),
@@ -2113,8 +2197,13 @@ object SparkEntry {
       s"""WITH $dkPqEnc
          SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes_csv
          FROM enc GROUP BY vec_id""",
+    "pq_train" ->
+      s"""WITH $dkPqTrainCTEs
+         SELECT sub, code, array_to_string([printf('%.6f', round(x, 6))
+           for x in cv], ',') AS centroid_csv
+         FROM tc""",
     "ann_pq_topk" ->
-      s"""WITH $dkPqEnc,
+      s"""WITH $dkPqEncTrained,
          sub AS (SELECT e.vec_id, e.j,
              [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
            FROM enc e JOIN a ON a.code = e.code),
@@ -2129,7 +2218,7 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
          WHERE knn_rank <= 5""",
     "ann_ivfpq_topk" ->
-      s"""WITH $dkPqEnc,
+      s"""WITH $dkPqEncTrained,
          sub AS (SELECT e.vec_id, e.j,
              [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
            FROM enc e JOIN a ON a.code = e.code),

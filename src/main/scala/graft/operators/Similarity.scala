@@ -327,6 +327,134 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** Distributed per-subspace PQ codebook training — FAISS-style: each
+    * of the `m` coordinate slices gets its own k-means over a
+    * deterministic hash-sample of the corpus, ALL subspaces trained in
+    * ONE DataFrame pipeline (the vector explodes to its `m` subvectors
+    * and Lloyd runs jointly keyed on (sub, code) — m separate jobs would
+    * scan the sample m times). Per iteration: broadcast the m×k
+    * sub-centroids, assign every (row, sub) to its nearest code by
+    * round-6 squared L2 with smaller-code tie-break — the EXACT metric
+    * [[graft.functions.PqEncodeExpr]] encodes with, so training
+    * optimizes what encoding measures — then recompute each (sub, code)
+    * centroid as per-(sub, code, dim) partial-aggregable averages (a hot
+    * cell shuffles d_sub combined rows, never its member subvectors).
+    *
+    * Seeding mirrors [[trainCentroids]]: the k sample rows with the
+    * smallest `hash60(id)` (planned as TakeOrderedAndProject; k rows
+    * driver-side is the documented bounded collect), sliced per
+    * subspace. A cell that attracts no vectors keeps its seed. Training
+    * runs on `sampleFraction` of the corpus by id-hash range — the
+    * standard PQ recipe (FAISS trains on a sample too); the full corpus
+    * is never shuffled for training, and encoding afterwards is the
+    * usual shuffle-free pass.
+    *
+    * Output: `(sub int, code long, __cv array<double>)`, m×k rows.
+    */
+  def pqTrainSubCentroids(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 1,
+      sampleFraction: Double = 1.0): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(m > 0 && k > 0 && iters >= 0, "m, k positive; iters >= 0")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      "sampleFraction must be in (0,1]")
+    val spark = vecs.sparkSession
+    val hk = hash60(col(idCol).cast("string"))
+    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
+    val samp = if (sampleFraction >= 1.0) v
+      else v.filter(pmod(hk, lit(1000000L)) <
+        lit(math.round(sampleFraction * 1000000L)))
+    val seedRows = samp.select(hk.as("__hk"), col(idCol), col("__vd"))
+      .orderBy(col("__hk").asc, col(idCol).asc)
+      .limit(k)
+      .collect()
+    require(seedRows.nonEmpty, "cannot train a PQ codebook on zero rows")
+    val dim = seedRows.head.getSeq[Double](2).length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val seedLocal = seedRows.sortBy(_.getLong(0)).zipWithIndex.flatMap {
+      case (r, c) =>
+        val vd = r.getSeq[Double](2)
+        (0 until m).map(j =>
+          Row(j, c.toLong, vd.slice(j * dsub, (j + 1) * dsub)))
+    }
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", LongType, nullable = false),
+      StructField("__cv", ArrayType(DoubleType), nullable = true)))
+    var centroids = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(seedLocal: _*)),
+      schema)
+    // (id, sub, subvector) fan-out of the sample: m rows per vector, the
+    // same total bytes as the input
+    val subv = samp.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("__vd"), j * lit(dsub) + 1, lit(dsub)))))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "__xv")
+    def d2(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e), 6)
+    for (i <- 0 until iters) {
+      val w = Window.partitionBy(col(idCol), col("sub"))
+        .orderBy(col("__d2").asc, col("code").asc)
+      val asg = subv.join(broadcast(centroids), Seq("sub"))
+        .select(col(idCol), col("sub"), col("code"), col("__xv"),
+          d2(col("__xv"), col("__cv")).as("__d2"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val recomputed = asg
+        .select(col("sub"), col("code"), posexplode(col("__xv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
+        .select(col("sub"), col("code"),
+          transform(col("__ps"), p => p.getField("m")).as("__nv"))
+      centroids = centroids.join(recomputed, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("__nv"), col("__cv")).as("__cv"))
+      if (iters > 5 && i < iters - 1)
+        centroids = centroids.localCheckpoint()
+    }
+    centroids
+  }
+
+  /** [[pqTrainSubCentroids]] assembled into the `Array[Array[Double]]`
+    * codebook shape [[pqEncode]]/[[pqTopK]]/[[ivfPqTopK]] consume: row
+    * `c` is the concatenation over subspaces of sub-centroid (j, c) —
+    * per-subspace encoding reads exactly its slice, so concatenation
+    * loses nothing. The collect is m×k centroid rows (bounded by
+    * construction, same contract as [[trainCentroids]]' seed rank).
+    */
+  def pqTrainCodebook(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 1,
+      sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    val rows = pqTrainSubCentroids(
+      vecs, idCol, vecCol, m, k, iters, sampleFraction).collect()
+    val dsub = rows.head.getSeq[Double](2).length
+    val cb = Array.ofDim[Double](k, m * dsub)
+    rows.foreach { r =>
+      val j = r.getInt(0); val c = r.getLong(1).toInt
+      val cv = r.getSeq[Double](2)
+      var i = 0
+      while (i < dsub) { cb(c)(j * dsub + i) = cv(i); i += 1 }
+    }
+    cb
+  }
+
   /** Encode a corpus to PQ codes: `(id, codes array<int>)`. One
     * shuffle-free pass ([[graft.functions.PqEncodeExpr]]); the output is
     * `m` ints per row — the compressed representation a 100 TB corpus

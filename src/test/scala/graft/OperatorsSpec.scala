@@ -868,6 +868,57 @@ class OperatorsSpec extends AnyFunSuite {
       ref.collect().map(r => (r.getLong(1), r.getInt(3))).toSet)
   }
 
+  test("pqTrainSubCentroids: one Lloyd iteration equals a driver-side" +
+      " replay; pqTrainCodebook concatenates subspace slices per code") {
+    import graft.operators.Similarity
+    import graft.functions.TextFunctions.hash60
+    val n = 20; val dim = 4; val m = 2; val k = 2
+    val data = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(dd => ((i * 13 + dd * 7) % 10).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.pqTrainSubCentroids(df, "vec_id", "embedding",
+        m, k, iters = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
+      .toMap
+    assert(got.keySet === (for (j <- 0 until m; c <- 0 until k)
+      yield (j, c.toLong)).toSet)
+    // independent driver replay of seed/assign/recompute
+    val hks = df.select(col("vec_id"), hash60(col("vec_id").cast("string")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = data.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val seedIds = data.map(_._1).sortBy(id => (hks(id), id)).take(k)
+    val dsub = dim / m
+    def slc(v: Array[Double], j: Int) = v.slice(j * dsub, (j + 1) * dsub)
+    def rd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (j <- 0 until m) {
+      val assign = data.map(_._1).groupBy { id =>
+        val xv = slc(vecs(id), j)
+        seedIds.indices.minBy { c =>
+          (rd6(slc(vecs(seedIds(c)), j).zip(xv)
+            .map { case (a, b) => (a - b) * (a - b) }.sum), c)
+        }
+      }
+      for (c <- 0 until k) {
+        val exp = assign.get(c) match {
+          case Some(ids) =>
+            val sls = ids.map(id => slc(vecs(id), j))
+            Array.tabulate(dsub)(d => sls.map(_(d)).sum / sls.length)
+          case None => slc(vecs(seedIds(c)), j)
+        }
+        val g = got((j, c.toLong))
+        assert(g.zip(exp).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+          s"centroid ($j,$c): got $g expected ${exp.toSeq}")
+      }
+    }
+    val cb = Similarity.pqTrainCodebook(df, "vec_id", "embedding",
+      m, k, iters = 1)
+    for (c <- 0 until k)
+      assert(cb(c).toSeq ===
+        (got((0, c.toLong)) ++ got((1, c.toLong))).toSeq)
+  }
+
   test("PQ: anchors encode to their own code; ADC cosine equals the" +
       " reconstruct-then-cosine reference") {
     import graft.operators.Similarity
