@@ -957,6 +957,70 @@ object SparkEntry {
       byteN = 8, numHashes = 16, bands = 8)
   }
 
+  /** MP3 header decode roundtrip: per-doc payloads are CONSTRUCTED
+    * byte-for-byte — ID3v2 tag (syncsafe size, doc-dependent padding) +
+    * MPEG-1 Layer III frame header (bitrate/rate/mode indices from
+    * doc_id) + doc-dependent audio bytes; every 5th doc garbage. The
+    * oracle recomputes channels/rate/CBR frame estimate arithmetically
+    * from the same indices and tables.
+    */
+  private def multimodalMp3Q(s: SparkSession, dir: String): DataFrame = {
+    def hex1(c: Column) = lpad(hex(c), 2, "0")
+    val d = docs(s, dir).select(col("doc_id"),
+      (lit(1) + col("doc_id") % 14).cast("int").as("br_idx"),
+      (col("doc_id") % 3).cast("int").as("rate_idx"),
+      (col("doc_id") % 4).cast("int").as("mode"),
+      (col("doc_id") % 100).cast("int").as("tag_len"),
+      (lit(100) + col("doc_id") % 900).cast("int").as("audio_len"),
+      (col("doc_id") % 5).cast("int").as("m"))
+    val b2 = hex1(shiftleft(col("br_idx"), 4) + shiftleft(col("rate_idx"), 2))
+    val b3 = hex1(shiftleft(col("mode"), 6))
+    val mp3Hex = concat(
+      lit("494433" + "0300" + "00" + "000000"), hex1(col("tag_len")),
+      expr("repeat('00', tag_len)"),
+      lit("FFFB"), b2, b3,
+      expr("repeat('00', audio_len - 4)"))
+    val payload = unhex(
+      when(col("m") === 4, lit("4641524247")).otherwise(mp3Hex))
+    Multimodal.decodeAudio(
+      d.select(col("doc_id"), payload.as("payload")), "doc_id")
+  }
+
+  /** WebM/Matroska (EBML) header decode roundtrip: EBML header with a
+    * doc-dependent DocType, Segment with Info (TimecodeScale + float32
+    * Duration — power-of-two tick values so the IEEE bits are a 4-way
+    * CASE in both engines) and Tracks→TrackEntry→Video pixel dims;
+    * every 5th doc garbage. The oracle recomputes everything
+    * arithmetically.
+    */
+  private def multimodalWebmQ(s: SparkSession, dir: String): DataFrame = {
+    def hex2be(c: Column) = lpad(hex(c), 4, "0")
+    val d = docs(s, dir).select(col("doc_id"),
+      (lit(16) * (lit(1) + col("doc_id") % 100)).cast("int").as("w"),
+      (lit(16) * (lit(1) + (col("doc_id") * 3) % 100)).cast("int").as("h"),
+      (col("doc_id") % 4).cast("int").as("di"),
+      (col("doc_id") % 3).cast("int").as("dt"),
+      (col("doc_id") % 5).cast("int").as("m"))
+    val durHex = when(col("di") === 0, lit("44800000"))
+      .when(col("di") === 1, lit("45000000"))
+      .when(col("di") === 2, lit("45800000"))
+      .otherwise(lit("46000000"))
+    val ebmlHdr = when(col("dt") === 1,
+        lit("1A45DFA3" + "8B" + "4282" + "88" + "6D6174726F736B61"))
+      .otherwise(lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D"))
+    val infoHex = concat(
+      lit("1549A966" + "8E" + "2AD7B1" + "83" + "0F4240" + "4489" + "84"),
+      durHex)
+    val tracksHex = concat(
+      lit("1654AE6B" + "8C" + "AE" + "8A" + "E0" + "88" + "B0" + "82"),
+      hex2be(col("w")), lit("BA82"), hex2be(col("h")))
+    val webmHex = concat(ebmlHdr, lit("18538067" + "A4"), infoHex, tracksHex)
+    val payload = unhex(
+      when(col("m") === 4, lit("4641524247")).otherwise(webmHex))
+    Multimodal.decodeWebm(
+      d.select(col("doc_id"), payload.as("payload")), "doc_id")
+  }
+
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
 
@@ -1562,6 +1626,8 @@ object SparkEntry {
     "multimodal_audio" -> (multimodalAudioQ _),
     "multimodal_video" -> (multimodalVideoQ _),
     "multimodal_neardup" -> (multimodalNeardupQ _),
+    "multimodal_mp3"   -> (multimodalMp3Q _),
+    "multimodal_webm"  -> (multimodalWebmQ _),
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
@@ -2403,6 +2469,51 @@ object SparkEntry {
            CAST(CASE WHEN m = 3 THEN NULL ELSE h END AS INTEGER) AS height
          FROM d""",
     "multimodal_neardup" -> dkPayloadNeardup,
+    "multimodal_mp3" ->
+      """WITH d AS (SELECT doc_id,
+           1 + doc_id % 14 AS br_idx, doc_id % 3 AS rate_idx,
+           doc_id % 4 AS mode, doc_id % 100 AS tag_len,
+           100 + doc_id % 900 AS audio_len, doc_id % 5 AS m
+         FROM documents),
+         x AS (SELECT *,
+           [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(br_idx AS INTEGER)] AS br,
+           [44100,48000,32000][CAST(rate_idx + 1 AS INTEGER)] AS rate
+         FROM d),
+         y AS (SELECT *, (144000 * br) // rate AS fs FROM x),
+         z AS (SELECT *, (audio_len // fs) * 1152 AS frames FROM y)
+         SELECT doc_id,
+           CAST(CASE WHEN m = 4 THEN 5
+                ELSE 10 + tag_len + audio_len END AS BIGINT) AS byte_len,
+           CASE WHEN m = 4 THEN NULL ELSE 'mp3' END AS format,
+           CAST(CASE WHEN m = 4 THEN NULL WHEN mode = 3 THEN 1
+                ELSE 2 END AS INTEGER) AS channels,
+           CAST(CASE WHEN m = 4 THEN NULL ELSE rate END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN m = 4 THEN NULL ELSE 16 END AS INTEGER) AS bits,
+           CAST(CASE WHEN m = 4 THEN NULL ELSE frames END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN m = 4 THEN NULL
+                ELSE (frames * 1000) // rate END AS BIGINT) AS duration_ms
+         FROM z""",
+    "multimodal_webm" ->
+      """WITH d AS (SELECT doc_id,
+           16 * (1 + doc_id % 100) AS w,
+           16 * (1 + (doc_id * 3) % 100) AS h,
+           doc_id % 4 AS di, doc_id % 3 AS dt, doc_id % 5 AS m
+         FROM documents)
+         SELECT doc_id,
+           CAST(CASE WHEN m = 4 THEN 5 WHEN dt = 1 THEN 57
+                ELSE 53 END AS BIGINT) AS byte_len,
+           CASE WHEN m = 4 THEN NULL WHEN dt = 1 THEN 'mkv'
+                ELSE 'webm' END AS format,
+           CAST(CASE WHEN m = 4 THEN NULL ELSE 1000000 END AS BIGINT) AS timescale_ns,
+           CAST(CASE WHEN m = 4 THEN NULL
+                WHEN di = 0 THEN 1024 WHEN di = 1 THEN 2048
+                WHEN di = 2 THEN 4096 ELSE 8192 END AS BIGINT) AS duration_units,
+           CAST(CASE WHEN m = 4 THEN NULL
+                WHEN di = 0 THEN 1024 WHEN di = 1 THEN 2048
+                WHEN di = 2 THEN 4096 ELSE 8192 END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN m = 4 THEN NULL ELSE w END AS INTEGER) AS width,
+           CAST(CASE WHEN m = 4 THEN NULL ELSE h END AS INTEGER) AS height
+         FROM d""",
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum

@@ -44,6 +44,47 @@ object AudioHeaders {
       a(i + 1) == s.charAt(1).toByte && a(i + 2) == s.charAt(2).toByte &&
       a(i + 3) == s.charAt(3).toByte
 
+  // MPEG-1 Layer III bitrate (kbps, index 1-14) and sample-rate tables
+  private val Mp3Bitrates = Array(
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** MP3 (MPEG-1 Layer III — the dominant crawl case), optionally
+    * preceded by an ID3v2 tag (syncsafe 28-bit size). Frame counts are
+    * the CBR estimate from the first frame header and the payload size —
+    * the same trust-the-header quick-mode contract as the WAV path's
+    * declared sizes. Other MPEG versions/layers, bad bitrate/rate
+    * indices, or a truncated tag yield null. Decoded PCM depth is
+    * codec-defined; reported as 16, the universal decode width.
+    */
+  private def mp3Info(a: Array[Byte]): InternalRow = {
+    var o = 0
+    if (a.length >= 10 && a(0) == 'I'.toByte && a(1) == 'D'.toByte &&
+        a(2) == '3'.toByte) {
+      val tagSize = ((a(6) & 0x7f) << 21) | ((a(7) & 0x7f) << 14) |
+        ((a(8) & 0x7f) << 7) | (a(9) & 0x7f)
+      o = 10 + tagSize // syncsafe 28-bit: cannot overflow Int
+    }
+    if (o < 0 || o + 4 > a.length || u8(a, o) != 0xff) return null
+    val b1 = u8(a, o + 1)
+    // sync (3 more set bits), MPEG-1 (version bits 11), Layer III (01)
+    if ((b1 & 0xe0) != 0xe0 || ((b1 >> 3) & 3) != 3 ||
+        ((b1 >> 1) & 3) != 1) return null
+    val b2 = u8(a, o + 2)
+    val brIdx = (b2 >> 4) & 0xf
+    val rateIdx = (b2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || rateIdx == 3) return null
+    val br = Mp3Bitrates(brIdx) * 1000
+    val rate = Mp3Rates(rateIdx)
+    val mode = (u8(a, o + 3) >> 6) & 3
+    val ch = if (mode == 3) 1 else 2
+    val frameSize = 144L * br / rate
+    if (frameSize <= 0) return null
+    // 1152 samples per MPEG-1 Layer III frame
+    val frames = ((a.length - o) / frameSize) * 1152L
+    row("mp3", ch, rate, 16, frames, frames * 1000L / rate)
+  }
+
   private def row(fmt: String, ch: Int, rate: Int, bits: Int,
       frames: Long, durMs: Long): InternalRow =
     if (ch <= 0 || rate <= 0 || bits <= 0 || frames < 0) null
@@ -85,6 +126,8 @@ object AudioHeaders {
       if (rate <= 0) return null
       return row("wav", ch, rate, bits, frames, frames * 1000L / rate)
     }
+    val mp3 = mp3Info(a)
+    if (mp3 != null) return mp3
     if (tag(a, 0, "fLaC") && a.length >= 4 + 4 + 34 &&
         (u8(a, 4) & 0x7f) == 0) { // first block must be STREAMINFO
       // STREAMINFO payload starts at 8; packed fields at +10:
@@ -264,4 +307,207 @@ object VideoFunctions {
   def videoInfo(payload: Column): Column =
     GraftColumnCompat.toColumn(VideoInfoExpr(
       GraftColumnCompat.toExpression(payload)))
+
+  /** struct(format, timescale_ns, duration_units, duration_ms, width,
+    * height) parsed from a WebM/Matroska payload's EBML structure; null
+    * when absent/corrupt/truncated.
+    */
+  def webmInfo(payload: Column): Column =
+    GraftColumnCompat.toColumn(WebmInfoExpr(
+      GraftColumnCompat.toExpression(payload)))
+}
+
+/** WebM/Matroska (EBML) header decoding — the other half of crawl-grade
+  * video coverage next to [[VideoHeaders]]' MP4 walk: a real EBML
+  * element walk (variable-length ids and sizes) through EBML→DocType,
+  * Segment→Info→TimecodeScale/Duration, and
+  * Segment→Tracks→TrackEntry→Video→PixelWidth/PixelHeight. No codec
+  * dependency; every id/size read is bounds-checked and any violation —
+  * truncated vint, declared size past the buffer, unknown-size
+  * non-matching element — yields NULL, the same null-on-garbage scan
+  * contract as the MP4/WAV/FLAC/MP3 decoders.
+  */
+object EbmlHeaders {
+
+  val InfoType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("timescale_ns", LongType, nullable = false),
+    StructField("duration_units", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  @inline private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
+
+  /** Byte length of the vint whose first byte is `b`; 0 if invalid. */
+  private def vintBytes(b: Int): Int = {
+    var n = 1
+    var mask = 0x80
+    while (mask != 0) {
+      if ((b & mask) != 0) return n
+      n += 1; mask >>= 1
+    }
+    0
+  }
+
+  /** Size vint at `off` (marker stripped): (value, byteLen).
+    * Long.MinValue on bounds/invalid; -1 for "unknown size" (all value
+    * bits set).
+    */
+  private def readSize(a: Array[Byte], off: Int, end: Int): (Long, Int) = {
+    if (off >= end) return (Long.MinValue, 0)
+    val n = vintBytes(u8(a, off))
+    if (n == 0 || off + n > end) return (Long.MinValue, 0)
+    val first = u8(a, off) & (0xff >>> n)
+    var v = first.toLong
+    var allOnes = first == (0xff >>> n)
+    var i = 1
+    while (i < n) {
+      val b = u8(a, off + i)
+      v = (v << 8) | b
+      if (b != 0xff) allOnes = false
+      i += 1
+    }
+    (if (allOnes) -1L else v, n)
+  }
+
+  /** Scan sibling elements in [from, until) for the raw id bytes `id`;
+    * returns (contentStart, contentEnd) or null. An unknown-size
+    * element's content extends to `until` if it matches; if it does not
+    * match it cannot be skipped — garbage, null.
+    */
+  private def findElement(a: Array[Byte], from: Int, until: Int,
+      id: Array[Byte]): Array[Int] = {
+    var off = from
+    while (off < until) {
+      val idLen = vintBytes(u8(a, off))
+      if (idLen == 0 || idLen > 4 || off + idLen > until) return null
+      val (sz, szLen) = readSize(a, off + idLen, until)
+      if (szLen == 0) return null
+      val contentStart = off + idLen + szLen
+      if (sz >= 0 && sz > until - contentStart) return null
+      val contentEnd = if (sz < 0) until else contentStart + sz.toInt
+      var matches = idLen == id.length
+      var k = 0
+      while (matches && k < idLen) {
+        if (a(off + k) != id(k)) matches = false
+        k += 1
+      }
+      if (matches) return Array(contentStart, contentEnd)
+      if (sz < 0) return null
+      off = contentEnd
+    }
+    null
+  }
+
+  /** Big-endian unsigned int of 1-8 bytes; -1 if empty/oversized. */
+  private def readUint(a: Array[Byte], s: Int, e: Int): Long = {
+    val n = e - s
+    if (n < 1 || n > 8) return -1L
+    var v = 0L
+    var i = s
+    while (i < e) { v = (v << 8) | u8(a, i); i += 1 }
+    v
+  }
+
+  /** IEEE-754 float of 4 or 8 bytes; NaN otherwise. */
+  private def readFloat(a: Array[Byte], s: Int, e: Int): Double =
+    (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(readUint(a, s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(readUint(a, s, e))
+      case _ => Double.NaN
+    }
+
+  private val IdEbml = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte)
+  private val IdDocType = Array[Byte](0x42, 0x82.toByte)
+  private val IdSegment = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67)
+  private val IdInfo = Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66)
+  private val IdTimecodeScale = Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte)
+  private val IdDuration = Array[Byte](0x44, 0x89.toByte)
+  private val IdTracks = Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B)
+  private val IdTrackEntry = Array[Byte](0xAE.toByte)
+  private val IdVideo = Array[Byte](0xE0.toByte)
+  private val IdPixelWidth = Array[Byte](0xB0.toByte)
+  private val IdPixelHeight = Array[Byte](0xBA.toByte)
+
+  /** Parse stream info from a WebM/Matroska payload; null if not a
+    * recognizable intact EBML header with a webm/matroska DocType and a
+    * Segment Info. TimecodeScale defaults to 1,000,000 ns (the Matroska
+    * default); a missing Duration reads as 0 ticks; dims come from the
+    * first TrackEntry with a Video child (0 when absent — audio-only).
+    */
+  def info(a: Array[Byte]): InternalRow = {
+    if (a == null || a.length < 8) return null
+    val ebml = findElement(a, 0, a.length, IdEbml)
+    if (ebml == null) return null
+    val dt = findElement(a, ebml(0), ebml(1), IdDocType)
+    if (dt == null) return null
+    val doctype = new String(a, dt(0), dt(1) - dt(0), "ISO-8859-1")
+    val fmt =
+      if (doctype == "webm") "webm"
+      else if (doctype == "matroska") "mkv"
+      else return null
+    val seg = findElement(a, ebml(1), a.length, IdSegment)
+    if (seg == null) return null
+    val info = findElement(a, seg(0), seg(1), IdInfo)
+    if (info == null) return null
+    val tsB = findElement(a, info(0), info(1), IdTimecodeScale)
+    val ts = if (tsB == null) 1000000L else readUint(a, tsB(0), tsB(1))
+    if (ts <= 0) return null
+    val durB = findElement(a, info(0), info(1), IdDuration)
+    val durTicks = if (durB == null) 0.0 else readFloat(a, durB(0), durB(1))
+    if (durTicks.isNaN || durTicks < 0) return null
+    val durUnits = math.floor(durTicks).toLong
+    if (durUnits < 0 || durUnits > Long.MaxValue / ts) return null
+    var w = 0; var h = 0
+    val tracks = findElement(a, seg(0), seg(1), IdTracks)
+    if (tracks != null) {
+      var off = tracks(0)
+      while (off < tracks(1) && w == 0) {
+        val te = findElement(a, off, tracks(1), IdTrackEntry)
+        if (te == null) off = tracks(1)
+        else {
+          val vid = findElement(a, te(0), te(1), IdVideo)
+          if (vid != null) {
+            val pw = findElement(a, vid(0), vid(1), IdPixelWidth)
+            val ph = findElement(a, vid(0), vid(1), IdPixelHeight)
+            if (pw != null && ph != null) {
+              val wv = readUint(a, pw(0), pw(1))
+              val hv = readUint(a, ph(0), ph(1))
+              if (wv > 0 && hv > 0 && wv <= Int.MaxValue &&
+                  hv <= Int.MaxValue) { w = wv.toInt; h = hv.toInt }
+            }
+          }
+          off = te(1)
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(fmt), ts, durUnits,
+      durUnits * ts / 1000000L, w, h))
+  }
+}
+
+/** `binary -> struct<format,timescale_ns,duration_units,duration_ms,
+  * width,height>` wrapper around [[EbmlHeaders.info]].
+  */
+case class WebmInfoExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = EbmlHeaders.InfoType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"webm_info needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    EbmlHeaders.info(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WebmInfoExpr = copy(child = newChild)
 }

@@ -79,6 +79,25 @@ object Multimodal {
       i.getField("height").as("height"))
   }
 
+  /** WebM/Matroska metadata decode: (format, timescale_ns,
+    * duration_units, duration_ms, width, height) parsed from the
+    * payload's EBML element walk ([[graft.functions.EbmlHeaders]]);
+    * same null-on-garbage contract and plan shape as [[decodeVideo]].
+    */
+  def decodeWebm(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val i = graft.functions.VideoFunctions.webmInfo(
+      col(payloadCol).cast(BinaryType))
+    df.select(
+      col(idCol),
+      octet_length(col(payloadCol).cast(BinaryType)).cast(LongType).as("byte_len"),
+      i.getField("format").as("format"),
+      i.getField("timescale_ns").as("timescale_ns"),
+      i.getField("duration_units").as("duration_units"),
+      i.getField("duration_ms").as("duration_ms"),
+      i.getField("width").as("width"),
+      i.getField("height").as("height"))
+  }
+
   /** Image metadata decode: (format, width, height) parsed from the
     * payload's container header, plus payload size. Unrecognized or
     * corrupt payloads keep their row with null format/dims (a crawl

@@ -1119,6 +1119,105 @@ class OperatorsSpec extends AnyFunSuite {
     Multimodal.nearDupPairs(fz, "doc_id").count() // must not throw
   }
 
+  test("AudioHeaders MP3: ID3 tag skipped, CBR frame estimate, non-" +
+      "MPEG1-LayerIII null; fuzz/truncation never throw") {
+    import graft.functions.AudioHeaders
+    // ID3v2 tag of 20 content bytes + MPEG1 Layer III header:
+    // 128 kbps (idx 9), 44100 (idx 0), joint stereo (mode 1), 1000
+    // audio bytes
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 20) ++
+      Array.fill[Byte](20)(7)
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte,
+      ((9 << 4) | (0 << 2)).toByte, (1 << 6).toByte) ++
+      Array.fill[Byte](996)(0)
+    val r = AudioHeaders.info(id3 ++ frame)
+    assert(r !== null)
+    assert(r.getUTF8String(0).toString === "mp3")
+    assert(r.getInt(1) === 2 && r.getInt(2) === 44100 && r.getInt(3) === 16)
+    // frameSize = 144*128000/44100 = 417; floor(1000/417)=2 frames
+    assert(r.getLong(4) === 2 * 1152L)
+    assert(r.getLong(5) === 2 * 1152L * 1000 / 44100)
+    // bare sync (no tag), mono (mode 3), 32 kHz (idx 2)
+    val bare = Array[Byte](0xff.toByte, 0xfb.toByte,
+      ((1 << 4) | (2 << 2)).toByte, (3 << 6).toByte) ++
+      Array.fill[Byte](500)(0)
+    val b = AudioHeaders.info(bare)
+    assert(b !== null)
+    assert(b.getInt(1) === 1 && b.getInt(2) === 32000)
+    // MPEG-2 (version bits 10) and Layer II are out of scope -> null
+    val v2 = bare.clone(); v2(1) = 0xf3.toByte // version 10
+    assert(AudioHeaders.info(v2) === null)
+    val l2 = bare.clone(); l2(1) = 0xfd.toByte // layer II
+    assert(AudioHeaders.info(l2) === null)
+    // free-format (idx 0) and bad (15) bitrates -> null
+    val fr = bare.clone(); fr(2) = 0
+    assert(AudioHeaders.info(fr) === null)
+    val bad = bare.clone(); bad(2) = 0xf0.toByte
+    assert(AudioHeaders.info(bad) === null)
+    // ID3 size declaring past the payload -> null, never a throw
+    val lying = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f) ++
+      Array.fill[Byte](30)(0)
+    assert(AudioHeaders.info(lying) === null)
+    val rnd = new scala.util.Random(13)
+    (0 until 500).foreach { _ =>
+      val x = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(x)
+      AudioHeaders.info(x)
+    }
+    val good = id3 ++ frame
+    (0 until good.length by 7).foreach(n => AudioHeaders.info(good.take(n)))
+  }
+
+  test("EbmlHeaders: WebM/Matroska walk decodes doctype, duration, and" +
+      " video dims; audio-only has no dims; fuzz/truncation never throw") {
+    import graft.functions.EbmlHeaders
+    def be(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    def el(id: Array[Byte], content: Array[Byte]): Array[Byte] = {
+      require(content.length < 127)
+      id ++ Array((0x80 | content.length).toByte) ++ content
+    }
+    val IdEbml = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte)
+    val IdDocType = Array[Byte](0x42, 0x82.toByte)
+    val IdSegment = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67)
+    val IdInfo = Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66)
+    val IdTcs = Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte)
+    val IdDur = Array[Byte](0x44, 0x89.toByte)
+    val IdTracks = Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B)
+    def mk(doctype: String, withVideo: Boolean): Array[Byte] = {
+      val hdr = el(IdEbml, el(IdDocType, doctype.getBytes))
+      val dur = java.lang.Float.floatToIntBits(4096f).toLong
+      val info = el(IdInfo,
+        el(IdTcs, be(1000000L, 3)) ++ el(IdDur, be(dur, 4)))
+      val video = el(Array(0xE0.toByte),
+        el(Array(0xB0.toByte), be(640, 2)) ++
+        el(Array(0xBA.toByte), be(360, 2)))
+      val track = el(Array(0xAE.toByte),
+        if (withVideo) video else be(1, 1))
+      val seg = el(IdSegment, info ++ el(IdTracks, track))
+      hdr ++ seg
+    }
+    val r = EbmlHeaders.info(mk("webm", withVideo = true))
+    assert(r !== null)
+    assert(r.getUTF8String(0).toString === "webm")
+    assert(r.getLong(1) === 1000000L && r.getLong(2) === 4096L)
+    assert(r.getLong(3) === 4096L) // 1e6 ns/tick => ms == ticks
+    assert(r.getInt(4) === 640 && r.getInt(5) === 360)
+    val mkv = EbmlHeaders.info(mk("matroska", withVideo = true))
+    assert(mkv !== null)
+    assert(mkv.getUTF8String(0).toString === "mkv")
+    val audio = EbmlHeaders.info(mk("webm", withVideo = false))
+    assert(audio !== null)
+    assert(audio.getInt(4) === 0 && audio.getInt(5) === 0)
+    assert(EbmlHeaders.info(mk("ogg!", withVideo = true)) === null)
+    val rnd = new scala.util.Random(17)
+    (0 until 500).foreach { _ =>
+      val x = new Array[Byte](rnd.nextInt(80)); rnd.nextBytes(x)
+      EbmlHeaders.info(x)
+    }
+    val good = mk("webm", withVideo = true)
+    (0 until good.length).foreach(n => EbmlHeaders.info(good.take(n)))
+  }
+
   test("Audio/VideoHeaders: declared sizes near 2^31 cannot wrap the" +
       " walk offset — null/partial result, never a throw") {
     import graft.functions.{AudioHeaders, VideoHeaders}
