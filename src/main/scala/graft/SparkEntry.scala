@@ -1160,6 +1160,27 @@ object SparkEntry {
     * AvailableNow commit (the watermark only bounds state in the
     * unbounded deployment), so the result IS the batch aggregation.
     */
+  /** Streaming retention, gated against the batch oracle: each user's
+    * rows from their LATEST emission (max emit_seq — earlier emissions
+    * are superseded wholesale since a cohort shift re-indexes offsets)
+    * are counted per (cohort_day, day_offset) cell; with the single
+    * AvailableNow micro-batch the per-user state holds the user's full
+    * day set, so the counts ARE the batch retention triangle.
+    */
+  private def streamingRetentionQ(s: SparkSession, dir: String): DataFrame = {
+    val t = runStreamToTable(s,
+      Events.streamingRetention(s, s"$dir/{events.parquet}",
+        maxOffsetDays = 30),
+      "stream_retention", mode = "update")
+    // per-user max via a window (a self-join of the memory-sink view
+    // trips conflicting-attribute resolution); the sink table is tiny
+    t.withColumn("__mx", max(col("emit_seq")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("emit_seq") === col("__mx"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   private def streamingHourlyQ(s: SparkSession, dir: String): DataFrame =
     runStreamToTable(s,
       Events.streamingHourlyAgg(s, s"$dir/{events.parquet}"),
@@ -1639,6 +1660,7 @@ object SparkEntry {
     "streaming_sessionize" -> (streamingSessionizeQ _),
     "streaming_hourly" -> (streamingHourlyQ _),
     "streaming_funnel" -> (streamingFunnelQ _),
+    "streaming_retention" -> (streamingRetentionQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2566,6 +2588,14 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum
          FROM events GROUP BY 1, 2""",
+    "streaming_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day_id FROM events),
+         c AS (SELECT user_id, day_id,
+             min(day_id) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+         SELECT cohort_day, day_id - cohort_day AS day_offset,
+           count(*) AS n_users
+         FROM c WHERE day_id - cohort_day <= 30 GROUP BY 1, 2""",
     "streaming_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
          s1 AS (SELECT user_id, min(ts) AS t_signup FROM e

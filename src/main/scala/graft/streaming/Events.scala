@@ -238,6 +238,71 @@ object Events {
       .toDF()
   }
 
+  /** Per-user retention state for [[streamingRetention]]: cohort day,
+    * the in-horizon active days, and a per-user emission sequence so a
+    * sink can identify each user's LATEST emission (a late event can
+    * move the cohort EARLIER, which re-indexes every offset — rows from
+    * older emissions must be superseded wholesale, not merged).
+    */
+  case class RetEv(user_id: Long, day_id: Long)
+  case class RetState(cohort: Long, days: Seq[Long], emitSeq: Long)
+  case class RetOut(user_id: Long, emit_seq: Long, cohort_day: Long,
+    day_offset: Long)
+
+  /** Stateful streaming retention: the incremental form of [[retention]]
+    * via `flatMapGroupsWithState`. State per user is the cohort day plus
+    * the distinct active days within `maxOffsetDays` of it — O(horizon)
+    * per key, the streaming analog of the batch shape's
+    * distinct-(user, day) collapse. Each update emits the user's FULL
+    * current (cohort_day, day_offset) set tagged with an emission
+    * sequence (Update-mode semantics; the consumer keeps each user's
+    * max-sequence rows and counts users per cell).
+    *
+    * Horizon discipline is monotone-safe: offsets are re-derived from
+    * raw day ids on every update, and a late event can only move the
+    * cohort EARLIER — which only increases offsets — so a day discarded
+    * as beyond-horizon can never become in-horizon later.
+    */
+  def streamingRetention(
+      spark: SparkSession,
+      dir: String,
+      maxOffsetDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+    def step(user: Long, evs: Iterator[RetEv],
+        state: GroupState[RetState]): Iterator[RetOut] = {
+      val prev = state.getOption
+      var cohort = prev.map(_.cohort).getOrElse(Long.MaxValue)
+      val days = scala.collection.mutable.SortedSet.empty[Long]
+      prev.foreach(p => days ++= p.days)
+      evs.foreach { e =>
+        if (e.day_id < cohort) cohort = e.day_id
+        days += e.day_id
+      }
+      val kept = days.iterator.filter(d => d - cohort <= maxOffsetDays).toSeq
+      val seq = prev.map(_.emitSeq + 1).getOrElse(0L)
+      state.update(RetState(cohort, kept, seq))
+      kept.iterator.map(d => RetOut(user, seq, cohort, d - cohort))
+    }
+
+    spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), expr(s"ts div ${NanosPerDay}L").as("day_id"))
+      .as[RetEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(step)
+      .toDF()
+  }
+
   /** Structured Streaming form of [[hourlyAgg]]: parquet source →
     * event-time window + watermark → windowed counts. Late data beyond
     * the watermark is dropped; state is bounded by the watermark horizon.
