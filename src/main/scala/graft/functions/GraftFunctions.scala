@@ -26,6 +26,54 @@ object GeoMean extends Aggregator[Double, (Double, Long), Double] {
 
 /** SQL registration of the engine's custom expressions, making them
   * usable from `spark.sql` alongside the DataFrame API.
+  *
+  * Whole-relation operators that have no scalar-function form are on
+  * the SQL surface too, as follows (exercised verbatim by ParitySpec's
+  * "SQL surface" test):
+  *
+  *  - '''group top-k''': the bounded-heap partial aggregate
+  *    [[graft.operators.TopKAggregator]] registers as `group_topk3`
+  *    (other k: `spark.udf.register("group_topkN", udaf(new
+  *    TopKAggregator(N), Encoders.product[TopKItem]))`). Usage:
+  *    {{{
+  *    SELECT k, it.id, it.ord, CAST(pos + 1 AS INT) AS rk
+  *    FROM (SELECT k, group_topk3(CAST(score AS DOUBLE),
+  *                                CAST(id AS BIGINT)) AS tk
+  *          FROM t GROUP BY k)
+  *    LATERAL VIEW posexplode(tk.items) AS pos, it
+  *    }}}
+  *    — the same rows `row_number() <= 3` over the window would keep,
+  *    with the map-side-combinable plan shape.
+  *
+  *  - '''as-of join''' ([[graft.operators.AsofJoin]]'s single-window
+  *    union form, linear in |left| + |right|):
+  *    {{{
+  *    WITH u AS (
+  *      SELECT key, ts, 1 AS src,
+  *             named_struct('ts', ts, 'lv', lv) AS lp,
+  *             CAST(NULL AS DOUBLE) AS rv FROM l
+  *      UNION ALL
+  *      SELECT key, ts, 0 AS src, NULL, rv FROM r),
+  *    m AS (SELECT *, last(rv, true) OVER (PARTITION BY key
+  *            ORDER BY ts, src ROWS BETWEEN UNBOUNDED PRECEDING
+  *            AND CURRENT ROW) AS rm FROM u)
+  *    SELECT key, lp.ts AS ts, lp.lv AS lv, rm AS rv
+  *    FROM m WHERE lp IS NOT NULL
+  *    }}}
+  *    (swap the src tags for strictly-before semantics).
+  *
+  *  - '''range join''' ([[graft.operators.RangeJoin]]'s bin-bucketized
+  *    equi-join, never a nested loop):
+  *    {{{
+  *    WITH lb AS (SELECT *, CAST(floor(v / 10.0) AS BIGINT) AS bin
+  *                FROM l),
+  *    rb AS (SELECT r.*, b AS bin FROM r
+  *           LATERAL VIEW explode(sequence(
+  *             CAST(floor(lo / 10.0) AS BIGINT),
+  *             CAST(floor(hi / 10.0) AS BIGINT))) AS b)
+  *    SELECT * FROM lb JOIN rb USING (bin)
+  *    WHERE v >= lo AND v <= hi
+  *    }}}
   */
 object GraftFunctions {
 
@@ -72,5 +120,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("video_info",
       exprs => VideoInfoExpr(exprs.head), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
+    // group top-k from SQL (see object scaladoc for the full recipe)
+    spark.udf.register("group_topk3",
+      udaf(new graft.operators.TopKAggregator(3),
+        Encoders.product[graft.operators.TopKItem]))
   }
 }

@@ -1347,7 +1347,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(splits === again)
     // the materialized rewrite stage must not pin CacheManager entries:
     // repeated curate() calls used to leak one cached plan each (r8
-    // advice) — localCheckpoint leaves the cache untouched
+    // advice) — localCheckpoint leaves the SQL cache untouched. Clear
+    // first: other suites' legitimate caches share this session.
+    spark.catalog.clearCache()
+    Pipeline.curate(d, "doc_id", "text", probe = Some(probe),
+      minChars = 50, stripBoilerplate = true, nearDup = true,
+      dedupLines = true).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "curate must not leave cached plans behind")
   }

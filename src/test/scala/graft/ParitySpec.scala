@@ -236,6 +236,67 @@ class ParitySpec extends AnyFunSuite {
     assert(r8.isNullAt(1) && r8.isNullAt(2))
   }
 
+  test("SQL surface: group_topk UDAF, as-of and range join recipes" +
+      " match their operator outputs") {
+    graft.functions.GraftFunctions.register(spark)
+    // group top-k: UDAF + posexplode == TopK.topKPerKey
+    Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (1L, 12L, 7.0), (1L, 13L, 1.0),
+        (1L, 14L, 9.0), (2L, 20L, 3.0))
+      .toDF("k", "id", "score").createOrReplaceTempView("gt_in")
+    val gt = spark.sql("""
+      SELECT k, it.id AS id, it.ord AS score, CAST(pos + 1 AS INT) AS rk
+      FROM (SELECT k, group_topk3(CAST(score AS DOUBLE),
+                                  CAST(id AS BIGINT)) AS tk
+            FROM gt_in GROUP BY k)
+      LATERAL VIEW posexplode(tk.items) AS pos, it""")
+    val gtRef = graft.operators.TopK.topKPerKey(
+      spark.table("gt_in"), Seq("k"), "score", "id", 3)
+    assert(gt.collect().map(_.toSeq).toSet ===
+      gtRef.collect().map(_.toSeq).toSet)
+    // as-of join: tag/union/window SQL recipe == AsofJoin.asofJoin
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 4L, "c"), (2L, 9L, "d"))
+      .toDF("key", "ts", "lv").createOrReplaceTempView("asof_l")
+    Seq((1L, 5L, 1.0), (1L, 15L, 2.0), (2L, 30L, 3.0))
+      .toDF("key", "ts", "rv").createOrReplaceTempView("asof_r")
+    val sqlAsof = spark.sql("""
+      WITH u AS (
+        SELECT key, ts, 1 AS src,
+               named_struct('ts', ts, 'lv', lv) AS lp,
+               CAST(NULL AS DOUBLE) AS rv FROM asof_l
+        UNION ALL
+        SELECT key, ts, 0 AS src, NULL, rv FROM asof_r),
+      m AS (SELECT *, last(rv, true) OVER (PARTITION BY key
+              ORDER BY ts, src ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS rm FROM u)
+      SELECT key, lp.ts AS ts, lp.lv AS lv, rm AS rv
+      FROM m WHERE lp IS NOT NULL""")
+    val asofRef = graft.operators.AsofJoin.asofJoin(
+      spark.table("asof_l"), spark.table("asof_r"),
+      Seq("key"), "ts", "ts")
+    assert(sqlAsof.collect().map(_.toSeq).toSet ===
+      asofRef.collect().map(_.toSeq).toSet)
+    // range join: bin-bucketized SQL recipe == RangeJoin.rangeJoin
+    Seq((1L, 7.0), (2L, 15.0), (3L, 42.0))
+      .toDF("id", "v").createOrReplaceTempView("rj_l")
+    Seq((0.0, 10.0, "lo"), (5.0, 20.0, "mid"), (40.0, 50.0, "hi"))
+      .toDF("lo", "hi", "tag").createOrReplaceTempView("rj_r")
+    val sqlRange = spark.sql("""
+      WITH lb AS (SELECT *, CAST(floor(v / 10.0) AS BIGINT) AS bin
+                  FROM rj_l),
+      rb AS (SELECT r.*, b AS bin FROM rj_r r
+             LATERAL VIEW explode(sequence(
+               CAST(floor(lo / 10.0) AS BIGINT),
+               CAST(floor(hi / 10.0) AS BIGINT))) AS b)
+      SELECT id, v, lo, hi, tag FROM lb JOIN rb USING (bin)
+      WHERE v >= lo AND v <= hi""")
+    val rangeRef = graft.operators.RangeJoin.rangeJoin(
+      spark.table("rj_l"), spark.table("rj_r"),
+      "v", "lo", "hi", binWidth = 10.0)
+      .select("id", "v", "lo", "hi", "tag")
+    assert(sqlRange.collect().map(_.toSeq).toSet ===
+      rangeRef.collect().map(_.toSeq).toSet)
+  }
+
   test("GeoMean aggregator: partial/merge semantics") {
     import graft.functions.GeoMean
     val m = GeoMean.merge(
