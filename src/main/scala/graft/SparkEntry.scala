@@ -1028,6 +1028,59 @@ object SparkEntry {
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
 
+  /** Constructed 9×8 24bpp BMP payload (hex) for the dHash gates:
+    * family members (m 0..3) share a multiplicative gray pattern with a
+    * one-pixel perturbation (hamming ≤ 1 between members); every 5th
+    * doc an unrelated pattern. 9×8 exactly matches the dHash sample
+    * grid, so nearest-neighbor sampling is the identity and the oracle
+    * recomputes every gradient bit arithmetically.
+    */
+  private def dhashPayloadHex(fam: Column, m: Column, docId: Column): Column = {
+    val hdr = "424D" + "16010000" + "00000000" + "36000000" +
+      "28000000" + "09000000" + "08000000" + "0100" + "1800" +
+      "00000000" + "E0000000" + "00000000" * 4
+    def gFam(x: Column, y: Column): Column =
+      pmod((fam + 1) * (x * 13 + y * 31 + 7) +
+        when(x === 0 && y === 0, m * 3).otherwise(0), lit(256))
+    def gSolo(x: Column, y: Column): Column =
+      pmod((docId + 3) * (x * 11 + y * 17 + 5), lit(256))
+    def bmp(gv: (Column, Column) => Column): Column = {
+      val rows = (0 until 8).map { r =>
+        val y = lit(7 - r) // rows stored bottom-up
+        concat(array_join(transform(sequence(lit(0), lit(8)),
+          x => repeat(lpad(hex(gv(x, y)), 2, "0"), 3)), ""), lit("00"))
+      }
+      concat((lit(hdr) +: rows): _*)
+    }
+    when(m === 4, bmp(gSolo)).otherwise(bmp(gFam))
+  }
+
+  private def dhashPayloads(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      (col("doc_id") / 5).cast("long").as("fam"),
+      (col("doc_id") % 5).cast("long").as("m"))
+    d.select(col("doc_id"),
+      unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id")))
+        .as("payload"))
+  }
+
+  /** Perceptual dHash bit-exactness gate: the native BMP pixel walk +
+    * grid sample + gradient bits vs the oracle's pure-arithmetic
+    * re-derivation — any misread byte, wrong stride, or flipped
+    * bottom-up row order mismatches the 64-bit value.
+    */
+  private def multimodalDhashQ(s: SparkSession, dir: String): DataFrame =
+    dhashPayloads(s, dir).select(col("doc_id"),
+      graft.functions.ImageFunctions.dhash(col("payload")).as("dhash"))
+
+  /** dHash band-join near-dup gate ([[Multimodal.perceptualDupPairs]]):
+    * family members differ by ≤ 1 gradient bit, so the 4×16-bit band
+    * join must pair them (pigeonhole); the oracle replays the banding
+    * and hamming arithmetic.
+    */
+  private def multimodalDhashPairsQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualDupPairs(dhashPayloads(s, dir), "doc_id")
+
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
 
@@ -1317,6 +1370,35 @@ object SparkEntry {
        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
         AND a.doc_id < b.doc_id"""
   }
+
+  /** Arithmetic re-derivation of the constructed-BMP dHash (CTE chain
+    * ending in `dh(doc_id, dhash)`): gray grid from the same formulas,
+    * gradient bits from pairwise comparisons, bit-packed via HUGEINT
+    * (DuckDB's BIGINT `<<` overflows at bit 63) and folded to the
+    * signed 64-bit value Spark computes.
+    */
+  private val dkDhash: String =
+    """f AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m
+           FROM documents),
+       xs AS (SELECT unnest(range(0, 9)) AS x),
+       ys AS (SELECT unnest(range(0, 8)) AS y),
+       g AS (SELECT doc_id, x, y,
+           CASE WHEN m = 4 THEN ((doc_id + 3) * (x*11 + y*17 + 5)) % 256
+                ELSE ((fam + 1) * (x*13 + y*31 + 7) +
+                      CASE WHEN x = 0 AND y = 0 THEN m*3 ELSE 0 END) % 256
+           END AS v
+         FROM f, xs, ys),
+       bits AS (SELECT a.doc_id, a.y*8 + a.x AS idx FROM g a JOIN g b
+         ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+         WHERE a.x < 8 AND a.v > b.v),
+       hs AS (SELECT doc_id, sum(1::HUGEINT << CAST(idx AS INTEGER)) AS h
+         FROM bits GROUP BY doc_id),
+       dh AS (SELECT f.doc_id, CAST(CASE
+           WHEN h IS NULL THEN 0::HUGEINT
+           WHEN h >= 9223372036854775808::HUGEINT
+             THEN h - 18446744073709551616::HUGEINT
+           ELSE h END AS BIGINT) AS dhash
+         FROM f LEFT JOIN hs ON f.doc_id = hs.doc_id)"""
 
   /** Batch-expressible survivor set of the streaming near-dup gate: a
     * doc survives iff no SMALLER doc shares any (band, bucket) — the
@@ -1656,6 +1738,8 @@ object SparkEntry {
     "multimodal_neardup" -> (multimodalNeardupQ _),
     "multimodal_mp3"   -> (multimodalMp3Q _),
     "multimodal_webm"  -> (multimodalWebmQ _),
+    "multimodal_dhash" -> (multimodalDhashQ _),
+    "multimodal_dhash_pairs" -> (multimodalDhashPairsQ _),
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
@@ -2498,6 +2582,18 @@ object SparkEntry {
            CAST(CASE WHEN m = 3 THEN NULL ELSE h END AS INTEGER) AS height
          FROM d""",
     "multimodal_neardup" -> dkPayloadNeardup,
+    "multimodal_dhash" ->
+      s"""WITH $dkDhash
+         SELECT doc_id, dhash FROM dh""",
+    "multimodal_dhash_pairs" ->
+      s"""WITH $dkDhash,
+         bk AS (SELECT doc_id, dhash, b,
+             (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM dh, (SELECT unnest(range(0, 4)) AS b))
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
+         FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_mp3" ->
       """WITH d AS (SELECT doc_id,
            1 + doc_id % 14 AS br_idx, doc_id % 3 AS rate_idx,

@@ -119,6 +119,12 @@ object GraftFunctions {
       exprs => AudioInfoExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("video_info",
       exprs => VideoInfoExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("webm_info",
+      exprs => WebmInfoExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_dhash",
+      exprs => DHashExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("byte_shingles8",
+      exprs => ByteShinglesExpr(exprs.head, 8), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
     // group top-k from SQL (see object scaladoc for the full recipe)
     spark.udf.register("group_topk3",

@@ -137,4 +137,103 @@ object ImageFunctions {
   def imageDims(payload: Column): Column =
     GraftColumnCompat.toColumn(ImageDimsExpr(
       GraftColumnCompat.toExpression(payload)))
+
+  /** 64-bit perceptual dHash of a decodable payload ([[DHash]]); null
+    * when the payload's pixels cannot be decoded without a codec.
+    */
+  def dhash(payload: Column): Column =
+    GraftColumnCompat.toColumn(DHashExpr(
+      GraftColumnCompat.toExpression(payload)))
+}
+
+/** Perceptual difference-hash (dHash) over DECODABLE uncompressed
+  * pixels — 24bpp uncompressed BMP (BITMAPINFOHEADER), the one crawl
+  * container whose pixel array needs no codec: the grayscale image is
+  * sampled on a 9×8 grid (nearest-neighbor — exact integer arithmetic a
+  * SQL engine reproduces verbatim, no resample kernel) and bit `y*8+x`
+  * of the result is set iff gray(x,y) > gray(x+1,y). Horizontal
+  * gradient SIGNS survive brightness shifts, re-encodes, and mild
+  * scaling, so dHash pairs copies of the same PICTURE where byte-level
+  * shingling ([[ByteShinglesExpr]]) only pairs copies of the same
+  * BYTES; the two compose as complementary candidate generators over
+  * the same band-join machinery. Non-BMP / compressed / non-24bpp /
+  * truncated payloads yield null — for those, full pixel decode (a
+  * codec stage) would feed this same grid-sample + gradient hash.
+  */
+object DHash {
+
+  @inline private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
+  @inline private def le16(a: Array[Byte], i: Int): Int =
+    u8(a, i) | (u8(a, i + 1) << 8)
+  @inline private def le32(a: Array[Byte], i: Int): Long =
+    u8(a, i).toLong | (u8(a, i + 1).toLong << 8) |
+      (u8(a, i + 2).toLong << 16) | (u8(a, i + 3).toLong << 24)
+
+  /** 64-bit dHash, or null when the payload is not a decodable
+    * uncompressed 24bpp BMP. Every offset computation is Long-guarded —
+    * declared sizes cannot walk the read out of bounds.
+    */
+  def dhash(a: Array[Byte]): java.lang.Long = {
+    if (a == null || a.length < 54 || a(0) != 'B' || a(1) != 'M') return null
+    if (le32(a, 14) != 40) return null // BITMAPINFOHEADER only
+    val pixOff = le32(a, 10)
+    val w = le32(a, 18).toInt
+    val hRaw = le32(a, 22).toInt
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    val bpp = le16(a, 28)
+    val comp = le32(a, 30)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+        bpp != 24 || comp != 0L) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff + stride.toLong * h > a.length) return null
+    def gray(x: Int, y: Int): Int = {
+      val r = if (bottomUp) h - 1 - y else y
+      val o = (pixOff + r.toLong * stride + x * 3L).toInt
+      (u8(a, o) + u8(a, o + 1) + u8(a, o + 2)) / 3
+    }
+    val g = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        g(y)(x) = gray((x.toLong * w / 9).toInt, (y.toLong * h / 8).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) > g(y)(x + 1)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+}
+
+/** `binary -> bigint` wrapper around [[DHash.dhash]]. */
+case class DHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"image_dhash needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    DHash.dhash(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DHashExpr = copy(child = newChild)
 }

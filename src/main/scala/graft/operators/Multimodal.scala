@@ -141,6 +141,50 @@ object Multimodal {
         graft.functions.TextFunctions.byteShingles(p.cast(BinaryType), byteN)),
       numHashes, bands)
 
+  /** Perceptual near-dup candidate pairs over decodable payloads: the
+    * 64-bit dHash ([[graft.functions.DHash]] — gradient signs of the
+    * 9×8 grid-sampled grayscale) cut into `bands` equal bit-bands and
+    * equi-joined on (band, band_bits) — the pigeonhole argument of the
+    * SimHash band join: any pair within hamming distance `bands - 1`
+    * shares at least one intact band, exactly. Complements
+    * [[nearDupPairs]]: byte shingles pair copies of the same BYTES,
+    * dHash pairs copies of the same PICTURE (brightness shifts,
+    * re-encodes). Undecodable payloads drop out before the join; output
+    * is (id_a, id_b, hamming), distinct, id_a < id_b — filter on
+    * `hamming` for the wanted strictness. Shuffle is payloads × bands
+    * band rows, never payloads².
+    */
+  def perceptualDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String = "payload",
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val bw = 64 / bands
+    val hashed = Spread.ifNarrow(
+        df.select(col(idCol), col(payloadCol)), col(idCol))
+      .select(col(idCol),
+        graft.functions.ImageFunctions.dhash(col(payloadCol).cast(BinaryType))
+          .as("dhash"))
+      .filter(col("dhash").isNotNull)
+    val bandRows = hashed.select(col(idCol), col("dhash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("dhash"), b * bw)
+            .bitwiseAND(lit((1L << bw) - 1))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_bits")
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+          .cast("int").as("hamming"))
+      .distinct()
+  }
+
   /** Deterministic frame sampling for a video payload: emit every
     * `stride`-th frame index below `nFrames` — the plumbing for
     * frame-level fan-out (posexplode), independent of any real codec.

@@ -1119,6 +1119,60 @@ class OperatorsSpec extends AnyFunSuite {
     Multimodal.nearDupPairs(fz, "doc_id").count() // must not throw
   }
 
+  test("DHash: gradient bits over a constructed BMP; brightness shift" +
+      " invariant; band join pairs perturbed copies; fuzz-total") {
+    import graft.functions.DHash
+    import graft.operators.Multimodal
+    // 9x8 24bpp bottom-up BMP with gray(x,y) = (x*29 + y*53) % 256
+    def bmp(gv: (Int, Int) => Int): Array[Byte] = {
+      def le(v: Long, n: Int) = Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+      val hdr = "BM".getBytes ++ le(278, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(9, 4) ++ le(8, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(224, 4) ++ le(0, 16)
+      val px = (0 until 8).flatMap { r =>
+        val y = 7 - r // bottom-up
+        (0 until 9).flatMap { x =>
+          val v = (gv(x, y) & 0xff).toByte; Seq(v, v, v)
+        } :+ 0.toByte
+      }
+      hdr ++ px
+    }
+    def g(x: Int, y: Int) = (x * 29 + y * 53) % 256
+    val h = DHash.dhash(bmp(g))
+    assert(h !== null)
+    // reference: bit y*8+x iff g(x,y) > g(x+1,y)
+    var exp = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (g(x, y) > g(x + 1, y)) exp |= 1L << (y * 8 + x)
+    assert(h.longValue === exp)
+    // constant brightness shift leaves every gradient sign intact
+    assert(DHash.dhash(bmp((x, y) => (g(x, y) + 40) % 251)) !== null)
+    assert(DHash.dhash(bmp((x, y) => g(x, y) / 2 + 10)).longValue ===
+      DHash.dhash(bmp((x, y) => g(x, y) / 2 + 90)).longValue)
+    // compressed / non-24bpp / truncated -> null
+    val c = bmp(g); c(30) = 1 // BI_RLE8 compression flag
+    assert(DHash.dhash(c) === null)
+    val b16 = bmp(g); b16(28) = 16
+    assert(DHash.dhash(b16) === null)
+    (0 until 278 by 13).foreach(n => DHash.dhash(bmp(g).take(n)))
+    val rnd = new scala.util.Random(23)
+    (0 until 300).foreach { _ =>
+      val x = new Array[Byte](rnd.nextInt(80)); rnd.nextBytes(x)
+      DHash.dhash(x)
+    }
+    // band join: a one-bit perturbation pairs; unrelated pattern doesn't
+    val d = Seq(
+      (0L, bmp(g)),
+      (1L, bmp((x, y) => if (x == 0 && y == 0) (g(0, 0) + 9) % 256 else g(x, y))),
+      (2L, bmp((x, y) => (x * 67 + y * 101 + 31) % 256)),
+      (3L, "not a bmp".getBytes))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.perceptualDupPairs(d, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) <= 1)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("AudioHeaders MP3: ID3 tag skipped, CBR frame estimate, non-" +
       "MPEG1-LayerIII null; fuzz/truncation never throw") {
     import graft.functions.AudioHeaders

@@ -234,6 +234,13 @@ class ParitySpec extends AnyFunSuite {
              video_info(cast('garbage' AS BINARY)) AS v""").collect().head
     assert(r8.getSeq[String](0) === Seq("a b c", "b c d"))
     assert(r8.isNullAt(1) && r8.isNullAt(2))
+    // r9 additions: WebM/EBML decode, perceptual dHash, byte shingles
+    val r9 = spark.sql("""
+      SELECT webm_info(cast('garbage' AS BINARY)) AS w,
+             image_dhash(cast('garbage' AS BINARY)) AS d,
+             byte_shingles8(cast('ab' AS BINARY)) AS bs""").collect().head
+    assert(r9.isNullAt(0) && r9.isNullAt(1))
+    assert(r9.getSeq[String](2) === Seq("6162"))
   }
 
   test("SQL surface: group_topk UDAF, as-of and range join recipes" +
