@@ -964,6 +964,29 @@ object SparkEntry {
       byteN = 8, numHashes = 16, bands = 8)
   }
 
+  /** Verified payload near-dup: the same constructed families, with the
+    * exact byte-shingle Jaccard dispose stage
+    * ([[Multimodal.nearDupPairsVerified]]); the oracle extends the
+    * band-join replay with the list-intersection Jaccard.
+    */
+  private def multimodalNeardupVerifiedQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      (col("doc_id") / 5).cast("long").as("fam"),
+      (col("doc_id") % 5).cast("int").as("m"))
+    val base = repeat(md5(
+      concat(lit("fam"), col("fam").cast("string")).cast("binary")), 4)
+    val soloHex = repeat(md5(
+      concat(lit("solo"), col("doc_id").cast("string")).cast("binary")), 4)
+    val payloadHex = when(col("m") === 0, base)
+      .when(col("m") === 1, concat(base, lit("deadbeef00112233")))
+      .when(col("m") === 2, concat(lit("cafe"), base))
+      .when(col("m") === 3, substring(base, 1, 116))
+      .otherwise(soloHex)
+    val p = d.select(col("doc_id"), unhex(payloadHex).as("payload"))
+    Multimodal.nearDupPairsVerified(p, "doc_id", "payload",
+      byteN = 8, numHashes = 16, bands = 8, threshold = 0.5)
+  }
+
   /** MP3 header decode roundtrip: per-doc payloads are CONSTRUCTED
     * byte-for-byte — ID3v2 tag (syncsafe size, doc-dependent padding) +
     * MPEG-1 Layer III frame header (bitrate/rate/mode indices from
@@ -1343,7 +1366,7 @@ object SparkEntry {
     * doc_id, byte shingles as 16-hex-char substrings at every byte
     * offset, then the exact minhash/band/join pipeline of `dkLshPairs`.
     */
-  private val dkPayloadNeardup: String = {
+  private val dkPayloadBk: String = {
     val sigs = (0 until 16).map { j =>
       val (a, b) = TextFunctions.hashParams(j)
       s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
@@ -1351,7 +1374,7 @@ object SparkEntry {
     val bucketSelects = (0 until 8).map { b =>
       s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH f AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m
+    s"""f AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m
            FROM documents),
        p AS (SELECT doc_id,
            CASE m WHEN 0 THEN repeat(md5('fam' || CAST(fam AS VARCHAR)), 4)
@@ -1365,11 +1388,27 @@ object SparkEntry {
            ELSE [ph] END AS sh FROM p),
        h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
        sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
-       bk AS ($bucketSelects)
+       bk AS ($bucketSelects)"""
+  }
+
+  private val dkPayloadNeardup: String =
+    s"""WITH $dkPayloadBk
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
         AND a.doc_id < b.doc_id"""
-  }
+
+  private val dkPayloadNeardupVerified: String =
+    s"""WITH $dkPayloadBk,
+       pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+       jc AS (SELECT pr.id_a, pr.id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+             6) AS jaccard
+         FROM pr JOIN s sa ON sa.doc_id = pr.id_a
+         JOIN s sb ON sb.doc_id = pr.id_b)
+       SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= 0.5"""
 
   /** Arithmetic re-derivation of the constructed-BMP dHash (CTE chain
     * ending in `dh(doc_id, dhash)`): gray grid from the same formulas,
@@ -1736,6 +1775,7 @@ object SparkEntry {
     "multimodal_audio" -> (multimodalAudioQ _),
     "multimodal_video" -> (multimodalVideoQ _),
     "multimodal_neardup" -> (multimodalNeardupQ _),
+    "multimodal_neardup_verified" -> (multimodalNeardupVerifiedQ _),
     "multimodal_mp3"   -> (multimodalMp3Q _),
     "multimodal_webm"  -> (multimodalWebmQ _),
     "multimodal_dhash" -> (multimodalDhashQ _),
@@ -2582,6 +2622,7 @@ object SparkEntry {
            CAST(CASE WHEN m = 3 THEN NULL ELSE h END AS INTEGER) AS height
          FROM d""",
     "multimodal_neardup" -> dkPayloadNeardup,
+    "multimodal_neardup_verified" -> dkPayloadNeardupVerified,
     "multimodal_dhash" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",

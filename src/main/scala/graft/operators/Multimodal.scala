@@ -141,6 +141,39 @@ object Multimodal {
         graft.functions.TextFunctions.byteShingles(p.cast(BinaryType), byteN)),
       numHashes, bands)
 
+  /** [[nearDupPairs]] candidates post-verified by EXACT byte-shingle
+    * Jaccard — the same two-stage shape as
+    * [[Dedup.minhashLshPairsVerified]]: banding proposes (linear, but a
+    * band collision can be a false positive), the exact set overlap
+    * disposes. Output: (id_a, id_b, jaccard) with jaccard >=
+    * `threshold`. Two extra equi-joins re-attach the shingle sets to
+    * the (near-linear) pair endpoints; the per-pair intersection is a
+    * native array op.
+    */
+  def nearDupPairsVerified(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String = "payload",
+      byteN: Int = 8,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions.{byteShingles, jaccard}
+    val pairs = nearDupPairs(df, idCol, payloadCol, byteN, numHashes, bands)
+    val sh = Spread.ifNarrow(
+        df.select(col(idCol), col(payloadCol)), col(idCol))
+      .select(col(idCol),
+        byteShingles(col(payloadCol).cast(BinaryType), byteN).as("__sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")),
+        Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Perceptual near-dup candidate pairs over decodable payloads: the
     * 64-bit dHash ([[graft.functions.DHash]] — gradient signs of the
     * 9×8 grid-sampled grayscale) cut into `bands` equal bit-bands and
