@@ -1051,6 +1051,90 @@ object SparkEntry {
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
 
+  /** Unified media dispatch over a MIXED payload column — the realistic
+    * crawl shape: per doc_id % 6 the payload is a constructed PNG, WAV,
+    * MP3, MP4, WebM, or garbage (each construction identical to its
+    * single-format gate), and [[Multimodal.describe]] must identify the
+    * kind and decode the right fields into the normalized schema; the
+    * oracle merges the per-format arithmetic expectations with one CASE.
+    */
+  private def multimodalDescribeQ(s: SparkSession, dir: String): DataFrame = {
+    def hex4be(c: Column) = lpad(hex(c), 8, "0")
+    def hex2be(c: Column) = lpad(hex(c), 4, "0")
+    def hex1(c: Column) = lpad(hex(c), 2, "0")
+    def hex2le(c: Column) =
+      concat(substring(hex2be(c), 3, 2), substring(hex2be(c), 1, 2))
+    def hex4le(c: Column) =
+      concat(substring(hex4be(c), 7, 2), substring(hex4be(c), 5, 2),
+        substring(hex4be(c), 3, 2), substring(hex4be(c), 1, 2))
+    val d = docs(s, dir).select(col("doc_id"),
+      (col("doc_id") % 6).cast("int").as("m6"),
+      (lit(1) + col("doc_id") % 2048).cast("int").as("iw"),
+      (lit(1) + (col("doc_id") * 7) % 2048).cast("int").as("ih"),
+      (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+      (lit(8000) * (lit(1) + col("doc_id") % 5)).cast("int").as("rate"),
+      (lit(100) + col("doc_id") % 900).cast("long").as("nf"),
+      (lit(1) + col("doc_id") % 14).cast("int").as("br_idx"),
+      (col("doc_id") % 3).cast("int").as("rate_idx"),
+      (col("doc_id") % 4).cast("int").as("mode"),
+      (col("doc_id") % 100).cast("int").as("tag_len"),
+      (lit(100) + col("doc_id") % 900).cast("int").as("audio_len"),
+      (lit(1000) * (lit(1) + col("doc_id") % 4)).cast("int").as("ts"),
+      (lit(1000) + col("doc_id") % 9000).cast("int").as("dur"),
+      (lit(16) * (lit(1) + col("doc_id") % 120)).cast("int").as("vw"),
+      (lit(16) * (lit(1) + (col("doc_id") * 7) % 120)).cast("int").as("vh"),
+      (lit(16) * (lit(1) + col("doc_id") % 100)).cast("int").as("ww"),
+      (lit(16) * (lit(1) + (col("doc_id") * 3) % 100)).cast("int").as("wh"),
+      (col("doc_id") % 4).cast("int").as("di"),
+      (col("doc_id") % 3).cast("int").as("dt"))
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      hex4be(col("iw")), hex4be(col("ih")), lit("0806000000"))
+    val ba = (col("ch") * 2).cast("int")
+    val dataSize = (col("nf") * ba).cast("int")
+    val wavHex = concat(
+      lit("52494646"), hex4le((lit(36) + dataSize).cast("int")),
+      lit("57415645666D7420100000000100"), hex2le(col("ch")),
+      hex4le(col("rate")), hex4le((col("rate") * ba).cast("int")),
+      hex2le(ba), lit("100064617461"), hex4le(dataSize))
+    val b2 = hex1(shiftleft(col("br_idx"), 4) + shiftleft(col("rate_idx"), 2))
+    val b3 = hex1(shiftleft(col("mode"), 6))
+    val mp3Hex = concat(
+      lit("494433" + "0300" + "00" + "000000"), hex1(col("tag_len")),
+      expr("repeat('00', tag_len)"), lit("FFFB"), b2, b3,
+      expr("repeat('00', audio_len - 4)"))
+    val tkhdHex = concat(
+      lit("0000005C746B6864" + "00000000" + "00000000" + "00000000" +
+        "00000001" + "00000000" + "00000000" + "0000000000000000" +
+        "0000000000000000" +
+        "000100000000000000000000000000000001000000000000000000000000000040000000"),
+      hex2be(col("vw")), lit("0000"), hex2be(col("vh")), lit("0000"))
+    val mp4Hex = concat(
+      lit("000000106674797069736F6D00000200"),
+      lit("000000886D6F6F76"),
+      lit("0000001C6D766864"),
+      lit("000000000000000000000000"),
+      hex4be(col("ts")), hex4be(col("dur")),
+      lit("000000647472616B"), tkhdHex)
+    val durHex = when(col("di") === 0, lit("44800000"))
+      .when(col("di") === 1, lit("45000000"))
+      .when(col("di") === 2, lit("45800000"))
+      .otherwise(lit("46000000"))
+    val ebmlHdr = when(col("dt") === 1,
+        lit("1A45DFA3" + "8B" + "4282" + "88" + "6D6174726F736B61"))
+      .otherwise(lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D"))
+    val webmHex = concat(ebmlHdr, lit("18538067" + "A4"),
+      lit("1549A966" + "8E" + "2AD7B1" + "83" + "0F4240" + "4489" + "84"),
+      durHex,
+      lit("1654AE6B" + "8C" + "AE" + "8A" + "E0" + "88" + "B0" + "82"),
+      hex2be(col("ww")), lit("BA82"), hex2be(col("wh")))
+    val payload = unhex(
+      when(col("m6") === 0, pngHex).when(col("m6") === 1, wavHex)
+        .when(col("m6") === 2, mp3Hex).when(col("m6") === 3, mp4Hex)
+        .when(col("m6") === 4, webmHex).otherwise(lit("4641524247")))
+    Multimodal.describe(
+      d.select(col("doc_id"), payload.as("payload")), "doc_id")
+  }
+
   /** Constructed 9×8 24bpp BMP payload (hex) for the dHash gates:
     * family members (m 0..3) share a multiplicative gray pattern with a
     * one-pixel perturbation (hamming ≤ 1 between members); every 5th
@@ -1780,6 +1864,7 @@ object SparkEntry {
     "multimodal_webm"  -> (multimodalWebmQ _),
     "multimodal_dhash" -> (multimodalDhashQ _),
     "multimodal_dhash_pairs" -> (multimodalDhashPairsQ _),
+    "multimodal_describe" -> (multimodalDescribeQ _),
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
@@ -2626,6 +2711,53 @@ object SparkEntry {
     "multimodal_dhash" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
+    "multimodal_describe" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 AS m6,
+           1 + doc_id % 2048 AS iw, 1 + (doc_id * 7) % 2048 AS ih,
+           1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 5) AS rate,
+           100 + doc_id % 900 AS nf,
+           1 + doc_id % 14 AS br_idx, doc_id % 3 AS rate_idx,
+           doc_id % 4 AS mode, doc_id % 100 AS tag_len,
+           100 + doc_id % 900 AS audio_len,
+           1000 * (1 + doc_id % 4) AS ts, 1000 + doc_id % 9000 AS dur,
+           16 * (1 + doc_id % 120) AS vw, 16 * (1 + (doc_id * 7) % 120) AS vh,
+           16 * (1 + doc_id % 100) AS ww, 16 * (1 + (doc_id * 3) % 100) AS wh,
+           doc_id % 4 AS di, doc_id % 3 AS dt
+         FROM documents),
+         x AS (SELECT *,
+           [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(br_idx AS INTEGER)] AS br,
+           [44100,48000,32000][CAST(rate_idx + 1 AS INTEGER)] AS mrate
+         FROM d),
+         y AS (SELECT *, (144000 * br) // mrate AS fs FROM x),
+         z AS (SELECT *, (audio_len // fs) * 1152 AS frames FROM y)
+         SELECT doc_id,
+           CAST(CASE m6 WHEN 0 THEN 29 WHEN 1 THEN 44
+                WHEN 2 THEN 10 + tag_len + audio_len WHEN 3 THEN 152
+                WHEN 4 THEN (CASE WHEN dt = 1 THEN 57 ELSE 53 END)
+                ELSE 5 END AS BIGINT) AS byte_len,
+           CASE m6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                WHEN 2 THEN 'audio' WHEN 3 THEN 'video'
+                WHEN 4 THEN 'video' ELSE NULL END AS kind,
+           CASE m6 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp3'
+                WHEN 3 THEN 'mp4'
+                WHEN 4 THEN (CASE WHEN dt = 1 THEN 'mkv' ELSE 'webm' END)
+                ELSE NULL END AS format,
+           CAST(CASE m6 WHEN 0 THEN iw WHEN 3 THEN vw WHEN 4 THEN ww
+                ELSE NULL END AS INTEGER) AS width,
+           CAST(CASE m6 WHEN 0 THEN ih WHEN 3 THEN vh WHEN 4 THEN wh
+                ELSE NULL END AS INTEGER) AS height,
+           CAST(CASE m6 WHEN 1 THEN ch
+                WHEN 2 THEN (CASE WHEN mode = 3 THEN 1 ELSE 2 END)
+                ELSE NULL END AS INTEGER) AS channels,
+           CAST(CASE m6 WHEN 1 THEN rate WHEN 2 THEN mrate
+                ELSE NULL END AS INTEGER) AS sample_rate,
+           CAST(CASE m6 WHEN 1 THEN (nf * 1000) // rate
+                WHEN 2 THEN (frames * 1000) // mrate
+                WHEN 3 THEN (dur * 1000) // ts
+                WHEN 4 THEN (CASE di WHEN 0 THEN 1024 WHEN 1 THEN 2048
+                     WHEN 2 THEN 4096 ELSE 8192 END)
+                ELSE NULL END AS BIGINT) AS duration_ms
+         FROM z""",
     "multimodal_dhash_pairs" ->
       s"""WITH $dkDhash,
          bk AS (SELECT doc_id, dhash, b,

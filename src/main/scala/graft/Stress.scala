@@ -247,6 +247,22 @@ object Stress {
         probe = Some(docs.filter(col("doc_id") % 97 === 0)),
         minChars = 50, stripBoilerplate = true, dedupLines = true, nearDup = true)
     }
+    time("payload_neardup") {
+      // byte-shingle MinHash over binary payloads (text bytes stand in
+      // for media): replication makes every payload a 10-way byte-level
+      // near-dup family — the worst-case band-join load, same shuffle
+      // shape as the text LSH (payloads x bands, never payloads^2)
+      graft.operators.Multimodal.nearDupPairs(
+        docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id")
+    }
+    time("pq_train") {
+      // per-subspace Lloyd over the replicated embeddings: assignment is
+      // a broadcast join + per-(id, sub) rank, recompute is
+      // partial-aggregable per-(sub, code, dim) means — both linear
+      Similarity.pqTrainSubCentroids(embs, "vec_id", "embedding",
+        m = 8, k = 8, iters = 1, sampleFraction = 0.2)
+    }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
       // case AQE skew-split or explicit salting must break up

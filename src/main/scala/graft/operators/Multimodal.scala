@@ -218,6 +218,55 @@ object Multimodal {
       .distinct()
   }
 
+  /** Unified media dispatch over a MIXED payload column — what a crawl
+    * actually contains: per row, the container is identified from its
+    * leading bytes and decoded by the matching header walk
+    * ([[graft.functions.ImageHeaders]] /
+    * [[graft.functions.AudioHeaders]] /
+    * [[graft.functions.VideoHeaders]] /
+    * [[graft.functions.EbmlHeaders]]), emitting ONE normalized
+    * metadata row: kind (image/audio/video, null = undecodable),
+    * format, and the union of useful fields with nulls where a kind
+    * has no such property. Each decoder rejects foreign magic in its
+    * first bytes, so the four probes per row cost one header read plus
+    * three fast prefix mismatches — still a stateless per-row
+    * expression chain: no shuffle, no UDF boxing, columnar-prunable
+    * like every other decode here.
+    */
+  def describe(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    import graft.functions.{AudioFunctions, ImageFunctions, VideoFunctions}
+    val p = col(payloadCol).cast(BinaryType)
+    // each decode aliased once in its own projection: the consuming
+    // select references every struct several times, and CollapseProject
+    // only inlines CHEAP aliases — so each header walk runs once per row
+    val probed = df.select(
+      col(idCol),
+      octet_length(p).cast(LongType).as("byte_len"),
+      ImageFunctions.imageDims(p).as("__img"),
+      AudioFunctions.audioInfo(p).as("__aud"),
+      VideoFunctions.videoInfo(p).as("__vid"),
+      VideoFunctions.webmInfo(p).as("__web"))
+    val (img, aud, vid, web) =
+      (col("__img"), col("__aud"), col("__vid"), col("__web"))
+    probed.select(
+      col(idCol),
+      col("byte_len"),
+      when(img.isNotNull, lit("image"))
+        .when(aud.isNotNull, lit("audio"))
+        .when(vid.isNotNull || web.isNotNull, lit("video"))
+        .as("kind"),
+      coalesce(img.getField("format"), aud.getField("format"),
+        vid.getField("format"), web.getField("format")).as("format"),
+      coalesce(img.getField("width"), vid.getField("width"),
+        web.getField("width")).as("width"),
+      coalesce(img.getField("height"), vid.getField("height"),
+        web.getField("height")).as("height"),
+      aud.getField("channels").as("channels"),
+      aud.getField("sample_rate").as("sample_rate"),
+      coalesce(aud.getField("duration_ms"), vid.getField("duration_ms"),
+        web.getField("duration_ms")).as("duration_ms"))
+  }
+
   /** Deterministic frame sampling for a video payload: emit every
     * `stride`-th frame index below `nFrames` — the plumbing for
     * frame-level fan-out (posexplode), independent of any real codec.

@@ -1119,6 +1119,39 @@ class OperatorsSpec extends AnyFunSuite {
     Multimodal.nearDupPairs(fz, "doc_id").count() // must not throw
   }
 
+  test("Multimodal.describe dispatches mixed payload kinds to the right" +
+      " decoder; undecodable rows keep null kind") {
+    import graft.operators.Multimodal
+    // PNG 640x480, FLAC (not covered by the driver gate), garbage
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 0x0d, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80.toByte, 0, 0, 0x01, 0xE0.toByte, 8, 6, 0, 0, 0)
+    val flac = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      out ++= "fLaC".getBytes
+      out += 0x80.toByte; out ++= Array[Byte](0, 0, 34)
+      out ++= Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0)
+      out += ((8000 >> 12) & 0xff).toByte
+      out += ((8000 >> 4) & 0xff).toByte
+      out += (((8000 & 0xf) << 4) | ((1 - 1) << 1) | ((8 - 1) >> 4)).toByte
+      out += ((((8 - 1) & 0xf) << 4) | 0).toByte
+      out ++= Array[Byte](0, 0, 0x1f, 0x40) // 8000 samples
+      out ++= Array.fill[Byte](16)(0)
+      out.toArray
+    }
+    val d = Seq((0L, png), (1L, flac), (2L, "garbage".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.describe(d, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(2) === "image" && out(0L).getString(3) === "png")
+    assert(out(0L).getInt(4) === 640 && out(0L).getInt(5) === 480)
+    assert(out(1L).getString(2) === "audio" && out(1L).getString(3) === "flac")
+    assert(out(1L).getInt(6) === 1 && out(1L).getInt(7) === 8000)
+    assert(out(1L).getLong(8) === 1000L) // 8000 samples @ 8 kHz
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(3))
+    assert(out(2L).getLong(1) === 7L) // byte_len always present
+  }
+
   test("DHash: gradient bits over a constructed BMP; brightness shift" +
       " invariant; band join pairs perturbed copies; fuzz-total") {
     import graft.functions.DHash
