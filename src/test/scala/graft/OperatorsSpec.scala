@@ -919,6 +919,29 @@ class OperatorsSpec extends AnyFunSuite {
         (got((0, c.toLong)) ++ got((1, c.toLong))).toSeq)
   }
 
+  test("pqTrainSubCentroids plan: broadcast assignment join and" +
+      " partial-aggregable recompute with a window group limit") {
+    import graft.operators.Similarity
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 3 + d) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTrainSubCentroids(df, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-(row, sub) nearest-code assignment must join the m×k
+    // centroids BROADCAST — a shuffled join here would exchange the
+    // whole training sample against 8 rows
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast assignment join:\n$plan")
+    // rn = 1 filter gets a WindowGroupLimit partial (per-partition
+    // top-1 before the window exchange) and the mean recompute has a
+    // map-side partial_avg
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a window group limit on the rank filter:\n$plan")
+    assert(plan.contains("partial_avg"),
+      s"expected a partial aggregation in the recompute:\n$plan")
+  }
+
   test("PQ: anchors encode to their own code; ADC cosine equals the" +
       " reconstruct-then-cosine reference") {
     import graft.operators.Similarity

@@ -39,6 +39,72 @@ class PropertySpec extends AnyFunSuite {
       }
     }
 
+  test("byte shingles: count/containment laws over random payloads — " +
+      "distinct n-windows, whole-payload fallback, prefix monotonicity") {
+    import graft.functions.ByteShinglesExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def sh(a: Array[Byte], n: Int): Set[String] =
+      ByteShinglesExpr(Literal(a), n).eval(null).asInstanceOf[ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSet
+    val rnd = new scala.util.Random(31)
+    (0 until 200).foreach { _ =>
+      val len = rnd.nextInt(60)
+      val a = new Array[Byte](len); rnd.nextBytes(a)
+      val n = 1 + rnd.nextInt(12)
+      val s = sh(a, n)
+      if (len >= n) {
+        // at most len-n+1 windows, each exactly 2n hex chars, all
+        // present as literal substrings of the payload's hex encoding
+        assert(s.size <= len - n + 1 && s.nonEmpty)
+        val hex = a.map(b => f"${b & 0xff}%02x").mkString
+        assert(s.forall(x => x.length == 2 * n && hex.contains(x)))
+      } else {
+        assert(s.size === 1) // whole-payload fallback
+      }
+      // alignment-freeness: any prefix only ADDS windows of the
+      // combined payload — every original window survives
+      val pre = new Array[Byte](rnd.nextInt(5)); rnd.nextBytes(pre)
+      if (len >= n) assert(s.subsetOf(sh(pre ++ a, n)))
+    }
+  }
+
+  test("dHash: total on arbitrary bytes; value invariant under constant" +
+      " gray offset on random images") {
+    import graft.functions.DHash
+    val rnd = new scala.util.Random(37)
+    def bmp(w: Int, h: Int, gv: (Int, Int) => Int): Array[Byte] = {
+      def le(v: Long, n: Int) =
+        Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+      val stride = ((w * 3 + 3) / 4) * 4
+      val hdr = "BM".getBytes ++ le(54L + stride * h, 4) ++ le(0, 4) ++
+        le(54, 4) ++ le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++
+        le(24, 2) ++ le(0, 4) ++ le(stride.toLong * h, 4) ++ le(0, 16)
+      val px = (0 until h).flatMap { r =>
+        val y = h - 1 - r
+        (0 until w).flatMap { x =>
+          val v = (gv(x, y) & 0xff).toByte; Seq(v, v, v)
+        } ++ Seq.fill(stride - w * 3)(0.toByte)
+      }
+      hdr ++ px
+    }
+    (0 until 50).foreach { i =>
+      val w = 9 + rnd.nextInt(24); val h = 8 + rnd.nextInt(24)
+      val base = Array.fill(w * h)(rnd.nextInt(180))
+      def g(x: Int, y: Int) = base(y * w + x)
+      val h1 = graft.functions.DHash.dhash(bmp(w, h, g))
+      val h2 = graft.functions.DHash.dhash(bmp(w, h, (x, y) => g(x, y) + 60))
+      assert(h1 !== null)
+      assert(h1.longValue === h2.longValue,
+        s"constant offset changed dHash at $w x $h (iter $i)")
+    }
+    (0 until 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(b)
+      DHash.dhash(b) // total
+    }
+  }
+
   test("toLong row count: |a|x|b| per key when both sides explode, " +
        "else the surviving side (full-outer merge semantics)") {
     sampleTables(15).foreach { rows =>
