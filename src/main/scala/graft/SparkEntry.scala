@@ -840,6 +840,78 @@ object SparkEntry {
         col("meta").getField("byte_len").as("byte_len"),
         col("meta").getField("header_hex").as("header_hex"))
 
+  // ---- shared constructed-payload hex builders ----------------------
+  // Each single-format gate and the mixed-media describe gate must
+  // build BYTE-IDENTICAL payloads, so every container layout lives here
+  // exactly once — an inlined copy could silently desynchronize a gate
+  // from its oracle twin.
+  private def hxB(c: Column, pad: Int): Column = lpad(hex(c), pad, "0")
+  private def hx2le(c: Column): Column =
+    concat(substring(hxB(c, 4), 3, 2), substring(hxB(c, 4), 1, 2))
+  private def hx4le(c: Column): Column =
+    concat(substring(hxB(c, 8), 7, 2), substring(hxB(c, 8), 5, 2),
+      substring(hxB(c, 8), 3, 2), substring(hxB(c, 8), 1, 2))
+
+  private def pngHexFor(w: Column, h: Column): Column =
+    concat(lit("89504E470D0A1A0A0000000D49484452"),
+      hxB(w, 8), hxB(h, 8), lit("0806000000"))
+
+  private def wavHexFor(ch: Column, rate: Column, nf: Column): Column = {
+    val ba = (ch * 2).cast("int")
+    val dataSize = (nf * ba).cast("int")
+    concat(
+      lit("52494646"), hx4le((lit(36) + dataSize).cast("int")),
+      lit("57415645666D7420100000000100"), hx2le(ch),
+      hx4le(rate), hx4le((rate * ba).cast("int")),
+      hx2le(ba), lit("100064617461"), hx4le(dataSize))
+  }
+
+  /** tag/audio lengths are passed as column NAMES — the repeat() padding
+    * needs SQL-expression references.
+    */
+  private def mp3HexFor(brIdx: Column, rateIdx: Column, mode: Column,
+      tagLenCol: String, audioLenCol: String): Column = {
+    val b2 = hxB(shiftleft(brIdx, 4) + shiftleft(rateIdx, 2), 2)
+    val b3 = hxB(shiftleft(mode, 6), 2)
+    concat(
+      lit("494433" + "0300" + "00" + "000000"), hxB(col(tagLenCol), 2),
+      expr(s"repeat('00', $tagLenCol)"), lit("FFFB"), b2, b3,
+      expr(s"repeat('00', $audioLenCol - 4)"))
+  }
+
+  private def mp4HexFor(ts: Column, dur: Column, w: Column, h: Column): Column = {
+    // tkhd v0: v/flags, ctime, mtime, track 1, reserved, duration,
+    // reserved x8, layer/alt/volume/reserved, unity matrix, 16.16 dims
+    val tkhdHex = concat(
+      lit("0000005C746B6864" + "00000000" + "00000000" + "00000000" +
+        "00000001" + "00000000" + "00000000" + "0000000000000000" +
+        "0000000000000000" +
+        "000100000000000000000000000000000001000000000000000000000000000040000000"),
+      hxB(w, 4), lit("0000"), hxB(h, 4), lit("0000"))
+    concat(
+      lit("000000106674797069736F6D00000200"),
+      lit("000000886D6F6F76"),
+      lit("0000001C6D766864"),
+      lit("000000000000000000000000"),
+      hxB(ts, 8), hxB(dur, 8),
+      lit("000000647472616B"), tkhdHex)
+  }
+
+  private def webmHexFor(di: Column, dt: Column, w: Column, h: Column): Column = {
+    val durHex = when(di === 0, lit("44800000"))
+      .when(di === 1, lit("45000000"))
+      .when(di === 2, lit("45800000"))
+      .otherwise(lit("46000000"))
+    val ebmlHdr = when(dt === 1,
+        lit("1A45DFA3" + "8B" + "4282" + "88" + "6D6174726F736B61"))
+      .otherwise(lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D"))
+    concat(ebmlHdr, lit("18538067" + "A4"),
+      lit("1549A966" + "8E" + "2AD7B1" + "83" + "0F4240" + "4489" + "84"),
+      durHex,
+      lit("1654AE6B" + "8C" + "AE" + "8A" + "E0" + "88" + "B0" + "82"),
+      hxB(w, 4), lit("BA82"), hxB(h, 4))
+  }
+
   /** Real container-header decode roundtrip: per-doc image payloads are
     * CONSTRUCTED byte-for-byte (PNG / JPEG+APP0 / GIF, dims derived from
     * doc_id; every 4th doc truncated garbage) and then PARSED back by the
@@ -847,21 +919,17 @@ object SparkEntry {
     * arithmetically, so a parse that misreads any byte hash-mismatches.
     */
   private def multimodalDecodeQ(s: SparkSession, dir: String): DataFrame = {
-    def hex4be(c: Column) = lpad(hex(c), 8, "0")
-    def hex2be(c: Column) = lpad(hex(c), 4, "0")
-    def hex2le(c: Column) =
-      concat(substring(hex2be(c), 3, 2), substring(hex2be(c), 1, 2))
+    def hex2be(c: Column) = hxB(c, 4)
     val d = docs(s, dir).select(col("doc_id"),
       (lit(1) + col("doc_id") % 2048).cast("int").as("w"),
       (lit(1) + (col("doc_id") * 7) % 2048).cast("int").as("h"),
       (col("doc_id") % 4).cast("int").as("m"))
-    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
-      hex4be(col("w")), hex4be(col("h")), lit("0806000000"))
+    val pngHex = pngHexFor(col("w"), col("h"))
     val jpegHex = concat(
       lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
       hex2be(col("h")), hex2be(col("w")), lit("03011100021101031101"))
     val gifHex = concat(lit("474946383961"),
-      hex2le(col("w")), hex2le(col("h")), lit("000000"))
+      hx2le(col("w")), hx2le(col("h")), lit("000000"))
     val payload = unhex(
       when(col("m") === 0, pngHex).when(col("m") === 1, jpegHex)
         .when(col("m") === 2, gifHex).otherwise(lit("89504E47")))
@@ -876,27 +944,14 @@ object SparkEntry {
     * FLAC parsing is spec-covered (handcrafted STREAMINFO bytes).
     */
   private def multimodalAudioQ(s: SparkSession, dir: String): DataFrame = {
-    def hex4be(c: Column) = lpad(hex(c), 8, "0")
-    def hex2be(c: Column) = lpad(hex(c), 4, "0")
-    def hex2le(c: Column) =
-      concat(substring(hex2be(c), 3, 2), substring(hex2be(c), 1, 2))
-    def hex4le(c: Column) =
-      concat(substring(hex4be(c), 7, 2), substring(hex4be(c), 5, 2),
-        substring(hex4be(c), 3, 2), substring(hex4be(c), 1, 2))
     val d = docs(s, dir).select(col("doc_id"),
       (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
       (lit(8000) * (lit(1) + col("doc_id") % 5)).cast("int").as("rate"),
       (lit(100) + col("doc_id") % 900).cast("long").as("nf"),
       (col("doc_id") % 4).cast("int").as("m"))
-    val ba = (col("ch") * 2).cast("int")
-    val dataSize = (col("nf") * ba).cast("int")
-    val wavHex = concat(
-      lit("52494646"), hex4le((lit(36) + dataSize).cast("int")),
-      lit("57415645666D7420100000000100"), hex2le(col("ch")),
-      hex4le(col("rate")), hex4le((col("rate") * ba).cast("int")),
-      hex2le(ba), lit("100064617461"), hex4le(dataSize))
     val payload = unhex(
-      when(col("m") === 3, lit("4641524247")).otherwise(wavHex))
+      when(col("m") === 3, lit("4641524247"))
+        .otherwise(wavHexFor(col("ch"), col("rate"), col("nf"))))
     Multimodal.decodeAudio(
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
@@ -906,31 +961,15 @@ object SparkEntry {
     * garbage. v1 (64-bit) mvhd and box-walk edge cases are spec-covered.
     */
   private def multimodalVideoQ(s: SparkSession, dir: String): DataFrame = {
-    def hex4be(c: Column) = lpad(hex(c), 8, "0")
-    def hex2be(c: Column) = lpad(hex(c), 4, "0")
     val d = docs(s, dir).select(col("doc_id"),
       (lit(1000) * (lit(1) + col("doc_id") % 4)).cast("int").as("ts"),
       (lit(1000) + col("doc_id") % 9000).cast("int").as("dur"),
       (lit(16) * (lit(1) + col("doc_id") % 120)).cast("int").as("w"),
       (lit(16) * (lit(1) + (col("doc_id") * 7) % 120)).cast("int").as("h"),
       (col("doc_id") % 4).cast("int").as("m"))
-    // tkhd v0: v/flags, ctime, mtime, track 1, reserved, duration,
-    // reserved x8, layer/alt/volume/reserved, unity matrix, 16.16 dims
-    val tkhdHex = concat(
-      lit("0000005C746B6864" + "00000000" + "00000000" + "00000000" +
-        "00000001" + "00000000" + "00000000" + "0000000000000000" +
-        "0000000000000000" +
-        "000100000000000000000000000000000001000000000000000000000000000040000000"),
-      hex2be(col("w")), lit("0000"), hex2be(col("h")), lit("0000"))
-    val mp4Hex = concat(
-      lit("000000106674797069736F6D00000200"),
-      lit("000000886D6F6F76"),
-      lit("0000001C6D766864"),
-      lit("000000000000000000000000"),
-      hex4be(col("ts")), hex4be(col("dur")),
-      lit("000000647472616B"), tkhdHex)
     val payload = unhex(
-      when(col("m") === 3, lit("4641524247")).otherwise(mp4Hex))
+      when(col("m") === 3, lit("4641524247"))
+        .otherwise(mp4HexFor(col("ts"), col("dur"), col("w"), col("h"))))
     Multimodal.decodeVideo(
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
@@ -946,7 +985,12 @@ object SparkEntry {
     * minhash/band/join pipeline in SQL, so any drift in shingling,
     * hashing, banding, or the join hash-mismatches.
     */
-  private def multimodalNeardupQ(s: SparkSession, dir: String): DataFrame = {
+  /** Shared payload-family construction for the byte-shingle near-dup
+    * gates (base = repeated family md5; variants append metadata,
+    * prepend a prefix, trim a trailer; every 5th doc unrelated) — both
+    * gates and their oracle twins must see byte-identical payloads.
+    */
+  private def neardupPayloads(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"),
       (col("doc_id") / 5).cast("long").as("fam"),
       (col("doc_id") % 5).cast("int").as("m"))
@@ -959,33 +1003,21 @@ object SparkEntry {
       .when(col("m") === 2, concat(lit("cafe"), base))
       .when(col("m") === 3, substring(base, 1, 116))
       .otherwise(soloHex)
-    val p = d.select(col("doc_id"), unhex(payloadHex).as("payload"))
-    Multimodal.nearDupPairs(p, "doc_id", "payload",
-      byteN = 8, numHashes = 16, bands = 8)
+    d.select(col("doc_id"), unhex(payloadHex).as("payload"))
   }
+
+  private def multimodalNeardupQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearDupPairs(neardupPayloads(s, dir), "doc_id", "payload",
+      byteN = 8, numHashes = 16, bands = 8)
 
   /** Verified payload near-dup: the same constructed families, with the
     * exact byte-shingle Jaccard dispose stage
     * ([[Multimodal.nearDupPairsVerified]]); the oracle extends the
     * band-join replay with the list-intersection Jaccard.
     */
-  private def multimodalNeardupVerifiedQ(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"),
-      (col("doc_id") / 5).cast("long").as("fam"),
-      (col("doc_id") % 5).cast("int").as("m"))
-    val base = repeat(md5(
-      concat(lit("fam"), col("fam").cast("string")).cast("binary")), 4)
-    val soloHex = repeat(md5(
-      concat(lit("solo"), col("doc_id").cast("string")).cast("binary")), 4)
-    val payloadHex = when(col("m") === 0, base)
-      .when(col("m") === 1, concat(base, lit("deadbeef00112233")))
-      .when(col("m") === 2, concat(lit("cafe"), base))
-      .when(col("m") === 3, substring(base, 1, 116))
-      .otherwise(soloHex)
-    val p = d.select(col("doc_id"), unhex(payloadHex).as("payload"))
-    Multimodal.nearDupPairsVerified(p, "doc_id", "payload",
-      byteN = 8, numHashes = 16, bands = 8, threshold = 0.5)
-  }
+  private def multimodalNeardupVerifiedQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearDupPairsVerified(neardupPayloads(s, dir), "doc_id",
+      "payload", byteN = 8, numHashes = 16, bands = 8, threshold = 0.5)
 
   /** MP3 header decode roundtrip: per-doc payloads are CONSTRUCTED
     * byte-for-byte — ID3v2 tag (syncsafe size, doc-dependent padding) +
@@ -995,7 +1027,6 @@ object SparkEntry {
     * from the same indices and tables.
     */
   private def multimodalMp3Q(s: SparkSession, dir: String): DataFrame = {
-    def hex1(c: Column) = lpad(hex(c), 2, "0")
     val d = docs(s, dir).select(col("doc_id"),
       (lit(1) + col("doc_id") % 14).cast("int").as("br_idx"),
       (col("doc_id") % 3).cast("int").as("rate_idx"),
@@ -1003,15 +1034,10 @@ object SparkEntry {
       (col("doc_id") % 100).cast("int").as("tag_len"),
       (lit(100) + col("doc_id") % 900).cast("int").as("audio_len"),
       (col("doc_id") % 5).cast("int").as("m"))
-    val b2 = hex1(shiftleft(col("br_idx"), 4) + shiftleft(col("rate_idx"), 2))
-    val b3 = hex1(shiftleft(col("mode"), 6))
-    val mp3Hex = concat(
-      lit("494433" + "0300" + "00" + "000000"), hex1(col("tag_len")),
-      expr("repeat('00', tag_len)"),
-      lit("FFFB"), b2, b3,
-      expr("repeat('00', audio_len - 4)"))
     val payload = unhex(
-      when(col("m") === 4, lit("4641524247")).otherwise(mp3Hex))
+      when(col("m") === 4, lit("4641524247"))
+        .otherwise(mp3HexFor(col("br_idx"), col("rate_idx"), col("mode"),
+          "tag_len", "audio_len")))
     Multimodal.decodeAudio(
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
@@ -1024,29 +1050,15 @@ object SparkEntry {
     * arithmetically.
     */
   private def multimodalWebmQ(s: SparkSession, dir: String): DataFrame = {
-    def hex2be(c: Column) = lpad(hex(c), 4, "0")
     val d = docs(s, dir).select(col("doc_id"),
       (lit(16) * (lit(1) + col("doc_id") % 100)).cast("int").as("w"),
       (lit(16) * (lit(1) + (col("doc_id") * 3) % 100)).cast("int").as("h"),
       (col("doc_id") % 4).cast("int").as("di"),
       (col("doc_id") % 3).cast("int").as("dt"),
       (col("doc_id") % 5).cast("int").as("m"))
-    val durHex = when(col("di") === 0, lit("44800000"))
-      .when(col("di") === 1, lit("45000000"))
-      .when(col("di") === 2, lit("45800000"))
-      .otherwise(lit("46000000"))
-    val ebmlHdr = when(col("dt") === 1,
-        lit("1A45DFA3" + "8B" + "4282" + "88" + "6D6174726F736B61"))
-      .otherwise(lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D"))
-    val infoHex = concat(
-      lit("1549A966" + "8E" + "2AD7B1" + "83" + "0F4240" + "4489" + "84"),
-      durHex)
-    val tracksHex = concat(
-      lit("1654AE6B" + "8C" + "AE" + "8A" + "E0" + "88" + "B0" + "82"),
-      hex2be(col("w")), lit("BA82"), hex2be(col("h")))
-    val webmHex = concat(ebmlHdr, lit("18538067" + "A4"), infoHex, tracksHex)
     val payload = unhex(
-      when(col("m") === 4, lit("4641524247")).otherwise(webmHex))
+      when(col("m") === 4, lit("4641524247"))
+        .otherwise(webmHexFor(col("di"), col("dt"), col("w"), col("h"))))
     Multimodal.decodeWebm(
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }
@@ -1059,14 +1071,6 @@ object SparkEntry {
     * oracle merges the per-format arithmetic expectations with one CASE.
     */
   private def multimodalDescribeQ(s: SparkSession, dir: String): DataFrame = {
-    def hex4be(c: Column) = lpad(hex(c), 8, "0")
-    def hex2be(c: Column) = lpad(hex(c), 4, "0")
-    def hex1(c: Column) = lpad(hex(c), 2, "0")
-    def hex2le(c: Column) =
-      concat(substring(hex2be(c), 3, 2), substring(hex2be(c), 1, 2))
-    def hex4le(c: Column) =
-      concat(substring(hex4be(c), 7, 2), substring(hex4be(c), 5, 2),
-        substring(hex4be(c), 3, 2), substring(hex4be(c), 1, 2))
     val d = docs(s, dir).select(col("doc_id"),
       (col("doc_id") % 6).cast("int").as("m6"),
       (lit(1) + col("doc_id") % 2048).cast("int").as("iw"),
@@ -1087,50 +1091,18 @@ object SparkEntry {
       (lit(16) * (lit(1) + (col("doc_id") * 3) % 100)).cast("int").as("wh"),
       (col("doc_id") % 4).cast("int").as("di"),
       (col("doc_id") % 3).cast("int").as("dt"))
-    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
-      hex4be(col("iw")), hex4be(col("ih")), lit("0806000000"))
-    val ba = (col("ch") * 2).cast("int")
-    val dataSize = (col("nf") * ba).cast("int")
-    val wavHex = concat(
-      lit("52494646"), hex4le((lit(36) + dataSize).cast("int")),
-      lit("57415645666D7420100000000100"), hex2le(col("ch")),
-      hex4le(col("rate")), hex4le((col("rate") * ba).cast("int")),
-      hex2le(ba), lit("100064617461"), hex4le(dataSize))
-    val b2 = hex1(shiftleft(col("br_idx"), 4) + shiftleft(col("rate_idx"), 2))
-    val b3 = hex1(shiftleft(col("mode"), 6))
-    val mp3Hex = concat(
-      lit("494433" + "0300" + "00" + "000000"), hex1(col("tag_len")),
-      expr("repeat('00', tag_len)"), lit("FFFB"), b2, b3,
-      expr("repeat('00', audio_len - 4)"))
-    val tkhdHex = concat(
-      lit("0000005C746B6864" + "00000000" + "00000000" + "00000000" +
-        "00000001" + "00000000" + "00000000" + "0000000000000000" +
-        "0000000000000000" +
-        "000100000000000000000000000000000001000000000000000000000000000040000000"),
-      hex2be(col("vw")), lit("0000"), hex2be(col("vh")), lit("0000"))
-    val mp4Hex = concat(
-      lit("000000106674797069736F6D00000200"),
-      lit("000000886D6F6F76"),
-      lit("0000001C6D766864"),
-      lit("000000000000000000000000"),
-      hex4be(col("ts")), hex4be(col("dur")),
-      lit("000000647472616B"), tkhdHex)
-    val durHex = when(col("di") === 0, lit("44800000"))
-      .when(col("di") === 1, lit("45000000"))
-      .when(col("di") === 2, lit("45800000"))
-      .otherwise(lit("46000000"))
-    val ebmlHdr = when(col("dt") === 1,
-        lit("1A45DFA3" + "8B" + "4282" + "88" + "6D6174726F736B61"))
-      .otherwise(lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D"))
-    val webmHex = concat(ebmlHdr, lit("18538067" + "A4"),
-      lit("1549A966" + "8E" + "2AD7B1" + "83" + "0F4240" + "4489" + "84"),
-      durHex,
-      lit("1654AE6B" + "8C" + "AE" + "8A" + "E0" + "88" + "B0" + "82"),
-      hex2be(col("ww")), lit("BA82"), hex2be(col("wh")))
     val payload = unhex(
-      when(col("m6") === 0, pngHex).when(col("m6") === 1, wavHex)
-        .when(col("m6") === 2, mp3Hex).when(col("m6") === 3, mp4Hex)
-        .when(col("m6") === 4, webmHex).otherwise(lit("4641524247")))
+      when(col("m6") === 0, pngHexFor(col("iw"), col("ih")))
+        .when(col("m6") === 1,
+          wavHexFor(col("ch"), col("rate"), col("nf")))
+        .when(col("m6") === 2,
+          mp3HexFor(col("br_idx"), col("rate_idx"), col("mode"),
+            "tag_len", "audio_len"))
+        .when(col("m6") === 3,
+          mp4HexFor(col("ts"), col("dur"), col("vw"), col("vh")))
+        .when(col("m6") === 4,
+          webmHexFor(col("di"), col("dt"), col("ww"), col("wh")))
+        .otherwise(lit("4641524247")))
     Multimodal.describe(
       d.select(col("doc_id"), payload.as("payload")), "doc_id")
   }

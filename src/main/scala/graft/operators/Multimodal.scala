@@ -194,6 +194,10 @@ object Multimodal {
       bands: Int = 4): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
     val bw = 64 / bands
+    // bands = 1 means bw = 64, where `1L << 64` wraps to 1 (JVM shift
+    // mod 64) and a (1L << bw) - 1 mask would be 0 — every payload in
+    // one bucket, a payloads² join; -1L is the correct all-bits mask
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
     val hashed = Spread.ifNarrow(
         df.select(col(idCol), col(payloadCol)), col(idCol))
       .select(col(idCol),
@@ -202,8 +206,7 @@ object Multimodal {
       .filter(col("dhash").isNotNull)
     val bandRows = hashed.select(col(idCol), col("dhash"),
         posexplode(array((0 until bands).map(b =>
-          shiftright(col("dhash"), b * bw)
-            .bitwiseAND(lit((1L << bw) - 1))): _*)))
+          shiftright(col("dhash"), b * bw).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_bits")
     val a = bandRows.as("a")

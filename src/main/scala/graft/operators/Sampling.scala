@@ -101,13 +101,18 @@ object Sampling {
     // surrogate before the top-k aggregate — the sibling samplers hash
     // the id as a string too, and [[TopKAggregator]]'s long field can't
     // hold a non-numeric id (a string id cast to long was a runtime
-    // null failure, r8 advice). Original id values are recovered by a
-    // broadcast join on (stratum, surrogate) — the top side is ≤ n rows
-    // per stratum, so the join is map-side, no extra shuffle. A 60-bit
+    // null failure, r8 advice). Duplicate (stratum, id) rows collapse to
+    // ONE sample member first — without the dedup they would both eat
+    // heap slots and multiply through the recovery join. Original id
+    // values are recovered by a broadcast join on (stratum, surrogate) —
+    // the top side is ≤ n rows per stratum, so the join is map-side; the
+    // stratum equality is NULL-SAFE, so a null stratum is a real group
+    // (as groupBy treats it) rather than silently dropped. A 60-bit
     // collision inside one stratum (p ≈ pairs/2^61) would emit both
     // colliding rows at the same rank.
     val keyed = df.select(col(strataCol), col(idCol))
       .withColumn("__sid", hash60(col(idCol).cast("string")))
+      .dropDuplicates(strataCol, "__sid")
     // mod 2^52 keeps the order key exactly representable as the
     // Aggregator's double (raw 60-bit hashes would alias above 2^53 and
     // could tie-break differently than an engine ordering the longs);
@@ -115,8 +120,9 @@ object Sampling {
     val hashed = keyed.withColumn("__neg_hash",
       -pmod(col("__sid"), lit(1L << 52)).cast("double"))
     val top = TopK.topKPerKey(hashed, Seq(strataCol), "__neg_hash", "__sid", n)
-      .select(col(strataCol), col("__sid"), col("rk"))
-    keyed.join(broadcast(top), Seq(strataCol, "__sid"))
+      .select(col(strataCol).as("__ts"), col("__sid"), col("rk"))
+    keyed.join(broadcast(top),
+        col(strataCol) <=> col("__ts") && keyed("__sid") === top("__sid"))
       .select(col(strataCol), col(idCol), col("rk").as("sample_rank"))
   }
 

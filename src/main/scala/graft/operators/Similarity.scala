@@ -37,7 +37,11 @@ object Similarity {
       vecCol: String,
       k: Int,
       maxQueries: Int = 100000): DataFrame = {
-    val nq = queries.select(col(idCol)).limit(maxQueries + 1).count()
+    // maxQueries = Int.MaxValue is the documented escape hatch — the
+    // +1 probe must not overflow into a negative limit
+    val probe = if (maxQueries >= Int.MaxValue) Int.MaxValue
+      else maxQueries + 1
+    val nq = queries.select(col(idCol)).limit(probe).count()
     require(nq <= maxQueries,
       s"knnBruteForce query side exceeds maxQueries=$maxQueries rows; " +
         "it is broadcast and scored against EVERY corpus row — use the " +
@@ -375,7 +379,12 @@ object Similarity {
       .orderBy(col("__hk").asc, col(idCol).asc)
       .limit(k)
       .collect()
-    require(seedRows.nonEmpty, "cannot train a PQ codebook on zero rows")
+    // fewer sample rows than codes would silently leave phantom codes
+    // (zero-filled in the assembled codebook) that vectors near the
+    // origin then encode to — fail loudly instead
+    require(seedRows.length == k,
+      s"PQ training needs at least k=$k sample rows, got " +
+        s"${seedRows.length} — lower k or raise sampleFraction")
     val dim = seedRows.head.getSeq[Double](2).length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val dsub = dim / m

@@ -1227,6 +1227,12 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) <= 1)
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // bands = 1 degenerates to exact-dhash match (full 64-bit band),
+    // NOT a single shared bucket (the 1L << 64 wrap would mask to 0)
+    val one = Multimodal.perceptualDupPairs(d, "doc_id", bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!one.contains((0L, 2L)) && !one.contains((1L, 2L)),
+      "bands=1 must only pair identical dhashes")
   }
 
   test("AudioHeaders MP3: ID3 tag skipped, CBR frame estimate, non-" +
@@ -1519,6 +1525,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.collect().map(_.toSeq).toSet ===
       Sampling.sampleExactPerStratum(d, "id", "stratum", n = 5)
         .collect().map(_.toSeq).toSet)
+    // a NULL stratum is a real group (null-safe recovery join), and
+    // duplicate (stratum, id) rows collapse to one sample member
+    val withNull = Seq(
+      ("a", Some("s")), ("b", Some("s")), ("b", Some("s")),
+      ("c", None), ("d", None), ("c", None))
+      .toDF("id", "stratum")
+    val got = Sampling.sampleExactPerStratum(withNull, "id", "stratum", n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.count(_._1 == null) === 2) // c and d, once each
+    assert(got.length === 4)              // a, b, c, d — duplicates collapsed
+    assert(got.groupBy(g => (g._1, g._2)).forall(_._2.length == 1))
   }
 
   test("mixToTokenBudget: fraction = min(1, budget*w/tokens), small" +
