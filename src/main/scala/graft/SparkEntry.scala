@@ -736,6 +736,31 @@ object SparkEntry {
       probes = 2)
   }
 
+  /** Residual IVF-PQ (FAISS IVFADC layout): corpus codes encode
+    * residuals against the id-selected coarse centroids; the residual
+    * codebook is the deterministic 8-anchor residual set (production
+    * would run [[Similarity.pqTrainCodebook]] over residuals — the
+    * anchor selection keeps the oracle a pure arithmetic replay). The
+    * oracle reconstructs centroid + decoded residual and scores plain
+    * cosine, so the ADC fold (cross/norm tables, LUT walk) must equal
+    * reconstruct-then-cosine bit-for-bit at 6 decimals.
+    */
+  private def annIvfPqResidualQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = Similarity.ivfAssign(
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("__cv").cast("array<double>"), (x, c) => x - c).as("res"))
+      .orderBy(col("vec_id").asc)
+      .collect().map(_.getSeq[Double](1).toArray)
+    Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", centroids, cb, m = 8, k = 5, probes = 2)
+  }
+
   /** Group top-k via the bounded-heap partial-aggregable Aggregator —
     * same result set as q3_window_topn's window plan, produced with no
     * per-key window sort (the skew-safe plan shape).
@@ -1812,6 +1837,7 @@ object SparkEntry {
     "pq_encode"        -> (pqEncodeQ _),
     "ann_pq_topk"      -> (annPqTopKQ _),
     "ann_ivfpq_topk"   -> (annIvfPqTopKQ _),
+    "ann_ivfpq_residual" -> (annIvfPqResidualQ _),
     "group_topk"       -> (groupTopKQ _),
     "ngram_freq"       -> (ngramFreqQ _),
     "streaming_decontaminate" -> (streamingDecontaminateQ _),
@@ -2518,6 +2544,46 @@ object SparkEntry {
            WHERE p.vec_id < 10),
          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
+         WHERE knn_rank <= 5""",
+    "ann_ivfpq_residual" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vd0 FROM embeddings),
+         ranked AS (SELECT v0.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY v0.vec_id
+               ORDER BY round(list_cosine_similarity(vd0, cv), 6) DESC,
+                        centroid_id) AS rn
+           FROM v0, c),
+         asg1 AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+         asgp AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2),
+         v AS (SELECT v0.vec_id,
+             [v0.vd0[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]
+               for i in range(1, 65)] AS vd
+           FROM v0 JOIN asg1 ON v0.vec_id = asg1.vec_id
+           JOIN c ON c.centroid_id = asg1.centroid_id),
+         a AS (SELECT vec_id AS code, vd AS av FROM v WHERE vec_id < 8),
+         $dkPqEncTail,
+         sub AS (SELECT e.vec_id, e.j,
+             [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
+           FROM enc e JOIN a ON a.code = e.code),
+         reconr AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rres
+           FROM sub GROUP BY vec_id),
+         recon AS (SELECT r.vec_id,
+             [r.rres[CAST(i AS INTEGER)] + c.cv[CAST(i AS INTEGER)]
+               for i in range(1, 65)] AS rv
+           FROM reconr r JOIN asg1 ON r.vec_id = asg1.vec_id
+           JOIN c ON c.centroid_id = asg1.centroid_id),
+         sc AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv.vd0, r.rv), 6) AS cos_sim
+           FROM asgp p JOIN asg1 b ON p.centroid_id = b.centroid_id
+             AND p.vec_id <> b.vec_id
+           JOIN v0 qv ON qv.vec_id = p.vec_id
+           JOIN recon r ON r.vec_id = b.vec_id
+           WHERE p.vec_id < 10),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank
+           FROM sc)
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
          WHERE knn_rank <= 5""",
     "group_topk" ->

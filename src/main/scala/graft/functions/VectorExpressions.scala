@@ -365,6 +365,71 @@ case class PqAdcScoreExpr(
     copy(left = newLeft, right = newRight)
 }
 
+/** ADC cosine for RESIDUAL product quantization (the FAISS IVFADC
+  * default): a corpus vector is stored as its cell id plus PQ codes of
+  * the RESIDUAL `x - c`, so the reconstruction is `c + r̂` and
+  * `cos(q, c + r̂)` decomposes into per-cell and per-code pieces:
+  *
+  *   dot  = dot(q, c) + Σj lut[j, code_j]
+  *   ‖c+r̂‖² = ‖c‖² + Σj (2·dot(c_subj, cb_code_subj) + ‖cb_code_subj‖²)
+  *
+  * `lut`/`qn` come from the GLOBAL residual codebook ([[PqLutExpr]] —
+  * one codebook across cells, exactly FAISS's layout), `cross[j*k+c]` =
+  * 2·dot(c_subj, cb_c_subj) and `cNormSq` ride as columns of a per-cell
+  * broadcast table (cells × m × k doubles — small per cell, never a
+  * literal), and the residual-codebook norms are static. O(m) per
+  * (query, corpus) pair, same as plain ADC.
+  */
+case class PqAdcResidualExpr(
+    lut: Expression,
+    codes: Expression,
+    cross: Expression,
+    cDotQ: Expression,
+    cNormSq: Expression,
+    cbNormSq: Array[Double],
+    k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.Expression
+    with CodegenFallback {
+
+  override def children: Seq[Expression] =
+    Seq(lut, codes, cross, cDotQ, cNormSq)
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = lut.eval(input); val cs = codes.eval(input)
+    val cr = cross.eval(input); val dq = cDotQ.eval(input)
+    val cn = cNormSq.eval(input)
+    if (l == null || cs == null || cr == null || dq == null || cn == null)
+      return null
+    val lutRow = l.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val lutArr = lutRow.getArray(0)
+    val qn = lutRow.getDouble(1)
+    val codesArr = cs.asInstanceOf[ArrayData]
+    val crossArr = cr.asInstanceOf[ArrayData]
+    val m = codesArr.numElements()
+    var dot = dq.asInstanceOf[Double]
+    var rn = cn.asInstanceOf[Double]
+    var j = 0
+    while (j < m) {
+      val c = codesArr.getInt(j)
+      dot += lutArr.getDouble(j * k + c)
+      rn += crossArr.getDouble(j * k + c) + cbNormSq(j * k + c)
+      j += 1
+    }
+    if (qn <= 0.0 || rn <= 0.0) null
+    else dot / (math.sqrt(qn) * math.sqrt(rn))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqAdcResidualExpr =
+    copy(lut = newChildren(0), codes = newChildren(1),
+      cross = newChildren(2), cDotQ = newChildren(3),
+      cNormSq = newChildren(4))
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnCompat
   import org.apache.spark.sql.functions._
@@ -441,6 +506,22 @@ object VectorFunctions {
     round(GraftColumnCompat.toColumn(PqAdcScoreExpr(
       GraftColumnCompat.toExpression(lut),
       GraftColumnCompat.toExpression(codes), cbNormSq, k)), 6)
+
+  /** Residual-ADC cosine (rounded to 6 decimals): see
+    * [[PqAdcResidualExpr]]. `lut` is a [[pqLut]] struct over the GLOBAL
+    * residual codebook; `cross`/`cNormSq` are the per-cell fold columns;
+    * `cbNormSq` is [[pqSubNormSq]] of the residual codebook.
+    */
+  def pqAdcResidualCosine(
+      lut: Column, codes: Column, cross: Column,
+      cDotQ: Column, cNormSq: Column,
+      cbNormSq: Array[Double], k: Int): Column =
+    round(GraftColumnCompat.toColumn(PqAdcResidualExpr(
+      GraftColumnCompat.toExpression(lut),
+      GraftColumnCompat.toExpression(codes),
+      GraftColumnCompat.toExpression(cross),
+      GraftColumnCompat.toExpression(cDotQ),
+      GraftColumnCompat.toExpression(cNormSq), cbNormSq, k)), 6)
 
   /** Static per-(subspace, code) squared norms of a PQ codebook:
     * `out(j*k + c) = ‖codebook(c)[j*d/m, (j+1)*d/m)‖²`.

@@ -566,6 +566,96 @@ object Similarity {
       .filter(col("knn_rank") <= k)
   }
 
+  /** Residual IVF-PQ top-k — FAISS's IVFADC default: corpus codes
+    * encode the RESIDUAL `x - c` of each vector against its cell
+    * centroid, with one GLOBAL residual codebook across cells (exactly
+    * FAISS's layout — residuals concentrate near the origin, so the
+    * same code budget quantizes them far more accurately than raw
+    * vectors; [[ivfPqTopK]] remains the raw-vector form). Scoring folds
+    * the centroid back in per (query, cell):
+    * `cos(q, c + r̂) = (dot(q,c) + Σj lut[j,code_j]) /
+    * (‖q‖·√(‖c‖² + Σj cross[j,code_j] + ‖r̂_j‖²))` — the per-cell
+    * `cross`/`‖c‖²` fold tables are derived driver-side from the
+    * centroid set the driver already holds (cells × m·k doubles,
+    * broadcast — never a literal) and the per-pair work stays the O(m)
+    * LUT walk ([[graft.functions.PqAdcResidualExpr]]). Join and
+    * exchange shapes are identical to [[ivfPqTopK]].
+    */
+  def ivfPqResidualTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      probes: Int = 1): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    import graft.functions.TextFunctions.dot
+    val nCodes = codebook.length
+    val norms = VF.pqSubNormSq(codebook, m)
+    // per-cell fold tables from the (small, by the IVF contract)
+    // centroid set: cross[j*k+c] = 2·dot(c_subj, cb_c_subj), plus ‖c‖²
+    val centLocal = centroids
+      .select(col("centroid_id"), col("__cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(centLocal.nonEmpty, "centroids must be non-empty")
+    val dim = centLocal.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cellRows = centLocal.toSeq.map { case (cid, cv) =>
+      val cross = new Array[Double](m * nCodes)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < nCodes) {
+          var s = 0.0
+          var i = j * dsub
+          val end = math.min((j + 1) * dsub,
+            math.min(cv.length, codebook(c).length))
+          while (i < end) { s += cv(i) * codebook(c)(i); i += 1 }
+          cross(j * nCodes + c) = 2.0 * s
+          c += 1
+        }
+        j += 1
+      }
+      (cid, cross.toSeq, cv.map(x => x * x).sum)
+    }
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cellTable =
+      broadcast(cellRows.toDF("centroid_id", "__cross", "__cnorm"))
+    val cents = broadcast(centroids.select(col("centroid_id"),
+      col("__cv").cast("array<double>").as("__cvd")))
+    // corpus: one cell per vector, residual codes instead of the vector
+    val enc = ivfAssign(corpus, idCol, vecCol, centroids)
+      .join(cents, Seq("centroid_id"))
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        VF.pqEncode(zip_with(col(vecCol).cast("array<double>"),
+          col("__cvd"), (x, c) => x - c), codebook, m).as("codes"))
+    // queries: probes cells each; ONE residual-codebook LUT per query
+    // row plus a per-(query, cell) dot(q, c) and the cell's fold table
+    val q = ivfAssignRanked(queries, idCol, vecCol, centroids, probes)
+      .join(cents, Seq("centroid_id"))
+      .join(cellTable, Seq("centroid_id"))
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        VF.pqLut(col(vecCol), codebook, m).as("__lut"),
+        dot(col(vecCol), col("__cvd")).as("__cdq"),
+        col("__cross"), col("__cnorm"))
+    val scored = q.join(enc,
+        q("centroid_id") === enc("centroid_id") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VF.pqAdcResidualCosine(col("__lut"), col("codes"), col("__cross"),
+          col("__cdq"), col("__cnorm"), norms, nCodes).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** ANN top-k: brute-force cosine *within* each LSH bucket. The join key
     * is the bucket id — shuffle is linear in corpus size; AQE splits hot
     * buckets. Recall < 1 by construction (bucket-boundary misses); raise

@@ -919,6 +919,90 @@ class OperatorsSpec extends AnyFunSuite {
         (got((0, c.toLong)) ++ got((1, c.toLong))).toSeq)
   }
 
+  test("residual IVF-PQ: ADC fold equals reconstruct-then-cosine, and" +
+      " residual codes reconstruct tighter than raw-vector codes") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(41)
+    // two tight clusters around distinct centers: residuals are small,
+    // raw vectors are not — the case residual PQ exists for
+    val centers = Seq(
+      Array.fill(8)(rnd.nextDouble() * 2 - 1),
+      Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    val rows = (0 until 40).map { i =>
+      val c = centers(i % 2)
+      (i.toLong, c.map(x => (x + (rnd.nextDouble() - 0.5) * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = Seq((0L, centers(0).map(_.toFloat)),
+        (1L, centers(1).map(_.toFloat)))
+      .toDF("centroid_id", "__cv")
+    // residual codebook: residuals of the 4 smallest ids
+    val cb = Similarity.ivfAssign(df.filter($"vec_id" < 4), "vec_id",
+        "embedding", centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select($"vec_id", zip_with($"embedding".cast("array<double>"),
+        $"__cv".cast("array<double>"), (x, c) => x - c).as("res"))
+      .orderBy($"vec_id".asc).collect().map(_.getSeq[Double](1).toArray)
+    val got = Similarity.ivfPqResidualTopK(df.filter($"vec_id" < 3), df,
+        "vec_id", "embedding", centroids, cb, m = 2, k = 5, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // driver replay: assign, encode residual by round-6 L2^2 (tie to
+    // smaller code), reconstruct c + r-hat, plain cosine
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def rd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def assign(v: Array[Double]) =
+      centers.indices.minBy(c => (-rd6(cos(v, centers(c))), c))
+    def encode(res: Array[Double]): Seq[Int] = (0 until 2).map { j =>
+      cb.indices.minBy { c =>
+        (rd6(res.slice(j * 4, j * 4 + 4).zip(cb(c).slice(j * 4, j * 4 + 4))
+          .map { case (x, y) => (x - y) * (x - y) }.sum), c)
+      }
+    }
+    got.foreach { case ((q, n), score) =>
+      val cell = assign(vecs(n))
+      val res = vecs(n).zip(centers(cell)).map { case (x, c) => x - c }
+      val codes = encode(res)
+      val recon = centers(cell).clone()
+      for (j <- 0 until 2; i <- 0 until 4)
+        recon(j * 4 + i) += cb(codes(j))(j * 4 + i)
+      assert(math.abs(score - rd6(cos(vecs(q), recon))) < 1e-9,
+        s"ADC-residual mismatch for ($q, $n)")
+      // tightness: the residual reconstruction is closer to the true
+      // vector than the raw-vector reconstruction from the same-size
+      // raw codebook (anchors = raw vectors of the same 4 ids)
+    }
+    // residual reconstruction error < raw reconstruction error, summed
+    // over the corpus (the point of encoding residuals)
+    val rawCb = (0 until 4).map(i => vecs(i.toLong)).toArray
+    def l2(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val (resErr, rawErr) = rows.map { case (id, _) =>
+      val v = vecs(id)
+      val cell = assign(v)
+      val res = v.zip(centers(cell)).map { case (x, c) => x - c }
+      val codes = encode(res)
+      val reconRes = centers(cell).clone()
+      for (j <- 0 until 2; i <- 0 until 4)
+        reconRes(j * 4 + i) += cb(codes(j))(j * 4 + i)
+      val rawCodes = (0 until 2).map { j =>
+        rawCb.indices.minBy { c =>
+          (rd6(v.slice(j * 4, j * 4 + 4).zip(rawCb(c).slice(j * 4, j * 4 + 4))
+            .map { case (x, y) => (x - y) * (x - y) }.sum), c)
+        }
+      }
+      val reconRaw = Array.tabulate(8)(i => rawCb(rawCodes(i / 4))(i))
+      (l2(v, reconRes), l2(v, reconRaw))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(resErr < rawErr,
+      s"residual reconstruction ($resErr) should beat raw ($rawErr)")
+  }
+
   test("pqTrainSubCentroids plan: broadcast assignment join and" +
       " partial-aggregable recompute with a window group limit") {
     import graft.operators.Similarity
