@@ -232,6 +232,29 @@ object Stress {
       println(f"STRESS ivfpq_trained           ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         s"  (trained k=64 cells, k=64 codebook, ${mult}x corpus)")
     }
+    locally {
+      // residual IVFADC end to end: trained coarse cells, per-subspace-
+      // trained codebook over RESIDUALS, per-cell fold tables, 2-probe
+      // residual-ADC search — the FAISS-default composition at 10x
+      val t0 = System.nanoTime()
+      val cents = Similarity.trainCentroids(embs, "vec_id", "embedding",
+        k = 64, iters = 2)
+      val centroids = cents.select(col("centroid_id"), col("__cv"))
+      val resid = Similarity.ivfAssign(embs, "vec_id", "embedding", centroids)
+        .join(broadcast(centroids), Seq("centroid_id"))
+        .select(col("vec_id"),
+          zip_with(col("embedding").cast("array<double>"),
+            col("__cv").cast("array<double>"), (x, c) => x - c)
+            .as("embedding"))
+      val cb = Similarity.pqTrainCodebook(resid, "vec_id", "embedding",
+        m = 8, k = 64, iters = 1, sampleFraction = 0.2)
+      val queries = embs.filter(col("vec_id") % 997 === 0)
+      Similarity.ivfPqResidualTopK(queries, embs, "vec_id", "embedding",
+        centroids, cb, m = 8, k = 5, probes = 2)
+        .write.format("noop").mode("overwrite").save()
+      println(f"STRESS ivfpq_residual          ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        s"  (trained cells + trained residual codebook, ${mult}x corpus)")
+    }
     time("ngram_freq") {
       // replication multiplies every n-gram's tf 10x — hot boilerplate
       // n-grams are absorbed by the two partial-aggregable groupBys
