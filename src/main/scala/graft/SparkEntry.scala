@@ -1095,8 +1095,12 @@ object SparkEntry {
     * kind and decode the right fields into the normalized schema; the
     * oracle merges the per-format arithmetic expectations with one CASE.
     */
-  private def multimodalDescribeQ(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"),
+  /** Mixed-media payload construction for the describe gates (batch AND
+    * streaming — everything derives from doc_id, so the same projection
+    * applies to a stream unchanged).
+    */
+  private def describePayloads(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(col("doc_id"),
       (col("doc_id") % 6).cast("int").as("m6"),
       (lit(1) + col("doc_id") % 2048).cast("int").as("iw"),
       (lit(1) + (col("doc_id") * 7) % 2048).cast("int").as("ih"),
@@ -1128,8 +1132,29 @@ object SparkEntry {
         .when(col("m6") === 4,
           webmHexFor(col("di"), col("dt"), col("ww"), col("wh")))
         .otherwise(lit("4641524247")))
-    Multimodal.describe(
-      d.select(col("doc_id"), payload.as("payload")), "doc_id")
+    d.select(col("doc_id"), payload.as("payload"))
+  }
+
+  private def multimodalDescribeQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.describe(describePayloads(docs(s, dir)), "doc_id")
+
+  /** Streaming multimodal dispatch, gated against the batch oracle: the
+    * whole describe chain is stateless per-row header decoding, so
+    * applied to a stream unchanged it emits exactly the batch metadata
+    * — ingest-time media triage needs no second implementation (the
+    * same argument as streaming_quality).
+    */
+  private def streamingMultimodalQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    runStreamToTable(s,
+      Multimodal.describe(describePayloads(
+        s.readStream.schema(schema).parquet(s"$dir/{documents.parquet}")),
+        "doc_id"),
+      "stream_multimodal")
   }
 
   /** Constructed 9×8 24bpp BMP payload (hex) for the dHash gates:
@@ -1396,6 +1421,18 @@ object SparkEntry {
       "stream_sessionize")
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("value_sum"))
+
+  /** Built-in `session_window` sessionization gate: Append-mode output
+    * after an AvailableNow run holds exactly the sessions whose window
+    * end (last event + gap) the final watermark (global max event time
+    * − delay) has passed — the oracle re-derives that set from the
+    * batch sessions arithmetically.
+    */
+  private def streamingSessionizeWindowQ(s: SparkSession, dir: String): DataFrame =
+    runStreamToTable(s,
+      Events.streamingSessionizeWindow(s, s"$dir/{events.parquet}",
+        gapMicros = 1800L * 1000 * 1000, delay = "30 minutes"),
+      "stream_sessionize_window")
 
   // -------------------------------------------------------------------
   // Oracle SQL generators (mirror the Scala expressions exactly)
@@ -1872,10 +1909,63 @@ object SparkEntry {
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
+    "streaming_sessionize_window" -> (streamingSessionizeWindowQ _),
+    "streaming_multimodal" -> (streamingMultimodalQ _),
     "streaming_hourly" -> (streamingHourlyQ _),
     "streaming_funnel" -> (streamingFunnelQ _),
     "streaming_retention" -> (streamingRetentionQ _),
   )
+
+  /** Mixed-media describe expectation — shared by the batch gate and
+    * its stateless streaming twin.
+    */
+  private val dkDescribe: String =
+    """WITH d AS (SELECT doc_id, doc_id % 6 AS m6,
+           1 + doc_id % 2048 AS iw, 1 + (doc_id * 7) % 2048 AS ih,
+           1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 5) AS rate,
+           100 + doc_id % 900 AS nf,
+           1 + doc_id % 14 AS br_idx, doc_id % 3 AS rate_idx,
+           doc_id % 4 AS mode, doc_id % 100 AS tag_len,
+           100 + doc_id % 900 AS audio_len,
+           1000 * (1 + doc_id % 4) AS ts, 1000 + doc_id % 9000 AS dur,
+           16 * (1 + doc_id % 120) AS vw, 16 * (1 + (doc_id * 7) % 120) AS vh,
+           16 * (1 + doc_id % 100) AS ww, 16 * (1 + (doc_id * 3) % 100) AS wh,
+           doc_id % 4 AS di, doc_id % 3 AS dt
+         FROM documents),
+         x AS (SELECT *,
+           [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(br_idx AS INTEGER)] AS br,
+           [44100,48000,32000][CAST(rate_idx + 1 AS INTEGER)] AS mrate
+         FROM d),
+         y AS (SELECT *, (144000 * br) // mrate AS fs FROM x),
+         z AS (SELECT *, (audio_len // fs) * 1152 AS frames FROM y)
+         SELECT doc_id,
+           CAST(CASE m6 WHEN 0 THEN 29 WHEN 1 THEN 44
+                WHEN 2 THEN 10 + tag_len + audio_len WHEN 3 THEN 152
+                WHEN 4 THEN (CASE WHEN dt = 1 THEN 57 ELSE 53 END)
+                ELSE 5 END AS BIGINT) AS byte_len,
+           CASE m6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                WHEN 2 THEN 'audio' WHEN 3 THEN 'video'
+                WHEN 4 THEN 'video' ELSE NULL END AS kind,
+           CASE m6 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp3'
+                WHEN 3 THEN 'mp4'
+                WHEN 4 THEN (CASE WHEN dt = 1 THEN 'mkv' ELSE 'webm' END)
+                ELSE NULL END AS format,
+           CAST(CASE m6 WHEN 0 THEN iw WHEN 3 THEN vw WHEN 4 THEN ww
+                ELSE NULL END AS INTEGER) AS width,
+           CAST(CASE m6 WHEN 0 THEN ih WHEN 3 THEN vh WHEN 4 THEN wh
+                ELSE NULL END AS INTEGER) AS height,
+           CAST(CASE m6 WHEN 1 THEN ch
+                WHEN 2 THEN (CASE WHEN mode = 3 THEN 1 ELSE 2 END)
+                ELSE NULL END AS INTEGER) AS channels,
+           CAST(CASE m6 WHEN 1 THEN rate WHEN 2 THEN mrate
+                ELSE NULL END AS INTEGER) AS sample_rate,
+           CAST(CASE m6 WHEN 1 THEN (nf * 1000) // rate
+                WHEN 2 THEN (frames * 1000) // mrate
+                WHEN 3 THEN (dur * 1000) // ts
+                WHEN 4 THEN (CASE di WHEN 0 THEN 1024 WHEN 1 THEN 2048
+                     WHEN 2 THEN 4096 ELSE 8192 END)
+                ELSE NULL END AS BIGINT) AS duration_ms
+         FROM z"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2749,53 +2839,8 @@ object SparkEntry {
     "multimodal_dhash" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
-    "multimodal_describe" ->
-      """WITH d AS (SELECT doc_id, doc_id % 6 AS m6,
-           1 + doc_id % 2048 AS iw, 1 + (doc_id * 7) % 2048 AS ih,
-           1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 5) AS rate,
-           100 + doc_id % 900 AS nf,
-           1 + doc_id % 14 AS br_idx, doc_id % 3 AS rate_idx,
-           doc_id % 4 AS mode, doc_id % 100 AS tag_len,
-           100 + doc_id % 900 AS audio_len,
-           1000 * (1 + doc_id % 4) AS ts, 1000 + doc_id % 9000 AS dur,
-           16 * (1 + doc_id % 120) AS vw, 16 * (1 + (doc_id * 7) % 120) AS vh,
-           16 * (1 + doc_id % 100) AS ww, 16 * (1 + (doc_id * 3) % 100) AS wh,
-           doc_id % 4 AS di, doc_id % 3 AS dt
-         FROM documents),
-         x AS (SELECT *,
-           [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(br_idx AS INTEGER)] AS br,
-           [44100,48000,32000][CAST(rate_idx + 1 AS INTEGER)] AS mrate
-         FROM d),
-         y AS (SELECT *, (144000 * br) // mrate AS fs FROM x),
-         z AS (SELECT *, (audio_len // fs) * 1152 AS frames FROM y)
-         SELECT doc_id,
-           CAST(CASE m6 WHEN 0 THEN 29 WHEN 1 THEN 44
-                WHEN 2 THEN 10 + tag_len + audio_len WHEN 3 THEN 152
-                WHEN 4 THEN (CASE WHEN dt = 1 THEN 57 ELSE 53 END)
-                ELSE 5 END AS BIGINT) AS byte_len,
-           CASE m6 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                WHEN 2 THEN 'audio' WHEN 3 THEN 'video'
-                WHEN 4 THEN 'video' ELSE NULL END AS kind,
-           CASE m6 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp3'
-                WHEN 3 THEN 'mp4'
-                WHEN 4 THEN (CASE WHEN dt = 1 THEN 'mkv' ELSE 'webm' END)
-                ELSE NULL END AS format,
-           CAST(CASE m6 WHEN 0 THEN iw WHEN 3 THEN vw WHEN 4 THEN ww
-                ELSE NULL END AS INTEGER) AS width,
-           CAST(CASE m6 WHEN 0 THEN ih WHEN 3 THEN vh WHEN 4 THEN wh
-                ELSE NULL END AS INTEGER) AS height,
-           CAST(CASE m6 WHEN 1 THEN ch
-                WHEN 2 THEN (CASE WHEN mode = 3 THEN 1 ELSE 2 END)
-                ELSE NULL END AS INTEGER) AS channels,
-           CAST(CASE m6 WHEN 1 THEN rate WHEN 2 THEN mrate
-                ELSE NULL END AS INTEGER) AS sample_rate,
-           CAST(CASE m6 WHEN 1 THEN (nf * 1000) // rate
-                WHEN 2 THEN (frames * 1000) // mrate
-                WHEN 3 THEN (dur * 1000) // ts
-                WHEN 4 THEN (CASE di WHEN 0 THEN 1024 WHEN 1 THEN 2048
-                     WHEN 2 THEN 4096 ELSE 8192 END)
-                ELSE NULL END AS BIGINT) AS duration_ms
-         FROM z""",
+    "multimodal_describe" -> dkDescribe,
+    "streaming_multimodal" -> dkDescribe,
     "multimodal_dhash_pairs" ->
       s"""WITH $dkDhash,
          bk AS (SELECT doc_id, dhash, b,
@@ -2944,5 +2989,24 @@ object SparkEntry {
          SELECT g.user_id, session_start, session_end, n_events, value_sum
          FROM g JOIN m ON g.user_id = m.user_id
            AND g.session_idx < m.last_idx""",
+    "streaming_sessionize_window" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (SELECT user_id, tsn, value,
+             CASE WHEN prev IS NULL OR tsn - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM l),
+         s AS (SELECT user_id, tsn, value,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsn
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM f),
+         g AS (SELECT user_id, session_idx, min(tsn) AS session_start,
+             max(tsn) AS session_end, count(*) AS n_events,
+             sum(value) AS value_sum
+           FROM s GROUP BY 1, 2),
+         mx AS (SELECT max(epoch_us(ts)) AS mt FROM events)
+         SELECT user_id, session_start, session_end, n_events, value_sum
+         FROM g, mx
+         WHERE session_end + 1800000000 <= mt - 1800000000""",
   )
 }

@@ -303,6 +303,46 @@ object Events {
       .toDF()
   }
 
+  /** Sessionization via Spark's BUILT-IN `session_window` — the
+    * idiomatic form next to [[streamingSessionize]]'s
+    * `flatMapGroupsWithState`: the engine owns session merge, state,
+    * and watermark eviction, so this variant gets Photon-class native
+    * state handling for free where the custom-state form pays typed
+    * (de)serialization per key per batch. A session's window is
+    * [first event, last event + gap); a session is EMITTED (Append
+    * mode) once the watermark passes its window end — sessions still
+    * inside the watermark horizon at the end of an AvailableNow run
+    * remain open, exactly like the custom-state twin's un-emitted
+    * final states. The output re-derives `session_end` (= last event
+    * ts) from the window end minus the gap, matching [[sessionize]]'s
+    * µs fields.
+    */
+  def streamingSessionizeWindow(
+      spark: SparkSession,
+      dir: String,
+      gapMicros: Long,
+      delay: String = "30 minutes"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", delay)
+      .groupBy(
+        session_window(col("event_time"), s"${gapMicros / 1000000} seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        (unix_micros(col("session_window.end")) - lit(gapMicros))
+          .as("session_end"),
+        col("n_events"), col("value_sum"))
+  }
+
   /** Structured Streaming form of [[hourlyAgg]]: parquet source →
     * event-time window + watermark → windowed counts. Late data beyond
     * the watermark is dropped; state is bounded by the watermark horizon.
