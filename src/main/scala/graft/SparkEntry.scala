@@ -1210,6 +1210,29 @@ object SparkEntry {
   private def multimodalDhashPairsQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.perceptualDupPairs(dhashPayloads(s, dir), "doc_id")
 
+  /** Decode→fan-out composition gate: frame counts derive from the
+    * DECODED MP4 duration (25 fps over duration_ms), then every 10th
+    * frame index fans out per doc — the plumbing a frame featurizer
+    * consumes; garbage payloads decode to null duration and fan out to
+    * nothing. The oracle recomputes counts arithmetically and unnests a
+    * range.
+    */
+  private def multimodalFramesQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      (lit(1000) * (lit(1) + col("doc_id") % 4)).cast("int").as("ts"),
+      (lit(1000) + col("doc_id") % 9000).cast("int").as("dur"),
+      (lit(16) * (lit(1) + col("doc_id") % 120)).cast("int").as("w"),
+      (lit(16) * (lit(1) + (col("doc_id") * 7) % 120)).cast("int").as("h"),
+      (col("doc_id") % 4).cast("int").as("m"))
+    val payload = unhex(
+      when(col("m") === 3, lit("4641524247"))
+        .otherwise(mp4HexFor(col("ts"), col("dur"), col("w"), col("h"))))
+    val decoded = Multimodal.decodeVideo(
+      d.select(col("doc_id"), payload.as("payload")), "doc_id")
+    Multimodal.sampleFramesByCount(decoded, "doc_id",
+      col("duration_ms") * 25 / 1000, stride = 10)
+  }
+
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
 
@@ -1900,6 +1923,7 @@ object SparkEntry {
     "multimodal_dhash" -> (multimodalDhashQ _),
     "multimodal_dhash_pairs" -> (multimodalDhashPairsQ _),
     "multimodal_describe" -> (multimodalDescribeQ _),
+    "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
@@ -2841,6 +2865,15 @@ object SparkEntry {
          SELECT doc_id, dhash FROM dh""",
     "multimodal_describe" -> dkDescribe,
     "streaming_multimodal" -> dkDescribe,
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, 1000 * (1 + doc_id % 4) AS ts,
+           1000 + doc_id % 9000 AS dur, doc_id % 4 AS m FROM documents),
+         x AS (SELECT doc_id, (((dur * 1000) // ts) * 25) // 1000 AS nf
+           FROM d WHERE m <> 3),
+         u AS (SELECT doc_id, unnest(range(0, (nf + 9) // 10)) AS i
+           FROM x WHERE nf > 0)
+         SELECT doc_id, CAST(i AS INTEGER) AS sample_idx,
+           CAST(i * 10 AS BIGINT) AS frame_idx FROM u""",
     "multimodal_dhash_pairs" ->
       s"""WITH $dkDhash,
          bk AS (SELECT doc_id, dhash, b,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -277,6 +277,26 @@ object Multimodal {
   def sampleFrames(df: DataFrame, idCol: String, nFrames: Int, stride: Int): DataFrame =
     df.select(col(idCol),
       posexplode(sequence(lit(0), lit(nFrames - 1), lit(stride))))
+      .withColumnRenamed("pos", "sample_idx")
+      .withColumnRenamed("col", "frame_idx")
+
+  /** [[sampleFrames]] with a PER-ROW frame count — the composition a
+    * real pipeline runs: the count comes from the DECODED container
+    * duration (e.g. `decodeVideo().duration_ms * fps / 1000`), not a
+    * constant. Rows with null or non-positive counts fan out to
+    * nothing (undecodable payloads drop here, consistent with the
+    * null-on-garbage decoders upstream). Still one pipelined Generate —
+    * no shuffle, no UDF.
+    */
+  def sampleFramesByCount(
+      df: DataFrame,
+      idCol: String,
+      nFramesCol: Column,
+      stride: Int): DataFrame =
+    df.select(col(idCol), nFramesCol.cast("long").as("__nf"))
+      .filter(col("__nf").isNotNull && col("__nf") > 0)
+      .select(col(idCol),
+        posexplode(sequence(lit(0L), col("__nf") - 1, lit(stride.toLong))))
       .withColumnRenamed("pos", "sample_idx")
       .withColumnRenamed("col", "frame_idx")
 }
