@@ -737,28 +737,41 @@ object SparkEntry {
   }
 
   /** Residual IVF-PQ (FAISS IVFADC layout): corpus codes encode
-    * residuals against the id-selected coarse centroids; the residual
-    * codebook is the deterministic 8-anchor residual set (production
-    * would run [[Similarity.pqTrainCodebook]] over residuals — the
-    * anchor selection keeps the oracle a pure arithmetic replay). The
-    * oracle reconstructs centroid + decoded residual and scores plain
-    * cosine, so the ADC fold (cross/norm tables, LUT walk) must equal
-    * reconstruct-then-cosine bit-for-bit at 6 decimals.
+    * residuals against the id-selected coarse centroids, with the
+    * residual codebook TRAINED by the same per-subspace Lloyd as
+    * `pq_train` — run over the residual frame, memoized per dataset
+    * like [[trainedPqCb]], rounded to 6 decimals for cross-engine
+    * parity. The oracle replays residual derivation + training +
+    * encode, reconstructs centroid + decoded residual, and scores
+    * plain cosine, so the ADC fold (cross/norm tables, LUT walk) must
+    * equal reconstruct-then-cosine at 6 decimals.
     */
+  private def residualFrame(e: DataFrame, centroids: DataFrame): DataFrame =
+    Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("__cv").cast("array<double>"), (x, c) => x - c)
+          .as("embedding"))
+
+  private val pqResCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def trainedResidualCb(e: DataFrame, centroids: DataFrame,
+      dir: String): Array[Array[Double]] =
+    pqResCbCache.computeIfAbsent(dir, _ =>
+      Similarity.pqTrainCodebook(residualFrame(e, centroids), "vec_id",
+        "embedding", m = 8, k = 8, iters = 1, sampleFraction = 0.5)
+        .map(_.map(x =>
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+
   private def annIvfPqResidualQ(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val centroids = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
-    val cb = Similarity.ivfAssign(
-        e.filter(col("vec_id") < 8), "vec_id", "embedding", centroids)
-      .join(broadcast(centroids), Seq("centroid_id"))
-      .select(col("vec_id"),
-        zip_with(col("embedding").cast("array<double>"),
-          col("__cv").cast("array<double>"), (x, c) => x - c).as("res"))
-      .orderBy(col("vec_id").asc)
-      .collect().map(_.getSeq[Double](1).toArray)
     Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 10), e,
-      "vec_id", "embedding", centroids, cb, m = 8, k = 5, probes = 2)
+      "vec_id", "embedding", centroids,
+      trainedResidualCb(e, centroids, dir), m = 8, k = 5, probes = 2)
   }
 
   /** Group top-k via the bounded-heap partial-aggregable Aggregator —
@@ -1641,8 +1654,12 @@ object SparkEntry {
     * L2² with smaller-code tie-break; recompute is per-(sub, code, dim)
     * averages; an empty cell keeps its seed.
     */
-  private val dkPqTrainCTEs: String =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+  /** The training chain parameterized over where `v(vec_id, vd)` comes
+    * from — raw embeddings for `pq_train`, residuals for the trained
+    * residual IVFADC gate.
+    */
+  private def dkPqTrainFrom(vCte: String): String =
+    s"""$vCte,
        hh AS (SELECT vec_id, vd,
            ${dkHash("CAST(vec_id AS VARCHAR)")} AS hk FROM v),
        samp AS (SELECT * FROM hh WHERE hk % 1000000 < 500000),
@@ -1672,6 +1689,9 @@ object SparkEntry {
          FROM rec GROUP BY 1, 2),
        tc AS (SELECT s.sub, s.code, coalesce(n.nv, s.sv) AS cv
          FROM sseed s LEFT JOIN newc n ON s.sub = n.sub AND s.code = n.code)"""
+
+  private val dkPqTrainCTEs: String = dkPqTrainFrom(
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)")
 
   /** PQ encode CTEs over the TRAINED codebook: `tc` assembled per code
     * (subspace slices concatenated in order) and rounded to 6 decimals —
@@ -2661,36 +2681,39 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
          WHERE knn_rank <= 5""",
     "ann_ivfpq_residual" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      s"""WITH ${dkPqTrainFrom(
+        """cc AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
            FROM embeddings WHERE vec_id % 100 = 0),
          v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vd0 FROM embeddings),
-         ranked AS (SELECT v0.vec_id, c.centroid_id,
+         rranked AS (SELECT v0.vec_id, cc.centroid_id,
              row_number() OVER (PARTITION BY v0.vec_id
                ORDER BY round(list_cosine_similarity(vd0, cv), 6) DESC,
                         centroid_id) AS rn
-           FROM v0, c),
-         asg1 AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
-         asgp AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2),
+           FROM v0, cc),
+         rasg1 AS (SELECT vec_id, centroid_id FROM rranked WHERE rn = 1),
          v AS (SELECT v0.vec_id,
-             [v0.vd0[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]
+             [v0.vd0[CAST(i AS INTEGER)] - cc.cv[CAST(i AS INTEGER)]
                for i in range(1, 65)] AS vd
-           FROM v0 JOIN asg1 ON v0.vec_id = asg1.vec_id
-           JOIN c ON c.centroid_id = asg1.centroid_id),
-         a AS (SELECT vec_id AS code, vd AS av FROM v WHERE vec_id < 8),
+           FROM v0 JOIN rasg1 ON v0.vec_id = rasg1.vec_id
+           JOIN cc ON cc.centroid_id = rasg1.centroid_id)""")},
+         a AS (SELECT code,
+             [round(x, 6) for x in flatten(list(cv ORDER BY sub))] AS av
+           FROM tc GROUP BY code),
          $dkPqEncTail,
+         rasgp AS (SELECT vec_id, centroid_id FROM rranked WHERE rn <= 2),
          sub AS (SELECT e.vec_id, e.j,
              [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
            FROM enc e JOIN a ON a.code = e.code),
          reconr AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rres
            FROM sub GROUP BY vec_id),
          recon AS (SELECT r.vec_id,
-             [r.rres[CAST(i AS INTEGER)] + c.cv[CAST(i AS INTEGER)]
+             [r.rres[CAST(i AS INTEGER)] + cc.cv[CAST(i AS INTEGER)]
                for i in range(1, 65)] AS rv
-           FROM reconr r JOIN asg1 ON r.vec_id = asg1.vec_id
-           JOIN c ON c.centroid_id = asg1.centroid_id),
+           FROM reconr r JOIN rasg1 ON r.vec_id = rasg1.vec_id
+           JOIN cc ON cc.centroid_id = rasg1.centroid_id),
          sc AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(qv.vd0, r.rv), 6) AS cos_sim
-           FROM asgp p JOIN asg1 b ON p.centroid_id = b.centroid_id
+           FROM rasgp p JOIN rasg1 b ON p.centroid_id = b.centroid_id
              AND p.vec_id <> b.vec_id
            JOIN v0 qv ON qv.vec_id = p.vec_id
            JOIN recon r ON r.vec_id = b.vec_id
