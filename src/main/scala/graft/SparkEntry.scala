@@ -417,6 +417,34 @@ object SparkEntry {
   private def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")
 
+  /** Hot-bucket cap gate (r10): two synthetic duplicate families built
+    * from the documents table's first 70 ids — a 60-copy "viral" family
+    * and a 10-copy small one. Identical text ⇒ identical MinHash
+    * signature ⇒ every within-family pair collides on every band, so
+    * the uncapped pair count is exactly Σ C(n,2) per family, and with
+    * `maxBucketSize = 50` every viral-family bucket (60 rows) is
+    * dropped while the small family (10 rows) pairs fully — both counts
+    * are pure arithmetic over the family sizes, which is what the
+    * DuckDB oracle computes.
+    */
+  private def dedupLshCappedQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fam = docs(s, dir).select(col("doc_id")).orderBy("doc_id").limit(70)
+      .withColumn("rn",
+        row_number().over(Window.orderBy("doc_id")) - 1)
+      .select(col("doc_id"),
+        when(col("rn") < 60,
+            lit("the same viral boilerplate page text repeated across the crawl"))
+          .otherwise(
+            lit("a rarer duplicated snippet shared by a small family only"))
+          .as("text"))
+    def pairCount(cap: Int, kind: String): DataFrame =
+      Dedup.minhashLshPairs(fam, "doc_id", "text", maxBucketSize = cap)
+        .agg(count(lit(1)).as("pairs"))
+        .select(lit(kind).as("kind"), col("pairs"))
+    pairCount(50, "capped").unionAll(pairCount(0, "uncapped"))
+  }
+
   private def dedupNgramPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3)
 
@@ -905,16 +933,34 @@ object SparkEntry {
   }
 
   /** tag/audio lengths are passed as column NAMES — the repeat() padding
-    * needs SQL-expression references.
+    * needs SQL-expression references. The decoder verifies a second
+    * sync word at the first frame boundary (r10 crawl-grade sniffing),
+    * so when the audio region extends past one frame the next frame
+    * header (or however many of its leading bytes fit) is laid down at
+    * frameSize — pure byte-content change, every declared length and
+    * the frame-count arithmetic the oracle recomputes stay identical.
     */
   private def mp3HexFor(brIdx: Column, rateIdx: Column, mode: Column,
       tagLenCol: String, audioLenCol: String): Column = {
     val b2 = hxB(shiftleft(brIdx, 4) + shiftleft(rateIdx, 2), 2)
     val b3 = hxB(shiftleft(mode, 6), 2)
+    val hdr = concat(lit("FFFB"), b2, b3)
+    val br = element_at(array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320).map(lit): _*), brIdx.cast("int"))
+    val rate = element_at(array(lit(44100), lit(48000), lit(32000)),
+      (rateIdx + 1).cast("int"))
+    val fs = floor(lit(144000) * br / rate).cast("int")
+    val audioLen = col(audioLenCol)
+    val zeros = (n: Column) => repeat(lit("00"), greatest(n, lit(0)))
+    // bytes of the second header that fit: 4 when a full next header
+    // fits, 1-3 when the payload ends mid-header, none inside frame 1
+    val sync2 = least(audioLen - fs, lit(4))
+    val audioHex = when(audioLen <= fs, concat(hdr, zeros(audioLen - 4)))
+      .otherwise(concat(hdr, zeros(fs - 4),
+        hdr.substr(lit(1), sync2 * 2), zeros(audioLen - fs - 4)))
     concat(
       lit("494433" + "0300" + "00" + "000000"), hxB(col(tagLenCol), 2),
-      expr(s"repeat('00', $tagLenCol)"), lit("FFFB"), b2, b3,
-      expr(s"repeat('00', $audioLenCol - 4)"))
+      expr(s"repeat('00', $tagLenCol)"), audioHex)
   }
 
   private def mp4HexFor(ts: Column, dur: Column, w: Column, h: Column): Column = {
@@ -1884,6 +1930,7 @@ object SparkEntry {
     "winnow_pairs"      -> (winnowPairsQ _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs"  -> (dedupLshPairs _),
+    "dedup_lsh_capped" -> (dedupLshCappedQ _),
     "dedup_lsh_char"   -> (dedupLshCharQ _),
     "dedup_drop_near"  -> (dedupDropNear _),
     "dedup_components" -> (dedupComponents _),
@@ -2365,6 +2412,18 @@ object SparkEntry {
          GROUP BY 1, 2 HAVING count(*) >= 2""",
     "dedup_minhash_sig" -> dkMinhashSigSelect,
     "dedup_lsh_pairs" -> dkLshPairs,
+    "dedup_lsh_capped" ->
+      """WITH d AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn
+           FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 70)),
+         sizes AS (SELECT CASE WHEN rn < 60 THEN 'big' ELSE 'small' END AS fam,
+                          count(*) AS n
+                   FROM d GROUP BY 1)
+         SELECT 'capped' AS kind,
+           CAST(sum(CASE WHEN n <= 50 THEN n*(n-1)/2 ELSE 0 END) AS BIGINT) AS pairs
+         FROM sizes
+         UNION ALL
+         SELECT 'uncapped' AS kind, CAST(sum(n*(n-1)/2) AS BIGINT) AS pairs
+         FROM sizes""",
     "dedup_lsh_char" -> dkLshCharPairs,
     "dedup_drop_near" ->
       s"""SELECT doc_id, n_chars FROM documents

@@ -80,6 +80,17 @@ object AudioHeaders {
     val ch = if (mode == 3) 1 else 2
     val frameSize = 144L * br / rate
     if (frameSize <= 0) return null
+    // Second-sync verification (r10, crawl-grade sniffing): a bare
+    // 4-byte header with valid indices matches ~1 in 2000 random
+    // binaries, so whenever the payload extends past the first frame
+    // (its length = frameSize + padding bit) the next frame's sync word
+    // must appear at that boundary — otherwise this is garbage that
+    // happened to start 0xFF Ex, not MPEG audio. Payloads ending inside
+    // the first frame (truncated tail) stay accepted, as before.
+    val fl = o + (frameSize + ((b2 >> 1) & 1)).toInt
+    if (fl + 1 < a.length) {
+      if (u8(a, fl) != 0xff || (u8(a, fl + 1) & 0xe0) != 0xe0) return null
+    } else if (fl < a.length && u8(a, fl) != 0xff) return null
     // 1152 samples per MPEG-1 Layer III frame
     val frames = ((a.length - o) / frameSize) * 1152L
     row("mp3", ch, rate, 16, frames, frames * 1000L / rate)

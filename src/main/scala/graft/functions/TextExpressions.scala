@@ -121,6 +121,97 @@ case class ByteShinglesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Fused [[ByteShinglesExpr]] → [[Hash60ArrayExpr]]: the distinct 60-bit
+  * hashes of a payload's byte n-gram shingles WITHOUT materializing the
+  * hex-string shingle set. The string form costs ~20-30× the payload in
+  * heap (one 2n-hex-char string + set entry per byte offset), which for
+  * the multi-MB media payloads this feature targets risks executor
+  * OOM/GC stalls; here the payload is hex-encoded ONCE (2× payload,
+  * ASCII bytes) and each window is md5'd as a slice of that buffer, so
+  * per-window cost is the digest plus one slot in an open-addressed
+  * long set (~12 bytes/window vs ~100).
+  *
+  * Hash-compatible with the unfused pipeline by construction: md5 over
+  * the UTF8 bytes of the hex shingle IS md5 over the hex-buffer slice
+  * (hex digits are ASCII), and first-occurrence order + distinctness
+  * are preserved by the insertion-ordered set. The only divergence is a
+  * 60-bit collision between two DISTINCT shingles (p ≈ 2^-60 per pair),
+  * where the unfused form emits both equal values and this form emits
+  * one — indistinguishable to the min/band machinery that consumes it.
+  */
+case class ByteShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, "byte shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val HexDigitBytes = "0123456789abcdef".getBytes
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[Array[Byte]]
+    val hex = new Array[Byte](a.length * 2)
+    var i = 0
+    while (i < a.length) {
+      hex(2 * i) = HexDigitBytes((a(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexDigitBytes(a(i) & 0xf)
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    def h60(off: Int, len: Int): Long = {
+      md.reset()
+      md.update(hex, off, len)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v >>> 4
+    }
+    if (a.length < n) {
+      new GenericArrayData(Array[Any](h60(0, hex.length)))
+    } else {
+      val windows = a.length - n + 1
+      // fail loud rather than degrade: past this the table math would
+      // overflow Int — and a payload that size has no business in a
+      // single binary cell anyway
+      require(windows < (1 << 29),
+        s"payload too large for byte-shingle hashing ($windows windows)")
+      // open-addressed set: power-of-two table at load factor <= 1/2,
+      // EMPTY sentinel outside the 60-bit hash range
+      val cap = java.lang.Integer.highestOneBit(
+        math.max(4, windows * 2 - 1)) * 2
+      val EMPTY = -1L
+      val table = new Array[Long](cap)
+      java.util.Arrays.fill(table, EMPTY)
+      val mask = cap - 1
+      val out = new Array[Long](windows)
+      var nOut = 0
+      var s = 0
+      while (s < windows) {
+        val v = h60(2 * s, 2 * n)
+        var slot = (v ^ (v >>> 29)).toInt & mask
+        var seen = false
+        var probing = true
+        while (probing) {
+          val cur = table(slot)
+          if (cur == EMPTY) probing = false
+          else if (cur == v) { seen = true; probing = false }
+          else slot = (slot + 1) & mask
+        }
+        if (!seen) { table(slot) = v; out(nOut) = v; nOut += 1 }
+        s += 1
+      }
+      val res = new Array[Any](nOut)
+      i = 0
+      while (i < nOut) { res(i) = out(i); i += 1 }
+      new GenericArrayData(res)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): ByteShingleHashesExpr =
+    copy(child = c)
+}
+
 /** ALL positional word n-grams (repeats kept, document order) of a
   * lowercased, whitespace-split text — the term-frequency counterpart
   * of [[ShinglesExpr]]'s distinct shingle set. Tokenization matches

@@ -64,11 +64,13 @@ object TextFunctions {
   }
 
   /** 60-bit hashes of a payload's byte-shingle set — drop-in input for
-    * the same minhash/band machinery as [[shingleHashes]].
+    * the same minhash/band machinery as [[shingleHashes]]. Fused
+    * ([[ByteShingleHashesExpr]]): the hex-string shingle set is never
+    * materialized, so heap per row is ~2× the payload, not ~20-30×.
     */
   def byteShingleHashes(payload: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftColumnCompat._
-    toColumn(Hash60ArrayExpr(ByteShinglesExpr(toExpression(payload), n)))
+    toColumn(ByteShingleHashesExpr(toExpression(payload), n))
   }
 
   /** Distinct character n-gram shingles (code-point indexed) — the

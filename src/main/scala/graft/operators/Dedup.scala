@@ -85,9 +85,10 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame =
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame =
     lshPairsFromText(docs, idCol, textCol,
-      shingleHashes(_, shingleN), numHashes, bands)
+      shingleHashes(_, shingleN), numHashes, bands, maxBucketSize)
 
   /** [[minhashLshPairs]] over CHARACTER n-gram shingles — the
     * language-agnostic candidate generator for scripts where whitespace
@@ -121,10 +122,11 @@ object Dedup {
       charN: Int = 5,
       numHashes: Int = 16,
       bands: Int = 8,
-      sampleMod: Int = 1): DataFrame =
+      sampleMod: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame =
     lshPairsFromText(docs, idCol, textCol,
       t => hash60Array(charShingles(t, charN, keepLastCpMod = sampleMod)),
-      numHashes, bands)
+      numHashes, bands, maxBucketSize)
 
   /** Shared band-join candidate generation: spread the RAW text first
     * (the shingle/hash pipeline then runs after the exchange, on all
@@ -141,14 +143,17 @@ object Dedup {
       textCol: String,
       mkHashes: Column => Column,
       numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val buckets = Spread.ifNarrow(
-        docs.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol),
-        posexplode(minhashBuckets(mkHashes(col(textCol)), numHashes, bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val buckets = capHotBuckets(
+      Spread.ifNarrow(
+          docs.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol),
+          posexplode(minhashBuckets(mkHashes(col(textCol)), numHashes, bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucketSize)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
@@ -157,6 +162,44 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Hot-bucket frequency cap for the pair-enumeration band joins — the
+    * same scale lesson [[TextAnalysis.winnowOverlapPairs]] encodes with
+    * `maxDocFreq`: per-bucket self-join work is quadratic in bucket
+    * size, so ONE viral duplicate family (a boilerplate page crawled a
+    * million times) collapses into a single (band, bucket) cell and
+    * turns a linear band join into a 10^12-pair task. Buckets larger
+    * than `maxBucketSize` are dropped BEFORE the self-join: the
+    * frequency pass is a partial-aggregable groupBy over the band rows
+    * (hot buckets combine map-side) plus a left-semi join back — both
+    * linear shuffles on the same (band, bucket) key the pair join
+    * shuffles on anyway.
+    *
+    * Semantics of the cap: members of an over-cap bucket can still pair
+    * through their OTHER bands (an actual near-dup pair agrees on
+    * several bands with high probability), so moderate families degrade
+    * gracefully; a family so viral that ALL its buckets blow the cap
+    * produces no pairs at all — deliberate, the same trade as dropping
+    * corpus-frequency fingerprints in MOSS pipelines, and the
+    * survivor-selection APIs ([[dropDuplicatesKeepBest]]-style bucket
+    * ownership) remain the right tool for removing such families.
+    * `maxBucketSize <= 0` disables the cap (the pre-r10 behavior, for
+    * corpora known to be skew-free).
+    */
+  private[operators] def capHotBuckets(
+      bandRows: DataFrame,
+      bucketCols: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    if (maxBucketSize <= 0) bandRows
+    else {
+      val keys = bucketCols.map(col)
+      val small = bandRows.groupBy(keys: _*)
+        .agg(count(lit(1)).as("__bucket_n"))
+        .filter(col("__bucket_n") <= maxBucketSize)
+        .select(keys: _*)
+      bandRows.join(small, bucketCols, "left_semi")
+    }
   }
 
   /** Per-document SimHash fingerprint over the low `bits` bits of the
@@ -192,14 +235,17 @@ object Dedup {
       shingleN: Int = 3,
       bits: Int = 16,
       bands: Int = 4,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
-    val buckets = Spread.ifNarrow(
-        docs.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol),
-        inline(simhashBands(shingleHashes(col(textCol), shingleN),
-          bits, bands)))
+    val buckets = capHotBuckets(
+      Spread.ifNarrow(
+          docs.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol),
+          inline(simhashBands(shingleHashes(col(textCol), shingleN),
+            bits, bands))),
+      Seq("band", "band_bits"), maxBucketSize)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
@@ -288,8 +334,10 @@ object Dedup {
       threshold: Double = 0.3,
       shingleN: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame = {
-    val pairs = minhashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands)
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, shingleN, numHashes,
+      bands, maxBucketSize)
     val sh = Spread.ifNarrow(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
     pairs

@@ -135,11 +135,12 @@ object Multimodal {
       payloadCol: String = "payload",
       byteN: Int = 8,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame =
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame =
     Dedup.lshPairsFromText(df, idCol, payloadCol,
-      p => graft.functions.TextFunctions.hash60Array(
-        graft.functions.TextFunctions.byteShingles(p.cast(BinaryType), byteN)),
-      numHashes, bands)
+      p => graft.functions.TextFunctions.byteShingleHashes(
+        p.cast(BinaryType), byteN),
+      numHashes, bands, maxBucketSize)
 
   /** [[nearDupPairs]] candidates post-verified by EXACT byte-shingle
     * Jaccard — the same two-stage shape as
@@ -157,9 +158,11 @@ object Multimodal {
       byteN: Int = 8,
       numHashes: Int = 16,
       bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
     import graft.functions.TextFunctions.{byteShingles, jaccard}
-    val pairs = nearDupPairs(df, idCol, payloadCol, byteN, numHashes, bands)
+    val pairs = nearDupPairs(df, idCol, payloadCol, byteN, numHashes, bands,
+      maxBucketSize)
     val sh = Spread.ifNarrow(
         df.select(col(idCol), col(payloadCol)), col(idCol))
       .select(col(idCol),
@@ -191,7 +194,8 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       payloadCol: String = "payload",
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
     val bw = 64 / bands
     // bands = 1 means bw = 64, where `1L << 64` wraps to 1 (JVM shift
@@ -204,11 +208,13 @@ object Multimodal {
         graft.functions.ImageFunctions.dhash(col(payloadCol).cast(BinaryType))
           .as("dhash"))
       .filter(col("dhash").isNotNull)
-    val bandRows = hashed.select(col(idCol), col("dhash"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("dhash"), b * bw).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_bits")
+    val bandRows = Dedup.capHotBuckets(
+      hashed.select(col(idCol), col("dhash"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("dhash"), b * bw).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_bits"),
+      Seq("band", "band_bits"), maxBucketSize)
     val a = bandRows.as("a")
     val b = bandRows.as("b")
     a.join(b,

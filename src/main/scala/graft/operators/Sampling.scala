@@ -107,9 +107,12 @@ object Sampling {
     // values are recovered by a broadcast join on (stratum, surrogate) —
     // the top side is ≤ n rows per stratum, so the join is map-side; the
     // stratum equality is NULL-SAFE, so a null stratum is a real group
-    // (as groupBy treats it) rather than silently dropped. A 60-bit
-    // collision inside one stratum (p ≈ pairs/2^61) would emit both
-    // colliding rows at the same rank.
+    // (as groupBy treats it) rather than silently dropped. Two DISTINCT
+    // ids colliding on the 60-bit surrogate inside one stratum
+    // (p ≈ pairs/2^61) collapse at the dropDuplicates below: one of the
+    // two is arbitrarily kept and the other never reaches the sample —
+    // an accepted bias at that probability, not a duplicate-rank
+    // emission.
     val keyed = df.select(col(strataCol), col(idCol))
       .withColumn("__sid", hash60(col(idCol).cast("string")))
       .dropDuplicates(strataCol, "__sid")

@@ -333,7 +333,11 @@ object Events {
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", delay)
       .groupBy(
-        session_window(col("event_time"), s"${gapMicros / 1000000} seconds"),
+        // the interval carries the FULL micros value: "$g seconds" via
+        // integer division would silently truncate sub-second gaps (a
+        // 500ms gap became "0 seconds") while session_end still
+        // subtracted the full gapMicros
+        session_window(col("event_time"), s"$gapMicros microseconds"),
         col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
       .select(col("user_id"),

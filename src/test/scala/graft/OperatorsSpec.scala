@@ -55,6 +55,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("hot-bucket cap: a 10k-copy viral family produces zero pairs" +
+      " while a below-cap family still pairs fully") {
+    // 10k identical docs = one (band, bucket) cell per band holding 10k
+    // rows; uncapped this is a ~50M-pair self-join task. The cap drops
+    // those buckets BEFORE the join, so the query completes with pair
+    // output bounded by the below-cap families only.
+    val viral = spark.range(10000)
+      .select(col("id").as("doc_id"),
+        lit("the same viral boilerplate page text everywhere").as("text"))
+    val small = spark.range(10000, 10010)
+      .select(col("id").as("doc_id"),
+        lit("a rare snippet shared by ten documents only").as("text"))
+    val corpus = viral.unionAll(small)
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      maxBucketSize = 100).collect()
+    assert(capped.length === 45) // C(10,2) from the small family only
+    assert(capped.forall(r => r.getLong(0) >= 10000L && r.getLong(1) >= 10000L))
+    // maxBucketSize <= 0 disables the cap (pre-r10 behavior): spot-check
+    // on a corpus small enough to enumerate
+    val tiny = spark.range(60)
+      .select(col("id").as("doc_id"), lit("sixty identical docs").as("text"))
+    assert(Dedup.minhashLshPairs(tiny, "doc_id", "text", maxBucketSize = 0)
+      .count() === 60L * 59 / 2)
+    assert(Dedup.minhashLshPairs(tiny, "doc_id", "text", maxBucketSize = 50)
+      .count() === 0L)
+    // simhash band join honors the same cap
+    assert(Dedup.simhashNearDupPairs(tiny, "doc_id", "text",
+      maxBucketSize = 50).count() === 0L)
+  }
+
   test("char LSH pairs: finds exact dups; mod-sampling keeps them and" +
       " drops empty-sample docs instead of false-bucketing them") {
     val pairs = Dedup.minhashLshPairsChar(docs, "doc_id", "text").collect()
@@ -1194,7 +1224,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("multimodal payload near-dup: byte-shingle LSH pairs metadata" +
       " variants of the same bytes, not unrelated payloads; total on fuzz") {
     import graft.operators.Multimodal
-    import graft.functions.TextFunctions.byteShingles
+    import graft.functions.TextFunctions.{byteShingleHashes, byteShingles, hash60Array}
     val rnd = new scala.util.Random(42)
     val base = new Array[Byte](64); rnd.nextBytes(base)
     val other = new Array[Byte](64); rnd.nextBytes(other)
@@ -1224,6 +1254,16 @@ class OperatorsSpec extends AnyFunSuite {
       val b = new Array[Byte](rnd.nextInt(40)); rnd.nextBytes(b); (i.toLong, b)
     }.toDF("doc_id", "payload")
     Multimodal.nearDupPairs(fz, "doc_id").count() // must not throw
+    // fused hash path (r10): bit-identical to hashing the hex-string
+    // shingle set, element order included, across sizes around the
+    // window/whole-payload boundary and on fuzz payloads
+    val eq = d.unionAll(tiny).unionAll(fz)
+      .select(
+        byteShingleHashes(col("payload"), 8).as("fused"),
+        hash60Array(byteShingles(col("payload"), 8)).as("unfused"))
+      .collect()
+    eq.foreach(r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
   test("Multimodal.describe dispatches mixed payload kinds to the right" +
@@ -1317,6 +1357,19 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!one.contains((0L, 2L)) && !one.contains((1L, 2L)),
       "bands=1 must only pair identical dhashes")
+    // degenerate corpus: 300 identical thumbnails all hash to ONE
+    // dhash — every band bucket holds the whole corpus, the quadratic
+    // case the hot-bucket cap exists for
+    val flat = bmp((_, _) => 128)
+    val degenerate = spark.range(300)
+      .select(col("id").as("doc_id"), lit(flat).as("payload"))
+    assert(Multimodal.perceptualDupPairs(degenerate, "doc_id",
+      maxBucketSize = 100).count() === 0L)
+    assert(Multimodal.perceptualDupPairs(degenerate, "doc_id",
+      maxBucketSize = 0).count() === 300L * 299 / 2)
+    // byte-shingle payload pairs honor the same cap
+    assert(Multimodal.nearDupPairs(degenerate, "doc_id",
+      maxBucketSize = 100).count() === 0L)
   }
 
   test("AudioHeaders MP3: ID3 tag skipped, CBR frame estimate, non-" +
@@ -1330,6 +1383,9 @@ class OperatorsSpec extends AnyFunSuite {
     val frame = Array[Byte](0xff.toByte, 0xfb.toByte,
       ((9 << 4) | (0 << 2)).toByte, (1 << 6).toByte) ++
       Array.fill[Byte](996)(0)
+    // second sync word at the first frame boundary (fs = 417) — the
+    // r10 decoder verifies it before trusting the payload as MP3
+    frame(417) = 0xff.toByte; frame(418) = 0xfb.toByte
     val r = AudioHeaders.info(id3 ++ frame)
     assert(r !== null)
     assert(r.getUTF8String(0).toString === "mp3")
@@ -1337,11 +1393,17 @@ class OperatorsSpec extends AnyFunSuite {
     // frameSize = 144*128000/44100 = 417; floor(1000/417)=2 frames
     assert(r.getLong(4) === 2 * 1152L)
     assert(r.getLong(5) === 2 * 1152L * 1000 / 44100)
-    // bare sync (no tag), mono (mode 3), 32 kHz (idx 2)
+    // bare sync (no tag), mono (mode 3), 32 kHz (idx 2); fs = 144
     val bare = Array[Byte](0xff.toByte, 0xfb.toByte,
       ((1 << 4) | (2 << 2)).toByte, (3 << 6).toByte) ++
       Array.fill[Byte](500)(0)
+    bare(144) = 0xff.toByte; bare(145) = 0xfb.toByte
     val b = AudioHeaders.info(bare)
+    // garbage past the first frame boundary -> rejected (the 1-in-2000
+    // random-binary false positive the second-sync check exists for)
+    assert(AudioHeaders.info(Array[Byte](0xff.toByte, 0xfb.toByte,
+      ((1 << 4) | (2 << 2)).toByte, (3 << 6).toByte) ++
+      Array.fill[Byte](500)(7)) === null)
     assert(b !== null)
     assert(b.getInt(1) === 1 && b.getInt(2) === 32000)
     // MPEG-2 (version bits 10) and Layer II are out of scope -> null
