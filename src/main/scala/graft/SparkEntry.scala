@@ -859,6 +859,32 @@ object SparkEntry {
   private def tokenCountsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
 
+  /** Exact BPE counts under the fixture vocabulary (`a b`, `ab c`).
+    * Letter-only merge symbols keep every merge inside one pre-tokenizer
+    * piece, so the oracle's replace()-arithmetic over the raw text IS
+    * the merge walk: tokens = bytes - occ("ab") - occ("abc").
+    */
+  private def tokenCountsBpeQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCountsBpe(docs(s, dir), "doc_id", "text")
+
+  /** [[mixBudgetQ]]'s twin with the token denominator = EXACT BPE
+    * counts instead of n_chars — the verdict-r9 "trainer-accurate
+    * budgets" wiring, oracle-gated end to end (the oracle recomputes
+    * the BPE count arithmetically, then replays the whole
+    * budget-fraction + hash-sample pipeline on it).
+    */
+  private def mixBudgetBpeQ(s: SparkSession, dir: String): DataFrame = {
+    val withTokens = docs(s, dir).select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions
+        .bpeTokenCount(col("text"), graft.functions.Bpe.fixtureMerges)
+        .as("n_bpe_tokens"))
+    graft.operators.Sampling.mixToTokenBudget(
+      withTokens, "doc_id", "source", "n_bpe_tokens",
+      weights = Map("src0" -> 0.5, "src1" -> 0.3),
+      budget = 10000L,
+      defaultWeight = 0.2 / 18)
+  }
+
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
 
@@ -1949,6 +1975,8 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratifiedQ _),
     "split_assign"     -> (splitAssignQ _),
     "mix_budget"       -> (mixBudgetQ _),
+    "mix_budget_bpe"   -> (mixBudgetBpeQ _),
+    "token_counts_bpe" -> (tokenCountsBpeQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
     "knn_brute"        -> (knnBrute _),
@@ -2508,6 +2536,31 @@ object SparkEntry {
            FROM tot)
          SELECT d.doc_id, d.source, d.n_chars
          FROM documents d JOIN fr USING (source)
+         WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
+           < round(f * 1000000)""",
+    "token_counts_bpe" ->
+      """SELECT doc_id,
+         CAST(strlen(text)
+           - (strlen(text) - strlen(replace(text, 'ab', ''))) // 2
+           - (strlen(text) - strlen(replace(text, 'abc', ''))) // 3
+           AS BIGINT) AS n_bpe_tokens
+         FROM documents""",
+    "mix_budget_bpe" ->
+      s"""WITH bpe AS (SELECT doc_id, source,
+           CAST(strlen(text)
+             - (strlen(text) - strlen(replace(text, 'ab', ''))) // 2
+             - (strlen(text) - strlen(replace(text, 'abc', ''))) // 3
+             AS BIGINT) AS n_bpe_tokens
+           FROM documents),
+         tot AS (SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS tk
+           FROM bpe GROUP BY 1),
+         fr AS (SELECT source,
+             least(1.0, 10000 * (CASE WHEN source = 'src0' THEN 0.5
+                                      WHEN source = 'src1' THEN 0.3
+                                      ELSE 0.2 / 18 END) / tk) AS f
+           FROM tot)
+         SELECT d.doc_id, d.source, d.n_bpe_tokens
+         FROM bpe d JOIN fr USING (source)
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < round(f * 1000000)""",
     "split_assign" ->

@@ -73,6 +73,14 @@ object TextFunctions {
     toColumn(ByteShingleHashesExpr(toExpression(payload), n))
   }
 
+  /** Byte-level BPE token count under a merge table ([[BpeTokenCountExpr]])
+    * — the trainer-accurate counter for token-denominated decisions.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(BpeTokenCountExpr(toExpression(text), merges))
+  }
+
   /** Distinct character n-gram shingles (code-point indexed) — the
     * language-agnostic form of [[shingles]] for scripts without
     * whitespace word boundaries. Native one-pass ([[CharShinglesExpr]]).

@@ -95,6 +95,26 @@ object TextAnalysis {
           col("__tc").getField("n_re")), 6).as("chars_per_token"))
   }
 
+  /** EXACT byte-level BPE token counts under a merge table — the
+    * trainer-accurate upgrade over [[tokenCounts]]'s heuristics
+    * ([[graft.functions.BpeTokenCountExpr]]: GPT-2 pre-tokenizer regex,
+    * then the standard lowest-rank merge walk per piece). Pass a
+    * vocabulary loaded with [[graft.functions.Bpe.loadMerges]] (any
+    * published merges.txt) for production counts; the default fixture
+    * vocabulary is the oracle-checkable two-merge table. Same shape as
+    * every per-doc scorer here: one native pass, no shuffle, columnar
+    * prune to (id, text).
+    */
+  def tokenCountsBpe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges)
+      : DataFrame =
+    docs.select(col(idCol),
+      graft.functions.TextFunctions.bpeTokenCount(col(textCol), merges)
+        .as("n_bpe_tokens"))
+
   /** Corpus vocabulary: one row per distinct word with corpus-wide term
     * frequency and document frequency — the building block for
     * stopword/rare-word filtering and tokenizer vocab induction. One

@@ -55,6 +55,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("BPE token count: merge walk, pre-tokenizer pieces, merges.txt" +
+      " parsing with the byte-unicode alphabet") {
+    import graft.functions.{Bpe, TextFunctions}
+    def count(text: String, merges: Seq[(String, String)]): Long =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextFunctions.bpeTokenCount(col("t"), merges))
+        .collect()(0).getLong(0)
+    // fixture vocab: "abc abc" -> pieces "abc" / " abc"; each walks
+    // a,b,c -> ab,c -> abc; the leading space stays its own symbol
+    assert(count("abc abc", Bpe.fixtureMerges) === 3L)
+    assert(count("", Bpe.fixtureMerges) === 0L)
+    assert(count("xyz", Bpe.fixtureMerges) === 3L) // no merges apply
+    // the oracle arithmetic on a mixed sample: bytes - occ(ab) - occ(abc)
+    val s = "drab abacus, abc cab! ab abc"
+    val expected = s.getBytes.length -
+      "(?=ab)".r.findAllIn(s).length - "(?=abc)".r.findAllIn(s).length
+    assert(count(s, Bpe.fixtureMerges) === expected.toLong)
+    // chained merges collapse a whole word
+    val hello = Seq("h" -> "e", "l" -> "l", "he" -> "ll", "hell" -> "o")
+    assert(count("hello", hello) === 1L)
+    assert(count("hello hello", hello) === 3L) // " hello" keeps its space
+    // GPT-2 pre-tokenizer: contractions split off, digits split from
+    // letters, so cross-piece pairs never merge
+    assert(count("it's", Seq("t" -> "'")) === 4L)
+    assert(count("a1", Seq("a" -> "1")) === 2L)
+    // merges.txt parsing: version header skipped, Ġ (U+0120) is byte 32
+    assert(Bpe.parseMerges(Iterator("#version: 0.2", "a b", "ab c"))
+      === Bpe.fixtureMerges)
+    assert(Bpe.parseMerges(Iterator("Ġ t")) === Seq(" " -> "t"))
+    intercept[IllegalArgumentException] {
+      Bpe.parseMerges(Iterator("a b c"))
+    }
+  }
+
   test("hot-bucket cap: a 10k-copy viral family produces zero pairs" +
       " while a below-cap family still pairs fully") {
     // 10k identical docs = one (band, bucket) cell per band holding 10k
