@@ -802,6 +802,30 @@ object SparkEntry {
       trainedResidualCb(e, centroids, dir), m = 8, k = 5, probes = 2)
   }
 
+  /** Train-once-search-many roundtrip: the IVFADC artifacts (coarse
+    * centroids, trained residual codebook, corpus codes) are written to
+    * disk, loaded back, and searched via the encoded path — nothing
+    * in-memory crosses the boundary, so a hash-match against
+    * [[annIvfPqResidualQ]]'s oracle proves a LATER JOB could serve the
+    * same searches with zero retraining or re-encoding.
+    */
+  private def annIndexPersistQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = trainedResidualCb(e, centroids, dir)
+    val codes = Similarity.ivfPqResidualEncode(
+      e, "vec_id", "embedding", centroids, cb, m = 8)
+    val path = s"/tmp/graft_annidx_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.AnnIndex.write(path, centroids, cb, codes,
+      m = 8, residual = true)
+    val idx = graft.sources.AnnIndex.load(s, path)
+    require(idx.residual, "loaded index must be residual-coded")
+    Similarity.ivfPqResidualTopKEncoded(e.filter(col("vec_id") < 10),
+      idx.codes, "vec_id", "embedding", idx.centroids, idx.codebook,
+      idx.m, k = 5, probes = 2)
+  }
+
   /** Group top-k via the bounded-heap partial-aggregable Aggregator —
     * same result set as q3_window_topn's window plan, produced with no
     * per-key window sort (the skew-safe plan shape).
@@ -1530,6 +1554,22 @@ object SparkEntry {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("value_sum"))
 
+  /** [[streamingSessionizeQ]] under the RocksDB state store provider
+    * ([[graft.streaming.StateStores.withRocksDb]]): the provider swap is
+    * pure configuration, so the gate proves the custom-state operator
+    * emits IDENTICAL rows when its state lives off-heap — the backend a
+    * 100 TB event stream requires (per-executor memory bounded by the
+    * block cache, not the active-key count).
+    */
+  private def streamingSessionizeRocksQ(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateStores.withRocksDb(s) {
+      runStreamToTable(s,
+        Events.streamingSessionize(s, s"$dir/{events.parquet}",
+          gapMicros = 1800L * 1000 * 1000),
+        "stream_sessionize_rocksdb")
+    }.select(col("user_id"), col("session_start"), col("session_end"),
+      col("n_events"), col("value_sum"))
+
   /** Built-in `session_window` sessionization gate: Append-mode output
     * after an AvailableNow run holds exactly the sessions whose window
     * end (last event + gap) the final watermark (global max event time
@@ -1993,6 +2033,7 @@ object SparkEntry {
     "ann_pq_topk"      -> (annPqTopKQ _),
     "ann_ivfpq_topk"   -> (annIvfPqTopKQ _),
     "ann_ivfpq_residual" -> (annIvfPqResidualQ _),
+    "ann_index_persist" -> (annIndexPersistQ _),
     "group_topk"       -> (groupTopKQ _),
     "ngram_freq"       -> (ngramFreqQ _),
     "streaming_decontaminate" -> (streamingDecontaminateQ _),
@@ -2028,6 +2069,7 @@ object SparkEntry {
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
+    "streaming_sessionize_rocksdb" -> (streamingSessionizeRocksQ _),
     "streaming_sessionize_window" -> (streamingSessionizeWindowQ _),
     "streaming_multimodal" -> (streamingMultimodalQ _),
     "streaming_hourly" -> (streamingHourlyQ _),
@@ -2085,6 +2127,75 @@ object SparkEntry {
                      WHEN 2 THEN 4096 ELSE 8192 END)
                 ELSE NULL END AS BIGINT) AS duration_ms
          FROM z"""
+
+  /** Shared by streaming_sessionize and its RocksDB-state-store twin:
+    * the provider swap must not change a single output row. */
+  private lazy val dkStreamSessionizeSql: String =
+    """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (SELECT user_id, tsn, value,
+             CASE WHEN prev IS NULL OR tsn - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM l),
+         s AS (SELECT user_id, tsn, value,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsn
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM f),
+         g AS (SELECT user_id, session_idx, min(tsn) AS session_start,
+             max(tsn) AS session_end, count(*) AS n_events,
+             sum(value) AS value_sum
+           FROM s GROUP BY 1, 2),
+         m AS (SELECT user_id, max(session_idx) AS last_idx FROM g GROUP BY 1)
+         SELECT g.user_id, session_start, session_end, n_events, value_sum
+         FROM g JOIN m ON g.user_id = m.user_id
+           AND g.session_idx < m.last_idx"""
+
+  /** Shared by ann_ivfpq_residual and ann_index_persist: the persisted-
+    * index search must hash-match the in-session IVFADC pipeline, so one
+    * oracle serves both. */
+  private lazy val dkIvfPqResidualSql: String =
+    s"""WITH ${dkPqTrainFrom(
+        """cc AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vd0 FROM embeddings),
+         rranked AS (SELECT v0.vec_id, cc.centroid_id,
+             row_number() OVER (PARTITION BY v0.vec_id
+               ORDER BY round(list_cosine_similarity(vd0, cv), 6) DESC,
+                        centroid_id) AS rn
+           FROM v0, cc),
+         rasg1 AS (SELECT vec_id, centroid_id FROM rranked WHERE rn = 1),
+         v AS (SELECT v0.vec_id,
+             [v0.vd0[CAST(i AS INTEGER)] - cc.cv[CAST(i AS INTEGER)]
+               for i in range(1, 65)] AS vd
+           FROM v0 JOIN rasg1 ON v0.vec_id = rasg1.vec_id
+           JOIN cc ON cc.centroid_id = rasg1.centroid_id)""")},
+         a AS (SELECT code,
+             [round(x, 6) for x in flatten(list(cv ORDER BY sub))] AS av
+           FROM tc GROUP BY code),
+         $dkPqEncTail,
+         rasgp AS (SELECT vec_id, centroid_id FROM rranked WHERE rn <= 2),
+         sub AS (SELECT e.vec_id, e.j,
+             [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
+           FROM enc e JOIN a ON a.code = e.code),
+         reconr AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rres
+           FROM sub GROUP BY vec_id),
+         recon AS (SELECT r.vec_id,
+             [r.rres[CAST(i AS INTEGER)] + cc.cv[CAST(i AS INTEGER)]
+               for i in range(1, 65)] AS rv
+           FROM reconr r JOIN rasg1 ON r.vec_id = rasg1.vec_id
+           JOIN cc ON cc.centroid_id = rasg1.centroid_id),
+         sc AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv.vd0, r.rv), 6) AS cos_sim
+           FROM rasgp p JOIN rasg1 b ON p.centroid_id = b.centroid_id
+             AND p.vec_id <> b.vec_id
+           JOIN v0 qv ON qv.vec_id = p.vec_id
+           JOIN recon r ON r.vec_id = b.vec_id
+           WHERE p.vec_id < 10),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank
+           FROM sc)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
+         WHERE knn_rank <= 5"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2792,49 +2903,8 @@ object SparkEntry {
              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
          WHERE knn_rank <= 5""",
-    "ann_ivfpq_residual" ->
-      s"""WITH ${dkPqTrainFrom(
-        """cc AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-           FROM embeddings WHERE vec_id % 100 = 0),
-         v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vd0 FROM embeddings),
-         rranked AS (SELECT v0.vec_id, cc.centroid_id,
-             row_number() OVER (PARTITION BY v0.vec_id
-               ORDER BY round(list_cosine_similarity(vd0, cv), 6) DESC,
-                        centroid_id) AS rn
-           FROM v0, cc),
-         rasg1 AS (SELECT vec_id, centroid_id FROM rranked WHERE rn = 1),
-         v AS (SELECT v0.vec_id,
-             [v0.vd0[CAST(i AS INTEGER)] - cc.cv[CAST(i AS INTEGER)]
-               for i in range(1, 65)] AS vd
-           FROM v0 JOIN rasg1 ON v0.vec_id = rasg1.vec_id
-           JOIN cc ON cc.centroid_id = rasg1.centroid_id)""")},
-         a AS (SELECT code,
-             [round(x, 6) for x in flatten(list(cv ORDER BY sub))] AS av
-           FROM tc GROUP BY code),
-         $dkPqEncTail,
-         rasgp AS (SELECT vec_id, centroid_id FROM rranked WHERE rn <= 2),
-         sub AS (SELECT e.vec_id, e.j,
-             [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
-           FROM enc e JOIN a ON a.code = e.code),
-         reconr AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rres
-           FROM sub GROUP BY vec_id),
-         recon AS (SELECT r.vec_id,
-             [r.rres[CAST(i AS INTEGER)] + cc.cv[CAST(i AS INTEGER)]
-               for i in range(1, 65)] AS rv
-           FROM reconr r JOIN rasg1 ON r.vec_id = rasg1.vec_id
-           JOIN cc ON cc.centroid_id = rasg1.centroid_id),
-         sc AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round(list_cosine_similarity(qv.vd0, r.rv), 6) AS cos_sim
-           FROM rasgp p JOIN rasg1 b ON p.centroid_id = b.centroid_id
-             AND p.vec_id <> b.vec_id
-           JOIN v0 qv ON qv.vec_id = p.vec_id
-           JOIN recon r ON r.vec_id = b.vec_id
-           WHERE p.vec_id < 10),
-         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank
-           FROM sc)
-         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
-         WHERE knn_rank <= 5""",
+    "ann_ivfpq_residual" -> dkIvfPqResidualSql,
+    "ann_index_persist" -> dkIvfPqResidualSql,
     "group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -3138,25 +3208,8 @@ object SparkEntry {
                 WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS steps_reached
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          LEFT JOIN s3 ON s1.user_id = s3.user_id""",
-    "streaming_sessionize" ->
-      """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-           FROM events),
-         f AS (SELECT user_id, tsn, value,
-             CASE WHEN prev IS NULL OR tsn - prev > 1800000000 THEN 1 ELSE 0 END AS ns
-           FROM l),
-         s AS (SELECT user_id, tsn, value,
-             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsn
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-           FROM f),
-         g AS (SELECT user_id, session_idx, min(tsn) AS session_start,
-             max(tsn) AS session_end, count(*) AS n_events,
-             sum(value) AS value_sum
-           FROM s GROUP BY 1, 2),
-         m AS (SELECT user_id, max(session_idx) AS last_idx FROM g GROUP BY 1)
-         SELECT g.user_id, session_start, session_end, n_events, value_sum
-         FROM g JOIN m ON g.user_id = m.user_id
-           AND g.session_idx < m.last_idx""",
+    "streaming_sessionize" -> dkStreamSessionizeSql,
+    "streaming_sessionize_rocksdb" -> dkStreamSessionizeSql,
     "streaming_sessionize_window" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS tsn, value,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -542,14 +542,49 @@ object Similarity {
       codebook: Array[Array[Double]],
       m: Int,
       k: Int,
+      probes: Int = 1): DataFrame =
+    ivfPqTopKEncoded(queries,
+      ivfPqEncode(corpus, idCol, vecCol, centroids, codebook, m),
+      idCol, vecCol, centroids, codebook, m, k, probes)
+
+  /** The corpus half of [[ivfPqTopK]] on its own: cell assignment + PQ
+    * codes, `(neighbor_id, centroid_id, codes)`. This is the artifact a
+    * train-once-search-many pipeline persists
+    * ([[graft.sources.AnnIndex.write]]) — encoding is the only
+    * corpus-sized pass in the index build, so storing its output turns
+    * every later search job into a scan of m-int codes.
+    */
+  def ivfPqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        VF.pqEncode(col(vecCol), codebook, m).as("codes"))
+  }
+
+  /** The search half of [[ivfPqTopK]] over an already-encoded corpus
+    * (`enc` = [[ivfPqEncode]]'s output, fresh or loaded from a
+    * persisted index) — no corpus-side vector pass at all.
+    */
+  def ivfPqTopKEncoded(
+      queries: DataFrame,
+      enc: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int,
+      k: Int,
       probes: Int = 1): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
     val nCodes = codebook.length
     val norms = VF.pqSubNormSq(codebook, m)
-    // corpus: one cell per vector, codes instead of the raw vector
-    val c = ivfAssign(corpus, idCol, vecCol, centroids)
-      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
-        VF.pqEncode(col(vecCol), codebook, m).as("codes"))
+    val c = enc
     // queries: probes cells each, exact vector -> per-query ADC LUT
     val q = ivfAssignRanked(queries, idCol, vecCol, centroids, probes)
       .select(col(idCol).as("query_id"), col("centroid_id"),
@@ -584,6 +619,49 @@ object Similarity {
   def ivfPqResidualTopK(
       queries: DataFrame,
       corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      probes: Int = 1): DataFrame =
+    ivfPqResidualTopKEncoded(queries,
+      ivfPqResidualEncode(corpus, idCol, vecCol, centroids, codebook, m),
+      idCol, vecCol, centroids, codebook, m, k, probes)
+
+  /** The corpus half of [[ivfPqResidualTopK]]: cell assignment +
+    * residual PQ codes against each vector's own cell centroid —
+    * `(neighbor_id, centroid_id, codes)`, the persistable IVFADC index
+    * body ([[graft.sources.AnnIndex]]).
+    */
+  def ivfPqResidualEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val cents = broadcast(centroids.select(col("centroid_id"),
+      col("__cv").cast("array<double>").as("__cvd")))
+    ivfAssign(corpus, idCol, vecCol, centroids)
+      .join(cents, Seq("centroid_id"))
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        VF.pqEncode(zip_with(col(vecCol).cast("array<double>"),
+          col("__cvd"), (x, c) => x - c), codebook, m).as("codes"))
+  }
+
+  /** The search half of [[ivfPqResidualTopK]] over already-encoded
+    * residual codes (fresh or loaded from a persisted index): the
+    * per-cell fold tables are re-derived driver-side from the centroid
+    * frame — small by the IVF contract — so a loaded index needs only
+    * (centroids, codebook, codes) to reconstitute the full IVFADC
+    * search path with zero training or encoding work.
+    */
+  def ivfPqResidualTopKEncoded(
+      queries: DataFrame,
+      enc: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
@@ -629,12 +707,6 @@ object Similarity {
       broadcast(cellRows.toDF("centroid_id", "__cross", "__cnorm"))
     val cents = broadcast(centroids.select(col("centroid_id"),
       col("__cv").cast("array<double>").as("__cvd")))
-    // corpus: one cell per vector, residual codes instead of the vector
-    val enc = ivfAssign(corpus, idCol, vecCol, centroids)
-      .join(cents, Seq("centroid_id"))
-      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
-        VF.pqEncode(zip_with(col(vecCol).cast("array<double>"),
-          col("__cvd"), (x, c) => x - c), codebook, m).as("codes"))
     // queries: probes cells each; ONE residual-codebook LUT per query
     // row plus a per-(query, cell) dot(q, c) and the cell's fold table
     val q = ivfAssignRanked(queries, idCol, vecCol, centroids, probes)

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for trained ANN index artifacts — the
+  * train-once-search-many production shape. An IVF(-PQ) index is three
+  * artifacts plus a parameter row:
+  *
+  *  - `centroids`: the coarse quantizer, `(centroid_id, __cv)` — small
+  *    by the IVF contract (it is broadcast and driver-folded at search);
+  *  - `codebook`: the PQ sub-quantizer, `nCodes` rows of flattened
+  *    sub-centroids — tiny;
+  *  - `codes`: the encoded corpus `(neighbor_id, centroid_id, codes)` —
+  *    the ONLY corpus-sized piece, m ints per vector (~32× smaller than
+  *    the float vectors it replaces);
+  *  - `meta`: `(m, n_codes, residual)` so a loader cannot silently
+  *    mis-pair a residual-coded corpus with the raw-vector search path.
+  *
+  * [[write]]/[[load]] round-trip them as parquet under one base path:
+  * doubles round-trip bit-exactly, so a loaded search returns the SAME
+  * rows as the in-session pipeline that trained it
+  * ([[graft.operators.Similarity.ivfPqTopKEncoded]] /
+  * `ivfPqResidualTopKEncoded` consume nothing but these frames). Codes
+  * are laid out clustered by `centroid_id` — the search join key — so
+  * per-cell scans prune; for heavy cross-job reuse write them bucketed
+  * into the metastore instead ([[writeCodesBucketed]]) and the search
+  * join skips its corpus-side shuffle entirely.
+  */
+object AnnIndex {
+
+  /** A loaded index: everything the encoded search paths need. */
+  final case class Loaded(
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      codes: DataFrame,
+      m: Int,
+      residual: Boolean)
+
+  def write(
+      path: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      codes: DataFrame,
+      m: Int,
+      residual: Boolean): Unit = {
+    require(codebook.nonEmpty, "empty codebook")
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    // small artifacts: one file each, no point fanning out k rows
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    codebook.zipWithIndex
+      .map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("code", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, codebook.length, residual)).toDF("m", "n_codes", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // corpus codes: cluster files by the search join key so a probe of
+    // p cells reads ~p/cells of the data (row-group pruning on the
+    // sorted column), not the whole corpus
+    codes.repartition(col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Metastore-backed alternative for the codes table: bucketed by
+    * `centroid_id` via [[Tables.writeBucketed]], so every later search
+    * job's code-side join needs no shuffle at all.
+    */
+  def writeCodesBucketed(
+      codes: DataFrame,
+      path: String,
+      table: String,
+      buckets: Int): Unit =
+    Tables.writeBucketed(codes, path, table, Seq("centroid_id"), buckets)
+
+  def load(spark: SparkSession, path: String): Loaded = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"malformed index meta at $path")
+    val m = meta(0).getAs[Int]("m")
+    val nCodes = meta(0).getAs[Int]("n_codes")
+    val residual = meta(0).getAs[Boolean]("residual")
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+    require(cbRows.length == nCodes,
+      s"codebook has ${cbRows.length} rows, meta declares $nCodes")
+    val codebook = new Array[Array[Double]](nCodes)
+    cbRows.foreach { r =>
+      codebook(r.getAs[Int]("code")) = r.getSeq[Double](1).toArray
+    }
+    require(codebook.forall(_ != null), "codebook has gaps")
+    Loaded(
+      centroids = spark.read.parquet(s"$path/centroids"),
+      codebook = codebook,
+      codes = spark.read.parquet(s"$path/codes"),
+      m = m,
+      residual = residual)
+  }
+}

@@ -55,6 +55,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("AnnIndex: write/load round-trips centroids, codebook, codes and" +
+      " meta; loaded search equals in-session search for both PQ forms") {
+    import graft.sources.AnnIndex
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = Similarity.pqTrainCodebook(vecs, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    // raw-vector form
+    val codes = Similarity.ivfPqEncode(vecs, "vec_id", "embedding",
+      centroids, cb, m = 2)
+    AnnIndex.write(s"$dir/raw", centroids, cb, codes, m = 2, residual = false)
+    val raw = AnnIndex.load(spark, s"$dir/raw")
+    assert(!raw.residual && raw.m === 2)
+    assert(raw.codebook.map(_.toSeq).toSeq === cb.map(_.toSeq).toSeq)
+    val qs = vecs.filter(col("vec_id") < 5)
+    val fresh = Similarity.ivfPqTopK(qs, vecs, "vec_id", "embedding",
+      centroids, cb, m = 2, k = 3, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val loaded = Similarity.ivfPqTopKEncoded(qs, raw.codes, "vec_id",
+      "embedding", raw.centroids, raw.codebook, raw.m, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(loaded === fresh)
+    // residual form (IVFADC)
+    val rcodes = Similarity.ivfPqResidualEncode(vecs, "vec_id", "embedding",
+      centroids, cb, m = 2)
+    AnnIndex.write(s"$dir/res", centroids, cb, rcodes, m = 2, residual = true)
+    val res = AnnIndex.load(spark, s"$dir/res")
+    assert(res.residual)
+    val freshR = Similarity.ivfPqResidualTopK(qs, vecs, "vec_id",
+      "embedding", centroids, cb, m = 2, k = 3, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val loadedR = Similarity.ivfPqResidualTopKEncoded(qs, res.codes,
+      "vec_id", "embedding", res.centroids, res.codebook, res.m,
+      k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(loadedR === freshR)
+  }
+
   test("BPE token count: merge walk, pre-tokenizer pieces, merges.txt" +
       " parsing with the byte-unicode alphabet") {
     import graft.functions.{Bpe, TextFunctions}
