@@ -1140,6 +1140,18 @@ object SparkEntry {
     d.select(col("doc_id"), unhex(payloadHex).as("payload"))
   }
 
+  /** Media curation gate over the constructed near-dup payload families:
+    * the 58-byte truncated variant falls to the size gate, then each
+    * family's surviving variants collapse to their smallest id by
+    * byte-shingle bucket ownership. The payloads are md5-derived bytes —
+    * undecodable by construction — so the metadata row is byte_len +
+    * null kind/format, which the oracle states literally; the decodable
+    * branches of describe are gated by `multimodal_describe`.
+    */
+  private def curateMediaQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curateMedia(
+      neardupPayloads(s, dir), "doc_id", "payload", minBytes = 60)
+
   private def multimodalNeardupQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.nearDupPairs(neardupPayloads(s, dir), "doc_id", "payload",
       byteN = 8, numHashes = 16, bands = 8)
@@ -2053,6 +2065,7 @@ object SparkEntry {
     "multimodal_audio" -> (multimodalAudioQ _),
     "multimodal_video" -> (multimodalVideoQ _),
     "multimodal_neardup" -> (multimodalNeardupQ _),
+    "curate_media" -> (curateMediaQ _),
     "multimodal_neardup_verified" -> (multimodalNeardupVerifiedQ _),
     "multimodal_mp3"   -> (multimodalMp3Q _),
     "multimodal_webm"  -> (multimodalWebmQ _),
@@ -3064,6 +3077,23 @@ object SparkEntry {
            CAST(CASE WHEN m = 3 THEN NULL ELSE h END AS INTEGER) AS height
          FROM d""",
     "multimodal_neardup" -> dkPayloadNeardup,
+    "curate_media" ->
+      s"""WITH $dkPayloadBk,
+         sz AS (SELECT doc_id, len(ph) // 2 AS bl FROM p
+           WHERE len(ph) // 2 >= 60),
+         bkg AS (SELECT bk.doc_id, bk.band, bk.bucket
+           FROM bk JOIN sz USING (doc_id)),
+         own AS (SELECT band, bucket, min(doc_id) AS owner
+           FROM bkg GROUP BY 1, 2),
+         losers AS (SELECT DISTINCT bkg.doc_id FROM bkg
+           JOIN own USING (band, bucket) WHERE own.owner < bkg.doc_id)
+         SELECT doc_id, CAST(bl AS BIGINT) AS byte_len,
+           CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS format,
+           CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS channels,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS BIGINT) AS duration_ms
+         FROM sz WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
     "multimodal_neardup_verified" -> dkPayloadNeardupVerified,
     "multimodal_dhash" ->
       s"""WITH $dkDhash

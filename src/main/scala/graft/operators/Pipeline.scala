@@ -106,4 +106,93 @@ object Pipeline {
     }
     Sampling.assignSplit(d, idCol, splits)
   }
+
+  /** [[curate]]'s multimodal sibling — the crawl-media composition:
+    * size gate → optional decodability gate → exact content dedup →
+    * byte-shingle near-dup ownership → optional perceptual (dHash)
+    * ownership → normalized metadata ([[Multimodal.describe]]). Stage
+    * order mirrors [[curate]]'s reasoning: the byte-length predicate
+    * pipelines into the scan before anything shuffles; both dedups are
+    * bucket-OWNERSHIP rules (one partial-aggregable min per bucket + an
+    * anti join — never pair enumeration, so a million-copy meme family
+    * costs one combined row per bucket, not 10^12 pairs); the header
+    * walks that produce metadata run once over the surviving rows only.
+    *
+    * The perceptual pass complements the byte pass exactly as
+    * [[Multimodal.perceptualDupPairs]] complements
+    * [[Multimodal.nearDupPairs]]: byte shingles drop re-hosted copies of
+    * the same BYTES, dHash bands drop re-encodes of the same PICTURE;
+    * payloads dHash cannot decode are exempt from the perceptual rule.
+    * With `requireDecodable` the describe chain runs twice (once as the
+    * gate, once over survivors) — two cheap stateless per-row walks, no
+    * extra shuffle.
+    *
+    * Output: one [[Multimodal.describe]] metadata row per surviving
+    * payload.
+    */
+  def curateMedia(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String = "payload",
+      minBytes: Long = 1L,
+      maxBytes: Long = Long.MaxValue,
+      requireDecodable: Boolean = false,
+      byteN: Int = 8,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      perceptual: Boolean = false,
+      dhashBands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions.TextFunctions.byteShingleHashes
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(dhashBands > 0 && 64 % dhashBands == 0,
+      "dhashBands must divide 64")
+    val p = col(payloadCol).cast(BinaryType)
+    val len = octet_length(p)
+    var d = df.select(col(idCol), col(payloadCol))
+      .filter(len >= minBytes && len <= maxBytes)
+    if (requireDecodable)
+      d = d.join(
+        Multimodal.describe(d, idCol, payloadCol)
+          .filter(col("kind").isNotNull).select(col(idCol)),
+        Seq(idCol), "left_semi")
+    // exact content dedup: hash groups keep their smallest id
+    val keepExact = d
+      .groupBy(md5(p).as("__ph"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    d = d.join(keepExact, Seq(idCol), "left_semi")
+    // byte-shingle MinHash bucket ownership
+    val bandRows = d.select(col(idCol),
+        posexplode(minhashBuckets(byteShingleHashes(p, byteN),
+          numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val owners = bandRows.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("__owner"))
+    val losers = bandRows.join(owners, Seq("band", "bucket"))
+      .filter(col("__owner") < col(idCol))
+      .select(col(idCol)).distinct()
+    d = d.join(losers, Seq(idCol), "left_anti")
+    if (perceptual) {
+      val bw = 64 / dhashBands
+      // 1L << 64 wraps (JVM shift mod 64): full-width band needs -1L
+      val mask = if (bw == 64) -1L else (1L << bw) - 1
+      val hashed = d.select(col(idCol),
+          graft.functions.ImageFunctions.dhash(p).as("__dh"))
+        .filter(col("__dh").isNotNull)
+      val pBands = hashed.select(col(idCol),
+          posexplode(array((0 until dhashBands).map(b =>
+            shiftright(col("__dh"), b * bw).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_bits")
+      val pOwners = pBands.groupBy(col("band"), col("band_bits"))
+        .agg(min(col(idCol)).as("__owner"))
+      val pLosers = pBands.join(pOwners, Seq("band", "band_bits"))
+        .filter(col("__owner") < col(idCol))
+        .select(col(idCol)).distinct()
+      d = d.join(pLosers, Seq(idCol), "left_anti")
+    }
+    Multimodal.describe(d, idCol, payloadCol)
+  }
 }

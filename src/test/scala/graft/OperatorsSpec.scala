@@ -55,6 +55,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("describe cost contract: each header walk appears exactly once" +
+      " in the plan; adversarial magic prefixes yield null, never throw") {
+    import graft.operators.Multimodal
+    // the payload must derive from a non-foldable column: a literal (or
+    // a local Seq) is constant-folded at plan time and leaves no decode
+    // expression to inspect
+    val d = spark.range(1).select(col("id").as("doc_id"),
+      concat(lit("BM"), col("id").cast("string")).cast("binary")
+        .as("payload"))
+    // every output column consumes the probe structs several times; if
+    // CollapseProject ever inlined them, a decoder would run once PER
+    // CONSUMER instead of once per row — count each decode expression
+    // in the optimized plan to pin the contract
+    val plan = Multimodal.describe(d, "doc_id")
+      .queryExecution.optimizedPlan.toString
+    for (ex <- Seq("imagedimsexpr", "audioinfoexpr", "videoinfoexpr",
+        "webminfoexpr")) {
+      val n = ex.r.findAllIn(plan.toLowerCase).length
+      assert(n === 1, s"$ex appears $n times in plan:\n$plan")
+    }
+    // adversarial prefixes: right magic, garbage body — each decoder
+    // must fall through to null without throwing, and a payload can
+    // match at most one kind
+    val adv = Seq(
+      1L -> ("RIFF".getBytes ++ Array.fill[Byte](20)(99)), // RIFF, no WAVE
+      2L -> "ID3".getBytes, // ID3 magic, truncated tag
+      3L -> (Array[Byte](0x89.toByte, 'P', 'N', 'G') ++
+        Array.fill[Byte](4)(0)), // PNG magic, no IHDR
+      4L -> (Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte) ++
+        Array.fill[Byte](30)(0x7f)), // EBML magic, garbage body
+      5L -> (Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes ++
+        Array.fill[Byte](4)(0x55))) // mp4 box, unknown brand
+      .toDF("doc_id", "payload")
+    val out = Multimodal.describe(adv, "doc_id").collect()
+    assert(out.length === 5)
+    out.foreach(r => assert(r.isNullAt(2), s"row $r should be undecodable"))
+  }
+
+  test("curateMedia: size gate, exact + byte-shingle + perceptual" +
+      " ownership compose; survivors keep describe metadata") {
+    import graft.operators.Pipeline
+    val rnd = new scala.util.Random(99)
+    val base = new Array[Byte](64); rnd.nextBytes(base)
+    def bmp(seed: Int, tweak: Int): Array[Byte] = {
+      def le(v: Long, n: Int) = Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+      val hdr = "BM".getBytes ++ le(278, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(9, 4) ++ le(8, 4) ++ le(1, 2) ++ le(24, 2) ++
+        Array.fill[Byte](24)(0)
+      val px = for (y <- 0 until 8; x <- 0 until 9; _ <- 0 until 3)
+        yield (((x * 29 + y * 53 + seed) % 256) +
+          (if (x == 0 && y == 0) tweak else 0)).toByte
+      // 9px * 3B = 27B rows pad to 28
+      val rows = px.grouped(27).flatMap(_ ++ Seq(0.toByte)).toArray
+      hdr ++ rows
+    }
+    val d = Seq(
+      (0L, base),                            // byte family owner
+      (1L, Array[Byte](9, 9) ++ base),       // re-hosted copy -> dropped
+      (2L, base),                            // exact dup -> dropped
+      (3L, bmp(0, 0)),                       // picture family owner
+      (4L, bmp(0, 9)),                       // re-encode (1px) -> dropped
+      (5L, bmp(170, 0)),                     // unrelated picture survives
+      (6L, Array[Byte](1, 2)))               // below size gate
+      .toDF("doc_id", "payload")
+    val out = Pipeline.curateMedia(d, "doc_id", minBytes = 10,
+      perceptual = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(0L, 3L, 5L))
+    assert(out(3L).getString(2) === "image") // describe metadata attached
+    assert(out(0L).isNullAt(2))              // raw bytes stay null-kind
+    // requireDecodable drops the raw-byte rows before any dedup
+    val dec = Pipeline.curateMedia(d, "doc_id", minBytes = 10,
+      requireDecodable = true, perceptual = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(dec === Set(3L, 5L))
+  }
+
   test("AnnIndex: write/load round-trips centroids, codebook, codes and" +
       " meta; loaded search equals in-session search for both PQ forms") {
     import graft.sources.AnnIndex
