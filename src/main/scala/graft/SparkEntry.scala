@@ -1920,7 +1920,10 @@ object SparkEntry {
          ELSE [text] END AS sh FROM documents),
        h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM c),
        sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
-       bk AS ($bucketSelects)
+       bk0 AS ($bucketSelects),
+       small AS (SELECT band, bucket FROM bk0 GROUP BY 1, 2
+         HAVING count(*) <= 1000),
+       bk AS (SELECT bk0.* FROM bk0 JOIN small USING (band, bucket))
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
         AND a.doc_id < b.doc_id"""
