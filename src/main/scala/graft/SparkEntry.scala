@@ -1680,12 +1680,13 @@ object SparkEntry {
        pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
           AND a.doc_id < b.doc_id),
+       h60 AS (SELECT doc_id, [${dkHash("x")} for x in sh] AS hsf FROM s),
        jc AS (SELECT pr.id_a, pr.id_b,
-           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+           round(CAST(len(list_intersect(sa.hsf, sb.hsf)) AS DOUBLE) /
+             (len(sa.hsf) + len(sb.hsf) - len(list_intersect(sa.hsf, sb.hsf))),
              6) AS jaccard
-         FROM pr JOIN s sa ON sa.doc_id = pr.id_a
-         JOIN s sb ON sb.doc_id = pr.id_b)
+         FROM pr JOIN h60 sa ON sa.doc_id = pr.id_a
+         JOIN h60 sb ON sb.doc_id = pr.id_b)
        SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= 0.5"""
 
   /** Arithmetic re-derivation of the constructed-BMP dHash (CTE chain

@@ -286,6 +286,65 @@ object Stress {
       Similarity.pqTrainSubCentroids(embs, "vec_id", "embedding",
         m = 8, k = 8, iters = 1, sampleFraction = 0.2)
     }
+    time("capped_viral_family") {
+      // r10 scale-killer case: a 50k-copy viral duplicate family on top
+      // of the replicated corpus. Uncapped, its band buckets would emit
+      // ~1.2e9 pairs from ONE join task; the hot-bucket cap drops those
+      // buckets pre-join, so the pair output is bounded by the ordinary
+      // corpus families and the query stays linear
+      val viral = spark.range(50000)
+        .select((col("id") + 900000000L).as("doc_id"),
+          lit("the same viral boilerplate page text crawled everywhere")
+            .as("text"))
+      Dedup.minhashLshPairs(
+        docs.select(col("doc_id"), col("text")).unionAll(viral),
+        "doc_id", "text", maxBucketSize = 1000)
+    }
+    time("bpe_token_counts") {
+      // native merge walk over the replicated corpus with a 26-merge
+      // table: per-row cost is the pre-tokenizer regex + a short
+      // per-piece loop, no shuffle — must scale with corpus bytes
+      val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d",
+        "i" -> "n", "in" -> "g", "e" -> "r", "o" -> "n", "r" -> "e",
+        "e" -> "d", "o" -> "r", "e" -> "n", "a" -> "t", "e" -> "s",
+        "s" -> "t", "o" -> "u", "l" -> "l", "a" -> "r", "i" -> "t",
+        "o" -> "f", "th" -> "at", "a" -> "l", "c" -> "o", "co" -> "m",
+        "d" -> "e", "m" -> "e")
+      TextAnalysis.tokenCountsBpe(docs, "doc_id", "text", merges)
+    }
+    time("curate_media_10x") {
+      // the media curation composition with text bytes standing in for
+      // payloads: replication makes every payload a 10-way exact+near
+      // dup family — both ownership stages absorb it map-side
+      graft.operators.Pipeline.curateMedia(
+        docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", minBytes = 50)
+    }
+    locally {
+      // ANN index persistence at 10x: train the IVFADC artifacts, write
+      // them (codes clustered on the search key), load, search — the
+      // write+load legs are what a train-once-search-many pipeline pays
+      // once per corpus instead of per job
+      val t0 = System.nanoTime()
+      val cents = Similarity.trainCentroids(embs, "vec_id", "embedding",
+        k = 64, iters = 1)
+      val cb = Similarity.pqTrainCodebook(embs, "vec_id", "embedding",
+        m = 8, k = 64, iters = 1, sampleFraction = 0.2)
+      val codes = Similarity.ivfPqResidualEncode(embs, "vec_id",
+        "embedding", cents, cb, m = 8)
+      val path = "/tmp/graft_stress_annidx"
+      graft.sources.AnnIndex.write(path, cents, cb, codes,
+        m = 8, residual = true)
+      val tWrite = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val idx = graft.sources.AnnIndex.load(spark, path)
+      val queries = embs.filter(col("vec_id") % 997 === 0)
+      Similarity.ivfPqResidualTopKEncoded(queries, idx.codes, "vec_id",
+        "embedding", idx.centroids, idx.codebook, idx.m, k = 5, probes = 2)
+        .write.format("noop").mode("overwrite").save()
+      println(f"STRESS ann_index_roundtrip     ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  (train+encode+write $tWrite%.2f s, load+search ${(System.nanoTime() - t1) / 1e9}%.2f s, ${mult}x corpus)")
+    }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
       // case AQE skew-split or explicit salting must break up

@@ -150,6 +150,15 @@ object Multimodal {
     * `threshold`. Two extra equi-joins re-attach the shingle sets to
     * the (near-linear) pair endpoints; the per-pair intersection is a
     * native array op.
+    *
+    * The overlap is computed on the 60-BIT SHINGLE HASHES
+    * ([[graft.functions.ByteShingleHashesExpr]]), not the hex shingle
+    * strings: 8 bytes per distinct window instead of 2n hex chars +
+    * object overhead (~10× less heap and shuffle on the re-attach
+    * joins — the r9-flagged OOM risk for multi-MB payloads), and the
+    * Jaccard over hash sets equals the string-set value exactly unless
+    * two distinct windows collide in 60 bits (p ≈ 2^-60 per pair —
+    * below any threshold's resolution).
     */
   def nearDupPairsVerified(
       df: DataFrame,
@@ -160,13 +169,13 @@ object Multimodal {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
-    import graft.functions.TextFunctions.{byteShingles, jaccard}
+    import graft.functions.TextFunctions.{byteShingleHashes, jaccard}
     val pairs = nearDupPairs(df, idCol, payloadCol, byteN, numHashes, bands,
       maxBucketSize)
     val sh = Spread.ifNarrow(
         df.select(col(idCol), col(payloadCol)), col(idCol))
       .select(col(idCol),
-        byteShingles(col(payloadCol).cast(BinaryType), byteN).as("__sh"))
+        byteShingleHashes(col(payloadCol).cast(BinaryType), byteN).as("__sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")),
         Seq("id_a"))
