@@ -186,6 +186,16 @@ object Dedup {
     * ownership) remain the right tool for removing such families.
     * `maxBucketSize <= 0` disables the cap (the pre-r10 behavior, for
     * corpora known to be skew-free).
+    *
+    * Join direction matters at scale: the exclusion is an ANTI join
+    * against the OVER-cap bucket list, not a semi join against the
+    * under-cap one — over-cap buckets are by definition few (a corpus
+    * where they were common would be one giant duplicate family), so
+    * the build side is a handful of rows that AQE broadcasts and the
+    * band-row probe side never shuffles for the cap at all; on a
+    * skew-free corpus the build side is EMPTY and the cap costs one
+    * partial-aggregated count pass. A semi join would instead build on
+    * #distinct-buckets rows — corpus-sized.
     */
   private[operators] def capHotBuckets(
       bandRows: DataFrame,
@@ -194,11 +204,11 @@ object Dedup {
     if (maxBucketSize <= 0) bandRows
     else {
       val keys = bucketCols.map(col)
-      val small = bandRows.groupBy(keys: _*)
+      val hot = bandRows.groupBy(keys: _*)
         .agg(count(lit(1)).as("__bucket_n"))
-        .filter(col("__bucket_n") <= maxBucketSize)
+        .filter(col("__bucket_n") > maxBucketSize)
         .select(keys: _*)
-      bandRows.join(small, bucketCols, "left_semi")
+      bandRows.join(hot, bucketCols, "left_anti")
     }
   }
 
