@@ -644,6 +644,15 @@ object SparkEntry {
       minChars = 250, maxChars = 100000)
       .select(col("doc_id"), col("split"))
 
+  /** Start-addressed sequence packing gate: n_chars stands in for the
+    * token count; the oracle replays the bucket hash + exclusive window
+    * cumsum + div/mod arithmetic verbatim.
+    */
+  private def packSequencesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packSequences(
+      docs(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", seqTokens = 2048L, nBuckets = 8)
+
   private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedHashSample(
       t(s, dir, "documents"), "doc_id", "lang",
@@ -2033,6 +2042,7 @@ object SparkEntry {
     "mix_budget"       -> (mixBudgetQ _),
     "mix_budget_bpe"   -> (mixBudgetBpeQ _),
     "token_counts_bpe" -> (tokenCountsBpeQ _),
+    "pack_sequences"   -> (packSequencesQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
     "knn_brute"        -> (knnBrute _),
@@ -2691,6 +2701,18 @@ object SparkEntry {
          FROM bpe d JOIN fr USING (source)
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < round(f * 1000000)""",
+    "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         b AS (SELECT doc_id, n_chars, h, h % 8 AS pack_bucket FROM d),
+         c AS (SELECT *, COALESCE(sum(n_chars) OVER (
+             PARTITION BY pack_bucket ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM b)
+         SELECT doc_id, n_chars, CAST(pack_bucket AS BIGINT) AS pack_bucket,
+           CAST(st // 2048 AS BIGINT) AS pack_id,
+           CAST(st % 2048 AS BIGINT) AS pack_offset
+         FROM c""",
     "split_assign" ->
       s"""SELECT doc_id,
          CASE WHEN h < 800000 THEN 'train'

@@ -171,4 +171,55 @@ object Sampling {
     }
     stratifiedHashSample(df, idCol, domainCol, fractions)
   }
+
+  /** Deterministic sequence packing — assign every document a position
+    * in a fixed-token-budget training sequence (the "packing" step that
+    * turns a curated corpus into trainer input, usually done by a
+    * sequential writer; here it is a pure function of the corpus so it
+    * distributes and reproduces).
+    *
+    * Layout rule: documents are laid end-to-end in id-hash order inside
+    * `nBuckets` independent hash buckets; a document belongs to the pack
+    * its FIRST token lands in (`pack_id = start div seqTokens`). This is
+    * start-addressed packing: wholly window-expressible (one exclusive
+    * cumulative sum per bucket), and each pack's payload is bounded by
+    * `seqTokens + (maxDocTokens - 1)` — a document crossing a boundary
+    * overflows its pack rather than moving, which is the standard
+    * "pack then truncate/continue" trainer contract (exact greedy
+    * first-fit is inherently sequential — a per-corpus scan — and
+    * cannot be both distributed and deterministic). Documents longer
+    * than `seqTokens` keep their start pack; `pack_offset` tells the
+    * consumer where inside the pack the document begins.
+    *
+    * Scale shape: ONE window, partitioned by the hash bucket — the
+    * bucket count is the parallelism knob (each bucket sorts corpus/n
+    * rows; at real scale set `nBuckets` ≈ cluster cores so per-task
+    * sort stays RAM-sized). Membership and order are id-hash functions:
+    * re-runs, retries, and engine changes reproduce identical packs.
+    *
+    * Output: (id, tokenCol, pack_bucket, pack_id, pack_offset) — global
+    * pack key = (pack_bucket, pack_id).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      seqTokens: Long,
+      nBuckets: Int = 32): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_bucket"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(tokenCol),
+        hash60(col(idCol).cast("string")).as("__h"))
+      .withColumn("pack_bucket", pmod(col("__h"), lit(nBuckets.toLong)))
+      .withColumn("__start",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .select(col(idCol), col(tokenCol),
+        col("pack_bucket"),
+        (col("__start") / seqTokens).cast("long").as("pack_id"),
+        pmod(col("__start"), lit(seqTokens)).as("pack_offset"))
+  }
 }

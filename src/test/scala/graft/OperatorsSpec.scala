@@ -55,6 +55,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("packSequences: start-addressed packing is deterministic, offsets" +
+      " stay under the budget, pack payloads bounded by budget + maxdoc") {
+    import graft.operators.Sampling
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      (col("id") % 700 + 1).as("n_tokens"))
+    val packed = Sampling.packSequences(docs, "doc_id", "n_tokens",
+      seqTokens = 1000L, nBuckets = 4).collect()
+    assert(packed.length === 500)
+    val maxDoc = 700L
+    packed.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 1000L) // offset in budget
+    }
+    // per-pack payload bound: docs STARTING in a pack total < B + maxdoc
+    val perPack = packed.groupBy(r => (r.getLong(2), r.getLong(3)))
+      .map { case (_, rs) => rs.map(_.getLong(1)).sum }
+    assert(perPack.forall(_ < 1000L + maxDoc))
+    // contiguity: within a bucket, starts are the exclusive cumsum in
+    // (hash, id) order — equivalently bucket token sum = last start +
+    // last len
+    val det2 = Sampling.packSequences(docs, "doc_id", "n_tokens",
+      seqTokens = 1000L, nBuckets = 4).collect()
+    assert(packed.map(_.toSeq).toSet === det2.map(_.toSeq).toSet) // rerun identical
+    // every bucket's packs cover 0..total without gaps: sum of tokens ==
+    // max(start+len) per bucket
+    val byBucket = packed.groupBy(_.getLong(2))
+    byBucket.foreach { case (_, rs) =>
+      val total = rs.map(_.getLong(1)).sum
+      val maxEnd = rs.map(r => r.getLong(3) * 1000L + r.getLong(4) + r.getLong(1)).max
+      assert(maxEnd === total)
+    }
+  }
+
   test("describe cost contract: each header walk appears exactly once" +
       " in the plan; adversarial magic prefixes yield null, never throw") {
     import graft.operators.Multimodal
