@@ -900,6 +900,17 @@ object SparkEntry {
   private def tokenCountsBpeQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCountsBpe(docs(s, dir), "doc_id", "text")
 
+  /** BPE-boundary chunking gate: chunk_text is a byte slice no SQL
+    * engine re-derives cheaply, so the oracle checks the WINDOW
+    * arithmetic — per-chunk token counts from the fixture-vocab total
+    * (the slicing itself is spec-pinned: chunks reassemble to the
+    * original text at overlap 0).
+    */
+  private def chunkTokensBpeQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByTokensBpe(docs(s, dir), "doc_id", "text",
+      chunkTokens = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+
   /** [[mixBudgetQ]]'s twin with the token denominator = EXACT BPE
     * counts instead of n_chars — the verdict-r9 "trainer-accurate
     * budgets" wiring, oracle-gated end to end (the oracle recomputes
@@ -2042,6 +2053,7 @@ object SparkEntry {
     "mix_budget"       -> (mixBudgetQ _),
     "mix_budget_bpe"   -> (mixBudgetBpeQ _),
     "token_counts_bpe" -> (tokenCountsBpeQ _),
+    "chunk_tokens_bpe" -> (chunkTokensBpeQ _),
     "pack_sequences"   -> (packSequencesQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
@@ -2701,6 +2713,21 @@ object SparkEntry {
          FROM bpe d JOIN fr USING (source)
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < round(f * 1000000)""",
+    "chunk_tokens_bpe" ->
+      """WITH t AS (SELECT doc_id,
+           strlen(text)
+             - (strlen(text) - strlen(replace(text, 'ab', ''))) // 2
+             - (strlen(text) - strlen(replace(text, 'abc', ''))) // 3
+             AS total
+         FROM documents),
+         n AS (SELECT doc_id, total,
+           greatest(1, CAST(ceil((total - 16) / 48.0) AS BIGINT)) AS nch
+         FROM t),
+         c AS (SELECT doc_id, total,
+           unnest(range(0, nch)) AS cid FROM n)
+         SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+           CAST(least(cid * 48 + 64, total) - cid * 48 AS INTEGER) AS n_tokens
+         FROM c""",
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
            ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),

@@ -3,8 +3,8 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-level BPE (the GPT-2 tokenizer family, Radford et al. 2019 —
@@ -93,32 +93,28 @@ object Bpe {
   * shipped once per task like any literal); the rank map is rebuilt
   * lazily per JVM, not per row.
   */
-case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+/** Shared merge-walk machinery for the BPE expressions. */
+trait BpeWalk {
+  def merges: Seq[(String, String)]
 
-  override def dataType: DataType = LongType
-
-  @transient private lazy val ranks: Map[(String, String), Int] =
+  @transient protected lazy val ranks: Map[(String, String), Int] =
     merges.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
 
   // GPT-2's pre-tokenizer pattern; UNICODE_CHARACTER_CLASS makes \s
   // match unicode whitespace as Python's re does
-  @transient private lazy val piecePattern: java.util.regex.Pattern =
+  @transient protected lazy val piecePattern: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(
       "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
       java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var total = 0L
-    val m = piecePattern.matcher(s)
-    while (m.find()) total += countPiece(m.group())
-    total
-  }
-
-  private def countPiece(piece: String): Int = {
+  /** Byte lengths of this piece's tokens after the merge walk, appended
+    * to `out` in order (their sum is the piece's UTF-8 byte length).
+    */
+  protected def pieceTokenLens(piece: String,
+      out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
     val bytes = piece.getBytes(StandardCharsets.UTF_8)
-    if (bytes.length <= 1) return bytes.length
+    if (bytes.length == 0) return
+    if (bytes.length == 1) { out += 1; return }
     val syms = new Array[String](bytes.length)
     var i = 0
     while (i < bytes.length) {
@@ -128,7 +124,6 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
     var n = syms.length
     var merging = true
     while (merging && n > 1) {
-      // lowest-rank adjacent pair
       var bestRank = Int.MaxValue
       var bestL: String = null
       var bestR: String = null
@@ -143,8 +138,6 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
       }
       if (bestL == null) merging = false
       else {
-        // merge ALL occurrences of (bestL, bestR), left to right —
-        // the reference algorithm's one-pass rebuild
         val merged = bestL + bestR
         var w = 0
         i = 0
@@ -159,9 +152,89 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
         n = w
       }
     }
-    n
+    i = 0
+    while (i < n) { out += syms(i).length; i += 1 }
+  }
+}
+
+case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback with BpeWalk {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val lens = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val m = piecePattern.matcher(s)
+    while (m.find()) pieceTokenLens(m.group(), lens)
+    lens.length.toLong
   }
 
   override protected def withNewChildInternal(c: Expression): BpeTokenCountExpr =
+    copy(child = c)
+}
+
+/** Fixed-token-budget chunking at TRUE BPE token boundaries — the
+  * trainer-accurate form of `TextAnalysis.chunkByTokens` (whose windows
+  * are whitespace words). Emits `array<struct<n_tokens, chunk_text>>`:
+  * window i covers tokens [i·step, i·step + chunkTokens) with
+  * step = chunkTokens − overlap, mirroring `chunkByTokens`'s window
+  * arithmetic exactly (empty text yields ONE empty chunk, same as the
+  * word form's `greatest(1, …)`).
+  *
+  * Byte-level BPE tokens concatenate back to the original bytes, so
+  * every token range is a CONTIGUOUS byte slice of the text — chunk
+  * texts are substrings cut at token boundaries, reassembled from the
+  * UTF-8 bytes in one pass (no token-string materialization; the only
+  * per-row state is the token byte-length array).
+  */
+case class BpeChunksExpr(
+    child: Expression,
+    merges: Seq[(String, String)],
+    chunkTokens: Int,
+    overlap: Int)
+    extends UnaryExpression with CodegenFallback with BpeWalk {
+
+  require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+    "need 0 <= overlap < chunkTokens")
+
+  private val step = chunkTokens - overlap
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val lens = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val m = piecePattern.matcher(s)
+    while (m.find()) pieceTokenLens(m.group(), lens)
+    val total = lens.length
+    // byte offset of each token boundary: starts(t) = first byte of
+    // token t; starts(total) = total byte length
+    val starts = new Array[Int](total + 1)
+    var t = 0
+    while (t < total) { starts(t + 1) = starts(t) + lens(t); t += 1 }
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    val nChunks = math.max(1,
+      math.ceil((total - overlap).toDouble / step).toInt)
+    val out = new Array[Any](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val t0 = i * step
+      val t1 = math.min(t0 + chunkTokens, total)
+      val b0 = starts(math.min(t0, total))
+      val b1 = starts(math.max(t1, math.min(t0, total)))
+      out(i) = new GenericInternalRow(Array[Any](
+        math.max(t1 - t0, 0),
+        UTF8String.fromString(
+          new String(bytes, b0, b1 - b0, StandardCharsets.UTF_8))))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeChunksExpr =
     copy(child = c)
 }

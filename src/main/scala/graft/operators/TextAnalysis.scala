@@ -115,6 +115,31 @@ object TextAnalysis {
       graft.functions.TextFunctions.bpeTokenCount(col(textCol), merges)
         .as("n_bpe_tokens"))
 
+  /** [[chunkByTokens]] at TRUE BPE token boundaries — chunk windows are
+    * token ranges under the merge table, and chunk texts are the exact
+    * byte slices those tokens cover (byte-level BPE tokens concatenate
+    * back to the original bytes, so every window is a contiguous
+    * substring). Same window arithmetic as the word form; one native
+    * pass per row ([[graft.functions.BpeChunksExpr]]), `posexplode`
+    * fans the windows out — no shuffle, document-parallel.
+    */
+  def chunkByTokensBpe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0,
+      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges)
+      : DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    docs.select(col(idCol),
+        posexplode(toColumn(graft.functions.BpeChunksExpr(
+          toExpression(col(textCol)), merges, chunkTokens, overlap))))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        col("col").getField("n_tokens").as("n_tokens"),
+        col("col").getField("chunk_text").as("chunk_text"))
+  }
+
   /** Corpus vocabulary: one row per distinct word with corpus-wide term
     * frequency and document frequency — the building block for
     * stopword/rare-word filtering and tokenizer vocab induction. One

@@ -55,6 +55,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("chunkByTokensBpe: windows at true token boundaries; overlap-0" +
+      " chunks reassemble to the original text; empty text = one chunk") {
+    import graft.functions.Bpe
+    val d = Seq(
+      (0L, "abc abc abc xyz"),
+      (1L, ""),
+      (2L, "ab")).toDF("doc_id", "text")
+    // fixture merges: "abc abc abc xyz" tokenizes as
+    // [abc][ abc][ abc][ xyz] -> pieces yield 1+2+2+4 = 9 tokens
+    val chunks = TextAnalysis.chunkByTokensBpe(d, "doc_id", "text",
+      chunkTokens = 4, overlap = 0, merges = Bpe.fixtureMerges)
+      .collect().groupBy(_.getLong(0))
+    val c0 = chunks(0L).sortBy(_.getInt(1))
+    assert(c0.map(_.getInt(2)).toSeq === Seq(4, 4, 1)) // 9 tokens / 4
+    assert(c0.map(_.getString(3)).mkString === "abc abc abc xyz")
+    // chunk boundaries fall on token boundaries: the token sequence is
+    // [abc][ ][abc][ ][abc][ ][x][y][z], so the first 4-token chunk is
+    // the first 8 bytes
+    assert(c0(0).getString(3) === "abc abc ")
+    assert(chunks(1L).map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq === Seq((0, 0, ""))) // empty text -> one empty chunk
+    assert(chunks(2L).head.getInt(2) === 1) // "ab" merges to one token
+    // overlap: step 2, chunk 4 over 9 tokens -> ceil((9-2)/2)=4 chunks
+    val ov = TextAnalysis.chunkByTokensBpe(d.filter(col("doc_id") === 0),
+      "doc_id", "text", chunkTokens = 4, overlap = 2,
+      merges = Bpe.fixtureMerges).collect().sortBy(_.getInt(1))
+    assert(ov.length === 4)
+    assert(ov.map(_.getInt(2)).toSeq === Seq(4, 4, 4, 3))
+  }
+
   test("packSequences: start-addressed packing is deterministic, offsets" +
       " stay under the budget, pack payloads bounded by budget + maxdoc") {
     import graft.operators.Sampling
