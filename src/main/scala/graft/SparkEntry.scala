@@ -911,6 +911,27 @@ object SparkEntry {
       chunkTokens = 64, overlap = 16)
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
 
+  /** The full corpus→trainer-input composition as ONE lazy plan: exact
+    * BPE counts → domain mixing to a token budget → deterministic
+    * sequence packing. Every stage is a pure id-hash/arithmetic
+    * function, so the DuckDB oracle replays the whole chain and the
+    * output packs must hash-match end to end.
+    */
+  private def trainerFeedQ(s: SparkSession, dir: String): DataFrame = {
+    val counted = docs(s, dir).select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions
+        .bpeTokenCount(col("text"), graft.functions.Bpe.fixtureMerges)
+        .as("n_bpe_tokens"))
+    val mixed = graft.operators.Sampling.mixToTokenBudget(
+      counted, "doc_id", "source", "n_bpe_tokens",
+      weights = Map("src0" -> 0.5, "src1" -> 0.3),
+      budget = 10000L,
+      defaultWeight = 0.2 / 18)
+    graft.operators.Sampling.packSequences(
+      mixed.select(col("doc_id"), col("n_bpe_tokens")),
+      "doc_id", "n_bpe_tokens", seqTokens = 512L, nBuckets = 4)
+  }
+
   /** [[mixBudgetQ]]'s twin with the token denominator = EXACT BPE
     * counts instead of n_chars — the verdict-r9 "trainer-accurate
     * budgets" wiring, oracle-gated end to end (the oracle recomputes
@@ -2055,6 +2076,7 @@ object SparkEntry {
     "token_counts_bpe" -> (tokenCountsBpeQ _),
     "chunk_tokens_bpe" -> (chunkTokensBpeQ _),
     "pack_sequences"   -> (packSequencesQ _),
+    "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
     "knn_brute"        -> (knnBrute _),
@@ -2727,6 +2749,36 @@ object SparkEntry {
            unnest(range(0, nch)) AS cid FROM n)
          SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
            CAST(least(cid * 48 + 64, total) - cid * 48 AS INTEGER) AS n_tokens
+         FROM c""",
+    "trainer_feed" ->
+      s"""WITH bpe AS (SELECT doc_id, source,
+           CAST(strlen(text)
+             - (strlen(text) - strlen(replace(text, 'ab', ''))) // 2
+             - (strlen(text) - strlen(replace(text, 'abc', ''))) // 3
+             AS BIGINT) AS n_bpe_tokens
+           FROM documents),
+         tot AS (SELECT source, CAST(sum(n_bpe_tokens) AS BIGINT) AS tk
+           FROM bpe GROUP BY 1),
+         fr AS (SELECT source,
+             least(1.0, 10000 * (CASE WHEN source = 'src0' THEN 0.5
+                                      WHEN source = 'src1' THEN 0.3
+                                      ELSE 0.2 / 18 END) / tk) AS f
+           FROM tot),
+         mixed AS (SELECT d.doc_id, d.n_bpe_tokens,
+             ${dkHash("CAST(d.doc_id AS VARCHAR)")} AS h
+           FROM bpe d JOIN fr USING (source)
+           WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
+             < round(f * 1000000)),
+         b AS (SELECT doc_id, n_bpe_tokens, h, h % 4 AS pack_bucket
+           FROM mixed),
+         c AS (SELECT *, COALESCE(sum(n_bpe_tokens) OVER (
+             PARTITION BY pack_bucket ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM b)
+         SELECT doc_id, n_bpe_tokens,
+           CAST(pack_bucket AS BIGINT) AS pack_bucket,
+           CAST(st // 512 AS BIGINT) AS pack_id,
+           CAST(st % 512 AS BIGINT) AS pack_offset
          FROM c""",
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
