@@ -187,6 +187,15 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
   * texts are substrings cut at token boundaries, reassembled from the
   * UTF-8 bytes in one pass (no token-string materialization; the only
   * per-row state is the token byte-length array).
+  *
+  * Byte-level tokens can split a multibyte character (each byte is its
+  * own token until a merge covers it), and a chunk string cut there
+  * would hold an invalid UTF-8 fragment. The TEXT boundaries therefore
+  * snap FORWARD over continuation bytes to the next character start —
+  * consistently on both sides, so consecutive overlap-0 chunks still
+  * tile the document exactly; `n_tokens` keeps the exact token count
+  * (the trainer-facing number), and a snapped text boundary shifts by
+  * at most 3 bytes from the token cut.
   */
 case class BpeChunksExpr(
     child: Expression,
@@ -217,6 +226,12 @@ case class BpeChunksExpr(
     var t = 0
     while (t < total) { starts(t + 1) = starts(t) + lens(t); t += 1 }
     val bytes = s.getBytes(StandardCharsets.UTF_8)
+    // snap a byte position forward past UTF-8 continuation bytes
+    def snap(p: Int): Int = {
+      var q = p
+      while (q < bytes.length && (bytes(q) & 0xc0) == 0x80) q += 1
+      q
+    }
     val nChunks = math.max(1,
       math.ceil((total - overlap).toDouble / step).toInt)
     val out = new Array[Any](nChunks)
@@ -224,8 +239,8 @@ case class BpeChunksExpr(
     while (i < nChunks) {
       val t0 = i * step
       val t1 = math.min(t0 + chunkTokens, total)
-      val b0 = starts(math.min(t0, total))
-      val b1 = starts(math.max(t1, math.min(t0, total)))
+      val b0 = snap(starts(math.min(t0, total)))
+      val b1 = math.max(snap(starts(math.max(t1, math.min(t0, total)))), b0)
       out(i) = new GenericInternalRow(Array[Any](
         math.max(t1 - t0, 0),
         UTF8String.fromString(

@@ -39,6 +39,55 @@ class PropertySpec extends AnyFunSuite {
       }
     }
 
+  test("BPE laws on random unicode + random merge tables: counts total," +
+      " chunk tokens sum to the count, overlap-0 chunks reassemble") {
+    import graft.functions.Bpe
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(1234)
+    def randText(): String = {
+      val n = rnd.nextInt(60)
+      (0 until n).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => ('a' + rnd.nextInt(4)).toChar.toString
+          case 1 => " "
+          case 2 => ('0' + rnd.nextInt(3)).toChar.toString
+          case 3 => "é日'" .charAt(rnd.nextInt(3)).toString
+          case _ => ",.!" .charAt(rnd.nextInt(3)).toString
+        }
+      }.mkString
+    }
+    def randMerges(): Seq[(String, String)] = {
+      val letters = Seq("a", "b", "c", "d")
+      val base = (0 until 1 + rnd.nextInt(4)).map(_ =>
+        (letters(rnd.nextInt(4)), letters(rnd.nextInt(4))))
+      // chain a second-level merge so multi-byte symbols occur
+      base ++ base.headOption.map { case (l, r) =>
+        (l + r, letters(rnd.nextInt(4)))
+      }
+    }
+    val texts = (0 until 120).map(i => (i.toLong, randText()))
+    val merges = randMerges()
+    val df = texts.toDF("doc_id", "text")
+    val counts = TextAnalysis.tokenCountsBpe(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // count is bounded by byte length and positive iff text non-empty
+    texts.foreach { case (id, t) =>
+      val bl = t.getBytes("UTF-8").length
+      assert(counts(id) <= bl)
+      assert((counts(id) == 0) === t.isEmpty)
+    }
+    val chunks = TextAnalysis.chunkByTokensBpe(df, "doc_id", "text",
+      chunkTokens = 5, overlap = 0, merges = merges)
+      .collect().groupBy(_.getLong(0))
+    texts.foreach { case (id, t) =>
+      val cs = chunks(id).sortBy(_.getInt(1))
+      // chunk token counts sum to the doc's token count
+      assert(cs.map(_.getInt(2).toLong).sum === counts(id))
+      // overlap-0 chunk texts reassemble to the original text exactly
+      assert(cs.map(_.getString(3)).mkString === t)
+    }
+  }
+
   test("byte shingles: count/containment laws over random payloads — " +
       "distinct n-windows, whole-payload fallback, prefix monotonicity") {
     import graft.functions.ByteShinglesExpr
