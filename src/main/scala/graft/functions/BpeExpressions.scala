@@ -52,22 +52,35 @@ object Bpe {
     new String(bytes, StandardCharsets.ISO_8859_1)
   }
 
-  /** Parse GPT-2-style merges lines: optional `#version` header, then
-    * one `left right` pair per line in rank order. Blank lines skipped.
+  /** Parse GPT-2-style merges lines: optional `#version` header (the
+    * FIRST line only — published tables contain real merge lines that
+    * start with a literal `#`, e.g. the pair building `##`, so a blanket
+    * comment filter would silently drop them), then one `left right`
+    * pair per line in rank order. Blank lines skipped.
     */
-  def parseMerges(lines: Iterator[String]): Seq[(String, String)] =
-    lines.filterNot(l => l.isEmpty || l.startsWith("#")).map { l =>
+  def parseMerges(lines: Iterator[String]): Seq[(String, String)] = {
+    val it = lines.buffered
+    if (it.hasNext && it.head.startsWith("#version")) it.next()
+    it.filterNot(_.isEmpty).map { l =>
       val sp = l.split(" ")
       require(sp.length == 2, s"malformed merges line: '$l'")
       (decodeToken(sp(0)), decodeToken(sp(1)))
     }.toSeq
+  }
 
-  /** Load a published merges.txt from a local path (driver-side read;
-    * the table rides to executors inside the serialized expression).
+  /** Load a published merges.txt through Hadoop's FileSystem, so the
+    * path may be local (`/x/merges.txt`, `file:///…`) or on distributed
+    * storage — a driver-local-only read is a deployment footgun on a
+    * real cluster. Driver-side read either way; the table rides to
+    * executors inside the serialized expression.
     */
   def loadMerges(path: String): Seq[(String, String)] = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    try parseMerges(src.getLines()) finally src.close()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), StandardCharsets.UTF_8))
+    try parseMerges(Iterator.continually(in.readLine()).takeWhile(_ != null))
+    finally in.close()
   }
 
   /** Deterministic fixture vocabulary: rank 1 merges `a b`, rank 2
@@ -86,19 +99,42 @@ object Bpe {
   * walk per piece: repeatedly take the lowest-rank adjacent symbol pair
   * and merge ALL its occurrences. Only the COUNT of final symbols is
   * returned, so no token strings are materialized beyond the working
-  * piece (pieces are word-sized; the per-piece walk is O(len²) worst
-  * case on a few dozen symbols).
+  * piece (the walk is the indexed O(len log len) form in [[BpeWalk]], so
+  * even a document-sized unsegmented piece is bounded).
   *
   * The merge table serializes with the expression (50k merges ≈ 1 MB —
   * shipped once per task like any literal); the rank map is rebuilt
   * lazily per JVM, not per row.
   */
-/** Shared merge-walk machinery for the BPE expressions. */
+/** Shared merge-walk machinery for the BPE expressions.
+  *
+  * The walk is INDEXED — interned symbol ids, a doubly-linked symbol
+  * list, and a min-heap of (rank, position) candidates with lazy
+  * invalidation — O(n log n) per piece, the structure production
+  * tokenizers use. This matters because the GPT-2 pre-tokenizer emits
+  * ` ?\p{L}+`: an entire CJK/Thai/unsegmented document is ONE piece, so
+  * a scan-per-round walk (O(n²)) would turn a 100 KB CJK row into ~10¹⁰
+  * symbol comparisons — a straggler-to-hang class problem at corpus
+  * scale. The indexed walk processes the same document in n log n heap
+  * operations with O(1) pair lookups (symbols are ints; pair→rank is one
+  * hash probe on a packed long).
+  *
+  * Merge order: candidates pop in (rank, position) order, and a popped
+  * candidate is applied only if that exact pair still sits at that
+  * position (stale entries are skipped — pair ranks are injective, so an
+  * equal-rank revalidation probe is sufficient). For any LEARNED merge
+  * table — where a pair involving a merged symbol always ranks after the
+  * merge that created the symbol — this is exactly the published
+  * round-based algorithm ("merge all occurrences of the lowest-rank
+  * pair, left to right, repeat"): while occurrences of the current best
+  * pair remain, every newly created pair ranks higher and therefore pops
+  * later. [[pieceTokenLensNaive]] keeps the literal round-based walk for
+  * the equivalence property test.
+  */
 trait BpeWalk {
   def merges: Seq[(String, String)]
 
-  @transient protected lazy val ranks: Map[(String, String), Int] =
-    merges.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
+  @transient protected lazy val table: BpeWalk.Table = BpeWalk.buildTable(merges)
 
   // GPT-2's pre-tokenizer pattern; UNICODE_CHARACTER_CLASS makes \s
   // match unicode whitespace as Python's re does
@@ -112,6 +148,69 @@ trait BpeWalk {
     */
   protected def pieceTokenLens(piece: String,
       out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+    val bytes = piece.getBytes(StandardCharsets.UTF_8)
+    val n = bytes.length
+    if (n == 0) return
+    if (n == 1) { out += 1; return }
+    val t = table
+    // ids(i): interned symbol at list node i (-1 = consumed); nodes only
+    // ever merge RIGHT symbols away, so node 0 stays the list head and
+    // nxt(i) > i throughout
+    val ids = new Array[Int](n)
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    var i = 0
+    while (i < n) { ids(i) = bytes(i) & 0xff; nxt(i) = i + 1; prv(i) = i - 1; i += 1 }
+    nxt(n - 1) = -1
+    val heap = new BpeWalk.LongMinHeap(n)
+    // push (rank<<32 | pos) if the pair starting at pos is ranked
+    def pushPair(pos: Int): Unit = {
+      val np = nxt(pos)
+      if (np >= 0) {
+        val info = t.pairInfo.get(ids(pos).toLong << 32 | ids(np))
+        if (info != null)
+          heap.push((info.longValue >>> 32) << 32 | pos)
+      }
+    }
+    i = 0
+    while (i < n - 1) { pushPair(i); i += 1 }
+    while (heap.nonEmpty) {
+      val e = heap.pop()
+      val rank = (e >>> 32).toInt
+      val pos = (e & 0xffffffffL).toInt
+      if (ids(pos) >= 0) {
+        val np = nxt(pos)
+        if (np >= 0) {
+          val info = t.pairInfo.get(ids(pos).toLong << 32 | ids(np))
+          // stale unless the pair at pos still carries the popped rank
+          // (ranks are injective over stored pairs, so equality implies
+          // the same pair)
+          if (info != null && (info.longValue >>> 32).toInt == rank) {
+            ids(pos) = (info.longValue & 0xffffffffL).toInt
+            ids(np) = -1
+            val nn = nxt(np)
+            nxt(pos) = nn
+            if (nn >= 0) prv(nn) = pos
+            val pp = prv(pos)
+            if (pp >= 0) pushPair(pp)
+            pushPair(pos)
+          }
+        }
+      }
+    }
+    i = 0
+    while (i >= 0) { out += t.symLen(ids(i)); i = nxt(i) }
+  }
+
+  /** The literal published round-based walk (scan all symbols for the
+    * lowest-rank adjacent pair, merge ALL its occurrences left to right,
+    * repeat) — O(n²), kept ONLY as the equivalence oracle for the
+    * indexed-walk property test. Not used in any query path.
+    */
+  private[graft] def pieceTokenLensNaive(piece: String,
+      out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+    val ranks: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
     val bytes = piece.getBytes(StandardCharsets.UTF_8)
     if (bytes.length == 0) return
     if (bytes.length == 1) { out += 1; return }
@@ -154,6 +253,83 @@ trait BpeWalk {
     }
     i = 0
     while (i < n) { out += syms(i).length; i += 1 }
+  }
+}
+
+object BpeWalk {
+
+  /** Interned merge table: symbols are ints (ids 0-255 are the raw
+    * bytes; merge-produced symbols intern above), `pairInfo` maps a
+    * packed (leftId<<32|rightId) to a packed (rank<<32|mergedId), and
+    * `symLen` gives each symbol's byte length. Duplicate pair rows keep
+    * the LAST rank (matching a `toMap` over zipWithIndex). Built once
+    * per JVM per expression instance (@transient lazy), ~O(table size).
+    */
+  final class Table(
+      val pairInfo: java.util.HashMap[java.lang.Long, java.lang.Long],
+      val symLen: Array[Int])
+
+  def buildTable(merges: Seq[(String, String)]): Table = {
+    val symbolId = new java.util.HashMap[String, Integer](merges.size * 2 + 512)
+    val lens = new scala.collection.mutable.ArrayBuffer[Int](merges.size + 256)
+    var b = 0
+    while (b < 256) {
+      symbolId.put(new String(Array(b.toByte), StandardCharsets.ISO_8859_1), b)
+      lens += 1
+      b += 1
+    }
+    def intern(s: String): Int = {
+      val got = symbolId.get(s)
+      if (got != null) got.intValue
+      else { val id = lens.length; symbolId.put(s, id); lens += s.length; id }
+    }
+    val pairInfo = new java.util.HashMap[java.lang.Long, java.lang.Long](merges.size * 2)
+    merges.iterator.zipWithIndex.foreach { case ((l, r), rank) =>
+      val key = intern(l).toLong << 32 | intern(r)
+      pairInfo.put(key, rank.toLong << 32 | intern(l + r))
+    }
+    new Table(pairInfo, lens.toArray)
+  }
+
+  /** Array-backed binary min-heap of packed longs — no boxing, grows by
+    * doubling. Ordering is numeric, so (rank<<32|pos) pops in
+    * (rank, position) order.
+    */
+  final class LongMinHeap(initialCapacity: Int) {
+    private var a = new Array[Long](math.max(initialCapacity, 8))
+    private var n = 0
+
+    def nonEmpty: Boolean = n > 0
+
+    def push(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      var i = n
+      a(i) = v
+      n += 1
+      while (i > 0 && a((i - 1) / 2) > a(i)) {
+        val p = (i - 1) / 2
+        val tmp = a(p); a(p) = a(i); a(i) = tmp
+        i = p
+      }
+    }
+
+    def pop(): Long = {
+      val top = a(0)
+      n -= 1
+      a(0) = a(n)
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && a(l) < a(m)) m = l
+        if (r < n && a(r) < a(m)) m = r
+        if (m == i) done = true
+        else { val tmp = a(m); a(m) = a(i); a(i) = tmp; i = m }
+      }
+      top
+    }
   }
 }
 

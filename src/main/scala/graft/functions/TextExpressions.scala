@@ -127,9 +127,13 @@ case class ByteShinglesExpr(child: Expression, n: Int)
   * heap (one 2n-hex-char string + set entry per byte offset), which for
   * the multi-MB media payloads this feature targets risks executor
   * OOM/GC stalls; here the payload is hex-encoded ONCE (2× payload,
-  * ASCII bytes) and each window is md5'd as a slice of that buffer, so
-  * per-window cost is the digest plus one slot in an open-addressed
-  * long set (~12 bytes/window vs ~100).
+  * ASCII bytes) and each window is md5'd as a slice of that buffer.
+  * Total heap is still window-proportional — the open-addressed long
+  * set (2-4 slots × 8 bytes per distinct window at its load factor)
+  * plus the output array, ~16-40× payload bytes for small n — but that
+  * is ~2-3× less than the string path's footprint and, more
+  * importantly, zero short-lived objects (no per-shingle String/char[]
+  * churn), which is what kills executors on multi-MB payloads.
   *
   * Hash-compatible with the unfused pipeline by construction: md5 over
   * the UTF8 bytes of the hex shingle IS md5 over the hex-buffer slice

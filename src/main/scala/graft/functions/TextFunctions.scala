@@ -66,7 +66,12 @@ object TextFunctions {
   /** 60-bit hashes of a payload's byte-shingle set — drop-in input for
     * the same minhash/band machinery as [[shingleHashes]]. Fused
     * ([[ByteShingleHashesExpr]]): the hex-string shingle set is never
-    * materialized, so heap per row is ~2× the payload, not ~20-30×.
+    * materialized. Heap per row is the open-addressed dedup table plus
+    * the output array — ~16-40× payload bytes for small n (2-4 8-byte
+    * slots per window, ~payload-many windows) — vs the string path's
+    * similar array footprint PLUS per-shingle String/char[] objects and
+    * their GC pressure; the fusion's win is ~2-3× bytes and zero
+    * short-lived objects, not a 2× total. Size executors accordingly.
     */
   def byteShingleHashes(payload: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftColumnCompat._

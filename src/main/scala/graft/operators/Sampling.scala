@@ -219,7 +219,10 @@ object Sampling {
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .select(col(idCol), col(tokenCol),
         col("pack_bucket"),
-        (col("__start") / seqTokens).cast("long").as("pack_id"),
+        // integer division (SQL `div`), not `/`: Spark's `/` on longs is
+        // double division, which loses exactness past 2^53 cumulative
+        // tokens — a real corpus-scale number
+        expr(s"__start div ${seqTokens}L").as("pack_id"),
         pmod(col("__start"), lit(seqTokens)).as("pack_offset"))
   }
 }

@@ -268,6 +268,22 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Bpe.parseMerges(Iterator("a b c"))
     }
+    // only the LEADING #version line is a header: published tables hold
+    // real merge lines starting with '#' (e.g. the pair building '##')
+    assert(Bpe.parseMerges(Iterator("#version: 0.2", "# #", "## x"))
+      === Seq("#" -> "#", "##" -> "x"))
+    assert(Bpe.parseMerges(Iterator("# #")) === Seq("#" -> "#"))
+  }
+
+  test("loadMerges reads through Hadoop FileSystem: bare local path and" +
+      " explicit file: scheme both work") {
+    import graft.functions.Bpe
+    val f = java.io.File.createTempFile("merges", ".txt")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("#version: 0.2"); w.println("a b"); w.println("ab c"); w.close()
+    assert(Bpe.loadMerges(f.getAbsolutePath) === Bpe.fixtureMerges)
+    assert(Bpe.loadMerges("file://" + f.getAbsolutePath) === Bpe.fixtureMerges)
   }
 
   test("hot-bucket cap: a 10k-copy viral family produces zero pairs" +

@@ -88,6 +88,119 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Exposes both BpeWalk walks for the equivalence test: the indexed
+    * heap walk (the production path) and the literal round-based
+    * published algorithm.
+    */
+  private class WalkProbe(val merges: Seq[(String, String)])
+      extends graft.functions.BpeWalk {
+    private def run(s: String, f: (String,
+        scala.collection.mutable.ArrayBuffer[Int]) => Unit): Seq[Int] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Int]
+      val m = piecePattern.matcher(s)
+      while (m.find()) f(m.group(), out)
+      out.toSeq
+    }
+    def indexed(s: String): Seq[Int] = run(s, pieceTokenLens)
+    def naive(s: String): Seq[Int] = run(s, pieceTokenLensNaive)
+  }
+
+  /** Learn a merge table from `text` by the published BPE procedure
+    * (count adjacent symbol pairs, merge the most frequent — ties by
+    * pair order for determinism — repeat). Learned tables are MONOTONE
+    * (a pair using a merged symbol always ranks after the merge that
+    * created it), the class for which the indexed and round-based walks
+    * provably agree.
+    */
+  private def learnMerges(text: String, k: Int): Seq[(String, String)] = {
+    var syms = text.getBytes("UTF-8").map(b =>
+      new String(Array(b), "ISO-8859-1")).toVector
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var i = 0
+    while (i < k && syms.length > 1) {
+      val counts = syms.zip(syms.tail).groupBy(identity)
+        .map { case (p, v) => p -> v.length }
+      val (best, c) = counts.maxBy { case ((l, r), n) => (n, l, r) }
+      if (c < 2) i = k
+      else {
+        out += best
+        val merged = best._1 + best._2
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+            b += merged; j += 2
+          } else { b += syms(j); j += 1 }
+        }
+        syms = b.result()
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE indexed walk ≡ naive round-based walk: token lens identical" +
+      " on random unicode under learned merge tables") {
+    val rnd = new scala.util.Random(77)
+    val alphabet = "abcd 日本語éß012,.'!\t"
+    def randText(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 40).foreach { trial =>
+      val corpus = randText(300 + rnd.nextInt(300))
+      val merges = learnMerges(corpus, 5 + rnd.nextInt(40))
+      val probe = new WalkProbe(merges)
+      (0 until 10).foreach { _ =>
+        val s = randText(rnd.nextInt(400))
+        val a = probe.indexed(s)
+        val b = probe.naive(s)
+        assert(a === b, s"trial=$trial merges=$merges text=${s.take(80)}")
+      }
+      // the fixture vocabulary too, on the same texts
+      val fp = new WalkProbe(graft.functions.Bpe.fixtureMerges)
+      val s = randText(rnd.nextInt(400))
+      assert(fp.indexed(s) === fp.naive(s))
+    }
+  }
+
+  test("BPE indexed walk: a 1 MB unsegmented (no-whitespace, CJK-like)" +
+      " document with a 1k-rank merge table tokenizes in bounded time") {
+    val rnd = new scala.util.Random(99)
+    // 16 distinct CJK chars; a repeated 1k-char motif (boilerplate-like,
+    // pair-rich — deep merge chains stay frequent) plus a random tail;
+    // 350k chars ≈ 1.05 MB UTF-8, ONE pre-tokenizer piece (no whitespace)
+    val chars = (0 until 16).map(i => (0x4e00 + i * 37).toChar)
+    val motif = (0 until 1024).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    val tail = (0 until 43000).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    val doc = motif * 300 + tail
+    assert(doc.getBytes("UTF-8").length >= 1000000)
+    // a maximum-depth MONOTONE chain table along the motif: rank i
+    // merges (motif[0..i], motif[i]) — every motif copy collapses byte
+    // by byte through 1500 sequential ranks, the deepest possible merge
+    // cascade per piece (harder on the walk than a learned table, where
+    // merges fan out shallowly)
+    val mb = motif.getBytes("UTF-8").map(b => new String(Array(b), "ISO-8859-1"))
+    val merges = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val acc = new StringBuilder(mb(0))
+      var j = 1
+      while (j < mb.length && out.length < 1500) {
+        out += (acc.toString -> mb(j)); acc.append(mb(j)); j += 1
+      }
+      out.toSeq
+    }
+    assert(merges.length >= 1000, s"built only ${merges.length} ranks")
+    val probe = new WalkProbe(merges)
+    val t0 = System.nanoTime()
+    val lens = probe.indexed(doc)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the O(n²) walk would need ~10¹² comparisons here (hours); the
+    // indexed walk is n log n — generous bound absorbs host-load swings
+    assert(sec < 60.0, f"indexed walk took $sec%.1f s on 1 MB unsegmented doc")
+    assert(lens.sum === doc.getBytes("UTF-8").length)
+    assert(lens.length < doc.getBytes("UTF-8").length)
+    info(f"1 MB unsegmented doc: ${lens.length} tokens in $sec%.2f s")
+  }
+
   test("byte shingles: count/containment laws over random payloads — " +
       "distinct n-windows, whole-payload fallback, prefix monotonicity") {
     import graft.functions.ByteShinglesExpr
