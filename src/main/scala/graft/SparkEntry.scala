@@ -467,6 +467,22 @@ object SparkEntry {
   private def dedupLinesQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupLines(linedDocs(s, dir), "doc_id", "text")
 
+  /** Substring-dedup gate: a 15-word license-style boilerplate block is
+    * planted ahead of every fifth document, so cross-document repeated
+    * spans exist at any SF (natural exact-dup documents exercise the
+    * full-removal path; the plant exercises partial removal).
+    */
+  private def dedupSubstringQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(
+      docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(SubstringBoilerplate + " "), col("text")))
+          .otherwise(col("text")).as("text")),
+      "doc_id", "text", spanWords = 12)
+
+  private val SubstringBoilerplate =
+    "this document is provided as is without warranty of any kind either expressed or implied"
+
   /** Boilerplate stripping gate: a digit-only line and a too-short line
     * are injected ahead of the lined text, so both drop rules fire.
     */
@@ -2045,6 +2061,7 @@ object SparkEntry {
     "dedup_exact"      -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_lines"      -> (dedupLinesQ _),
+    "dedup_substring"  -> (dedupSubstringQ _),
     "strip_boilerplate" -> (stripBoilerplateQ _),
     "dedup_keep_best"  -> (dedupKeepBestQ _),
     "dedup_semantic"   -> (semanticDedupQ _),
@@ -2483,6 +2500,42 @@ object SparkEntry {
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
            CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
          FROM f GROUP BY doc_id""",
+    "dedup_substring" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN 'this document is provided as is without warranty of any kind either expressed or implied ' || text
+               ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws
+           FROM src),
+         gi AS (SELECT doc_id, ws,
+             unnest(CASE WHEN len(ws) >= 12 THEN range(1, len(ws) - 10) ELSE [] END) AS i
+           FROM t),
+         g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS gpos,
+             CAST(concat('0x', substr(md5(array_to_string(ws[i:i+11], ' ')), 1, 15)) AS BIGINT) AS h
+           FROM gi),
+         f AS (SELECT doc_id, gpos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, gpos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM g),
+         cov AS (SELECT DISTINCT doc_id,
+             CAST(unnest(range(gpos, gpos + 12)) AS INTEGER) AS pos
+           FROM f WHERE c >= 2 AND rn > 1),
+         w AS (SELECT doc_id,
+             CAST(generate_subscripts(ws, 1) - 1 AS INTEGER) AS pos, unnest(ws) AS w
+           FROM t),
+         k AS (SELECT w.doc_id, w.pos, w.w, cov.pos IS NULL AS keep
+           FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+         agg AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '') AS text_kept,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_words_kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_words_dropped
+           FROM k GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
+           coalesce(agg.n_words_kept, 0) AS n_words_kept,
+           coalesce(agg.n_words_dropped, 0) AS n_words_dropped
+         FROM t LEFT JOIN agg USING (doc_id)""",
     "strip_boilerplate" ->
       """WITH src AS (SELECT doc_id,
              '12345 67890 2024' || chr(10) || 'ok' || chr(10) ||

@@ -992,3 +992,127 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): WinnowExpr =
     copy(child = c)
 }
+
+/** One-pass substring-dedup text rewrite ([[graft.operators.Dedup
+  * .dedupSubstrings]]): given a document's word array and the SORTED
+  * start positions of its removed `k`-gram occurrences, merges the
+  * covered intervals ([start, start+k) each) and reassembles the
+  * surviving words with single spaces — `struct(text_kept,
+  * n_words_kept, n_words_dropped)` in O(words + starts) with zero
+  * per-word row materialization. The composable alternative (explode
+  * covered positions → distinct → per-word anti-join → collect/sort per
+  * doc) costs two extra corpus-sized shuffles and a per-doc sort; this
+  * walk replaces all of it with a 1:1 join and one expression eval.
+  *
+  * Null contract (hand-rolled `eval`, NOT nullSafeEval): a null starts
+  * array means "no removed grams in this document" (the left-join miss
+  * case) — all words kept; a null words array (null text) yields the
+  * empty-document row `('', 0, 0)`, keeping every input document
+  * present in the output.
+  */
+case class SubstringRemoveExpr(words: Expression, starts: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  require(k >= 2, "spanWords must be >= 2")
+
+  override def left: Expression = words
+  override def right: Expression = starts
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text_kept", StringType, nullable = false),
+    StructField("n_words_kept", LongType, nullable = false),
+    StructField("n_words_dropped", LongType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val wsRaw = words.eval(input)
+    if (wsRaw == null) {
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.EMPTY_UTF8, 0L, 0L))
+    }
+    val ws = wsRaw.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val stRaw = starts.eval(input)
+    val st = if (stRaw == null) null else stRaw.asInstanceOf[ArrayData]
+    val m = if (st == null) 0 else st.numElements()
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var p = 0
+    var coveredUntil = -1  // last covered word index so far
+    var i = 0
+    while (i < n) {
+      while (p < m && st.getInt(p) <= i) {
+        val end = st.getInt(p) + k - 1
+        if (end > coveredUntil) coveredUntil = end
+        p += 1
+      }
+      if (i > coveredUntil) {
+        if (kept > 0L) sb.append(' ')
+        sb.append(ws.getUTF8String(i).toString)
+        kept += 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString), kept, n.toLong - kept))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SubstringRemoveExpr =
+    copy(words = l, starts = r)
+}
+
+/** Positional word k-gram 60-bit hashes ([[graft.operators.Dedup
+  * .dedupSubstrings]]'s gram index): element i is the hash of words
+  * [i, i+k) joined by single spaces — `hash60(md5)` like [[WinnowExpr]]
+  * (a SQL engine re-derives it as
+  * `CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)`), but at EVERY
+  * position, unwinnowed, because removal semantics need each
+  * occurrence. Empty output for documents shorter than k words. One
+  * tight loop per row: the composable
+  * `transform(sequence, i -> md5(concat_ws(slice)))` walks the
+  * interpreted HOF eval path and re-materializes every gram string —
+  * measured 1.6× slower end-to-end on the sf0.1 gate — and the long
+  * output shuffles 8 bytes per gram instead of a 32-char hex string.
+  */
+case class WordGramHash60Expr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2, "gram size must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val Space = Array(' '.toByte)
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { bytes(i) = ws.getUTF8String(i).getBytes; i += 1 }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(Space)
+        md.update(bytes(s + j))
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(s) = v >>> 4
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordGramHash60Expr =
+    copy(child = c)
+}

@@ -713,4 +713,84 @@ object Dedup {
     assigned.select(col(idCol), col("centroid_id"))
       .join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Exact substring dedup — the third standard pretraining recipe
+    * alongside document-level ([[exact]]) and line-level ([[dedupLines]])
+    * dedup: corpus-wide removal of exact repeated WORD SPANS of length
+    * >= `spanWords` across (and within) documents, keeping the first
+    * occurrence (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — their ExactSubstr, re-expressed over
+    * whitespace tokens so a SQL engine can replay it; the published form
+    * runs on BPE tokens and a suffix array, a single-machine structure
+    * that does not shard — the k-gram-hash inverted index below is the
+    * distributed equivalent and is exactly the [[TextAnalysis
+    * .winnowFingerprints]] machinery with w = 1, i.e. EVERY k-gram
+    * fingerprinted instead of a winnowed sample, which the removal
+    * semantics require).
+    *
+    * Semantics: tokenize on whitespace; hash every `spanWords`-gram; a
+    * gram occurrence is removed unless it is the corpus-wide FIRST
+    * occurrence of its hash (min (id, pos) — deterministic across
+    * engines and reruns); a word is removed if ANY removed gram covers
+    * it, so overlapping duplicated grams merge into maximal removed
+    * spans positionally. Documents reassemble from surviving words with
+    * single spaces (token-sequence rewrite, as in the paper). Output:
+    * `(id, text_kept, n_words_kept, n_words_dropped)` — empty and
+    * sub-`spanWords` documents pass through untouched.
+    *
+    * Scale shape (all shuffles linear in the gram table, NO pair
+    * enumeration — this is the hot-fingerprint lesson applied by
+    * construction): a gram shared by M occurrences costs O(M), never
+    * O(M²), because candidate handling is an AGGREGATE
+    * (`groupBy(hash).agg(count, min(struct(id, pos)))`, partial-
+    * aggregable, hot hashes combine map-side) followed by a join-back
+    * whose build side has ONE row per hash — the same skew-safe shape as
+    * [[dedupLines]] step 3 (a hot gram skews only the probe side, which
+    * AQE skew-splits; no `maxDocFreq` drop is needed because nothing
+    * quadratic exists to cap — and unlike winnowing's overlap RANKING,
+    * removal semantics could not tolerate dropping hot grams: a
+    * million-fold-repeated license block is precisely what must go).
+    * Removed-gram starts aggregate per doc (`sort_array(collect_list)`,
+    * partial-aggregable, bounded by doc gram count), rejoin 1:1 on the
+    * doc id, and a native one-pass walk
+    * ([[graft.functions.SubstringRemoveExpr]]) merges covered intervals
+    * and rewrites the text in O(words + starts) per doc — no coverage
+    * explosion, no per-word join, no per-doc collect/sort. Gram hashing
+    * is one native pass per doc ([[graft.functions.WordGramHash60Expr]],
+    * 8-byte shuffle keys) — O(words × spanWords) bytes digested, no UDF,
+    * no interpreted HOF lambdas.
+    */
+  def dedupSubstrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int = 20): DataFrame = {
+    require(spanWords >= 2, "spanWords must be >= 2")
+    val k = spanWords
+    val toks = docs.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__ws"))
+    val grams = toks.filter(size(col("__ws")) >= k)
+      .select(col(idCol),
+        posexplode(wordGramHash60(col("__ws"), k)).as(Seq("__gpos", "__h")))
+    val dup = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("__fid"), col("__gpos").as("__fpos")))
+          .as("__f"))
+      .filter(col("__c") >= 2)
+      .select(col("__h"), col("__f"))
+    val removed = grams.join(dup, Seq("__h"))
+      .filter(!(col("__f").getField("__fid") === col(idCol) &&
+        col("__f").getField("__fpos") === col("__gpos")))
+    val starts = removed.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
+    // two-step select: project-collapse keeps the non-cheap walk
+    // evaluated once (same pattern as minhashSignatures)
+    toks.join(starts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        substringRemove(col("__ws"), col("__starts"), k).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_kept").as("text_kept"),
+        col("__r").getField("n_words_kept").as("n_words_kept"),
+        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+  }
 }

@@ -286,6 +286,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.loadMerges("file://" + f.getAbsolutePath) === Bpe.fixtureMerges)
   }
 
+  test("dedupSubstrings: cross-doc repeated spans removed keeping the" +
+      " first occurrence; exact copies empty out; short/empty docs pass") {
+    import graft.operators.Dedup
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six"),
+      (2L, s"seven eight nine $shared ten eleven twelve thirteen"),
+      (3L, "unique words only here nothing repeats anywhere at all truly"),
+      (4L, "unique words only here nothing repeats anywhere at all truly"),
+      (5L, ""),
+      (6L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, "doc_id", "text", spanWords = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is the first occurrence of the shared 9-word span: intact
+    assert(out(1L) === ((s"one two $shared three four five six", 15L, 0L)))
+    // doc 2 loses exactly the 9 shared words (every word of a >=k run
+    // is covered by an all-inside k-gram), keeps its own 7
+    assert(out(2L) ===
+      (("seven eight nine ten eleven twelve thirteen", 7L, 9L)))
+    // docs 3/4 are exact copies: 3 (lower id) survives intact, 4 empties
+    assert(out(3L)._2 === 10L && out(3L)._3 === 0L)
+    assert(out(4L) === (("", 0L, 10L)))
+    // empty and sub-spanWords docs pass through
+    assert(out(5L) === (("", 0L, 0L)))
+    assert(out(6L) === (("tiny doc", 2L, 0L)))
+  }
+
   test("hot-bucket cap: a 10k-copy viral family produces zero pairs" +
       " while a below-cap family still pairs fully") {
     // 10k identical docs = one (band, bucket) cell per band holding 10k
