@@ -483,6 +483,62 @@ object SparkEntry {
   private val SubstringBoilerplate =
     "this document is provided as is without warranty of any kind either expressed or implied"
 
+  /** BPE-training gate: learn 8 merges from the [a-z ]-cleaned corpus
+    * (restricting the alphabet keeps the oracle's bracket-encoded
+    * symbol strings unambiguous), emit (rank, left, right) in the
+    * GPT-2 byte-unicode alphabet. The oracle replays the SAME 8
+    * deterministic rounds arithmetically — unrolled materialized CTEs:
+    * pair counts from the bracket encoding, argmax with the (count
+    * DESC, left, right) tie order, merge-all-occurrences via left-to-
+    * right non-overlapping `replace`.
+    */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", " "),
+        " +", " ")).as("text"))
+      .filter(col("text") =!= "")
+    val merges = TextAnalysis.bpeTrainMerges(corpus, "text", numMerges = 8)
+    val rows = merges.zipWithIndex.map { case ((l, r), i) =>
+      (i + 1, graft.functions.Bpe.encodeToken(l),
+        graft.functions.Bpe.encodeToken(r)) }
+    import s.implicits._
+    rows.toDF("rank", "left", "right")
+  }
+
+  /** Generated oracle for [[bpeTrainQ]]: n unrolled training rounds.
+    * MATERIALIZED is load-bearing — inlined CTEs would replicate the
+    * scan ~5× per round (exponential in n).
+    */
+  private def bpeTrainOracle(n: Int): String = {
+    val steps = (1 to n).map { i =>
+      val prev = s"p${i - 1}"
+      s"""pr$i AS MATERIALIZED (SELECT (pr).l AS l, (pr).r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+             SELECT cnt, unnest(list_transform(range(1, len(syms)),
+               j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
+             FROM (SELECT string_split(enc[2:len(enc)-1], '][') AS syms, cnt FROM $prev)
+           ) GROUP BY 1, 2),
+         b$i AS MATERIALIZED (SELECT l, r FROM pr$i WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+         p$i AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN enc
+             ELSE replace(enc,
+               '[' || (SELECT l FROM b$i) || '][' || (SELECT r FROM b$i) || ']',
+               '[' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ']') END AS enc,
+             cnt FROM $prev)"""
+    }.mkString(",\n         ")
+    val unions = (1 to n).map { i =>
+      s"""SELECT $i AS rank, replace(l, ' ', chr(288)) AS "left", replace(r, ' ', chr(288)) AS "right" FROM b$i"""
+    }.mkString("\n           UNION ALL ")
+    s"""WITH t AS (SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS txt
+             FROM documents),
+         w AS (SELECT string_split(txt, ' ') AS ws FROM t WHERE txt <> ''),
+         pc AS MATERIALIZED (SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT CASE WHEN i = 1 THEN ws[1] ELSE ' ' || ws[i] END AS piece
+             FROM (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+           ) GROUP BY 1),
+         p0 AS MATERIALIZED (SELECT '[' || array_to_string(string_split(piece, ''), '][') || ']' AS enc, cnt FROM pc),
+         $steps
+         SELECT CAST(rank AS INTEGER) AS rank, "left", "right" FROM ($unions) ORDER BY rank"""
+  }
+
   /** Boilerplate stripping gate: a digit-only line and a too-short line
     * are injected ahead of the lined text, so both drop rules fire.
     */
@@ -2062,6 +2118,7 @@ object SparkEntry {
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_lines"      -> (dedupLinesQ _),
     "dedup_substring"  -> (dedupSubstringQ _),
+    "bpe_train"        -> (bpeTrainQ _),
     "strip_boilerplate" -> (stripBoilerplateQ _),
     "dedup_keep_best"  -> (dedupKeepBestQ _),
     "dedup_semantic"   -> (semanticDedupQ _),
@@ -2763,6 +2820,7 @@ object SparkEntry {
          FROM documents d JOIN fr USING (source)
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < round(f * 1000000)""",
+    "bpe_train" -> bpeTrainOracle(8),
     "token_counts_bpe" ->
       """SELECT doc_id,
          CAST(strlen(text)

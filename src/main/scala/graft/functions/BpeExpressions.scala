@@ -90,6 +90,95 @@ object Bpe {
     * count is exactly `bytes - occ("ab") - occ("abc")`.
     */
   val fixtureMerges: Seq[(String, String)] = Seq("a" -> "b", "ab" -> "c")
+
+  /** Encode a raw byte string (ISO-8859-1 chars) into the GPT-2
+    * byte→printable-unicode alphabet — the inverse of [[decodeToken]],
+    * i.e. the form merges.txt files are written in.
+    */
+  def encodeToken(raw: String): String =
+    raw.map(c => byteToUnicode(c.toInt & 0xff)).mkString
+
+  /** Learn a BPE merge table from aggregated piece counts — the
+    * published training procedure (Sennrich et al. 2016; the GPT-2
+    * variant runs it over pre-tokenizer piece TYPES with counts, which
+    * is what makes it tractable: the corpus-sized work is the counting,
+    * not the merging). Each round: the adjacent symbol pair with the
+    * highest count (every position counts, overlapping included; ties
+    * break to the lexicographically smallest (left, right) — the full
+    * order is deterministic and SQL-replayable) is recorded and merged
+    * in ALL pieces, left to right non-overlapping — exactly the walk
+    * [[BpeWalk]] applies, so trained tables are monotone by
+    * construction. Stops early when no pair reaches `minPairCount`
+    * (merging a singleton pair cannot compress anything unseen).
+    *
+    * Incremental: pair counts and a pair→pieces index update only for
+    * the pieces a merge touches — O(touched symbols) per round plus an
+    * O(distinct pairs) argmax scan, the standard single-node trainer
+    * shape (pieces here are TYPES, bounded by the caller's cap, not
+    * corpus tokens).
+    */
+  def train(
+      pieceCounts: Seq[(String, Long)],
+      numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val pieces = pieceCounts.map { case (p, c) =>
+      val bytes = p.getBytes(StandardCharsets.UTF_8)
+      (mutable.ArrayBuffer.from(bytes.map(b =>
+        new String(Array(b), StandardCharsets.ISO_8859_1))), c)
+    }.toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def tally(idx: Int, sign: Long): Unit = {
+      val (syms, c) = pieces(idx)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val n = counts.getOrElse(p, 0L) + sign * c
+        if (n == 0L) counts.remove(p) else counts(p) = n
+        if (sign > 0) index.getOrElseUpdate(p, mutable.Set.empty) += idx
+        j += 1
+      }
+    }
+    pieces.indices.foreach(tally(_, 1L))
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (rounds < numMerges && !exhausted) {
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (p, c) =>
+        if (c >= minPairCount &&
+            (best == null || c > bestC || (c == bestC &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))))
+          { best = p; bestC = c }
+      }
+      if (best == null) exhausted = true
+      else {
+        out += best
+        val merged = best._1 + best._2
+        val touched = index.getOrElse(best, mutable.Set.empty).toArray
+        touched.foreach { idx =>
+          tally(idx, -1L)
+          val (syms, _) = pieces(idx)
+          var w = 0
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 &&
+                syms(j + 1) == best._2) { syms(w) = merged; j += 2 }
+            else { syms(w) = syms(j); j += 1 }
+            w += 1
+          }
+          syms.dropRightInPlace(syms.length - w)
+          tally(idx, 1L)
+        }
+        index.remove(best)
+        counts.remove(best)
+        rounds += 1
+      }
+    }
+    out.toSeq
+  }
 }
 
 /** Count of byte-level BPE tokens of a string under a merge table —
@@ -331,6 +420,31 @@ object BpeWalk {
       top
     }
   }
+}
+
+/** GPT-2 pre-tokenizer pieces of a string — the corpus-facing half of
+  * BPE training: piece counting is distributed (`explode` → `groupBy`),
+  * the merge learning runs on the bounded piece-TYPE table
+  * ([[Bpe.train]]). Reuses [[BpeWalk]]'s piecePattern so training and
+  * counting tokenize identically.
+  */
+case class BpePiecesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback with BpeWalk {
+
+  override def merges: Seq[(String, String)] = Nil
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    val m = piecePattern.matcher(s)
+    while (m.find()) out += UTF8String.fromString(m.group())
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpePiecesExpr =
+    copy(child = c)
 }
 
 case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])

@@ -95,6 +95,14 @@ object TextFunctions {
     toColumn(SubstringRemoveExpr(toExpression(words), toExpression(starts), k))
   }
 
+  /** GPT-2 pre-tokenizer pieces ([[BpePiecesExpr]]) — the distributed
+    * half of BPE training.
+    */
+  def bpePieces(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(BpePiecesExpr(toExpression(text)))
+  }
+
   /** Byte-level BPE token count under a merge table ([[BpeTokenCountExpr]])
     * — the trainer-accurate counter for token-denominated decisions.
     */

@@ -115,6 +115,42 @@ object TextAnalysis {
       graft.functions.TextFunctions.bpeTokenCount(col(textCol), merges)
         .as("n_bpe_tokens"))
 
+  /** Learn a BPE merge table FROM the corpus — completes the tokenizer
+    * story end to end (train here, count/chunk with [[tokenCountsBpe]] /
+    * [[chunkByTokensBpe]], persist via [[graft.functions.Bpe
+    * .encodeToken]] in merges.txt form). The corpus-scale work is ONE
+    * distributed pass: native pre-tokenization
+    * ([[graft.functions.BpePiecesExpr]]) → `explode` →
+    * `groupBy(piece).count` (partial-aggregable — hot word types
+    * combine map-side, so the shuffle carries piece TYPES, not corpus
+    * tokens). The merge iteration then runs on the aggregated type
+    * table, capped at the `maxPieceTypes` highest-count types
+    * (deterministic `ORDER BY count DESC, piece` top-K via
+    * TakeOrderedAndProject — word types grow sublinearly with corpus
+    * size per Heaps' law, so a 1M cap covers the mass of a 100 TB
+    * corpus; the bounded collect is the same pattern as the k-means
+    * centroid folds). Iterating distributively instead would launch one
+    * job per merge — thousands of barriers to learn what a bounded
+    * table teaches identically ([[graft.functions.Bpe.train]] documents
+    * the deterministic order).
+    */
+  def bpeTrainMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxPieceTypes: Int = 1000000,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    val pieceCounts = docs
+      .select(explode(graft.functions.TextFunctions.bpePieces(col(textCol)))
+        .as("__piece"))
+      .groupBy(col("__piece"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__piece").asc)
+      .limit(maxPieceTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Bpe.train(pieceCounts, numMerges, minPairCount)
+  }
+
   /** [[chunkByTokens]] at TRUE BPE token boundaries — chunk windows are
     * token ranges under the merge table, and chunk texts are the exact
     * byte slices those tokens cover (byte-level BPE tokens concatenate

@@ -275,6 +275,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.parseMerges(Iterator("# #")) === Seq("#" -> "#"))
   }
 
+  test("Bpe.train learns the hand-derived merge sequence (count argmax," +
+      " lexicographic ties, minPairCount stop) and round-trips through" +
+      " the walk; order-insensitive") {
+    import graft.functions.Bpe
+    import graft.operators.TextAnalysis
+    // corpus "aa ab aa ab aa" -> piece types: "aa"x1, " aa"x2, " ab"x2
+    // pairs: (' ',a)=4, (a,a)=3, (a,b)=2 -> merge 1 = (' ','a')
+    // then (' a',a)=2 ties (' a',b)=2 -> 'a' < 'b' -> merge 2 = (' a','a')
+    // then merge 3 = (' a','b'); only (a,a)=1 left < minPairCount -> stop
+    val types = Seq("aa" -> 1L, " aa" -> 2L, " ab" -> 2L)
+    val expected = Seq(" " -> "a", " a" -> "a", " a" -> "b")
+    assert(Bpe.train(types, numMerges = 5) === expected)
+    assert(Bpe.train(types.reverse, numMerges = 5) === expected)
+    // distributed piece counting + train, end to end
+    val docs = Seq(Tuple1("aa ab aa ab aa")).toDF("text")
+    assert(TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 5)
+      === expected)
+    // round-trip: counting with the trained table reproduces the
+    // hand-walked token count (2 for "aa", 1 each for the other pieces)
+    val counts = TextAnalysis.tokenCountsBpe(
+      Seq((1L, "aa ab aa ab aa")).toDF("doc_id", "text"),
+      "doc_id", "text", merges = expected).collect()
+    assert(counts(0).getLong(1) === 6L)
+    // encodeToken is decodeToken's inverse on every byte
+    (0 until 256).foreach { b =>
+      val raw = new String(Array(b.toByte), "ISO-8859-1")
+      assert(Bpe.decodeToken(Bpe.encodeToken(raw)) === raw)
+    }
+  }
+
   test("loadMerges reads through Hadoop FileSystem: bare local path and" +
       " explicit file: scheme both work") {
     import graft.functions.Bpe
