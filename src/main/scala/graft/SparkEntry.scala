@@ -907,6 +907,32 @@ object SparkEntry {
       idx.m, k = 5, probes = 2)
   }
 
+  /** Incremental-append roundtrip: the index is written from two thirds
+    * of the corpus, the remaining third is encoded against the FROZEN
+    * loaded codebook/centroids and appended, and the search over
+    * (initial + appended) codes must hash-match the from-scratch
+    * full-corpus oracle — proving a crawl batch can join the index with
+    * zero retraining and identical search results.
+    */
+  private def annIndexAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = trainedResidualCb(e, centroids, dir)
+    val initial = e.filter(col("vec_id") % 3 =!= 0)
+    val incoming = e.filter(col("vec_id") % 3 === 0)
+    val codes = Similarity.ivfPqResidualEncode(
+      initial, "vec_id", "embedding", centroids, cb, m = 8)
+    val path = s"/tmp/graft_annidx_app_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.AnnIndex.write(path, centroids, cb, codes,
+      m = 8, residual = true)
+    graft.sources.AnnIndex.append(s, path, incoming, "vec_id", "embedding")
+    val idx = graft.sources.AnnIndex.load(s, path)
+    Similarity.ivfPqResidualTopKEncoded(e.filter(col("vec_id") < 10),
+      idx.codes, "vec_id", "embedding", idx.centroids, idx.codebook,
+      idx.m, k = 5, probes = 2)
+  }
+
   /** Group top-k via the bounded-heap partial-aggregable Aggregator —
     * same result set as q3_window_topn's window plan, produced with no
     * per-key window sort (the skew-safe plan shape).
@@ -2168,6 +2194,7 @@ object SparkEntry {
     "ann_ivfpq_topk"   -> (annIvfPqTopKQ _),
     "ann_ivfpq_residual" -> (annIvfPqResidualQ _),
     "ann_index_persist" -> (annIndexPersistQ _),
+    "ann_index_append" -> (annIndexAppendQ _),
     "group_topk"       -> (groupTopKQ _),
     "ngram_freq"       -> (ngramFreqQ _),
     "streaming_decontaminate" -> (streamingDecontaminateQ _),
@@ -3134,6 +3161,7 @@ object SparkEntry {
          WHERE knn_rank <= 5""",
     "ann_ivfpq_residual" -> dkIvfPqResidualSql,
     "ann_index_persist" -> dkIvfPqResidualSql,
+    "ann_index_append" -> dkIvfPqResidualSql,
     "group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -75,6 +75,41 @@ object AnnIndex {
       buckets: Int): Unit =
     Tables.writeBucketed(codes, path, table, Seq("centroid_id"), buckets)
 
+  /** Encode a NEW vector batch against the FROZEN artifacts of a
+    * persisted index and append its codes — the crawl-pipeline
+    * increment: a daily batch joins the searchable corpus without
+    * retraining the coarse quantizer or codebook (exactly how a frozen
+    * FAISS index absorbs `add()`). Reads meta/centroids/codebook only;
+    * the appended files keep the clustered-by-`centroid_id` layout, so
+    * row-group pruning holds for old and new files alike. Atomicity is
+    * parquet-append atomicity (a concurrent search sees whole files or
+    * not yet — never torn rows); compaction, if ever needed, is a
+    * rewrite of `codes/` with the same `write` call.
+    *
+    * Recall note (inherent to frozen-quantizer append, worth stating):
+    * centroids stop reflecting the corpus distribution as it drifts —
+    * the standard practice this mirrors is append daily, retrain on a
+    * schedule.
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val idx = load(spark, path)
+    val enc =
+      if (idx.residual)
+        graft.operators.Similarity.ivfPqResidualEncode(
+          newVecs, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
+      else
+        graft.operators.Similarity.ivfPqEncode(
+          newVecs, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
+    enc.repartition(col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   def load(spark: SparkSession, path: String): Loaded = {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1, s"malformed index meta at $path")
