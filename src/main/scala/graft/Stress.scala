@@ -345,6 +345,52 @@ object Stress {
       println(f"STRESS ann_index_roundtrip     ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         f"  (train+encode+write $tWrite%.2f s, load+search ${(System.nanoTime() - t1) / 1e9}%.2f s, ${mult}x corpus)")
     }
+    locally {
+      // packSequences at 10x with power-law token lengths: one doc per
+      // thousand carries 100k tokens (a book among tweets), the rest
+      // follow a 1..997 spread. The per-bucket window sort is the one
+      // new shuffle shape of r10 — this proves it stays bounded: each
+      // of the 64 hash buckets sorts ~corpus/64 rows regardless of the
+      // token-length skew (bucket membership is an id hash, so heavy
+      // docs scatter uniformly; token mass skew moves pack_id values,
+      // not row counts)
+      val toks = docs.select(col("doc_id"),
+        when(col("doc_id") % 1000 === 0, lit(100000L))
+          .otherwise(pmod(col("doc_id"), lit(997L)) + lit(1L))
+          .as("n_tokens"))
+      val t0 = System.nanoTime()
+      graft.operators.Sampling.packSequences(toks, "doc_id", "n_tokens",
+        seqTokens = 4096L, nBuckets = 64)
+        .write.format("noop").mode("overwrite").save()
+      println(f"STRESS pack_sequences_skew     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // reproducibility: a full rerun assigns bit-identical
+      // (pack_bucket, pack_id, pack_offset) to every doc — membership
+      // and order are id-hash functions, nothing depends on partitioning
+      // or visit order
+      def packed() = graft.operators.Sampling.packSequences(toks,
+        "doc_id", "n_tokens", seqTokens = 4096L, nBuckets = 64)
+      val a = packed()
+      val b = packed()
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      require(diff == 0L, s"pack assignment not reproducible: $diff rows differ")
+      println(f"STRESS pack_repro_check        ${0.0}%8.2f s  (exceptAll both ways empty)")
+    }
+    time("trainer_feed_10x") {
+      // the full corpus->trainer-input composition (exact BPE counts ->
+      // token-budget mixing -> packing) over the replicated corpus —
+      // every stage partial-aggregable or id-hash deterministic; the
+      // only shuffles are the per-source totals and the pack window
+      val counted = docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text"),
+          graft.functions.Bpe.fixtureMerges).as("n_bpe_tokens"))
+      val mixed = graft.operators.Sampling.mixToTokenBudget(
+        counted, "doc_id", "source", "n_bpe_tokens",
+        weights = Map("src0" -> 0.5, "src1" -> 0.3),
+        budget = 100000L, defaultWeight = 0.2 / 18)
+      graft.operators.Sampling.packSequences(
+        mixed.select(col("doc_id"), col("n_bpe_tokens")),
+        "doc_id", "n_bpe_tokens", seqTokens = 512L, nBuckets = 64)
+    }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
       // case AQE skew-split or explicit salting must break up

@@ -513,6 +513,19 @@ object Dedup {
     * semi/anti joins on (band, bucket) / id — two linear shuffles, still
     * never pairwise. Everything per-document is the native one-pass
     * bucket expression either way.
+    *
+    * `maxBucketSize` threads the [[capHotBuckets]] guard over the
+    * CORPUS band rows for the shuffled (`broadcastProbe = false`) path,
+    * where a viral corpus family collapses into one (band, bucket) cell
+    * and skews the semi join's probe side. Unlike the pair-enumeration
+    * APIs it defaults OFF (0): the semi join's per-key work is already
+    * linear (one build row per probe bucket), and capping here changes
+    * ANSWERS, not just work — an over-cap family's rows skip those
+    * buckets and can only match through their other bands, and a family
+    * viral in ALL bands evades the scrub entirely. Leaking a
+    * million-copy boilerplate page that happens to overlap the eval set
+    * into training is a worse failure than one slow task, so sacrificing
+    * recall for speed must be an explicit choice at this call site.
     */
   def decontaminate(
       corpus: DataFrame,
@@ -522,7 +535,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      broadcastProbe: Boolean = true): DataFrame = {
+      broadcastProbe: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def bucketRows(df: DataFrame) =
       Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol))
@@ -536,7 +550,9 @@ object Dedup {
       if (broadcastProbe) broadcast(df) else df
     val probeBuckets =
       bucketRows(probe).select(col("band"), col("bucket")).distinct()
-    val contaminated = bucketRows(corpus)
+    val corpusBuckets =
+      capHotBuckets(bucketRows(corpus), Seq("band", "bucket"), maxBucketSize)
+    val contaminated = corpusBuckets
       .join(maybeBroadcast(probeBuckets), Seq("band", "bucket"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

@@ -52,6 +52,8 @@ object Pipeline {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
+      decontaminateBroadcastProbe: Boolean = true,
+      decontaminateMaxBucketSize: Int = 0,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -102,7 +104,8 @@ object Pipeline {
     }
     probe.foreach { p =>
       d = Dedup.decontaminate(d, p, idCol, textCol, shingleN, numHashes,
-        bands)
+        bands, broadcastProbe = decontaminateBroadcastProbe,
+        maxBucketSize = decontaminateMaxBucketSize)
     }
     Sampling.assignSplit(d, idCol, splits)
   }

@@ -316,6 +316,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.loadMerges("file://" + f.getAbsolutePath) === Bpe.fixtureMerges)
   }
 
+  test("decontaminate maxBucketSize: a viral corpus family in the" +
+      " shuffled-probe path is exempted when over-cap (documented" +
+      " recall trade); default 0 keeps full recall") {
+    import graft.operators.Dedup
+    // 200 identical docs (viral family, all matching the probe) plus 3
+    // below-cap near-copies of a second probed text plus clean docs
+    val viral = (0L until 200L).map(i => (i, "aaa bbb ccc ddd eee fff ggg"))
+    val family = (200L until 203L).map(i => (i, "xxx yyy zzz www vvv uuu ttt"))
+    val clean = (300L until 310L).map(i =>
+      (i, s"clean document number $i with its own words entirely c$i"))
+    val corpus = (viral ++ family ++ clean).toDF("doc_id", "text")
+    val probe = Seq((9001L, "aaa bbb ccc ddd eee fff ggg"),
+      (9002L, "xxx yyy zzz www vvv uuu ttt")).toDF("doc_id", "text")
+    // default (0 = uncapped): both families scrubbed, clean docs survive
+    val full = Dedup.decontaminate(corpus, probe, "doc_id", "text",
+      broadcastProbe = false)
+    assert(full.count() === 10L)
+    // cap 50: the 200-copy family blows every bucket and is EXEMPTED
+    // (stays in the corpus); the 3-copy family still scrubs
+    val capped = Dedup.decontaminate(corpus, probe, "doc_id", "text",
+      broadcastProbe = false, maxBucketSize = 50)
+    val ids = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 210)
+    assert((200L until 203L).forall(!ids.contains(_)))
+    assert((0L until 200L).forall(ids.contains))
+  }
+
   test("dedupSubstrings: cross-doc repeated spans removed keeping the" +
       " first occurrence; exact copies empty out; short/empty docs pass") {
     import graft.operators.Dedup
