@@ -236,6 +236,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(loadedR === freshR)
   }
 
+  test("AnnIndex.append: both PQ forms — search over (initial + appended)" +
+      " codes equals a from-scratch encode of the union corpus") {
+    import graft.sources.AnnIndex
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = Similarity.pqTrainCodebook(vecs, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1)
+    val initial = vecs.filter(col("vec_id") % 3 =!= 0)
+    val incoming = vecs.filter(col("vec_id") % 3 === 0)
+    val qs = vecs.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("annappend").toString
+    // plain (raw-vector) form
+    AnnIndex.write(s"$dir/raw", centroids, cb,
+      Similarity.ivfPqEncode(initial, "vec_id", "embedding", centroids, cb,
+        m = 2), m = 2, residual = false)
+    AnnIndex.append(spark, s"$dir/raw", incoming, "vec_id", "embedding")
+    val raw = AnnIndex.load(spark, s"$dir/raw")
+    assert(raw.codes.count() === 80L)
+    val unionRaw = Similarity.ivfPqTopKEncoded(qs,
+      Similarity.ivfPqEncode(vecs, "vec_id", "embedding", centroids, cb,
+        m = 2), "vec_id", "embedding", centroids, cb, 2, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val appended = Similarity.ivfPqTopKEncoded(qs, raw.codes, "vec_id",
+      "embedding", raw.centroids, raw.codebook, raw.m, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(appended === unionRaw)
+    // residual (IVFADC) form
+    AnnIndex.write(s"$dir/res", centroids, cb,
+      Similarity.ivfPqResidualEncode(initial, "vec_id", "embedding",
+        centroids, cb, m = 2), m = 2, residual = true)
+    AnnIndex.append(spark, s"$dir/res", incoming, "vec_id", "embedding")
+    val res = AnnIndex.load(spark, s"$dir/res")
+    val unionRes = Similarity.ivfPqResidualTopKEncoded(qs,
+      Similarity.ivfPqResidualEncode(vecs, "vec_id", "embedding",
+        centroids, cb, m = 2), "vec_id", "embedding", centroids, cb, 2,
+      k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val appendedR = Similarity.ivfPqResidualTopKEncoded(qs, res.codes,
+      "vec_id", "embedding", res.centroids, res.codebook, res.m,
+      k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    assert(appendedR === unionRes)
+  }
+
   test("BPE token count: merge walk, pre-tokenizer pieces, merges.txt" +
       " parsing with the byte-unicode alphabet") {
     import graft.functions.{Bpe, TextFunctions}

@@ -201,6 +201,63 @@ class PropertySpec extends AnyFunSuite {
     info(f"1 MB unsegmented doc: ${lens.length} tokens in $sec%.2f s")
   }
 
+  test("dedupSubstrings ≡ brute-force reference on random corpora with" +
+      " planted cross-doc spans (first-occurrence keep, positional" +
+      " coverage, reassembly)") {
+    import graft.operators.Dedup
+    import scala.collection.mutable
+    def brute(docs: Seq[(Long, String)], k: Int)
+        : Map[Long, (String, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val grams = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
+      toks.foreach { case (id, ws) =>
+        (0 to ws.length - k).foreach { p =>
+          grams.getOrElseUpdate(ws.slice(p, p + k).mkString(" "),
+            mutable.ArrayBuffer.empty) += (id -> p)
+        }
+      }
+      val covered = mutable.Set.empty[(Long, Int)]
+      grams.values.filter(_.length >= 2).foreach { occs =>
+        val first = occs.minBy(identity)
+        occs.filter(_ != first).foreach { case (id, p) =>
+          (p until p + k).foreach(i => covered += (id -> i)) }
+      }
+      toks.map { case (id, ws) =>
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !covered((id, i)) => w }
+        id -> ((kept.mkString(" "), kept.length.toLong,
+          (ws.length - kept.length).toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("red", "blue", "oak", "elm", "fox", "owl", "sun",
+      "sky", "ash", "ivy")
+    (0 until 25).foreach { trial =>
+      val span = (0 until 6).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+      val docs = (0L until 10L).map { id =>
+        val words = (0 until rnd.nextInt(30)).map(_ =>
+          vocab(rnd.nextInt(vocab.length)))
+        // plant the shared span into some docs at a random position
+        val t =
+          if (rnd.nextBoolean()) {
+            val cut = if (words.isEmpty) 0 else rnd.nextInt(words.length)
+            (words.take(cut) ++ span.split(" ") ++ words.drop(cut))
+              .mkString(" ")
+          } else words.mkString(" ")
+        (id, t)
+      }
+      val k = 3 + rnd.nextInt(3)
+      val expected = brute(docs, k)
+      val got = Dedup.dedupSubstrings(docs.toDF("doc_id", "text"),
+          "doc_id", "text", spanWords = k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected, s"trial=$trial k=$k docs=$docs")
+    }
+  }
+
   test("byte shingles: count/containment laws over random payloads — " +
       "distinct n-windows, whole-payload fallback, prefix monotonicity") {
     import graft.functions.ByteShinglesExpr
