@@ -505,6 +505,22 @@ object SparkEntry {
     rows.toDF("rank", "left", "right")
   }
 
+  /** Token-ids gate: the full id sequence under the fixture vocabulary,
+    * comma-joined for a robust cross-engine compare. The oracle derives
+    * the ids at string level — every literal `abc` becomes token 257 and
+    * every remaining literal `ab` becomes 256 (equivalent to the walk
+    * for this vocabulary: `ab` is the first merge and cannot
+    * self-overlap, so the rank-1 pass merges every literal occurrence,
+    * and every `ab` followed by `c` then merges at rank 2), remaining
+    * chars are byte ids (corpus verified pure ASCII at all SFs).
+    */
+  private def tokenIdsBpeQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenIdsBpe(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"),
+        size(col("token_ids")).cast("long").as("n_tokens"))
+
   /** Generated oracle for [[bpeTrainQ]]: n unrolled training rounds.
     * MATERIALIZED is load-bearing — inlined CTEs would replicate the
     * scan ~5× per round (exponential in n).
@@ -2145,6 +2161,7 @@ object SparkEntry {
     "dedup_lines"      -> (dedupLinesQ _),
     "dedup_substring"  -> (dedupSubstringQ _),
     "bpe_train"        -> (bpeTrainQ _),
+    "token_ids_bpe"    -> (tokenIdsBpeQ _),
     "strip_boilerplate" -> (stripBoilerplateQ _),
     "dedup_keep_best"  -> (dedupKeepBestQ _),
     "dedup_semantic"   -> (semanticDedupQ _),
@@ -2848,6 +2865,15 @@ object SparkEntry {
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < round(f * 1000000)""",
     "bpe_train" -> bpeTrainOracle(8),
+    "token_ids_bpe" ->
+      """SELECT doc_id,
+         array_to_string(list_transform(
+           string_split(replace(replace(text, 'abc', chr(1)), 'ab', chr(2)), ''),
+           c -> CAST(CASE WHEN c = chr(1) THEN 257
+                          WHEN c = chr(2) THEN 256
+                          ELSE ascii(c) END AS VARCHAR)), ',') AS ids_csv,
+         CAST(strlen(replace(replace(text, 'abc', chr(1)), 'ab', chr(2))) AS BIGINT) AS n_tokens
+         FROM documents""",
     "token_counts_bpe" ->
       """SELECT doc_id,
          CAST(strlen(text)

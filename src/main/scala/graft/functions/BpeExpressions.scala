@@ -83,6 +83,26 @@ object Bpe {
     finally in.close()
   }
 
+  /** Write a merge table as a standard merges.txt (byte-unicode
+    * alphabet, `#version` header) through Hadoop's FileSystem — the
+    * write-side counterpart of [[loadMerges]], so a table learned with
+    * [[graft.operators.TextAnalysis.bpeTrainMerges]] round-trips to
+    * local or distributed storage in the format every BPE consumer
+    * reads.
+    */
+  def saveMerges(path: String, merges: Seq[(String, String)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), StandardCharsets.UTF_8))
+    try {
+      out.println("#version: 0.2")
+      merges.foreach { case (l, r) =>
+        out.println(s"${encodeToken(l)} ${encodeToken(r)}")
+      }
+    } finally out.close()
+  }
+
   /** Deterministic fixture vocabulary: rank 1 merges `a b`, rank 2
     * `ab c`. Chosen so the walk is SQL-checkable: both symbols of each
     * pair are letters, so no merge can cross a pre-tokenizer piece
@@ -241,6 +261,35 @@ trait BpeWalk {
     val n = bytes.length
     if (n == 0) return
     if (n == 1) { out += 1; return }
+    val (ids, nxt) = walkPieceSymbols(bytes)
+    var i = 0
+    while (i >= 0) { out += table.symLen(ids(i)); i = nxt(i) }
+  }
+
+  /** CANONICAL token ids of this piece after the merge walk, appended to
+    * `out` in order: ids 0-255 are the raw bytes, merge results number
+    * 256 + intern order (= 256 + rank for a duplicate-free table) — the
+    * numbering a vocabulary derived from merges alone defines (published
+    * vocab.json numberings additionally reorder by frequency, which a
+    * merge table does not encode).
+    */
+  private[graft] def pieceTokenIds(piece: String,
+      out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+    val bytes = piece.getBytes(StandardCharsets.UTF_8)
+    val n = bytes.length
+    if (n == 0) return
+    if (n == 1) { out += (bytes(0) & 0xff); return }
+    val (ids, nxt) = walkPieceSymbols(bytes)
+    var i = 0
+    while (i >= 0) { out += ids(i); i = nxt(i) }
+  }
+
+  /** The shared indexed merge walk: returns (ids, nxt) — the surviving
+    * symbol list starts at node 0 and follows `nxt` (-1 terminates);
+    * `ids(i)` is the interned symbol at node i.
+    */
+  private def walkPieceSymbols(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
+    val n = bytes.length
     val t = table
     // ids(i): interned symbol at list node i (-1 = consumed); nodes only
     // ever merge RIGHT symbols away, so node 0 stays the list head and
@@ -287,8 +336,7 @@ trait BpeWalk {
         }
       }
     }
-    i = 0
-    while (i >= 0) { out += t.symLen(ids(i)); i = nxt(i) }
+    (ids, nxt)
   }
 
   /** The literal published round-based walk (scan all symbols for the
@@ -461,6 +509,33 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(c: Expression): BpeTokenCountExpr =
+    copy(child = c)
+}
+
+/** The full token-id sequence of a string under a merge table — what a
+  * trainer actually consumes (counts budget it, chunks window it, THIS
+  * feeds it). Ids are the canonical merges-derived numbering
+  * ([[BpeWalk.pieceTokenIds]]): bytes 0-255, merge r → 256 + r. Same
+  * indexed walk, same cost profile as counting; the only extra is the
+  * output array (one int per token).
+  */
+case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback with BpeWalk {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val ids = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val m = piecePattern.matcher(s)
+    while (m.find()) pieceTokenIds(m.group(), ids)
+    val out = new Array[Any](ids.length)
+    var i = 0
+    while (i < ids.length) { out(i) = ids(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeTokenIdsExpr =
     copy(child = c)
 }
 

@@ -95,6 +95,14 @@ object TextFunctions {
     toColumn(SubstringRemoveExpr(toExpression(words), toExpression(starts), k))
   }
 
+  /** Full BPE token-id sequence ([[BpeTokenIdsExpr]]) — the
+    * trainer-input form (canonical merges-derived numbering).
+    */
+  def bpeTokenIds(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(BpeTokenIdsExpr(toExpression(text), merges))
+  }
+
   /** GPT-2 pre-tokenizer pieces ([[BpePiecesExpr]]) — the distributed
     * half of BPE training.
     */

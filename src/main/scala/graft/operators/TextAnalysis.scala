@@ -115,6 +115,21 @@ object TextAnalysis {
       graft.functions.TextFunctions.bpeTokenCount(col(textCol), merges)
         .as("n_bpe_tokens"))
 
+  /** Token-id sequences — the trainer-input form of the BPE family
+    * (counts budget, chunks window, this FEEDS): `(id, token_ids
+    * array<int>)` under the canonical merges-derived numbering. Same
+    * one-native-pass shape as [[tokenCountsBpe]].
+    */
+  def tokenIdsBpe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges)
+      : DataFrame =
+    docs.select(col(idCol),
+      graft.functions.TextFunctions.bpeTokenIds(col(textCol), merges)
+        .as("token_ids"))
+
   /** Learn a BPE merge table FROM the corpus — completes the tokenizer
     * story end to end (train here, count/chunk with [[tokenCountsBpe]] /
     * [[chunkByTokensBpe]], persist via [[graft.functions.Bpe

@@ -363,6 +363,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.loadMerges("file://" + f.getAbsolutePath) === Bpe.fixtureMerges)
   }
 
+  test("saveMerges/loadMerges round-trip, including space and '#' symbols") {
+    import graft.functions.Bpe
+    val merges = Seq(" " -> "t", "a" -> "b", "#" -> "#", " t" -> "ab")
+    val f = java.io.File.createTempFile("merges_rt", ".txt")
+    f.deleteOnExit()
+    Bpe.saveMerges(f.getAbsolutePath, merges)
+    assert(Bpe.loadMerges(f.getAbsolutePath) === merges)
+    // the written form is the standard alphabet: space appears as Ġ
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(text.startsWith("#version"))
+    assert(text.contains("Ġ t"))
+  }
+
+  test("bpeTokenIds: canonical merges-derived numbering; length always" +
+      " equals the token count") {
+    import graft.functions.{Bpe, TextFunctions}
+    import graft.operators.TextAnalysis
+    def ids(text: String): Seq[Int] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextFunctions.bpeTokenIds(col("t"), Bpe.fixtureMerges))
+        .collect()(0).getSeq[Int](0)
+    // pieces "abc" / " ab" / " x": abc=257, ab=256, bytes elsewhere
+    assert(ids("abc ab x") === Seq(257, 32, 256, 32, 120))
+    assert(ids("") === Seq.empty)
+    assert(ids("zzz") === Seq(122, 122, 122))
+    // |ids| == token count on a mixed random sample
+    val rnd = new scala.util.Random(5)
+    val texts = (0L until 40L).map(i => (i,
+      (0 until rnd.nextInt(40)).map(_ => "abc x é,1".charAt(
+        rnd.nextInt(9))).mkString))
+    val df = texts.toDF("doc_id", "text")
+    val n = TextAnalysis.tokenCountsBpe(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextAnalysis.tokenIdsBpe(df, "doc_id", "text").collect().foreach { r =>
+      assert(r.getSeq[Int](1).length.toLong === n(r.getLong(0)))
+    }
+  }
+
   test("decontaminate maxBucketSize: a viral corpus family in the" +
       " shuffled-probe path is exempted when over-cap (documented" +
       " recall trade); default 0 keeps full recall") {
