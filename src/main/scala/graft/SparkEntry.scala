@@ -741,6 +741,27 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("n_chars")),
       "doc_id", "n_chars", seqTokens = 2048L, nBuckets = 8)
 
+  /** Materialized-pack gate: the END of the corpus→trainer pipeline —
+    * exact BPE counts address the packs, token ids gather into them,
+    * documents split across pack boundaries. The oracle replays id
+    * derivation, bucket hash, window cumsum, span explode, list slicing
+    * and the ordered gather arithmetically.
+    */
+  private def packMaterializeQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counts = d.select(col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text"),
+        graft.functions.Bpe.fixtureMerges).as("n_bpe_tokens"))
+    val ids = TextAnalysis.tokenIdsBpe(d, "doc_id", "text")
+    val packed = graft.operators.Sampling.packSequences(
+      counts, "doc_id", "n_bpe_tokens", seqTokens = 512L, nBuckets = 8)
+    graft.operators.Sampling.materializePacks(packed, ids,
+      "doc_id", "n_bpe_tokens", "token_ids", seqTokens = 512L)
+      .select(col("pack_bucket"), col("pack_id"), col("n_tokens"),
+        concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+          .as("ids_csv"))
+  }
+
   private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedHashSample(
       t(s, dir, "documents"), "doc_id", "lang",
@@ -2193,6 +2214,7 @@ object SparkEntry {
     "token_counts_bpe" -> (tokenCountsBpeQ _),
     "chunk_tokens_bpe" -> (chunkTokensBpeQ _),
     "pack_sequences"   -> (packSequencesQ _),
+    "pack_materialize" -> (packMaterializeQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
@@ -2944,6 +2966,34 @@ object SparkEntry {
            CAST(st // 512 AS BIGINT) AS pack_id,
            CAST(st % 512 AS BIGINT) AS pack_offset
          FROM c""",
+    "pack_materialize" ->
+      s"""WITH ti AS (SELECT doc_id,
+           list_transform(
+             string_split(replace(replace(text, 'abc', chr(1)), 'ab', chr(2)), ''),
+             c -> CASE WHEN c = chr(1) THEN 257
+                       WHEN c = chr(2) THEN 256
+                       ELSE ascii(c) END) AS ids
+         FROM documents),
+       d AS (SELECT doc_id, ids, len(ids) AS n,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM ti),
+       b AS (SELECT *, h % 8 AS pack_bucket FROM d),
+       c AS (SELECT *, CAST(COALESCE(sum(n) OVER (
+           PARTITION BY pack_bucket ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+         FROM b),
+       sp AS (SELECT pack_bucket, st, n, ids,
+           unnest(range(st // 512, (st + n - 1) // 512 + 1)) AS p
+         FROM c WHERE n > 0),
+       sl AS (SELECT pack_bucket, p AS pack_id,
+           greatest(st - p * 512, 0) AS pos,
+           ids[CAST(greatest(p * 512 - st, 0) + 1 AS BIGINT)
+             : CAST(least(n, (p + 1) * 512 - st) AS BIGINT)] AS sl
+         FROM sp)
+       SELECT CAST(pack_bucket AS BIGINT) AS pack_bucket,
+         CAST(pack_id AS BIGINT) AS pack_id,
+         CAST(sum(len(sl)) AS BIGINT) AS n_tokens,
+         string_agg(array_to_string(sl, ','), ',' ORDER BY pos) AS ids_csv
+       FROM sl GROUP BY 1, 2""",
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
            ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),

@@ -225,4 +225,67 @@ object Sampling {
         expr(s"__start div ${seqTokens}L").as("pack_id"),
         pmod(col("__start"), lit(seqTokens)).as("pack_offset"))
   }
+
+  /** Materialize the packed trainer sequences — the final stage of the
+    * corpus→trainer pipeline: [[packSequences]] ASSIGNS each document a
+    * start address in its bucket's token stream; this gathers the
+    * actual token ids into one row per (pack_bucket, pack_id) of at
+    * most `seqTokens` ids, documents SPLIT across pack boundaries
+    * exactly as start addressing implies (the defining property of
+    * packed pretraining batches — no padding between documents, a doc
+    * tail flows into the next sequence).
+    *
+    * `packed` is [[packSequences]]' output for these documents; `ids`
+    * carries `(idCol, idsCol array<int>)` where `size(idsCol)` MUST
+    * equal the token count the packing ran on (true by construction
+    * when both come from the same BPE family —
+    * [[graft.operators.TextAnalysis.tokenIdsBpe]] /
+    * `tokenCountsBpe` are spec-pinned equal).
+    *
+    * Scale shape: the pack-range explode emits `1 + spans` rows per doc
+    * (almost always 1-2 — a doc spans `ceil(n/seqTokens)+1` packs at
+    * most), the id join is 1:1 on the doc id, and the final gather
+    * groups by (bucket, pack_id) with in-pack position order — pack
+    * payloads are bounded by `seqTokens` ids by construction, so the
+    * collect_list per group is bounded no matter how skewed the input
+    * document lengths are (the window sort bound is [[packSequences]]'
+    * per-bucket argument, unchanged).
+    */
+  def materializePacks(
+      packed: DataFrame,
+      ids: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      idsCol: String,
+      seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val L = seqTokens
+    val withStart = packed.select(col(idCol), col("pack_bucket"),
+        (col("pack_id") * L + col("pack_offset")).as("__start"),
+        col(tokenCol).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val spans = withStart
+      .join(ids.select(col(idCol), col(idsCol).as("__ids")), Seq(idCol))
+      .select(col("pack_bucket"), col("__start"), col("__n"), col("__ids"),
+        explode(sequence(expr(s"__start div ${L}L"),
+          expr(s"(__start + __n - 1) div ${L}L"))).as("__p"))
+    val slices = spans.select(
+      col("pack_bucket"),
+      col("__p").as("pack_id"),
+      greatest(col("__start") - col("__p") * L, lit(0L)).as("__pos"),
+      slice(col("__ids"),
+        (greatest(col("__p") * L - col("__start"), lit(0L)) + 1L)
+          .cast("int"),
+        (least(col("__n"), (col("__p") + 1L) * L - col("__start")) -
+          greatest(col("__p") * L - col("__start"), lit(0L))).cast("int"))
+        .as("__slice"))
+    slices.groupBy(col("pack_bucket"), col("pack_id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__slice")))),
+          x => x.getField("__slice"))).as("token_ids"))
+      .select(col("pack_bucket"), col("pack_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
+  }
 }

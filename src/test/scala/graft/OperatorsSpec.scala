@@ -401,6 +401,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("materializePacks: boundary-splitting gather — full packs carry" +
+      " exactly seqTokens ids, the bucket stream reassembles the docs" +
+      " in start order, total ids conserved") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, Seq(11, 12, 13)),
+      (2L, Seq(21, 22, 23, 24)),
+      (3L, Seq(31, 32)),
+      (4L, Seq(41, 42, 43, 44, 45, 46, 47))).toDF("doc_id", "token_ids")
+    val counts = docs.select(col("doc_id"),
+      size(col("token_ids")).cast("long").as("n_tokens"))
+    val packed = Sampling.packSequences(counts, "doc_id", "n_tokens",
+      seqTokens = 5L, nBuckets = 1)
+    val mat = Sampling.materializePacks(packed, docs, "doc_id", "n_tokens",
+      "token_ids", seqTokens = 5L)
+      .collect().sortBy(r => r.getLong(1))
+    // 16 tokens at L=5 -> packs of 5,5,5,1; every non-final pack full
+    assert(mat.map(_.getLong(2)).toSeq === Seq(5L, 5L, 5L, 1L))
+    assert(mat.map(r => r.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L))
+    // the concatenated bucket stream equals the docs' ids concatenated
+    // in start-address order — boundary splits leave no gap, dup, or
+    // reorder
+    val stream = mat.flatMap(_.getSeq[Int](3)).toSeq
+    val order = packed.collect()
+      .map(r => (r.getLong(4) + r.getLong(3) * 5L, r.getLong(0)))
+      .sortBy(_._1).map(_._2)
+    val idsByDoc = docs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stream === order.flatMap(idsByDoc).toSeq)
+    assert(stream.length === 16)
+  }
+
   test("decontaminate maxBucketSize: a viral corpus family in the" +
       " shuffled-probe path is exempted when over-cap (documented" +
       " recall trade); default 0 keeps full recall") {
