@@ -377,9 +377,11 @@ object Stress {
     }
     time("trainer_feed_10x") {
       // the full corpus->trainer-input composition (exact BPE counts ->
-      // token-budget mixing -> packing) over the replicated corpus —
-      // every stage partial-aggregable or id-hash deterministic; the
-      // only shuffles are the per-source totals and the pack window
+      // token-budget mixing -> packing -> MATERIALIZED id sequences)
+      // over the replicated corpus — every stage partial-aggregable or
+      // id-hash deterministic; shuffles are the per-source totals, the
+      // pack window, and the bounded per-pack gather (<= seqTokens ids
+      // per group by construction)
       val counted = docs.select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.bpeTokenCount(col("text"),
           graft.functions.Bpe.fixtureMerges).as("n_bpe_tokens"))
@@ -387,9 +389,14 @@ object Stress {
         counted, "doc_id", "source", "n_bpe_tokens",
         weights = Map("src0" -> 0.5, "src1" -> 0.3),
         budget = 100000L, defaultWeight = 0.2 / 18)
-      graft.operators.Sampling.packSequences(
+      val packed = graft.operators.Sampling.packSequences(
         mixed.select(col("doc_id"), col("n_bpe_tokens")),
         "doc_id", "n_bpe_tokens", seqTokens = 512L, nBuckets = 64)
+      val ids = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeTokenIds(col("text"),
+          graft.functions.Bpe.fixtureMerges).as("token_ids"))
+      graft.operators.Sampling.materializePacks(packed, ids,
+        "doc_id", "n_bpe_tokens", "token_ids", seqTokens = 512L)
     }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
