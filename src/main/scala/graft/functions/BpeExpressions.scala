@@ -132,10 +132,13 @@ object Bpe {
     * (merging a singleton pair cannot compress anything unseen).
     *
     * Incremental: pair counts and a pair→pieces index update only for
-    * the pieces a merge touches — O(touched symbols) per round plus an
-    * O(distinct pairs) argmax scan, the standard single-node trainer
-    * shape (pieces here are TYPES, bounded by the caller's cap, not
-    * corpus tokens).
+    * the pieces a merge touches — O(touched symbols) per round — and
+    * the argmax is a max-heap with LAZY INVALIDATION (the same trick as
+    * the walk's candidate heap: every count change pushes a fresh
+    * entry; a popped entry whose count no longer matches the live table
+    * is stale and skipped), so a round costs O(log P) amortized instead
+    * of an O(P) scan over all distinct pairs — the difference between
+    * an 8-rank gate and a realistic 50k-rank vocabulary train.
     */
   def train(
       pieceCounts: Seq[(String, Long)],
@@ -149,13 +152,29 @@ object Bpe {
     }.toArray
     val counts = mutable.HashMap.empty[(String, String), Long]
     val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // max-heap by (count DESC, left ASC, right ASC) — the deterministic
+    // argmax order; entries carry the count they were pushed with, so a
+    // mismatch against `counts` marks them stale
+    val heap = new java.util.PriorityQueue[(Long, String, String)](64,
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c
+        else {
+          val l = a._2.compareTo(b._2)
+          if (l != 0) l else a._3.compareTo(b._3)
+        }
+      })
     def tally(idx: Int, sign: Long): Unit = {
       val (syms, c) = pieces(idx)
       var j = 0
       while (j < syms.length - 1) {
         val p = (syms(j), syms(j + 1))
         val n = counts.getOrElse(p, 0L) + sign * c
-        if (n == 0L) counts.remove(p) else counts(p) = n
+        if (n == 0L) counts.remove(p)
+        else {
+          counts(p) = n
+          if (n >= minPairCount) heap.add((n, p._1, p._2))
+        }
         if (sign > 0) index.getOrElseUpdate(p, mutable.Set.empty) += idx
         j += 1
       }
@@ -166,12 +185,16 @@ object Bpe {
     var exhausted = false
     while (rounds < numMerges && !exhausted) {
       var best: (String, String) = null
-      var bestC = 0L
-      counts.foreach { case (p, c) =>
-        if (c >= minPairCount &&
-            (best == null || c > bestC || (c == bestC &&
-              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))))
-          { best = p; bestC = c }
+      var continue = true
+      while (continue) {
+        val top = heap.poll()
+        if (top == null) continue = false
+        else {
+          val p = (top._2, top._3)
+          if (counts.getOrElse(p, 0L) == top._1 && top._1 >= minPairCount) {
+            best = p; continue = false
+          } // else stale — skip
+        }
       }
       if (best == null) exhausted = true
       else {

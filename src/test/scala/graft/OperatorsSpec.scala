@@ -363,6 +363,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.loadMerges("file://" + f.getAbsolutePath) === Bpe.fixtureMerges)
   }
 
+  test("Bpe.train at depth: thousands of ranks from a weighted type" +
+      " table in bounded time (heap argmax); trained tables are monotone") {
+    import graft.functions.Bpe
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdefgh"
+    // zipf-ish weighted piece types — enough repeated mass for deep chains
+    val types = (0 until 3000).map { i =>
+      val len = 3 + rnd.nextInt(20)
+      ((0 until len).map(_ => alphabet(rnd.nextInt(8))).mkString,
+        (1000L / (1 + i % 50)) + 1L)
+    }
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(types, numMerges = 5000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"${merges.length} ranks in $sec%.2f s")
+    assert(sec < 30.0, f"training took $sec%.1f s")
+    assert(merges.length >= 1000, s"only ${merges.length} ranks learned")
+    // monotone: any pair using a merged symbol ranks after the merge
+    // that created it (the class the indexed walk is exact for)
+    val created = merges.zipWithIndex.groupBy { case ((l, r), _) => l + r }
+      .map { case (s, v) => s -> v.map(_._2).min }
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      created.get(l).foreach(cl => assert(cl < i, s"rank $i left '$l'"))
+      created.get(r).foreach(cr => assert(cr < i, s"rank $i right '$r'"))
+    }
+  }
+
   test("saveMerges/loadMerges round-trip, including space and '#' symbols") {
     import graft.functions.Bpe
     val merges = Seq(" " -> "t", "a" -> "b", "#" -> "#", " t" -> "ab")
