@@ -1094,6 +1094,9 @@ object SparkEntry {
   private def unigramSurprisalQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramSurprisal(docs(s, dir), "doc_id", "text")
 
+  private def bigramSurprisalQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(docs(s, dir), "doc_id", "text")
+
   private def textLenQuantiles(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthQuantiles(docs(s, dir), "lang", "n_chars")
 
@@ -2244,6 +2247,7 @@ object SparkEntry {
     "doc_fingerprint"  -> (fingerprintQ _),
     "text_vocabulary"  -> (textVocabulary _),
     "unigram_surprisal" -> (unigramSurprisalQ _),
+    "bigram_surprisal" -> (bigramSurprisalQ _),
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
     "text_normalize"    -> (textNormalizeQ _),
@@ -3328,6 +3332,24 @@ object SparkEntry {
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
            FROM documents)
          GROUP BY 1""",
+    "bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         u AS (SELECT unnest(ws) AS word FROM w),
+         v AS (SELECT word, count(*) AS uc FROM u GROUP BY 1),
+         t AS (SELECT CAST(sum(uc) AS DOUBLE) AS total FROM v),
+         b AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS word
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+             FROM w WHERE len(ws) >= 2)),
+         bc AS (SELECT prev, word, count(*) AS bc FROM b GROUP BY 1, 2),
+         pc AS (SELECT prev, count(*) AS pc FROM b GROUP BY 1)
+         SELECT doc_id,
+           round(avg(-ln(0.9 * (CAST(bc AS DOUBLE) / pc)
+             + 0.1 * (CAST(uc AS DOUBLE) / total))), 6) AS surprisal
+         FROM b JOIN bc USING (prev, word) JOIN pc USING (prev)
+           JOIN v USING (word), t
+         GROUP BY doc_id""",
     "unigram_surprisal" ->
       """WITH w AS (SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS word

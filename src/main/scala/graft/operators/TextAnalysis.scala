@@ -479,6 +479,62 @@ object TextAnalysis {
       .withColumnRenamed("__doc", idCol)
   }
 
+  /** Interpolated BIGRAM surprisal — one order deeper than
+    * [[unigramSurprisal]] on the CCNet-style fluency axis:
+    * `mean(-ln(λ·P(w_i|w_{i-1}) + (1-λ)·P(w_i)))` over the document's
+    * word transitions, with both models estimated from the corpus
+    * itself (a KenLM is not reproducible cross-engine; corpus n-gram
+    * counts are). Catches what unigram cannot: shuffled or
+    * concatenated common words score fluent under a unigram model but
+    * their TRANSITIONS are rare. The unigram interpolation floor keeps
+    * unseen-transition surprisal finite, exactly the standard backoff
+    * role. Documents with fewer than two words have no transitions and
+    * are omitted (deterministically in both engines).
+    *
+    * Scale shape: bigram and prefix counts are partial-aggregable
+    * groupBys over the transition rows (hot transitions combine
+    * map-side); the scoring joins key transitions→counts — linear
+    * shuffles whose one-row-per-key build sides AQE broadcasts when
+    * small and skew-splits when "of the" dominates the probe side, the
+    * same story as the unigram scorer. The corpus total is one bounded
+    * collected scalar.
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
+    val ws = docs.select(col(idCol).as("__doc"),
+      explode(words(col(textCol))).as("word"))
+    val uni = ws.groupBy(col("word")).agg(count(lit(1)).as("__uc"))
+    val total = uni.agg(sum(col("__uc"))).collect()(0).getLong(0)
+    val bi = docs.select(col(idCol).as("__doc"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("__doc"),
+        explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+          i => struct(element_at(col("__ws"), i + 1).as("__prev"),
+            element_at(col("__ws"), i + 2).as("word")))).as("__bg"))
+      .select(col("__doc"), col("__bg.__prev").as("__prev"),
+        col("__bg.word").as("word"))
+    val biCnt = bi.groupBy(col("__prev"), col("word"))
+      .agg(count(lit(1)).as("__bc"))
+    val prevCnt = bi.groupBy(col("__prev")).agg(count(lit(1)).as("__pc"))
+    // score DISTINCT transitions first (vocabulary-sized, three small
+    // joins), then attach to occurrences with ONE corpus-sized join —
+    // joining counts onto occurrences directly would drag the
+    // occurrence table through three shuffles instead of one
+    val scored = biCnt.join(prevCnt, Seq("__prev")).join(uni, Seq("word"))
+      .select(col("__prev"), col("word"),
+        (lit(lambda) * (col("__bc").cast("double") / col("__pc").cast("double")) +
+          lit(1.0 - lambda) * (col("__uc").cast("double") / lit(total.toDouble)))
+          .as("__p"))
+    bi.join(scored, Seq("__prev", "word"))
+      .groupBy(col("__doc"))
+      .agg(round(avg(-log(col("__p"))), 6).as("surprisal"))
+      .withColumnRenamed("__doc", idCol)
+  }
+
   /** Boilerplate line stripping — the RefinedWeb/jusText-style
     * "line-wise correction": drop navigation/footer junk lines (too few
     * words, or digit-dominated like timestamps and counters) and keep

@@ -460,6 +460,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stream.length === 16)
   }
 
+  test("bigramSurprisal: same unigram content, different transitions —" +
+      " the shuffled doc scores strictly higher; sub-2-word docs omitted") {
+    import graft.operators.TextAnalysis
+    // docs 1-4 establish (x,y)/(y,x) as the common transitions; doc 5
+    // has identical unigram content but rare (x,x)/(y,y) transitions
+    val docs = Seq(
+      (1L, "x y x y x y"), (2L, "x y x y x y"), (3L, "y x y x y x"),
+      (4L, "x y x y x y"), (5L, "x x x y y y"), (6L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(6L))
+    assert(out(5L) > out(1L),
+      s"shuffled ${out(5L)} should exceed fluent ${out(1L)}")
+    // a unigram model cannot separate docs 1 and 5 (same word multiset)
+    val uni = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uni(1L) - uni(5L)) < 1e-9)
+  }
+
   test("decontaminate maxBucketSize: a viral corpus family in the" +
       " shuffled-probe path is exempted when over-cap (documented" +
       " recall trade); default 0 keeps full recall") {
