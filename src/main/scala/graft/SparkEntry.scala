@@ -732,6 +732,29 @@ object SparkEntry {
       minChars = 250, maxChars = 100000)
       .select(col("doc_id"), col("split"))
 
+  /** [[curatePipelineQ]] with the quality stage ON, and the stage
+    * GENUINELY exercised: every eleventh document's text is replaced
+    * with a long repeated-junk page (unique per doc so exact dedup
+    * would keep them all) — those pass the length gate and die on
+    * rep_ratio, so the output visibly differs from the quality-off
+    * chain. The probe stays the ORIGINAL %13 docs, so the shared
+    * decontamination band CTE still applies. The oracle composes the
+    * quality predicate into the curation chain's length-gate CTE over
+    * the same planted corpus.
+    */
+  private def curateQualityQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 11 === 0,
+        concat(lit("junkdoc "), col("doc_id").cast("string"),
+          expr("repeat(' zz', 150)")))
+        .otherwise(col("text")))
+    graft.operators.Pipeline.curate(
+      planted, "doc_id", "text",
+      probe = Some(docs(s, dir).filter(col("doc_id") % 13 === 0)),
+      minChars = 250, maxChars = 100000, qualityFilter = true)
+      .select(col("doc_id"), col("split"))
+  }
+
   /** Start-addressed sequence packing gate: n_chars stands in for the
     * token count; the oracle replays the bucket hash + exclusive window
     * cumsum + div/mod arithmetic verbatim.
@@ -2074,6 +2097,42 @@ object SparkEntry {
        FROM (SELECT doc_id,
            ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)"""
 
+
+  /** [[dkCurate]] with the quality ratios composed into the length-gate
+    * CTE (same arithmetic as [[oracleSqlQualityFlags]]).
+    */
+  private val dkCurateQuality: String =
+    s"""WITH $dkBk,
+       src AS (SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+             THEN 'junkdoc ' || CAST(doc_id AS VARCHAR) || repeat(' zz', 150)
+             ELSE text END AS text
+         FROM documents),
+       qw AS (SELECT doc_id, text,
+           string_split_regex(trim(lower(text)), '\\s+') AS ws,
+           CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+             THEN list_distinct([array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+               for i in range(1, len(string_split_regex(trim(lower(text)), '\\s+'))-1)])
+             ELSE [array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')] END AS sh
+         FROM src
+         WHERE length(text) >= 250 AND length(text) <= 100000),
+       q AS (SELECT doc_id, text FROM qw
+         WHERE round(1.0 - CAST(len(sh) AS DOUBLE)
+             / CAST(greatest(len(ws) - 2, 1) AS DOUBLE), 6) <= 0.3
+           AND round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) <= 0.2),
+       ex AS (SELECT min(doc_id) AS doc_id FROM q
+         GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+       pbk AS (SELECT DISTINCT band, bucket FROM bk WHERE doc_id % 13 = 0),
+       bad AS (SELECT DISTINCT bk.doc_id FROM bk JOIN pbk USING (band, bucket)),
+       fin AS (SELECT doc_id FROM ex
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+       SELECT doc_id,
+         CASE WHEN h < 800000 THEN 'train'
+              WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)"""
+
   private val dkSimhash: String = {
     val terms = (0 until 16).map(j =>
       s"(CASE WHEN list_sum([((x >> $j) & 1)*2 - 1 for x in hs]) > 0 THEN ${1L << j} ELSE 0 END)")
@@ -2221,6 +2280,7 @@ object SparkEntry {
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
+    "curate_quality"   -> (curateQualityQ _),
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
@@ -2840,6 +2900,7 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
     "decontaminate" -> dkDecontaminate,
     "curate_pipeline" -> dkCurate,
+    "curate_quality" -> dkCurateQuality,
     "dedup_lsh_verified" ->
       s"""WITH pairs AS ($dkLshPairs),
          $dkShingles

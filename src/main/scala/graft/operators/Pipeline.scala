@@ -46,6 +46,9 @@ object Pipeline {
       probe: Option[DataFrame] = None,
       minChars: Int = 1,
       maxChars: Int = Int.MaxValue,
+      qualityFilter: Boolean = false,
+      maxRepetition: Double = 0.3,
+      maxSymbolRatio: Double = 0.2,
       stripBoilerplate: Boolean = false,
       dedupLines: Boolean = false,
       nearDup: Boolean = false,
@@ -59,6 +62,14 @@ object Pipeline {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val len = length(col(textCol))
     var d = docs.filter(len >= minChars && len <= maxChars)
+    // quality gating right after the length gate: a pure per-row
+    // predicate (same expressions as TextAnalysis.qualityFlags), so it
+    // pipelines into the scan and shrinks everything downstream —
+    // repetition-heavy and symbol-heavy junk never reaches the dedups
+    if (qualityFilter) {
+      val (rep, sym) = TextAnalysis.qualityRatios(col(textCol))
+      d = d.filter(rep <= maxRepetition && sym <= maxSymbolRatio)
+    }
     // boilerplate stripping before the dedups: junk lines would otherwise
     // pollute content hashes and MinHash shingles
     if (stripBoilerplate)

@@ -237,13 +237,12 @@ object TextAnalysis {
     * (1 - distinct/total windows), the symbol-to-character ratio, and a
     * combined keep flag with the usual cutoffs. One codegen pass.
     */
-  def qualityFlags(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      maxRepetition: Double = 0.3,
-      maxSymbolRatio: Double = 0.2): DataFrame = {
-    val txt = col(textCol)
+  /** The two quality ratios as raw column expressions — shared by
+    * [[qualityFlags]] and [[Pipeline.curate]]'s quality stage so the
+    * filter stays a pure per-row predicate (pipelined into the scan, no
+    * join) and cannot drift from the flag definitions.
+    */
+  private[operators] def qualityRatios(txt: Column): (Column, Column) = {
     val ws = words(txt)
     val windows = greatest(size(ws) - 2, lit(1)).cast("double")
     val repRatio = round(lit(1.0) -
@@ -251,6 +250,16 @@ object TextAnalysis {
     val symbolRatio = round(
       length(regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("double") /
         greatest(length(txt), lit(1)), 6)
+    (repRatio, symbolRatio)
+  }
+
+  def qualityFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxRepetition: Double = 0.3,
+      maxSymbolRatio: Double = 0.2): DataFrame = {
+    val (repRatio, symbolRatio) = qualityRatios(col(textCol))
     docs.select(
       col(idCol),
       repRatio.as("rep_ratio"),
