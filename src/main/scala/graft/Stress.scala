@@ -369,11 +369,12 @@ object Stress {
       // or visit order
       def packed() = graft.operators.Sampling.packSequences(toks,
         "doc_id", "n_tokens", seqTokens = 4096L, nBuckets = 64)
+      val t1 = System.nanoTime()
       val a = packed()
       val b = packed()
       val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
       require(diff == 0L, s"pack assignment not reproducible: $diff rows differ")
-      println(f"STRESS pack_repro_check        ${0.0}%8.2f s  (exceptAll both ways empty)")
+      println(f"STRESS pack_repro_check        ${(System.nanoTime() - t1) / 1e9}%8.2f s  (exceptAll both ways empty)")
     }
     time("trainer_feed_10x") {
       // the full corpus->trainer-input composition (exact BPE counts ->

@@ -68,6 +68,18 @@ object Bpe {
     }.toSeq
   }
 
+  /** The session's Hadoop configuration when a SparkSession is active
+    * (so `fs.defaultFS`, `spark.hadoop.*` credentials etc. apply —
+    * a raw `new Configuration()` would resolve scheme-less paths
+    * against bare `file:///` and miss cluster credentials), else a
+    * fresh default for session-less (test) use.
+    */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Load a published merges.txt through Hadoop's FileSystem, so the
     * path may be local (`/x/merges.txt`, `file:///…`) or on distributed
     * storage — a driver-local-only read is a deployment footgun on a
@@ -76,7 +88,7 @@ object Bpe {
     */
   def loadMerges(path: String): Seq[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(p), StandardCharsets.UTF_8))
     try parseMerges(Iterator.continually(in.readLine()).takeWhile(_ != null))
@@ -92,13 +104,16 @@ object Bpe {
     */
   def saveMerges(path: String, merges: Seq[(String, String)]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+    val fs = p.getFileSystem(hadoopConf())
+    // BufferedWriter, NOT PrintWriter: PrintWriter swallows IOExceptions,
+    // so a disk-full/datanode failure would silently persist a TRUNCATED
+    // merge table that a later load happily tokenizes with
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(p, true), StandardCharsets.UTF_8))
     try {
-      out.println("#version: 0.2")
+      out.write("#version: 0.2"); out.newLine()
       merges.foreach { case (l, r) =>
-        out.println(s"${encodeToken(l)} ${encodeToken(r)}")
+        out.write(s"${encodeToken(l)} ${encodeToken(r)}"); out.newLine()
       }
     } finally out.close()
   }
@@ -260,8 +275,12 @@ object Bpe {
   * round-based algorithm ("merge all occurrences of the lowest-rank
   * pair, left to right, repeat"): while occurrences of the current best
   * pair remain, every newly created pair ranks higher and therefore pops
-  * later. [[pieceTokenLensNaive]] keeps the literal round-based walk for
-  * the equivalence property test.
+  * later. NON-monotone tables (a pair referencing a symbol no earlier
+  * merge creates — nothing any BPE trainer can emit) are REJECTED at
+  * table build ([[BpeWalk.buildTable]]) rather than silently tokenized
+  * differently from the round-based reference. [[pieceTokenLensNaive]]
+  * keeps the literal round-based walk for the equivalence property
+  * test.
   */
 trait BpeWalk {
   def merges: Seq[(String, String)]
@@ -429,6 +448,16 @@ object BpeWalk {
       val pairInfo: java.util.HashMap[java.lang.Long, java.lang.Long],
       val symLen: Array[Int])
 
+  /** Builds the interned table, REJECTING non-monotone input: a pair
+    * may only reference symbols that exist at its rank (the 256 bytes,
+    * or an earlier merge's result). Every learned/published table is
+    * monotone by construction — BPE creates symbols in rank order — and
+    * monotonicity is exactly the condition under which the indexed
+    * (rank, position)-ordered walk equals the published round-based
+    * algorithm; accepting a non-monotone table would SILENTLY tokenize
+    * differently from the reference walk, so fail loud at build time
+    * instead.
+    */
   def buildTable(merges: Seq[(String, String)]): Table = {
     val symbolId = new java.util.HashMap[String, Integer](merges.size * 2 + 512)
     val lens = new scala.collection.mutable.ArrayBuffer[Int](merges.size + 256)
@@ -438,6 +467,14 @@ object BpeWalk {
       lens += 1
       b += 1
     }
+    def lookup(s: String, side: String, rank: Int): Int = {
+      val got = symbolId.get(s)
+      require(got != null,
+        s"non-monotone merge table: rank $rank $side symbol " +
+          s"'${Bpe.encodeToken(s)}' is neither a byte nor the result of an " +
+          "earlier merge (learned BPE tables are always monotone)")
+      got.intValue
+    }
     def intern(s: String): Int = {
       val got = symbolId.get(s)
       if (got != null) got.intValue
@@ -445,7 +482,7 @@ object BpeWalk {
     }
     val pairInfo = new java.util.HashMap[java.lang.Long, java.lang.Long](merges.size * 2)
     merges.iterator.zipWithIndex.foreach { case ((l, r), rank) =>
-      val key = intern(l).toLong << 32 | intern(r)
+      val key = lookup(l, "left", rank).toLong << 32 | lookup(r, "right", rank)
       pairInfo.put(key, rank.toLong << 32 | intern(l + r))
     }
     new Table(pairInfo, lens.toArray)

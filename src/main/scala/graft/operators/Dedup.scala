@@ -550,8 +550,14 @@ object Dedup {
       if (broadcastProbe) broadcast(df) else df
     val probeBuckets =
       bucketRows(probe).select(col("band"), col("bucket")).distinct()
+    // the cap is scoped to the shuffled path, as documented: on the
+    // broadcast path the semi join never shuffles the corpus, so there
+    // is no skewed task to protect and the recall sacrifice would buy
+    // nothing
     val corpusBuckets =
-      capHotBuckets(bucketRows(corpus), Seq("band", "bucket"), maxBucketSize)
+      if (broadcastProbe) bucketRows(corpus)
+      else capHotBuckets(bucketRows(corpus), Seq("band", "bucket"),
+        maxBucketSize)
     val contaminated = corpusBuckets
       .join(maybeBroadcast(probeBuckets), Seq("band", "bucket"), "left_semi")
       .select(col(idCol)).distinct()

@@ -518,6 +518,11 @@ object TextAnalysis {
       explode(words(col(textCol))).as("word"))
     val uni = ws.groupBy(col("word")).agg(count(lit(1)).as("__uc"))
     val total = uni.agg(sum(col("__uc"))).collect()(0).getLong(0)
+    // materialize the transition rows: the frame feeds THREE consumers
+    // (bigram counts, prefix counts, the scoring join) and the
+    // tokenize+transform+explode chain would otherwise re-run over the
+    // scan for each — the same fan-out lesson (and the same
+    // localCheckpoint-over-persist lifecycle choice) as Pipeline.curate
     val bi = docs.select(col(idCol).as("__doc"), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 2)
       .select(col("__doc"),
@@ -526,6 +531,7 @@ object TextAnalysis {
             element_at(col("__ws"), i + 2).as("word")))).as("__bg"))
       .select(col("__doc"), col("__bg.__prev").as("__prev"),
         col("__bg.word").as("word"))
+      .localCheckpoint()
     val biCnt = bi.groupBy(col("__prev"), col("word"))
       .agg(count(lit(1)).as("__bc"))
     val prevCnt = bi.groupBy(col("__prev")).agg(count(lit(1)).as("__pc"))

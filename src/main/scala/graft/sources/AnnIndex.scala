@@ -90,13 +90,25 @@ object AnnIndex {
     * centroids stop reflecting the corpus distribution as it drifts —
     * the standard practice this mirrors is append daily, retrain on a
     * schedule.
+    *
+    * `numFiles` bounds the parquet files each append adds (default 32):
+    * left at `spark.sql.shuffle.partitions`, a year of daily batches
+    * would leave tens of thousands of small files in `codes/` and every
+    * later load pays the listing/scan tax. Id disjointness is the
+    * CALLER's contract — append-after-retry with an already-committed
+    * batch duplicates those ids in search results (dedupe upstream, or
+    * anti-join `newVecs` against `load(...).codes` ids when replays are
+    * possible; not done here because it forces a full codes scan per
+    * append).
     */
   def append(
       spark: SparkSession,
       path: String,
       newVecs: DataFrame,
       idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String,
+      numFiles: Int = 32): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
     val idx = load(spark, path)
     val enc =
       if (idx.residual)
@@ -105,7 +117,7 @@ object AnnIndex {
       else
         graft.operators.Similarity.ivfPqEncode(
           newVecs, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
-    enc.repartition(col("centroid_id"))
+    enc.repartition(numFiles, col("centroid_id"))
       .sortWithinPartitions("centroid_id")
       .write.mode("append").parquet(s"$path/codes")
   }

@@ -320,6 +320,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.parseMerges(Iterator("#version: 0.2", "# #", "## x"))
       === Seq("#" -> "#", "##" -> "x"))
     assert(Bpe.parseMerges(Iterator("# #")) === Seq("#" -> "#"))
+    // non-monotone tables are rejected at walk-table build: rank 0
+    // references "ab", which no earlier merge creates — the indexed and
+    // round-based walks would silently diverge on such input
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.BpeWalk.buildTable(Seq("ab" -> "a", "a" -> "b"))
+    }
+    assert(ex.getMessage.contains("non-monotone"))
+    // monotone chains (each left a prior result) build fine
+    graft.functions.BpeWalk.buildTable(
+      Seq("a" -> "b", "ab" -> "a", "aba" -> "b"))
   }
 
   test("Bpe.train learns the hand-derived merge sequence (count argmax," +
