@@ -73,5 +73,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("char_shingles3", "distinct code-point 3-gram shingles") {
       exprs => CharShinglesExpr(exprs.head, 3)
     }
+    inject("byte_shingle_hashes8",
+      "fused 60-bit hashes of a payload's byte 8-gram shingles") {
+      exprs => ByteShingleHashesExpr(exprs.head, 8)
+    }
+    inject("winnow7_4", "winnowing fingerprints (k=7, w=4)") {
+      exprs => WinnowExpr(exprs.head, 7, 4)
+    }
+    inject("repetition_stats", "Gopher repetition-quality struct") {
+      exprs => RepetitionStatsExpr(exprs.head)
+    }
+    inject("word_gram_hash60_12", "positional word 12-gram 60-bit hashes") {
+      exprs => WordGramHash60Expr(exprs.head, 12)
+    }
+    inject("bpe_count_fixture", "BPE token count under the fixture vocab") {
+      exprs => BpeTokenCountExpr(exprs.head, Bpe.fixtureMerges)
+    }
+    inject("bpe_ids_fixture", "BPE token ids under the fixture vocab") {
+      exprs => BpeTokenIdsExpr(exprs.head, Bpe.fixtureMerges)
+    }
   }
 }

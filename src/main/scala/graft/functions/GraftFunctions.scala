@@ -125,6 +125,20 @@ object GraftFunctions {
       exprs => DHashExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("byte_shingles8",
       exprs => ByteShinglesExpr(exprs.head, 8), "scala_udf")
+    // r11 additions: fused payload hashing, winnowing, repetition
+    // stats, positional gram hashes, fixture-vocab BPE counting/ids
+    reg.createOrReplaceTempFunction("byte_shingle_hashes8",
+      exprs => ByteShingleHashesExpr(exprs.head, 8), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow7_4",
+      exprs => WinnowExpr(exprs.head, 7, 4), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      exprs => RepetitionStatsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_gram_hash60_12",
+      exprs => WordGramHash60Expr(exprs.head, 12), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_count_fixture",
+      exprs => BpeTokenCountExpr(exprs.head, Bpe.fixtureMerges), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_ids_fixture",
+      exprs => BpeTokenIdsExpr(exprs.head, Bpe.fixtureMerges), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
     // group top-k from SQL (see object scaladoc for the full recipe)
     spark.udf.register("group_topk3",

@@ -241,6 +241,21 @@ class ParitySpec extends AnyFunSuite {
              byte_shingles8(cast('ab' AS BINARY)) AS bs""").collect().head
     assert(r9.isNullAt(0) && r9.isNullAt(1))
     assert(r9.getSeq[String](2) === Seq("6162"))
+    // r11 additions: fused payload hashing, winnowing, repetition
+    // stats, positional gram hashes, fixture-vocab BPE count/ids
+    val r11 = spark.sql("""
+      SELECT size(byte_shingle_hashes8(cast('abcdefghij' AS BINARY))) AS bh,
+             size(winnow7_4('the quick brown fox jumps over it')) AS wf,
+             repetition_stats('a a a a a a a a').dup_line_frac AS rl,
+             size(word_gram_hash60_12(split('one two', ' '))) AS wg,
+             bpe_count_fixture('abc abc') AS bc,
+             bpe_ids_fixture('abc') AS bi""").collect().head
+    assert(r11.getAs[Int]("bh") === 3)   // 10 bytes, 8-gram windows
+    assert(r11.getAs[Int]("wf") >= 1)
+    assert(r11.getAs[Double]("rl") === 0.0) // one line, no dup lines
+    assert(r11.getAs[Int]("wg") === 0)   // < 12 words -> empty
+    assert(r11.getAs[Long]("bc") === 3L)
+    assert(r11.getSeq[Int](5) === Seq(257))
   }
 
   test("SQL surface: group_topk UDAF, as-of and range join recipes" +
