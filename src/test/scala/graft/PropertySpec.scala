@@ -162,6 +162,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE token ids are lossless: expanding each id through the merge" +
+      " table reconstructs the original UTF-8 bytes exactly") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(21)
+    val alphabet = "abcd 日本語é,1"
+    def randText(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 10).foreach { _ =>
+      val merges = learnMerges(randText(400), 5 + rnd.nextInt(40))
+      // id -> raw byte string: ids 0-255 are bytes, 256+r expands to
+      // merges(r) left+right (both already raw byte strings)
+      val symbols = scala.collection.mutable.ArrayBuffer.tabulate(256)(b =>
+        new String(Array(b.toByte), "ISO-8859-1"))
+      merges.foreach { case (l, r) => symbols += (l + r) }
+      val texts = (0L until 20L).map(i => (i, randText(rnd.nextInt(200))))
+      val byId = texts.toMap
+      TextAnalysis.tokenIdsBpe(texts.toDF("doc_id", "text"),
+        "doc_id", "text", merges).collect().foreach { row =>
+        val rebuilt = row.getSeq[Int](1).map(symbols).mkString
+        val expected = new String(
+          byId(row.getLong(0)).getBytes("UTF-8"), "ISO-8859-1")
+        assert(rebuilt === expected)
+      }
+    }
+  }
+
   test("BPE indexed walk: a 1 MB unsegmented (no-whitespace, CJK-like)" +
       " document with a 1k-rank merge table tokenizes in bounded time") {
     val rnd = new scala.util.Random(99)
