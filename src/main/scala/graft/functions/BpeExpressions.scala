@@ -439,14 +439,18 @@ object BpeWalk {
 
   /** Interned merge table: symbols are ints (ids 0-255 are the raw
     * bytes; merge-produced symbols intern above), `pairInfo` maps a
-    * packed (leftId<<32|rightId) to a packed (rank<<32|mergedId), and
-    * `symLen` gives each symbol's byte length. Duplicate pair rows keep
-    * the LAST rank (matching a `toMap` over zipWithIndex). Built once
-    * per JVM per expression instance (@transient lazy), ~O(table size).
+    * packed (leftId<<32|rightId) to a packed (rank<<32|mergedId),
+    * `symLen` gives each symbol's byte length, and `symBytes` its raw
+    * byte string (the decode side — byte-level tokens concatenate back
+    * to the original bytes, so decoding is pure array concatenation).
+    * Duplicate pair rows keep the LAST rank (matching a `toMap` over
+    * zipWithIndex). Built once per JVM per expression instance
+    * (@transient lazy), ~O(table size).
     */
   final class Table(
       val pairInfo: java.util.HashMap[java.lang.Long, java.lang.Long],
-      val symLen: Array[Int])
+      val symLen: Array[Int],
+      val symBytes: Array[Array[Byte]])
 
   /** Builds the interned table, REJECTING non-monotone input: a pair
     * may only reference symbols that exist at its rank (the 256 bytes,
@@ -461,10 +465,12 @@ object BpeWalk {
   def buildTable(merges: Seq[(String, String)]): Table = {
     val symbolId = new java.util.HashMap[String, Integer](merges.size * 2 + 512)
     val lens = new scala.collection.mutable.ArrayBuffer[Int](merges.size + 256)
+    val raw = new scala.collection.mutable.ArrayBuffer[Array[Byte]](merges.size + 256)
     var b = 0
     while (b < 256) {
       symbolId.put(new String(Array(b.toByte), StandardCharsets.ISO_8859_1), b)
       lens += 1
+      raw += Array(b.toByte)
       b += 1
     }
     def lookup(s: String, side: String, rank: Int): Int = {
@@ -478,14 +484,20 @@ object BpeWalk {
     def intern(s: String): Int = {
       val got = symbolId.get(s)
       if (got != null) got.intValue
-      else { val id = lens.length; symbolId.put(s, id); lens += s.length; id }
+      else {
+        val id = lens.length
+        symbolId.put(s, id)
+        lens += s.length
+        raw += s.getBytes(StandardCharsets.ISO_8859_1)
+        id
+      }
     }
     val pairInfo = new java.util.HashMap[java.lang.Long, java.lang.Long](merges.size * 2)
     merges.iterator.zipWithIndex.foreach { case ((l, r), rank) =>
       val key = lookup(l, "left", rank).toLong << 32 | lookup(r, "right", rank)
       pairInfo.put(key, rank.toLong << 32 | intern(l + r))
     }
-    new Table(pairInfo, lens.toArray)
+    new Table(pairInfo, lens.toArray, raw.toArray)
   }
 
   /** Array-backed binary min-heap of packed longs — no boxing, grows by
@@ -677,4 +689,89 @@ case class BpeChunksExpr(
 
   override protected def withNewChildInternal(c: Expression): BpeChunksExpr =
     copy(child = c)
+}
+
+/** Token-space substring-dedup rewrite — the BPE counterpart of
+  * [[graft.functions.SubstringRemoveExpr]] and the detokenize step of
+  * Lee et al. 2022's ExactSubstr run the way the paper runs it (on BPE
+  * token streams, not whitespace words): given a document's token-id
+  * sequence and the sorted starts of its removed k-token grams, merges
+  * the covered intervals positionally and rebuilds the text from the
+  * SURVIVING tokens' byte strings (`struct(text_kept, n_tokens_kept,
+  * n_tokens_dropped)`), O(tokens + starts) per row. Byte-level BPE
+  * tokens concatenate back to the original UTF-8 bytes
+  * (property-pinned in PropertySpec), so the rebuilt text is exactly
+  * the original with the removed token spans' bytes cut out — no
+  * separator is inserted, because tokens carry their own spacing.
+  *
+  * Removal cuts are made in TOKEN space, as published; when a removal
+  * boundary falls inside a multibyte character (possible only when the
+  * character's bytes were never merged into one token), the kept bytes
+  * around the cut can form an invalid UTF-8 seam — the same behavior as
+  * detokenizing the paper's surviving token stream. Spark carries such
+  * bytes through unchanged ([[UTF8String]] is not validating), so the
+  * rewrite stays lossless for the tokens that survive.
+  *
+  * Null contract (hand-rolled `eval`, as in [[SubstringRemoveExpr]]): a
+  * null starts array means "no removed grams" — all tokens kept; a null
+  * ids array (null text upstream) yields `('', 0, 0)`.
+  */
+case class BpeTokenRemoveExpr(
+    ids: Expression,
+    starts: Expression,
+    k: Int,
+    merges: Seq[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback with BpeWalk {
+
+  require(k >= 2, "spanTokens must be >= 2")
+
+  override def left: Expression = ids
+  override def right: Expression = starts
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text_kept", StringType, nullable = false),
+    StructField("n_tokens_kept", LongType, nullable = false),
+    StructField("n_tokens_dropped", LongType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val idsRaw = ids.eval(input)
+    if (idsRaw == null) {
+      return new GenericInternalRow(
+        Array[Any](UTF8String.EMPTY_UTF8, 0L, 0L))
+    }
+    val ts = idsRaw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = ts.numElements()
+    val stRaw = starts.eval(input)
+    val st =
+      if (stRaw == null) null
+      else stRaw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = if (st == null) 0 else st.numElements()
+    val t = table
+    val bytes = new java.io.ByteArrayOutputStream(64)
+    var kept = 0L
+    var p = 0
+    var coveredUntil = -1  // last covered token index so far
+    var i = 0
+    while (i < n) {
+      while (p < m && st.getInt(p) <= i) {
+        val end = st.getInt(p) + k - 1
+        if (end > coveredUntil) coveredUntil = end
+        p += 1
+      }
+      if (i > coveredUntil) {
+        val sym = t.symBytes(ts.getInt(i))
+        bytes.write(sym, 0, sym.length)
+        kept += 1L
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(bytes.toByteArray), kept, n.toLong - kept))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BpeTokenRemoveExpr =
+    copy(ids = l, starts = r)
 }

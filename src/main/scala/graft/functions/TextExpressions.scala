@@ -1116,3 +1116,102 @@ case class WordGramHash60Expr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): WordGramHash60Expr =
     copy(child = c)
 }
+
+/** Positional word k-gram FULL-md5 hashes — the collision-safe form of
+  * [[WordGramHash60Expr]] for removal semantics: element i is the 16-byte
+  * md5 digest of words [i, i+k) joined by single spaces. Substring dedup
+  * DELETES text on gram-key equality, and at the corpus scales it targets
+  * (10¹¹-10¹² grams) 60-bit birthday collisions are expected — each one
+  * silently removes non-duplicate text, diverging from Lee et al.'s
+  * exact-match semantics. 128 bits puts the corpus-wide collision odds
+  * below ~2⁻⁴⁰ at 10¹² grams; the shuffle key doubles to 16 bytes, a
+  * linear cost paid for exactness (a SQL engine re-derives the key as
+  * `md5(gram)` — lowercase hex of the same digest).
+  */
+case class WordGramHash128Expr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2, "gram size must be >= 2")
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  private val Space = Array(' '.toByte)
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { bytes(i) = ws.getUTF8String(i).getBytes; i += 1 }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(Space)
+        md.update(bytes(s + j))
+        j += 1
+      }
+      out(s) = md.digest()
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordGramHash128Expr =
+    copy(child = c)
+}
+
+/** Positional k-gram full-md5 hashes over an INT array — the token-id
+  * form of [[WordGramHash128Expr]] for BPE-token-level substring dedup
+  * ([[graft.operators.Dedup.dedupSubstringsBpe]]): element i is the
+  * 16-byte md5 of token ids [i, i+k), each digested as its decimal string
+  * with a single `,` separator (a SQL engine re-derives the key as
+  * `md5(array_to_string(ids[i:i+k], ','))` — byte-packed ints would be
+  * unportable across engines). Empty output for sequences shorter than k
+  * tokens. Same tight-loop / 16-bytes-per-gram cost profile as the word
+  * form.
+  */
+case class IntGramHash128Expr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2, "gram size must be >= 2")
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  private val Comma = Array(','.toByte)
+
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData]
+    val n = ids.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val dec = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      dec(i) = java.lang.Integer.toString(ids.getInt(i))
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(Comma)
+        md.update(dec(s + j))
+        j += 1
+      }
+      out(s) = md.digest()
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): IntGramHash128Expr =
+    copy(child = c)
+}

@@ -95,6 +95,33 @@ object TextFunctions {
     toColumn(SubstringRemoveExpr(toExpression(words), toExpression(starts), k))
   }
 
+  /** Positional word k-gram full-md5 hashes ([[WordGramHash128Expr]]) —
+    * the collision-safe gram index for substring dedup.
+    */
+  def wordGramHash128(words: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(WordGramHash128Expr(toExpression(words), k))
+  }
+
+  /** Positional token-id k-gram full-md5 hashes ([[IntGramHash128Expr]])
+    * — the gram index for BPE-token-level substring dedup.
+    */
+  def intGramHash128(ids: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(IntGramHash128Expr(toExpression(ids), k))
+  }
+
+  /** Token-space substring-dedup rewrite ([[BpeTokenRemoveExpr]]):
+    * token-id array + sorted removed-gram starts → `struct(text_kept,
+    * n_tokens_kept, n_tokens_dropped)` under `merges`' vocabulary.
+    */
+  def bpeTokenRemove(ids: Column, starts: Column, k: Int,
+      merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(BpeTokenRemoveExpr(toExpression(ids), toExpression(starts), k,
+      merges))
+  }
+
   /** Full BPE token-id sequence ([[BpeTokenIdsExpr]]) — the
     * trainer-input form (canonical merges-derived numbering).
     */

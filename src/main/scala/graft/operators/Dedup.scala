@@ -778,9 +778,11 @@ object Dedup {
     * ([[graft.functions.SubstringRemoveExpr]]) merges covered intervals
     * and rewrites the text in O(words + starts) per doc — no coverage
     * explosion, no per-word join, no per-doc collect/sort. Gram hashing
-    * is one native pass per doc ([[graft.functions.WordGramHash60Expr]],
-    * 8-byte shuffle keys) — O(words × spanWords) bytes digested, no UDF,
-    * no interpreted HOF lambdas.
+    * is one native pass per doc ([[graft.functions.WordGramHash128Expr]]
+    * — FULL 16-byte md5 keys, because removal deletes text on key
+    * equality and 60-bit birthday collisions at the 10¹¹-10¹² grams this
+    * targets would silently cut non-duplicate text) — O(words ×
+    * spanWords) bytes digested, no UDF, no interpreted HOF lambdas.
     */
   def dedupSubstrings(
       docs: DataFrame,
@@ -789,22 +791,18 @@ object Dedup {
       spanWords: Int = 20): DataFrame = {
     require(spanWords >= 2, "spanWords must be >= 2")
     val k = spanWords
+    // materialize the token arrays: they feed BOTH the gram pass and the
+    // final rewrite join, and the split/filter chain would otherwise
+    // re-run over the scan for each — the same fan-out lesson (and the
+    // same localCheckpoint-over-persist lifecycle choice) as
+    // bigramSurprisal's transition rows
     val toks = docs.select(col(idCol),
       filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__ws"))
+      .localCheckpoint()
     val grams = toks.filter(size(col("__ws")) >= k)
       .select(col(idCol),
-        posexplode(wordGramHash60(col("__ws"), k)).as(Seq("__gpos", "__h")))
-    val dup = grams.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__c"),
-        min(struct(col(idCol).as("__fid"), col("__gpos").as("__fpos")))
-          .as("__f"))
-      .filter(col("__c") >= 2)
-      .select(col("__h"), col("__f"))
-    val removed = grams.join(dup, Seq("__h"))
-      .filter(!(col("__f").getField("__fid") === col(idCol) &&
-        col("__f").getField("__fpos") === col("__gpos")))
-    val starts = removed.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
+        posexplode(wordGramHash128(col("__ws"), k)).as(Seq("__gpos", "__h")))
+    val starts = removedGramStarts(grams, idCol)
     // two-step select: project-collapse keeps the non-cheap walk
     // evaluated once (same pattern as minhashSignatures)
     toks.join(starts, Seq(idCol), "left_outer")
@@ -814,5 +812,90 @@ object Dedup {
         col("__r").getField("text_kept").as("text_kept"),
         col("__r").getField("n_words_kept").as("n_words_kept"),
         col("__r").getField("n_words_dropped").as("n_words_dropped"))
+  }
+
+  /** The shared first-occurrence core of substring dedup: from positional
+    * gram rows `(idCol, __gpos, __h)`, the per-document sorted starts of
+    * every REMOVED gram occurrence (all but the corpus-wide first
+    * occurrence of each duplicated hash) as `(idCol, __starts)`.
+    *
+    * The gram table is `localCheckpoint`ed first: it feeds both the
+    * duplicate aggregate and the join-back, and without materialization
+    * the upstream tokenize+hash pass would re-run per consumer — at
+    * 100 TB that is ~2 extra corpus passes ([[dedupSubstrings]] was
+    * shipped with exactly that defect in r11; this helper is where the
+    * fix lives for every gram-space variant). Both shuffles stay linear
+    * in the gram table and skew-safe (aggregate build side is one row
+    * per hash).
+    */
+  private def removedGramStarts(grams: DataFrame, idCol: String): DataFrame = {
+    val g = grams.localCheckpoint()
+    val dup = g.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("__fid"), col("__gpos").as("__fpos")))
+          .as("__f"))
+      .filter(col("__c") >= 2)
+      .select(col("__h"), col("__f"))
+    g.join(dup, Seq("__h"))
+      .filter(!(col("__f").getField("__fid") === col(idCol) &&
+        col("__f").getField("__fpos") === col("__gpos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
+  }
+
+  /** Exact substring dedup over BPE TOKEN streams — [[dedupSubstrings]]
+    * run the way Lee et al. 2022 publish it: k-grams over the token-id
+    * sequences of [[TextAnalysis.tokenIdsBpe]] (same `merges`
+    * vocabulary), removal spans in token space, text rebuilt from the
+    * surviving tokens' byte strings ([[graft.functions
+    * .BpeTokenRemoveExpr]] — byte-level tokens concatenate back to the
+    * original bytes, so the rebuild is exact). This is the variant that
+    * catches duplicated spans INSIDE unsegmented text — CJK, code,
+    * concatenated boilerplate — where the whitespace form sees one
+    * giant "word" and provably finds nothing (a no-whitespace repeat
+    * never spans `spanWords` whitespace tokens).
+    *
+    * Semantics mirror the word form exactly, one level down: hash every
+    * `spanTokens`-gram of token ids ([[graft.functions
+    * .IntGramHash128Expr]], 16-byte collision-safe keys — removal
+    * deletes on key equality, so 60 bits would silently cut
+    * non-duplicate text at corpus scale); an occurrence is removed
+    * unless it is the corpus-wide first (min (id, pos)); covered token
+    * intervals merge positionally; documents shorter than `spanTokens`
+    * tokens pass through untouched. Output `(id, text_kept,
+    * n_tokens_kept, n_tokens_dropped)`.
+    *
+    * Scale shape: identical to the word form (the aggregate-only
+    * first-occurrence core is shared — [[removedGramStarts]]), with one
+    * deliberate cost difference: the gram table has one row per TOKEN
+    * (~4-5× the word count on natural text, 1× on unsegmented scripts),
+    * which is the price of token-faithful spans and shuffles 16-byte
+    * keys either way. Tokenization is one native indexed-walk pass per
+    * document, materialized once (`localCheckpoint`) for the gram pass
+    * and the rewrite join.
+    */
+  def dedupSubstringsBpe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 50,
+      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges)
+      : DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be >= 2")
+    val k = spanTokens
+    val toks = docs.select(col(idCol),
+      bpeTokenIds(col(textCol), merges).as("__ids"))
+      .localCheckpoint()
+    val grams = toks.filter(size(col("__ids")) >= k)
+      .select(col(idCol),
+        posexplode(intGramHash128(col("__ids"), k)).as(Seq("__gpos", "__h")))
+    val starts = removedGramStarts(grams, idCol)
+    toks.join(starts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        bpeTokenRemove(col("__ids"), col("__starts"), k, merges).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_kept").as("text_kept"),
+        col("__r").getField("n_tokens_kept").as("n_tokens_kept"),
+        col("__r").getField("n_tokens_dropped").as("n_tokens_dropped"))
   }
 }
