@@ -92,5 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("bpe_ids_fixture", "BPE token ids under the fixture vocab") {
       exprs => BpeTokenIdsExpr(exprs.head, Bpe.fixtureMerges)
     }
+    inject("word_gram_hash128_12",
+      "positional word 12-gram full-md5 hashes (removal-grade keys)") {
+      exprs => WordGramHash128Expr(exprs.head, 12)
+    }
+    inject("int_gram_hash128_40",
+      "positional token-id 40-gram full-md5 hashes (removal-grade keys)") {
+      exprs => IntGramHash128Expr(exprs.head, 40)
+    }
+    inject("bpe_token_remove_fixture40",
+      "token-space substring-dedup rewrite under the fixture vocab (k=40)") {
+      exprs => BpeTokenRemoveExpr(exprs(0), exprs(1), 40, Bpe.fixtureMerges)
+    }
   }
 }

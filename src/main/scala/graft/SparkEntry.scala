@@ -17,15 +17,18 @@ import graft.streaming.Events
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS), which Spark reads only with
-    // this legacy session flag. The harness entry points (Bench / Verify /
-    // Explain) set it at session build; this fallback covers ad-hoc
-    // sessions. It is a session-conf mutation inside a read helper —
-    // acceptable for the driver harness, NOT a pattern for library code
-    // (a library would require the caller to configure the session).
-    if (name == "events")
+    // events.ts normalizes to BIGINT nanoseconds whatever the lake's
+    // physical timestamp encoding (TIMESTAMP(NANOS)+nanosAsLong, or
+    // native µs TIMESTAMP/_NTZ — the r13 testdata switched to the
+    // latter): Tables.normalizeEventTs. The conf-set fallback covers
+    // ad-hoc sessions reading NANOS data — a session-conf mutation
+    // inside a read helper, acceptable for the driver harness, NOT a
+    // pattern for library code.
+    if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+      graft.sources.Tables.normalizeEventTs(
+        s.read.parquet(s"$dir/$name.parquet"))
+    } else s.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -482,6 +485,33 @@ object SparkEntry {
 
   private val SubstringBoilerplate =
     "this document is provided as is without warranty of any kind either expressed or implied"
+
+  /** BPE-token-level substring-dedup gate: a 72-char NO-WHITESPACE
+    * license-style block is planted ahead of every fifth document — the
+    * span the word form provably cannot see (with no interior
+    * whitespace the plant is part of ONE "word", so no 12-word gram
+    * ever lies inside it; the CJK variant of the same blindness is
+    * spec-pinned in OperatorsSpec). The oracle replays the fixture
+    * tokenization at string level exactly as `token_ids_bpe` does
+    * (corpus verified pure ASCII at all SFs), re-derives the gram keys
+    * as `md5(array_to_string(ids[i:i+39], ','))` —
+    * [[graft.functions.IntGramHash128Expr]]'s documented re-derivation
+    * — replays first-occurrence removal with the same (doc_id, pos)
+    * order, and rebuilds text from the surviving tokens' byte strings
+    * (257→'abc', 256→'ab', else chr(id)).
+    */
+  private def dedupSubstringBpeQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstringsBpe(
+      docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(BpeSubstringPlant), col("text")))
+          .otherwise(col("text")).as("text")),
+      "doc_id", "text", spanTokens = 40)
+
+  /** 72 chars, no whitespace, no 'ab' (so its fixture token count is
+    * exactly its char count, 72 >= spanTokens=40). */
+  private val BpeSubstringPlant =
+    "licensetermsapplytoallcopiesofthisdocumentnowarrantyisexpressedorimplied"
 
   /** BPE-training gate: learn 8 merges from the [a-z ]-cleaned corpus
     * (restricting the alphabet keeps the oracle's bracket-encoded
@@ -2243,6 +2273,7 @@ object SparkEntry {
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_lines"      -> (dedupLinesQ _),
     "dedup_substring"  -> (dedupSubstringQ _),
+    "dedup_substring_bpe" -> (dedupSubstringBpeQ _),
     "bpe_train"        -> (bpeTrainQ _),
     "token_ids_bpe"    -> (tokenIdsBpeQ _),
     "strip_boilerplate" -> (stripBoilerplateQ _),
@@ -2722,6 +2753,47 @@ object SparkEntry {
          SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
            coalesce(agg.n_words_kept, 0) AS n_words_kept,
            coalesce(agg.n_words_dropped, 0) AS n_words_dropped
+         FROM t LEFT JOIN agg USING (doc_id)""",
+    "dedup_substring_bpe" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN 'licensetermsapplytoallcopiesofthisdocumentnowarrantyisexpressedorimplied' || text
+               ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             string_split(replace(replace(text, 'abc', chr(1)), 'ab', chr(2)), ''),
+             c -> CAST(CASE WHEN c = chr(1) THEN 257
+                            WHEN c = chr(2) THEN 256
+                            ELSE ascii(c) END AS INTEGER)) AS ids
+           FROM src),
+         gi AS (SELECT doc_id, ids,
+             unnest(CASE WHEN len(ids) >= 40 THEN range(1, len(ids) - 38) ELSE [] END) AS i
+           FROM t),
+         g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS gpos,
+             md5(array_to_string(ids[i:i+39], ',')) AS h
+           FROM gi),
+         f AS (SELECT doc_id, gpos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, gpos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM g),
+         cov AS (SELECT DISTINCT doc_id,
+             CAST(unnest(range(gpos, gpos + 40)) AS INTEGER) AS pos
+           FROM f WHERE c >= 2 AND rn > 1),
+         w AS (SELECT doc_id,
+             CAST(generate_subscripts(ids, 1) - 1 AS INTEGER) AS pos, unnest(ids) AS id
+           FROM t),
+         k AS (SELECT w.doc_id, w.pos, w.id, cov.pos IS NULL AS keep
+           FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+         agg AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN
+                 CASE WHEN id = 257 THEN 'abc' WHEN id = 256 THEN 'ab'
+                      ELSE chr(id) END END, '' ORDER BY pos), '') AS text_kept,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_tokens_dropped
+           FROM k GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
+           coalesce(agg.n_tokens_kept, 0) AS n_tokens_kept,
+           coalesce(agg.n_tokens_dropped, 0) AS n_tokens_dropped
          FROM t LEFT JOIN agg USING (doc_id)""",
     "strip_boilerplate" ->
       """WITH src AS (SELECT doc_id,

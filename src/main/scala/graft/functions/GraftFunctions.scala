@@ -139,6 +139,17 @@ object GraftFunctions {
       exprs => BpeTokenCountExpr(exprs.head, Bpe.fixtureMerges), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_ids_fixture",
       exprs => BpeTokenIdsExpr(exprs.head, Bpe.fixtureMerges), "scala_udf")
+    // r13 additions: the substring-dedup removal-grade gram hashes
+    // (128-bit — these, not the 60-bit ranking hash, are what the
+    // engine's dedupSubstrings/dedupSubstringsBpe run on) and the
+    // token-space rewrite
+    reg.createOrReplaceTempFunction("word_gram_hash128_12",
+      exprs => WordGramHash128Expr(exprs.head, 12), "scala_udf")
+    reg.createOrReplaceTempFunction("int_gram_hash128_40",
+      exprs => IntGramHash128Expr(exprs.head, 40), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_token_remove_fixture40",
+      exprs => BpeTokenRemoveExpr(exprs(0), exprs(1), 40, Bpe.fixtureMerges),
+      "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
     // group top-k from SQL (see object scaladoc for the full recipe)
     spark.udf.register("group_topk3",

@@ -1063,8 +1063,7 @@ case class SubstringRemoveExpr(words: Expression, starts: Expression, k: Int)
     copy(words = l, starts = r)
 }
 
-/** Positional word k-gram 60-bit hashes ([[graft.operators.Dedup
-  * .dedupSubstrings]]'s gram index): element i is the hash of words
+/** Positional word k-gram 60-bit hashes: element i is the hash of words
   * [i, i+k) joined by single spaces — `hash60(md5)` like [[WinnowExpr]]
   * (a SQL engine re-derives it as
   * `CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)`), but at EVERY
@@ -1075,6 +1074,17 @@ case class SubstringRemoveExpr(words: Expression, starts: Expression, k: Int)
   * interpreted HOF eval path and re-materializes every gram string —
   * measured 1.6× slower end-to-end on the sf0.1 gate — and the long
   * output shuffles 8 bytes per gram instead of a 32-char hex string.
+  *
+  * STATUS: no longer the engine's substring-dedup index —
+  * [[graft.operators.Dedup.dedupSubstrings]] moved to the 128-bit
+  * [[WordGramHash128Expr]] in r12 (removal deletes on key equality;
+  * 60-bit birthday collisions at corpus scale would silently cut
+  * non-duplicate text). Kept DELIBERATELY as published API: the
+  * `word_gram_hash60_12` SQL registration remains the documented
+  * cheap RANKING-grade positional gram hash (overlap scoring,
+  * fingerprint joins — uses where a rare collision only perturbs a
+  * score), where the 8-byte key halves shuffle width vs the 128-bit
+  * form.
   */
 case class WordGramHash60Expr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -1169,11 +1179,13 @@ case class WordGramHash128Expr(child: Expression, k: Int)
   * form of [[WordGramHash128Expr]] for BPE-token-level substring dedup
   * ([[graft.operators.Dedup.dedupSubstringsBpe]]): element i is the
   * 16-byte md5 of token ids [i, i+k), each digested as its decimal string
-  * with a single `,` separator (a SQL engine re-derives the key as
-  * `md5(array_to_string(ids[i:i+k], ','))` — byte-packed ints would be
-  * unportable across engines). Empty output for sequences shorter than k
-  * tokens. Same tight-loop / 16-bytes-per-gram cost profile as the word
-  * form.
+  * with a single `,` separator (a SQL engine re-derives the key from
+  * the decimal-joined gram — DuckDB
+  * `md5(array_to_string(ids[i:i+k-1], ','))`, Spark SQL
+  * `md5(concat_ws(',', transform(slice(ids, i, k), x -> cast(x as
+  * string))))` — byte-packed ints would be unportable across engines).
+  * Empty output for sequences shorter than k tokens. Same tight-loop /
+  * 16-bytes-per-gram cost profile as the word form.
   */
 case class IntGramHash128Expr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {

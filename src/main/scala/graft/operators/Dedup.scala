@@ -796,9 +796,8 @@ object Dedup {
     // re-run over the scan for each — the same fan-out lesson (and the
     // same localCheckpoint-over-persist lifecycle choice) as
     // bigramSurprisal's transition rows
-    val toks = docs.select(col(idCol),
-      filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__ws"))
-      .localCheckpoint()
+    val toks = substringMaterialize(docs.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__ws")))
     val grams = toks.filter(size(col("__ws")) >= k)
       .select(col(idCol),
         posexplode(wordGramHash128(col("__ws"), k)).as(Seq("__gpos", "__h")))
@@ -828,8 +827,26 @@ object Dedup {
     * in the gram table and skew-safe (aggregate build side is one row
     * per hash).
     */
+  /** Materialization strategy for the substring-dedup fan-out tables
+    * (token arrays + positional grams), honoring the SAME
+    * `graft.curate.materialize` config as [[Pipeline.curate]]: default
+    * `localCheckpoint` (eager — triggers the upstream job at call time —
+    * and NON-RECOVERABLE on executor loss, the right trade in the
+    * common case because the ContextCleaner frees the blocks once the
+    * frame is unreachable), `persist` as the escape hatch for long
+    * multi-hour 100 TB runs where recomputing a lost corpus-scale gram
+    * partition from lineage is cheaper than a job restart.
+    */
+  private def substringMaterialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("graft.curate.materialize", "localCheckpoint")
+    match {
+      case "persist" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => df.localCheckpoint()
+    }
+
   private def removedGramStarts(grams: DataFrame, idCol: String): DataFrame = {
-    val g = grams.localCheckpoint()
+    val g = substringMaterialize(grams)
     val dup = g.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol).as("__fid"), col("__gpos").as("__fpos")))
@@ -865,6 +882,17 @@ object Dedup {
     * tokens pass through untouched. Output `(id, text_kept,
     * n_tokens_kept, n_tokens_dropped)`.
     *
+    * CAVEAT (invalid-UTF-8 seams): cuts are made in TOKEN space, as
+    * published — when a removal boundary lands inside a multibyte
+    * character whose bytes were never merged into one token, the kept
+    * bytes around the cut can form an invalid UTF-8 seam in
+    * `text_kept` (identical to detokenizing the paper's surviving
+    * token stream; spec-pinned in OperatorsSpec). Spark carries such
+    * bytes through unchanged, but downstream consumers that VALIDATE
+    * UTF-8 (external writers, other engines) may mangle or reject
+    * them — re-tokenize with the same vocabulary, or scrub seams, at
+    * the sink boundary if that matters.
+    *
     * Scale shape: identical to the word form (the aggregate-only
     * first-occurrence core is shared — [[removedGramStarts]]), with one
     * deliberate cost difference: the gram table has one row per TOKEN
@@ -883,9 +911,8 @@ object Dedup {
       : DataFrame = {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val k = spanTokens
-    val toks = docs.select(col(idCol),
-      bpeTokenIds(col(textCol), merges).as("__ids"))
-      .localCheckpoint()
+    val toks = substringMaterialize(docs.select(col(idCol),
+      bpeTokenIds(col(textCol), merges).as("__ids")))
     val grams = toks.filter(size(col("__ids")) >= k)
       .select(col(idCol),
         posexplode(intGramHash128(col("__ids"), k)).as(Seq("__gpos", "__h")))

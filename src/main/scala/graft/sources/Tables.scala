@@ -13,13 +13,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table of the test lake. `events` needs nanos→long (its
-    * parquet stores TIMESTAMP(NANOS), which Spark cannot read natively).
+  /** Read one table of the test lake. `events.ts` is normalized to
+    * BIGINT nanoseconds whatever the lake's physical encoding
+    * ([[normalizeEventTs]]).
     */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalize an events frame's `ts` column to BIGINT nanoseconds —
+    * the engine-wide convention every Events/streaming operator
+    * assumes — regardless of the physical parquet type the lake
+    * stores: TIMESTAMP(NANOS) arrives as BIGINT already (via the
+    * `nanosAsLong` session flag, the only way Spark reads it),
+    * TIMESTAMP/TIMESTAMP_NTZ (µs precision) convert via `unix_micros`.
+    * The NTZ branch casts through session-local TIMESTAMP — every
+    * harness entry point pins the session timezone to UTC, matching
+    * how DuckDB's `epoch_*` functions treat the same naive values.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
   }
 
   /** Read the whole star schema as a name → DataFrame map and register

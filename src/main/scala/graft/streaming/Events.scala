@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Event-stream operators over the `events` table (`event_id, ts,
-  * user_id, event_type, value, props`). `ts` arrives as BIGINT
-  * nanoseconds (the parquet stores TIMESTAMP(NANOS), which Spark reads
-  * only via `nanosAsLong`).
+  * user_id, event_type, value, props`). Every operator assumes `ts` is
+  * BIGINT nanoseconds; the read boundaries normalize whatever the lake
+  * physically stores to that convention
+  * ([[graft.sources.Tables.normalizeEventTs]] for batch,
+  * [[eventStream]] for streams).
   *
   * Both a batch form (oracle-verifiable) and a Structured Streaming form
   * (watermark + windowed aggregation) are provided; the streaming form is
@@ -17,6 +19,31 @@ import org.apache.spark.sql.types._
 object Events {
 
   val NanosPerHour: Long = 3600L * 1000 * 1000 * 1000
+
+  /** The events parquet as a stream with `ts` already normalized to
+    * BIGINT nanoseconds (the engine-wide convention), whatever the
+    * lake's physical timestamp type. Structured Streaming requires an
+    * explicit source schema, so the batch footer is probed once at
+    * PLAN time (no data read) to learn the stored type — `ts` arrives
+    * as BIGINT for TIMESTAMP(NANOS) lakes (`nanosAsLong`, set by every
+    * harness entry point) and as TIMESTAMP/TIMESTAMP_NTZ for µs lakes
+    * (the r13 testdata switched to the latter) — and the stream
+    * converts exactly as [[graft.sources.Tables.normalizeEventTs]]
+    * does for batch.
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = spark.read.parquet(dir).schema
+      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir))
+  }
 
   /** Row/state shapes for [[streamingSessionize]] (top-level so Spark can
     * derive Encoders).
@@ -140,14 +167,6 @@ object Events {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-
     def step(user: Long, evs: Iterator[Ev], state: GroupState[Sess]): Iterator[SessOut] = {
       val sorted = evs.toSeq.sortBy(_.ts)
       var cur = state.getOption
@@ -167,7 +186,7 @@ object Events {
       out.result().iterator
     }
 
-    spark.readStream.schema(schema).parquet(dir)
+    eventStream(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
       .as[Ev]
       .groupByKey(_.user_id)
@@ -203,14 +222,6 @@ object Events {
     import spark.implicits._
     require(steps.nonEmpty)
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-
     def step(user: Long, evs: Iterator[FunnelEv],
         state: GroupState[FunnelState]): Iterator[FunnelOut] = {
       val times = state.getOption
@@ -229,7 +240,7 @@ object Events {
         FunnelOut(user, reached, times.take(reached).map(_.get).toSeq))
     }
 
-    spark.readStream.schema(schema).parquet(dir)
+    eventStream(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_type"))
       .as[FunnelEv]
       .groupByKey(_.user_id)
@@ -270,14 +281,6 @@ object Events {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-
     def step(user: Long, evs: Iterator[RetEv],
         state: GroupState[RetState]): Iterator[RetOut] = {
       val prev = state.getOption
@@ -294,7 +297,7 @@ object Events {
       kept.iterator.map(d => RetOut(user, seq, cohort, d - cohort))
     }
 
-    spark.readStream.schema(schema).parquet(dir)
+    eventStream(spark, dir)
       .select(col("user_id"), expr(s"ts div ${NanosPerDay}L").as("day_id"))
       .as[RetEv]
       .groupByKey(_.user_id)
@@ -322,14 +325,7 @@ object Events {
       dir: String,
       gapMicros: Long,
       delay: String = "30 minutes"): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
+    eventStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", delay)
       .groupBy(
@@ -353,15 +349,7 @@ object Events {
     * Convert the nano longs to timestamps for event-time semantics.
     */
   def streamingHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .parquet(dir)
+    eventStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))

@@ -546,6 +546,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(6L) === (("tiny doc", 2L, 0L)))
   }
 
+  test("dedupSubstringsBpe: repeated CJK span removed at token level" +
+      " keeping the corpus-first occurrence; the whitespace word form" +
+      " provably finds nothing on the same docs") {
+    // 22 CJK chars = 66 UTF-8 bytes = 66 byte-level fixture tokens (the
+    // a/b/c merges never fire on CJK bytes), so spanTokens=60 grams fit
+    // entirely inside the shared run while every boundary gram differs
+    val shared = "深度学习模型的训练数据需要大规模去重处理流程排查"
+    val sharedToks = shared.getBytes("UTF-8").length.toLong
+    assert(sharedToks >= 60L)
+    val d1 = "前文" + shared + "后记"
+    val d2head = "另外的开头"
+    val d2tail = "不同的结尾"
+    val d3 = "完全不同的内容没有任何重复片段存在于此处真的"
+    val d = Seq(
+      (1L, d1), (2L, d2head + shared + d2tail), (3L, d3)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstringsBpe(d, "doc_id", "text", spanTokens = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 holds the corpus-first occurrence of every shared gram: intact
+    assert(out(1L) === ((d1, d1.getBytes("UTF-8").length.toLong, 0L)))
+    // doc 2 loses exactly the 66 shared tokens (interior grams cover the
+    // whole run; boundary grams include differing context bytes)
+    assert(out(2L) === ((d2head + d2tail,
+      (d2head + d2tail).getBytes("UTF-8").length.toLong, sharedToks)))
+    assert(out(3L) === ((d3, d3.getBytes("UTF-8").length.toLong, 0L)))
+    // the word form sees each unsegmented doc as ONE whitespace token,
+    // so even spanWords=2 grams cannot exist: zero drops everywhere
+    val word = Dedup.dedupSubstrings(d, "doc_id", "text", spanWords = 2)
+      .collect()
+    assert(word.forall(_.getLong(3) === 0L))
+  }
+
+  test("bpeTokenRemove contracts: null ids yields ('',0,0); null starts" +
+      " keeps everything; overlapping spans merge; a mid-character cut" +
+      " keeps the surviving tokens' bytes verbatim (invalid UTF-8 seam)") {
+    import graft.functions.{Bpe, TextFunctions}
+    val m = Bpe.fixtureMerges
+    def run(text: String, starts: org.apache.spark.sql.Column, k: Int) =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.bpeTokenRemove(
+          TextFunctions.bpeTokenIds(col("text"), m), starts, k, m).as("r"))
+        .select(col("r.text_kept"), col("r.n_tokens_kept"),
+          col("r.n_tokens_dropped"),
+          md5(col("r.text_kept").cast("binary")).as("h"))
+        .collect().head
+    // null text upstream -> null ids -> ('', 0, 0)
+    val nr = run(null, lit(null).cast("array<int>"), 2)
+    assert(nr.getString(0) === "" && nr.getLong(1) === 0L &&
+      nr.getLong(2) === 0L)
+    // null starts = "no removed grams": all tokens kept, text verbatim
+    // ("abcabx" tokenizes [257, 256, 'x'] under the fixture vocab)
+    val keep = run("abcabx", lit(null).cast("array<int>"), 2)
+    assert(keep.getString(0) === "abcabx" && keep.getLong(1) === 3L &&
+      keep.getLong(2) === 0L)
+    // overlapping spans merge positionally: starts [0,1] with k=3 over
+    // 5 single-byte tokens cover tokens 0..3, keeping only the last
+    val ov = run("hello", typedLit(Seq(0, 1)), 3)
+    assert(ov.getString(0) === "o" && ov.getLong(1) === 1L &&
+      ov.getLong(2) === 4L)
+    // mid-character cut: "中文" is 6 byte-level tokens; removing the
+    // k=2 gram at token 1 cuts bytes 1-2 (the tail of 中), keeping
+    // byte 0 + the 3 bytes of 文 — an invalid UTF-8 seam carried
+    // through verbatim (asserted on the raw bytes via md5-over-binary,
+    // since a driver-side String decode would mangle the seam)
+    val bytes = "中文".getBytes("UTF-8")
+    val expectKept = Array(bytes(0), bytes(3), bytes(4), bytes(5))
+    val expectHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectKept).map("%02x".format(_)).mkString
+    val seam = run("中文", typedLit(Seq(1)), 2)
+    assert(seam.getString(3) === expectHash)
+    assert(seam.getLong(1) === 4L && seam.getLong(2) === 2L)
+  }
+
   test("hot-bucket cap: a 10k-copy viral family produces zero pairs" +
       " while a below-cap family still pairs fully") {
     // 10k identical docs = one (band, bucket) cell per band holding 10k

@@ -188,6 +188,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokenRemove with empty or null starts reproduces the" +
+      " original bytes exactly over random unicode and learned tables") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcd 日本語é,1"
+    def randText(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 5).foreach { _ =>
+      val merges = learnMerges(randText(400), 5 + rnd.nextInt(40))
+      val texts = (0L until 20L).map(i => (i, randText(rnd.nextInt(200))))
+      val byId = texts.toMap
+      // no removed grams in either encoding (null array and empty
+      // array) must be a byte-exact identity rewrite
+      Seq(lit(null).cast("array<int>"),
+        array().cast("array<int>")).foreach { starts =>
+        texts.toDF("doc_id", "text")
+          .select(col("doc_id"), TextFunctions.bpeTokenRemove(
+            TextFunctions.bpeTokenIds(col("text"), merges),
+            starts, 2, merges).as("r"))
+          .select(col("doc_id"), col("r.text_kept"),
+            col("r.n_tokens_dropped"))
+          .collect().foreach { row =>
+            assert(row.getString(1) === byId(row.getLong(0)))
+            assert(row.getLong(2) === 0L)
+          }
+      }
+    }
+  }
+
   test("BPE indexed walk: a 1 MB unsegmented (no-whitespace, CJK-like)" +
       " document with a 1k-rank merge table tokenizes in bounded time") {
     val rnd = new scala.util.Random(99)
