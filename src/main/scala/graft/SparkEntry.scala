@@ -815,6 +815,42 @@ object SparkEntry {
           .as("ids_csv"))
   }
 
+  /** Pack-sink roundtrip gate: the pack_materialize pipeline is written
+    * as a sharded pack set (`Packs.writePacks`, numFiles=16 over 8
+    * buckets → ≤ 2 shards per bucket) and read back; the emitted rows
+    * come from the LOADED frame plus its meta row, so the oracle — the
+    * pack_materialize arithmetic replay plus the constant meta — hash-
+    * matching proves byte-exact id persistence, the partition-column
+    * long round-trip, and the vocabulary fingerprint.
+    */
+  private def packPersistQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counts = d.select(col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text"),
+        graft.functions.Bpe.fixtureMerges).as("n_bpe_tokens"))
+    val ids = TextAnalysis.tokenIdsBpe(d, "doc_id", "text")
+    val packed = graft.operators.Sampling.packSequences(
+      counts, "doc_id", "n_bpe_tokens", seqTokens = 512L, nBuckets = 8)
+    val packs = graft.operators.Sampling.materializePacks(packed, ids,
+      "doc_id", "n_bpe_tokens", "token_ids", seqTokens = 512L)
+    val path = s"/tmp/graft_packs_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.Packs.writePacks(packs, path, seqTokens = 512L,
+      nBuckets = 8,
+      mergesFingerprint = graft.functions.Bpe.mergesFingerprint(
+        graft.functions.Bpe.fixtureMerges),
+      numFiles = 16)
+    val loaded = graft.sources.Packs.loadPacks(s, path)
+    require(loaded.seqTokens == 512L && loaded.nBuckets == 8,
+      "pack meta must round-trip")
+    loaded.packs.select(col("pack_bucket"), col("pack_id"),
+      col("n_tokens"),
+      concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+        .as("ids_csv"),
+      lit(loaded.seqTokens).as("seq_tokens"),
+      lit(loaded.nBuckets.toLong).as("n_buckets"),
+      lit(loaded.mergesFingerprint).as("merges_fingerprint"))
+  }
+
   private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedHashSample(
       t(s, dir, "documents"), "doc_id", "lang",
@@ -1831,6 +1867,40 @@ object SparkEntry {
   // -------------------------------------------------------------------
 
   /** Portable 60-bit hash in DuckDB SQL (= TextFunctions.hash60). */
+  /** The pack_materialize oracle body — shared verbatim by the
+    * `pack_persist` roundtrip gate (persistence must reproduce exactly
+    * the rows materialization computed, so the oracle IS the same
+    * arithmetic replay plus the constant meta row).
+    */
+  private def packMaterializeOracle: String =
+    s"""WITH ti AS (SELECT doc_id,
+           list_transform(
+             string_split(replace(replace(text, 'abc', chr(1)), 'ab', chr(2)), ''),
+             c -> CASE WHEN c = chr(1) THEN 257
+                       WHEN c = chr(2) THEN 256
+                       ELSE ascii(c) END) AS ids
+         FROM documents),
+       d AS (SELECT doc_id, ids, len(ids) AS n,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM ti),
+       b AS (SELECT *, h % 8 AS pack_bucket FROM d),
+       c AS (SELECT *, CAST(COALESCE(sum(n) OVER (
+           PARTITION BY pack_bucket ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+         FROM b),
+       sp AS (SELECT pack_bucket, st, n, ids,
+           unnest(range(st // 512, (st + n - 1) // 512 + 1)) AS p
+         FROM c WHERE n > 0),
+       sl AS (SELECT pack_bucket, p AS pack_id,
+           greatest(st - p * 512, 0) AS pos,
+           ids[CAST(greatest(p * 512 - st, 0) + 1 AS BIGINT)
+             : CAST(least(n, (p + 1) * 512 - st) AS BIGINT)] AS sl
+         FROM sp)
+       SELECT CAST(pack_bucket AS BIGINT) AS pack_bucket,
+         CAST(pack_id AS BIGINT) AS pack_id,
+         CAST(sum(len(sl)) AS BIGINT) AS n_tokens,
+         string_agg(array_to_string(sl, ','), ',' ORDER BY pos) AS ids_csv
+       FROM sl GROUP BY 1, 2"""
+
   private def dkHash(x: String): String =
     s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
 
@@ -2308,6 +2378,7 @@ object SparkEntry {
     "chunk_tokens_bpe" -> (chunkTokensBpeQ _),
     "pack_sequences"   -> (packSequencesQ _),
     "pack_materialize" -> (packMaterializeQ _),
+    "pack_persist"     -> (packPersistQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
@@ -3103,34 +3174,13 @@ object SparkEntry {
            CAST(st // 512 AS BIGINT) AS pack_id,
            CAST(st % 512 AS BIGINT) AS pack_offset
          FROM c""",
-    "pack_materialize" ->
-      s"""WITH ti AS (SELECT doc_id,
-           list_transform(
-             string_split(replace(replace(text, 'abc', chr(1)), 'ab', chr(2)), ''),
-             c -> CASE WHEN c = chr(1) THEN 257
-                       WHEN c = chr(2) THEN 256
-                       ELSE ascii(c) END) AS ids
-         FROM documents),
-       d AS (SELECT doc_id, ids, len(ids) AS n,
-           ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM ti),
-       b AS (SELECT *, h % 8 AS pack_bucket FROM d),
-       c AS (SELECT *, CAST(COALESCE(sum(n) OVER (
-           PARTITION BY pack_bucket ORDER BY h, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-         FROM b),
-       sp AS (SELECT pack_bucket, st, n, ids,
-           unnest(range(st // 512, (st + n - 1) // 512 + 1)) AS p
-         FROM c WHERE n > 0),
-       sl AS (SELECT pack_bucket, p AS pack_id,
-           greatest(st - p * 512, 0) AS pos,
-           ids[CAST(greatest(p * 512 - st, 0) + 1 AS BIGINT)
-             : CAST(least(n, (p + 1) * 512 - st) AS BIGINT)] AS sl
-         FROM sp)
-       SELECT CAST(pack_bucket AS BIGINT) AS pack_bucket,
-         CAST(pack_id AS BIGINT) AS pack_id,
-         CAST(sum(len(sl)) AS BIGINT) AS n_tokens,
-         string_agg(array_to_string(sl, ','), ',' ORDER BY pos) AS ids_csv
-       FROM sl GROUP BY 1, 2""",
+    "pack_materialize" -> packMaterializeOracle,
+    "pack_persist" ->
+      s"""WITH pm AS ($packMaterializeOracle)
+         SELECT pm.*, CAST(512 AS BIGINT) AS seq_tokens,
+           CAST(8 AS BIGINT) AS n_buckets,
+           md5('a b' || chr(10) || 'ab c' || chr(10)) AS merges_fingerprint
+         FROM pm""",
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
            ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),

@@ -126,6 +126,20 @@ object Bpe {
     */
   val fixtureMerges: Seq[(String, String)] = Seq("a" -> "b", "ab" -> "c")
 
+  /** Stable identity of a merge table — md5 over the rank-ordered
+    * `"left right\n"` lines (RAW byte-string symbols, newline after
+    * every line). Persisted pack sets carry it
+    * ([[graft.sources.Packs]]) so token ids can never be silently
+    * paired with the wrong vocabulary. A SQL engine re-derives the
+    * fixture value as `md5('a b' || chr(10) || 'ab c' || chr(10))`.
+    */
+  def mergesFingerprint(merges: Seq[(String, String)]): String = {
+    val text = merges.map { case (l, r) => s"$l $r\n" }.mkString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Encode a raw byte string (ISO-8859-1 chars) into the GPT-2
     * byte→printable-unicode alphabet — the inverse of [[decodeToken]],
     * i.e. the form merges.txt files are written in.

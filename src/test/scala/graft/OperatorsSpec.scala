@@ -546,6 +546,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(6L) === (("tiny doc", 2L, 0L)))
   }
 
+  test("Packs.writePacks/loadPacks: byte-exact roundtrip, long-typed" +
+      " bucket column, bounded file count, pinned fingerprint") {
+    import graft.sources.Packs
+    val packs = Seq(
+      (0L, 0L, 3L, Seq(1, 2, 3)),
+      (0L, 1L, 2L, Seq(4, 5)),
+      (1L, 0L, 1L, Seq(6)),
+      (1L, 5L, 2L, Seq(7, 8)),
+      (2L, 2L, 2L, Seq(9, 10)),
+      (3L, 7L, 4L, Seq(11, 12, 13, 14))
+    ).toDF("pack_bucket", "pack_id", "n_tokens", "token_ids")
+    val path = "/tmp/graft_packs_spec"
+    val fp = graft.functions.Bpe.mergesFingerprint(
+      graft.functions.Bpe.fixtureMerges)
+    // the documented SQL re-derivation: md5('a b' || \n || 'ab c' || \n)
+    assert(fp === "0a3dcaae9fbee11d1449726146e3173d")
+    Packs.writePacks(packs, path, seqTokens = 16L, nBuckets = 4,
+      mergesFingerprint = fp, numFiles = 8)
+    val loaded = Packs.loadPacks(spark, path)
+    assert(loaded.seqTokens === 16L && loaded.nBuckets === 4 &&
+      loaded.mergesFingerprint === fp)
+    // partition-column inference would narrow pack_bucket to int;
+    // loadPacks must restore the written LONG
+    assert(loaded.packs.schema("pack_bucket").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val got = loaded.packs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3))).toSet
+    val want = packs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3))).toSet
+    assert(got === want)
+    // file-count discipline: data files bounded by ~numFiles
+    def parquetFiles(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles.map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    assert(parquetFiles(new java.io.File(s"$path/packs")) <= 8)
+  }
+
   test("dedupSubstringsBpe: repeated CJK span removed at token level" +
       " keeping the corpus-first occurrence; the whitespace word form" +
       " provably finds nothing on the same docs") {
