@@ -851,6 +851,57 @@ object SparkEntry {
       lit(loaded.mergesFingerprint).as("merges_fingerprint"))
   }
 
+  /** Classifier gates: junk tokens are appended to every eleventh
+    * document and those documents labeled 1 — a deterministic
+    * separable corpus at any SF, so 3 GD rounds provably move the junk
+    * buckets' weights. The oracle replays feature hashing
+    * (`md5`-prefix bucket ids), the L1-normalized bag, and the SAME 3
+    * unrolled full-batch rounds arithmetically.
+    */
+  private def classifierDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" junkjunk spamspam junkjunk spamspam")))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 11 === 0, lit(1.0)).otherwise(lit(0.0))
+        .as("label"))
+
+  /** 10 rounds at lr=4: measured AUC 0.96 separating the planted junk
+    * docs at sf0.01 (3 gentle rounds only reach 0.82 — absolute
+    * probabilities compress toward the 9% class prior either way, the
+    * RANKING is what a quality filter thresholds on). Memoized per
+    * sfDir (training is deterministic, so reuse is sound): the score
+    * gate then measures SCORING — a shuffle-free native-expression
+    * map — not a redundant retrain per bench rep.
+    */
+  private val classifierCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, graft.operators.Classifier.Model]()
+
+  private def trainedClassifier(
+      s: SparkSession, dir: String): graft.operators.Classifier.Model =
+    classifierCache.computeIfAbsent(dir, d =>
+      graft.operators.Classifier.train(classifierDocs(s, d),
+        "doc_id", "text", "label", buckets = 64, rounds = 10, lr = 4.0))
+
+  /** Always trains FRESH (and refreshes the cache) so its bench row
+    * measures the 10-round GD itself; only the score gate reads the
+    * memoized model.
+    */
+  private def classifierTrainQ(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.operators.Classifier.train(classifierDocs(s, dir),
+      "doc_id", "text", "label", buckets = 64, rounds = 10, lr = 4.0)
+    classifierCache.put(dir, m)
+    import s.implicits._
+    m.weights.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq
+      .toDF("bucket", "weight")
+  }
+
+  private def classifierScoreQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classifier.score(classifierDocs(s, dir), "doc_id",
+      "text", trainedClassifier(s, dir))
+      .select(col("doc_id"), col("score"))
+
   private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedHashSample(
       t(s, dir, "documents"), "doc_id", "lang",
@@ -1867,6 +1918,52 @@ object SparkEntry {
   // -------------------------------------------------------------------
 
   /** Portable 60-bit hash in DuckDB SQL (= TextFunctions.hash60). */
+  /** Generated oracle CTE prefix for the classifier gates: planted
+    * labels, hashed L1-normalized features (bias as bucket 64), and
+    * `n` unrolled full-batch GD rounds — MATERIALIZED per round like
+    * [[bpeTrainOracle]] (inlined CTEs would replicate the feature scan
+    * exponentially in n).
+    */
+  private def classifierOracle(n: Int, lr: String): String = {
+    val rounds = (1 to n).map { i =>
+      s"""m$i AS MATERIALIZED (
+           SELECT d.doc_id, d.y, 1/(1+exp(-s.m)) AS p
+           FROM d JOIN (SELECT f.doc_id, sum(f.x * w.wt) AS m
+               FROM feat f JOIN w${i - 1} w USING (bucket)
+               GROUP BY f.doc_id) s USING (doc_id)),
+         g$i AS MATERIALIZED (
+           SELECT f.bucket, sum(f.x * (m.p - m.y)) AS g
+           FROM feat f JOIN m$i m USING (doc_id) GROUP BY f.bucket),
+         w$i AS MATERIALIZED (
+           SELECT w.bucket,
+             w.wt - $lr * COALESCE(g.g, 0) / (SELECT nd FROM nn) AS wt
+           FROM w${i - 1} w LEFT JOIN g$i g USING (bucket))"""
+    }.mkString(",\n         ")
+    s"""WITH src AS (SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+             THEN text || ' junkjunk spamspam junkjunk spamspam'
+             ELSE text END AS text,
+           CASE WHEN doc_id % 11 = 0 THEN 1.0 ELSE 0.0 END AS y
+         FROM documents),
+       tok AS (SELECT doc_id, y,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             w -> len(w) > 0) AS ws
+         FROM src),
+       d AS MATERIALIZED (SELECT doc_id, y, len(ws) AS n FROM tok),
+       ex AS (SELECT doc_id, unnest(ws) AS w FROM tok),
+       fw AS (SELECT doc_id, ${dkHash("w")} % 64 AS bucket FROM ex),
+       feat AS MATERIALIZED (
+         SELECT fw.doc_id, fw.bucket,
+           CAST(count(*) AS DOUBLE) / any_value(d.n) AS x
+         FROM fw JOIN d USING (doc_id) GROUP BY fw.doc_id, fw.bucket
+         UNION ALL SELECT doc_id, CAST(64 AS BIGINT) AS bucket, 1.0 AS x
+         FROM d),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+       w0 AS (SELECT CAST(unnest(range(0, 65)) AS BIGINT) AS bucket,
+           0.0 AS wt),
+       $rounds"""
+  }
+
   /** The pack_materialize oracle body — shared verbatim by the
     * `pack_persist` roundtrip gate (persistence must reproduce exactly
     * the rows materialization computed, so the oracle IS the same
@@ -2379,6 +2476,8 @@ object SparkEntry {
     "pack_sequences"   -> (packSequencesQ _),
     "pack_materialize" -> (packMaterializeQ _),
     "pack_persist"     -> (packPersistQ _),
+    "classifier_train" -> (classifierTrainQ _),
+    "classifier_score" -> (classifierScoreQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
@@ -3175,6 +3274,15 @@ object SparkEntry {
            CAST(st % 512 AS BIGINT) AS pack_offset
          FROM c""",
     "pack_materialize" -> packMaterializeOracle,
+    "classifier_train" ->
+      s"""${classifierOracle(10, "4.0")}
+         SELECT bucket, wt AS weight FROM w10""",
+    "classifier_score" ->
+      s"""${classifierOracle(10, "4.0")}
+         SELECT d.doc_id, 1/(1+exp(-s.m)) AS score
+         FROM d JOIN (SELECT f.doc_id, sum(f.x * w.wt) AS m
+             FROM feat f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
+         USING (doc_id)""",
     "pack_persist" ->
       s"""WITH pm AS ($packMaterializeOracle)
          SELECT pm.*, CAST(512 AS BIGINT) AS seq_tokens,

@@ -1227,3 +1227,56 @@ case class IntGramHash128Expr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): IntGramHash128Expr =
     copy(child = c)
 }
+
+/** Hashed-bag logistic score — the native scoring half of the
+  * fastText-style quality classifier ([[graft.operators.Classifier]];
+  * Joulin et al. 2016's linear text classifier with hashed features,
+  * the DCLM/fastText quality-filter recipe): for a document's word
+  * array, `sigmoid(weights(buckets) + Σ_token
+  * weights(hash60(token) mod buckets) / n_tokens)` — i.e. the dot
+  * product of the L1-normalized hashed bag with the weight vector,
+  * bias at index `buckets`. The token hash is the portable 60-bit md5
+  * prefix (a SQL engine re-derives every feature id as
+  * `CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) %
+  * buckets`), so training in the engine and replaying in SQL agree
+  * feature-for-feature. One digest pass per token, no feature-table
+  * materialization — scoring a 100 TB corpus is a pure map over the
+  * scan with a (buckets+1)-double closure, trivially codegen-adjacent
+  * and shuffle-free.
+  */
+case class HashedBagScoreExpr(
+    child: Expression,
+    weights: Seq[Double],
+    buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(buckets > 0, "buckets must be positive")
+  require(weights.length == buckets + 1,
+    s"weights must have buckets+1 entries (bias last), " +
+      s"got ${weights.length} for $buckets buckets")
+
+  override def dataType: DataType = DoubleType
+
+  private lazy val w = weights.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = md.digest(ws.getUTF8String(i).getBytes)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      s += w(((v >>> 4) % buckets).toInt)
+      i += 1
+    }
+    val margin = (if (n > 0) s / n else 0.0) + w(buckets)
+    1.0 / (1.0 + math.exp(-margin))
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedBagScoreExpr =
+    copy(child = c)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash60
+
+/** Trainable fastText-style quality classifier (Joulin et al. 2016's
+  * linear text classifier over hashed bag-of-words features — the
+  * supervised quality-filter axis of the DCLM/fastText recipe,
+  * complementing [[TextAnalysis.unigramSurprisal]]'s unsupervised CCNet
+  * axis): binary logistic regression, feature `hash60(word) mod
+  * buckets`, document vector = the L1-normalized hashed bag plus a bias
+  * feature, trained by full-batch gradient descent for a FIXED round
+  * count with a deterministic SQL-replayable recipe (no rand(), no
+  * data-order dependence — every sum is a commutative double
+  * aggregation).
+  *
+  * Scale shape (the [[Similarity]] Lloyd-pipeline pattern): the corpus-
+  * sized work per round is two linear, partial-aggregable shuffles over
+  * the feature table — margins (`groupBy(doc).sum(x·w)` after a
+  * BROADCAST join with the (buckets+1)-row weight table) and the
+  * gradient (`groupBy(bucket).sum(x·residual)` after a 1:1 doc join) —
+  * and the only driver state is the (buckets+1)-double weight vector
+  * collected per round. A hot feature bucket combines map-side; no
+  * window, no pair enumeration. Scoring is [[graft.functions
+  * .HashedBagScoreExpr]] — a pure map over the scan, zero shuffles.
+  */
+object Classifier {
+
+  /** A trained model: `weights(b)` for hashed buckets `b < buckets`,
+    * bias at `weights(buckets)`.
+    */
+  final case class Model(weights: Array[Double], buckets: Int) {
+    require(weights.length == buckets + 1,
+      "weights must have buckets+1 entries (bias last)")
+    def bias: Double = weights(buckets)
+  }
+
+  /** Hashed features `(idCol, __bucket, __x)`: for each document, one
+    * row per occupied bucket with `x = count(tokens in bucket) /
+    * n_tokens`, plus the constant bias row `(buckets, 1.0)` — having
+    * the bias live as an ordinary feature keeps every training round
+    * one uniform aggregate (and gives token-less documents a feature
+    * row, so they still receive margins/gradients).
+    */
+  def hashedFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = docs.select(col(idCol),
+      filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0).as("__ws"))
+    val tokenRows = toks
+      .select(col(idCol), size(col("__ws")).as("__n"),
+        explode(col("__ws")).as("__w"))
+      .select(col(idCol), col("__n"),
+        pmod(hash60(col("__w")), lit(buckets.toLong)).as("__bucket"))
+      .groupBy(col(idCol), col("__bucket"), col("__n"))
+      .agg((count(lit(1)).cast("double") / col("__n")).as("__x"))
+      .select(col(idCol), col("__bucket"), col("__x"))
+    val biasRows = docs.select(col(idCol),
+      lit(buckets.toLong).as("__bucket"), lit(1.0).as("__x"))
+    tokenRows.union(biasRows)
+  }
+
+  /** Train by `rounds` full-batch GD steps from zero weights:
+    * `w -= lr · mean_docs((sigmoid(w·x) − y) · x)`. `labelCol` must be
+    * 0/1 (castable to double). Deterministic: same corpus → same
+    * weights, bit-for-bit up to double-sum rounding.
+    */
+  def train(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int = 64,
+      rounds: Int = 3,
+      lr: Double = 0.5): Model = {
+    require(rounds > 0, "rounds must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // both tables feed every round; materialize once (same lifecycle
+    // choice as the substring-dedup fan-out tables)
+    val feats = hashedFeatures(docs, idCol, textCol, buckets)
+      .localCheckpoint()
+    val labels = docs
+      .select(col(idCol), col(labelCol).cast("double").as("__y"))
+      .localCheckpoint()
+    val nDocs = labels.count().toDouble // free: checkpoint materialized
+    require(nDocs > 0, "cannot train on an empty corpus")
+    val w = new Array[Double](buckets + 1)
+    var r = 0
+    while (r < rounds) {
+      val wDF = w.zipWithIndex
+        .map { case (v, b) => (b.toLong, v) }.toSeq
+        .toDF("__bucket", "__wt")
+      val margins = feats.join(broadcast(wDF), Seq("__bucket"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__x") * col("__wt")).as("__m"))
+      val resid = labels.join(margins, Seq(idCol), "left")
+        .select(col(idCol),
+          (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__m"), lit(0.0))))
+            - col("__y")).as("__r"))
+      val grad = feats.join(resid, Seq(idCol))
+        .groupBy(col("__bucket"))
+        .agg(sum(col("__x") * col("__r")).as("__g"))
+        .collect() // bounded: <= buckets+1 rows, the Lloyd-fold pattern
+      grad.foreach { row =>
+        val b = row.getLong(0).toInt
+        w(b) -= lr * row.getDouble(1) / nDocs
+      }
+      r += 1
+    }
+    Model(w, buckets)
+  }
+
+  /** Score documents with a trained model: `(idCol, score)` where
+    * score = sigmoid(w·x) — one native-expression map over the scan
+    * ([[graft.functions.HashedBagScoreExpr]]), no feature
+    * materialization, no shuffle.
+    */
+  def score(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Model): DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    val wordsCol = filter(split(trim(lower(col(textCol))), "\\s+"),
+      w => length(w) > 0)
+    docs.select(col(idCol),
+      toColumn(graft.functions.HashedBagScoreExpr(
+        toExpression(wordsCol), model.weights.toSeq, model.buckets))
+        .as("score"))
+  }
+}

@@ -546,6 +546,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(6L) === (("tiny doc", 2L, 0L)))
   }
 
+  test("Classifier: full-batch GD fully separates planted junk from" +
+      " clean docs, retraining is deterministic, and a token-less doc" +
+      " scores sigmoid(bias)") {
+    import graft.operators.Classifier
+    val clean = (0L until 40L).map(i =>
+      (i, s"normal prose number $i about weather and food today", 0.0))
+    val junk = (40L until 60L).map(i =>
+      (i, s"normal prose number $i about weather and food today" +
+        " spamspam junkjunk spamspam junkjunk", 1.0))
+    val d = (clean ++ junk).toDF("doc_id", "text", "label")
+    val m = Classifier.train(d, "doc_id", "text", "label",
+      buckets = 32, rounds = 30, lr = 8.0)
+    val scores = Classifier.score(d, "doc_id", "text", m).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val js = (40L until 60L).map(scores)
+    val cs = (0L until 40L).map(scores)
+    assert(js.min > cs.max,
+      s"junk scores ${js.min} must rank above clean ${cs.max}")
+    // same corpus, same params -> same weights (all sums are
+    // deterministic double aggregations)
+    val m2 = Classifier.train(d, "doc_id", "text", "label",
+      buckets = 32, rounds = 30, lr = 8.0)
+    m.weights.zip(m2.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9) }
+    // token-less document: the bag contributes nothing, score is
+    // sigmoid(bias) exactly
+    val se = Classifier.score(Seq((0L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", m).collect().head.getDouble(1)
+    assert(math.abs(se - 1.0 / (1.0 + math.exp(-m.bias))) < 1e-12)
+  }
+
   test("Packs.writePacks/loadPacks: byte-exact roundtrip, long-typed" +
       " bucket column, bounded file count, pinned fingerprint") {
     import graft.sources.Packs
