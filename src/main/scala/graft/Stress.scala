@@ -29,7 +29,12 @@ object Stress {
         idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
       }.reduce(_ unionAll _)
 
-    def time(name: String)(df: => DataFrame): Unit = {
+    // SPARK_GRAFT_STRESS_ONLY=case1,case2 runs a subset (profiling aid)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def runCase(name: String): Boolean = only.forall(_(name))
+
+    def time(name: String)(df: => DataFrame): Unit = if (runCase(name)) {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"STRESS $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -90,7 +95,7 @@ object Stress {
     time("doc_char_fingerprint") {
       graft.operators.TextAnalysis.charFingerprints(docs, "doc_id", "text")
     }
-    locally {
+    if (runCase("quantize_roundtrip")) locally {
       // quantize→dequantize→search roundtrip: the int8 path must keep
       // brute-force top-k recall ≈ 1 while shrinking storage 4x
       import graft.functions.VectorFunctions.{dequantizeInt8, quantizeInt8}
@@ -205,7 +210,7 @@ object Stress {
         col("l_extendedprice").as("score"))
       graft.operators.TopK.topKPerKey(skewed, Seq("k"), "score", "id", 5)
     }
-    locally {
+    if (runCase("pq_encode_topk")) locally {
       // PQ pipeline at 10x: encode the replicated corpus (shuffle-free
       // pass), then ADC-score 1/997 of it as queries against the codes
       val t0 = System.nanoTime()
@@ -217,7 +222,7 @@ object Stress {
       println(f"STRESS pq_encode_topk          ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         s"  (k=64 codebook, ${mult}x corpus)")
     }
-    locally {
+    if (runCase("ivfpq_trained")) locally {
       // the full billion-scale composition, TRAINED end to end: k-means
       // coarse quantizer -> PQ codes within cells -> 2-probe ADC search
       val t0 = System.nanoTime()
@@ -232,7 +237,7 @@ object Stress {
       println(f"STRESS ivfpq_trained           ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         s"  (trained k=64 cells, k=64 codebook, ${mult}x corpus)")
     }
-    locally {
+    if (runCase("ivfpq_residual")) locally {
       // residual IVFADC end to end: trained coarse cells, per-subspace-
       // trained codebook over RESIDUALS, per-cell fold tables, 2-probe
       // residual-ADC search — the FAISS-default composition at 10x
@@ -320,7 +325,7 @@ object Stress {
         docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", minBytes = 50)
     }
-    locally {
+    if (runCase("ann_index_roundtrip")) locally {
       // ANN index persistence at 10x: train the IVFADC artifacts, write
       // them (codes clustered on the search key), load, search — the
       // write+load legs are what a train-once-search-many pipeline pays
@@ -345,7 +350,7 @@ object Stress {
       println(f"STRESS ann_index_roundtrip     ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         f"  (train+encode+write $tWrite%.2f s, load+search ${(System.nanoTime() - t1) / 1e9}%.2f s, ${mult}x corpus)")
     }
-    locally {
+    if (runCase("pack_sequences_skew")) locally {
       // packSequences at 10x with power-law token lengths: one doc per
       // thousand carries 100k tokens (a book among tweets), the rest
       // follow a 1..997 spread. The per-bucket window sort is the one
@@ -398,6 +403,38 @@ object Stress {
           graft.functions.Bpe.fixtureMerges).as("token_ids"))
       graft.operators.Sampling.materializePacks(packed, ids,
         "doc_id", "n_bpe_tokens", "token_ids", seqTokens = 512L)
+    }
+    if (runCase("bpe_train_capped")) locally {
+      // BPE training at the piece-type cap (the r11 #7 demand): one
+      // UNIQUE word is appended per replicated doc, so the corpus's
+      // piece-type table (~natural types + 50k unique types at 10x)
+      // EXCEEDS maxPieceTypes=20000 and the deterministic top-K cut
+      // genuinely fires. Driver state is bounded by the cap (<= 20000
+      // (piece, count) pairs collected — the k-means-fold pattern)
+      // however large the corpus; 1000 merges must come out, and a
+      // full rerun must reproduce them exactly (aggregation order
+      // cannot leak into the merge table).
+      val t0 = System.nanoTime()
+      val noisy = docs.select(
+        concat(col("text"), lit(" uw"), col("doc_id")).as("text"))
+      val cap = 20000
+      val nTypes = noisy
+        .select(explode(graft.functions.TextFunctions.bpePieces(col("text")))
+          .as("p")).select("p").distinct().count()
+      require(nTypes > cap,
+        s"stress corpus must exceed the cap ($nTypes types vs $cap)")
+      // minPairCount=1: the capped table exhausts count>=2 pairs at
+      // ~989 merges; the stress targets the CAP and determinism, not
+      // the production stopping rule
+      val merges = TextAnalysis.bpeTrainMerges(noisy, "text",
+        numMerges = 1000, maxPieceTypes = cap, minPairCount = 1L)
+      require(merges.length == 1000,
+        s"expected 1000 merges, got ${merges.length}")
+      val rerun = TextAnalysis.bpeTrainMerges(noisy, "text",
+        numMerges = 1000, maxPieceTypes = cap, minPairCount = 1L)
+      require(merges == rerun, "bpe_train rerun must be bit-identical")
+      println(f"STRESS bpe_train_capped        ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        s"  ($nTypes piece types > cap=$cap, 1000 merges, deterministic rerun)")
     }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the

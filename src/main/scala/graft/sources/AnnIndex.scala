@@ -94,12 +94,17 @@ object AnnIndex {
     * `numFiles` bounds the parquet files each append adds (default 32):
     * left at `spark.sql.shuffle.partitions`, a year of daily batches
     * would leave tens of thousands of small files in `codes/` and every
-    * later load pays the listing/scan tax. Id disjointness is the
-    * CALLER's contract — append-after-retry with an already-committed
-    * batch duplicates those ids in search results (dedupe upstream, or
-    * anti-join `newVecs` against `load(...).codes` ids when replays are
-    * possible; not done here because it forces a full codes scan per
-    * append).
+    * later load pays the listing/scan tax.
+    *
+    * Id disjointness is the CALLER's contract by default —
+    * append-after-retry with an already-committed batch duplicates
+    * those ids in search results. `dedupeIds = true` makes the append
+    * replay-safe: the batch is LEFT ANTI joined against the persisted
+    * codes' ids before encoding, so re-running a committed append is a
+    * no-op. OFF by default because the anti-join scans the id column of
+    * every codes file per append (column-pruned — ids only, not the
+    * code payloads — but still a corpus-length pass a pipeline with
+    * exactly-once upstream bookkeeping shouldn't pay).
     */
   def append(
       spark: SparkSession,
@@ -107,16 +112,23 @@ object AnnIndex {
       newVecs: DataFrame,
       idCol: String,
       vecCol: String,
-      numFiles: Int = 32): Unit = {
+      numFiles: Int = 32,
+      dedupeIds: Boolean = false): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     val idx = load(spark, path)
+    val batch =
+      if (dedupeIds)
+        newVecs.join(
+          idx.codes.select(col("neighbor_id").as(idCol)),
+          Seq(idCol), "left_anti")
+      else newVecs
     val enc =
       if (idx.residual)
         graft.operators.Similarity.ivfPqResidualEncode(
-          newVecs, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
+          batch, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
       else
         graft.operators.Similarity.ivfPqEncode(
-          newVecs, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
+          batch, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
     enc.repartition(numFiles, col("centroid_id"))
       .sortWithinPartitions("centroid_id")
       .write.mode("append").parquet(s"$path/codes")

@@ -283,6 +283,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(appendedR === unionRes)
   }
 
+  test("AnnIndex.append dedupeIds: replaying a committed batch is a" +
+      " no-op with the flag, duplicates ids without it") {
+    import graft.sources.AnnIndex
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = Similarity.pqTrainCodebook(vecs, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1)
+    val initial = vecs.filter(col("vec_id") % 3 =!= 0)
+    val incoming = vecs.filter(col("vec_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("anndedupe").toString
+    AnnIndex.write(s"$dir/idx", centroids, cb,
+      Similarity.ivfPqEncode(initial, "vec_id", "embedding", centroids, cb,
+        m = 2), m = 2, residual = false)
+    // first append commits; the replayed append is anti-joined away
+    AnnIndex.append(spark, s"$dir/idx", incoming, "vec_id", "embedding",
+      dedupeIds = true)
+    AnnIndex.append(spark, s"$dir/idx", incoming, "vec_id", "embedding",
+      dedupeIds = true)
+    val safe = AnnIndex.load(spark, s"$dir/idx")
+    assert(safe.codes.count() === 40L)
+    assert(safe.codes.select("neighbor_id").distinct().count() === 40L)
+    // the default contract really is caller-owned: replay without the
+    // flag duplicates
+    AnnIndex.append(spark, s"$dir/idx", incoming, "vec_id", "embedding")
+    assert(AnnIndex.load(spark, s"$dir/idx").codes.count() >
+      AnnIndex.load(spark, s"$dir/idx").codes
+        .select("neighbor_id").distinct().count())
+  }
+
   test("BPE token count: merge walk, pre-tokenizer pieces, merges.txt" +
       " parsing with the byte-unicode alphabet") {
     import graft.functions.{Bpe, TextFunctions}
