@@ -762,6 +762,29 @@ object SparkEntry {
       minChars = 250, maxChars = 100000)
       .select(col("doc_id"), col("split"))
 
+  /** [[curatePipelineQ]] with the SUBSTRING stage ON (word form,
+    * span=12, the `dedup_substring` plant): every fifth doc carries the
+    * license block, so the stage genuinely rewrites — non-first planted
+    * docs lose the block before exact dedup and split assignment, and
+    * natural exact-dup docs are fully emptied BY the substring stage
+    * and dropped there (substring removal subsumes exact dedup for
+    * ≥span docs). Probe/near-dup off — their compositions are gated
+    * separately; this gate isolates rewrite → exact dedup → splits.
+    * The oracle replays the planted rewrite (the dedup_substring
+    * arithmetic), the empty-drop, normalized-hash dedup over the
+    * REWRITTEN text, and the split hash.
+    */
+  private def curateSubstringQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curate(
+      docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(SubstringBoilerplate + " "), col("text")))
+          .otherwise(col("text")).as("text")),
+      "doc_id", "text",
+      minChars = 250, maxChars = 100000,
+      substringDedup = "word", substringSpan = 12)
+      .select(col("doc_id"), col("split"))
+
   /** [[curatePipelineQ]] with the quality stage ON, and the stage
     * GENUINELY exercised: every eleventh document's text is replaced
     * with a long repeated-junk page (unique per doc so exact dedup
@@ -2295,6 +2318,53 @@ object SparkEntry {
            ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)"""
 
 
+  /** [[dkCurate]] with the substring-rewrite stage spliced between the
+    * length gate and exact dedup: the dedup_substring arithmetic (gram
+    * first-occurrence removal + single-space rebuild) over the planted
+    * corpus, empty rewrites dropped, exact-normalized hash computed on
+    * the REWRITTEN text. Probe/near-dup absent, matching the gate.
+    */
+  private val dkCurateSubstring: String =
+    s"""WITH src AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+             THEN 'this document is provided as is without warranty of any kind either expressed or implied ' || text
+             ELSE text END AS text
+         FROM documents),
+       q AS (SELECT doc_id, text FROM src
+         WHERE length(text) >= 250 AND length(text) <= 100000),
+       t AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0) AS ws
+         FROM q),
+       gi AS (SELECT doc_id, ws,
+           unnest(CASE WHEN len(ws) >= 12 THEN range(1, len(ws) - 10) ELSE [] END) AS i
+         FROM t),
+       g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS gpos,
+           md5(array_to_string(ws[i:i+11], ' ')) AS h
+         FROM gi),
+       f AS (SELECT doc_id, gpos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, gpos) AS rn,
+           count(*) OVER (PARTITION BY h) AS c
+         FROM g),
+       cov AS (SELECT DISTINCT doc_id,
+           CAST(unnest(range(gpos, gpos + 12)) AS INTEGER) AS pos
+         FROM f WHERE c >= 2 AND rn > 1),
+       w AS (SELECT doc_id,
+           CAST(generate_subscripts(ws, 1) - 1 AS INTEGER) AS pos, unnest(ws) AS w
+         FROM t),
+       k AS (SELECT w.doc_id, w.pos, w.w, cov.pos IS NULL AS keep
+         FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+       rw AS (SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '') AS text
+         FROM k GROUP BY doc_id
+         HAVING length(coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '')) > 0),
+       ex AS (SELECT min(doc_id) AS doc_id FROM rw
+         GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+       SELECT doc_id,
+         CASE WHEN h < 800000 THEN 'train'
+              WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM ex)"""
+
   /** [[dkCurate]] with the quality ratios composed into the length-gate
     * CTE (same arithmetic as [[oracleSqlQualityFlags]]).
     */
@@ -2481,6 +2551,7 @@ object SparkEntry {
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
+    "curate_substring" -> (curateSubstringQ _),
     "curate_quality"   -> (curateQualityQ _),
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
@@ -3142,6 +3213,7 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
     "decontaminate" -> dkDecontaminate,
     "curate_pipeline" -> dkCurate,
+    "curate_substring" -> dkCurateSubstring,
     "curate_quality" -> dkCurateQuality,
     "dedup_lsh_verified" ->
       s"""WITH pairs AS ($dkLshPairs),

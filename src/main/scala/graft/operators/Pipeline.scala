@@ -16,6 +16,13 @@ import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
   *     into the scan.
   *  2. optional line-level dedup ([[Dedup.dedupLines]], C4 recipe) —
   *     rewrites `textCol` to the surviving lines.
+  *  2b. optional exact substring dedup (`substringDedup = "word"` →
+  *     [[Dedup.dedupSubstrings]], `"bpe"` →
+  *     [[Dedup.dedupSubstringsBpe]]) — removes every non-first
+  *     occurrence of duplicated ≥span grams corpus-wide and rewrites
+  *     `textCol`; fully-emptied docs drop. After line dedup (lines are
+  *     cheaper), before the LSH (removed boilerplate spans stop
+  *     polluting MinHash signatures).
   *  3. exact-normalized dedup, keep smallest id ([[Dedup.exactNormalized]])
   *     — one linear partial-aggregable shuffle.
   *  4. optional near-dup dedup by MinHash-LSH *bucket ownership*: a doc
@@ -51,6 +58,10 @@ object Pipeline {
       maxSymbolRatio: Double = 0.2,
       stripBoilerplate: Boolean = false,
       dedupLines: Boolean = false,
+      substringDedup: String = "off",
+      substringSpan: Int = 0,
+      substringMerges: Seq[(String, String)] =
+        graft.functions.Bpe.fixtureMerges,
       nearDup: Boolean = false,
       shingleN: Int = 3,
       numHashes: Int = 16,
@@ -60,6 +71,8 @@ object Pipeline {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(Set("off", "word", "bpe")(substringDedup),
+      s"substringDedup must be off|word|bpe, got '$substringDedup'")
     val len = length(col(textCol))
     var d = docs.filter(len >= minChars && len <= maxChars)
     // quality gating right after the length gate: a pure per-row
@@ -78,6 +91,26 @@ object Pipeline {
     if (dedupLines)
       d = Dedup.dedupLines(d, idCol, textCol)
         .select(col(idCol), col("text_kept").as(textCol))
+    // exact substring dedup AFTER line dedup (line dedup removes whole
+    // duplicated lines cheaply; the gram pass then only pays for what
+    // survives) and BEFORE the near-dup LSH (removing boilerplate spans
+    // first stops them dominating MinHash signatures — Lee et al. 2022
+    // report exactly this ordering). "word" = whitespace grams
+    // (Dedup.dedupSubstrings), "bpe" = token-level grams under
+    // `substringMerges` (Dedup.dedupSubstringsBpe — the form that
+    // catches repeats inside unsegmented CJK/code text). Documents
+    // whose every token was removed (exact copies of an earlier doc)
+    // are dropped, not kept as empties.
+    if (substringDedup != "off") {
+      val rewritten = substringDedup match {
+        case "word" => Dedup.dedupSubstrings(d, idCol, textCol,
+          if (substringSpan > 0) substringSpan else 20)
+        case _ => Dedup.dedupSubstringsBpe(d, idCol, textCol,
+          if (substringSpan > 0) substringSpan else 50, substringMerges)
+      }
+      d = rewritten.filter(length(col("text_kept")) > 0)
+        .select(col(idCol), col("text_kept").as(textCol))
+    }
     // The rewrite stages above are expensive per-row chains, and from
     // here the frame fans out to several independent consumers (the
     // exact-dedup aggregate, its semi join back, near-dup band rows,
@@ -90,7 +123,7 @@ object Pipeline {
     // the ContextCleaner once the frame is unreachable — same lifecycle
     // decision (and same executor-loss tradeoff + `persist` escape
     // hatch) as FrameEngine.expandColJsonFrame.
-    if (stripBoilerplate || dedupLines)
+    if (stripBoilerplate || dedupLines || substringDedup != "off")
       d = docs.sparkSession.conf
         .get("graft.curate.materialize", "localCheckpoint") match {
         case "persist" =>

@@ -681,6 +681,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(word.forall(_.getLong(3) === 0L))
   }
 
+  test("Pipeline.curate substringDedup=bpe: a planted unsegmented repeat" +
+      " is cut before split assignment; an exact copy fully empties in" +
+      " the substring stage and drops") {
+    val shared = "深度学习模型的训练数据需要大规模去重处理流程排查"
+    val d1 = "前文" + shared + "后记"
+    val d = Seq(
+      (1L, d1),
+      (2L, "另外的开头" + shared + "不同的结尾"),
+      (3L, d1), // exact copy: every gram is non-first -> emptied -> drop
+      (4L, "完全不同的内容没有任何重复片段存在于此处真的")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.curate(d, "doc_id", "text",
+      minChars = 1, substringDedup = "bpe", substringSpan = 60)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === d1)
+    assert(out(2L) === "另外的开头" + "不同的结尾")
+  }
+
   test("bpeTokenRemove contracts: null ids yields ('',0,0); null starts" +
       " keeps everything; overlapping spans merge; a mid-character cut" +
       " keeps the surviving tokens' bytes verbatim (invalid UTF-8 seam)") {
