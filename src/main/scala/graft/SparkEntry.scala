@@ -1762,6 +1762,31 @@ object SparkEntry {
       "stream_quality")
   }
 
+  /** Streaming classifier scoring: a TRAINED (frozen-weights) quality
+    * model is a pure per-row expression, so scoring a stream is
+    * stateless — no state store, no watermark, micro-batch-invariant
+    * (the crawl-filter deployment shape: train offline, score the
+    * ingest stream). Weights come from the memoized batch training;
+    * the gate shares `classifier_score`'s oracle verbatim.
+    */
+  private def streamingClassifierQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = trainedClassifier(s, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val planted = s.readStream.schema(schema)
+      .parquet(s"$dir/{documents.parquet}")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" junkjunk spamspam junkjunk spamspam")))
+          .otherwise(col("text")).as("text"))
+    runStreamToTable(s,
+      graft.operators.Classifier.score(planted, "doc_id", "text", m),
+      "stream_classifier")
+  }
+
   /** Streaming exact dedup, gated on the one projection that is
     * deterministic across arrival orders: the kept distinct content-hash
     * set (WHICH duplicate row survives is first-arrival-dependent).
@@ -1986,6 +2011,18 @@ object SparkEntry {
            0.0 AS wt),
        $rounds"""
   }
+
+  /** The classifier scoring oracle — shared verbatim by
+    * `classifier_score` (batch) and `streaming_classifier` (the
+    * stateless stream twin scores the same planted corpus with the
+    * same frozen weights, so the projection is identical).
+    */
+  private def classifierScoreOracle: String =
+    s"""${classifierOracle(10, "4.0")}
+         SELECT d.doc_id, 1/(1+exp(-s.m)) AS score
+         FROM d JOIN (SELECT f.doc_id, sum(f.x * w.wt) AS m
+             FROM feat f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
+         USING (doc_id)"""
 
   /** The pack_materialize oracle body — shared verbatim by the
     * `pack_persist` roundtrip gate (persistence must reproduce exactly
@@ -2603,6 +2640,7 @@ object SparkEntry {
     "events_retention" -> (eventsRetention _),
     "streaming_sample" -> (streamingSampleQ _),
     "streaming_quality" -> (streamingQualityQ _),
+    "streaming_classifier" -> (streamingClassifierQ _),
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
@@ -3349,12 +3387,7 @@ object SparkEntry {
     "classifier_train" ->
       s"""${classifierOracle(10, "4.0")}
          SELECT bucket, wt AS weight FROM w10""",
-    "classifier_score" ->
-      s"""${classifierOracle(10, "4.0")}
-         SELECT d.doc_id, 1/(1+exp(-s.m)) AS score
-         FROM d JOIN (SELECT f.doc_id, sum(f.x * w.wt) AS m
-             FROM feat f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
-         USING (doc_id)""",
+    "classifier_score" -> classifierScoreOracle,
     "pack_persist" ->
       s"""WITH pm AS ($packMaterializeOracle)
          SELECT pm.*, CAST(512 AS BIGINT) AS seq_tokens,
@@ -3911,6 +3944,7 @@ object SparkEntry {
          FROM s GROUP BY 1, 2""",
     // stateless column exprs => the stream emits exactly the batch scores
     "streaming_quality" -> oracleSqlQualityFlags,
+    "streaming_classifier" -> classifierScoreOracle,
     "streaming_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_dedup_neardup" -> dkStreamingNearDup,
