@@ -785,6 +785,22 @@ object SparkEntry {
       substringDedup = "word", substringSpan = 12)
       .select(col("doc_id"), col("split"))
 
+  /** [[curatePipelineQ]] with the TRAINED-classifier gate ON: curate
+    * runs over the classifier plant corpus with the memoized model and
+    * `maxQualityScore = 0.094` — a threshold that measurably
+    * discriminates (drops 18 junk / 3 clean docs at sf0.01, 106 / 2 at
+    * sf0.1). The oracle replays training (10 unrolled GD rounds),
+    * scoring, the length+score gates, exact dedup, and the split hash.
+    */
+  private def curateClassifierQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curate(
+      classifierDocs(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text",
+      minChars = 250, maxChars = 100000,
+      qualityModel = Some(trainedClassifier(s, dir)),
+      maxQualityScore = 0.094)
+      .select(col("doc_id"), col("split"))
+
   /** [[curatePipelineQ]] with the quality stage ON, and the stage
     * GENUINELY exercised: every eleventh document's text is replaced
     * with a long repeated-junk page (unique per doc so exact dedup
@@ -873,6 +889,22 @@ object SparkEntry {
       lit(loaded.nBuckets.toLong).as("n_buckets"),
       lit(loaded.mergesFingerprint).as("merges_fingerprint"))
   }
+
+  /** Trained-langID gates: the profile is learned from the corpus's own
+    * `lang` labels (char-trigram doc frequencies, top-512 per language)
+    * and every document is scored against every language. The corpus's
+    * per-language texts are near-iid synthetic prose, so the scores sit
+    * close together — which is exactly why the gate emits the rounded
+    * per-(doc, lang) score MATRIX rather than an argmax (a float-tie
+    * argmax would be flaky across engines; accuracy on genuinely
+    * separable text is the spec's job, on a real multilingual fixture).
+    */
+  private def langidTrainQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdTrain(docs(s, dir), "text", "lang")
+
+  private def langidScoreQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdScore(docs(s, dir), "doc_id", "text",
+      TextAnalysis.langIdTrain(docs(s, dir), "text", "lang"))
 
   /** Classifier gates: junk tokens are appended to every eleventh
     * document and those documents labeled 1 — a deterministic
@@ -2012,6 +2044,25 @@ object SparkEntry {
        $rounds"""
   }
 
+  /** Shared CTE prefix for the langid gates: lowercased corpus, distinct
+    * char-trigram shingles (the [[graft.functions.CharShinglesExpr]]
+    * replay — short texts collapse to one whole-text shingle), per-lang
+    * doc-frequency counts, deterministic top-512-per-lang cap `m`.
+    */
+  private def langidModelCtes: String =
+    s"""WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       lg AS (SELECT lang, CASE WHEN length(t) >= 3
+           THEN list_distinct([substr(t, CAST(i AS INTEGER), 3)
+             for i in range(1, length(t) - 1)])
+           ELSE [t] END AS sh FROM lt),
+       le AS (SELECT lang, unnest(sh) AS gram FROM lg),
+       lc AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+         FROM le GROUP BY 1, 2),
+       lr AS (SELECT lang, gram, cnt,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY cnt DESC, gram ASC) AS rk FROM lc),
+       m AS (SELECT lang, gram, cnt FROM lr WHERE rk <= 512)"""
+
   /** The classifier scoring oracle — shared verbatim by
     * `classifier_score` (batch) and `streaming_classifier` (the
     * stateless stream twin scores the same planted corpus with the
@@ -2585,10 +2636,13 @@ object SparkEntry {
     "pack_persist"     -> (packPersistQ _),
     "classifier_train" -> (classifierTrainQ _),
     "classifier_score" -> (classifierScoreQ _),
+    "langid_train"     -> (langidTrainQ _),
+    "langid_score"     -> (langidScoreQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
     "curate_substring" -> (curateSubstringQ _),
+    "curate_classifier" -> (curateClassifierQ _),
     "curate_quality"   -> (curateQualityQ _),
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
@@ -3252,6 +3306,22 @@ object SparkEntry {
     "decontaminate" -> dkDecontaminate,
     "curate_pipeline" -> dkCurate,
     "curate_substring" -> dkCurateSubstring,
+    "curate_classifier" ->
+      s"""${classifierOracle(10, "4.0")},
+         sc AS (SELECT d.doc_id, 1/(1+exp(-s.m)) AS score
+           FROM d JOIN (SELECT f.doc_id, sum(f.x * w.wt) AS m
+               FROM feat f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
+           USING (doc_id)),
+         cq AS (SELECT src.doc_id, src.text FROM src JOIN sc USING (doc_id)
+           WHERE length(src.text) >= 250 AND length(src.text) <= 100000
+             AND sc.score <= 0.094),
+         cex AS (SELECT min(doc_id) AS doc_id FROM cq
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+         SELECT doc_id,
+           CASE WHEN h < 800000 THEN 'train'
+                WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM cex)""",
     "curate_quality" -> dkCurateQuality,
     "dedup_lsh_verified" ->
       s"""WITH pairs AS ($dkLshPairs),
@@ -3387,6 +3457,28 @@ object SparkEntry {
     "classifier_train" ->
       s"""${classifierOracle(10, "4.0")}
          SELECT bucket, wt AS weight FROM w10""",
+    "langid_train" ->
+      s"""$langidModelCtes
+         SELECT lang, gram, cnt FROM m""",
+    "langid_score" ->
+      s"""$langidModelCtes,
+         tot AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tot
+           FROM m GROUP BY 1),
+         vv AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM m),
+         dg AS (SELECT doc_id, CASE WHEN length(t) >= 3
+             THEN list_distinct([substr(t, CAST(i AS INTEGER), 3)
+               for i in range(1, length(t) - 1)])
+             ELSE [t] END AS sh FROM lt),
+         de AS (SELECT doc_id, unnest(sh) AS gram FROM dg),
+         nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM de GROUP BY 1),
+         hit AS (SELECT de.doc_id, m.lang, sum(ln(m.cnt + 1)) AS h
+           FROM de JOIN m USING (gram) GROUP BY 1, 2)
+         SELECT nd.doc_id, tot.lang,
+           round(COALESCE(hit.h, 0)
+             - n * ln(tot.tot + (SELECT v FROM vv)), 6) AS score
+         FROM nd JOIN tot ON TRUE
+         LEFT JOIN hit ON hit.doc_id = nd.doc_id AND hit.lang = tot.lang""",
     "classifier_score" -> classifierScoreOracle,
     "pack_persist" ->
       s"""WITH pm AS ($packMaterializeOracle)

@@ -14,6 +14,10 @@ import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
   *     cutting empty/boilerplate docs before ANY shuffle is the largest
   *     single cost lever, and a pure `length(text)` predicate pipelines
   *     into the scan.
+  *  1b. optional model-based quality gate (`qualityModel` — a trained
+  *     [[Classifier.Model]]; docs scoring above `maxQualityScore`
+  *     drop). Like the heuristic gate, a pure per-row expression that
+  *     pipelines into the scan.
   *  2. optional line-level dedup ([[Dedup.dedupLines]], C4 recipe) —
   *     rewrites `textCol` to the surviving lines.
   *  2b. optional exact substring dedup (`substringDedup = "word"` →
@@ -56,6 +60,8 @@ object Pipeline {
       qualityFilter: Boolean = false,
       maxRepetition: Double = 0.3,
       maxSymbolRatio: Double = 0.2,
+      qualityModel: Option[Classifier.Model] = None,
+      maxQualityScore: Double = 1.0,
       stripBoilerplate: Boolean = false,
       dedupLines: Boolean = false,
       substringDedup: String = "off",
@@ -82,6 +88,18 @@ object Pipeline {
     if (qualityFilter) {
       val (rep, sym) = TextAnalysis.qualityRatios(col(textCol))
       d = d.filter(rep <= maxRepetition && sym <= maxSymbolRatio)
+    }
+    // model-based quality gating (the DCLM/fastText filter deployment):
+    // a TRAINED [[Classifier.Model]]'s score is a pure per-row
+    // expression, so like the heuristic gate above it pipelines into
+    // the scan — docs scoring above `maxQualityScore` (model convention:
+    // higher = junkier) never reach a shuffle
+    qualityModel.foreach { m =>
+      import org.apache.spark.sql.GraftColumnCompat._
+      val ws = filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0)
+      d = d.filter(toColumn(graft.functions.HashedBagScoreExpr(
+        toExpression(ws), m.weights.toSeq, m.buckets)) <= maxQualityScore)
     }
     // boilerplate stripping before the dedups: junk lines would otherwise
     // pollute content hashes and MinHash shingles

@@ -74,6 +74,87 @@ object TextAnalysis {
         .otherwise(lit("fr")))
   }
 
+  /** TRAINED language-ID, profile half — the TextCat/naive-Bayes recipe
+    * (Cavnar & Trenkle 1994's char-n-gram profiles with NB scoring, the
+    * shape fastText's langid simplifies): per-language DOCUMENT
+    * frequencies of distinct char trigrams over a LABELED corpus,
+    * capped to the `topK` most frequent grams per language
+    * (deterministic `(cnt DESC, gram ASC)` order). Complements the
+    * fixed-stopword heuristic [[langId]] with a model learned from the
+    * pipeline's own labeled slice.
+    *
+    * Scale shape: one native shingle pass + ONE partial-aggregable
+    * `groupBy(lang, gram).count` (hot boilerplate grams combine
+    * map-side); the cap window runs over gram TYPE rows — bounded by
+    * charset³ per language, never corpus-sized — so its per-language
+    * partitions cannot be hot. Output `(lang, gram, cnt)`,
+    * ≤ topK·|langs| rows: broadcastable by construction.
+    */
+  def langIdTrain(
+      docs: DataFrame,
+      textCol: String,
+      langCol: String,
+      topK: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "topK must be positive")
+    val counts = docs.select(col(langCol).as("lang"),
+        explode(charShingles(lower(col(textCol)), 3)).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col("lang"), col("gram"), col("cnt"))
+  }
+
+  /** TRAINED language-ID, scoring half: per-(doc, language) smoothed NB
+    * log-likelihood of the document's distinct trigram set under a
+    * [[langIdTrain]] profile — `Σ_{g∈doc∩profile} ln(cnt+1) −
+    * |doc grams| · ln(tot_lang + V)` (add-one smoothing over the
+    * profile vocabulary V; grams outside the profile contribute only
+    * the denominator term). Emitted per candidate language, rounded to
+    * 6 decimals — `argmax` is one `max_by` away, left to the caller so
+    * float-tie behavior stays in their hands.
+    *
+    * Scale shape: the model is ≤ topK·|langs| rows → BROADCAST to the
+    * gram join; per-doc gram counts and per-(doc, lang) hit sums are
+    * partial-aggregable; the language fan-out is an `explode` of a
+    * |langs|-element literal array (|langs| is a handful — this is the
+    * standard small-dimension fan-out, not a cross join). The gram
+    * table is materialized once for its two consumers.
+    */
+  def langIdScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame): DataFrame = {
+    val m = model.localCheckpoint()
+    // bounded driver folds: per-lang totals + profile vocabulary size
+    // (≤ topK·|langs| rows by langIdTrain's cap)
+    val stats = m.groupBy(col("lang")).agg(sum(col("cnt")).as("__tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(stats.nonEmpty, "empty language model")
+    val v = m.select(countDistinct(col("gram"))).collect()(0).getLong(0)
+    val langDens = explode(array(stats.sortBy(_._1).map { case (l, tot) =>
+      struct(lit(l).as("lang"),
+        lit(math.log(tot.toDouble + v)).as("__den")) }: _*))
+    val grams = docs.select(col(idCol),
+        explode(charShingles(lower(col(textCol)), 3)).as("gram"))
+      .localCheckpoint()
+    val nd = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__nd"))
+    val hits = grams.join(broadcast(m), Seq("gram"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(log(col("cnt").cast("double") + 1.0)).as("__hit"))
+    nd.select(col(idCol), col("__nd"), langDens.as("__l"))
+      .select(col(idCol), col("__nd"),
+        col("__l.lang").as("lang"), col("__l.__den").as("__den"))
+      .join(hits, Seq(idCol, "lang"), "left")
+      .select(col(idCol), col("lang"),
+        round(coalesce(col("__hit"), lit(0.0))
+          - col("__nd").cast("double") * col("__den"), 6).as("score"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other symbols), plus a
     * chars-per-token ratio — the usual cheap proxy for tokenizer cost.

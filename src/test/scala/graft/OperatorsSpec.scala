@@ -578,6 +578,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(6L) === (("tiny doc", 2L, 0L)))
   }
 
+  test("langIdTrain/langIdScore: NB trigram profiles classify held-out" +
+      " docs of genuinely distinct scripts with full accuracy") {
+    import graft.operators.TextAnalysis
+    val en = (0 until 20).map(i =>
+      (s"the quick brown fox jumps over the lazy dog number $i and runs on", "en"))
+    val zh = (0 until 20).map(i =>
+      (s"机器学习模型需要大量高质量的训练数据来提升下游任务效果第${i}批次", "zh"))
+    val es = (0 until 20).map(i =>
+      (s"el rápido zorro marrón salta sobre el perro perezoso número $i según año", "es"))
+    val all = (en ++ zh ++ es).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+    val train = all.filter(_._1 % 2 == 0).toDF("doc_id", "text", "lang")
+    val heldOut = all.filter(_._1 % 2 == 1).toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.langIdTrain(train, "text", "lang", topK = 256)
+    val pred = TextAnalysis.langIdScore(heldOut, "doc_id", "text", model)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("lang"), col("score")).as("pred"))
+    val correct = pred.join(heldOut, Seq("doc_id"))
+      .filter(col("pred") === col("lang")).count()
+    assert(correct === heldOut.count())
+  }
+
   test("Classifier: full-batch GD fully separates planted junk from" +
       " clean docs, retraining is deterministic, and a token-less doc" +
       " scores sigmoid(bias)") {
