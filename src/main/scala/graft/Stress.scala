@@ -436,6 +436,62 @@ object Stress {
       println(f"STRESS bpe_train_capped        ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         s"  ($nTypes piece types > cap=$cap, 1000 merges, deterministic rerun)")
     }
+    if (runCase("classifier_train_10x")) locally {
+      // full-batch GD at 10x: per-round cost is two linear partial-
+      // aggregable shuffles over the hashed-feature table (one row per
+      // (doc, occupied bucket), <= 65 per doc) and a 65-row driver
+      // collect — round count, not corpus size, is the only multiplier
+      val t0 = System.nanoTime()
+      val labeled = docs.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" junkjunk spamspam junkjunk spamspam")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 11 === 0, lit(1.0)).otherwise(lit(0.0))
+          .as("label"))
+      val m = graft.operators.Classifier.train(labeled, "doc_id", "text",
+        "label", buckets = 64, rounds = 10, lr = 4.0)
+      val t1 = System.nanoTime()
+      graft.operators.Classifier.score(labeled, "doc_id", "text", m)
+        .write.format("noop").mode("overwrite").save()
+      println(f"STRESS classifier_train_10x    ${(t1 - t0) / 1e9}%8.2f s" +
+        f"  (10 GD rounds, 50k docs; native-expr scoring pass +${(System.nanoTime() - t1) / 1e9}%.2f s)")
+    }
+    if (runCase("dedup_substring_bpe_10x")) locally {
+      // token-level substring dedup at 10x: the gram table is one row
+      // per TOKEN (~300 per doc here) — both shuffles stay linear in it
+      // and the replicated plant means every fifth doc genuinely
+      // rewrites; candidate handling is aggregate-only, so the 10-way
+      // replication of every gram CANNOT go quadratic
+      val t0 = System.nanoTime()
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("licensetermsapplytoallcopiesofthisdocumentnowarrantyisexpressedorimplied"),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupSubstringsBpe(planted, "doc_id", "text", spanTokens = 40)
+        .write.format("noop").mode("overwrite").save()
+      println(f"STRESS dedup_substring_bpe_10x ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        s"  (token-gram table ~15M rows, plant on every fifth doc)")
+    }
+    if (runCase("langid_10x")) locally {
+      // trained langID at 10x: training is one partial-aggregable
+      // (lang, gram) count (the cap window runs over TYPE rows);
+      // scoring broadcasts the <=2560-row model and fans out |langs|
+      // literal rows per doc
+      val t0 = System.nanoTime()
+      // localCheckpoint + count force the training aggregate NOW (the
+      // returned frame is otherwise lazy and training would be billed
+      // to the scoring pass)
+      val model = TextAnalysis.langIdTrain(docs, "text", "lang")
+        .localCheckpoint()
+      val nModel = model.count()
+      val t1 = System.nanoTime()
+      TextAnalysis.langIdScore(docs, "doc_id", "text", model)
+        .write.format("noop").mode("overwrite").save()
+      println(f"STRESS langid_10x              ${(t1 - t0) / 1e9}%8.2f s" +
+        f"  (train, $nModel profile rows; broadcast scoring pass" +
+        f" +${(System.nanoTime() - t1) / 1e9}%.2f s over 50k docs)")
+    }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
       // case AQE skew-split or explicit salting must break up
