@@ -737,6 +737,27 @@ object SparkEntry {
       .select("doc_id", "lang")
   }
 
+  /** EXACT-n-gram decontamination gate (the GPT-3 13-gram recipe): the
+    * probe is every 13th doc with a fixed 13-word eval snippet
+    * appended; the same snippet is planted into every 9th train doc.
+    * Contamination therefore arises BOTH ways the recipe must catch —
+    * full-text overlap (the probe docs' own ~50-word bodies) and a
+    * SINGLE shared 13-gram (the planted snippet) — while everything
+    * else survives. The oracle replays normalization, gram hashing,
+    * and the distinct-key semi join.
+    */
+  private def decontaminateExactQ(s: SparkSession, dir: String): DataFrame = {
+    val snip = "held out evaluation question about the seventeen" +
+      " silver llamas crossing frozen rivers quietly"
+    val train = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + snip)))
+        .otherwise(col("text")).as("text"))
+    val probe = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      .select(concat(col("text"), lit(" " + snip)).as("text"))
+    Dedup.decontaminateExact(train, probe, "doc_id", "text", n = 13)
+      .select(col("doc_id"))
+  }
+
   /** Domain mixing to a 10k-token budget: src0/src1 get explicit
     * weights, the other 18 sources split the remaining 0.2 evenly; the
     * two weighted domains exercise fractional sampling, the cap path is
@@ -2618,6 +2639,7 @@ object SparkEntry {
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "decontaminate"    -> (decontaminateQ _),
+    "decontaminate_exact" -> (decontaminateExactQ _),
     "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
@@ -3304,6 +3326,22 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
     "decontaminate" -> dkDecontaminate,
+    "decontaminate_exact" ->
+      """WITH tr AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0
+             THEN text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly'
+             ELSE text END AS text
+         FROM documents),
+       pr AS (SELECT text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly' AS text
+         FROM documents WHERE doc_id % 13 = 0),
+       pt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws FROM pr),
+       pg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS h
+         FROM (SELECT ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM pt)),
+       tt AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws FROM tr),
+       tg AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS h
+         FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM tt)),
+       bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h))
+       SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
     "curate_pipeline" -> dkCurate,
     "curate_substring" -> dkCurateSubstring,
     "curate_classifier" ->

@@ -564,6 +564,46 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** EXACT n-gram decontamination — the published GPT-3/Pile recipe
+    * (Brown et al. 2020 App. C; Gao et al. 2020): a training document
+    * is dropped if it shares at least ONE exact word `n`-gram (default
+    * 13, the GPT-3 choice) with the eval probe, after
+    * lowercase/whitespace normalization. Complements the MinHash-band
+    * [[decontaminate]]: bands catch NEAR-dup contamination
+    * probabilistically; this catches verbatim quoted spans with exact
+    * semantics and zero false negatives above the span length.
+    *
+    * Scale shape: both sides collapse to DISTINCT 16-byte gram keys
+    * ([[graft.functions.WordGramHash128Expr]] — dropping happens on key
+    * equality, so collision-safety matters exactly as in substring
+    * dedup); the probe side (eval sets — tiny by definition) broadcasts
+    * into a semi join against the corpus gram stream, so the corpus
+    * never shuffles on the broadcast path. `broadcastProbe = false`
+    * falls back to a shuffled semi join keyed on the gram — linear,
+    * skew-bounded by gram-key cardinality — for probes too large to
+    * broadcast. Documents shorter than `n` words produce no grams and
+    * are never dropped, as published.
+    */
+  def decontaminateExact(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      broadcastProbe: Boolean = true): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    def grams(df: DataFrame, cols: Column*) =
+      df.select(cols :+ explode(wordGramHash128(
+        filter(split(trim(lower(col(textCol))), "\\s+"),
+          w => length(w) > 0), n)).as("__h"): _*)
+    val probeGrams = grams(probe).select(col("__h")).distinct()
+    val contaminated = grams(corpus, col(idCol))
+      .join(if (broadcastProbe) broadcast(probeGrams) else probeGrams,
+        Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Exact-dup corpus dedup: keep the minimum id per content hash. */
   def dropDuplicatesExact(
       docs: DataFrame,

@@ -578,6 +578,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(6L) === (("tiny doc", 2L, 0L)))
   }
 
+  test("decontaminateExact: one shared 13-gram drops a doc, a 12-word" +
+      " overlap survives, and sub-n docs are never dropped") {
+    val snip13 = "one two three four five six seven eight nine ten" +
+      " eleven twelve thirteen"
+    val snip12 = snip13.split(" ").take(12).mkString(" ")
+    val train = Seq(
+      (1L, s"intro words here $snip13 closing remark"),
+      (2L, s"intro words here $snip12 different tail words"),
+      (3L, "totally unrelated content that matches nothing in the" +
+        " probe set at all"),
+      (4L, snip12) // 12 words: below n, no grams, never dropped
+    ).toDF("doc_id", "text")
+    val probe = Seq(Tuple1(s"question stem $snip13 answer options"))
+      .toDF("text")
+    val kept = Dedup.decontaminateExact(train, probe, "doc_id", "text",
+      n = 13).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L))
+    // shuffled-probe path computes the identical survivor set
+    val keptShuffled = Dedup.decontaminateExact(train, probe, "doc_id",
+      "text", n = 13, broadcastProbe = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptShuffled === kept)
+  }
+
   test("langIdTrain/langIdScore: NB trigram profiles classify held-out" +
       " docs of genuinely distinct scripts with full accuracy") {
     import graft.operators.TextAnalysis
