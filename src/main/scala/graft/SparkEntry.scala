@@ -806,6 +806,19 @@ object SparkEntry {
       substringDedup = "word", substringSpan = 12)
       .select(col("doc_id"), col("split"))
 
+  /** [[curatePipelineQ]] with the decontamination stage switched to the
+    * EXACT 13-gram recipe: survivors of the length gate + exact dedup
+    * are scrubbed against the %13 probe slice on verbatim 13-gram
+    * overlap (probe docs in-corpus drop via their own full bodies).
+    */
+  private def curateDeconExactQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curate(
+      docs(s, dir), "doc_id", "text",
+      probe = Some(docs(s, dir).filter(col("doc_id") % 13 === 0)),
+      minChars = 250, maxChars = 100000,
+      decontaminateExactNgrams = 13)
+      .select(col("doc_id"), col("split"))
+
   /** [[curatePipelineQ]] with the TRAINED-classifier gate ON: curate
     * runs over the classifier plant corpus with the memoized model and
     * `maxQualityScore = 0.094` — a threshold that measurably
@@ -2665,6 +2678,7 @@ object SparkEntry {
     "curate_pipeline"  -> (curatePipelineQ _),
     "curate_substring" -> (curateSubstringQ _),
     "curate_classifier" -> (curateClassifierQ _),
+    "curate_decon_exact" -> (curateDeconExactQ _),
     "curate_quality"   -> (curateQualityQ _),
     "knn_brute"        -> (knnBrute _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
@@ -3344,6 +3358,32 @@ object SparkEntry {
        SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
     "curate_pipeline" -> dkCurate,
     "curate_substring" -> dkCurateSubstring,
+    "curate_decon_exact" ->
+      s"""WITH q AS (SELECT doc_id, text FROM documents
+           WHERE length(text) >= 250 AND length(text) <= 100000),
+         ex AS (SELECT min(doc_id) AS doc_id FROM q
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+         sv AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+         pt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             w -> len(w) > 0) AS ws
+           FROM documents WHERE doc_id % 13 = 0),
+         pg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS h
+           FROM (SELECT ws, unnest(CASE WHEN len(ws) >= 13
+               THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM pt)),
+         tt AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               w -> len(w) > 0) AS ws FROM sv),
+         tg AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS h
+           FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13
+               THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM tt)),
+         bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h)),
+         fin AS (SELECT doc_id FROM sv
+           WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+         SELECT doc_id,
+           CASE WHEN h < 800000 THEN 'train'
+                WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)""",
     "curate_classifier" ->
       s"""${classifierOracle(10, "4.0")},
          sc AS (SELECT d.doc_id, 1/(1+exp(-s.m)) AS score

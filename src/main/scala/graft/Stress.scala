@@ -492,6 +492,15 @@ object Stress {
         f"  (train, $nModel profile rows; broadcast scoring pass" +
         f" +${(System.nanoTime() - t1) / 1e9}%.2f s over 50k docs)")
     }
+    time("decontaminate_exact_10x") {
+      // exact 13-gram decontamination at 10x: the probe (every 97th
+      // doc, ~500 rows) collapses to distinct gram keys and BROADCASTS
+      // — the corpus side is a pure gram-stream semi join, no corpus
+      // shuffle; replication multiplies corpus grams 10x but the probe
+      // stays eval-sized, which is the recipe's defining asymmetry
+      Dedup.decontaminateExact(docs,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+    }
     time("salted_join_hotkey") {
       // power-law key: ~1/8 of the fact rows collapse onto one key — the
       // case AQE skew-split or explicit salting must break up

@@ -74,6 +74,7 @@ object Pipeline {
       bands: Int = 8,
       decontaminateBroadcastProbe: Boolean = true,
       decontaminateMaxBucketSize: Int = 0,
+      decontaminateExactNgrams: Int = 0,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -165,9 +166,18 @@ object Pipeline {
       d = d.join(losers, Seq(idCol), "left_anti")
     }
     probe.foreach { p =>
-      d = Dedup.decontaminate(d, p, idCol, textCol, shingleN, numHashes,
-        bands, broadcastProbe = decontaminateBroadcastProbe,
-        maxBucketSize = decontaminateMaxBucketSize)
+      // decontaminateExactNgrams > 0 selects the EXACT n-gram recipe
+      // (GPT-3/Pile — drop on one shared verbatim n-gram) instead of
+      // the MinHash-band near-overlap form; both broadcast the probe
+      d =
+        if (decontaminateExactNgrams > 0)
+          Dedup.decontaminateExact(d, p, idCol, textCol,
+            n = decontaminateExactNgrams,
+            broadcastProbe = decontaminateBroadcastProbe)
+        else Dedup.decontaminate(d, p, idCol, textCol, shingleN,
+          numHashes, bands,
+          broadcastProbe = decontaminateBroadcastProbe,
+          maxBucketSize = decontaminateMaxBucketSize)
     }
     Sampling.assignSplit(d, idCol, splits)
   }
