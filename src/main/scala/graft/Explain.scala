@@ -11,14 +11,16 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    // SPARK_GRAFT_EXPLAIN_EXEC=1: run the query (noop sink) first, then
-    // print the EXECUTED plan — shows AQE's final shape (coalesced /
-    // skew-split exchanges), which the static formatted plan cannot
+    // SPARK_GRAFT_EXPLAIN_EXEC=1: execute THIS DataFrame's own
+    // QueryExecution (toRdd — a .write would plan a fresh one and the
+    // printed plan would stay pre-execution), then print it — shows
+    // AQE's FINAL shape (isFinalPlan=true: coalesced / skew-split /
+    // broadcast-converted exchanges), which the static plan cannot
     for (name <- args) {
       println(s"########## $name")
       val df = SparkEntry.queries(name)(spark, dir)
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN_EXEC")) {
-        df.write.format("noop").mode("overwrite").save()
+        df.queryExecution.toRdd.foreachPartition(_ => ())
         println(df.queryExecution.executedPlan.toString)
       } else {
         println(df.queryExecution.explainString(

@@ -16,20 +16,13 @@ import graft.streaming.Events
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts normalizes to BIGINT nanoseconds whatever the lake's
-    // physical timestamp encoding (TIMESTAMP(NANOS)+nanosAsLong, or
-    // native µs TIMESTAMP/_NTZ — the r13 testdata switched to the
-    // latter): Tables.normalizeEventTs. The conf-set fallback covers
-    // ad-hoc sessions reading NANOS data — a session-conf mutation
-    // inside a read helper, acceptable for the driver harness, NOT a
-    // pattern for library code.
-    if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      graft.sources.Tables.normalizeEventTs(
-        s.read.parquet(s"$dir/$name.parquet"))
-    } else s.read.parquet(s"$dir/$name.parquet")
-  }
+  /** One read path for everything: [[graft.sources.Tables.read]] owns
+    * the events-ts normalization (nanosAsLong conf + whatever-encoding
+    * → BIGINT nanos), so the next driver-side encoding change lands in
+    * exactly one place.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.read(s, dir, name)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full toLong explosion of the embeddings table.
@@ -936,22 +929,34 @@ object SparkEntry {
   private def langidTrainQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langIdTrain(docs(s, dir), "text", "lang")
 
+  /** Memoized per sfDir like [[trainedClassifier]] (training is
+    * deterministic): the score gate then measures SCORING, not a
+    * redundant retrain per bench rep — `langid_train` is the row that
+    * measures training.
+    */
+  private val langidModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def langidScoreQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langIdScore(docs(s, dir), "doc_id", "text",
-      TextAnalysis.langIdTrain(docs(s, dir), "text", "lang"))
+      langidModelCache.computeIfAbsent(dir, d =>
+        TextAnalysis.langIdTrain(docs(s, d), "text", "lang")
+          .localCheckpoint()))
 
   /** Classifier gates: junk tokens are appended to every eleventh
     * document and those documents labeled 1 — a deterministic
-    * separable corpus at any SF, so 3 GD rounds provably move the junk
-    * buckets' weights. The oracle replays feature hashing
-    * (`md5`-prefix bucket ids), the L1-normalized bag, and the SAME 3
-    * unrolled full-batch rounds arithmetically.
+    * separable corpus at any SF. The oracle replays feature hashing
+    * (`md5`-prefix bucket ids), the L1-normalized bag, and the SAME 10
+    * unrolled full-batch rounds at lr=4 arithmetically.
     */
+  private def plantJunk(id: Column, text: Column): Column =
+    when(id % 11 === 0,
+      concat(text, lit(" junkjunk spamspam junkjunk spamspam")))
+      .otherwise(text)
+
   private def classifierDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 11 === 0,
-        concat(col("text"), lit(" junkjunk spamspam junkjunk spamspam")))
-        .otherwise(col("text")).as("text"),
+      plantJunk(col("doc_id"), col("text")).as("text"),
       when(col("doc_id") % 11 === 0, lit(1.0)).otherwise(lit(0.0))
         .as("label"))
 
@@ -1673,18 +1678,23 @@ object SparkEntry {
     * — ingest-time media triage needs no second implementation (the
     * same argument as streaming_quality).
     */
-  private def streamingMultimodalQ(s: SparkSession, dir: String): DataFrame = {
+  /** The documents table as a stream — the ONE definition of its
+    * source schema (streams require an explicit schema; four gates
+    * previously each carried an identical copy).
+    */
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    runStreamToTable(s,
-      Multimodal.describe(describePayloads(
-        s.readStream.schema(schema).parquet(s"$dir/{documents.parquet}")),
-        "doc_id"),
-      "stream_multimodal")
+    s.readStream.schema(schema).parquet(s"$dir/{documents.parquet}")
   }
+
+  private def streamingMultimodalQ(s: SparkSession, dir: String): DataFrame =
+    runStreamToTable(s,
+      Multimodal.describe(describePayloads(docStream(s, dir)), "doc_id"),
+      "stream_multimodal")
 
   /** Constructed 9×8 24bpp BMP payload (hex) for the dHash gates:
     * family members (m 0..3) share a multiplicative gray pattern with a
@@ -1796,37 +1806,22 @@ object SparkEntry {
     * micro-batching — the property that lets one quota config govern
     * both the backfill and the live ingest path.
     */
-  private def streamingSampleQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+  private def streamingSampleQ(s: SparkSession, dir: String): DataFrame =
     runStreamToTable(s,
-      graft.operators.Sampling.stratifiedHashSample(
-        s.readStream.schema(schema).parquet(s"$dir/{documents.parquet}"),
+      graft.operators.Sampling.stratifiedHashSample(docStream(s, dir),
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25),
         defaultFraction = 0.1),
       "stream_sample").select(col("doc_id"), col("lang"))
-  }
 
   /** Streaming quality filtering, gated against the batch oracle: the
     * whole per-row TextAnalysis family is pure column expressions, so
     * applied to a stream unchanged it emits exactly the batch scores —
     * ingest-time quality gating needs no second implementation.
     */
-  private def streamingQualityQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
+  private def streamingQualityQ(s: SparkSession, dir: String): DataFrame =
     runStreamToTable(s,
-      TextAnalysis.qualityFlags(
-        s.readStream.schema(schema).parquet(s"$dir/{documents.parquet}"),
-        "doc_id", "text"),
+      TextAnalysis.qualityFlags(docStream(s, dir), "doc_id", "text"),
       "stream_quality")
-  }
 
   /** Streaming classifier scoring: a TRAINED (frozen-weights) quality
     * model is a pure per-row expression, so scoring a stream is
@@ -1836,18 +1831,9 @@ object SparkEntry {
     * the gate shares `classifier_score`'s oracle verbatim.
     */
   private def streamingClassifierQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     val m = trainedClassifier(s, dir)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val planted = s.readStream.schema(schema)
-      .parquet(s"$dir/{documents.parquet}")
-      .select(col("doc_id"),
-        when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" junkjunk spamspam junkjunk spamspam")))
-          .otherwise(col("text")).as("text"))
+    val planted = docStream(s, dir)
+      .select(col("doc_id"), plantJunk(col("doc_id"), col("text")).as("text"))
     runStreamToTable(s,
       graft.operators.Classifier.score(planted, "doc_id", "text", m),
       "stream_classifier")

@@ -117,22 +117,28 @@ object Classifier {
     Model(w, buckets)
   }
 
-  /** Score documents with a trained model: `(idCol, score)` where
-    * score = sigmoid(w·x) — one native-expression map over the scan
-    * ([[graft.functions.HashedBagScoreExpr]]), no feature
-    * materialization, no shuffle.
+  /** The model's score as a COLUMN over a text column — sigmoid(w·x)
+    * in one native-expression map ([[graft.functions
+    * .HashedBagScoreExpr]]), no feature materialization, no shuffle.
+    * The single definition of scoring-side tokenization: [[score]] and
+    * [[Pipeline.curate]]'s quality-model gate both use it, so the
+    * feature space can never silently diverge from what [[train]]
+    * learned on.
     */
+  def scoreColumn(textCol: org.apache.spark.sql.Column,
+      model: Model): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    val wordsCol = filter(split(trim(lower(textCol)), "\\s+"),
+      w => length(w) > 0)
+    toColumn(graft.functions.HashedBagScoreExpr(
+      toExpression(wordsCol), model.weights.toSeq, model.buckets))
+  }
+
+  /** Score documents with a trained model: `(idCol, score)`. */
   def score(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      model: Model): DataFrame = {
-    import org.apache.spark.sql.GraftColumnCompat._
-    val wordsCol = filter(split(trim(lower(col(textCol))), "\\s+"),
-      w => length(w) > 0)
-    docs.select(col(idCol),
-      toColumn(graft.functions.HashedBagScoreExpr(
-        toExpression(wordsCol), model.weights.toSeq, model.buckets))
-        .as("score"))
-  }
+      model: Model): DataFrame =
+    docs.select(col(idCol), scoreColumn(col(textCol), model).as("score"))
 }

@@ -96,11 +96,8 @@ object Pipeline {
     // the scan — docs scoring above `maxQualityScore` (model convention:
     // higher = junkier) never reach a shuffle
     qualityModel.foreach { m =>
-      import org.apache.spark.sql.GraftColumnCompat._
-      val ws = filter(split(trim(lower(col(textCol))), "\\s+"),
-        w => length(w) > 0)
-      d = d.filter(toColumn(graft.functions.HashedBagScoreExpr(
-        toExpression(ws), m.weights.toSeq, m.buckets)) <= maxQualityScore)
+      d = d.filter(
+        Classifier.scoreColumn(col(textCol), m) <= maxQualityScore)
     }
     // boilerplate stripping before the dedups: junk lines would otherwise
     // pollute content hashes and MinHash shingles

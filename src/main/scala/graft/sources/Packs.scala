@@ -62,9 +62,6 @@ object Packs {
     require(numFiles > 0, "numFiles must be positive")
     val spark = packs.sparkSession
     import spark.implicits._
-    Seq((seqTokens, nBuckets, mergesFingerprint))
-      .toDF("seq_tokens", "n_buckets", "merges_fingerprint")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val shards = math.max(1, numFiles / nBuckets)
     packs
       .withColumn("__shard", pmod(col("pack_id"), lit(shards.toLong)))
@@ -77,6 +74,13 @@ object Packs {
       .write.mode("overwrite")
       .partitionBy("pack_bucket")
       .parquet(s"$path/packs")
+    // meta is written LAST, as the commit marker: a failure mid-write
+    // leaves either the OLD meta describing the old packs, or no meta
+    // — never a NEW fingerprint paired with partial/stale token ids
+    // (the silent vocabulary mismatch the fingerprint exists to catch)
+    Seq((seqTokens, nBuckets, mergesFingerprint))
+      .toDF("seq_tokens", "n_buckets", "merges_fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Load a pack set written by [[writePacks]]. `pack_bucket` comes
