@@ -492,6 +492,20 @@ object Stress {
         f"  (train, $nModel profile rows; broadcast scoring pass" +
         f" +${(System.nanoTime() - t1) / 1e9}%.2f s over 50k docs)")
     }
+    time("curate_full_r13") {
+      // the COMPLETE curation composition with every round-13 stage on:
+      // length gate -> heuristic quality -> boilerplate strip -> line
+      // dedup -> word-substring dedup -> exact-normalized dedup -> LSH
+      // near-dup ownership -> EXACT 13-gram decontamination -> splits.
+      // Replication makes every doc a 10-way family for every dedup
+      // stage at once — the composed worst case; every stage is
+      // aggregate/ownership-shaped, so nothing can go quadratic
+      graft.operators.Pipeline.curate(docs, "doc_id", "text",
+        probe = Some(docs.filter(col("doc_id") % 97 === 0)),
+        minChars = 50, qualityFilter = true, stripBoilerplate = true,
+        dedupLines = true, substringDedup = "word", nearDup = true,
+        decontaminateExactNgrams = 13)
+    }
     time("decontaminate_exact_10x") {
       // exact 13-gram decontamination at 10x: the probe (every 97th
       // doc, ~500 rows) collapses to distinct gram keys and BROADCASTS
