@@ -917,6 +917,28 @@ object SparkEntry {
       lit(loaded.mergesFingerprint).as("merges_fingerprint"))
   }
 
+  /** Lake-format roundtrip gate: documents → JSON-lines (gzip) → read
+    * back with the EXPLICIT schema (inference is a full extra pass at
+    * scale) → ORC → read back. The emitted rows come from the END of
+    * the chain, so the oracle hash-matching the raw parquet proves
+    * BOTH codecs preserve every column byte-for-byte on the real
+    * corpus (the csv leg is spec-covered on fixtures — csv cannot
+    * carry the long type fidelity this comparator checks without
+    * per-column casts).
+    */
+  private def sourceRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_srcrt_${Integer.toHexString(dir.hashCode)}"
+    val d = docs(s, dir)
+    d.write.mode("overwrite").option("compression", "gzip")
+      .json(s"$base/json")
+    val viaJson = graft.sources.Tables.readAs(s, s"$base/json", "json",
+      Some(d.schema))
+    viaJson.write.mode("overwrite").orc(s"$base/orc")
+    graft.sources.Tables.readAs(s, s"$base/orc", "orc", Some(d.schema))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+  }
+
   /** Trained-langID gates: the profile is learned from the corpus's own
     * `lang` labels (char-trigram doc frequencies, top-512 per language)
     * and every document is scored against every language. The corpus's
@@ -2659,6 +2681,7 @@ object SparkEntry {
     "classifier_score" -> (classifierScoreQ _),
     "langid_train"     -> (langidTrainQ _),
     "langid_score"     -> (langidScoreQ _),
+    "source_roundtrip" -> (sourceRoundtripQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
@@ -3524,6 +3547,8 @@ object SparkEntry {
     "langid_train" ->
       s"""$langidModelCtes
          SELECT lang, gram, cnt FROM m""",
+    "source_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "langid_score" ->
       s"""$langidModelCtes,
          tot AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tot
