@@ -256,6 +256,18 @@ class ParitySpec extends AnyFunSuite {
     assert(r11.getAs[Int]("wg") === 0)   // < 12 words -> empty
     assert(r11.getAs[Long]("bc") === 3L)
     assert(r11.getSeq[Int](5) === Seq(257))
+    // r13 additions: removal-grade 128-bit gram hashes + the
+    // token-space substring rewrite
+    val r13 = spark.sql("""
+      SELECT size(word_gram_hash128_12(split('one two', ' '))) AS wg,
+             size(int_gram_hash128_40(bpe_ids_fixture('abc'))) AS ig,
+             bpe_token_remove_fixture40(bpe_ids_fixture('abcx'),
+               CAST(NULL AS ARRAY<INT>)) AS tr""").collect().head
+    assert(r13.getAs[Int]("wg") === 0)   // < 12 words -> empty
+    assert(r13.getAs[Int]("ig") === 0)   // < 40 tokens -> empty
+    val tr = r13.getStruct(2)
+    assert(tr.getString(0) === "abcx" && tr.getLong(1) === 2L &&
+      tr.getLong(2) === 0L)              // null starts -> all kept
   }
 
   test("SQL surface: group_topk UDAF, as-of and range join recipes" +
