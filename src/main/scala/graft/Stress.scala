@@ -404,6 +404,40 @@ object Stress {
       graft.operators.Sampling.materializePacks(packed, ids,
         "doc_id", "n_bpe_tokens", "token_ids", seqTokens = 512L)
     }
+    if (runCase("packs_sink_10x")) locally {
+      // the pack SINK at 10x: materialize the trainer packs of the 50k-
+      // doc replica, write the sharded pack set, load it back — the
+      // file-count bound must hold at any corpus size (that is the
+      // sink's whole contract) and the loaded row count must match
+      val t0 = System.nanoTime()
+      val counts = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text"),
+          graft.functions.Bpe.fixtureMerges).as("n"))
+      val ids = TextAnalysis.tokenIdsBpe(docs, "doc_id", "text")
+      val packed = graft.operators.Sampling.packSequences(
+        counts, "doc_id", "n", seqTokens = 512L, nBuckets = 8)
+      val packs = graft.operators.Sampling.materializePacks(packed, ids,
+        "doc_id", "n", "token_ids", seqTokens = 512L)
+      val path = "/tmp/graft_stress_packs"
+      graft.sources.Packs.writePacks(packs, path, seqTokens = 512L,
+        nBuckets = 8, mergesFingerprint = graft.functions.Bpe
+          .mergesFingerprint(graft.functions.Bpe.fixtureMerges),
+        numFiles = 16)
+      val tWrite = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val loaded = graft.sources.Packs.loadPacks(spark, path)
+      val nLoaded = loaded.packs.count()
+      def pf(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(pf).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      val files = pf(new java.io.File(s"$path/packs"))
+      require(files <= 16, s"file bound violated: $files > 16")
+      require(nLoaded == packs.count(),
+        "loaded pack count must match materialized")
+      println(f"STRESS packs_sink_10x          ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  (write $tWrite%.2f s, load+count ${(System.nanoTime() - t1) / 1e9}%.2f s," +
+        s" $nLoaded packs in $files files <= 16)")
+    }
     if (runCase("bpe_train_capped")) locally {
       // BPE training at the piece-type cap (the r11 #7 demand): one
       // UNIQUE word is appended per replicated doc, so the corpus's
