@@ -15,7 +15,7 @@ object Explain {
     // QueryExecution (toRdd — a .write would plan a fresh one and the
     // printed plan would stay pre-execution), then print it — shows
     // AQE's FINAL shape (isFinalPlan=true: coalesced / skew-split /
-    // broadcast-converted exchanges), which the static plan cannot
+    // broadcast-converted exchanges), which the static plan cannot show
     for (name <- args) {
       println(s"########## $name")
       val df = SparkEntry.queries(name)(spark, dir)

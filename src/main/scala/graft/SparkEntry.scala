@@ -960,10 +960,16 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def langidScoreQ(s: SparkSession, dir: String): DataFrame =
+    // the cache already materializes the model; materializeModel=false
+    // keeps this harness from accreting one more pinned checkpoint per
+    // scoring call. Rounding for the oracle hash lives HERE, not in the
+    // library — langIdScore returns full double precision.
     TextAnalysis.langIdScore(docs(s, dir), "doc_id", "text",
       langidModelCache.computeIfAbsent(dir, d =>
         TextAnalysis.langIdTrain(docs(s, d), "text", "lang")
-          .localCheckpoint()))
+          .localCheckpoint()),
+      materializeModel = false)
+      .withColumn("score", round(col("score"), 6))
 
   /** Classifier gates: junk tokens are appended to every eleventh
     * document and those documents labeled 1 — a deterministic

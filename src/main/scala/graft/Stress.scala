@@ -434,9 +434,24 @@ object Stress {
       require(files <= 16, s"file bound violated: $files > 16")
       require(nLoaded == packs.count(),
         "loaded pack count must match materialized")
+      // the unsatisfiable combination (nBuckets=64 > numFiles=16:
+      // directory partitioning floors at one file per bucket) must be
+      // REJECTED up front — and before any filesystem mutation, so the
+      // committed pack set above survives the failed call intact
+      val rejected =
+        try {
+          graft.sources.Packs.writePacks(packs, path, seqTokens = 512L,
+            nBuckets = 64, mergesFingerprint = "x", numFiles = 16)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(rejected,
+        "nBuckets=64/numFiles=16 must be rejected, not silently degraded")
+      val reloaded = graft.sources.Packs.loadPacks(spark, path)
+      require(reloaded.nBuckets == 8 && reloaded.packs.count() == nLoaded,
+        "a rejected writePacks must leave the existing pack set loadable")
       println(f"STRESS packs_sink_10x          ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         f"  (write $tWrite%.2f s, load+count ${(System.nanoTime() - t1) / 1e9}%.2f s," +
-        s" $nLoaded packs in $files files <= 16)")
+        s" $nLoaded packs in $files files <= 16; 64/16 rejected pre-write)")
     }
     if (runCase("bpe_train_capped")) locally {
       // BPE training at the piece-type cap (the r11 #7 demand): one

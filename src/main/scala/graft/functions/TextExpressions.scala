@@ -1264,16 +1264,24 @@ case class HashedBagScoreExpr(
     val n = ws.numElements()
     val md = MessageDigest.getInstance("MD5")
     var s = 0.0
+    var cnt = 0
     var i = 0
     while (i < n) {
-      val d = md.digest(ws.getUTF8String(i).getBytes)
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      s += w(((v >>> 4) % buckets).toInt)
+      // null elements carry no feature: skip them (and keep them out
+      // of the averaging denominator). Internal callers (split+filter
+      // chains) never produce them, but the case class is public API
+      // and an array with containsNull=true must not NPE the task.
+      if (!ws.isNullAt(i)) {
+        val d = md.digest(ws.getUTF8String(i).getBytes)
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        s += w(((v >>> 4) % buckets).toInt)
+        cnt += 1
+      }
       i += 1
     }
-    val margin = (if (n > 0) s / n else 0.0) + w(buckets)
+    val margin = (if (cnt > 0) s / cnt else 0.0) + w(buckets)
     1.0 / (1.0 + math.exp(-margin))
   }
 

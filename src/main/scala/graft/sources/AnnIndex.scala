@@ -122,13 +122,20 @@ object AnnIndex {
           idx.codes.select(col("neighbor_id").as(idCol)),
           Seq(idCol), "left_anti")
       else newVecs
-    val enc =
+    val enc0 =
       if (idx.residual)
         graft.operators.Similarity.ivfPqResidualEncode(
           batch, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
       else
         graft.operators.Similarity.ivfPqEncode(
           batch, idCol, vecCol, idx.centroids, idx.codebook, idx.m)
+    // the dedupe anti-join READS $path/codes and the append WRITES the
+    // same directory: materialize the encoded batch (eager local
+    // checkpoint) so the codes scan completes before any append file
+    // lands — otherwise a recomputed scan (task retry, object-store
+    // listing) could observe the directory mid-append and double-read
+    // or list partially-committed files
+    val enc = if (dedupeIds) enc0.localCheckpoint() else enc0
     enc.repartition(numFiles, col("centroid_id"))
       .sortWithinPartitions("centroid_id")
       .write.mode("append").parquet(s"$path/codes")

@@ -33,7 +33,21 @@ import org.apache.spark.sql.functions._
   * stable). Without the bound, one pack-materialize job per day at
   * shuffle-partitions granularity leaves a small-files swamp that every
   * later epoch pays listing+open costs for — the same rationale as
-  * [[AnnIndex.append]]'s `numFiles`.
+  * [[AnnIndex.append]]'s `numFiles`. Directory partitioning puts a hard
+  * FLOOR of one file per non-empty bucket under the bound, so
+  * `nBuckets > numFiles` would make the contract unsatisfiable — it is
+  * rejected up front (before any filesystem mutation), not silently
+  * degraded to an `nBuckets`-file layout.
+  *
+  * Rewrite atomicity: the OLD meta is deleted BEFORE `packs/` is
+  * touched and the NEW meta is written last. Either order alone is
+  * unsafe on a rewrite under a changed vocabulary — overwriting
+  * `packs/` first while the old meta stays readable means a mid-rewrite
+  * crash leaves a loadable pack set whose fingerprint describes the
+  * PREVIOUS merges table (exactly the silent mismatch the fingerprint
+  * exists to catch). With the tombstone order, every crash window
+  * leaves either the intact old set or a meta-less directory that
+  * [[loadPacks]] refuses to load.
   */
 object Packs {
 
@@ -60,8 +74,19 @@ object Packs {
     require(seqTokens > 0, "seqTokens must be positive")
     require(nBuckets > 0, "nBuckets must be positive")
     require(numFiles > 0, "numFiles must be positive")
+    require(nBuckets <= numFiles,
+      s"numFiles=$numFiles cannot bound a pack set with nBuckets=" +
+        s"$nBuckets: directory partitioning writes at least one file " +
+        "per bucket — raise numFiles to >= nBuckets (or lower nBuckets)")
     val spark = packs.sparkSession
     import spark.implicits._
+    // tombstone the old meta BEFORE the packs overwrite deletes old
+    // data files: a crash anywhere after this point leaves no meta, so
+    // loadPacks fails loudly instead of pairing stale meta (old
+    // fingerprint/params) with partial or rewritten token ids
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaDir, true)
     val shards = math.max(1, numFiles / nBuckets)
     packs
       .withColumn("__shard", pmod(col("pack_id"), lit(shards.toLong)))
@@ -74,10 +99,9 @@ object Packs {
       .write.mode("overwrite")
       .partitionBy("pack_bucket")
       .parquet(s"$path/packs")
-    // meta is written LAST, as the commit marker: a failure mid-write
-    // leaves either the OLD meta describing the old packs, or no meta
-    // — never a NEW fingerprint paired with partial/stale token ids
-    // (the silent vocabulary mismatch the fingerprint exists to catch)
+    // meta is written LAST, as the commit marker: with the tombstone
+    // above, a failure anywhere mid-write leaves NO meta — never a
+    // fingerprint (old or new) paired with partial/stale token ids
     Seq((seqTokens, nBuckets, mergesFingerprint))
       .toDF("seq_tokens", "n_buckets", "merges_fingerprint")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")

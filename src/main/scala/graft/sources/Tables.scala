@@ -13,14 +13,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  private val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** Read one table of the test lake. `events.ts` is normalized to
     * BIGINT nanoseconds whatever the lake's physical encoding
     * ([[normalizeEventTs]]).
+    *
+    * The TIMESTAMP(NANOS) encoding is only readable with the session's
+    * `nanosAsLong` flag on; a read must not permanently mutate session
+    * config, so the flag is set around schema resolution and RESTORED
+    * whenever the lake turns out not to need it (µs/NTZ encodings —
+    * the current lake). If the schema really is NANOS the flag stays
+    * on for the session — scan execution re-reads it from the captured
+    * conf, and flipping it back mid-plan would fail the scan; harness
+    * entry points pin it in their builders anyway.
     */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+      val prev = spark.conf.getOption(NanosFlag)
+      spark.conf.set(NanosFlag, "true")
+      val df =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        catch {
+          case e: Throwable =>
+            prev.fold(spark.conf.unset(NanosFlag))(
+              spark.conf.set(NanosFlag, _))
+            throw e
+        }
+      val nanosEncoded = df.schema.find(_.name == "ts")
+        .exists(_.dataType == org.apache.spark.sql.types.LongType)
+      if (!nanosEncoded)
+        prev.fold(spark.conf.unset(NanosFlag))(spark.conf.set(NanosFlag, _))
+      normalizeEventTs(df)
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -653,6 +653,22 @@ class OperatorsSpec extends AnyFunSuite {
     val se = Classifier.score(Seq((0L, "")).toDF("doc_id", "text"),
       "doc_id", "text", m).collect().head.getDouble(1)
     assert(math.abs(se - 1.0 / (1.0 + math.exp(-m.bias))) < 1e-12)
+    // HashedBagScoreExpr is public API: a words array WITH null
+    // elements must not NPE — nulls carry no feature and stay out of
+    // the averaging denominator, so (w1, null, w2) === (w1, w2)
+    import org.apache.spark.sql.GraftColumnCompat._
+    def bag(c: org.apache.spark.sql.Column) = toColumn(
+      graft.functions.HashedBagScoreExpr(
+        toExpression(c), m.weights.toSeq, m.buckets))
+    val withNull = Seq(Seq(Some("spamspam"), None, Some("junkjunk")))
+      .toDF("ws").select(bag(col("ws"))).collect().head.getDouble(0)
+    val without = Seq(Seq("spamspam", "junkjunk"))
+      .toDF("ws").select(bag(col("ws"))).collect().head.getDouble(0)
+    assert(math.abs(withNull - without) < 1e-15)
+    // all-null array behaves like the empty bag: sigmoid(bias)
+    val allNull = Seq(Seq[Option[String]](None, None))
+      .toDF("ws").select(bag(col("ws"))).collect().head.getDouble(0)
+    assert(math.abs(allNull - 1.0 / (1.0 + math.exp(-m.bias))) < 1e-15)
   }
 
   test("Packs.writePacks/loadPacks: byte-exact roundtrip, long-typed" +
@@ -692,6 +708,41 @@ class OperatorsSpec extends AnyFunSuite {
       if (f.isDirectory) f.listFiles.map(parquetFiles).sum
       else if (f.getName.endsWith(".parquet")) 1 else 0
     assert(parquetFiles(new java.io.File(s"$path/packs")) <= 8)
+    // nBuckets > numFiles makes the file bound unsatisfiable (dir
+    // partitioning floors at one file per bucket): rejected up front,
+    // BEFORE the meta tombstone — the committed set stays loadable
+    intercept[IllegalArgumentException] {
+      Packs.writePacks(packs, path, seqTokens = 16L, nBuckets = 16,
+        mergesFingerprint = fp, numFiles = 8)
+    }
+    assert(Packs.loadPacks(spark, path).mergesFingerprint === fp)
+  }
+
+  test("Packs rewrite atomicity: the old meta is tombstoned before" +
+      " packs/ is touched, so a mid-rewrite crash cannot pair stale" +
+      " meta with rewritten token ids") {
+    import graft.sources.Packs
+    val packs = Seq((0L, 0L, 2L, Seq(1, 2)), (1L, 1L, 1L, Seq(3)))
+      .toDF("pack_bucket", "pack_id", "n_tokens", "token_ids")
+    val path = "/tmp/graft_packs_atomic_spec"
+    Packs.writePacks(packs, path, seqTokens = 8L, nBuckets = 2,
+      mergesFingerprint = "fpA", numFiles = 4)
+    assert(Packs.loadPacks(spark, path).mergesFingerprint === "fpA")
+    // crash the rewrite MID-WRITE for real: a poisoned column makes
+    // the packs overwrite job throw after the meta tombstone. With the
+    // tombstone order the directory must now REFUSE to load (no meta),
+    // not serve fpA meta over partially-rewritten token ids.
+    val poisoned = packs.withColumn("n_tokens",
+      org.apache.spark.sql.functions.raise_error(lit("boom")).cast("long"))
+    intercept[Exception] {
+      Packs.writePacks(poisoned, path, seqTokens = 8L, nBuckets = 2,
+        mergesFingerprint = "fpB", numFiles = 4)
+    }
+    intercept[Exception] { Packs.loadPacks(spark, path) }
+    // the completed rewrite commits the NEW fingerprint
+    Packs.writePacks(packs, path, seqTokens = 8L, nBuckets = 2,
+      mergesFingerprint = "fpB", numFiles = 4)
+    assert(Packs.loadPacks(spark, path).mergesFingerprint === "fpB")
   }
 
   test("dedupSubstringsBpe: repeated CJK span removed at token level" +
