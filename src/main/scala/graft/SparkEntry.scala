@@ -393,6 +393,40 @@ object SparkEntry {
   private def dedupLshCharQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairsChar(docs(s, dir), "doc_id", "text")
 
+  /** Incremental dedup index, build half: the index is built from the
+    * corpus slice and LOADED back; the emitted rows are the persisted
+    * exact-dedup state, so hash-matching the oracle's direct aggregate
+    * proves the artifact round-trips byte-exactly.
+    */
+  private def dedupIndexPersistQ(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).filter(col("doc_id") % 3 =!= 0)
+    val path = s"/tmp/graft_dedupidx_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.DedupIndex.build(corpus, "doc_id", "text", path)
+    val idx = graft.sources.DedupIndex.load(s, path)
+    require(idx.shingleN == 3 && idx.numHashes == 16 && idx.bands == 8,
+      "dedup-index meta must round-trip")
+    idx.hashes.select(col("text_hash"), col("keep_id"))
+  }
+
+  /** Incremental dedup index, append half: the index is built from two
+    * thirds of the corpus, the remaining third arrives as a batch, and
+    * the surviving batch docs must hash-match the from-scratch union
+    * run (the oracle replays exact-then-LSH over ALL docs with
+    * arrival-order priority: corpus outranks batch, lower id wins
+    * within the batch) — proving a crawl batch dedups against the
+    * frozen artifacts, corpus text untouched, with results identical
+    * to rescanning everything.
+    */
+  private def dedupIndexAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val path = s"/tmp/graft_dedupidx_app_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.DedupIndex.build(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", path)
+    graft.sources.DedupIndex.append(s, path,
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
@@ -2196,6 +2230,49 @@ object SparkEntry {
         AND a.doc_id < b.doc_id"""
   }
 
+  /** From-scratch union-run replay for `dedup_index_append`: exact
+    * stage over ALL docs with arrival-order priority (grp 0 = corpus
+    * outranks grp 1 = batch, then doc_id), word-shingle minhash
+    * banding over the exact survivors (the dkLshPairs arithmetic,
+    * verbatim), batch doc dropped on any band-bucket shared with a
+    * higher-priority exact survivor. Emits the surviving batch docs —
+    * what DedupIndex.append computes incrementally from the frozen
+    * artifacts.
+    */
+  private val dkDedupIndexAppend: String = {
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, grp, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH n0 AS (SELECT doc_id, text,
+           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS grp,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         FROM documents),
+       rk0 AS (SELECT *, row_number() OVER (PARTITION BY h
+           ORDER BY grp, doc_id) AS rk FROM n0),
+       es AS (SELECT doc_id, text, grp FROM rk0 WHERE rk = 1),
+       w AS (SELECT doc_id, grp,
+           string_split_regex(trim(lower(text)), '\\s+') AS words FROM es),
+       s AS (SELECT doc_id, grp, CASE WHEN len(words) >= 3
+           THEN list_distinct([array_to_string(words[i:i+2], ' ')
+             for i in range(1, len(words)-1)])
+           ELSE [array_to_string(words, ' ')] END AS sh FROM w),
+       h2 AS (SELECT doc_id, grp,
+           [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
+       sig AS (SELECT doc_id, grp, ${sigs.mkString(", ")} FROM h2),
+       bk AS ($bucketSelects),
+       dropped AS (SELECT DISTINCT b.doc_id
+         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+           AND b.grp = 1 AND (a.grp = 0 OR a.doc_id < b.doc_id))
+       SELECT e.doc_id, d.n_chars FROM es e
+       JOIN documents d USING (doc_id)
+       WHERE e.grp = 1
+         AND e.doc_id NOT IN (SELECT doc_id FROM dropped)"""
+  }
+
   /** Byte-shingle MinHash-LSH pairs over the constructed payload
     * families — the independent SQL re-derivation of
     * `multimodal_neardup`: payload hex rebuilt arithmetically from
@@ -2668,6 +2745,8 @@ object SparkEntry {
     "decontaminate"    -> (decontaminateQ _),
     "decontaminate_exact" -> (decontaminateExactQ _),
     "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
+    "dedup_index_persist" -> (dedupIndexPersistQ _),
+    "dedup_index_append" -> (dedupIndexAppendQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
     "url_normalize"    -> (urlNormalizeQ _),
@@ -3416,6 +3495,11 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM cex)""",
     "curate_quality" -> dkCurateQuality,
+    "dedup_index_persist" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+         min(doc_id) AS keep_id
+         FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1""",
+    "dedup_index_append" -> dkDedupIndexAppend,
     "dedup_lsh_verified" ->
       s"""WITH pairs AS ($dkLshPairs),
          $dkShingles

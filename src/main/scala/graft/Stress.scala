@@ -453,6 +453,59 @@ object Stress {
         f"  (write $tWrite%.2f s, load+count ${(System.nanoTime() - t1) / 1e9}%.2f s," +
         s" $nLoaded packs in $files files <= 16; 64/16 rejected pre-write)")
     }
+    if (runCase("dedup_index_10x")) locally {
+      // incremental dedup index at 10x: build once over the replica
+      // corpus (the one-time cost a from-scratch rerun would pay every
+      // day), then append a 1%-sized batch. Append must (a) cost a
+      // small fraction of build — its corpus-side work is streaming
+      // the compact hash/bucket artifacts through broadcast joins, not
+      // re-shingling text — and (b) classify the three planted batch
+      // thirds correctly: fresh texts survive, unchanged texts drop at
+      // the exact stage, tail-modified texts drop as near-dups
+      val path = "/tmp/graft_stress_dedupidx"
+      val corpus = docs
+      // the batch is a RE-ID'd 1% slice of the corpus (higher ids =
+      // later arrival), so every unchanged text provably exists in the
+      // index and every tail-mod has a corpus original to near-match
+      val batch = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .withColumn("text",
+          when(col("doc_id") % 300 === 0,
+            concat(lit("fresh "), md5(col("doc_id").cast("string")),
+              lit(" "), md5(concat(col("doc_id").cast("string"), lit("b")))))
+          .when(col("doc_id") % 300 === 100,
+            concat(col("text"), lit(" neartail"), col("doc_id")))
+          .otherwise(col("text")))
+        .localCheckpoint() // batch cost should not include its own build
+      val t0 = System.nanoTime()
+      graft.sources.DedupIndex.build(corpus, "doc_id", "text", path)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val surv = graft.sources.DedupIndex.append(spark, path, batch,
+        "doc_id", "text").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val tAppend = (System.nanoTime() - t1) / 1e9
+      val fresh = batch.filter(col("doc_id") % 300 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val near = batch.filter(col("doc_id") % 300 === 100)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val unchanged = batch.filter(col("doc_id") % 300 === 200)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      require(fresh.subsetOf(surv),
+        s"${(fresh -- surv).size} fresh docs wrongly dropped")
+      require((surv & unchanged).isEmpty,
+        s"${(surv & unchanged).size} unchanged dups wrongly kept")
+      val nearKept = (surv & near).size
+      require(nearKept < near.size / 2,
+        s"near-dup stage too weak: $nearKept/${near.size} tail-mods kept")
+      require(tAppend < tBuild / 2.0,
+        f"append ($tAppend%.1f s) must cost well under build ($tBuild%.1f s)")
+      println(f"STRESS dedup_index_10x        ${tBuild + tAppend}%8.2f s" +
+        f"  (build $tBuild%.2f s, append $tAppend%.2f s;" +
+        s" batch=${fresh.size + near.size + unchanged.size}" +
+        s" fresh=${fresh.size} kept=${surv.size}" +
+        s" nearKept=$nearKept/${near.size})")
+    }
     if (runCase("bpe_train_capped")) locally {
       // BPE training at the piece-type cap (the r11 #7 demand): one
       // UNIQUE word is appended per replicated doc, so the corpus's

@@ -33,13 +33,20 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_count"))
 
+  /** The exact-normalized content hash — whitespace runs collapsed,
+    * case folded, md5'd. ONE definition shared by [[exactNormalized]]
+    * and the persisted incremental index
+    * ([[graft.sources.DedupIndex]]), so an index built today matches
+    * the hashes a batch computes tomorrow.
+    */
+  private[graft] def normalizedHash(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
   /** Exact dedup after whitespace/case normalization — catches
     * formatting-only duplicates.
     */
   def exactNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(
-      md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
-        .as("text_hash"))
+    docs.groupBy(normalizedHash(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_count"))
 
@@ -137,6 +144,39 @@ object Dedup {
     * which predicate-pushdown would rewrite to a second full
     * shingle+md5 evaluation below the Spread exchange.
     */
+  /** Band-bucket ownership rows `(idCol, band, bucket)` — the raw
+    * material both the in-session pair joins AND the persisted
+    * incremental index ([[graft.sources.DedupIndex]]) consume; one
+    * definition pins index build and batch probe to the same signature
+    * arithmetic.
+    */
+  private[graft] def bandBucketRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mkHashes: Column => Column,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    Spread.ifNarrow(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        posexplode(minhashBuckets(mkHashes(col(textCol)), numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** [[bandBucketRows]] for the default word-shingle MinHash form. */
+  private[graft] def wordBandBucketRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame =
+    bandBucketRows(docs, idCol, textCol,
+      shingleHashes(_, shingleN), numHashes, bands)
+
   private[operators] def lshPairsFromText(
       docs: DataFrame,
       idCol: String,
@@ -145,14 +185,8 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val buckets = capHotBuckets(
-      Spread.ifNarrow(
-          docs.select(col(idCol), col(textCol)), col(idCol))
-        .select(col(idCol),
-          posexplode(minhashBuckets(mkHashes(col(textCol)), numHashes, bands)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket"),
+      bandBucketRows(docs, idCol, textCol, mkHashes, numHashes, bands),
       Seq("band", "bucket"), maxBucketSize)
     val a = buckets.as("a")
     val b = buckets.as("b")

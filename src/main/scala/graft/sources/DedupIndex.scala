@@ -1,0 +1,228 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Persisted incremental dedup index — the crawl-pipeline shape where a
+  * daily batch must be deduplicated against a 100 TB corpus WITHOUT
+  * rescanning (re-hashing, re-shingling) the corpus. The reference has
+  * no dedup surface at all; this is the persistence twin of
+  * [[graft.operators.Dedup]]'s in-session operators, in the [[AnnIndex]]
+  * artifact pattern (small self-describing parquet artifacts under one
+  * base path, meta as the load gate).
+  *
+  * Artifacts under `path`:
+  *
+  *  - `hashes/`: `(text_hash, keep_id)` — one row per distinct
+  *    exact-normalized content hash ([[Dedup.normalizedHash]]) with its
+  *    first-occurrence owner. ~16 bytes/distinct-doc: the corpus's
+  *    entire exact-dedup state, ~1/1000th the size of the text it
+  *    replaces.
+  *  - `buckets/`: `(doc_id, band, bucket)` — MinHash band-bucket
+  *    ownership rows ([[Dedup.wordBandBucketRows]]) of the corpus's
+  *    EXACT-SURVIVOR docs. `bands` rows per survivor.
+  *  - `meta`: `(shingle_n, num_hashes, bands)` — the banding parameters;
+  *    written LAST (tombstoned first on rebuild, the [[Packs]]
+  *    discipline) so a mid-build crash leaves an unloadable directory,
+  *    and a loader can never probe an index with mismatched banding.
+  *
+  * Semantics (= the batch pipeline's stage order, exact first then
+  * near-dup, and its keep-FIRST rule, with "first" meaning ARRIVAL
+  * order: everything already in the index outranks the incoming batch,
+  * and within a batch lower id wins):
+  *
+  *  1. exact stage — a batch doc is a duplicate if its normalized hash
+  *     is already in `hashes/`, or a lower-id batch doc shares it;
+  *  2. near-dup stage — a batch doc that survived (1) is a duplicate if
+  *     it shares any (band, bucket) with an indexed exact-survivor or
+  *     with a lower-id exact-surviving batch doc.
+  *
+  * [[append]] under these rules telescopes EXACTLY to the from-scratch
+  * run: for any split of a corpus into build + batch₁ + … + batchₙ
+  * (arrival-ordered), the surviving set equals one dedup pass over the
+  * whole corpus with the same priority order — the `dedup_index_append`
+  * gate proves the two-step case against a DuckDB replay of the union
+  * run, and the telescoping spec proves three steps. Two invariants
+  * make that hold, both deliberately wider than "survivors only":
+  *
+  *  - `hashes/` keeps every distinct hash ever seen (including hashes
+  *    whose owner the near-dup stage later dropped) — a future doc
+  *    equal to a dropped doc must still be dropped by stage 1;
+  *  - `buckets/` keeps ALL exact-survivors' bands (including docs
+  *    stage 2 dropped) — in the from-scratch run those docs are present
+  *    in the band table too, and a future near-dup of a dropped doc
+  *    must still be dropped.
+  *
+  * Scale shape of [[append]] (the whole point): the batch side of every
+  * join is BROADCAST, so the corpus-sized artifacts are only ever
+  * STREAMED through broadcast hash joins — no corpus shuffle, no corpus
+  * sort, cost linear in index size with a batch-sized output. The raw
+  * corpus text is never touched. With `broadcastBatch = false` the
+  * joins fall back to shuffles for batches too large to broadcast —
+  * at that size, prefer rebuilding.
+  */
+object DedupIndex {
+
+  /** A loaded index: artifact frames plus the banding parameters. */
+  final case class Loaded(
+      hashes: DataFrame,
+      buckets: DataFrame,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int)
+
+  /** Build (or atomically rebuild) the index from a corpus. One
+    * hash-keyed shuffle for the exact stage (partial-aggregable
+    * `min`), one join back for survivor texts, one linear band pass —
+    * the same work a single from-scratch dedup run does anyway; every
+    * later [[append]] is what the artifact saves.
+    */
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      numFiles: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numFiles > 0, "numFiles must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // tombstone first (the Packs discipline): a crash anywhere below
+    // leaves no meta, so load() fails loudly instead of pairing stale
+    // banding params with half-rebuilt artifacts
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaDir, true)
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"),
+      Dedup.normalizedHash(col(textCol)).as("text_hash"))
+    val hashes = hashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    hashes.repartition(numFiles, col("text_hash"))
+      .sortWithinPartitions("text_hash")
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    // exact survivors carry their text into the band pass; reading the
+    // just-written hashes/ back avoids recomputing the aggregate and
+    // keeps this stage's lineage off the raw-docs double-scan path
+    val keeps = spark.read.parquet(s"$path/hashes")
+    val survivors = hashed.join(keeps, Seq("text_hash"))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("__text"))
+    Dedup.wordBandBucketRows(survivors, "doc_id", "__text",
+        shingleN, numHashes, bands)
+      .repartition(numFiles, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    Seq((shingleN, numHashes, bands))
+      .toDF("shingle_n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): Loaded = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"malformed dedup-index meta at $path")
+    Loaded(
+      hashes = spark.read.parquet(s"$path/hashes"),
+      buckets = spark.read.parquet(s"$path/buckets"),
+      shingleN = meta(0).getAs[Int]("shingle_n"),
+      numHashes = meta(0).getAs[Int]("num_hashes"),
+      bands = meta(0).getAs[Int]("bands"))
+  }
+
+  /** Dedup an incoming batch against the frozen index and absorb the
+    * batch's state: returns the batch rows (original schema) that
+    * survive both stages, and appends the batch's new hash rows and
+    * exact-survivor band rows so the NEXT append sees this batch as
+    * part of the corpus.
+    *
+    * Every returned/appended frame is materialized (eager local
+    * checkpoint) BEFORE any append file lands: they all derive from
+    * scans of `hashes/`/`buckets/`, and a scan recomputed after the
+    * directory grew would double-read (the [[AnnIndex.append]]
+    * read-write-overlap lesson). Append atomicity is parquet-append
+    * atomicity; replaying a crashed append is safe for correctness
+    * (duplicate hash/bucket rows only re-confirm membership — the
+    * exact stage aggregates by hash, the near-dup stage takes
+    * DISTINCT ids) at the cost of dead rows until a rebuild.
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numFiles: Int = 8,
+      broadcastBatch: Boolean = true): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    val idx = load(spark, path)
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
+    // one materialization of the batch's hash column: it feeds three
+    // consumers (index probe, min-id fold, survivor projection)
+    val batch = newDocs
+      .withColumn("__h", Dedup.normalizedHash(col(textCol)))
+      .localCheckpoint()
+    // STAGE 1 (exact): which batch hashes does the index already own?
+    // Probe direction matters at scale — the corpus-sized hashes/ is
+    // the STREAMED side of a broadcast semi join against the batch's
+    // distinct hashes, and the output is batch-bounded
+    val hits = idx.hashes
+      .join(bc(batch.select(col("__h").as("text_hash")).distinct()),
+        Seq("text_hash"), "left_semi")
+      .select(col("text_hash").as("__h"))
+    val minIds = batch.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__keep"))
+    // materialized: downstream it feeds the band pass, the survivor
+    // projection AND the hash append — one checkpoint means hashes/ is
+    // streamed exactly once per append, and nothing below re-reads it
+    val exactSurv = batch.join(minIds, Seq("__h"))
+      .filter(col(idCol) === col("__keep")).drop("__keep")
+      .join(bc(hits), Seq("__h"), "left_anti")
+      .localCheckpoint()
+    // STAGE 2 (near-dup): band rows of the batch's exact survivors —
+    // batch-sized — probe the corpus band table (broadcast again, the
+    // corpus side streams), plus the batch-internal keep-first join
+    val bb = Dedup.wordBandBucketRows(
+        exactSurv.select(col(idCol), col(textCol)), idCol, textCol,
+        idx.shingleN, idx.numHashes, idx.bands)
+      .localCheckpoint()
+    val corpusHits = idx.buckets.select(col("band"), col("bucket"))
+      .join(bc(bb), Seq("band", "bucket"))
+      .select(col(idCol)).distinct()
+    val internalHits = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    val dropped = corpusHits.union(internalHits).distinct()
+    // survivors must be pinned BEFORE buckets/ grows: its lineage scans
+    // buckets/ (via corpusHits), and a post-append recompute would see
+    // the batch's own band rows and drop every surviving doc as a
+    // near-dup of itself
+    val survivors = exactSurv
+      .join(bc(dropped), Seq(idCol), "left_anti")
+      .select(newDocs.columns.map(col): _*)
+      .localCheckpoint()
+    // absorb the batch: every fresh hash (owner = the exact survivor,
+    // near-dropped or not) and every exact-survivor's band rows — the
+    // two wider-than-survivors invariants the telescoping proof needs.
+    // Both project off materialized frames, so the appends below read
+    // checkpoint blocks, never the directories they are growing
+    val newHashes = exactSurv
+      .select(col("__h").as("text_hash"), col(idCol).as("keep_id"))
+    val newBuckets = bb
+      .select(col(idCol).as("doc_id"), col("band"), col("bucket"))
+    newHashes.repartition(numFiles, col("text_hash"))
+      .sortWithinPartitions("text_hash")
+      .write.mode("append").parquet(s"$path/hashes")
+    newBuckets.repartition(numFiles, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("append").parquet(s"$path/buckets")
+    survivors
+  }
+}

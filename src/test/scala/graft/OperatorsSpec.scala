@@ -718,6 +718,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Packs.loadPacks(spark, path).mergesFingerprint === fp)
   }
 
+  test("DedupIndex: append dedups a batch against the frozen index" +
+      " (exact + near-dup, arrival-order priority), telescopes across" +
+      " appends, and remembers dropped docs' hashes") {
+    import graft.sources.DedupIndex
+    val base = "the quick brown fox jumps over the lazy dog while" +
+      " cold rain falls on the quiet grey town every single evening"
+    val other = "completely different payload discussing catalyst" +
+      " planning shuffle exchanges broadcast thresholds and adaptive" +
+      " execution behavior under heavy partition skew at scale"
+    val corpus = Seq(
+      (0L, base),                 // survivor (owner of the base family)
+      (1L, base.toUpperCase),     // exact-norm dup of 0
+      (2L, other)                 // survivor
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, base + " tailone tailtwo"),   // near-dup of corpus 0 -> LSH drop
+      (11L, "  " + base + "   "),         // exact-norm dup of corpus 0
+      (12L, "an entirely new document describing minhash banding and" +
+        " jaccard similarity estimation for large scale training data" +
+        " deduplication pipelines running on spark"), // survivor
+      (13L, "an entirely new document describing minhash banding and" +
+        " jaccard similarity estimation for large scale training data" +
+        " deduplication pipelines running on spark with extras") // near 12
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, base + " TAILONE  tailtwo"),  // exact-norm dup of DROPPED 10:
+                                          // hashes/ must remember it
+      (21L, base + " tailone tailtwo tailthree"), // near family -> drop
+      (22L, "totally fresh content about streaming watermarks state" +
+        " stores and event time session windows in structured" +
+        " streaming jobs")                // survivor
+    ).toDF("doc_id", "text")
+    val path = "/tmp/graft_dedupidx_spec"
+    DedupIndex.build(corpus, "doc_id", "text", path)
+    val s1 = DedupIndex.append(spark, path, b1, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === Set(12L),
+      s"batch1: 10 near-dups 0, 11 exact-dups 0, 13 near-dups 12; got $s1")
+    val s2 = DedupIndex.append(spark, path, b2, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // 20's hash equals DROPPED 10's normalized hash — stage 1 must
+    // still drop it (hashes/ keeps every hash ever seen); 21 is near
+    // the base family; 22 is fresh
+    assert(s2 === Set(22L), s"batch2 survivors: got $s2")
+    // telescoping: one combined append over a rebuilt index emits
+    // exactly s1 ++ s2 (same arrival priority: lower id = earlier)
+    DedupIndex.build(corpus, "doc_id", "text", path)
+    val sBoth = DedupIndex.append(spark, path, b1.union(b2),
+      "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(sBoth === (s1 ++ s2))
+    // the survivors frame is pinned pre-append: re-collecting after the
+    // index absorbed the batch must not re-dedup it against itself
+    DedupIndex.build(corpus, "doc_id", "text", path)
+    val sv = DedupIndex.append(spark, path, b1, "doc_id", "text")
+    assert(sv.collect().map(_.getLong(0)).toSet === Set(12L))
+    assert(sv.collect().map(_.getLong(0)).toSet === Set(12L))
+  }
+
   test("Packs rewrite atomicity: the old meta is tombstoned before" +
       " packs/ is touched, so a mid-rewrite crash cannot pair stale" +
       " meta with rewritten token ids") {
