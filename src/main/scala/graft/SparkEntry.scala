@@ -1058,6 +1058,33 @@ object SparkEntry {
       "text", trainedClassifier(s, dir))
       .select(col("doc_id"), col("score"))
 
+  /** Bigram-feature training on the same planted corpus — the fastText
+    * bag-of-n-grams lever (Joulin et al. 2016 §2). Trains fresh (the
+    * bench row measures the GD with the ~2× feature table) and caches
+    * for the scoring gate.
+    */
+  private def classifierTrainBigramQ(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.operators.Classifier.train(classifierDocs(s, dir),
+      "doc_id", "text", "label", buckets = 64, rounds = 10, lr = 4.0,
+      ngrams = 2)
+    classifierCache.put(s"$dir#bigram", m)
+    import s.implicits._
+    m.weights.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq
+      .toDF("bucket", "weight")
+  }
+
+  /** Scoring with the bigram model: the ngrams field rides in the
+    * Model, so this exercises HashedBagScoreExpr's pair loop
+    * end-to-end against the oracle's replayed arithmetic.
+    */
+  private def classifierScoreBigramQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classifier.score(classifierDocs(s, dir), "doc_id",
+      "text", classifierCache.computeIfAbsent(s"$dir#bigram", _ =>
+        graft.operators.Classifier.train(classifierDocs(s, dir),
+          "doc_id", "text", "label", buckets = 64, rounds = 10,
+          lr = 4.0, ngrams = 2)))
+      .select(col("doc_id"), col("score"))
+
   private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedHashSample(
       t(s, dir, "documents"), "doc_id", "lang",
@@ -2086,7 +2113,20 @@ object SparkEntry {
     * [[bpeTrainOracle]] (inlined CTEs would replicate the feature scan
     * exponentially in n).
     */
-  private def classifierOracle(n: Int, lr: String): String = {
+  private def classifierOracle(
+      n: Int, lr: String, ngrams: Int = 1): String = {
+    // ngrams = 2: adjacent pairs join the bag (w[i] || ' ' || w[i+1])
+    // and the L1 denominator counts unigrams + bigrams — the exact
+    // featureTokens/HashedBagScoreExpr arithmetic
+    val nFeatures =
+      if (ngrams == 1) "len(ws)"
+      else "len(ws) + CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END"
+    val exSelect =
+      if (ngrams == 1) "SELECT doc_id, unnest(ws) AS w FROM tok"
+      else """SELECT doc_id, unnest(ws) AS w FROM tok
+           UNION ALL SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1]
+               for i in range(1, len(ws))]) AS w FROM tok"""
     val rounds = (1 to n).map { i =>
       s"""m$i AS MATERIALIZED (
            SELECT d.doc_id, d.y, 1/(1+exp(-s.m)) AS p
@@ -2111,8 +2151,8 @@ object SparkEntry {
            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
              w -> len(w) > 0) AS ws
          FROM src),
-       d AS MATERIALIZED (SELECT doc_id, y, len(ws) AS n FROM tok),
-       ex AS (SELECT doc_id, unnest(ws) AS w FROM tok),
+       d AS MATERIALIZED (SELECT doc_id, y, $nFeatures AS n FROM tok),
+       ex AS ($exSelect),
        fw AS (SELECT doc_id, ${dkHash("w")} % 64 AS bucket FROM ex),
        feat AS MATERIALIZED (
          SELECT fw.doc_id, fw.bucket,
@@ -2763,6 +2803,8 @@ object SparkEntry {
     "pack_materialize" -> (packMaterializeQ _),
     "pack_persist"     -> (packPersistQ _),
     "classifier_train" -> (classifierTrainQ _),
+    "classifier_train_bigram" -> (classifierTrainBigramQ _),
+    "classifier_score_bigram" -> (classifierScoreBigramQ _),
     "classifier_score" -> (classifierScoreQ _),
     "langid_train"     -> (langidTrainQ _),
     "langid_score"     -> (langidScoreQ _),
@@ -3634,6 +3676,15 @@ object SparkEntry {
     "classifier_train" ->
       s"""${classifierOracle(10, "4.0")}
          SELECT bucket, wt AS weight FROM w10""",
+    "classifier_train_bigram" ->
+      s"""${classifierOracle(10, "4.0", ngrams = 2)}
+         SELECT bucket, wt AS weight FROM w10""",
+    "classifier_score_bigram" ->
+      s"""${classifierOracle(10, "4.0", ngrams = 2)}
+         SELECT d.doc_id, 1/(1+exp(-s.m)) AS score
+         FROM d JOIN (SELECT f.doc_id, sum(f.x * w.wt) AS m
+             FROM feat f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
+         USING (doc_id)""",
     "langid_train" ->
       s"""$langidModelCtes
          SELECT lang, gram, cnt FROM m""",

@@ -1243,14 +1243,24 @@ case class IntGramHash128Expr(child: Expression, k: Int)
   * materialization — scoring a 100 TB corpus is a pure map over the
   * scan with a (buckets+1)-double closure, trivially codegen-adjacent
   * and shuffle-free.
+  *
+  * `ngrams = 2` adds every adjacent word pair (joined with a single
+  * space — the SQL-replayable `w[i] || ' ' || w[i+1]`) to the bag in
+  * the SAME bucket space, and the normalization denominator counts
+  * unigrams + bigrams — the fastText bag-of-n-grams layout
+  * ([[graft.operators.Classifier.hashedFeatures]] mirrors it on the
+  * training side). A pair is skipped when either neighbor is a null
+  * element (nulls carry no feature and do not bridge).
   */
 case class HashedBagScoreExpr(
     child: Expression,
     weights: Seq[Double],
-    buckets: Int)
+    buckets: Int,
+    ngrams: Int = 1)
     extends UnaryExpression with CodegenFallback {
 
   require(buckets > 0, "buckets must be positive")
+  require(ngrams == 1 || ngrams == 2, "ngrams must be 1 or 2")
   require(weights.length == buckets + 1,
     s"weights must have buckets+1 entries (bias last), " +
       s"got ${weights.length} for $buckets buckets")
@@ -1258,6 +1268,8 @@ case class HashedBagScoreExpr(
   override def dataType: DataType = DoubleType
 
   private lazy val w = weights.toArray
+  private lazy val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
   override def nullSafeEval(input: Any): Any = {
     val ws = input.asInstanceOf[ArrayData]
@@ -1265,21 +1277,32 @@ case class HashedBagScoreExpr(
     val md = MessageDigest.getInstance("MD5")
     var s = 0.0
     var cnt = 0
+    def add(bytes: Array[Byte]): Unit = {
+      val d = md.digest(bytes)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      s += w(((v >>> 4) % buckets).toInt)
+      cnt += 1
+    }
     var i = 0
     while (i < n) {
       // null elements carry no feature: skip them (and keep them out
       // of the averaging denominator). Internal callers (split+filter
       // chains) never produce them, but the case class is public API
       // and an array with containsNull=true must not NPE the task.
-      if (!ws.isNullAt(i)) {
-        val d = md.digest(ws.getUTF8String(i).getBytes)
-        var v = 0L
-        var b = 0
-        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-        s += w(((v >>> 4) % buckets).toInt)
-        cnt += 1
-      }
+      if (!ws.isNullAt(i)) add(ws.getUTF8String(i).getBytes)
       i += 1
+    }
+    if (ngrams >= 2) {
+      i = 0
+      while (i < n - 1) {
+        if (!ws.isNullAt(i) && !ws.isNullAt(i + 1))
+          add(org.apache.spark.unsafe.types.UTF8String.concat(
+            ws.getUTF8String(i), Space, ws.getUTF8String(i + 1))
+            .getBytes)
+        i += 1
+      }
     }
     val margin = (if (cnt > 0) s / cnt else 0.0) + w(buckets)
     1.0 / (1.0 + math.exp(-margin))

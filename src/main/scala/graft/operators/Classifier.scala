@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.hash60
@@ -29,30 +29,58 @@ import graft.functions.TextFunctions.hash60
 object Classifier {
 
   /** A trained model: `weights(b)` for hashed buckets `b < buckets`,
-    * bias at `weights(buckets)`.
+    * bias at `weights(buckets)`. `ngrams` records the feature space
+    * the model was trained in (1 = unigram bag, 2 = unigrams +
+    * adjacent word bigrams) so scoring can never hash a different
+    * feature set than training did.
     */
-  final case class Model(weights: Array[Double], buckets: Int) {
+  final case class Model(
+      weights: Array[Double], buckets: Int, ngrams: Int = 1) {
     require(weights.length == buckets + 1,
       "weights must have buckets+1 entries (bias last)")
+    require(ngrams == 1 || ngrams == 2, "ngrams must be 1 or 2")
     def bias: Double = weights(buckets)
   }
 
+  /** The document's feature-token array: its words, plus — for
+    * `ngrams = 2`, the fastText recipe's main accuracy lever (Joulin
+    * et al. 2016 §2: bag of n-grams as additional features captures
+    * the word order a pure bag loses) — every adjacent word pair
+    * joined with a single space (hashable as one string, and exactly
+    * reproducible in SQL as `w[i] || ' ' || w[i+1]`).
+    */
+  private def featureTokens(textCol: Column, ngrams: Int): Column = {
+    val ws = filter(split(trim(lower(textCol)), "\\s+"),
+      w => length(w) > 0)
+    if (ngrams == 1) ws
+    else concat(ws,
+      // guard: sequence(0, -1) would DESCEND, not produce empty
+      when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat(element_at(ws, i + 1), lit(" "),
+            element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
   /** Hashed features `(idCol, __bucket, __x)`: for each document, one
-    * row per occupied bucket with `x = count(tokens in bucket) /
-    * n_tokens`, plus the constant bias row `(buckets, 1.0)` — having
+    * row per occupied bucket with `x = count(features in bucket) /
+    * n_features`, plus the constant bias row `(buckets, 1.0)` — having
     * the bias live as an ordinary feature keeps every training round
     * one uniform aggregate (and gives token-less documents a feature
-    * row, so they still receive margins/gradients).
+    * row, so they still receive margins/gradients). With `ngrams = 2`
+    * the feature universe is unigrams + adjacent bigrams in ONE shared
+    * bucket space (the fastText layout); n_features = n + (n-1).
     */
   def hashedFeatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      buckets: Int): DataFrame = {
+      buckets: Int,
+      ngrams: Int = 1): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(ngrams == 1 || ngrams == 2, "ngrams must be 1 or 2")
     val toks = docs.select(col(idCol),
-      filter(split(trim(lower(col(textCol))), "\\s+"),
-        w => length(w) > 0).as("__ws"))
+      featureTokens(col(textCol), ngrams).as("__ws"))
     val tokenRows = toks
       .select(col(idCol), size(col("__ws")).as("__n"),
         explode(col("__ws")).as("__w"))
@@ -78,13 +106,14 @@ object Classifier {
       labelCol: String,
       buckets: Int = 64,
       rounds: Int = 3,
-      lr: Double = 0.5): Model = {
+      lr: Double = 0.5,
+      ngrams: Int = 1): Model = {
     require(rounds > 0, "rounds must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     // both tables feed every round; materialize once (same lifecycle
     // choice as the substring-dedup fan-out tables)
-    val feats = hashedFeatures(docs, idCol, textCol, buckets)
+    val feats = hashedFeatures(docs, idCol, textCol, buckets, ngrams)
       .localCheckpoint()
     val labels = docs
       .select(col(idCol), col(labelCol).cast("double").as("__y"))
@@ -114,7 +143,7 @@ object Classifier {
       }
       r += 1
     }
-    Model(w, buckets)
+    Model(w, buckets, ngrams)
   }
 
   /** The model's score as a COLUMN over a text column — sigmoid(w·x)
@@ -128,10 +157,14 @@ object Classifier {
   def scoreColumn(textCol: org.apache.spark.sql.Column,
       model: Model): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumnCompat._
+    // the expression consumes WORDS and derives bigrams internally
+    // when the model says so (ngrams rides in the Model, so a bigram
+    // model can never be scored in the unigram space or vice versa)
     val wordsCol = filter(split(trim(lower(textCol)), "\\s+"),
       w => length(w) > 0)
     toColumn(graft.functions.HashedBagScoreExpr(
-      toExpression(wordsCol), model.weights.toSeq, model.buckets))
+      toExpression(wordsCol), model.weights.toSeq, model.buckets,
+      model.ngrams))
   }
 
   /** Score documents with a trained model: `(idCol, score)`. */

@@ -718,6 +718,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Packs.loadPacks(spark, path).mergesFingerprint === fp)
   }
 
+  test("Classifier ngrams=2: bigram features separate a word-ORDER" +
+      " corpus the unigram bag provably cannot") {
+    import graft.operators.Classifier
+    // per-class texts share an IDENTICAL unigram multiset — only the
+    // adjacency differs — so the unigram feature space collapses both
+    // classes onto the same vector and no weights can rank them
+    val neg = (0L until 30L).map(i =>
+      (i, s"filler$i alpha beta alpha beta alpha beta", 0.0))
+    val pos = (30L until 60L).map(i =>
+      (i, s"filler${i - 30} beta alpha beta alpha beta alpha", 1.0))
+    val d = (neg ++ pos).toDF("doc_id", "text", "label")
+    val uni = Classifier.train(d, "doc_id", "text", "label",
+      buckets = 32, rounds = 30, lr = 8.0)
+    val uniScores = Classifier.score(d, "doc_id", "text", uni)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pairwise: same filler => same unigram bag => same score, exactly
+    (0L until 30L).foreach { i =>
+      assert(math.abs(uniScores(i) - uniScores(i + 30)) < 1e-12,
+        s"unigram bags of $i/${i + 30} are identical; scores must be") }
+    val bi = Classifier.train(d, "doc_id", "text", "label",
+      buckets = 32, rounds = 30, lr = 8.0, ngrams = 2)
+    assert(bi.ngrams === 2)
+    val biScores = Classifier.score(d, "doc_id", "text", bi)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ps = (30L until 60L).map(biScores)
+    val ns = (0L until 30L).map(biScores)
+    assert(ps.min > ns.max,
+      s"bigram model must fully separate: pos.min=${ps.min} <= neg.max=${ns.max}")
+  }
+
   test("DedupIndex: append dedups a batch against the frozen index" +
       " (exact + near-dup, arrival-order priority), telescopes across" +
       " appends, and remembers dropped docs' hashes") {
