@@ -1928,6 +1928,32 @@ object SparkEntry {
       "stream_classifier")
   }
 
+  /** The composed ingest pipeline ([[graft.operators.Pipeline
+    * .curateStream]]): length gate → trained-classifier quality gate →
+    * exact-normalized dedup → band decontamination vs the planted %7
+    * probe → split assign, on the planted classifier corpus. Gated on
+    * the kept HASH set — the projection that is deterministic across
+    * arrival orders (every post-dedup stage reads only the normalized
+    * word sequence, which all members of a hash family share); the
+    * oracle replays the same composition batchwise: classifier GD →
+    * score+length filter → hash families → drop families whose
+    * representative shares a probe band bucket.
+    */
+  private def streamingCurateQ(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedClassifier(s, dir)
+    val planted = docStream(s, dir)
+      .select(col("doc_id"), plantJunk(col("doc_id"), col("text")).as("text"))
+    val probe = docs(s, dir)
+      .select(col("doc_id"), plantJunk(col("doc_id"), col("text")).as("text"))
+      .filter(col("doc_id") % 7 === 0)
+    runStreamToTable(s,
+      graft.operators.Pipeline.curateStream(planted, "doc_id", "text",
+        probe = Some(probe),
+        minChars = 250, maxChars = 100000,
+        qualityModel = Some(m), maxQualityScore = 0.094),
+      "stream_curate").select(col("text_hash"))
+  }
+
   /** Streaming exact dedup, gated on the one projection that is
     * deterministic across arrival orders: the kept distinct content-hash
     * set (WHICH duplicate row survives is first-arrival-dependent).
@@ -2311,6 +2337,52 @@ object SparkEntry {
        JOIN documents d USING (doc_id)
        WHERE e.grp = 1
          AND e.doc_id NOT IN (SELECT doc_id FROM dropped)"""
+  }
+
+  /** Batch replay of the composed ingest pipeline (`streaming_curate`):
+    * classifier training + scoring over the planted corpus
+    * (classifierOracle CTEs), length+score filters, band keys of the
+    * PLANTED text (the dkLshPairs arithmetic — corpus and %7 probe
+    * share one bk table, matching the gate's planted probe), exact
+    * hash families among the filtered docs, family dropped iff its
+    * representative shares a probe band bucket (the verdict is
+    * member-invariant: band keys read only the normalized word
+    * sequence every family member shares).
+    */
+  private def dkStreamingCurate: String = {
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM csig"
+    }.mkString(" UNION ALL ")
+    s"""${classifierOracle(10, "4.0")},
+       sc AS (SELECT d.doc_id, 1/(1+exp(-s.m)) AS score
+         FROM d JOIN (SELECT f.doc_id, sum(f.x * w.wt) AS m
+             FROM feat f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
+         USING (doc_id)),
+       fq AS (SELECT src.doc_id, src.text FROM src JOIN sc USING (doc_id)
+         WHERE length(src.text) >= 250 AND length(src.text) <= 100000
+           AND sc.score <= 0.094),
+       cw AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') AS words FROM src),
+       cs AS (SELECT doc_id, CASE WHEN len(words) >= 3
+           THEN list_distinct([array_to_string(words[i:i+2], ' ')
+             for i in range(1, len(words)-1)])
+           ELSE [array_to_string(words, ' ')] END AS sh FROM cw),
+       ch AS (SELECT doc_id,
+           [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM cs),
+       csig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM ch),
+       cbk AS ($bucketSelects),
+       pbk AS (SELECT DISTINCT band, bucket FROM cbk WHERE doc_id % 7 = 0),
+       bad AS (SELECT DISTINCT cbk.doc_id FROM cbk
+         JOIN pbk USING (band, bucket)),
+       hf AS (SELECT
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+           min(doc_id) AS rep FROM fq GROUP BY 1)
+       SELECT text_hash FROM hf
+       WHERE rep NOT IN (SELECT doc_id FROM bad)"""
   }
 
   /** Byte-shingle MinHash-LSH pairs over the constructed payload
@@ -2867,6 +2939,7 @@ object SparkEntry {
     "streaming_sample" -> (streamingSampleQ _),
     "streaming_quality" -> (streamingQualityQ _),
     "streaming_classifier" -> (streamingClassifierQ _),
+    "streaming_curate" -> (streamingCurateQ _),
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
@@ -4266,6 +4339,7 @@ object SparkEntry {
          FROM s GROUP BY 1, 2""",
     // stateless column exprs => the stream emits exactly the batch scores
     "streaming_quality" -> oracleSqlQualityFlags,
+    "streaming_curate" -> dkStreamingCurate,
     "streaming_classifier" -> classifierScoreOracle,
     "streaming_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",

@@ -729,12 +729,23 @@ case class BpeChunksExpr(
   * Null contract (hand-rolled `eval`, as in [[SubstringRemoveExpr]]): a
   * null starts array means "no removed grams" — all tokens kept; a null
   * ids array (null text upstream) yields `('', 0, 0)`.
+  *
+  * `scrubSeams = true` re-validates the rebuilt bytes as UTF-8 and
+  * drops any byte that cannot start or complete a well-formed sequence
+  * — for sinks that VALIDATE. Only seam regions can be invalid (every
+  * surviving token's bytes are a contiguous slice of the original
+  * valid text, so breakage happens exclusively where a cut split a
+  * multibyte character), so the scrub touches exactly the broken seam
+  * bytes and is the identity on cut-free documents. Token counts are
+  * unaffected — the scrub drops BYTES of partially-removed characters,
+  * not tokens. Default off: paper semantics, byte-faithful output.
   */
 case class BpeTokenRemoveExpr(
     ids: Expression,
     starts: Expression,
     k: Int,
-    merges: Seq[(String, String)])
+    merges: Seq[(String, String)],
+    scrubSeams: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback with BpeWalk {
 
@@ -781,11 +792,44 @@ case class BpeTokenRemoveExpr(
       }
       i += 1
     }
+    val out = bytes.toByteArray
     new GenericInternalRow(Array[Any](
-      UTF8String.fromBytes(bytes.toByteArray), kept, n.toLong - kept))
+      UTF8String.fromBytes(
+        if (scrubSeams) BpeTokenRemoveExpr.scrubInvalidUtf8(out) else out),
+      kept, n.toLong - kept))
   }
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): BpeTokenRemoveExpr =
     copy(ids = l, starts = r)
+}
+
+object BpeTokenRemoveExpr {
+  /** Drop every byte that is not part of a well-formed UTF-8 sequence:
+    * stray continuation bytes, invalid leads, and leads whose
+    * continuation run is short or wrong. One linear pass; the identity
+    * on valid input.
+    */
+  private[functions] def scrubInvalidUtf8(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      val len =
+        if (x < 0x80) 1
+        else if (x >= 0xc2 && x <= 0xdf) 2
+        else if (x >= 0xe0 && x <= 0xef) 3
+        else if (x >= 0xf0 && x <= 0xf4) 4
+        else 0 // continuation byte in lead position, or invalid lead
+      var ok = len > 0 && i + len <= b.length
+      var j = 1
+      while (ok && j < len) {
+        ok = (b(i + j) & 0xc0) == 0x80
+        j += 1
+      }
+      if (ok) { out.write(b, i, len); i += len }
+      else i += 1 // drop this byte, resync on the next
+    }
+    out.toByteArray
+  }
 }

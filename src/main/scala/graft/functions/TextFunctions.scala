@@ -116,10 +116,11 @@ object TextFunctions {
     * n_tokens_kept, n_tokens_dropped)` under `merges`' vocabulary.
     */
   def bpeTokenRemove(ids: Column, starts: Column, k: Int,
-      merges: Seq[(String, String)]): Column = {
+      merges: Seq[(String, String)],
+      scrubSeams: Boolean = false): Column = {
     import org.apache.spark.sql.GraftColumnCompat._
     toColumn(BpeTokenRemoveExpr(toExpression(ids), toExpression(starts), k,
-      merges))
+      merges, scrubSeams))
   }
 
   /** Full BPE token-id sequence ([[BpeTokenIdsExpr]]) — the

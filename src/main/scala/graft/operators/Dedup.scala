@@ -964,8 +964,9 @@ object Dedup {
     * token stream; spec-pinned in OperatorsSpec). Spark carries such
     * bytes through unchanged, but downstream consumers that VALIDATE
     * UTF-8 (external writers, other engines) may mangle or reject
-    * them — re-tokenize with the same vocabulary, or scrub seams, at
-    * the sink boundary if that matters.
+    * them — pass `scrubSeams = true` to drop the broken seam bytes in
+    * the rewrite itself (identity on cut-free documents; token counts
+    * unaffected), or re-tokenize at the sink boundary.
     *
     * Scale shape: identical to the word form (the aggregate-only
     * first-occurrence core is shared — [[removedGramStarts]]), with one
@@ -981,7 +982,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       spanTokens: Int = 50,
-      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges)
+      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges,
+      scrubSeams: Boolean = false)
       : DataFrame = {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val k = spanTokens
@@ -993,7 +995,8 @@ object Dedup {
     val starts = removedGramStarts(grams, idCol)
     toks.join(starts, Seq(idCol), "left_outer")
       .select(col(idCol),
-        bpeTokenRemove(col("__ids"), col("__starts"), k, merges).as("__r"))
+        bpeTokenRemove(col("__ids"), col("__starts"), k, merges,
+          scrubSeams).as("__r"))
       .select(col(idCol),
         col("__r").getField("text_kept").as("text_kept"),
         col("__r").getField("n_tokens_kept").as("n_tokens_kept"),

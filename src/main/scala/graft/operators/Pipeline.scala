@@ -179,6 +179,94 @@ object Pipeline {
     Sampling.assignSplit(d, idCol, splits)
   }
 
+  /** [[curate]]'s INGEST-TIME sibling: the same stage order, composed
+    * from the stages that run on an unbounded stream — so one reviewed
+    * pipeline governs both the backfill (batch `curate`) and the live
+    * crawl ingest, instead of two drifting implementations.
+    *
+    *  1.  length gate, 1b. heuristic quality gate, 1c. trained-model
+    *      quality gate — pure per-row predicates, identical expressions
+    *      to [[curate]]'s, pipelined into the stream scan;
+    *  2.  exact-normalized dedup — `dropDuplicates` on
+    *      [[Dedup.normalizedHash]] (keyed state = one entry per
+    *      distinct hash; pass `dedupHorizon` to bound state by a
+    *      processing-time watermark, [[graft.streaming.StreamingDedup
+    *      .exactStreamWindowed]]'s trade: a dup arriving later than the
+    *      horizon re-emits and the batch dedup downstream catches it);
+    *  3.  decontamination — stateless predicates whose probe collapsed
+    *      to a literal ([[graft.streaming.StreamingDedup
+    *      .bandDecontaminateKeep]] / `exactGramDecontaminateKeep`);
+    *  4.  split assignment — stateless id-hash, last, as in [[curate]].
+    *
+    * Omitted vs [[curate]]: the corpus-rewrite stages (line/substring
+    * dedup need corpus-wide first-occurrence state — batch work) and
+    * LSH near-dup (its streaming form, [[graft.streaming.StreamingDedup
+    * .nearDupStream]], needs event-time staging and its own
+    * correctness acknowledgment — compose it explicitly when wanted).
+    *
+    * WHICH row of an exact-dup family survives is arrival-order
+    * dependent (first seen wins, vs batch `curate`'s min-id) — but
+    * every stage after the dedup is invariant to the choice: the
+    * normalized hash is the family key, and both decontamination
+    * predicates read only the normalized word sequence, which all
+    * family members share. The kept HASH set therefore equals the
+    * batch composition's exactly — what the `streaming_curate` gate
+    * pins. Output: surviving rows + `text_hash` + `split`.
+    */
+  def curateStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probe: Option[DataFrame] = None,
+      probeTextCol: String = "text",
+      minChars: Int = 1,
+      maxChars: Int = Int.MaxValue,
+      qualityFilter: Boolean = false,
+      maxRepetition: Double = 0.3,
+      maxSymbolRatio: Double = 0.2,
+      qualityModel: Option[Classifier.Model] = None,
+      maxQualityScore: Double = 1.0,
+      exactDedup: Boolean = true,
+      dedupHorizon: Option[String] = None,
+      decontaminateExactNgrams: Int = 0,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val len = length(col(textCol))
+    var d = docs.filter(len >= minChars && len <= maxChars)
+    if (qualityFilter) {
+      val (rep, sym) = TextAnalysis.qualityRatios(col(textCol))
+      d = d.filter(rep <= maxRepetition && sym <= maxSymbolRatio)
+    }
+    qualityModel.foreach { m =>
+      d = d.filter(
+        Classifier.scoreColumn(col(textCol), m) <= maxQualityScore)
+    }
+    if (exactDedup) {
+      d = d.withColumn("text_hash", Dedup.normalizedHash(col(textCol)))
+      d = dedupHorizon match {
+        case Some(h) => d
+          .withColumn("__ingest", current_timestamp())
+          .withWatermark("__ingest", h)
+          .dropDuplicatesWithinWatermark("text_hash")
+          .drop("__ingest")
+        case None => d.dropDuplicates("text_hash")
+      }
+    }
+    probe.foreach { p =>
+      d = d.filter(
+        if (decontaminateExactNgrams > 0)
+          graft.streaming.StreamingDedup.exactGramDecontaminateKeep(
+            p, probeTextCol, col(textCol), decontaminateExactNgrams)
+        else graft.streaming.StreamingDedup.bandDecontaminateKeep(
+          p, probeTextCol, col(textCol), shingleN, numHashes, bands))
+    }
+    Sampling.assignSplit(d, idCol, splits)
+  }
+
   /** [[curate]]'s multimodal sibling — the crawl-media composition:
     * size gate → optional decodability gate → exact content dedup →
     * byte-shingle near-dup ownership → optional perceptual (dHash)

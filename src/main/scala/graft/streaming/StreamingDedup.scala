@@ -164,18 +164,60 @@ object StreamingDedup {
       textCol: String = "text",
       shingleN: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8): DataFrame =
+    spark.readStream.schema(DocSchema).parquet(dir)
+      .filter(bandDecontaminateKeep(probe, textCol, col(textCol),
+        shingleN, numHashes, bands))
+
+  /** Stateless MinHash-band decontamination PREDICATE against a batch
+    * probe: the probe's distinct (band, bucket) keys collapse to a
+    * sorted literal (bounded by the probe's bucket count — eval-set
+    * scale, the same boundedness argument as [[decontaminateStream]],
+    * which this factors out of), and a row keeps iff none of its own
+    * band keys overlap. Pure per-row column — composable into any
+    * stream or batch filter chain ([[graft.operators.Pipeline
+    * .curateStream]]).
+    */
+  def bandDecontaminateKeep(
+      probe: DataFrame,
+      probeTextCol: String,
+      textCol: org.apache.spark.sql.Column,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): org.apache.spark.sql.Column = {
     import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
     require(numHashes % bands == 0, "bands must divide numHashes")
     def bandKeys(c: org.apache.spark.sql.Column) =
       transform(minhashBuckets(shingleHashes(c, shingleN), numHashes, bands),
         (b, i) => concat(i.cast("string"), lit(":"), b))
-    // bounded by the probe's distinct bucket count (eval-set scale);
     // sorted so the literal — and with it the plan — is deterministic
     val probeKeys = probe
-      .select(explode(bandKeys(col(textCol))).as("k"))
+      .select(explode(bandKeys(col(probeTextCol))).as("k"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
-    spark.readStream.schema(DocSchema).parquet(dir)
-      .filter(!arrays_overlap(bandKeys(col(textCol)), typedLit(probeKeys)))
+    !arrays_overlap(bandKeys(textCol), typedLit(probeKeys))
+  }
+
+  /** Stateless EXACT n-gram decontamination predicate (the GPT-3/Pile
+    * recipe [[graft.operators.Dedup.decontaminateExact]] as a pure
+    * column): the probe's distinct word-n-gram hashes collapse to a
+    * sorted hex literal, and a row keeps iff it shares none. Documents
+    * with fewer than `n` words have no grams and always keep — the
+    * batch form's explode drops them the same way.
+    */
+  def exactGramDecontaminateKeep(
+      probe: DataFrame,
+      probeTextCol: String,
+      textCol: org.apache.spark.sql.Column,
+      n: Int = 13): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.wordGramHash128
+    require(n >= 2, "n must be >= 2")
+    def gramHex(c: org.apache.spark.sql.Column) =
+      transform(wordGramHash128(
+        filter(split(trim(lower(c)), "\\s+"), w => length(w) > 0), n),
+        h => lower(hex(h)))
+    val probeGrams = probe
+      .select(explode(gramHex(col(probeTextCol))).as("h"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    !arrays_overlap(gramHex(textCol), typedLit(probeGrams))
   }
 }

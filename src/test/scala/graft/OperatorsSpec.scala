@@ -925,6 +925,24 @@ class OperatorsSpec extends AnyFunSuite {
     val seam = run("中文", typedLit(Seq(1)), 2)
     assert(seam.getString(3) === expectHash)
     assert(seam.getLong(1) === 4L && seam.getLong(2) === 2L)
+    // scrubSeams: the same cut with scrubbing drops the orphaned lead
+    // byte of 中, leaving exactly 文 — valid UTF-8, same TOKEN counts
+    // (the scrub removes bytes of partially-removed characters, never
+    // surviving tokens)
+    def runScrub(text: String, starts: org.apache.spark.sql.Column, k: Int) =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.bpeTokenRemove(
+          TextFunctions.bpeTokenIds(col("text"), m), starts, k, m,
+          scrubSeams = true).as("r"))
+        .select(col("r.text_kept"), col("r.n_tokens_kept"),
+          col("r.n_tokens_dropped"))
+        .collect().head
+    val scrubbed = runScrub("中文", typedLit(Seq(1)), 2)
+    assert(scrubbed.getString(0) === "文")
+    assert(scrubbed.getLong(1) === 4L && scrubbed.getLong(2) === 2L)
+    // identity on cut-free output: no seams, nothing scrubbed
+    val clean = runScrub("abcabx", lit(null).cast("array<int>"), 2)
+    assert(clean.getString(0) === "abcabx")
   }
 
   test("hot-bucket cap: a 10k-copy viral family produces zero pairs" +
@@ -1365,6 +1383,60 @@ class OperatorsSpec extends AnyFunSuite {
       FROM sfunnel_out GROUP BY 1""")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(last === Map(1L -> 3, 2L -> 0))
+  }
+
+  test("curateStream composes the ingest stages: length + model gates," +
+      " exact dedup across micro-batches, exact-ngram decontamination," +
+      " split assign — kept hash set matches the batch composition") {
+    import graft.operators.{Classifier, Dedup, Pipeline}
+    val dir = java.nio.file.Files.createTempDirectory("scurate").toString
+    val longA = ("alpha bravo charlie delta echo foxtrot golf hotel " * 4).trim
+    val longB = ("india juliett kilo lima mike november oscar papa " * 4).trim
+    val evalDoc = ("quebec romeo sierra tango uniform victor whiskey xray " * 4).trim
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, txt) => (id, txt, "en", "web", txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: a keeper, a too-short doc, a contaminated doc
+    write(Seq((0L, longA), (1L, "tiny"), (2L, evalDoc + " extra words here")))
+    val probe = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    // a permissive model: score gate present but passes everything
+    val m = Classifier.Model(Array.fill(33)(0.0), 32)
+    val out = Pipeline.curateStream(
+      spark.readStream.schema(
+        Seq((0L, "", "", "", 0L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars").schema)
+        .parquet(dir),
+      "doc_id", "text", probe = Some(probe),
+      minChars = 50, qualityModel = Some(m), maxQualityScore = 0.6,
+      decontaminateExactNgrams = 5)
+    val q = out.writeStream.format("memory").queryName("scurate_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: an exact-norm dup of longA (dropped by cross-batch
+    // state) and a fresh keeper
+    write(Seq((10L, "  " + longA.toUpperCase + "  "), (11L, longB)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scurate_out")
+    assert(got.columns.contains("split"))
+    val gotHashes = got.select("text_hash").collect()
+      .map(_.getString(0)).toSet
+    // batch replay: same filters, exact-normalized keep, exact-gram decon
+    val all = Seq((0L, longA), (1L, "tiny"),
+      (2L, evalDoc + " extra words here"),
+      (10L, "  " + longA.toUpperCase + "  "), (11L, longB))
+      .toDF("doc_id", "text")
+    val filtered = all.filter(length(col("text")) >= 50)
+    val deduped = Dedup.dropDuplicatesExact(
+      filtered.withColumn("text_hash",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))),
+      "text_hash", "text_hash")
+    val expect = Dedup.decontaminateExact(deduped, probe, "text_hash",
+        "text", n = 5)
+      .select("text_hash").collect().map(_.getString(0)).toSet
+    assert(gotHashes === expect)
+    assert(gotHashes.size === 2) // longA family + longB; eval-dup gone
   }
 
   test("streaming exact dedup keeps only the first occurrence per content") {
