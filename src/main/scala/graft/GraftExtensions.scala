@@ -104,5 +104,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "token-space substring-dedup rewrite under the fixture vocab (k=40)") {
       exprs => BpeTokenRemoveExpr(exprs(0), exprs(1), 40, Bpe.fixtureMerges)
     }
+    inject("hashed_bag_score_fixture",
+      "hashed-bag logistic score under the fixture weights (8 buckets)") {
+      exprs => HashedBagScoreExpr(exprs.head,
+        HashedBagScoreExpr.fixtureWeights, HashedBagScoreExpr.FixtureBuckets)
+    }
+    inject("hashed_bag_score_fixture_bi",
+      "fixture hashed-bag score with adjacent-bigram features") {
+      exprs => HashedBagScoreExpr(exprs.head,
+        HashedBagScoreExpr.fixtureWeights, HashedBagScoreExpr.FixtureBuckets,
+        ngrams = 2)
+    }
+    inject("langid_nb_score_fixture",
+      "per-language smoothed NB trigram score under the fixture profile") {
+      exprs => LangIdNbScoreExpr(exprs.head, LangIdNbScoreExpr.fixtureProfile)
+    }
   }
 }

@@ -150,6 +150,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("bpe_token_remove_fixture40",
       exprs => BpeTokenRemoveExpr(exprs(0), exprs(1), 40, Bpe.fixtureMerges),
       "scala_udf")
+    // r14 additions: the round's scorers as fixture-parameterized SQL
+    // forms (the bpe_*_fixture pattern — arithmetic pinned from SQL;
+    // trained deployments construct the expressions with real params)
+    reg.createOrReplaceTempFunction("hashed_bag_score_fixture",
+      exprs => HashedBagScoreExpr(exprs.head,
+        HashedBagScoreExpr.fixtureWeights,
+        HashedBagScoreExpr.FixtureBuckets), "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_bag_score_fixture_bi",
+      exprs => HashedBagScoreExpr(exprs.head,
+        HashedBagScoreExpr.fixtureWeights,
+        HashedBagScoreExpr.FixtureBuckets, ngrams = 2), "scala_udf")
+    reg.createOrReplaceTempFunction("langid_nb_score_fixture",
+      exprs => LangIdNbScoreExpr(exprs.head,
+        LangIdNbScoreExpr.fixtureProfile), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
     // group top-k from SQL (see object scaladoc for the full recipe)
     spark.udf.register("group_topk3",

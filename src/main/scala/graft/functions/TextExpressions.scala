@@ -1311,3 +1311,102 @@ case class HashedBagScoreExpr(
   override protected def withNewChildInternal(c: Expression): HashedBagScoreExpr =
     copy(child = c)
 }
+
+object HashedBagScoreExpr {
+  /** Deterministic fixture weights for the SQL registration
+    * (`hashed_bag_score_fixture`): 8 buckets with `w(b) = b/8`, bias
+    * −0.5 — i.e. `score = sigmoid(mean_token(hash60(token) mod 8 / 8)
+    * − 0.5)`, fully replayable in SQL from the documented md5-prefix
+    * hash. Fixture-parameterized like `bpe_*_fixture40`: the SQL
+    * surface pins the ARITHMETIC; real deployments construct the
+    * expression with trained weights via [[graft.operators.Classifier
+    * .scoreColumn]].
+    */
+  val FixtureBuckets: Int = 8
+  val fixtureWeights: Seq[Double] =
+    (0 until FixtureBuckets).map(_.toDouble / FixtureBuckets) :+ -0.5
+}
+
+/** Per-language smoothed NB log-likelihood of a document's distinct
+  * trigram set under a FIXED profile — the scoring arithmetic of
+  * [[graft.operators.TextAnalysis.langIdScore]] (`Σ_{g∈doc∩profile}
+  * ln(cnt+1) − |doc grams| · ln(tot_lang + V)`) as one scalar
+  * expression over a gram array, so the trained-langid recipe is
+  * reachable from pure SQL (`langid_nb_score_fixture(
+  * char_shingles3(lower(text)))`). Output: `map<lang, score>`, langs
+  * sorted. The profile is embedded at construction (broadcast-in-plan,
+  * the right shape for the ≤ topK·|langs| model size); the engine's
+  * distributed scorer remains [[graft.operators.TextAnalysis
+  * .langIdScore]] — this form exists for SQL parity and fixture
+  * verification, exactly like `bpe_*_fixture40`.
+  */
+case class LangIdNbScoreExpr(
+    child: Expression,
+    profile: Seq[(String, String, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  require(profile.nonEmpty, "empty language profile")
+
+  override def dataType: DataType =
+    MapType(StringType, DoubleType, valueContainsNull = false)
+
+  private lazy val langs: Array[String] =
+    profile.map(_._1).distinct.sorted.toArray
+  private lazy val langKeys: Array[Any] =
+    langs.map(UTF8String.fromString(_): Any)
+  // add-one smoothing over the profile vocabulary V, as in langIdScore
+  private lazy val dens: Array[Double] = {
+    val v = profile.map(_._2).distinct.size.toDouble
+    langs.map(l =>
+      math.log(profile.filter(_._1 == l).map(_._3).sum.toDouble + v))
+  }
+  private lazy val hitTable: Map[String, Array[Double]] =
+    profile.groupBy(_._2).map { case (gram, rows) =>
+      val arr = new Array[Double](langs.length)
+      rows.foreach { case (l, _, cnt) =>
+        arr(langs.indexOf(l)) += math.log(cnt.toDouble + 1.0) }
+      gram -> arr
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val gs = input.asInstanceOf[ArrayData]
+    val n = gs.numElements()
+    val hits = new Array[Double](langs.length)
+    var nd = 0
+    var i = 0
+    while (i < n) {
+      if (!gs.isNullAt(i)) {
+        nd += 1
+        hitTable.get(gs.getUTF8String(i).toString).foreach { arr =>
+          var j = 0
+          while (j < arr.length) { hits(j) += arr(j); j += 1 }
+        }
+      }
+      i += 1
+    }
+    val values = new Array[Any](langs.length)
+    var j = 0
+    while (j < langs.length) {
+      values(j) = hits(j) - nd.toDouble * dens(j)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(langKeys), new GenericArrayData(values))
+  }
+
+  override protected def withNewChildInternal(c: Expression): LangIdNbScoreExpr =
+    copy(child = c)
+}
+
+object LangIdNbScoreExpr {
+  /** Tiny deterministic profile for the SQL fixture registration:
+    * 4 characteristic trigrams per language, all distinct (V = 8,
+    * tot_en = 23, tot_es = 21) — small enough to verify a score by
+    * hand from the documented formula.
+    */
+  val fixtureProfile: Seq[(String, String, Long)] = Seq(
+    ("en", "the", 8L), ("en", "he ", 6L), ("en", " th", 5L),
+    ("en", "ing", 4L),
+    ("es", "de ", 7L), ("es", " de", 6L), ("es", "el ", 5L),
+    ("es", "os ", 3L))
+}

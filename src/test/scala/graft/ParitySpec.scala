@@ -268,6 +268,28 @@ class ParitySpec extends AnyFunSuite {
     val tr = r13.getStruct(2)
     assert(tr.getString(0) === "abcx" && tr.getLong(1) === 2L &&
       tr.getLong(2) === 0L)              // null starts -> all kept
+    // r14 additions: the round's scorers as fixture forms — bag score
+    // (uni + bigram) and the NB langid map
+    val r14 = spark.sql("""
+      SELECT hashed_bag_score_fixture(array()) AS empty,
+             hashed_bag_score_fixture(split('one two three', ' ')) AS uni,
+             hashed_bag_score_fixture_bi(split('one two three', ' ')) AS bi,
+             langid_nb_score_fixture(
+               char_shingles3(lower('the theme thing'))) AS en,
+             langid_nb_score_fixture(
+               char_shingles3(lower('los osos de el parque'))) AS es""")
+      .collect().head
+    // empty bag scores sigmoid(bias) = sigmoid(-0.5) exactly
+    assert(math.abs(r14.getAs[Double]("empty")
+      - 1.0 / (1.0 + math.exp(0.5))) < 1e-12)
+    // the bigram form folds 2 extra features into the mean — same
+    // buckets, different denominator, so the two must differ here
+    assert(r14.getAs[Double]("uni") !== r14.getAs[Double]("bi"))
+    val enM = r14.getMap[String, Double](3)
+    val esM = r14.getMap[String, Double](4)
+    assert(enM.keys.toSeq.sorted === Seq("en", "es"))
+    assert(enM("en") > enM("es"))  // English-ish grams prefer en
+    assert(esM("es") > esM("en"))  // Spanish-ish grams prefer es
   }
 
   test("SQL surface: group_topk UDAF, as-of and range join recipes" +
