@@ -798,6 +798,125 @@ object SparkEntry {
       budget = 10000L,
       defaultWeight = 0.2 / 18)
 
+  /** SURGICAL decontamination gate ([[decontaminateExactQ]]'s plant,
+    * scrub instead of drop): %9 train docs carry the appended snippet,
+    * the probe is every 13th doc with the snippet appended. Scrubbing
+    * must remove the snippet span from planted docs (plus boundary
+    * grams), empty out %13 docs almost entirely (their full bodies are
+    * in the probe), and leave everything else byte-identical. The
+    * oracle replays tokenization, lowercased 13-gram keys, probe
+    * membership, positional span cover, and the original-casing
+    * rebuild.
+    */
+  private def decontaminateScrubQ(s: SparkSession, dir: String): DataFrame = {
+    val snip = "held out evaluation question about the seventeen" +
+      " silver llamas crossing frozen rivers quietly"
+    val train = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + snip)))
+        .otherwise(col("text")).as("text"))
+    val probe = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      .select(concat(col("text"), lit(" " + snip)).as("text"))
+    Dedup.scrubContaminatedSpans(train, probe, "doc_id", "text", n = 13)
+  }
+
+  /** Curation with the SURGICAL decontamination stage on
+    * ([[decontaminateScrubQ]]'s plant): length gate → span scrub →
+    * empty-drop → exact-normalized dedup over the SCRUBBED text →
+    * split assignment. The scrub runs before the dedup (the stage's
+    * point: docs differing only in a quoted eval span dedup
+    * correctly), which the oracle replays end-to-end.
+    */
+  private def curateScrubQ(s: SparkSession, dir: String): DataFrame = {
+    val snip = "held out evaluation question about the seventeen" +
+      " silver llamas crossing frozen rivers quietly"
+    val train = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + snip)))
+        .otherwise(col("text")).as("text"))
+    val probe = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      .select(concat(col("text"), lit(" " + snip)).as("text"))
+    graft.operators.Pipeline.curate(train, "doc_id", "text",
+      probe = Some(probe), minChars = 250, maxChars = 100000,
+      scrubProbeNgrams = 13)
+      .select(col("doc_id"), col("split"))
+  }
+
+  /** Temperature mixing at alpha = 0.5 over the 20 sources: shares
+    * follow sqrt(tokens) — small sources up-weighted vs natural
+    * proportions — and the oracle recomputes the pow-share and
+    * keep-fraction arithmetic from the same per-source sums.
+    */
+  private def mixTemperatureQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixByTemperature(
+      docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars", budget = 20000L, alpha = 0.5)
+
+  /** Fractional-epoch upsampling: src0 at 2.3 epochs (2 copies + a
+    * deterministic 30% third), src1 at 0.5 (downsampled in the same
+    * units), src2 at 0 (dropped), everything else 1 epoch. The oracle
+    * replays the per-domain floor/threshold literals and the salted
+    * hash test, fanning out with range().
+    */
+  private def upsampleEpochsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.upsampleToEpochs(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source",
+      epochs = Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0),
+      defaultEpochs = 1.0)
+
+  /** Epoch-shuffle layout over the [[packSequencesQ]] pack set: each
+    * distinct (bucket, pack) gets a seeded shard and a dense
+    * within-shard rank; the oracle replays the pack-assignment window
+    * arithmetic, the seeded hash, and the partitioned row_number.
+    */
+  private def packShuffleQ(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.operators.Sampling.packSequences(
+      docs(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", seqTokens = 2048L, nBuckets = 8)
+    graft.operators.Sampling.shufflePacks(
+      packed.select(col("pack_bucket"), col("pack_id")).distinct(),
+      seed = 7L, nShards = 8)
+  }
+
+  /** HTML extraction gate: documents are wrapped in a synthetic page —
+    * head with style/script blocks (contents must vanish), a comment,
+    * an entity-bearing h1, the body re-paragraphed at sentence breaks,
+    * a br and trailing entities — and the extractor must give back the
+    * prose with line structure at the block boundaries. The oracle
+    * replays the construction and the identical regexp chain in
+    * DuckDB (the patterns are RE2-safe by design).
+    */
+  private def htmlExtractQ(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>Doc</title>" +
+        "<style type=\"text/css\">p { color: red; }</style>" +
+        "<script>if (1 < 2) { document.write(\"x\"); }</script></head>" +
+        "<body><!-- nav --><h1>Doc &amp; entry "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"),
+      replace(col("text"), lit(". "), lit(".</p>\n<p>")),
+      lit("</p><br>&quot;fin&quot; &lt;eof&gt;</body></html>"))
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.extractHtmlText(page).as("text_clean"))
+  }
+
+  /** WET roundtrip: documents become conversion records (synthetic
+    * target URIs), written as WET-style files and read back — emitted
+    * from the READ side, so header construction, record splitting,
+    * header extraction, and payload recovery are all load-bearing for
+    * the hash match. The oracle states the invariant directly from
+    * documents (uri, byte Content-Length, exact text).
+    */
+  private def wetRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_wet_${Integer.toHexString(dir.hashCode)}"
+    val d = docs(s, dir).select(
+      concat(lit("http://example.org/doc/"), col("doc_id").cast("string"))
+        .as("uri"),
+      col("text"))
+    graft.sources.Wet.writeWet(d, "uri", "text", base, numFiles = 8)
+    graft.sources.Wet.readWet(s, base)
+      .select(col("uri"), col("content_length"), col("text"))
+  }
+
   /** Composed curation: length gate -> exact-normalized dedup ->
     * decontaminate (probe = %13 docs) -> train/val/test assignment.
     * The near-dup and line-dedup stages are off here (their survivor
@@ -2856,6 +2975,13 @@ object SparkEntry {
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "decontaminate"    -> (decontaminateQ _),
     "decontaminate_exact" -> (decontaminateExactQ _),
+    "decontaminate_scrub" -> (decontaminateScrubQ _),
+    "curate_scrub"     -> (curateScrubQ _),
+    "mix_temperature"  -> (mixTemperatureQ _),
+    "upsample_epochs"  -> (upsampleEpochsQ _),
+    "pack_shuffle"     -> (packShuffleQ _),
+    "html_extract"     -> (htmlExtractQ _),
+    "wet_roundtrip"    -> (wetRoundtripQ _),
     "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
     "dedup_index_persist" -> (dedupIndexPersistQ _),
     "dedup_index_append" -> (dedupIndexAppendQ _),
@@ -3565,6 +3691,134 @@ object SparkEntry {
          FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM tt)),
        bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h))
        SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+    "decontaminate_scrub" ->
+      """WITH tr AS (SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+               THEN text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly'
+               ELSE text END AS text
+           FROM documents),
+         pr AS (SELECT text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly' AS text
+           FROM documents WHERE doc_id % 13 = 0),
+         pt AS (SELECT list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws FROM pr),
+         pg AS (SELECT DISTINCT array_to_string(list_transform(ws[i:i+12], w -> lower(w)), ' ') AS gk
+           FROM (SELECT ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM pt)),
+         t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws FROM tr),
+         tg AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS gpos,
+             array_to_string(list_transform(ws[i:i+12], w -> lower(w)), ' ') AS gk
+           FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM t)),
+         cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(gpos, gpos + 13)) AS INTEGER) AS pos
+           FROM tg WHERE gk IN (SELECT gk FROM pg)),
+         w AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS INTEGER) AS pos, unnest(ws) AS w FROM t),
+         k AS (SELECT w.doc_id, w.pos, w.w, cov.pos IS NULL AS keep
+           FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+         agg AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '') AS text_kept,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_words_kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_words_dropped
+           FROM k GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
+           coalesce(agg.n_words_kept, 0) AS n_words_kept,
+           coalesce(agg.n_words_dropped, 0) AS n_words_dropped
+         FROM t LEFT JOIN agg USING (doc_id)""",
+    "curate_scrub" ->
+      s"""WITH tr AS (SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+               THEN text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly'
+               ELSE text END AS text
+           FROM documents),
+         q AS (SELECT doc_id, text FROM tr
+           WHERE length(text) >= 250 AND length(text) <= 100000),
+         pr AS (SELECT text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly' AS text
+           FROM documents WHERE doc_id % 13 = 0),
+         pt AS (SELECT list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0) AS ws FROM pr),
+         pg AS (SELECT DISTINCT array_to_string(list_transform(ws[i:i+12], w -> lower(w)), ' ') AS gk
+           FROM (SELECT ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM pt)),
+         t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0) AS ws FROM q),
+         tg AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS gpos,
+             array_to_string(list_transform(ws[i:i+12], w -> lower(w)), ' ') AS gk
+           FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM t)),
+         cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(gpos, gpos + 13)) AS INTEGER) AS pos
+           FROM tg WHERE gk IN (SELECT gk FROM pg)),
+         w AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS INTEGER) AS pos, unnest(ws) AS w FROM t),
+         k AS (SELECT w.doc_id, w.pos, w.w, cov.pos IS NULL AS keep
+           FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+         agg AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '') AS tk
+           FROM k GROUP BY doc_id),
+         sc AS (SELECT t.doc_id, coalesce(agg.tk, '') AS tk
+           FROM t LEFT JOIN agg USING (doc_id)),
+         ne AS (SELECT doc_id, tk FROM sc WHERE length(tk) > 0),
+         ex AS (SELECT min(doc_id) AS doc_id FROM ne
+           GROUP BY md5(regexp_replace(trim(lower(tk)), '\\s+', ' ', 'g'))),
+         fin AS (SELECT ne.doc_id FROM ne JOIN ex USING (doc_id))
+         SELECT doc_id,
+           CASE WHEN h < 800000 THEN 'train'
+                WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)""",
+    "mix_temperature" ->
+      s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tk
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, tk,
+             pow(tk, 0.5) / (SELECT sum(pow(tk, 0.5)) FROM tot) AS wt
+           FROM tot),
+         fr AS (SELECT source, least(1.0, 20000 * wt / tk) AS f FROM w)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN fr USING (source)
+         WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
+           < round(f * 1000000)""",
+    "upsample_epochs" ->
+      s"""WITH n AS (SELECT doc_id, source,
+           (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0
+                 WHEN source = 'src2' THEN 0 ELSE 1 END)
+           + (CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR) || ':up'")} % 1000000
+                < (CASE WHEN source = 'src0' THEN ${math.round((2.3 - 2) * 1000000)}
+                        WHEN source = 'src1' THEN ${math.round(0.5 * 1000000)}
+                        WHEN source = 'src2' THEN 0 ELSE 0 END)
+              THEN 1 ELSE 0 END) AS nc
+           FROM documents)
+         SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS epoch
+         FROM n WHERE nc >= 1""",
+    "pack_shuffle" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         b AS (SELECT doc_id, n_chars, h, h % 8 AS pack_bucket FROM d),
+         c AS (SELECT *, COALESCE(sum(n_chars) OVER (
+             PARTITION BY pack_bucket ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM b),
+         p AS (SELECT DISTINCT CAST(pack_bucket AS BIGINT) AS pack_bucket,
+             CAST(st // 2048 AS BIGINT) AS pack_id FROM c),
+         hh AS (SELECT pack_bucket, pack_id,
+             ${dkHash("CAST(pack_bucket AS VARCHAR) || ':' || CAST(pack_id AS VARCHAR) || ':7'")} AS h
+           FROM p)
+         SELECT pack_bucket, pack_id, h % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8
+             ORDER BY h, pack_bucket, pack_id) AS BIGINT) AS shard_rank
+         FROM hh""",
+    "html_extract" ->
+      """WITH page AS (SELECT doc_id,
+           '<html><head><title>Doc</title><style type="text/css">p { color: red; }</style><script>if (1 < 2) { document.write("x"); }</script></head><body><!-- nav --><h1>Doc &amp; entry ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+           replace(text, '. ', '.</p>' || chr(10) || '<p>') ||
+           '</p><br>&quot;fin&quot; &lt;eof&gt;</body></html>' AS h
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS h FROM page),
+         s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS h FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(regexp_replace(h, '(?i)<br[^>]*>', chr(10), 'g'),
+             '(?i)</(p|div|li|h[1-6]|tr|ul|ol|blockquote|title)[^>]*>', chr(10), 'g') AS h FROM s3),
+         s5 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s4),
+         e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(h,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+             '&nbsp;', ' '), '&amp;', '&') AS h FROM s5),
+         ws AS (SELECT doc_id, regexp_replace(regexp_replace(h, '[ \t\r]+', ' ', 'g'),
+             '( ?\n)+ ?', chr(10), 'g') AS h FROM e)
+         SELECT doc_id, regexp_replace(h, '^[\n ]+|[\n ]+$', '', 'g') AS text_clean
+         FROM ws""",
+    "wet_roundtrip" ->
+      """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
+         FROM documents""",
     "curate_pipeline" -> dkCurate,
     "curate_substring" -> dkCurateSubstring,
     "curate_decon_exact" ->

@@ -628,6 +628,39 @@ object Stress {
         .withColumn("w", col("okey") % 97)
       SkewJoin.saltedJoin(fact, dim, "okey", saltFactor = 16)
     }
+    time("decontaminate_scrub_10x") {
+      // surgical scrub at 10x: the probe (distinct grams of a ~7.7k-doc
+      // eval slice) broadcasts; the corpus-side cost is the positional
+      // gram stream + a contaminated-grams-only aggregate, so runtime
+      // must track corpus size, not corpus × probe
+      val probe = docs.filter(col("doc_id") % 13 === 0).select("text")
+      Dedup.scrubContaminatedSpans(docs, probe, "doc_id", "text", n = 13)
+    }
+    time("html_extract_10x") {
+      // the regex chain is the entire cost: one pipelined pass, no
+      // shuffle — wall-clock here is pure per-byte extraction throughput
+      val page = concat(lit("<html><body><h1>T</h1><p>"),
+        regexp_replace(col("text"), "\\. ", ".</p><p>"),
+        lit("</p><script>var x=1;</script></body></html>"))
+      docs.select(col("doc_id"),
+        TextAnalysis.extractHtmlText(page).as("t"))
+    }
+    time("upsample_shuffle_10x") {
+      // fractional-epoch fan-out (≈1.6x rows) into pack assignment and
+      // the seeded shard/rank layout: the only sort is within-shard,
+      // 256 shards — no global-order funnel at any width
+      val up = graft.operators.Sampling.upsampleToEpochs(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source",
+        epochs = Map("src0" -> 2.3, "src1" -> 2.0), defaultEpochs = 1.0)
+      val packed = graft.operators.Sampling.packSequences(
+        up.select(concat_ws("#", col("doc_id"), col("epoch")).as("uid"),
+          col("n_chars")),
+        "uid", "n_chars", seqTokens = 2048L, nBuckets = 64)
+      graft.operators.Sampling.shufflePacks(
+        packed.select(col("pack_bucket"), col("pack_id")).distinct(),
+        seed = 3L, nShards = 256)
+    }
     spark.stop()
   }
 }

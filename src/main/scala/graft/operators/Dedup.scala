@@ -638,6 +638,69 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** SURGICAL exact n-gram decontamination — the variant GPT-3 actually
+    * shipped (Brown et al. 2020 App. C removes a window AROUND each
+    * contaminated n-gram and keeps the clean remainder, rather than
+    * dropping the document): every corpus word-`n`-gram whose
+    * normalized form appears anywhere in the probe is removed from the
+    * corpus text, overlapping removal spans merging positionally, and
+    * the scrubbed document survives. Use [[decontaminateExact]] when
+    * whole-document drop is acceptable (cheaper — no rewrite); use
+    * this when the corpus is precious and only the quoted eval spans
+    * must go (the published motivation: benchmarks quote books and
+    * news that are otherwise good training data).
+    *
+    * Matching is lowercase-normalized (= [[decontaminateExact]]'s key)
+    * but the rewrite keeps the ORIGINAL casing of surviving words —
+    * `lower` never changes whitespace, so normalized gram positions
+    * index the original token array directly. Output is
+    * [[dedupSubstrings]]' schema: `(id, text_kept, n_words_kept,
+    * n_words_dropped)`, one row per corpus doc (docs shorter than `n`
+    * words pass through untouched, as published).
+    *
+    * Scale shape: the probe side collapses to DISTINCT 16-byte gram
+    * keys and broadcasts (eval sets are tiny by definition) into a
+    * semi join against the corpus's positional gram stream — the
+    * corpus never shuffles on the broadcast path; the only corpus-keyed
+    * shuffle is the per-doc starts aggregate, whose input is
+    * CONTAMINATED grams only (eval-overlap-sized, not corpus-sized).
+    * Token arrays materialize once ([[substringMaterialize]]) for the
+    * gram pass and the rewrite join, the [[dedupSubstrings]] fan-out
+    * discipline. `broadcastProbe = false` shuffles the semi join for
+    * probes too large to broadcast.
+    */
+  def scrubContaminatedSpans(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      broadcastProbe: Boolean = true): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    def words(c: Column) = filter(split(c, "\\s+"), w => length(w) > 0)
+    val probeGrams = probe.select(explode(wordGramHash128(
+        transform(words(col(textCol)), w => lower(w)), n)).as("__h"))
+      .distinct()
+    val toks = substringMaterialize(corpus.select(col(idCol),
+      words(col(textCol)).as("__ws")))
+    val grams = toks.filter(size(col("__ws")) >= n)
+      .select(col(idCol), posexplode(wordGramHash128(
+        transform(col("__ws"), w => lower(w)), n))
+        .as(Seq("__gpos", "__h")))
+    val starts = grams
+      .join(if (broadcastProbe) broadcast(probeGrams) else probeGrams,
+        Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
+    toks.join(starts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        substringRemove(col("__ws"), col("__starts"), n).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_kept").as("text_kept"),
+        col("__r").getField("n_words_kept").as("n_words_kept"),
+        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+  }
+
   /** Exact-dup corpus dedup: keep the minimum id per content hash. */
   def dropDuplicatesExact(
       docs: DataFrame,

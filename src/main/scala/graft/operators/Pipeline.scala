@@ -38,6 +38,11 @@ import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
   *     survivor selection (a doc bridging two clusters drops); choose
   *     [[Dedup.dropNearDuplicateClusters]] when cluster-level survivor
   *     policy matters more than a single-pass plan.
+  *  2c. optional SURGICAL decontamination (`scrubProbeNgrams` + probe —
+  *     [[Dedup.scrubContaminatedSpans]], the GPT-3 App. C span-removal
+  *     form): quoted eval spans are cut out and the doc survives;
+  *     replaces stage 5's drop. Runs with the rewrite stages so the
+  *     dedups hash the scrubbed text.
   *  5. optional decontamination against an eval probe
   *     ([[Dedup.decontaminate]] — probe buckets broadcast).
   *  6. deterministic split assignment ([[Sampling.assignSplit]]) —
@@ -75,6 +80,7 @@ object Pipeline {
       decontaminateBroadcastProbe: Boolean = true,
       decontaminateMaxBucketSize: Int = 0,
       decontaminateExactNgrams: Int = 0,
+      scrubProbeNgrams: Int = 0,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -127,6 +133,21 @@ object Pipeline {
       d = rewritten.filter(length(col("text_kept")) > 0)
         .select(col(idCol), col("text_kept").as(textCol))
     }
+    // SURGICAL decontamination (`scrubProbeNgrams > 0` + a probe): the
+    // GPT-3 App. C span-removal form REPLACES the drop-stage below —
+    // quoted eval spans are cut out and the scrubbed doc survives. It
+    // runs WITH the rewrite stages (not at the drop stage's position
+    // after dedup) so exact/near-dup hashes are computed over the
+    // scrubbed text: two docs differing only in a quoted benchmark
+    // passage dedup correctly, and a doc emptied by the scrub drops
+    // here instead of polluting the dedup with "" rows.
+    if (scrubProbeNgrams > 0) probe.foreach { p =>
+      d = Dedup.scrubContaminatedSpans(d, p, idCol, textCol,
+          n = scrubProbeNgrams,
+          broadcastProbe = decontaminateBroadcastProbe)
+        .filter(length(col("text_kept")) > 0)
+        .select(col(idCol), col("text_kept").as(textCol))
+    }
     // The rewrite stages above are expensive per-row chains, and from
     // here the frame fans out to several independent consumers (the
     // exact-dedup aggregate, its semi join back, near-dup band rows,
@@ -139,7 +160,8 @@ object Pipeline {
     // the ContextCleaner once the frame is unreachable — same lifecycle
     // decision (and same executor-loss tradeoff + `persist` escape
     // hatch) as FrameEngine.expandColJsonFrame.
-    if (stripBoilerplate || dedupLines || substringDedup != "off")
+    if (stripBoilerplate || dedupLines || substringDedup != "off" ||
+        (scrubProbeNgrams > 0 && probe.isDefined))
       d = docs.sparkSession.conf
         .get("graft.curate.materialize", "localCheckpoint") match {
         case "persist" =>
@@ -162,10 +184,11 @@ object Pipeline {
         .select(col(idCol)).distinct()
       d = d.join(losers, Seq(idCol), "left_anti")
     }
-    probe.foreach { p =>
+    if (scrubProbeNgrams == 0) probe.foreach { p =>
       // decontaminateExactNgrams > 0 selects the EXACT n-gram recipe
       // (GPT-3/Pile — drop on one shared verbatim n-gram) instead of
       // the MinHash-band near-overlap form; both broadcast the probe
+      // (the scrub stage above replaces this drop when selected)
       d =
         if (decontaminateExactNgrams > 0)
           Dedup.decontaminateExact(d, p, idCol, textCol,

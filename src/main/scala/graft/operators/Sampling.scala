@@ -288,4 +288,129 @@ object Sampling {
         size(col("token_ids")).cast("long").as("n_tokens"),
         col("token_ids"))
   }
+
+  /** Temperature-based domain mixing (the GPT-3 §2.2 / LLaMA recipe):
+    * instead of hand-assigned weights ([[mixToTokenBudget]]), each
+    * domain's share of the token `budget` is proportional to
+    * `tokens_d ^ alpha` — `alpha = 1` reproduces natural proportions,
+    * `alpha < 1` flattens the distribution so small high-quality
+    * domains are up-weighted relative to the web-crawl bulk, `alpha =
+    * 0` gives every domain an equal share. The share converts to a
+    * per-domain keep fraction `min(1, budget * w_d / tokens_d)` and
+    * membership is the same id-hash range test as every sampler here.
+    *
+    * Scale shape: one partial-aggregable per-domain token sum (driver
+    * state = one row per domain), then one stateless filter — the
+    * fraction CASE pipelines into the scan, nothing corpus-sized
+    * shuffles. Domains that over-fill their share cap at 1.0; the
+    * surplus is NOT redistributed (same contract as
+    * [[mixToTokenBudget]] — redistribution would make every domain's
+    * fraction depend on every other's fill state; run a second pass
+    * with a higher budget if under-fill matters).
+    */
+  def mixByTemperature(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokenCol: String,
+      budget: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0,1]")
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val powSum = totals.valuesIterator
+      .map(tk => if (tk <= 0L) 0.0 else math.pow(tk.toDouble, alpha)).sum
+    val fractions = totals.map { case (d, tk) =>
+      val w = if (tk <= 0L || powSum <= 0.0) 0.0
+        else math.pow(tk.toDouble, alpha) / powSum
+      d -> (if (tk <= 0L) 0.0 else math.min(1.0, budget * w / tk))
+    }
+    stratifiedHashSample(df, idCol, domainCol, fractions)
+  }
+
+  /** Deterministic fractional-epoch upsampling (the LLaMA data-mixture
+    * deployment: high-quality domains repeat for >1 epoch, e.g. Books
+    * 2.3 epochs, web 0.64): each row is replicated `floor(e_d)` times
+    * plus one more copy iff an id-hash test passes with probability
+    * `frac(e_d)` — so a domain at 2.3 epochs emits 2 copies of every
+    * doc and a deterministic 30% of docs get a third. Output appends
+    * an `epoch` column (0-based copy index) so downstream keys
+    * `(id, epoch)` stay unique; the fractional-copy hash is salted
+    * (`id || ":up"`) so epoch membership is independent of every other
+    * sampler's range test on the same id.
+    *
+    * Scale shape: a stateless generator — per-row copy count is a CASE
+    * of driver-computed literals, the fan-out one pipelined
+    * `explode(sequence(...))`, no shuffle, output size exactly
+    * `sum_d e_d-ish × |domain_d|`. Domains at 0 epochs drop here
+    * (epochs < 1 is [[hashSample]]-style downsampling expressed in the
+    * same units as the upsampled domains — one knob for the whole
+    * mixture).
+    */
+  def upsampleToEpochs(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0),
+      "epochs must be >= 0")
+    def copies(e: Double): Column = {
+      val base = math.floor(e).toLong
+      val extraThresh = math.round((e - base) * Scale)
+      (lit(base) + when(
+        pmod(hash60(concat(col(idCol).cast("string"), lit(":up"))),
+          lit(Scale)) < lit(extraThresh), lit(1L)).otherwise(lit(0L)))
+    }
+    val n = epochs.foldLeft(copies(defaultEpochs)) { case (acc, (k, e)) =>
+      when(col(domainCol) === lit(k), copies(e)).otherwise(acc)
+    }
+    df.withColumn("__n", n)
+      .filter(col("__n") >= 1L)
+      // int sequence (copy counts are small by construction): a
+      // generator must be top-level, so the element type IS the output
+      // type — no cast around the explode
+      .withColumn("epoch",
+        explode(sequence(lit(0), (col("__n") - 1L).cast("int"))))
+      .drop("__n")
+  }
+
+  /** Deterministic epoch-shuffle layout for trainer packs: assigns each
+    * pack a `shard` and a dense `shard_rank` by seeded id-hash order —
+    * the global random visit order a trainer needs, expressed as the
+    * layout trainers actually consume (N shard files read in order,
+    * packs ordered within each shard). Reshuffling between epochs is
+    * just a different `seed`; every run, engine, and retry produces
+    * the same order.
+    *
+    * Scale shape: the only total-order operator in this file, and
+    * deliberately NOT a global sort — the hash partitions packs
+    * uniformly across `nShards` (seeded, so skew cannot persist across
+    * epochs), and the rank window sorts WITHIN a shard only. Size
+    * `nShards` so a shard's keys fit a task (e.g. 100 TB of 2k-token
+    * packs ≈ 1.5e8 packs → 4096 shards ≈ 37k rows/shard); the
+    * alternative (`row_number` over an unpartitioned window) funnels
+    * every pack through one task and is exactly the anti-pattern this
+    * replaces.
+    */
+  def shufflePacks(
+      packs: DataFrame,
+      seed: Long,
+      nShards: Int,
+      bucketCol: String = "pack_bucket",
+      packCol: String = "pack_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = hash60(concat_ws(":",
+      col(bucketCol).cast("string"), col(packCol).cast("string"),
+      lit(seed.toString)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(bucketCol), col(packCol))
+    packs.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("shard_rank", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

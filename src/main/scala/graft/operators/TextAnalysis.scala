@@ -712,6 +712,46 @@ object TextAnalysis {
     regexp_replace(regexp_replace(host, "^www\\.", ""), ":[0-9]+$", "")
   }
 
+  /** HTML → text extraction (the WET-conversion / C4-preprocessing
+    * step that turns crawled markup into trainable prose): drops
+    * `<script>`/`<style>` blocks and comments WITH their contents,
+    * converts structural breaks (`<br>`, closing block tags) into
+    * newlines so line-level operators ([[dedupLines]],
+    * [[stripBoilerplateLines]]) see real line structure, strips every
+    * remaining tag, decodes the ubiquitous named entities
+    * (`&amp; &lt; &gt; &quot; &#39; &apos; &nbsp;` — decoded AFTER tag
+    * removal so `&lt;script&gt;` in prose stays text, single-pass so
+    * `&amp;lt;` yields the literal `&lt;`), and collapses whitespace
+    * (runs of spaces/tabs to one space, blank-line runs to one
+    * newline).
+    *
+    * A pure regexp-chain column expression — one pipelined pass, no
+    * UDF, no shuffle, codegen-friendly like [[normalizeUrl]]. The
+    * patterns avoid backreferences and lookaround so the SAME chain
+    * runs on RE2-based engines (the DuckDB oracle replays it
+    * verbatim). This is deliberately the 95% extractor (the C4
+    * recipe's altitude): no DOM, no boilerplate classification beyond
+    * script/style — pair with [[stripBoilerplateLines]] and
+    * [[qualityFlags]] downstream for the rest.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script[^>]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style[^>]*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(regexp_replace(noComment,
+        "(?i)<br[^>]*>", "\n"),
+      "(?i)</(p|div|li|h[1-6]|tr|ul|ol|blockquote|title)[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val spaces = regexp_replace(entities, "[ \t\r]+", " ")
+    val lines = regexp_replace(spaces, "( ?\n)+ ?", "\n")
+    regexp_replace(lines, "^[\n ]+|[\n ]+$", "")
+  }
+
   /** Corpus-wide frequent word n-grams with a minimum-support cut — the
     * heavy-hitters pass behind boilerplate mining, contamination probe
     * construction, and the Gopher-style "fraction of docs dominated by a

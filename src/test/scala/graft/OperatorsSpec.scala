@@ -2691,4 +2691,167 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter(_ <= 2L) === batch) // stream ≡ batch on the same input
     assert(got === Seq(2L, 4L))
   }
+
+  test("scrubContaminatedSpans: removes the quoted eval span (original" +
+      " casing kept elsewhere), leaves clean and short docs untouched") {
+    val span = (1 to 13).map(i => s"eval$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"Keep This Prefix $span and keep this suffix too ok fine"),
+      (1L, "Totally Clean Document with enough words to be a doc here"),
+      (2L, "short doc")).toDF("doc_id", "text")
+    // probe quotes the span in DIFFERENT case: matching is normalized
+    val probe = Seq(Tuple1(span.toUpperCase + " trailing probe context" +
+      " words here to pad things out")).toDF("text")
+    val out = Dedup.scrubContaminatedSpans(corpus, probe, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._1 === "Keep This Prefix and keep this suffix too ok fine")
+    assert(out(0L)._3 === 13L) // exactly the span's words dropped
+    assert(out(1L) === ("Totally Clean Document with enough words to be a doc here", 11L, 0L))
+    assert(out(2L) === ("short doc", 2L, 0L)) // < n words: untouched
+  }
+
+  test("scrubContaminatedSpans: overlapping probe grams merge, and the" +
+      " whole doc can empty out") {
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((0L, body)).toDF("doc_id", "text")
+    val probe = Seq(Tuple1(body)).toDF("text")
+    val r = Dedup.scrubContaminatedSpans(corpus, probe, "doc_id", "text",
+      n = 13).collect()(0)
+    assert(r.getString(1) === "")
+    assert(r.getLong(2) === 0L && r.getLong(3) === 20L)
+  }
+
+  test("curate(scrubProbeNgrams): scrub precedes dedup — docs identical" +
+      " after scrubbing collapse to one, emptied docs drop") {
+    val span = (1 to 13).map(i => s"ev$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"alpha beta gamma delta eps $span zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (2L, span)).toDF("doc_id", "text")
+    val probe = Seq(Tuple1(span)).toDF("text")
+    val out = graft.operators.Pipeline.curate(corpus, "doc_id", "text",
+      probe = Some(probe), minChars = 1, scrubProbeNgrams = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0 scrubs to exactly 1's text -> exact dedup keeps min id 0;
+    // 2 empties out in the scrub stage
+    assert(out === Set(0L))
+  }
+
+  test("mixByTemperature: alpha=1 reproduces natural proportions" +
+      " (= uniform fraction), alpha=0 equalizes domain shares") {
+    val d = (1 to 400).map(i =>
+      (i.toLong, if (i <= 360) "big" else "small", 10L))
+      .toDF("doc_id", "domain", "tokens")
+    // alpha=1: w_d = tk_d/total, fraction = budget/total for everyone
+    val even = graft.operators.Sampling.mixByTemperature(
+      d, "doc_id", "domain", "tokens", budget = 2000L, alpha = 1.0)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budget/total = 0.5: both domains sampled at ~half, not equal share
+    assert(even("big") > 150L && even("big") < 210L)
+    assert(even("small") > 8L && even("small") < 32L)
+    // alpha=0: equal shares; small domain (400 tokens) gets budget/2 =
+    // 1000 > its size, so it caps at 1.0 and keeps ALL its docs
+    val flat = graft.operators.Sampling.mixByTemperature(
+      d, "doc_id", "domain", "tokens", budget = 2000L, alpha = 0.0)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("small") === 40L)
+    assert(flat("big") < 150L) // big capped well below natural share
+  }
+
+  test("upsampleToEpochs: copy counts per domain, unique (id, epoch)" +
+      " keys, fraction hits its expected rate, 0-epoch domains drop") {
+    val d = (1 to 300).map(i => (i.toLong,
+      if (i <= 100) "books" else if (i <= 200) "web" else "junk"))
+      .toDF("doc_id", "domain")
+    val out = graft.operators.Sampling.upsampleToEpochs(
+      d, "doc_id", "domain",
+      epochs = Map("books" -> 2.5, "junk" -> 0.0), defaultEpochs = 1.0)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2)))
+    assert(rows.distinct.length === rows.length) // (id, epoch) unique
+    assert(!rows.exists(_._2 == "junk"))
+    val books = rows.filter(_._2 == "books")
+    val perDoc = books.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc.values.forall(n => n == 2 || n == 3))
+    val third = perDoc.values.count(_ == 3)
+    assert(third > 30 && third < 70) // ~50% of 100 docs get the 3rd copy
+    assert(books.filter(_._1 == books.head._1).map(_._3).sorted.toSeq
+      === (0 until perDoc(books.head._1)).toSeq) // dense epoch index
+    assert(rows.count(_._2 == "web") === 100) // default 1.0 = one copy
+    // determinism: same call, same membership
+    val again = graft.operators.Sampling.upsampleToEpochs(
+      d, "doc_id", "domain",
+      epochs = Map("books" -> 2.5, "junk" -> 0.0), defaultEpochs = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.sortBy(x => (x._1, x._3)).toSeq
+      === rows.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
+  test("shufflePacks: a permutation (dense ranks per shard, every pack" +
+      " exactly once), deterministic, and seed changes the order") {
+    val packs = (for (b <- 0L until 4L; p <- 0L until 50L) yield (b, p))
+      .toDF("pack_bucket", "pack_id")
+    val s1 = graft.operators.Sampling.shufflePacks(packs, seed = 1L,
+      nShards = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(s1.map(_._1).distinct.length === 200)
+    s1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    val s1b = graft.operators.Sampling.shufflePacks(packs, seed = 1L,
+      nShards = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(s1b.sortBy(_._1).toSeq === s1.sortBy(_._1).toSeq)
+    val s2 = graft.operators.Sampling.shufflePacks(packs, seed = 2L,
+      nShards = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(s2.sortBy(_._1).toSeq !== s1.sortBy(_._1).toSeq)
+  }
+
+  test("extractHtmlText: script/style/comment contents vanish, block" +
+      " closers become line breaks, entities decode once, whitespace" +
+      " collapses") {
+    val html = "<html><head><title>T</title><style>p{a:b}</style>" +
+      "<script>var x = '<p>not text</p>';</script></head><body>" +
+      "<!-- hidden -->\n<h1>Head &amp; Tail</h1><p>one  two</p>" +
+      "<p>a &lt;tag&gt; literal &amp;amp; escaped</p><br>fin</body></html>"
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h")).as("t"))
+      .collect()(0).getString(0)
+    assert(out === "T\nHead & Tail\none two\na <tag> literal &amp; escaped\nfin")
+  }
+
+  test("extractHtmlText: unclosed script leaves content; plain text" +
+      " passes through; angle brackets in prose survive via entities") {
+    val plain = Seq(Tuple1("no markup at all")).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h"))).collect()(0).getString(0)
+    assert(plain === "no markup at all")
+    val partial = Seq(Tuple1("a <b>bold</b> 1 &lt; 2 end")).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h"))).collect()(0).getString(0)
+    assert(partial === "a bold 1 < 2 end")
+  }
+
+  test("Wet roundtrip: multi-line payloads with internal blank lines" +
+      " survive, and content_length validates byte-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_spec")
+      .toString
+    val d = Seq(
+      ("http://a.example/1", "line one\nline two"),
+      ("http://a.example/2", "para one\r\n\r\npara two after internal blank"),
+      ("http://a.example/3", "plain")).toDF("uri", "text")
+    graft.sources.Wet.writeWet(d, "uri", "text", dir, numFiles = 2)
+    val back = graft.sources.Wet.readWet(spark, dir)
+      .select("uri", "content_length", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(back.keySet === Set("http://a.example/1", "http://a.example/2",
+      "http://a.example/3"))
+    d.collect().foreach { r =>
+      val (len, text) = back(r.getString(0))
+      assert(text === r.getString(1))
+      assert(len === text.getBytes("UTF-8").length.toLong)
+    }
+  }
 }
