@@ -427,6 +427,30 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Incremental SUBSTRING dedup gate: the license block is planted on
+    * every fifth doc across BOTH halves of the corpus split, the index
+    * is built on the %3!=0 half (storing all its gram hashes and
+    * rewriting it), and the %3==0 half appends — its planted blocks
+    * must be removed because the INDEX holds the first occurrence,
+    * plus any batch-internal repeats. Emitted as the union of both
+    * rewrites; the oracle replays the from-scratch run under
+    * arrival-order priority (build half outranks the batch regardless
+    * of numeric id interleaving — the ORDER BY grp, doc_id, gpos).
+    */
+  private def dedupIndexSubstringQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_dedupidx_sub_${Integer.toHexString(dir.hashCode)}"
+    val planted = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(SubstringBoilerplate + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val aRew = graft.sources.DedupIndex.buildSubstring(
+      planted.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", path,
+      spanWords = 12)
+    val bRew = graft.sources.DedupIndex.appendSubstring(s, path,
+      planted.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    aRew.union(bRew)
+  }
+
   private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
@@ -2985,6 +3009,7 @@ object SparkEntry {
     "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
     "dedup_index_persist" -> (dedupIndexPersistQ _),
     "dedup_index_append" -> (dedupIndexAppendQ _),
+    "dedup_index_substring" -> (dedupIndexSubstringQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
     "url_normalize"    -> (urlNormalizeQ _),
@@ -3439,6 +3464,43 @@ object SparkEntry {
            FROM gi),
          f AS (SELECT doc_id, gpos,
              row_number() OVER (PARTITION BY h ORDER BY doc_id, gpos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM g),
+         cov AS (SELECT DISTINCT doc_id,
+             CAST(unnest(range(gpos, gpos + 12)) AS INTEGER) AS pos
+           FROM f WHERE c >= 2 AND rn > 1),
+         w AS (SELECT doc_id,
+             CAST(generate_subscripts(ws, 1) - 1 AS INTEGER) AS pos, unnest(ws) AS w
+           FROM t),
+         k AS (SELECT w.doc_id, w.pos, w.w, cov.pos IS NULL AS keep
+           FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+         agg AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '') AS text_kept,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_words_kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_words_dropped
+           FROM k GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
+           coalesce(agg.n_words_kept, 0) AS n_words_kept,
+           coalesce(agg.n_words_dropped, 0) AS n_words_dropped
+         FROM t LEFT JOIN agg USING (doc_id)""",
+    "dedup_index_substring" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN 'this document is provided as is without warranty of any kind either expressed or implied ' || text
+               ELSE text END AS text,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS grp
+           FROM documents),
+         t AS (SELECT doc_id, grp,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws
+           FROM src),
+         gi AS (SELECT doc_id, grp, ws,
+             unnest(CASE WHEN len(ws) >= 12 THEN range(1, len(ws) - 10) ELSE [] END) AS i
+           FROM t),
+         g AS (SELECT doc_id, grp, CAST(i - 1 AS INTEGER) AS gpos,
+             md5(array_to_string(ws[i:i+11], ' ')) AS h
+           FROM gi),
+         f AS (SELECT doc_id, gpos,
+             row_number() OVER (PARTITION BY h ORDER BY grp, doc_id, gpos) AS rn,
              count(*) OVER (PARTITION BY h) AS c
            FROM g),
          cov AS (SELECT DISTINCT doc_id,

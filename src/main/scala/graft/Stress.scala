@@ -645,6 +645,25 @@ object Stress {
       docs.select(col("doc_id"),
         TextAnalysis.extractHtmlText(page).as("t"))
     }
+    time("dsidx_substr_build_10x") {
+      // one-off index build = one from-scratch substring-dedup pass
+      // plus the distinct-gram-hash write; the artifact is what every
+      // later append avoids re-paying
+      graft.sources.DedupIndex.buildSubstring(
+        docs.filter(col("doc_id") % 101 =!= 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", "/tmp/graft_stress_dsidx", spanWords = 20)
+    }
+    time("dsidx_substr_append_1pct") {
+      // the claim under test: appending a ~1% batch costs a broadcast
+      // streaming pass over the compact gram artifact + batch-sized
+      // work — nowhere near the build's full-corpus gram pass
+      graft.sources.DedupIndex.appendSubstring(spark,
+        "/tmp/graft_stress_dsidx",
+        docs.filter(col("doc_id") % 101 === 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text")
+    }
     time("upsample_shuffle_10x") {
       // fractional-epoch fan-out (≈1.6x rows) into pack assignment and
       // the seeded shard/rank layout: the only sort is within-shard,

@@ -974,7 +974,7 @@ object Dedup {
     * multi-hour 100 TB runs where recomputing a lost corpus-scale gram
     * partition from lineage is cheaper than a job restart.
     */
-  private def substringMaterialize(df: DataFrame): DataFrame =
+  private[graft] def substringMaterialize(df: DataFrame): DataFrame =
     df.sparkSession.conf.get("graft.curate.materialize", "localCheckpoint")
     match {
       case "persist" =>
@@ -982,7 +982,7 @@ object Dedup {
       case _ => df.localCheckpoint()
     }
 
-  private def removedGramStarts(grams: DataFrame, idCol: String): DataFrame = {
+  private[graft] def removedGramStarts(grams: DataFrame, idCol: String): DataFrame = {
     val g = substringMaterialize(grams)
     val dup = g.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c"),

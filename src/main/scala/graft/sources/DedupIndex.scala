@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions.{substringRemove, wordGramHash128}
 import graft.operators.Dedup
 
 /** Persisted incremental dedup index — the crawl-pipeline shape where a
@@ -224,5 +225,157 @@ object DedupIndex {
       .sortWithinPartitions("band", "bucket")
       .write.mode("append").parquet(s"$path/buckets")
     survivors
+  }
+
+  // ---------------------------------------------------------------------
+  // Substring gram index — the incremental form of exact substring dedup
+  // (Lee et al. 2022), the third dedup family this artifact pattern
+  // covers. Separate artifact pair (`grams/` + `grams_meta`) with its
+  // own lifecycle: a corpus can maintain exact/near-dup state without
+  // paying the gram index's token-scale footprint, and vice versa.
+  // ---------------------------------------------------------------------
+
+  private def words(c: org.apache.spark.sql.Column) =
+    filter(split(c, "\\s+"), w => length(w) > 0)
+
+  /** Build the substring gram index AND return the build corpus's
+    * substring-dedup rewrite ([[graft.operators.Dedup.dedupSubstrings]]
+    * semantics — same output schema) in the same pass: the positional
+    * gram table is the expensive intermediate, and build stores its
+    * DISTINCT hashes as `grams/` while the first-occurrence core
+    * consumes it for the rewrite.
+    *
+    * The stored set is ALL gram hashes of the ORIGINAL build text —
+    * including grams whose occurrences the rewrite removed — the same
+    * wider-than-survivors invariant as `hashes/`/`buckets/`: in the
+    * from-scratch run over corpus + batch, a batch occurrence of any
+    * corpus gram is never the corpus-wide first, so [[appendSubstring]]
+    * must drop it even when the corpus's own copy was removed.
+    */
+  def buildSubstring(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      spanWords: Int = 20,
+      numFiles: Int = 32): DataFrame = {
+    require(spanWords >= 2, "spanWords must be >= 2")
+    require(numFiles > 0, "numFiles must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = spanWords
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/grams_meta")
+    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaDir, true)
+    val toks = Dedup.substringMaterialize(docs.select(col(idCol),
+      words(col(textCol)).as("__ws")))
+    val grams = Dedup.substringMaterialize(
+      toks.filter(size(col("__ws")) >= k)
+        .select(col(idCol),
+          posexplode(wordGramHash128(col("__ws"), k))
+            .as(Seq("__gpos", "__h"))))
+    grams.select(col("__h").as("gram_hash")).distinct()
+      .repartition(numFiles, col("gram_hash"))
+      .sortWithinPartitions("gram_hash")
+      .write.mode("overwrite").parquet(s"$path/grams")
+    Seq(Tuple1(k)).toDF("span_words")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/grams_meta")
+    val starts = Dedup.removedGramStarts(grams, idCol)
+    toks.join(starts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        substringRemove(col("__ws"), col("__starts"), k).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_kept").as("text_kept"),
+        col("__r").getField("n_words_kept").as("n_words_kept"),
+        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+  }
+
+  /** Substring-dedup an incoming batch against the frozen gram index
+    * and absorb its new grams: a batch gram occurrence is removed iff
+    * its hash is ALREADY INDEXED (the index holds an earlier
+    * occurrence by arrival order) or an earlier batch occurrence
+    * exists (the within-batch first-occurrence rule); covered spans
+    * merge positionally and the text is rebuilt exactly as in the
+    * batch operator. Returns the rewritten batch
+    * (`id, text_kept, n_words_kept, n_words_dropped`) and appends the
+    * batch's distinct NEW gram hashes, so appends telescope to the
+    * from-scratch run under arrival-order priority (build corpus
+    * first, then batches in append order) — the `dedup_index_substring`
+    * gate pins the two-step case against a from-scratch oracle replay,
+    * the telescoping spec the three-step case.
+    *
+    * Scale shape: the batch's distinct gram hashes BROADCAST into a
+    * semi join that STREAMS the corpus-scale `grams/` artifact —
+    * a columnar scan of 16-byte keys with no corpus shuffle (the
+    * [[append]] probe direction); everything else (internal
+    * first-occurrence aggregate, starts union, rewrite join) is
+    * batch-sized. Matched hashes, starts, and the appended new-hash
+    * set are all materialized BEFORE any append file lands, so no
+    * consumer's lineage can rescan a directory it is growing (the
+    * [[append]] read-write-overlap discipline).
+    */
+  def appendSubstring(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numFiles: Int = 8,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val meta = spark.read.parquet(s"$path/grams_meta").collect()
+    require(meta.length == 1, s"malformed gram-index meta at $path")
+    val k = meta(0).getAs[Int]("span_words")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
+    val idx = spark.read.parquet(s"$path/grams")
+    val toks = Dedup.substringMaterialize(newDocs.select(col(idCol),
+      words(col(textCol)).as("__ws")))
+    val bg = Dedup.substringMaterialize(
+      toks.filter(size(col("__ws")) >= k)
+        .select(col(idCol),
+          posexplode(wordGramHash128(col("__ws"), k))
+            .as(Seq("__gpos", "__h"))))
+    val batchHashes = bg.select(col("__h")).distinct()
+    // index ∩ batch: batch-bounded output, corpus side streamed
+    val hits = idx
+      .join(bc(batchHashes.select(col("__h").as("gram_hash"))),
+        Seq("gram_hash"), "left_semi")
+      .select(col("gram_hash").as("__h"))
+      .localCheckpoint()
+    val idxStarts = bg.join(bc(hits), Seq("__h"), "left_semi")
+      .select(col(idCol), col("__gpos"))
+    val dup = bg.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("__fid"), col("__gpos").as("__fpos")))
+          .as("__f"))
+      .filter(col("__c") >= 2)
+      .select(col("__h"), col("__f"))
+    val internalStarts = bg.join(dup, Seq("__h"))
+      .filter(!(col("__f").getField("__fid") === col(idCol) &&
+        col("__f").getField("__fpos") === col("__gpos")))
+      .select(col(idCol), col("__gpos"))
+    // union pins BOTH sources before aggregation; distinct because an
+    // occurrence can be removed for both reasons at once
+    val starts = idxStarts.union(internalStarts).distinct()
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
+      .localCheckpoint()
+    val rewritten = toks.join(starts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        substringRemove(col("__ws"), col("__starts"), k).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_kept").as("text_kept"),
+        col("__r").getField("n_words_kept").as("n_words_kept"),
+        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+    // absorb: the batch's distinct hashes NOT already indexed. Both
+    // inputs are materialized (bg checkpointed, hits checkpointed), so
+    // the append write cannot rescan grams/ mid-growth
+    val newHashes = batchHashes
+      .join(bc(hits), Seq("__h"), "left_anti")
+      .select(col("__h").as("gram_hash"))
+    newHashes.repartition(numFiles, col("gram_hash"))
+      .sortWithinPartitions("gram_hash")
+      .write.mode("append").parquet(s"$path/grams")
+    rewritten
   }
 }

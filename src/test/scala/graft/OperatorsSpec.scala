@@ -2722,6 +2722,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getLong(2) === 0L && r.getLong(3) === 20L)
   }
 
+  test("DedupIndex substring: three-step append telescopes exactly to" +
+      " the from-scratch run (arrival order = id order)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsidx_spec")
+      .toString
+    val c0 = Seq(
+      (0L, "alpha beta gamma delta one two three"),
+      (1L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (2L, "intro alpha beta gamma delta tail"),
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (4L, "p q r s closing words here"),
+      (5L, "alpha beta gamma delta p q r s")).toDF("doc_id", "text")
+    val inc = graft.sources.DedupIndex
+      .buildSubstring(c0, "doc_id", "text", dir, spanWords = 4)
+      .union(graft.sources.DedupIndex.appendSubstring(spark, dir, b1,
+        "doc_id", "text"))
+      .union(graft.sources.DedupIndex.appendSubstring(spark, dir, b2,
+        "doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val scratch = Dedup.dedupSubstrings(c0.union(b1).union(b2),
+        "doc_id", "text", spanWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(inc === scratch)
+    // and the interesting rows are what they should be
+    assert(inc(2L)._1 === "intro tail") // span removed, owner in index
+    assert(inc(4L)._1 === "closing words here") // b1's span owns b2's copy
+    assert(inc(5L)._1 === "") // both spans removed -> fully emptied
+  }
+
+  test("DedupIndex substring: append without a built gram index fails" +
+      " loudly (tombstoned meta is the load gate)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsidx_meta")
+      .toString
+    val b = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    intercept[Exception] {
+      graft.sources.DedupIndex.appendSubstring(spark, dir, b,
+        "doc_id", "text").collect()
+    }
+  }
+
   test("curate(scrubProbeNgrams): scrub precedes dedup — docs identical" +
       " after scrubbing collapse to one, emptied docs drop") {
     val span = (1 to 13).map(i => s"ev$i").mkString(" ")
