@@ -909,19 +909,34 @@ object SparkEntry {
     * replays the construction and the identical regexp chain in
     * DuckDB (the patterns are RE2-safe by design).
     */
-  private def htmlExtractQ(s: SparkSession, dir: String): DataFrame = {
-    val page = concat(
-      lit("<html><head><title>Doc</title>" +
-        "<style type=\"text/css\">p { color: red; }</style>" +
-        "<script>if (1 < 2) { document.write(\"x\"); }</script></head>" +
-        "<body><!-- nav --><h1>Doc &amp; entry "),
-      col("doc_id").cast("string"),
-      lit("</h1><p>"),
-      replace(col("text"), lit(". "), lit(".</p>\n<p>")),
-      lit("</p><br>&quot;fin&quot; &lt;eof&gt;</body></html>"))
+  /** The synthetic page wrap shared by [[htmlExtractQ]] and
+    * [[curateHtmlQ]].
+    */
+  private def htmlPage: Column = concat(
+    lit("<html><head><title>Doc</title>" +
+      "<style type=\"text/css\">p { color: red; }</style>" +
+      "<script>if (1 < 2) { document.write(\"x\"); }</script></head>" +
+      "<body><!-- nav --><h1>Doc &amp; entry "),
+    col("doc_id").cast("string"),
+    lit("</h1><p>"),
+    replace(col("text"), lit(". "), lit(".</p>\n<p>")),
+    lit("</p><br>&quot;fin&quot; &lt;eof&gt;</body></html>"))
+
+  private def htmlExtractQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-      TextAnalysis.extractHtmlText(page).as("text_clean"))
-  }
+      TextAnalysis.extractHtmlText(htmlPage).as("text_clean"))
+
+  /** Ingest-from-crawl curation: the synthetic pages flow through
+    * `curate(htmlInput = true)` — extraction FIRST, then the length
+    * gate over the extracted prose, exact-normalized dedup over it,
+    * split assignment. The oracle replays the full chain.
+    */
+  private def curateHtmlQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curate(
+      docs(s, dir).select(col("doc_id"), htmlPage.as("text")),
+      "doc_id", "text", htmlInput = true,
+      minChars = 250, maxChars = 100000)
+      .select(col("doc_id"), col("split"))
 
   /** WET roundtrip: documents become conversion records (synthetic
     * target URIs), written as WET-style files and read back — emitted
@@ -2045,6 +2060,22 @@ object SparkEntry {
         defaultFraction = 0.1),
       "stream_sample").select(col("doc_id"), col("lang"))
 
+  /** Streaming fractional-epoch upsampling: [[upsampleEpochsQ]]'s exact
+    * configuration applied to the document stream unchanged — the
+    * operator is a stateless per-row generator (driver-literal CASE +
+    * one explode), so the stream emits exactly the batch fan-out and
+    * the gate shares `upsample_epochs`' oracle verbatim (the
+    * crawl-ingest deployment: replication decided at ingest, no state).
+    */
+  private def streamingUpsampleQ(s: SparkSession, dir: String): DataFrame =
+    runStreamToTable(s,
+      graft.operators.Sampling.upsampleToEpochs(
+        docStream(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        epochs = Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0),
+        defaultEpochs = 1.0),
+      "stream_upsample")
+
   /** Streaming quality filtering, gated against the batch oracle: the
     * whole per-row TextAnalysis family is pure column expressions, so
     * applied to a stream unchanged it emits exactly the batch scores —
@@ -2402,6 +2433,31 @@ object SparkEntry {
 
   private def dkHash(x: String): String =
     s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+
+  /** Shared CTE chain for the HTML gates: the synthetic page wrap
+    * ([[htmlPage]]) plus [[graft.operators.TextAnalysis
+    * .extractHtmlText]]'s regexp chain replayed in DuckDB, ending in
+    * `clean(doc_id, t)`. Defined with a raw string so the regex
+    * backslashes survive the interpolated call sites.
+    */
+  private val dkHtmlClean: String =
+    """page AS (SELECT doc_id,
+           '<html><head><title>Doc</title><style type="text/css">p { color: red; }</style><script>if (1 < 2) { document.write("x"); }</script></head><body><!-- nav --><h1>Doc &amp; entry ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+           replace(text, '. ', '.</p>' || chr(10) || '<p>') ||
+           '</p><br>&quot;fin&quot; &lt;eof&gt;</body></html>' AS h
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS h FROM page),
+         s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS h FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(regexp_replace(h, '(?i)<br[^>]*>', chr(10), 'g'),
+             '(?i)</(p|div|li|h[1-6]|tr|ul|ol|blockquote|title)[^>]*>', chr(10), 'g') AS h FROM s3),
+         s5 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s4),
+         e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(h,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+             '&nbsp;', ' '), '&amp;', '&') AS h FROM s5),
+         ws AS (SELECT doc_id, regexp_replace(regexp_replace(h, '[ \t\r]+', ' ', 'g'),
+             '( ?\n)+ ?', chr(10), 'g') AS h FROM e),
+         clean AS (SELECT doc_id, regexp_replace(h, '^[\n ]+|[\n ]+$', '', 'g') AS t FROM ws)"""
 
   /** Shingle CTEs (w, s) over documents: distinct word 3-grams, matching
     * TextFunctions.shingles.
@@ -3005,7 +3061,9 @@ object SparkEntry {
     "upsample_epochs"  -> (upsampleEpochsQ _),
     "pack_shuffle"     -> (packShuffleQ _),
     "html_extract"     -> (htmlExtractQ _),
+    "curate_html"      -> (curateHtmlQ _),
     "wet_roundtrip"    -> (wetRoundtripQ _),
+    "streaming_upsample" -> (streamingUpsampleQ _),
     "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
     "dedup_index_persist" -> (dedupIndexPersistQ _),
     "dedup_index_append" -> (dedupIndexAppendQ _),
@@ -3841,6 +3899,18 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS epoch
          FROM n WHERE nc >= 1""",
+    "streaming_upsample" ->
+      s"""WITH n AS (SELECT doc_id, source,
+           (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0
+                 WHEN source = 'src2' THEN 0 ELSE 1 END)
+           + (CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR) || ':up'")} % 1000000
+                < (CASE WHEN source = 'src0' THEN ${math.round((2.3 - 2) * 1000000)}
+                        WHEN source = 'src1' THEN ${math.round(0.5 * 1000000)}
+                        WHEN source = 'src2' THEN 0 ELSE 0 END)
+              THEN 1 ELSE 0 END) AS nc
+           FROM documents)
+         SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS epoch
+         FROM n WHERE nc >= 1""",
     "pack_shuffle" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
            ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
@@ -3859,24 +3929,20 @@ object SparkEntry {
              ORDER BY h, pack_bucket, pack_id) AS BIGINT) AS shard_rank
          FROM hh""",
     "html_extract" ->
-      """WITH page AS (SELECT doc_id,
-           '<html><head><title>Doc</title><style type="text/css">p { color: red; }</style><script>if (1 < 2) { document.write("x"); }</script></head><body><!-- nav --><h1>Doc &amp; entry ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
-           replace(text, '. ', '.</p>' || chr(10) || '<p>') ||
-           '</p><br>&quot;fin&quot; &lt;eof&gt;</body></html>' AS h
-           FROM documents),
-         s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS h FROM page),
-         s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS h FROM s1),
-         s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
-         s4 AS (SELECT doc_id, regexp_replace(regexp_replace(h, '(?i)<br[^>]*>', chr(10), 'g'),
-             '(?i)</(p|div|li|h[1-6]|tr|ul|ol|blockquote|title)[^>]*>', chr(10), 'g') AS h FROM s3),
-         s5 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM s4),
-         e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(h,
-             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
-             '&nbsp;', ' '), '&amp;', '&') AS h FROM s5),
-         ws AS (SELECT doc_id, regexp_replace(regexp_replace(h, '[ \t\r]+', ' ', 'g'),
-             '( ?\n)+ ?', chr(10), 'g') AS h FROM e)
-         SELECT doc_id, regexp_replace(h, '^[\n ]+|[\n ]+$', '', 'g') AS text_clean
-         FROM ws""",
+      s"""WITH $dkHtmlClean
+         SELECT doc_id, t AS text_clean FROM clean""",
+    "curate_html" ->
+      s"""WITH $dkHtmlClean,
+         q AS (SELECT doc_id, t FROM clean
+           WHERE length(t) >= 250 AND length(t) <= 100000),
+         ex AS (SELECT min(doc_id) AS doc_id FROM q
+           GROUP BY md5(regexp_replace(trim(lower(t)), '\\s+', ' ', 'g'))),
+         fin AS (SELECT q.doc_id FROM q JOIN ex USING (doc_id))
+         SELECT doc_id,
+           CASE WHEN h < 800000 THEN 'train'
+                WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)""",
     "wet_roundtrip" ->
       """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
          CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text

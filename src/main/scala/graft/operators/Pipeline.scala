@@ -10,6 +10,12 @@ import graft.functions.TextFunctions.{minhashBuckets, shingleHashes}
   * operator so stage ORDER is a reviewed decision instead of ad-hoc
   * glue. Stages (each individually oracle-gated elsewhere):
   *
+  *  0. optional HTML → text extraction (`htmlInput` —
+  *     [[TextAnalysis.extractHtmlText]]): crawled markup becomes prose
+  *     BEFORE any gate reads the text, so the length gate measures
+  *     content rather than tag soup and dedup hashes never see
+  *     boilerplate markup. A pure per-row regexp chain, pipelined into
+  *     the scan.
   *  1. length gate — the cheap per-row filter runs FIRST: at 100 TB,
   *     cutting empty/boilerplate docs before ANY shuffle is the largest
   *     single cost lever, and a pure `length(text)` predicate pipelines
@@ -60,6 +66,7 @@ object Pipeline {
       idCol: String,
       textCol: String,
       probe: Option[DataFrame] = None,
+      htmlInput: Boolean = false,
       minChars: Int = 1,
       maxChars: Int = Int.MaxValue,
       qualityFilter: Boolean = false,
@@ -87,7 +94,12 @@ object Pipeline {
     require(Set("off", "word", "bpe")(substringDedup),
       s"substringDedup must be off|word|bpe, got '$substringDedup'")
     val len = length(col(textCol))
-    var d = docs.filter(len >= minChars && len <= maxChars)
+    // stage 0: markup → prose before anything reads the text (the
+    // length gate below must measure content, not tags)
+    val src = if (htmlInput)
+      docs.withColumn(textCol, TextAnalysis.extractHtmlText(col(textCol)))
+    else docs
+    var d = src.filter(len >= minChars && len <= maxChars)
     // quality gating right after the length gate: a pure per-row
     // predicate (same expressions as TextAnalysis.qualityFlags), so it
     // pipelines into the scan and shrinks everything downstream —
