@@ -119,5 +119,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "per-language smoothed NB trigram score under the fixture profile") {
       exprs => LangIdNbScoreExpr(exprs.head, LangIdNbScoreExpr.fixtureProfile)
     }
+    inject("html_extract_text",
+      "HTML -> text: strip script/style/comments/tags, decode entities," +
+        " collapse whitespace (the Scala API's exact chain)") {
+      exprs => {
+        import org.apache.spark.sql.GraftColumnCompat._
+        toExpression(graft.operators.TextAnalysis.extractHtmlText(
+          toColumn(exprs.head)))
+      }
+    }
   }
 }

@@ -164,6 +164,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("langid_nb_score_fixture",
       exprs => LangIdNbScoreExpr(exprs.head,
         LangIdNbScoreExpr.fixtureProfile), "scala_udf")
+    // HTML -> text extraction: a pure composition of built-in
+    // expressions (regexp_replace/replace chain), registered by
+    // converting the SAME Column chain the Scala API uses — one
+    // definition, two surfaces
+    reg.createOrReplaceTempFunction("html_extract_text",
+      exprs => {
+        import org.apache.spark.sql.GraftColumnCompat._
+        toExpression(graft.operators.TextAnalysis.extractHtmlText(
+          toColumn(exprs.head)))
+      }, "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
     // group top-k from SQL (see object scaladoc for the full recipe)
     spark.udf.register("group_topk3",

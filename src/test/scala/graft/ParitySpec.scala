@@ -290,6 +290,13 @@ class ParitySpec extends AnyFunSuite {
     assert(enM.keys.toSeq.sorted === Seq("en", "es"))
     assert(enM("en") > enM("es"))  // English-ish grams prefer en
     assert(esM("es") > esM("en"))  // Spanish-ish grams prefer es
+    // html_extract_text: the registered form IS the Scala chain (one
+    // definition converted through the Column bridge)
+    val rHtml = spark.sql("""
+      SELECT html_extract_text(
+        '<p>a &amp; b</p><script>var x;</script><br>c') AS t""")
+      .collect().head.getString(0)
+    assert(rHtml === "a & b\nc")
   }
 
   test("SQL surface: group_topk UDAF, as-of and range join recipes" +
