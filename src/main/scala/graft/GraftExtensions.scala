@@ -122,11 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("html_extract_text",
       "HTML -> text: strip script/style/comments/tags, decode entities," +
         " collapse whitespace (the Scala API's exact chain)") {
-      exprs => {
-        import org.apache.spark.sql.GraftColumnCompat._
-        toExpression(graft.operators.TextAnalysis.extractHtmlText(
-          toColumn(exprs.head)))
-      }
+      exprs => TextFunctions.htmlExtractExpr(exprs.head)
     }
   }
 }

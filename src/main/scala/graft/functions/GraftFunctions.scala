@@ -169,11 +169,7 @@ object GraftFunctions {
     // converting the SAME Column chain the Scala API uses — one
     // definition, two surfaces
     reg.createOrReplaceTempFunction("html_extract_text",
-      exprs => {
-        import org.apache.spark.sql.GraftColumnCompat._
-        toExpression(graft.operators.TextAnalysis.extractHtmlText(
-          toColumn(exprs.head)))
-      }, "scala_udf")
+      exprs => TextFunctions.htmlExtractExpr(exprs.head), "scala_udf")
     spark.udf.register("geo_mean", udaf(GeoMean))
     // group top-k from SQL (see object scaladoc for the full recipe)
     spark.udf.register("group_topk3",

@@ -15,6 +15,36 @@ import org.apache.spark.sql.types.LongType
   */
 object TextFunctions {
 
+  /** The HTML → text extraction chain at the CATALYST EXPRESSION level
+    * (resolved `RegExpReplace`/`StringReplace` nodes, not unresolved
+    * Column functions) — the single definition behind BOTH
+    * [[graft.operators.TextAnalysis.extractHtmlText]] (Scala API) and
+    * the `html_extract_text` SQL registration: a function-registry
+    * builder must return an analyzable expression tree, and a
+    * Column-derived tree of `UnresolvedFunction`s is not one.
+    * Semantics documented on the Column wrapper.
+    */
+  def htmlExtractExpr(child: org.apache.spark.sql.catalyst.expressions
+      .Expression): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, RegExpReplace, StringReplace}
+    def re(c: Expression, p: String, r: String): Expression =
+      RegExpReplace(c, Literal(p), Literal(r))
+    def rp(c: Expression, f: String, t: String): Expression =
+      StringReplace(c, Literal(f), Literal(t))
+    val noScript = re(child, "(?is)<script[^>]*>.*?</script[^>]*>", " ")
+    val noStyle = re(noScript, "(?is)<style[^>]*>.*?</style[^>]*>", " ")
+    val noComment = re(noStyle, "(?s)<!--.*?-->", " ")
+    val breaks = re(re(noComment, "(?i)<br[^>]*>", "\n"),
+      "(?i)</(p|div|li|h[1-6]|tr|ul|ol|blockquote|title)[^>]*>", "\n")
+    val noTags = re(breaks, "(?s)<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags: Expression) { case (c, (e, r)) => rp(c, e, r) }
+    val spaces = re(entities, "[ \t\r]+", " ")
+    val lines = re(spaces, "( ?\n)+ ?", "\n")
+    re(lines, "^[\n ]+|[\n ]+$", "")
+  }
+
   /** Mersenne prime 2^31-1: modulus for the universal-hash family used by
     * MinHash (a*h+b mod p with a,b < p keeps products within 2^62, i.e.
     * inside signed-64 range).

@@ -735,21 +735,9 @@ object TextAnalysis {
     * [[qualityFlags]] downstream for the rest.
     */
   def extractHtmlText(html: Column): Column = {
-    val noScript = regexp_replace(html,
-      "(?is)<script[^>]*>.*?</script[^>]*>", " ")
-    val noStyle = regexp_replace(noScript,
-      "(?is)<style[^>]*>.*?</style[^>]*>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val breaks = regexp_replace(regexp_replace(noComment,
-        "(?i)<br[^>]*>", "\n"),
-      "(?i)</(p|div|li|h[1-6]|tr|ul|ol|blockquote|title)[^>]*>", "\n")
-    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", " ")
-    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
-    val spaces = regexp_replace(entities, "[ \t\r]+", " ")
-    val lines = regexp_replace(spaces, "( ?\n)+ ?", "\n")
-    regexp_replace(lines, "^[\n ]+|[\n ]+$", "")
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(graft.functions.TextFunctions.htmlExtractExpr(
+      toExpression(html)))
   }
 
   /** Corpus-wide frequent word n-grams with a minimum-support cut — the
