@@ -864,6 +864,21 @@ object SparkEntry {
       .select(col("doc_id"), col("split"))
   }
 
+  /** Funnel report over [[curateDeconExactQ]]'s configuration: the
+    * per-stage survivor counts (input → length gate → exact dedup →
+    * exact-gram decontamination → output). The oracle recomputes each
+    * stage's cardinality from the same CTE chain the composed gate
+    * uses.
+    */
+  private def curateReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curateReport { buf =>
+      graft.operators.Pipeline.curate(docs(s, dir), "doc_id", "text",
+        probe = Some(docs(s, dir).filter(col("doc_id") % 13 === 0)),
+        minChars = 250, maxChars = 100000,
+        decontaminateExactNgrams = 13,
+        stageFrames = Some(buf))
+    }
+
   /** Temperature mixing at alpha = 0.5 over the 20 sources: shares
     * follow sqrt(tokens) — small sources up-weighted vs natural
     * proportions — and the oracle recomputes the pow-share and
@@ -3057,6 +3072,7 @@ object SparkEntry {
     "decontaminate_exact" -> (decontaminateExactQ _),
     "decontaminate_scrub" -> (decontaminateScrubQ _),
     "curate_scrub"     -> (curateScrubQ _),
+    "curate_report"    -> (curateReportQ _),
     "mix_temperature"  -> (mixTemperatureQ _),
     "upsample_epochs"  -> (upsampleEpochsQ _),
     "pack_shuffle"     -> (packShuffleQ _),
@@ -3876,6 +3892,37 @@ object SparkEntry {
                 WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)""",
+    "curate_report" ->
+      s"""WITH q AS (SELECT doc_id, text FROM documents
+           WHERE length(text) >= 250 AND length(text) <= 100000),
+         ex AS (SELECT min(doc_id) AS doc_id FROM q
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+         sv AS (SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)),
+         pt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             w -> len(w) > 0) AS ws
+           FROM documents WHERE doc_id % 13 = 0),
+         pg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS h
+           FROM (SELECT ws, unnest(CASE WHEN len(ws) >= 13
+               THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM pt)),
+         tt AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               w -> len(w) > 0) AS ws FROM sv),
+         tg AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS h
+           FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13
+               THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM tt)),
+         bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h)),
+         fin AS (SELECT doc_id FROM sv
+           WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+         SELECT CAST(0 AS INTEGER) AS stage_order, 'input' AS stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows
+         UNION ALL SELECT 1, 'length_gate',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM q)
+         UNION ALL SELECT 2, 'exact_dedup',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sv)
+         UNION ALL SELECT 3, 'decontaminate',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fin)
+         UNION ALL SELECT 4, 'output',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fin)""",
     "mix_temperature" ->
       s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tk
            FROM documents GROUP BY 1),

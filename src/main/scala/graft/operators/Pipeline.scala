@@ -89,10 +89,19 @@ object Pipeline {
       decontaminateExactNgrams: Int = 0,
       scrubProbeNgrams: Int = 0,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      stageFrames: Option[scala.collection.mutable.Buffer[(String, DataFrame)]]
+        = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(Set("off", "word", "bpe")(substringDedup),
       s"substringDedup must be off|word|bpe, got '$substringDedup'")
+    // observability hook ([[curateReport]]): snapshot the surviving
+    // frame after each ROW-DROPPING stage (pure rewrites don't change
+    // counts and are not snapped) — the funnel is computed off the SAME
+    // frames the pipeline runs, so report and pipeline cannot drift
+    def snap(name: String, f: DataFrame): Unit =
+      stageFrames.foreach(_ += name -> f)
+    snap("input", docs)
     val len = length(col(textCol))
     // stage 0: markup → prose before anything reads the text (the
     // length gate below must measure content, not tags)
@@ -100,6 +109,7 @@ object Pipeline {
       docs.withColumn(textCol, TextAnalysis.extractHtmlText(col(textCol)))
     else docs
     var d = src.filter(len >= minChars && len <= maxChars)
+    snap("length_gate", d)
     // quality gating right after the length gate: a pure per-row
     // predicate (same expressions as TextAnalysis.qualityFlags), so it
     // pipelines into the scan and shrinks everything downstream —
@@ -107,6 +117,7 @@ object Pipeline {
     if (qualityFilter) {
       val (rep, sym) = TextAnalysis.qualityRatios(col(textCol))
       d = d.filter(rep <= maxRepetition && sym <= maxSymbolRatio)
+      snap("quality_gate", d)
     }
     // model-based quality gating (the DCLM/fastText filter deployment):
     // a TRAINED [[Classifier.Model]]'s score is a pure per-row
@@ -116,6 +127,7 @@ object Pipeline {
     qualityModel.foreach { m =>
       d = d.filter(
         Classifier.scoreColumn(col(textCol), m) <= maxQualityScore)
+      snap("classifier_gate", d)
     }
     // boilerplate stripping before the dedups: junk lines would otherwise
     // pollute content hashes and MinHash shingles
@@ -144,6 +156,7 @@ object Pipeline {
       }
       d = rewritten.filter(length(col("text_kept")) > 0)
         .select(col(idCol), col("text_kept").as(textCol))
+      snap("substring_dedup", d)
     }
     // SURGICAL decontamination (`scrubProbeNgrams > 0` + a probe): the
     // GPT-3 App. C span-removal form REPLACES the drop-stage below —
@@ -159,6 +172,7 @@ object Pipeline {
           broadcastProbe = decontaminateBroadcastProbe)
         .filter(length(col("text_kept")) > 0)
         .select(col(idCol), col("text_kept").as(textCol))
+      snap("decontaminate_scrub", d)
     }
     // The rewrite stages above are expensive per-row chains, and from
     // here the frame fans out to several independent consumers (the
@@ -183,6 +197,7 @@ object Pipeline {
     val keepExact = Dedup.exactNormalized(d, idCol, textCol)
       .select(col("keep_id").as(idCol))
     d = d.join(keepExact, Seq(idCol), "left_semi")
+    snap("exact_dedup", d)
     if (nearDup) {
       val bandRows = d.select(col(idCol),
           posexplode(minhashBuckets(shingleHashes(col(textCol), shingleN),
@@ -195,6 +210,7 @@ object Pipeline {
         .filter(col("__owner") < col(idCol))
         .select(col(idCol)).distinct()
       d = d.join(losers, Seq(idCol), "left_anti")
+      snap("near_dup", d)
     }
     if (scrubProbeNgrams == 0) probe.foreach { p =>
       // decontaminateExactNgrams > 0 selects the EXACT n-gram recipe
@@ -210,8 +226,46 @@ object Pipeline {
           numHashes, bands,
           broadcastProbe = decontaminateBroadcastProbe,
           maxBucketSize = decontaminateMaxBucketSize)
+      snap("decontaminate", d)
     }
     Sampling.assignSplit(d, idCol, splits)
+  }
+
+  /** Curation funnel report — the per-stage survivor counts a corpus
+    * datasheet publishes (how many documents each gate/dedup/
+    * decontamination stage removed), computed off the SAME frames the
+    * pipeline runs so report and pipeline cannot drift. Call with any
+    * [[curate]] configuration by threading the collector:
+    *
+    * {{{
+    * val funnel = Pipeline.curateReport { buf =>
+    *   Pipeline.curate(docs, "id", "text", probe = Some(p),
+    *     minChars = 250, decontaminateExactNgrams = 13,
+    *     stageFrames = Some(buf))
+    * }
+    * // => (stage_order, stage, n_rows): input, length_gate,
+    * //    exact_dedup, decontaminate, output
+    * }}}
+    *
+    * Returns one row per ROW-DROPPING stage (rewrite-only stages keep
+    * counts and are not snapped) plus `input` and `output`. Each stage
+    * row is a global `count` — partial-aggregable, one combined row per
+    * task; the per-stage frames re-run their lineage up to [[curate]]'s
+    * materialization boundary, so the report costs about one extra
+    * pipeline pass — a diagnostic to run alongside a backfill, not in
+    * the ingest hot path.
+    */
+  def curateReport(
+      run: scala.collection.mutable.Buffer[(String, DataFrame)] => DataFrame)
+      : DataFrame = {
+    val buf = scala.collection.mutable.Buffer.empty[(String, DataFrame)]
+    val out = run(buf)
+    buf += ("output" -> out)
+    buf.zipWithIndex.map { case ((name, f), i) =>
+      f.groupBy().agg(count(lit(1)).as("n_rows"))
+        .select(lit(i).as("stage_order"), lit(name).as("stage"),
+          col("n_rows"))
+    }.reduce(_ unionAll _)
   }
 
   /** [[curate]]'s INGEST-TIME sibling: the same stage order, composed

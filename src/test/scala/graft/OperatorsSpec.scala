@@ -2781,6 +2781,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set(0L))
   }
 
+  test("curateReport: funnel counts match direct stage counts and are" +
+      " monotone non-increasing after input") {
+    val d = Seq(
+      (0L, "x" * 300), (1L, "x" * 300), // exact dups -> one survives
+      (2L, "y" * 300), (3L, "short"),   // 3 fails the length gate
+      (4L, "z" * 300)).toDF("doc_id", "text")
+    val rep = graft.operators.Pipeline.curateReport { buf =>
+      graft.operators.Pipeline.curate(d, "doc_id", "text",
+        minChars = 100, stageFrames = Some(buf))
+    }.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rep === Map("input" -> 5L, "length_gate" -> 4L,
+      "exact_dedup" -> 3L, "output" -> 3L))
+  }
+
   test("mixByTemperature: alpha=1 reproduces natural proportions" +
       " (= uniform fraction), alpha=0 equalizes domain shares") {
     val d = (1 to 400).map(i =>
