@@ -2091,6 +2091,25 @@ object SparkEntry {
         defaultEpochs = 1.0),
       "stream_upsample")
 
+  /** Streaming WET ingestion: the [[wetRoundtripQ]] fixture files
+    * parsed through [[graft.sources.Wet.readWetStream]] — the live
+    * crawl-ingest entry (files land, records stream out). The parse is
+    * the batch reader's exact logic over the file-source stream, so
+    * the gate shares `wet_roundtrip`'s oracle verbatim.
+    */
+  private def streamingWetQ(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_wets_${Integer.toHexString(dir.hashCode)}"
+    val d = docs(s, dir).select(
+      concat(lit("http://example.org/doc/"), col("doc_id").cast("string"))
+        .as("uri"),
+      col("text"))
+    graft.sources.Wet.writeWet(d, "uri", "text", base, numFiles = 8)
+    runStreamToTable(s,
+      graft.sources.Wet.readWetStream(s, base)
+        .select(col("uri"), col("content_length"), col("text")),
+      "stream_wet")
+  }
+
   /** Streaming quality filtering, gated against the batch oracle: the
     * whole per-row TextAnalysis family is pure column expressions, so
     * applied to a stream unchanged it emits exactly the batch scores —
@@ -3080,6 +3099,7 @@ object SparkEntry {
     "curate_html"      -> (curateHtmlQ _),
     "wet_roundtrip"    -> (wetRoundtripQ _),
     "streaming_upsample" -> (streamingUpsampleQ _),
+    "streaming_wet"    -> (streamingWetQ _),
     "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
     "dedup_index_persist" -> (dedupIndexPersistQ _),
     "dedup_index_append" -> (dedupIndexAppendQ _),
@@ -3991,6 +4011,10 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)""",
     "wet_roundtrip" ->
+      """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
+         FROM documents""",
+    "streaming_wet" ->
       """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
          CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
          FROM documents""",

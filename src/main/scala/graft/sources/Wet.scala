@@ -62,13 +62,12 @@ object Wet {
       .write.mode("overwrite").text(path)
   }
 
-  /** Read a directory of WET-style files into
-    * `(wet_file, uri, content_length, text)` — `content_length` is the
-    * header's declared byte count (see the validation contract in the
-    * object doc), `text` the parsed payload.
+  /** The record fan-out + header/payload parse, shared verbatim by the
+    * batch and streaming readers (same stage on the backfill and the
+    * live crawl-ingest path).
     */
-  def readWet(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("text").option("wholetext", "true").load(path)
+  private def parseRecords(files: DataFrame): DataFrame =
+    files
       .select(input_file_name().as("wet_file"),
         explode(split(col("value"), "WARC/1\\.0\r\n")).as("__rec"))
       .filter(length(col("__rec")) > 0)
@@ -79,4 +78,26 @@ object Wet {
           "Content-Length: ([0-9]+)", 1).cast("long").as("content_length"),
         regexp_extract(col("__rec"),
           "(?s)\r\n\r\n(.*)\r\n\r\n[\r\n]*$", 1).as("text"))
+
+  /** Read a directory of WET-style files into
+    * `(wet_file, uri, content_length, text)` — `content_length` is the
+    * header's declared byte count (see the validation contract in the
+    * object doc), `text` the parsed payload.
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    parseRecords(
+      spark.read.format("text").option("wholetext", "true").load(path))
+
+  /** [[readWet]] as an unbounded STREAM over a landing directory — the
+    * live crawl-ingest shape: WET shards land as files, each new file
+    * becomes one streaming task, records parse with the exact batch
+    * logic (shared [[parseRecords]]), and the result composes with the
+    * stateless curation stages ([[graft.operators.Pipeline
+    * .curateStream]]). File-granular exactly-once comes from the file
+    * source's own tracking; the parse itself is stateless.
+    */
+  def readWetStream(spark: SparkSession, path: String): DataFrame =
+    parseRecords(
+      spark.readStream.format("text").option("wholetext", "true")
+        .load(path))
 }
