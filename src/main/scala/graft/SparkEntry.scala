@@ -798,6 +798,19 @@ object SparkEntry {
     * and the distinct-key semi join.
     */
   private def decontaminateExactQ(s: SparkSession, dir: String): DataFrame = {
+    val (train, probe) = snippetFixture(s, dir)
+    Dedup.decontaminateExact(train, probe, "doc_id", "text", n = 13)
+      .select(col("doc_id"))
+  }
+
+  /** Shared contamination plant for the exact-gram decon family
+    * ([[decontaminateExactQ]], [[decontaminateScrubQ]],
+    * [[curateScrubQ]]): a fixed 13-word eval snippet appended to every
+    * 9th train doc and to every 13th doc's probe copy — contamination
+    * arises both as full-text overlap and as a single shared 13-gram.
+    */
+  private def snippetFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val snip = "held out evaluation question about the seventeen" +
       " silver llamas crossing frozen rivers quietly"
     val train = docs(s, dir).select(col("doc_id"),
@@ -805,8 +818,7 @@ object SparkEntry {
         .otherwise(col("text")).as("text"))
     val probe = docs(s, dir).filter(col("doc_id") % 13 === 0)
       .select(concat(col("text"), lit(" " + snip)).as("text"))
-    Dedup.decontaminateExact(train, probe, "doc_id", "text", n = 13)
-      .select(col("doc_id"))
+    (train, probe)
   }
 
   /** Domain mixing to a 10k-token budget: src0/src1 get explicit
@@ -827,19 +839,15 @@ object SparkEntry {
     * the probe is every 13th doc with the snippet appended. Scrubbing
     * must remove the snippet span from planted docs (plus boundary
     * grams), empty out %13 docs almost entirely (their full bodies are
-    * in the probe), and leave everything else byte-identical. The
+    * in the probe), and leave every other doc's WORD SEQUENCE unchanged
+    * (the rebuild is space-joined tokens — whitespace normalizes, words
+    * don't; see the operator's rebuild-contract note). The
     * oracle replays tokenization, lowercased 13-gram keys, probe
     * membership, positional span cover, and the original-casing
     * rebuild.
     */
   private def decontaminateScrubQ(s: SparkSession, dir: String): DataFrame = {
-    val snip = "held out evaluation question about the seventeen" +
-      " silver llamas crossing frozen rivers quietly"
-    val train = docs(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + snip)))
-        .otherwise(col("text")).as("text"))
-    val probe = docs(s, dir).filter(col("doc_id") % 13 === 0)
-      .select(concat(col("text"), lit(" " + snip)).as("text"))
+    val (train, probe) = snippetFixture(s, dir)
     Dedup.scrubContaminatedSpans(train, probe, "doc_id", "text", n = 13)
   }
 
@@ -851,13 +859,7 @@ object SparkEntry {
     * correctly), which the oracle replays end-to-end.
     */
   private def curateScrubQ(s: SparkSession, dir: String): DataFrame = {
-    val snip = "held out evaluation question about the seventeen" +
-      " silver llamas crossing frozen rivers quietly"
-    val train = docs(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + snip)))
-        .otherwise(col("text")).as("text"))
-    val probe = docs(s, dir).filter(col("doc_id") % 13 === 0)
-      .select(concat(col("text"), lit(" " + snip)).as("text"))
+    val (train, probe) = snippetFixture(s, dir)
     graft.operators.Pipeline.curate(train, "doc_id", "text",
       probe = Some(probe), minChars = 250, maxChars = 100000,
       scrubProbeNgrams = 13)
@@ -916,16 +918,10 @@ object SparkEntry {
       seed = 7L, nShards = 8)
   }
 
-  /** HTML extraction gate: documents are wrapped in a synthetic page —
-    * head with style/script blocks (contents must vanish), a comment,
-    * an entity-bearing h1, the body re-paragraphed at sentence breaks,
-    * a br and trailing entities — and the extractor must give back the
-    * prose with line structure at the block boundaries. The oracle
-    * replays the construction and the identical regexp chain in
-    * DuckDB (the patterns are RE2-safe by design).
-    */
   /** The synthetic page wrap shared by [[htmlExtractQ]] and
-    * [[curateHtmlQ]].
+    * [[curateHtmlQ]]: head with style/script blocks (contents must
+    * vanish), a comment, an entity-bearing h1, the body re-paragraphed
+    * at sentence breaks, a br and trailing entities.
     */
   private def htmlPage: Column = concat(
     lit("<html><head><title>Doc</title>" +
@@ -937,6 +933,11 @@ object SparkEntry {
     replace(col("text"), lit(". "), lit(".</p>\n<p>")),
     lit("</p><br>&quot;fin&quot; &lt;eof&gt;</body></html>"))
 
+  /** HTML extraction gate: [[htmlPage]]-wrapped documents in, prose
+    * with line structure at the block boundaries out. The oracle
+    * replays the construction and the identical regexp chain in DuckDB
+    * (the patterns are RE2-safe by design).
+    */
   private def htmlExtractQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.extractHtmlText(htmlPage).as("text_clean"))
@@ -962,14 +963,22 @@ object SparkEntry {
     */
   private def wetRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_wet_${Integer.toHexString(dir.hashCode)}"
-    val d = docs(s, dir).select(
-      concat(lit("http://example.org/doc/"), col("doc_id").cast("string"))
-        .as("uri"),
-      col("text"))
-    graft.sources.Wet.writeWet(d, "uri", "text", base, numFiles = 8)
+    writeWetFixture(s, dir, base)
     graft.sources.Wet.readWet(s, base)
       .select(col("uri"), col("content_length"), col("text"))
   }
+
+  /** Shared WET fixture for [[wetRoundtripQ]] and [[streamingWetQ]]:
+    * documents as conversion records under synthetic target URIs.
+    */
+  private def writeWetFixture(
+      s: SparkSession, dir: String, base: String): Unit =
+    graft.sources.Wet.writeWet(
+      docs(s, dir).select(
+        concat(lit("http://example.org/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        col("text")),
+      "uri", "text", base, numFiles = 8)
 
   /** Composed curation: length gate -> exact-normalized dedup ->
     * decontaminate (probe = %13 docs) -> train/val/test assignment.
@@ -2099,11 +2108,7 @@ object SparkEntry {
     */
   private def streamingWetQ(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_wets_${Integer.toHexString(dir.hashCode)}"
-    val d = docs(s, dir).select(
-      concat(lit("http://example.org/doc/"), col("doc_id").cast("string"))
-        .as("uri"),
-      col("text"))
-    graft.sources.Wet.writeWet(d, "uri", "text", base, numFiles = 8)
+    writeWetFixture(s, dir, base)
     runStreamToTable(s,
       graft.sources.Wet.readWetStream(s, base)
         .select(col("uri"), col("content_length"), col("text")),
@@ -2492,6 +2497,28 @@ object SparkEntry {
          ws AS (SELECT doc_id, regexp_replace(regexp_replace(h, '[ \t\r]+', ' ', 'g'),
              '( ?\n)+ ?', chr(10), 'g') AS h FROM e),
          clean AS (SELECT doc_id, regexp_replace(h, '^[\n ]+|[\n ]+$', '', 'g') AS t FROM ws)"""
+
+  /** Shared oracle for the upsample gates — the streaming twin pins
+    * stream ≡ batch by REUSING this string, not by copying it.
+    */
+  private lazy val dkUpsampleOracle: String =
+    s"""WITH n AS (SELECT doc_id, source,
+           (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0
+                 WHEN source = 'src2' THEN 0 ELSE 1 END)
+           + (CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR) || ':up'")} % 1000000
+                < (CASE WHEN source = 'src0' THEN ${math.round((2.3 - 2) * 1000000)}
+                        WHEN source = 'src1' THEN ${math.round(0.5 * 1000000)}
+                        WHEN source = 'src2' THEN 0 ELSE 0 END)
+              THEN 1 ELSE 0 END) AS nc
+           FROM documents)
+         SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS epoch
+         FROM n WHERE nc >= 1"""
+
+  /** Shared oracle for the WET gates (batch roundtrip + stream parse). */
+  private val dkWetOracle: String =
+    """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
+         FROM documents"""
 
   /** Shingle CTEs (w, s) over documents: distinct word 3-grams, matching
     * TextFunctions.shingles.
@@ -3954,30 +3981,8 @@ object SparkEntry {
          FROM documents d JOIN fr USING (source)
          WHERE ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000
            < round(f * 1000000)""",
-    "upsample_epochs" ->
-      s"""WITH n AS (SELECT doc_id, source,
-           (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0
-                 WHEN source = 'src2' THEN 0 ELSE 1 END)
-           + (CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR) || ':up'")} % 1000000
-                < (CASE WHEN source = 'src0' THEN ${math.round((2.3 - 2) * 1000000)}
-                        WHEN source = 'src1' THEN ${math.round(0.5 * 1000000)}
-                        WHEN source = 'src2' THEN 0 ELSE 0 END)
-              THEN 1 ELSE 0 END) AS nc
-           FROM documents)
-         SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS epoch
-         FROM n WHERE nc >= 1""",
-    "streaming_upsample" ->
-      s"""WITH n AS (SELECT doc_id, source,
-           (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0
-                 WHEN source = 'src2' THEN 0 ELSE 1 END)
-           + (CASE WHEN ${dkHash("CAST(doc_id AS VARCHAR) || ':up'")} % 1000000
-                < (CASE WHEN source = 'src0' THEN ${math.round((2.3 - 2) * 1000000)}
-                        WHEN source = 'src1' THEN ${math.round(0.5 * 1000000)}
-                        WHEN source = 'src2' THEN 0 ELSE 0 END)
-              THEN 1 ELSE 0 END) AS nc
-           FROM documents)
-         SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS epoch
-         FROM n WHERE nc >= 1""",
+    "upsample_epochs" -> dkUpsampleOracle,
+    "streaming_upsample" -> dkUpsampleOracle,
     "pack_shuffle" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
            ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
@@ -4010,14 +4015,8 @@ object SparkEntry {
                 WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)""",
-    "wet_roundtrip" ->
-      """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
-         CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
-         FROM documents""",
-    "streaming_wet" ->
-      """SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
-         CAST(octet_length(encode(text)) AS BIGINT) AS content_length, text
-         FROM documents""",
+    "wet_roundtrip" -> dkWetOracle,
+    "streaming_wet" -> dkWetOracle,
     "curate_pipeline" -> dkCurate,
     "curate_substring" -> dkCurateSubstring,
     "curate_decon_exact" ->

@@ -655,8 +655,14 @@ object Dedup {
     * `lower` never changes whitespace, so normalized gram positions
     * index the original token array directly. Output is
     * [[dedupSubstrings]]' schema: `(id, text_kept, n_words_kept,
-    * n_words_dropped)`, one row per corpus doc (docs shorter than `n`
-    * words pass through untouched, as published).
+    * n_words_dropped)`, one row per corpus doc. NOTE the rebuild
+    * contract (shared with [[dedupSubstrings]]): `text_kept` is the
+    * surviving WORDS joined by single spaces — whitespace runs and
+    * line breaks collapse corpus-wide, including in documents with no
+    * contamination at all (their word sequence is unchanged, their
+    * whitespace is not). Run line-structure-sensitive operators
+    * ([[dedupLines]], [[TextAnalysis.stripBoilerplateLines]]) BEFORE
+    * scrubbing, or keep the original column alongside.
     *
     * Scale shape: the probe side collapses to DISTINCT 16-byte gram
     * keys and broadcasts (eval sets are tiny by definition) into a
@@ -692,13 +698,7 @@ object Dedup {
         Seq("__h"), "left_semi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
-    toks.join(starts, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        substringRemove(col("__ws"), col("__starts"), n).as("__r"))
-      .select(col(idCol),
-        col("__r").getField("text_kept").as("text_kept"),
-        col("__r").getField("n_words_kept").as("n_words_kept"),
-        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+    applyWordRemoval(toks, starts, idCol, n)
   }
 
   /** Exact-dup corpus dedup: keep the minimum id per content hash. */
@@ -939,15 +939,7 @@ object Dedup {
       .select(col(idCol),
         posexplode(wordGramHash128(col("__ws"), k)).as(Seq("__gpos", "__h")))
     val starts = removedGramStarts(grams, idCol)
-    // two-step select: project-collapse keeps the non-cheap walk
-    // evaluated once (same pattern as minhashSignatures)
-    toks.join(starts, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        substringRemove(col("__ws"), col("__starts"), k).as("__r"))
-      .select(col(idCol),
-        col("__r").getField("text_kept").as("text_kept"),
-        col("__r").getField("n_words_kept").as("n_words_kept"),
-        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+    applyWordRemoval(toks, starts, idCol, k)
   }
 
   /** The shared first-occurrence core of substring dedup: from positional
@@ -982,8 +974,39 @@ object Dedup {
       case _ => df.localCheckpoint()
     }
 
-  private[graft] def removedGramStarts(grams: DataFrame, idCol: String): DataFrame = {
-    val g = substringMaterialize(grams)
+  /** Shared rewrite assembly for the word-gram removal family
+    * ([[dedupSubstrings]], [[scrubContaminatedSpans]], and the
+    * substring index build/append): join the per-doc sorted removal
+    * starts onto the token arrays, run the one-pass
+    * [[graft.functions.SubstringRemoveExpr]] rewrite, project the
+    * result struct. Two-step select so project-collapse keeps the
+    * non-cheap walk evaluated once.
+    */
+  private[graft] def applyWordRemoval(
+      toks: DataFrame,
+      starts: DataFrame,
+      idCol: String,
+      k: Int): DataFrame =
+    toks.join(starts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        substringRemove(col("__ws"), col("__starts"), k).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_kept").as("text_kept"),
+        col("__r").getField("n_words_kept").as("n_words_kept"),
+        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+
+  private[graft] def removedGramStarts(grams: DataFrame, idCol: String): DataFrame =
+    removedGramStartsMaterialized(substringMaterialize(grams), idCol)
+
+  /** [[removedGramStarts]] over an ALREADY-materialized gram frame —
+    * for callers that checkpoint the gram table themselves because
+    * they have additional consumers (the substring index build writes
+    * `grams/` from it): materializing the corpus-scale gram table
+    * twice would double both the pass count and the block-storage
+    * footprint of the largest intermediate on this path.
+    */
+  private[graft] def removedGramStartsMaterialized(
+      g: DataFrame, idCol: String): DataFrame = {
     val dup = g.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol).as("__fid"), col("__gpos").as("__fpos")))

@@ -186,7 +186,8 @@ object Pipeline {
     // the ContextCleaner once the frame is unreachable — same lifecycle
     // decision (and same executor-loss tradeoff + `persist` escape
     // hatch) as FrameEngine.expandColJsonFrame.
-    if (stripBoilerplate || dedupLines || substringDedup != "off" ||
+    if (htmlInput || stripBoilerplate || dedupLines ||
+        substringDedup != "off" ||
         (scrubProbeNgrams > 0 && probe.isDefined))
       d = docs.sparkSession.conf
         .get("graft.curate.materialize", "localCheckpoint") match {

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{substringRemove, wordGramHash128}
+import graft.functions.TextFunctions.wordGramHash128
 import graft.operators.Dedup
 
 /** Persisted incremental dedup index — the crawl-pipeline shape where a
@@ -280,14 +280,11 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$path/grams")
     Seq(Tuple1(k)).toDF("span_words")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/grams_meta")
-    val starts = Dedup.removedGramStarts(grams, idCol)
-    toks.join(starts, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        substringRemove(col("__ws"), col("__starts"), k).as("__r"))
-      .select(col(idCol),
-        col("__r").getField("text_kept").as("text_kept"),
-        col("__r").getField("n_words_kept").as("n_words_kept"),
-        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+    // grams is already checkpointed above (it also feeds the grams/
+    // write): the Materialized form must not checkpoint it a second
+    // time
+    val starts = Dedup.removedGramStartsMaterialized(grams, idCol)
+    Dedup.applyWordRemoval(toks, starts, idCol, k)
   }
 
   /** Substring-dedup an incoming batch against the frozen gram index
@@ -360,13 +357,7 @@ object DedupIndex {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
       .localCheckpoint()
-    val rewritten = toks.join(starts, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        substringRemove(col("__ws"), col("__starts"), k).as("__r"))
-      .select(col(idCol),
-        col("__r").getField("text_kept").as("text_kept"),
-        col("__r").getField("n_words_kept").as("n_words_kept"),
-        col("__r").getField("n_words_dropped").as("n_words_dropped"))
+    val rewritten = Dedup.applyWordRemoval(toks, starts, idCol, k)
     // absorb: the batch's distinct hashes NOT already indexed. Both
     // inputs are materialized (bg checkpointed, hits checkpointed), so
     // the append write cannot rescan grams/ mid-growth

@@ -22,15 +22,21 @@ import org.apache.spark.sql.functions._
   * read.
   *
   * Parsing contract (documented bounds of a regex-based reader):
-  * records split on the literal `WARC/1.0\r\n` version line and the
-  * payload is the span from the first blank line to the LAST trailing
-  * blank line of the record (greedy, so internal `\r\n\r\n` inside a
-  * payload survives); a payload that itself contains a version line at
-  * column 0, or ends in a blank line, would mis-split — the
+  * records split on the literal `WARC/1.0\r\n` version-line string —
+  * UNANCHORED, so a payload containing that literal ANYWHERE (even
+  * mid-line, e.g. prose quoting a WARC header) mis-splits its record
+  * into fragments: the first fragment loses its payload tail and the
+  * later fragment can surface as a phantom record whose header
+  * regexes match stray payload text. The payload is the span from the
+  * first blank line to the LAST trailing blank line of the record
+  * (greedy, so internal `\r\n\r\n` inside a payload survives); a
+  * payload ending in a blank line also truncates. The
   * `content_length` column carries the header's byte count so
   * consumers can VALIDATE (`content_length = octet_length(text)`) and
-  * quarantine the vanishing minority of such records instead of
-  * trusting them silently. (A byte-offset streaming parser is what the
+  * quarantine the vanishing minority of such records — including both
+  * fragments of a mis-split (the phantom either lacks a parsable
+  * header or fails the length check) — instead of trusting them
+  * silently. (A byte-offset streaming parser is what the
   * format specifies; over `wholetext` strings Spark exposes no binary
   * slicing, so validation-over-trust is the honest contract.)
   */

@@ -2693,7 +2693,8 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("scrubContaminatedSpans: removes the quoted eval span (original" +
-      " casing kept elsewhere), leaves clean and short docs untouched") {
+      " casing kept elsewhere); clean and short docs keep their word" +
+      " sequence (space-joined rebuild)") {
     val span = (1 to 13).map(i => s"eval$i").mkString(" ")
     val corpus = Seq(
       (0L, s"Keep This Prefix $span and keep this suffix too ok fine"),
