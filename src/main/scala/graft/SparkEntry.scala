@@ -803,6 +803,26 @@ object SparkEntry {
       .select(col("doc_id"))
   }
 
+  /** BPE-token surgical scrub gate: the 72-char no-whitespace license
+    * block ([[BpeSubstringPlant]] — the span the word form provably
+    * cannot see) prepended to every 9th train doc AND to every 13th
+    * doc's probe copy. The scrub must cut the block's in-block token
+    * grams out of planted docs and fully empty %13 train docs (their
+    * whole token stream appears in the probe); the oracle replays
+    * fixture tokenization, token-40-gram keys, probe membership, span
+    * cover, and the byte-exact token rebuild.
+    */
+  private def decontaminateScrubBpeQ(s: SparkSession, dir: String): DataFrame = {
+    val train = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 9 === 0,
+        concat(lit(BpeSubstringPlant), col("text")))
+        .otherwise(col("text")).as("text"))
+    val probe = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      .select(concat(lit(BpeSubstringPlant), col("text")).as("text"))
+    Dedup.scrubContaminatedSpansBpe(train, probe, "doc_id", "text",
+      spanTokens = 40)
+  }
+
   /** Shared contamination plant for the exact-gram decon family
     * ([[decontaminateExactQ]], [[decontaminateScrubQ]],
     * [[curateScrubQ]]): a fixed 13-word eval snippet appended to every
@@ -3117,6 +3137,7 @@ object SparkEntry {
     "decontaminate"    -> (decontaminateQ _),
     "decontaminate_exact" -> (decontaminateExactQ _),
     "decontaminate_scrub" -> (decontaminateScrubQ _),
+    "decontaminate_scrub_bpe" -> (decontaminateScrubBpeQ _),
     "curate_scrub"     -> (curateScrubQ _),
     "curate_report"    -> (curateReportQ _),
     "mix_temperature"  -> (mixTemperatureQ _),
@@ -3970,6 +3991,45 @@ object SparkEntry {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM fin)
          UNION ALL SELECT 4, 'output',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM fin)""",
+    "decontaminate_scrub_bpe" ->
+      """WITH tr AS (SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+               THEN 'licensetermsapplytoallcopiesofthisdocumentnowarrantyisexpressedorimplied' || text
+               ELSE text END AS text
+           FROM documents),
+         pr AS (SELECT 'licensetermsapplytoallcopiesofthisdocumentnowarrantyisexpressedorimplied' || text AS text
+           FROM documents WHERE doc_id % 13 = 0),
+         pt AS (SELECT list_transform(
+             string_split(replace(replace(text, 'abc', chr(1)), 'ab', chr(2)), ''),
+             c -> CAST(CASE WHEN c = chr(1) THEN 257
+                            WHEN c = chr(2) THEN 256
+                            ELSE ascii(c) END AS INTEGER)) AS ids FROM pr),
+         pg AS (SELECT DISTINCT md5(array_to_string(ids[i:i+39], ',')) AS h
+           FROM (SELECT ids, unnest(CASE WHEN len(ids) >= 40 THEN range(1, len(ids) - 38) ELSE [] END) AS i FROM pt)),
+         t AS (SELECT doc_id, list_transform(
+             string_split(replace(replace(text, 'abc', chr(1)), 'ab', chr(2)), ''),
+             c -> CAST(CASE WHEN c = chr(1) THEN 257
+                            WHEN c = chr(2) THEN 256
+                            ELSE ascii(c) END AS INTEGER)) AS ids FROM tr),
+         g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS gpos,
+             md5(array_to_string(ids[i:i+39], ',')) AS h
+           FROM (SELECT doc_id, ids, unnest(CASE WHEN len(ids) >= 40 THEN range(1, len(ids) - 38) ELSE [] END) AS i FROM t)),
+         cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(gpos, gpos + 40)) AS INTEGER) AS pos
+           FROM g WHERE h IN (SELECT h FROM pg)),
+         w AS (SELECT doc_id, CAST(generate_subscripts(ids, 1) - 1 AS INTEGER) AS pos, unnest(ids) AS id FROM t),
+         k AS (SELECT w.doc_id, w.pos, w.id, cov.pos IS NULL AS keep
+           FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+         agg AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN
+                 CASE WHEN id = 257 THEN 'abc' WHEN id = 256 THEN 'ab'
+                      ELSE chr(id) END END, '' ORDER BY pos), '') AS text_kept,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_tokens_dropped
+           FROM k GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
+           coalesce(agg.n_tokens_kept, 0) AS n_tokens_kept,
+           coalesce(agg.n_tokens_dropped, 0) AS n_tokens_dropped
+         FROM t LEFT JOIN agg USING (doc_id)""",
     "mix_temperature" ->
       s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tk
            FROM documents GROUP BY 1),

@@ -701,6 +701,68 @@ object Dedup {
     applyWordRemoval(toks, starts, idCol, n)
   }
 
+  /** [[scrubContaminatedSpans]] over BPE TOKEN streams — the surgical
+    * decontamination form for text where whitespace word grams cannot
+    * see the quoted span (unsegmented CJK, code, concatenated
+    * boilerplate — the same blindness [[dedupSubstringsBpe]] exists
+    * for): every corpus token-id `spanTokens`-gram that appears
+    * anywhere in the probe's token streams is removed, overlapping
+    * spans merge positionally in TOKEN space, and the text is rebuilt
+    * byte-exactly from the surviving tokens
+    * ([[graft.functions.BpeTokenRemoveExpr]] — with the same
+    * invalid-UTF-8 seam caveat and `scrubSeams` escape hatch as the
+    * dedup form).
+    *
+    * Matching is BYTE-EXACT (token-id equality under `merges`), not
+    * lowercase-normalized like the word form — token-level
+    * contamination is defined on the byte stream the trainer actually
+    * sees, and normalizing would desynchronize gram positions from the
+    * rebuild's token array. Output: `(id, text_kept, n_tokens_kept,
+    * n_tokens_dropped)`, one row per corpus doc; docs shorter than
+    * `spanTokens` tokens pass through byte-identically (null starts =
+    * identity rebuild, property-pinned in the dedup form's specs).
+    *
+    * Scale shape: identical to [[scrubContaminatedSpans]] with the
+    * token-faithful price — one gram row per TOKEN; the probe side
+    * collapses to distinct 16-byte keys and broadcasts, the corpus
+    * side streams through the semi join, and the only corpus-keyed
+    * shuffle carries CONTAMINATED grams only.
+    */
+  def scrubContaminatedSpansBpe(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 50,
+      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges,
+      scrubSeams: Boolean = false,
+      broadcastProbe: Boolean = true): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be >= 2")
+    val k = spanTokens
+    val probeGrams = probe.select(explode(intGramHash128(
+        bpeTokenIds(col(textCol), merges), k)).as("__h"))
+      .distinct()
+    val toks = substringMaterialize(corpus.select(col(idCol),
+      bpeTokenIds(col(textCol), merges).as("__ids")))
+    val grams = toks.filter(size(col("__ids")) >= k)
+      .select(col(idCol),
+        posexplode(intGramHash128(col("__ids"), k))
+          .as(Seq("__gpos", "__h")))
+    val starts = grams
+      .join(if (broadcastProbe) broadcast(probeGrams) else probeGrams,
+        Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
+    toks.join(starts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        bpeTokenRemove(col("__ids"), col("__starts"), k, merges,
+          scrubSeams).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_kept").as("text_kept"),
+        col("__r").getField("n_tokens_kept").as("n_tokens_kept"),
+        col("__r").getField("n_tokens_dropped").as("n_tokens_dropped"))
+  }
+
   /** Exact-dup corpus dedup: keep the minimum id per content hash. */
   def dropDuplicatesExact(
       docs: DataFrame,

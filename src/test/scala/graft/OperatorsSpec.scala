@@ -2766,6 +2766,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubContaminatedSpansBpe: cuts a quoted no-whitespace span the" +
+      " word scrub provably cannot see; clean docs pass byte-identically") {
+    // 45+ chars, no whitespace, no 'ab': fixture tokens = chars
+    val block = "xqzjvkwpyhgfdsmnrtlcuoeixqzjvkwpyhgfdsmnrtlcu"
+    val corpus = Seq(
+      (0L, s"prefix $block suffix"),
+      (1L, "a clean document\nwith a newline kept")).toDF("doc_id", "text")
+    val probe = Seq(Tuple1(block + "trailingprobecontext")).toDF("text")
+    val bpe = Dedup.scrubContaminatedSpansBpe(corpus, probe,
+        "doc_id", "text", spanTokens = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the block is one whitespace "word": the word form finds nothing
+    val word = Dedup.scrubContaminatedSpans(corpus, probe,
+        "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(word(0L) === 0L)
+    // the BPE form removes the in-block token grams (the block's first
+    // 40+ token positions are covered; suffix tokens survive)
+    assert(bpe(0L)._3 >= 40L)
+    assert(bpe(0L)._1.endsWith("suffix"))
+    assert(!bpe(0L)._1.contains(block))
+    // clean doc: null starts -> byte-identical rebuild, newline kept
+    assert(bpe(1L) === ("a clean document\nwith a newline kept", 36L, 0L))
+  }
+
   test("curate(scrubProbeNgrams): scrub precedes dedup — docs identical" +
       " after scrubbing collapse to one, emptied docs drop") {
     val span = (1 to 13).map(i => s"ev$i").mkString(" ")
