@@ -451,6 +451,35 @@ object SparkEntry {
     aRew.union(bRew)
   }
 
+  /** PERSISTENT-INDEX streaming dedup gate: the index is built on the
+    * %3!=0 half (fresh artifacts — markers and prior outputs wiped
+    * first so bench reps stay deterministic), the %3==0 half streams
+    * through [[graft.streaming.StreamingDedup.indexedDedupStream]]
+    * (foreachBatch → `DedupIndex.ingestBatch`), and the emitted
+    * survivor set must equal the BATCH append's — the oracle is
+    * [[dedupIndexAppendQ]]'s, shared verbatim, because the telescoping
+    * property makes the result independent of how the stream was
+    * micro-batched.
+    */
+  private def streamingDedupIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"/tmp/graft_sdidx_${Integer.toHexString(dir.hashCode)}"
+    val out = s"/tmp/graft_sdidx_out_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(idx, out).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    val d = docs(s, dir)
+    graft.sources.DedupIndex.build(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idx)
+    graft.streaming.StreamingDedup.indexedDedupStream(
+        docStream(s, dir).filter(col("doc_id") % 3 === 0),
+        idx, out, "doc_id", "text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(out).select(col("doc_id"), col("n_chars"))
+  }
+
   private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
@@ -3152,6 +3181,7 @@ object SparkEntry {
     "dedup_index_persist" -> (dedupIndexPersistQ _),
     "dedup_index_append" -> (dedupIndexAppendQ _),
     "dedup_index_substring" -> (dedupIndexSubstringQ _),
+    "streaming_dedup_index" -> (streamingDedupIndexQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
     "url_normalize"    -> (urlNormalizeQ _),
@@ -4127,6 +4157,10 @@ object SparkEntry {
          min(doc_id) AS keep_id
          FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1""",
     "dedup_index_append" -> dkDedupIndexAppend,
+    // the stream ingests the SAME %3 batch against the same frozen
+    // index, and the telescoping property makes the surviving set
+    // independent of micro-batching — oracle shared verbatim
+    "streaming_dedup_index" -> dkDedupIndexAppend,
     "dedup_lsh_verified" ->
       s"""WITH pairs AS ($dkLshPairs),
          $dkShingles

@@ -159,7 +159,35 @@ object DedupIndex {
       textCol: String,
       numFiles: Int = 8,
       broadcastBatch: Boolean = true): DataFrame = {
-    require(numFiles > 0, "numFiles must be positive")
+    val b = dedupBatch(spark, path, newDocs, idCol, textCol,
+      broadcastBatch)
+    absorb(spark, path, b, numFiles)
+    b.survivors
+  }
+
+  /** The result of deduping one batch against the frozen index, every
+    * frame MATERIALIZED (eager local checkpoint): `survivors` = the
+    * batch rows (original schema) that pass both stages; `newHashes` /
+    * `newBuckets` = the state [[absorb]] appends. Computing this is
+    * PURE — the index directories are only read — so it can be
+    * recomputed idempotently until [[absorb]] runs (the property
+    * [[ingestBatch]]'s crash-replay protocol rests on).
+    */
+  final case class BatchDedup(
+      survivors: DataFrame,
+      newHashes: DataFrame,
+      newBuckets: DataFrame)
+
+  /** Stage-1/stage-2 dedup of a batch against the frozen index — the
+    * probe half of [[append]], with no writes.
+    */
+  def dedupBatch(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastBatch: Boolean = true): BatchDedup = {
     val idx = load(spark, path)
     def bc(df: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(df) else df
@@ -209,22 +237,87 @@ object DedupIndex {
       .join(bc(dropped), Seq(idCol), "left_anti")
       .select(newDocs.columns.map(col): _*)
       .localCheckpoint()
-    // absorb the batch: every fresh hash (owner = the exact survivor,
+    // the absorb state: every fresh hash (owner = the exact survivor,
     // near-dropped or not) and every exact-survivor's band rows — the
     // two wider-than-survivors invariants the telescoping proof needs.
-    // Both project off materialized frames, so the appends below read
-    // checkpoint blocks, never the directories they are growing
-    val newHashes = exactSurv
-      .select(col("__h").as("text_hash"), col(idCol).as("keep_id"))
-    val newBuckets = bb
-      .select(col(idCol).as("doc_id"), col("band"), col("bucket"))
-    newHashes.repartition(numFiles, col("text_hash"))
-      .sortWithinPartitions("text_hash")
-      .write.mode("append").parquet(s"$path/hashes")
-    newBuckets.repartition(numFiles, col("band"), col("bucket"))
+    // Both project off materialized frames, so the appends read
+    // checkpoint blocks, never the directories they grow
+    BatchDedup(
+      survivors = survivors,
+      newHashes = exactSurv
+        .select(col("__h").as("text_hash"), col(idCol).as("keep_id")),
+      newBuckets = bb
+        .select(col(idCol).as("doc_id"), col("band"), col("bucket")))
+  }
+
+  /** Append a [[dedupBatch]] result's state to the index. BUCKETS are
+    * written BEFORE hashes deliberately: a batch doc is recognized as
+    * "already absorbed" by its HASH, so writing the hash last means a
+    * crash-replay of a partially-absorbed batch recomputes
+    * [[dedupBatch]] and re-appends exactly the missing state — a doc
+    * whose hash landed necessarily has its band rows landed too, and a
+    * doc whose hash did not land is recomputed as a fresh exact
+    * survivor (its duplicated band rows are benign: the near-dup stage
+    * takes DISTINCT ids). The reverse order would let a crash leave a
+    * hash-absorbed survivor with no band rows — an invariant hole no
+    * replay could see.
+    */
+  def absorb(
+      spark: SparkSession,
+      path: String,
+      b: BatchDedup,
+      numFiles: Int = 8): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    b.newBuckets.repartition(numFiles, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
       .write.mode("append").parquet(s"$path/buckets")
-    survivors
+    b.newHashes.repartition(numFiles, col("text_hash"))
+      .sortWithinPartitions("text_hash")
+      .write.mode("append").parquet(s"$path/hashes")
+  }
+
+  /** Idempotent one-batch ingest — the unit [[graft.streaming
+    * .StreamingDedup.indexedDedupStream]] runs per micro-batch, safe
+    * under foreachBatch's at-least-once replay:
+    *
+    *  1. if the batch's absorb MARKER exists, the batch is fully
+    *     ingested — no-op;
+    *  2. else if the batch's output `_SUCCESS` is absent, compute
+    *     [[dedupBatch]] (pure — the index cannot contain this batch
+    *     yet, because the marker is written only after absorb) and
+    *     OVERWRITE the batch's output dir (`outPath/batch_id=N`);
+    *  3. [[absorb]] (buckets-then-hashes replay ordering), then write
+    *     the marker.
+    *
+    * Crash anywhere → the replay re-enters at the right step and
+    * converges to the same output and the same index state (modulo
+    * benign duplicate state rows, which membership semantics ignore).
+    * This is how a dedup stream keeps its state in a RESTARTABLE,
+    * rebuildable artifact instead of an opaque state store.
+    */
+  def ingestBatch(
+      spark: SparkSession,
+      indexPath: String,
+      outPath: String,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      numFiles: Int = 8,
+      broadcastBatch: Boolean = true): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/ingested/batch_$batchId")
+    val mFs = marker.getFileSystem(hconf)
+    if (mFs.exists(marker)) return
+    val outDir = new org.apache.hadoop.fs.Path(s"$outPath/batch_id=$batchId")
+    val outFs = outDir.getFileSystem(hconf)
+    val b = dedupBatch(spark, indexPath, batch, idCol, textCol,
+      broadcastBatch)
+    if (!outFs.exists(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS")))
+      b.survivors.write.mode("overwrite").parquet(outDir.toString)
+    absorb(spark, indexPath, b, numFiles)
+    mFs.mkdirs(marker)
   }
 
   // ---------------------------------------------------------------------

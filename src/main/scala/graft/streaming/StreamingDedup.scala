@@ -204,6 +204,43 @@ object StreamingDedup {
     * with fewer than `n` words have no grams and always keep — the
     * batch form's explode drops them the same way.
     */
+  /** PERSISTENT-INDEX streaming dedup: each micro-batch is deduplicated
+    * against (and absorbed into) the [[graft.sources.DedupIndex]]
+    * artifact via the idempotent [[graft.sources.DedupIndex
+    * .ingestBatch]] protocol, and survivors land under
+    * `outPath/batch_id=N`. The state-store forms above trade
+    * durability for latency (state dies with the checkpoint, horizon
+    * bounds memory); THIS form keeps dedup state in a restartable,
+    * inspectable, batch-rebuildable artifact the backfill pipeline
+    * shares — the same index dedups the historical corpus and the live
+    * stream, and the telescoping property makes the surviving set
+    * independent of how the stream was micro-batched.
+    *
+    * Returns the configured `DataStreamWriter`; the caller picks
+    * trigger/checkpoint (`.trigger(AvailableNow()).start()` for
+    * catch-up runs). ALWAYS set a durable `checkpointLocation`: batch
+    * ids — which key the ingest markers — are unique only within one
+    * checkpoint lineage, so a fresh temp checkpoint against a used
+    * index would collide with absorbed batches' markers and silently
+    * skip them. Exactly-once: foreachBatch replays are absorbed by
+    * `ingestBatch`'s marker/`_SUCCESS` protocol — see its scaladoc.
+    */
+  def indexedDedupStream(
+      stream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      numFiles: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.sources.DedupIndex.ingestBatch(batch.sparkSession,
+          indexPath, outPath, batch.toDF(), batchId, idCol, textCol,
+          numFiles)
+    }
+
   def exactGramDecontaminateKeep(
       probe: DataFrame,
       probeTextCol: String,

@@ -2755,6 +2755,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inc(5L)._1 === "") // both spans removed -> fully emptied
   }
 
+  test("indexedDedupStream: cross-micro-batch survivors equal the batch" +
+      " append, and ingestBatch replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_sdidx_spec")
+      .toString
+    val (src, idx, out) = (s"$root/src", s"$root/idx", s"$root/out")
+    val mk = (rows: Seq[(Long, String)]) =>
+      rows.toDF("doc_id", "text")
+    mk(Seq(0L -> "the quick brown fox jumps over the lazy dog here")).write
+      .mode("overwrite").parquet(src)
+    graft.sources.DedupIndex.build(
+      spark.read.parquet(src), "doc_id", "text", idx)
+    // batch 1: an exact dup of 0 (drops), a near dup of 0 (drops via
+    // bands), a fresh doc (survives)
+    // one durable checkpoint across BOTH runs: batch ids (and so the
+    // ingest markers) are unique within a checkpoint lineage — the
+    // documented production contract
+    val cp = s"$root/cp"
+    val srcStream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(src)
+    def run(): Unit = graft.streaming.StreamingDedup.indexedDedupStream(
+        srcStream.filter(col("doc_id") > 0L), idx, out, "doc_id", "text")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    mk(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog here",
+      2L -> "the quick brown fox jumps over the lazy cat here",
+      3L -> "completely different content with no overlap at all"))
+      .write.mode("append").parquet(src)
+    run()
+    // second run resumes the checkpoint: only the NEW files process,
+    // as a later batch id — a dup of run 1's survivor (drops against
+    // state ABSORBED by run 1) and a fresh doc
+    mk(Seq(
+      4L -> "completely different content with no overlap at all",
+      5L -> "nothing like anything seen before in this tiny corpus"))
+      .write.mode("append").parquet(src)
+    run()
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(3L, 5L))
+    // replaying an already-ingested batch id is a marker-guarded no-op
+    val hashesBefore = spark.read.parquet(s"$idx/hashes").count()
+    graft.sources.DedupIndex.ingestBatch(spark, idx, out,
+      mk(Seq(3L -> "completely different content with no overlap at all")),
+      batchId = 0L, idCol = "doc_id", textCol = "text")
+    assert(spark.read.parquet(s"$idx/hashes").count() === hashesBefore)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 5L))
+  }
+
   test("DedupIndex substring: append without a built gram index fails" +
       " loudly (tombstoned meta is the load gate)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsidx_meta")
