@@ -480,6 +480,38 @@ object SparkEntry {
     s.read.parquet(out).select(col("doc_id"), col("n_chars"))
   }
 
+  /** Streaming SUBSTRING-index gate ([[dedupIndexSubstringQ]]'s plant
+    * and split): the gram index is built on the %3!=0 half (its
+    * rewrite emitted batch-side), the %3==0 half streams through
+    * [[graft.streaming.StreamingDedup.indexedSubstringStream]], and
+    * the union must equal the batch composition — oracle shared
+    * verbatim with `dedup_index_substring`.
+    */
+  private def streamingSubstringIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"/tmp/graft_ssidx_${Integer.toHexString(dir.hashCode)}"
+    val out = s"/tmp/graft_ssidx_out_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(idx, out).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    def plant(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(SubstringBoilerplate + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val aRew = graft.sources.DedupIndex.buildSubstring(
+      plant(docs(s, dir)).filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", idx, spanWords = 12)
+    graft.streaming.StreamingDedup.indexedSubstringStream(
+        plant(docStream(s, dir)).filter(col("doc_id") % 3 === 0),
+        idx, out, "doc_id", "text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    aRew.union(s.read.parquet(out)
+      .select(col("doc_id"), col("text_kept"),
+        col("n_words_kept"), col("n_words_dropped")))
+  }
+
   private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
@@ -2522,6 +2554,49 @@ object SparkEntry {
   private def dkHash(x: String): String =
     s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
 
+  /** Shared oracle for the substring-index gates: the from-scratch
+    * replay under arrival-order priority (build half outranks the
+    * batch). The streaming twin REUSES it — telescoping makes the
+    * result micro-batch-independent.
+    */
+  private val dkDedupIndexSubstring: String =
+    """WITH src AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN 'this document is provided as is without warranty of any kind either expressed or implied ' || text
+               ELSE text END AS text,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS grp
+           FROM documents),
+         t AS (SELECT doc_id, grp,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws
+           FROM src),
+         gi AS (SELECT doc_id, grp, ws,
+             unnest(CASE WHEN len(ws) >= 12 THEN range(1, len(ws) - 10) ELSE [] END) AS i
+           FROM t),
+         g AS (SELECT doc_id, grp, CAST(i - 1 AS INTEGER) AS gpos,
+             md5(array_to_string(ws[i:i+11], ' ')) AS h
+           FROM gi),
+         f AS (SELECT doc_id, gpos,
+             row_number() OVER (PARTITION BY h ORDER BY grp, doc_id, gpos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM g),
+         cov AS (SELECT DISTINCT doc_id,
+             CAST(unnest(range(gpos, gpos + 12)) AS INTEGER) AS pos
+           FROM f WHERE c >= 2 AND rn > 1),
+         w AS (SELECT doc_id,
+             CAST(generate_subscripts(ws, 1) - 1 AS INTEGER) AS pos, unnest(ws) AS w
+           FROM t),
+         k AS (SELECT w.doc_id, w.pos, w.w, cov.pos IS NULL AS keep
+           FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+         agg AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '') AS text_kept,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_words_kept,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_words_dropped
+           FROM k GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
+           coalesce(agg.n_words_kept, 0) AS n_words_kept,
+           coalesce(agg.n_words_dropped, 0) AS n_words_dropped
+         FROM t LEFT JOIN agg USING (doc_id)"""
+
   /** Shared CTE chain for the HTML gates: the synthetic page wrap
     * ([[htmlPage]]) plus [[graft.operators.TextAnalysis
     * .extractHtmlText]]'s regexp chain replayed in DuckDB, ending in
@@ -3182,6 +3257,7 @@ object SparkEntry {
     "dedup_index_append" -> (dedupIndexAppendQ _),
     "dedup_index_substring" -> (dedupIndexSubstringQ _),
     "streaming_dedup_index" -> (streamingDedupIndexQ _),
+    "streaming_substring_index" -> (streamingSubstringIndexQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
     "url_normalize"    -> (urlNormalizeQ _),
@@ -3655,43 +3731,8 @@ object SparkEntry {
            coalesce(agg.n_words_kept, 0) AS n_words_kept,
            coalesce(agg.n_words_dropped, 0) AS n_words_dropped
          FROM t LEFT JOIN agg USING (doc_id)""",
-    "dedup_index_substring" ->
-      """WITH src AS (SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0
-               THEN 'this document is provided as is without warranty of any kind either expressed or implied ' || text
-               ELSE text END AS text,
-             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS grp
-           FROM documents),
-         t AS (SELECT doc_id, grp,
-             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws
-           FROM src),
-         gi AS (SELECT doc_id, grp, ws,
-             unnest(CASE WHEN len(ws) >= 12 THEN range(1, len(ws) - 10) ELSE [] END) AS i
-           FROM t),
-         g AS (SELECT doc_id, grp, CAST(i - 1 AS INTEGER) AS gpos,
-             md5(array_to_string(ws[i:i+11], ' ')) AS h
-           FROM gi),
-         f AS (SELECT doc_id, gpos,
-             row_number() OVER (PARTITION BY h ORDER BY grp, doc_id, gpos) AS rn,
-             count(*) OVER (PARTITION BY h) AS c
-           FROM g),
-         cov AS (SELECT DISTINCT doc_id,
-             CAST(unnest(range(gpos, gpos + 12)) AS INTEGER) AS pos
-           FROM f WHERE c >= 2 AND rn > 1),
-         w AS (SELECT doc_id,
-             CAST(generate_subscripts(ws, 1) - 1 AS INTEGER) AS pos, unnest(ws) AS w
-           FROM t),
-         k AS (SELECT w.doc_id, w.pos, w.w, cov.pos IS NULL AS keep
-           FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
-         agg AS (SELECT doc_id,
-             coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), '') AS text_kept,
-             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_words_kept,
-             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_words_dropped
-           FROM k GROUP BY doc_id)
-         SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
-           coalesce(agg.n_words_kept, 0) AS n_words_kept,
-           coalesce(agg.n_words_dropped, 0) AS n_words_dropped
-         FROM t LEFT JOIN agg USING (doc_id)""",
+    "dedup_index_substring" -> dkDedupIndexSubstring,
+    "streaming_substring_index" -> dkDedupIndexSubstring,
     "dedup_substring_bpe" ->
       """WITH src AS (SELECT doc_id,
              CASE WHEN doc_id % 5 = 0

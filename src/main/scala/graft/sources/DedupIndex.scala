@@ -412,6 +412,34 @@ object DedupIndex {
       textCol: String,
       numFiles: Int = 8,
       broadcastBatch: Boolean = true): DataFrame = {
+    val b = dedupSubstringBatch(spark, path, newDocs, idCol, textCol,
+      broadcastBatch)
+    absorbSubstring(spark, path, b, numFiles)
+    b.rewritten
+  }
+
+  /** One batch's substring-dedup against the frozen gram index, every
+    * frame MATERIALIZED: `rewritten` = the batch's rewrite (the
+    * [[appendSubstring]] output), `newHashes` = the distinct
+    * not-yet-indexed gram hashes [[absorbSubstring]] appends. Pure —
+    * `grams/` is only read — so recomputable idempotently until the
+    * absorb runs (the [[ingestSubstringBatch]] replay protocol; and
+    * after a PARTIAL absorb, recomputation still yields exactly the
+    * missing hashes, because a hash's presence in `grams/` is the very
+    * signal that excludes it from `newHashes`).
+    */
+  final case class SubstringBatch(
+      rewritten: DataFrame,
+      newHashes: DataFrame)
+
+  /** The probe half of [[appendSubstring]] — no writes. */
+  def dedupSubstringBatch(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastBatch: Boolean = true): SubstringBatch = {
     val meta = spark.read.parquet(s"$path/grams_meta").collect()
     require(meta.length == 1, s"malformed gram-index meta at $path")
     val k = meta(0).getAs[Int]("span_words")
@@ -450,16 +478,60 @@ object DedupIndex {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__gpos"))).as("__starts"))
       .localCheckpoint()
-    val rewritten = Dedup.applyWordRemoval(toks, starts, idCol, k)
-    // absorb: the batch's distinct hashes NOT already indexed. Both
-    // inputs are materialized (bg checkpointed, hits checkpointed), so
-    // the append write cannot rescan grams/ mid-growth
-    val newHashes = batchHashes
-      .join(bc(hits), Seq("__h"), "left_anti")
-      .select(col("__h").as("gram_hash"))
-    newHashes.repartition(numFiles, col("gram_hash"))
+    // newHashes projects off materialized frames (bg + hits), so the
+    // absorb append cannot rescan grams/ mid-growth
+    SubstringBatch(
+      rewritten = Dedup.applyWordRemoval(toks, starts, idCol, k),
+      newHashes = batchHashes
+        .join(bc(hits), Seq("__h"), "left_anti")
+        .select(col("__h").as("gram_hash")))
+  }
+
+  /** Append a [[dedupSubstringBatch]] result's new gram hashes. One
+    * artifact, so replay is trivially convergent: a partially-landed
+    * append leaves hashes whose presence excludes them from the next
+    * recomputation's `newHashes` (see [[SubstringBatch]]).
+    */
+  def absorbSubstring(
+      spark: SparkSession,
+      path: String,
+      b: SubstringBatch,
+      numFiles: Int = 8): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    b.newHashes.repartition(numFiles, col("gram_hash"))
       .sortWithinPartitions("gram_hash")
       .write.mode("append").parquet(s"$path/grams")
-    rewritten
+  }
+
+  /** Idempotent one-batch SUBSTRING ingest — [[ingestBatch]]'s protocol
+    * for the gram index ([[graft.streaming.StreamingDedup
+    * .indexedSubstringStream]] runs this per micro-batch): marker →
+    * no-op; else compute the pure [[dedupSubstringBatch]], overwrite
+    * the batch's rewrite output under `outPath/batch_id=N` unless its
+    * `_SUCCESS` already landed, absorb, mark.
+    */
+  def ingestSubstringBatch(
+      spark: SparkSession,
+      indexPath: String,
+      outPath: String,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      numFiles: Int = 8,
+      broadcastBatch: Boolean = true): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/grams_ingested/batch_$batchId")
+    val mFs = marker.getFileSystem(hconf)
+    if (mFs.exists(marker)) return
+    val outDir = new org.apache.hadoop.fs.Path(s"$outPath/batch_id=$batchId")
+    val outFs = outDir.getFileSystem(hconf)
+    val b = dedupSubstringBatch(spark, indexPath, batch, idCol, textCol,
+      broadcastBatch)
+    if (!outFs.exists(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS")))
+      b.rewritten.write.mode("overwrite").parquet(outDir.toString)
+    absorbSubstring(spark, indexPath, b, numFiles)
+    mFs.mkdirs(marker)
   }
 }

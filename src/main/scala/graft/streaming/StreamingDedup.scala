@@ -241,6 +241,33 @@ object StreamingDedup {
           numFiles)
     }
 
+  /** [[indexedDedupStream]]'s SUBSTRING sibling: each micro-batch is
+    * substring-dedup-rewritten against the frozen gram index
+    * ([[graft.sources.DedupIndex.ingestSubstringBatch]] — quoted
+    * corpus-wide duplicate spans removed at ingest, first occurrences
+    * kept by arrival order) and its new gram hashes are absorbed, so
+    * the rewritten output telescopes exactly to the batch run no
+    * matter how the stream was micro-batched. Same contracts as the
+    * exact/near-dup form: durable `checkpointLocation` required
+    * (markers key on batch id), at-least-once replays converge via the
+    * `_SUCCESS`/marker protocol.
+    */
+  def indexedSubstringStream(
+      stream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      numFiles: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.sources.DedupIndex.ingestSubstringBatch(batch.sparkSession,
+          indexPath, outPath, batch.toDF(), batchId, idCol, textCol,
+          numFiles)
+    }
+
   def exactGramDecontaminateKeep(
       probe: DataFrame,
       probeTextCol: String,

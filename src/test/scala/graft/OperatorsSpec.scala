@@ -2806,6 +2806,50 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 5L))
   }
 
+  test("indexedSubstringStream: two stream runs telescope to the" +
+      " from-scratch substring dedup, and replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_ssidx_spec")
+      .toString
+    val (src, idx, out, cp) =
+      (s"$root/src", s"$root/idx", s"$root/out", s"$root/cp")
+    val c0 = Seq(
+      (0L, "alpha beta gamma delta one two three"),
+      (1L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (2L, "intro alpha beta gamma delta tail"),
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (4L, "p q r s closing words here"),
+      (5L, "alpha beta gamma delta p q r s")).toDF("doc_id", "text")
+    val aRew = graft.sources.DedupIndex
+      .buildSubstring(c0, "doc_id", "text", idx, spanWords = 4)
+      .collect()
+    def run(): Unit = graft.streaming.StreamingDedup
+      .indexedSubstringStream(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(src),
+        idx, out, "doc_id", "text")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    b1.write.mode("append").parquet(src); run()
+    b2.write.mode("append").parquet(src); run()
+    val inc = (aRew ++ spark.read.parquet(out)
+        .select("doc_id", "text_kept", "n_words_kept", "n_words_dropped")
+        .collect())
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val scratch = Dedup.dedupSubstrings(c0.union(b1).union(b2),
+        "doc_id", "text", spanWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(inc === scratch)
+    // marker-guarded replay of an ingested batch id: no state growth
+    val gramsBefore = spark.read.parquet(s"$idx/grams").count()
+    graft.sources.DedupIndex.ingestSubstringBatch(spark, idx, out,
+      b1, batchId = 0L, idCol = "doc_id", textCol = "text")
+    assert(spark.read.parquet(s"$idx/grams").count() === gramsBefore)
+  }
+
   test("DedupIndex substring: append without a built gram index fails" +
       " loudly (tombstoned meta is the load gate)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsidx_meta")
