@@ -457,9 +457,13 @@ object SparkEntry {
     * through [[graft.streaming.StreamingDedup.indexedDedupStream]]
     * (foreachBatch → `DedupIndex.ingestBatch`), and the emitted
     * survivor set must equal the BATCH append's — the oracle is
-    * [[dedupIndexAppendQ]]'s, shared verbatim, because the telescoping
-    * property makes the result independent of how the stream was
-    * micro-batched.
+    * [[dedupIndexAppendQ]]'s, shared verbatim. That equality needs the
+    * stream's arrival order to match the batch oracle's min-id
+    * priority: here the source is ONE parquet file processed as ONE
+    * AvailableNow micro-batch, whose within-batch rule IS min-id;
+    * cross-micro-batch arrivals resolve by arrival order instead (the
+    * operator's documented contract — the multi-batch case is
+    * spec-covered with id-ordered arrival).
     */
   private def streamingDedupIndexQ(s: SparkSession, dir: String): DataFrame = {
     val idx = s"/tmp/graft_sdidx_${Integer.toHexString(dir.hashCode)}"
@@ -485,7 +489,10 @@ object SparkEntry {
     * rewrite emitted batch-side), the %3==0 half streams through
     * [[graft.streaming.StreamingDedup.indexedSubstringStream]], and
     * the union must equal the batch composition — oracle shared
-    * verbatim with `dedup_index_substring`.
+    * verbatim with `dedup_index_substring` (valid for the same reason
+    * as [[streamingDedupIndexQ]]: one source file = one micro-batch,
+    * whose within-batch priority matches the oracle's (grp, id, pos)
+    * ordering).
     */
   private def streamingSubstringIndexQ(s: SparkSession, dir: String): DataFrame = {
     val idx = s"/tmp/graft_ssidx_${Integer.toHexString(dir.hashCode)}"

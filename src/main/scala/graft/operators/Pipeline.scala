@@ -250,11 +250,16 @@ object Pipeline {
     *
     * Returns one row per ROW-DROPPING stage (rewrite-only stages keep
     * counts and are not snapped) plus `input` and `output`. Each stage
-    * row is a global `count` — partial-aggregable, one combined row per
-    * task; the per-stage frames re-run their lineage up to [[curate]]'s
-    * materialization boundary, so the report costs about one extra
-    * pipeline pass — a diagnostic to run alongside a backfill, not in
-    * the ingest hot path.
+    * row is a global `count` — partial-aggregable, one combined row
+    * per task. COST: every snapped frame BEFORE [[curate]]'s
+    * materialization boundary re-runs the scan and the per-row chains
+    * up to its stage (frames at or after the boundary share the
+    * checkpoint), so with the gate stages enabled the report costs
+    * roughly one extra PREFIX pass per pre-boundary snap — e.g. four
+    * gate stages ≈ 4 scan+filter passes, cheap; but with expensive
+    * pre-boundary rewrites (classifier scoring, substring/scrub
+    * chains) budget accordingly. A diagnostic to run alongside a
+    * backfill, not in the ingest hot path.
     */
   def curateReport(
       run: scala.collection.mutable.Buffer[(String, DataFrame)] => DataFrame)
@@ -266,7 +271,7 @@ object Pipeline {
       f.groupBy().agg(count(lit(1)).as("n_rows"))
         .select(lit(i).as("stage_order"), lit(name).as("stage"),
           col("n_rows"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
   }
 
   /** [[curate]]'s INGEST-TIME sibling: the same stage order, composed

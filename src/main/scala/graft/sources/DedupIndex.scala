@@ -282,10 +282,13 @@ object DedupIndex {
     *
     *  1. if the batch's absorb MARKER exists, the batch is fully
     *     ingested — no-op;
-    *  2. else if the batch's output `_SUCCESS` is absent, compute
-    *     [[dedupBatch]] (pure — the index cannot contain this batch
-    *     yet, because the marker is written only after absorb) and
-    *     OVERWRITE the batch's output dir (`outPath/batch_id=N`);
+    *  2. else if the batch's OUTPUT SENTINEL (ours, next to the
+    *     markers — committer `_SUCCESS` is not trusted: it can be
+    *     disabled, and a post-absorb replay computes an empty survivor
+    *     set that must never clobber the committed output) is absent,
+    *     compute [[dedupBatch]] (pure — the index cannot contain this
+    *     batch yet, because the marker is written only after absorb),
+    *     OVERWRITE `outPath/batch_id=N`, and write the sentinel;
     *  3. [[absorb]] (buckets-then-hashes replay ordering), then write
     *     the marker.
     *
@@ -310,12 +313,22 @@ object DedupIndex {
       s"$indexPath/ingested/batch_$batchId")
     val mFs = marker.getFileSystem(hconf)
     if (mFs.exists(marker)) return
-    val outDir = new org.apache.hadoop.fs.Path(s"$outPath/batch_id=$batchId")
-    val outFs = outDir.getFileSystem(hconf)
+    // the output-committed signal is OUR OWN sentinel next to the
+    // absorb marker, never the committer's _SUCCESS: _SUCCESS can be
+    // disabled (marksuccessfuljobs=false on object stores) or the
+    // output relocated, and a replay AFTER absorb recomputes an EMPTY
+    // survivor set (the batch now matches its own absorbed hashes) —
+    // trusting a missing _SUCCESS there would overwrite good output
+    // with that empty frame and then mark the batch done
+    val outDone = new org.apache.hadoop.fs.Path(
+      s"$indexPath/ingested/out_$batchId")
     val b = dedupBatch(spark, indexPath, batch, idCol, textCol,
       broadcastBatch)
-    if (!outFs.exists(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS")))
-      b.survivors.write.mode("overwrite").parquet(outDir.toString)
+    if (!mFs.exists(outDone)) {
+      b.survivors.write.mode("overwrite")
+        .parquet(s"$outPath/batch_id=$batchId")
+      mFs.mkdirs(outDone)
+    }
     absorb(spark, indexPath, b, numFiles)
     mFs.mkdirs(marker)
   }
@@ -508,7 +521,7 @@ object DedupIndex {
     * .indexedSubstringStream]] runs this per micro-batch): marker →
     * no-op; else compute the pure [[dedupSubstringBatch]], overwrite
     * the batch's rewrite output under `outPath/batch_id=N` unless its
-    * `_SUCCESS` already landed, absorb, mark.
+    * output sentinel already landed, absorb, mark.
     */
   def ingestSubstringBatch(
       spark: SparkSession,
@@ -525,12 +538,18 @@ object DedupIndex {
       s"$indexPath/grams_ingested/batch_$batchId")
     val mFs = marker.getFileSystem(hconf)
     if (mFs.exists(marker)) return
-    val outDir = new org.apache.hadoop.fs.Path(s"$outPath/batch_id=$batchId")
-    val outFs = outDir.getFileSystem(hconf)
+    // our own output sentinel, not the committer's _SUCCESS — same
+    // post-absorb-replay hazard as [[ingestBatch]] (the recomputed
+    // rewrite would over-scrub against the batch's own absorbed grams)
+    val outDone = new org.apache.hadoop.fs.Path(
+      s"$indexPath/grams_ingested/out_$batchId")
     val b = dedupSubstringBatch(spark, indexPath, batch, idCol, textCol,
       broadcastBatch)
-    if (!outFs.exists(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS")))
-      b.rewritten.write.mode("overwrite").parquet(outDir.toString)
+    if (!mFs.exists(outDone)) {
+      b.rewritten.write.mode("overwrite")
+        .parquet(s"$outPath/batch_id=$batchId")
+      mFs.mkdirs(outDone)
+    }
     absorbSubstring(spark, indexPath, b, numFiles)
     mFs.mkdirs(marker)
   }

@@ -197,13 +197,6 @@ object StreamingDedup {
     !arrays_overlap(bandKeys(textCol), typedLit(probeKeys))
   }
 
-  /** Stateless EXACT n-gram decontamination predicate (the GPT-3/Pile
-    * recipe [[graft.operators.Dedup.decontaminateExact]] as a pure
-    * column): the probe's distinct word-n-gram hashes collapse to a
-    * sorted hex literal, and a row keeps iff it shares none. Documents
-    * with fewer than `n` words have no grams and always keep — the
-    * batch form's explode drops them the same way.
-    */
   /** PERSISTENT-INDEX streaming dedup: each micro-batch is deduplicated
     * against (and absorbed into) the [[graft.sources.DedupIndex]]
     * artifact via the idempotent [[graft.sources.DedupIndex
@@ -213,8 +206,14 @@ object StreamingDedup {
     * bounds memory); THIS form keeps dedup state in a restartable,
     * inspectable, batch-rebuildable artifact the backfill pipeline
     * shares — the same index dedups the historical corpus and the live
-    * stream, and the telescoping property makes the surviving set
-    * independent of how the stream was micro-batched.
+    * stream. The telescoping property says the surviving set equals a
+    * BATCH pipeline run whose batches are exactly the stream's
+    * micro-batches: arrival order IS the priority order, so a
+    * duplicate pair split ACROSS micro-batches keeps the
+    * earlier-arriving doc (within one micro-batch, the batch rule —
+    * smallest id — applies). That is the defining contract of any
+    * incremental dedup, not an approximation of the global min-id run;
+    * the two coincide whenever ids are assigned in arrival order.
     *
     * Returns the configured `DataStreamWriter`; the caller picks
     * trigger/checkpoint (`.trigger(AvailableNow()).start()` for
@@ -245,10 +244,11 @@ object StreamingDedup {
     * substring-dedup-rewritten against the frozen gram index
     * ([[graft.sources.DedupIndex.ingestSubstringBatch]] — quoted
     * corpus-wide duplicate spans removed at ingest, first occurrences
-    * kept by arrival order) and its new gram hashes are absorbed, so
-    * the rewritten output telescopes exactly to the batch run no
-    * matter how the stream was micro-batched. Same contracts as the
-    * exact/near-dup form: durable `checkpointLocation` required
+    * kept by arrival order) and its new gram hashes are absorbed; the
+    * rewritten output telescopes exactly to a batch run whose batches
+    * are the stream's micro-batches (arrival order = priority order —
+    * see [[indexedDedupStream]]'s contract note). Same contracts as
+    * the exact/near-dup form: durable `checkpointLocation` required
     * (markers key on batch id), at-least-once replays converge via the
     * `_SUCCESS`/marker protocol.
     */
@@ -268,6 +268,13 @@ object StreamingDedup {
           numFiles)
     }
 
+  /** Stateless EXACT n-gram decontamination predicate (the GPT-3/Pile
+    * recipe [[graft.operators.Dedup.decontaminateExact]] as a pure
+    * column): the probe's distinct word-n-gram hashes collapse to a
+    * sorted hex literal, and a row keeps iff it shares none. Documents
+    * with fewer than `n` words have no grams and always keep — the
+    * batch form's explode drops them the same way.
+    */
   def exactGramDecontaminateKeep(
       probe: DataFrame,
       probeTextCol: String,
