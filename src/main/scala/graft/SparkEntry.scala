@@ -519,6 +519,77 @@ object SparkEntry {
         col("n_words_kept"), col("n_words_dropped")))
   }
 
+  /** HLL register sketch over the corpus's document texts (p = 12,
+    * ~1.6% standard error): the register table IS what a 100 TB
+    * deployment persists — ≤ 2^p rows for ANY corpus, built by one
+    * partial-aggregable groupBy whose map-side combine bounds the
+    * shuffle at 2^p rows per partition. Every register is integer/
+    * string arithmetic (md5-prefix hash, bin()-length rank) the oracle
+    * replays bit-for-bit, so the gate hash-matches the full table —
+    * the sketch itself, not just its estimate.
+    */
+  private def sketchHllQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllRegisters(docs(s, dir), col("text"), p = 12)
+      .select(col("bucket"), col("max_rank"))
+
+  /** The estimator over those registers: exact-integer inverse-power
+    * sum (order-independent — see Sketches scaladoc), one double
+    * conversion, the published small-range correction. Rounding to 6
+    * is the HARNESS projection (API returns raw doubles, the r13
+    * langIdScore lesson). sf0.01 lands in the linear-counting branch,
+    * sf0.1 in the harmonic branch, so both estimator arms are gated.
+    */
+  private def sketchHllEstimateQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.distinctApprox(docs(s, dir), col("text"), p = 12)
+      .select(col("m"), col("v_zero"),
+        round(col("raw_estimate"), 6).as("raw_estimate"),
+        round(col("estimate"), 6).as("estimate"))
+
+  /** Persisted-sketch merge gate: sketch the even-id half into the
+    * versioned artifact, append the odd-id half (one pass over the
+    * BATCH only — the point of a mergeable sketch), load the committed
+    * epoch. Register-wise max is a CRDT join, so the merged table must
+    * equal the from-scratch sketch of the whole corpus — the oracle is
+    * `sketch_hll`'s, shared verbatim.
+    */
+  private def sketchHllMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_hll_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val d = docs(s, dir)
+    graft.operators.Sketches.writeHll(
+      d.filter(col("doc_id") % 2 === 0), col("text"), path, p = 12)
+    graft.operators.Sketches.appendHll(
+      d.filter(col("doc_id") % 2 =!= 0), col("text"), path)
+    val loaded = graft.operators.Sketches.loadHll(s, path)
+    require(loaded.p == 12, "sketch meta must round-trip")
+    loaded.registers.select(col("bucket"), col("max_rank"))
+  }
+
+  /** Streaming sketch ingestion: the document stream drains through
+    * foreachBatch → appendHll (idempotent max-merge — at-least-once
+    * replay safe with NO marker protocol, unlike the dedup index's
+    * ingest path), and the committed registers must equal the batch
+    * sketch — `sketch_hll`'s oracle shared verbatim, valid for ANY
+    * micro-batching because the merge is order/batching-invariant.
+    */
+  private def streamingSketchQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_hll_stream_${Integer.toHexString(dir.hashCode)}"
+    val ckpt = s"/tmp/graft_hll_ckpt_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    graft.operators.Sketches.hllIngestStream(
+        docStream(s, dir), col("text"), path, p = 12)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    graft.operators.Sketches.loadHll(s, path)
+      .registers.select(col("bucket"), col("max_rank"))
+  }
+
   private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
@@ -2561,6 +2632,23 @@ object SparkEntry {
   private def dkHash(x: String): String =
     s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
 
+  /** Shared oracle for the HLL sketch gates: the full register-table
+    * replay — 60-bit md5-prefix hash, top-12-bit bucket, bin()-length
+    * leading-zero rank over the low 48 bits, register-wise max. The
+    * merge and streaming gates REUSE it verbatim: register max-merge is
+    * a CRDT join, so any split/batching of the corpus commits the same
+    * registers as the from-scratch sketch.
+    */
+  private val dkHllRegisters: String =
+    s"""WITH h AS (SELECT ${dkHash("text")} AS h
+           FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT h >> 48 AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
+           FROM h)
+         SELECT bucket, CAST(max(rank) AS INTEGER) AS max_rank
+         FROM r GROUP BY bucket"""
+
   /** Shared oracle for the substring-index gates: the from-scratch
     * replay under arrival-order priority (build half outranks the
     * batch). The streaming twin REUSES it — telescoping makes the
@@ -3265,6 +3353,10 @@ object SparkEntry {
     "dedup_index_substring" -> (dedupIndexSubstringQ _),
     "streaming_dedup_index" -> (streamingDedupIndexQ _),
     "streaming_substring_index" -> (streamingSubstringIndexQ _),
+    "sketch_hll"          -> (sketchHllQ _),
+    "sketch_hll_estimate" -> (sketchHllEstimateQ _),
+    "sketch_hll_merge"    -> (sketchHllMergeQ _),
+    "streaming_sketch"    -> (streamingSketchQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
     "url_normalize"    -> (urlNormalizeQ _),
@@ -3740,6 +3832,32 @@ object SparkEntry {
          FROM t LEFT JOIN agg USING (doc_id)""",
     "dedup_index_substring" -> dkDedupIndexSubstring,
     "streaming_substring_index" -> dkDedupIndexSubstring,
+    "sketch_hll" -> dkHllRegisters,
+    "sketch_hll_merge" -> dkHllRegisters,
+    "streaming_sketch" -> dkHllRegisters,
+    "sketch_hll_estimate" ->
+      s"""WITH h AS (SELECT ${dkHash("text")} AS h
+             FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT h >> 48 AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
+           FROM h),
+         rg AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket),
+         s AS (SELECT count(*) AS nz,
+             coalesce(sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)),
+               0::HUGEINT) AS si
+           FROM rg),
+         e AS (SELECT CAST(4096 AS BIGINT) AS m,
+             CAST(4096 - nz AS BIGINT) AS v_zero,
+             (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+               * pow(2.0, 49.0)
+               / CAST(si + CAST(4096 - nz AS BIGINT)
+                   * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) AS raw
+           FROM s)
+         SELECT m, v_zero, round(raw, 6) AS raw_estimate,
+           round(CASE WHEN raw <= 2.5 * 4096.0 AND v_zero > 0
+             THEN 4096.0 * ln(4096.0 / v_zero) ELSE raw END, 6) AS estimate
+         FROM e""",
     "dedup_substring_bpe" ->
       """WITH src AS (SELECT doc_id,
              CASE WHEN doc_id % 5 = 0

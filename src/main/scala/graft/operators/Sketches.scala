@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.functions.TextFunctions.hash60
+
+/** Mergeable cardinality sketches — HyperLogLog register tables as
+  * first-class, PERSISTED DataFrames (Flajolet et al. 2007, "HyperLogLog:
+  * the analysis of a near-optimal cardinality estimation algorithm").
+  * Not part of the reference surface — a north-star extension: "how many
+  * distinct normalized documents / URLs / token types does this corpus
+  * hold" is a standing operational question at 100 TB, and the exact
+  * answer (`count(distinct ...)`) is a full corpus-keyed shuffle every
+  * time it is asked. An HLL register table answers it from `2^p` tiny
+  * rows, is MERGEABLE (register-wise `max` — a commutative, idempotent
+  * CRDT join), and therefore composes across corpus snapshots: sketch
+  * each crawl batch once, merge the registers, never rescan history.
+  * The same property makes streaming ingestion safe under at-least-once
+  * replay with NO marker protocol — re-merging a replayed micro-batch
+  * is a no-op by algebra, where [[graft.sources.DedupIndex]] needs an
+  * explicit absorb-marker dance for the identical crash window.
+  *
+  * Engine-portable determinism: the hashed value is
+  * [[graft.functions.TextFunctions.hash60]] (md5-prefix), the register
+  * index its top `p` bits and the rank the leading-zero count of the
+  * remaining `60-p` bits — all integer/string arithmetic both Spark and
+  * the DuckDB oracle reproduce bit-for-bit (`bin()` string length on
+  * both engines; no platform hash, no float in the register path). The
+  * estimator keeps the inverse-power sum in DECIMAL(38,0) — every term
+  * `2^(K-rank)` is an exact integer — so the one double conversion
+  * happens on an identical integer in every engine and summation order
+  * cannot perturb the estimate (a naive `sum(pow(2,-rank))` is
+  * order-dependent once partial sums exceed 2^53 ulps of the smallest
+  * term).
+  *
+  * Scale shape: register construction is one partial-aggregable
+  * `groupBy(bucket).agg(max(rank))` — map-side combine collapses every
+  * partition to ≤ 2^p rows before the exchange, so the shuffle moves
+  * O(2^p · partitions) rows regardless of corpus size, and the artifact
+  * is ≤ 2^p rows (~100 KB at p=12) for any input. Standard error is
+  * ~1.04/sqrt(2^p): p=12 → ~1.6%, p=14 → ~0.8%.
+  */
+object Sketches {
+
+  /** Max register rank for `p`: ranks live in `[1, 60-p+1]`. */
+  private def maxRank(p: Int): Int = 60 - p + 1
+
+  private def checkP(p: Int): Unit =
+    require(p >= 4 && p <= 18, s"p must be in [4,18], got $p")
+
+  /** HLL register table `(bucket: LONG, max_rank: INT)` for the distinct
+    * non-null values of `value` (cast to string before hashing, the
+    * shared convention of every hash-keyed operator here). At most
+    * `2^p` rows; buckets no value hashed into are ABSENT (register 0).
+    */
+  def hllRegisters(df: DataFrame, value: Column, p: Int): DataFrame = {
+    checkP(p)
+    val sub = 60 - p
+    val h = hash60(value.cast("string"))
+    val bucket = shiftright(h, sub)
+    val w = h.bitwiseAND(lit((1L << sub) - 1L))
+    // rank = leading zeros of the low `sub` bits, plus one. bin(w)'s
+    // string length is w's bit length (both engines agree, including
+    // bin(0) = "0" — guarded by the w = 0 branch), so
+    // rank = sub - bitlen(w) + 1 with no float anywhere.
+    val rank = when(w === 0L, lit(sub + 1))
+      .otherwise(lit(sub + 1) - length(bin(w)))
+    df.filter(value.isNotNull)
+      .select(bucket.as("bucket"), rank.cast("int").as("rank"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Merge register tables: register-wise max. Commutative, associative,
+    * idempotent — merging any re-ordering, re-batching, or repetition of
+    * the same inputs yields identical registers (the CRDT property the
+    * artifact's append path and streaming ingestion lean on).
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("bucket")).agg(max(col("max_rank")).as("max_rank"))
+
+  /** Cardinality estimate from a register table: one row
+    * `(m, v_zero, raw_estimate, estimate)` — `m = 2^p` registers,
+    * `v_zero` the empty-register count, `raw_estimate` the harmonic-mean
+    * estimator and `estimate` the published small-range correction
+    * (linear counting `m·ln(m/v)` when `raw ≤ 2.5m` and empty registers
+    * remain). Doubles are returned RAW — harness projections round for
+    * the comparator, callers get full precision.
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    checkP(p)
+    val m = 1L << p
+    val k = maxRank(p)
+    // alpha_m: the bias-correction constants from the paper
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    // every 2^(K-rank) is an exact double (rank ≥ 1 → exponent ≤ K-1 ≤
+    // 56) and the DECIMAL(38,0) sum is exact integer arithmetic; absent
+    // registers contribute 2^(K-0) each, folded in after the aggregate
+    val term = pow(lit(2.0), lit(k.toDouble) - col("max_rank").cast("double"))
+      .cast(DecimalType(38, 0))
+    registers
+      .agg(count(lit(1)).as("__nz"), sum(term).as("__s"))
+      .select(
+        lit(m).as("m"),
+        (lit(m) - col("__nz")).cast(LongType).as("v_zero"),
+        // raw = alpha * m^2 / sum(2^-rank) = alpha * m^2 * 2^K / S, with
+        // S = sum over present registers of 2^(K-rank) plus 2^K per
+        // absent register — the absent-register term stays in LONG
+        // ((m-nz)·2^K ≤ 2^(p+K) ≤ 2^61), so S is exact integer
+        // arithmetic end-to-end and its one double conversion lands on
+        // the identical value in every engine
+        (lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, k.toDouble)) /
+          (coalesce(col("__s"), lit(0).cast(DecimalType(38, 0))) +
+            (lit(m) - col("__nz")).cast(LongType) * lit(1L << k))
+            .cast("double")).as("raw_estimate"))
+      .select(col("m"), col("v_zero"), col("raw_estimate"),
+        when(col("raw_estimate") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) * log(lit(m).cast("double") / col("v_zero")))
+          .otherwise(col("raw_estimate")).as("estimate"))
+  }
+
+  /** [[hllRegisters]] → [[hllEstimate]] in one call. */
+  def distinctApprox(df: DataFrame, value: Column, p: Int = 12): DataFrame =
+    hllEstimate(hllRegisters(df, value, p), p)
+
+  // ------------------------------------------------------------------
+  // Persisted sketch artifact — versioned-epoch layout
+  // ------------------------------------------------------------------
+  //
+  // Layout under `path`:
+  //   registers_v{N}/   register parquet for epoch N
+  //   meta/             (p, version) — the commit pointer, written LAST
+  //
+  // Unlike the Packs/DedupIndex tombstone order (crash mid-rewrite →
+  // unloadable directory, fail loud), an APPEND-heavy artifact gets the
+  // strictly stronger versioned-epoch protocol: the new epoch directory
+  // is written FIRST (old epoch untouched), meta flips to it atomically
+  // last, and stale epochs are best-effort cleaned afterwards. Every
+  // crash window leaves a LOADABLE artifact — either the old epoch
+  // (meta not yet flipped) or the new one — which matters here because
+  // an incremental sketch's value is the history it has already
+  // absorbed; a fail-loud-but-lossy tombstone would force re-sketching
+  // every prior batch. (Registers are ≤ 2^p rows, so rewriting the
+  // whole table per epoch costs nothing; corpus-sized artifacts like
+  // DedupIndex's cannot afford full rewrites and append files instead,
+  // which is why they need the marker protocol this layout avoids.)
+
+  /** A loaded sketch: registers plus the precision it was built under. */
+  final case class LoadedHll(registers: DataFrame, p: Int)
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Long) = {
+    val r = spark.read.parquet(s"$path/meta").select("p", "version").head()
+    (r.getInt(0), r.getLong(1))
+  }
+
+  private def writeEpoch(
+      spark: SparkSession,
+      path: String,
+      registers: DataFrame,
+      p: Int,
+      version: Long): Unit = {
+    import spark.implicits._
+    // ≤ 2^p rows: one file, no shuffle pressure
+    registers.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/registers_v$version")
+    Seq((p, version)).toDF("p", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // best-effort stale-epoch cleanup; a leftover directory is inert
+    // (meta names the live epoch) and the next append retries the delete
+    val f = fs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(base)) f.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("registers_v") &&
+          n.stripPrefix("registers_v") != version.toString)
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** Write a fresh sketch of `value` over `df` at `path` (epoch 0). */
+  def writeHll(df: DataFrame, value: Column, path: String, p: Int = 12): Unit = {
+    checkP(p)
+    writeEpoch(df.sparkSession, path, hllRegisters(df, value, p), p, 0L)
+  }
+
+  /** Load the live epoch's registers. Fails if no committed meta. */
+  def loadHll(spark: SparkSession, path: String): LoadedHll = {
+    val (p, v) = readMeta(spark, path)
+    LoadedHll(spark.read.parquet(s"$path/registers_v$v"), p)
+  }
+
+  /** Merge a new batch into the persisted sketch — the incremental
+    * path: sketch the batch (one pass over the BATCH only), max-merge
+    * with the live registers (≤ 2·2^p rows), commit as the next epoch.
+    * Cost is O(batch) + O(2^p); the corpus history is never rescanned.
+    * Initializes the artifact when `path` has no committed meta yet, so
+    * a cold-start stream needs no separate build step. Idempotent:
+    * appending the same batch twice commits an epoch with identical
+    * registers.
+    */
+  def appendHll(df: DataFrame, value: Column, path: String, p: Int = 12): Unit = {
+    val spark = df.sparkSession
+    val hasMeta =
+      try { readMeta(spark, path); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!hasMeta) { writeHll(df, value, path, p); return }
+    val (pp, v) = readMeta(spark, path)
+    // localCheckpoint the merge before the epoch write: the merged plan
+    // reads registers_v{v}, and materializing first means the write job
+    // never races the cleanup of the directory it is reading
+    val merged = hllMerge(
+      spark.read.parquet(s"$path/registers_v$v"),
+      hllRegisters(df, value, pp)).localCheckpoint()
+    writeEpoch(spark, path, merged, pp, v + 1L)
+  }
+
+  /** Streaming ingestion: per micro-batch, [[appendHll]] the batch into
+    * the artifact. At-least-once replay is safe WITHOUT markers — the
+    * register merge is idempotent (see object doc) — so a crash between
+    * epoch commit and checkpoint advance merely re-merges on restart.
+    * Caller starts/stops the returned writer (AvailableNow for drains).
+    */
+  def hllIngestStream(
+      stream: DataFrame,
+      value: Column,
+      path: String,
+      p: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    checkP(p)
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendHll(batch, value, path, p)
+    }
+  }
+}

@@ -3033,4 +3033,75 @@ class OperatorsSpec extends AnyFunSuite {
       assert(len === text.getBytes("UTF-8").length.toLong)
     }
   }
+
+  test("HLL estimate lands within the published error bound in the " +
+      "harmonic branch (50k distinct >> 2.5m, the branch the sf gates " +
+      "never reach) and at exactly 0 on empty input") {
+    import graft.operators.Sketches
+    val p = 12
+    val n = 50000L
+    val vals = spark.range(n).select(concat(lit("value-"), col("id")).as("v"))
+    val est = Sketches.distinctApprox(vals, col("v"), p).head()
+    val raw = est.getAs[Double]("raw_estimate")
+    val e = est.getAs[Double]("estimate")
+    // 50k >> 2.5 * 4096: correction must not fire
+    assert(e === raw)
+    // 3 sigma of the 1.04/sqrt(m) standard error
+    val bound = 3.0 * 1.04 / math.sqrt((1L << p).toDouble)
+    assert(math.abs(e - n.toDouble) / n.toDouble < bound,
+      s"estimate $e vs exact $n exceeds ${bound * 100}%")
+    val empty = Sketches.distinctApprox(
+      vals.filter(lit(false)), col("v"), p).head()
+    assert(empty.getAs[Long]("v_zero") === (1L << p))
+    assert(empty.getAs[Double]("estimate") === 0.0)
+  }
+
+  test("HLL register merge is a CRDT join: arbitrary splits, merge " +
+      "order, and re-merged duplicates all commit the from-scratch " +
+      "registers") {
+    import graft.operators.Sketches
+    val p = 10
+    val vals = spark.range(3000).select(
+      concat(lit("v"), col("id")).as("v"), (col("id") % 3).as("part"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, col("v"), p)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = toMap(regs(vals))
+    val parts = (0 to 2).map(i => regs(vals.filter(col("part") === i)))
+    // out-of-order merge plus an idempotent re-merge of part 1
+    val merged = Sketches.hllMerge(
+      Sketches.hllMerge(parts(2), parts(0)),
+      Sketches.hllMerge(parts(1), parts(1)))
+    assert(toMap(merged) === full)
+  }
+
+  test("HLL artifact epochs: append bumps the committed version, " +
+      "re-appending the same batch leaves registers unchanged, and an " +
+      "orphan epoch directory (the crash-before-meta-flip window) never " +
+      "shadows the committed epoch") {
+    import graft.operators.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_spec")
+      .toString
+    val a = spark.range(500).select(concat(lit("a"), col("id")).as("v"))
+    val b = spark.range(300).select(concat(lit("b"), col("id")).as("v"))
+    Sketches.writeHll(a, col("v"), dir, p = 10)
+    Sketches.appendHll(b, col("v"), dir)
+    def regMap() = Sketches.loadHll(spark, dir).registers.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val afterB = regMap()
+    assert(afterB === Sketches.hllRegisters(a.union(b), col("v"), 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    // idempotent replay: same batch again, same registers
+    Sketches.appendHll(b, col("v"), dir)
+    assert(regMap() === afterB)
+    // an uncommitted epoch dir left by a crash is inert: load follows
+    // meta, and the next append's cleanup removes it
+    val orphan = new java.io.File(s"$dir/registers_v99")
+    orphan.mkdirs()
+    assert(regMap() === afterB)
+    Sketches.appendHll(b, col("v"), dir)
+    assert(!orphan.exists, "stale epoch must be cleaned on commit")
+    assert(regMap() === afterB)
+  }
 }
