@@ -942,6 +942,21 @@ object SparkEntry {
       .select(col("doc_id"))
   }
 
+  /** Bloom-prefiltered exact decontamination — the huge-probe path
+    * (probe gram set too large to broadcast): the filter is built at a
+    * deliberately modest 2^16 bits so sf0.1's ~600k probe grams drive
+    * a REAL false-positive rate through the confirm join, proving fp
+    * costs shuffle rows, never documents — the oracle is
+    * `decontaminate_exact`'s, shared verbatim, because the result is
+    * exact-semantics for ANY filter size.
+    */
+  private def decontaminateBloomQ(s: SparkSession, dir: String): DataFrame = {
+    val (train, probe) = snippetFixture(s, dir)
+    Dedup.decontaminateExactBloom(train, probe, "doc_id", "text", n = 13,
+        mBits = 1 << 16, bloomK = 3)
+      .select(col("doc_id"))
+  }
+
   /** BPE-token surgical scrub gate: the 72-char no-whitespace license
     * block ([[BpeSubstringPlant]] — the span the word form provably
     * cannot see) prepended to every 9th train doc AND to every 13th
@@ -2632,6 +2647,29 @@ object SparkEntry {
   private def dkHash(x: String): String =
     s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
 
+  /** Shared oracle for the exact-decontamination gates: whole-doc drop
+    * on any shared word-13-gram with the planted probe. The Bloom gate
+    * REUSES it verbatim — the filter is a transparent prefilter whose
+    * false positives are always disposed by the exact confirm join, so
+    * the result is exact-semantics for any filter size.
+    */
+  private val dkDecontaminateExact: String =
+    """WITH tr AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0
+             THEN text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly'
+             ELSE text END AS text
+         FROM documents),
+       pr AS (SELECT text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly' AS text
+         FROM documents WHERE doc_id % 13 = 0),
+       pt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws FROM pr),
+       pg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS h
+         FROM (SELECT ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM pt)),
+       tt AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws FROM tr),
+       tg AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS h
+         FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM tt)),
+       bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h))
+       SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
+
   /** Shared oracle for the HLL sketch gates: the full register-table
     * replay — 60-bit md5-prefix hash, top-12-bit bucket, bin()-length
     * leading-zero rank over the low 48 bits, register-wise max. The
@@ -3335,6 +3373,7 @@ object SparkEntry {
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "decontaminate"    -> (decontaminateQ _),
     "decontaminate_exact" -> (decontaminateExactQ _),
+    "decontaminate_bloom" -> (decontaminateBloomQ _),
     "decontaminate_scrub" -> (decontaminateScrubQ _),
     "decontaminate_scrub_bpe" -> (decontaminateScrubBpeQ _),
     "curate_scrub"     -> (curateScrubQ _),
@@ -4075,22 +4114,8 @@ object SparkEntry {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
     "decontaminate" -> dkDecontaminate,
-    "decontaminate_exact" ->
-      """WITH tr AS (SELECT doc_id,
-           CASE WHEN doc_id % 9 = 0
-             THEN text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly'
-             ELSE text END AS text
-         FROM documents),
-       pr AS (SELECT text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly' AS text
-         FROM documents WHERE doc_id % 13 = 0),
-       pt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws FROM pr),
-       pg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS h
-         FROM (SELECT ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM pt)),
-       tt AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws FROM tr),
-       tg AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS h
-         FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM tt)),
-       bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h))
-       SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+    "decontaminate_exact" -> dkDecontaminateExact,
+    "decontaminate_bloom" -> dkDecontaminateExact,
     "decontaminate_scrub" ->
       """WITH tr AS (SELECT doc_id,
              CASE WHEN doc_id % 9 = 0

@@ -133,6 +133,20 @@ object TextFunctions {
     toColumn(WordGramHash128Expr(toExpression(words), k))
   }
 
+  /** Bloom membership probe over a 16-byte hash ([[BloomContainsExpr]]). */
+  def bloomContains(hash: Column, words: Array[Long], k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(BloomContainsExpr(toExpression(hash), words, k))
+  }
+
+  /** Bloom probe positions of a 16-byte hash ([[BloomPositionsExpr]]) —
+    * the distributed filter-build fan-out.
+    */
+  def bloomPositions(hash: Column, mBits: Int, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(BloomPositionsExpr(toExpression(hash), mBits, k))
+  }
+
   /** Positional token-id k-gram full-md5 hashes ([[IntGramHash128Expr]])
     * — the gram index for BPE-token-level substring dedup.
     */

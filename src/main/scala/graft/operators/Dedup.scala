@@ -638,6 +638,71 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Build a Bloom bitset (`mBits/64` longs) over a single-binary-column
+    * frame of 16-byte gram hashes. Distributed: positions fan out k-way,
+    * `bit_or` partial-aggregates per 64-bit word, and at most `mBits/64`
+    * combined rows reach the driver (16 K rows at the 2^20 default — a
+    * bounded, documented collect in the [[graft.sources.AnnIndex]]
+    * tradition, NOT corpus-sized).
+    */
+  def buildGramBloom(hashes: DataFrame, mBits: Int, k: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      "mBits must be a positive multiple of 64")
+    val words = new Array[Long](mBits / 64)
+    hashes.toDF("__h")
+      .select(explode(bloomPositions(col("__h"), mBits, k)).as("pos"))
+      .select((col("pos") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** [[decontaminateExact]] for probes TOO LARGE TO BROADCAST — the
+    * held-out-corpus case (decontaminating a crawl against another
+    * multi-TB corpus rather than a small eval set), where
+    * `broadcastProbe = false` degrades to shuffling the ENTIRE
+    * corpus-side gram stream. A Bloom filter over the probe's distinct
+    * gram keys is `mBits/8` bytes REGARDLESS of probe size (128 KB at
+    * the 2^20-bit default), always ships to every task, and prefilters
+    * the corpus gram stream at scan time to contaminated-plus-false-
+    * positive grams only; the exact shuffled semi join then confirms,
+    * so false positives cost shuffle rows, NEVER dropped documents —
+    * the result is decontaminateExact's exactly, for any `mBits`/`k`
+    * (the gate shares its oracle verbatim). Shuffle cost falls from
+    * O(probe + corpus grams) to O(probe + contaminated + fp·corpus
+    * grams); size `mBits` ≥ ~10× the probe's distinct gram count to
+    * keep fp ≈ (1-e^(-k·n/m))^k below a percent.
+    *
+    * The probe gram table is localCheckpointed: it feeds BOTH the
+    * filter build (an action) and the confirm join, and at this
+    * operator's target probe sizes recomputing the shingle pass would
+    * double the dominant cost.
+    */
+  def decontaminateExactBloom(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      mBits: Int = 1 << 20,
+      bloomK: Int = 4): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    def grams(df: DataFrame, cols: Column*) =
+      df.select(cols :+ explode(wordGramHash128(
+        filter(split(trim(lower(col(textCol))), "\\s+"),
+          w => length(w) > 0), n)).as("__h"): _*)
+    val probeGrams = grams(probe).select(col("__h")).distinct()
+      .localCheckpoint()
+    val bloom = buildGramBloom(probeGrams, mBits, bloomK)
+    val contaminated = grams(corpus, col(idCol))
+      .filter(bloomContains(col("__h"), bloom, bloomK))
+      .join(probeGrams, Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** SURGICAL exact n-gram decontamination — the variant GPT-3 actually
     * shipped (Brown et al. 2020 App. C removes a window AROUND each
     * contaminated n-gram and keeps the clean remainder, rather than

@@ -3034,6 +3034,62 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom decontamination has NO false negatives (every inserted " +
+      "gram tests positive) and equals the exact path even under a " +
+      "pathologically tiny, collision-saturated filter") {
+    import graft.functions.TextFunctions.{bloomContains, wordGramHash128, words => twords}
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "totally unrelated content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      Tuple1("prefix words alpha beta gamma delta epsilon zeta eta theta suffix")
+    ).toDF("text")
+    // no false negatives: every probe gram tests positive in a filter
+    // built from the probe grams themselves
+    val pg = probe.select(explode(
+      wordGramHash128(twords(col("text")), 4)).as("__h")).distinct()
+    val bloom = graft.operators.Dedup.buildGramBloom(pg, mBits = 1024, k = 3)
+    assert(pg.filter(!bloomContains(col("__h"), bloom, 3)).count() === 0L)
+    // exact equality under a 64-bit filter (every bit set within a few
+    // insertions — worst-case fp), vs the broadcast-exact reference
+    val exact = graft.operators.Dedup
+      .decontaminateExact(train, probe, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBloom = graft.operators.Dedup
+      .decontaminateExactBloom(train, probe, "doc_id", "text", n = 4,
+        mBits = 64, bloomK = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === exact)
+    assert(exact === Set(1L, 3L)) // 0 and 2 share 4-grams with the probe
+  }
+
+  test("Bloom prefilter actually prunes: a clean corpus's gram stream " +
+      "passes ~zero grams through a well-sized filter") {
+    import graft.functions.TextFunctions.{bloomContains, wordGramHash128, words => twords}
+    val corpus = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("document body number "), col("id"),
+        lit(" with its own distinct running text and no probe overlap "),
+        col("id") * 7).cast("string").as("text"))
+    val probe = Seq(Tuple1("held out benchmark question completely absent " +
+      "from the corpus body text stream")).toDF("text")
+    val pg = probe.select(explode(
+      wordGramHash128(twords(col("text")), 4)).as("__h")).distinct()
+    val bloom = graft.operators.Dedup.buildGramBloom(pg, mBits = 1 << 16, k = 4)
+    val corpusGrams = corpus.select(explode(
+      wordGramHash128(twords(col("text")), 4)).as("__h"))
+    val total = corpusGrams.count()
+    val passed = corpusGrams
+      .filter(bloomContains(col("__h"), bloom, 4)).count()
+    assert(total > 1000L)
+    // fp rate with ~10 insertions in 2^16 bits is ~(1-e^(-40/65536))^4
+    // ≈ 1.4e-13 — zero passes expected; allow a couple for paranoia
+    assert(passed <= 2L, s"$passed of $total grams passed a filter " +
+      "that should prune essentially everything")
+  }
+
   test("HLL estimate lands within the published error bound in the " +
       "harmonic branch (50k distinct >> 2.5m, the branch the sf gates " +
       "never reach) and at exactly 0 on empty input") {
