@@ -1452,6 +1452,20 @@ object SparkEntry {
       t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
       n = 20)
 
+  /** Cluster-balanced diversity sampling over the embeddings table:
+    * nearest-centroid assignment (the `ann_ivf_topk` centroid fixture)
+    * composed with the exact-n-per-stratum heap — the oracle replays
+    * round-6 cosine assignment plus the `sample_exact` hash ranking,
+    * proving the two audited primitives compose without drift.
+    */
+  private def sampleClusterBalancedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    graft.operators.Sampling.clusterBalancedSample(
+      e, "vec_id", "embedding", centroids, n = 5)
+  }
+
   private def splitAssignQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.assignSplit(
       t(s, dir, "documents").select("doc_id"), "doc_id",
@@ -3403,6 +3417,7 @@ object SparkEntry {
     "asof_join"        -> (asofJoinQ _),
     "range_join"       -> (rangeJoinQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
+    "sample_cluster_balanced" -> (sampleClusterBalancedQ _),
     "split_assign"     -> (splitAssignQ _),
     "mix_budget"       -> (mixBudgetQ _),
     "mix_budget_bpe"   -> (mixBudgetBpeQ _),
@@ -4390,6 +4405,24 @@ object SparkEntry {
            FROM (SELECT lang, doc_id,
                ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents))
          WHERE sample_rank <= 20""",
+    "sample_cluster_balanced" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id % 100 = 0),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         asg AS (SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                          centroid_id) AS rn
+             FROM v, c) WHERE rn = 1),
+         h AS (SELECT centroid_id, vec_id,
+             ${dkHash("CAST(vec_id AS VARCHAR)")} AS h FROM asg)
+         SELECT centroid_id, vec_id, sample_rank FROM (
+           SELECT centroid_id, vec_id,
+             CAST(row_number() OVER (PARTITION BY centroid_id
+               ORDER BY h % 4503599627370496, h) AS INTEGER) AS sample_rank
+           FROM h)
+         WHERE sample_rank <= 5""",
     "mix_budget" ->
       s"""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tk
            FROM documents GROUP BY 1),

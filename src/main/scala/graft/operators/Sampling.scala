@@ -129,6 +129,36 @@ object Sampling {
       .select(col(strataCol), col(idCol), col("rk").as("sample_rank"))
   }
 
+  /** Cluster-balanced exact-size sampling — the embedding-space
+    * diversity sampler (the SemDeDup/DataComp curation practice,
+    * Abbas et al. 2023 §4: balance the kept mix across SEMANTIC
+    * clusters rather than uniformly over documents, so a few head
+    * topics cannot drown the tail the model most needs): each vector
+    * is assigned to its nearest centroid
+    * ([[Similarity.ivfAssign]]'s audited broadcast-centroids shape —
+    * round-6 cosine, centroid-id tie-break), then
+    * [[sampleExactPerStratum]] keeps exactly the `n` smallest-id-hash
+    * members per cluster. Output `(centroid_id, id, sample_rank)`.
+    *
+    * Deterministic end-to-end (centroid choice and membership are pure
+    * functions of vector and id), and scale-shaped like its two
+    * parents: assignment is a broadcast fan-out + per-id window,
+    * selection a bounded-heap aggregate that reduces a HOT cluster to
+    * ≤ n entries per map task before the exchange — a viral semantic
+    * cluster costs its share of the assignment pass, never a skewed
+    * sort.
+    */
+  def clusterBalancedSample(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      n: Int): DataFrame = {
+    val assigned = Similarity.ivfAssign(vecs, idCol, vecCol, centroids)
+      .select(col(idCol), col("centroid_id"))
+    sampleExactPerStratum(assigned, idCol, "centroid_id", n)
+  }
+
   /** Deterministic domain mixing to a token budget — the static
     * data-mixture step of a training-data pipeline (fixed target
     * proportions à la The Pile / Llama mixes; learned-weight schemes

@@ -3034,6 +3034,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-balanced sampling caps a head cluster at exactly n " +
+      "and keeps a tail cluster whole — deterministically") {
+    import graft.operators.Sampling
+    // 400 vectors near axis e1 (head topic), 3 near axis e2 (tail)
+    val vecs = spark.range(403).select(col("id").as("vec_id"),
+      when(col("id") < 400,
+        array(lit(1.0f), (col("id") % 7).cast("float") / 100f, lit(0.0f)))
+        .otherwise(array(lit(0.0f), lit(0.01f), lit(1.0f)))
+        .as("embedding"))
+    val centroids = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 0.0, 1.0))
+    ).toDF("centroid_id", "__cv")
+    val out = Sampling.clusterBalancedSample(
+      vecs, "vec_id", "embedding", centroids, n = 5)
+    val byCluster = out.collect()
+      .groupBy(_.getAs[Long]("centroid_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byCluster(0L).size === 5)
+    assert(byCluster(0L).forall(_ < 400L))
+    assert(byCluster(1L) === Set(400L, 401L, 402L))
+    val again = Sampling.clusterBalancedSample(
+      vecs, "vec_id", "embedding", centroids, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("Bloom decontamination has NO false negatives (every inserted " +
       "gram tests positive) and equals the exact path even under a " +
       "pathologically tiny, collision-saturated filter") {
