@@ -545,6 +545,20 @@ object SparkEntry {
         round(col("raw_estimate"), 6).as("raw_estimate"),
         round(col("estimate"), 6).as("estimate"))
 
+  /** Grouped sketch gate: one register table per SOURCE in one corpus
+    * pass — the operational "distinct docs per domain" query — with the
+    * per-group estimator on top. Oracle replays the whole pipeline
+    * partitioned by source.
+    */
+  private def sketchHllGroupedQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllEstimateBy(
+      graft.operators.Sketches.hllRegistersBy(
+        docs(s, dir), Seq("source"), col("text"), p = 12),
+      Seq("source"), p = 12)
+      .select(col("source"), col("m"), col("v_zero"),
+        round(col("raw_estimate"), 6).as("raw_estimate"),
+        round(col("estimate"), 6).as("estimate"))
+
   /** Persisted-sketch merge gate: sketch the even-id half into the
     * versioned artifact, append the odd-id half (one pass over the
     * BATCH only — the point of a mergeable sketch), load the committed
@@ -3408,6 +3422,7 @@ object SparkEntry {
     "streaming_substring_index" -> (streamingSubstringIndexQ _),
     "sketch_hll"          -> (sketchHllQ _),
     "sketch_hll_estimate" -> (sketchHllEstimateQ _),
+    "sketch_hll_grouped"  -> (sketchHllGroupedQ _),
     "sketch_hll_merge"    -> (sketchHllMergeQ _),
     "streaming_sketch"    -> (streamingSketchQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
@@ -3889,6 +3904,29 @@ object SparkEntry {
     "sketch_hll" -> dkHllRegisters,
     "sketch_hll_merge" -> dkHllRegisters,
     "streaming_sketch" -> dkHllRegisters,
+    "sketch_hll_grouped" ->
+      s"""WITH h AS (SELECT source, ${dkHash("text")} AS h
+             FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT source, h >> 48 AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
+           FROM h),
+         rg AS (SELECT source, bucket, max(rank) AS max_rank
+           FROM r GROUP BY 1, 2),
+         s AS (SELECT source, count(*) AS nz,
+             sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)) AS si
+           FROM rg GROUP BY 1),
+         e AS (SELECT source, CAST(4096 AS BIGINT) AS m,
+             CAST(4096 - nz AS BIGINT) AS v_zero,
+             (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+               * pow(2.0, 49.0)
+               / CAST(si + CAST(4096 - nz AS BIGINT)
+                   * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) AS raw
+           FROM s)
+         SELECT source, m, v_zero, round(raw, 6) AS raw_estimate,
+           round(CASE WHEN raw <= 2.5 * 4096.0 AND v_zero > 0
+             THEN 4096.0 * ln(4096.0 / v_zero) ELSE raw END, 6) AS estimate
+         FROM e""",
     "sketch_hll_estimate" ->
       s"""WITH h AS (SELECT ${dkHash("text")} AS h
              FROM documents WHERE text IS NOT NULL),

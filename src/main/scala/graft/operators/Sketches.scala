@@ -50,13 +50,10 @@ object Sketches {
   private def checkP(p: Int): Unit =
     require(p >= 4 && p <= 18, s"p must be in [4,18], got $p")
 
-  /** HLL register table `(bucket: LONG, max_rank: INT)` for the distinct
-    * non-null values of `value` (cast to string before hashing, the
-    * shared convention of every hash-keyed operator here). At most
-    * `2^p` rows; buckets no value hashed into are ABSENT (register 0).
+  /** The (bucket, rank) projection shared by the flat and grouped
+    * register builders.
     */
-  def hllRegisters(df: DataFrame, value: Column, p: Int): DataFrame = {
-    checkP(p)
+  private def bucketAndRank(value: Column, p: Int): (Column, Column) = {
     val sub = 60 - p
     val h = hash60(value.cast("string"))
     val bucket = shiftright(h, sub)
@@ -67,10 +64,73 @@ object Sketches {
     // rank = sub - bitlen(w) + 1 with no float anywhere.
     val rank = when(w === 0L, lit(sub + 1))
       .otherwise(lit(sub + 1) - length(bin(w)))
+    (bucket, rank)
+  }
+
+  /** HLL register table `(bucket: LONG, max_rank: INT)` for the distinct
+    * non-null values of `value` (cast to string before hashing, the
+    * shared convention of every hash-keyed operator here). At most
+    * `2^p` rows; buckets no value hashed into are ABSENT (register 0).
+    */
+  def hllRegisters(df: DataFrame, value: Column, p: Int): DataFrame = {
+    checkP(p)
+    val (bucket, rank) = bucketAndRank(value, p)
     df.filter(value.isNotNull)
       .select(bucket.as("bucket"), rank.cast("int").as("rank"))
       .groupBy(col("bucket"))
       .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Per-group register tables `(groups..., bucket, max_rank)` — one
+    * sketch per group in ONE corpus pass (the operational form: distinct
+    * documents/URLs per source, per language, per crawl snapshot). The
+    * same partial-aggregable shape keyed on (groups, bucket): a group's
+    * register rows bound at 2^p however hot the group, and a null group
+    * is a real group (groupBy semantics). Registers of the same group
+    * from different batches merge with [[hllMerge]] on (groups, bucket)
+    * — done inline by unioning before this aggregate.
+    */
+  def hllRegistersBy(
+      df: DataFrame, groups: Seq[String], value: Column, p: Int): DataFrame = {
+    checkP(p)
+    require(groups.nonEmpty, "groups must be non-empty (use hllRegisters)")
+    val (bucket, rank) = bucketAndRank(value, p)
+    df.filter(value.isNotNull)
+      .select(groups.map(col) ++
+        Seq(bucket.as("bucket"), rank.cast("int").as("rank")): _*)
+      .groupBy(groups.head, groups.tail :+ "bucket": _*)
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Per-group estimates `(groups..., m, v_zero, raw_estimate,
+    * estimate)` from [[hllRegistersBy]] output — the same exact-integer
+    * estimator, one row per group.
+    */
+  def hllEstimateBy(
+      registers: DataFrame, groups: Seq[String], p: Int): DataFrame = {
+    checkP(p)
+    val m = 1L << p
+    val k = maxRank(p)
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    val term = pow(lit(2.0), lit(k.toDouble) - col("max_rank").cast("double"))
+      .cast(DecimalType(38, 0))
+    registers
+      .groupBy(groups.head, groups.tail: _*)
+      .agg(count(lit(1)).as("__nz"), sum(term).as("__s"))
+      .select(groups.map(col) ++ Seq(
+        lit(m).as("m"),
+        (lit(m) - col("__nz")).cast(LongType).as("v_zero"),
+        (lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, k.toDouble)) /
+          (col("__s") +
+            (lit(m) - col("__nz")).cast(LongType) * lit(1L << k))
+            .cast("double")).as("raw_estimate")): _*)
+      .select(groups.map(col) ++ Seq(col("m"), col("v_zero"),
+        col("raw_estimate"),
+        when(col("raw_estimate") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) * log(lit(m).cast("double") / col("v_zero")))
+          .otherwise(col("raw_estimate")).as("estimate")): _*)
   }
 
   /** Merge register tables: register-wise max. Commutative, associative,

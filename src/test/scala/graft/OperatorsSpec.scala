@@ -3158,6 +3158,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(toMap(merged) === full)
   }
 
+  test("grouped HLL registers and estimates equal the per-group flat " +
+      "sketches (one corpus pass, no cross-group bleed)") {
+    import graft.operators.Sketches
+    val d = spark.range(2000).select(
+      (col("id") % 3).cast("string").as("g"),
+      concat(lit("v"), col("id") % 700).as("v"))
+    val grouped = Sketches.hllRegistersBy(d, Seq("g"), col("v"), p = 10)
+    val estBy = Sketches.hllEstimateBy(grouped, Seq("g"), p = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("estimate")).toMap
+    for (g <- Seq("0", "1", "2")) {
+      val flat = Sketches.hllRegisters(
+          d.filter(col("g") === g), col("v"), p = 10)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val slice = grouped.filter(col("g") === g)
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      assert(slice === flat, s"group $g registers diverge")
+      val flatEst = Sketches.hllEstimate(
+        Sketches.hllRegisters(d.filter(col("g") === g), col("v"), 10), 10)
+        .head().getAs[Double]("estimate")
+      assert(estBy(g) === flatEst, s"group $g estimate diverges")
+    }
+  }
+
   test("HLL artifact epochs: append bumps the committed version, " +
       "re-appending the same batch leaves registers unchanged, and an " +
       "orphan epoch directory (the crash-before-meta-flip window) never " +
