@@ -559,6 +559,55 @@ object SparkEntry {
         round(col("raw_estimate"), 6).as("raw_estimate"),
         round(col("estimate"), 6).as("estimate"))
 
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(
+        split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+
+  /** CMS counter-table gate: word frequencies of the whole corpus into
+    * a 4×1024 counter table — hash-matched in full, like `sketch_hll`'s
+    * registers (the artifact itself is verified, not just reads off it).
+    */
+  private def sketchCmsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsCounters(
+      docWords(s, dir), col("w"), depth = 4, width = 1024)
+
+  /** CMS point-estimate gate: the 10 exact-top words (deterministic
+    * count-then-word tie-break) estimated from the sketch next to their
+    * exact counts — the oracle replays both sides, and the
+    * never-underestimate property is visible in the emitted rows.
+    */
+  private def sketchCmsPointQ(s: SparkSession, dir: String): DataFrame = {
+    val ws = docWords(s, dir)
+    val top = ws.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("w")).limit(10)
+    graft.operators.Sketches.cmsEstimate(
+      graft.operators.Sketches.cmsCounters(ws, col("w"), 4, 1024),
+      top, col("w"), 4, 1024)
+  }
+
+  /** Persisted-CMS merge gate: even-id half written, odd-id half
+    * appended through the artifact; counter-wise sum telescopes to the
+    * from-scratch table, so the oracle is `sketch_cms`'s verbatim.
+    */
+  private def sketchCmsMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_cms_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val d = docs(s, dir)
+    def ws(f: DataFrame) = f.select(explode(
+        split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    graft.operators.Sketches.writeCms(
+      ws(d.filter(col("doc_id") % 2 === 0)), col("w"), path, 4, 1024)
+    graft.operators.Sketches.appendCms(
+      ws(d.filter(col("doc_id") % 2 =!= 0)), col("w"), path)
+    val loaded = graft.operators.Sketches.loadCms(s, path)
+    require(loaded.depth == 4 && loaded.width == 1024,
+      "cms meta must round-trip")
+    loaded.counters
+  }
+
   /** Persisted-sketch merge gate: sketch the even-id half into the
     * versioned artifact, append the odd-id half (one pass over the
     * BATCH only — the point of a mergeable sketch), load the committed
@@ -2698,6 +2747,24 @@ object SparkEntry {
        bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h))
        SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
 
+  /** Shared oracle for the CMS gates: full 4×1024 counter-table replay
+    * — md5-prefix hash over "row:"+word, bucket mod width, counter-wise
+    * counts. The merge gate REUSES it: counter-wise sum over any split
+    * of the corpus telescopes to the from-scratch table.
+    */
+  private val dkCmsCounters: String =
+    """WITH w AS (SELECT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS w
+           FROM documents WHERE text IS NOT NULL),
+         rb AS (SELECT j,
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', w)),1,15)) AS BIGINT)
+               % 1024 AS bucket
+           FROM w, (VALUES (0),(1),(2),(3)) t(j))
+         SELECT CAST(j AS INTEGER) AS "row", bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM rb GROUP BY 1, 2"""
+
   /** Shared oracle for the HLL sketch gates: the full register-table
     * replay — 60-bit md5-prefix hash, top-12-bit bucket, bin()-length
     * leading-zero rank over the low 48 bits, register-wise max. The
@@ -3423,6 +3490,9 @@ object SparkEntry {
     "sketch_hll"          -> (sketchHllQ _),
     "sketch_hll_estimate" -> (sketchHllEstimateQ _),
     "sketch_hll_grouped"  -> (sketchHllGroupedQ _),
+    "sketch_cms"          -> (sketchCmsQ _),
+    "sketch_cms_point"    -> (sketchCmsPointQ _),
+    "sketch_cms_merge"    -> (sketchCmsMergeQ _),
     "sketch_hll_merge"    -> (sketchHllMergeQ _),
     "streaming_sketch"    -> (streamingSketchQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
@@ -3901,6 +3971,32 @@ object SparkEntry {
          FROM t LEFT JOIN agg USING (doc_id)""",
     "dedup_index_substring" -> dkDedupIndexSubstring,
     "streaming_substring_index" -> dkDedupIndexSubstring,
+    "sketch_cms" -> dkCmsCounters,
+    "sketch_cms_merge" -> dkCmsCounters,
+    "sketch_cms_point" ->
+      """WITH w AS (SELECT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS w
+           FROM documents WHERE text IS NOT NULL),
+         ex AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM w GROUP BY 1),
+         top AS (SELECT w, exact_cnt FROM ex
+           ORDER BY exact_cnt DESC, w LIMIT 10),
+         rb AS (SELECT j,
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', w.w)),1,15)) AS BIGINT)
+               % 1024 AS bucket
+           FROM w, (VALUES (0),(1),(2),(3)) t(j)),
+         cms AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM rb GROUP BY 1, 2),
+         probe AS (SELECT top.w, top.exact_cnt, t.j,
+             CAST(concat('0x', substr(md5(concat(CAST(t.j AS VARCHAR), ':', top.w)),1,15)) AS BIGINT)
+               % 1024 AS bucket
+           FROM top, (VALUES (0),(1),(2),(3)) t(j))
+         SELECT probe.w, probe.exact_cnt,
+           CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+         FROM probe LEFT JOIN cms
+           ON probe.j = cms.j AND probe.bucket = cms.bucket
+         GROUP BY 1, 2""",
     "sketch_hll" -> dkHllRegisters,
     "sketch_hll_merge" -> dkHllRegisters,
     "streaming_sketch" -> dkHllRegisters,

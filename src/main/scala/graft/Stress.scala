@@ -680,6 +680,29 @@ object Stress {
         packed.select(col("pack_bucket"), col("pack_id")).distinct(),
         seed = 3L, nShards = 256)
     }
+    time("sketch_hll_10x") {
+      // the whole claim: register construction is scan-bound — the
+      // exchange carries <= 2^p rows per partition no matter the corpus
+      graft.operators.Sketches.hllRegisters(docs, col("text"), p = 14)
+    }
+    time("decon_bloom_10x") {
+      // huge-probe shape at 10x: probe = ~10% of the replicated corpus;
+      // the corpus gram stream meets only a 2^20-bit broadcast filter,
+      // and the confirm join's corpus side is contaminated+fp only
+      graft.operators.Dedup.decontaminateExactBloom(
+        docs.select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 10 === 0).select(col("text")),
+        "doc_id", "text", n = 13, mBits = 1 << 20, bloomK = 4)
+    }
+    time("cluster_sample_10x") {
+      // broadcast-centroid fan-out + bounded-heap per-cluster top-k:
+      // no sort wider than a map task's heap, however hot a cluster
+      val cents = embs.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("__cv"))
+      graft.operators.Sampling.clusterBalancedSample(
+        embs, "vec_id", "embedding", cents, n = 10)
+    }
     spark.stop()
   }
 }

@@ -216,25 +216,25 @@ object Sketches {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Long) = {
-    val r = spark.read.parquet(s"$path/meta").select("p", "version").head()
-    (r.getInt(0), r.getLong(1))
-  }
+  private def readMeta(spark: SparkSession, path: String): org.apache.spark.sql.Row =
+    spark.read.parquet(s"$path/meta").head()
 
+  /** Commit one sketch epoch: payload first (old epoch untouched), meta
+    * — which carries `version` plus sketch-specific parameters — flips
+    * last, stale epochs best-effort cleaned after (a leftover directory
+    * is inert: meta names the live epoch, and the next commit retries
+    * the delete).
+    */
   private def writeEpoch(
       spark: SparkSession,
       path: String,
-      registers: DataFrame,
-      p: Int,
+      payload: DataFrame,
+      meta: DataFrame,
       version: Long): Unit = {
-    import spark.implicits._
-    // ≤ 2^p rows: one file, no shuffle pressure
-    registers.coalesce(1).write.mode("overwrite")
+    // bounded payload (≤ 2^p or depth·width rows): one file
+    payload.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/registers_v$version")
-    Seq((p, version)).toDF("p", "version")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    // best-effort stale-epoch cleanup; a leftover directory is inert
-    // (meta names the live epoch) and the next append retries the delete
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val f = fs(spark, path)
     val base = new org.apache.hadoop.fs.Path(path)
     if (f.exists(base)) f.listStatus(base).foreach { st =>
@@ -245,16 +245,24 @@ object Sketches {
     }
   }
 
+  private def hllMeta(spark: SparkSession, p: Int, version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((p, version)).toDF("p", "version")
+  }
+
   /** Write a fresh sketch of `value` over `df` at `path` (epoch 0). */
   def writeHll(df: DataFrame, value: Column, path: String, p: Int = 12): Unit = {
     checkP(p)
-    writeEpoch(df.sparkSession, path, hllRegisters(df, value, p), p, 0L)
+    writeEpoch(df.sparkSession, path, hllRegisters(df, value, p),
+      hllMeta(df.sparkSession, p, 0L), 0L)
   }
 
   /** Load the live epoch's registers. Fails if no committed meta. */
   def loadHll(spark: SparkSession, path: String): LoadedHll = {
-    val (p, v) = readMeta(spark, path)
-    LoadedHll(spark.read.parquet(s"$path/registers_v$v"), p)
+    val m = readMeta(spark, path)
+    LoadedHll(
+      spark.read.parquet(s"$path/registers_v${m.getAs[Long]("version")}"),
+      m.getAs[Int]("p"))
   }
 
   /** Merge a new batch into the persisted sketch — the incremental
@@ -272,14 +280,15 @@ object Sketches {
       try { readMeta(spark, path); true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!hasMeta) { writeHll(df, value, path, p); return }
-    val (pp, v) = readMeta(spark, path)
+    val m = readMeta(spark, path)
+    val (pp, v) = (m.getAs[Int]("p"), m.getAs[Long]("version"))
     // localCheckpoint the merge before the epoch write: the merged plan
     // reads registers_v{v}, and materializing first means the write job
     // never races the cleanup of the directory it is reading
     val merged = hllMerge(
       spark.read.parquet(s"$path/registers_v$v"),
       hllRegisters(df, value, pp)).localCheckpoint()
-    writeEpoch(spark, path, merged, pp, v + 1L)
+    writeEpoch(spark, path, merged, hllMeta(spark, pp, v + 1L), v + 1L)
   }
 
   /** Streaming ingestion: per micro-batch, [[appendHll]] the batch into
@@ -298,5 +307,150 @@ object Sketches {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         appendHll(batch, value, path, p)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Count-Min sketch — the FREQUENCY twin of the HLL (Cormode &
+  // Muthukrishnan 2005, "An improved data stream summary: the
+  // count-min sketch and its applications")
+  // ------------------------------------------------------------------
+  //
+  // depth×width counters as rows `(row, bucket, cnt)`: "how often does
+  // this gram / URL / line appear across the whole corpus history"
+  // answered from `depth·width` rows instead of a corpus-wide gram
+  // table — heavy-hitter confirmation, boilerplate tracking, and
+  // per-snapshot frequency deltas without keeping (or re-aggregating)
+  // billions of distinct keys. Point estimates are min over `depth`
+  // counters: NEVER an underestimate, over by at most ~e·N/width with
+  // probability 1-e^-depth. Merge is counter-wise SUM — like the HLL's
+  // max it is commutative/associative (batch-order invariant), though
+  // NOT idempotent: a replayed batch double-counts, so streaming
+  // ingestion of a CMS needs the DedupIndex-style marker protocol
+  // rather than blind re-merge (deliberately not provided here).
+  //
+  // Row hashes are the portable md5-prefix hash over "<row>:"+value —
+  // independent-enough rows by salt, and every engine (and the DuckDB
+  // oracle) re-derives the identical counter table.
+
+  private def checkCms(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 16, s"width must be >= 16, got $width")
+  }
+
+  /** CMS counter table `(row: INT, bucket: LONG, cnt: LONG)` over the
+    * non-null values of `value`, each weighted by `weight` (default 1 —
+    * pass e.g. a token count for token-weighted frequencies). One
+    * partial-aggregable pass: the depth-way fan-out collapses map-side
+    * to ≤ depth·width combined rows per partition.
+    */
+  def cmsCounters(
+      df: DataFrame,
+      value: Column,
+      depth: Int = 4,
+      width: Int = 1024,
+      weight: Column = lit(1L)): DataFrame = {
+    checkCms(depth, width)
+    val rows = (0 until depth).map { j =>
+      struct(lit(j).as("row"),
+        pmod(hash60(concat(lit(s"$j:"), value.cast("string"))),
+          lit(width.toLong)).as("bucket"))
+    }
+    df.filter(value.isNotNull)
+      .select(explode(array(rows: _*)).as("rb"), weight.cast("long").as("w"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("w")).as("cnt"))
+  }
+
+  /** Merge counter tables: counter-wise sum (commutative/associative;
+    * NOT idempotent — see section doc).
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for a candidate frame: one row per input row with
+    * `est` = min over the sketch's depth counters (0 for a bucket no
+    * value hashed into — only possible when the candidate never
+    * occurred). The counter table rides a broadcast join (≤ depth·width
+    * rows); candidates never shuffle.
+    */
+  def cmsEstimate(
+      counters: DataFrame,
+      candidates: DataFrame,
+      value: Column,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    checkCms(depth, width)
+    val rows = (0 until depth).map { j =>
+      struct(lit(j).as("row"),
+        pmod(hash60(concat(lit(s"$j:"), value.cast("string"))),
+          lit(width.toLong)).as("bucket"))
+    }
+    candidates
+      .select(col("*"), explode(array(rows: _*)).as("__rb"))
+      .select(col("*"), col("__rb.row").as("row"),
+        col("__rb.bucket").as("bucket"))
+      .drop("__rb")
+      .join(broadcast(counters), Seq("row", "bucket"), "left")
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  private def cmsMeta(
+      spark: SparkSession, depth: Int, width: Int, version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((depth, width, version)).toDF("depth", "width", "version")
+  }
+
+  /** A loaded CMS: counters plus the geometry they were built under. */
+  final case class LoadedCms(counters: DataFrame, depth: Int, width: Int)
+
+  /** Write a fresh CMS of `value` over `df` at `path` (epoch 0). */
+  def writeCms(
+      df: DataFrame,
+      value: Column,
+      path: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      weight: Column = lit(1L)): Unit = {
+    checkCms(depth, width)
+    writeEpoch(df.sparkSession, path,
+      cmsCounters(df, value, depth, width, weight),
+      cmsMeta(df.sparkSession, depth, width, 0L), 0L)
+  }
+
+  /** Load the live epoch's counters. Fails if no committed meta. */
+  def loadCms(spark: SparkSession, path: String): LoadedCms = {
+    val m = readMeta(spark, path)
+    LoadedCms(
+      spark.read.parquet(s"$path/registers_v${m.getAs[Long]("version")}"),
+      m.getAs[Int]("depth"), m.getAs[Int]("width"))
+  }
+
+  /** Sum a new batch into the persisted CMS — one pass over the BATCH,
+    * a ≤ 2·depth·width-row merge, one epoch commit; initializes on a
+    * missing artifact. NOT replay-idempotent (sum double-counts):
+    * callers ingesting from an at-least-once source must gate appends
+    * on their own batch markers.
+    */
+  def appendCms(
+      df: DataFrame,
+      value: Column,
+      path: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      weight: Column = lit(1L)): Unit = {
+    val spark = df.sparkSession
+    val hasMeta =
+      try { readMeta(spark, path); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!hasMeta) { writeCms(df, value, path, depth, width, weight); return }
+    val m = readMeta(spark, path)
+    val (d, w, v) = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
+      m.getAs[Long]("version"))
+    val merged = cmsMerge(
+      spark.read.parquet(s"$path/registers_v$v"),
+      cmsCounters(df, value, d, w, weight)).localCheckpoint()
+    writeEpoch(spark, path, merged, cmsMeta(spark, d, w, v + 1L), v + 1L)
   }
 }

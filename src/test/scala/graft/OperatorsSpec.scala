@@ -3158,6 +3158,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(toMap(merged) === full)
   }
 
+  test("CMS point estimates never underestimate, overestimate within " +
+      "the published bound under real collisions, and weighted counters " +
+      "sum weights exactly") {
+    import graft.operators.Sketches
+    // zipf-ish: value v appears ~2v+1 times; 20k rows over ~141 distinct
+    val vals = spark.range(20000).select(
+      concat(lit("k"), floor(sqrt(col("id").cast("double"))).cast("long"))
+        .as("v"))
+    val depth = 4
+    val width = 64 // deliberately narrow: collisions guaranteed
+    val counters = Sketches.cmsCounters(vals, col("v"), depth, width)
+    val exact = vals.groupBy(col("v")).agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketches.cmsEstimate(counters, exact, col("v"), depth, width)
+      .collect().map(r => (r.getAs[String]("v"),
+        r.getAs[Long]("exact_cnt"), r.getAs[Long]("est")))
+    assert(est.forall { case (_, ex, e) => e >= ex },
+      "CMS must never underestimate")
+    assert(est.exists { case (_, ex, e) => e > ex },
+      "a 64-wide sketch over 141 keys must show real collisions")
+    // CM bound: overestimate <= e·N/width w.p. 1-e^-depth; allow 3x
+    val n = 20000.0
+    val bound = 3.0 * math.E * n / width
+    assert(est.forall { case (_, ex, e) => (e - ex) <= bound },
+      s"overestimate exceeded ${bound.toInt}")
+    // weighted form: per-bucket cnt is the exact SUM of weights
+    val wdf = Seq(("a", 5L), ("b", 7L), ("a", 2L)).toDF("v", "wt")
+    val wc = Sketches.cmsCounters(wdf, col("v"), 2, 1024,
+      weight = col("wt"))
+    val estW = Sketches.cmsEstimate(wc,
+      Seq("a", "b").toDF("v"), col("v"), 2, 1024)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    assert(estW === Map("a" -> 7L, "b" -> 7L))
+  }
+
+  test("CMS merge is counter-wise sum — NOT idempotent: a replayed " +
+      "batch double-counts (why CMS streaming ingest needs markers " +
+      "where the HLL does not)") {
+    import graft.operators.Sketches
+    val vals = spark.range(1000).select(
+      concat(lit("x"), col("id") % 50).as("v"))
+    def cnts(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsCounters(df, col("v"), 3, 256)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = toMap(cnts(vals))
+    val halves = Seq(vals.filter(col("id") % 2 === 0),
+      vals.filter(col("id") % 2 =!= 0)).map(cnts)
+    assert(toMap(Sketches.cmsMerge(halves(0), halves(1))) === full)
+    val doubled = toMap(Sketches.cmsMerge(halves(0), halves(0)))
+    assert(doubled === toMap(halves(0)).map { case (k, c) => k -> 2 * c })
+  }
+
   test("grouped HLL registers and estimates equal the per-group flat " +
       "sketches (one corpus pass, no cross-group bleed)") {
     import graft.operators.Sketches
