@@ -559,6 +559,60 @@ object SparkEntry {
         round(col("raw_estimate"), 6).as("raw_estimate"),
         round(col("estimate"), 6).as("estimate"))
 
+  /** Global bottom-k sample gate: the 50 smallest-hash documents with
+    * payload columns riding the broadcast join-back — the oracle
+    * replays the global hash ranking.
+    */
+  private def sampleBottomkQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.bottomKSample(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source")),
+      "doc_id", k = 50)
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))
+
+  /** Persisted sample-index merge gate: even-id half written, odd-id
+    * half appended; bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    * bottom-k(B)), so the loaded epoch must be EXACTLY the from-scratch
+    * sample — `sample_bottomk`'s oracle, shared verbatim.
+    */
+  private def sampleBottomkMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_bks_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+    graft.operators.Sampling.writeSampleIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", path, k = 50)
+    graft.operators.Sampling.appendSampleIndex(
+      d.filter(col("doc_id") % 2 =!= 0), "doc_id", path)
+    val loaded = graft.operators.Sampling.loadSampleIndex(s, path)
+    require(loaded.k == 50, "sample-index meta must round-trip")
+    loaded.rows
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))
+  }
+
+  /** Streaming sample-index ingestion: the document stream folds into
+    * the artifact per micro-batch (replay-safe by the anti-join, no
+    * markers), and the committed sample must equal the batch draw —
+    * `sample_bottomk`'s oracle shared verbatim for any micro-batching
+    * (the bottom-k merge law).
+    */
+  private def streamingSampleIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_bks_stream_${Integer.toHexString(dir.hashCode)}"
+    val ckpt = s"/tmp/graft_bks_ckpt_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    graft.operators.Sampling.sampleIngestStream(
+        docStream(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", path, k = 50)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    graft.operators.Sampling.loadSampleIndex(s, path).rows
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))
+  }
+
   private def docWords(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(explode(
         split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -2747,6 +2801,19 @@ object SparkEntry {
        bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h))
        SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
 
+  /** Shared oracle for the bottom-k sample gates: the global 50
+    * smallest-hash documents with payload. The merge and streaming
+    * gates REUSE it verbatim — bottom-k(A ∪ B) = bottom-k(bottom-k(A)
+    * ∪ bottom-k(B)) makes the result split/batching-invariant.
+    */
+  private val dkBottomK: String =
+    s"""SELECT doc_id, lang, source, sample_rank FROM (
+           SELECT doc_id, lang, source, CAST(row_number() OVER (
+               ORDER BY h % 4503599627370496, h) AS INTEGER) AS sample_rank
+           FROM (SELECT doc_id, lang, source,
+               ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents))
+         WHERE sample_rank <= 50"""
+
   /** Shared oracle for the CMS gates: full 4×1024 counter-table replay
     * — md5-prefix hash over "row:"+word, bucket mod width, counter-wise
     * counts. The merge gate REUSES it: counter-wise sum over any split
@@ -3493,6 +3560,9 @@ object SparkEntry {
     "sketch_cms"          -> (sketchCmsQ _),
     "sketch_cms_point"    -> (sketchCmsPointQ _),
     "sketch_cms_merge"    -> (sketchCmsMergeQ _),
+    "sample_bottomk"      -> (sampleBottomkQ _),
+    "sample_bottomk_merge" -> (sampleBottomkMergeQ _),
+    "streaming_sample_index" -> (streamingSampleIndexQ _),
     "sketch_hll_merge"    -> (sketchHllMergeQ _),
     "streaming_sketch"    -> (streamingSketchQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
@@ -3973,6 +4043,9 @@ object SparkEntry {
     "streaming_substring_index" -> dkDedupIndexSubstring,
     "sketch_cms" -> dkCmsCounters,
     "sketch_cms_merge" -> dkCmsCounters,
+    "sample_bottomk" -> dkBottomK,
+    "sample_bottomk_merge" -> dkBottomK,
+    "streaming_sample_index" -> dkBottomK,
     "sketch_cms_point" ->
       """WITH w AS (SELECT unnest(list_filter(
              string_split_regex(trim(lower(text)), '\s+'),

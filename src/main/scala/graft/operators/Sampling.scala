@@ -159,6 +159,110 @@ object Sampling {
     sampleExactPerStratum(assigned, idCol, "centroid_id", n)
   }
 
+  // ------------------------------------------------------------------
+  // Bottom-k uniform sample + persisted sample index
+  // ------------------------------------------------------------------
+
+  /** Global deterministic bottom-k sample: the `k` rows with the
+    * smallest 60-bit id-hash — a uniform k-subset without replacement
+    * (the bottom-k sketch of Cohen & Kaplan 2007), selected by the
+    * constant-stratum [[sampleExactPerStratum]] bounded heap (map-side
+    * partial, no global sort) with payload columns recovered through a
+    * broadcast join-back (≤ k rows). `idCol` must be unique per row —
+    * a duplicated id would multiply through the join-back. Output: the
+    * input columns plus `sample_rank`.
+    */
+  def bottomKSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    val sel = sampleExactPerStratum(
+      df.select(col(idCol)).withColumn("__g", lit(0)), idCol, "__g", k)
+      .select(col(idCol), col("sample_rank"))
+    df.join(broadcast(sel), Seq(idCol))
+  }
+
+  /** A loaded sample index: the sample rows (payload + `sample_rank`)
+    * plus the size it maintains.
+    */
+  final case class LoadedSample(rows: DataFrame, k: Int)
+
+  private def sampleMeta(spark: org.apache.spark.sql.SparkSession,
+      idCol: String, k: Int, version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((idCol, k, version)).toDF("id_col", "k", "version")
+  }
+
+  /** Persist a bottom-k sample of `df` at `path` (epoch 0) — the
+    * always-fresh inspection/eval sample over a GROWING corpus: because
+    * membership is pure hash order, bottom-k(A ∪ B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)), so [[appendSampleIndex]]
+    * folds each new crawl batch in at O(batch + k) and the loaded rows
+    * are at every moment EXACTLY the sample a from-scratch pass over
+    * the whole history would draw — no reservoir drift, no rescan. Uses
+    * the [[graft.sources.EpochStore]] layout (every crash window leaves
+    * a loadable index).
+    */
+  def writeSampleIndex(
+      df: DataFrame, idCol: String, path: String, k: Int): Unit = {
+    require(k > 0, "k must be positive")
+    graft.sources.EpochStore.writeEpoch(df.sparkSession, path,
+      bottomKSample(df, idCol, k),
+      sampleMeta(df.sparkSession, idCol, k, 0L), 0L)
+  }
+
+  /** Load the live epoch's sample rows. Fails if nothing committed. */
+  def loadSampleIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LoadedSample = {
+    val m = graft.sources.EpochStore.readMeta(spark, path)
+    LoadedSample(spark.read.parquet(graft.sources.EpochStore.epochPath(
+      path, m.getAs[Long]("version"))), m.getAs[Int]("k"))
+  }
+
+  /** Fold a new batch into the persisted sample: bottom-k of the batch
+    * (one bounded pass over the BATCH only), unioned with the stored
+    * rows and re-selected — ≤ 2k rows of merge work; the corpus history
+    * is never rescanned. Ids already in the index take priority
+    * (arrival order, the [[graft.sources.DedupIndex]] convention), so
+    * replaying a batch is a no-op and at-least-once streaming ingestion
+    * needs no marker protocol. Initializes the artifact (with `k`) when
+    * nothing is committed yet; the batch schema must match the stored
+    * payload schema (unionByName fails loudly otherwise).
+    */
+  def appendSampleIndex(
+      batch: DataFrame, idCol: String, path: String, k: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
+      writeSampleIndex(batch, idCol, path, k); return
+    }
+    val m = graft.sources.EpochStore.readMeta(spark, path)
+    val (idc, kk, v) = (m.getAs[String]("id_col"), m.getAs[Int]("k"),
+      m.getAs[Long]("version"))
+    require(idc == idCol,
+      s"sample index at $path keys on '$idc', not '$idCol'")
+    val stored = spark.read.parquet(
+      graft.sources.EpochStore.epochPath(path, v))
+    val fresh = batch.join(
+      broadcast(stored.select(col(idCol))), Seq(idCol), "left_anti")
+    val merged = bottomKSample(
+      stored.drop("sample_rank")
+        .unionByName(bottomKSample(fresh, idCol, kk).drop("sample_rank")),
+      idCol, kk).localCheckpoint()
+    graft.sources.EpochStore.writeEpoch(spark, path, merged,
+      sampleMeta(spark, idc, kk, v + 1L), v + 1L)
+  }
+
+  /** Streaming ingestion of the sample index: per micro-batch,
+    * [[appendSampleIndex]] — replay-safe without markers (a replayed
+    * batch anti-joins away entirely). Caller starts the returned writer.
+    */
+  def sampleIngestStream(
+      stream: DataFrame,
+      idCol: String,
+      path: String,
+      k: Int = 1000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendSampleIndex(batch, idCol, path, k)
+    }
+
   /** Deterministic domain mixing to a token budget — the static
     * data-mixture step of a training-data pipeline (fixed target
     * proportions à la The Pile / Llama mixes; learned-weight schemes

@@ -188,62 +188,25 @@ object Sketches {
     hllEstimate(hllRegisters(df, value, p), p)
 
   // ------------------------------------------------------------------
-  // Persisted sketch artifact — versioned-epoch layout
+  // Persisted sketch artifact — the [[graft.sources.EpochStore]]
+  // versioned-epoch layout (see its scaladoc for the crash-window
+  // reasoning: every window leaves a LOADABLE artifact, the property an
+  // incremental sketch needs and the tombstone order cannot give)
   // ------------------------------------------------------------------
-  //
-  // Layout under `path`:
-  //   registers_v{N}/   register parquet for epoch N
-  //   meta/             (p, version) — the commit pointer, written LAST
-  //
-  // Unlike the Packs/DedupIndex tombstone order (crash mid-rewrite →
-  // unloadable directory, fail loud), an APPEND-heavy artifact gets the
-  // strictly stronger versioned-epoch protocol: the new epoch directory
-  // is written FIRST (old epoch untouched), meta flips to it atomically
-  // last, and stale epochs are best-effort cleaned afterwards. Every
-  // crash window leaves a LOADABLE artifact — either the old epoch
-  // (meta not yet flipped) or the new one — which matters here because
-  // an incremental sketch's value is the history it has already
-  // absorbed; a fail-loud-but-lossy tombstone would force re-sketching
-  // every prior batch. (Registers are ≤ 2^p rows, so rewriting the
-  // whole table per epoch costs nothing; corpus-sized artifacts like
-  // DedupIndex's cannot afford full rewrites and append files instead,
-  // which is why they need the marker protocol this layout avoids.)
 
   /** A loaded sketch: registers plus the precision it was built under. */
   final case class LoadedHll(registers: DataFrame, p: Int)
 
-  private def fs(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   private def readMeta(spark: SparkSession, path: String): org.apache.spark.sql.Row =
-    spark.read.parquet(s"$path/meta").head()
+    graft.sources.EpochStore.readMeta(spark, path)
 
-  /** Commit one sketch epoch: payload first (old epoch untouched), meta
-    * — which carries `version` plus sketch-specific parameters — flips
-    * last, stale epochs best-effort cleaned after (a leftover directory
-    * is inert: meta names the live epoch, and the next commit retries
-    * the delete).
-    */
   private def writeEpoch(
       spark: SparkSession,
       path: String,
       payload: DataFrame,
       meta: DataFrame,
-      version: Long): Unit = {
-    // bounded payload (≤ 2^p or depth·width rows): one file
-    payload.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/registers_v$version")
-    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    val f = fs(spark, path)
-    val base = new org.apache.hadoop.fs.Path(path)
-    if (f.exists(base)) f.listStatus(base).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("registers_v") &&
-          n.stripPrefix("registers_v") != version.toString)
-        f.delete(st.getPath, true)
-    }
-  }
+      version: Long): Unit =
+    graft.sources.EpochStore.writeEpoch(spark, path, payload, meta, version)
 
   private def hllMeta(spark: SparkSession, p: Int, version: Long): DataFrame = {
     import spark.implicits._

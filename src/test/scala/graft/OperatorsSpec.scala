@@ -3158,6 +3158,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(toMap(merged) === full)
   }
 
+  test("bottom-k sample index telescopes across three appends, ignores " +
+      "replayed batches, and keeps the stored payload when an id " +
+      "reappears changed") {
+    import graft.operators.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("graft_bks_spec")
+      .toString
+    val all = spark.range(900).select(col("id").as("doc_id"),
+      concat(lit("p"), col("id")).as("payload"))
+    val parts = (0 to 2).map(i => all.filter(col("doc_id") % 3 === i))
+    Sampling.writeSampleIndex(parts(0), "doc_id", dir, k = 40)
+    Sampling.appendSampleIndex(parts(1), "doc_id", dir)
+    Sampling.appendSampleIndex(parts(2), "doc_id", dir)
+    def rows() = Sampling.loadSampleIndex(spark, dir).rows.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("payload"),
+        r.getAs[Int]("sample_rank"))).toSet
+    val threeStep = rows()
+    val fromScratch = Sampling.bottomKSample(all, "doc_id", 40).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("payload"),
+        r.getAs[Int]("sample_rank"))).toSet
+    assert(threeStep === fromScratch)
+    // replay: identical sample
+    Sampling.appendSampleIndex(parts(1), "doc_id", dir)
+    assert(rows() === threeStep)
+    // a sampled id reappearing with a NEW payload keeps the stored one
+    // (arrival-order priority)
+    val someId = threeStep.head._1
+    Sampling.appendSampleIndex(
+      Seq((someId, "CHANGED")).toDF("doc_id", "payload"), "doc_id", dir)
+    assert(rows() === threeStep)
+  }
+
   test("CMS point estimates never underestimate, overestimate within " +
       "the published bound under real collisions, and weighted counters " +
       "sum weights exactly") {
