@@ -613,6 +613,13 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))
   }
 
+  /** CCNet head/middle/tail bucketing per language: the oracle replays
+    * the surprisal scorer, the per-(lang, score) cumulative fractions,
+    * and the value-threshold bucket CASE end-to-end.
+    */
+  private def qualityBucketsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "text", "lang")
+
   private def docWords(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(explode(
         split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -3622,6 +3629,7 @@ object SparkEntry {
     "text_vocabulary"  -> (textVocabulary _),
     "unigram_surprisal" -> (unigramSurprisalQ _),
     "bigram_surprisal" -> (bigramSurprisalQ _),
+    "quality_buckets"  -> (qualityBucketsQ _),
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
     "text_normalize"    -> (textNormalizeQ _),
@@ -5127,6 +5135,31 @@ object SparkEntry {
          SELECT doc_id,
            round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
          FROM w JOIN v USING (word), t GROUP BY doc_id""",
+    "quality_buckets" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM documents),
+         v AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+         s AS (SELECT doc_id,
+             round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
+           FROM w JOIN v USING (word), t GROUP BY doc_id),
+         sc AS (SELECT d.doc_id, d.lang, s.surprisal
+           FROM documents d JOIN s USING (doc_id)),
+         c AS (SELECT lang, surprisal, count(*) AS c
+           FROM sc GROUP BY 1, 2),
+         cum AS (SELECT lang, surprisal,
+             sum(c) OVER (PARTITION BY lang ORDER BY surprisal
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS tot
+           FROM c),
+         b AS (SELECT lang, surprisal,
+             CASE WHEN cum <= (1.0/3) * tot THEN 'head'
+                  WHEN cum <= (1.0/3 + 1.0/3) * tot THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM cum)
+         SELECT sc.doc_id, sc.lang, sc.surprisal, b.bucket
+         FROM sc JOIN b USING (lang, surprisal)""",
     "text_len_quantiles" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,
          round(quantile_cont(n_chars, 0.5), 6) AS p50,

@@ -581,6 +581,59 @@ object TextAnalysis {
       .withColumnRenamed("__doc", idCol)
   }
 
+  /** CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    * 2020 §4.3: score each document with an LM, split every language's
+    * corpus into three perplexity terciles, keep head+middle): the
+    * [[unigramSurprisal]] score partitioned per `byCol` group into
+    * `head` / `middle` / `tail` by cumulative DOC-COUNT fractions over
+    * ascending score. A whole score-group lands in one bucket (the
+    * threshold is a score VALUE, CCNet's semantics): `head` while
+    * `cum(score) ≤ headFraction·total`, `middle` while
+    * `cum ≤ (head+middle)·total`, else `tail`. Documents with no words
+    * have no surprisal and are omitted (the scorer's contract).
+    *
+    * Scale shape — the reason this is not an `ntile` window: exact
+    * per-group quantiling via `ntile`/`percent_rank` sorts the CORPUS
+    * per group. Here the only window runs over `(group, rounded-score)
+    * ` TYPE rows — the score is rounded to 6 decimals by the scorer, so
+    * distinct scores per group are bounded far below doc count (the
+    * langid cap-window precedent) — and docs meet their bucket through
+    * a broadcast join of that tiny score→bucket map. Both passes
+    * upstream are partial-aggregable; nothing corpus-sized is ever
+    * sorted. Output: `(idCol, byCol, surprisal, bucket)`.
+    */
+  def qualityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String,
+      headFraction: Double = 1.0 / 3,
+      middleFraction: Double = 1.0 / 3): DataFrame = {
+    require(headFraction > 0 && middleFraction > 0 &&
+      headFraction + middleFraction < 1,
+      "head and middle fractions must be positive and sum below 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol), col(byCol), col(textCol))
+      .join(unigramSurprisal(docs, idCol, textCol), Seq(idCol))
+    val counts = scored.groupBy(col(byCol), col("surprisal"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(col(byCol))
+      .orderBy(col("surprisal").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(byCol))
+    val buckets = counts
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__tot", sum(col("__c")).over(totW))
+      .select(col(byCol), col("surprisal"),
+        when(col("__cum") <= lit(headFraction) * col("__tot"), lit("head"))
+          .when(col("__cum") <=
+            lit(headFraction + middleFraction) * col("__tot"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    scored.select(col(idCol), col(byCol), col("surprisal"))
+      .join(broadcast(buckets), Seq(byCol, "surprisal"))
+      .select(col(idCol), col(byCol), col("surprisal"), col("bucket"))
+  }
+
   /** Interpolated BIGRAM surprisal — one order deeper than
     * [[unigramSurprisal]] on the CCNet-style fluency axis:
     * `mean(-ln(λ·P(w_i|w_{i-1}) + (1-λ)·P(w_i)))` over the document's

@@ -3158,6 +3158,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(toMap(merged) === full)
   }
 
+  test("quality buckets: per-group score-value thresholds put fluent " +
+      "docs in head, rare-word docs in tail, ~equal doc-count terciles, " +
+      "independently per group") {
+    import graft.operators.TextAnalysis
+    // 9 docs per lang; lang B's words are disjoint from A's so its
+    // thresholds must be computed independently
+    def mk(lang: String, off: Int) = (0 until 9).map { i =>
+      val text =
+        if (i < 3) s"common$lang common$lang common$lang common$lang"
+        else if (i < 6) s"common$lang mid$lang$i mid$lang$i"
+        else s"rare$lang${i}a rare$lang${i}b rare$lang${i}c rare$lang${i}d"
+      (off + i.toLong, lang, text)
+    }
+    val d = (mk("A", 0) ++ mk("B", 100)).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.qualityBuckets(d, "doc_id", "text", "lang")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("surprisal"), r.getAs[String]("bucket")))
+    for (lang <- Seq("A", "B")) {
+      val rows = out.filter(_._1 == lang)
+      assert(rows.length === 9)
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.map(_._2).toSet).toMap
+      assert(byBucket.keySet === Set("head", "middle", "tail"))
+      assert(byBucket("head").size === 3 && byBucket("middle").size === 3 &&
+        byBucket("tail").size === 3)
+      // score ordering: max head surprisal < min tail surprisal
+      val h = rows.filter(_._4 == "head").map(_._3).max
+      val t = rows.filter(_._4 == "tail").map(_._3).min
+      assert(h < t)
+      // the three repeated-common-word docs are the head
+      val base = if (lang == "A") 0L else 100L
+      assert(byBucket("head") === Set(base, base + 1, base + 2))
+    }
+  }
+
   test("bottom-k sample index telescopes across three appends, ignores " +
       "replayed batches, and keeps the stored payload when an id " +
       "reappears changed") {
