@@ -620,6 +620,35 @@ object SparkEntry {
   private def qualityBucketsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "text", "lang")
 
+  /** Streaming CCNet bucketing: the model (frozen LM + per-lang
+    * thresholds) trains batch-side and is localCheckpointed, then the
+    * document stream scores against it per micro-batch — stateless
+    * ingest-time deployment (the paper's own shape: LM trained
+    * offline, every crawl snapshot bucketed against it). Output ≡ the
+    * batch bucketing, so `quality_buckets`' oracle is shared verbatim.
+    */
+  private def streamingQualityBucketsQ(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_qb_out_${Integer.toHexString(dir.hashCode)}"
+    val ckpt = s"/tmp/graft_qb_ckpt_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(out, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    val m0 = TextAnalysis.qualityBucketTrain(
+      docs(s, dir), "doc_id", "text", "lang")
+    val model = m0.copy(vocab = m0.vocab.localCheckpoint(),
+      thresholds = m0.thresholds.localCheckpoint())
+    TextAnalysis.qualityBucketScoreStream(
+        docStream(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", model, out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("surprisal"), col("bucket"))
+  }
+
   private def docWords(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(explode(
         split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -2808,6 +2837,37 @@ object SparkEntry {
        bad AS (SELECT DISTINCT doc_id FROM tg JOIN pg USING (h))
        SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
 
+  /** Shared oracle for the CCNet bucket gates: full replay of LM
+    * training, per-(lang, score) cumulative fractions, and the
+    * value-threshold bucket CASE. The streaming gate REUSES it — the
+    * frozen-model score of the same corpus is the batch bucketing.
+    */
+  private val dkQualityBuckets: String =
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM documents),
+         v AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+         s AS (SELECT doc_id,
+             round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
+           FROM w JOIN v USING (word), t GROUP BY doc_id),
+         sc AS (SELECT d.doc_id, d.lang, s.surprisal
+           FROM documents d JOIN s USING (doc_id)),
+         c AS (SELECT lang, surprisal, count(*) AS c
+           FROM sc GROUP BY 1, 2),
+         cum AS (SELECT lang, surprisal,
+             sum(c) OVER (PARTITION BY lang ORDER BY surprisal
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS tot
+           FROM c),
+         b AS (SELECT lang, surprisal,
+             CASE WHEN cum <= (1.0/3) * tot THEN 'head'
+                  WHEN cum <= (1.0/3 + 1.0/3) * tot THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM cum)
+         SELECT sc.doc_id, sc.lang, sc.surprisal, b.bucket
+         FROM sc JOIN b USING (lang, surprisal)"""
+
   /** Shared oracle for the bottom-k sample gates: the global 50
     * smallest-hash documents with payload. The merge and streaming
     * gates REUSE it verbatim — bottom-k(A ∪ B) = bottom-k(bottom-k(A)
@@ -3630,6 +3690,7 @@ object SparkEntry {
     "unigram_surprisal" -> (unigramSurprisalQ _),
     "bigram_surprisal" -> (bigramSurprisalQ _),
     "quality_buckets"  -> (qualityBucketsQ _),
+    "streaming_quality_buckets" -> (streamingQualityBucketsQ _),
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
     "text_normalize"    -> (textNormalizeQ _),
@@ -5135,31 +5196,8 @@ object SparkEntry {
          SELECT doc_id,
            round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
          FROM w JOIN v USING (word), t GROUP BY doc_id""",
-    "quality_buckets" ->
-      """WITH w AS (SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-           FROM documents),
-         v AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
-         t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
-         s AS (SELECT doc_id,
-             round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
-           FROM w JOIN v USING (word), t GROUP BY doc_id),
-         sc AS (SELECT d.doc_id, d.lang, s.surprisal
-           FROM documents d JOIN s USING (doc_id)),
-         c AS (SELECT lang, surprisal, count(*) AS c
-           FROM sc GROUP BY 1, 2),
-         cum AS (SELECT lang, surprisal,
-             sum(c) OVER (PARTITION BY lang ORDER BY surprisal
-               ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(c) OVER (PARTITION BY lang) AS tot
-           FROM c),
-         b AS (SELECT lang, surprisal,
-             CASE WHEN cum <= (1.0/3) * tot THEN 'head'
-                  WHEN cum <= (1.0/3 + 1.0/3) * tot THEN 'middle'
-                  ELSE 'tail' END AS bucket
-           FROM cum)
-         SELECT sc.doc_id, sc.lang, sc.surprisal, b.bucket
-         FROM sc JOIN b USING (lang, surprisal)""",
+    "quality_buckets" -> dkQualityBuckets,
+    "streaming_quality_buckets" -> dkQualityBuckets,
     "text_len_quantiles" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,
          round(quantile_cont(n_chars, 0.5), 6) AS p50,

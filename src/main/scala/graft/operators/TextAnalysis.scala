@@ -597,10 +597,15 @@ object TextAnalysis {
     * per group. Here the only window runs over `(group, rounded-score)
     * ` TYPE rows — the score is rounded to 6 decimals by the scorer, so
     * distinct scores per group are bounded far below doc count (the
-    * langid cap-window precedent) — and docs meet their bucket through
-    * a broadcast join of that tiny score→bucket map. Both passes
+    * langid cap-window precedent) — which collapse further to ONE
+    * thresholds row per group; docs meet their bucket through a
+    * broadcast join of that row and two comparisons. Both passes
     * upstream are partial-aggregable; nothing corpus-sized is ever
     * sorted. Output: `(idCol, byCol, surprisal, bucket)`.
+    *
+    * Split into [[qualityBucketTrain]] + [[qualityBucketScore]] for
+    * the production shape: train on the reference corpus, score every
+    * crawl batch or stream against the frozen model.
     */
   def qualityBuckets(
       docs: DataFrame,
@@ -609,30 +614,136 @@ object TextAnalysis {
       byCol: String,
       headFraction: Double = 1.0 / 3,
       middleFraction: Double = 1.0 / 3): DataFrame = {
+    val model = qualityBucketTrain(
+      docs, idCol, textCol, byCol, headFraction, middleFraction)
+    qualityBucketScore(docs, idCol, textCol, model)
+  }
+
+  /** A trained CCNet bucketing model: the frozen unigram LM (`vocab` =
+    * `(word, __cnt)` plus the corpus `total`) and one row per group of
+    * score-VALUE cut points `(byCol, __t_head, __t_mid)` — the max
+    * score whose cumulative doc fraction stays within head /
+    * head+middle. Both frames are lazy plans over the training corpus;
+    * `localCheckpoint()` them (or persist to parquet) before scoring
+    * many batches or a stream, else every micro-batch re-runs the
+    * training aggregation.
+    */
+  final case class QualityBucketModel(
+      vocab: DataFrame,
+      total: Long,
+      thresholds: DataFrame,
+      byCol: String)
+
+  /** Per-doc surprisal under a FROZEN vocab: words absent from the
+    * model score as `oovCount` occurrences (`-ln(oov/total)`, the
+    * pseudo-count floor that keeps unseen words finite). On the
+    * training corpus itself no word is unseen and this equals
+    * [[unigramSurprisal]].
+    */
+  private def surprisalWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      total: Long,
+      oovCount: Double): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(words(col(textCol))).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .groupBy(col("__doc"))
+      .agg(round(avg(-log(
+        coalesce(col("__cnt").cast("double"), lit(oovCount))
+          / lit(total.toDouble))), 6).as("surprisal"))
+      .withColumnRenamed("__doc", idCol)
+
+  /** Train the bucketing model on a reference corpus — the offline
+    * half of the CCNet deployment (the paper trains its LM on
+    * Wikipedia, then buckets every crawl snapshot against it).
+    * Thresholds are computed from the training corpus's own score
+    * distribution; see [[qualityBuckets]] for the cumulative-fraction
+    * semantics and scale shape.
+    */
+  def qualityBucketTrain(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String,
+      headFraction: Double = 1.0 / 3,
+      middleFraction: Double = 1.0 / 3): QualityBucketModel = {
     require(headFraction > 0 && middleFraction > 0 &&
       headFraction + middleFraction < 1,
       "head and middle fractions must be positive and sum below 1")
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(col(idCol), col(byCol), col(textCol))
-      .join(unigramSurprisal(docs, idCol, textCol), Seq(idCol))
-    val counts = scored.groupBy(col(byCol), col("surprisal"))
-      .agg(count(lit(1)).as("__c"))
+    val ws = docs.select(explode(words(col(textCol))).as("word"))
+    val vocab = ws.groupBy(col("word")).agg(count(lit(1)).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt"))).collect()(0).getLong(0)
+    val scored = docs.select(col(idCol), col(byCol))
+      .join(surprisalWith(docs, idCol, textCol, vocab, total, 1.0),
+        Seq(idCol))
     val cumW = Window.partitionBy(col(byCol))
       .orderBy(col("surprisal").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col(byCol))
-    val buckets = counts
+    // prefix property: cum is monotone in score, so "cum ≤ f·tot" marks
+    // a score prefix and its max element IS the bucket's value threshold
+    val th = scored.groupBy(col(byCol), col("surprisal"))
+      .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(cumW))
       .withColumn("__tot", sum(col("__c")).over(totW))
-      .select(col(byCol), col("surprisal"),
-        when(col("__cum") <= lit(headFraction) * col("__tot"), lit("head"))
-          .when(col("__cum") <=
-            lit(headFraction + middleFraction) * col("__tot"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
-    scored.select(col(idCol), col(byCol), col("surprisal"))
-      .join(broadcast(buckets), Seq(byCol, "surprisal"))
-      .select(col(idCol), col(byCol), col("surprisal"), col("bucket"))
+      .groupBy(col(byCol))
+      .agg(
+        max(when(col("__cum") <= lit(headFraction) * col("__tot"),
+          col("surprisal"))).as("__t_head"),
+        max(when(col("__cum") <=
+          lit(headFraction + middleFraction) * col("__tot"),
+          col("surprisal"))).as("__t_mid"))
+    QualityBucketModel(vocab, total, th, byCol)
   }
+
+  /** Score a batch (or, via [[qualityBucketScoreStream]], a stream)
+    * against a trained model: surprisal under the frozen vocab, bucket
+    * by value-threshold comparison — a broadcast model join plus
+    * stateless arithmetic, the ingest-time deployment shape. Groups
+    * absent from the model (and scores above both cut points) land in
+    * `tail` — the conservative default for an unmodeled language.
+    */
+  def qualityBucketScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: QualityBucketModel,
+      oovCount: Double = 1.0): DataFrame = {
+    val scored = df.select(col(idCol), col(model.byCol))
+      .join(surprisalWith(df, idCol, textCol, model.vocab, model.total,
+        oovCount), Seq(idCol))
+    scored.join(broadcast(model.thresholds), Seq(model.byCol), "left")
+      .select(col(idCol), col(model.byCol), col("surprisal"),
+        when(col("surprisal") <=
+          coalesce(col("__t_head"), lit(Double.NegativeInfinity)),
+          lit("head"))
+          .when(col("surprisal") <=
+            coalesce(col("__t_mid"), lit(Double.NegativeInfinity)),
+            lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Streaming deployment of a trained bucket model: per micro-batch,
+    * [[qualityBucketScore]] appends to `outPath` — stateless (no state
+    * store, no watermark; a doc's words arrive in its own row, so
+    * per-doc aggregation is exact within foreachBatch). Materialize
+    * the model's frames first (see [[QualityBucketModel]]).
+    */
+  def qualityBucketScoreStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: QualityBucketModel,
+      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        qualityBucketScore(batch, idCol, textCol, model)
+          .write.mode("append").parquet(outPath)
+    }
 
   /** Interpolated BIGRAM surprisal — one order deeper than
     * [[unigramSurprisal]] on the CCNet-style fluency axis:

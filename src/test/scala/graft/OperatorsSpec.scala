@@ -3192,6 +3192,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("frozen bucket model scores unseen docs: OOV words take the " +
+      "pseudo-count floor, fluent docs still land head, and an " +
+      "unmodeled language defaults to tail") {
+    import graft.operators.TextAnalysis
+    val train = (0 until 9).map { i =>
+      val text =
+        if (i < 3) "commonA commonA commonA commonA"
+        else if (i < 6) s"commonA midA$i midA$i"
+        else s"rareA${i}a rareA${i}b rareA${i}c rareA${i}d"
+      (i.toLong, "A", text)
+    }.toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.qualityBucketTrain(
+      train, "doc_id", "text", "lang")
+    val newDocs = Seq(
+      (100L, "A", "commonA commonA commonA"), // fluent -> head
+      (101L, "A", "never seen words entirely"), // all OOV -> max surprisal
+      (102L, "Z", "commonA commonA commonA") // unmodeled group -> tail
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.qualityBucketScore(
+      newDocs, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("surprisal"), r.getAs[String]("bucket"))).toMap
+    assert(out(100L)._2 === "head")
+    // every word backs off to count 1: surprisal = -ln(1/total) exactly
+    val total = model.total.toDouble
+    assert(math.abs(out(101L)._1 - BigDecimal(-math.log(1.0 / total))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(101L)._2 === "tail")
+    assert(out(102L)._2 === "tail")
+  }
+
   test("bottom-k sample index telescopes across three appends, ignores " +
       "replayed batches, and keeps the stored payload when an id " +
       "reappears changed") {
