@@ -620,6 +620,17 @@ object SparkEntry {
   private def qualityBucketsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityBuckets(docs(s, dir), "doc_id", "text", "lang")
 
+  /** CCNet gate inside curate: length gate → exact-normalized dedup →
+    * per-lang LM terciles ON THE SURVIVORS (the paper's dedup-then-LM
+    * order) keeping head+middle → split hash. The oracle replays the
+    * whole chain, training the LM on the deduped corpus exactly as the
+    * stage does.
+    */
+  private def curateCcnetQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curate(docs(s, dir), "doc_id", "text",
+        minChars = 100, ccnetBucketBy = "lang")
+      .select(col("doc_id"), col("split"))
+
   /** Streaming CCNet bucketing: the model (frozen LM + per-lang
     * thresholds) trains batch-side and is localCheckpointed, then the
     * document stream scores against it per micro-batch — stateless
@@ -3691,6 +3702,7 @@ object SparkEntry {
     "bigram_surprisal" -> (bigramSurprisalQ _),
     "quality_buckets"  -> (qualityBucketsQ _),
     "streaming_quality_buckets" -> (streamingQualityBucketsQ _),
+    "curate_ccnet"     -> (curateCcnetQ _),
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
     "text_normalize"    -> (textNormalizeQ _),
@@ -5197,6 +5209,42 @@ object SparkEntry {
            round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
          FROM w JOIN v USING (word), t GROUP BY doc_id""",
     "quality_buckets" -> dkQualityBuckets,
+    "curate_ccnet" ->
+      """WITH t0 AS (SELECT doc_id, lang, text FROM documents
+             WHERE length(text) >= 100),
+         ex AS (SELECT min(doc_id) AS doc_id FROM t0
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+         sv AS (SELECT t0.doc_id, t0.lang, t0.text
+           FROM t0 JOIN ex USING (doc_id)),
+         w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM sv),
+         v AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+         s AS (SELECT doc_id,
+             round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
+           FROM w JOIN v USING (word), t GROUP BY doc_id),
+         sc AS (SELECT sv.doc_id, sv.lang, s.surprisal
+           FROM sv JOIN s USING (doc_id)),
+         c AS (SELECT lang, surprisal, count(*) AS c FROM sc GROUP BY 1, 2),
+         cum AS (SELECT lang, surprisal,
+             sum(c) OVER (PARTITION BY lang ORDER BY surprisal
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS tot
+           FROM c),
+         b AS (SELECT lang, surprisal,
+             CASE WHEN cum <= (1.0/3) * tot THEN 'head'
+                  WHEN cum <= (1.0/3 + 1.0/3) * tot THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM cum),
+         keep AS (SELECT sc.doc_id FROM sc JOIN b USING (lang, surprisal)
+           WHERE b.bucket IN ('head', 'middle'))
+         SELECT doc_id,
+           CASE WHEN h < 800000 THEN 'train'
+                WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+               % 1000000 AS h FROM keep)""",
     "streaming_quality_buckets" -> dkQualityBuckets,
     "text_len_quantiles" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,

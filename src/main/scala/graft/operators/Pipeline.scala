@@ -88,6 +88,8 @@ object Pipeline {
       decontaminateMaxBucketSize: Int = 0,
       decontaminateExactNgrams: Int = 0,
       scrubProbeNgrams: Int = 0,
+      ccnetBucketBy: String = "",
+      ccnetKeep: Seq[String] = Seq("head", "middle"),
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       stageFrames: Option[scala.collection.mutable.Buffer[(String, DataFrame)]]
@@ -199,6 +201,28 @@ object Pipeline {
       .select(col("keep_id").as(idCol))
     d = d.join(keepExact, Seq(idCol), "left_semi")
     snap("exact_dedup", d)
+    // CCNet LM gate (`ccnetBucketBy` names the grouping column, e.g.
+    // lang): per-group perplexity terciles computed ON THE DEDUPED
+    // SURVIVORS — the paper's stage order (dedup, then LM filter, so
+    // boilerplate mass cannot skew the terciles) — keeping `ccnetKeep`
+    // buckets (default head+middle, the published recipe). The LM and
+    // thresholds train on the surviving corpus itself here; for a
+    // frozen reference LM score outside curate with
+    // [[TextAnalysis.qualityBucketScore]]. The grouping column is
+    // joined back from the INPUT frame when a rewrite stage dropped it;
+    // wordless docs have no surprisal and drop with the tail.
+    if (ccnetBucketBy.nonEmpty) {
+      require(ccnetKeep.nonEmpty, "ccnetKeep must name at least one bucket")
+      val withBy =
+        if (d.columns.contains(ccnetBucketBy)) d
+        else d.join(docs.select(col(idCol), col(ccnetBucketBy)), Seq(idCol))
+      val keep = TextAnalysis.qualityBuckets(
+          withBy, idCol, textCol, ccnetBucketBy)
+        .filter(col("bucket").isInCollection(ccnetKeep))
+        .select(col(idCol))
+      d = d.join(keep, Seq(idCol), "left_semi")
+      snap("ccnet_gate", d)
+    }
     if (nearDup) {
       val bandRows = d.select(col(idCol),
           posexplode(minhashBuckets(shingleHashes(col(textCol), shingleN),

@@ -3192,6 +3192,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("curate ccnet stage drops each language's tail tercile after " +
+      "dedup and snaps into the funnel") {
+    def mk(lang: String, off: Int) = (0 until 9).map { i =>
+      val text =
+        if (i < 3) s"common$lang common$lang common$lang common$lang"
+        else if (i < 6) s"common$lang mid$lang$i mid$lang$i"
+        else s"rare$lang${i}a rare$lang${i}b rare$lang${i}c rare$lang${i}d"
+      (off + i.toLong, lang, text)
+    }
+    val d = (mk("A", 0) ++ mk("B", 100)).toDF("doc_id", "lang", "text")
+    val buf = scala.collection.mutable.Buffer.empty[(String,
+      org.apache.spark.sql.DataFrame)]
+    val out = graft.operators.Pipeline.curate(d, "doc_id", "text",
+      minChars = 1, ccnetBucketBy = "lang", stageFrames = Some(buf))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the three identical common docs collapse to doc 0 in the EXACT
+    // dedup FIRST (the CCNet stage order under test), so the terciles
+    // run over 7 survivors per lang: head = {0} (cum 1 ≤ 7/3), middle =
+    // the three equal-scored mid docs (cum 4 ≤ 14/3), tail = the rares
+    assert(kept === Set(0L, 3L, 4L, 5L, 100L, 103L, 104L, 105L))
+    assert(buf.map(_._1).contains("ccnet_gate"))
+    val atGate = buf.find(_._1 == "ccnet_gate").get._2.count()
+    assert(atGate === 8L)
+  }
+
   test("frozen bucket model scores unseen docs: OOV words take the " +
       "pseudo-count floor, fluent docs still land head, and an " +
       "unmodeled language defaults to tail") {
