@@ -1147,10 +1147,35 @@ object SparkEntry {
     * 9th train doc and to every 13th doc's probe copy — contamination
     * arises both as full-text overlap and as a single shared 13-gram.
     */
+  private val SnippetPlant = "held out evaluation question about the" +
+    " seventeen silver llamas crossing frozen rivers quietly"
+
+  /** Contamination audit gate: per probe doc, how much of it the
+    * (snippet-planted) corpus contains — the oracle replays positional
+    * probe grams, the corpus gram set, and the per-doc rollup.
+    */
+  private def contaminationReportQ(s: SparkSession, dir: String): DataFrame = {
+    val (train, _) = snippetFixture(s, dir)
+    val probe = docs(s, dir).filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" " + SnippetPlant)).as("text"))
+    Dedup.contaminationReport(train, probe, "doc_id", "text", n = 13)
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("contamination"), 6).as("contamination"))
+  }
+
+  /** Tokenizer fertility per language under the fixture BPE vocab —
+    * the oracle replays the replace()-arithmetic token count and the
+    * whitespace word count per group.
+    */
+  private def tokenFertilityQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFertility(docs(s, dir), "text", "lang")
+      .select(col("lang"), col("n_tokens"), col("n_words"),
+        round(col("fertility"), 6).as("fertility"))
+
   private def snippetFixture(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val snip = "held out evaluation question about the seventeen" +
-      " silver llamas crossing frozen rivers quietly"
+    val snip = SnippetPlant
     val train = docs(s, dir).select(col("doc_id"),
       when(col("doc_id") % 9 === 0, concat(col("text"), lit(" " + snip)))
         .otherwise(col("text")).as("text"))
@@ -3614,6 +3639,7 @@ object SparkEntry {
     "decontaminate"    -> (decontaminateQ _),
     "decontaminate_exact" -> (decontaminateExactQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
+    "contamination_report" -> (contaminationReportQ _),
     "decontaminate_scrub" -> (decontaminateScrubQ _),
     "decontaminate_scrub_bpe" -> (decontaminateScrubBpeQ _),
     "curate_scrub"     -> (curateScrubQ _),
@@ -3655,6 +3681,7 @@ object SparkEntry {
     "mix_budget"       -> (mixBudgetQ _),
     "mix_budget_bpe"   -> (mixBudgetBpeQ _),
     "token_counts_bpe" -> (tokenCountsBpeQ _),
+    "token_fertility"  -> (tokenFertilityQ _),
     "chunk_tokens_bpe" -> (chunkTokensBpeQ _),
     "pack_sequences"   -> (packSequencesQ _),
     "pack_materialize" -> (packMaterializeQ _),
@@ -4418,6 +4445,25 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
     "decontaminate" -> dkDecontaminate,
     "decontaminate_exact" -> dkDecontaminateExact,
+    "contamination_report" ->
+      """WITH tr AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0
+             THEN text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly'
+             ELSE text END AS text
+         FROM documents),
+       pr AS (SELECT doc_id, text || ' held out evaluation question about the seventeen silver llamas crossing frozen rivers quietly' AS text
+         FROM documents WHERE doc_id % 13 = 0),
+       pt AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws FROM pr),
+       pg AS (SELECT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS h
+         FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM pt)),
+       tt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS ws FROM tr),
+       tg AS (SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS h
+         FROM (SELECT ws, unnest(CASE WHEN len(ws) >= 13 THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM tt)),
+       m AS (SELECT DISTINCT pg.h FROM pg JOIN tg USING (h))
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM m) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         round(CAST(sum(CASE WHEN h IN (SELECT h FROM m) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contamination
+       FROM pg GROUP BY doc_id""",
     "decontaminate_bloom" -> dkDecontaminateExact,
     "decontaminate_scrub" ->
       """WITH tr AS (SELECT doc_id,
@@ -4733,6 +4779,19 @@ object SparkEntry {
                           ELSE ascii(c) END AS VARCHAR)), ',') AS ids_csv,
          CAST(strlen(replace(replace(text, 'abc', chr(1)), 'ab', chr(2))) AS BIGINT) AS n_tokens
          FROM documents""",
+    "token_fertility" ->
+      """WITH per AS (SELECT lang,
+           CAST(strlen(text)
+             - (strlen(text) - strlen(replace(text, 'ab', ''))) // 2
+             - (strlen(text) - strlen(replace(text, 'abc', ''))) // 3
+             AS BIGINT) AS tk,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             w -> len(w) > 0)) AS BIGINT) AS wd
+         FROM documents)
+         SELECT lang, CAST(sum(tk) AS BIGINT) AS n_tokens,
+           CAST(sum(wd) AS BIGINT) AS n_words,
+           round(CAST(sum(tk) AS DOUBLE) / sum(wd), 6) AS fertility
+         FROM per GROUP BY lang""",
     "token_counts_bpe" ->
       """SELECT doc_id,
          CAST(strlen(text)

@@ -659,6 +659,49 @@ object Dedup {
     words
   }
 
+  /** Per-PROBE-document contamination audit — [[decontaminateExact]]'s
+    * reverse direction: for every eval/benchmark document, the fraction
+    * of its word `n`-grams appearing verbatim anywhere in the training
+    * corpus — the overlap table a contamination report publishes
+    * ("X% of benchmark B overlaps training data at 13 grams", the
+    * GPT-3/GPT-4/Llama appendix methodology). Output one row per probe
+    * doc with ≥ 1 gram: `(idCol, n_grams, n_contaminated,
+    * contamination)`; the fraction is a RAW double (harness projections
+    * round).
+    *
+    * Scale shape: the probe's DISTINCT gram keys broadcast into a semi
+    * join against the corpus gram stream — the corpus never shuffles —
+    * and only MATCHED keys (≤ probe set size) reach the distinct
+    * aggregate; the per-doc rollup joins the probe's positional grams
+    * to that small matched set broadcast. One corpus scan plus
+    * probe-sized shuffles: the decontamination broadcast path run for
+    * a report instead of a drop.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    def grams(df: DataFrame, cols: Column*) =
+      df.select(cols :+ explode(wordGramHash128(
+        filter(split(trim(lower(col(textCol))), "\\s+"),
+          w => length(w) > 0), n)).as("__h"): _*)
+    val probeGrams = grams(probe, col(idCol))
+    val probeSet = probeGrams.select(col("__h")).distinct()
+    val matched = grams(corpus)
+      .join(broadcast(probeSet), Seq("__h"), "left_semi")
+      .select(col("__h")).distinct()
+      .withColumn("__hit", lit(1L))
+    probeGrams.join(broadcast(matched), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_grams"))
+  }
+
   /** [[decontaminateExact]] for probes TOO LARGE TO BROADCAST — the
     * held-out-corpus case (decontaminating a crawl against another
     * multi-TB corpus rather than a small eval set), where

@@ -208,6 +208,32 @@ object TextAnalysis {
       graft.functions.TextFunctions.bpeTokenCount(col(textCol), merges)
         .as("n_bpe_tokens"))
 
+  /** Tokenizer fertility per group — tokens-per-word under a given BPE
+    * vocabulary, the standard diagnostic for how well a tokenizer fits
+    * each language/domain (fertility ≫ 1 on a language means its text
+    * fragments into byte-level pieces: under-trained vocabulary,
+    * inflated sequence lengths, wasted training compute — the metric
+    * multilingual-tokenizer papers report per language). One
+    * partial-aggregable pass: both sums are native per-row expressions
+    * ([[graft.functions.BpeExpressions]] token count + word count)
+    * combined map-side; output one row per group `(byCol, n_tokens,
+    * n_words, fertility)` with the ratio RAW (harness rounds).
+    */
+  def tokenFertility(
+      docs: DataFrame,
+      textCol: String,
+      byCol: String,
+      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges)
+      : DataFrame =
+    docs.groupBy(col(byCol))
+      .agg(
+        sum(graft.functions.TextFunctions.bpeTokenCount(col(textCol), merges))
+          .as("n_tokens"),
+        sum(size(filter(words(col(textCol)), w => length(w) > 0)))
+          .as("n_words"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words"))
+
   /** Token-id sequences — the trainer-input form of the BPE family
     * (counts budget, chunks window, this FEEDS): `(id, token_ids
     * array<int>)` under the canonical merges-derived numbering. Same

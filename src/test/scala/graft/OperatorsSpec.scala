@@ -3192,6 +3192,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination report: fully-quoted probe scores 1.0, novel " +
+      "scores 0.0, partial overlap counts grams exactly") {
+    val corpusWords = (1 to 20).map(i => s"c$i").mkString(" ")
+    val corpus = Seq((0L, corpusWords)).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, (3 to 9).map(i => s"c$i").mkString(" ")), // substring -> 1.0
+      (11L, (1 to 8).map(i => s"x$i").mkString(" ")), // novel -> 0.0
+      (12L, "c1 c2 c3 c4 c5 x1 x2 x3 x4 x5") // 2 of 7 grams overlap
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.contaminationReport(
+      corpus, probe, "doc_id", "text", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("contamination"))).toMap
+    assert(out(10L) === ((4L, 4L, 1.0)))
+    assert(out(11L) === ((5L, 0L, 0.0)))
+    assert(out(12L)._1 === 7L)
+    assert(out(12L)._2 === 2L)
+    assert(math.abs(out(12L)._3 - 2.0 / 7.0) < 1e-12)
+  }
+
   test("curate ccnet stage drops each language's tail tercile after " +
       "dedup and snaps into the funnel") {
     def mk(lang: String, off: Int) = (0 until 9).map { i =>
