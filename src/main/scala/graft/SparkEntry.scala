@@ -536,8 +536,10 @@ object SparkEntry {
     * sum (order-independent — see Sketches scaladoc), one double
     * conversion, the published small-range correction. Rounding to 6
     * is the HARNESS projection (API returns raw doubles, the r13
-    * langIdScore lesson). sf0.01 lands in the linear-counting branch,
-    * sf0.1 in the harmonic branch, so both estimator arms are gated.
+    * langIdScore lesson). BOTH sfs land in the linear-counting branch
+    * (the synthetic corpus tops out near ~5k distinct texts < 2.5·m);
+    * the harmonic arm is spec-pinned at 50k distinct values
+    * (OperatorsSpec), not oracle-gated.
     */
   private def sketchHllEstimateQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.distinctApprox(docs(s, dir), col("text"), p = 12)

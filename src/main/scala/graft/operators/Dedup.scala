@@ -618,6 +618,18 @@ object Dedup {
     * broadcast. Documents shorter than `n` words produce no grams and
     * are never dropped, as published.
     */
+  /** Positional normalized word n-gram hashes (lowercase, whitespace
+    * split, 16-byte md5 keys) — the ONE definition behind the whole
+    * exact-decontamination family ([[decontaminateExact]], the Bloom
+    * path, [[contaminationReport]]): the three paths share oracles
+    * verbatim, which is only sound while their gram keys cannot drift.
+    */
+  private def normalizedGramHashes(
+      df: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame =
+    df.select(cols :+ explode(wordGramHash128(
+      filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0), n)).as("__h"): _*)
+
   def decontaminateExact(
       corpus: DataFrame,
       probe: DataFrame,
@@ -627,9 +639,7 @@ object Dedup {
       broadcastProbe: Boolean = true): DataFrame = {
     require(n >= 2, "n must be >= 2")
     def grams(df: DataFrame, cols: Column*) =
-      df.select(cols :+ explode(wordGramHash128(
-        filter(split(trim(lower(col(textCol))), "\\s+"),
-          w => length(w) > 0), n)).as("__h"): _*)
+      normalizedGramHashes(df, textCol, n, cols: _*)
     val probeGrams = grams(probe).select(col("__h")).distinct()
     val contaminated = grams(corpus, col(idCol))
       .join(if (broadcastProbe) broadcast(probeGrams) else probeGrams,
@@ -685,9 +695,7 @@ object Dedup {
       n: Int = 13): DataFrame = {
     require(n >= 2, "n must be >= 2")
     def grams(df: DataFrame, cols: Column*) =
-      df.select(cols :+ explode(wordGramHash128(
-        filter(split(trim(lower(col(textCol))), "\\s+"),
-          w => length(w) > 0), n)).as("__h"): _*)
+      normalizedGramHashes(df, textCol, n, cols: _*)
     val probeGrams = grams(probe, col(idCol))
     val probeSet = probeGrams.select(col("__h")).distinct()
     val matched = grams(corpus)
@@ -733,9 +741,7 @@ object Dedup {
       bloomK: Int = 4): DataFrame = {
     require(n >= 2, "n must be >= 2")
     def grams(df: DataFrame, cols: Column*) =
-      df.select(cols :+ explode(wordGramHash128(
-        filter(split(trim(lower(col(textCol))), "\\s+"),
-          w => length(w) > 0), n)).as("__h"): _*)
+      normalizedGramHashes(df, textCol, n, cols: _*)
     val probeGrams = grams(probe).select(col("__h")).distinct()
       .localCheckpoint()
     val bloom = buildGramBloom(probeGrams, mBits, bloomK)

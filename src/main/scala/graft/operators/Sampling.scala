@@ -222,14 +222,20 @@ object Sampling {
     * is never rescanned. Ids already in the index take priority
     * (arrival order, the [[graft.sources.DedupIndex]] convention), so
     * replaying a batch is a no-op and at-least-once streaming ingestion
-    * needs no marker protocol. Initializes the artifact (with `k`) when
-    * nothing is committed yet; the batch schema must match the stored
-    * payload schema (unionByName fails loudly otherwise).
+    * needs no marker protocol. Initializes the artifact when `path` is
+    * EMPTY — and ONLY then does `k` apply; an existing index's own `k`
+    * (in its meta, surfaced by [[loadSampleIndex]]) governs every later
+    * append, so passing a different `k` here is ignored by design (the
+    * `idCol` mismatch, by contrast, is a caller bug and fails loudly).
+    * A torn meta flip also fails loudly instead of re-initializing.
+    * The batch schema must match the stored payload schema (unionByName
+    * fails loudly otherwise).
     */
   def appendSampleIndex(
       batch: DataFrame, idCol: String, path: String, k: Int = 1000): Unit = {
     val spark = batch.sparkSession
     if (!graft.sources.EpochStore.hasMeta(spark, path)) {
+      graft.sources.EpochStore.requireInitializable(spark, path)
       writeSampleIndex(batch, idCol, path, k); return
     }
     val m = graft.sources.EpochStore.readMeta(spark, path)

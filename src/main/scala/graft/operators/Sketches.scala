@@ -137,6 +137,13 @@ object Sketches {
     * idempotent — merging any re-ordering, re-batching, or repetition of
     * the same inputs yields identical registers (the CRDT property the
     * artifact's append path and streaming ingestion lean on).
+    *
+    * BOTH inputs must be registers of the SAME precision `p`: a bare
+    * register frame does not carry `p`, so merging mismatched sketches
+    * cannot be detected here and yields a garbage estimate. The
+    * persisted path ([[appendHll]]) enforces this through the artifact
+    * meta; callers composing in-session sketches carry `p` themselves
+    * (the [[LoadedHll]] shape).
     */
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy(col("bucket")).agg(max(col("max_rank")).as("max_rank"))
@@ -224,7 +231,8 @@ object Sketches {
   def loadHll(spark: SparkSession, path: String): LoadedHll = {
     val m = readMeta(spark, path)
     LoadedHll(
-      spark.read.parquet(s"$path/registers_v${m.getAs[Long]("version")}"),
+      spark.read.parquet(graft.sources.EpochStore.epochPath(
+        path, m.getAs[Long]("version"))),
       m.getAs[Int]("p"))
   }
 
@@ -232,24 +240,27 @@ object Sketches {
     * path: sketch the batch (one pass over the BATCH only), max-merge
     * with the live registers (≤ 2·2^p rows), commit as the next epoch.
     * Cost is O(batch) + O(2^p); the corpus history is never rescanned.
-    * Initializes the artifact when `path` has no committed meta yet, so
-    * a cold-start stream needs no separate build step. Idempotent:
+    * Initializes the artifact when `path` is EMPTY, so a cold-start
+    * stream needs no separate build step (`p` applies only then: an
+    * existing artifact's own precision governs every later append; a
+    * torn meta flip fails loudly instead of re-initializing —
+    * [[graft.sources.EpochStore.requireInitializable]]). Idempotent:
     * appending the same batch twice commits an epoch with identical
     * registers.
     */
   def appendHll(df: DataFrame, value: Column, path: String, p: Int = 12): Unit = {
     val spark = df.sparkSession
-    val hasMeta =
-      try { readMeta(spark, path); true }
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
-    if (!hasMeta) { writeHll(df, value, path, p); return }
+    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
+      graft.sources.EpochStore.requireInitializable(spark, path)
+      writeHll(df, value, path, p); return
+    }
     val m = readMeta(spark, path)
     val (pp, v) = (m.getAs[Int]("p"), m.getAs[Long]("version"))
     // localCheckpoint the merge before the epoch write: the merged plan
     // reads registers_v{v}, and materializing first means the write job
     // never races the cleanup of the directory it is reading
     val merged = hllMerge(
-      spark.read.parquet(s"$path/registers_v$v"),
+      spark.read.parquet(graft.sources.EpochStore.epochPath(path, v)),
       hllRegisters(df, value, pp)).localCheckpoint()
     writeEpoch(spark, path, merged, hllMeta(spark, pp, v + 1L), v + 1L)
   }
@@ -331,11 +342,15 @@ object Sketches {
     a.union(b).groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
-  /** Point estimates for a candidate frame: one row per input row with
-    * `est` = min over the sketch's depth counters (0 for a bucket no
-    * value hashed into — only possible when the candidate never
-    * occurred). The counter table rides a broadcast join (≤ depth·width
-    * rows); candidates never shuffle.
+  /** Point estimates for a candidate frame: one row per DISTINCT input
+    * row with `est` = min over the sketch's depth counters (0 for a
+    * bucket no value hashed into — only possible when the candidate
+    * never occurred). The counter table rides a broadcast join
+    * (≤ depth·width rows) under `__cms_`-prefixed key names, so
+    * candidate frames may themselves carry `row`/`bucket`/`cnt`
+    * columns (e.g. rows taken from another CMS table). Candidates are
+    * treated as a SET: duplicate candidate rows collapse to one output
+    * row (the rollup groups by the full candidate row).
     */
   def cmsEstimate(
       counters: DataFrame,
@@ -349,14 +364,16 @@ object Sketches {
         pmod(hash60(concat(lit(s"$j:"), value.cast("string"))),
           lit(width.toLong)).as("bucket"))
     }
+    val keyed = counters.toDF("__cms_row", "__cms_bucket", "__cms_cnt")
     candidates
-      .select(col("*"), explode(array(rows: _*)).as("__rb"))
-      .select(col("*"), col("__rb.row").as("row"),
-        col("__rb.bucket").as("bucket"))
-      .drop("__rb")
-      .join(broadcast(counters), Seq("row", "bucket"), "left")
-      .groupBy(candidates.columns.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .select(struct(col("*")).as("__cand"),
+        explode(array(rows: _*)).as("__rb"))
+      .select(col("__cand"), col("__rb.row").as("__cms_row"),
+        col("__rb.bucket").as("__cms_bucket"))
+      .join(broadcast(keyed), Seq("__cms_row", "__cms_bucket"), "left")
+      .groupBy(col("__cand"))
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("est"))
+      .select(col("__cand.*"), col("est"))
   }
 
   private def cmsMeta(
@@ -386,15 +403,18 @@ object Sketches {
   def loadCms(spark: SparkSession, path: String): LoadedCms = {
     val m = readMeta(spark, path)
     LoadedCms(
-      spark.read.parquet(s"$path/registers_v${m.getAs[Long]("version")}"),
+      spark.read.parquet(graft.sources.EpochStore.epochPath(
+        path, m.getAs[Long]("version"))),
       m.getAs[Int]("depth"), m.getAs[Int]("width"))
   }
 
   /** Sum a new batch into the persisted CMS — one pass over the BATCH,
-    * a ≤ 2·depth·width-row merge, one epoch commit; initializes on a
-    * missing artifact. NOT replay-idempotent (sum double-counts):
-    * callers ingesting from an at-least-once source must gate appends
-    * on their own batch markers.
+    * a ≤ 2·depth·width-row merge, one epoch commit; initializes only an
+    * EMPTY path (`depth`/`width` apply only then — an existing
+    * artifact's geometry governs every later append; a torn meta flip
+    * fails loudly). NOT replay-idempotent (sum double-counts): callers
+    * ingesting from an at-least-once source must gate appends on their
+    * own batch markers.
     */
   def appendCms(
       df: DataFrame,
@@ -404,15 +424,15 @@ object Sketches {
       width: Int = 1024,
       weight: Column = lit(1L)): Unit = {
     val spark = df.sparkSession
-    val hasMeta =
-      try { readMeta(spark, path); true }
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
-    if (!hasMeta) { writeCms(df, value, path, depth, width, weight); return }
+    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
+      graft.sources.EpochStore.requireInitializable(spark, path)
+      writeCms(df, value, path, depth, width, weight); return
+    }
     val m = readMeta(spark, path)
     val (d, w, v) = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
       m.getAs[Long]("version"))
     val merged = cmsMerge(
-      spark.read.parquet(s"$path/registers_v$v"),
+      spark.read.parquet(graft.sources.EpochStore.epochPath(path, v)),
       cmsCounters(df, value, d, w, weight)).localCheckpoint()
     writeEpoch(spark, path, merged, cmsMeta(spark, d, w, v + 1L), v + 1L)
   }

@@ -754,10 +754,16 @@ object TextAnalysis {
   }
 
   /** Streaming deployment of a trained bucket model: per micro-batch,
-    * [[qualityBucketScore]] appends to `outPath` — stateless (no state
-    * store, no watermark; a doc's words arrive in its own row, so
-    * per-doc aggregation is exact within foreachBatch). Materialize
-    * the model's frames first (see [[QualityBucketModel]]).
+    * [[qualityBucketScore]] into `outPath/batch=<id>` — stateless (no
+    * state store, no watermark; a doc's words arrive in its own row, so
+    * per-doc aggregation is exact within foreachBatch), and REPLAY-SAFE
+    * under at-least-once: each micro-batch writes its own
+    * batchId-addressed partition directory with overwrite, so a retry
+    * after a commit-then-crash re-writes the same directory instead of
+    * appending duplicate rows (a plain mode-append sink would). Read
+    * the result with `spark.read.parquet(outPath)` — `batch` surfaces
+    * as a partition column. Materialize the model's frames first (see
+    * [[QualityBucketModel]]).
     */
   def qualityBucketScoreStream(
       stream: DataFrame,
@@ -766,9 +772,9 @@ object TextAnalysis {
       model: QualityBucketModel,
       outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         qualityBucketScore(batch, idCol, textCol, model)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     }
 
   /** Interpolated BIGRAM surprisal — one order deeper than

@@ -35,11 +35,38 @@ private[graft] object EpochStore {
     try { readMeta(spark, path); true }
     catch { case _: org.apache.spark.sql.AnalysisException => false }
 
+  /** True when `path` holds any committed epoch payload directory. */
+  def hasEpochDirs(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    f.exists(base) &&
+      f.listStatus(base).exists(_.getPath.getName.startsWith("registers_v"))
+  }
+
+  /** Guard for append-path initialization: a store with NO meta but
+    * WITH epoch directories is a crash remnant of the (tiny) meta-flip
+    * window, not a fresh path — silently re-initializing it would
+    * discard every absorbed batch. Callers branch on this instead of
+    * [[hasMeta]] alone: initialize only a truly empty path; fail loud
+    * on a torn one (recovery: re-point meta at the surviving epoch, or
+    * rebuild from source).
+    */
+  def requireInitializable(spark: SparkSession, path: String): Unit =
+    require(!hasEpochDirs(spark, path),
+      s"epoch store at $path has payload directories but no committed " +
+        "meta (torn meta flip) — refusing to silently re-initialize " +
+        "over absorbed history; restore meta or delete the directory")
+
   def epochPath(path: String, version: Long): String =
     s"$path/registers_v$version"
 
   /** Commit one epoch: payload first, meta (carrying `version` plus
-    * store-specific parameters) last, stale epochs cleaned after (a
+    * store-specific parameters) flipped last VIA RENAME — the meta
+    * parquet is staged to a temp directory and moved into place, so
+    * the no-meta window is the delete+rename instant, not a full
+    * parquet job; a crash inside even that instant leaves epoch
+    * payloads intact and the append paths refuse to re-initialize
+    * ([[requireInitializable]]). Stale epochs are cleaned after (a
     * leftover directory is inert — meta names the live epoch — and the
     * next commit retries the delete).
     */
@@ -52,13 +79,21 @@ private[graft] object EpochStore {
     // bounded payload: one file
     payload.coalesce(1).write.mode("overwrite")
       .parquet(epochPath(path, version))
-    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val f = fs(spark, path)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$path/meta_tmp_$version")
+    meta.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    f.delete(metaDir, true)
+    if (!f.rename(tmpDir, metaDir))
+      throw new java.io.IOException(
+        s"epoch store at $path: meta rename failed mid-commit")
     val base = new org.apache.hadoop.fs.Path(path)
     if (f.exists(base)) f.listStatus(base).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("registers_v") &&
-          n.stripPrefix("registers_v") != version.toString)
+      if ((n.startsWith("registers_v") &&
+            n.stripPrefix("registers_v") != version.toString) ||
+          (n.startsWith("meta_tmp_") &&
+            n.stripPrefix("meta_tmp_") != version.toString))
         f.delete(st.getPath, true)
     }
   }

@@ -3402,5 +3402,30 @@ class OperatorsSpec extends AnyFunSuite {
     Sketches.appendHll(b, col("v"), dir)
     assert(!orphan.exists, "stale epoch must be cleaned on commit")
     assert(regMap() === afterB)
+    // torn meta flip (epoch payloads present, meta gone): append must
+    // FAIL LOUDLY, never silently re-initialize over absorbed history
+    val metaDir = new java.io.File(s"$dir/meta")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete()
+    }
+    wipe(metaDir)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.appendHll(b, col("v"), dir)
+    }
+    assert(e.getMessage.contains("torn meta flip"))
+  }
+
+  test("cmsEstimate tolerates candidate frames whose columns collide " +
+      "with the counter schema (row/bucket/cnt)") {
+    import graft.operators.Sketches
+    val vals = Seq("a", "a", "b").toDF("v")
+    val counters = Sketches.cmsCounters(vals, col("v"), 2, 256)
+    // candidates carry row/bucket/cnt columns of their own
+    val cands = Seq(("a", 0, 9L, 9L), ("b", 1, 9L, 9L), ("c", 2, 9L, 9L))
+      .toDF("v", "row", "bucket", "cnt")
+    val out = Sketches.cmsEstimate(counters, cands, col("v"), 2, 256)
+      .collect().map(r => r.getAs[String]("v") -> r.getAs[Long]("est")).toMap
+    assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 }
