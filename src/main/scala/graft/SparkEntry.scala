@@ -662,6 +662,32 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("surprisal"), col("bucket"))
   }
 
+  /** HLL set algebra gate: even/odd text sketches, overlap by
+    * inclusion-exclusion — oracle replays the full-outer bucket join
+    * and all three estimator arms.
+    */
+  private def sketchHllOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = graft.operators.Sketches.hllRegisters(
+      d.filter(col("doc_id") % 2 === 0), col("text"), p = 12)
+    val b = graft.operators.Sketches.hllRegisters(
+      d.filter(col("doc_id") % 2 =!= 0), col("text"), p = 12)
+    graft.operators.Sketches.hllOverlapEstimate(a, b, p = 12)
+      .select(col("m"), round(col("est_a"), 6).as("est_a"),
+        round(col("est_b"), 6).as("est_b"),
+        round(col("est_union"), 6).as("est_union"),
+        round(col("est_intersection"), 6).as("est_intersection"))
+  }
+
+  /** Corpus datasheet gate: the inventory frame over the raw corpus —
+    * oracle replays counts, fixture-BPE token sum, the HLL estimate,
+    * and per-source counts as one UNION ALL.
+    */
+  private def corpusDatasheetQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.datasheet(
+      docs(s, dir), "doc_id", "text", "source")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+
   private def docWords(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(explode(
         split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -3663,6 +3689,8 @@ object SparkEntry {
     "sketch_hll"          -> (sketchHllQ _),
     "sketch_hll_estimate" -> (sketchHllEstimateQ _),
     "sketch_hll_grouped"  -> (sketchHllGroupedQ _),
+    "sketch_hll_overlap"  -> (sketchHllOverlapQ _),
+    "corpus_datasheet"    -> (corpusDatasheetQ _),
     "sketch_cms"          -> (sketchCmsQ _),
     "sketch_cms_point"    -> (sketchCmsPointQ _),
     "sketch_cms_merge"    -> (sketchCmsMergeQ _),
@@ -4181,6 +4209,92 @@ object SparkEntry {
            ON probe.j = cms.j AND probe.bucket = cms.bucket
          GROUP BY 1, 2""",
     "sketch_hll" -> dkHllRegisters,
+    "sketch_hll_overlap" ->
+      s"""WITH ha AS (SELECT ${dkHash("text")} AS h FROM documents
+             WHERE text IS NOT NULL AND doc_id % 2 = 0),
+         hb AS (SELECT ${dkHash("text")} AS h FROM documents
+             WHERE text IS NOT NULL AND doc_id % 2 <> 0),
+         ga AS (SELECT h >> 48 AS bucket,
+             max(CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                 ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END) AS ra
+           FROM ha GROUP BY 1),
+         gb AS (SELECT h >> 48 AS bucket,
+             max(CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                 ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END) AS rb
+           FROM hb GROUP BY 1),
+         j AS (SELECT ga.ra, gb.rb
+           FROM ga FULL JOIN gb ON ga.bucket = gb.bucket),
+         agg AS (SELECT
+             count(ra) AS nza,
+             coalesce(sum(CASE WHEN ra IS NOT NULL
+               THEN CAST(pow(2.0, 49 - ra) AS HUGEINT) END), 0::HUGEINT) AS sa,
+             count(rb) AS nzb,
+             coalesce(sum(CASE WHEN rb IS NOT NULL
+               THEN CAST(pow(2.0, 49 - rb) AS HUGEINT) END), 0::HUGEINT) AS sb,
+             count(*) AS nzu,
+             coalesce(sum(CAST(pow(2.0,
+               49 - greatest(coalesce(ra, 0), coalesce(rb, 0))) AS HUGEINT)),
+               0::HUGEINT) AS su
+           FROM j),
+         e AS (SELECT CAST(4096 AS BIGINT) AS m,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(sa + CAST(4096 - nza AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
+                 <= 2.5 * 4096.0 AND 4096 - nza > 0
+               THEN 4096.0 * ln(4096.0 / (4096 - nza))
+               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(sa + CAST(4096 - nza AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END AS est_a,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(sb + CAST(4096 - nzb AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
+                 <= 2.5 * 4096.0 AND 4096 - nzb > 0
+               THEN 4096.0 * ln(4096.0 / (4096 - nzb))
+               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(sb + CAST(4096 - nzb AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END AS est_b,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(su + CAST(4096 - nzu AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
+                 <= 2.5 * 4096.0 AND 4096 - nzu > 0
+               THEN 4096.0 * ln(4096.0 / (4096 - nzu))
+               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(su + CAST(4096 - nzu AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END AS est_u
+           FROM agg)
+         SELECT m, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+           round(est_u, 6) AS est_union,
+           round(greatest(0.0, est_a + est_b - est_u), 6) AS est_intersection
+         FROM e""",
+    "corpus_datasheet" ->
+      s"""WITH tot AS (SELECT 'docs_total' AS metric,
+             round(CAST(count(*) AS DOUBLE), 6) AS value FROM documents),
+         tok AS (SELECT 'tokens_total_bpe' AS metric,
+             round(CAST(sum(strlen(text)
+               - (strlen(text) - strlen(replace(text, 'ab', ''))) // 2
+               - (strlen(text) - strlen(replace(text, 'abc', ''))) // 3)
+               AS DOUBLE), 6) AS value
+           FROM documents),
+         h AS (SELECT ${dkHash("text")} AS h
+           FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT h >> 48 AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
+           FROM h),
+         rg AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket),
+         sa AS (SELECT count(*) AS nz,
+             coalesce(sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)),
+               0::HUGEINT) AS si
+           FROM rg),
+         est AS (SELECT 'distinct_text_estimate' AS metric,
+             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
+                 <= 2.5 * 4096.0 AND 4096 - nz > 0
+               THEN 4096.0 * ln(4096.0 / (4096 - nz))
+               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END, 6) AS value
+           FROM sa),
+         byg AS (SELECT concat('docs_by:', source) AS metric,
+             round(CAST(count(*) AS DOUBLE), 6) AS value
+           FROM documents GROUP BY source)
+         SELECT metric, value FROM tot
+         UNION ALL SELECT metric, value FROM tok
+         UNION ALL SELECT metric, value FROM est
+         UNION ALL SELECT metric, value FROM byg""",
     "sketch_hll_merge" -> dkHllRegisters,
     "streaming_sketch" -> dkHllRegisters,
     "sketch_hll_grouped" ->

@@ -194,6 +194,64 @@ object Sketches {
   def distinctApprox(df: DataFrame, value: Column, p: Int = 12): DataFrame =
     hllEstimate(hllRegisters(df, value, p), p)
 
+  /** Set algebra over two SAME-`p` register tables — the snapshot-diff
+    * question ("how many documents do crawls A and B share / how many
+    * are new in B") answered from two ≤ 2^p-row artifacts by
+    * inclusion-exclusion: `|A∩B| ≈ E(A) + E(B) − E(A∪B)`, with the
+    * union sketch exact by the merge law (max-merge of registers IS the
+    * sketch of the union — no extra error beyond the two inputs').
+    * One full-outer bucket join + ONE aggregate computes all three
+    * estimates; output a single row `(m, est_a, est_b, est_union,
+    * est_intersection)` with the intersection clamped at 0 (sketch
+    * noise can drive inclusion-exclusion slightly negative). Estimates
+    * carry each arm's small-range correction, the [[hllEstimate]]
+    * arithmetic verbatim; doubles RAW (harness rounds). Relative error
+    * on the intersection degrades as the true overlap shrinks (it is a
+    * difference of similar-sized estimates) — the standard HLL
+    * inclusion-exclusion caveat, acceptable for the snapshot telemetry
+    * this serves.
+    */
+  def hllOverlapEstimate(a: DataFrame, b: DataFrame, p: Int): DataFrame = {
+    checkP(p)
+    val m = 1L << p
+    val k = maxRank(p)
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    def term(r: Column) =
+      when(r.isNotNull,
+        pow(lit(2.0), lit(k.toDouble) - r.cast("double"))
+          .cast(DecimalType(38, 0)))
+    val j = a.select(col("bucket"), col("max_rank").as("__ra"))
+      .join(b.select(col("bucket"), col("max_rank").as("__rb")),
+        Seq("bucket"), "full")
+    val agg = j.agg(
+      count(col("__ra")).as("__nza"),
+      sum(term(col("__ra"))).as("__sa"),
+      count(col("__rb")).as("__nzb"),
+      sum(term(col("__rb"))).as("__sb"),
+      count(lit(1)).as("__nzu"),
+      sum(term(greatest(col("__ra"), col("__rb")))).as("__su"))
+    def est(nz: Column, s: Column): Column = {
+      val raw = lit(alpha * m.toDouble * m.toDouble *
+        math.pow(2.0, k.toDouble)) /
+        (coalesce(s, lit(0).cast(DecimalType(38, 0))) +
+          (lit(m) - nz).cast(LongType) * lit(1L << k)).cast("double")
+      val v = (lit(m) - nz).cast(LongType)
+      when(raw <= lit(2.5 * m) && v > 0,
+        lit(m.toDouble) * log(lit(m).cast("double") / v)).otherwise(raw)
+    }
+    agg.select(
+        lit(m).as("m"),
+        est(col("__nza"), col("__sa")).as("est_a"),
+        est(col("__nzb"), col("__sb")).as("est_b"),
+        est(col("__nzu"), col("__su")).as("est_union"))
+      .select(col("m"), col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersection"))
+  }
+
   // ------------------------------------------------------------------
   // Persisted sketch artifact — the [[graft.sources.EpochStore]]
   // versioned-epoch layout (see its scaladoc for the crash-window

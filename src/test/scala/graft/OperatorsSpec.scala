@@ -3352,6 +3352,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(doubled === toMap(halves(0)).map { case (k, c) => k -> 2 * c })
   }
 
+  test("HLL overlap: inclusion-exclusion recovers a known 10k " +
+      "intersection of two 30k sets within sketch error") {
+    import graft.operators.Sketches
+    val p = 14
+    val a = Sketches.hllRegisters(
+      spark.range(0, 30000).select(concat(lit("v"), col("id")).as("v")),
+      col("v"), p)
+    val b = Sketches.hllRegisters(
+      spark.range(20000, 50000).select(concat(lit("v"), col("id")).as("v")),
+      col("v"), p)
+    val r = Sketches.hllOverlapEstimate(a, b, p).head()
+    val (ea, eb, eu, ei) = (r.getAs[Double]("est_a"),
+      r.getAs[Double]("est_b"), r.getAs[Double]("est_union"),
+      r.getAs[Double]("est_intersection"))
+    // each arm within 3 sigma (~2.4% at p=14)
+    assert(math.abs(ea - 30000) < 2500 && math.abs(eb - 30000) < 2500)
+    assert(math.abs(eu - 50000) < 4000)
+    // intersection is a difference of estimates — wider tolerance
+    assert(math.abs(ei - 10000) < 3000,
+      s"intersection estimate $ei too far from 10000")
+    // disjoint sets: intersection clamps at >= 0, small vs set size
+    val c = Sketches.hllRegisters(
+      spark.range(0, 5000).select(concat(lit("x"), col("id")).as("v")),
+      col("v"), p)
+    val d = Sketches.hllRegisters(
+      spark.range(0, 5000).select(concat(lit("y"), col("id")).as("v")),
+      col("v"), p)
+    val rd = Sketches.hllOverlapEstimate(c, d, p).head()
+    val eid = rd.getAs[Double]("est_intersection")
+    assert(eid >= 0.0 && eid < 500.0)
+  }
+
   test("grouped HLL registers and estimates equal the per-group flat " +
       "sketches (one corpus pass, no cross-group bleed)") {
     import graft.operators.Sketches
