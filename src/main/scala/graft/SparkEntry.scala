@@ -2451,6 +2451,30 @@ object SparkEntry {
   private def eventsHourly(s: SparkSession, dir: String): DataFrame =
     Events.hourlyAgg(t(s, dir, "events"))
 
+  /** Hourly-active-users sketch gate: per-hour HLL registers over
+    * user_id with the estimator on top — oracle replays hash, bucket,
+    * rank, per-hour max, and both estimator arms.
+    */
+  private def eventsHourlyHllQ(s: SparkSession, dir: String): DataFrame =
+    Events.hourlyDistinctUsers(t(s, dir, "events"))
+      .select(col("hour_id"), col("m"), col("v_zero"),
+        round(col("raw_estimate"), 6).as("raw_estimate"),
+        round(col("estimate"), 6).as("estimate"))
+
+  /** Streaming twin: the register aggregation runs on the event stream
+    * (Complete mode — the ONE aggregation streams allow), the estimator
+    * downstream of the sink; output ≡ batch, oracle shared verbatim.
+    */
+  private def streamingHourlyHllQ(s: SparkSession, dir: String): DataFrame = {
+    val regs = runStreamToTable(s,
+      Events.streamingHourlyUserRegisters(s, s"$dir/{events.parquet}"),
+      "stream_hll_hourly", mode = "complete")
+    graft.operators.Sketches.hllEstimateBy(regs, Seq("hour_id"), p = 12)
+      .select(col("hour_id"), col("m"), col("v_zero"),
+        round(col("raw_estimate"), 6).as("raw_estimate"),
+        round(col("estimate"), 6).as("estimate"))
+  }
+
   private def eventsFunnel(s: SparkSession, dir: String): DataFrame =
     Events.funnel(t(s, dir, "events"), Seq("signup", "click", "purchase"))
 
@@ -2962,6 +2986,36 @@ object SparkEntry {
          SELECT CAST(j AS INTEGER) AS "row", bucket,
            CAST(count(*) AS BIGINT) AS cnt
          FROM rb GROUP BY 1, 2"""
+
+  /** Shared oracle for the hourly-active-users sketch gates: per-hour
+    * register replay + both estimator arms. The streaming gate REUSES
+    * it — Complete-mode register aggregation over the drained stream
+    * commits exactly the batch registers (max-merge law).
+    */
+  private val dkHourlyHll: String =
+    s"""WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
+           ${dkHash("CAST(user_id AS VARCHAR)")} AS h
+         FROM events WHERE user_id IS NOT NULL),
+       r AS (SELECT hour_id, h >> 48 AS bucket,
+           CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
+         FROM h),
+       rg AS (SELECT hour_id, bucket, max(rank) AS max_rank
+         FROM r GROUP BY 1, 2),
+       sa AS (SELECT hour_id, count(*) AS nz,
+           sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)) AS si
+         FROM rg GROUP BY 1),
+       e AS (SELECT hour_id, CAST(4096 AS BIGINT) AS m,
+           CAST(4096 - nz AS BIGINT) AS v_zero,
+           (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+             * pow(2.0, 49.0)
+             / CAST(si + CAST(4096 - nz AS BIGINT)
+                 * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) AS raw
+         FROM sa)
+       SELECT hour_id, m, v_zero, round(raw, 6) AS raw_estimate,
+         round(CASE WHEN raw <= 2.5 * 4096.0 AND v_zero > 0
+           THEN 4096.0 * ln(4096.0 / v_zero) ELSE raw END, 6) AS estimate
+       FROM e"""
 
   /** Shared oracle for the HLL sketch gates: the full register-table
     * replay — 60-bit md5-prefix hash, top-12-bit bucket, bin()-length
@@ -3778,6 +3832,8 @@ object SparkEntry {
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
+    "events_hourly_hll" -> (eventsHourlyHllQ _),
+    "streaming_hourly_hll" -> (streamingHourlyHllQ _),
     "events_funnel"    -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _),
@@ -5567,6 +5623,8 @@ object SparkEntry {
            CAST(CASE WHEN m = 4 THEN NULL ELSE w END AS INTEGER) AS width,
            CAST(CASE WHEN m = 4 THEN NULL ELSE h END AS INTEGER) AS height
          FROM d""",
+    "events_hourly_hll" -> dkHourlyHll,
+    "streaming_hourly_hll" -> dkHourlyHll,
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
          count(*) AS n_events, sum(value) AS value_sum

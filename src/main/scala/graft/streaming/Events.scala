@@ -64,6 +64,38 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("value_sum"))
 
+  /** Approximate distinct users per hour — the sketch form of "hourly
+    * active users": one register table per hour
+    * ([[graft.operators.Sketches.hllRegistersBy]] keyed on the hour id)
+    * and the exact-integer estimator on top. At telemetry scale an
+    * exact `count(distinct user_id)` per window re-shuffles every event
+    * on (hour, user); the register form bounds the exchange at 2^p
+    * combined rows per partition per hour, and hourly register tables
+    * MERGE across reruns/backfills by the max law. Output one row per
+    * hour `(hour_id, m, v_zero, raw_estimate, estimate)`, doubles raw.
+    */
+  def hourlyDistinctUsers(events: DataFrame, p: Int = 12): DataFrame =
+    graft.operators.Sketches.hllEstimateBy(
+      graft.operators.Sketches.hllRegistersBy(
+        events.withColumn("hour_id", expr(s"ts div ${NanosPerHour}L")),
+        Seq("hour_id"), col("user_id"), p),
+      Seq("hour_id"), p)
+
+  /** Streaming half of [[hourlyDistinctUsers]]: the per-hour register
+    * AGGREGATION on the event stream (one Complete-mode aggregation —
+    * chained aggregations are unsupported on streams, so the estimator
+    * runs downstream of the sink on the ≤ hours·2^p register rows).
+    * Registers, not counts, are the streaming state: bounded per hour
+    * regardless of user cardinality, and the emitted table max-merges
+    * with any batch backfill's registers.
+    */
+  def streamingHourlyUserRegisters(
+      spark: SparkSession, dir: String, p: Int = 12): DataFrame =
+    graft.operators.Sketches.hllRegistersBy(
+      eventStream(spark, dir)
+        .withColumn("hour_id", expr(s"ts div ${NanosPerHour}L")),
+      Seq("hour_id"), col("user_id"), p)
+
   /** Gap-based sessionization (batch): a new session starts when the gap
     * to the previous event of the same user exceeds `gapNanos`. Windowed
     * lag + running sum — one shuffle on user_id, sorted within
