@@ -4344,12 +4344,32 @@ object SparkEntry {
                ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
                  / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END, 6) AS value
            FROM sa),
-         byg AS (SELECT concat('docs_by:', source) AS metric,
+         hid AS (SELECT ${dkHash("CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents WHERE doc_id IS NOT NULL),
+         rid AS (SELECT h >> 48 AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
+           FROM hid),
+         rgid AS (SELECT bucket, max(rank) AS max_rank FROM rid GROUP BY bucket),
+         said AS (SELECT count(*) AS nz,
+             coalesce(sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)),
+               0::HUGEINT) AS si
+           FROM rgid),
+         estid AS (SELECT 'distinct_id_estimate' AS metric,
+             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
+                 <= 2.5 * 4096.0 AND 4096 - nz > 0
+               THEN 4096.0 * ln(4096.0 / (4096 - nz))
+               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END, 6) AS value
+           FROM said),
+         byg AS (SELECT concat('docs_by:', coalesce(source, '<null>')) AS metric,
              round(CAST(count(*) AS DOUBLE), 6) AS value
            FROM documents GROUP BY source)
          SELECT metric, value FROM tot
          UNION ALL SELECT metric, value FROM tok
          UNION ALL SELECT metric, value FROM est
+         UNION ALL SELECT metric, value FROM estid
          UNION ALL SELECT metric, value FROM byg""",
     "sketch_hll_merge" -> dkHllRegisters,
     "streaming_sketch" -> dkHllRegisters,

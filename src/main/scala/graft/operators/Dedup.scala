@@ -598,6 +598,18 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Positional normalized word n-gram hashes (lowercase, whitespace
+    * split, 16-byte md5 keys) — the ONE definition behind the whole
+    * exact-decontamination family ([[decontaminateExact]], the Bloom
+    * path, [[contaminationReport]]): the three paths share oracles
+    * verbatim, which is only sound while their gram keys cannot drift.
+    */
+  private def normalizedGramHashes(
+      df: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame =
+    df.select(cols :+ explode(wordGramHash128(
+      filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0), n)).as("__h"): _*)
+
   /** EXACT n-gram decontamination — the published GPT-3/Pile recipe
     * (Brown et al. 2020 App. C; Gao et al. 2020): a training document
     * is dropped if it shares at least ONE exact word `n`-gram (default
@@ -618,18 +630,6 @@ object Dedup {
     * broadcast. Documents shorter than `n` words produce no grams and
     * are never dropped, as published.
     */
-  /** Positional normalized word n-gram hashes (lowercase, whitespace
-    * split, 16-byte md5 keys) — the ONE definition behind the whole
-    * exact-decontamination family ([[decontaminateExact]], the Bloom
-    * path, [[contaminationReport]]): the three paths share oracles
-    * verbatim, which is only sound while their gram keys cannot drift.
-    */
-  private def normalizedGramHashes(
-      df: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame =
-    df.select(cols :+ explode(wordGramHash128(
-      filter(split(trim(lower(col(textCol))), "\\s+"),
-        w => length(w) > 0), n)).as("__h"): _*)
-
   def decontaminateExact(
       corpus: DataFrame,
       probe: DataFrame,

@@ -256,6 +256,54 @@ object Pipeline {
     Sampling.assignSplit(d, idCol, splits)
   }
 
+  /** Corpus datasheet — the headline numbers a dataset card publishes
+    * (Gebru et al. 2021 "Datasheets for Datasets"): total documents,
+    * total BPE tokens, approximate distinct texts AND distinct ids
+    * (the HLL sketches — exact distincts would be corpus-wide shuffles
+    * for single scalars; `distinct_id_estimate` ≪ `docs_total` flags an
+    * id-collision bug upstream), and per-`byCol` document counts, as
+    * one long frame `(metric, value)`; a null group labels as
+    * `docs_by:<null>` (groupBy keeps it — same both engines).
+    * Complements [[curateReport]]: that is the FUNNEL (what each
+    * curation stage removed), this is the INVENTORY of whatever frame
+    * it is pointed at — input corpus, curate output, or any stage in
+    * between. Every component is partial-aggregable; the sketches
+    * bound their exchanges at 2^p rows per partition.
+    */
+  def datasheet(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String,
+      p: Int = 12,
+      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges)
+      : DataFrame = {
+    val totals = docs
+      .agg(count(lit(1)).cast("double").as("__docs"),
+        sum(graft.functions.TextFunctions.bpeTokenCount(col(textCol), merges))
+          .cast("double").as("__tokens"))
+      .select(explode(array(
+        struct(lit("docs_total").as("metric"), col("__docs").as("value")),
+        struct(lit("tokens_total_bpe").as("metric"),
+          col("__tokens").as("value")))).as("__kv"))
+      .select(col("__kv.metric").as("metric"), col("__kv.value").as("value"))
+    val distinctText = graft.operators.Sketches
+      .distinctApprox(docs, col(textCol), p)
+      .select(lit("distinct_text_estimate").as("metric"),
+        col("estimate").as("value"))
+    val distinctIds = graft.operators.Sketches
+      .distinctApprox(docs, col(idCol), p)
+      .select(lit("distinct_id_estimate").as("metric"),
+        col("estimate").as("value"))
+    val byGroup = docs.groupBy(col(byCol))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("docs_by:"),
+          coalesce(col(byCol).cast("string"), lit("<null>")))
+        .as("metric"), col("value"))
+    totals.unionByName(distinctText).unionByName(distinctIds)
+      .unionByName(byGroup)
+  }
+
   /** Curation funnel report — the per-stage survivor counts a corpus
     * datasheet publishes (how many documents each gate/dedup/
     * decontamination stage removed), computed off the SAME frames the
@@ -285,45 +333,6 @@ object Pipeline {
     * chains) budget accordingly. A diagnostic to run alongside a
     * backfill, not in the ingest hot path.
     */
-  /** Corpus datasheet — the headline numbers a dataset card publishes
-    * (Gebru et al. 2021 "Datasheets for Datasets"): total documents,
-    * total BPE tokens, approximate distinct texts (the HLL sketch —
-    * exact distinct would be a corpus-wide shuffle for a single
-    * scalar), and per-`byCol` document counts, as one long frame
-    * `(metric, value)`. Complements [[curateReport]]: that is the
-    * FUNNEL (what each curation stage removed), this is the INVENTORY
-    * of whatever frame it is pointed at — input corpus, curate output,
-    * or any stage in between. Every component is partial-aggregable;
-    * the sketch bounds its exchange at 2^p rows per partition.
-    */
-  def datasheet(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      byCol: String,
-      p: Int = 12,
-      merges: Seq[(String, String)] = graft.functions.Bpe.fixtureMerges)
-      : DataFrame = {
-    val totals = docs
-      .agg(count(lit(1)).cast("double").as("__docs"),
-        sum(graft.functions.TextFunctions.bpeTokenCount(col(textCol), merges))
-          .cast("double").as("__tokens"))
-      .select(explode(array(
-        struct(lit("docs_total").as("metric"), col("__docs").as("value")),
-        struct(lit("tokens_total_bpe").as("metric"),
-          col("__tokens").as("value")))).as("__kv"))
-      .select(col("__kv.metric").as("metric"), col("__kv.value").as("value"))
-    val distinctEst = graft.operators.Sketches
-      .distinctApprox(docs, col(textCol), p)
-      .select(lit("distinct_text_estimate").as("metric"),
-        col("estimate").as("value"))
-    val byGroup = docs.groupBy(col(byCol))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .select(concat(lit("docs_by:"), col(byCol).cast("string"))
-        .as("metric"), col("value"))
-    totals.unionByName(distinctEst).unionByName(byGroup)
-  }
-
   def curateReport(
       run: scala.collection.mutable.Buffer[(String, DataFrame)] => DataFrame)
       : DataFrame = {

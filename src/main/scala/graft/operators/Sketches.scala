@@ -110,27 +110,18 @@ object Sketches {
       registers: DataFrame, groups: Seq[String], p: Int): DataFrame = {
     checkP(p)
     val m = 1L << p
-    val k = maxRank(p)
-    val alpha =
-      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
-      else 0.7213 / (1.0 + 1.079 / m)
-    val term = pow(lit(2.0), lit(k.toDouble) - col("max_rank").cast("double"))
-      .cast(DecimalType(38, 0))
     registers
       .groupBy(groups.head, groups.tail: _*)
-      .agg(count(lit(1)).as("__nz"), sum(term).as("__s"))
+      .agg(count(lit(1)).as("__nz"),
+        sum(invPowerTerm(col("max_rank"), p)).as("__s"))
       .select(groups.map(col) ++ Seq(
         lit(m).as("m"),
         (lit(m) - col("__nz")).cast(LongType).as("v_zero"),
-        (lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, k.toDouble)) /
-          (col("__s") +
-            (lit(m) - col("__nz")).cast(LongType) * lit(1L << k))
-            .cast("double")).as("raw_estimate")): _*)
+        rawEstimateCol(col("__nz"), col("__s"), p).as("raw_estimate")): _*)
       .select(groups.map(col) ++ Seq(col("m"), col("v_zero"),
         col("raw_estimate"),
-        when(col("raw_estimate") <= lit(2.5 * m) && col("v_zero") > 0,
-          lit(m.toDouble) * log(lit(m).cast("double") / col("v_zero")))
-          .otherwise(col("raw_estimate")).as("estimate")): _*)
+        correctedEstimateCol(col("raw_estimate"), col("v_zero"), p)
+          .as("estimate")): _*)
   }
 
   /** Merge register tables: register-wise max. Commutative, associative,
@@ -148,46 +139,66 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy(col("bucket")).agg(max(col("max_rank")).as("max_rank"))
 
+  /** alpha_m: the bias-correction constants from the paper. */
+  private def alphaFor(p: Int): Double = {
+    val m = 1L << p
+    if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+    else 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The register inverse-power term `2^(K - max_rank)` — an exact
+    * double (rank ≥ 1 → exponent ≤ K-1 ≤ 56) summed in DECIMAL(38,0)
+    * exact integer arithmetic.
+    */
+  private def invPowerTerm(rank: Column, p: Int): Column =
+    pow(lit(2.0), lit(maxRank(p).toDouble) - rank.cast("double"))
+      .cast(DecimalType(38, 0))
+
+  /** raw = alpha · m² / sum(2^-rank) = alpha · m² · 2^K / S, with S =
+    * sum over present registers of 2^(K-rank) plus 2^K per absent
+    * register — the absent-register term stays in LONG ((m-nz)·2^K ≤
+    * 2^(p+K) ≤ 2^61), so S is exact integer arithmetic end-to-end and
+    * its one double conversion lands on the identical value in every
+    * engine. The ONE definition behind [[hllEstimate]],
+    * [[hllEstimateBy]], and [[hllOverlapEstimate]].
+    */
+  private def rawEstimateCol(nz: Column, s: Column, p: Int): Column = {
+    val m = 1L << p
+    val k = maxRank(p)
+    lit(alphaFor(p) * m.toDouble * m.toDouble * math.pow(2.0, k.toDouble)) /
+      (coalesce(s, lit(0).cast(DecimalType(38, 0))) +
+        (lit(m) - nz).cast(LongType) * lit(1L << k)).cast("double")
+  }
+
+  /** The published small-range correction: linear counting `m·ln(m/v)`
+    * when `raw ≤ 2.5m` and `v` empty registers remain.
+    */
+  private def correctedEstimateCol(raw: Column, vZero: Column, p: Int): Column = {
+    val m = 1L << p
+    when(raw <= lit(2.5 * m) && vZero > 0,
+      lit(m.toDouble) * log(lit(m).cast("double") / vZero)).otherwise(raw)
+  }
+
   /** Cardinality estimate from a register table: one row
     * `(m, v_zero, raw_estimate, estimate)` — `m = 2^p` registers,
     * `v_zero` the empty-register count, `raw_estimate` the harmonic-mean
-    * estimator and `estimate` the published small-range correction
-    * (linear counting `m·ln(m/v)` when `raw ≤ 2.5m` and empty registers
-    * remain). Doubles are returned RAW — harness projections round for
+    * estimator and `estimate` the published small-range correction.
+    * Doubles are returned RAW — harness projections round for
     * the comparator, callers get full precision.
     */
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     checkP(p)
     val m = 1L << p
-    val k = maxRank(p)
-    // alpha_m: the bias-correction constants from the paper
-    val alpha =
-      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
-      else 0.7213 / (1.0 + 1.079 / m)
-    // every 2^(K-rank) is an exact double (rank ≥ 1 → exponent ≤ K-1 ≤
-    // 56) and the DECIMAL(38,0) sum is exact integer arithmetic; absent
-    // registers contribute 2^(K-0) each, folded in after the aggregate
-    val term = pow(lit(2.0), lit(k.toDouble) - col("max_rank").cast("double"))
-      .cast(DecimalType(38, 0))
     registers
-      .agg(count(lit(1)).as("__nz"), sum(term).as("__s"))
+      .agg(count(lit(1)).as("__nz"),
+        sum(invPowerTerm(col("max_rank"), p)).as("__s"))
       .select(
         lit(m).as("m"),
         (lit(m) - col("__nz")).cast(LongType).as("v_zero"),
-        // raw = alpha * m^2 / sum(2^-rank) = alpha * m^2 * 2^K / S, with
-        // S = sum over present registers of 2^(K-rank) plus 2^K per
-        // absent register — the absent-register term stays in LONG
-        // ((m-nz)·2^K ≤ 2^(p+K) ≤ 2^61), so S is exact integer
-        // arithmetic end-to-end and its one double conversion lands on
-        // the identical value in every engine
-        (lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, k.toDouble)) /
-          (coalesce(col("__s"), lit(0).cast(DecimalType(38, 0))) +
-            (lit(m) - col("__nz")).cast(LongType) * lit(1L << k))
-            .cast("double")).as("raw_estimate"))
+        rawEstimateCol(col("__nz"), col("__s"), p).as("raw_estimate"))
       .select(col("m"), col("v_zero"), col("raw_estimate"),
-        when(col("raw_estimate") <= lit(2.5 * m) && col("v_zero") > 0,
-          lit(m.toDouble) * log(lit(m).cast("double") / col("v_zero")))
-          .otherwise(col("raw_estimate")).as("estimate"))
+        correctedEstimateCol(col("raw_estimate"), col("v_zero"), p)
+          .as("estimate"))
   }
 
   /** [[hllRegisters]] → [[hllEstimate]] in one call. */
@@ -214,14 +225,7 @@ object Sketches {
   def hllOverlapEstimate(a: DataFrame, b: DataFrame, p: Int): DataFrame = {
     checkP(p)
     val m = 1L << p
-    val k = maxRank(p)
-    val alpha =
-      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
-      else 0.7213 / (1.0 + 1.079 / m)
-    def term(r: Column) =
-      when(r.isNotNull,
-        pow(lit(2.0), lit(k.toDouble) - r.cast("double"))
-          .cast(DecimalType(38, 0)))
+    def term(r: Column) = when(r.isNotNull, invPowerTerm(r, p))
     val j = a.select(col("bucket"), col("max_rank").as("__ra"))
       .join(b.select(col("bucket"), col("max_rank").as("__rb")),
         Seq("bucket"), "full")
@@ -232,15 +236,9 @@ object Sketches {
       sum(term(col("__rb"))).as("__sb"),
       count(lit(1)).as("__nzu"),
       sum(term(greatest(col("__ra"), col("__rb")))).as("__su"))
-    def est(nz: Column, s: Column): Column = {
-      val raw = lit(alpha * m.toDouble * m.toDouble *
-        math.pow(2.0, k.toDouble)) /
-        (coalesce(s, lit(0).cast(DecimalType(38, 0))) +
-          (lit(m) - nz).cast(LongType) * lit(1L << k)).cast("double")
-      val v = (lit(m) - nz).cast(LongType)
-      when(raw <= lit(2.5 * m) && v > 0,
-        lit(m.toDouble) * log(lit(m).cast("double") / v)).otherwise(raw)
-    }
+    def est(nz: Column, s: Column): Column =
+      correctedEstimateCol(rawEstimateCol(nz, s, p),
+        (lit(m) - nz).cast(LongType), p)
     agg.select(
         lit(m).as("m"),
         est(col("__nza"), col("__sa")).as("est_a"),
@@ -422,7 +420,10 @@ object Sketches {
         pmod(hash60(concat(lit(s"$j:"), value.cast("string"))),
           lit(width.toLong)).as("bucket"))
     }
-    val keyed = counters.toDF("__cms_row", "__cms_bucket", "__cms_cnt")
+    // rename BY NAME, not position — a re-projected counter frame with
+    // a different column order must not silently mis-key the join
+    val keyed = counters.select(col("row").as("__cms_row"),
+      col("bucket").as("__cms_bucket"), col("cnt").as("__cms_cnt"))
     candidates
       .select(struct(col("*")).as("__cand"),
         explode(array(rows: _*)).as("__rb"))

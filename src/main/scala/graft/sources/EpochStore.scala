@@ -44,18 +44,29 @@ private[graft] object EpochStore {
   }
 
   /** Guard for append-path initialization: a store with NO meta but
-    * WITH epoch directories is a crash remnant of the (tiny) meta-flip
-    * window, not a fresh path — silently re-initializing it would
-    * discard every absorbed batch. Callers branch on this instead of
-    * [[hasMeta]] alone: initialize only a truly empty path; fail loud
-    * on a torn one (recovery: re-point meta at the surviving epoch, or
-    * rebuild from source).
+    * WITH epoch directories beyond `registers_v0` is a crash remnant of
+    * the (tiny) meta-flip window on an artifact that HAD absorbed
+    * history — silently re-initializing it would discard that history,
+    * so callers fail loud (recovery: re-point meta at the surviving
+    * epoch, or rebuild from source). A lone `registers_v0` with no meta
+    * is the OTHER crash window — the initial build died before its
+    * first commit — and carries no committed history at all, so
+    * re-initialization is permitted: this is what lets a cold-start
+    * stream's batch-0 replay self-heal without a marker protocol.
     */
-  def requireInitializable(spark: SparkSession, path: String): Unit =
-    require(!hasEpochDirs(spark, path),
-      s"epoch store at $path has payload directories but no committed " +
-        "meta (torn meta flip) — refusing to silently re-initialize " +
-        "over absorbed history; restore meta or delete the directory")
+  def requireInitializable(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val epochs =
+      if (!f.exists(base)) Seq.empty[String]
+      else f.listStatus(base).map(_.getPath.getName)
+        .filter(_.startsWith("registers_v")).toSeq
+    require(epochs.forall(_ == "registers_v0"),
+      s"epoch store at $path has payload directories (${epochs.sorted
+        .mkString(", ")}) but no committed meta (torn meta flip) — " +
+        "refusing to silently re-initialize over absorbed history; " +
+        "restore meta or delete the directory")
+  }
 
   def epochPath(path: String, version: Long): String =
     s"$path/registers_v$version"

@@ -3446,6 +3446,20 @@ class OperatorsSpec extends AnyFunSuite {
       Sketches.appendHll(b, col("v"), dir)
     }
     assert(e.getMessage.contains("torn meta flip"))
+    // cold-start crash remnant (LONE registers_v0, no meta): nothing
+    // was ever committed, so re-initialization IS permitted — this is
+    // what lets a stream's batch-0 replay self-heal without markers
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hll_cold")
+      .toString
+    Sketches.writeHll(a, col("v"), dir2, p = 10)
+    wipe(new java.io.File(s"$dir2/meta"))
+    Sketches.appendHll(a, col("v"), dir2, p = 10)
+    val healed = Sketches.loadHll(spark, dir2)
+    assert(healed.p === 10)
+    assert(healed.registers.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap ===
+      Sketches.hllRegisters(a, col("v"), 10).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap)
   }
 
   test("cmsEstimate tolerates candidate frames whose columns collide " +
