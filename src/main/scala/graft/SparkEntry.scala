@@ -715,6 +715,35 @@ object SparkEntry {
       top, col("w"), 4, 1024)
   }
 
+  /** Streaming CMS ingestion gate: the word stream drains through
+    * ingestCmsBatch (exactly-once batch-id cursor in the epoch meta),
+    * and the committed counters must equal the batch table —
+    * `sketch_cms`'s oracle shared verbatim: counter-wise sum over any
+    * batching telescopes, and the cursor makes replays no-ops rather
+    * than double-counts.
+    */
+  private def streamingCmsQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_cms_stream_${Integer.toHexString(dir.hashCode)}"
+    val ckpt = s"/tmp/graft_cms_ckpt_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, ckpt).foreach { pp =>
+      val hp = new org.apache.hadoop.fs.Path(pp)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    val wordsStream = docStream(s, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    graft.operators.Sketches.cmsIngestStream(
+        wordsStream, col("w"), path, depth = 4, width = 1024)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val loaded = graft.operators.Sketches.loadCms(s, path)
+    require(loaded.depth == 4 && loaded.width == 1024,
+      "cms meta must round-trip")
+    loaded.counters
+  }
+
   /** Persisted-CMS merge gate: even-id half written, odd-id half
     * appended through the artifact; counter-wise sum telescopes to the
     * from-scratch table, so the oracle is `sketch_cms`'s verbatim.
@@ -3748,6 +3777,7 @@ object SparkEntry {
     "sketch_cms"          -> (sketchCmsQ _),
     "sketch_cms_point"    -> (sketchCmsPointQ _),
     "sketch_cms_merge"    -> (sketchCmsMergeQ _),
+    "streaming_cms"       -> (streamingCmsQ _),
     "sample_bottomk"      -> (sampleBottomkQ _),
     "sample_bottomk_merge" -> (sampleBottomkMergeQ _),
     "streaming_sample_index" -> (streamingSampleIndexQ _),
@@ -4237,6 +4267,7 @@ object SparkEntry {
     "streaming_substring_index" -> dkDedupIndexSubstring,
     "sketch_cms" -> dkCmsCounters,
     "sketch_cms_merge" -> dkCmsCounters,
+    "streaming_cms" -> dkCmsCounters,
     "sample_bottomk" -> dkBottomK,
     "sample_bottomk_merge" -> dkBottomK,
     "streaming_sample_index" -> dkBottomK,

@@ -694,6 +694,30 @@ object Stress {
         docs.filter(col("doc_id") % 10 === 0).select(col("text")),
         "doc_id", "text", n = 13, mBits = 1 << 20, bloomK = 4)
     }
+    time("sketch_cms_10x") {
+      // depth-way fan-out over every word, collapsed map-side to
+      // <= depth*width combined rows per partition — scan-bound
+      graft.operators.Sketches.cmsCounters(
+        docs.select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("w")).filter(length(col("w")) > 0),
+        col("w"), depth = 4, width = 4096)
+    }
+    time("quality_buckets_10x") {
+      // LM vocab + per-doc scoring joins + the score-type-row window;
+      // nothing corpus-sized is sorted
+      TextAnalysis.qualityBuckets(
+        docs.select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", "lang")
+    }
+    time("contamination_10x") {
+      // probe = ~10% of the replicated corpus: distinct probe grams
+      // broadcast; only matched keys reach the rollup
+      Dedup.contaminationReport(
+        docs.select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 13)
+    }
     time("cluster_sample_10x") {
       // broadcast-centroid fan-out + bounded-heap per-cluster top-k:
       // no sort wider than a map task's heap, however hot a cluster

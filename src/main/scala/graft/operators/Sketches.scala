@@ -354,9 +354,11 @@ object Sketches {
   // counters: NEVER an underestimate, over by at most ~e·N/width with
   // probability 1-e^-depth. Merge is counter-wise SUM — like the HLL's
   // max it is commutative/associative (batch-order invariant), though
-  // NOT idempotent: a replayed batch double-counts, so streaming
-  // ingestion of a CMS needs the DedupIndex-style marker protocol
-  // rather than blind re-merge (deliberately not provided here).
+  // NOT idempotent: a replayed batch double-counts, so blind re-merge
+  // is unsafe for streams — [[cmsIngestStream]] closes the hazard by
+  // riding an exactly-once batch-id cursor in the epoch meta (the
+  // atomic flip that commits counters commits the cursor with them);
+  // [[appendCms]] remains the batch API and documents the hazard.
   //
   // Row hashes are the portable md5-prefix hash over "<row>:"+value —
   // independent-enough rows by salt, and every engine (and the DuckDB
@@ -435,11 +437,24 @@ object Sketches {
       .select(col("__cand.*"), col("est"))
   }
 
+  /** CMS meta carries `last_batch_id` alongside the geometry: the
+    * exactly-once cursor for [[cmsIngestStream]] (-1 = no stream batch
+    * absorbed). It lives IN the meta row — the same atomic flip that
+    * commits an epoch commits its cursor, so there is no window where
+    * counters and cursor disagree.
+    */
   private def cmsMeta(
-      spark: SparkSession, depth: Int, width: Int, version: Long): DataFrame = {
+      spark: SparkSession, depth: Int, width: Int, version: Long,
+      lastBatchId: Long = -1L): DataFrame = {
     import spark.implicits._
-    Seq((depth, width, version)).toDF("depth", "width", "version")
+    Seq((depth, width, version, lastBatchId))
+      .toDF("depth", "width", "version", "last_batch_id")
   }
+
+  private def metaLastBatchId(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("last_batch_id"))
+      m.getAs[Long]("last_batch_id")
+    else -1L
 
   /** A loaded CMS: counters plus the geometry they were built under. */
   final case class LoadedCms(counters: DataFrame, depth: Int, width: Int)
@@ -493,6 +508,67 @@ object Sketches {
     val merged = cmsMerge(
       spark.read.parquet(graft.sources.EpochStore.epochPath(path, v)),
       cmsCounters(df, value, d, w, weight)).localCheckpoint()
-    writeEpoch(spark, path, merged, cmsMeta(spark, d, w, v + 1L), v + 1L)
+    writeEpoch(spark, path, merged,
+      cmsMeta(spark, d, w, v + 1L, metaLastBatchId(m)), v + 1L)
+  }
+
+  /** Absorb ONE stream micro-batch into the persisted CMS,
+    * exactly-once: the batch id is compared against the committed
+    * `last_batch_id` cursor and a replayed batch RETURNS WITHOUT
+    * MERGING — the double-count hazard [[appendCms]] documents is
+    * closed not by a marker file but by riding the cursor in the meta
+    * row itself. Crash anywhere before the meta flip leaves the OLD
+    * meta pointing at the OLD epoch (the uncommitted payload is
+    * invisible — appends read registers through meta), so the replay
+    * re-merges from unchanged state; crash after the flip leaves the
+    * cursor advanced, so the replay no-ops. Requires the stream's
+    * batch ids to be monotone per artifact — true for one Structured
+    * Streaming query per path (checkpointed batch ids are strictly
+    * increasing); two concurrent writers are out of contract for the
+    * whole epoch store.
+    */
+  def ingestCmsBatch(
+      df: DataFrame,
+      value: Column,
+      path: String,
+      batchId: Long,
+      depth: Int = 4,
+      width: Int = 1024,
+      weight: Column = lit(1L)): Unit = {
+    val spark = df.sparkSession
+    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
+      graft.sources.EpochStore.requireInitializable(spark, path)
+      writeEpoch(spark, path, cmsCounters(df, value, depth, width, weight),
+        cmsMeta(spark, depth, width, 0L, batchId), 0L)
+      return
+    }
+    val m = readMeta(spark, path)
+    if (batchId <= metaLastBatchId(m)) return
+    val (d, w, v) = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
+      m.getAs[Long]("version"))
+    val merged = cmsMerge(
+      spark.read.parquet(graft.sources.EpochStore.epochPath(path, v)),
+      cmsCounters(df, value, d, w, weight)).localCheckpoint()
+    writeEpoch(spark, path, merged,
+      cmsMeta(spark, d, w, v + 1L, batchId), v + 1L)
+  }
+
+  /** Streaming CMS ingestion — [[ingestCmsBatch]] per micro-batch:
+    * frequency telemetry absorbed at ingest with exactly-once batch
+    * accounting (see [[ingestCmsBatch]] for the crash windows). Caller
+    * starts the returned writer with a durable checkpoint.
+    */
+  def cmsIngestStream(
+      stream: DataFrame,
+      value: Column,
+      path: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      weight: Column = lit(1L)): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    checkCms(depth, width)
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestCmsBatch(batch, value, path, batchId, depth, width, weight)
+    }
   }
 }

@@ -3334,6 +3334,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(estW === Map("a" -> 7L, "b" -> 7L))
   }
 
+  test("CMS stream ingestion is exactly-once: a replayed batch id " +
+      "no-ops instead of double-counting, a NEW batch id still merges, " +
+      "and batch appendCms leaves the cursor intact") {
+    import graft.operators.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_ing")
+      .toString
+    val b0 = Seq("a", "a", "b").toDF("v")
+    val b1 = Seq("b", "c").toDF("v")
+    def counters() = Sketches.loadCms(spark, dir).counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Sketches.ingestCmsBatch(b0, col("v"), dir, batchId = 0L, 2, 256)
+    val after0 = counters()
+    // replay of batch 0: cursor says absorbed -> no-op
+    Sketches.ingestCmsBatch(b0, col("v"), dir, batchId = 0L, 2, 256)
+    assert(counters() === after0)
+    Sketches.ingestCmsBatch(b1, col("v"), dir, batchId = 1L, 2, 256)
+    val after1 = counters()
+    assert(after1 === Sketches.cmsCounters(b0.union(b1), col("v"), 2, 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    // replays of either absorbed batch: still no-ops
+    Sketches.ingestCmsBatch(b1, col("v"), dir, batchId = 1L, 2, 256)
+    Sketches.ingestCmsBatch(b0, col("v"), dir, batchId = 0L, 2, 256)
+    assert(counters() === after1)
+    // a plain batch append advances the epoch WITHOUT clobbering the
+    // stream cursor: the next stream batch id is still compared against
+    // the absorbed high-water mark
+    Sketches.appendCms(Seq("d").toDF("v"), col("v"), dir)
+    Sketches.ingestCmsBatch(b1, col("v"), dir, batchId = 1L, 2, 256)
+    assert(counters() === Sketches.cmsCounters(
+      b0.union(b1).union(Seq("d").toDF("v")), col("v"), 2, 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap)
+  }
+
   test("CMS merge is counter-wise sum — NOT idempotent: a replayed " +
       "batch double-counts (why CMS streaming ingest needs markers " +
       "where the HLL does not)") {
