@@ -688,10 +688,18 @@ object SparkEntry {
       docs(s, dir), "doc_id", "text", "source")
       .select(col("metric"), round(col("value"), 6).as("value"))
 
-  private def docWords(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(explode(
+  /** The whitespace word projection shared by every CMS gate (batch,
+    * merge, streaming): ONE definition, because the three gates share
+    * one DuckDB oracle and their word derivation must stay
+    * bit-identical.
+    */
+  private def docWordsOf(d: DataFrame): DataFrame =
+    d.select(explode(
         split(trim(lower(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
+
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    docWordsOf(docs(s, dir))
 
   /** CMS counter-table gate: word frequencies of the whole corpus into
     * a 4×1024 counter table — hash-matched in full, like `sketch_hll`'s
@@ -730,9 +738,7 @@ object SparkEntry {
       val hp = new org.apache.hadoop.fs.Path(pp)
       hp.getFileSystem(hconf).delete(hp, true)
     }
-    val wordsStream = docStream(s, dir)
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
+    val wordsStream = docWordsOf(docStream(s, dir))
     graft.operators.Sketches.cmsIngestStream(
         wordsStream, col("w"), path, depth = 4, width = 1024)
       .option("checkpointLocation", ckpt)
@@ -753,13 +759,10 @@ object SparkEntry {
     val hp = new org.apache.hadoop.fs.Path(path)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     val d = docs(s, dir)
-    def ws(f: DataFrame) = f.select(explode(
-        split(trim(lower(col("text"))), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
     graft.operators.Sketches.writeCms(
-      ws(d.filter(col("doc_id") % 2 === 0)), col("w"), path, 4, 1024)
+      docWordsOf(d.filter(col("doc_id") % 2 === 0)), col("w"), path, 4, 1024)
     graft.operators.Sketches.appendCms(
-      ws(d.filter(col("doc_id") % 2 =!= 0)), col("w"), path)
+      docWordsOf(d.filter(col("doc_id") % 2 =!= 0)), col("w"), path)
     val loaded = graft.operators.Sketches.loadCms(s, path)
     require(loaded.depth == 4 && loaded.width == 1024,
       "cms meta must round-trip")

@@ -503,29 +503,46 @@ object Sketches {
       writeCms(df, value, path, depth, width, weight); return
     }
     val m = readMeta(spark, path)
+    commitCmsMerge(df, value, path, m, weight, metaLastBatchId(m))
+  }
+
+  /** The shared merge-and-commit tail of [[appendCms]] and
+    * [[ingestCmsBatch]]: read the live epoch through meta, sum-merge
+    * the batch's counters, localCheckpoint BEFORE the epoch write (the
+    * merged plan reads the directory the commit's cleanup will
+    * delete), commit with the given cursor.
+    */
+  private def commitCmsMerge(
+      df: DataFrame, value: Column, path: String,
+      m: org.apache.spark.sql.Row, weight: Column, cursor: Long): Unit = {
+    val spark = df.sparkSession
     val (d, w, v) = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
       m.getAs[Long]("version"))
     val merged = cmsMerge(
       spark.read.parquet(graft.sources.EpochStore.epochPath(path, v)),
       cmsCounters(df, value, d, w, weight)).localCheckpoint()
     writeEpoch(spark, path, merged,
-      cmsMeta(spark, d, w, v + 1L, metaLastBatchId(m)), v + 1L)
+      cmsMeta(spark, d, w, v + 1L, cursor), v + 1L)
   }
 
   /** Absorb ONE stream micro-batch into the persisted CMS,
     * exactly-once: the batch id is compared against the committed
-    * `last_batch_id` cursor and a replayed batch RETURNS WITHOUT
-    * MERGING — the double-count hazard [[appendCms]] documents is
-    * closed not by a marker file but by riding the cursor in the meta
-    * row itself. Crash anywhere before the meta flip leaves the OLD
-    * meta pointing at the OLD epoch (the uncommitted payload is
-    * invisible — appends read registers through meta), so the replay
-    * re-merges from unchanged state; crash after the flip leaves the
-    * cursor advanced, so the replay no-ops. Requires the stream's
-    * batch ids to be monotone per artifact — true for one Structured
-    * Streaming query per path (checkpointed batch ids are strictly
-    * increasing); two concurrent writers are out of contract for the
-    * whole epoch store.
+    * `last_batch_id` cursor — a REPLAYED batch (`batchId == cursor`)
+    * returns without merging, closing the double-count hazard
+    * [[appendCms]] documents with no marker file (the cursor rides the
+    * meta row, so the atomic flip that commits counters commits it);
+    * a batch id BELOW the cursor is never a legitimate replay — it
+    * means the stream's checkpoint was lost or reset and ids restarted
+    * — and FAILS LOUDLY rather than silently discarding those batches'
+    * data. Crash windows: before the commit's meta delete, the old
+    * meta still points at the old epoch and the replay re-merges from
+    * unchanged state; inside the (delete → rename) instant, no meta
+    * exists and the replay fails loud via the torn-flip guard (manual
+    * recovery — the one window that needs it, never a silent
+    * double-count); after the flip, the cursor is advanced and the
+    * replay no-ops. Requires monotone batch ids per artifact — true
+    * for one Structured Streaming query per path; two concurrent
+    * writers are out of contract for the whole epoch store.
     */
   def ingestCmsBatch(
       df: DataFrame,
@@ -543,14 +560,15 @@ object Sketches {
       return
     }
     val m = readMeta(spark, path)
-    if (batchId <= metaLastBatchId(m)) return
-    val (d, w, v) = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
-      m.getAs[Long]("version"))
-    val merged = cmsMerge(
-      spark.read.parquet(graft.sources.EpochStore.epochPath(path, v)),
-      cmsCounters(df, value, d, w, weight)).localCheckpoint()
-    writeEpoch(spark, path, merged,
-      cmsMeta(spark, d, w, v + 1L, batchId), v + 1L)
+    val last = metaLastBatchId(m)
+    if (batchId == last) return
+    require(batchId > last,
+      s"CMS at $path has absorbed through stream batch $last but " +
+        s"received batch $batchId — the stream's checkpoint was lost " +
+        "or reset (ids restarted); continuing would silently drop " +
+        "every already-numbered batch. Point the query at its " +
+        "original checkpoint, or rebuild the sketch.")
+    commitCmsMerge(df, value, path, m, weight, batchId)
   }
 
   /** Streaming CMS ingestion — [[ingestCmsBatch]] per micro-batch:

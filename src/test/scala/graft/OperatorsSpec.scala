@@ -3353,9 +3353,17 @@ class OperatorsSpec extends AnyFunSuite {
     val after1 = counters()
     assert(after1 === Sketches.cmsCounters(b0.union(b1), col("v"), 2, 256)
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap)
-    // replays of either absorbed batch: still no-ops
+    // replay of the LAST absorbed batch (the only legitimate Structured
+    // Streaming replay): still a no-op
     Sketches.ingestCmsBatch(b1, col("v"), dir, batchId = 1L, 2, 256)
-    Sketches.ingestCmsBatch(b0, col("v"), dir, batchId = 0L, 2, 256)
+    assert(counters() === after1)
+    // a batch id BELOW the cursor is never a replay — it means the
+    // stream's checkpoint was lost and ids restarted; silently
+    // discarding those batches would lose data, so it fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketches.ingestCmsBatch(b0, col("v"), dir, batchId = 0L, 2, 256)
+    }
+    assert(e.getMessage.contains("checkpoint was lost"))
     assert(counters() === after1)
     // a plain batch append advances the epoch WITHOUT clobbering the
     // stream cursor: the next stream batch id is still compared against
