@@ -676,7 +676,10 @@ object SparkEntry {
       .select(col("m"), round(col("est_a"), 6).as("est_a"),
         round(col("est_b"), 6).as("est_b"),
         round(col("est_union"), 6).as("est_union"),
-        round(col("est_intersection"), 6).as("est_intersection"))
+        round(col("est_intersection"), 6).as("est_intersection"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("containment_a"), 6).as("containment_a"),
+        round(col("containment_b"), 6).as("containment_b"))
   }
 
   /** Corpus datasheet gate: the inventory frame over the raw corpus —
@@ -4346,10 +4349,18 @@ object SparkEntry {
                ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
                  / CAST(su + CAST(4096 - nzu AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END AS est_u
            FROM agg)
+         , f AS (SELECT m, est_a, est_b, est_u,
+             greatest(0.0, est_a + est_b - est_u) AS est_i FROM e)
          SELECT m, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
            round(est_u, 6) AS est_union,
-           round(greatest(0.0, est_a + est_b - est_u), 6) AS est_intersection
-         FROM e""",
+           round(est_i, 6) AS est_intersection,
+           round(CASE WHEN est_u > 0 THEN est_i / est_u ELSE 0.0 END, 6)
+             AS est_jaccard,
+           round(CASE WHEN est_a > 0 THEN est_i / est_a ELSE 0.0 END, 6)
+             AS containment_a,
+           round(CASE WHEN est_b > 0 THEN est_i / est_b ELSE 0.0 END, 6)
+             AS containment_b
+         FROM f""",
     "corpus_datasheet" ->
       s"""WITH tot AS (SELECT 'docs_total' AS metric,
              round(CAST(count(*) AS DOUBLE), 6) AS value FROM documents),

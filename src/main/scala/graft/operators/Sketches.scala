@@ -248,6 +248,22 @@ object Sketches {
         greatest(lit(0.0),
           col("est_a") + col("est_b") - col("est_union"))
           .as("est_intersection"))
+      // derived similarity ratios — what the snapshot-diff consumer
+      // actually reads: Jaccard (how similar are the crawls) and each
+      // side's containment (what fraction of A is already inside B —
+      // the "is this snapshot worth ingesting" number). Zero-denominator
+      // guards make empty sketches read 0, not null/NaN.
+      .select(col("m"), col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersection"),
+        when(col("est_union") > 0,
+          col("est_intersection") / col("est_union"))
+          .otherwise(lit(0.0)).as("est_jaccard"),
+        when(col("est_a") > 0,
+          col("est_intersection") / col("est_a"))
+          .otherwise(lit(0.0)).as("containment_a"),
+        when(col("est_b") > 0,
+          col("est_intersection") / col("est_b"))
+          .otherwise(lit(0.0)).as("containment_b"))
   }
 
   // ------------------------------------------------------------------

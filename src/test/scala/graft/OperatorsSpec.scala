@@ -3423,6 +3423,12 @@ class OperatorsSpec extends AnyFunSuite {
     val rd = Sketches.hllOverlapEstimate(c, d, p).head()
     val eid = rd.getAs[Double]("est_intersection")
     assert(eid >= 0.0 && eid < 500.0)
+    // derived ratios: jaccard = inter/union (true 10k/50k = 0.2),
+    // containment = inter/side (true 10k/30k = 1/3)
+    assert(math.abs(r.getAs[Double]("est_jaccard") - 0.2) < 0.07)
+    assert(math.abs(r.getAs[Double]("containment_a") - 1.0 / 3) < 0.11)
+    assert(math.abs(r.getAs[Double]("containment_b") - 1.0 / 3) < 0.11)
+    assert(rd.getAs[Double]("est_jaccard") < 0.1)
   }
 
   test("grouped HLL registers and estimates equal the per-group flat " +
