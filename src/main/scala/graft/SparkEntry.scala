@@ -451,6 +451,58 @@ object SparkEntry {
     aRew.union(bRew)
   }
 
+  /** Incremental SEMANTIC dedup gate (the fourth index family): the
+    * semantic index is built on the %3!=0 embeddings against the
+    * shared centroid fixture (every 100th vector), the %3==0 half
+    * appends against the frozen artifact, and the union of the two
+    * survivor sets must equal a from-scratch SemDeDup over the whole
+    * table under arrival-order priority — the oracle replays the drop
+    * rule with the (grp, vec_id) precedence the two-step run induces.
+    */
+  private def dedupIndexSemanticQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val path = s"/tmp/graft_dedupidx_sem_${Integer.toHexString(dir.hashCode)}"
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val aSurv = graft.sources.DedupIndex.buildSemantic(
+      e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      centroids, tau = 0.3, path)
+    val bSurv = graft.sources.DedupIndex.appendSemantic(s, path,
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    aSurv.union(bSurv)
+  }
+
+  /** Streaming SEMANTIC-index gate: same build half and centroid
+    * fixture as [[dedupIndexSemanticQ]], with the %3==0 half streamed
+    * through [[graft.streaming.StreamingDedup.indexedSemanticStream]]
+    * — the telescoping property makes the surviving set independent of
+    * micro-batching, so the oracle is shared verbatim (one source file
+    * = one micro-batch, whose within-batch priority matches the
+    * oracle's (grp, vec_id) ordering).
+    */
+  private def streamingDedupSemanticQ(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"/tmp/graft_sdsem_${Integer.toHexString(dir.hashCode)}"
+    val out = s"/tmp/graft_sdsem_out_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(idx, out).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val aSurv = graft.sources.DedupIndex.buildSemantic(
+      e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      centroids, tau = 0.3, idx)
+    graft.streaming.StreamingDedup.indexedSemanticStream(
+        embStream(s, dir).filter(col("vec_id") % 3 === 0),
+        idx, out, "vec_id", "embedding")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    aSurv.union(
+      s.read.parquet(out).select(col("vec_id"), col("centroid_id")))
+  }
+
   /** PERSISTENT-INDEX streaming dedup gate: the index is built on the
     * %3!=0 half (fresh artifacts — markers and prior outputs wiped
     * first so bench reps stay deterministic), the %3==0 half streams
@@ -2393,6 +2445,15 @@ object SparkEntry {
     * source schema (streams require an explicit schema; four gates
     * previously each carried an identical copy).
     */
+  private def embStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    s.readStream.schema(schema).parquet(s"$dir/{embeddings.parquet}")
+  }
+
   private def docStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -3204,6 +3265,32 @@ object SparkEntry {
     * what DedupIndex.append computes incrementally from the frozen
     * artifacts.
     */
+  /** From-scratch SemDeDup replay under the arrival-order priority the
+    * build(%3!=0)-then-append(%3==0) split induces: an index vector
+    * (grp 0) precedes every batch vector (grp 1), and within a group
+    * lower vec_id wins — precedence is lexicographic on (grp, vec_id).
+    * Shared by `dedup_index_semantic` and `streaming_dedup_semantic`
+    * (the telescoping property makes the survivor set independent of
+    * how the %3==0 half is micro-batched).
+    */
+  private val dkDedupIndexSemantic: String =
+    """WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+       v AS (SELECT vec_id, vd,
+           CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS grp FROM ve),
+       c AS (SELECT vec_id AS centroid_id, vd AS cv FROM ve
+         WHERE vec_id % 100 = 0),
+       asg AS (SELECT vec_id, vd, grp, centroid_id FROM (
+           SELECT v.vec_id, v.vd, v.grp, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.vd, c.cv), 6) DESC,
+                        c.centroid_id) AS rn
+           FROM v, c) WHERE rn = 1)
+       SELECT a.vec_id, a.centroid_id FROM asg a
+       WHERE NOT EXISTS (SELECT 1 FROM asg b
+         WHERE b.centroid_id = a.centroid_id
+           AND (b.grp < a.grp OR (b.grp = a.grp AND b.vec_id < a.vec_id))
+           AND round(list_cosine_similarity(a.vd, b.vd), 6) >= 0.3)"""
+
   private val dkDedupIndexAppend: String = {
     val sigs = (0 until 16).map { j =>
       val (a, b) = TextFunctions.hashParams(j)
@@ -3773,8 +3860,10 @@ object SparkEntry {
     "dedup_index_persist" -> (dedupIndexPersistQ _),
     "dedup_index_append" -> (dedupIndexAppendQ _),
     "dedup_index_substring" -> (dedupIndexSubstringQ _),
+    "dedup_index_semantic" -> (dedupIndexSemanticQ _),
     "streaming_dedup_index" -> (streamingDedupIndexQ _),
     "streaming_substring_index" -> (streamingSubstringIndexQ _),
+    "streaming_dedup_semantic" -> (streamingDedupSemanticQ _),
     "sketch_hll"          -> (sketchHllQ _),
     "sketch_hll_estimate" -> (sketchHllEstimateQ _),
     "sketch_hll_grouped"  -> (sketchHllGroupedQ _),
@@ -4938,6 +5027,8 @@ object SparkEntry {
     // index, and the telescoping property makes the surviving set
     // independent of micro-batching — oracle shared verbatim
     "streaming_dedup_index" -> dkDedupIndexAppend,
+    "dedup_index_semantic" -> dkDedupIndexSemantic,
+    "streaming_dedup_semantic" -> dkDedupIndexSemantic,
     "dedup_lsh_verified" ->
       s"""WITH pairs AS ($dkLshPairs),
          $dkShingles

@@ -516,6 +516,229 @@ object DedupIndex {
       .write.mode("append").parquet(s"$path/grams")
   }
 
+  // ---------------------------------------------------------------------
+  // Semantic (embedding) index — the incremental form of SemDeDup
+  // (Abbas et al. 2023), the fourth dedup family under this artifact
+  // pattern: a new crawl batch's embeddings are deduplicated against the
+  // frozen corpus WITHOUT re-scoring the corpus. Artifact pair:
+  //
+  //   sem_vecs/       (vec_id, centroid_id, vec, kept) — EVERY vector
+  //                   ever seen, assigned to its frozen cell, clustered
+  //                   by centroid_id so a probe streams cell-local data
+  //   sem_centroids/  (centroid_id, cvec) — the frozen cell centers;
+  //                   appends assign against these, never re-cluster
+  //   sem_meta        (tau) — written LAST, tombstoned first on rebuild
+  //
+  // The drop rule is [[graft.operators.Dedup.semanticDedup]]'s, extended
+  // by arrival order: a vector is dropped iff some PRECEDING vector
+  // (anything already indexed, or a lower-id batch-mate) in the SAME
+  // cell has round(cosine, 6) >= tau. "Preceding" deliberately includes
+  // vectors that were themselves dropped — the batch operator's
+  // smaller-id rule compares against all cell-mates, not survivors — and
+  // that is what makes `sem_vecs/` keep every vector (the
+  // wider-than-survivors invariant of this family): with it, the drop
+  // decision is a pure OR over earlier vectors, so appends telescope
+  // EXACTLY to the from-scratch run under arrival-order priority (the
+  // `dedup_index_semantic` gate pins the two-step case against a DuckDB
+  // replay; the telescoping spec the three-step case).
+  // ---------------------------------------------------------------------
+
+  import graft.functions.VectorFunctions.cosineFast
+
+  /** Build (or atomically rebuild) the semantic index: assign every
+    * corpus vector to its nearest frozen centroid (one broadcast pass),
+    * run the within-cell smaller-id drop rule, store all vectors with
+    * their cell and keep flag. Returns the survivors `(idCol,
+    * centroid_id)` — [[graft.operators.Dedup.semanticDedup]]'s output —
+    * so the build pass doubles as the corpus's own dedup run.
+    */
+  def buildSemantic(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      tau: Double,
+      path: String,
+      numFiles: Int = 32): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/sem_meta")
+    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaDir, true)
+    // one materialization: the assignment feeds the pair join twice,
+    // the keep-flag join, and the artifact write
+    val assigned = graft.operators.Similarity
+      .ivfAssign(vecs, idCol, vecCol, centroids)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        col("centroid_id"))
+      .localCheckpoint()
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val dropped = a.join(b,
+        col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.vec_id") > col("b.vec_id") &&
+        cosineFast(col("a.vec"), col("b.vec")) >= lit(tau))
+      .select(col("a.vec_id")).distinct().localCheckpoint()
+    val all = assigned.join(
+        dropped.select(col("vec_id"), lit(false).as("kept")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("vec"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+    all.repartition(numFiles, col("centroid_id"))
+      .sortWithinPartitions("centroid_id", "vec_id")
+      .write.mode("overwrite").parquet(s"$path/sem_vecs")
+    centroids.select(col("centroid_id"), col("__cv").as("cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sem_centroids")
+    Seq(Tuple1(tau)).toDF("tau")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sem_meta")
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as(idCol), col("centroid_id"))
+  }
+
+  /** One batch's semantic dedup against the frozen index, every frame
+    * MATERIALIZED: `survivors` = `(idCol, centroid_id)` of the batch
+    * vectors no preceding vector shadows; `newVecs` = the rows
+    * [[absorbSemantic]] appends (all batch vectors, kept or not — the
+    * wider-than-survivors invariant). Pure — the index is only read —
+    * so recomputable idempotently until the absorb runs.
+    */
+  final case class SemanticBatch(
+      survivors: DataFrame,
+      newVecs: DataFrame)
+
+  /** The probe half of [[appendSemantic]] — no writes.
+    *
+    * Scale shape: the batch ASSIGNS against the frozen centroids
+    * (broadcast, one linear pass over the batch), then the corpus-scale
+    * `sem_vecs/` artifact is STREAMED through a broadcast hash join
+    * against the batch keyed on `centroid_id` — cell-local cosine work,
+    * output bounded by batch size, no corpus shuffle and no
+    * re-scoring of corpus pairs. The batch-internal smaller-id join is
+    * batch-sized. Cost is linear in index size with a batch-sized
+    * output — the from-scratch run's within-cell quadratic work over
+    * the corpus is exactly what the artifact amortizes away.
+    */
+  def dedupSemanticBatch(
+      spark: SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      broadcastBatch: Boolean = true): SemanticBatch = {
+    val meta = spark.read.parquet(s"$path/sem_meta").collect()
+    require(meta.length == 1, s"malformed semantic-index meta at $path")
+    val tau = meta(0).getAs[Double]("tau")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
+    val centroids = spark.read.parquet(s"$path/sem_centroids")
+      .select(col("centroid_id"), col("cvec").as("__cv"))
+    val assigned = graft.operators.Similarity
+      .ivfAssign(newVecs, idCol, vecCol, centroids)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        col("centroid_id"))
+      .localCheckpoint()
+    // corpus stage: ANY indexed cell-mate within tau shadows a batch
+    // vector (kept or dropped — see the family contract above); the
+    // corpus side streams, the batch side broadcasts
+    val idx = spark.read.parquet(s"$path/sem_vecs")
+    val corpusHits = idx.as("i").join(bc(assigned.as("n")),
+        col("i.centroid_id") === col("n.centroid_id") &&
+        cosineFast(col("i.vec"), col("n.vec")) >= lit(tau))
+      .select(col("n.vec_id")).distinct()
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val internalHits = a.join(b,
+        col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.vec_id") > col("b.vec_id") &&
+        cosineFast(col("a.vec"), col("b.vec")) >= lit(tau))
+      .select(col("a.vec_id")).distinct()
+    // materialized: corpusHits scans sem_vecs/, and both the survivor
+    // output and the absorb rows must be pinned before append files land
+    val dropped = corpusHits.union(internalHits).distinct()
+      .localCheckpoint()
+    SemanticBatch(
+      survivors = assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id").as(idCol), col("centroid_id")),
+      newVecs = assigned.join(
+          dropped.select(col("vec_id"), lit(false).as("kept")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid_id"), col("vec"),
+          coalesce(col("kept"), lit(true)).as("kept")))
+  }
+
+  /** Append a [[dedupSemanticBatch]] result's vectors. One artifact —
+    * replaying a partially-landed append re-appends rows whose
+    * duplicates are benign: the drop rule is an EXISTS over cell-mates,
+    * and a vector's duplicate row shadows exactly what the original
+    * shadows.
+    */
+  def absorbSemantic(
+      spark: SparkSession,
+      path: String,
+      b: SemanticBatch,
+      numFiles: Int = 8): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    b.newVecs.repartition(numFiles, col("centroid_id"))
+      .sortWithinPartitions("centroid_id", "vec_id")
+      .write.mode("append").parquet(s"$path/sem_vecs")
+  }
+
+  /** Dedup an incoming embedding batch against the frozen semantic
+    * index and absorb it: returns the batch survivors
+    * `(idCol, centroid_id)` and appends every batch vector so the NEXT
+    * append sees this batch as part of the corpus.
+    */
+  def appendSemantic(
+      spark: SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numFiles: Int = 8,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val b = dedupSemanticBatch(spark, path, newVecs, idCol, vecCol,
+      broadcastBatch)
+    absorbSemantic(spark, path, b, numFiles)
+    b.survivors
+  }
+
+  /** Idempotent one-batch SEMANTIC ingest — [[ingestBatch]]'s protocol
+    * for the embedding index ([[graft.streaming.StreamingDedup
+    * .indexedSemanticStream]] runs this per micro-batch): marker →
+    * no-op; else compute the pure [[dedupSemanticBatch]], overwrite the
+    * batch's survivor output under `outPath/batch_id=N` unless its
+    * output sentinel already landed (a post-absorb replay recomputes an
+    * EMPTY survivor set — every batch vector now shadows itself at
+    * cosine 1 — which must never clobber committed output), absorb,
+    * mark.
+    */
+  def ingestSemanticBatch(
+      spark: SparkSession,
+      indexPath: String,
+      outPath: String,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      numFiles: Int = 8,
+      broadcastBatch: Boolean = true): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/sem_ingested/batch_$batchId")
+    val mFs = marker.getFileSystem(hconf)
+    if (mFs.exists(marker)) return
+    val outDone = new org.apache.hadoop.fs.Path(
+      s"$indexPath/sem_ingested/out_$batchId")
+    val b = dedupSemanticBatch(spark, indexPath, batch, idCol, vecCol,
+      broadcastBatch)
+    if (!mFs.exists(outDone)) {
+      b.survivors.write.mode("overwrite")
+        .parquet(s"$outPath/batch_id=$batchId")
+      mFs.mkdirs(outDone)
+    }
+    absorbSemantic(spark, indexPath, b, numFiles)
+    mFs.mkdirs(marker)
+  }
+
   /** Idempotent one-batch SUBSTRING ingest — [[ingestBatch]]'s protocol
     * for the gram index ([[graft.streaming.StreamingDedup
     * .indexedSubstringStream]] runs this per micro-batch): marker →

@@ -268,6 +268,34 @@ object StreamingDedup {
           numFiles)
     }
 
+  /** [[indexedDedupStream]]'s SEMANTIC sibling: each micro-batch of
+    * embeddings is SemDeDup'd against the frozen semantic index
+    * ([[graft.sources.DedupIndex.ingestSemanticBatch]] — a batch vector
+    * is dropped iff any already-indexed or lower-id batch-mate in the
+    * same frozen cell sits within the cosine threshold) and the whole
+    * batch is absorbed, so the emitted survivor set telescopes exactly
+    * to a batch run whose batches are the stream's micro-batches. Same
+    * contracts as the other families: durable `checkpointLocation`
+    * required, at-least-once replays converge via the sentinel/marker
+    * protocol (a post-absorb replay would otherwise emit an empty
+    * survivor frame — every vector shadows its own absorbed copy).
+    */
+  def indexedSemanticStream(
+      stream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      vecCol: String,
+      numFiles: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.sources.DedupIndex.ingestSemanticBatch(batch.sparkSession,
+          indexPath, outPath, batch.toDF(), batchId, idCol, vecCol,
+          numFiles)
+    }
+
   /** Stateless EXACT n-gram decontamination predicate (the GPT-3/Pile
     * recipe [[graft.operators.Dedup.decontaminateExact]] as a pure
     * column): the probe's distinct word-n-gram hashes collapse to a

@@ -3521,4 +3521,91 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("v") -> r.getAs[Long]("est")).toMap
     assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
+
+  test("DedupIndex semantic: appends telescope to the from-scratch" +
+      " SemDeDup run, dropped vectors still shadow later arrivals, and" +
+      " replayed ingests are no-ops") {
+    import graft.sources.DedupIndex
+    // cell-0 vectors live in the x–z plane (cosine with centroid 1 is
+    // exactly 0, so assignment never flips), cell-1 in y–w; tau = 0.9
+    // means "within ~25.8 degrees"
+    def xz(deg: Double) = { val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, 0f, math.sin(r).toFloat, 0f) }
+    def yw(deg: Double) = { val r = math.toRadians(deg)
+      Array(0f, math.cos(r).toFloat, 0f, math.sin(r).toFloat) }
+    val centroids = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("centroid_id", "__cv")
+    val corpus = Seq(
+      (0L, xz(0)),   // kept (cell 0 anchor)
+      (1L, xz(25)),  // cos(0,1)=cos25≈.906 ≥ .9 → dropped by 0
+      (2L, yw(0))    // kept (cell 1 anchor)
+    ).toDF("vec_id", "embedding")
+    val b1 = Seq(
+      (10L, xz(50)), // cos vs DROPPED 1 = cos25 ≥ .9 → dropped (vs 0: .64)
+      (11L, xz(80)), // ≥ 28° from every predecessor → kept
+      (12L, xz(78)), // cos vs batch-mate 11 = cos2 → dropped
+      (13L, yw(5))   // cos vs corpus 2 = cos5 → dropped
+    ).toDF("vec_id", "embedding")
+    val b2 = Seq(
+      (20L, xz(52)), // cos vs ABSORBED-DROPPED 10 = cos2 → dropped;
+                     // every KEPT predecessor is > 25.8° away
+      (21L, yw(40))  // ≥ 34° from everything in cell 1 → kept
+    ).toDF("vec_id", "embedding")
+    val path = "/tmp/graft_dedupidx_sem_spec"
+    def wipe(): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+    wipe()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val s0 = ids(DedupIndex.buildSemantic(
+      corpus, "vec_id", "embedding", centroids, tau = 0.9, path))
+    assert(s0 === Set(0L, 2L), s"build survivors: got $s0")
+    val s1 = ids(DedupIndex.appendSemantic(
+      spark, path, b1, "vec_id", "embedding"))
+    assert(s1 === Set(11L),
+      s"batch1: 10 shadows via dropped 1, 12 via mate 11, 13 via 2; got $s1")
+    val s2 = ids(DedupIndex.appendSemantic(
+      spark, path, b2, "vec_id", "embedding"))
+    assert(s2 === Set(21L),
+      s"batch2: 20 must shadow via absorbed-dropped 10; got $s2")
+    // telescoping: one combined append over a rebuilt index = s1 ++ s2
+    // (same priority: within-batch lower id = earlier)
+    DedupIndex.buildSemantic(
+      corpus, "vec_id", "embedding", centroids, tau = 0.9, path)
+    val sBoth = ids(DedupIndex.appendSemantic(
+      spark, path, b1.union(b2), "vec_id", "embedding"))
+    assert(sBoth === s1 ++ s2, s"combined append: got $sBoth")
+    // ... and the whole thing equals ONE from-scratch SemDeDup pass
+    // (id order = arrival order by construction)
+    val oneShot = ids(graft.operators.Dedup.semanticDedup(
+      corpus.union(b1).union(b2), "vec_id", "embedding", centroids, 0.9))
+    assert(oneShot === s0 ++ s1 ++ s2, s"one-shot: got $oneShot")
+    // replayed ingest (same batchId) is a marker no-op: index size and
+    // committed output both unchanged
+    wipe()
+    DedupIndex.buildSemantic(
+      corpus, "vec_id", "embedding", centroids, tau = 0.9, path)
+    val out = "/tmp/graft_dedupidx_sem_spec_out"
+    DedupIndex.ingestSemanticBatch(
+      spark, path, out, b1, 0L, "vec_id", "embedding")
+    val nVecs = spark.read.parquet(s"$path/sem_vecs").count()
+    val out1 = ids(spark.read.parquet(out))
+    DedupIndex.ingestSemanticBatch(
+      spark, path, out, b1, 0L, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$path/sem_vecs").count() === nVecs,
+      "replayed ingest must not re-absorb")
+    assert(ids(spark.read.parquet(out)) === out1)
+    assert(out1 === Set(11L))
+    // tombstoned meta gates the probe path: no sem_meta → loud failure
+    val mp = new org.apache.hadoop.fs.Path(s"$path/sem_meta")
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mp, true)
+    intercept[Exception] {
+      DedupIndex.appendSemantic(spark, path, b2, "vec_id", "embedding")
+    }
+  }
 }
