@@ -1979,6 +1979,20 @@ object SparkEntry {
     TextAnalysis.frequentNgrams(docs(s, dir), "doc_id", "text",
       n = 3, minCount = 5L)
 
+  /** CMS-prefiltered heavy hitters. The sketch is deliberately
+    * UNDERSIZED (width 64 against tens of thousands of gram
+    * occurrences), so the prefilter is collision-saturated and every
+    * gram rides through to the exact confirmation aggregate — proving
+    * the exact stage is load-bearing for the hash match (the
+    * `decontaminate_bloom` adversarial-sizing pattern); the
+    * adequately-sized pruning case is spec-pinned. Oracle = the exact
+    * [[TextAnalysis.frequentNgrams]] semantics: the sketch never
+    * changes the answer, only the shuffle size.
+    */
+  private def heavyHittersQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.frequentNgramsSketched(docs(s, dir), "doc_id", "text",
+      n = 2, minCount = 8L, depth = 4, width = 64)
+
   /** Streaming decontamination, gated against the batch oracle: the
     * filter is stateless, so the AvailableNow pass emits exactly the
     * batch decontaminate survivor set.
@@ -3927,6 +3941,7 @@ object SparkEntry {
     "ann_index_append" -> (annIndexAppendQ _),
     "group_topk"       -> (groupTopKQ _),
     "ngram_freq"       -> (ngramFreqQ _),
+    "heavy_hitters"    -> (heavyHittersQ _),
     "streaming_decontaminate" -> (streamingDecontaminateQ _),
     "skew_join"        -> (skewJoinQ _),
     "text_stats"       -> (textStats _),
@@ -5497,6 +5512,21 @@ object SparkEntry {
          SELECT ngram, CAST(sum(tf) AS BIGINT) AS term_freq,
            count(*) AS doc_freq
          FROM d GROUP BY 1 HAVING sum(tf) >= 5""",
+    // the CMS prefilter never changes the answer (no false negatives;
+    // false positives die in the exact confirm) — the oracle is the
+    // exact bigram heavy-hitter count
+    "heavy_hitters" ->
+      """WITH w AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest([array_to_string(ws[i:i+1], ' ')
+               for i in range(1, len(ws))]) AS ngram
+           FROM w WHERE len(ws) >= 2),
+         d AS (SELECT ngram, doc_id, count(*) AS tf FROM g GROUP BY 1, 2)
+         SELECT ngram, CAST(sum(tf) AS BIGINT) AS term_freq,
+           count(*) AS doc_freq
+         FROM d GROUP BY 1 HAVING sum(tf) >= 8""",
     "skew_join" ->
       """SELECT l_orderkey AS okey, l_quantity, o_totalprice
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",

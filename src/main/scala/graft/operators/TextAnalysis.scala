@@ -972,4 +972,58 @@ object TextAnalysis {
         count(lit(1)).as("doc_freq"))
       .filter(col("term_freq") >= minCount)
   }
+
+  /** [[frequentNgrams]] with a Count-Min prefilter (Cormode &
+    * Muthukrishnan 2005) — the heavy-hitter shape for corpora whose
+    * DISTINCT n-gram table is itself too large to shuffle: pass 1 folds
+    * the gram stream into a `depth × width` CMS counter table (ONE
+    * partial-aggregable pass collapsing map-side to ≤ depth·width rows
+    * per partition, ≤ depth·width rows collected — the
+    * [[graft.operators.Dedup.buildGramBloom]] bounded-driver-state
+    * pattern); pass 2 re-streams the grams through a scan-time
+    * [[graft.functions.CmsPrefilterExpr]] filter and runs the exact
+    * (tf, df) aggregate ONLY over survivors. A CMS never
+    * underestimates, so the prefilter has NO false negatives: the
+    * result is bit-identical to [[frequentNgrams]] for ANY sketch size
+    * (the `heavy_hitters` gate shares the exact form's oracle), while
+    * both corpus-scale shuffles shrink from every-distinct-gram to
+    * hot-plus-false-positive grams. False positives cost exact-count
+    * shuffle rows, never wrong output; the over-count is ≤ ~e·N/width
+    * w.p. 1-e^-depth (N = total gram occurrences), so size `width`
+    * against `minCount·ε` for a `minCount = φ·N` heavy-hitter cut.
+    *
+    * The gram stream is recomputed for pass 2 (two source scans) — at
+    * corpus scale a second columnar scan is cheap against
+    * materializing a grams table the size of the corpus.
+    */
+  def frequentNgramsSketched(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minCount: Long = 10L,
+      depth: Int = 4,
+      width: Int = 1 << 14): DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val grams = docs.select(col(idCol).as("__doc"),
+        explode(toColumn(graft.functions.NgramsExpr(
+          toExpression(col(textCol)), n))).as("ngram"))
+    val counterRows = graft.operators.Sketches
+      .cmsCounters(grams, col("ngram"), depth, width).collect()
+    val arr = new Array[Long](depth * width)
+    counterRows.foreach { r =>
+      arr(r.getAs[Int]("row") * width + r.getAs[Long]("bucket").toInt) =
+        r.getAs[Long]("cnt")
+    }
+    grams
+      .filter(toColumn(graft.functions.CmsPrefilterExpr(
+        toExpression(col("ngram")), arr, depth, width, minCount)))
+      .groupBy(col("ngram"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__tf")).as("term_freq"),
+        count(lit(1)).as("doc_freq"))
+      .filter(col("term_freq") >= minCount)
+  }
 }

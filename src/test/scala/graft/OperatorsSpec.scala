@@ -3522,6 +3522,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 
+  test("frequentNgramsSketched equals the exact form for any sketch" +
+      " size, and an adequately-sized prefilter really prunes") {
+    import graft.functions.CmsPrefilterExpr
+    import graft.operators.Sketches
+    val d = Seq(
+      (0L, "x y x y x y x y x y"),     // "x y" ×5, "y x" ×4
+      (1L, "x y q r"),                 // one more "x y"
+      (2L, "a b c d e f g h"),         // singletons
+      (3L, "x y")                      // one more "x y"
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val exact = rows(TextAnalysis.frequentNgrams(
+      d, "doc_id", "text", n = 2, minCount = 4L))
+    assert(exact.map(_._1) === Set("x y", "y x"))
+    // collision-saturated (width 16) and roomy (width 4096) sketches
+    // both reproduce the exact answer — the prefilter is transparent
+    for (w <- Seq(16, 4096))
+      assert(rows(TextAnalysis.frequentNgramsSketched(
+        d, "doc_id", "text", n = 2, minCount = 4L, width = w)) === exact,
+        s"width $w diverged from the exact heavy-hitter set")
+    // pruning, observed directly on the expression: with a roomy sketch
+    // every true-heavy gram passes (no false negatives, guaranteed) and
+    // ALMOST every singleton is pruned (collisions permitting)
+    import org.apache.spark.sql.GraftColumnCompat.{toColumn => tc,
+      toExpression => te}
+    val grams = d.select(explode(tc(graft.functions.NgramsExpr(
+      te(col("text")), 2))).as("ngram"))
+    val counters = Sketches.cmsCounters(grams, col("ngram"), 4, 4096)
+      .collect()
+    val arr = new Array[Long](4 * 4096)
+    counters.foreach { r =>
+      arr(r.getInt(0) * 4096 + r.getLong(1).toInt) = r.getLong(2)
+    }
+    val kept = grams.distinct().filter(tc(CmsPrefilterExpr(
+        te(col("ngram")), arr, 4, 4096, 4L)))
+      .collect().map(_.getString(0)).toSet
+    assert(Set("x y", "y x").subsetOf(kept), "true heavy hitters pruned")
+    assert(kept.size < 6,
+      s"roomy sketch should prune most singleton grams, kept $kept")
+  }
+
   test("DedupIndex semantic: appends telescope to the from-scratch" +
       " SemDeDup run, dropped vectors still shadow later arrivals, and" +
       " replayed ingests are no-ops") {
