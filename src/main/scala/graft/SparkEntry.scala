@@ -869,6 +869,64 @@ object SparkEntry {
       .registers.select(col("bucket"), col("max_rank"))
   }
 
+  /** Per-group quantile summary gate: p25/50/75 of doc length per
+    * language, estimated from the k-per-group bottom-k sample — the
+    * oracle replays the hash ranking and interpolates over the same
+    * sample rows.
+    */
+  private def sketchQuantileQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.quantileEstimateBy(
+      graft.operators.Sketches.quantileSummaryBy(
+        docs(s, dir), "doc_id", "n_chars", "lang", k = 64),
+      "lang", "n_chars")
+
+  /** Quantile-summary artifact merge gate: build on the even half,
+    * fold the odd half in, and the loaded epoch's estimates must equal
+    * the from-scratch sample's — bottom-k(A ∪ B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)) per group, so the oracle is
+    * [[sketchQuantileQ]]'s, shared verbatim.
+    */
+  private def sketchQuantileMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_qtl_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val d = docs(s, dir)
+    graft.operators.Sketches.writeQuantile(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "n_chars", "lang",
+      path, k = 64)
+    graft.operators.Sketches.appendQuantile(
+      d.filter(col("doc_id") % 2 =!= 0), "doc_id", "n_chars", "lang", path)
+    val loaded = graft.operators.Sketches.loadQuantile(s, path)
+    require(loaded.k == 64, "quantile meta must round-trip")
+    graft.operators.Sketches.quantileEstimateBy(
+      loaded.rows, "lang", "n_chars")
+  }
+
+  /** Streaming quantile-summary ingestion: the document stream drains
+    * through foreachBatch → appendQuantile (replay-safe by the
+    * arrival-priority anti-join — no marker protocol), and the
+    * committed sample's estimates must equal the batch run's — oracle
+    * shared verbatim (the per-group bottom-k law is micro-batching
+    * invariant).
+    */
+  private def streamingQuantileQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_qtl_stream_${Integer.toHexString(dir.hashCode)}"
+    val ckpt = s"/tmp/graft_qtl_ckpt_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    graft.operators.Sketches.quantileIngestStream(
+        docStream(s, dir), "doc_id", "n_chars", "lang", path, k = 64)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    graft.operators.Sketches.quantileEstimateBy(
+      graft.operators.Sketches.loadQuantile(s, path).rows,
+      "lang", "n_chars")
+  }
+
   private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
@@ -3071,6 +3129,23 @@ object SparkEntry {
     * gates REUSE it verbatim — bottom-k(A ∪ B) = bottom-k(bottom-k(A)
     * ∪ bottom-k(B)) makes the result split/batching-invariant.
     */
+  /** Shared oracle for the quantile-summary gates: per-language
+    * bottom-64 rows by the id-hash order (the [[dkBottomK]] ranking,
+    * partitioned by group), then `quantile_cont` interpolation over the
+    * sample — the same interpolation Spark's `percentile` uses.
+    */
+  private val dkQuantileSketch: String =
+    s"""WITH h AS (SELECT lang, n_chars,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+       r AS (SELECT lang, n_chars, row_number() OVER (PARTITION BY lang
+           ORDER BY hh % 4503599627370496, hh) AS rk FROM h),
+       sm AS (SELECT lang, n_chars FROM r WHERE rk <= 64)
+       SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS p25,
+         round(quantile_cont(n_chars, 0.5), 6) AS p50,
+         round(quantile_cont(n_chars, 0.75), 6) AS p75,
+         count(*) AS n_sample
+       FROM sm GROUP BY 1"""
+
   private val dkBottomK: String =
     s"""SELECT doc_id, lang, source, sample_rank FROM (
            SELECT doc_id, lang, source, CAST(row_number() OVER (
@@ -3892,6 +3967,9 @@ object SparkEntry {
     "streaming_sample_index" -> (streamingSampleIndexQ _),
     "sketch_hll_merge"    -> (sketchHllMergeQ _),
     "streaming_sketch"    -> (streamingSketchQ _),
+    "sketch_quantile"     -> (sketchQuantileQ _),
+    "sketch_quantile_merge" -> (sketchQuantileMergeQ _),
+    "streaming_quantile"  -> (streamingQuantileQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
     "url_normalize"    -> (urlNormalizeQ _),
@@ -4522,6 +4600,11 @@ object SparkEntry {
          UNION ALL SELECT metric, value FROM byg""",
     "sketch_hll_merge" -> dkHllRegisters,
     "streaming_sketch" -> dkHllRegisters,
+    "sketch_quantile" -> dkQuantileSketch,
+    // per-group bottom-k telescopes across any split/micro-batching —
+    // both artifact gates share the from-scratch oracle verbatim
+    "sketch_quantile_merge" -> dkQuantileSketch,
+    "streaming_quantile" -> dkQuantileSketch,
     "sketch_hll_grouped" ->
       s"""WITH h AS (SELECT source, ${dkHash("text")} AS h
              FROM documents WHERE text IS NOT NULL),

@@ -605,4 +605,155 @@ object Sketches {
         ingestCmsBatch(batch, value, path, batchId, depth, width, weight)
     }
   }
+
+  // ------------------------------------------------------------------
+  // Mergeable quantile summaries (bottom-k uniform sample; Cohen &
+  // Kaplan 2007's bottom-k sketch carrying a VALUE payload)
+  // ------------------------------------------------------------------
+  //
+  // The third leg of the sketch family: HLL answers "how many
+  // distinct", CMS "how often", this answers "how is it DISTRIBUTED" —
+  // per-language/per-source length and score quantiles (the curation
+  // cutoff question) from k rows per group instead of a per-group sort
+  // of the corpus. The summary is the k smallest-id-hash rows of each
+  // group with their values: a uniform without-replacement sample whose
+  // rank-quantile error is O(1/sqrt(k)), DETERMINISTIC (membership is a
+  // pure function of the id, the [[graft.operators.Sampling]] hash
+  // order), and MERGEABLE — bottom-k(A ∪ B) =
+  // bottom-k(bottom-k(A) ∪ bottom-k(B)) per group, so per-batch
+  // summaries fold into a standing artifact at O(batch + groups·k)
+  // without rescanning history, exactly the sample-index law. Unlike
+  // GK/KLL-style compactor sketches, the summary is engine-replayable
+  // row-for-row (no merge-order-dependent compaction state), which is
+  // what lets a SQL oracle pin it.
+  //
+  // Scale shape: selection is [[Sampling.sampleExactPerStratum]]'s
+  // bounded heap — a hot group collapses to ≤ k entries per map task
+  // before the one group-keyed exchange; the estimator sorts ≤ k rows
+  // per group. Nothing corpus-sized is ever sorted.
+
+  /** Per-group quantile summary: the `k` smallest-id-hash rows of each
+    * `groupCol` group with their `valueCol` payload. Output
+    * `(groupCol, idCol, valueCol, sample_rank)`; groups smaller than
+    * `k` keep every row (their estimates are exact). A null group is a
+    * real group.
+    */
+  def quantileSummaryBy(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupCol: String,
+      k: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sel = graft.operators.Sampling
+      .sampleExactPerStratum(df.select(col(groupCol), col(idCol)),
+        idCol, groupCol, k)
+      .select(col(groupCol).as("__qg"), col(idCol).as("__qid"),
+        col("sample_rank"))
+    df.select(col(groupCol), col(idCol), col(valueCol))
+      .join(broadcast(sel),
+        col(groupCol) <=> col("__qg") && col(idCol) === col("__qid"))
+      .select(col(groupCol), col(idCol), col(valueCol), col("sample_rank"))
+  }
+
+  /** Interpolated quantile estimates from a summary: one row per group
+    * with `p25/p50/p75` (the `percentile` interpolation both engines
+    * share — exact over the ≤ k summary rows) and `n_sample`. For
+    * groups smaller than `k` these are the group's EXACT quantiles.
+    */
+  def quantileEstimateBy(
+      summary: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    summary.groupBy(col(groupCol)).agg(
+      round(percentile(col(valueCol), lit(0.25)), 6).as("p25"),
+      round(percentile(col(valueCol), lit(0.5)), 6).as("p50"),
+      round(percentile(col(valueCol), lit(0.75)), 6).as("p75"),
+      count(lit(1)).as("n_sample"))
+
+  private def quantileMeta(
+      spark: SparkSession, idCol: String, valueCol: String,
+      groupCol: String, k: Int, version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((idCol, valueCol, groupCol, k, version))
+      .toDF("id_col", "value_col", "group_col", "k", "version")
+  }
+
+  /** Persist a quantile summary at `path` (epoch 0, the
+    * [[graft.sources.EpochStore]] layout — every crash window leaves a
+    * loadable artifact).
+    */
+  def writeQuantile(
+      df: DataFrame, idCol: String, valueCol: String, groupCol: String,
+      path: String, k: Int = 256): Unit = {
+    require(k > 0, "k must be positive")
+    graft.sources.EpochStore.writeEpoch(df.sparkSession, path,
+      quantileSummaryBy(df, idCol, valueCol, groupCol, k),
+      quantileMeta(df.sparkSession, idCol, valueCol, groupCol, k, 0L), 0L)
+  }
+
+  /** A loaded quantile summary: the sample rows plus the maintained
+    * per-group size.
+    */
+  final case class LoadedQuantile(rows: DataFrame, k: Int)
+
+  def loadQuantile(spark: SparkSession, path: String): LoadedQuantile = {
+    val m = graft.sources.EpochStore.readMeta(spark, path)
+    LoadedQuantile(spark.read.parquet(graft.sources.EpochStore.epochPath(
+      path, m.getAs[Long]("version"))), m.getAs[Int]("k"))
+  }
+
+  /** Fold a batch into the persisted summary: per-group bottom-k of the
+    * BATCH only, unioned with the stored rows and re-selected — ≤
+    * (groups·k + batch's own summary) rows of merge work, history never
+    * rescanned. Ids already present take arrival-order priority (the
+    * anti-join), so replaying a batch is a no-op and streaming
+    * ingestion ([[quantileIngestStream]]) needs no marker protocol.
+    * Initializes an EMPTY `path` (only then does `k` apply — an
+    * existing artifact's own meta governs, the sample-index
+    * convention); id/value/group column mismatches fail loudly.
+    */
+  def appendQuantile(
+      batch: DataFrame, idCol: String, valueCol: String, groupCol: String,
+      path: String, k: Int = 256): Unit = {
+    val spark = batch.sparkSession
+    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
+      graft.sources.EpochStore.requireInitializable(spark, path)
+      writeQuantile(batch, idCol, valueCol, groupCol, path, k); return
+    }
+    val m = graft.sources.EpochStore.readMeta(spark, path)
+    val (idc, vc, gc, kk, v) = (m.getAs[String]("id_col"),
+      m.getAs[String]("value_col"), m.getAs[String]("group_col"),
+      m.getAs[Int]("k"), m.getAs[Long]("version"))
+    require(idc == idCol && vc == valueCol && gc == groupCol,
+      s"quantile summary at $path keys on ($idc, $vc, $gc), " +
+        s"not ($idCol, $valueCol, $groupCol)")
+    val stored = spark.read.parquet(
+      graft.sources.EpochStore.epochPath(path, v))
+    val fresh = batch.join(
+      broadcast(stored.select(col(idCol))), Seq(idCol), "left_anti")
+    val merged = quantileSummaryBy(
+      stored.drop("sample_rank")
+        .unionByName(quantileSummaryBy(fresh, idCol, valueCol, gc, kk)
+          .drop("sample_rank")),
+      idCol, valueCol, gc, kk).localCheckpoint()
+    graft.sources.EpochStore.writeEpoch(spark, path, merged,
+      quantileMeta(spark, idc, vc, gc, kk, v + 1L), v + 1L)
+  }
+
+  /** Streaming ingestion: per micro-batch [[appendQuantile]] —
+    * replay-safe without markers (a replayed batch anti-joins away).
+    * Caller starts the returned writer.
+    */
+  def quantileIngestStream(
+      stream: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupCol: String,
+      path: String,
+      k: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendQuantile(batch.toDF(), idCol, valueCol, groupCol, path, k)
+    }
 }

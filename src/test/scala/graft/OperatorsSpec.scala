@@ -3522,6 +3522,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 
+  test("quantile summary: small groups are exact, sampled groups land" +
+      " near truth, appends telescope, replays are no-ops") {
+    import graft.operators.Sketches
+    // group "big": 0..9999 (uniform, true p50 = 4999.5); group "small":
+    // 7 rows — under k, so its estimates must be EXACT
+    val big = spark.range(10000).select(col("id"),
+      lit("big").as("g"), col("id").as("v"))
+    val small = spark.range(7).select((col("id") + 100000L).as("id"),
+      lit("small").as("g"), (col("id") * 10).as("v"))
+    val d = big.union(small)
+    val est = Sketches.quantileEstimateBy(
+        Sketches.quantileSummaryBy(d, "id", "v", "g", k = 400),
+        "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(est("small") === ((15.0, 30.0, 45.0, 7L)),
+      "under-k group must be exact")
+    val (_, p50, _, n) = est("big")
+    assert(n === 400L)
+    // rank error O(1/sqrt(k)): 3 sigma ≈ 3·5000/20 = 750
+    assert(math.abs(p50 - 4999.5) < 750.0,
+      s"sampled median $p50 too far from 4999.5")
+    // artifact: three-way split telescopes to the from-scratch summary
+    val dir = java.nio.file.Files.createTempDirectory("graft_qtl_spec")
+      .toString
+    Sketches.appendQuantile(d.filter(col("id") % 3 === 0), "id", "v", "g",
+      dir, k = 50) // initializes
+    Sketches.appendQuantile(d.filter(col("id") % 3 === 1), "id", "v", "g",
+      dir)
+    Sketches.appendQuantile(d.filter(col("id") % 3 === 2), "id", "v", "g",
+      dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val loaded = Sketches.loadQuantile(spark, dir)
+    assert(loaded.k === 50)
+    val scratch = Sketches.quantileSummaryBy(
+      d.select(col("g"), col("id"), col("v")), "id", "v", "g", 50)
+    assert(rows(loaded.rows.select("g", "id", "v", "sample_rank")) ===
+      rows(scratch.select("g", "id", "v", "sample_rank")),
+      "telescoped summary must equal the from-scratch draw")
+    // replay: same batch again → anti-join empties it → same epoch rows
+    Sketches.appendQuantile(d.filter(col("id") % 3 === 2), "id", "v", "g",
+      dir)
+    assert(rows(Sketches.loadQuantile(spark, dir).rows
+      .select("g", "id", "v", "sample_rank")) ===
+      rows(scratch.select("g", "id", "v", "sample_rank")))
+    // column mismatch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketches.appendQuantile(d, "id", "v", "v", dir)
+    }
+    assert(e.getMessage.contains("keys on"))
+  }
+
   test("frequentNgramsSketched equals the exact form for any sketch" +
       " size, and an adequately-sized prefilter really prunes") {
     import graft.functions.CmsPrefilterExpr
