@@ -1678,6 +1678,34 @@ object SparkEntry {
     * carry the long type fidelity this comparator checks without
     * per-column casts).
     */
+  /** Z-order layout gate: lineitem is rewritten Z-ordered on
+    * (l_orderkey, l_partkey) — the write is load-bearing (the emitted
+    * frame reads back through the new layout) — and each row's Morton
+    * key is recomputed from the read-back table's global stats; the
+    * oracle replays the scaling and the 32-term bit interleave. The
+    * file-pruning effect of the layout (footer min/max disjointness,
+    * point-query file counts) is spec-pinned — range-partitioner
+    * boundaries are sampled and not engine-replayable.
+    */
+  private def layoutZorderQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val path = s"/tmp/graft_zorder_${Integer.toHexString(dir.hashCode)}"
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    Tables.writeZOrdered(l, Seq("l_orderkey", "l_partkey"), path,
+      numFiles = 8)
+    val r = s.read.parquet(path)
+    val stats = r.agg(
+      min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+      min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")))
+      .head()
+    val lanes = Seq(
+      Tables.zorderScale(col("l_orderkey"), stats.getLong(0), stats.getLong(1)),
+      Tables.zorderScale(col("l_partkey"), stats.getLong(2), stats.getLong(3)))
+    r.select(col("l_orderkey"), col("l_linenumber"),
+      Tables.zorderValue(lanes).as("zval"))
+  }
+
   private def sourceRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_srcrt_${Integer.toHexString(dir.hashCode)}"
     val d = docs(s, dir)
@@ -3146,6 +3174,29 @@ object SparkEntry {
          count(*) AS n_sample
        FROM sm GROUP BY 1"""
 
+  /** Z-order oracle: global min/max scaling of both lanes to 16 bits
+    * (exact integer arithmetic — see [[graft.sources.Tables
+    * .zorderScale]]'s exactness bound) and the 32-term Morton bit
+    * interleave, generated term-by-term so Spark and DuckDB can only
+    * agree by construction.
+    */
+  private val dkZorder: String = {
+    val terms = (for {
+      (lane, i) <- Seq("sx", "sy").zipWithIndex
+      b <- 0 until 16
+    } yield s"((($lane >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+    s"""WITH st AS (SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+           min(CAST(l_partkey AS BIGINT)) AS mnp,
+           max(CAST(l_partkey AS BIGINT)) AS mxp FROM lineitem),
+       sc AS (SELECT l_orderkey, l_linenumber,
+           ((l_orderkey - mno) * 65535) // greatest(1, mxo - mno) AS sx,
+           ((CAST(l_partkey AS BIGINT) - mnp) * 65535)
+             // greatest(1, mxp - mnp) AS sy
+         FROM lineitem, st)
+       SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
+       FROM sc"""
+  }
+
   private val dkBottomK: String =
     s"""SELECT doc_id, lang, source, sample_rank FROM (
            SELECT doc_id, lang, source, CAST(row_number() OVER (
@@ -3994,6 +4045,7 @@ object SparkEntry {
     "langid_train"     -> (langidTrainQ _),
     "langid_score"     -> (langidScoreQ _),
     "source_roundtrip" -> (sourceRoundtripQ _),
+    "layout_zorder"    -> (layoutZorderQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
@@ -5306,6 +5358,7 @@ object SparkEntry {
          SELECT lang, gram, cnt FROM m""",
     "source_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "layout_zorder" -> dkZorder,
     "langid_score" ->
       s"""$langidModelCtes,
          tot AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tot

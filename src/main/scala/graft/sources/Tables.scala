@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft, shiftright}
 
 /** Source/sink helpers. The reference has no I/O layer at all (tables
   * arrive as in-memory pandas objects — SURVEY §2.1); on Spark the engine
@@ -125,4 +126,86 @@ object Tables {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Morton (Z-order) interleave of pre-scaled integer lanes — the
+    * multi-dimensional clustering key behind lake-layout OPTIMIZE
+    * ZORDER (Morton 1966; the Delta/Iceberg data-skipping practice):
+    * rows close in EVERY lane land close in z-value, so range-sorting
+    * by it co-locates multi-column neighborhoods and parquet min/max
+    * footer stats prune file scans for predicates on ANY prefix-free
+    * subset of the lanes (a single-column sort skips only its leading
+    * column). Each lane must already be in `[0, 2^bits)` — see
+    * [[zorderScale]]; bit `b` of lane `i` lands at z-bit
+    * `b * lanes + i`, a pure shift/or expression tree (codegen'd,
+    * `bits * lanes` static terms, no UDF).
+    */
+  def zorderValue(lanes: Seq[Column], bits: Int = 16): Column = {
+    require(lanes.size >= 2 && lanes.size <= 4,
+      s"z-order wants 2-4 lanes, got ${lanes.size}")
+    require(bits >= 1 && bits * lanes.size <= 62,
+      s"bits * lanes must fit a positive long, got $bits * ${lanes.size}")
+    val terms = for {
+      (lane, i) <- lanes.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(
+      shiftright(lane.cast("long"), b).bitwiseAND(lit(1L)),
+      b * lanes.size + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Scale a numeric column into the `[0, 2^bits)` lane domain given
+    * its global `(min, max)` — pure LONG arithmetic
+    * (`(v - min) * (2^bits - 1) / (max - min)`, order-preserving,
+    * engine-replayable). Constant columns collapse to lane 0.
+    */
+  def zorderScale(v: Column, mn: Long, mx: Long, bits: Int = 16): Column = {
+    require(mx >= mn, s"max $mx < min $mn")
+    // Spark's long / long is a DOUBLE divide; the cast back to long
+    // still equals exact integer division here because both operands
+    // are exact doubles (the require bounds the numerator under 2^53)
+    // and the quotient's rounding error (~n·2^-52) is far smaller than
+    // the closest a non-integer quotient can sit to an integer (1/den)
+    require(mx - mn <= (1L << (53 - bits)),
+      s"value range ${mx - mn} too wide for exact $bits-bit scaling")
+    ((v.cast("long") - lit(mn)) * lit((1L << bits) - 1) /
+      lit(math.max(1L, mx - mn))).cast("long")
+  }
+
+  /** Rewrite `df` Z-ordered on `zcols` (2-4 numeric columns): scale
+    * each column by its global min/max (ONE tiny all-agg — 2 scalars
+    * per column collected), range-partition by the interleaved z-value
+    * into `numFiles` output files and sort within each — after which
+    * every file's parquet footer carries tight min/max on ALL `zcols`,
+    * so a reader's predicate on any of them prunes whole files. Cost:
+    * the stats pass plus one range exchange with a global-sort's
+    * sampling overhead SKIPPED (range partitioner sampling only — no
+    * per-partition full sort beyond the z key).
+    *
+    * 100 TB shape: this is the background-compaction layout job — the
+    * exchange is corpus-sized but runs once per rewrite window, and
+    * every later multi-dimensional scan pays file-pruned I/O. The
+    * z-value is a transient `__z` column dropped before the write: the
+    * layout is carried by file boundaries + footer stats, not by a
+    * payload column.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      zcols: Seq[String],
+      path: String,
+      numFiles: Int = 32,
+      bits: Int = 16): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val aggs = zcols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val lanes = zcols.zipWithIndex.map { case (c, i) =>
+      zorderScale(col(c), stats.getLong(2 * i), stats.getLong(2 * i + 1),
+        bits)
+    }
+    df.withColumn("__z", zorderValue(lanes, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -3522,6 +3522,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 
+  test("zorderValue interleaves bits; writeZOrdered clusters both lanes" +
+      " so box predicates prune most files") {
+    import graft.sources.Tables
+    // x=5 (101), y=3 (011): z = x0 + 2*y0 + 4*x1 + 8*y1 + 16*x2 = 27
+    val z = spark.range(1).select(Tables.zorderValue(
+      Seq(lit(5L), lit(3L))).as("z")).head().getLong(0)
+    assert(z === 27L)
+    // a 64x64 grid written z-ordered into 16 files: a 8x8 box predicate
+    // must touch a small corner of the files on BOTH axes — the
+    // single-column-sort layout prunes only its leading column
+    val grid = spark.range(64L * 64L).select(
+      (col("id") / 64).cast("long").as("x"),
+      (col("id") % 64).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_z_spec")
+      .toString
+    Tables.writeZOrdered(grid, Seq("x", "y"), s"$dir/z", numFiles = 16)
+    def touched(path: String, c: String): Long = {
+      // files whose [min, max] footer span of column c overlaps [0, 7]
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+      perFile.filter(col("mn") <= 7 && col("mx") >= 0).count()
+    }
+    val nFiles = spark.read.parquet(s"$dir/z")
+      .select(input_file_name()).distinct().count()
+    assert(nFiles >= 8, s"expected ~16 files, got $nFiles")
+    // z-order: both axes prune (the 8x8 corner lives in z range [0, 255]
+    // — at most a couple of the 16 range partitions)
+    assert(touched(s"$dir/z", "x") <= nFiles / 2,
+      "x predicate should prune most z-ordered files")
+    assert(touched(s"$dir/z", "y") <= nFiles / 2,
+      "y predicate should prune most z-ordered files")
+    // contrast: sorted by x only, a y-predicate touches EVERY file
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/xsort")
+    assert(touched(s"$dir/xsort", "y") ===
+      spark.read.parquet(s"$dir/xsort")
+        .select(input_file_name()).distinct().count(),
+      "x-sorted layout cannot prune a y predicate")
+  }
+
   test("quantile summary: small groups are exact, sampled groups land" +
       " near truth, appends telescope, replays are no-ops") {
     import graft.operators.Sketches
