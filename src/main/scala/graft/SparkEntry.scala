@@ -1867,6 +1867,18 @@ object SparkEntry {
       "vec_id", "embedding", k = 5)
   }
 
+  /** Margin-based bitext mining gate: the even/odd vec_id halves stand
+    * in for two language sides; each even vector mines its best-margin
+    * odd partner (Artetxe & Schwenk's ratio margin over top-4
+    * neighborhoods in both directions), kept above threshold 1.0.
+    */
+  private def bitextMineQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.mineBitext(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, threshold = 1.0)
+  }
+
   private def annLshBucketsQ(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBuckets(embs(s, dir), "vec_id", "embedding")
 
@@ -4054,6 +4066,7 @@ object SparkEntry {
     "curate_decon_exact" -> (curateDeconExactQ _),
     "curate_quality"   -> (curateQualityQ _),
     "knn_brute"        -> (knnBrute _),
+    "bitext_mine"      -> (bitextMineQ _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
     "ann_ivf_topk"     -> (annIvfTopKQ _),
@@ -5492,6 +5505,34 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM r WHERE knn_rank <= 5""",
+    "bitext_mine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         s AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+         tt AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+         f AS (SELECT s.vec_id AS sid, tt.vec_id AS tid,
+             round(list_cosine_similarity(s.vd, tt.vd), 6) AS cs,
+             row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY round(list_cosine_similarity(s.vd, tt.vd), 6) DESC,
+                        tt.vec_id) AS rk
+           FROM s, tt),
+         b AS (SELECT tt.vec_id AS tid, s.vec_id AS sid,
+             round(list_cosine_similarity(s.vd, tt.vd), 6) AS cs,
+             row_number() OVER (PARTITION BY tt.vec_id
+               ORDER BY round(list_cosine_similarity(s.vd, tt.vd), 6) DESC,
+                        s.vec_id) AS rk
+           FROM s, tt),
+         fm AS (SELECT sid, round(sum(cs), 6) / count(*) AS m
+           FROM f WHERE rk <= 4 GROUP BY 1),
+         bm AS (SELECT tid, round(sum(cs), 6) / count(*) AS m
+           FROM b WHERE rk <= 4 GROUP BY 1),
+         c AS (SELECT f.sid, f.tid, f.cs,
+             round(f.cs * 2 / (fm.m + bm.m), 6) AS margin
+           FROM f JOIN fm USING (sid) JOIN bm USING (tid)
+           WHERE f.rk <= 4),
+         r AS (SELECT *, row_number() OVER (PARTITION BY sid
+             ORDER BY margin DESC, tid) AS rn FROM c)
+         SELECT sid AS src_id, tid AS tgt_id, cs AS cos_sim, margin
+         FROM r WHERE rn = 1 AND margin >= 1.0""",
     "ann_lsh_buckets" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
          SELECT vec_id, CAST($dkLshBucketExpr AS BIGINT) AS bucket FROM v""",

@@ -799,4 +799,87 @@ object Similarity {
     scored.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+  // parallel corpus mining with multilingual sentence embeddings" —
+  // the CCMatrix/CCAligned recipe)
+  // ------------------------------------------------------------------
+
+  /** The margin layer over two precomputed kNN tables — retrieval is
+    * PLUGGABLE: `fwd` holds each source row's top-k targets, `bwd` each
+    * target's top-k sources, both in the engine's kNN schema
+    * `(query_id, neighbor_id, cos_sim, knn_rank)` from ANY retrieval
+    * path ([[knnBruteForce]]-shaped scoring, [[ivfTopK]], or the PQ
+    * forms at corpus scale). The raw cosine of a candidate pair is
+    * normalized by its NEIGHBORHOOD — `margin = 2·cos(x,y) /
+    * (mean_k(x→·) + mean_k(·→y))`, the paper's "ratio" margin — which
+    * suppresses hubness (a target that is everyone's near-neighbor has
+    * a high backward mean and wins no margins). Each source keeps its
+    * best-margin candidate (ties: smallest target id) when the margin
+    * clears `threshold` (the paper's mined-pair cut, ~1.0-1.2).
+    *
+    * Scale shape: two ≤ k-row-per-element mean aggregates
+    * (partial-aggregable) and two id-keyed linear joins — everything
+    * beyond the kNN retrieval it composes is linear in the candidate
+    * table. The neighborhood mean is computed as `round(sum, 6) / n`:
+    * the true sum of round-6 cosines IS a 6-decimal number, so the
+    * round recovers it exactly and aggregation ORDER can never leak
+    * into the margin comparison across engines (a rounded AVG still
+    * carries the order-dependent last ulp into a tie-breaking round).
+    */
+  def mineBitextFrom(
+      fwd: DataFrame,
+      bwd: DataFrame,
+      threshold: Double = 1.0): DataFrame = {
+    val fm = fwd.groupBy(col("query_id").as("src_id"))
+      .agg((round(sum(col("cos_sim")), 6) / count(lit(1))).as("__fm"))
+    val bm = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg((round(sum(col("cos_sim")), 6) / count(lit(1))).as("__bm"))
+    val cand = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cos_sim"))
+      .join(fm, Seq("src_id"))
+      .join(bm, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_sim"),
+        round(col("cos_sim") * lit(2.0) / (col("__fm") + col("__bm")), 6)
+          .as("margin"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("margin") >= lit(threshold))
+      .drop("__rn")
+  }
+
+  /** Brute-force bitext mining between two embedding sets (e.g. two
+    * language sides of a crawl snapshot): exact top-k in both
+    * directions — the query side of each pass broadcasts, so both
+    * sides must fit the [[knnBruteForce]] broadcast budget; at corpus
+    * scale run [[ivfTopK]] (or the PQ forms) for both directions and
+    * feed [[mineBitextFrom]] directly. Unlike [[knnBruteForce]] there
+    * is no same-id exclusion: the sides are distinct collections, and
+    * an id appearing in both names two different rows.
+    */
+  def mineBitext(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    def sideKnn(q: DataFrame, c: DataFrame): DataFrame = {
+      val qq = broadcast(q.select(
+        col(idCol).as("query_id"), col(vecCol).as("__qv")))
+      val cc = Spread.ifNarrow(c.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        col("neighbor_id"))
+      val scored = qq.join(cc)
+        .select(col("query_id"), col("neighbor_id"),
+          cosineFast(col("__qv"), col("__cv")).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("knn_rank", row_number().over(w))
+        .filter(col("knn_rank") <= k)
+    }
+    mineBitextFrom(sideKnn(src, tgt), sideKnn(tgt, src), threshold)
+  }
 }

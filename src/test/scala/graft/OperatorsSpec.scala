@@ -3522,6 +3522,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 
+  test("mineBitext: the ratio margin beats raw cosine on hub targets" +
+      " and the threshold gates weak pairs") {
+    // hub h is COSINE-closest to s1 (0.805 > 0.780) but near everything,
+    // so its high backward mean kills its margin; the true pair t1 wins
+    val src = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // s1
+      (2L, Array(0.0f, 1.0f, 0.0f)))   // s2
+      .toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Array(0.78f, 0.0f, 0.62f)), // t1: aligned with s1 only
+      (11L, Array(0.8f, 0.59f, 0.0f)))  // hub: near both sources
+      .toDF("vec_id", "embedding")
+    def mined(th: Double) = Similarity.mineBitext(
+        src, tgt, "vec_id", "embedding", k = 2, threshold = th)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // raw-cosine argmax for s1 would be the hub — margin picks t1
+    val strict = mined(1.2)
+    assert(strict === Map(1L -> 10L),
+      s"s1 must mine t1 (margin ~1.32 vs hub ~1.08), s2's best is" +
+        s" sub-threshold (~1.19); got $strict")
+    val loose = mined(1.0)
+    assert(loose === Map(1L -> 10L, 2L -> 11L))
+  }
+
   test("zorderValue interleaves bits; writeZOrdered clusters both lanes" +
       " so box predicates prune most files") {
     import graft.sources.Tables
