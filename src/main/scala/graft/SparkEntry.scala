@@ -1234,6 +1234,30 @@ object SparkEntry {
     * www, default port, utm/fbclid params, and a fragment all normalize
     * away; the id param survives re-anchored to `?`.
     */
+  /** Synthetic crawl URL for the domain gates: 40 hosts derived from
+    * the doc id (the [[urlNormalizeQ]] synthesis pattern).
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column =
+    concat(lit("https://www.Site"), (col("doc_id") % 40).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"))
+
+  private def domainReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.domainReport(
+      docs(s, dir).withColumn("url", syntheticUrl), "url", "text")
+
+  /** Domain-gated curation: blocklist drops two hosts, the per-host cap
+    * keeps the 8 smallest-id-hash docs of each surviving host (both
+    * BEFORE the length gate — the RefinedWeb stage order), then the
+    * standard length gate → exact dedup → split chain runs. The oracle
+    * replays every stage.
+    */
+  private def curateDomainsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.curate(
+      docs(s, dir).withColumn("url", syntheticUrl), "doc_id", "text",
+      urlCol = "url", blockedHosts = Seq("site3.com", "site17.com"),
+      maxDocsPerHost = 8, minChars = 250, maxChars = 100000)
+      .select(col("doc_id"), col("split"))
+
   private def urlNormalizeQ(s: SparkSession, dir: String): DataFrame = {
     val raw = concat(
       lit("HTTPS://WWW.Example"), (col("doc_id") % 50).cast("string"),
@@ -4036,6 +4060,8 @@ object SparkEntry {
     "chunk_tokens"     -> (chunkTokensQ _),
     "pii_scrub"        -> (piiScrubQ _),
     "url_normalize"    -> (urlNormalizeQ _),
+    "domain_report"    -> (domainReportQ _),
+    "curate_domains"   -> (curateDomainsQ _),
     "quantize_int8"    -> (quantizeQ _),
     "asof_join"        -> (asofJoinQ _),
     "range_join"       -> (rangeJoinQ _),
@@ -5372,6 +5398,34 @@ object SparkEntry {
     "source_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "layout_zorder" -> dkZorder,
+    "domain_report" ->
+      """WITH r AS (SELECT doc_id, length(text) AS len,
+           'site' || (doc_id % 40) || '.com' AS host FROM documents),
+         a AS (SELECT host, count(*) AS n_docs,
+             CAST(sum(len) AS BIGINT) AS n_chars FROM r GROUP BY 1)
+         SELECT host, n_docs, n_chars,
+           round(n_docs / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM a), 6)
+             AS doc_share
+         FROM a""",
+    "curate_domains" ->
+      s"""WITH u AS (SELECT doc_id, text, doc_id % 40 AS site
+           FROM documents),
+         nb AS (SELECT * FROM u WHERE site <> 3 AND site <> 17),
+         hk AS (SELECT doc_id, text, site,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM nb),
+         rk AS (SELECT doc_id, text, row_number() OVER (
+             PARTITION BY site ORDER BY h % 4503599627370496, h) AS rn
+           FROM hk),
+         cap AS (SELECT doc_id, text FROM rk WHERE rn <= 8),
+         lg AS (SELECT doc_id, text FROM cap
+           WHERE length(text) >= 250 AND length(text) <= 100000),
+         ex AS (SELECT min(doc_id) AS doc_id FROM lg
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+         SELECT doc_id,
+           CASE WHEN h < 800000 THEN 'train'
+                WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM ex)""",
     "langid_score" ->
       s"""$langidModelCtes,
          tot AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tot

@@ -67,6 +67,9 @@ object Pipeline {
       textCol: String,
       probe: Option[DataFrame] = None,
       htmlInput: Boolean = false,
+      urlCol: String = "",
+      blockedHosts: Seq[String] = Nil,
+      maxDocsPerHost: Int = 0,
       minChars: Int = 1,
       maxChars: Int = Int.MaxValue,
       qualityFilter: Boolean = false,
@@ -104,12 +107,44 @@ object Pipeline {
     def snap(name: String, f: DataFrame): Unit =
       stageFrames.foreach(_ += name -> f)
     snap("input", docs)
+    // stage -1: URL/domain gating before anything reads the TEXT (the
+    // RefinedWeb §3.1 order — document-level URL rules are the
+    // cheapest gate a crawl pipeline has, so blocked sites pay for
+    // nothing downstream): a blocklisted registered host (or any
+    // subdomain of one) drops, then an optional per-host cap keeps the
+    // `maxDocsPerHost` smallest-id-hash docs of each host — the
+    // deterministic per-site quota that stops a single domain
+    // dominating the mix, selected by the bounded-heap
+    // [[Sampling.sampleExactPerStratum]] so a hot host collapses to
+    // ≤ cap entries per map task, never a skewed sort.
+    var pre = docs
+    if (blockedHosts.nonEmpty || maxDocsPerHost > 0) {
+      require(urlCol.nonEmpty,
+        "domain gating (blockedHosts/maxDocsPerHost) needs urlCol")
+      val host = TextAnalysis.urlHost(col(urlCol))
+      if (blockedHosts.nonEmpty) {
+        val hit = blockedHosts.map(_.toLowerCase)
+          .foldLeft(lit(false)) { (acc, b) =>
+            acc || host === lit(b) || host.endsWith(lit("." + b))
+          }
+        pre = pre.filter(!hit)
+        snap("domain_blocklist", pre)
+      }
+      if (maxDocsPerHost > 0) {
+        val keep = Sampling.sampleExactPerStratum(
+            pre.select(col(idCol), host.as("__host")), idCol, "__host",
+            maxDocsPerHost)
+          .select(col(idCol))
+        pre = pre.join(keep, Seq(idCol), "left_semi")
+        snap("domain_cap", pre)
+      }
+    }
     val len = length(col(textCol))
     // stage 0: markup → prose before anything reads the text (the
     // length gate below must measure content, not tags)
     val src = if (htmlInput)
-      docs.withColumn(textCol, TextAnalysis.extractHtmlText(col(textCol)))
-    else docs
+      pre.withColumn(textCol, TextAnalysis.extractHtmlText(col(textCol)))
+    else pre
     var d = src.filter(len >= minChars && len <= maxChars)
     snap("length_gate", d)
     // quality gating right after the length gate: a pure per-row
@@ -344,6 +379,27 @@ object Pipeline {
         .select(lit(i).as("stage_order"), lit(name).as("stage"),
           col("n_rows"))
     }.reduce(_ union _)
+  }
+
+  /** Per-domain corpus accounting — the per-site table behind
+    * [[curate]]'s domain gates (which hosts dominate, which to
+    * blocklist, where a per-host cap would bite): one row per
+    * registered host ([[TextAnalysis.urlHost]]) with its doc count,
+    * character mass, and share of the corpus. One partial-aggregable
+    * pass; the share window runs over host-TYPE rows (bounded by the
+    * web's registered-domain count), never corpus rows.
+    */
+  def domainReport(
+      docs: DataFrame, urlCol: String, textCol: String): DataFrame = {
+    val perHost = docs
+      .select(TextAnalysis.urlHost(col(urlCol)).as("host"),
+        length(col(textCol)).cast("long").as("__len"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perHost.select(col("host"), col("n_docs"), col("n_chars"),
+      round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(w), 6).as("doc_share"))
   }
 
   /** [[curate]]'s INGEST-TIME sibling: the same stage order, composed

@@ -3522,6 +3522,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 
+  test("curate domain gates: blocklist catches subdomains, blocked docs" +
+      " never consume cap slots, and the cap is deterministic") {
+    import graft.operators.Pipeline
+    val d = Seq(
+      (0L, "https://www.bad.com/a", "good content here", "keepish"),
+      (1L, "https://cdn.bad.com/b", "subdomain of blocked", "x"),
+      (2L, "https://notbad.com/c", "similar-SUFFIX host is NOT blocked", "x"),
+      (3L, "https://ok.org/1", "aaa", "x"),
+      (4L, "https://ok.org/2", "bbb", "x"),
+      (5L, "https://ok.org/3", "ccc", "x"),
+      (6L, "https://solo.net/1", "ddd", "x")
+    ).toDF("doc_id", "url", "text", "extra")
+    val out = Pipeline.curate(d, "doc_id", "text",
+        urlCol = "url", blockedHosts = Seq("bad.com"), maxDocsPerHost = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // bad.com and cdn.bad.com drop; notbad.com survives (suffix is not
+    // subdomain); ok.org keeps only its 2 smallest-hash docs; solo.net
+    // keeps its one
+    assert(!out.contains(0L) && !out.contains(1L))
+    assert(out.contains(2L) && out.contains(6L))
+    assert(out.count(Set(3L, 4L, 5L)) === 2,
+      s"ok.org must keep exactly 2 of its 3 docs, got $out")
+    // deterministic: same input, same kept set
+    val again = Pipeline.curate(d, "doc_id", "text",
+        urlCol = "url", blockedHosts = Seq("bad.com"), maxDocsPerHost = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out)
+    // funnel sees both domain stages, in order, before the length gate
+    val stages = scala.collection.mutable.Buffer
+      .empty[(String, org.apache.spark.sql.DataFrame)]
+    Pipeline.curate(d, "doc_id", "text", urlCol = "url",
+      blockedHosts = Seq("bad.com"), maxDocsPerHost = 2,
+      stageFrames = Some(stages))
+    assert(stages.map(_._1).take(4) ===
+      Seq("input", "domain_blocklist", "domain_cap", "length_gate"))
+  }
+
   test("mineBitext: the ratio margin beats raw cosine on hub targets" +
       " and the threshold gates weak pairs") {
     // hub h is COSINE-closest to s1 (0.805 > 0.780) but near everything,
