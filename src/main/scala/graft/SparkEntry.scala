@@ -927,6 +927,41 @@ object SparkEntry {
       "lang", "n_chars")
   }
 
+  /** Dataset-release gate: documents published as 8 content-addressed
+    * gzip JSONL shards with a per-shard manifest (docs, chars,
+    * order-independent XOR checksum), read back, audited
+    * (validateRelease must return zero disagreements — the JSONL
+    * round-trip is load-bearing for the emitted manifest), and the
+    * manifest hash-matched against an oracle recomputing every stat.
+    */
+  private def releaseManifestQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"/tmp/graft_release_${Integer.toHexString(dir.hashCode)}"
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    graft.sources.Release.writeRelease(d, "doc_id", "text", path,
+      nShards = 8)
+    val loaded = graft.sources.Release.loadRelease(s, path,
+      StructType(d.schema.fields :+ StructField("shard", LongType)))
+    require(graft.sources.Release
+        .validateRelease(loaded, "doc_id", "text").isEmpty,
+      "published manifest must verify against the shipped shards")
+    loaded.manifest
+  }
+
+  /** Cross-source duplication matrix gate: every fifth doc's text is
+    * replaced by one of 37 shared blocks, so sources overlap by
+    * construction; the oracle replays the plant, the distinct
+    * (hash, source) fold, the pair counts, and all three ratios.
+    */
+  private def dedupOverlapMatrixQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(
+      when(col("doc_id") % 5 === 0,
+        concat(lit("shared block number "), (col("doc_id") % 37).cast("string")))
+        .otherwise(col("text")).as("text"),
+      col("source"))
+    Dedup.sourceOverlapMatrix(planted, "text", "source")
+  }
+
   private def dedupDropNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.dropNearDuplicates(d.select("doc_id", "n_chars"), "doc_id",
@@ -4084,6 +4119,8 @@ object SparkEntry {
     "langid_score"     -> (langidScoreQ _),
     "source_roundtrip" -> (sourceRoundtripQ _),
     "layout_zorder"    -> (layoutZorderQ _),
+    "release_manifest" -> (releaseManifestQ _),
+    "dedup_overlap_matrix" -> (dedupOverlapMatrixQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
     "curate_pipeline"  -> (curatePipelineQ _),
@@ -5398,6 +5435,34 @@ object SparkEntry {
     "source_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "layout_zorder" -> dkZorder,
+    "release_manifest" ->
+      s"""WITH h AS (SELECT doc_id, text,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+           ${dkHash("CAST(doc_id AS VARCHAR) || ':' || text")} AS dh
+         FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           bit_xor(dh) AS checksum
+         FROM h GROUP BY 1""",
+    "dedup_overlap_matrix" ->
+      """WITH p AS (SELECT CASE WHEN doc_id % 5 = 0
+             THEN 'shared block number ' || (doc_id % 37)
+             ELSE text END AS text, source FROM documents),
+         hs AS (SELECT DISTINCT
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             source FROM p),
+         t AS (SELECT source, count(*) AS n FROM hs GROUP BY 1),
+         sh AS (SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared
+           FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source_a, source_b, shared,
+           round(shared / CAST(ta.n + tb.n - shared AS DOUBLE), 6)
+             AS jaccard,
+           round(shared / CAST(ta.n AS DOUBLE), 6) AS containment_a,
+           round(shared / CAST(tb.n AS DOUBLE), 6) AS containment_b
+         FROM sh JOIN t ta ON sh.source_a = ta.source
+           JOIN t tb ON sh.source_b = tb.source""",
     "domain_report" ->
       """WITH r AS (SELECT doc_id, length(text) AS len,
            'site' || (doc_id % 40) || '.com' AS host FROM documents),

@@ -50,6 +50,51 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Cross-source duplication matrix — the EXACT counterpart of
+    * [[Sketches.hllOverlapEstimate]]'s snapshot algebra, answering the
+    * provenance question behind every mixing decision ("how much of
+    * source B is already inside source A, and should B's weight pay
+    * for it"): for every unordered source pair, the number of distinct
+    * normalized text hashes present in BOTH, with the Jaccard and
+    * per-side containment ratios the mix planner consumes.
+    *
+    * Scale shape: one corpus-keyed distinct to `(hash, source)` TYPE
+    * rows (partial-aggregable — a hash duplicated a million times
+    * within one source collapses map-side), then a per-hash fold to
+    * its DISTINCT source set; pair fan-out is bounded by
+    * |sources|²/2 PER HASH (sources number in the tens, and a hash in
+    * one source fans out zero pairs), never by duplicate volume. The
+    * per-source totals ride a broadcast join onto the
+    * |sources|²-bounded pair table.
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val hs = docs.select(normalizedHash(col(textCol)).as("__h"),
+        col(sourceCol).as("__src"))
+      .distinct()
+    val totals = hs.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val a = hs.as("a"); val b = hs.as("b")
+    val shared = a.join(b,
+        col("a.__h") === col("b.__h") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(totals.select(col("__src").as("source_a"),
+        col("__n").as("__na"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("__src").as("source_b"),
+        col("__n").as("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("__na") + col("__nb") - col("shared")), 6).as("jaccard"),
+        round(col("shared").cast("double") / col("__na"), 6)
+          .as("containment_a"),
+        round(col("shared").cast("double") / col("__nb"), 6)
+          .as("containment_b"))
+  }
+
   /** Per-document MinHash signature (`numHashes` components over word
     * `shingleN`-gram shingles). The whole signature is one native pass
     * ([[graft.functions.MinHashSigsExpr]]); the per-component columns

@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash60
+
+/** Dataset release sink — the "publish a corpus snapshot" step at the
+  * end of a curation pipeline (the HuggingFace/RedPajama distribution
+  * shape): content-addressed gzip JSONL shards plus a MANIFEST the
+  * consumer can audit without trusting the transport. The reference has
+  * no I/O surface at all; this is the publication twin of the trainer
+  * sinks ([[Packs]] feeds a trainer, this feeds the world).
+  *
+  * Layout under `path`:
+  *
+  *  - `data/shard=S/`: gzip JSONL of the rows whose
+  *    `hash60(id) mod nShards` is `S` — membership is a pure function
+  *    of the id, so a re-published snapshot shards identically and
+  *    consumers can fetch/verify shards independently;
+  *  - `manifest/`: one row per shard `(shard, n_docs, n_chars,
+  *    checksum)` — the checksum is `bit_xor` over per-doc
+  *    `hash60(id ":" text)`, ORDER-INDEPENDENT (XOR is commutative and
+  *    cannot overflow) so any engine recomputes it from the shard in
+  *    any row order; written LAST after a tombstone delete (the
+  *    [[Packs]] discipline: a crash mid-publish leaves an unloadable
+  *    release, never a manifest describing half-written shards).
+  *
+  * Scale shape: one hash-keyed exchange to co-locate shards (writer
+  * files per shard stay bounded by the repartition), one
+  * partial-aggregable stats pass; nothing driver-sided beyond the
+  * `nShards`-row manifest.
+  */
+object Release {
+
+  private def shardCol(idCol: String, nShards: Int) =
+    pmod(hash60(col(idCol).cast("string")), lit(nShards.toLong))
+
+  private def docHash(idCol: String, textCol: String) =
+    hash60(concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+
+  /** Publish `docs` as a release at `path`. Only `(idCol, textCol)`
+    * plus any other columns of `docs` are written; stats/checksum cover
+    * the id and text (the payload a consumer trains on).
+    */
+  def writeRelease(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      nShards: Int = 16): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = docs.sparkSession
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaDir, true)
+    val sharded = docs.withColumn("shard", shardCol(idCol, nShards))
+    sharded.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip")
+      .json(s"$path/data")
+    // stats from the WRITTEN files, not the input lineage: the manifest
+    // must describe what a consumer will actually read, so a silent
+    // serialization difference (encoding, json escaping) surfaces here
+    // as a checksum mismatch instead of shipping
+    manifestOf(spark.read.schema(sharded.schema).json(s"$path/data"),
+        idCol, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** The per-shard stats frame `(shard, n_docs, n_chars, checksum)` of
+    * a sharded docs frame.
+    */
+  def manifestOf(
+      sharded: DataFrame, idCol: String, textCol: String): DataFrame =
+    sharded
+      .select(col("shard").cast("long").as("shard"),
+        length(col(textCol)).cast("long").as("__len"),
+        docHash(idCol, textCol).as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("n_chars"),
+        expr("bit_xor(__h)").as("checksum"))
+
+  /** A loaded release: the data rows (with their `shard`) plus the
+    * published manifest. Fails when no manifest was committed.
+    */
+  final case class LoadedRelease(rows: DataFrame, manifest: DataFrame)
+
+  def loadRelease(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): LoadedRelease = {
+    val manifest = spark.read.parquet(s"$path/manifest")
+    LoadedRelease(spark.read.schema(schema).json(s"$path/data"), manifest)
+  }
+
+  /** Consumer-side audit: recompute every shard's stats from the data
+    * actually on disk and return the rows that DISAGREE with the
+    * published manifest (empty = the release verifies). Detects
+    * truncated, corrupted, re-encoded, or silently-dropped shards —
+    * including a manifest shard with no data at all (full outer join).
+    */
+  def validateRelease(
+      loaded: LoadedRelease, idCol: String, textCol: String): DataFrame = {
+    val actual = manifestOf(loaded.rows, idCol, textCol)
+      .select(col("shard"), col("n_docs").as("__and"),
+        col("n_chars").as("__anc"), col("checksum").as("__ack"))
+    loaded.manifest.join(actual, Seq("shard"), "full_outer")
+      .filter(!(col("n_docs") <=> col("__and")) ||
+        !(col("n_chars") <=> col("__anc")) ||
+        !(col("checksum") <=> col("__ack")))
+  }
+}

@@ -3522,6 +3522,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 
+  test("release manifest verifies the shipped shards and catches a" +
+      " tampered row") {
+    import graft.sources.Release
+    import org.apache.spark.sql.types._
+    val d = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"),
+      (4L, "epsilon")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_spec")
+      .toString
+    Release.writeRelease(d, "doc_id", "text", dir, nShards = 2)
+    val schema = StructType(d.schema.fields :+ StructField("shard", LongType))
+    val loaded = Release.loadRelease(spark, dir, schema)
+    assert(Release.validateRelease(loaded, "doc_id", "text").isEmpty)
+    assert(loaded.rows.count() === 5)
+    // tamper: swap one doc's text post-publication — same doc count and
+    // LENGTH, so only the checksum can see it
+    val tampered = loaded.copy(rows = loaded.rows.withColumn("text",
+      when(col("doc_id") === 0L, lit("aleph")).otherwise(col("text"))))
+    val bad = Release.validateRelease(tampered, "doc_id", "text")
+    assert(bad.count() === 1, "checksum must flag the tampered shard")
+    // a manifest shard with NO data rows at all is also flagged (full
+    // outer join side)
+    val empty = loaded.copy(rows = loaded.rows.filter(lit(false)))
+    assert(Release.validateRelease(empty, "doc_id", "text").count() === 2)
+  }
+
+  test("sourceOverlapMatrix counts distinct shared hashes with" +
+      " containment ratios; within-source duplicates collapse") {
+    val d = Seq(
+      ("same text", "a"), ("same  TEXT ", "a"), // normalize to one hash
+      ("same text", "b"),                        // shared with a
+      ("only in a", "a"),
+      ("b one", "b"), ("b two", "b"),
+      ("c and b", "b"), ("c and b", "c"))
+      .toDF("text", "source")
+    val out = Dedup.sourceOverlapMatrix(d, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // a: {same, only-a} (2); b: {same, b1, b2, candb} (4); c: {candb}
+    assert(out(("a", "b")) === ((1L, 0.2, 0.5, 0.25)))
+    assert(out(("b", "c")) === ((1L, 0.25, 0.25, 1.0)))
+    assert(!out.contains(("a", "c")), "disjoint pair must not appear")
+  }
+
   test("curate domain gates: blocklist catches subdomains, blocked docs" +
       " never consume cap slots, and the cap is deterministic") {
     import graft.operators.Pipeline
