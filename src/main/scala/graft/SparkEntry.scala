@@ -1810,6 +1810,17 @@ object SparkEntry {
       materializeModel = false)
       .withColumn("score", round(col("score"), 6))
 
+  /** Paragraph-level language segmentation gate: lined docs (a
+    * newline every six words) scored paragraph-by-paragraph under the
+    * cached trained model; the oracle replays training, per-paragraph
+    * NB scoring, the round-6 argmax, and the per-doc majority vote.
+    */
+  private def langidSegmentsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdSegments(linedDocs(s, dir), "doc_id", "text",
+      langidModelCache.computeIfAbsent(dir, d =>
+        TextAnalysis.langIdTrain(docs(s, d), "text", "lang")
+          .localCheckpoint()))
+
   /** Classifier gates: junk tokens are appended to every eleventh
     * document and those documents labeled 1 — a deterministic
     * separable corpus at any SF. The oracle replays feature hashing
@@ -4117,6 +4128,7 @@ object SparkEntry {
     "classifier_score" -> (classifierScoreQ _),
     "langid_train"     -> (langidTrainQ _),
     "langid_score"     -> (langidScoreQ _),
+    "langid_segments"  -> (langidSegmentsQ _),
     "source_roundtrip" -> (sourceRoundtripQ _),
     "layout_zorder"    -> (layoutZorderQ _),
     "release_manifest" -> (releaseManifestQ _),
@@ -5510,6 +5522,46 @@ object SparkEntry {
              - n * ln(tot.tot + (SELECT v FROM vv)), 6) AS score
          FROM nd JOIN tot ON TRUE
          LEFT JOIN hit ON hit.doc_id = nd.doc_id AND hit.lang = tot.lang""",
+    "langid_segments" ->
+      s"""$langidModelCtes,
+         tot AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tot
+           FROM m GROUP BY 1),
+         vv AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM m),
+         pl AS (SELECT doc_id,
+             regexp_replace(text, '((?:\\S+ ){5}\\S+) ',
+               '\\1' || chr(10), 'g') AS t0 FROM documents),
+         ps AS (SELECT doc_id, string_split(t0, chr(10)) AS parts FROM pl),
+         pe AS (SELECT doc_id,
+             CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS para_idx,
+             unnest(parts) AS p FROM ps),
+         pq AS (SELECT doc_id, para_idx, lower(p) AS t FROM pe
+           WHERE length(trim(p)) > 0),
+         dg AS (SELECT doc_id, para_idx, CASE WHEN length(t) >= 3
+             THEN list_distinct([substr(t, CAST(i AS INTEGER), 3)
+               for i in range(1, length(t) - 1)])
+             ELSE [t] END AS sh FROM pq),
+         de AS (SELECT doc_id, para_idx, unnest(sh) AS gram FROM dg),
+         nd AS (SELECT doc_id, para_idx, CAST(count(*) AS BIGINT) AS n
+           FROM de GROUP BY 1, 2),
+         hit AS (SELECT de.doc_id, de.para_idx, m.lang,
+             sum(ln(m.cnt + 1)) AS h
+           FROM de JOIN m USING (gram) GROUP BY 1, 2, 3),
+         sc AS (SELECT nd.doc_id, nd.para_idx, tot.lang,
+             round(COALESCE(hit.h, 0)
+               - n * ln(tot.tot + (SELECT v FROM vv)), 6) AS score
+           FROM nd JOIN tot ON TRUE
+           LEFT JOIN hit ON hit.doc_id = nd.doc_id
+             AND hit.para_idx = nd.para_idx AND hit.lang = tot.lang),
+         bst AS (SELECT doc_id, para_idx, lang AS para_lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id, para_idx
+               ORDER BY score DESC, lang) AS rn FROM sc) WHERE rn = 1),
+         dl AS (SELECT doc_id, para_lang AS doc_lang FROM (
+             SELECT doc_id, para_lang,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY count(*) DESC, para_lang) AS rn
+             FROM bst GROUP BY doc_id, para_lang) WHERE rn = 1)
+         SELECT b.doc_id, b.para_idx, b.para_lang, dl.doc_lang
+         FROM bst b JOIN dl USING (doc_id)""",
     "classifier_score" -> classifierScoreOracle,
     "pack_persist" ->
       s"""WITH pm AS ($packMaterializeOracle)

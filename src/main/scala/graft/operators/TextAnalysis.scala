@@ -167,6 +167,59 @@ object TextAnalysis {
           - col("__nd").cast("double") * col("__den")).as("score"))
   }
 
+  /** Paragraph-level language segmentation — the multilingual-document
+    * form of [[langIdScore]] (real crawl pages mix languages;
+    * doc-level ID mislabels every minority passage, and corpus
+    * language filters then either drop good text or keep wrong-language
+    * text): each newline-separated non-blank paragraph is scored
+    * independently under the trained NB `model`, takes its
+    * best-scoring language (ranked on round-6 scores with a language
+    * tie-break, so near-ties resolve identically in any engine), and
+    * the document gets the MAJORITY language of its paragraphs
+    * (ties: alphabetically first). One row per paragraph:
+    * `(id, para_idx, para_lang, doc_lang)` — the per-paragraph rows
+    * drive passage-level filtering/routing, `doc_lang` the doc-level
+    * label.
+    *
+    * Scale shape: the paragraph explode is linear (a paragraph row
+    * replaces its slice of the doc, not a copy of it); scoring is
+    * [[langIdScore]]'s audited shape — model broadcast,
+    * partial-aggregable gram aggregates; both argmax windows partition
+    * by paragraph/document and rank ≤ |langs| / ≤ paragraphs-per-doc
+    * rows.
+    */
+  def langIdSegments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("para_idx", "__p")))
+      .filter(length(trim(col("__p"))) > 0)
+      .withColumn("__pid", concat(col(idCol).cast("string"), lit("#"),
+        col("para_idx").cast("string")))
+    val scored = langIdScore(
+      paras.select(col("__pid"), col("__p")), "__pid", "__p", model)
+    val wp = Window.partitionBy(col("__pid"))
+      .orderBy(round(col("score"), 6).desc, col("lang").asc)
+    val best = scored.withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") === 1)
+      .select(col("__pid"), col("lang").as("para_lang"))
+    val pb = paras.select(col(idCol), col("para_idx"), col("__pid"))
+      .join(best, Seq("__pid"))
+    val wd = Window.partitionBy(col(idCol))
+      .orderBy(col("__c").desc, col("para_lang").asc)
+    val docLang = pb.groupBy(col(idCol), col("para_lang"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("para_lang").as("doc_lang"))
+    pb.join(docLang, Seq(idCol))
+      .select(col(idCol), col("para_idx"), col("para_lang"),
+        col("doc_lang"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other symbols), plus a
     * chars-per-token ratio — the usual cheap proxy for tokenizer cost.

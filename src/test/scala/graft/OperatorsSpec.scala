@@ -624,6 +624,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(correct === heldOut.count())
   }
 
+  test("langIdSegments: mixed-language documents get per-paragraph" +
+      " labels and a majority doc label; blank paragraphs drop") {
+    import graft.operators.TextAnalysis
+    val en = (0 until 20).map(i =>
+      (s"the quick brown fox jumps over the lazy dog number $i and runs on", "en"))
+    val zh = (0 until 20).map(i =>
+      (s"机器学习模型需要大量高质量的训练数据来提升下游任务效果第${i}批次", "zh"))
+    val train = (en ++ zh).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.langIdTrain(train, "text", "lang", topK = 256)
+    // doc 100: two English paragraphs, one Chinese, one blank line
+    val mixed = Seq((100L,
+      "the quick brown fox jumps over the lazy dog again\n" +
+        "机器学习模型需要大量高质量的训练数据来提升效果\n\n" +
+        "another english paragraph about the lazy dog and the fox"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langIdSegments(mixed, "doc_id", "text", model)
+      .collect().map(r => r.getInt(1) -> (r.getString(2), r.getString(3)))
+      .toMap
+    assert(out.keySet === Set(0, 1, 3), "blank paragraph (idx 2) must drop")
+    assert(out(0) === (("en", "en")))
+    assert(out(1) === (("zh", "en")), "minority paragraph keeps its own" +
+      " label under the majority doc label")
+    assert(out(3) === (("en", "en")))
+  }
+
   test("Classifier: full-batch GD fully separates planted junk from" +
       " clean docs, retraining is deterministic, and a token-less doc" +
       " scores sigmoid(bias)") {
