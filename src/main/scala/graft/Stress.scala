@@ -727,6 +727,83 @@ object Stress {
       graft.operators.Sampling.clusterBalancedSample(
         embs, "vec_id", "embedding", cents, n = 10)
     }
+    time("semidx_build_10x") {
+      // one-off semantic-index build = the from-scratch SemDeDup pass
+      // (within-cell pair work over the whole corpus) plus the artifact
+      // write — the cost every later append avoids re-paying
+      val cents = embs.filter(col("vec_id") % 1000 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("__cv"))
+      graft.sources.DedupIndex.buildSemantic(
+        embs.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+        cents, tau = 0.3, "/tmp/graft_stress_semidx")
+    }
+    time("semidx_append_1pct") {
+      // the claim under test: a ~1% batch streams the corpus artifact
+      // through ONE broadcast cell-keyed join (batch-bounded output) +
+      // batch-internal pairs — nowhere near the build's corpus-wide
+      // within-cell quadratic work
+      graft.sources.DedupIndex.appendSemantic(spark,
+        "/tmp/graft_stress_semidx",
+        embs.filter(col("vec_id") % 101 === 0), "vec_id", "embedding")
+    }
+    time("heavy_hitters_10x") {
+      // adequately-sized CMS (4 x 2^15, 1 MB in the task binary): the
+      // exact confirm aggregate sees only hot+fp grams — both
+      // corpus-scale shuffles shrink to the heavy tail
+      TextAnalysis.frequentNgramsSketched(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        n = 3, minCount = 200L, depth = 4, width = 1 << 15)
+    }
+    time("zorder_layout_10x") {
+      // one stats pass + one range exchange; the z key is a static
+      // shift/or tree, no UDF — the background compaction job's shape
+      graft.sources.Tables.writeZOrdered(
+        li.select("l_orderkey", "l_linenumber", "l_partkey"),
+        Seq("l_orderkey", "l_partkey"), "/tmp/graft_stress_zorder",
+        numFiles = 64)
+      spark.range(0).toDF() // the write above is the timed work
+    }
+    time("bitext_margin_10x") {
+      // 2k-query broadcast side against the full replicated corpus in
+      // both directions + the linear margin layer; at larger query
+      // sides the kNN halves swap to IVF and the margin layer is
+      // unchanged
+      Similarity.mineBitext(
+        embs.filter(col("vec_id") % 25 === 0), embs,
+        "vec_id", "embedding", k = 4, threshold = 1.0)
+    }
+    time("quantile_sketch_10x") {
+      // bounded-heap per-group selection: a hot language collapses to
+      // <= k rows per map task before the one group-keyed exchange
+      graft.operators.Sketches.quantileEstimateBy(
+        graft.operators.Sketches.quantileSummaryBy(
+          docs, "doc_id", "n_chars", "lang", k = 256),
+        "lang", "n_chars")
+    }
+    time("release_manifest_10x") {
+      // shard exchange + gzip JSONL write + the written-files stats
+      // pass — the publish step, end to end
+      graft.sources.Release.writeRelease(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        "/tmp/graft_stress_release", nShards = 32)
+      spark.range(0).toDF() // the write above is the timed work
+    }
+    time("overlap_matrix_10x") {
+      // distinct (hash, source) collapse map-side; pair fan-out is
+      // |sources|^2-bounded per hash regardless of duplicate volume
+      Dedup.sourceOverlapMatrix(
+        docs.select(col("text"), col("source")), "text", "source")
+    }
+    time("langid_segments_10x") {
+      // paragraph explode is linear; scoring is the broadcast NB shape
+      val lined = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){5}\\S+) ", "$1\n")
+          .as("text"))
+      val model = TextAnalysis.langIdTrain(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "lang")
+      TextAnalysis.langIdSegments(lined, "doc_id", "text", model)
+    }
     spark.stop()
   }
 }
