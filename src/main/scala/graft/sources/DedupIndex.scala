@@ -653,13 +653,15 @@ object DedupIndex {
       .select(col("a.vec_id")).distinct()
     // materialized: corpusHits scans sem_vecs/, and both the survivor
     // output and the absorb rows must be pinned before append files land
+    // (batch-bounded, so it broadcasts — checkpointed frames carry no
+    // stats for AQE to size)
     val dropped = corpusHits.union(internalHits).distinct()
       .localCheckpoint()
     SemanticBatch(
-      survivors = assigned.join(dropped, Seq("vec_id"), "left_anti")
+      survivors = assigned.join(bc(dropped), Seq("vec_id"), "left_anti")
         .select(col("vec_id").as(idCol), col("centroid_id")),
       newVecs = assigned.join(
-          dropped.select(col("vec_id"), lit(false).as("kept")),
+          bc(dropped.select(col("vec_id"), lit(false).as("kept"))),
           Seq("vec_id"), "left")
         .select(col("vec_id"), col("centroid_id"), col("vec"),
           coalesce(col("kept"), lit(true)).as("kept")))
