@@ -1790,36 +1790,30 @@ object SparkEntry {
   private def langidTrainQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langIdTrain(docs(s, dir), "text", "lang")
 
-  /** Memoized per sfDir like [[trainedClassifier]] (training is
-    * deterministic): the score gate then measures SCORING, not a
-    * redundant retrain per bench rep — `langid_train` is the row that
-    * measures training.
-    */
-  private val langidModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // NO cross-query model cache here: a memoized localCheckpoint'd model
+  // (the r13-r14 pattern) is invisible to Bench's per-query
+  // unpersist-everything cleanup, so the SECOND query to hit the cache
+  // finds an entry whose checkpoint blocks are gone and dies with
+  // "lineage truncated" (exactly how langid_segments failed its first
+  // bench run). Each gate trains per call — ~0.5 s, the price of a
+  // harness that cannot dangle — and langIdScore's internal
+  // materializeModel checkpoint is per-call, ContextCleaner-freed.
 
   private def langidScoreQ(s: SparkSession, dir: String): DataFrame =
-    // the cache already materializes the model; materializeModel=false
-    // keeps this harness from accreting one more pinned checkpoint per
-    // scoring call. Rounding for the oracle hash lives HERE, not in the
-    // library — langIdScore returns full double precision.
+    // Rounding for the oracle hash lives HERE, not in the library —
+    // langIdScore returns full double precision.
     TextAnalysis.langIdScore(docs(s, dir), "doc_id", "text",
-      langidModelCache.computeIfAbsent(dir, d =>
-        TextAnalysis.langIdTrain(docs(s, d), "text", "lang")
-          .localCheckpoint()),
-      materializeModel = false)
+      TextAnalysis.langIdTrain(docs(s, dir), "text", "lang"))
       .withColumn("score", round(col("score"), 6))
 
   /** Paragraph-level language segmentation gate: lined docs (a
     * newline every six words) scored paragraph-by-paragraph under the
-    * cached trained model; the oracle replays training, per-paragraph
+    * trained model; the oracle replays training, per-paragraph
     * NB scoring, the round-6 argmax, and the per-doc majority vote.
     */
   private def langidSegmentsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langIdSegments(linedDocs(s, dir), "doc_id", "text",
-      langidModelCache.computeIfAbsent(dir, d =>
-        TextAnalysis.langIdTrain(docs(s, d), "text", "lang")
-          .localCheckpoint()))
+      TextAnalysis.langIdTrain(docs(s, dir), "text", "lang"))
 
   /** Classifier gates: junk tokens are appended to every eleventh
     * document and those documents labeled 1 — a deterministic
