@@ -2868,6 +2868,24 @@ object SparkEntry {
       "stream_curate").select(col("text_hash"))
   }
 
+  /** Streaming domain-gated curation: the blocklist is a stateless
+    * per-row predicate, so the ingest pipeline applies the same
+    * URL rules as the batch backfill ([[curateDomainsQ]]'s stage
+    * order, minus the cap — which is global state and stays
+    * batch-side by design). Gated on the arrival-order-free
+    * projection: the surviving distinct content-hash set.
+    */
+  private def streamingCurateDomainsQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docStream(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("url", syntheticUrl)
+    runStreamToTable(s,
+      graft.operators.Pipeline.curateStream(planted, "doc_id", "text",
+        urlCol = "url", blockedHosts = Seq("site3.com", "site17.com"),
+        minChars = 250, maxChars = 100000),
+      "stream_curate_domains").select(col("text_hash"))
+  }
+
   /** Streaming exact dedup, gated on the one projection that is
     * deterministic across arrival orders: the kept distinct content-hash
     * set (WHICH duplicate row survives is first-arrival-dependent).
@@ -4102,6 +4120,7 @@ object SparkEntry {
     "url_normalize"    -> (urlNormalizeQ _),
     "domain_report"    -> (domainReportQ _),
     "curate_domains"   -> (curateDomainsQ _),
+    "streaming_curate_domains" -> (streamingCurateDomainsQ _),
     "quantize_int8"    -> (quantizeQ _),
     "asof_join"        -> (asofJoinQ _),
     "range_join"       -> (rangeJoinQ _),
@@ -5478,6 +5497,14 @@ object SparkEntry {
            round(n_docs / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM a), 6)
              AS doc_share
          FROM a""",
+    // stream twin of the domain gates (blocklist + length + exact
+    // dedup), projected to the arrival-order-free distinct hash set
+    "streaming_curate_domains" ->
+      """SELECT DISTINCT
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash
+         FROM documents
+         WHERE doc_id % 40 <> 3 AND doc_id % 40 <> 17
+           AND length(text) >= 250 AND length(text) <= 100000""",
     "curate_domains" ->
       s"""WITH u AS (SELECT doc_id, text, doc_id % 40 AS site
            FROM documents),

@@ -442,6 +442,8 @@ object Pipeline {
       textCol: String,
       probe: Option[DataFrame] = None,
       probeTextCol: String = "text",
+      urlCol: String = "",
+      blockedHosts: Seq[String] = Nil,
       minChars: Int = 1,
       maxChars: Int = Int.MaxValue,
       qualityFilter: Boolean = false,
@@ -458,8 +460,23 @@ object Pipeline {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // domain blocklist first, mirroring [[curate]]'s stage order — a
+    // pure per-row predicate, so it streams statelessly. The per-host
+    // CAP deliberately has no stream form: an exact smallest-hash-per-
+    // host quota over an unbounded stream is global state; cap at the
+    // batch backfill ([[curate]]) or bound ingest per host upstream.
+    var d = docs
+    if (blockedHosts.nonEmpty) {
+      require(urlCol.nonEmpty, "domain gating needs urlCol")
+      val host = TextAnalysis.urlHost(col(urlCol))
+      val hit = blockedHosts.map(_.toLowerCase)
+        .foldLeft(lit(false)) { (acc, b) =>
+          acc || host === lit(b) || host.endsWith(lit("." + b))
+        }
+      d = d.filter(!hit)
+    }
     val len = length(col(textCol))
-    var d = docs.filter(len >= minChars && len <= maxChars)
+    d = d.filter(len >= minChars && len <= maxChars)
     if (qualityFilter) {
       val (rep, sym) = TextAnalysis.qualityRatios(col(textCol))
       d = d.filter(rep <= maxRepetition && sym <= maxSymbolRatio)
