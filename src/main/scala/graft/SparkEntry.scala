@@ -1943,6 +1943,20 @@ object SparkEntry {
       "vec_id", "embedding", k = 4, threshold = 1.0)
   }
 
+  /** IVF-fed bitext mining gate — the corpus-scale path: both kNN
+    * directions cell-bounded under the shared centroid fixture, margin
+    * layer unchanged. The oracle replays assignment, same-cell
+    * cross-set kNN, and the margin chain.
+    */
+  private def bitextMineIvfQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    Similarity.mineBitextIvf(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", centroids, k = 4, threshold = 1.0)
+  }
+
   private def annLshBucketsQ(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBuckets(embs(s, dir), "vec_id", "embedding")
 
@@ -4155,6 +4169,7 @@ object SparkEntry {
     "curate_quality"   -> (curateQualityQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
+    "bitext_mine_ivf"  -> (bitextMineIvfQ _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
     "ann_ivf_topk"     -> (annIvfTopKQ _),
@@ -5723,6 +5738,42 @@ object SparkEntry {
            WHERE f.rk <= 4),
          r AS (SELECT *, row_number() OVER (PARTITION BY sid
              ORDER BY margin DESC, tid) AS rn FROM c)
+         SELECT sid AS src_id, tid AS tgt_id, cs AS cos_sim, margin
+         FROM r WHERE rn = 1 AND margin >= 1.0""",
+    "bitext_mine_ivf" ->
+      """WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, vd AS cv FROM ve
+           WHERE vec_id % 100 = 0),
+         asg AS (SELECT vec_id, vd, centroid_id, vec_id % 2 AS side FROM (
+             SELECT ve.vec_id, ve.vd, c.centroid_id,
+               row_number() OVER (PARTITION BY ve.vec_id
+                 ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                          centroid_id) AS rn
+             FROM ve, c) WHERE rn = 1),
+         f AS (SELECT a.vec_id AS sid, b.vec_id AS tid,
+             round(list_cosine_similarity(a.vd, b.vd), 6) AS cs,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.vd, b.vd), 6) DESC,
+                        b.vec_id) AS rk
+           FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+             AND a.side = 0 AND b.side = 1),
+         b AS (SELECT b.vec_id AS tid, a.vec_id AS sid,
+             round(list_cosine_similarity(a.vd, b.vd), 6) AS cs,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY round(list_cosine_similarity(a.vd, b.vd), 6) DESC,
+                        a.vec_id) AS rk
+           FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+             AND a.side = 0 AND b.side = 1),
+         fm AS (SELECT sid, round(sum(cs), 6) / count(*) AS m
+           FROM f WHERE rk <= 4 GROUP BY 1),
+         bm AS (SELECT tid, round(sum(cs), 6) / count(*) AS m
+           FROM b WHERE rk <= 4 GROUP BY 1),
+         cc AS (SELECT f.sid, f.tid, f.cs,
+             round(f.cs * 2 / (fm.m + bm.m), 6) AS margin
+           FROM f JOIN fm USING (sid) JOIN bm USING (tid)
+           WHERE f.rk <= 4),
+         r AS (SELECT *, row_number() OVER (PARTITION BY sid
+             ORDER BY margin DESC, tid) AS rn FROM cc)
          SELECT sid AS src_id, tid AS tgt_id, cs AS cos_sim, margin
          FROM r WHERE rn = 1 AND margin >= 1.0""",
     "ann_lsh_buckets" ->

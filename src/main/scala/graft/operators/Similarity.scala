@@ -850,6 +850,61 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Cross-set IVF kNN — [[ivfTopK]] between two DIFFERENT collections
+    * under one frozen coarse quantizer: queries and corpus each assign
+    * to their nearest cell (broadcast centroids, one linear pass each)
+    * and score only within shared cells — the equi-join replaces the
+    * cross product, which is the entire scale story. No same-id
+    * exclusion (the sides are distinct collections). `probes` fans out
+    * the QUERY side only ([[ivfAssignProbes]] — the standard recall
+    * knob for cell-boundary queries).
+    */
+  def ivfTopKCross(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      k: Int,
+      probes: Int = 1): DataFrame = {
+    val q =
+      if (probes == 1) ivfAssign(queries, idCol, vecCol, centroids)
+      else ivfAssignProbes(queries, idCol, vecCol, centroids, probes)
+    val c = ivfAssign(corpus, idCol, vecCol, centroids)
+    val scored = q.as("a").join(c.as("b"),
+        col("a.centroid_id") === col("b.centroid_id"))
+      .select(col(s"a.$idCol").as("query_id"),
+        col(s"b.$idCol").as("neighbor_id"),
+        cosineFast(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
+  /** [[mineBitext]]'s corpus-scale form: both kNN directions run
+    * cell-bounded under one frozen quantizer ([[ivfTopKCross]]) and
+    * feed the identical margin layer — no broadcast of either side, no
+    * cross product; the one approximation is IVF's (a true neighbor in
+    * another cell is invisible — raise `probes` for recall). With
+    * `probes = 1` assignment is symmetric, so every forward candidate
+    * pair is seen by the backward pass too and the margin join drops
+    * nothing.
+    */
+  def mineBitextIvf(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      k: Int = 4,
+      threshold: Double = 1.0,
+      probes: Int = 1): DataFrame =
+    mineBitextFrom(
+      ivfTopKCross(src, tgt, idCol, vecCol, centroids, k, probes),
+      ivfTopKCross(tgt, src, idCol, vecCol, centroids, k, probes),
+      threshold)
+
   /** Brute-force bitext mining between two embedding sets (e.g. two
     * language sides of a crawl snapshot): exact top-k in both
     * directions — the query side of each pass broadcasts, so both

@@ -3630,6 +3630,27 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("input", "domain_blocklist", "domain_cap", "length_gate"))
   }
 
+  test("ivfTopKCross scores shared cells only, probes widens recall," +
+      " and mineBitextIvf mines within cells") {
+    val cents = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("centroid_id", "__cv")
+    val src = Seq((10L, Array(0.9f, 0.35f, 0f, 0f)))   // cell 0
+      .toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (20L, Array(1f, 0.1f, 0f, 0f)),    // cell 0
+      (21L, Array(0.55f, 0.85f, 0f, 0f)) // cell 1: invisible at probes=1
+    ).toDF("vec_id", "embedding")
+    def hits(p: Int) = Similarity.ivfTopKCross(
+        src, tgt, "vec_id", "embedding", cents, k = 2, probes = p)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits(1) === Set(20L))
+    assert(hits(2) === Set(20L, 21L))
+    val mined = Similarity.mineBitextIvf(
+        src, tgt, "vec_id", "embedding", cents, k = 2, threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined === Map(10L -> 20L))
+  }
+
   test("mineBitext: the ratio margin beats raw cosine on hub targets" +
       " and the threshold gates weak pairs") {
     // hub h is COSINE-closest to s1 (0.805 > 0.780) but near everything,
