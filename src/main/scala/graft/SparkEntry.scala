@@ -2169,6 +2169,27 @@ object SparkEntry {
     TextAnalysis.frequentNgramsSketched(docs(s, dir), "doc_id", "text",
       n = 2, minCount = 8L, depth = 4, width = 64)
 
+  /** Per-group heavy hitters ([[heavyHittersQ]] partitioned by lang):
+    * same adversarial undersizing, exact per-group semantics.
+    */
+  private def heavyHittersGroupedQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.frequentNgramsSketchedBy(docs(s, dir), "doc_id", "text",
+      "lang", n = 2, minCount = 5L, depth = 4, width = 64)
+
+  /** Classifier threshold-sweep gate: the trained junk model's scores
+    * (round-6, so both engines compare the same values against the
+    * threshold grid) against the planted labels over 21 thresholds.
+    */
+  private def classifierEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedClassifier(s, dir)
+    val scored = classifierDocs(s, dir).select(col("doc_id"),
+      col("label"),
+      round(graft.operators.Classifier.scoreColumn(col("text"), m), 6)
+        .as("score"))
+    graft.operators.Classifier.thresholdReport(
+      scored, "score", "label", buckets = 20)
+  }
+
   /** Streaming decontamination, gated against the batch oracle: the
     * filter is stateless, so the AvailableNow pass emits exactly the
     * batch decontaminate survivor set.
@@ -4188,6 +4209,8 @@ object SparkEntry {
     "group_topk"       -> (groupTopKQ _),
     "ngram_freq"       -> (ngramFreqQ _),
     "heavy_hitters"    -> (heavyHittersQ _),
+    "heavy_hitters_grouped" -> (heavyHittersGroupedQ _),
+    "classifier_eval"  -> (classifierEvalQ _),
     "streaming_decontaminate" -> (streamingDecontaminateQ _),
     "skew_join"        -> (skewJoinQ _),
     "text_stats"       -> (textStats _),
@@ -5932,6 +5955,42 @@ object SparkEntry {
          SELECT ngram, CAST(sum(tf) AS BIGINT) AS term_freq,
            count(*) AS doc_freq
          FROM d GROUP BY 1 HAVING sum(tf) >= 5""",
+    "heavy_hitters_grouped" ->
+      """WITH w AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, lang,
+             unnest([array_to_string(ws[i:i+1], ' ')
+               for i in range(1, len(ws))]) AS ngram
+           FROM w WHERE len(ws) >= 2),
+         d AS (SELECT lang, ngram, doc_id, count(*) AS tf
+           FROM g GROUP BY 1, 2, 3)
+         SELECT lang, ngram, CAST(sum(tf) AS BIGINT) AS term_freq,
+           count(*) AS doc_freq
+         FROM d GROUP BY 1, 2 HAVING sum(tf) >= 5""",
+    "classifier_eval" ->
+      s"""${classifierOracle(10, "4.0")},
+         sc AS (SELECT d.doc_id,
+             CASE WHEN d.doc_id % 11 = 0 THEN 1 ELSE 0 END AS pos,
+             round(1/(1+exp(-s.m)), 6) AS score
+           FROM d JOIN (SELECT f.doc_id, sum(f.x * w.wt) AS m
+               FROM feat f JOIN w10 w USING (bucket) GROUP BY f.doc_id) s
+           USING (doc_id)),
+         th AS (SELECT j / 20.0 AS threshold FROM range(0, 21) t(j)),
+         cm AS (SELECT th.threshold,
+             CAST(SUM(CASE WHEN pos = 1 AND score > threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pos = 0 AND score > threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN pos = 1 AND NOT score > threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN pos = 0 AND NOT score > threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM sc, th GROUP BY 1)
+         SELECT threshold, tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall
+         FROM cm""",
     // the CMS prefilter never changes the answer (no false negatives;
     // false positives die in the exact confirm) — the oracle is the
     // exact bigram heavy-hitter count

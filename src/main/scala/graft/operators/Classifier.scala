@@ -174,4 +174,50 @@ object Classifier {
       textCol: String,
       model: Model): DataFrame =
     docs.select(col(idCol), scoreColumn(col(textCol), model).as("score"))
+
+  /** Threshold-sweep evaluation of a scored, labeled frame — the table
+    * that turns "we trained a quality filter" into a DEPLOYMENT
+    * decision (which `maxQualityScore` cut keeps how much junk vs
+    * drops how much good text): for every threshold `j/buckets`,
+    * confusion counts with positive = `labelCol >= 0.5` (junk) and
+    * predicted-positive = `scoreCol > threshold`, plus precision and
+    * recall (null when undefined).
+    *
+    * One pass: each row fans out to `buckets + 1` literal thresholds
+    * and the confusion flags partial-aggregate — map-side combine
+    * collapses every partition to `buckets + 1` rows before the one
+    * tiny exchange. Nothing corpus-sized is sorted or collected.
+    * Callers that need cross-engine-stable boundary behavior should
+    * pass a pre-rounded score column (the harness rounds to 6).
+    */
+  def thresholdReport(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 20): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val ts = explode(array((0 to buckets).map(j =>
+      lit(j.toDouble / buckets)): _*)).as("threshold")
+    val flagged = scored
+      .select(col(scoreCol).as("__s"),
+        (col(labelCol) >= 0.5).as("__pos"), ts)
+      .select(col("threshold"),
+        when(col("__pos") && col("__s") > col("threshold"), 1L)
+          .otherwise(0L).as("__tp"),
+        when(!col("__pos") && col("__s") > col("threshold"), 1L)
+          .otherwise(0L).as("__fp"),
+        when(col("__pos") && !(col("__s") > col("threshold")), 1L)
+          .otherwise(0L).as("__fn"),
+        when(!col("__pos") && !(col("__s") > col("threshold")), 1L)
+          .otherwise(0L).as("__tn"))
+    flagged.groupBy(col("threshold"))
+      .agg(sum(col("__tp")).as("tp"), sum(col("__fp")).as("fp"),
+        sum(col("__fn")).as("fn"), sum(col("__tn")).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        round(try_divide(col("tp").cast("double"),
+          col("tp") + col("fp")), 6).as("precision"),
+        round(try_divide(col("tp").cast("double"),
+          col("tp") + col("fn")), 6).as("recall"))
+  }
 }

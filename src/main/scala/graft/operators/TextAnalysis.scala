@@ -1079,4 +1079,46 @@ object TextAnalysis {
         count(lit(1)).as("doc_freq"))
       .filter(col("term_freq") >= minCount)
   }
+
+  /** [[frequentNgramsSketched]] PER GROUP — per-language/per-source
+    * boilerplate mining ("which n-grams dominate the German crawl"):
+    * the sketch keys on `group <U+0001> ngram`, so one depth×width
+    * table prefilters every group's stream at once and the support cut
+    * applies within each group. Same transparency contract: no false
+    * negatives for any sketch size, false positives die in the exact
+    * per-group confirm. Output `(groupCol, ngram, term_freq,
+    * doc_freq)` with `term_freq >= minCount` inside the group.
+    */
+  def frequentNgramsSketchedBy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      n: Int = 3,
+      minCount: Long = 10L,
+      depth: Int = 4,
+      width: Int = 1 << 14): DataFrame = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val grams = docs.select(col(groupCol), col(idCol).as("__doc"),
+        explode(toColumn(graft.functions.NgramsExpr(
+          toExpression(col(textCol)), n))).as("ngram"))
+      .withColumn("__gk", concat(col(groupCol), lit(""), col("ngram")))
+    val counterRows = graft.operators.Sketches
+      .cmsCounters(grams, col("__gk"), depth, width).collect()
+    val arr = new Array[Long](depth * width)
+    counterRows.foreach { r =>
+      arr(r.getAs[Int]("row") * width + r.getAs[Long]("bucket").toInt) =
+        r.getAs[Long]("cnt")
+    }
+    grams
+      .filter(toColumn(graft.functions.CmsPrefilterExpr(
+        toExpression(col("__gk")), arr, depth, width, minCount)))
+      .groupBy(col(groupCol), col("ngram"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col(groupCol), col("ngram"))
+      .agg(sum(col("__tf")).as("term_freq"),
+        count(lit(1)).as("doc_freq"))
+      .filter(col("term_freq") >= minCount)
+  }
 }

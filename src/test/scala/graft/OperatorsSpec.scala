@@ -3814,6 +3814,43 @@ class OperatorsSpec extends AnyFunSuite {
       s"roomy sketch should prune most singleton grams, kept $kept")
   }
 
+  test("frequentNgramsSketchedBy keeps group support independent: a" +
+      " gram heavy in one group stays invisible in another") {
+    val d = Seq(
+      (0L, "a", "x y x y x y x y"),  // "x y" 4 times in group a
+      (1L, "a", "x y q r"),          // +1 -> 5 in a
+      (2L, "b", "x y only once"),    // 1 in b: under minCount
+      (3L, "b", "z w z w z w z w z w")) // "z w" 5, "w z" 4 in b
+      .toDF("doc_id", "g", "text")
+    val out = TextAnalysis.frequentNgramsSketchedBy(
+        d, "doc_id", "text", "g", n = 2, minCount = 5L, width = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set(("a", "x y"), ("b", "z w")),
+      s"got ${out.keySet}")
+    assert(out(("a", "x y")) === ((5L, 2L)))
+    assert(out(("b", "z w")) === ((5L, 1L)))
+  }
+
+  test("thresholdReport confusion arithmetic on a hand fixture") {
+    import graft.operators.Classifier
+    val scored = Seq((0.1, 0.0), (0.4, 1.0), (0.9, 1.0))
+      .toDF("score", "label")
+    val rep = Classifier.thresholdReport(scored, "score", "label",
+        buckets = 2)
+      .collect().filterNot(_.isNullAt(5)).map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // t=0.0: everything predicted junk -> tp=2 fp=1, recall 1
+    assert(rep(0.0) === ((2L, 1L, 0L, 0L, 0.666667, 1.0)))
+    // t=0.5: only 0.9 predicted -> tp=1 fn=1, precision 1
+    assert(rep(0.5) === ((1L, 0L, 1L, 1L, 1.0, 0.5)))
+    // t=1.0: nothing predicted -> precision undefined (null)
+    val top = Classifier.thresholdReport(scored, "score", "label", 2)
+      .filter(col("threshold") === 1.0).head()
+    assert(top.isNullAt(5) && top.getDouble(6) === 0.0)
+  }
+
   test("DedupIndex semantic: appends telescope to the from-scratch" +
       " SemDeDup run, dropped vectors still shadow later arrivals, and" +
       " replayed ingests are no-ops") {
