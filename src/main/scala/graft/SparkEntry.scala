@@ -2903,6 +2903,25 @@ object SparkEntry {
       "stream_curate").select(col("text_hash"))
   }
 
+  /** SemDeDup curate-stage gate: length gate → exact dedup → semantic
+    * drop (embeddings of SURVIVORS only, fixture centroids, tau 0.3) →
+    * split. At sf0.1 the embeddings table covers only the first 2000
+    * doc ids, so the docs-without-vectors pass-through rule is
+    * load-bearing there.
+    */
+  private def curateSemanticQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = embs(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val centroids = embs(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    graft.operators.Pipeline.curate(
+      docs(s, dir), "doc_id", "text",
+      minChars = 250, maxChars = 100000,
+      semanticVecs = Some(emb), semanticCentroids = Some(centroids),
+      semanticTau = 0.3)
+      .select(col("doc_id"), col("split"))
+  }
+
   /** Streaming domain-gated curation: the blocklist is a stateless
     * per-row predicate, so the ingest pipeline applies the same
     * URL rules as the batch backfill ([[curateDomainsQ]]'s stage
@@ -4156,6 +4175,7 @@ object SparkEntry {
     "domain_report"    -> (domainReportQ _),
     "curate_domains"   -> (curateDomainsQ _),
     "streaming_curate_domains" -> (streamingCurateDomainsQ _),
+    "curate_semantic"  -> (curateSemanticQ _),
     "quantize_int8"    -> (quantizeQ _),
     "asof_join"        -> (asofJoinQ _),
     "range_join"       -> (rangeJoinQ _),
@@ -5318,6 +5338,36 @@ object SparkEntry {
     "streaming_dedup_index" -> dkDedupIndexAppend,
     "dedup_index_semantic" -> dkDedupIndexSemantic,
     "streaming_dedup_semantic" -> dkDedupIndexSemantic,
+    "curate_semantic" ->
+      s"""WITH lg AS (SELECT doc_id, text FROM documents
+           WHERE length(text) >= 250 AND length(text) <= 100000),
+         ex AS (SELECT min(doc_id) AS doc_id FROM lg
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+         ve AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, vd AS cv FROM ve
+           WHERE vec_id % 100 = 0),
+         sub AS (SELECT ve.vec_id, ve.vd FROM ve
+           JOIN ex ON ve.vec_id = ex.doc_id),
+         asg AS (SELECT vec_id, vd, centroid_id FROM (
+             SELECT sub.vec_id, sub.vd, c.centroid_id,
+               row_number() OVER (PARTITION BY sub.vec_id
+                 ORDER BY round(list_cosine_similarity(sub.vd, c.cv), 6) DESC,
+                          c.centroid_id) AS rn
+             FROM sub, c) WHERE rn = 1),
+         kp AS (SELECT a.vec_id FROM asg a
+           WHERE NOT EXISTS (SELECT 1 FROM asg b
+             WHERE b.centroid_id = a.centroid_id AND b.vec_id < a.vec_id
+               AND round(list_cosine_similarity(a.vd, b.vd), 6) >= 0.3)),
+         surv AS (SELECT ex.doc_id FROM ex
+           LEFT JOIN sub ON sub.vec_id = ex.doc_id
+           WHERE sub.vec_id IS NULL
+             OR ex.doc_id IN (SELECT vec_id FROM kp))
+         SELECT doc_id,
+           CASE WHEN h < 800000 THEN 'train'
+                WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+           FROM surv)""",
     "dedup_lsh_verified" ->
       s"""WITH pairs AS ($dkLshPairs),
          $dkShingles

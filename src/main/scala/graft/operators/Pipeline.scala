@@ -93,6 +93,10 @@ object Pipeline {
       scrubProbeNgrams: Int = 0,
       ccnetBucketBy: String = "",
       ccnetKeep: Seq[String] = Seq("head", "middle"),
+      semanticVecs: Option[DataFrame] = None,
+      semanticVecCol: String = "embedding",
+      semanticCentroids: Option[DataFrame] = None,
+      semanticTau: Double = 0.3,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       stageFrames: Option[scala.collection.mutable.Buffer[(String, DataFrame)]]
@@ -257,6 +261,28 @@ object Pipeline {
         .select(col(idCol))
       d = d.join(keep, Seq(idCol), "left_semi")
       snap("ccnet_gate", d)
+    }
+    // SemDeDup stage (`semanticVecs` keyed by idCol + frozen
+    // `semanticCentroids`): embedding-space near-duplicate removal over
+    // the EXACT-DEDUP SURVIVORS — the paper's deployment (exact dedup
+    // first, then semantic within clusters; Abbas et al. 2023). Runs on
+    // the vectors of surviving docs only, so a doc already dropped
+    // upstream cannot shadow a semantic neighbor. Docs WITHOUT a vector
+    // pass through (they cannot be judged — drop them upstream if
+    // missing embeddings should be fatal). Complements rather than
+    // replaces the lexical `nearDup` stage: MinHash catches re-worded
+    // boilerplate only when tokens overlap; cosine catches paraphrases.
+    semanticVecs.foreach { emb =>
+      val cents = semanticCentroids.getOrElse(throw new
+          IllegalArgumentException(
+            "semanticVecs needs semanticCentroids (a frozen quantizer)"))
+      val sub = emb.join(d.select(col(idCol)), Seq(idCol), "left_semi")
+      val keep = Dedup.semanticDedup(sub, idCol, semanticVecCol,
+        cents, semanticTau).select(col(idCol))
+      val droppedIds = sub.select(col(idCol))
+        .join(keep, Seq(idCol), "left_anti")
+      d = d.join(droppedIds, Seq(idCol), "left_anti")
+      snap("semantic_dedup", d)
     }
     if (nearDup) {
       val bandRows = d.select(col(idCol),

@@ -3593,6 +3593,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.contains(("a", "c")), "disjoint pair must not appear")
   }
 
+  test("curate semantic stage judges exact-survivors only and passes" +
+      " docs without vectors") {
+    import graft.operators.Pipeline
+    val d = Seq(
+      (0L, "first unique document body"),
+      (1L, "first unique document body"),      // exact dup of 0 -> drops
+      (2L, "second distinct document body"),
+      (3L, "third distinct document body"))    // no vector -> passes
+      .toDF("doc_id", "text")
+    // v1 ~ v2 (would shadow 2), v0 orthogonal; one shared cell
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0.999f, 0.045f, 0f)))
+      .toDF("doc_id", "embedding")
+    val cents = Seq((0L, Array(0.5f, 0.5f, 0f, 0f)))
+      .toDF("centroid_id", "__cv")
+    val out = Pipeline.curate(d, "doc_id", "text",
+        semanticVecs = Some(emb), semanticCentroids = Some(cents),
+        semanticTau = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 dropped at EXACT stage, so its vector must NOT shadow 2; 3 has
+    // no vector and passes
+    assert(out === Set(0L, 2L, 3L), s"got $out")
+  }
+
   test("curate domain gates: blocklist catches subdomains, blocked docs" +
       " never consume cap slots, and the cap is deterministic") {
     import graft.operators.Pipeline
