@@ -721,7 +721,7 @@ object Stress {
     time("cluster_sample_10x") {
       // broadcast-centroid fan-out + bounded-heap per-cluster top-k:
       // no sort wider than a map task's heap, however hot a cluster
-      val cents = embs.filter(col("vec_id") % 1000 === 0)
+      val cents = embs.filter(col("vec_id") < 2000 && col("vec_id") % 25 === 0)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("__cv"))
       graft.operators.Sampling.clusterBalancedSample(
@@ -731,7 +731,7 @@ object Stress {
       // one-off semantic-index build = the from-scratch SemDeDup pass
       // (within-cell pair work over the whole corpus) plus the artifact
       // write — the cost every later append avoids re-paying
-      val cents = embs.filter(col("vec_id") % 1000 === 0)
+      val cents = embs.filter(col("vec_id") < 2000 && col("vec_id") % 25 === 0)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("__cv"))
       graft.sources.DedupIndex.buildSemantic(
@@ -794,6 +794,34 @@ object Stress {
       // |sources|^2-bounded per hash regardless of duplicate volume
       Dedup.sourceOverlapMatrix(
         docs.select(col("text"), col("source")), "text", "source")
+    }
+    // NOTE on centroid fixtures here: replicate() duplicates the base
+    // 2000 embedding VECTORS (only ids shift), so a `% 1000` centroid
+    // pick yields 10 identical copies of 2 vectors — assignment
+    // tie-breaks collapse every vector into 2 effective cells and the
+    // within-cell work degenerates to half the cross product (measured:
+    // 59 s semantic build, 110 s IVF bitext). Centroids are therefore
+    // drawn from DISTINCT base vectors (`vec_id < 2000 && % 25` = 80
+    // real cells), which is also the honest model of a corpus-trained
+    // quantizer.
+    time("bitext_brute_ab_10x") {
+      // A/B partner of bitext_ivf_10x: SAME 10k x 10k sides through the
+      // brute broadcast path — the cost the cell bound avoids
+      Similarity.mineBitext(
+        embs.filter(col("vec_id") % 2 === 0),
+        embs.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", k = 4, threshold = 1.0)
+    }
+    time("bitext_ivf_10x") {
+      // the scale form: both directions cell-bounded under the frozen
+      // quantizer — no broadcast of either side, no cross product
+      val cents = embs.filter(col("vec_id") < 2000 && col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("__cv"))
+      Similarity.mineBitextIvf(
+        embs.filter(col("vec_id") % 2 === 0),
+        embs.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", cents, k = 4, threshold = 1.0)
     }
     time("langid_segments_10x") {
       // paragraph explode is linear; scoring is the broadcast NB shape

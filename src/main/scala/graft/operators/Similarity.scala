@@ -832,11 +832,18 @@ object Similarity {
       fwd: DataFrame,
       bwd: DataFrame,
       threshold: Double = 1.0): DataFrame = {
-    val fm = fwd.groupBy(col("query_id").as("src_id"))
+    // the forward table feeds TWO consumers (its mean aggregate and the
+    // candidate projection); left lazy, the expensive retrieval runs
+    // once per consumer. It is k rows per source — LINEAR — so
+    // materializing it (eager local checkpoint, ContextCleaner-freed)
+    // is cheap and halves the forward kNN cost. The backward table has
+    // one consumer and stays lazy.
+    val f = fwd.localCheckpoint()
+    val fm = f.groupBy(col("query_id").as("src_id"))
       .agg((round(sum(col("cos_sim")), 6) / count(lit(1))).as("__fm"))
     val bm = bwd.groupBy(col("query_id").as("tgt_id"))
       .agg((round(sum(col("cos_sim")), 6) / count(lit(1))).as("__bm"))
-    val cand = fwd.select(col("query_id").as("src_id"),
+    val cand = f.select(col("query_id").as("src_id"),
         col("neighbor_id").as("tgt_id"), col("cos_sim"))
       .join(fm, Seq("src_id"))
       .join(bm, Seq("tgt_id"))
