@@ -5764,9 +5764,9 @@ object SparkEntry {
              regexp_replace(u, '^([^?&]*)&', '\1?') AS u FROM s6),
          s8 AS (SELECT doc_id, regexp_replace(u, '[?&/]+$', '') AS u FROM s7)
          SELECT s8.doc_id, s8.u AS url_norm,
-           regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              lower(regexp_extract(r.u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-             '^www\.', ''), ':[0-9]+$', '') AS host
+             '^.*@', ''), ':[0-9]+$', ''), '\.+$', ''), '^www\.', '') AS host
          FROM s8 JOIN r ON s8.doc_id = r.doc_id""",
     "quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),

@@ -131,7 +131,12 @@ object Pipeline {
           .foldLeft(lit(false)) { (acc, b) =>
             acc || host === lit(b) || host.endsWith(lit("." + b))
           }
-        pre = pre.filter(!hit)
+        // null url → null hit → coalesce keeps the row: a blocklist
+        // must only drop MATCHED hosts, consistent with the cap path
+        // treating a null host as a real stratum (silently deleting
+        // every url-less row when a 2-host blocklist is enabled is the
+        // failure mode this guards)
+        pre = pre.filter(!coalesce(hit, lit(false)))
         snap("domain_blocklist", pre)
       }
       if (maxDocsPerHost > 0) {
@@ -499,7 +504,8 @@ object Pipeline {
         .foldLeft(lit(false)) { (acc, b) =>
           acc || host === lit(b) || host.endsWith(lit("." + b))
         }
-      d = d.filter(!hit)
+      // null url keeps (see curate's blocklist stage)
+      d = d.filter(!coalesce(hit, lit(false)))
     }
     val len = length(col(textCol))
     d = d.filter(len >= minChars && len <= maxChars)

@@ -846,9 +846,16 @@ object Similarity {
     val cand = f.select(col("query_id").as("src_id"),
         col("neighbor_id").as("tgt_id"), col("cos_sim"))
       .join(fm, Seq("src_id"))
-      .join(bm, Seq("tgt_id"))
+      // LEFT: under asymmetric retrieval (IVF probes > 1) a forward
+      // candidate's target can have an empty backward neighborhood —
+      // an inner join would silently DROP the pair, making the recall
+      // knob remove mined pairs. Fall back to the forward mean (margin
+      // = cos/fm), the defensible one-sided normalization; symmetric
+      // retrieval always has __bm and is unaffected.
+      .join(bm, Seq("tgt_id"), "left")
       .select(col("src_id"), col("tgt_id"), col("cos_sim"),
-        round(col("cos_sim") * lit(2.0) / (col("__fm") + col("__bm")), 6)
+        round(col("cos_sim") * lit(2.0) /
+          (col("__fm") + coalesce(col("__bm"), col("__fm"))), 6)
           .as("margin"))
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("margin").desc, col("tgt_id").asc)

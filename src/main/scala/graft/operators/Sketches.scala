@@ -645,12 +645,21 @@ object Sketches {
       groupCol: String,
       k: Int = 256): DataFrame = {
     require(k > 0, "k must be positive")
+    // duplicate (group, id) rows collapse to ONE member BEFORE the
+    // join-back — selection already dedups on (stratum, surrogate), and
+    // without this fold both payload rows would resurface through the
+    // join (n_sample > k, double-weighted percentiles, duplicated
+    // ranks). min(value) makes the surviving payload deterministic;
+    // at-least-once ingests replaying identical rows collapse exactly.
+    val uniq = df.select(col(groupCol), col(idCol), col(valueCol))
+      .groupBy(col(groupCol), col(idCol))
+      .agg(min(col(valueCol)).as(valueCol))
     val sel = graft.operators.Sampling
-      .sampleExactPerStratum(df.select(col(groupCol), col(idCol)),
+      .sampleExactPerStratum(uniq.select(col(groupCol), col(idCol)),
         idCol, groupCol, k)
       .select(col(groupCol).as("__qg"), col(idCol).as("__qid"),
         col("sample_rank"))
-    df.select(col(groupCol), col(idCol), col(valueCol))
+    uniq
       .join(broadcast(sel),
         col(groupCol) <=> col("__qg") && col(idCol) === col("__qid"))
       .select(col(groupCol), col(idCol), col(valueCol), col("sample_rank"))
@@ -730,8 +739,14 @@ object Sketches {
         s"not ($idCol, $valueCol, $groupCol)")
     val stored = spark.read.parquet(
       graft.sources.EpochStore.epochPath(path, v))
+    // replay guard keys on (group, id) — NULL-SAFE on the group, like
+    // every grouped path here — not id alone: an id can legitimately
+    // recur across groups (ids unique only per group), and an id-only
+    // anti-join would silently drop the second group's row from the
+    // sample, breaking the merge law
     val fresh = batch.join(
-      broadcast(stored.select(col(idCol))), Seq(idCol), "left_anti")
+      broadcast(stored.select(col(gc).as("__ag"), col(idCol).as("__ai"))),
+      col(gc) <=> col("__ag") && col(idCol) === col("__ai"), "left_anti")
     val merged = quantileSummaryBy(
       stored.drop("sample_rank")
         .unionByName(quantileSummaryBy(fresh, idCol, valueCol, gc, kk)

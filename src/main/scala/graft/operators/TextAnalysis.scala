@@ -952,13 +952,21 @@ object TextAnalysis {
     regexp_replace(u6, "[?&/]+$", "")
   }
 
-  /** Registered host of a URL (lowercased, `www.` and port stripped):
-    * the partition/blocking key for per-site quotas and crawls.
+  /** Registered host of a URL (lowercased; RFC-3986 `userinfo@`, the
+    * `www.` prefix, any `:port`, and trailing FQDN dots stripped): the
+    * partition/blocking key for per-site quotas and crawls. The
+    * userinfo and trailing-dot strips are the BLOCKLIST-EVASION
+    * closure: `https://x@bad.com/` and `https://bad.com./` must not
+    * slip a `bad.com` rule, and per-doc-unique userinfo must not
+    * fragment a per-host cap into unlimited strata.
     */
   def urlHost(url: Column): Column = {
-    val host = lower(regexp_extract(url,
+    val auth = lower(regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    regexp_replace(regexp_replace(host, "^www\\.", ""), ":[0-9]+$", "")
+    val noUser = regexp_replace(auth, "^.*@", "")
+    val noPort = regexp_replace(noUser, ":[0-9]+$", "")
+    val noDots = regexp_replace(noPort, "\\.+$", "")
+    regexp_replace(noDots, "^www\\.", "")
   }
 
   /** HTML → text extraction (the WET-conversion / C4-preprocessing

@@ -95,10 +95,16 @@ object DedupIndex {
     import spark.implicits._
     // tombstone first (the Packs discipline): a crash anywhere below
     // leaves no meta, so load() fails loudly instead of pairing stale
-    // banding params with half-rebuilt artifacts
-    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
-    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(metaDir, true)
+    // banding params with half-rebuilt artifacts. The ingest MARKERS
+    // die with the meta: they record absorption into the OLD index, and
+    // surviving a rebuild they would make a fresh stream's batch 0..N
+    // silently no-op against the new one (ids restart with a fresh
+    // checkpoint).
+    val hconfB = spark.sparkContext.hadoopConfiguration
+    Seq(s"$path/meta", s"$path/ingested").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconfB).delete(hp, true)
+    }
     val hashed = docs.select(col(idCol).as("doc_id"),
       col(textCol).as("__text"),
       Dedup.normalizedHash(col(textCol)).as("text_hash"))
@@ -370,9 +376,12 @@ object DedupIndex {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = spanWords
-    val metaDir = new org.apache.hadoop.fs.Path(s"$path/grams_meta")
-    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(metaDir, true)
+    // meta tombstone + stale ingest markers (see [[build]]'s note)
+    val hconfB = spark.sparkContext.hadoopConfiguration
+    Seq(s"$path/grams_meta", s"$path/grams_ingested").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconfB).delete(hp, true)
+    }
     val toks = Dedup.substringMaterialize(docs.select(col(idCol),
       words(col(textCol)).as("__ws")))
     val grams = Dedup.substringMaterialize(
@@ -563,9 +572,12 @@ object DedupIndex {
     require(numFiles > 0, "numFiles must be positive")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val metaDir = new org.apache.hadoop.fs.Path(s"$path/sem_meta")
-    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(metaDir, true)
+    // meta tombstone + stale ingest markers (see [[build]]'s note)
+    val hconfB = spark.sparkContext.hadoopConfiguration
+    Seq(s"$path/sem_meta", s"$path/sem_ingested").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconfB).delete(hp, true)
+    }
     // one materialization: the assignment feeds the pair join twice,
     // the keep-flag join, and the artifact write
     val assigned = graft.operators.Similarity

@@ -3654,6 +3654,19 @@ class OperatorsSpec extends AnyFunSuite {
       stageFrames = Some(stages))
     assert(stages.map(_._1).take(4) ===
       Seq("input", "domain_blocklist", "domain_cap", "length_gate"))
+    // evasion closure + null tolerance: userinfo and trailing-dot
+    // forms of a blocked host still match; a NULL url row KEEPS (a
+    // blocklist only drops matched hosts)
+    val tricky = Seq(
+      (10L, "https://x@bad.com/a", "userinfo evasion"),
+      (11L, "https://bad.com./b", "trailing dot evasion"),
+      (12L, "https://WWW.BAD.COM:8080/c", "case+www+port"),
+      (13L, null.asInstanceOf[String], "no url at all"))
+      .toDF("doc_id", "url", "text")
+    val kept = Pipeline.curate(tricky, "doc_id", "text",
+        urlCol = "url", blockedHosts = Seq("bad.com"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(13L), s"got $kept")
   }
 
   test("ivfTopKCross scores shared cells only, probes widens recall," +
@@ -3795,6 +3808,25 @@ class OperatorsSpec extends AnyFunSuite {
       Sketches.appendQuantile(d, "id", "v", "v", dir)
     }
     assert(e.getMessage.contains("keys on"))
+    // duplicate (group, id) rows collapse to ONE member (min value) —
+    // never a double-weighted sample
+    val dup = Seq(("g1", 1L, 9L), ("g1", 1L, 3L), ("g1", 2L, 5L))
+      .toDF("g", "id", "v")
+    val sm = Sketches.quantileSummaryBy(dup, "id", "v", "g", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(sm === Map(1L -> 3L, 2L -> 5L))
+    // append replay-guard keys on (group, id): the same id arriving in
+    // a DIFFERENT group is fresh, not a replay
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_qtl_xg")
+      .toString
+    Sketches.appendQuantile(
+      Seq(("ga", 7L, 1L)).toDF("g", "id", "v"), "id", "v", "g", dir2, 10)
+    Sketches.appendQuantile(
+      Seq(("gb", 7L, 2L)).toDF("g", "id", "v"), "id", "v", "g", dir2)
+    val both = Sketches.loadQuantile(spark, dir2).rows
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(both === Map("ga" -> 1L, "gb" -> 2L),
+      "cross-group same-id row must survive the append guard")
   }
 
   test("frequentNgramsSketched equals the exact form for any sketch" +
@@ -3955,6 +3987,15 @@ class OperatorsSpec extends AnyFunSuite {
       "replayed ingest must not re-absorb")
     assert(ids(spark.read.parquet(out)) === out1)
     assert(out1 === Set(11L))
+    // a REBUILD clears stale ingest markers: batch ids restart with a
+    // fresh stream checkpoint, and a surviving batch_0 marker would
+    // silently no-op the new stream's first batch
+    DedupIndex.buildSemantic(
+      corpus, "vec_id", "embedding", centroids, tau = 0.9, path)
+    DedupIndex.ingestSemanticBatch(
+      spark, path, out, b1, 0L, "vec_id", "embedding")
+    assert(ids(spark.read.parquet(out)) === Set(11L),
+      "post-rebuild ingest of batch 0 must run, not no-op on a stale marker")
     // tombstoned meta gates the probe path: no sem_meta → loud failure
     val mp = new org.apache.hadoop.fs.Path(s"$path/sem_meta")
     mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
