@@ -948,6 +948,32 @@ object SparkEntry {
     loaded.manifest
   }
 
+  /** Incremental-release gate: even half published, odd half folded in
+    * via [[graft.sources.Release.appendRelease]] (touched-shards-only
+    * manifest recompute); sharding is content-addressed, so the merged
+    * manifest must equal the from-scratch one — oracle shared verbatim
+    * with `release_manifest`. The path is wiped per run (append
+    * accumulates data files across bench reps).
+    */
+  private def releaseAppendQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"/tmp/graft_release_app_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    graft.sources.Release.writeRelease(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+      nShards = 8)
+    graft.sources.Release.appendRelease(
+      d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", path)
+    val loaded = graft.sources.Release.loadRelease(s, path,
+      StructType(d.schema.fields :+ StructField("shard", LongType)))
+    require(graft.sources.Release
+        .validateRelease(loaded, "doc_id", "text").isEmpty,
+      "appended release must verify against its merged manifest")
+    loaded.manifest
+  }
+
   /** Cross-source duplication matrix gate: every fifth doc's text is
     * replaced by one of 37 shared blocks, so sources overlap by
     * construction; the oracle replays the plant, the distinct
@@ -3345,6 +3371,19 @@ object SparkEntry {
        FROM sc"""
   }
 
+  /** Shared by the release gates: per-shard stats with the XOR doc
+    * checksum, recomputed over the whole corpus.
+    */
+  private val dkReleaseManifest: String =
+    s"""WITH h AS (SELECT doc_id, text,
+         ${dkHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         ${dkHash("CAST(doc_id AS VARCHAR) || ':' || text")} AS dh
+       FROM documents)
+       SELECT shard, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         bit_xor(dh) AS checksum
+       FROM h GROUP BY 1"""
+
   private val dkBottomK: String =
     s"""SELECT doc_id, lang, source, sample_rank FROM (
            SELECT doc_id, lang, source, CAST(row_number() OVER (
@@ -4200,6 +4239,7 @@ object SparkEntry {
     "source_roundtrip" -> (sourceRoundtripQ _),
     "layout_zorder"    -> (layoutZorderQ _),
     "release_manifest" -> (releaseManifestQ _),
+    "release_append"   -> (releaseAppendQ _),
     "dedup_overlap_matrix" -> (dedupOverlapMatrixQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
@@ -5548,15 +5588,10 @@ object SparkEntry {
     "source_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "layout_zorder" -> dkZorder,
-    "release_manifest" ->
-      s"""WITH h AS (SELECT doc_id, text,
-           ${dkHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
-           ${dkHash("CAST(doc_id AS VARCHAR) || ':' || text")} AS dh
-         FROM documents)
-         SELECT shard, count(*) AS n_docs,
-           CAST(sum(length(text)) AS BIGINT) AS n_chars,
-           bit_xor(dh) AS checksum
-         FROM h GROUP BY 1""",
+    "release_manifest" -> dkReleaseManifest,
+    // content-addressed sharding: the touched-shards-only append
+    // telescopes exactly to the from-scratch manifest
+    "release_append" -> dkReleaseManifest,
     "dedup_overlap_matrix" ->
       """WITH p AS (SELECT CASE WHEN doc_id % 5 = 0
              THEN 'shared block number ' || (doc_id % 37)

@@ -51,9 +51,12 @@ object Release {
       nShards: Int = 16): Unit = {
     require(nShards > 0, "nShards must be positive")
     val spark = docs.sparkSession
-    val metaDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(metaDir, true)
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$path/manifest", s"$path/release_meta").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
     val sharded = docs.withColumn("shard", shardCol(idCol, nShards))
     sharded.repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard")
@@ -65,6 +68,61 @@ object Release {
     // as a checksum mismatch instead of shipping
     manifestOf(spark.read.schema(sharded.schema).json(s"$path/data"),
         idCol, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    Seq(Tuple1(nShards)).toDF("n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/release_meta")
+  }
+
+  /** Fold a new batch into a published release — the incremental
+    * publication step (daily curated batches landing in a standing
+    * snapshot): the batch's rows append as new JSONL files inside
+    * their content-addressed shard directories (sharding is a pure
+    * function of the id, so a doc's shard never moves), and ONLY the
+    * TOUCHED shards are re-read for manifest recomputation — untouched
+    * shards keep their committed manifest rows unread. Cost scales
+    * with the batch plus its shards' data, never the release.
+    *
+    * Crash discipline: the old manifest rows are captured (≤ nShards
+    * rows), the manifest is tombstoned BEFORE data files land, and the
+    * merged manifest commits last — a crash mid-append leaves a
+    * release that [[loadRelease]] refuses loudly, never a manifest
+    * describing half-appended shards. The sink does NOT dedup: feed it
+    * from the curation pipeline's survivors (an id republished in a
+    * later batch ships twice and the checksum honestly says so).
+    */
+  def appendRelease(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val nShards = spark.read.parquet(s"$path/release_meta")
+      .head().getAs[Int]("n_shards")
+    // capture old rows BEFORE the tombstone (bounded: one per shard)
+    val oldManifest = spark.read.parquet(s"$path/manifest").collect()
+    val manifestDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(manifestDir, true)
+    val sharded = batch.withColumn("shard", shardCol(idCol, nShards))
+      .localCheckpoint() // touched-set + write share one computation
+    val touched = sharded.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    sharded.repartition(
+        math.max(1, touched.size), col("shard"))
+      .write.mode("append").partitionBy("shard")
+      .option("compression", "gzip")
+      .json(s"$path/data")
+    val schema = org.apache.spark.sql.types.StructType(
+      batch.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType))
+    val recomputed = manifestOf(
+      spark.read.schema(schema).json(s"$path/data")
+        .filter(col("shard").isInCollection(touched)), idCol, textCol)
+    val keptRows = oldManifest.filterNot(r =>
+      touched(r.getAs[Long]("shard")))
+    val kept = spark.createDataFrame(
+      spark.sparkContext.parallelize(keptRows.toSeq), recomputed.schema)
+    recomputed.unionByName(kept)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
   }
 

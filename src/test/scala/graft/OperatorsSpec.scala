@@ -3574,6 +3574,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Release.validateRelease(empty, "doc_id", "text").count() === 2)
   }
 
+  test("appendRelease telescopes to the from-scratch manifest and fails" +
+      " loudly without a published release") {
+    import graft.sources.Release
+    import org.apache.spark.sql.types._
+    val a = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "epsilon"), (11L, "zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_app")
+      .toString
+    Release.writeRelease(a, "doc_id", "text", s"$dir/r", nShards = 4)
+    Release.appendRelease(b, "doc_id", "text", s"$dir/r")
+    val schema = StructType(a.schema.fields :+ StructField("shard", LongType))
+    val loaded = Release.loadRelease(spark, s"$dir/r", schema)
+    assert(Release.validateRelease(loaded, "doc_id", "text").isEmpty)
+    assert(loaded.rows.count() === 6)
+    // merged manifest == from-scratch manifest of the union
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    Release.writeRelease(a.union(b), "doc_id", "text", s"$dir/full",
+      nShards = 4)
+    assert(rows(loaded.manifest) === rows(
+      Release.loadRelease(spark, s"$dir/full", schema).manifest))
+    // no release at the path -> loud failure, nothing written
+    intercept[Exception] {
+      Release.appendRelease(b, "doc_id", "text", s"$dir/nothere")
+    }
+  }
+
   test("sourceOverlapMatrix counts distinct shared hashes with" +
       " containment ratios; within-source duplicates collapse") {
     val d = Seq(
