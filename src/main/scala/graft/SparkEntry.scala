@@ -1791,6 +1791,29 @@ object SparkEntry {
       Tables.zorderValue(lanes).as("zval"))
   }
 
+  /** Three-lane Z-order gate ([[layoutZorderQ]]'s stride-3 sibling —
+    * bit `b` of lane `i` lands at `3b + i`, which the 2-lane gate
+    * cannot exercise): per-row Morton keys over (l_orderkey,
+    * l_partkey, l_suppkey) at 16 bits/lane (48-bit keys), arithmetic
+    * only — the physical-write path is [[layoutZorderQ]]'s.
+    */
+  private def layoutZorder3Q(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val stats = l.agg(
+      min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+      min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")),
+      min(col("l_suppkey").cast("long")), max(col("l_suppkey").cast("long")))
+      .head()
+    val lanes = Seq(
+      Tables.zorderScale(col("l_orderkey"), stats.getLong(0), stats.getLong(1)),
+      Tables.zorderScale(col("l_partkey"), stats.getLong(2), stats.getLong(3)),
+      Tables.zorderScale(col("l_suppkey"), stats.getLong(4), stats.getLong(5)))
+    l.select(col("l_orderkey"), col("l_linenumber"),
+      Tables.zorderValue(lanes).as("zval"))
+  }
+
   private def sourceRoundtripQ(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_srcrt_${Integer.toHexString(dir.hashCode)}"
     val d = docs(s, dir)
@@ -3384,6 +3407,30 @@ object SparkEntry {
          bit_xor(dh) AS checksum
        FROM h GROUP BY 1"""
 
+  /** Three-lane Morton oracle: 48 generated terms, bit `b` of lane `i`
+    * at z-bit `3b + i`.
+    */
+  private val dkZorder3: String = {
+    val terms = (for {
+      (lane, i) <- Seq("sx", "sy", "sz").zipWithIndex
+      b <- 0 until 16
+    } yield s"((($lane >> $b) & 1) << ${b * 3 + i})").mkString(" | ")
+    s"""WITH st AS (SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+           min(CAST(l_partkey AS BIGINT)) AS mnp,
+           max(CAST(l_partkey AS BIGINT)) AS mxp,
+           min(CAST(l_suppkey AS BIGINT)) AS mns,
+           max(CAST(l_suppkey AS BIGINT)) AS mxs FROM lineitem),
+       sc AS (SELECT l_orderkey, l_linenumber,
+           ((l_orderkey - mno) * 65535) // greatest(1, mxo - mno) AS sx,
+           ((CAST(l_partkey AS BIGINT) - mnp) * 65535)
+             // greatest(1, mxp - mnp) AS sy,
+           ((CAST(l_suppkey AS BIGINT) - mns) * 65535)
+             // greatest(1, mxs - mns) AS sz
+         FROM lineitem, st)
+       SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
+       FROM sc"""
+  }
+
   private val dkBottomK: String =
     s"""SELECT doc_id, lang, source, sample_rank FROM (
            SELECT doc_id, lang, source, CAST(row_number() OVER (
@@ -4238,6 +4285,7 @@ object SparkEntry {
     "langid_segments"  -> (langidSegmentsQ _),
     "source_roundtrip" -> (sourceRoundtripQ _),
     "layout_zorder"    -> (layoutZorderQ _),
+    "layout_zorder3"   -> (layoutZorder3Q _),
     "release_manifest" -> (releaseManifestQ _),
     "release_append"   -> (releaseAppendQ _),
     "dedup_overlap_matrix" -> (dedupOverlapMatrixQ _),
@@ -5588,6 +5636,7 @@ object SparkEntry {
     "source_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "layout_zorder" -> dkZorder,
+    "layout_zorder3" -> dkZorder3,
     "release_manifest" -> dkReleaseManifest,
     // content-addressed sharding: the touched-shards-only append
     // telescopes exactly to the from-scratch manifest
