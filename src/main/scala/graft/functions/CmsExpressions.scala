@@ -20,17 +20,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The bucket hash replicates [[graft.operators.Sketches.cmsCounters]]
   * exactly — `hash60("<row>:" + value) mod width`, hash60 = the first
-  * 60 bits of md5 (first-8-bytes-big-endian >>> 4) — so the embedded
-  * counter table and the probe can never disagree. `counters` is the
-  * flattened `row * width + bucket` table and rides the expression into
-  * every task once (`depth·width·8` bytes in the task binary: 512 KB at
-  * depth 4 × width 2^14 — keep `depth·width` ≤ ~2^20 or ship through a
-  * broadcast variable instead). Per row: ≤ `depth` md5s with an early
-  * exit as soon as the running min falls below `minCount`.
+  * 60 bits of md5 (first-8-bytes-big-endian >>> 4) — so the counter
+  * table and the probe can never disagree. `counters` is the flattened
+  * `row * width + bucket` table shipped as a BROADCAST variable: the
+  * expression serializes as a ~hundred-byte handle, so the task binary
+  * stays small at any sketch size (a 2^20-width × depth-4 table is
+  * 32 MB — plan-embedding that would bloat every task closure and
+  * re-ship per stage; the torrent broadcast ships it once per executor
+  * and `.value` here is a local-memory dereference). Per row: ≤ `depth`
+  * md5s with an early exit as soon as the running min falls below
+  * `minCount`.
   */
 case class CmsPrefilterExpr(
     child: Expression,
-    counters: Array[Long],
+    counters: org.apache.spark.broadcast.Broadcast[Array[Long]],
     depth: Int,
     width: Int,
     minCount: Long)
@@ -38,14 +41,15 @@ case class CmsPrefilterExpr(
 
   require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
   require(width >= 16, s"width must be >= 16, got $width")
-  require(counters.length == depth * width,
-    s"counters must hold depth*width = ${depth * width} entries, " +
-      s"got ${counters.length}")
   require(minCount >= 1, s"minCount must be >= 1, got $minCount")
 
   override def dataType: DataType = BooleanType
 
+  // the broadcast handle compares by reference, so two prefilters over
+  // different tables can never compare equal (conservative: a re-used
+  // identical table misses subexpression elimination, never correctness)
   override def nullSafeEval(input: Any): Any = {
+    val table = counters.value
     val s = input.asInstanceOf[UTF8String].toString
     val md = MessageDigest.getInstance("MD5")
     var m = Long.MaxValue
@@ -56,7 +60,7 @@ case class CmsPrefilterExpr(
       var b = 0
       while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
       val bucket = ((v >>> 4) % width).toInt
-      val c = counters(j * width + bucket)
+      val c = table(j * width + bucket)
       if (c < m) m = c
       j += 1
     }

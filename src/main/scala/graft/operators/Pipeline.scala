@@ -140,11 +140,19 @@ object Pipeline {
         snap("domain_blocklist", pre)
       }
       if (maxDocsPerHost > 0) {
+        // cap only rows with a PARSEABLE host: a null url (host null)
+        // or an unparseable one (regexp host '') is not a site, and
+        // pooling every url-less doc into one capped pseudo-host would
+        // silently decimate them — pass them through, consistent with
+        // the blocklist's null-keep policy above
+        val hosted = pre.select(col(idCol), host.as("__host"))
+          .filter(col("__host").isNotNull && col("__host") =!= "")
         val keep = Sampling.sampleExactPerStratum(
-            pre.select(col(idCol), host.as("__host")), idCol, "__host",
-            maxDocsPerHost)
+            hosted, idCol, "__host", maxDocsPerHost)
           .select(col(idCol))
+        val hostless = coalesce(host, lit("")) === ""
         pre = pre.join(keep, Seq(idCol), "left_semi")
+          .unionByName(pre.filter(hostless))
         snap("domain_cap", pre)
       }
     }

@@ -1077,9 +1077,12 @@ object TextAnalysis {
       arr(r.getAs[Int]("row") * width + r.getAs[Long]("bucket").toInt) =
         r.getAs[Long]("cnt")
     }
+    // ship the counter table by torrent broadcast, not inside the plan:
+    // the filter expression stays a ~100-byte handle at any sketch size
+    val bcArr = docs.sparkSession.sparkContext.broadcast(arr)
     grams
       .filter(toColumn(graft.functions.CmsPrefilterExpr(
-        toExpression(col("ngram")), arr, depth, width, minCount)))
+        toExpression(col("ngram")), bcArr, depth, width, minCount)))
       .groupBy(col("ngram"), col("__doc"))
       .agg(count(lit(1)).as("__tf"))
       .groupBy(col("ngram"))
@@ -1111,7 +1114,13 @@ object TextAnalysis {
     val grams = docs.select(col(groupCol), col(idCol).as("__doc"),
         explode(toColumn(graft.functions.NgramsExpr(
           toExpression(col(textCol)), n))).as("ngram"))
-      .withColumn("__gk", concat(col(groupCol), lit(""), col("ngram")))
+      // null-sentinel the group leg: a null group must behave as a real
+      // group (exact groupBy semantics), not vanish via a null concat
+      // that the null-safe prefilter then discards -- U+0000 cannot be a
+      // cast-to-string group value, so the sentinel cannot collide
+      .withColumn("__gk", concat(
+        coalesce(col(groupCol).cast("string"), lit("\u0000")),
+        lit("\u0001"), col("ngram")))
     val counterRows = graft.operators.Sketches
       .cmsCounters(grams, col("__gk"), depth, width).collect()
     val arr = new Array[Long](depth * width)
@@ -1119,9 +1128,10 @@ object TextAnalysis {
       arr(r.getAs[Int]("row") * width + r.getAs[Long]("bucket").toInt) =
         r.getAs[Long]("cnt")
     }
+    val bcArr = docs.sparkSession.sparkContext.broadcast(arr)
     grams
       .filter(toColumn(graft.functions.CmsPrefilterExpr(
-        toExpression(col("__gk")), arr, depth, width, minCount)))
+        toExpression(col("__gk")), bcArr, depth, width, minCount)))
       .groupBy(col(groupCol), col("ngram"), col("__doc"))
       .agg(count(lit(1)).as("__tf"))
       .groupBy(col(groupCol), col("ngram"))

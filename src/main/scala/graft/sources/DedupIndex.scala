@@ -679,11 +679,16 @@ object DedupIndex {
           coalesce(col("kept"), lit(true)).as("kept")))
   }
 
-  /** Append a [[dedupSemanticBatch]] result's vectors. One artifact —
-    * replaying a partially-landed append re-appends rows whose
-    * duplicates are benign: the drop rule is an EXISTS over cell-mates,
-    * and a vector's duplicate row shadows exactly what the original
-    * shadows.
+  /** Append a [[dedupSemanticBatch]] result's vectors. IDEMPOTENT
+    * against replay: vectors whose `vec_id` is already in the artifact
+    * are anti-joined away (the index streams, the batch-bounded id set
+    * broadcasts), so a crash between a committed absorb and its ingest
+    * marker cannot double-store the batch — nor land a replay's
+    * RECOMPUTED rows, whose `kept` flags are degraded by the batch
+    * self-shadowing through the index. A Spark write job commits
+    * atomically, so the replay sees exactly one of two states: absorb
+    * committed (anti-join removes everything) or not (the recompute
+    * equals the original and lands verbatim).
     */
   def absorbSemantic(
       spark: SparkSession,
@@ -691,7 +696,14 @@ object DedupIndex {
       b: SemanticBatch,
       numFiles: Int = 8): Unit = {
     require(numFiles > 0, "numFiles must be positive")
-    b.newVecs.repartition(numFiles, col("centroid_id"))
+    // present = index ids ∩ batch ids: the index STREAMS through a
+    // broadcast semi join on the batch's id set; output batch-bounded
+    val present = spark.read.parquet(s"$path/sem_vecs")
+      .select(col("vec_id"))
+      .join(broadcast(b.newVecs.select(col("vec_id"))),
+        Seq("vec_id"), "left_semi")
+    b.newVecs.join(broadcast(present), Seq("vec_id"), "left_anti")
+      .repartition(numFiles, col("centroid_id"))
       .sortWithinPartitions("centroid_id", "vec_id")
       .write.mode("append").parquet(s"$path/sem_vecs")
   }

@@ -89,24 +89,82 @@ object Release {
     * describing half-appended shards. The sink does NOT dedup: feed it
     * from the curation pipeline's survivors (an id republished in a
     * later batch ships twice and the checksum honestly says so).
+    *
+    * Retry safety (`batchId` nonEmpty): the append runs under a
+    * per-batch intent/done protocol at `path/batches/<batchId>/` —
+    *
+    *  1. `done` present → the batch committed; the call is a NO-OP
+    *     (a replayed batch cannot ship duplicate docs);
+    *  2. otherwise an INTENT snapshot is captured BEFORE any mutation:
+    *     the old manifest rows plus the per-touched-shard data-file
+    *     listing, sealed by an `intent_ok` marker (no `intent_ok` →
+    *     any half-written snapshot is wiped and recaptured — the live
+    *     manifest is still intact at that point because mutation only
+    *     starts after the seal);
+    *  3. any data file in a touched shard NOT in the sealed listing is
+    *     a leftover of a crashed prior attempt of THIS batch and is
+    *     deleted before re-appending — a crash at ANY point is repaired
+    *     by simply re-running the same (batch, batchId) call.
+    *
+    * With `batchId` empty the protocol is skipped (one-shot callers
+    * that never retry); a replayed empty-id batch double-appends and
+    * the recomputed checksum honestly counts the duplicates.
     */
   def appendRelease(
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      path: String): Unit = {
+      path: String,
+      batchId: String = ""): Unit = {
     val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fs(p: String) =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+    def exists(p: String) =
+      fs(p).exists(new org.apache.hadoop.fs.Path(p))
+    val batchDir = s"$path/batches/$batchId"
+    if (batchId.nonEmpty && exists(s"$batchDir/done")) return
     val nShards = spark.read.parquet(s"$path/release_meta")
       .head().getAs[Int]("n_shards")
-    // capture old rows BEFORE the tombstone (bounded: one per shard)
-    val oldManifest = spark.read.parquet(s"$path/manifest").collect()
-    val manifestDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(manifestDir, true)
     val sharded = batch.withColumn("shard", shardCol(idCol, nShards))
       .localCheckpoint() // touched-set + write share one computation
     val touched = sharded.select(col("shard")).distinct()
       .collect().map(_.getLong(0)).toSet
+    def listShardFiles(): Seq[(Long, String)] = touched.toSeq.flatMap {
+      s =>
+        val dir = new org.apache.hadoop.fs.Path(s"$path/data/shard=$s")
+        val f = dir.getFileSystem(hconf)
+        if (!f.exists(dir)) Seq.empty
+        else f.listStatus(dir).toSeq.filter(_.isFile)
+          .map(st => (s, st.getPath.getName))
+    }
+    import spark.implicits._
+    // capture old rows BEFORE the tombstone (bounded: one per shard)
+    val oldManifest: Array[org.apache.spark.sql.Row] =
+      if (batchId.isEmpty) spark.read.parquet(s"$path/manifest").collect()
+      else if (exists(s"$batchDir/intent_ok")) {
+        // crashed prior attempt: restore its pre-mutation view, then
+        // delete the files that attempt added to the touched shards
+        val sealedFiles = spark.read.parquet(s"$batchDir/files")
+          .as[(Long, String)].collect().toSet
+        listShardFiles().filterNot(sealedFiles).foreach { case (s, n) =>
+          fs(path).delete(new org.apache.hadoop.fs.Path(
+            s"$path/data/shard=$s/$n"), false)
+        }
+        spark.read.parquet(s"$batchDir/old_manifest").collect()
+      } else {
+        // fresh attempt: seal the intent snapshot before any mutation
+        fs(path).delete(new org.apache.hadoop.fs.Path(batchDir), true)
+        val live = spark.read.parquet(s"$path/manifest")
+        live.coalesce(1).write.parquet(s"$batchDir/old_manifest")
+        listShardFiles().toDF("shard", "file")
+          .coalesce(1).write.parquet(s"$batchDir/files")
+        fs(path).mkdirs(new org.apache.hadoop.fs.Path(
+          s"$batchDir/intent_ok"))
+        live.collect()
+      }
+    val manifestDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    manifestDir.getFileSystem(hconf).delete(manifestDir, true)
     sharded.repartition(
         math.max(1, touched.size), col("shard"))
       .write.mode("append").partitionBy("shard")
@@ -124,6 +182,8 @@ object Release {
       spark.sparkContext.parallelize(keptRows.toSeq), recomputed.schema)
     recomputed.unionByName(kept)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    if (batchId.nonEmpty)
+      fs(path).mkdirs(new org.apache.hadoop.fs.Path(s"$batchDir/done"))
   }
 
   /** The per-shard stats frame `(shard, n_docs, n_chars, checksum)` of

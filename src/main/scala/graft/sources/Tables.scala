@@ -198,6 +198,16 @@ object Tables {
     val aggs = zcols.flatMap(c =>
       Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input (or an all-null z column): min/max aggregate to null
+    // — short-circuit to a plain empty write instead of an opaque NPE;
+    // there is nothing to cluster and the schema still lands on disk
+    if ((0 until 2 * zcols.size).exists(stats.isNullAt)) {
+      require(df.isEmpty,
+        s"z-order columns ${zcols.mkString(",")} are entirely null " +
+          "on a non-empty input - cannot derive a lane scale")
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val lanes = zcols.zipWithIndex.map { case (c, i) =>
       zorderScale(col(c), stats.getLong(2 * i), stats.getLong(2 * i + 1),
         bits)

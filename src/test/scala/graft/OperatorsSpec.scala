@@ -3698,6 +3698,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(13L), s"got $kept")
   }
 
+  test("curate per-host cap exempts url-less docs: null and unparseable" +
+      " urls pass through instead of pooling into one capped pseudo-host") {
+    import graft.operators.Pipeline
+    val d = Seq(
+      (0L, "https://ok.org/1", "aaa"),
+      (1L, "https://ok.org/2", "bbb"),
+      (2L, "https://ok.org/3", "ccc"),
+      (3L, null.asInstanceOf[String], "no url 1"),
+      (4L, null.asInstanceOf[String], "no url 2"),
+      (5L, "not a url at all", "unparseable 1"),
+      (6L, "::::", "unparseable 2")
+    ).toDF("doc_id", "url", "text")
+    val out = Pipeline.curate(d, "doc_id", "text",
+        urlCol = "url", maxDocsPerHost = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ok.org collapses to 1 doc; ALL four url-less docs survive (the
+    // cap is a per-SITE quota - docs without a site are not a site)
+    assert(out.count(Set(0L, 1L, 2L)) === 1, s"got $out")
+    assert(Set(3L, 4L, 5L, 6L).subsetOf(out),
+      s"url-less docs must bypass the host cap, got $out")
+  }
+
+  test("appendRelease with a batchId is replay-safe: done-marker no-op," +
+      " and a crashed attempt repairs on re-run without duplicates") {
+    import graft.sources.Release
+    import org.apache.spark.sql.types._
+    val a = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "epsilon"), (11L, "zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_rep")
+      .toString
+    val rel = s"$dir/r"
+    Release.writeRelease(a, "doc_id", "text", rel, nShards = 4)
+    Release.appendRelease(b, "doc_id", "text", rel, batchId = "b1")
+    val schema = StructType(a.schema.fields :+ StructField("shard", LongType))
+    def check(n: Long): Unit = {
+      val loaded = Release.loadRelease(spark, rel, schema)
+      assert(Release.validateRelease(loaded, "doc_id", "text").isEmpty)
+      assert(loaded.rows.count() === n)
+    }
+    check(6)
+    // straight replay: done marker -> no-op, still 6 docs
+    Release.appendRelease(b, "doc_id", "text", rel, batchId = "b1")
+    check(6)
+    // crash simulation: data landed but done never did (wipe the done
+    // marker AND the manifest - the worst pre-commit state) -> the
+    // re-run deletes the crashed attempt's files and re-appends once
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rel/batches/b1/done"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rel/manifest"), true)
+    Release.appendRelease(b, "doc_id", "text", rel, batchId = "b1")
+    check(6)
+    // and the repaired release telescopes to the from-scratch one
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    Release.writeRelease(a.union(b), "doc_id", "text", s"$dir/full",
+      nShards = 4)
+    assert(rows(Release.loadRelease(spark, rel, schema).manifest) ===
+      rows(Release.loadRelease(spark, s"$dir/full", schema).manifest))
+  }
+
+  test("writeZOrdered on an empty frame writes an empty table instead" +
+      " of an NPE; all-null lanes on a non-empty frame fail loudly") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_zempty")
+      .toString
+    val empty = Seq.empty[(Long, Long, String)].toDF("x", "y", "p")
+    Tables.writeZOrdered(empty, Seq("x", "y"), s"$dir/z", numFiles = 4)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.isEmpty && back.columns.toSeq === Seq("x", "y", "p"))
+    val allNull = Seq((null.asInstanceOf[java.lang.Long],
+        java.lang.Long.valueOf(1L), "a"))
+      .toDF("x", "y", "p")
+    intercept[IllegalArgumentException] {
+      Tables.writeZOrdered(allNull, Seq("x", "y"), s"$dir/z2")
+    }
+  }
+
   test("ivfTopKCross scores shared cells only, probes widens recall," +
       " and mineBitextIvf mines within cells") {
     val cents = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
@@ -3894,7 +3974,7 @@ class OperatorsSpec extends AnyFunSuite {
       arr(r.getInt(0) * 4096 + r.getLong(1).toInt) = r.getLong(2)
     }
     val kept = grams.distinct().filter(tc(CmsPrefilterExpr(
-        te(col("ngram")), arr, 4, 4096, 4L)))
+        te(col("ngram")), spark.sparkContext.broadcast(arr), 4, 4096, 4L)))
       .collect().map(_.getString(0)).toSet
     assert(Set("x y", "y x").subsetOf(kept), "true heavy hitters pruned")
     assert(kept.size < 6,
@@ -3917,6 +3997,42 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${out.keySet}")
     assert(out(("a", "x y")) === ((5L, 2L)))
     assert(out(("b", "z w")) === ((5L, 1L)))
+  }
+
+  test("frequentNgramsSketchedBy keeps a NULL group as a real group," +
+      " matching exact groupBy semantics") {
+    // a null group must not vanish through a null sketch key: the
+    // prefilter's null-safe eval would silently drop every such row
+    val d = Seq(
+      (0L, Some("a"), "x y x y x y"),
+      (1L, None, "p q p q p q p q"),   // "p q" 4x under the NULL group
+      (2L, None, "p q"))               // +1 -> 5
+      .toDF("doc_id", "g", "text")
+    val out = TextAnalysis.frequentNgramsSketchedBy(
+        d, "doc_id", "text", "g", n = 2, minCount = 5L, width = 64)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set((None, "p q")), s"got ${out.keySet}")
+    assert(out((None, "p q")) === ((5L, 2L)))
+  }
+
+  test("CmsPrefilterExpr serializes as a handle: task-binary size is" +
+      " independent of sketch size (2^20-width table)") {
+    import graft.functions.CmsPrefilterExpr
+    import org.apache.spark.sql.GraftColumnCompat.toExpression
+    val depth = 4; val width = 1 << 20
+    val big = spark.sparkContext.broadcast(new Array[Long](depth * width))
+    try {
+      val e = CmsPrefilterExpr(
+        toExpression(col("ngram")), big, depth, width, 4L)
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(e); oos.close()
+      // the flattened table alone is 32 MB; the serialized expression
+      // must stay a broadcast HANDLE, orders of magnitude below that
+      assert(bos.size() < 64 * 1024,
+        s"prefilter serialized to ${bos.size()} bytes - table embedded?")
+    } finally big.destroy()
   }
 
   test("thresholdReport confusion arithmetic on a hand fixture") {
