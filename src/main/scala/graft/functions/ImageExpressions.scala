@@ -138,27 +138,111 @@ object ImageFunctions {
     GraftColumnCompat.toColumn(ImageDimsExpr(
       GraftColumnCompat.toExpression(payload)))
 
-  /** 64-bit perceptual dHash of a decodable payload ([[DHash]]); null
-    * when the payload's pixels cannot be decoded without a codec.
+  /** 64-bit perceptual dHash of a decodable payload ([[DHash]]:
+    * uncompressed BMP, PNG, baseline JPEG); null otherwise.
     */
   def dhash(payload: Column): Column =
     GraftColumnCompat.toColumn(DHashExpr(
       GraftColumnCompat.toExpression(payload)))
+
+  /** Encode a row-major `array<int>` gray plane (w·h values, 0-255) as
+    * a grayscale PNG ([[PngCodec.encodeGray]]). `deflateMode`: 0
+    * stored, 1 fixed-Huffman, 2 dynamic-Huffman.
+    */
+  def pngEncode(gray: Column, w: Int, h: Int, deflateMode: Int = 1): Column =
+    GraftColumnCompat.toColumn(PngEncodeExpr(
+      GraftColumnCompat.toExpression(gray), w, h, deflateMode))
+
+  /** Encode a row-major `array<int>` gray plane as a baseline JPEG
+    * ([[JpegCodec.encodeGray]]): all-8s quant table, optional constant-
+    * chroma color / 4:2:0 / restart-interval variants.
+    */
+  def jpegEncode(gray: Column, w: Int, h: Int, color: Boolean = false,
+      subsample: Boolean = false, restartInterval: Int = 0): Column =
+    GraftColumnCompat.toColumn(JpegEncodeExpr(
+      GraftColumnCompat.toExpression(gray), w, h, color, subsample,
+      restartInterval))
 }
 
-/** Perceptual difference-hash (dHash) over DECODABLE uncompressed
-  * pixels — 24bpp uncompressed BMP (BITMAPINFOHEADER), the one crawl
-  * container whose pixel array needs no codec: the grayscale image is
+/** Shared shape of the gray-plane image encoders: `array<int>` (row
+  * major, w·h entries, values masked to 0-255) → `binary` payload.
+  * Null on a null/mis-sized/null-element input — the encoders exist to
+  * emit derived images (thumbnails, fixtures) inside a scan, so they
+  * follow the same never-throw discipline as the decoders.
+  */
+abstract class GrayEncodeExpr extends UnaryExpression with CodegenFallback {
+  def w: Int
+  def h: Int
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType, _) =>
+        if (w > 0 && h > 0 && w.toLong * h <= PngCodec.MaxPixels)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"unsupported dimensions ${w}x$h")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gray-plane encode needs array<int|bigint>, got ${other.simpleString}")
+    }
+
+  protected def encode(pix: Array[Byte]): Array[Byte]
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() != w * h) return null
+    val longs = child.dataType.asInstanceOf[ArrayType].elementType == LongType
+    val pix = new Array[Byte](w * h)
+    var i = 0
+    while (i < pix.length) {
+      if (arr.isNullAt(i)) return null
+      val v = if (longs) arr.getLong(i) else arr.getInt(i).toLong
+      pix(i) = (v & 0xff).toByte
+      i += 1
+    }
+    encode(pix)
+  }
+}
+
+case class PngEncodeExpr(child: Expression, w: Int, h: Int,
+    deflateMode: Int) extends GrayEncodeExpr {
+  require(deflateMode >= 0 && deflateMode <= 2,
+    s"deflateMode must be 0|1|2, got $deflateMode")
+  override protected def encode(pix: Array[Byte]): Array[Byte] =
+    PngCodec.encodeGray(w, h, pix, deflateMode)
+  override protected def withNewChildInternal(
+      newChild: Expression): PngEncodeExpr = copy(child = newChild)
+}
+
+case class JpegEncodeExpr(child: Expression, w: Int, h: Int,
+    color: Boolean, subsample: Boolean, restartInterval: Int)
+    extends GrayEncodeExpr {
+  require(restartInterval >= 0 && restartInterval <= 0xffff,
+    s"restartInterval out of range: $restartInterval")
+  override protected def encode(pix: Array[Byte]): Array[Byte] =
+    JpegCodec.encodeGray(w, h, pix, color, subsample, restartInterval)
+  override protected def withNewChildInternal(
+      newChild: Expression): JpegEncodeExpr = copy(child = newChild)
+}
+
+/** Perceptual difference-hash (dHash) over DECODABLE pixels — 24bpp
+  * uncompressed BMP (no codec needed), PNG ([[PngCodec]]: real RFC
+  * 1951 inflate + row filters) and baseline JPEG ([[JpegCodec]]:
+  * Huffman + dequant + IDCT, luma only): the grayscale image is
   * sampled on a 9×8 grid (nearest-neighbor — exact integer arithmetic a
   * SQL engine reproduces verbatim, no resample kernel) and bit `y*8+x`
   * of the result is set iff gray(x,y) > gray(x+1,y). Horizontal
   * gradient SIGNS survive brightness shifts, re-encodes, and mild
   * scaling, so dHash pairs copies of the same PICTURE where byte-level
   * shingling ([[ByteShinglesExpr]]) only pairs copies of the same
-  * BYTES; the two compose as complementary candidate generators over
-  * the same band-join machinery. Non-BMP / compressed / non-24bpp /
-  * truncated payloads yield null — for those, full pixel decode (a
-  * codec stage) would feed this same grid-sample + gradient hash.
+  * BYTES — including the SAME picture shipped once as PNG and once as
+  * JPEG, which no byte-level method can pair. All three containers
+  * share one luma formula (`(r+g+b)/3` integer division) and one grid,
+  * so the hash is container-invariant by construction. Unsupported /
+  * compressed-BMP / truncated / decode-bomb payloads yield null.
   */
 object DHash {
 
@@ -169,29 +253,10 @@ object DHash {
     u8(a, i).toLong | (u8(a, i + 1).toLong << 8) |
       (u8(a, i + 2).toLong << 16) | (u8(a, i + 3).toLong << 24)
 
-  /** 64-bit dHash, or null when the payload is not a decodable
-    * uncompressed 24bpp BMP. Every offset computation is Long-guarded —
-    * declared sizes cannot walk the read out of bounds.
+  /** 9×8 nearest-neighbor grid sample + gradient-sign pack — the one
+    * hash step every container's decoded luma feeds.
     */
-  def dhash(a: Array[Byte]): java.lang.Long = {
-    if (a == null || a.length < 54 || a(0) != 'B' || a(1) != 'M') return null
-    if (le32(a, 14) != 40) return null // BITMAPINFOHEADER only
-    val pixOff = le32(a, 10)
-    val w = le32(a, 18).toInt
-    val hRaw = le32(a, 22).toInt
-    val bottomUp = hRaw > 0
-    val h = math.abs(hRaw)
-    val bpp = le16(a, 28)
-    val comp = le32(a, 30)
-    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
-        bpp != 24 || comp != 0L) return null
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (pixOff < 54 || pixOff + stride.toLong * h > a.length) return null
-    def gray(x: Int, y: Int): Int = {
-      val r = if (bottomUp) h - 1 - y else y
-      val o = (pixOff + r.toLong * stride + x * 3L).toInt
-      (u8(a, o) + u8(a, o + 1) + u8(a, o + 2)) / 3
-    }
+  private def gridHash(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
     val g = Array.ofDim[Int](8, 9)
     var y = 0
     while (y < 8) {
@@ -212,7 +277,51 @@ object DHash {
       }
       y += 1
     }
-    java.lang.Long.valueOf(bits)
+    bits
+  }
+
+  /** 64-bit dHash, or null when the payload cannot be pixel-decoded.
+    * Every offset computation is Long-guarded — declared sizes cannot
+    * walk the read out of bounds.
+    */
+  def dhash(a: Array[Byte]): java.lang.Long = {
+    if (a == null || a.length < 2) return null
+    if (a(0) == 'B' && a(1) == 'M') return bmpDhash(a)
+    if (u8(a, 0) == 0x89 && a(1) == 'P') {
+      val g = PngCodec.decodeGray(a)
+      if (g == null) return null
+      return java.lang.Long.valueOf(gridHash(g.w, g.h,
+        (x, y) => g.pix(y * g.w + x) & 0xff))
+    }
+    if (u8(a, 0) == 0xff && u8(a, 1) == 0xd8) {
+      val g = JpegCodec.decodeLuma(a)
+      if (g == null) return null
+      return java.lang.Long.valueOf(gridHash(g.w, g.h,
+        (x, y) => g.pix(y * g.w + x) & 0xff))
+    }
+    null
+  }
+
+  private def bmpDhash(a: Array[Byte]): java.lang.Long = {
+    if (a.length < 54) return null
+    if (le32(a, 14) != 40) return null // BITMAPINFOHEADER only
+    val pixOff = le32(a, 10)
+    val w = le32(a, 18).toInt
+    val hRaw = le32(a, 22).toInt
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    val bpp = le16(a, 28)
+    val comp = le32(a, 30)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+        bpp != 24 || comp != 0L) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff + stride.toLong * h > a.length) return null
+    def gray(x: Int, y: Int): Int = {
+      val r = if (bottomUp) h - 1 - y else y
+      val o = (pixOff + r.toLong * stride + x * 3L).toInt
+      (u8(a, o) + u8(a, o + 1) + u8(a, o + 2)) / 3
+    }
+    java.lang.Long.valueOf(gridHash(w, h, gray))
   }
 }
 

@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DHash, ImageFunctions, Inflate, JpegCodec, PngCodec}
+
+/** Pixel-codec behavior: RFC 1951 inflate, PNG decode (filters, color
+  * types, deflate block kinds), baseline-JPEG luma decode (Huffman,
+  * IDCT, sampling, restarts), the decode-bomb guards, and the
+  * container-invariance of dHash across BMP / PNG / JPEG.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pattern(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => (((i % w) * 7 + (i / w) * 13 + 3) % 256).toByte)
+
+  // ---- inflate -----------------------------------------------------
+
+  test("rawInflate round-trips stored, fixed and dynamic literal-only" +
+      " deflate, including 0xFF-heavy payloads") {
+    val payloads = Seq(
+      Array.empty[Byte],
+      Array[Byte](0),
+      Array.fill(5)(0xff.toByte),
+      Array.tabulate(70000)(i => (i * 131 % 256).toByte)) // >1 stored block
+    for (p <- payloads) {
+      for ((enc, name) <- Seq(
+          (Inflate.deflateStored _, "stored"),
+          (Inflate.deflateFixed _, "fixed"),
+          (Inflate.deflateDynamic _, "dynamic"))) {
+        val d = enc(p)
+        val back = Inflate.rawInflate(d, 0, d.length, p.length + 1)
+        assert(back != null && back.sameElements(p), s"$name len=${p.length}")
+      }
+    }
+  }
+
+  test("rawInflate handles back-references (JDK Deflater stream) and" +
+      " enforces the output cap") {
+    val data = ("abcabcabcabc" * 500).getBytes("UTF-8")
+    val defl = new java.util.zip.Deflater(9, true) // raw, max matches
+    defl.setInput(data); defl.finish()
+    val buf = new Array[Byte](1 << 16)
+    val n = defl.deflate(buf)
+    defl.end()
+    assert(n > 0 && n < data.length, "JDK should have compressed this")
+    val back = Inflate.rawInflate(buf, 0, n, data.length)
+    assert(back != null && back.sameElements(data))
+    // one byte under the true size: the cap must reject, not truncate
+    assert(Inflate.rawInflate(buf, 0, n, data.length - 1) == null)
+  }
+
+  test("zlibInflate rejects a corrupted adler32 trailer") {
+    val raw = pattern(16, 4)
+    val z = Inflate.zlibWrap(Inflate.deflateFixed(raw), raw)
+    assert(Inflate.zlibInflate(z, 0, z.length, raw.length).sameElements(raw))
+    z(z.length - 1) = (z(z.length - 1) ^ 0x01).toByte
+    assert(Inflate.zlibInflate(z, 0, z.length, raw.length) == null)
+  }
+
+  // ---- png ---------------------------------------------------------
+
+  test("PNG gray round-trips exactly through every filter kind and" +
+      " every deflate block kind") {
+    // h >= 5 so row filters cycle through all of None/Sub/Up/Avg/Paeth
+    for (mode <- 0 to 2; (w, h) <- Seq((9, 8), (40, 30), (1, 1))) {
+      val pix = pattern(w, h)
+      val png = PngCodec.encodeGray(w, h, pix, mode)
+      val g = PngCodec.decodeGray(png)
+      assert(g != null, s"mode=$mode ${w}x$h decode failed")
+      assert(g.w == w && g.h == h)
+      assert(g.pix.sameElements(pix), s"mode=$mode ${w}x$h pixels diverged")
+    }
+  }
+
+  /** hand-assemble a PNG of arbitrary color type (filter-0 rows). */
+  private def rawPng(w: Int, h: Int, colorType: Int, bitDepth: Int,
+      interlace: Int, samples: Array[Byte],
+      palette: Array[Byte] = null): Array[Byte] = {
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val raw = new Array[Byte](h * (1 + w * bpp))
+    for (y <- 0 until h)
+      System.arraycopy(samples, y * w * bpp, raw, y * (1 + w * bpp) + 1,
+        w * bpp)
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val l = data.length
+      out.write(l >>> 24); out.write((l >>> 16) & 0xff)
+      out.write((l >>> 8) & 0xff); out.write(l & 0xff)
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      val c = PngCodec.crc32(body, 0, body.length)
+      out.write((c >>> 24).toInt); out.write(((c >>> 16) & 0xff).toInt)
+      out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    chunk("IHDR", Array[Byte](
+      (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+      (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+      bitDepth.toByte, colorType.toByte, 0, 0, interlace.toByte))
+    if (palette != null) chunk("PLTE", palette)
+    chunk("IDAT", Inflate.zlibWrap(Inflate.deflateFixed(raw), raw))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PNG RGB / palette / gray+alpha / RGBA all decode to the" +
+      " (r+g+b)/3 luma the BMP walk uses") {
+    val w = 4; val h = 3
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val expected = Array.tabulate(w * h) { i =>
+      (((rgb(3 * i) & 0xff) + (rgb(3 * i + 1) & 0xff) +
+        (rgb(3 * i + 2) & 0xff)) / 3).toByte
+    }
+    val g2 = PngCodec.decodeGray(rawPng(w, h, 2, 8, 0, rgb))
+    assert(g2 != null && g2.pix.sameElements(expected), "RGB")
+    // palette: index i -> the same rgb triple
+    val idx = Array.tabulate(w * h)(_.toByte)
+    val g3 = PngCodec.decodeGray(rawPng(w, h, 3, 8, 0, idx, palette = rgb))
+    assert(g3 != null && g3.pix.sameElements(expected), "palette")
+    val ga = Array.tabulate(w * h * 2)(i =>
+      if (i % 2 == 0) (i * 5 % 256).toByte else 0xcc.toByte)
+    val g4 = PngCodec.decodeGray(rawPng(w, h, 4, 8, 0, ga))
+    assert(g4 != null &&
+      g4.pix.sameElements(Array.tabulate(w * h)(i => (i * 2 * 5 % 256).toByte)),
+      "gray+alpha")
+    val rgba = Array.tabulate(w * h * 4)(i =>
+      if (i % 4 == 3) 0x80.toByte else rgb(i / 4 * 3 + i % 4))
+    val g6 = PngCodec.decodeGray(rawPng(w, h, 6, 8, 0, rgba))
+    assert(g6 != null && g6.pix.sameElements(expected), "RGBA")
+  }
+
+  test("PNG decode-bomb guard: huge declared dims are rejected before" +
+      " allocation; interlace, 16-bit depth, corrupt CRC, truncation -> null") {
+    val pix = pattern(4, 3)
+    val ok = rawPng(4, 3, 0, 8, 0, pix)
+    assert(PngCodec.decodeGray(ok) != null)
+    // huge dims: must return null quickly rather than allocate ~4 GB —
+    // craft the header directly: valid chunks, monstrous IHDR dims
+    val t0 = System.nanoTime()
+    val bomb = {
+      val a = ok.clone()
+      // patch IHDR w/h to 50000x50000 and re-CRC
+      val ihdrBody = 8 + 4
+      a(ihdrBody + 4) = 0; a(ihdrBody + 5) = 0
+      a(ihdrBody + 6) = 0xc3.toByte; a(ihdrBody + 7) = 0x50.toByte
+      a(ihdrBody + 8) = 0; a(ihdrBody + 9) = 0
+      a(ihdrBody + 10) = 0xc3.toByte; a(ihdrBody + 11) = 0x50.toByte
+      val c = PngCodec.crc32(a, ihdrBody, 4 + 13)
+      val crcAt = ihdrBody + 4 + 13
+      a(crcAt) = (c >>> 24).toByte; a(crcAt + 1) = (c >>> 16).toByte
+      a(crcAt + 2) = (c >>> 8).toByte; a(crcAt + 3) = c.toByte
+      a
+    }
+    assert(PngCodec.decodeGray(bomb) == null)
+    assert((System.nanoTime() - t0) < 2e9, "bomb rejection must be fast")
+    assert(PngCodec.decodeGray(rawPng(4, 3, 0, 8, 1, pix)) == null,
+      "interlaced must be rejected")
+    assert(PngCodec.decodeGray(rawPng(4, 3, 0, 16, 0,
+      pattern(8, 3))) == null, "16-bit depth must be rejected")
+    val corrupt = ok.clone()
+    corrupt(40) = (corrupt(40) ^ 0x5a).toByte
+    assert(PngCodec.decodeGray(corrupt) == null, "CRC corruption")
+    assert(PngCodec.decodeGray(ok.take(ok.length - 20)) == null,
+      "truncation")
+    assert(PngCodec.decodeGray(null) == null)
+  }
+
+  // ---- jpeg --------------------------------------------------------
+
+  /** block-constant 72x64 plane: 8x8 blocks, block (bx,by) constant. */
+  private def blockPlane(v: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(72 * 64) { i =>
+      val x = i % 72; val y = i / 72
+      (v(x / 8, y / 8) & 0xff).toByte
+    }
+
+  test("JPEG block-constant fixtures decode bit-exactly in gray," +
+      " color, 4:2:0 and restart-interval variants") {
+    val pix = blockPlane((bx, by) => (bx * 29 + by * 47 + 13) % 256)
+    for ((jpeg, name) <- Seq(
+        (JpegCodec.encodeGray(72, 64, pix), "gray"),
+        (JpegCodec.encodeGray(72, 64, pix, color = true), "4:4:4"),
+        (JpegCodec.encodeGray(72, 64, pix, subsample = true), "4:2:0"),
+        (JpegCodec.encodeGray(72, 64, pix, restartInterval = 3), "DRI"),
+        (JpegCodec.encodeGray(72, 64, pix, color = true,
+          subsample = true, restartInterval = 2), "4:2:0+DRI"))) {
+      val g = JpegCodec.decodeLuma(jpeg)
+      assert(g != null, s"$name decode failed")
+      assert(g.w == 72 && g.h == 64, name)
+      assert(g.pix.sameElements(pix),
+        s"$name: block-constant luma must round-trip exactly")
+    }
+  }
+
+  test("JPEG arbitrary pixels round-trip within quantization error," +
+      " including non-multiple-of-8 dims") {
+    for ((w, h) <- Seq((17, 11), (64, 48), (8, 8))) {
+      val pix = pattern(w, h)
+      val g = JpegCodec.decodeLuma(JpegCodec.encodeGray(w, h, pix))
+      assert(g != null && g.w == w && g.h == h)
+      val maxDiff = (0 until w * h).map(i =>
+        math.abs((g.pix(i) & 0xff) - (pix(i) & 0xff))).max
+      assert(maxDiff <= 24, s"${w}x$h max diff $maxDiff too large")
+    }
+  }
+
+  test("JPEG envelope: progressive, truncation, garbage and" +
+      " decode-bombs return null, never throw") {
+    val pix = blockPlane((bx, by) => bx + by)
+    val ok = JpegCodec.encodeGray(72, 64, pix)
+    assert(JpegCodec.decodeLuma(ok) != null)
+    val progressive = ok.clone()
+    // SOF0 marker byte -> SOF2 (progressive); find FF C0
+    val sofAt = (0 until progressive.length - 1).find(i =>
+      (progressive(i) & 0xff) == 0xff &&
+        (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decodeLuma(progressive) == null, "progressive")
+    assert(JpegCodec.decodeLuma(ok.take(ok.length / 2)) == null,
+      "truncated entropy data")
+    assert(JpegCodec.decodeLuma(ok.take(20)) == null, "truncated header")
+    assert(JpegCodec.decodeLuma("garbage".getBytes) == null)
+    assert(JpegCodec.decodeLuma(null) == null)
+    val bomb = ok.clone()
+    // patch SOF dims to 50000x50000 (h at sofAt+5, w at sofAt+7, BE16)
+    bomb(sofAt + 5) = 0xc3.toByte; bomb(sofAt + 6) = 0x50.toByte
+    bomb(sofAt + 7) = 0xc3.toByte; bomb(sofAt + 8) = 0x50.toByte
+    val t0 = System.nanoTime()
+    assert(JpegCodec.decodeLuma(bomb) == null, "decode bomb")
+    assert((System.nanoTime() - t0) < 2e9, "bomb rejection must be fast")
+  }
+
+  // ---- dHash container invariance ---------------------------------
+
+  test("dHash is container-invariant: the same picture as BMP, PNG" +
+      " (all deflate kinds) and JPEG hashes identically") {
+    // 9x8 grid values, exactly the dHash sample grid
+    def grid(x: Int, y: Int): Int = (x * 13 + y * 31 + 7) * 3 % 256
+    val png9x8 = Array.tabulate(9 * 8)(i => (grid(i % 9, i / 9) & 0xff).toByte)
+    // 72x64 block-constant JPEG: sample point (8x, 8y) sits in block (x,y)
+    val jpegPix = blockPlane(grid)
+    // 9x8 bottom-up 24bpp BMP with r=g=b=gray
+    val bmp = {
+      val stride = ((9 * 3 + 3) / 4) * 4
+      val out = new Array[Byte](54 + stride * 8)
+      out(0) = 'B'; out(1) = 'M'
+      out(10) = 54; out(14) = 40
+      out(18) = 9; out(22) = 8 // w, h (LE, positive -> bottom-up)
+      out(26) = 1; out(28) = 24
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = grid(x, y)
+        val o = 54 + (7 - y) * stride + x * 3
+        out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
+      }
+      out
+    }
+    val hashes = Seq(
+      "bmp" -> DHash.dhash(bmp),
+      "png-stored" -> DHash.dhash(PngCodec.encodeGray(9, 8, png9x8, 0)),
+      "png-fixed" -> DHash.dhash(PngCodec.encodeGray(9, 8, png9x8, 1)),
+      "png-dynamic" -> DHash.dhash(PngCodec.encodeGray(9, 8, png9x8, 2)),
+      "jpeg" -> DHash.dhash(JpegCodec.encodeGray(72, 64, jpegPix)),
+      "jpeg-420" -> DHash.dhash(JpegCodec.encodeGray(72, 64, jpegPix,
+        subsample = true)))
+    hashes.foreach { case (n, v) => assert(v != null, s"$n null") }
+    assert(hashes.map(_._2).distinct.size == 1,
+      s"container-variant hashes: $hashes")
+  }
+
+  test("png/jpeg encode expressions build payloads inside a plan and" +
+      " dhash decodes them (no UDF, no driver loop)") {
+    import spark.implicits._
+    val df = spark.range(4).toDF("id")
+    val gray = transform(sequence(lit(0), lit(71)),
+      i => pmod((i % 9) * 13 + floor(i / 9).cast("int") * 31 + col("id"),
+        lit(256)))
+    val out = df.select(
+        ImageFunctions.dhash(ImageFunctions.pngEncode(gray, 9, 8))
+          .as("png_hash"),
+        ImageFunctions.imageDims(ImageFunctions.pngEncode(gray, 9, 8))
+          .as("dims"))
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(!r.isNullAt(0), "png dhash null")
+      val d = r.getStruct(1)
+      assert(d.getString(0) == "png" && d.getInt(1) == 9 && d.getInt(2) == 8)
+    }
+  }
+}
