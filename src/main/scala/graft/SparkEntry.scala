@@ -2781,6 +2781,95 @@ object SparkEntry {
   private def multimodalDhashPairsQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.perceptualDupPairs(dhashPayloads(s, dir), "doc_id")
 
+  /** The dHash fixture gray formula as a column over `(fam, m,
+    * doc_id)` — ONE definition shared by the BMP, PNG and JPEG fixture
+    * builders, so all three containers carry the same picture and the
+    * `dkDhash` oracle arithmetic replays every container's hash.
+    */
+  private def codecGray(x: Column, y: Column): Column =
+    when(col("m") === 4,
+      pmod((col("doc_id") + 3) * (x * 11 + y * 17 + 5), lit(256)))
+      .otherwise(pmod((col("fam") + 1) * (x * 13 + y * 31 + 7) +
+        when(x === 0 && y === 0, col("m") * 3).otherwise(0), lit(256)))
+
+  private def codecDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      (col("doc_id") / 5).cast("long").as("fam"),
+      (col("doc_id") % 5).cast("long").as("m"))
+
+  /** 9×8 grayscale PNG of the fixture picture, REALLY deflated
+    * in-plan ([[graft.functions.PngEncodeExpr]]) and really
+    * inflated + unfiltered by the decode side of the dHash.
+    */
+  private def pngPayload(deflateMode: Int): Column = {
+    val gray = transform(sequence(lit(0), lit(71)), i =>
+      codecGray(i % 9, floor(i / 9).cast("int")).cast("int"))
+    graft.functions.ImageFunctions.pngEncode(gray, 9, 8, deflateMode)
+  }
+
+  /** 72×64 block-constant baseline JPEG of the fixture picture: 8×8
+    * block (bx, by) holds constant `codecGray(bx, by)`, so with the
+    * all-8s quant table the decode is bit-exact AND the dHash grid
+    * point (8x, 8y) lands inside block (x, y) — the hash equals the
+    * 9×8 BMP/PNG fixtures' hash by construction.
+    */
+  private def jpegPayload(color: Boolean, subsample: Boolean,
+      dri: Int): Column = {
+    val gray = transform(sequence(lit(0), lit(4607)), i =>
+      codecGray(floor((i % 72) / 8).cast("int"),
+        floor(i / 576).cast("int")).cast("int"))
+    graft.functions.ImageFunctions.jpegEncode(gray, 72, 64, color,
+      subsample, dri)
+  }
+
+  /** dHash through the REAL PNG decode path (inflate + row unfilter),
+    * deflate block kind cycling stored/fixed/dynamic by doc — same
+    * oracle as the BMP gate because the picture is the same.
+    */
+  private def multimodalDhashPngQ(s: SparkSession, dir: String): DataFrame =
+    codecDocs(s, dir).select(col("doc_id"),
+      graft.functions.ImageFunctions.dhash(
+        when(pmod(col("doc_id"), lit(3)) === 0, pngPayload(0))
+          .when(pmod(col("doc_id"), lit(3)) === 1, pngPayload(1))
+          .otherwise(pngPayload(2))).as("dhash"))
+
+  /** dHash through the REAL baseline-JPEG decode path (Huffman +
+    * dequant + IDCT), variant cycling gray / 4:4:4 color / 4:2:0
+    * subsampled / restart-interval by doc.
+    */
+  private def multimodalDhashJpegQ(s: SparkSession, dir: String): DataFrame =
+    codecDocs(s, dir).select(col("doc_id"),
+      graft.functions.ImageFunctions.dhash(
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          jpegPayload(color = false, subsample = false, dri = 0))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            jpegPayload(color = true, subsample = false, dri = 0))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            jpegPayload(color = false, subsample = true, dri = 0))
+          .otherwise(jpegPayload(color = false, subsample = false,
+            dri = 3))).as("dhash"))
+
+  /** Cross-CONTAINER perceptual near-dup: each family member ships in
+    * a different container (BMP / PNG-fixed / JPEG / PNG-dynamic;
+    * solos as 4:2:0 JPEG) and the band join must still pair them —
+    * the capability byte-level dedup cannot express, exercised through
+    * real codecs end-to-end. Oracle: the `multimodal_dhash_pairs`
+    * banding arithmetic, container-blind by construction.
+    */
+  private def multimodalNeardupCodecQ(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      when(col("m") === 0,
+        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+        .when(col("m") === 1, pngPayload(1))
+        .when(col("m") === 2, jpegPayload(color = false,
+          subsample = false, dri = 0))
+        .when(col("m") === 3, pngPayload(2))
+        .otherwise(jpegPayload(color = false, subsample = true, dri = 0))
+    Multimodal.perceptualDupPairs(
+      codecDocs(s, dir).select(col("doc_id"), payload.as("payload")),
+      "doc_id")
+  }
+
   /** Decode→fan-out composition gate: frame counts derive from the
     * DECODED MP4 duration (25 fps over duration_ms), then every 10th
     * frame index fans out per doc — the plumbing a frame featurizer
@@ -4346,6 +4435,9 @@ object SparkEntry {
     "multimodal_webm"  -> (multimodalWebmQ _),
     "multimodal_dhash" -> (multimodalDhashQ _),
     "multimodal_dhash_pairs" -> (multimodalDhashPairsQ _),
+    "multimodal_dhash_png" -> (multimodalDhashPngQ _),
+    "multimodal_dhash_jpeg" -> (multimodalDhashJpegQ _),
+    "multimodal_neardup_codec" -> (multimodalNeardupCodecQ _),
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -6357,6 +6449,25 @@ object SparkEntry {
     "multimodal_dhash" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
+    // the PNG/JPEG fixture payloads carry the SAME picture as the BMP
+    // gate (codecGray == the dkDhash gray arithmetic), so the oracle is
+    // container-blind: real inflate/Huffman/IDCT on the Spark side,
+    // pure arithmetic on the oracle side
+    "multimodal_dhash_png" ->
+      s"""WITH $dkDhash
+         SELECT doc_id, dhash FROM dh""",
+    "multimodal_dhash_jpeg" ->
+      s"""WITH $dkDhash
+         SELECT doc_id, dhash FROM dh""",
+    "multimodal_neardup_codec" ->
+      s"""WITH $dkDhash,
+         bk AS (SELECT doc_id, dhash, b,
+             (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM dh, (SELECT unnest(range(0, 4)) AS b))
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
+         FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_describe" -> dkDescribe,
     "streaming_multimodal" -> dkDescribe,
     "multimodal_frames" ->
