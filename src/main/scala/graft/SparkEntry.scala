@@ -427,6 +427,29 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Compaction parity gate, exact/near-dup family: build on the
+    * %3!=0 corpus, absorb the %6==0 batch, COMPACT (hashes fold to
+    * one row per hash with the arrival-order owner, buckets to
+    * distinct rows, both back at the build file layout), then absorb
+    * the %6==3 batch against the COMPACTED artifacts. The final
+    * batch's survivors must hash-match the from-scratch three-group
+    * replay — which equals the uncompacted run by the telescoping
+    * property, so the oracle certifies probe parity across the
+    * compaction boundary.
+    */
+  private def dedupIndexCompactQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val path = s"/tmp/graft_dedupidx_cpt_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.DedupIndex.build(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", path)
+    graft.sources.DedupIndex.append(s, path,
+      d.filter(col("doc_id") % 6 === 0), "doc_id", "text")
+    graft.sources.DedupIndex.compact(s, path)
+    graft.sources.DedupIndex.append(s, path,
+        d.filter(col("doc_id") % 6 === 3), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** Incremental SUBSTRING dedup gate: the license block is planted on
     * every fifth doc across BOTH halves of the corpus split, the index
     * is built on the %3!=0 half (storing all its gram hashes and
@@ -467,6 +490,49 @@ object SparkEntry {
     val aSurv = graft.sources.DedupIndex.buildSemantic(
       e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
       centroids, tau = 0.3, path)
+    val bSurv = graft.sources.DedupIndex.appendSemantic(s, path,
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    aSurv.union(bSurv)
+  }
+
+  /** Compaction parity, SUBSTRING family: [[dedupIndexSubstringQ]]
+    * with a [[graft.sources.DedupIndex.compactSubstring]] between
+    * build and append — the gram artifact folds to distinct hashes at
+    * the build layout and the batch rewrite must be unchanged, so the
+    * family's from-scratch oracle is shared verbatim.
+    */
+  private def dedupIndexCompactSubQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_dedupidx_csb_${Integer.toHexString(dir.hashCode)}"
+    val planted = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(SubstringBoilerplate + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val aRew = graft.sources.DedupIndex.buildSubstring(
+      planted.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", path,
+      spanWords = 12)
+    graft.sources.DedupIndex.compactSubstring(s, path)
+    val bRew = graft.sources.DedupIndex.appendSubstring(s, path,
+      planted.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    aRew.union(bRew)
+  }
+
+  /** Compaction parity, SEMANTIC family: [[dedupIndexSemanticQ]] with
+    * a parity-mode [[graft.sources.DedupIndex.compactSemantic]]
+    * between build and append — vec_id folds and the cell-clustered
+    * layout are restored with the vector set unchanged, so the
+    * family's from-scratch oracle is shared verbatim (the
+    * `dropShadowed` space trade is spec-covered separately: it
+    * deliberately relaxes exact telescoping).
+    */
+  private def dedupIndexCompactSemQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val path = s"/tmp/graft_dedupidx_csm_${Integer.toHexString(dir.hashCode)}"
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val aSurv = graft.sources.DedupIndex.buildSemantic(
+      e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      centroids, tau = 0.3, path)
+    graft.sources.DedupIndex.compactSemantic(s, path)
     val bSurv = graft.sources.DedupIndex.appendSemantic(s, path,
       e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
     aSurv.union(bSurv)
@@ -3788,6 +3854,47 @@ object SparkEntry {
          AND e.doc_id NOT IN (SELECT doc_id FROM dropped)"""
   }
 
+  /** Three-group from-scratch replay for `dedup_index_compact`: build
+    * corpus (grp 0, %3!=0), first batch (grp 1, %6==0), second batch
+    * (grp 2, %6==3), priority lexicographic on (grp, doc_id) — the
+    * gate compacts between the two appends, and compaction parity
+    * means the final batch's survivors still equal this replay.
+    */
+  private val dkDedupIndexCompact: String = {
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, grp, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH n0 AS (SELECT doc_id, text,
+           CASE WHEN doc_id % 3 <> 0 THEN 0
+                WHEN doc_id % 6 = 0 THEN 1 ELSE 2 END AS grp,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         FROM documents),
+       rk0 AS (SELECT *, row_number() OVER (PARTITION BY h
+           ORDER BY grp, doc_id) AS rk FROM n0),
+       es AS (SELECT doc_id, text, grp FROM rk0 WHERE rk = 1),
+       w AS (SELECT doc_id, grp,
+           string_split_regex(trim(lower(text)), '\\s+') AS words FROM es),
+       s AS (SELECT doc_id, grp, CASE WHEN len(words) >= 3
+           THEN list_distinct([array_to_string(words[i:i+2], ' ')
+             for i in range(1, len(words)-1)])
+           ELSE [array_to_string(words, ' ')] END AS sh FROM w),
+       h2 AS (SELECT doc_id, grp,
+           [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
+       sig AS (SELECT doc_id, grp, ${sigs.mkString(", ")} FROM h2),
+       bk AS ($bucketSelects),
+       dropped AS (SELECT DISTINCT b.doc_id
+         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+           AND b.grp = 2 AND (a.grp < 2 OR a.doc_id < b.doc_id))
+       SELECT e.doc_id, d.n_chars FROM es e
+       JOIN documents d USING (doc_id)
+       WHERE e.grp = 2
+         AND e.doc_id NOT IN (SELECT doc_id FROM dropped)"""
+  }
+
   /** Batch replay of the composed ingest pipeline (`streaming_curate`):
     * classifier training + scoring over the planted corpus
     * (classifierOracle CTEs), length+score filters, band keys of the
@@ -4324,6 +4431,9 @@ object SparkEntry {
     "dedup_index_append" -> (dedupIndexAppendQ _),
     "dedup_index_substring" -> (dedupIndexSubstringQ _),
     "dedup_index_semantic" -> (dedupIndexSemanticQ _),
+    "dedup_index_compact" -> (dedupIndexCompactQ _),
+    "dedup_index_compact_substring" -> (dedupIndexCompactSubQ _),
+    "dedup_index_compact_semantic" -> (dedupIndexCompactSemQ _),
     "streaming_dedup_index" -> (streamingDedupIndexQ _),
     "streaming_substring_index" -> (streamingSubstringIndexQ _),
     "streaming_dedup_semantic" -> (streamingDedupSemanticQ _),
@@ -4844,6 +4954,9 @@ object SparkEntry {
          FROM t LEFT JOIN agg USING (doc_id)""",
     "dedup_index_substring" -> dkDedupIndexSubstring,
     "streaming_substring_index" -> dkDedupIndexSubstring,
+    // compaction parity: the compacted run must equal the family's
+    // from-scratch replay, so the oracle is shared verbatim
+    "dedup_index_compact_substring" -> dkDedupIndexSubstring,
     "sketch_cms" -> dkCmsCounters,
     "sketch_cms_merge" -> dkCmsCounters,
     "streaming_cms" -> dkCmsCounters,
@@ -5512,11 +5625,13 @@ object SparkEntry {
          min(doc_id) AS keep_id
          FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1""",
     "dedup_index_append" -> dkDedupIndexAppend,
+    "dedup_index_compact" -> dkDedupIndexCompact,
     // the stream ingests the SAME %3 batch against the same frozen
     // index, and the telescoping property makes the surviving set
     // independent of micro-batching — oracle shared verbatim
     "streaming_dedup_index" -> dkDedupIndexAppend,
     "dedup_index_semantic" -> dkDedupIndexSemantic,
+    "dedup_index_compact_semantic" -> dkDedupIndexSemantic,
     "streaming_dedup_semantic" -> dkDedupIndexSemantic,
     "curate_semantic" ->
       s"""WITH lg AS (SELECT doc_id, text FROM documents

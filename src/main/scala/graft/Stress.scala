@@ -838,6 +838,50 @@ object Stress {
         spark.read.parquet(s"$dir/documents.parquet"), "text", "lang")
       TextAnalysis.langIdSegments(lined, "doc_id", "text", model)
     }
+    if (runCase("dedupidx_compact_10x")) {
+      // the compaction claim, measured: after 8 appends the artifacts
+      // hold ~9x the build's file count and a probe opens all of them;
+      // compact() must return BOTH the file count and the probe time
+      // to build level, with the probe's survivor set unchanged
+      import graft.sources.DedupIndex
+      val path = "/tmp/graft_stress_cptidx"
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      def files(d: String): Int =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d"))) 0
+        else fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$d"))
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val probe = docs.filter(col("doc_id") % 97 === 1)
+        .localCheckpoint()
+      def probeTimed(tag: String): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = DedupIndex.dedupBatch(spark, path, probe, "doc_id",
+          "text").survivors.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id",
+        "text", path, numFiles = 32)
+      val buildFiles = files("hashes") + files("buckets")
+      val (tBuild, _) = probeTimed("fresh")
+      for (r <- 0 until 8)
+        DedupIndex.append(spark, path,
+          docs.filter(col("doc_id") % 16 === 2 * r + 1), "doc_id", "text")
+      val grownFiles = files("hashes") + files("buckets")
+      val (tGrown, nGrown) = probeTimed("grown")
+      val t0 = System.nanoTime()
+      DedupIndex.compact(spark, path, numFiles = 32)
+      val tCompact = (System.nanoTime() - t0) / 1e9
+      val compFiles = files("hashes") + files("buckets")
+      val (tComp, nComp) = probeTimed("compacted")
+      require(nComp == nGrown, s"probe parity broke: $nGrown -> $nComp")
+      require(compFiles <= buildFiles,
+        s"file count did not return to build level: $compFiles > $buildFiles")
+      println(f"STRESS dedupidx_compact_10x files " +
+        f"$buildFiles -> $grownFiles -> $compFiles, probe " +
+        f"$tBuild%.2f -> $tGrown%.2f -> $tComp%.2f s " +
+        f"(compact itself $tCompact%.2f s, survivors $nComp)")
+    }
     spark.stop()
   }
 }

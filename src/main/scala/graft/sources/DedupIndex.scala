@@ -802,4 +802,161 @@ object DedupIndex {
     absorbSubstring(spark, indexPath, b, numFiles)
     mFs.mkdirs(marker)
   }
+
+  // ---------------------------------------------------------------------
+  // Compaction — every append lands `numFiles` new parquet files and
+  // (after crash replays) possibly duplicate rows, so after N appends a
+  // probe opens ~N·numFiles files and streams dead rows. compact()
+  // rewrites each artifact at the BUILD layout (bucketed, sorted,
+  // `numFiles` total) with duplicates folded, under the meta-tombstone
+  // discipline: compacted data lands in side directories first, the
+  // meta is deleted (the index is briefly unloadable, never wrong), the
+  // directories swap, and the meta is rewritten LAST — a crash at any
+  // point leaves either the old index, or a tombstoned one that load()
+  // refuses loudly. Ingest markers SURVIVE compaction (unlike rebuild):
+  // membership is unchanged, so "batch N is absorbed" stays true.
+  // ---------------------------------------------------------------------
+
+  /** Stage compacted artifacts and swap them in under the tombstone
+    * discipline. `metaRows` is captured by the caller BEFORE this runs.
+    */
+  private def swapCompacted(
+      spark: SparkSession,
+      path: String,
+      staged: Seq[(String, () => Unit)],
+      metaDir: String,
+      writeMeta: () => Unit): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(path).getFileSystem(hconf)
+    // 1. stage every compacted artifact (reads old dirs, writes side
+    //    dirs — no overlap between a scan and the directory it scans)
+    staged.foreach { case (dir, write) =>
+      fs.delete(p(s"$path/$dir.compact"), true)
+      write() // the closure writes to $dir.compact
+    }
+    // 2. tombstone the meta: from here to step 4 the index is
+    //    unloadable (load() requires exactly one meta row)
+    fs.delete(p(metaDir), true)
+    // 3. swap
+    staged.foreach { case (dir, _) =>
+      fs.delete(p(s"$path/$dir"), true)
+      if (!fs.rename(p(s"$path/$dir.compact"), p(s"$path/$dir")))
+        throw new IllegalStateException(
+          s"compaction swap failed for $path/$dir")
+    }
+    // 4. meta last
+    writeMeta()
+  }
+
+  /** Compact the exact/near-dup index: `hashes/` folds replay
+    * duplicates (same hash appended twice by a crashed-and-replayed
+    * absorb) with the arrival-order owner (min keep_id) winning;
+    * `buckets/` folds to DISTINCT ownership rows. Probe results are
+    * bit-identical before and after — both stages consume these
+    * artifacts through membership semantics (semi joins / DISTINCT),
+    * which duplicates never changed; compaction only removes the dead
+    * rows and restores the build file layout.
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    import spark.implicits._
+    val idx = load(spark, path)
+    val (sn, nh, bd) = (idx.shingleN, idx.numHashes, idx.bands)
+    swapCompacted(spark, path, Seq(
+      "hashes" -> { () =>
+        idx.hashes.groupBy(col("text_hash"))
+          .agg(min(col("keep_id")).as("keep_id"))
+          .repartition(numFiles, col("text_hash"))
+          .sortWithinPartitions("text_hash")
+          .write.mode("overwrite").parquet(s"$path/hashes.compact")
+      },
+      "buckets" -> { () =>
+        idx.buckets.distinct()
+          .repartition(numFiles, col("band"), col("bucket"))
+          .sortWithinPartitions("band", "bucket")
+          .write.mode("overwrite").parquet(s"$path/buckets.compact")
+      }), s"$path/meta", () =>
+      Seq((sn, nh, bd)).toDF("shingle_n", "num_hashes", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
+  }
+
+  /** Compact the substring gram index: `grams/` folds to DISTINCT
+    * hashes at the build layout. Membership semantics again — probe
+    * parity is exact.
+    */
+  def compactSubstring(
+      spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/grams_meta").collect()
+    require(meta.length == 1, s"malformed gram-index meta at $path")
+    val k = meta(0).getAs[Int]("span_words")
+    val grams = spark.read.parquet(s"$path/grams")
+    swapCompacted(spark, path, Seq(
+      "grams" -> { () =>
+        grams.distinct()
+          .repartition(numFiles, col("gram_hash"))
+          .sortWithinPartitions("gram_hash")
+          .write.mode("overwrite").parquet(s"$path/grams.compact")
+      }), s"$path/grams_meta", () =>
+      Seq(Tuple1(k)).toDF("span_words")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/grams_meta"))
+  }
+
+  /** Compact the semantic index. Default (`dropShadowed = false`):
+    * fold replay-duplicate `vec_id` rows (keeping the original row —
+    * `kept` folds by OR, repairing the contradictory-flag corruption a
+    * pre-fix crash replay could leave) and restore the cell-clustered
+    * build layout. Probe results are BIT-IDENTICAL: the drop rule is
+    * an EXISTS over cell-mates and the vector set is unchanged.
+    *
+    * `dropShadowed = true` additionally removes `kept = false` rows
+    * that a KEPT cell-mate shadows at `tau` (one within-cell join —
+    * the family's own cell-bounded quadratic contract). This is a
+    * SPACE/FIDELITY TRADE, not a pure fold: cosine is not transitive,
+    * so a future vector within `tau` of a removed row but not of that
+    * row's kept shadower will now survive where the uncompacted index
+    * dropped it — append results stop telescoping exactly to the
+    * from-scratch run (SemDeDup's cell-prune view accepts this drift;
+    * the exact-parity default does not). Rows shadowed ONLY by other
+    * dropped rows are retained, so the rule needs no fixpoint.
+    */
+  def compactSemantic(
+      spark: SparkSession, path: String, numFiles: Int = 32,
+      dropShadowed: Boolean = false): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/sem_meta").collect()
+    require(meta.length == 1, s"malformed semantic-index meta at $path")
+    val tau = meta(0).getAs[Double]("tau")
+    // sem_centroids/ is small, frozen, and never appended: it stays
+    // in place untouched
+    val vecs = spark.read.parquet(s"$path/sem_vecs")
+    val folded = vecs
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("kept"), col("centroid_id"), col("vec")))
+        .as("__r"))
+      .select(col("vec_id"), col("__r.centroid_id").as("centroid_id"),
+        col("__r.vec").as("vec"), col("__r.kept").as("kept"))
+    val compacted =
+      if (!dropShadowed) folded
+      else {
+        val pinned = folded.localCheckpoint()
+        val shadowed = pinned.filter(!col("kept")).as("d")
+          .join(pinned.filter(col("kept")).as("s"),
+            col("d.centroid_id") === col("s.centroid_id") &&
+            cosineFast(col("d.vec"), col("s.vec")) >= lit(tau))
+          .select(col("d.vec_id")).distinct()
+        pinned.join(shadowed, Seq("vec_id"), "left_anti")
+      }
+    swapCompacted(spark, path, Seq(
+      "sem_vecs" -> { () =>
+        compacted.repartition(numFiles, col("centroid_id"))
+          .sortWithinPartitions("centroid_id", "vec_id")
+          .write.mode("overwrite").parquet(s"$path/sem_vecs.compact")
+      }), s"$path/sem_meta", () =>
+      Seq(Tuple1(tau)).toDF("tau")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/sem_meta"))
+  }
 }

@@ -4149,4 +4149,167 @@ class OperatorsSpec extends AnyFunSuite {
       DedupIndex.appendSemantic(spark, path, b2, "vec_id", "embedding")
     }
   }
+
+  private def parquetFileCount(path: String): Int =
+    Option(new java.io.File(path).listFiles()).map(
+      _.count(f => f.isFile && f.getName.endsWith(".parquet"))).getOrElse(0)
+
+  test("DedupIndex.compact folds replay duplicates and append files;" +
+      " probe results and ingest markers are bit-identical across it") {
+    import graft.sources.DedupIndex
+    val path = "/tmp/graft_dedupidx_cpt_spec"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hp, true)
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven"),
+      (2L, "alpha beta gamma delta epsilon zeta")) // exact dup of 0
+      .toDF("doc_id", "text")
+    DedupIndex.build(corpus, "doc_id", "text", path, numFiles = 2)
+    val baseHashFiles = parquetFileCount(s"$path/hashes")
+    // three appends, one with a simulated crash-replay double absorb
+    for (i <- 1 to 3) {
+      val b = DedupIndex.dedupBatch(spark, path,
+        Seq((100L * i, s"fresh batch number $i content words here"),
+          (100L * i + 1, "one two three four five six seven")) // exact dup
+          .toDF("doc_id", "text"), "doc_id", "text")
+      DedupIndex.absorb(spark, path, b, numFiles = 2)
+      if (i == 2) DedupIndex.absorb(spark, path, b, numFiles = 2) // replay
+    }
+    // a marker from an ingest — compaction must preserve it
+    val marker = new org.apache.hadoop.fs.Path(s"$path/ingested/batch_7")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(marker)
+    val probe = Seq(
+      (500L, "alpha beta gamma delta epsilon zeta"), // exact-dropped
+      (501L, "totally novel probe document body"))
+      .toDF("doc_id", "text")
+    def probeIds() = DedupIndex.dedupBatch(spark, path, probe,
+      "doc_id", "text").survivors.collect().map(_.getLong(0)).toSet
+    val before = probeIds()
+    val hashRowsBefore = spark.read.parquet(s"$path/hashes")
+      .select("text_hash").distinct().count()
+    assert(spark.read.parquet(s"$path/hashes").count() > hashRowsBefore,
+      "the replayed absorb must have left duplicate hash rows")
+    DedupIndex.compact(spark, path, numFiles = 2)
+    assert(probeIds() === before, "probe parity across compaction")
+    assert(before === Set(501L))
+    val h = spark.read.parquet(s"$path/hashes")
+    assert(h.count() === hashRowsBefore, "duplicates folded")
+    assert(h.count() === h.select("text_hash").distinct().count())
+    assert(parquetFileCount(s"$path/hashes") <= baseHashFiles,
+      "hash file count back at build level")
+    assert(marker.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(marker),
+      "ingest markers survive compaction (membership is unchanged)")
+    // appends continue to work against the compacted artifacts
+    val s2 = DedupIndex.append(spark, path, probe, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 === Set(501L))
+  }
+
+  test("DedupIndex.compactSubstring folds duplicate gram hashes; the" +
+      " batch rewrite is identical across compaction") {
+    import graft.sources.DedupIndex
+    val path = "/tmp/graft_dedupidx_csb_spec"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val block = "this license block repeats verbatim across many documents"
+    val corpus = Seq(
+      (0L, s"$block and then some unique tail alpha beta gamma delta"),
+      (1L, "a completely different document body with its own words"))
+      .toDF("doc_id", "text")
+    DedupIndex.buildSubstring(corpus, "doc_id", "text", path,
+      spanWords = 4, numFiles = 2).collect()
+    val batch = Seq(
+      (10L, s"$block and a different unique tail here one two three"))
+      .toDF("doc_id", "text")
+    // simulated replay: absorb the same batch state twice
+    val b = DedupIndex.dedupSubstringBatch(spark, path, batch,
+      "doc_id", "text")
+    DedupIndex.absorbSubstring(spark, path, b, numFiles = 2)
+    DedupIndex.absorbSubstring(spark, path, b, numFiles = 2)
+    val distinctBefore = spark.read.parquet(s"$path/grams")
+      .distinct().count()
+    assert(spark.read.parquet(s"$path/grams").count() > distinctBefore)
+    val probe = Seq(
+      (20L, s"$block with yet another novel continuation four five six"))
+      .toDF("doc_id", "text")
+    def rewrite() = DedupIndex.dedupSubstringBatch(spark, path, probe,
+        "doc_id", "text").rewritten
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = rewrite()
+    DedupIndex.compactSubstring(spark, path, numFiles = 2)
+    assert(rewrite() === before, "rewrite parity across compaction")
+    val g = spark.read.parquet(s"$path/grams")
+    assert(g.count() === distinctBefore, "duplicate gram hashes folded")
+  }
+
+  test("DedupIndex.compactSemantic: parity mode repairs contradictory" +
+      " duplicate rows bit-identically; dropShadowed trades exact" +
+      " telescoping for space and keeps unshadowed dropped rows") {
+    import graft.sources.DedupIndex
+    def xz(deg: Double) = { val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, 0f, math.sin(r).toFloat, 0f) }
+    def yw(deg: Double) = { val r = math.toRadians(deg)
+      Array(0f, math.cos(r).toFloat, 0f, math.sin(r).toFloat) }
+    val centroids = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("centroid_id", "__cv")
+    val corpus = Seq(
+      (0L, xz(0)),   // kept
+      (1L, xz(25)),  // dropped by 0 (cos25 ≥ .9): shadower KEPT
+      (2L, yw(0)),   // kept, other cell
+      (4L, yw(25)),  // dropped by 2: shadower KEPT
+      (5L, yw(50))   // dropped by DROPPED 4 only (vs 2: cos50 < .9)
+    ).toDF("vec_id", "embedding")
+    val path = "/tmp/graft_dedupidx_csm_spec"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    DedupIndex.buildSemantic(corpus, "vec_id", "embedding", centroids,
+      tau = 0.9, path)
+    // plant the pre-fix replay corruption: vec 0 duplicated with a
+    // contradictory kept=false flag
+    val vecs = spark.read.parquet(s"$path/sem_vecs")
+    vecs.filter(col("vec_id") === 0L)
+      .withColumn("kept", lit(false))
+      .write.mode("append").parquet(s"$path/sem_vecs")
+    val probe = Seq((30L, xz(30)), (31L, yw(80)))
+      .toDF("vec_id", "embedding")
+    def probeIds() = DedupIndex.dedupSemanticBatch(spark, path, probe,
+      "vec_id", "embedding").survivors
+      .collect().map(_.getLong(0)).toSet
+    val before = probeIds()
+    assert(before === Set(31L),
+      "30 shadows via absorbed-dropped 1 (cos5); 31 is ≥ 30° from" +
+        " every cell-1 vector")
+    DedupIndex.compactSemantic(spark, path, numFiles = 2)
+    assert(probeIds() === before, "probe parity across parity compaction")
+    val folded = spark.read.parquet(s"$path/sem_vecs")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept"))
+    assert(folded.length === folded.map(_._1).distinct.length,
+      "vec_id duplicates folded")
+    assert(folded.toMap.apply(0L) === true,
+      "the original kept flag wins over the corrupt duplicate")
+    // dropShadowed: 1 and 4 (shadowed by KEPT cell-mates) are removed;
+    // 5 (shadowed only by dropped 4) is RETAINED — no fixpoint chasing
+    DedupIndex.compactSemantic(spark, path, numFiles = 2,
+      dropShadowed = true)
+    val left = spark.read.parquet(s"$path/sem_vecs")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(left === Set(0L, 2L, 5L), s"got $left")
+    // the documented drift: probe 40 (xz 30) was shadowed by the now-
+    // removed 1 (cos5) but is NOT within tau of kept 0 (cos30 < .9) —
+    // after dropShadowed it survives: exact telescoping is gone, which
+    // is exactly why parity mode is the default
+    val drifted = DedupIndex.dedupSemanticBatch(spark, path,
+        Seq((40L, xz(30))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding").survivors
+      .collect().map(_.getLong(0)).toSet
+    assert(drifted === Set(40L),
+      "dropShadowed deliberately relaxes the drop rule for this case")
+  }
 }
