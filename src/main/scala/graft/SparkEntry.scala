@@ -2072,6 +2072,24 @@ object SparkEntry {
       "vec_id", "embedding", centroids, k = 4, threshold = 1.0)
   }
 
+  /** PQ-encoded bitext mining gate — the 100 TB form: both retrieval
+    * directions run ADC over the other side's PQ codes (the trained
+    * codebook of `pq_train`), so no float vector crosses the cell
+    * join; the margin layer is unchanged. The oracle reconstructs
+    * vectors from replayed codes and scores round-6 cosine — the ADC
+    * fold must equal reconstruct-then-cosine exactly, inside the full
+    * margin chain.
+    */
+  private def bitextMineIvfPqQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    Similarity.mineBitextIvfPq(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", centroids, trainedPqCb(e, dir), m = 8,
+      k = 4, threshold = 1.0)
+  }
+
   private def annLshBucketsQ(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBuckets(embs(s, dir), "vec_id", "embedding")
 
@@ -4498,6 +4516,7 @@ object SparkEntry {
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
+    "bitext_mine_ivfpq" -> (bitextMineIvfPqQ _),
     "ann_lsh_buckets"  -> (annLshBucketsQ _),
     "ann_lsh_topk"     -> (annLshTopKQ _),
     "ann_ivf_topk"     -> (annIvfTopKQ _),
@@ -6140,6 +6159,51 @@ object SparkEntry {
              ORDER BY margin DESC, tid) AS rn FROM cc)
          SELECT sid AS src_id, tid AS tgt_id, cs AS cos_sim, margin
          FROM r WHERE rn = 1 AND margin >= 1.0""",
+    "bitext_mine_ivfpq" ->
+      s"""WITH $dkPqEncTrained,
+         sub2 AS (SELECT e.vec_id, e.j,
+             [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
+           FROM enc e JOIN a ON a.code = e.code),
+         recon AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rv
+           FROM sub2 GROUP BY vec_id),
+         cen AS (SELECT vec_id AS centroid_id, vd AS cv FROM v
+           WHERE vec_id % 100 = 0),
+         casg AS (SELECT vec_id, centroid_id, vec_id % 2 AS side FROM (
+             SELECT v.vec_id, cen.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                          centroid_id) AS rn
+             FROM v, cen) WHERE rn = 1),
+         fwd AS (SELECT qa.vec_id AS sid, qb.vec_id AS tid,
+             round(list_cosine_similarity(qv.vd, r.rv), 6) AS cs,
+             row_number() OVER (PARTITION BY qa.vec_id
+               ORDER BY round(list_cosine_similarity(qv.vd, r.rv), 6) DESC,
+                        qb.vec_id) AS rk
+           FROM casg qa JOIN casg qb ON qa.centroid_id = qb.centroid_id
+             AND qa.side = 0 AND qb.side = 1
+           JOIN v qv ON qv.vec_id = qa.vec_id
+           JOIN recon r ON r.vec_id = qb.vec_id),
+         bwd AS (SELECT qb.vec_id AS tid, qa.vec_id AS sid,
+             round(list_cosine_similarity(qv.vd, r.rv), 6) AS cs,
+             row_number() OVER (PARTITION BY qb.vec_id
+               ORDER BY round(list_cosine_similarity(qv.vd, r.rv), 6) DESC,
+                        qa.vec_id) AS rk
+           FROM casg qa JOIN casg qb ON qa.centroid_id = qb.centroid_id
+             AND qa.side = 0 AND qb.side = 1
+           JOIN v qv ON qv.vec_id = qb.vec_id
+           JOIN recon r ON r.vec_id = qa.vec_id),
+         fmm AS (SELECT sid, round(sum(cs), 6) / count(*) AS m
+           FROM fwd WHERE rk <= 4 GROUP BY 1),
+         bmm AS (SELECT tid, round(sum(cs), 6) / count(*) AS m
+           FROM bwd WHERE rk <= 4 GROUP BY 1),
+         ccm AS (SELECT fwd.sid, fwd.tid, fwd.cs,
+             round(fwd.cs * 2 / (fmm.m + bmm.m), 6) AS margin
+           FROM fwd JOIN fmm USING (sid) JOIN bmm USING (tid)
+           WHERE fwd.rk <= 4),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY sid
+             ORDER BY margin DESC, tid) AS rn FROM ccm)
+         SELECT sid AS src_id, tid AS tgt_id, cs AS cos_sim, margin
+         FROM r2 WHERE rn = 1 AND margin >= 1.0""",
     "ann_lsh_buckets" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
          SELECT vec_id, CAST($dkLshBucketExpr AS BIGINT) AS bucket FROM v""",

@@ -829,6 +829,22 @@ object Stress {
         embs.filter(col("vec_id") % 2 =!= 0),
         "vec_id", "embedding", cents, k = 4, threshold = 1.0)
     }
+    time("bitext_ivfpq_10x") {
+      // A/B against bitext_ivf_10x: identical split and quantizer, but
+      // the cell join carries 8 PQ codes per corpus vector instead of
+      // the 64-float embedding — the shuffle/score bytes drop ~30x
+      val cents = embs.filter(col("vec_id") < 2000 && col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("__cv"))
+      val cb = Similarity.pqTrainCodebook(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", m = 8, k = 8, iters = 1,
+        sampleFraction = 0.5)
+      Similarity.mineBitextIvfPq(
+        embs.filter(col("vec_id") % 2 === 0),
+        embs.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", cents, cb, m = 8, k = 4, threshold = 1.0)
+    }
     time("langid_segments_10x") {
       // paragraph explode is linear; scoring is the broadcast NB shape
       val lined = docs.select(col("doc_id"),
@@ -852,7 +868,12 @@ object Stress {
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d"))) 0
         else fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$d"))
           .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      // novel texts (suffixed) so the probe exercises BOTH stages and
+      // leaves nonzero survivors; near-dups of indexed docs still drop
       val probe = docs.filter(col("doc_id") % 97 === 1)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .withColumn("text",
+          concat(col("text"), lit(" probe novelty "), col("doc_id")))
         .localCheckpoint()
       def probeTimed(tag: String): (Double, Long) = {
         val t0 = System.nanoTime()

@@ -896,6 +896,41 @@ object Similarity {
       .filter(col("knn_rank") <= k)
   }
 
+  /** Cross-set IVF-PQ kNN — [[ivfPqTopKEncoded]] between two DIFFERENT
+    * collections (no same-id exclusion): the corpus side rides the
+    * cell join as `m` PQ CODES instead of full float vectors — at
+    * m = 8 over float 1024-dim embeddings that is a ~500× cut in the
+    * bytes the exchange and the cell-local scoring touch — while the
+    * query side carries one ADC LUT per probe. Everything else
+    * (assignment, probes fan-out, windowed top-k) is [[ivfTopKCross]].
+    */
+  def ivfPqTopKCross(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      probes: Int = 1): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val nCodes = codebook.length
+    val norms = VF.pqSubNormSq(codebook, m)
+    val enc = ivfPqEncode(corpus, idCol, vecCol, centroids, codebook, m)
+    val q = ivfAssignRanked(queries, idCol, vecCol, centroids, probes)
+      .select(col(idCol).as("query_id"), col("centroid_id"),
+        VF.pqLut(col(vecCol), codebook, m).as("__lut"))
+    val scored = q.join(enc, Seq("centroid_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VF.pqAdcCosine(col("__lut"), col("codes"), norms, nCodes)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** [[mineBitext]]'s corpus-scale form: both kNN directions run
     * cell-bounded under one frozen quantizer ([[ivfTopKCross]]) and
     * feed the identical margin layer — no broadcast of either side, no
@@ -917,6 +952,36 @@ object Similarity {
     mineBitextFrom(
       ivfTopKCross(src, tgt, idCol, vecCol, centroids, k, probes),
       ivfTopKCross(tgt, src, idCol, vecCol, centroids, k, probes),
+      threshold)
+
+  /** [[mineBitextIvf]] with PQ-compressed retrieval: each direction
+    * runs ADC over the OTHER side's codes ([[ivfPqTopKCross]]), so
+    * neither side's float vectors ever cross the cell join — the
+    * memory/shuffle profile of mining 100 TB of bitext candidates is
+    * that of the code tables (m ints per vector), at the cost of PQ's
+    * score quantization inside the margin. The margin layer is
+    * UNCHANGED ([[mineBitextFrom]]): each direction's neighborhood
+    * means are computed over its own ADC scores, so the ratio test
+    * stays internally consistent even though forward and backward
+    * cosines quantize differently (forward scores exact-src × coded-
+    * tgt, backward exact-tgt × coded-src).
+    */
+  def mineBitextIvfPq(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int,
+      k: Int = 4,
+      threshold: Double = 1.0,
+      probes: Int = 1): DataFrame =
+    mineBitextFrom(
+      ivfPqTopKCross(src, tgt, idCol, vecCol, centroids, codebook, m, k,
+        probes),
+      ivfPqTopKCross(tgt, src, idCol, vecCol, centroids, codebook, m, k,
+        probes),
       threshold)
 
   /** Brute-force bitext mining between two embedding sets (e.g. two
