@@ -1040,6 +1040,49 @@ object SparkEntry {
     loaded.manifest
   }
 
+  /** Streaming release-publication gate: the %3!=0 corpus is the
+    * standing snapshot, the %3==0 half STREAMS through a curation gate
+    * (n_chars >= 300 — the stateless survivor filter; heavier curation
+    * composition is `streaming_curate`'s job) into
+    * [[graft.streaming.StreamingRelease.releaseStream]], and then the
+    * SAME data replays under a fresh checkpoint — batch 0 re-delivers
+    * and must no-op on its done marker (double-appending would corrupt
+    * every touched shard's checksum). The audit is load-bearing
+    * (validateRelease must return zero rows) and the final manifest
+    * hash-matches the from-scratch arithmetic oracle.
+    */
+  private def streamingReleaseQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"/tmp/graft_srel_${Integer.toHexString(dir.hashCode)}"
+    val ck1 = s"${path}_ck1"; val ck2 = s"${path}_ck2"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, ck1, ck2).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    graft.sources.Release.writeRelease(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", path,
+      nShards = 8)
+    def run(ckpt: String): Unit =
+      graft.streaming.StreamingRelease.releaseStream(
+          docStream(s, dir)
+            .filter(col("doc_id") % 3 === 0 && col("n_chars") >= 300)
+            .select("doc_id", "text", "lang"),
+          path, "doc_id", "text")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    run(ck1)
+    run(ck2) // replay on a fresh checkpoint: done-marker no-op
+    val loaded = graft.sources.Release.loadRelease(s, path,
+      StructType(d.schema.fields :+ StructField("shard", LongType)))
+    require(graft.sources.Release
+        .validateRelease(loaded, "doc_id", "text").isEmpty,
+      "streamed release must audit clean after the replay")
+    loaded.manifest
+  }
+
   /** Cross-source duplication matrix gate: every fifth doc's text is
     * replaced by one of 37 shared blocks, so sources overlap by
     * construction; the oracle replays the plant, the distinct
@@ -4505,6 +4548,7 @@ object SparkEntry {
     "layout_zorder3"   -> (layoutZorder3Q _),
     "release_manifest" -> (releaseManifestQ _),
     "release_append"   -> (releaseAppendQ _),
+    "streaming_release" -> (streamingReleaseQ _),
     "dedup_overlap_matrix" -> (dedupOverlapMatrixQ _),
     "trainer_feed"     -> (trainerFeedQ _),
     "sample_exact"     -> (sampleExactQ _),
@@ -5867,6 +5911,20 @@ object SparkEntry {
     // content-addressed sharding: the touched-shards-only append
     // telescopes exactly to the from-scratch manifest
     "release_append" -> dkReleaseManifest,
+    // the streamed snapshot = base corpus + curation survivors of the
+    // streamed half, appended exactly once (the replay no-ops)
+    "streaming_release" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 3 <> 0
+              OR (doc_id % 3 = 0 AND n_chars >= 300)),
+         h AS (SELECT doc_id, text,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+           ${dkHash("CAST(doc_id AS VARCHAR) || ':' || text")} AS dh
+         FROM src)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           bit_xor(dh) AS checksum
+         FROM h GROUP BY 1""",
     "dedup_overlap_matrix" ->
       """WITH p AS (SELECT CASE WHEN doc_id % 5 = 0
              THEN 'shared block number ' || (doc_id % 37)
