@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -37,35 +37,19 @@ private[functions] object PortableHash {
   * the single whole-text shingle.
   */
 case class ShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    // Locale.ROOT: default-locale lowercasing diverges from DuckDB's
-    // locale-independent lower() on e.g. a Turkish JVM ('I' -> U+0131)
-    val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    if (words.length >= n) {
-      val sb = new java.lang.StringBuilder(n * 12)
-      var i = 0
-      while (i <= words.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
-          j += 1
-        }
-        out.add(UTF8String.fromString(sb.toString))
-        i += 1
-      }
-    } else {
-      out.add(UTF8String.fromString(words.mkString(" ")))
-    }
-    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextNative.shingles(input.asInstanceOf[UTF8String], n)
+
+  // real codegen (not CodegenFallback): one static call keeps the
+  // expression inside whole-stage codegen on the LSH hot path
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.shingles($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): ShinglesExpr =
     copy(child = c)
@@ -225,36 +209,19 @@ case class ByteShingleHashesExpr(child: Expression, n: Int)
   * per-element lambda re-evaluation.
   */
 case class NgramsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
-    // space-only trim (Spark/DuckDB `trim`), NOT Java String.trim which
-    // also strips \t\n\r and diverges from the SQL oracles
-    var s = 0; var e = raw.length
-    while (s < e && raw.charAt(s) == ' ') s += 1
-    while (e > s && raw.charAt(e - 1) == ' ') e -= 1
-    val words = raw.substring(s, e).split("\\s+", -1)
-    val count = math.max(0, words.length - n + 1)
-    val out = new Array[Any](count)
-    val sb = new java.lang.StringBuilder(n * 12)
-    var i = 0
-    while (i < count) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextNative.ngrams(input.asInstanceOf[UTF8String], n)
+
+  // real codegen: the n-gram fan-out sits under explode() on the
+  // langid/heavy-hitter scans - one static call, no row fallback
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.ngrams($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): NgramsExpr =
     copy(child = c)
@@ -596,29 +563,19 @@ case class SimHashBandsExpr(child: Expression, bits: Int, bands: Int)
   * pass instead of wrapping this in an interpreted `transform` HOF.
   */
 case class Hash60ArrayExpr(child: Expression, mod: Long = 0L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val nElems = arr.numElements()
-    val out = new Array[Any](nElems)
-    val md = MessageDigest.getInstance("MD5")
-    var i = 0
-    while (i < nElems) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      // first 15 hex digits = first 60 bits, big-endian
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      val h = v >>> 4
-      out(i) = if (mod > 0) h % mod else h
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextNative.hash60Array(input.asInstanceOf[ArrayData], mod)
+
+  // real codegen: this md5 loop is the single heaviest per-row cost of
+  // every minhash pipeline - keep it inside the generated stage
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.hash60Array($c, ${mod}L);")
 
   override protected def withNewChildInternal(c: Expression): Hash60ArrayExpr =
     copy(child = c)
@@ -692,7 +649,7 @@ case class NormalizeTextExpr(child: Expression)
   * upstream for case/accent folding.
   */
 case class CharShinglesExpr(child: Expression, n: Int, keepLastCpMod: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n > 0, "shingle size must be positive")
 
@@ -716,30 +673,17 @@ case class CharShinglesExpr(child: Expression, n: Int, keepLastCpMod: Int = 0)
   // where char-grade shingling (~|text| shingles/doc) buys back its
   // ~10x-the-word-form hashing bill; an after-the-fact hash-mod filter
   // measured SLOWER than no sampling (the md5s were already paid).
-  override def nullSafeEval(input: Any): Any = {
-    val str = input.asInstanceOf[UTF8String].toString
-    val cps = str.codePoints().toArray
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    def keeps(lastCp: Int): Boolean =
-      keepLastCpMod <= 1 || lastCp % keepLastCpMod == 0
-    if (cps.length >= n) {
-      var i = 0
-      while (i <= cps.length - n) {
-        if (keeps(cps(i + n - 1)))
-          out.add(UTF8String.fromString(new String(cps, i, n)))
-        i += 1
-      }
-    } else {
-      // texts shorter than n ALWAYS keep their whole-text shingle, even
-      // when sampling: the mod test on a single shingle would exclude
-      // ~(1 - 1/mod) of all short docs outright — two identical tiny
-      // docs would silently never pair. Sampling is a budget knob for
-      // long documents (~|text| shingles); a short doc's one shingle IS
-      // its whole budget.
-      out.add(UTF8String.fromString(str))
-    }
-    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextNative.charShingles(input.asInstanceOf[UTF8String], n,
+      keepLastCpMod)
+
+  // real codegen: char-grade shingling emits ~|text| shingles per doc -
+  // the fallback row-materialization tax was paid on every one
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.charShingles(" +
+        s"$c, $n, $keepLastCpMod);")
 
   override protected def withNewChildInternal(c: Expression): CharShinglesExpr =
     copy(child = c)

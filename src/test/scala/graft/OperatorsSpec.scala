@@ -4150,6 +4150,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingles/charShingles/ngrams/hash60Array run under REAL" +
+      " whole-stage codegen (no fallback) with unchanged results") {
+    import org.apache.spark.sql.GraftColumnCompat.{toColumn => tc,
+      toExpression => te}
+    import graft.functions._
+    val d = Seq(
+      (0L, "The Quick  brown Fox jumps over the lazy dog"),
+      (1L, "  edge   whitespace   case  "),
+      (2L, "short"),
+      (3L, "日本語のテキストです句読点も")).toDF("id", "text")
+    def run(): Seq[org.apache.spark.sql.Row] = d.select(
+        tc(ShinglesExpr(te(col("text")), 3)).as("sh"),
+        tc(CharShinglesExpr(te(col("text")), 4, keepLastCpMod = 2)).as("cs"),
+        tc(NgramsExpr(te(col("text")), 2)).as("ng"),
+        tc(Hash60ArrayExpr(te(
+          tc(ShinglesExpr(te(col("text")), 3))), 97L)).as("h"))
+      .orderBy("id").collect().toSeq
+    val interpreted = run()
+    // fallback=NO_CODEGEN forces the interpreted expression path;
+    // CODEGEN_ONLY + fallback disabled makes any Janino failure THROW
+    // instead of silently reverting - the codegen path must both work
+    // and agree bit-for-bit
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "true")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val codegen = run()
+      assert(codegen === interpreted)
+    } finally {
+      conf.set("spark.sql.codegen.fallback", "true")
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   private def parquetFileCount(path: String): Int =
     Option(new java.io.File(path).listFiles()).map(
       _.count(f => f.isFile && f.getName.endsWith(".parquet"))).getOrElse(0)
