@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -770,5 +771,271 @@ object Sketches {
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         appendQuantile(batch.toDF(), idCol, valueCol, groupCol, path, k)
+    }
+
+  // ------------------------------------------------------------------
+  // Deterministic KLL/MRL compactor quantile sketch
+  // ------------------------------------------------------------------
+  //
+  // The GUARANTEED-error sibling of the bottom-k sample leg above: a
+  // fixed-capacity compactor cascade in the MRL/KLL family (Manku,
+  // Rajagopalan & Lindsay 1998; Karnin, Lang & Liberty 2016),
+  // DERANDOMIZED — every compaction of a full level-h buffer (capacity
+  // k, k a power of two) sorts it and keeps the EVEN 0-based
+  // positions, pushing them to level h+1 at doubled weight. Feeding a
+  // group's values in sorted order makes the cascade a pure binary
+  // counter, and its final state has a CLOSED FORM over the sorted
+  // ranks: with n values, C = n div k full chunks and r = n mod k,
+  //
+  //   - ranks in [C·k, n) survive raw at level 0 (weight 1);
+  //   - for each set bit h of C, the chunk range starting at offset
+  //     o = (C with bits <= h cleared) holds 2^h chunks whose ranks at
+  //     stride 2^(h+1) from o·k survive at level h+1 (weight 2^(h+1)),
+  //
+  // because a completed level-h compaction always covers 2^h
+  // consecutive aligned chunks at stride 2^(h+1), and the buffer
+  // occupancy after C chunks is exactly C's binary representation.
+  // That closed form is what makes this sketch BOTH Spark-shaped (one
+  // per-group rank window + an arithmetic filter — no sequential
+  // state) and engine-replayable (a SQL oracle recomputes the same
+  // arithmetic), where a run-the-cascade implementation would be
+  // neither.
+  //
+  // Deterministic worst-case rank error of a one-shot build: each
+  // compaction at level h displaces any rank by < 2^h, and level h
+  // compacts C/2^h times, so |est - true| < C·(floor(log2 C) + 1) =
+  // (n/k)·(floor(log2(n/k)) + 1) — the classic fixed-capacity MRL
+  // bound, eps = (log2(n/k)+1)/k. Merging adds the inputs' errors
+  // plus one compaction pass's (weights enter the SAME closed form as
+  // expanded runs), so per-epoch sketches folded into a standing
+  // artifact degrade linearly in epochs, never multiplicatively. The
+  // `sketch_kll` property spec checks the bound empirically.
+  //
+  // Scale shape: one exchange on the group key + a per-group sort
+  // window (parallel across groups, like every grouped quantile here);
+  // a single monster group can be pre-split by a deterministic id-hash
+  // salt and the sub-sketches merged — the merge law makes that a
+  // legitimate sketch of the group, still fully deterministic.
+
+  /** The sketch row weight `2^level` as a column (exact: dividing /
+    * multiplying by powers of two is exact double arithmetic well past
+    * any reachable level).
+    */
+  private def kllPow2(h: Column): Column =
+    pow(lit(2.0), h.cast("double")).cast("long")
+
+  private def kllFloorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  private def checkKllK(k: Int): Unit =
+    require(k >= 2 && (k & (k - 1)) == 0,
+      s"k must be a power of two >= 2, got $k")
+
+  /** The per-group compaction ranges of a weighted row set totalling
+    * `__n` positions: one row per set bit of C = __n div k (stride
+    * 2^(h+1), level h+1) plus the raw tail (stride 1, level 0).
+    * Input `(groupCol, __n)`; output `(groupCol, start, len, stride,
+    * lvl)` in GLOBAL 0-based weighted-rank positions.
+    */
+  private def kllRangesBy(
+      totals: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val g = totals
+      .withColumn("__C", kllFloorDiv(col("__n"), lit(k.toLong)))
+      .withColumn("__r", pmod(col("__n"), lit(k.toLong)))
+    val bitRanges = transform(sequence(lit(0L), lit(40L)), h => {
+      val ph = kllPow2(h)
+      val ph1 = kllPow2(h + 1)
+      struct(
+        (kllFloorDiv(col("__C"), ph1) * ph1 * k).as("start"),
+        (ph * k).as("len"),
+        ph1.as("stride"),
+        (h + 1).cast("int").as("lvl"),
+        pmod(kllFloorDiv(col("__C"), ph), lit(2L)).as("__bit"))
+    })
+    val tail = array(struct(
+      (col("__C") * k).as("start"), col("__r").as("len"),
+      lit(1L).as("stride"), lit(0).as("lvl"), lit(1L).as("__bit")))
+    g.select(col(groupCol),
+        explode(concat(
+          filter(bitRanges, r => r.getField("__bit") === 1L),
+          filter(tail, _ => col("__r") > 0))).as("__range"))
+      .select(col(groupCol),
+        col("__range.start").as("start"), col("__range.len").as("len"),
+        col("__range.stride").as("stride"), col("__range.lvl").as("lvl"))
+  }
+
+  /** THE core: compact weighted sketch rows `(groupCol, level, value)`
+    * (weight 2^level each) to the canonical capacity-`k` sketch of the
+    * expanded multiset. Raw data IS the level-0 case, and merging IS
+    * compacting a union — build, merge, and epoch-fold all run through
+    * this one function, which is what makes the merge law hold by
+    * construction. Output rows `(groupCol, level, value)`, possibly
+    * with repeats (a heavy row can survive at several stride points —
+    * at most k/2 per range, so output stays O(k·log) per group).
+    */
+  def kllCompactBy(
+      rows: DataFrame, groupCol: String, k: Int): DataFrame = {
+    checkKllK(k)
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(col("value"), col("level"))
+    val positioned = rows.select(col(groupCol), col("level"), col("value"))
+      .withColumn("__wt", kllPow2(col("level")))
+      .withColumn("__cumw", coalesce(sum(col("__wt"))
+        .over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = rows.groupBy(col(groupCol))
+      .agg(sum(kllPow2(col("level"))).as("__n"))
+    val ranges = kllRangesBy(totals, groupCol, k)
+      .withColumnRenamed(groupCol, "__rg")
+    positioned
+      .join(ranges, col(groupCol) <=> col("__rg")) // null group is real
+      .filter(col("__cumw") < col("start") + col("len") &&
+        col("__cumw") + col("__wt") > col("start"))
+      // first stride point >= max(row start, range start), aligned to
+      // the RANGE start (ceil-div in exact integer arithmetic)
+      .withColumn("__d", greatest(col("__cumw"), col("start")) - col("start"))
+      .withColumn("__first", col("start") +
+        kllFloorDiv(col("__d") + col("stride") - 1, col("stride")) *
+          col("stride"))
+      .withColumn("__end",
+        least(col("__cumw") + col("__wt"), col("start") + col("len")))
+      .filter(col("__first") < col("__end"))
+      .withColumn("__last", col("__first") +
+        kllFloorDiv(col("__end") - 1 - col("__first"), col("stride")) *
+          col("stride"))
+      .select(col(groupCol), col("lvl").as("level"), col("value"),
+        explode(sequence(col("__first"), col("__last"), col("stride")))
+          .as("__p"))
+      .drop("__p")
+  }
+
+  /** Build the canonical sketch of a raw column per group: the level-0
+    * special case of [[kllCompactBy]] (every input row weight 1).
+    */
+  def kllSketchBy(
+      df: DataFrame, valueCol: String, groupCol: String,
+      k: Int = 256): DataFrame =
+    kllCompactBy(
+      df.select(col(groupCol), lit(0).as("level"),
+        col(valueCol).as("value")),
+      groupCol, k)
+
+  /** Deterministic quantile estimates from a sketch: per group, the
+    * smallest value whose cumulative weight covers q·n for q in
+    * {0.25, 0.5, 0.75} (exact integer comparisons — 4·cumW >= q·4·n),
+    * plus the total weight (= the ORIGINAL count, which compaction
+    * preserves exactly).
+    */
+  def kllQuantilesBy(sketch: DataFrame, groupCol: String): DataFrame = {
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(col("value"), col("level"))
+    val cum = sketch
+      .withColumn("__wt", kllPow2(col("level")))
+      .withColumn("__cw", sum(col("__wt"))
+        .over(win.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__wt"))
+        .over(Window.partitionBy(col(groupCol))))
+    cum.groupBy(col(groupCol)).agg(
+      min(when(col("__cw") * 4 >= col("__n"), col("value"))).as("p25"),
+      min(when(col("__cw") * 2 >= col("__n"), col("value"))).as("p50"),
+      min(when(col("__cw") * 4 >= col("__n") * 3, col("value"))).as("p75"),
+      max(col("__n")).as("n_total"))
+  }
+
+  private def kllMeta(
+      spark: SparkSession, valueCol: String, groupCol: String, k: Int,
+      version: Long, lastBatchId: Long): DataFrame = {
+    import spark.implicits._
+    Seq((valueCol, groupCol, k, version, lastBatchId))
+      .toDF("value_col", "group_col", "k", "version", "last_batch_id")
+  }
+
+  /** Persist a KLL sketch artifact (epoch layout, meta-gated). */
+  def writeKll(
+      df: DataFrame, valueCol: String, groupCol: String, path: String,
+      k: Int = 256, lastBatchId: Long = -1L): Unit = {
+    checkKllK(k)
+    graft.sources.EpochStore.writeEpoch(df.sparkSession, path,
+      kllSketchBy(df, valueCol, groupCol, k),
+      kllMeta(df.sparkSession, valueCol, groupCol, k, 0L, lastBatchId), 0L)
+  }
+
+  final case class LoadedKll(rows: DataFrame, k: Int)
+
+  def loadKll(spark: SparkSession, path: String): LoadedKll = {
+    val m = graft.sources.EpochStore.readMeta(spark, path)
+    LoadedKll(spark.read.parquet(graft.sources.EpochStore.epochPath(
+      path, m.getAs[Long]("version"))), m.getAs[Int]("k"))
+  }
+
+  /** Fold a batch into the persisted sketch: sketch the batch, union
+    * with the stored rows, compact — O(batch + groups·k·log) work,
+    * history never rescanned. Unlike the bottom-k leg there is no id
+    * to anti-join replays away on, so streaming ingestion runs the
+    * batch-id cursor protocol ([[ingestKllBatch]], the
+    * [[ingestCmsBatch]] pattern); a replayed BATCH call double-counts,
+    * exactly as [[appendCms]] documents.
+    */
+  def appendKll(
+      batch: DataFrame, valueCol: String, groupCol: String, path: String,
+      k: Int = 256): Unit =
+    commitKllMerge(batch, valueCol, groupCol, path, None, k)
+
+  private def commitKllMerge(
+      batch: DataFrame, valueCol: String, groupCol: String, path: String,
+      batchId: Option[Long], k: Int): Unit = {
+    val spark = batch.sparkSession
+    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
+      graft.sources.EpochStore.requireInitializable(spark, path)
+      writeKll(batch, valueCol, groupCol, path, k,
+        batchId.getOrElse(-1L))
+      return
+    }
+    val m = graft.sources.EpochStore.readMeta(spark, path)
+    val (vc, gc, kk, v) = (m.getAs[String]("value_col"),
+      m.getAs[String]("group_col"), m.getAs[Int]("k"),
+      m.getAs[Long]("version"))
+    require(vc == valueCol && gc == groupCol,
+      s"KLL sketch at $path keys on ($vc, $gc), not ($valueCol, $groupCol)")
+    val last = m.getAs[Long]("last_batch_id")
+    if (batchId.contains(last)) return // replayed micro-batch: no-op
+    batchId.foreach { id =>
+      require(id > last,
+        s"KLL sketch at $path has absorbed through stream batch $last " +
+          s"but received batch $id — the stream's checkpoint was lost " +
+          "or reset; continuing would silently drop data. Point the " +
+          "query at its original checkpoint, or rebuild.")
+    }
+    val stored = spark.read.parquet(
+      graft.sources.EpochStore.epochPath(path, v))
+    val merged = kllCompactBy(
+      stored.unionByName(kllSketchBy(batch, valueCol, groupCol, kk)),
+      groupCol, kk).localCheckpoint()
+    graft.sources.EpochStore.writeEpoch(spark, path, merged,
+      kllMeta(spark, vc, gc, kk, v + 1L, batchId.getOrElse(last)),
+      v + 1L)
+  }
+
+  /** Absorb ONE stream micro-batch exactly-once under the committed
+    * `last_batch_id` cursor — same crash-window analysis as
+    * [[ingestCmsBatch]] (the cursor rides the meta row, so the atomic
+    * epoch flip commits both).
+    */
+  def ingestKllBatch(
+      df: DataFrame, valueCol: String, groupCol: String, path: String,
+      batchId: Long, k: Int = 256): Unit =
+    commitKllMerge(df, valueCol, groupCol, path, Some(batchId), k)
+
+  /** Streaming KLL ingestion — [[ingestKllBatch]] per micro-batch.
+    * Caller starts the returned writer with a durable checkpoint.
+    */
+  def kllIngestStream(
+      stream: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      path: String,
+      k: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestKllBatch(batch.toDF(), valueCol, groupCol, path, batchId, k)
     }
 }

@@ -4185,6 +4185,130 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference implementation of the derandomized KLL/MRL cascade:
+    * feed values in sorted order, buffer capacity k per level, full
+    * buffer -> sort, keep even 0-based positions, push to next level.
+    * The operator's closed form must reproduce this EXACTLY.
+    */
+  private def kllCascadeReference(
+      values: Seq[Long], k: Int): Map[Int, Seq[Long]] = {
+    val buf = scala.collection.mutable.Map.empty[Int, Vector[Long]]
+    for (v <- values.sorted) {
+      buf(0) = buf.getOrElse(0, Vector.empty) :+ v
+      var h = 0
+      while (buf.getOrElse(h, Vector.empty).size == k) {
+        val kept = buf(h).sorted.zipWithIndex
+          .collect { case (x, i) if i % 2 == 0 => x }
+        buf(h) = Vector.empty
+        buf(h + 1) = buf.getOrElse(h + 1, Vector.empty) ++ kept
+        h += 1
+      }
+    }
+    buf.toMap.filter(_._2.nonEmpty).map { case (l, v) => l -> v.sorted.toSeq }
+  }
+
+  private def kllRows(df: org.apache.spark.sql.DataFrame)
+      : Map[Int, Seq[Long]] =
+    df.collect().map(r => (r.getAs[Int]("level"), r.getAs[Long]("value")))
+      .groupBy(_._1).map { case (l, a) => l -> a.map(_._2).sorted.toSeq }
+
+  test("kllSketchBy's closed form reproduces the sequential compactor" +
+      " cascade exactly, at every size including partial buffers") {
+    import graft.operators.Sketches
+    for (n <- Seq(0, 1, 7, 8, 16, 23, 64, 100, 129, 300)) {
+      val values = (0 until n).map(i => ((i * 97 + 13) % 1000).toLong)
+      val df = values.zipWithIndex
+        .map { case (v, i) => (i.toLong, "g", v) }
+        .toDF("id", "grp", "value")
+      val got = kllRows(Sketches.kllSketchBy(df, "value", "grp", k = 8))
+      val want = kllCascadeReference(values, 8)
+      assert(got === want, s"n=$n: got $got want $want")
+      // weight preservation: sum of 2^level = n exactly
+      assert(got.map { case (l, vs) => vs.size.toLong << l }.sum === n.toLong)
+    }
+  }
+
+  test("kllCompactBy merge = the cascade over the expanded weighted" +
+      " multiset; rank error stays inside the deterministic MRL bound") {
+    import graft.operators.Sketches
+    val k = 8
+    val n = 500
+    val all = (0 until n).map(i => ((i * 31 + 7) % 2000).toLong)
+    val (evens, odds) = all.zipWithIndex.partition(_._2 % 2 == 0)
+    def df(s: Seq[(Long, Int)]) = s.map { case (v, i) =>
+      (i.toLong, "g", v) }.toDF("id", "grp", "value")
+    val skA = Sketches.kllSketchBy(df(evens), "value", "grp", k)
+    val skB = Sketches.kllSketchBy(df(odds), "value", "grp", k)
+    val merged = Sketches.kllCompactBy(skA.unionByName(skB), "grp", k)
+    val got = kllRows(merged)
+    // reference: expand each input sketch row to 2^level copies and
+    // run the cascade over the combined multiset
+    val expanded = (kllRows(skA).toSeq ++ kllRows(skB).toSeq).flatMap {
+      case (l, vs) => vs.flatMap(v => Seq.fill(1 << l)(v))
+    }
+    assert(got === kllCascadeReference(expanded, k))
+    assert(got.map { case (l, vs) => vs.size.toLong << l }.sum === n.toLong)
+    // deterministic error bound for build+build+merge: each stage's
+    // worst case is (n_i/k)(floor(log2(n_i/k)) + 1)
+    def bound(m: Long): Long = {
+      val c = m / k
+      if (c == 0) 0L else c * (63 - java.lang.Long.numberOfLeadingZeros(c) + 1)
+    }
+    val totalBound = bound(evens.size.toLong) + bound(odds.size.toLong) +
+      bound(n.toLong)
+    val sorted = all.sorted
+    val rows = merged.collect()
+      .map(r => (r.getAs[Int]("level"), r.getAs[Long]("value")))
+      .sortBy(_._2)
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val target = (q * n).toLong
+      // estimated rank of the sketch's q-quantile vs its true rank
+      var cum = 0L
+      var est = sorted.head
+      for ((l, v) <- rows if cum < target) { cum += 1L << l; est = v }
+      val trueRank = sorted.count(_ < est)
+      assert(math.abs(trueRank - target) <= totalBound + k,
+        s"q=$q est=$est trueRank=$trueRank target=$target bound=$totalBound")
+    }
+  }
+
+  test("KLL artifact: write/load/append fold epochs; the streaming" +
+      " cursor makes a replayed batch a no-op and a reset fail loud") {
+    import graft.operators.Sketches
+    val path = "/tmp/graft_kll_spec"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val a = (0 until 100).map(i => (i.toLong, "g", (i * 7 % 500).toLong))
+      .toDF("id", "grp", "value")
+    val b = (100 until 200).map(i => (i.toLong, "g", (i * 11 % 500).toLong))
+      .toDF("id", "grp", "value")
+    Sketches.writeKll(a, "value", "grp", path, k = 16)
+    Sketches.ingestKllBatch(b, "value", "grp", path, batchId = 0L, k = 16)
+    val rows1 = kllRows(Sketches.loadKll(spark, path).rows)
+    // replayed batch id: cursor no-op, rows unchanged
+    Sketches.ingestKllBatch(b, "value", "grp", path, batchId = 0L, k = 16)
+    assert(kllRows(Sketches.loadKll(spark, path).rows) === rows1)
+    // checkpoint reset (id below cursor after advancing): loud failure
+    Sketches.ingestKllBatch(b.limit(5), "value", "grp", path, 1L, 16)
+    intercept[IllegalArgumentException] {
+      Sketches.ingestKllBatch(b, "value", "grp", path, batchId = 0L, k = 16)
+    }
+    // batch append equals the one-shot compact of the stored union
+    val direct = kllRows(Sketches.kllCompactBy(
+      Sketches.kllSketchBy(a, "value", "grp", 16)
+        .unionByName(Sketches.kllSketchBy(b, "value", "grp", 16)),
+      "grp", 16))
+    assert(rows1 === direct,
+      "appendKll must equal compact(stored union batch-sketch)")
+    // estimator sanity: quantiles of 0..499-ish values land in range
+    val q = Sketches.kllQuantilesBy(
+      Sketches.loadKll(spark, path).rows, "grp").head()
+    assert(q.getAs[Long]("n_total") === 205L)
+    assert(q.getAs[Long]("p25") <= q.getAs[Long]("p50"))
+    assert(q.getAs[Long]("p50") <= q.getAs[Long]("p75"))
+  }
+
   private def parquetFileCount(path: String): Int =
     Option(new java.io.File(path).listFiles()).map(
       _.count(f => f.isFile && f.getName.endsWith(".parquet"))).getOrElse(0)
