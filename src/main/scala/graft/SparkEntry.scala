@@ -946,6 +946,78 @@ object SparkEntry {
         docs(s, dir), "doc_id", "n_chars", "lang", k = 64),
       "lang", "n_chars")
 
+  /** Deterministic-KLL build gate: the closed-form compactor sketch of
+    * n_chars per language at k = 16 (small k so the cascade reaches
+    * several levels at this SF). The oracle replays the rank
+    * arithmetic — chunk index, highest differing bit vs C, offset and
+    * stride selection — in DuckDB; output is the per-(lang, level,
+    * value) multiset with multiplicities.
+    */
+  private def sketchKllQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kllSketchBy(
+        docs(s, dir), "n_chars", "lang", k = 16)
+      .groupBy(col("lang"), col("level"), col("value"))
+      .agg(count(lit(1)).as("n"))
+
+  /** KLL quantile-estimate gate over the same build: the smallest
+    * value whose cumulative weight covers q·n — exact integer
+    * comparisons, engine-replayable.
+    */
+  private def sketchKllEstimateQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kllQuantilesBy(
+      graft.operators.Sketches.kllSketchBy(
+        docs(s, dir), "n_chars", "lang", k = 16), "lang")
+
+  /** KLL merge gate: sketch the doc_id-parity halves independently and
+    * compact their union — the weighted closed form (each sketch row
+    * expands to 2^level positions) replayed end-to-end by the oracle,
+    * merge telescoping included (compact(sketch(A) ∪ sketch(B)) IS the
+    * canonical sketch of the expanded multiset).
+    */
+  private def sketchKllMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = graft.operators.Sketches.kllSketchBy(
+      d.filter(col("doc_id") % 2 === 0), "n_chars", "lang", 16)
+    val b = graft.operators.Sketches.kllSketchBy(
+      d.filter(col("doc_id") % 2 === 1), "n_chars", "lang", 16)
+    graft.operators.Sketches.kllCompactBy(a.unionByName(b), "lang", 16)
+      .groupBy(col("lang"), col("level"), col("value"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Streaming-KLL gate: artifact built on the %3!=0 half, the %3==0
+    * half streamed through [[graft.operators.Sketches.kllIngestStream]]
+    * (one AvailableNow micro-batch), then REPLAYED under a fresh
+    * checkpoint — the batch-id cursor must no-op the double delivery
+    * (a replay that merged again would double every weight). Output =
+    * the loaded epoch's rows; oracle = the merge replay over the two
+    * halves.
+    */
+  private def streamingKllQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_skll_${Integer.toHexString(dir.hashCode)}"
+    val ck1 = s"${path}_ck1"; val ck2 = s"${path}_ck2"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, ck1, ck2).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    graft.operators.Sketches.writeKll(
+      docs(s, dir).filter(col("doc_id") % 3 =!= 0), "n_chars", "lang",
+      path, k = 16)
+    def run(ckpt: String): Unit =
+      graft.operators.Sketches.kllIngestStream(
+          docStream(s, dir).filter(col("doc_id") % 3 === 0),
+          "n_chars", "lang", path, k = 16)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    run(ck1)
+    run(ck2) // fresh checkpoint: batch 0 re-delivers, cursor no-ops
+    graft.operators.Sketches.loadKll(s, path).rows
+      .groupBy(col("lang"), col("level"), col("value"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Quantile-summary artifact merge gate: build on the even half,
     * fold the odd half in, and the loaded epoch's estimates must equal
     * the from-scratch sample's — bottom-k(A ∪ B) =
@@ -3575,6 +3647,102 @@ object SparkEntry {
     * partitioned by group), then `quantile_cont` interpolation over the
     * sample — the same interpolation Spark's `percentile` uses.
     */
+  /** Closed-form KLL selection CTEs over the documents subset `cond`,
+    * suffix `sfx`: rank per lang, chunk index, highest-differing-bit
+    * range lookup, offset/stride survival — ends in
+    * `sel$sfx(lang, level, value)`. The exact arithmetic
+    * `Sketches.kllSketchBy` derives from the derandomized cascade.
+    */
+  private def dkKllSel(cond: String, sfx: String, k: Int): String =
+    s"""v$sfx AS (SELECT lang, n_chars AS value,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY n_chars, doc_id) - 1 AS p,
+         count(*) OVER (PARTITION BY lang) AS n
+       FROM documents WHERE $cond),
+     b$sfx AS (SELECT lang, value, p, n, n // $k AS bc, p // $k AS cc
+       FROM v$sfx),
+     h$sfx AS (SELECT lang, value, p, n, bc, cc,
+         max(CASE WHEN ((xor(bc, cc) >> bb) & 1) = 1 THEN bb END) AS h
+       FROM b$sfx, (SELECT unnest(range(0, 41)) AS bb)
+       GROUP BY lang, value, p, n, bc, cc),
+     sel$sfx AS (SELECT lang,
+         CAST(CASE WHEN cc >= bc THEN 0 ELSE h + 1 END AS INTEGER)
+           AS level, value
+       FROM h$sfx
+       WHERE cc >= bc
+          OR ((p - ((bc >> CAST(h+1 AS INTEGER))
+                    << CAST(h+1 AS INTEGER)) * $k)
+              % (1::BIGINT << CAST(h+1 AS INTEGER))) = 0)"""
+
+  /** The weighted compact stage over `u(lang, level, value)` — cum
+    * weights, per-group ranges from the set bits of C, span/stride
+    * survival with per-span position fan-out — ending in the
+    * aggregated `(lang, level, value, n)` select.
+    */
+  private def dkKllCompactTail(k: Int): String =
+    s"""uw AS (SELECT lang, level, value,
+         (1::BIGINT << level) AS wt,
+         CAST(coalesce(sum(1::BIGINT << level) OVER (PARTITION BY lang
+           ORDER BY value, level
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cw
+       FROM u),
+     tot AS (SELECT lang, CAST(sum(1::BIGINT << level) AS BIGINT) AS n
+       FROM u GROUP BY 1),
+     rg AS (
+       SELECT lang,
+         ((bc >> CAST(hh+1 AS INTEGER)) << CAST(hh+1 AS INTEGER)) * $k
+           AS rstart,
+         (1::BIGINT << CAST(hh AS INTEGER)) * $k AS rlen,
+         1::BIGINT << CAST(hh+1 AS INTEGER) AS rstride,
+         CAST(hh + 1 AS INTEGER) AS rlvl
+       FROM (SELECT lang, n // $k AS bc FROM tot),
+            (SELECT unnest(range(0, 41)) AS hh)
+       WHERE ((bc >> CAST(hh AS INTEGER)) & 1) = 1
+       UNION ALL
+       SELECT lang, (n // $k) * $k, n % $k, 1::BIGINT, 0
+       FROM tot WHERE n % $k > 0),
+     j AS (SELECT uw.lang, rg.rlvl AS level, uw.value,
+         rg.rstart + (((greatest(uw.cw, rg.rstart) - rg.rstart)
+           + rg.rstride - 1) // rg.rstride) * rg.rstride AS fi,
+         least(uw.cw + uw.wt, rg.rstart + rg.rlen) AS hi,
+         rg.rstride AS sd
+       FROM uw JOIN rg ON uw.lang IS NOT DISTINCT FROM rg.lang
+       WHERE uw.cw < rg.rstart + rg.rlen
+         AND uw.cw + uw.wt > rg.rstart),
+     x AS (SELECT lang, level, value,
+         unnest(generate_series(fi, hi - 1, sd)) AS pp
+       FROM j WHERE fi < hi)
+     SELECT lang, level, value, count(*) AS n FROM x GROUP BY 1, 2, 3"""
+
+  private def dkKllBuild(k: Int): String =
+    s"""WITH ${dkKllSel("TRUE", "0", k)}
+       SELECT lang, level, value, count(*) AS n
+       FROM sel0 GROUP BY 1, 2, 3"""
+
+  private def dkKllMerge(condA: String, condB: String, k: Int): String =
+    s"""WITH ${dkKllSel(condA, "a", k)},
+       ${dkKllSel(condB, "b", k)},
+       u AS (SELECT * FROM sela UNION ALL SELECT * FROM selb),
+       ${dkKllCompactTail(k)}"""
+
+  private def dkKllEstimate(k: Int): String =
+    s"""WITH ${dkKllSel("TRUE", "0", k)},
+       cw AS (SELECT lang, level, value,
+           CAST(sum(1::BIGINT << level) OVER (PARTITION BY lang
+             ORDER BY value, level
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS c,
+           CAST(sum(1::BIGINT << level) OVER (PARTITION BY lang)
+             AS BIGINT) AS n
+         FROM sel0)
+       SELECT lang,
+         min(CASE WHEN c * 4 >= n THEN value END) AS p25,
+         min(CASE WHEN c * 2 >= n THEN value END) AS p50,
+         min(CASE WHEN c * 4 >= n * 3 THEN value END) AS p75,
+         max(n) AS n_total
+       FROM cw GROUP BY 1"""
+
   private val dkQuantileSketch: String =
     s"""WITH h AS (SELECT lang, n_chars,
            ${dkHash("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
@@ -4513,6 +4681,10 @@ object SparkEntry {
     "sketch_hll_merge"    -> (sketchHllMergeQ _),
     "streaming_sketch"    -> (streamingSketchQ _),
     "sketch_quantile"     -> (sketchQuantileQ _),
+    "sketch_kll"          -> (sketchKllQ _),
+    "sketch_kll_estimate" -> (sketchKllEstimateQ _),
+    "sketch_kll_merge"    -> (sketchKllMergeQ _),
+    "streaming_kll"       -> (streamingKllQ _),
     "sketch_quantile_merge" -> (sketchQuantileMergeQ _),
     "streaming_quantile"  -> (streamingQuantileQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
@@ -5168,6 +5340,11 @@ object SparkEntry {
     "sketch_hll_merge" -> dkHllRegisters,
     "streaming_sketch" -> dkHllRegisters,
     "sketch_quantile" -> dkQuantileSketch,
+    "sketch_kll" -> dkKllBuild(16),
+    "sketch_kll_estimate" -> dkKllEstimate(16),
+    "sketch_kll_merge" -> dkKllMerge("doc_id % 2 = 0", "doc_id % 2 = 1", 16),
+    // the stream's one micro-batch makes ingest = the two-half merge
+    "streaming_kll" -> dkKllMerge("doc_id % 3 <> 0", "doc_id % 3 = 0", 16),
     // per-group bottom-k telescopes across any split/micro-batching —
     // both artifact gates share the from-scratch oracle verbatim
     "sketch_quantile_merge" -> dkQuantileSketch,
