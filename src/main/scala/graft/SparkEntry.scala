@@ -3048,6 +3048,33 @@ object SparkEntry {
           .otherwise(jpegPayload(color = false, subsample = false,
             dri = 3))).as("dhash"))
 
+  /** Derived-asset gate: decode (BMP/PNG/JPEG by doc) → nearest-resize
+    * to the dHash grid's own 9×8 → re-encode as grayscale PNG, all
+    * in-plan — then parse the thumbnail's header AND dHash it. The
+    * resize shares the grid's sample formula, so the thumbnail's hash
+    * must equal the ORIGINAL fixture's arithmetic dHash bit-for-bit:
+    * decode, resample, deflate, re-inflate and the hash all load-bear
+    * in one oracle row.
+    */
+  private def multimodalThumbnailQ(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      when(col("m") === 0,
+        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+        .when(col("m") === 1, pngPayload(0))
+        .when(col("m") === 2, jpegPayload(color = true,
+          subsample = false, dri = 0))
+        .when(col("m") === 3, pngPayload(2))
+        .otherwise(jpegPayload(color = false, subsample = true, dri = 2))
+    val thumb = graft.functions.ImageFunctions
+      .grayThumbnail(payload, 9, 8)
+    codecDocs(s, dir).select(col("doc_id"),
+      graft.functions.ImageFunctions.imageDims(thumb).as("__d"),
+      graft.functions.ImageFunctions.dhash(thumb).as("dhash"))
+      .select(col("doc_id"), col("__d.format").as("format"),
+        col("__d.width").as("width"), col("__d.height").as("height"),
+        col("dhash"))
+  }
+
   /** Cross-CONTAINER perceptual near-dup: each family member ships in
     * a different container (BMP / PNG-fixed / JPEG / PNG-dynamic;
     * solos as 4:2:0 JPEG) and the band join must still pair them —
@@ -4783,6 +4810,7 @@ object SparkEntry {
     "multimodal_dhash_png" -> (multimodalDhashPngQ _),
     "multimodal_dhash_jpeg" -> (multimodalDhashJpegQ _),
     "multimodal_neardup_codec" -> (multimodalNeardupCodecQ _),
+    "multimodal_thumbnail" -> (multimodalThumbnailQ _),
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -6873,6 +6901,10 @@ object SparkEntry {
     "multimodal_dhash_jpeg" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
+    "multimodal_thumbnail" ->
+      s"""WITH $dkDhash
+         SELECT doc_id, 'png' AS format, 9 AS width, 8 AS height, dhash
+         FROM dh""",
     "multimodal_neardup_codec" ->
       s"""WITH $dkDhash,
          bk AS (SELECT doc_id, dhash, b,

@@ -145,6 +145,13 @@ object ImageFunctions {
     GraftColumnCompat.toColumn(DHashExpr(
       GraftColumnCompat.toExpression(payload)))
 
+  /** Grayscale PNG thumbnail of any decodable payload
+    * ([[GrayThumbnailExpr]]): decode → nearest resize → re-encode.
+    */
+  def grayThumbnail(payload: Column, w: Int, h: Int): Column =
+    GraftColumnCompat.toColumn(GrayThumbnailExpr(
+      GraftColumnCompat.toExpression(payload), w, h))
+
   /** Encode a row-major `array<int>` gray plane (w·h values, 0-255) as
     * a grayscale PNG ([[PngCodec.encodeGray]]). `deflateMode`: 0
     * stored, 1 fixed-Huffman, 2 dynamic-Huffman.
@@ -323,6 +330,123 @@ object DHash {
     }
     java.lang.Long.valueOf(gridHash(w, h, gray))
   }
+}
+
+/** Shared gray-plane decode dispatch: BMP (uncompressed 24bpp), PNG
+  * ([[PngCodec]]), baseline JPEG ([[JpegCodec]]) → row-major luma;
+  * null outside every envelope. The materialized sibling of the
+  * closure-based walk inside [[DHash]] for consumers that need the
+  * whole plane (resize, feature extraction).
+  */
+object PixelDecode {
+
+  @inline private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
+  @inline private def le16(a: Array[Byte], i: Int): Int =
+    u8(a, i) | (u8(a, i + 1) << 8)
+  @inline private def le32(a: Array[Byte], i: Int): Long =
+    u8(a, i).toLong | (u8(a, i + 1).toLong << 8) |
+      (u8(a, i + 2).toLong << 16) | (u8(a, i + 3).toLong << 24)
+
+  final case class Gray(w: Int, h: Int, pix: Array[Byte])
+
+  def grayPlane(a: Array[Byte]): Gray = {
+    if (a == null || a.length < 2) return null
+    if (a(0) == 'B' && a(1) == 'M') return bmpGray(a)
+    if (u8(a, 0) == 0x89 && a(1) == 'P') {
+      val g = PngCodec.decodeGray(a)
+      if (g == null) return null
+      return Gray(g.w, g.h, g.pix)
+    }
+    if (u8(a, 0) == 0xff && u8(a, 1) == 0xd8) {
+      val g = JpegCodec.decodeLuma(a)
+      if (g == null) return null
+      return Gray(g.w, g.h, g.pix)
+    }
+    null
+  }
+
+  private def bmpGray(a: Array[Byte]): Gray = {
+    if (a.length < 54 || le32(a, 14) != 40) return null
+    val pixOff = le32(a, 10)
+    val w = le32(a, 18).toInt
+    val hRaw = le32(a, 22).toInt
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16) ||
+        w.toLong * h > PngCodec.MaxPixels ||
+        le16(a, 28) != 24 || le32(a, 30) != 0L) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff + stride.toLong * h > a.length) return null
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val r = if (bottomUp) h - 1 - y else y
+      var x = 0
+      while (x < w) {
+        val o = (pixOff + r.toLong * stride + x * 3L).toInt
+        out(y * w + x) =
+          ((u8(a, o) + u8(a, o + 1) + u8(a, o + 2)) / 3).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, out)
+  }
+
+  /** Nearest-neighbor resample to (w, h) — the SAME integer sample
+    * formula as the dHash grid (`x·srcW/dstW`), so a thumbnail at the
+    * grid's own dimensions reproduces the grid exactly.
+    */
+  def resizeGray(g: Gray, w: Int, h: Int): Gray = {
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * g.h / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * g.w / w).toInt
+        out(y * w + x) = g.pix(sy * g.w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, out)
+  }
+}
+
+/** `binary -> binary`: decode any supported container to luma,
+  * nearest-neighbor resize to (w, h), re-encode as a grayscale PNG —
+  * the derived-asset step of a media pipeline (preview grids,
+  * fixed-size model inputs) running entirely inside a scan: real
+  * decode, real deflate, null in → null out, never an exception.
+  */
+case class GrayThumbnailExpr(child: Expression, w: Int, h: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w > 0 && h > 0 && w.toLong * h <= PngCodec.MaxPixels,
+    s"unsupported thumbnail dims ${w}x$h")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gray_thumbnail needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val g = PixelDecode.grayPlane(input.asInstanceOf[Array[Byte]])
+    if (g == null) null
+    else {
+      val r = PixelDecode.resizeGray(g, w, h)
+      PngCodec.encodeGray(w, h, r.pix)
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GrayThumbnailExpr = copy(child = newChild)
 }
 
 /** `binary -> bigint` wrapper around [[DHash.dhash]]. */
