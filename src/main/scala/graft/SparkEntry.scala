@@ -985,6 +985,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Sharded-KLL gate — the monster-group scale path: each language's
+    * stream pre-split by `hash60(doc_id) % 4`, per-shard closed-form
+    * sketches folded by ONE weighted compact. The oracle replays both
+    * stages (per-(lang, salt) rank arithmetic, then the weighted
+    * span/stride fan-out), proving determinism survives the split.
+    */
+  private def sketchKllShardedQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kllSketchSharded(
+        docs(s, dir), "doc_id", "n_chars", "lang", k = 16, shards = 4)
+      .groupBy(col("lang"), col("level"), col("value"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming-KLL gate: artifact built on the %3!=0 half, the %3==0
     * half streamed through [[graft.operators.Sketches.kllIngestStream]]
     * (one AvailableNow micro-batch), then REPLAYED under a fresh
@@ -3742,6 +3754,34 @@ object SparkEntry {
        FROM j WHERE fi < hi)
      SELECT lang, level, value, count(*) AS n FROM x GROUP BY 1, 2, 3"""
 
+  /** Two-stage sharded replay: per-(lang, salt) closed-form selection
+    * feeding the weighted compact tail.
+    */
+  private def dkKllSharded(shards: Int, k: Int): String =
+    s"""WITH s0 AS (SELECT lang, n_chars AS value, doc_id,
+         ${dkHash("CAST(doc_id AS VARCHAR)")} % $shards AS salt
+       FROM documents),
+       v0 AS (SELECT lang, salt, value,
+         row_number() OVER (PARTITION BY lang, salt
+           ORDER BY value, doc_id) - 1 AS p,
+         count(*) OVER (PARTITION BY lang, salt) AS n
+       FROM s0),
+       b0 AS (SELECT lang, salt, value, p, n, n // $k AS bc, p // $k AS cc
+         FROM v0),
+       h0 AS (SELECT lang, salt, value, p, n, bc, cc,
+           max(CASE WHEN ((xor(bc, cc) >> bb) & 1) = 1 THEN bb END) AS h
+         FROM b0, (SELECT unnest(range(0, 41)) AS bb)
+         GROUP BY lang, salt, value, p, n, bc, cc),
+       u AS (SELECT lang,
+           CAST(CASE WHEN cc >= bc THEN 0 ELSE h + 1 END AS INTEGER)
+             AS level, value
+         FROM h0
+         WHERE cc >= bc
+            OR ((p - ((bc >> CAST(h+1 AS INTEGER))
+                      << CAST(h+1 AS INTEGER)) * $k)
+                % (1::BIGINT << CAST(h+1 AS INTEGER))) = 0),
+       ${dkKllCompactTail(k)}"""
+
   private def dkKllBuild(k: Int): String =
     s"""WITH ${dkKllSel("TRUE", "0", k)}
        SELECT lang, level, value, count(*) AS n
@@ -4712,6 +4752,7 @@ object SparkEntry {
     "sketch_kll_estimate" -> (sketchKllEstimateQ _),
     "sketch_kll_merge"    -> (sketchKllMergeQ _),
     "streaming_kll"       -> (streamingKllQ _),
+    "sketch_kll_sharded"  -> (sketchKllShardedQ _),
     "sketch_quantile_merge" -> (sketchQuantileMergeQ _),
     "streaming_quantile"  -> (streamingQuantileQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
@@ -5373,6 +5414,7 @@ object SparkEntry {
     "sketch_kll_merge" -> dkKllMerge("doc_id % 2 = 0", "doc_id % 2 = 1", 16),
     // the stream's one micro-batch makes ingest = the two-half merge
     "streaming_kll" -> dkKllMerge("doc_id % 3 <> 0", "doc_id % 3 = 0", 16),
+    "sketch_kll_sharded" -> dkKllSharded(4, 16),
     // per-group bottom-k telescopes across any split/micro-batching —
     // both artifact gates share the from-scratch oracle verbatim
     "sketch_quantile_merge" -> dkQuantileSketch,

@@ -838,7 +838,7 @@ object Sketches {
     * lvl)` in GLOBAL 0-based weighted-rank positions.
     */
   private def kllRangesBy(
-      totals: DataFrame, groupCol: String, k: Int): DataFrame = {
+      totals: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val g = totals
       .withColumn("__C", kllFloorDiv(col("__n"), lit(k.toLong)))
       .withColumn("__r", pmod(col("__n"), lit(k.toLong)))
@@ -855,13 +855,14 @@ object Sketches {
     val tail = array(struct(
       (col("__C") * k).as("start"), col("__r").as("len"),
       lit(1L).as("stride"), lit(0).as("lvl"), lit(1L).as("__bit")))
-    g.select(col(groupCol),
+    g.select(groupCols.map(col) :+
         explode(concat(
           filter(bitRanges, r => r.getField("__bit") === 1L),
-          filter(tail, _ => col("__r") > 0))).as("__range"))
-      .select(col(groupCol),
+          filter(tail, _ => col("__r") > 0))).as("__range"): _*)
+      .select(groupCols.map(col) ++ Seq(
         col("__range.start").as("start"), col("__range.len").as("len"),
-        col("__range.stride").as("stride"), col("__range.lvl").as("lvl"))
+        col("__range.stride").as("stride"),
+        col("__range.lvl").as("lvl")): _*)
   }
 
   /** THE core: compact weighted sketch rows `(groupCol, level, value)`
@@ -874,20 +875,28 @@ object Sketches {
     * at most k/2 per range, so output stays O(k·log) per group).
     */
   def kllCompactBy(
-      rows: DataFrame, groupCol: String, k: Int): DataFrame = {
+      rows: DataFrame, groupCol: String, k: Int): DataFrame =
+    kllCompactByCols(rows, Seq(groupCol), k)
+
+  private def kllCompactByCols(
+      rows: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     checkKllK(k)
-    val win = Window.partitionBy(col(groupCol))
+    val win = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("value"), col("level"))
-    val positioned = rows.select(col(groupCol), col("level"), col("value"))
+    val positioned = rows.select(groupCols.map(col) ++
+        Seq(col("level"), col("value")): _*)
       .withColumn("__wt", kllPow2(col("level")))
       .withColumn("__cumw", coalesce(sum(col("__wt"))
         .over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val totals = rows.groupBy(col(groupCol))
+    val totals = rows.groupBy(groupCols.map(col): _*)
       .agg(sum(kllPow2(col("level"))).as("__n"))
-    val ranges = kllRangesBy(totals, groupCol, k)
-      .withColumnRenamed(groupCol, "__rg")
+    val ranges = groupCols.foldLeft(
+      kllRangesBy(totals, groupCols, k)) { (d, c) =>
+        d.withColumnRenamed(c, s"__rg_$c") }
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__rg_$c"))
+      .reduce(_ && _)
     positioned
-      .join(ranges, col(groupCol) <=> col("__rg")) // null group is real
+      .join(ranges, joinCond) // null group is real
       .filter(col("__cumw") < col("start") + col("len") &&
         col("__cumw") + col("__wt") > col("start"))
       // first stride point >= max(row start, range start), aligned to
@@ -902,10 +911,36 @@ object Sketches {
       .withColumn("__last", col("__first") +
         kllFloorDiv(col("__end") - 1 - col("__first"), col("stride")) *
           col("stride"))
-      .select(col(groupCol), col("lvl").as("level"), col("value"),
+      .select(groupCols.map(col) ++ Seq(
+        col("lvl").as("level"), col("value"),
         explode(sequence(col("__first"), col("__last"), col("stride")))
-          .as("__p"))
+          .as("__p")): _*)
       .drop("__p")
+  }
+
+  /** Monster-group scale path: a single group too large for one sort
+    * partition is pre-split by a DETERMINISTIC id-hash salt, each
+    * (group, salt) sub-stream sketched by the closed form in parallel,
+    * and the sub-sketches folded with ONE weighted compact per group.
+    * The merge law makes the result a legitimate capacity-k sketch of
+    * the group (error = one extra compaction pass on top of the
+    * shards' own bounds), and determinism survives because salt
+    * membership is a pure function of the id — the same two-stage
+    * arithmetic a SQL oracle replays.
+    */
+  def kllSketchSharded(
+      df: DataFrame, idCol: String, valueCol: String, groupCol: String,
+      k: Int = 256, shards: Int = 16): DataFrame = {
+    checkKllK(k)
+    require(shards >= 1, "shards must be positive")
+    val salted = df.select(col(groupCol),
+      pmod(hash60(col(idCol).cast("string")), lit(shards.toLong))
+        .as("__salt"),
+      lit(0).as("level"), col(valueCol).as("value"))
+    kllCompactByCols(
+      kllCompactByCols(salted, Seq(groupCol, "__salt"), k)
+        .drop("__salt"),
+      Seq(groupCol), k)
   }
 
   /** Build the canonical sketch of a raw column per group: the level-0

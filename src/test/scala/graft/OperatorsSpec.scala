@@ -4272,6 +4272,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kllSketchSharded = per-shard cascades folded by one weighted" +
+      " compact; deterministic and weight-preserving") {
+    import graft.operators.Sketches
+    val k = 8; val shards = 4
+    val n = 300
+    val df = (0 until n).map(i => (i.toLong, "g", ((i * 53 + 11) % 1500).toLong))
+      .toDF("id", "grp", "value")
+    val got = kllRows(Sketches.kllSketchSharded(
+      df, "id", "value", "grp", k, shards))
+    // reference: group rows by the SAME id-hash salt, cascade each
+    // shard, expand the shard sketches and cascade the union
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(b => v = (v << 8) | (d(b) & 0xffL))
+      v >>> 4
+    }
+    val byShard = (0 until n).groupBy(i => (hash60(i.toString) % shards))
+    val expanded = byShard.values.toSeq.flatMap { idxs =>
+      kllCascadeReference(
+        idxs.map(i => ((i * 53 + 11) % 1500).toLong), k).toSeq
+        .flatMap { case (l, vs) => vs.flatMap(v => Seq.fill(1 << l)(v)) }
+    }
+    assert(got === kllCascadeReference(expanded, k))
+    assert(got.map { case (l, vs) => vs.size.toLong << l }.sum === n.toLong)
+    // determinism across physical layouts
+    val again = kllRows(Sketches.kllSketchSharded(
+      df.repartition(7), "id", "value", "grp", k, shards))
+    assert(again === got)
+  }
+
   test("KLL artifact: write/load/append fold epochs; the streaming" +
       " cursor makes a replayed batch a no-op and a reset fail loud") {
     import graft.operators.Sketches
