@@ -3087,6 +3087,32 @@ object SparkEntry {
         col("dhash"))
   }
 
+  /** Exact-luma-statistics gate: the image-quality filter's numbers
+    * (integer sum/sum-of-squares/min/max over the decoded plane)
+    * across all three containers — 9×8 BMP/PNG planes vs 72×64 JPEG
+    * planes, where every grid value covers 64 pixels, all replayed
+    * arithmetically.
+    */
+  private def multimodalLumastatsQ(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      when(col("m") === 0,
+        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+        .when(col("m") === 1, pngPayload(1))
+        .when(col("m") === 2, jpegPayload(color = false,
+          subsample = false, dri = 0))
+        .when(col("m") === 3, pngPayload(0))
+        .otherwise(jpegPayload(color = true, subsample = true, dri = 0))
+    codecDocs(s, dir).select(col("doc_id"),
+        graft.functions.ImageFunctions.grayStats(payload).as("__s"))
+      .select(col("doc_id"), col("__s.width").as("width"),
+        col("__s.height").as("height"),
+        col("__s.n_pixels").as("n_pixels"),
+        col("__s.lum_sum").as("lum_sum"),
+        col("__s.lum_sum_sq").as("lum_sum_sq"),
+        col("__s.lum_min").as("lum_min"),
+        col("__s.lum_max").as("lum_max"))
+  }
+
   /** Cross-CONTAINER perceptual near-dup: each family member ships in
     * a different container (BMP / PNG-fixed / JPEG / PNG-dynamic;
     * solos as 4:2:0 JPEG) and the band join must still pair them —
@@ -4852,6 +4878,7 @@ object SparkEntry {
     "multimodal_dhash_jpeg" -> (multimodalDhashJpegQ _),
     "multimodal_neardup_codec" -> (multimodalNeardupCodecQ _),
     "multimodal_thumbnail" -> (multimodalThumbnailQ _),
+    "multimodal_lumastats" -> (multimodalLumastatsQ _),
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -6943,6 +6970,25 @@ object SparkEntry {
     "multimodal_dhash_jpeg" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
+    "multimodal_lumastats" ->
+      s"""WITH $dkDhash,
+         st AS (SELECT g.doc_id, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv,
+             CAST(min(v) AS INTEGER) AS mn, CAST(max(v) AS INTEGER) AS mx
+           FROM g GROUP BY 1)
+         SELECT f.doc_id,
+           CAST(CASE WHEN f.m IN (2, 4) THEN 72 ELSE 9 END AS INTEGER)
+             AS width,
+           CAST(CASE WHEN f.m IN (2, 4) THEN 64 ELSE 8 END AS INTEGER)
+             AS height,
+           CAST(CASE WHEN f.m IN (2, 4) THEN 4608 ELSE 72 END AS BIGINT)
+             AS n_pixels,
+           CAST(CASE WHEN f.m IN (2, 4) THEN 64 ELSE 1 END * sv AS BIGINT)
+             AS lum_sum,
+           CAST(CASE WHEN f.m IN (2, 4) THEN 64 ELSE 1 END * svv AS BIGINT)
+             AS lum_sum_sq,
+           mn AS lum_min, mx AS lum_max
+         FROM f JOIN st ON f.doc_id = st.doc_id""",
     "multimodal_thumbnail" ->
       s"""WITH $dkDhash
          SELECT doc_id, 'png' AS format, 9 AS width, 8 AS height, dhash

@@ -152,6 +152,13 @@ object ImageFunctions {
     GraftColumnCompat.toColumn(GrayThumbnailExpr(
       GraftColumnCompat.toExpression(payload), w, h))
 
+  /** Exact integer luma statistics of any decodable payload
+    * ([[GrayStatsExpr]]).
+    */
+  def grayStats(payload: Column): Column =
+    GraftColumnCompat.toColumn(GrayStatsExpr(
+      GraftColumnCompat.toExpression(payload)))
+
   /** Encode a row-major `array<int>` gray plane (w·h values, 0-255) as
     * a grayscale PNG ([[PngCodec.encodeGray]]). `deflateMode`: 0
     * stored, 1 fixed-Huffman, 2 dynamic-Huffman.
@@ -447,6 +454,61 @@ case class GrayThumbnailExpr(child: Expression, w: Int, h: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): GrayThumbnailExpr = copy(child = newChild)
+}
+
+/** `binary -> struct<width,height,n_pixels,lum_sum,lum_sum_sq,lum_min,
+  * lum_max>`: exact integer luma statistics of any decodable payload —
+  * the brightness/contrast gate of an image-curation pipeline (drop
+  * black frames, blown-out scans, flat synthetic fills) expressed in
+  * pure integers so a SQL oracle replays it exactly; mean/variance are
+  * one division away for the caller. Null outside the decode envelope.
+  */
+case class GrayStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = GrayStatsExpr.StatsType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gray_stats needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val g = PixelDecode.grayPlane(input.asInstanceOf[Array[Byte]])
+    if (g == null) return null
+    var sum = 0L
+    var sumSq = 0L
+    var mn = 255
+    var mx = 0
+    var i = 0
+    while (i < g.pix.length) {
+      val v = g.pix(i) & 0xff
+      sum += v
+      sumSq += v.toLong * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](g.w, g.h, g.pix.length.toLong,
+      sum, sumSq, mn, mx))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GrayStatsExpr = copy(child = newChild)
+}
+
+object GrayStatsExpr {
+  val StatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("lum_sum", LongType, nullable = false),
+    StructField("lum_sum_sq", LongType, nullable = false),
+    StructField("lum_min", IntegerType, nullable = false),
+    StructField("lum_max", IntegerType, nullable = false)))
 }
 
 /** `binary -> bigint` wrapper around [[DHash.dhash]]. */
