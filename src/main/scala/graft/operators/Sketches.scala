@@ -954,6 +954,19 @@ object Sketches {
         col(valueCol).as("value")),
       groupCol, k)
 
+  /** GLOBAL (ungrouped) sketch of a column — the whole-corpus case,
+    * which is always a monster group: routed through the sharded build
+    * so no single sort partition ever sees more than ~1/shards of the
+    * corpus. Output `(level, value)`.
+    */
+  def kllSketch(
+      df: DataFrame, idCol: String, valueCol: String,
+      k: Int = 256, shards: Int = 16): DataFrame =
+    kllSketchSharded(
+      df.select(lit(0).as("__g"), col(idCol), col(valueCol)),
+      idCol, valueCol, "__g", k, shards)
+      .drop("__g")
+
   /** Deterministic quantile estimates from a sketch: per group, the
     * smallest value whose cumulative weight covers q·n for q in
     * {0.25, 0.5, 0.75} (exact integer comparisons — 4·cumW >= q·4·n),

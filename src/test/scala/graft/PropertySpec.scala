@@ -767,4 +767,60 @@ class PropertySpec extends AnyFunSuite {
       .collect()
       .foreach(r => assert(r.getString(0) === r.getString(1)))
   }
+
+  test("property: PNG encode/decode round-trips random planes exactly" +
+      " across all deflate modes; JPEG stays within quantization error") {
+    import graft.functions.{JpegCodec, PngCodec}
+    val rnd = new scala.util.Random(416L) // deterministic
+    for (trial <- 0 until 40) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val pix = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val mode = trial % 3
+      val g = PngCodec.decodeGray(PngCodec.encodeGray(w, h, pix, mode))
+      assert(g != null && g.w == w && g.h == h &&
+        g.pix.sameElements(pix),
+        s"trial $trial: ${w}x$h mode $mode png roundtrip diverged")
+      val j = JpegCodec.decodeLuma(JpegCodec.encodeGray(w, h, pix,
+        color = trial % 2 == 0, restartInterval = trial % 5))
+      assert(j != null && j.w == w && j.h == h, s"trial $trial jpeg")
+      val maxDiff = (0 until w * h).map(i =>
+        math.abs((j.pix(i) & 0xff) - (pix(i) & 0xff))).max
+      // all-8s quant on pure noise: per-coefficient error <= 4, and the
+      // 64-term IDCT concentration keeps pixels well inside +-32
+      assert(maxDiff <= 32, s"trial $trial: jpeg max diff $maxDiff")
+    }
+  }
+
+  test("property: kllSketch (global, sharded) preserves total weight" +
+      " and brackets true quantiles within the composed MRL bound") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(77L)
+    val n = 2000
+    val values = Array.fill(n)(rnd.nextInt(100000).toLong)
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "value")
+    val k = 32; val shards = 8
+    val rows = Sketches.kllSketch(df, "id", "value", k, shards)
+      .collect().map(r => (r.getAs[Int]("level"), r.getAs[Long]("value")))
+    assert(rows.map { case (l, _) => 1L << l }.sum === n.toLong)
+    // composed deterministic bound: shards' own builds + one merge pass
+    def bound(m: Long): Long = {
+      val c = m / k
+      if (c == 0) 0L
+      else c * (63 - java.lang.Long.numberOfLeadingZeros(c) + 1)
+    }
+    val totalBound = bound(n.toLong / shards + k) * shards + bound(n.toLong)
+    val sorted = values.sorted
+    val byValue = rows.sortBy(_._2)
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val target = (q * n).toLong
+      var cum = 0L
+      var est = sorted.head
+      for ((l, v) <- byValue if cum < target) { cum += 1L << l; est = v }
+      val trueRank = sorted.count(_ < est)
+      assert(math.abs(trueRank - target) <= totalBound + k,
+        s"q=$q trueRank=$trueRank target=$target bound=$totalBound")
+    }
+  }
 }
