@@ -3060,6 +3060,77 @@ object SparkEntry {
           .otherwise(jpegPayload(color = false, subsample = false,
             dri = 3))).as("dhash"))
 
+  private def wavHeaderHex(channels: Int, dataLen: Int): String = {
+    def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    def le32(v: Int) =
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X" +
+        f"${(v >> 16) & 0xff}%02X${(v >>> 24) & 0xff}%02X"
+    val rate = 8000
+    val blockAlign = 2 * channels
+    "52494646" + le32(36 + dataLen) + "57415645" +
+      "666D7420" + le32(16) + le16(1) + le16(channels) + le32(rate) +
+      le32(rate * blockAlign) + le16(blockAlign) + le16(16) +
+      "64617461" + le32(dataLen)
+  }
+
+  /** Fixture PCM sample stream over `(fam, m, doc_id)`: family members
+    * share a shape (period-97 ramp scaled by fam), member m=2 perturbs
+    * ONE sample (+40 at t=0 — moves at most envelope bit 0), solos get
+    * an unrelated period-89 shape. All values in [0, 136] so the
+    * stereo downmix `(l+r)>>1` and the ×3 volume variant stay exact.
+    */
+  private def audioSample(t: Column): Column =
+    when(col("m") === 4,
+      pmod((col("doc_id") + 3) * (t * 23 + 11), lit(89)))
+      .otherwise(pmod((col("fam") + 1) * (t * 17 + 7), lit(97)) +
+        when(col("m") === 2 && t === 0, lit(40)).otherwise(lit(0)))
+
+  /** 650-frame 16-bit PCM WAV hex: mono / L=R stereo / ×3-volume
+    * variants of the same recording. 650 = 65 windows × 10 frames, so
+    * the envelope windows are equal-length and the oracle compares
+    * plain sums.
+    */
+  private def wavHex(stereo: Boolean, volumeScale: Int): Column = {
+    val n = 650
+    val dataLen = n * 2 * (if (stereo) 2 else 1)
+    val body = array_join(transform(sequence(lit(0), lit(n - 1)), t => {
+      val v = audioSample(t) * volumeScale
+      val h = concat(lpad(hex(pmod(v, lit(256))), 2, "0"),
+        lpad(hex((v / 256).cast("int")), 2, "0"))
+      if (stereo) concat(h, h) else h
+    }), "")
+    concat(lit(wavHeaderHex(if (stereo) 2 else 1, dataLen)), body)
+  }
+
+  private def wavPayloads(s: SparkSession, dir: String): DataFrame =
+    codecDocs(s, dir).select(col("doc_id"),
+      unhex(
+        when(col("m") === 1, wavHex(stereo = true, volumeScale = 1))
+          .when(col("m") === 3, wavHex(stereo = false, volumeScale = 3))
+          .otherwise(wavHex(stereo = false, volumeScale = 1)))
+        .as("payload"))
+
+  /** Perceptual AUDIO fingerprint gate: real RIFF/fmt/data parse,
+    * stereo downmix, 65-window energy envelope, sign bits — against a
+    * pure-arithmetic oracle that (deliberately) models NEITHER the
+    * stereo repack NOR the ×3 volume change: the hash must be
+    * invariant to both, so members m0/m1/m3 land on the oracle's base
+    * value and m2 differs only through its perturbed first window.
+    */
+  private def multimodalAudiohashQ(s: SparkSession, dir: String): DataFrame =
+    wavPayloads(s, dir).select(col("doc_id"),
+      graft.functions.AudioFunctions.audioEnvelopeHash(col("payload"))
+        .as("ahash"))
+
+  /** Audio near-dup band-join gate ([[Multimodal.audioDupPairs]]):
+    * family members — across mono/stereo/volume variants and the
+    * one-sample perturbation — must pair (pigeonhole: hamming ≤ 1 over
+    * 4 bands); the oracle replays banding + hamming from the
+    * arithmetic envelope hashes.
+    */
+  private def multimodalAudioPairsQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioDupPairs(wavPayloads(s, dir), "doc_id")
+
   /** Derived-asset gate: decode (BMP/PNG/JPEG by doc) → nearest-resize
     * to the dHash grid's own 9×8 → re-encode as grayscale PNG, all
     * in-plan — then parse the thumbnail's header AND dHash it. The
@@ -4343,6 +4414,38 @@ object SparkEntry {
            ELSE h END AS BIGINT) AS dhash
          FROM f LEFT JOIN hs ON f.doc_id = hs.doc_id)"""
 
+  /** Arithmetic re-derivation of the WAV energy-envelope hash (CTE
+    * chain ending in `ah(doc_id, ahash)`): the fixture sample formula,
+    * equal-length window sums, sign bits, HUGEINT bit-pack folded to
+    * the signed 64-bit value Spark computes. The stereo repack and the
+    * ×3 volume member are deliberately NOT modeled — the hash is
+    * invariant to both by construction.
+    */
+  private val dkAudioEnvelope: String =
+    """f AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m
+           FROM documents),
+       ts AS (SELECT unnest(range(0, 650)) AS t),
+       sm AS (SELECT doc_id, t,
+           CASE WHEN m = 4 THEN ((doc_id + 3) * (t*23 + 11)) % 89
+                ELSE ((fam + 1) * (t*17 + 7)) % 97
+                     + CASE WHEN m = 2 AND t = 0 THEN 40 ELSE 0 END
+           END AS v
+         FROM f, ts),
+       ew AS (SELECT doc_id, t // 10 AS w, sum(v) AS e
+         FROM sm GROUP BY 1, 2),
+       abits AS (SELECT a.doc_id, a.w AS i FROM ew a JOIN ew b
+         ON a.doc_id = b.doc_id AND b.w = a.w + 1
+         WHERE a.w < 64 AND a.e > b.e),
+       ahs AS (SELECT doc_id,
+           sum(1::HUGEINT << CAST(i AS INTEGER)) AS hv
+         FROM abits GROUP BY 1),
+       ah AS (SELECT f.doc_id, CAST(CASE
+           WHEN hv IS NULL THEN 0::HUGEINT
+           WHEN hv >= 9223372036854775808::HUGEINT
+             THEN hv - 18446744073709551616::HUGEINT
+           ELSE hv END AS BIGINT) AS ahash
+         FROM f LEFT JOIN ahs ON f.doc_id = ahs.doc_id)"""
+
   /** Batch-expressible survivor set of the streaming near-dup gate: a
     * doc survives iff no SMALLER doc shares any (band, bucket) — the
     * constant-ingest-ts single-window stream's bucket-ownership rule.
@@ -4879,6 +4982,8 @@ object SparkEntry {
     "multimodal_neardup_codec" -> (multimodalNeardupCodecQ _),
     "multimodal_thumbnail" -> (multimodalThumbnailQ _),
     "multimodal_lumastats" -> (multimodalLumastatsQ _),
+    "multimodal_audiohash" -> (multimodalAudiohashQ _),
+    "multimodal_audiodup_pairs" -> (multimodalAudioPairsQ _),
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -6970,6 +7075,18 @@ object SparkEntry {
     "multimodal_dhash_jpeg" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
+    "multimodal_audiohash" ->
+      s"""WITH $dkAudioEnvelope
+         SELECT doc_id, ahash FROM ah""",
+    "multimodal_audiodup_pairs" ->
+      s"""WITH $dkAudioEnvelope,
+         bk AS (SELECT doc_id, ahash, b,
+             (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM ah, (SELECT unnest(range(0, 4)) AS b))
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, c.ahash)) AS INTEGER) AS hamming
+         FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_lumastats" ->
       s"""WITH $dkDhash,
          st AS (SELECT g.doc_id, CAST(sum(v) AS BIGINT) AS sv,

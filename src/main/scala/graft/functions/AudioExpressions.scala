@@ -188,6 +188,13 @@ object AudioFunctions {
   def audioInfo(payload: Column): Column =
     GraftColumnCompat.toColumn(AudioInfoExpr(
       GraftColumnCompat.toExpression(payload)))
+
+  /** 64-bit perceptual energy-envelope hash of a decodable PCM WAV
+    * payload ([[WavEnvelope]]); null otherwise.
+    */
+  def audioEnvelopeHash(payload: Column): Column =
+    GraftColumnCompat.toColumn(AudioEnvelopeHashExpr(
+      GraftColumnCompat.toExpression(payload)))
 }
 
 /** MP4/ISO-BMFF movie-header decoding — the video sibling of
@@ -521,4 +528,117 @@ case class WebmInfoExpr(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): WebmInfoExpr = copy(child = newChild)
+}
+
+/** Perceptual audio fingerprint over DECODABLE PCM — the audio sibling
+  * of [[DHash]]: a 16-bit PCM WAV's samples (stereo downmixed
+  * `(l + r) >> 1`) are split into 65 equal-position windows, each
+  * window's absolute-amplitude energy summed, and bit `i` of the
+  * 64-bit hash set iff window `i` is louder than window `i + 1` —
+  * ENERGY-ENVELOPE SIGNS, which survive re-encoding, resampling
+  * (window boundaries are relative positions), volume changes
+  * (monotone scaling preserves comparisons), mono/stereo repackaging
+  * and container rewraps, so the hash pairs copies of the same
+  * RECORDING where byte shingles only pair copies of the same bytes.
+  * Windows of unequal length (frame count not divisible by 65) compare
+  * by exact integer cross-multiplication `e_i·n_{i+1} > e_{i+1}·n_i` —
+  * no division, engine-replayable. Non-WAV / compressed / non-16-bit /
+  * > 2-channel / < 65-frame / truncated payloads yield null.
+  */
+object WavEnvelope {
+
+  @inline private def u8(a: Array[Byte], i: Int): Int = a(i) & 0xff
+  @inline private def le16(a: Array[Byte], i: Int): Int =
+    u8(a, i) | (u8(a, i + 1) << 8)
+  @inline private def le32(a: Array[Byte], i: Int): Long =
+    u8(a, i).toLong | (u8(a, i + 1).toLong << 8) |
+      (u8(a, i + 2).toLong << 16) | (u8(a, i + 3).toLong << 24)
+  @inline private def s16(a: Array[Byte], i: Int): Int =
+    (le16(a, i) << 16) >> 16 // sign-extend
+
+  def hash(a: Array[Byte]): java.lang.Long = {
+    if (a == null || a.length < 44) return null
+    if (a(0) != 'R' || a(1) != 'I' || a(2) != 'F' || a(3) != 'F' ||
+        a(8) != 'W' || a(9) != 'A' || a(10) != 'V' || a(11) != 'E')
+      return null
+    // RIFF chunk walk for fmt + data
+    var pos = 12
+    var channels = 0
+    var bits = 0
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0L
+    while (pos + 8 <= a.length && (!fmtOk || dataOff < 0)) {
+      val id = new String(a, pos, 4, "US-ASCII")
+      val len = le32(a, pos + 4)
+      if (len < 0 || pos + 8 + len > a.length) return null
+      if (id == "fmt ") {
+        if (len < 16) return null
+        val audioFormat = le16(a, pos + 8)
+        channels = le16(a, pos + 10)
+        bits = le16(a, pos + 22)
+        fmtOk = audioFormat == 1 // PCM only
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = len
+      }
+      pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || bits != 16 ||
+        channels < 1 || channels > 2) return null
+    val frameBytes = 2 * channels
+    val n = (dataLen / frameBytes).toInt
+    if (n < 65) return null
+    // per-window absolute-energy sums over the downmixed stream
+    val e = new Array[Long](65)
+    val wlen = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val start = (w.toLong * n / 65).toInt
+      val end = ((w + 1).toLong * n / 65).toInt
+      wlen(w) = end - start
+      var f = start
+      var s = 0L
+      while (f < end) {
+        val o = dataOff + f * frameBytes
+        val v =
+          if (channels == 1) s16(a, o)
+          else (s16(a, o) + s16(a, o + 2)) >> 1
+        s += math.abs(v.toLong)
+        f += 1
+      }
+      e(w) = s
+      w += 1
+    }
+    var bitsOut = 0L
+    var i = 0
+    while (i < 64) {
+      // exact mean comparison by cross-multiplication (e <= 2^15·n and
+      // wlen <= n keep the products far under Long overflow)
+      if (e(i) * wlen(i + 1) > e(i + 1) * wlen(i)) bitsOut |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(bitsOut)
+  }
+}
+
+/** `binary -> bigint` wrapper around [[WavEnvelope.hash]]. */
+case class AudioEnvelopeHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"audio_envelope_hash needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WavEnvelope.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AudioEnvelopeHashExpr = copy(child = newChild)
 }

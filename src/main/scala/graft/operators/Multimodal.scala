@@ -204,23 +204,56 @@ object Multimodal {
       idCol: String,
       payloadCol: String = "payload",
       bands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    hash64BandPairs(
+      df.select(col(idCol), col(payloadCol)), idCol,
+      p => graft.functions.ImageFunctions.dhash(p), payloadCol, bands,
+      maxBucketSize)
+
+  /** [[perceptualDupPairs]]' AUDIO sibling: candidate pairs whose
+    * energy-envelope hashes ([[graft.functions.AudioFunctions
+    * .audioEnvelopeHash]]) share any 16-bit band — copies of the same
+    * RECORDING across volume changes, mono/stereo repackaging, or
+    * container rewraps, which byte-level shingling can never pair.
+    * Same banding machinery, same hot-bucket cap, same pigeonhole
+    * guarantee (hamming < bands always pairs).
+    */
+  def audioDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String = "payload",
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame =
+    hash64BandPairs(
+      df.select(col(idCol), col(payloadCol)), idCol,
+      p => graft.functions.AudioFunctions.audioEnvelopeHash(p),
+      payloadCol, bands, maxBucketSize)
+
+  /** The shared 64-bit-fingerprint band join: decodable payloads hash
+    * to one long, split into `bands` bit-bands, pair on any shared
+    * band, emit exact hamming.
+    */
+  private def hash64BandPairs(
+      df: DataFrame,
+      idCol: String,
+      hashFn: Column => Column,
+      payloadCol: String,
+      bands: Int,
+      maxBucketSize: Int): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
     val bw = 64 / bands
     // bands = 1 means bw = 64, where `1L << 64` wraps to 1 (JVM shift
     // mod 64) and a (1L << bw) - 1 mask would be 0 — every payload in
     // one bucket, a payloads² join; -1L is the correct all-bits mask
     val mask = if (bw == 64) -1L else (1L << bw) - 1
-    val hashed = Spread.ifNarrow(
-        df.select(col(idCol), col(payloadCol)), col(idCol))
+    val hashed = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol),
-        graft.functions.ImageFunctions.dhash(col(payloadCol).cast(BinaryType))
-          .as("dhash"))
-      .filter(col("dhash").isNotNull)
+        hashFn(col(payloadCol).cast(BinaryType)).as("__fp"))
+      .filter(col("__fp").isNotNull)
     val bandRows = Dedup.capHotBuckets(
-      hashed.select(col(idCol), col("dhash"),
+      hashed.select(col(idCol), col("__fp"),
           posexplode(array((0 until bands).map(b =>
-            shiftright(col("dhash"), b * bw).bitwiseAND(lit(mask))): _*)))
+            shiftright(col("__fp"), b * bw).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_bits"),
       Seq("band", "band_bits"), maxBucketSize)
@@ -231,7 +264,7 @@ object Multimodal {
         col("a.band_bits") === col("b.band_bits") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+        bit_count(col("a.__fp").bitwiseXOR(col("b.__fp")))
           .cast("int").as("hamming"))
       .distinct()
   }

@@ -279,6 +279,52 @@ class CodecSpec extends AnyFunSuite {
       s"container-variant hashes: $hashes")
   }
 
+  /** minimal PCM WAV builder for envelope tests. */
+  private def wav(samples: Array[Int], channels: Int = 1,
+      bits: Int = 16, fmt: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def s(x: String) = out.write(x.getBytes("US-ASCII"))
+    def le16(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int) = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    s("RIFF"); le32(36 + dataLen); s("WAVE")
+    s("fmt "); le32(16); le16(fmt); le16(channels); le32(8000)
+    le32(8000 * 2 * channels); le16(2 * channels); le16(bits)
+    s("data"); le32(dataLen)
+    samples.foreach(le16)
+    out.toByteArray
+  }
+
+  test("WavEnvelope: stereo downmix and volume scaling are hash-" +
+      "invariant; unequal windows use exact cross-multiplication;" +
+      " non-PCM/short/corrupt payloads yield null") {
+    import graft.functions.WavEnvelope
+    val n = 650
+    val mono = Array.tabulate(n)(t => (t * 31 + 5) % 300)
+    val h = WavEnvelope.hash(wav(mono))
+    assert(h != null)
+    // L = R stereo: downmix (l+r)>>1 reproduces the mono stream
+    val stereo = mono.flatMap(v => Array(v, v))
+    assert(WavEnvelope.hash(wav(stereo, channels = 2)) === h)
+    // monotone volume scaling preserves every envelope comparison
+    assert(WavEnvelope.hash(wav(mono.map(_ * 7))) === h)
+    // negative samples: the envelope is |amplitude|, so full inversion
+    // is also invariant
+    assert(WavEnvelope.hash(wav(mono.map(v => (-v) & 0xffff))) === h)
+    // frame count not divisible by 65: windows differ in length and
+    // the exact cross-mult comparison must not throw or bias —
+    // constant-amplitude audio has NO strict inequalities anywhere
+    assert(WavEnvelope.hash(wav(Array.fill(100)(1000))) === 0L)
+    // envelope rejections
+    assert(WavEnvelope.hash(wav(mono.take(64))) == null, "< 65 frames")
+    assert(WavEnvelope.hash(wav(mono, bits = 8)) == null, "8-bit")
+    assert(WavEnvelope.hash(wav(mono, fmt = 3)) == null, "float PCM")
+    assert(WavEnvelope.hash(wav(mono, channels = 4)) == null, "4ch")
+    assert(WavEnvelope.hash(wav(mono).take(50)) == null, "truncated")
+    assert(WavEnvelope.hash("RIFFjunk".getBytes) == null)
+    assert(WavEnvelope.hash(null) == null)
+  }
+
   test("png/jpeg encode expressions build payloads inside a plan and" +
       " dhash decodes them (no UDF, no driver loop)") {
     import spark.implicits._
