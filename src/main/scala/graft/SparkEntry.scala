@@ -3044,6 +3044,19 @@ object SparkEntry {
           .when(pmod(col("doc_id"), lit(3)) === 1, pngPayload(1))
           .otherwise(pngPayload(2))).as("dhash"))
 
+  /** dHash through the REAL GIF decode path (LZW + 256-gray palette)
+    * — same oracle again; the fourth container closes the
+    * [[graft.functions.ImageHeaders]] family.
+    */
+  private def multimodalDhashGifQ(s: SparkSession, dir: String): DataFrame = {
+    val gray = transform(sequence(lit(0), lit(71)), i =>
+      codecGray(i % 9, floor(i / 9).cast("int")).cast("int"))
+    codecDocs(s, dir).select(col("doc_id"),
+      graft.functions.ImageFunctions.dhash(
+        graft.functions.ImageFunctions.gifEncode(gray, 9, 8))
+        .as("dhash"))
+  }
+
   /** dHash through the REAL baseline-JPEG decode path (Huffman +
     * dequant + IDCT), variant cycling gray / 4:4:4 color / 4:2:0
     * subsampled / restart-interval by doc.
@@ -4978,6 +4991,7 @@ object SparkEntry {
     "multimodal_dhash" -> (multimodalDhashQ _),
     "multimodal_dhash_pairs" -> (multimodalDhashPairsQ _),
     "multimodal_dhash_png" -> (multimodalDhashPngQ _),
+    "multimodal_dhash_gif" -> (multimodalDhashGifQ _),
     "multimodal_dhash_jpeg" -> (multimodalDhashJpegQ _),
     "multimodal_neardup_codec" -> (multimodalNeardupCodecQ _),
     "multimodal_thumbnail" -> (multimodalThumbnailQ _),
@@ -7073,6 +7087,9 @@ object SparkEntry {
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
     "multimodal_dhash_jpeg" ->
+      s"""WITH $dkDhash
+         SELECT doc_id, dhash FROM dh""",
+    "multimodal_dhash_gif" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
     "multimodal_audiohash" ->

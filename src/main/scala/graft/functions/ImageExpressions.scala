@@ -167,6 +167,13 @@ object ImageFunctions {
     GraftColumnCompat.toColumn(PngEncodeExpr(
       GraftColumnCompat.toExpression(gray), w, h, deflateMode))
 
+  /** Encode a row-major `array<int>` gray plane as a grayscale GIF
+    * ([[GifCodec.encodeGray]]).
+    */
+  def gifEncode(gray: Column, w: Int, h: Int): Column =
+    GraftColumnCompat.toColumn(GifEncodeExpr(
+      GraftColumnCompat.toExpression(gray), w, h))
+
   /** Encode a row-major `array<int>` gray plane as a baseline JPEG
     * ([[JpegCodec.encodeGray]]): all-8s quant table, optional constant-
     * chroma color / 4:2:0 / restart-interval variants.
@@ -231,6 +238,14 @@ case class PngEncodeExpr(child: Expression, w: Int, h: Int,
       newChild: Expression): PngEncodeExpr = copy(child = newChild)
 }
 
+case class GifEncodeExpr(child: Expression, w: Int, h: Int)
+    extends GrayEncodeExpr {
+  override protected def encode(pix: Array[Byte]): Array[Byte] =
+    GifCodec.encodeGray(w, h, pix)
+  override protected def withNewChildInternal(
+      newChild: Expression): GifEncodeExpr = copy(child = newChild)
+}
+
 case class JpegEncodeExpr(child: Expression, w: Int, h: Int,
     color: Boolean, subsample: Boolean, restartInterval: Int)
     extends GrayEncodeExpr {
@@ -244,8 +259,9 @@ case class JpegEncodeExpr(child: Expression, w: Int, h: Int,
 
 /** Perceptual difference-hash (dHash) over DECODABLE pixels — 24bpp
   * uncompressed BMP (no codec needed), PNG ([[PngCodec]]: real RFC
-  * 1951 inflate + row filters) and baseline JPEG ([[JpegCodec]]:
-  * Huffman + dequant + IDCT, luma only): the grayscale image is
+  * 1951 inflate + row filters), baseline JPEG ([[JpegCodec]]:
+  * Huffman + dequant + IDCT, luma only) and GIF ([[GifCodec]]: full
+  * LZW + palette + interlace): the grayscale image is
   * sampled on a 9×8 grid (nearest-neighbor — exact integer arithmetic a
   * SQL engine reproduces verbatim, no resample kernel) and bit `y*8+x`
   * of the result is set iff gray(x,y) > gray(x+1,y). Horizontal
@@ -313,6 +329,12 @@ object DHash {
       return java.lang.Long.valueOf(gridHash(g.w, g.h,
         (x, y) => g.pix(y * g.w + x) & 0xff))
     }
+    if (a.length >= 6 && a(0) == 'G' && a(1) == 'I' && a(2) == 'F') {
+      val g = GifCodec.decodeGray(a)
+      if (g == null) return null
+      return java.lang.Long.valueOf(gridHash(g.w, g.h,
+        (x, y) => g.pix(y * g.w + x) & 0xff))
+    }
     null
   }
 
@@ -366,6 +388,11 @@ object PixelDecode {
     }
     if (u8(a, 0) == 0xff && u8(a, 1) == 0xd8) {
       val g = JpegCodec.decodeLuma(a)
+      if (g == null) return null
+      return Gray(g.w, g.h, g.pix)
+    }
+    if (a.length >= 6 && a(0) == 'G' && a(1) == 'I' && a(2) == 'F') {
+      val g = GifCodec.decodeGray(a)
       if (g == null) return null
       return Gray(g.w, g.h, g.pix)
     }

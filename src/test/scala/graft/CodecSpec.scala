@@ -242,6 +242,51 @@ class CodecSpec extends AnyFunSuite {
     assert((System.nanoTime() - t0) < 2e9, "bomb rejection must be fast")
   }
 
+  // ---- gif ---------------------------------------------------------
+
+  test("GIF round-trips exactly (incl. multi-sub-block, multi-CLEAR" +
+      " streams), decodes interlaced rows, and rejects bombs/garbage") {
+    import graft.functions.GifCodec
+    for ((w, h) <- Seq((9, 8), (40, 30), (1, 1), (25, 25))) {
+      val pix = pattern(w, h)
+      val g = GifCodec.decodeGray(GifCodec.encodeGray(w, h, pix))
+      assert(g != null && g.w == w && g.h == h && g.pix.sameElements(pix),
+        s"${w}x$h gif roundtrip")
+    }
+    // interlaced: rows stored in pass order with the interlace flag on
+    val w = 8; val h = 16
+    val pix = pattern(w, h)
+    val passOrder = ((0 until h by 8) ++ (4 until h by 8) ++
+      (2 until h by 4) ++ (1 until h by 2)).toArray
+    val stored = Array.tabulate(w * h) { i =>
+      pix(passOrder(i / w) * w + i % w) }
+    val enc = GifCodec.encodeGray(w, h, stored)
+    // set the interlace bit in the image descriptor (after header +
+    // screen descriptor + 768-byte palette: 13 + 768 bytes in, the
+    // descriptor's flag byte sits at +9)
+    val at = 13 + 768 + 9
+    assert((enc(at - 9) & 0xff) == 0x2c, "descriptor offset")
+    enc(at) = (enc(at) | 0x40).toByte
+    val gi = graft.functions.GifCodec.decodeGray(enc)
+    assert(gi != null && gi.pix.sameElements(pix),
+      "interlaced rows must land on their screen positions")
+    // rejections: bomb dims, truncation, corrupt LZW
+    val ok = GifCodec.encodeGray(9, 8, pattern(9, 8))
+    val bomb = ok.clone()
+    bomb(13 + 768 + 5) = 0xff.toByte; bomb(13 + 768 + 6) = 0xff.toByte
+    bomb(13 + 768 + 7) = 0xff.toByte; bomb(13 + 768 + 8) = 0xff.toByte
+    val t0 = System.nanoTime()
+    assert(GifCodec.decodeGray(bomb) == null, "decode bomb")
+    assert(System.nanoTime() - t0 < 2e9)
+    assert(GifCodec.decodeGray(ok.take(ok.length / 2)) == null)
+    val corrupt = ok.clone()
+    corrupt(13 + 768 + 15) = 0x5a // inside the LZW stream
+    assert(GifCodec.decodeGray(corrupt) == null ||
+      GifCodec.decodeGray(corrupt) != null, "must not throw") // no-throw
+    assert(GifCodec.decodeGray("GIF89a".getBytes) == null)
+    assert(GifCodec.decodeGray(null) == null)
+  }
+
   // ---- dHash container invariance ---------------------------------
 
   test("dHash is container-invariant: the same picture as BMP, PNG" +
@@ -271,6 +316,8 @@ class CodecSpec extends AnyFunSuite {
       "png-stored" -> DHash.dhash(PngCodec.encodeGray(9, 8, png9x8, 0)),
       "png-fixed" -> DHash.dhash(PngCodec.encodeGray(9, 8, png9x8, 1)),
       "png-dynamic" -> DHash.dhash(PngCodec.encodeGray(9, 8, png9x8, 2)),
+      "gif" -> DHash.dhash(
+        graft.functions.GifCodec.encodeGray(9, 8, png9x8)),
       "jpeg" -> DHash.dhash(JpegCodec.encodeGray(72, 64, jpegPix)),
       "jpeg-420" -> DHash.dhash(JpegCodec.encodeGray(72, 64, jpegPix,
         subsample = true)))
