@@ -3144,6 +3144,20 @@ object SparkEntry {
   private def multimodalAudioPairsQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioDupPairs(wavPayloads(s, dir), "doc_id")
 
+  /** Composed audio-dedup gate: the perceptual audio pairs feed the
+    * standard survivor rule (drop every doc appearing as the larger
+    * side of a pair) — the ingest-dedup composition a media pipeline
+    * runs: one recording kept per family across its mono/stereo/
+    * volume/perturbation variants. The oracle derives the dropped set
+    * from the arithmetic envelope hashes.
+    */
+  private def multimodalAudioDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val w = wavPayloads(s, dir)
+    graft.operators.Dedup.dropNearDuplicates(
+      w.select(col("doc_id")), "doc_id",
+      Multimodal.audioDupPairs(w, "doc_id"))
+  }
+
   /** Derived-asset gate: decode (BMP/PNG/JPEG by doc) → nearest-resize
     * to the dHash grid's own 9×8 → re-encode as grayscale PNG, all
     * in-plan — then parse the thumbnail's header AND dHash it. The
@@ -4998,6 +5012,7 @@ object SparkEntry {
     "multimodal_lumastats" -> (multimodalLumastatsQ _),
     "multimodal_audiohash" -> (multimodalAudiohashQ _),
     "multimodal_audiodup_pairs" -> (multimodalAudioPairsQ _),
+    "multimodal_audio_dedup" -> (multimodalAudioDedupQ _),
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -7104,6 +7119,15 @@ object SparkEntry {
            CAST(bit_count(xor(a.ahash, c.ahash)) AS INTEGER) AS hamming
          FROM bk a JOIN bk c
            ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
+    "multimodal_audio_dedup" ->
+      s"""WITH $dkAudioEnvelope,
+         bk AS (SELECT doc_id, b,
+             (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM ah, (SELECT unnest(range(0, 4)) AS b))
+         SELECT doc_id FROM ah
+         WHERE doc_id NOT IN (
+           SELECT DISTINCT c.doc_id FROM bk a JOIN bk c
+             ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id)""",
     "multimodal_lumastats" ->
       s"""WITH $dkDhash,
          st AS (SELECT g.doc_id, CAST(sum(v) AS BIGINT) AS sv,
