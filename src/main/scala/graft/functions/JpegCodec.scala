@@ -553,20 +553,31 @@ object JpegCodec {
         }
         y += 1
       }
+      // separable FDCT: rows then columns (1024 multiplies per block
+      // instead of the direct form's 4096 — this encoder is the hot
+      // loop of every codec fixture gate). Constant blocks still
+      // quantize exactly: the DC chain is exact sums, and the AC
+      // residues stay ~1e-13 under any summation order.
+      val rowPass = new Array[Double](64)
+      var y3 = 0
+      while (y3 < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < 8) { s += f(y3 * 8 + x) * Cos(x * 8 + u); x += 1 }
+          rowPass(y3 * 8 + u) = s
+          u += 1
+        }
+        y3 += 1
+      }
       var u = 0
       while (u < 8) {
         var v = 0
         while (v < 8) {
           var s = 0.0
-          var x = 0
-          while (x < 8) {
-            var y2 = 0
-            while (y2 < 8) {
-              s += f(y2 * 8 + x) * Cos(x * 8 + u) * Cos(y2 * 8 + v)
-              y2 += 1
-            }
-            x += 1
-          }
+          var y2 = 0
+          while (y2 < 8) { s += rowPass(y2 * 8 + u) * Cos(y2 * 8 + v); y2 += 1 }
           val cu = if (u == 0) InvSqrt2 else 1.0
           val cv = if (v == 0) InvSqrt2 else 1.0
           coef(v * 8 + u) = StrictMath.round(0.25 * cu * cv * s / 8.0).toInt
