@@ -854,6 +854,41 @@ object Stress {
         spark.read.parquet(s"$dir/documents.parquet"), "text", "lang")
       TextAnalysis.langIdSegments(lined, "doc_id", "text", model)
     }
+    if (runCase("codec_decode_10x")) {
+      // pure DECODE throughput (what a real media pass pays): fixture
+      // payloads materialized ONCE, then the dHash decode pass timed
+      // alone. 50k docs -> 50k JPEGs (72x64) + 50k PNGs (9x8) + 50k
+      // WAVs (650 frames).
+      val base = docs.select(col("doc_id"),
+        (col("doc_id") / 5).cast("long").as("fam"),
+        (col("doc_id") % 5).cast("long").as("m"))
+      def gray(n: Int, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        transform(sequence(lit(0), lit(n - 1)), i => f(i).cast("int"))
+      val g72 = gray(72 * 64, i => pmod((col("fam") + 1) *
+        (floor((i % 72) / 8).cast("int") * 13 +
+          floor(i / 576).cast("int") * 31 + 7), lit(256)))
+      val g9 = gray(72, i => pmod((col("fam") + 1) *
+        ((i % 9) * 13 + floor(i / 9).cast("int") * 31 + 7), lit(256)))
+      val payloads = base.select(col("doc_id"),
+          graft.functions.ImageFunctions.jpegEncode(g72, 72, 64)
+            .as("jpeg"),
+          graft.functions.ImageFunctions.pngEncode(g9, 9, 8).as("png"))
+        .localCheckpoint()
+      val nBytes = payloads.select(
+        sum(octet_length(col("jpeg")) + octet_length(col("png"))))
+        .head().getLong(0)
+      val t0 = System.nanoTime()
+      val decoded = payloads.select(
+          graft.functions.ImageFunctions.dhash(col("jpeg")).as("hj"),
+          graft.functions.ImageFunctions.dhash(col("png")).as("hp"))
+        .filter(col("hj").isNotNull && col("hp").isNotNull)
+        .count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS codec_decode_10x $decoded%d docs, " +
+        f"${nBytes / 1e6}%.1f MB in $secs%.2f s " +
+        f"(${nBytes / 1e6 / secs}%.1f MB/s, " +
+        f"${decoded * 2 / secs}%.0f imgs/s)")
+    }
     if (runCase("dedupidx_compact_10x")) {
       // the compaction claim, measured: after 8 appends the artifacts
       // hold ~9x the build's file count and a probe opens all of them;
