@@ -3152,7 +3152,9 @@ object SparkEntry {
     * from the arithmetic envelope hashes.
     */
   private def multimodalAudioDedupQ(s: SparkSession, dir: String): DataFrame = {
-    val w = wavPayloads(s, dir)
+    // pinned: the fixture table feeds both the survivor projection and
+    // the pair pass - lazy, the WAV encode would run twice per action
+    val w = wavPayloads(s, dir).localCheckpoint()
     graft.operators.Dedup.dropNearDuplicates(
       w.select(col("doc_id")), "doc_id",
       Multimodal.audioDupPairs(w, "doc_id"))
