@@ -3510,6 +3510,80 @@ object SparkEntry {
     }
   }
 
+  /** Streaming PERCEPTUAL media dedup gate
+    * ([[graft.streaming.StreamingDedup.perceptualDupStream]]): the
+    * codec fixture payloads (BMP / PNG-stored / GIF / PNG-dynamic by
+    * member — three REAL decode paths at ingest) stream through the
+    * dHash band-ownership state machine; with one constant-ts window
+    * the survivor set is batch-expressible — a doc survives iff no
+    * SMALLER doc shares any of its four 16-bit dHash bands — and the
+    * oracle replays that from the arithmetic hashes. Same
+    * watermark-sentinel dance as `streaming_dedup_neardup`.
+    */
+  private def streamingMultimodalNeardupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevCk = s.conf.get(ckKey)
+    val prevSp = s.conf.get(spKey)
+    s.conf.set(ckKey, "false")
+    s.conf.set(spKey, "8")
+    try {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("pneardup_gate").toString
+      val gray9 = transform(sequence(lit(0), lit(71)), i =>
+        codecGray(i % 9, floor(i / 9).cast("int")).cast("int"))
+      val payload =
+        when(col("m") === 1,
+          graft.functions.ImageFunctions.pngEncode(gray9, 9, 8, 0))
+          .when(col("m") === 2,
+            graft.functions.ImageFunctions.gifEncode(gray9, 9, 8))
+          .when(col("m") === 3,
+            graft.functions.ImageFunctions.pngEncode(gray9, 9, 8, 2))
+          .otherwise(unhex(dhashPayloadHex(col("fam"), col("m"),
+            col("doc_id"))))
+      codecDocs(s, dir)
+        .select(col("doc_id"), payload.as("payload"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ingest_ts"))
+        .coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType),
+        StructField("ingest_ts", TimestampType)))
+      val out = graft.streaming.StreamingDedup.perceptualDupStream(
+        s.readStream.schema(schema).parquet(srcDir),
+        horizon = "10 seconds")
+      try s.catalog.dropTempView("stream_pdedup_near")
+      catch { case _: Throwable => () }
+      val q = out.writeStream.format("memory")
+        .queryName("stream_pdedup_near")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // the sentinel must DECODE: a filtered-out (null-hash) row never
+      // reaches the post-state watermark node, which then never passes
+      // the window end and nothing ever emits - a 1x1 BMP rides the
+      // whole pipeline and is filtered by id at the end
+      val tinyBmp = "424D3A000000000000003600000028000000010000000100" +
+        "000001001800" + "0" * 48 + "AABBCC00"
+      def sentinel(ts: String): Unit =
+        Seq((-1L, ts)).toDF("doc_id", "ts")
+          .select(col("doc_id"), unhex(lit(tinyBmp)).as("payload"),
+            col("ts").cast("timestamp").as("ingest_ts"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      sentinel("2024-01-02 00:00:00")
+      q.processAllAvailable()
+      sentinel("2024-01-03 00:00:00")
+      q.processAllAvailable()
+      q.stop()
+      s.table("stream_pdedup_near").filter(col("doc_id") >= 0)
+        .select(col("doc_id"))
+    } finally {
+      s.conf.set(ckKey, prevCk)
+      s.conf.set(spKey, prevSp)
+    }
+  }
+
   /** Streaming windowed hourly aggregation, gated against the exact
     * batch oracle: Complete output mode emits every window at the final
     * AvailableNow commit (the watermark only bounds state in the
@@ -5029,6 +5103,7 @@ object SparkEntry {
     "streaming_curate" -> (streamingCurateQ _),
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
+    "streaming_multimodal_neardup" -> (streamingMultimodalNeardupQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
     "streaming_sessionize_rocksdb" -> (streamingSessionizeRocksQ _),
     "streaming_sessionize_window" -> (streamingSessionizeWindowQ _),
@@ -7277,6 +7352,15 @@ object SparkEntry {
     "streaming_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_dedup_neardup" -> dkStreamingNearDup,
+    "streaming_multimodal_neardup" ->
+      s"""WITH $dkDhash,
+         bk AS (SELECT doc_id, b,
+             (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM dh, (SELECT unnest(range(0, 4)) AS b)),
+         coll AS (SELECT DISTINCT a.doc_id FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND c.doc_id < a.doc_id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM coll)""",
     // stateless filter => the stream emits exactly the batch survivor set
     "streaming_decontaminate" -> dkDecontaminate,
     "streaming_hourly" ->

@@ -143,6 +143,70 @@ object StreamingDedup {
       .select(col("window.start").as("window_start"), col("doc_id"))
   }
 
+  /** PERCEPTUAL media twin of [[nearDupStream]]: a payload stream's
+    * dHash ([[graft.functions.ImageFunctions.dhash]] — real pixel
+    * decode over BMP/PNG/JPEG/GIF) splits into `bands` bit-bands, and
+    * the identical bucket-ownership state machine drops every payload
+    * sharing any band with a picture seen inside the watermark horizon
+    * — ingest-time image dedup across containers, re-encodes, and
+    * brightness shifts. Undecodable payloads are NOT emitted — the
+    * perceptual stage has no opinion on garbage; route the stream
+    * through the byte-level dedup (or a pass-through branch on
+    * `dhash IS NULL`) for those BEFORE this stage. State: one long per
+    * live (band, bit-pattern) bucket, event-time evicted. Same
+    * checkCorrectness.enabled acknowledgment as [[nearDupStream]].
+    *
+    * `stream` must carry (`idCol` as doc_id, `payload` binary-castable,
+    * `ingest_ts`).
+    */
+  def perceptualDupStream(
+      stream: DataFrame,
+      horizon: String = "1 hour",
+      bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val bw = 64 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+
+    def step(key: (Int, String), rows: Iterator[BandRow],
+        state: GroupState[BucketState]): Iterator[BandVerdict] =
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val rs = rows.toSeq.sortBy(r => (r.ingest_ts.getTime, r.doc_id))
+        val owner = state.getOption.map(_.owner).getOrElse(rs.head.doc_id)
+        if (state.getOption.isEmpty) state.update(BucketState(owner))
+        state.setTimeoutTimestamp(rs.map(_.ingest_ts.getTime).max, horizon)
+        rs.iterator.map(r =>
+          BandVerdict(r.doc_id, r.ingest_ts, fresh = r.doc_id == owner))
+      }
+
+    val marked = stream.withWatermark("ingest_ts", horizon)
+      .select(col("doc_id"), col("ingest_ts"),
+        graft.functions.ImageFunctions.dhash(
+          col("payload").cast(BinaryType)).as("__dh"))
+    val bandRows = marked.filter(col("__dh").isNotNull)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("__dh"), b * bw).bitwiseAND(lit(mask))
+            .cast("string")): _*)),
+        col("ingest_ts"))
+      .select(col("doc_id"), col("pos").as("band"),
+        col("col").as("bucket"), col("ingest_ts"))
+      .as[BandRow]
+    val verdicts = bandRows
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(step)
+    verdicts.toDF()
+      .withWatermark("ingest_ts", horizon)
+      .groupBy(window(col("ingest_ts"), horizon), col("doc_id"))
+      .agg(bool_and(col("fresh")).as("all_bands_fresh"))
+      .filter(col("all_bands_fresh"))
+      .select(col("window.start").as("window_start"), col("doc_id"))
+  }
+
   /** Streaming decontamination — the ingest-time form of
     * `Dedup.decontaminate`: a document sharing any MinHash (band,
     * bucket) with the eval-probe set is dropped as it arrives.
