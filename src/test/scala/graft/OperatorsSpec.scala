@@ -1764,6 +1764,71 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set(ckKey, prevCk)
   }
 
+  test("perceptualDupStream drops a cross-batch re-encode of a seen" +
+      " picture; unrelated pictures and undecodables behave per contract") {
+    import graft.functions.{DHash, GifCodec, PngCodec}
+    val dir = java.nio.file.Files.createTempDirectory("spnear").toString
+    def plane(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(72)(i => (f(i % 9, i / 9) & 0xff).toByte)
+    val picA = plane((x, y) => (x * 13 + y * 31 + 7) * 3 % 256)
+    // same picture, one sample nudged: gradient signs move <= 1 bit
+    val picA2 = picA.clone(); picA2(0) = ((picA(0) & 0xff) + 2).toByte
+    val picB = plane((x, y) => (x * 29 + y * 17 + 100) * 5 % 256)
+    val pngA = PngCodec.encodeGray(9, 8, picA)
+    val gifA2 = GifCodec.encodeGray(9, 8, picA2) // different CONTAINER
+    val pngB = PngCodec.encodeGray(9, 8, picB)
+    def bands(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => b -> ((h >> (16 * b)) & 0xffff)).toSet
+    val hA = DHash.dhash(pngA); val hA2 = DHash.dhash(gifA2)
+    val hB = DHash.dhash(pngB)
+    assert(java.lang.Long.bitCount(hA ^ hA2) <= 1,
+      "fixture: near-pair must be within 1 bit")
+    assert(bands(hA).intersect(bands(hA2)).nonEmpty)
+    assert(bands(hA).intersect(bands(hB)).isEmpty,
+      "fixture: unrelated must share no band")
+
+    def write(rows: Seq[(Long, Array[Byte], Long)]): Unit =
+      rows.map { case (id, p, sec) =>
+        (id, p, new java.sql.Timestamp(sec * 1000L))
+      }.toDF("doc_id", "payload", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCk = spark.conf.get(ckKey)
+    try {
+      spark.conf.set(ckKey, "false")
+      write(Seq((0L, pngA, 100L), (2L, pngB, 101L)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType),
+        StructField("ingest_ts", TimestampType)))
+      val q = graft.streaming.StreamingDedup.perceptualDupStream(
+          spark.readStream.schema(schema).parquet(dir),
+          horizon = "10 seconds")
+        .writeStream.format("memory").queryName("spnear_out")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // batch 2: the GIF re-encode of picture A arrives — its bands are
+      // owned by doc 0 from batch 1 (cross-batch, CROSS-CONTAINER
+      // state); doc 3 pushes the watermark past window [100,110).
+      // An undecodable payload (doc 9) is contractually NOT emitted.
+      write(Seq((1L, gifA2, 105L),
+        (9L, "not an image at all".getBytes, 106L),
+        (3L, PngCodec.encodeGray(9, 8,
+          plane((x, y) => (x * 7 + y * 3) % 256)), 140L)))
+      q.processAllAvailable()
+      write(Seq((4L, GifCodec.encodeGray(9, 8,
+        plane((x, y) => (x + y * 11 + 50) % 256)), 170L)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql("SELECT doc_id FROM spnear_out")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(0L, 2L, 3L),
+        s"survivors must be 0 (owner), 2 (unrelated), 3 (flusher): $got")
+    } finally spark.conf.set(ckKey, prevCk)
+  }
+
   test("dedupLines keeps first corpus-wide occurrence, exempts short" +
       " lines, and plans WITHOUT a window (skew-safe shape)") {
     val d = Seq(
