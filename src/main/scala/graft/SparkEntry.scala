@@ -1124,6 +1124,84 @@ object SparkEntry {
     loaded.manifest
   }
 
+  /** Release-takedown gate: the full corpus is published, every
+    * seventh doc is then removed via [[graft.sources.Release.deleteDocs]]
+    * (touched-shards-only rewrite under the intent/written/done
+    * protocol), the SAME call replays and must no-op on its done
+    * marker, the release audits clean, and the manifest hash-matches a
+    * from-scratch publish of the survivors — content-addressed
+    * sharding makes deletion telescope exactly.
+    */
+  private def releaseDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"/tmp/graft_release_del_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    graft.sources.Release.writeRelease(d, "doc_id", "text", path,
+      nShards = 8)
+    val schema = StructType(d.schema.fields :+ StructField("shard", LongType))
+    def takedown(): Unit = graft.sources.Release.deleteDocs(
+      d.filter(col("doc_id") % 7 === 0).select("doc_id"),
+      "doc_id", "text", path, schema, token = "takedown1")
+    takedown()
+    takedown() // replay: done-marker no-op (a second rewrite would
+               // find the survivors' files unsealed and delete them)
+    val loaded = graft.sources.Release.loadRelease(s, path, schema)
+    require(graft.sources.Release
+        .validateRelease(loaded, "doc_id", "text").isEmpty,
+      "post-takedown release must verify against its rewritten shards")
+    loaded.manifest
+  }
+
+  /** Release-compaction gate: the corpus lands as four appended
+    * batches (so every shard holds 4 data files), compaction folds
+    * each multi-file shard to ONE file, a replayed call no-ops on its
+    * done marker, every shard must read back single-file, the audit is
+    * load-bearing, and the manifest hash-matches the from-scratch
+    * oracle — parity IS the claim (n_docs/n_chars are layout-free and
+    * the XOR checksum order-independent by construction).
+    */
+  private def releaseCompactQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"/tmp/graft_release_cmp_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(hconf).delete(hp, true)
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    graft.sources.Release.writeRelease(
+      d.filter(col("doc_id") % 4 === 0), "doc_id", "text", path,
+      nShards = 8)
+    (1 to 3).foreach { r =>
+      graft.sources.Release.appendRelease(
+        d.filter(col("doc_id") % 4 === r), "doc_id", "text", path,
+        batchId = s"b$r")
+    }
+    val schema = StructType(d.schema.fields :+ StructField("shard", LongType))
+    def filesPerShard(): Map[String, Int] = {
+      val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+      val f = dataDir.getFileSystem(hconf)
+      f.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .map(st => st.getPath.getName ->
+          f.listStatus(st.getPath).count(_.isFile))
+        .toMap
+    }
+    require(filesPerShard().values.exists(_ > 1),
+      "the appended release must actually hold multi-file shards")
+    def compact(): Unit = graft.sources.Release.compactRelease(
+      s, path, schema, "doc_id", "text", token = "c1")
+    compact()
+    compact() // replay: done-marker no-op
+    require(filesPerShard().values.forall(_ == 1),
+      "every compacted shard must hold exactly one data file")
+    val loaded = graft.sources.Release.loadRelease(s, path, schema)
+    require(graft.sources.Release
+        .validateRelease(loaded, "doc_id", "text").isEmpty,
+      "compacted release must verify against its folded shards")
+    loaded.manifest
+  }
+
   /** Streaming release-publication gate: the %3!=0 corpus is the
     * standing snapshot, the %3==0 half STREAMS through a curation gate
     * (n_chars >= 300 — the stateless survivor filter; heavier curation
@@ -4048,15 +4126,17 @@ object SparkEntry {
   /** Shared by the release gates: per-shard stats with the XOR doc
     * checksum, recomputed over the whole corpus.
     */
-  private val dkReleaseManifest: String =
+  private def dkReleaseManifestWhere(where: String): String =
     s"""WITH h AS (SELECT doc_id, text,
          ${dkHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
          ${dkHash("CAST(doc_id AS VARCHAR) || ':' || text")} AS dh
-       FROM documents)
+       FROM documents WHERE $where)
        SELECT shard, count(*) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS n_chars,
          bit_xor(dh) AS checksum
        FROM h GROUP BY 1"""
+
+  private val dkReleaseManifest: String = dkReleaseManifestWhere("TRUE")
 
   /** Three-lane Morton oracle: 48 generated terms, bit `b` of lane `i`
     * at z-bit `3b + i`.
@@ -5020,6 +5100,8 @@ object SparkEntry {
     "layout_zorder3"   -> (layoutZorder3Q _),
     "release_manifest" -> (releaseManifestQ _),
     "release_append"   -> (releaseAppendQ _),
+    "release_delete"   -> (releaseDeleteQ _),
+    "release_compact"  -> (releaseCompactQ _),
     "streaming_release" -> (streamingReleaseQ _),
     "dedup_overlap_matrix" -> (dedupOverlapMatrixQ _),
     "trainer_feed"     -> (trainerFeedQ _),
@@ -6396,6 +6478,12 @@ object SparkEntry {
     // content-addressed sharding: the touched-shards-only append
     // telescopes exactly to the from-scratch manifest
     "release_append" -> dkReleaseManifest,
+    // takedown telescopes: the touched-shards-only rewrite must equal
+    // a from-scratch publish of the survivors
+    "release_delete" -> dkReleaseManifestWhere("doc_id % 7 <> 0"),
+    // compaction parity: layout changes, content doesn't — the
+    // recomputed manifest equals the from-scratch one row-for-row
+    "release_compact" -> dkReleaseManifest,
     // the streamed snapshot = base corpus + curation survivors of the
     // streamed half, appended exactly once (the replay no-ops)
     "streaming_release" ->

@@ -649,7 +649,7 @@ object Dedup {
     * path, [[contaminationReport]]): the three paths share oracles
     * verbatim, which is only sound while their gram keys cannot drift.
     */
-  private def normalizedGramHashes(
+  private[graft] def normalizedGramHashes(
       df: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame =
     df.select(cols :+ explode(wordGramHash128(
       filter(split(trim(lower(col(textCol))), "\\s+"),

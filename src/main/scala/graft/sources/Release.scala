@@ -186,6 +186,236 @@ object Release {
       fs(path).mkdirs(new org.apache.hadoop.fs.Path(s"$batchDir/done"))
   }
 
+  /** Remove documents from a published release — the takedown path
+    * (DMCA / GDPR / opt-out requests against a standing snapshot).
+    * Content-addressed sharding makes this surgical: a doc's shard is
+    * a pure function of its id, so ONLY the shards that can hold the
+    * requested ids are listed, re-read, rewritten and re-manifested —
+    * cost scales with the takedown list's shards, never the release.
+    *
+    * `ids` is a frame holding the `idCol` values to remove (any other
+    * columns are ignored); ids not present in the release are no-ops.
+    * The survivor rewrite is an anti-join against the DISTINCT ids —
+    * takedown lists are small, so AQE broadcasts the key side. A shard
+    * whose every row is removed disappears (dir emptied, manifest row
+    * dropped); [[validateRelease]]'s full-outer join treats the
+    * absent/absent pair as clean.
+    *
+    * Crash discipline (`token` nonEmpty): the same intent/done
+    * protocol as [[appendRelease]], plus a `written_ok` middle marker
+    * because deletion REMOVES committed files (append only ever adds):
+    *
+    *  1. `done` → committed; the call no-ops (replay-safe);
+    *  2. intent seal: old manifest rows + the touched shards' exact
+    *     data-file listing, BEFORE any mutation;
+    *  3. survivors (sealed files ∖ ids) append into the live shard
+    *     dirs as NEW files; the manifest is tombstoned first, so every
+    *     crash window from here to the final commit leaves a loudly
+    *     unloadable release; `written_ok` seals this phase — a replay
+    *     without it deletes the partial survivor files (not in the
+    *     sealed listing) and re-runs the phase off the still-intact
+    *     sealed files;
+    *  4. the sealed old files are deleted (idempotent), the touched
+    *     shards' manifest rows are recomputed from the live dirs, the
+    *     untouched rows carried from the sealed capture, the merged
+    *     manifest commits, `done` lands.
+    *
+    * With `token` empty the markers are skipped (one-shot callers that
+    * never retry); the step ORDER is identical, so a crash still
+    * leaves an unloadable-not-corrupt release — it just cannot be
+    * repaired by re-running the call.
+    */
+  def deleteDocs(
+      ids: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      token: String = ""): Unit = {
+    val spark = ids.sparkSession
+    val nShards = spark.read.parquet(s"$path/release_meta")
+      .head().getAs[Int]("n_shards")
+    val keys = ids.select(col(idCol)).distinct().localCheckpoint()
+    val touched = keys.select(shardCol(idCol, nShards).as("s")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    maintainShards(spark, path, schema, idCol, textCol, token, touched,
+      transform = df => df.join(keys, Seq(idCol), "left_anti"))
+  }
+
+  /** Fold a release's accumulated small files back to one data file
+    * per shard — the maintenance twin of `DedupIndex.compact` for the
+    * publication sink. [[appendRelease]] lands every batch as new
+    * JSONL files inside its touched shards, so a snapshot receiving
+    * daily batches grows toward (batches × shards) files; a consumer
+    * fetching a shard then pays per-file open latency (and the
+    * object-store LIST) for unchanged content. Compaction rewrites
+    * each multi-file shard's rows — unchanged — as ONE file and
+    * deletes the originals.
+    *
+    * The manifest is recomputed from the compacted data and MUST equal
+    * the committed one row-for-row: `n_docs`/`n_chars` are layout-free
+    * and the XOR checksum is order-independent by construction, so
+    * manifest parity is the operation's own audit (the gate pins it
+    * against the from-scratch oracle). Single-file shards are left
+    * untouched — repeated compaction converges to a no-op.
+    *
+    * Crash discipline: the same intent / written_ok / done protocol as
+    * [[deleteDocs]] — compaction is the `transform = identity` case of
+    * the shared shard-rewrite core.
+    */
+  def compactRelease(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      token: String = ""): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val f = dataDir.getFileSystem(hconf)
+    val touched: Set[Long] =
+      if (!f.exists(dataDir)) Set.empty
+      else f.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .filter(st => f.listStatus(st.getPath).count(_.isFile) > 1)
+        .map(_.getPath.getName.stripPrefix("shard=").toLong)
+        .toSet
+    maintainShards(spark, path, schema, idCol, textCol, token, touched,
+      transform = identity)
+  }
+
+  /** Shared crash-safe shard-rewrite core behind [[deleteDocs]] and
+    * [[compactRelease]]: reads the sealed files of the touched shards,
+    * applies `transform`, lands the result as new files in the live
+    * dirs, deletes the sealed originals, and recomputes ONLY the
+    * touched shards' manifest rows (untouched rows carried from the
+    * sealed capture). See [[deleteDocs]] for the marker protocol.
+    */
+  private def maintainShards(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      token: String,
+      touched: Set[Long],
+      transform: DataFrame => DataFrame): Unit = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fs(p: String) =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+    def exists(p: String) =
+      fs(p).exists(new org.apache.hadoop.fs.Path(p))
+    val tokenDir = s"$path/maintenance/$token"
+    if (token.nonEmpty && exists(s"$tokenDir/done")) return
+    if (touched.isEmpty) {
+      if (token.nonEmpty)
+        fs(path).mkdirs(new org.apache.hadoop.fs.Path(s"$tokenDir/done"))
+      return
+    }
+    def listTouchedFiles(): Seq[(Long, String)] = touched.toSeq.flatMap {
+      s =>
+        val dir = new org.apache.hadoop.fs.Path(s"$path/data/shard=$s")
+        val f = dir.getFileSystem(hconf)
+        if (!f.exists(dir)) Seq.empty
+        else f.listStatus(dir).toSeq.filter(_.isFile)
+          .map(st => (s, st.getPath.getName))
+    }
+    // phase 1 — seal the intent: old manifest rows + exact file listing
+    val (oldManifest, sealedFiles) =
+      if (token.isEmpty)
+        (spark.read.parquet(s"$path/manifest").collect().toSeq,
+          listTouchedFiles())
+      else if (exists(s"$tokenDir/intent_ok"))
+        (spark.read.parquet(s"$tokenDir/old_manifest").collect().toSeq,
+          spark.read.parquet(s"$tokenDir/files")
+            .as[(Long, String)].collect().toSeq)
+      else {
+        fs(path).delete(new org.apache.hadoop.fs.Path(tokenDir), true)
+        val live = spark.read.parquet(s"$path/manifest")
+        live.coalesce(1).write.parquet(s"$tokenDir/old_manifest")
+        val files = listTouchedFiles()
+        files.toDF("shard", "file")
+          .coalesce(1).write.parquet(s"$tokenDir/files")
+        fs(path).mkdirs(new org.apache.hadoop.fs.Path(
+          s"$tokenDir/intent_ok"))
+        (live.collect().toSeq, files)
+      }
+    val sealedSet = sealedFiles.toSet
+    // phase 2 — write survivors as NEW files; manifest tombstoned first
+    val manifestDir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (token.isEmpty || !exists(s"$tokenDir/written_ok")) {
+      // a crashed prior attempt's partial output is any file the seal
+      // doesn't know; remove it before re-writing
+      listTouchedFiles().filterNot(sealedSet).foreach { case (s, n) =>
+        fs(path).delete(new org.apache.hadoop.fs.Path(
+          s"$path/data/shard=$s/$n"), false)
+      }
+      manifestDir.getFileSystem(hconf).delete(manifestDir, true)
+      val sealedPaths = sealedFiles.map { case (s, n) =>
+        s"$path/data/shard=$s/$n"
+      }
+      if (sealedPaths.nonEmpty) {
+        val sealedRows = spark.read.schema(schema)
+          .option("basePath", s"$path/data").json(sealedPaths: _*)
+        transform(sealedRows)
+          .repartition(math.max(1, touched.size), col("shard"))
+          .write.mode("append").partitionBy("shard")
+          .option("compression", "gzip")
+          .json(s"$path/data")
+      }
+      if (token.nonEmpty)
+        fs(path).mkdirs(new org.apache.hadoop.fs.Path(
+          s"$tokenDir/written_ok"))
+    } else {
+      manifestDir.getFileSystem(hconf).delete(manifestDir, true)
+    }
+    // phase 3 — drop the sealed originals (idempotent), recompute the
+    // touched rows from the live dirs, commit the merged manifest
+    sealedFiles.foreach { case (s, n) =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/data/shard=$s/$n")
+      fs(path).delete(p, false)
+    }
+    val liveTouchedDirs = touched.toSeq.map(s => s"$path/data/shard=$s")
+      .filter { p =>
+        exists(p) && fs(p).listStatus(
+          new org.apache.hadoop.fs.Path(p)).exists(_.isFile)
+      }
+    // a fully-emptied shard keeps no dir (and no manifest row)
+    touched.foreach { s =>
+      val p = s"$path/data/shard=$s"
+      if (exists(p) && !fs(p).listStatus(
+          new org.apache.hadoop.fs.Path(p)).exists(_.isFile))
+        fs(path).delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    val keptRows = oldManifest.filterNot(r =>
+      touched(r.getAs[Long]("shard")))
+    val recomputed =
+      if (liveTouchedDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          manifestSchema)
+      else manifestOf(spark.read.schema(schema)
+        .option("basePath", s"$path/data").json(liveTouchedDirs: _*),
+        idCol, textCol)
+    val kept = spark.createDataFrame(
+      spark.sparkContext.parallelize(keptRows), manifestSchema)
+    recomputed.unionByName(kept)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    if (token.nonEmpty)
+      fs(path).mkdirs(new org.apache.hadoop.fs.Path(s"$tokenDir/done"))
+  }
+
+  private val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("checksum",
+      org.apache.spark.sql.types.LongType)))
+
   /** The per-shard stats frame `(shard, n_docs, n_chars, checksum)` of
     * a sharded docs frame.
     */

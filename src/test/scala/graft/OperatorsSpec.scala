@@ -3826,6 +3826,171 @@ class OperatorsSpec extends AnyFunSuite {
       rows(Release.loadRelease(spark, s"$dir/full", schema).manifest))
   }
 
+  test("deleteDocs removes the requested ids surgically: manifest" +
+      " telescopes to a from-scratch publish of the survivors, missing" +
+      " ids no-op, and a fully-emptied shard disappears") {
+    import graft.sources.Release
+    import org.apache.spark.sql.types._
+    val d = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"),
+      (4L, "epsilon"), (5L, "zeta"), (6L, "eta"), (7L, "theta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_del")
+      .toString
+    Release.writeRelease(d, "doc_id", "text", s"$dir/r", nShards = 4)
+    val schema = StructType(d.schema.fields :+ StructField("shard", LongType))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    Release.deleteDocs(Seq(1L, 4L).toDF("doc_id"), "doc_id", "text",
+      s"$dir/r", schema)
+    val loaded = Release.loadRelease(spark, s"$dir/r", schema)
+    assert(Release.validateRelease(loaded, "doc_id", "text").isEmpty)
+    assert(loaded.rows.select("doc_id").as[Long].collect().toSet ===
+      Set(0L, 2L, 3L, 5L, 6L, 7L))
+    Release.writeRelease(d.filter(!col("doc_id").isin(1L, 4L)),
+      "doc_id", "text", s"$dir/survivors", nShards = 4)
+    val afterTakedown = rows(loaded.manifest)
+    assert(afterTakedown === rows(
+      Release.loadRelease(spark, s"$dir/survivors", schema).manifest))
+    // ids absent from the release: the touched shards rewrite to the
+    // same content, the manifest is unchanged
+    Release.deleteDocs(Seq(999L).toDF("doc_id"), "doc_id", "text",
+      s"$dir/r", schema)
+    assert(rows(Release.loadRelease(spark, s"$dir/r", schema).manifest)
+      === afterTakedown)
+    // delete EVERYTHING: every shard dir and manifest row disappears,
+    // and the audit of the empty release is clean
+    Release.deleteDocs(d.select("doc_id"), "doc_id", "text",
+      s"$dir/r", schema)
+    val emptied = Release.loadRelease(spark, s"$dir/r", schema)
+    assert(emptied.manifest.isEmpty)
+    assert(Release.validateRelease(emptied, "doc_id", "text").isEmpty)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$dir/r/data")
+    assert(!fs.exists(dataDir) || fs.listStatus(dataDir)
+      .forall(st => !st.getPath.getName.startsWith("shard=")),
+      "fully-emptied shards must leave no shard dirs behind")
+  }
+
+  test("deleteDocs token protocol: done-marker no-op, post-commit-crash" +
+      " repair, and a mid-write crash's partial files are swept before" +
+      " the re-run") {
+    import graft.sources.Release
+    import org.apache.spark.sql.types._
+    val d = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"),
+      (4L, "epsilon"), (5L, "zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_delrep")
+      .toString
+    val rel = s"$dir/r"
+    Release.writeRelease(d, "doc_id", "text", rel, nShards = 2)
+    val schema = StructType(d.schema.fields :+ StructField("shard", LongType))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def takedown(): Unit = Release.deleteDocs(Seq(2L).toDF("doc_id"),
+      "doc_id", "text", rel, schema, token = "t1")
+    takedown()
+    def check(): Unit = {
+      val loaded = Release.loadRelease(spark, rel, schema)
+      assert(Release.validateRelease(loaded, "doc_id", "text").isEmpty)
+      assert(loaded.rows.select("doc_id").as[Long].collect().toSet ===
+        Set(0L, 1L, 3L, 4L, 5L))
+    }
+    check()
+    // done-marker replay: a second run must not touch the data (the
+    // sealed files are long gone — re-running the write phase would
+    // fail loudly, so surviving silently proves the no-op)
+    takedown()
+    check()
+    // crash AFTER written_ok but before the manifest commit: sealed
+    // files deleted or not, manifest tombstoned, done absent — the
+    // re-run resumes at the cleanup phase and commits
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rel/maintenance/t1/done"),
+      true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rel/manifest"), true)
+    intercept[Exception] { // tombstoned manifest = loudly unloadable
+      Release.loadRelease(spark, rel, schema).manifest.collect()
+    }
+    takedown()
+    check()
+    // crash DURING the survivor write (intent sealed, written_ok never
+    // landed): construct the reachable state forward — seal an intent
+    // for a fresh token, plant a partial unsealed file in a touched
+    // shard, tombstone the manifest — then the re-run must sweep the
+    // partial file, rewrite off the sealed files, and commit
+    val t2 = s"$rel/maintenance/t2"
+    val doc0Shard = Release.loadRelease(spark, rel, schema).rows
+      .filter(col("doc_id") === 0L).select("shard").as[Long].head()
+    val live = spark.read.parquet(s"$rel/manifest")
+    live.coalesce(1).write.parquet(s"$t2/old_manifest")
+    val shardDir = new org.apache.hadoop.fs.Path(
+      s"$rel/data/shard=$doc0Shard")
+    val sealedList = fs.listStatus(shardDir).filter(_.isFile)
+      .map(st => (doc0Shard, st.getPath.getName)).toSeq
+    sealedList.toDF("shard", "file").coalesce(1).write.parquet(s"$t2/files")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t2/intent_ok"))
+    val junk = new org.apache.hadoop.fs.Path(
+      s"$rel/data/shard=$doc0Shard/part-junk-from-crashed-attempt.json.gz")
+    fs.create(junk).close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rel/manifest"), true)
+    Release.deleteDocs(Seq(0L).toDF("doc_id"), "doc_id", "text", rel,
+      schema, token = "t2")
+    val after = Release.loadRelease(spark, rel, schema)
+    assert(Release.validateRelease(after, "doc_id", "text").isEmpty)
+    assert(!after.rows.select("doc_id").as[Long].collect().contains(0L))
+    assert(!fs.exists(junk), "the crashed attempt's partial file must" +
+      " be swept before the rewrite")
+  }
+
+  test("compactRelease folds multi-file shards to one file with the" +
+      " manifest row-identical; single-file shards and replays no-op") {
+    import graft.sources.Release
+    import org.apache.spark.sql.types._
+    val a = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "epsilon"), (11L, "zeta"), (12L, "eta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_cmp")
+      .toString
+    val rel = s"$dir/r"
+    Release.writeRelease(a, "doc_id", "text", rel, nShards = 2)
+    Release.appendRelease(b, "doc_id", "text", rel, batchId = "b1")
+    val schema = StructType(a.schema.fields :+ StructField("shard", LongType))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def files(s: Long): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$rel/data/shard=$s")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq
+    }
+    assert((0L to 1L).exists(files(_).size > 1),
+      "the append must have produced a multi-file shard")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val before = rows(Release.loadRelease(spark, rel, schema).manifest)
+    Release.compactRelease(spark, rel, schema, "doc_id", "text",
+      token = "c1")
+    assert((0L to 1L).forall(files(_).size <= 1))
+    val loaded = Release.loadRelease(spark, rel, schema)
+    assert(Release.validateRelease(loaded, "doc_id", "text").isEmpty)
+    assert(rows(loaded.manifest) === before,
+      "compaction must not change the manifest's content")
+    assert(loaded.rows.count() === 7)
+    // replay: done no-op — file names unchanged
+    val names = (0L to 1L).map(files)
+    Release.compactRelease(spark, rel, schema, "doc_id", "text",
+      token = "c1")
+    assert((0L to 1L).map(files) === names)
+    // an already-single-file release: nothing to touch, fresh token
+    // no-ops (and marks done)
+    Release.compactRelease(spark, rel, schema, "doc_id", "text",
+      token = "c2")
+    assert((0L to 1L).map(files) === names)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$rel/maintenance/c2/done")))
+  }
+
   test("writeZOrdered on an empty frame writes an empty table instead" +
       " of an NPE; all-null lanes on a non-empty frame fail loudly") {
     import graft.sources.Tables
