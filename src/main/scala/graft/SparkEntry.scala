@@ -1650,6 +1650,88 @@ object SparkEntry {
       .select(col("doc_id"))
   }
 
+  /** Persisted-decon-index gate: the probe (every 13th doc + snippet)
+    * freezes into a [[graft.sources.DeconIndex]] artifact — gram keys
+    * plus a deliberately UNDERSIZED 2^16-bit Bloom filter, so sf0.1
+    * drives a real false-positive residue through the exact confirm —
+    * and the planted train corpus decontaminates against the loaded
+    * artifact. Exact semantics for any filter size: the oracle is
+    * `decontaminate_exact`'s, shared verbatim.
+    */
+  private def deconIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_deconidx_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val (train, probe) = snippetFixture(s, dir)
+    graft.sources.DeconIndex.build(probe, "text", path, n = 13,
+      mBits = 1 << 16, k = 3)
+    graft.sources.DeconIndex.decontaminateBatch(train, "doc_id", "text",
+        path)
+      .select(col("doc_id"))
+  }
+
+  /** Incremental-probe gate: the probe arrives as TWO batches (even /
+    * odd probe doc ids) — build on the first, [[graft.sources
+    * .DeconIndex.appendProbe]] the second, replay the append (must
+    * converge: no duplicate gram keys, identical filter) — and the
+    * decon against the grown artifact must equal the from-scratch run:
+    * gram-set union telescopes exactly, oracle shared verbatim.
+    */
+  private def deconIndexAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_deconidx_app_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val (train, _) = snippetFixture(s, dir)
+    def probeHalf(even: Boolean) = docs(s, dir)
+      .filter(col("doc_id") % 13 === 0 &&
+        (if (even) col("doc_id") % 2 === 0 else col("doc_id") % 2 =!= 0))
+      .select(concat(col("text"), lit(" " + SnippetPlant)).as("text"))
+    graft.sources.DeconIndex.build(probeHalf(even = true), "text", path,
+      n = 13, mBits = 1 << 16, k = 3)
+    graft.sources.DeconIndex.appendProbe(probeHalf(even = false), "text",
+      path)
+    graft.sources.DeconIndex.appendProbe(probeHalf(even = false), "text",
+      path) // replayed append: convergent by construction
+    graft.sources.DeconIndex.decontaminateBatch(train, "doc_id", "text",
+        path)
+      .select(col("doc_id"))
+  }
+
+  /** Streaming decon-at-ingest gate: the snippet-planted corpus
+    * STREAMS through [[graft.streaming.StreamingDedup
+    * .indexedDeconStream]] against the frozen index, then the same
+    * data replays under a fresh checkpoint — the frozen index makes
+    * every batch's survivor frame deterministic, so the per-batch
+    * overwrite must converge without markers. Oracle shared verbatim
+    * with `decontaminate_exact`.
+    */
+  private def streamingDeconIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_deconidx_str_${Integer.toHexString(dir.hashCode)}"
+    val out = s"${path}_out"
+    val ck1 = s"${path}_ck1"; val ck2 = s"${path}_ck2"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, out, ck1, ck2).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    val (_, probe) = snippetFixture(s, dir)
+    graft.sources.DeconIndex.build(probe, "text", path, n = 13,
+      mBits = 1 << 16, k = 3)
+    val planted = docStream(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" " + SnippetPlant)))
+        .otherwise(col("text")).as("text"))
+    def run(ckpt: String): Unit =
+      graft.streaming.StreamingDedup.indexedDeconStream(
+          planted, path, out, "doc_id", "text")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    run(ck1)
+    run(ck2) // replay: deterministic recompute, idempotent overwrite
+    s.read.parquet(out).select(col("doc_id"))
+  }
+
   /** BPE-token surgical scrub gate: the 72-char no-whitespace license
     * block ([[BpeSubstringPlant]] — the span the word form provably
     * cannot see) prepended to every 9th train doc AND to every 13th
@@ -5021,6 +5103,9 @@ object SparkEntry {
     "decontaminate"    -> (decontaminateQ _),
     "decontaminate_exact" -> (decontaminateExactQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
+    "decon_index"        -> (deconIndexQ _),
+    "decon_index_append" -> (deconIndexAppendQ _),
+    "streaming_decon_index" -> (streamingDeconIndexQ _),
     "contamination_report" -> (contaminationReportQ _),
     "decontaminate_scrub" -> (decontaminateScrubQ _),
     "decontaminate_scrub_bpe" -> (decontaminateScrubBpeQ _),
@@ -6023,6 +6108,12 @@ object SparkEntry {
          round(CAST(sum(CASE WHEN h IN (SELECT h FROM m) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contamination
        FROM pg GROUP BY doc_id""",
     "decontaminate_bloom" -> dkDecontaminateExact,
+    // the frozen-probe artifact is exact-semantics for any filter
+    // size, and incremental probe absorption telescopes on the gram
+    // set union — all three index gates share the exact oracle
+    "decon_index" -> dkDecontaminateExact,
+    "decon_index_append" -> dkDecontaminateExact,
+    "streaming_decon_index" -> dkDecontaminateExact,
     "decontaminate_scrub" ->
       """WITH tr AS (SELECT doc_id,
              CASE WHEN doc_id % 9 = 0

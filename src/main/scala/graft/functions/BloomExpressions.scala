@@ -68,6 +68,49 @@ case class BloomContainsExpr(child: Expression, words: Array[Long], k: Int)
     copy(child = c)
 }
 
+/** [[BloomContainsExpr]] with the bitset shipped as a BROADCAST
+  * variable instead of a plan-embedded array — the deployment form for
+  * LOADED filter artifacts ([[graft.sources.DeconIndex]]), whose
+  * `mBits` is sized to the probe corpus rather than this plan: the
+  * expression serializes as a ~hundred-byte handle at any filter size
+  * (a 2^27-bit held-out-corpus filter is 16 MB — plan-embedding it
+  * would bloat every task closure and re-ship per stage; the torrent
+  * broadcast ships it once per executor and `.value` is a local-memory
+  * dereference — the [[CmsPrefilterExpr]] pattern). Same
+  * [[BloomHash]] arithmetic, so build and probe can never disagree.
+  * The broadcast handle compares by reference: two filters over
+  * different artifacts never compare equal (conservative — a re-used
+  * identical filter misses subexpression elimination, never
+  * correctness).
+  */
+case class BloomContainsBcastExpr(
+    child: Expression,
+    words: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && k <= 16, "k must be in [1,16]")
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = words.value
+    val mBits = w.length * 64
+    val b = input.asInstanceOf[Array[Byte]]
+    val (h1, h2) = BloomHash.halves(b)
+    var i = 0
+    while (i < k) {
+      val pos = BloomHash.position(h1, h2, i, mBits)
+      if ((w(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContainsBcastExpr =
+    copy(child = c)
+}
+
 /** The `k` probe positions (as longs) of a 16-byte hash — the BUILD
   * side of the filter: explode → word/bit split → `bit_or` aggregate
   * builds the bitset distributed, with at most `mBits/64` combined rows

@@ -139,6 +139,17 @@ object TextFunctions {
     toColumn(BloomContainsExpr(toExpression(hash), words, k))
   }
 
+  /** Bloom membership probe with a broadcast bitset
+    * ([[BloomContainsBcastExpr]]) — the loaded-artifact deployment form.
+    */
+  def bloomContainsBcast(
+      hash: Column,
+      words: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(BloomContainsBcastExpr(toExpression(hash), words, k))
+  }
+
   /** Bloom probe positions of a 16-byte hash ([[BloomPositionsExpr]]) —
     * the distributed filter-build fan-out.
     */

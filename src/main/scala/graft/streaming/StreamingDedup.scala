@@ -360,6 +360,64 @@ object StreamingDedup {
           numFiles)
     }
 
+  /** Decontaminate a document stream against a FROZEN
+    * [[graft.sources.DeconIndex]] — the held-out-corpus scale form of
+    * [[decontaminateStream]] (which ships the probe as a plan literal
+    * and so only fits eval-set-sized probes): each micro-batch runs
+    * [[graft.sources.DeconIndex.decontaminateBatch]] — broadcast Bloom
+    * prefilter at scan time, exact confirm against the streamed gram
+    * artifact — and its survivors land at `outPath/batch_id=N`.
+    *
+    * NO marker protocol, deliberately: the index is read-only here, so
+    * a replayed batch recomputes the IDENTICAL survivor frame and the
+    * per-batch `overwrite` converges byte-for-byte — idempotence by
+    * determinism, where the absorbing index streams need sentinels
+    * precisely because their replays do NOT recompute the same answer.
+    * (Consequence: do not interleave this stream with [[appendProbe]]
+    * calls on the same index mid-replay — a batch replayed under a
+    * GROWN index may drop more docs than its first delivery. Freeze
+    * the index per stream run, the deployment the artifact exists
+    * for.)
+    */
+  def indexedDeconStream(
+      stream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.sources.DeconIndex.decontaminateBatch(batch.toDF(),
+            idCol, textCol, indexPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    }
+
+  /** Absorb a PROBE stream into a [[graft.sources.DeconIndex]] — eval
+    * suites or held-out-corpus slices arriving over time, each batch
+    * folded in by [[graft.sources.DeconIndex.appendProbe]]. Marker-free
+    * under at-least-once replay: the append is convergent by
+    * construction (fresh-key anti-join + idempotent filter OR + the
+    * committed filter gating visibility — see the DeconIndex object
+    * doc), the same law that lets the HLL register store ingest
+    * without a cursor. One streaming writer per index path.
+    */
+  def probeIngestStream(
+      stream: DataFrame,
+      textCol: String,
+      indexPath: String,
+      n: Int = 13,
+      mBits: Int = 1 << 20,
+      k: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.DeconIndex.appendProbe(batch.toDF(), textCol,
+          indexPath, n, mBits, k)
+    }
+
   /** Stateless EXACT n-gram decontamination predicate (the GPT-3/Pile
     * recipe [[graft.operators.Dedup.decontaminateExact]] as a pure
     * column): the probe's distinct word-n-gram hashes collapse to a

@@ -3991,6 +3991,143 @@ class OperatorsSpec extends AnyFunSuite {
       s"$rel/maintenance/c2/done")))
   }
 
+  test("DeconIndex: decontaminateBatch equals decontaminateExact even" +
+      " under a saturated filter (fp transparency)") {
+    import graft.sources.DeconIndex
+    val snip = "zero one two three four five six seven eight nine ten" +
+      " eleven twelve"
+    val corpus = Seq(
+      (0L, "clean document with some words a b c d e f g h i j"),
+      (1L, "prefix words here then " + snip),
+      (2L, "another clean one entirely different tokens m n o p q r s"))
+      .toDF("doc_id", "text")
+    val probe = Seq(Tuple1(snip)).toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_deconidx")
+      .toString
+    // 64 bits / k=1 over 13+ grams: heavily collision-saturated — the
+    // exact confirm join must still produce exact results
+    DeconIndex.build(probe, "text", s"$dir/idx", n = 13, mBits = 64,
+      k = 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val viaIndex = ids(DeconIndex.decontaminateBatch(
+      corpus, "doc_id", "text", s"$dir/idx"))
+    val viaExact = ids(Dedup.decontaminateExact(
+      corpus, probe, "doc_id", "text", n = 13))
+    assert(viaIndex === viaExact)
+    assert(viaIndex === Seq(0L, 2L))
+  }
+
+  test("DeconIndex append: uncommitted gram keys stay invisible (the" +
+      " crash window), the append makes them take effect, and replays" +
+      " never duplicate keys") {
+    import graft.sources.DeconIndex
+    val snipA = "alpha beta gamma delta epsilon zeta eta theta iota" +
+      " kappa lambda mu nu"
+    val snipB = "red orange yellow green blue indigo violet black" +
+      " white gray brown pink teal"
+    val corpus = Seq(
+      (0L, "clean document with some words a b c d e f g h i j"),
+      (1L, "prefix words here then " + snipA),
+      (3L, "leading stuff before " + snipB))
+      .toDF("doc_id", "text")
+    val probeA = Seq(Tuple1(snipA)).toDF("text")
+    val probeB = Seq(Tuple1(snipB)).toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_deconidx_app")
+      .toString
+    val idx = s"$dir/idx"
+    DeconIndex.build(probeA, "text", idx, n = 13, mBits = 256, k = 2)
+    def ids() = DeconIndex.decontaminateBatch(
+        corpus, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids() === Seq(0L, 3L))
+    // simulate the crash window: B's gram keys land as files, the
+    // filter epoch never flips — the committed filter must gate them
+    // out, leaving the artifact at the pre-append state
+    Dedup.normalizedGramHashes(probeB, "text", 13)
+      .select(col("__h")).distinct()
+      .write.mode("append").parquet(s"$idx/grams")
+    assert(ids() === Seq(0L, 3L),
+      "keys with no committed filter epoch must stay invisible")
+    // the replayed append converges: doc 3 now drops, and the orphaned
+    // keys fold (no duplicates in the gram artifact)
+    DeconIndex.appendProbe(probeB, "text", idx)
+    assert(ids() === Seq(0L))
+    val grams = spark.read.parquet(s"$idx/grams")
+    assert(grams.count() === grams.distinct().count(),
+      "a replayed/crashed append must not duplicate gram keys")
+    val countAfter = grams.count()
+    DeconIndex.appendProbe(probeB, "text", idx)
+    assert(spark.read.parquet(s"$idx/grams").count() === countAfter)
+    assert(ids() === Seq(0L))
+  }
+
+  test("DeconIndex cold start: appendProbe initializes an empty path," +
+      " and a torn post-history meta flip refuses to re-initialize") {
+    import graft.sources.DeconIndex
+    val snip = "one small step for a tokenizer one giant leap for" +
+      " dedup pipelines everywhere"
+    val probe = Seq(Tuple1(snip)).toDF("text")
+    val corpus = Seq(
+      (0L, "prefix then " + snip),
+      (1L, "nothing shared with the probe in this line of plain words"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_deconidx_cs")
+      .toString
+    DeconIndex.appendProbe(probe, "text", s"$dir/idx", n = 13,
+      mBits = 256, k = 2)
+    assert(DeconIndex.decontaminateBatch(
+        corpus, "doc_id", "text", s"$dir/idx")
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    // torn flip on an artifact WITH history: registers_v5 but no meta
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val torn = s"$dir/torn"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/registers_v5"))
+    intercept[IllegalArgumentException] {
+      DeconIndex.appendProbe(probe, "text", torn)
+    }
+  }
+
+  test("probeIngestStream: a two-batch probe stream telescopes to the" +
+      " from-scratch index, and a fresh-checkpoint replay converges") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.DeconIndex
+    val snipA = "alpha beta gamma delta epsilon zeta eta theta iota" +
+      " kappa lambda mu nu"
+    val snipB = "red orange yellow green blue indigo violet black" +
+      " white gray brown pink teal"
+    val corpus = Seq(
+      (0L, "clean document with some words a b c d e f g h i j"),
+      (1L, "prefix words here then " + snipA),
+      (3L, "leading stuff before " + snipB))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_deconidx_st")
+      .toString
+    val (src, idx) = (s"$root/src", s"$root/idx")
+    def run(cp: String): Unit = graft.streaming.StreamingDedup
+      .probeIngestStream(
+        spark.readStream.schema("text STRING").parquet(src),
+        "text", idx, n = 13, mBits = 256, k = 2)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    Seq(Tuple1(snipA)).toDF("text").write.mode("append").parquet(src)
+    run(s"$root/cp")
+    Seq(Tuple1(snipB)).toDF("text").write.mode("append").parquet(src)
+    run(s"$root/cp")
+    def ids() = DeconIndex.decontaminateBatch(
+        corpus, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids() === Seq(0L))
+    // at-least-once abuse: a FRESH checkpoint redelivers everything —
+    // the append law makes it converge (same grams, same filter, same
+    // survivors) with no marker protocol
+    val gramCount = spark.read.parquet(s"$idx/grams").count()
+    run(s"$root/cp2")
+    assert(spark.read.parquet(s"$idx/grams").count() === gramCount)
+    assert(ids() === Seq(0L))
+  }
+
   test("writeZOrdered on an empty frame writes an empty table instead" +
       " of an NPE; all-null lanes on a non-empty frame fail loudly") {
     import graft.sources.Tables
