@@ -2731,6 +2731,59 @@ object SparkEntry {
   private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
+  /** License-tagging gate: every 11th doc gets one of seven canonical
+    * license headers (an SPDX id, the MIT grant, Apache title+version,
+    * GPLv3 phrasing, the BSD clause, MPL, CC) prepended — testdata is
+    * license-free prose, so without the plant the oracle would be
+    * vacuous. The oracle replays the plant and the two-tier CASE.
+    */
+  private def licenseTagQ(s: SparkSession, dir: String): DataFrame = {
+    val header = when(col("doc_id") % 7 === 0,
+        lit("SPDX-License-Identifier: MIT"))
+      .when(col("doc_id") % 7 === 1,
+        lit("Permission is hereby granted, free of charge, to any person"))
+      .when(col("doc_id") % 7 === 2,
+        lit("Licensed under the Apache License, Version 2.0 (the License)"))
+      .when(col("doc_id") % 7 === 3,
+        lit("This program is free software under the GNU General Public License version 3"))
+      .when(col("doc_id") % 7 === 4,
+        lit("Redistribution and use in source and binary forms, with or without modification"))
+      .when(col("doc_id") % 7 === 5,
+        lit("Subject to the Mozilla Public License"))
+      .otherwise(lit("This work is licensed under a Creative Commons license"))
+    val planted = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        concat(header, lit("\n"), col("text")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.licenseTag(planted, "doc_id", "text")
+  }
+
+  /** Code-quality gate (the StarCoder structural filters): four defect
+    * classes are planted — a 1200-char minified line, a base64 blob
+    * run, a generator banner, and a spaces→newlines rewrite whose
+    * short lines PASS the mean-line gate where the raw single-line
+    * prose fails it — and every signal (line stats, alnum fraction,
+    * markers, the composed keep) is replayed arithmetically.
+    */
+  private def codeQualityQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit("\n"),
+          lit("x" * 1200)))
+      .when(col("doc_id") % 10 === 1,
+        regexp_replace(col("text"), " ", "\n"))
+      .when(col("doc_id") % 10 === 2,
+        concat(col("text"), lit("\n"), lit("QUJDRA==" * 10)))
+      .when(col("doc_id") % 10 === 3,
+        concat(lit("// Auto-Generated do not edit\n"), col("text")))
+      .otherwise(col("text")).as("text"))
+    TextAnalysis.codeQualityFlags(planted, "doc_id", "text")
+      .select(col("doc_id"), col("max_line_len"),
+        round(col("mean_line_len"), 6).as("mean_line_len"),
+        round(col("alnum_frac"), 6).as("alnum_frac"),
+        col("has_long_b64"), col("auto_generated"), col("keep"))
+  }
+
   /** Unicode normalization gate: accents/case/spacing are injected
     * (testdata text is pure ASCII — without the suffix the oracle would
     * be vacuous), incl. a COMBINING ACUTE sequence to force the NFD
@@ -5234,6 +5287,8 @@ object SparkEntry {
     "curate_ccnet"     -> (curateCcnetQ _),
     "text_len_quantiles" -> (textLenQuantiles _),
     "text_quality_flags" -> (textQualityFlags _),
+    "license_tag"  -> (licenseTagQ _),
+    "code_quality" -> (codeQualityQ _),
     "text_normalize"    -> (textNormalizeQ _),
     "doc_char_fingerprint" -> (docCharFingerprintQ _),
     "multimodal_meta"  -> (multimodalMeta _),
@@ -7276,6 +7331,59 @@ object SparkEntry {
          count(*) AS n_docs
          FROM documents GROUP BY 1""",
     "text_quality_flags" -> oracleSqlQualityFlags,
+    "license_tag" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
+           (CASE doc_id % 7
+             WHEN 0 THEN 'SPDX-License-Identifier: MIT'
+             WHEN 1 THEN 'Permission is hereby granted, free of charge, to any person'
+             WHEN 2 THEN 'Licensed under the Apache License, Version 2.0 (the License)'
+             WHEN 3 THEN 'This program is free software under the GNU General Public License version 3'
+             WHEN 4 THEN 'Redistribution and use in source and binary forms, with or without modification'
+             WHEN 5 THEN 'Subject to the Mozilla Public License'
+             ELSE 'This work is licensed under a Creative Commons license'
+           END) || chr(10) || text
+           ELSE text END AS text FROM documents)
+         SELECT doc_id, CASE
+           WHEN regexp_extract(text, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) <> ''
+             THEN regexp_extract(text, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1)
+           WHEN contains(text, 'Permission is hereby granted, free of charge') THEN 'MIT'
+           WHEN contains(text, 'Apache License') AND contains(text, 'Version 2.0') THEN 'Apache-2.0'
+           WHEN contains(text, 'GNU General Public License') THEN
+             (CASE WHEN contains(text, 'version 3') THEN 'GPL-3.0'
+                   WHEN contains(text, 'version 2') THEN 'GPL-2.0'
+                   ELSE 'GPL' END)
+           WHEN contains(text, 'Redistribution and use in source and binary forms') THEN 'BSD'
+           WHEN contains(text, 'Mozilla Public License') THEN 'MPL-2.0'
+           WHEN contains(text, 'Creative Commons') THEN 'CC'
+           ELSE NULL END AS license
+         FROM p""",
+    "code_quality" ->
+      """WITH p AS (SELECT doc_id, CASE
+           WHEN doc_id % 10 = 0 THEN text || chr(10) || repeat('x', 1200)
+           WHEN doc_id % 10 = 1 THEN replace(text, ' ', chr(10))
+           WHEN doc_id % 10 = 2 THEN text || chr(10) || repeat('QUJDRA==', 10)
+           WHEN doc_id % 10 = 3 THEN '// Auto-Generated do not edit' || chr(10) || text
+           ELSE text END AS text FROM documents),
+         m AS (SELECT doc_id, text,
+             list_transform(string_split(text, chr(10)), l -> length(l)) AS lens
+           FROM p),
+         f AS (SELECT doc_id,
+             CAST(list_max(lens) AS INT) AS max_line_len,
+             CAST(list_sum(lens) AS DOUBLE) / len(lens) AS mean_line,
+             CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                 / length(text) END AS alnum,
+             regexp_matches(text, '[A-Za-z0-9+/=]{64,}') AS has_long_b64,
+             regexp_matches(lower(text),
+               'auto-generated|autogenerated|generated by|do not edit') AS auto_generated
+           FROM m)
+         SELECT doc_id, max_line_len,
+           round(mean_line, 6) AS mean_line_len,
+           round(alnum, 6) AS alnum_frac,
+           has_long_b64, auto_generated,
+           (max_line_len < 1000 AND mean_line < 100 AND alnum > 0.25
+             AND NOT has_long_b64 AND NOT auto_generated) AS keep
+         FROM f""",
     "multimodal_meta" ->
       """SELECT doc_id, 'text' AS kind,
          CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,

@@ -440,6 +440,102 @@ object TextAnalysis {
         .as("keep"))
   }
 
+  /** License detection over document text — the code-corpus curation
+    * gate (the BigCode/StarCoder practice: permissively-licensed files
+    * train, copyleft/unknown files are excluded or attributed; Kocetkov
+    * et al. 2022 §3). Two detection tiers, first match wins, as ONE
+    * pure column CASE — no UDF, no shuffle, scan-pipelined:
+    *
+    *  1. an explicit `SPDX-License-Identifier: <id>` header — the
+    *     machine-readable convention — is extracted VERBATIM (any id,
+    *     including ones the phrase tier doesn't know);
+    *  2. canonical license-text phrases: the MIT grant sentence, the
+    *     Apache-2.0 title+version pair, GPL (with a version split),
+    *     the BSD redistribution clause, MPL, Creative Commons.
+    *
+    * Phrase matching is on the raw text (license headers preserve
+    * their canonical casing; the SPDX tier is case-exact per spec).
+    * No match → null license — the caller decides whether unknown
+    * means drop (training) or pass (inventory). Output
+    * `(idCol, license)`.
+    */
+  def licenseTag(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val spdx = regexp_extract(t,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
+    val license =
+      when(spdx =!= "", spdx)
+        .when(t.contains("Permission is hereby granted, free of charge"),
+          lit("MIT"))
+        .when(t.contains("Apache License") && t.contains("Version 2.0"),
+          lit("Apache-2.0"))
+        .when(t.contains("GNU General Public License"),
+          when(t.contains("version 3"), lit("GPL-3.0"))
+            .when(t.contains("version 2"), lit("GPL-2.0"))
+            .otherwise(lit("GPL")))
+        .when(t.contains(
+            "Redistribution and use in source and binary forms"),
+          lit("BSD"))
+        .when(t.contains("Mozilla Public License"), lit("MPL-2.0"))
+        .when(t.contains("Creative Commons"), lit("CC"))
+        .otherwise(lit(null).cast("string"))
+    docs.select(col(idCol), license.as("license"))
+  }
+
+  /** Code-file quality signals — the structural gates of a CODE corpus
+    * (the StarCoder/The-Stack filter set, Kocetkov et al. 2022 §3.2;
+    * [[qualityFlags]] is the prose twin): per document,
+    *
+    *  - `max_line_len` / `mean_line_len`: minified/data files have
+    *    monster or uniformly-long lines (published cuts: max < 1000,
+    *    mean < 100);
+    *  - `alnum_frac`: alphanumeric fraction of all characters — data
+    *    blobs and binary-in-text sink below the published 0.25;
+    *  - `has_long_b64`: a ≥ 64-char base64/hex run — an embedded
+    *    binary payload marker;
+    *  - `auto_generated`: generator banners ("auto-generated",
+    *    "autogenerated", "generated by", "do not edit"),
+    *    case-insensitive;
+    *  - `keep`: the conjunction (line gates AND alnum gate AND neither
+    *    marker).
+    *
+    * Line structure counts EVERY line including empty ones (split on
+    * `\n`, the published convention); empty text reads as one empty
+    * line with `alnum_frac` 0. Everything is a pure column expression
+    * over one `split` alias — no UDF, no shuffle, whole-stage
+    * codegen'd, linear in bytes.
+    */
+  def codeQualityFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLineLen: Int = 1000,
+      maxMeanLineLen: Int = 100,
+      minAlnumFrac: Double = 0.25): DataFrame = {
+    val pre = docs.select(col(idCol), col(textCol).as("__t"),
+      split(col(textCol), "\n", -1).as("__lines"))
+    val lens = transform(col("__lines"), l => length(l))
+    val maxLine = array_max(lens)
+    val meanLine = aggregate(lens, lit(0L), (a, x) => a + x)
+      .cast("double") / size(col("__lines"))
+    val alnumFrac = when(length(col("__t")) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(col("__t"), "[^A-Za-z0-9]", ""))
+          .cast("double") / length(col("__t")))
+    val longB64 = col("__t").rlike("[A-Za-z0-9+/=]{64,}")
+    val autoGen = lower(col("__t")).rlike(
+      "auto-generated|autogenerated|generated by|do not edit")
+    pre.select(
+      col(idCol),
+      maxLine.as("max_line_len"),
+      meanLine.as("mean_line_len"),
+      alnumFrac.as("alnum_frac"),
+      longB64.as("has_long_b64"),
+      autoGen.as("auto_generated"),
+      (maxLine < maxLineLen && meanLine < maxMeanLineLen &&
+        alnumFrac > minAlnumFrac && !longB64 && !autoGen).as("keep"))
+  }
+
   /** Fixed-token-budget chunking with overlap — training-sequence prep:
     * each document becomes ceil((n − overlap) / (chunk − overlap))
     * whitespace-token windows of `chunkTokens` tokens, consecutive

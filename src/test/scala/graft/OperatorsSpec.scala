@@ -3991,6 +3991,57 @@ class OperatorsSpec extends AnyFunSuite {
       s"$rel/maintenance/c2/done")))
   }
 
+  test("licenseTag: SPDX ids win over phrase tiers, GPL splits by" +
+      " version, and unlicensed text tags null") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (0L, "// SPDX-License-Identifier: BSD-3-Clause\nsome code"),
+      // SPDX beats a phrase match present in the same file
+      (1L, "SPDX-License-Identifier: Apache-2.0\nPermission is hereby" +
+        " granted, free of charge, to anyone"),
+      (2L, "Permission is hereby granted, free of charge, to any person"),
+      (3L, "Licensed under the Apache License, Version 2.0 (the License)"),
+      (4L, "released under the GNU General Public License version 2 only"),
+      (5L, "covered by the GNU General Public License as published"),
+      (6L, "Redistribution and use in source and binary forms, with or" +
+        " without modification, are permitted"),
+      (7L, "plain prose with no license language at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.licenseTag(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "BSD-3-Clause", 1L -> "Apache-2.0",
+      2L -> "MIT", 3L -> "Apache-2.0", 4L -> "GPL-2.0", 5L -> "GPL",
+      6L -> "BSD", 7L -> null))
+  }
+
+  test("codeQualityFlags: each structural gate fires on its planted" +
+      " defect and the clean file keeps") {
+    import graft.operators.TextAnalysis
+    val clean = "def f(x):\n    return x + 1\n\nprint(f(2))"
+    val d = Seq(
+      (0L, clean),
+      (1L, clean + "\n" + ("y" * 1500)),            // monster line
+      (2L, ("averagely sized line of prose here!! " * 4 + "\n") * 3
+        + "tail"),                                   // mean > 100
+      (3L, clean + "\nABCD" * 0 + "\n" + ("QUJD" * 20)), // b64 blob
+      (4L, "# generated by protoc, DO NOT EDIT\n" + clean),
+      (5L, "(((((((((( ))))))))))"),                 // alnum 0
+      (6L, ""))                                      // empty file
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeQualityFlags(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("max_line_len"), r.getAs[Boolean]("has_long_b64"),
+          r.getAs[Boolean]("auto_generated"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(got(0L) === ((16, false, false, true)))
+    assert(got(1L)._1 === 1500 && !got(1L)._4)
+    assert(!got(2L)._4)
+    assert(got(3L)._2 && !got(3L)._4)
+    assert(got(4L)._3 && !got(4L)._4)
+    assert(!got(5L)._4)
+    assert(got(6L) === ((0, false, false, false)))
+  }
+
   test("DeconIndex: decontaminateBatch equals decontaminateExact even" +
       " under a saturated filter (fp transparency)") {
     import graft.sources.DeconIndex
