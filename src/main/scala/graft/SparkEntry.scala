@@ -3246,6 +3246,23 @@ object SparkEntry {
       subsample, dri)
   }
 
+  /** DCT perceptual-hash gate ([[graft.functions.PHash]]): containers
+    * cycle BMP / dynamic-deflate PNG / baseline JPEG by doc — the BMP
+    * and PNG are 9×8, the JPEG 72×64 block-constant, and all three
+    * RESAMPLE to the identical 32×32 plane (`x·srcW/32` grid
+    * arithmetic), so one container-blind oracle replays the integer
+    * cosine table, both separable DCT passes, the non-DC lower
+    * median, and every threshold bit — proving container AND
+    * resolution invariance in the same hash match.
+    */
+  private def multimodalPhashQ(s: SparkSession, dir: String): DataFrame =
+    codecDocs(s, dir).select(col("doc_id"),
+      graft.functions.ImageFunctions.phash(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+        .when(pmod(col("doc_id"), lit(3)) === 1, pngPayload(2))
+        .otherwise(jpegPayload(false, false, 0))).as("phash"))
+
   /** dHash through the REAL PNG decode path (inflate + row unfilter),
     * deflate block kind cycling stored/fixed/dynamic by doc — same
     * oracle as the BMP gate because the picture is the same.
@@ -5301,6 +5318,7 @@ object SparkEntry {
     "multimodal_mp3"   -> (multimodalMp3Q _),
     "multimodal_webm"  -> (multimodalWebmQ _),
     "multimodal_dhash" -> (multimodalDhashQ _),
+    "multimodal_phash" -> (multimodalPhashQ _),
     "multimodal_dhash_pairs" -> (multimodalDhashPairsQ _),
     "multimodal_dhash_png" -> (multimodalDhashPngQ _),
     "multimodal_dhash_gif" -> (multimodalDhashGifQ _),
@@ -7465,6 +7483,43 @@ object SparkEntry {
     "multimodal_dhash_png" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
+    // integer-DCT pHash: the cosine table round(cos(kπ/64)·2^15) is
+    // implementation-independent (every entry ≥ 0.004 from a rounding
+    // boundary), so the oracle rebuilds it with its own cos and every
+    // downstream step is exact BIGINT arithmetic; the three containers
+    // (9×8 BMP, 9×8 PNG, 72×64 block-constant JPEG) resample to the
+    // same 32×32 plane, making the oracle container-blind
+    "multimodal_phash" ->
+      """WITH t AS (SELECT k, CAST(round(cos(k * pi() / 64) * 32768) AS BIGINT) AS c
+             FROM (SELECT unnest(range(0, 128)) AS k)),
+         d AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m FROM documents),
+         xs AS (SELECT unnest(range(0, 32)) AS x32),
+         ys AS (SELECT unnest(range(0, 32)) AS y32),
+         p AS (SELECT doc_id, x32, y32, CAST(CASE WHEN m = 4
+             THEN ((doc_id + 3) * ((x32 * 9 // 32) * 11 + (y32 * 8 // 32) * 17 + 5)) % 256
+             ELSE ((fam + 1) * ((x32 * 9 // 32) * 13 + (y32 * 8 // 32) * 31 + 7)
+                   + CASE WHEN x32 * 9 // 32 = 0 AND y32 * 8 // 32 = 0 THEN m * 3 ELSE 0 END) % 256
+           END AS BIGINT) AS v FROM d, xs, ys),
+         us AS (SELECT unnest(range(0, 8)) AS u),
+         g AS (SELECT doc_id, u, y32, CAST(sum(v * t.c) AS BIGINT) AS gv
+           FROM p, us JOIN t ON t.k = ((2 * x32 + 1) * u) % 128
+           GROUP BY 1, 2, 3),
+         vgrid AS (SELECT unnest(range(0, 8)) AS vv),
+         fc AS (SELECT doc_id, u, vv, CAST(sum(gv * t.c) AS BIGINT) AS fv
+           FROM g, vgrid JOIN t ON t.k = ((2 * y32 + 1) * vv) % 128
+           GROUP BY 1, 2, 3),
+         med AS (SELECT doc_id, fv AS mv FROM (
+             SELECT doc_id, fv, row_number() OVER (PARTITION BY doc_id ORDER BY fv) AS rn
+             FROM fc WHERE NOT (u = 0 AND vv = 0)) WHERE rn = 32),
+         hs AS (SELECT fc.doc_id, sum(1::HUGEINT << CAST(u * 8 + vv AS INTEGER)) AS h
+           FROM fc JOIN med ON fc.doc_id = med.doc_id WHERE fc.fv > med.mv
+           GROUP BY 1)
+         SELECT d.doc_id, CAST(CASE
+             WHEN h IS NULL THEN 0::HUGEINT
+             WHEN h >= 9223372036854775808::HUGEINT
+               THEN h - 18446744073709551616::HUGEINT
+             ELSE h END AS BIGINT) AS phash
+         FROM d LEFT JOIN hs ON d.doc_id = hs.doc_id""",
     "multimodal_dhash_jpeg" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",

@@ -145,6 +145,13 @@ object ImageFunctions {
     GraftColumnCompat.toColumn(DHashExpr(
       GraftColumnCompat.toExpression(payload)))
 
+  /** 64-bit DCT perceptual hash of a decodable payload ([[PHash]]:
+    * exact-integer pHash over the 32×32 resample); null otherwise.
+    */
+  def phash(payload: Column): Column =
+    GraftColumnCompat.toColumn(PHashExpr(
+      GraftColumnCompat.toExpression(payload)))
+
   /** Grayscale PNG thumbnail of any decodable payload
     * ([[GrayThumbnailExpr]]): decode → nearest resize → re-encode.
     */
@@ -536,6 +543,121 @@ object GrayStatsExpr {
     StructField("lum_sum_sq", LongType, nullable = false),
     StructField("lum_min", IntegerType, nullable = false),
     StructField("lum_max", IntegerType, nullable = false)))
+}
+
+/** Integer pHash core — the DCT perceptual hash (the classic
+  * pHash/ImageHash recipe: gray → 32×32 → 2-D DCT-II → top-left 8×8
+  * low-frequency block → median-threshold bits), re-derived in EXACT
+  * long arithmetic so a SQL oracle can replay every bit: the cosine
+  * basis is the 128-entry integer table `T[k] = round(cos(kπ/64)·2^15)`
+  * (all 128 values sit ≥ 0.004 from a rounding boundary — verified —
+  * so any two correctly-rounded `cos` implementations produce the
+  * IDENTICAL table, which is what makes cross-engine replay sound
+  * where naive double DCTs would drift at the threshold), and the
+  * separable transform is two integer sum-of-products passes (max
+  * magnitude ~2.8e14, far inside Long).
+  *
+  * Properties the spec pins: container/resolution invariance (the
+  * resample goes through [[PixelDecode.resizeGray]]'s grid formula —
+  * the SAME picture at different sizes lands on the same 32×32 plane
+  * whenever the sampling grids align), and invariance of the 63
+  * non-DC bits under positive affine luma changes (DCT linearity:
+  * gain scales every AC coefficient and the median with it, offset
+  * moves only DC). Complements [[DHash]]: dHash sees local gradients
+  * (robust to global level, fooled by low-frequency rearrangement),
+  * pHash sees the global frequency envelope.
+  *
+  * Bit layout: bit `u·8+v` (u = horizontal frequency) is set iff
+  * `F(u,v) >` the LOWER MEDIAN (sorted index 31) of the 63 non-DC
+  * coefficients. The DC bit rides along (almost always set; masked
+  * out by affine-invariance consumers).
+  */
+object PHash {
+
+  // round(cos(k·π/64)·2^15), k ∈ [0, 128): one full period, so
+  // T[(2x+1)·u mod 128] is cos((2x+1)uπ/64) for any x, u
+  private val T: Array[Long] =
+    Array.tabulate(128)(k => Math.round(Math.cos(k * Math.PI / 64) * 32768.0))
+
+  /** The 64-bit hash of a row-major 32×32 luma plane. */
+  def hash32(p32: Array[Byte]): Long = {
+    // G(u, y) = Σ_x p(x,y) · T[(2x+1)u mod 128]  (8 × 32)
+    val g = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) {
+          s += (p32(y * 32 + x) & 0xff).toLong * T(((2 * x + 1) * u) % 128)
+          x += 1
+        }
+        g(u * 32 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    // F(u, v) = Σ_y G(u, y) · T[(2y+1)v mod 128]  (8 × 8)
+    val f = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) {
+          s += g(u * 32 + y) * T(((2 * y + 1) * v) % 128)
+          y += 1
+        }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val rest = new Array[Long](63)
+    System.arraycopy(f, 1, rest, 0, 63)
+    java.util.Arrays.sort(rest)
+    val med = rest(31)
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (f(i) > med) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Decode any supported container, resample to 32×32, hash; null
+    * outside the decode envelope.
+    */
+  def phash(a: Array[Byte]): java.lang.Long = {
+    val g = PixelDecode.grayPlane(a)
+    if (g == null) return null
+    java.lang.Long.valueOf(hash32(PixelDecode.resizeGray(g, 32, 32).pix))
+  }
+}
+
+/** `binary -> bigint` wrapper around [[PHash.phash]]. */
+case class PHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"image_phash needs binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PHash.phash(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PHashExpr = copy(child = newChild)
 }
 
 /** `binary -> bigint` wrapper around [[DHash.dhash]]. */

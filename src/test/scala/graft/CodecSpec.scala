@@ -326,6 +326,40 @@ class CodecSpec extends AnyFunSuite {
       s"container-variant hashes: $hashes")
   }
 
+  // ---- pHash (integer-DCT perceptual hash) ------------------------
+
+  test("pHash: container AND resolution invariant on aligned grids," +
+      " non-DC bits invariant under positive affine luma, flat plane" +
+      " degenerates to the DC bit, garbage nulls") {
+    import graft.functions.PHash
+    def grid(x: Int, y: Int): Int = (x * 13 + y * 31 + 7) * 3 % 256
+    val p9x8 = Array.tabulate(9 * 8)(i => (grid(i % 9, i / 9) & 0xff).toByte)
+    val jpegPix = blockPlane(grid)
+    val hs = Seq(
+      "png" -> PHash.phash(PngCodec.encodeGray(9, 8, p9x8, 2)),
+      "gif" -> PHash.phash(graft.functions.GifCodec.encodeGray(9, 8, p9x8)),
+      "jpeg-72x64" -> PHash.phash(JpegCodec.encodeGray(72, 64, jpegPix)))
+    hs.foreach { case (n, v) => assert(v != null, s"$n null") }
+    assert(hs.map(_._2).distinct.size == 1,
+      s"container/resolution-variant pHash: $hs")
+    // positive affine p -> 2p + 10: every AC coefficient scales by 2
+    // exactly (the rounded cosine rows sum to 0 for u >= 1 — verified
+    // numerically in the PHash scaladoc's terms), so bits 1..63 match
+    def base(x: Int, y: Int): Int = (x * 7 + y * 5) % 100
+    val a = Array.tabulate(9 * 8)(i => base(i % 9, i / 9).toByte)
+    val b = Array.tabulate(9 * 8)(i => (2 * base(i % 9, i / 9) + 10).toByte)
+    val ha = PHash.phash(PngCodec.encodeGray(9, 8, a, 2))
+    val hb = PHash.phash(PngCodec.encodeGray(9, 8, b, 2))
+    assert((ha & ~1L) === (hb & ~1L),
+      "affine luma change moved a non-DC bit")
+    // flat plane: all AC coefficients are exactly 0, median 0, only
+    // the DC comparison fires
+    val flat = Array.fill(9 * 8)(77.toByte)
+    assert(PHash.phash(PngCodec.encodeGray(9, 8, flat, 2)) === 1L)
+    assert(PHash.phash("not an image".getBytes) == null)
+    assert(PHash.phash(null) == null)
+  }
+
   /** minimal PCM WAV builder for envelope tests. */
   private def wav(samples: Array[Int], channels: Int = 1,
       bits: Int = 16, fmt: Int = 1): Array[Byte] = {
