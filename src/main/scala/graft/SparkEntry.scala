@@ -3255,13 +3255,25 @@ object SparkEntry {
     * median, and every threshold bit — proving container AND
     * resolution invariance in the same hash match.
     */
-  private def multimodalPhashQ(s: SparkSession, dir: String): DataFrame =
+  private def phashPayloads(s: SparkSession, dir: String): DataFrame =
     codecDocs(s, dir).select(col("doc_id"),
-      graft.functions.ImageFunctions.phash(
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
-        .when(pmod(col("doc_id"), lit(3)) === 1, pngPayload(2))
-        .otherwise(jpegPayload(false, false, 0))).as("phash"))
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+      .when(pmod(col("doc_id"), lit(3)) === 1, pngPayload(2))
+      .otherwise(jpegPayload(false, false, 0)).as("payload"))
+
+  private def multimodalPhashQ(s: SparkSession, dir: String): DataFrame =
+    phashPayloads(s, dir).select(col("doc_id"),
+      graft.functions.ImageFunctions.phash(col("payload")).as("phash"))
+
+  /** pHash band-join near-dup gate ([[graft.operators.Multimodal
+    * .perceptualDupPairsPhash]]): the mixed-container fixtures ride
+    * the shared 4×16-bit band machinery; the oracle replays the DCT
+    * hash, the banding, and the hamming arithmetic — cross-container
+    * AND cross-resolution members pair wherever bands collide.
+    */
+  private def multimodalPhashPairsQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualDupPairsPhash(phashPayloads(s, dir), "doc_id")
 
   /** dHash through the REAL PNG decode path (inflate + row unfilter),
     * deflate block kind cycling stored/fixed/dynamic by doc — same
@@ -4749,6 +4761,49 @@ object SparkEntry {
            ELSE h END AS BIGINT) AS dhash
          FROM f LEFT JOIN hs ON f.doc_id = hs.doc_id)"""
 
+  /** Arithmetic re-derivation of the integer-DCT pHash (CTE chain
+    * ending in `ph(doc_id, phash)`): the cosine table
+    * `round(cos(kπ/64)·2^15)` is implementation-independent (every
+    * entry ≥ 0.004 from a rounding boundary), the 32×32 plane comes
+    * from the fixture gray formula through the `x·srcW/32` resample,
+    * and both separable DCT passes, the non-DC lower median, and the
+    * threshold bits are exact BIGINT arithmetic (HUGEINT bit-pack
+    * folded to the signed value Spark computes). Container-blind: the
+    * 9×8 BMP/PNG and 72×64 block-constant JPEG fixtures resample to
+    * the same plane.
+    */
+  private val dkPhash: String =
+    """t AS (SELECT k, CAST(round(cos(k * pi() / 64) * 32768) AS BIGINT) AS c
+           FROM (SELECT unnest(range(0, 128)) AS k)),
+       d AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m FROM documents),
+       xs AS (SELECT unnest(range(0, 32)) AS x32),
+       ys AS (SELECT unnest(range(0, 32)) AS y32),
+       p AS (SELECT doc_id, x32, y32, CAST(CASE WHEN m = 4
+           THEN ((doc_id + 3) * ((x32 * 9 // 32) * 11 + (y32 * 8 // 32) * 17 + 5)) % 256
+           ELSE ((fam + 1) * ((x32 * 9 // 32) * 13 + (y32 * 8 // 32) * 31 + 7)
+                 + CASE WHEN x32 * 9 // 32 = 0 AND y32 * 8 // 32 = 0 THEN m * 3 ELSE 0 END) % 256
+         END AS BIGINT) AS v FROM d, xs, ys),
+       us AS (SELECT unnest(range(0, 8)) AS u),
+       g AS (SELECT doc_id, u, y32, CAST(sum(v * t.c) AS BIGINT) AS gv
+         FROM p, us JOIN t ON t.k = ((2 * x32 + 1) * u) % 128
+         GROUP BY 1, 2, 3),
+       vgrid AS (SELECT unnest(range(0, 8)) AS vv),
+       fc AS (SELECT doc_id, u, vv, CAST(sum(gv * t.c) AS BIGINT) AS fv
+         FROM g, vgrid JOIN t ON t.k = ((2 * y32 + 1) * vv) % 128
+         GROUP BY 1, 2, 3),
+       med AS (SELECT doc_id, fv AS mv FROM (
+           SELECT doc_id, fv, row_number() OVER (PARTITION BY doc_id ORDER BY fv) AS rn
+           FROM fc WHERE NOT (u = 0 AND vv = 0)) WHERE rn = 32),
+       phs AS (SELECT fc.doc_id, sum(1::HUGEINT << CAST(u * 8 + vv AS INTEGER)) AS h
+         FROM fc JOIN med ON fc.doc_id = med.doc_id WHERE fc.fv > med.mv
+         GROUP BY 1),
+       ph AS (SELECT d.doc_id, CAST(CASE
+           WHEN h IS NULL THEN 0::HUGEINT
+           WHEN h >= 9223372036854775808::HUGEINT
+             THEN h - 18446744073709551616::HUGEINT
+           ELSE h END AS BIGINT) AS phash
+         FROM d LEFT JOIN phs ON d.doc_id = phs.doc_id)"""
+
   /** Arithmetic re-derivation of the WAV energy-envelope hash (CTE
     * chain ending in `ah(doc_id, ahash)`): the fixture sample formula,
     * equal-length window sums, sign bits, HUGEINT bit-pack folded to
@@ -5319,6 +5374,7 @@ object SparkEntry {
     "multimodal_webm"  -> (multimodalWebmQ _),
     "multimodal_dhash" -> (multimodalDhashQ _),
     "multimodal_phash" -> (multimodalPhashQ _),
+    "multimodal_phash_pairs" -> (multimodalPhashPairsQ _),
     "multimodal_dhash_pairs" -> (multimodalDhashPairsQ _),
     "multimodal_dhash_png" -> (multimodalDhashPngQ _),
     "multimodal_dhash_gif" -> (multimodalDhashGifQ _),
@@ -7490,36 +7546,17 @@ object SparkEntry {
     // (9×8 BMP, 9×8 PNG, 72×64 block-constant JPEG) resample to the
     // same 32×32 plane, making the oracle container-blind
     "multimodal_phash" ->
-      """WITH t AS (SELECT k, CAST(round(cos(k * pi() / 64) * 32768) AS BIGINT) AS c
-             FROM (SELECT unnest(range(0, 128)) AS k)),
-         d AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m FROM documents),
-         xs AS (SELECT unnest(range(0, 32)) AS x32),
-         ys AS (SELECT unnest(range(0, 32)) AS y32),
-         p AS (SELECT doc_id, x32, y32, CAST(CASE WHEN m = 4
-             THEN ((doc_id + 3) * ((x32 * 9 // 32) * 11 + (y32 * 8 // 32) * 17 + 5)) % 256
-             ELSE ((fam + 1) * ((x32 * 9 // 32) * 13 + (y32 * 8 // 32) * 31 + 7)
-                   + CASE WHEN x32 * 9 // 32 = 0 AND y32 * 8 // 32 = 0 THEN m * 3 ELSE 0 END) % 256
-           END AS BIGINT) AS v FROM d, xs, ys),
-         us AS (SELECT unnest(range(0, 8)) AS u),
-         g AS (SELECT doc_id, u, y32, CAST(sum(v * t.c) AS BIGINT) AS gv
-           FROM p, us JOIN t ON t.k = ((2 * x32 + 1) * u) % 128
-           GROUP BY 1, 2, 3),
-         vgrid AS (SELECT unnest(range(0, 8)) AS vv),
-         fc AS (SELECT doc_id, u, vv, CAST(sum(gv * t.c) AS BIGINT) AS fv
-           FROM g, vgrid JOIN t ON t.k = ((2 * y32 + 1) * vv) % 128
-           GROUP BY 1, 2, 3),
-         med AS (SELECT doc_id, fv AS mv FROM (
-             SELECT doc_id, fv, row_number() OVER (PARTITION BY doc_id ORDER BY fv) AS rn
-             FROM fc WHERE NOT (u = 0 AND vv = 0)) WHERE rn = 32),
-         hs AS (SELECT fc.doc_id, sum(1::HUGEINT << CAST(u * 8 + vv AS INTEGER)) AS h
-           FROM fc JOIN med ON fc.doc_id = med.doc_id WHERE fc.fv > med.mv
-           GROUP BY 1)
-         SELECT d.doc_id, CAST(CASE
-             WHEN h IS NULL THEN 0::HUGEINT
-             WHEN h >= 9223372036854775808::HUGEINT
-               THEN h - 18446744073709551616::HUGEINT
-             ELSE h END AS BIGINT) AS phash
-         FROM d LEFT JOIN hs ON d.doc_id = hs.doc_id""",
+      s"""WITH $dkPhash
+         SELECT doc_id, phash FROM ph""",
+    "multimodal_phash_pairs" ->
+      s"""WITH $dkPhash,
+         bk AS (SELECT doc_id, phash, b,
+             (phash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM ph, (SELECT unnest(range(0, 4)) AS b))
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
+         FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_dhash_jpeg" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",

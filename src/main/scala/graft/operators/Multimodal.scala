@@ -210,6 +210,25 @@ object Multimodal {
       p => graft.functions.ImageFunctions.dhash(p), payloadCol, bands,
       maxBucketSize)
 
+  /** [[perceptualDupPairs]] over the integer-DCT pHash
+    * ([[graft.functions.PHash]]) instead of dHash: the global
+    * frequency envelope rather than local gradients — robust where a
+    * re-encode shifts local gradient signs but keeps the picture's
+    * low-frequency structure (resizes especially: the 32×32 resample
+    * normalizes resolution before the transform). Same banding
+    * machinery, hot-bucket cap, and pigeonhole guarantee.
+    */
+  def perceptualDupPairsPhash(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String = "payload",
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame =
+    hash64BandPairs(
+      df.select(col(idCol), col(payloadCol)), idCol,
+      p => graft.functions.ImageFunctions.phash(p), payloadCol, bands,
+      maxBucketSize)
+
   /** [[perceptualDupPairs]]' AUDIO sibling: candidate pairs whose
     * energy-envelope hashes ([[graft.functions.AudioFunctions
     * .audioEnvelopeHash]]) share any 16-bit band — copies of the same

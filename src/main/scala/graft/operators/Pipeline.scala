@@ -581,7 +581,8 @@ object Pipeline {
       numHashes: Int = 16,
       bands: Int = 8,
       perceptual: Boolean = false,
-      dhashBands: Int = 4): DataFrame = {
+      dhashBands: Int = 4,
+      perceptualHash: String = "dhash"): DataFrame = {
     import org.apache.spark.sql.types.BinaryType
     import graft.functions.TextFunctions.byteShingleHashes
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -615,11 +616,16 @@ object Pipeline {
       .select(col(idCol)).distinct()
     d = d.join(losers, Seq(idCol), "left_anti")
     if (perceptual) {
+      require(perceptualHash == "dhash" || perceptualHash == "phash",
+        s"perceptualHash must be dhash|phash, got $perceptualHash")
       val bw = 64 / dhashBands
       // 1L << 64 wraps (JVM shift mod 64): full-width band needs -1L
       val mask = if (bw == 64) -1L else (1L << bw) - 1
-      val hashed = d.select(col(idCol),
-          graft.functions.ImageFunctions.dhash(p).as("__dh"))
+      val hashFn =
+        if (perceptualHash == "phash")
+          graft.functions.ImageFunctions.phash _
+        else graft.functions.ImageFunctions.dhash _
+      val hashed = d.select(col(idCol), hashFn(p).as("__dh"))
         .filter(col("__dh").isNotNull)
       val pBands = hashed.select(col(idCol),
           posexplode(array((0 until dhashBands).map(b =>

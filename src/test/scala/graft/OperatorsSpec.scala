@@ -3991,6 +3991,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"$rel/maintenance/c2/done")))
   }
 
+  test("curateMedia perceptualHash=phash: a cross-resolution twin" +
+      " (9x8 PNG vs 72x64 JPEG of the same picture) collapses in the" +
+      " perceptual stage; undecodable payloads are exempt") {
+    import graft.functions.{JpegCodec, PngCodec}
+    def grid(x: Int, y: Int): Int = (x * 13 + y * 31 + 7) * 3 % 256
+    val p9x8 = Array.tabulate(9 * 8)(i => (grid(i % 9, i / 9) & 0xff).toByte)
+    val jpegPix = Array.tabulate(72 * 64) { i =>
+      (grid((i % 72) / 8, (i / 72) / 8) & 0xff).toByte
+    }
+    val d = Seq(
+      (1L, PngCodec.encodeGray(9, 8, p9x8, 2)),
+      (2L, JpegCodec.encodeGray(72, 64, jpegPix)),
+      (3L, "just some opaque bytes, not an image".getBytes))
+      .toDF("doc_id", "payload")
+    val out = graft.operators.Pipeline.curateMedia(d, "doc_id",
+        perceptual = true, perceptualHash = "phash")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // different containers AND resolutions -> different bytes, exact
+    // and byte-shingle stages keep both; only the pHash stage can see
+    // they are the same picture
+    assert(out === Seq(1L, 3L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.curateMedia(d, "doc_id",
+        perceptual = true, perceptualHash = "md5")
+    }
+  }
+
   test("licenseTag: SPDX ids win over phrase tiers, GPL splits by" +
       " version, and unlicensed text tags null") {
     import graft.operators.TextAnalysis
