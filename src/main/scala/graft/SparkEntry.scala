@@ -2731,6 +2731,18 @@ object SparkEntry {
   private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
+  /** BM25 retrieval gate: three fixed queries over the corpus
+    * vocabulary score in ONE pass; the oracle replays tokenization,
+    * per-(query, doc, term) tf, df, the global (N, avgdl) statistics,
+    * the Lucene idf, and the (k1, b) weighted sum.
+    */
+  private def bm25ScoreQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Scores(docs(s, dir), "doc_id", "text",
+        Seq(0L -> "spark window merge", 1L -> "hash join table scan",
+          2L -> "customer vector stream"))
+      .select(col("qid"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+
   /** License-tagging gate: every 11th doc gets one of seven canonical
     * license headers (an SPDX id, the MIT grant, Apache title+version,
     * GPLv3 phrasing, the BSD clause, MPL, CC) prepended — testdata is
@@ -5361,6 +5373,7 @@ object SparkEntry {
     "text_quality_flags" -> (textQualityFlags _),
     "license_tag"  -> (licenseTagQ _),
     "code_quality" -> (codeQualityQ _),
+    "bm25_score"   -> (bm25ScoreQ _),
     "text_normalize"    -> (textNormalizeQ _),
     "doc_char_fingerprint" -> (docCharFingerprintQ _),
     "multimodal_meta"  -> (multimodalMeta _),
@@ -7405,6 +7418,29 @@ object SparkEntry {
          count(*) AS n_docs
          FROM documents GROUP BY 1""",
     "text_quality_flags" -> oracleSqlQualityFlags,
+    "bm25_score" ->
+      """WITH q AS (SELECT * FROM (VALUES
+           (0::BIGINT, 'spark'), (0::BIGINT, 'window'), (0::BIGINT, 'merge'),
+           (1::BIGINT, 'hash'), (1::BIGINT, 'join'), (1::BIGINT, 'table'), (1::BIGINT, 'scan'),
+           (2::BIGINT, 'customer'), (2::BIGINT, 'vector'), (2::BIGINT, 'stream')
+         ) v(qid, term)),
+         toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents),
+         words AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks),
+         tf AS (SELECT qid, doc_id, term, dl, count(*) AS tfr
+           FROM words JOIN q USING (term) GROUP BY 1, 2, 3, 4),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM toks),
+         dfq AS (SELECT qid, term, CAST(count(*) AS DOUBLE) AS dfr
+           FROM tf GROUP BY 1, 2),
+         sc AS (SELECT tf.qid, tf.doc_id,
+             sum(ln(1 + (st.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5))
+               * (tf.tfr * 2.2)
+               / (tf.tfr + (0.75 * (tf.dl / st.avgdl) + 0.25) * 1.2)) AS s
+           FROM tf JOIN dfq USING (qid, term), st GROUP BY 1, 2)
+         SELECT qid, doc_id, round(s, 6) AS score FROM sc""",
     "license_tag" ->
       """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
            (CASE doc_id % 7

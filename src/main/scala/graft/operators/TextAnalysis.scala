@@ -440,6 +440,69 @@ object TextAnalysis {
         .as("keep"))
   }
 
+  /** BM25 lexical retrieval scores — the Okapi/Lucene ranking function
+    * (Robertson & Zaragoza 2009; the `(k1, b)` form and the
+    * always-positive `ln(1 + (N − df + ½)/(df + ½))` idf are Lucene's)
+    * over a SET of queries in one corpus pass: the complement of the
+    * ANN surface for the retrieval questions embeddings answer badly —
+    * exact-term probes, contamination hunts ("which training docs score
+    * high against this benchmark question"), corpus QA.
+    *
+    * Scale shape: the query set explodes to `(qid, term)` rows and
+    * BROADCASTS into an inner join against the corpus token stream, so
+    * the corpus shrinks to query-term hits before anything shuffles;
+    * the tf aggregate is partial-aggregable on (qid, doc, term); df
+    * and the global (N, avgdl) statistics are term-count- and one-row-
+    * sized. Nothing corpus-sized is ever sorted — compose with
+    * [[graft.operators.TopK.topKPerKey]] keyed on `qid` for bounded
+    * top-k retrieval (the spec does).
+    *
+    * Tokenization is the exact-decon family's: lowercase, whitespace
+    * split. Output `(qid, idCol, score)` — one row per (query, doc
+    * with ≥ 1 matching term); `score` is a RAW double (harness
+    * projections round).
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, String)],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }.toDF("qid", "term")
+    // alias the tokenization once (CollapseProject re-inlining rule)
+    val toks = docs.select(col(idCol),
+      filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0).as("__toks"))
+    val words = toks.select(col(idCol), size(col("__toks")).as("__dl"),
+      explode(col("__toks")).as("term"))
+    val tf = words.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("qid"), col(idCol), col("term"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__toks")).cast("double")).as("__avgdl"))
+    // tf is distinct per (qid, doc, term), so df is a plain count
+    val dfreq = tf.groupBy(col("qid"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(broadcast(dfreq), Seq("qid", "term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) /
+          (col("__df") + 0.5)))
+      .withColumn("__s",
+        col("__idf") * (col("__tf") * (k1 + 1)) /
+          (col("__tf") +
+            (col("__dl") / col("__avgdl") * b + (1 - b)) * k1))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("__s")).as("score"))
+  }
+
   /** License detection over document text — the code-corpus curation
     * gate (the BigCode/StarCoder practice: permissively-licensed files
     * train, copyleft/unknown files are excluded or attributed; Kocetkov

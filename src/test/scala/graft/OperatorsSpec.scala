@@ -4948,4 +4948,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drifted === Set(40L),
       "dropShadowed deliberately relaxes the drop rule for this case")
   }
+
+  test("bm25Scores: exact Okapi/Lucene values on a hand-checked corpus;" +
+      " non-matching docs absent; topKPerKey(qid) bounds retrieval") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana cherry cherry"),
+      (3L, "durian only here")).toDF("doc_id", "text")
+    val queries = Seq(0L -> "apple", 1L -> "banana cherry")
+    val out = TextAnalysis.bm25Scores(corpus, "doc_id", "text", queries)
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    // only docs with >=1 matching term appear; d3 never does
+    assert(got.keySet === Set((0L, 0L), (0L, 1L),
+      (1L, 0L), (1L, 1L), (1L, 2L)))
+    // hand-replay: N=4, avgdl=(3+2+4+3)/4=3, k1=1.2, b=0.75,
+    // idf = ln(1 + (N-df+.5)/(df+.5)), tfw = tf*2.2/(tf+(dl/avgdl*.75+.25)*1.2)
+    val n = 4.0; val avgdl = 3.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def tfw(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + (dl / avgdl * 0.75 + 0.25) * 1.2)
+    // q0="apple": df=2; d0 tf=2 dl=3; d1 tf=1 dl=2
+    assert(math.abs(got((0L, 0L)) - idf(2) * tfw(2, 3)) < 1e-12)
+    assert(math.abs(got((0L, 1L)) - idf(2) * tfw(1, 2)) < 1e-12)
+    // q1="banana cherry": banana df=2 (d0,d2), cherry df=2 (d1,d2)
+    assert(math.abs(got((1L, 0L)) - idf(2) * tfw(1, 3)) < 1e-12)
+    assert(math.abs(got((1L, 1L)) - idf(2) * tfw(1, 2)) < 1e-12)
+    assert(math.abs(got((1L, 2L)) -
+      (idf(2) * tfw(2, 4) + idf(2) * tfw(2, 4))) < 1e-12)
+    // bounded retrieval: one shuffle top-k per qid, no corpus sort
+    val top1 = graft.operators.TopK.topKPerKey(
+      out, Seq("qid"), "score", "doc_id", 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("doc_id")).toMap
+    assert(top1 === Map(0L -> 0L, 1L -> 2L))
+  }
 }
