@@ -2731,17 +2731,102 @@ object SparkEntry {
   private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
+  /** The retrieval family's fixed query set — shared by the direct
+    * BM25 gate, the three index-artifact gates, and the hybrid-fusion
+    * gate so they all replay ONE oracle formula.
+    */
+  private val Bm25Queries: Seq[(Long, String)] =
+    Seq(0L -> "spark window merge", 1L -> "hash join table scan",
+      2L -> "customer vector stream")
+
+  private def bm25Project(df: DataFrame): DataFrame =
+    df.select(col("qid"), col("doc_id"),
+      round(col("score"), 6).as("score"))
+
   /** BM25 retrieval gate: three fixed queries over the corpus
     * vocabulary score in ONE pass; the oracle replays tokenization,
     * per-(query, doc, term) tf, df, the global (N, avgdl) statistics,
     * the Lucene idf, and the (k1, b) weighted sum.
     */
   private def bm25ScoreQ(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bm25Scores(docs(s, dir), "doc_id", "text",
-        Seq(0L -> "spark window merge", 1L -> "hash join table scan",
-          2L -> "customer vector stream"))
-      .select(col("qid"), col("doc_id"),
-        round(col("score"), 6).as("score"))
+    bm25Project(TextAnalysis.bm25Scores(
+      docs(s, dir), "doc_id", "text", Bm25Queries))
+
+  /** Index-probe parity gate: the same queries scored via the
+    * PERSISTED inverted-index artifact
+    * ([[graft.sources.RetrievalIndex]]) must hash-match the direct
+    * one-pass form — postings, exact BIGINT stats, and the probe
+    * join replay the identical formula, so the oracle is
+    * [[bm25ScoreQ]]'s verbatim.
+    */
+  private def bm25IndexProbeQ(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"/tmp/graft_bm25idx_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.RetrievalIndex.build(docs(s, dir), "doc_id", "text", idx)
+    bm25Project(graft.sources.RetrievalIndex.score(s, idx, Bm25Queries))
+  }
+
+  /** Index-append gate: build on the %3!=0 docs, append the %3==0
+    * half as TWO delta batches, compact, probe — the folded artifact
+    * must score identically to one built on the full corpus (BM25's
+    * statistics are exactly mergeable: postings are disjoint by doc,
+    * stats rows are BIGINT sums). Oracle shared verbatim with
+    * [[bm25ScoreQ]].
+    */
+  private def bm25IndexAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"/tmp/graft_bm25app_${Integer.toHexString(dir.hashCode)}"
+    val d = docs(s, dir)
+    graft.sources.RetrievalIndex.build(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idx)
+    graft.sources.RetrievalIndex.append(s, idx,
+      d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0),
+      "doc_id", "text", "a0")
+    graft.sources.RetrievalIndex.append(s, idx,
+      d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0),
+      "doc_id", "text", "a1")
+    graft.sources.RetrievalIndex.compact(s, idx)
+    bm25Project(graft.sources.RetrievalIndex.score(s, idx, Bm25Queries))
+  }
+
+  /** Streaming-ingest gate: the %3==0 half STREAMS into the index
+    * (foreachBatch → marker-guarded idempotent append), then the probe
+    * must again equal the full-corpus direct form. Oracle shared
+    * verbatim with [[bm25ScoreQ]] — BM25 stats merge exactly, so the
+    * result is independent of micro-batching.
+    */
+  private def streamingBm25IngestQ(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"/tmp/graft_bm25str_${Integer.toHexString(dir.hashCode)}"
+    val d = docs(s, dir)
+    graft.sources.RetrievalIndex.build(
+      d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idx)
+    graft.streaming.StreamingRetrieval.indexIngestStream(
+        docStream(s, dir).filter(col("doc_id") % 3 === 0),
+        idx, "doc_id", "text")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    bm25Project(graft.sources.RetrievalIndex.score(s, idx, Bm25Queries))
+  }
+
+  /** Hybrid retrieval gate: reciprocal-rank fusion (Cormack et al.
+    * 2009) of the BM25 lexical top-10 and the embedding-cosine top-10
+    * for qids 0-2 (the vector side probes with vec_id = qid). Both
+    * input rankings are engine-stable — scores rounded to 6 BEFORE
+    * ranking, id-ASC tie-breaks — and the oracle replays both
+    * retrievers, the 1/(60+rank) sum, and the fused top-5.
+    */
+  private def retrievalHybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.operators.TopK.topKPerKey(
+      bm25Project(TextAnalysis.bm25Scores(
+        docs(s, dir), "doc_id", "text", Bm25Queries)),
+      Seq("qid"), "score", "doc_id", 10)
+    val vec = Similarity.knnBruteForce(
+        embs(s, dir).filter(col("vec_id") < 3), embs(s, dir),
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id").as("qid"),
+        col("neighbor_id").as("doc_id"), col("knn_rank").as("rk"))
+    graft.operators.Retrieval.rrfFuse(
+      Seq(lex.select(col("qid"), col("doc_id"), col("rk")), vec),
+      "qid", "doc_id", "rk", k = 5)
+  }
 
   /** License-tagging gate: every 11th doc gets one of seven canonical
     * license headers (an SPDX id, the MIT grant, Apache title+version,
@@ -4981,6 +5066,61 @@ object SparkEntry {
   /** Quality-flags re-derivation, shared by the batch gate and its
     * streaming twin (stateless exprs: the stream emits the batch scores).
     */
+  /** The BM25 oracle's CTE chain, shared between the direct-form
+    * oracle and the hybrid-RRF oracle (which ranks over its `sc`
+    * output): query terms, tokenization, tf, the exact (N, avgdl)
+    * statistics, df, and the Lucene-idf weighted sum.
+    */
+  private val oracleSqlBm25Ctes: String =
+    """q AS (SELECT * FROM (VALUES
+           (0::BIGINT, 'spark'), (0::BIGINT, 'window'), (0::BIGINT, 'merge'),
+           (1::BIGINT, 'hash'), (1::BIGINT, 'join'), (1::BIGINT, 'table'), (1::BIGINT, 'scan'),
+           (2::BIGINT, 'customer'), (2::BIGINT, 'vector'), (2::BIGINT, 'stream')
+         ) v(qid, term)),
+         toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents),
+         words AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks),
+         tf AS (SELECT qid, doc_id, term, dl, count(*) AS tfr
+           FROM words JOIN q USING (term) GROUP BY 1, 2, 3, 4),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM toks),
+         dfq AS (SELECT qid, term, CAST(count(*) AS DOUBLE) AS dfr
+           FROM tf GROUP BY 1, 2),
+         sc AS (SELECT tf.qid, tf.doc_id,
+             sum(ln(1 + (st.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5))
+               * (tf.tfr * 2.2)
+               / (tf.tfr + (0.75 * (tf.dl / st.avgdl) + 0.25) * 1.2)) AS s
+           FROM tf JOIN dfq USING (qid, term), st GROUP BY 1, 2)"""
+
+  private val oracleSqlBm25: String =
+    s"WITH $oracleSqlBm25Ctes\n         SELECT qid, doc_id, round(s, 6) AS score FROM sc"
+
+  /** RRF fusion oracle: BM25 top-10 (ranked over the ROUNDED score,
+    * doc-id tie-break — the engine-stable convention), cosine top-10
+    * for probe vec_id 0-2, the 1/(60+rank) reciprocal-rank sum, fused
+    * top-5.
+    */
+  private val oracleSqlHybridRrf: String =
+    s"""WITH $oracleSqlBm25Ctes,
+         lexr AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             ORDER BY round(s, 6) DESC, doc_id) AS rk FROM sc),
+         ve AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         kn AS (SELECT qv.vec_id AS qid, cv.vec_id AS doc_id,
+             row_number() OVER (PARTITION BY qv.vec_id
+               ORDER BY round(list_cosine_similarity(qv.vd, cv.vd), 6) DESC,
+                        cv.vec_id) AS rk
+           FROM ve qv, ve cv WHERE qv.vec_id < 3 AND qv.vec_id <> cv.vec_id),
+         u AS (SELECT qid, doc_id, rk FROM lexr WHERE rk <= 10
+           UNION ALL SELECT qid, doc_id, rk FROM kn WHERE rk <= 10),
+         f AS (SELECT qid, doc_id,
+             round(sum(1.0::DOUBLE / (60 + rk)), 6) AS rrf
+           FROM u GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY rrf DESC, doc_id) AS INTEGER) AS rk FROM f)
+         SELECT qid, doc_id, rrf, rk FROM r WHERE rk <= 5"""
+
   private val oracleSqlQualityFlags: String =
     """WITH w AS (SELECT doc_id, text,
          string_split_regex(trim(lower(text)), '\s+') AS ws,
@@ -5374,6 +5514,10 @@ object SparkEntry {
     "license_tag"  -> (licenseTagQ _),
     "code_quality" -> (codeQualityQ _),
     "bm25_score"   -> (bm25ScoreQ _),
+    "bm25_index_probe"  -> (bm25IndexProbeQ _),
+    "bm25_index_append" -> (bm25IndexAppendQ _),
+    "streaming_bm25_ingest" -> (streamingBm25IngestQ _),
+    "retrieval_hybrid_rrf"  -> (retrievalHybridRrfQ _),
     "text_normalize"    -> (textNormalizeQ _),
     "doc_char_fingerprint" -> (docCharFingerprintQ _),
     "multimodal_meta"  -> (multimodalMeta _),
@@ -7418,29 +7562,13 @@ object SparkEntry {
          count(*) AS n_docs
          FROM documents GROUP BY 1""",
     "text_quality_flags" -> oracleSqlQualityFlags,
-    "bm25_score" ->
-      """WITH q AS (SELECT * FROM (VALUES
-           (0::BIGINT, 'spark'), (0::BIGINT, 'window'), (0::BIGINT, 'merge'),
-           (1::BIGINT, 'hash'), (1::BIGINT, 'join'), (1::BIGINT, 'table'), (1::BIGINT, 'scan'),
-           (2::BIGINT, 'customer'), (2::BIGINT, 'vector'), (2::BIGINT, 'stream')
-         ) v(qid, term)),
-         toks AS (SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\s+'),
-               w -> len(w) > 0) AS ws
-           FROM documents),
-         words AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks),
-         tf AS (SELECT qid, doc_id, term, dl, count(*) AS tfr
-           FROM words JOIN q USING (term) GROUP BY 1, 2, 3, 4),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-             avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM toks),
-         dfq AS (SELECT qid, term, CAST(count(*) AS DOUBLE) AS dfr
-           FROM tf GROUP BY 1, 2),
-         sc AS (SELECT tf.qid, tf.doc_id,
-             sum(ln(1 + (st.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5))
-               * (tf.tfr * 2.2)
-               / (tf.tfr + (0.75 * (tf.dl / st.avgdl) + 0.25) * 1.2)) AS s
-           FROM tf JOIN dfq USING (qid, term), st GROUP BY 1, 2)
-         SELECT qid, doc_id, round(s, 6) AS score FROM sc""",
+    "bm25_score" -> oracleSqlBm25,
+    // the three index-artifact gates REPLAY the direct form's oracle:
+    // probe/append/streaming-ingest parity IS their contract
+    "bm25_index_probe" -> oracleSqlBm25,
+    "bm25_index_append" -> oracleSqlBm25,
+    "streaming_bm25_ingest" -> oracleSqlBm25,
+    "retrieval_hybrid_rrf" -> oracleSqlHybridRrf,
     "license_tag" ->
       """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
            (CASE doc_id % 7

@@ -820,7 +820,7 @@ object DedupIndex {
   /** Stage compacted artifacts and swap them in under the tombstone
     * discipline. `metaRows` is captured by the caller BEFORE this runs.
     */
-  private def swapCompacted(
+  private[sources] def swapCompacted(
       spark: SparkSession,
       path: String,
       staged: Seq[(String, () => Unit)],

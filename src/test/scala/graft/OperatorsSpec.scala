@@ -4984,4 +4984,76 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("doc_id")).toMap
     assert(top1 === Map(0L -> 0L, 1L -> 2L))
   }
+
+  test("RetrievalIndex: probe parity with the direct form; append" +
+      " replay (marker hit AND crash-replay) never duplicates;" +
+      " markers survive compact; empty index fails fast") {
+    import graft.sources.RetrievalIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ridx").toString
+    val base = Seq(
+      (0L, "apple banana apple"), (1L, "apple cherry"),
+      (2L, "banana banana cherry cherry")).toDF("doc_id", "text")
+    val batch = Seq((3L, "apple durian"), (4L, "cherry apple apple"))
+      .toDF("doc_id", "text")
+    val all = base.unionByName(batch)
+    val qs = Seq(0L -> "apple cherry")
+    def scores(): Map[(Long, Long), Double] =
+      RetrievalIndex.score(spark, path, qs).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+          (math.rint(r.getAs[Double]("score") * 1e9) / 1e9)).toMap
+    RetrievalIndex.build(base, "doc_id", "text", path, numFiles = 2)
+    RetrievalIndex.append(spark, path, batch, "doc_id", "text", "x")
+    val expected = graft.operators.TextAnalysis
+      .bm25Scores(all, "doc_id", "text", qs).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+        (math.rint(r.getAs[Double]("score") * 1e9) / 1e9)).toMap
+    assert(scores() === expected, "index probe == direct one-pass form")
+    // replay with marker present: no-op
+    RetrievalIndex.append(spark, path, batch, "doc_id", "text", "x")
+    assert(scores() === expected)
+    // crash-replay: marker lost mid-append (worst case: deltas already
+    // written) — the replay OVERWRITES its own delta dirs, no dup rows
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingested/append_x"), true)
+    RetrievalIndex.append(spark, path, batch, "doc_id", "text", "x")
+    assert(scores() === expected, "idempotent overwrite after crash")
+    // compact folds deltas, probe hash-parity holds, marker survives
+    RetrievalIndex.compact(spark, path, numFiles = 2)
+    assert(scores() === expected, "bit-parity through compaction")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/batch_postings")))
+    RetrievalIndex.append(spark, path, batch, "doc_id", "text", "x")
+    assert(scores() === expected, "post-compact replay still no-ops")
+    val idx = RetrievalIndex.load(spark, path)
+    assert(idx.nDocs === 5L && idx.sumDl === 14L)
+    // empty index fails fast instead of NaN avgdl
+    val empty = s"$path/empty"
+    RetrievalIndex.build(base.filter(col("doc_id") < 0),
+      "doc_id", "text", empty, numFiles = 1)
+    assertThrows[IllegalArgumentException] {
+      RetrievalIndex.score(spark, empty, qs)
+    }
+  }
+
+  test("rrfFuse: hand-checked reciprocal-rank sums; single-list docs" +
+      " contribute one term; ties break by id") {
+    import graft.operators.Retrieval
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("qid", "doc_id", "rk")
+    val vec = Seq((0L, 11L, 1), (0L, 13L, 2), (0L, 10L, 3))
+      .toDF("qid", "doc_id", "rk")
+    val got = Retrieval.rrfFuse(Seq(lex, vec), "qid", "doc_id", "rk", k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"), r.getAs[Int]("rk")))
+      .sortBy(_._3)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 11: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 12: 1/63; doc 13: 1/62
+    val e11 = r6(1.0 / 62 + 1.0 / 61)
+    val e10 = r6(1.0 / 61 + 1.0 / 63)
+    assert(got.toList === List(
+      (11L, e11, 1), (10L, e10, 2),
+      (13L, r6(1.0 / 62), 3), (12L, r6(1.0 / 63), 4)))
+  }
 }
