@@ -1124,6 +1124,35 @@ object SparkEntry {
     loaded.manifest
   }
 
+  /** Snapshot-diff gate: v1 = the even docs; v2 = the evens minus the
+    * %14==0 takedowns, plus the %3==0 odds, with every %10==0 text
+    * revised. The statuses are pure doc_id arithmetic for the oracle,
+    * but the Spark side derives them from the PUBLISHED artifacts —
+    * two real JSONL snapshot reads behind the manifest short-circuit
+    * (same shard count, so agreeing shards prune at the partition
+    * filter).
+    */
+  private def releaseDiffQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = s"/tmp/graft_release_diff_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    val v2 = d.withColumn("text",
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text")))
+    graft.sources.Release.writeRelease(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      s"$base/v1", nShards = 8)
+    graft.sources.Release.writeRelease(
+      v2.filter((col("doc_id") % 2 === 0 && col("doc_id") % 14 =!= 0) ||
+        (col("doc_id") % 2 =!= 0 && col("doc_id") % 3 === 0)),
+      "doc_id", "text", s"$base/v2", nShards = 8)
+    graft.sources.Release.diffReleases(s, s"$base/v1", s"$base/v2",
+      StructType(d.schema.fields :+ StructField("shard", LongType)),
+      "doc_id", "text")
+  }
+
   /** Release-takedown gate: the full corpus is published, every
     * seventh doc is then removed via [[graft.sources.Release.deleteDocs]]
     * (touched-shards-only rewrite under the intent/written/done
@@ -5463,6 +5492,7 @@ object SparkEntry {
     "release_manifest" -> (releaseManifestQ _),
     "release_append"   -> (releaseAppendQ _),
     "release_delete"   -> (releaseDeleteQ _),
+    "release_diff"     -> (releaseDiffQ _),
     "release_compact"  -> (releaseCompactQ _),
     "streaming_release" -> (streamingReleaseQ _),
     "dedup_overlap_matrix" -> (dedupOverlapMatrixQ _),
@@ -6858,6 +6888,20 @@ object SparkEntry {
     // takedown telescopes: the touched-shards-only rewrite must equal
     // a from-scratch publish of the survivors
     "release_delete" -> dkReleaseManifestWhere("doc_id % 7 <> 0"),
+    "release_diff" ->
+      s"""WITH v AS (SELECT doc_id,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+           doc_id % 2 = 0 AS in1,
+           (doc_id % 2 = 0 AND doc_id % 14 <> 0)
+             OR (doc_id % 2 <> 0 AND doc_id % 3 = 0) AS in2,
+           doc_id % 10 = 0 AS rev FROM documents)
+         SELECT doc_id, shard,
+           CASE WHEN in1 AND NOT in2 THEN 'removed'
+                WHEN in2 AND NOT in1 THEN 'added'
+                WHEN in1 AND in2 AND rev THEN 'changed' END AS status
+         FROM v
+         WHERE (in1 AND NOT in2) OR (in2 AND NOT in1)
+            OR (in1 AND in2 AND rev)""",
     // compaction parity: layout changes, content doesn't — the
     // recomputed manifest equals the from-scratch one row-for-row
     "release_compact" -> dkReleaseManifest,

@@ -5036,6 +5036,58 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("diffReleases: added/removed/changed statuses; agreeing shards" +
+      " are NEVER read (deleted shard data goes unnoticed); shard-count" +
+      " mismatch falls back to a full-data diff") {
+    import graft.sources.Release
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rdiff").toString
+    val d0 = (0L until 10L).map(i => (i, s"text number $i"))
+      .toDF("doc_id", "text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("shard", LongType)))
+    Release.writeRelease(d0, "doc_id", "text", s"$base/v1", nShards = 2)
+    // pick mutation ids from ONE shard so the other shard agrees
+    val byShard = Release.loadRelease(spark, s"$base/v1", schema).rows
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hot = byShard.groupBy(_._2).maxBy(_._2.size)._1
+    val hotIds = byShard.filter(_._2 == hot).keys.toSeq.sorted
+    val (remId, chgId) = (hotIds(0), hotIds(1))
+    val addId = 100L // new doc; lands wherever its hash says
+    val d2 = d0.filter(col("doc_id") =!= remId)
+      .withColumn("text", when(col("doc_id") === chgId,
+        lit("revised")).otherwise(col("text")))
+      .unionByName(Seq((addId, "fresh doc")).toDF("doc_id", "text"))
+    Release.writeRelease(d2, "doc_id", "text", s"$base/v2", nShards = 2)
+    def statuses(p2: String): Map[Long, String] =
+      Release.diffReleases(spark, s"$base/v1", p2, schema,
+        "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = Map(remId -> "removed", chgId -> "changed",
+      addId -> "added")
+    assert(statuses(s"$base/v2") === expected)
+    // the cold shard's manifests agree → its DATA is never opened:
+    // delete v2's copy outright; a full diff would report every cold
+    // doc as removed, the pruned diff must notice nothing
+    val addShard = Release.loadRelease(spark, s"$base/v2", schema).rows
+      .filter(col("doc_id") === addId).select("shard").head().getLong(0)
+    val coldShards = byShard.values.toSet - hot - addShard
+    if (coldShards.nonEmpty) {
+      val cold = coldShards.head
+      val cp = new org.apache.hadoop.fs.Path(s"$base/v2/data/shard=$cold")
+      val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(cp))
+      fs.delete(cp, true)
+      assert(statuses(s"$base/v2") === expected,
+        "manifest-agreeing shard data must not be read")
+    }
+    // different shard count → no pruning, full diff, same statuses
+    Release.writeRelease(d2, "doc_id", "text", s"$base/v3", nShards = 4)
+    assert(statuses(s"$base/v3") === expected)
+  }
+
   test("rrfFuse: hand-checked reciprocal-rank sums; single-list docs" +
       " contribute one term; ties break by id") {
     import graft.operators.Retrieval
