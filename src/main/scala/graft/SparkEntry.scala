@@ -2351,6 +2351,19 @@ object SparkEntry {
       e, "vec_id", "embedding", centroids, n = 5)
   }
 
+  /** Leakage-safe-split gate: every LSH near-dup cluster moves into
+    * ONE split as a unit — component roots over the pair graph, the
+    * split hash on the ROOT id. Oracle: the recursive-CTE component
+    * labeling + `split_assign`'s CASE over the root's hash.
+    */
+  private def splitLeakageSafeQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Sampling.leakageSafeSplit(
+      d.select("doc_id"), "doc_id",
+      Dedup.minhashLshPairs(d, "doc_id", "text"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  }
+
   private def splitAssignQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.assignSplit(
       t(s, dir, "documents").select("doc_id"), "doc_id",
@@ -5471,6 +5484,7 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratifiedQ _),
     "sample_cluster_balanced" -> (sampleClusterBalancedQ _),
     "split_assign"     -> (splitAssignQ _),
+    "split_leakage_safe" -> (splitLeakageSafeQ _),
     "mix_budget"       -> (mixBudgetQ _),
     "mix_budget_bpe"   -> (mixBudgetBpeQ _),
     "token_counts_bpe" -> (tokenCountsBpeQ _),
@@ -7059,6 +7073,23 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
            FROM documents)""",
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE pairs AS ($dkLshPairs),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS label FROM edges
+           UNION
+           SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+         ),
+         comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+         r AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         SELECT doc_id, root,
+           CASE WHEN h < 800000 THEN 'train'
+                WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, root,
+             ${dkHash("CAST(root AS VARCHAR)")} % 1000000 AS h FROM r)""",
     "asof_join" ->
       """WITH r AS (SELECT o_custkey, o_orderdate,
              max(o_totalprice) AS prev_total

@@ -81,6 +81,39 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe split: near-duplicate CLUSTER members land in the
+    * same split, so a test doc can never be a paraphrase of a train
+    * doc — the eval-contamination failure mode a per-doc hash split
+    * ([[assignSplit]]) cannot prevent (GroupShuffleSplit semantics,
+    * with the dedup pair graph as the grouping). Every doc gets its
+    * component root ([[Dedup.connectedComponents]] over `pairs` —
+    * min reachable id; docs with no near-dup edge root at themselves)
+    * and the split is assigned by hashing the ROOT, making membership
+    * a pure function of the cluster.
+    *
+    * Scale shape: the pair graph holds only near-duplicates (orders of
+    * magnitude under the corpus), so the component table is small —
+    * the join back to the corpus is broadcast-able in practice and
+    * AQE converts it; everything else is [[assignSplit]]'s stateless
+    * column expression. Split FRACTIONS are now cluster-weighted
+    * (a 60-copy family moves as one unit) — that is the point, and
+    * the law of large numbers restores the ratios at corpus scale.
+    *
+    * Output: `df`'s columns plus `root` and `split`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cid"), col("component"))
+    val rooted = df.join(comp, col(idCol) === col("__cid"), "left")
+      .withColumn("root", coalesce(col("component"), col(idCol)))
+      .drop("__cid", "component")
+    assignSplit(rooted, "root", splits)
+  }
+
   /** Deterministic EXACT-SIZE sample per stratum: the `n` rows with the
     * smallest id-hash in each stratum — fraction samplers
     * ([[hashSample]]/[[stratifiedHashSample]]) give binomially-varying

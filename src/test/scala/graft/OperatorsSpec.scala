@@ -5036,6 +5036,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: chained near-dup clusters move as one unit;" +
+      " singletons reduce to the plain hash split") {
+    import graft.operators.Sampling
+    val ids = (0L until 50L).map(i => Tuple1(i)).toDF("doc_id")
+    // chain 3-7-9 plus pair 20-21; everything else singleton
+    val pairs = Seq((3L, 7L), (7L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.leakageSafeSplit(ids, "doc_id", pairs, splits)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("root"), r.getAs[String]("split"))).toMap
+    assert(Set(out(3L), out(7L), out(9L)).size === 1,
+      "chain collapses to one (root, split)")
+    assert(out(3L)._1 === 3L)
+    assert(out(20L) === out(21L) && out(20L)._1 === 20L)
+    // singletons: root = self, split = assignSplit's
+    val plain = Sampling.assignSplit(ids, "doc_id", splits).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (0L until 50L).filterNot(Set(3L, 7L, 9L, 20L, 21L)).foreach { i =>
+      assert(out(i) === ((i, plain(i))))
+    }
+  }
+
   test("diffReleases: added/removed/changed statuses; agreeing shards" +
       " are NEVER read (deleted shard data goes unnoticed); shard-count" +
       " mismatch falls back to a full-data diff") {
