@@ -963,6 +963,18 @@ object SparkEntry {
     * value whose cumulative weight covers q·n — exact integer
     * comparisons, engine-replayable.
     */
+  /** Adaptive-threshold curation gate: keep each language's docs at or
+    * above the lang's sharded-KLL median of `n_chars` — the
+    * per-domain-adaptive quality gate, cutoffs from bounded-state
+    * sketches, replayed end-to-end (sharded closed form → weighted
+    * cumulative quantile pick → join+filter).
+    */
+  private def curateAdaptiveQualityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.filterAboveQuantileBy(
+      docs(s, dir).select("doc_id", "lang", "n_chars"),
+      "doc_id", "n_chars", "lang", "p50", k = 16, shards = 4)
+      .select("doc_id", "lang", "n_chars")
+
   private def sketchKllEstimateQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.kllQuantilesBy(
       graft.operators.Sketches.kllSketchBy(
@@ -5469,6 +5481,7 @@ object SparkEntry {
     "sketch_kll_merge"    -> (sketchKllMergeQ _),
     "streaming_kll"       -> (streamingKllQ _),
     "sketch_kll_sharded"  -> (sketchKllShardedQ _),
+    "curate_adaptive_quality" -> (curateAdaptiveQualityQ _),
     "sketch_quantile_merge" -> (sketchQuantileMergeQ _),
     "streaming_quantile"  -> (streamingQuantileQ _),
     "chunk_tokens"     -> (chunkTokensQ _),
@@ -6150,6 +6163,22 @@ object SparkEntry {
     // the stream's one micro-batch makes ingest = the two-half merge
     "streaming_kll" -> dkKllMerge("doc_id % 3 <> 0", "doc_id % 3 = 0", 16),
     "sketch_kll_sharded" -> dkKllSharded(4, 16),
+    "curate_adaptive_quality" ->
+      s"""WITH sk AS (${dkKllSharded(4, 16)}),
+         cwq AS (SELECT lang, value,
+             CAST(sum(n * (1::BIGINT << level)) OVER (PARTITION BY lang
+               ORDER BY value, level
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c,
+             CAST(sum(n * (1::BIGINT << level)) OVER (PARTITION BY lang)
+               AS BIGINT) AS nn
+           FROM sk),
+         cut AS (SELECT lang,
+             min(CASE WHEN c * 2 >= nn THEN value END) AS p50
+           FROM cwq GROUP BY 1)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN cut USING (lang)
+         WHERE d.n_chars >= cut.p50""",
     // per-group bottom-k telescopes across any split/micro-batching —
     // both artifact gates share the from-scratch oracle verbatim
     "sketch_quantile_merge" -> dkQuantileSketch,

@@ -989,6 +989,40 @@ object Sketches {
       max(col("__n")).as("n_total"))
   }
 
+  /** Adaptive per-group threshold curation — "keep each domain's top
+    * half by quality" WITHOUT a hand-chosen value cutoff (the DCLM /
+    * CCNet practice of per-group adaptive gates): the cutoff is the
+    * group's deterministic-KLL quantile of `valueCol`, so it is
+    * computed at BOUNDED state per group (the sharded build keeps
+    * monster groups off any single sort partition), broadcast back
+    * (≤ |groups| rows — domains/languages, operationally small), and
+    * applied as one stateless `>=` filter. Keeps rows with
+    * `valueCol >= quantile(group)`; the estimate is the sketch's (rank
+    * error per the MRL bound), which is the point — an EXACT per-group
+    * quantile would sort the corpus.
+    *
+    * Rows whose group is NULL are dropped (inner join semantics, same
+    * as the oracle's `JOIN USING`) — route null groups through a
+    * sentinel upstream if they must survive.
+    */
+  def filterAboveQuantileBy(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      groupCol: String,
+      quantile: String = "p50",
+      k: Int = 256,
+      shards: Int = 16): DataFrame = {
+    require(Set("p25", "p50", "p75")(quantile),
+      s"quantile must be p25|p50|p75, got $quantile")
+    val cut = kllQuantilesBy(
+        kllSketchSharded(df, idCol, valueCol, groupCol, k, shards),
+        groupCol)
+      .select(col(groupCol), col(quantile).as("__cut"))
+    df.join(broadcast(cut), Seq(groupCol))
+      .filter(col(valueCol) >= col("__cut")).drop("__cut")
+  }
+
   private def kllMeta(
       spark: SparkSession, valueCol: String, groupCol: String, k: Int,
       version: Long, lastBatchId: Long): DataFrame = {

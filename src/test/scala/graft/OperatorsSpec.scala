@@ -5036,6 +5036,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("filterAboveQuantileBy: exact lower-median cutoff per group at" +
+      " small n; singleton group survives; bad quantile rejected") {
+    import graft.operators.Sketches
+    val rows = ((1 to 10).map(v => ("a", v.toLong, v.toLong)) :+
+      (("b", 99L, 100L))).toDF("grp", "id", "score")
+    val kept = Sketches.filterAboveQuantileBy(
+      rows, "id", "score", "grp").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toSet
+    // n<=k: the sketch holds every value exactly; lower median of 1..10
+    // is 5, so ids 5..10 survive in group a; b's only row is its median
+    assert(kept === ((5L to 10L).map("a" -> _).toSet + ("b" -> 99L)))
+    assertThrows[IllegalArgumentException] {
+      Sketches.filterAboveQuantileBy(rows, "id", "score", "grp", "p99")
+    }
+  }
+
   test("leakageSafeSplit: chained near-dup clusters move as one unit;" +
       " singletons reduce to the plain hash split") {
     import graft.operators.Sampling
