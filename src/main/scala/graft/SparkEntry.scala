@@ -2785,6 +2785,13 @@ object SparkEntry {
   private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
+  /** Keyword-extraction gate: each doc's top-3 terms by tf × smooth
+    * idf; tokenization, tf, df, the sklearn idf, and the rounded-
+    * score/term-ASC ranking all replayed.
+    */
+  private def tfidfTopTermsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", kTop = 3)
+
   /** The retrieval family's fixed query set — shared by the direct
     * BM25 gate, the three index-artifact gates, and the hybrid-fusion
     * gate so they all replay ONE oracle formula.
@@ -5571,6 +5578,7 @@ object SparkEntry {
     "license_tag"  -> (licenseTagQ _),
     "code_quality" -> (codeQualityQ _),
     "bm25_score"   -> (bm25ScoreQ _),
+    "tfidf_top_terms" -> (tfidfTopTermsQ _),
     "bm25_index_probe"  -> (bm25IndexProbeQ _),
     "bm25_index_append" -> (bm25IndexAppendQ _),
     "streaming_bm25_ingest" -> (streamingBm25IngestQ _),
@@ -7667,6 +7675,24 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "text_quality_flags" -> oracleSqlQualityFlags,
     "bm25_score" -> oracleSqlBm25,
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents),
+         tf AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         tfc AS (SELECT doc_id, term, count(*) AS tfr
+           FROM tf GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfr
+           FROM tfc GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+         sc AS (SELECT tfc.doc_id, tfc.term,
+             round(tfc.tfr * (ln((1 + st.n) / (1 + dfq.dfr)) + 1), 6)
+               AS tfidf
+           FROM tfc JOIN dfq USING (term), st),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS INTEGER) AS rk FROM sc)
+         SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3""",
     // the three index-artifact gates REPLAY the direct form's oracle:
     // probe/append/streaming-ingest parity IS their contract
     "bm25_index_probe" -> oracleSqlBm25,

@@ -5036,6 +5036,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidfTopTerms: hand-checked smooth-idf scores, rank order," +
+      " term-ASC tie-break, kTop bound") {
+    val d = Seq((0L, "apple apple banana"), (1L, "banana cherry"),
+      (2L, "zeta alpha")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", kTop = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("tfidf"))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val idfRare = math.log(4.0 / 2.0) + 1 // N=3, df=1
+    val idfBoth = math.log(4.0 / 3.0) + 1 // df=2
+    assert(got((0L, 1)) === (("apple", r6(2 * idfRare))))
+    assert(got((0L, 2)) === (("banana", r6(idfBoth))))
+    assert(got((1L, 1)) === (("cherry", r6(idfRare))))
+    assert(got((1L, 2)) === (("banana", r6(idfBoth))))
+    // equal scores: term-ASC wins rank 1
+    assert(got((2L, 1))._1 === "alpha" && got((2L, 2))._1 === "zeta")
+    assert(got.size === 6, "kTop bounds every doc")
+  }
+
   test("filterAboveQuantileBy: exact lower-median cutoff per group at" +
       " small n; singleton group survives; bad quantile rejected") {
     import graft.operators.Sketches
