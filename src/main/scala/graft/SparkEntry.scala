@@ -2785,6 +2785,14 @@ object SparkEntry {
   private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
+  /** Memorization-exposure gate: per-doc fraction of 13-gram positions
+    * shared with another doc; the oracle replays grams as TEXT (md5-
+    * free membership), so the gate also witnesses that the 128-bit
+    * gram keys are collision-free here.
+    */
+  private def gramExposureQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossDocGramExposure(docs(s, dir), "doc_id", "text")
+
   /** Keyword-extraction gate: each doc's top-3 terms by tf × smooth
     * idf; tokenization, tf, df, the sklearn idf, and the rounded-
     * score/term-ASC ranking all replayed.
@@ -5579,6 +5587,7 @@ object SparkEntry {
     "code_quality" -> (codeQualityQ _),
     "bm25_score"   -> (bm25ScoreQ _),
     "tfidf_top_terms" -> (tfidfTopTermsQ _),
+    "gram_exposure" -> (gramExposureQ _),
     "bm25_index_probe"  -> (bm25IndexProbeQ _),
     "bm25_index_append" -> (bm25IndexAppendQ _),
     "streaming_bm25_ingest" -> (streamingBm25IngestQ _),
@@ -7675,6 +7684,30 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "text_quality_flags" -> oracleSqlQualityFlags,
     "bm25_score" -> oracleSqlBm25,
+    "gram_exposure" ->
+      """WITH tt AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM documents),
+         tg AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+           FROM (SELECT doc_id, ws,
+               unnest(CASE WHEN len(ws) >= 13
+                 THEN range(1, len(ws) - 11) ELSE [] END) AS i
+             FROM tt)),
+         nd AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS ndocs
+             FROM tg GROUP BY 1) WHERE ndocs >= 2),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+         dup AS (SELECT doc_id, count(*) AS dup_grams
+           FROM tg SEMI JOIN nd USING (g) GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(tot.n_grams, 0) AS n_grams,
+           coalesce(dup.dup_grams, 0) AS dup_grams,
+           CASE WHEN coalesce(tot.n_grams, 0) = 0 THEN 0.0
+                ELSE round(CAST(coalesce(dup.dup_grams, 0) AS DOUBLE)
+                  / tot.n_grams, 6) END AS exposure
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN dup ON d.doc_id = dup.doc_id""",
     "tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(string_split_regex(trim(lower(text)), '\s+'),

@@ -655,6 +655,55 @@ object Dedup {
       filter(split(trim(lower(col(textCol))), "\\s+"),
         w => length(w) > 0), n)).as("__h"): _*)
 
+  /** Per-document CROSS-doc duplication exposure — the memorization-
+    * risk ranking of the dedup-analysis family (Lee et al. 2022 §5 /
+    * Carlini et al. 2022 connect duplicated training spans to verbatim
+    * memorization): for each doc, the fraction of its word-`n`-gram
+    * POSITIONS whose gram also occurs in at least one OTHER document.
+    * Complements the family's other views — `repetitionScores` is
+    * WITHIN-doc, `overlapMatrix` is per-SOURCE; this is the per-doc
+    * triage list ("which docs are mostly recycled text") that feeds
+    * doc-level policy (drop, downsample, or substring-dedup first).
+    *
+    * Scale shape: the gram stream is token-scale and everything on it
+    * is linear — one distinct + partial-aggregable docs-per-gram
+    * count, one semi join of the stream against the shared-gram keys
+    * (both sides hash-partition on the gram), two per-doc count
+    * aggregates. Nothing is ever sorted; no pair enumeration exists
+    * (a gram shared by 10k docs costs 10k stream rows, not 10k²
+    * pairs). Gram keys are the exact-decon family's
+    * ([[normalizedGramHashes]]) so the definition cannot drift from
+    * the decontamination/substring legs.
+    *
+    * Output `(idCol, n_grams, dup_grams, exposure)` for EVERY doc;
+    * docs shorter than `n` words read `(0, 0, 0.0)`.
+    */
+  def crossDocGramExposure(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val g = normalizedGramHashes(df, textCol, n, col(idCol))
+    val shared = g.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__h"))
+    val tot = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val dup = g.join(shared, Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_grams"))
+    df.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_grams"), lit(0L))
+            .cast("double") / col("n_grams"), 6)).as("exposure"))
+  }
+
   /** EXACT n-gram decontamination — the published GPT-3/Pile recipe
     * (Brown et al. 2020 App. C; Gao et al. 2020): a training document
     * is dropped if it shares at least ONE exact word `n`-gram (default

@@ -5036,6 +5036,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("crossDocGramExposure: hand-computed shared-gram fractions;" +
+      " short docs read zero; disjoint docs read zero") {
+    val w20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val w19x = (1 to 19).map(i => s"w$i").mkString(" ") + " CHANGED"
+    val first13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, w20),                       // 8 grams, 7 shared with d1
+      (1L, w19x),                      // 8 grams, 7 shared with d0
+      (2L, "totally different words entirely " * 5), // disjoint
+      (3L, "too short"),               // < 13 words
+      (4L, first13)                    // 1 gram = d0's gram 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocGramExposure(d, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams"),
+          r.getAs[Double]("exposure")))).toMap
+    // grams 1-7 shared with d1 (gram 8 holds the changed word); gram 1
+    // is ALSO d4's — same position, still 7 distinct dup positions
+    assert(got(0L) === ((8L, 7L, 0.875)))
+    assert(got(1L) === ((8L, 7L, 0.875)))
+    assert(got(2L)._2 === 0L && got(2L)._3 === 0.0)
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(4L) === ((1L, 1L, 1.0)))
+  }
+
   test("tfidfTopTerms: hand-checked smooth-idf scores, rank order," +
       " term-ASC tie-break, kTop bound") {
     val d = Seq((0L, "apple apple banana"), (1L, "banana cherry"),
