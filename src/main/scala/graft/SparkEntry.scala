@@ -2785,6 +2785,21 @@ object SparkEntry {
   private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
+  /** Hard-negative-mining gate: top-8 cosine candidates for anchors
+    * vec_id < 40; label-blocked near-dup pairs at tau 0.3 removed as
+    * hidden positives; best 3 survivors per anchor re-ranked.
+    */
+  private def mineHardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.operators.Retrieval.hardNegatives(
+      Similarity.knnBruteForce(e.filter(col("vec_id") < 40), e,
+        "vec_id", "embedding", k = 8)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim")),
+      Dedup.embeddingCosinePairs(e, "vec_id", "embedding", "label",
+        threshold = 0.3),
+      kNeg = 3)
+  }
+
   /** Memorization-exposure gate: per-doc fraction of 13-gram positions
     * shared with another doc; the oracle replays grams as TEXT (md5-
     * free membership), so the gate also witnesses that the 128-bit
@@ -5588,6 +5603,7 @@ object SparkEntry {
     "bm25_score"   -> (bm25ScoreQ _),
     "tfidf_top_terms" -> (tfidfTopTermsQ _),
     "gram_exposure" -> (gramExposureQ _),
+    "mine_hard_negatives" -> (mineHardNegativesQ _),
     "bm25_index_probe"  -> (bm25IndexProbeQ _),
     "bm25_index_append" -> (bm25IndexAppendQ _),
     "streaming_bm25_ingest" -> (streamingBm25IngestQ _),
@@ -7684,6 +7700,29 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "text_quality_flags" -> oracleSqlQualityFlags,
     "bm25_score" -> oracleSqlBm25,
+    "mine_hard_negatives" ->
+      """WITH ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS vd
+           FROM embeddings),
+         kn AS (SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.vd, cv.vd), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.vd, cv.vd), 6) DESC,
+                        cv.vec_id) AS rk
+           FROM ve q, ve cv WHERE q.vec_id < 40 AND q.vec_id <> cv.vec_id),
+         cand AS (SELECT query_id, neighbor_id, cos_sim
+           FROM kn WHERE rk <= 8),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM ve a
+           JOIN ve b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.vd, b.vd), 6) >= 0.3),
+         dup AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+         kept AS (SELECT c.* FROM cand c ANTI JOIN dup d
+           ON c.query_id = d.query_id AND c.neighbor_id = d.neighbor_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS neg_rank
+           FROM kept)
+         SELECT query_id, neighbor_id, cos_sim, neg_rank
+         FROM r WHERE neg_rank <= 3""",
     "gram_exposure" ->
       """WITH tt AS (SELECT doc_id,
              list_filter(string_split_regex(trim(lower(text)), '\s+'),

@@ -44,4 +44,41 @@ object Retrieval {
         .as("rrf"))
     TopK.topKPerKey(fused, Seq(qidCol), "rrf", idCol, k)
   }
+
+  /** Hard-negative mining for embedding-training data (the DPR/E5
+    * practice — Karpukhin et al. 2020 §3.2: the most useful negatives
+    * are the highest-scoring NON-positives): given any k-bounded
+    * ranked candidate frame `(query_id, neighbor_id, cos_sim, ...)` —
+    * brute, IVF, PQ, or RRF-fused, the operator is lens-agnostic —
+    * remove candidates that are near-duplicates of their anchor (they
+    * are hidden POSITIVES: training against them teaches the model to
+    * push paraphrases apart) and keep the `kNeg` best remaining per
+    * anchor.
+    *
+    * `pairs` is any undirected near-dup pair frame `(id_a, id_b)`
+    * (LSH, SimHash, cosine, pHash — every family emits this shape).
+    * Bounded end to end: |anchors|·k candidate rows in, |anchors|·kNeg
+    * out; the pair set is near-dup-sized and the anti-join keys on
+    * (query, neighbor) directly. The re-rank window runs on ≤ k rows
+    * per anchor. Output `(query_id, neighbor_id, cos_sim, neg_rank)`.
+    */
+  def hardNegatives(
+      candidates: DataFrame,
+      pairs: DataFrame,
+      kNeg: Int): DataFrame = {
+    require(kNeg > 0, "kNeg must be positive")
+    val dup = pairs.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"))
+      .unionByName(pairs.select(col("id_b").as("query_id"),
+        col("id_a").as("neighbor_id")))
+    val kept = candidates.join(dup,
+      Seq("query_id", "neighbor_id"), "left_anti")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    kept.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= kNeg)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim"), col("neg_rank"))
+  }
 }

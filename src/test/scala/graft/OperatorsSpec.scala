@@ -5036,6 +5036,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: near-dup candidates excluded as hidden" +
+      " positives, ranks re-densify, undirected pair symmetry") {
+    import graft.operators.Retrieval
+    val cands = Seq(
+      (0L, 10L, 0.9), (0L, 11L, 0.8), (0L, 12L, 0.7), (0L, 13L, 0.6),
+      (1L, 10L, 0.5), (1L, 14L, 0.4)
+    ).toDF("query_id", "neighbor_id", "cos_sim")
+    // 10 is a near-dup of anchor 0 (stored reversed: pair symmetry);
+    // 14 is a near-dup of anchor 1
+    val pairs = Seq((10L, 0L), (1L, 14L)).toDF("id_a", "id_b")
+    val got = Retrieval.hardNegatives(cands, pairs, kNeg = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("neg_rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    // anchor 0: 10 excluded, 11 and 12 take ranks 1-2 (13 cut by kNeg)
+    // anchor 1: 14 excluded, 10 is NOT a near-dup of 1 → rank 1
+    assert(got === Map((0L, 1) -> 11L, (0L, 2) -> 12L, (1L, 1) -> 10L))
+  }
+
   test("crossDocGramExposure: hand-computed shared-gram fractions;" +
       " short docs read zero; disjoint docs read zero") {
     val w20 = (1 to 20).map(i => s"w$i").mkString(" ")
