@@ -2785,6 +2785,19 @@ object SparkEntry {
   private def textQualityFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFlags(docs(s, dir), "doc_id", "text")
 
+  /** Embedding-outlier gate: nearest-centroid assignment against the
+    * %100 fixture centroids, per-cluster mean/σ of the member cosine
+    * from pre-rounded sums, z=1 flags; whole chain replayed.
+    */
+  private def embeddingOutliersQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.embeddingOutliers(e, "vec_id", "embedding",
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("__cv")),
+      z = 1.0)
+  }
+
   /** Hard-negative-mining gate: top-8 cosine candidates for anchors
     * vec_id < 40; label-blocked near-dup pairs at tau 0.3 removed as
     * hidden positives; best 3 survivors per anchor re-ranked.
@@ -5604,6 +5617,7 @@ object SparkEntry {
     "tfidf_top_terms" -> (tfidfTopTermsQ _),
     "gram_exposure" -> (gramExposureQ _),
     "mine_hard_negatives" -> (mineHardNegativesQ _),
+    "embedding_outliers" -> (embeddingOutliersQ _),
     "bm25_index_probe"  -> (bm25IndexProbeQ _),
     "bm25_index_append" -> (bm25IndexAppendQ _),
     "streaming_bm25_ingest" -> (streamingBm25IngestQ _),
@@ -7700,6 +7714,29 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
     "text_quality_flags" -> oracleSqlQualityFlags,
     "bm25_score" -> oracleSqlBm25,
+    "embedding_outliers" ->
+      """WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, vd AS cv FROM ve
+           WHERE vec_id % 100 = 0),
+         asg AS (SELECT vec_id, centroid_id, cs FROM (
+             SELECT v.vec_id, c.centroid_id,
+               round(list_cosine_similarity(v.vd, c.cv), 6) AS cs,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.vd, c.cv), 6) DESC,
+                          c.centroid_id) AS rn
+             FROM ve v, c) WHERE rn = 1),
+         st AS (SELECT centroid_id, count(*) AS n,
+             round(sum(cs), 6) AS s1, round(sum(cs * cs), 6) AS s2
+           FROM asg GROUP BY 1),
+         j AS (SELECT a.vec_id, a.centroid_id, a.cs,
+             st.s1 / st.n AS m,
+             sqrt(greatest(st.s2 / st.n
+               - (st.s1 / st.n) * (st.s1 / st.n), 0)) AS sd
+           FROM asg a JOIN st USING (centroid_id))
+         SELECT vec_id, centroid_id, cs AS cos_sim,
+           round(m, 6) AS cluster_mean,
+           cs < m - 1.0 * sd AS flagged
+         FROM j""",
     "mine_hard_negatives" ->
       """WITH ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS vd
            FROM embeddings),

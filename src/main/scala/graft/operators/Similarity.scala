@@ -119,6 +119,56 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  /** Embedding-space outlier detection — the vector-side quality gate
+    * (OOD/noise docs sit far from every topic cluster; dropping or
+    * down-weighting them is standard embedding-curation practice):
+    * assign each vector to its nearest centroid, compute each
+    * cluster's mean/σ of the member→centroid cosine, flag members
+    * more than `z` σ BELOW their cluster mean. Complements SemDeDup's
+    * within-cell near-dup drop — that removes redundancy, this
+    * removes isolation.
+    *
+    * Scale shape: one broadcast-centroid assignment pass (the
+    * [[ivfAssign]] plan, keeping the similarity), one
+    * partial-aggregable per-cluster aggregate (≤ |centroids| rows,
+    * broadcast back), one stateless flag expression. Engine-stable by
+    * the family's conventions: cosines are pre-rounded
+    * ([[graft.functions.VectorExpressions.cosineFast]]), and the
+    * cluster sums round to 6 BEFORE the mean/σ derivation (the bitext
+    * margin convention), so both engines derive identical thresholds.
+    *
+    * Output `(idCol, centroid_id, cos_sim, cluster_mean, flagged)` for
+    * every vector.
+    */
+  def embeddingOutliers(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      z: Double = 2.0): DataFrame = {
+    require(z >= 0, "z must be non-negative")
+    val cents = broadcast(centroids)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos_sim").desc, col("centroid_id").asc)
+    val assigned = vecs.join(cents)
+      .select(col(idCol), col("centroid_id"),
+        cosineFast(col(vecCol), col("__cv")).as("cos_sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("centroid_id"), col("cos_sim"))
+    val stats = assigned.groupBy(col("centroid_id")).agg(
+      count(lit(1)).as("__n"),
+      round(sum(col("cos_sim")), 6).as("__s1"),
+      round(sum(col("cos_sim") * col("cos_sim")), 6).as("__s2"))
+    val m = col("__s1") / col("__n")
+    val sd = sqrt(greatest(
+      col("__s2") / col("__n") - m * m, lit(0.0)))
+    assigned.join(broadcast(stats), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"), col("cos_sim"),
+        round(m, 6).as("cluster_mean"),
+        (col("cos_sim") < m - lit(z) * sd).as("flagged"))
+  }
+
   /** Like [[ivfAssign]] but keeps each vector's `probes` nearest cells
     * (multi-probe): the standard recall knob — a query near a cell
     * boundary also searches the adjacent cell(s). Output rows fan out

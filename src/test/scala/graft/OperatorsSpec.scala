@@ -5036,6 +5036,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingOutliers: isolated member flagged at z=1, aligned" +
+      " members clean, mean/threshold hand-checked") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)), (2L, Array(3f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1f, 0f)))
+      .toDF("centroid_id", "__cv")
+    val got = Similarity.embeddingOutliers(
+      vecs, "vec_id", "embedding", cents, z = 1.0).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("cos_sim"), r.getAs[Double]("cluster_mean"),
+          r.getAs[Boolean]("flagged")))).toMap
+    // sims {1,1,1,0}: mean .75, sd sqrt(.1875)≈.433, cut ≈ .317
+    assert(got(0L) === ((1.0, 0.75, false)))
+    assert(got(1L)._3 === false && got(2L)._3 === false)
+    assert(got(3L) === ((0.0, 0.75, true)))
+  }
+
   test("hardNegatives: near-dup candidates excluded as hidden" +
       " positives, ranks re-densify, undirected pair symmetry") {
     import graft.operators.Retrieval
