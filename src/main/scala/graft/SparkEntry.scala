@@ -2617,6 +2617,31 @@ object SparkEntry {
       idx.m, k = 5, probes = 2)
   }
 
+  /** ANN-index compaction gate: [[annIndexAppendQ]]'s build + append,
+    * folded by [[graft.sources.AnnIndex.compact]] before the search —
+    * codes rows are the data, so the compacted search must return the
+    * appended one's rows exactly (oracle shared verbatim).
+    */
+  private def annIndexCompactQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = trainedResidualCb(e, centroids, dir)
+    val codes = Similarity.ivfPqResidualEncode(
+      e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+      centroids, cb, m = 8)
+    val path = s"/tmp/graft_annidx_cpt_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.AnnIndex.write(path, centroids, cb, codes,
+      m = 8, residual = true)
+    graft.sources.AnnIndex.append(s, path,
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    graft.sources.AnnIndex.compact(s, path, numFiles = 4)
+    val idx = graft.sources.AnnIndex.load(s, path)
+    Similarity.ivfPqResidualTopKEncoded(e.filter(col("vec_id") < 10),
+      idx.codes, "vec_id", "embedding", idx.centroids, idx.codebook,
+      idx.m, k = 5, probes = 2)
+  }
+
   /** Group top-k via the bounded-heap partial-aggregable Aggregator —
     * same result set as q3_window_topn's window plan, produced with no
     * per-key window sort (the skew-safe plan shape).
@@ -5592,6 +5617,7 @@ object SparkEntry {
     "ann_ivfpq_residual" -> (annIvfPqResidualQ _),
     "ann_index_persist" -> (annIndexPersistQ _),
     "ann_index_append" -> (annIndexAppendQ _),
+    "ann_index_compact" -> (annIndexCompactQ _),
     "group_topk"       -> (groupTopKQ _),
     "ngram_freq"       -> (ngramFreqQ _),
     "heavy_hitters"    -> (heavyHittersQ _),
@@ -7500,6 +7526,9 @@ object SparkEntry {
     "ann_ivfpq_residual" -> dkIvfPqResidualSql,
     "ann_index_persist" -> dkIvfPqResidualSql,
     "ann_index_append" -> dkIvfPqResidualSql,
+    // compaction is a pure layout rewrite of the appended index —
+    // bit-identical search, oracle shared verbatim
+    "ann_index_compact" -> dkIvfPqResidualSql,
     "group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -141,6 +141,38 @@ object AnnIndex {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Fold the append-accumulated `codes/` files back to the build
+    * layout — the ANN leg of the family-wide compaction discipline
+    * ([[DedupIndex.compact]] and siblings): every [[append]] adds up
+    * to `numFiles` files, so a year of daily batches leaves thousands
+    * of small files whose listing/open tax every later search load
+    * pays. Codes rows are the DATA here (no membership semantics to
+    * fold), so the rewrite only restores file count and the
+    * clustered-by-`centroid_id` layout — search results are
+    * bit-identical before and after. Same meta-tombstone swap as the
+    * dedup families: a crash mid-compact leaves [[load]] failing
+    * loudly, never live meta over half-swapped codes.
+    *
+    * Caller-error duplicates (an un-deduped replayed append) are NOT
+    * folded — they are real rows to this artifact; run [[append]] with
+    * `dedupeIds = true` if upstream bookkeeping can replay.
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    import spark.implicits._
+    val idx = load(spark, path)
+    val (m, nCodes, residual) = (idx.m, idx.codebook.length, idx.residual)
+    val codes = idx.codes
+    DedupIndex.swapCompacted(spark, path, Seq(
+      "codes" -> { () =>
+        codes.repartition(numFiles, col("centroid_id"))
+          .sortWithinPartitions("centroid_id")
+          .write.mode("overwrite").parquet(s"$path/codes.compact")
+      }), s"$path/meta", () =>
+      Seq((m, nCodes, residual)).toDF("m", "n_codes", "residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
+  }
+
   def load(spark: SparkSession, path: String): Loaded = {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1, s"malformed index meta at $path")

@@ -5036,6 +5036,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("AnnIndex.compact: folds append files, codes row set and meta" +
+      " are bit-identical, numFiles validated") {
+    import graft.sources.AnnIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_annc").toString
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "__cv")
+    def codesDf(ids: Range) = ids.map(i =>
+        (i.toLong, (i % 2).toLong, Seq(i % 4, (i + 1) % 4)))
+      .toDF("neighbor_id", "centroid_id", "codes")
+    AnnIndex.write(path, cents, Array(Array(0.0, 0.0)),
+      codesDf(0 until 8), m = 2, residual = false)
+    // simulate two appends landing extra files
+    codesDf(8 until 12).repartition(4)
+      .write.mode("append").parquet(s"$path/codes")
+    codesDf(12 until 16).repartition(4)
+      .write.mode("append").parquet(s"$path/codes")
+    def rows(): Set[(Long, Long, Seq[Int])] =
+      AnnIndex.load(spark, path).codes.collect()
+        .map(r => (r.getAs[Long]("neighbor_id"),
+          r.getAs[Long]("centroid_id"),
+          r.getAs[scala.collection.Seq[Int]]("codes").toSeq)).toSet
+    def nFiles(): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/codes")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
+    }
+    val before = rows()
+    val filesBefore = nFiles()
+    AnnIndex.compact(spark, path, numFiles = 2)
+    assert(nFiles() === 2 && filesBefore > 2)
+    assert(rows() === before, "compaction rewrites layout, not data")
+    val idx = AnnIndex.load(spark, path)
+    assert(idx.m === 2 && !idx.residual && idx.codebook.length === 1)
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.compact(spark, path, numFiles = 0)
+    }
+  }
+
   test("embeddingOutliers: isolated member flagged at z=1, aligned" +
       " members clean, mean/threshold hand-checked") {
     val vecs = Seq(
