@@ -2928,6 +2928,37 @@ object SparkEntry {
     bm25Project(graft.sources.RetrievalIndex.score(s, idx, Bm25Queries))
   }
 
+  /** Streaming-probe gate: the fixed query set ARRIVES as a stream
+    * against the frozen full-corpus index; frozen state makes scores
+    * independent of micro-batching, so the union of batch outputs
+    * hash-matches the direct one-pass oracle verbatim.
+    */
+  private def streamingBm25ProbeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = s"/tmp/graft_bm25prb_${Integer.toHexString(dir.hashCode)}"
+    val out = s"/tmp/graft_bm25prb_out_${Integer.toHexString(dir.hashCode)}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(out).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    graft.sources.RetrievalIndex.build(docs(s, dir), "doc_id", "text", idx)
+    val qdir = s"$idx/__probe_queries"
+    Bm25Queries.toDF("qid", "qtext")
+      .coalesce(1).write.mode("overwrite").parquet(qdir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qtext",
+        org.apache.spark.sql.types.StringType)))
+    graft.streaming.StreamingRetrieval.probeStream(
+        s.readStream.schema(schema).parquet(qdir), idx, out,
+        "qid", "qtext")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    bm25Project(s.read.parquet(out))
+  }
+
   /** Hybrid retrieval gate: reciprocal-rank fusion (Cormack et al.
     * 2009) of the BM25 lexical top-10 and the embedding-cosine top-10
     * for qids 0-2 (the vector side probes with vec_id = qid). Both
@@ -5647,6 +5678,7 @@ object SparkEntry {
     "bm25_index_probe"  -> (bm25IndexProbeQ _),
     "bm25_index_append" -> (bm25IndexAppendQ _),
     "streaming_bm25_ingest" -> (streamingBm25IngestQ _),
+    "streaming_bm25_probe"  -> (streamingBm25ProbeQ _),
     "retrieval_hybrid_rrf"  -> (retrievalHybridRrfQ _),
     "text_normalize"    -> (textNormalizeQ _),
     "doc_char_fingerprint" -> (docCharFingerprintQ _),
@@ -7836,6 +7868,7 @@ object SparkEntry {
     "bm25_index_probe" -> oracleSqlBm25,
     "bm25_index_append" -> oracleSqlBm25,
     "streaming_bm25_ingest" -> oracleSqlBm25,
+    "streaming_bm25_probe" -> oracleSqlBm25,
     "retrieval_hybrid_rrf" -> oracleSqlHybridRrf,
     "license_tag" ->
       """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
