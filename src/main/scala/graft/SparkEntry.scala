@@ -2838,6 +2838,15 @@ object SparkEntry {
       kNeg = 3)
   }
 
+  /** Code-point-entropy gate: the information-density quality signal,
+    * computed by the codegen'd native expression and replayed from a
+    * per-char histogram in DuckDB.
+    */
+  private def charEntropyQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
+        .as("entropy"))
+
   /** Memorization-exposure gate: per-doc fraction of 13-gram positions
     * shared with another doc; the oracle replays grams as TEXT (md5-
     * free membership), so the gate also witnesses that the 128-bit
@@ -5673,6 +5682,7 @@ object SparkEntry {
     "bm25_score"   -> (bm25ScoreQ _),
     "tfidf_top_terms" -> (tfidfTopTermsQ _),
     "gram_exposure" -> (gramExposureQ _),
+    "char_entropy"  -> (charEntropyQ _),
     "mine_hard_negatives" -> (mineHardNegativesQ _),
     "embedding_outliers" -> (embeddingOutliersQ _),
     "bm25_index_probe"  -> (bm25IndexProbeQ _),
@@ -7798,6 +7808,16 @@ object SparkEntry {
            round(m, 6) AS cluster_mean,
            cs < m - 1.0 * sd AS flagged
          FROM j""",
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents),
+         cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+         e AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n,
+             sum(k * log2(k)) AS s FROM cc GROUP BY 1)
+         SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NULL THEN 0.0
+                ELSE round(log2(e.n) - e.s / e.n, 6) END AS entropy
+         FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""",
     "mine_hard_negatives" ->
       """WITH ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS vd
            FROM embeddings),

@@ -581,6 +581,41 @@ case class Hash60ArrayExpr(child: Expression, mod: Long = 0L)
     copy(child = c)
 }
 
+/** Shannon entropy (bits) of a string's code-point distribution — the
+  * information-density quality signal (near-zero for repeated filler,
+  * anomalously high for random/binary-in-text junk; a standard cheap
+  * gate alongside the Gopher ratios). One JVM pass per row with a
+  * bounded TreeMap (alphabet-sized); real `doGenCode` so the corpus
+  * quality scan stays inside whole-stage codegen like the other hot
+  * text kernels.
+  */
+case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy needs string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNative.charEntropy($c);")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
+    copy(child = c)
+}
+
 /** Unicode canonicalization for dedup keys: NFD-decompose, drop every
   * combining mark, NFC-recompose, lowercase (root locale). Matches
   * DuckDB's `lower(strip_accents(nfc_normalize(s)))` for Latin

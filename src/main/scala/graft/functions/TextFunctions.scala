@@ -76,6 +76,14 @@ object TextFunctions {
     toColumn(ShinglesExpr(toExpression(text), n))
   }
 
+  /** Shannon entropy (bits) of the code-point distribution
+    * ([[CharEntropyExpr]], codegen'd); raw double — callers round.
+    */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnCompat._
+    toColumn(CharEntropyExpr(toExpression(text)))
+  }
+
   /** 60-bit hashes of a shingle set (native [[Hash60ArrayExpr]],
     * bit-identical to mapping [[hash60]]).
     */

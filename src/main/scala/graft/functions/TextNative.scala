@@ -117,4 +117,36 @@ object TextNative {
     }
     new GenericArrayData(out)
   }
+
+  /** [[graft.functions.CharEntropyExpr]]: Shannon entropy (bits) of the
+    * CODE-POINT distribution — `log2(n) − (Σ c·log2 c)/n`, with the sum
+    * taken in ascending code-point order so the double is deterministic
+    * for a given text. Empty input reads 0.0. Code points, not grapheme
+    * clusters: a combining sequence counts as its parts (the oracle's
+    * splitter only diverges on combining marks, which the gate corpus
+    * does not contain — the spec pins the code-point contract).
+    */
+  def charEntropy(input: UTF8String): Double = {
+    val s = input.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, java.lang.Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val prev = counts.get(Integer.valueOf(cp))
+      counts.put(Integer.valueOf(cp),
+        java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue + 1L))
+      i += Character.charCount(cp)
+      n += 1
+    }
+    val ln2 = math.log(2.0)
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().doubleValue
+      acc += c * (math.log(c) / ln2)
+    }
+    math.log(n.toDouble) / ln2 - acc / n
+  }
 }

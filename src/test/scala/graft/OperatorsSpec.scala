@@ -5093,6 +5093,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) === ((0.0, 0.75, true)))
   }
 
+  test("charEntropy: hand values (uniform/binary/empty), code-point" +
+      " multibyte contract, codegen bit-equals interpreted") {
+    import graft.functions.TextFunctions.charEntropy
+    val d = Seq((0L, "aaaa"), (1L, "abab"), (2L, "abcd"), (3L, ""),
+      (4L, "€€aa"), (5L, "aab")).toDF("id", "text")
+    def run(): Map[Long, Double] = d
+      .select(col("id"), charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val interpreted = run()
+    assert(interpreted(0L) === 0.0)
+    assert(interpreted(1L) === 1.0)
+    assert(interpreted(2L) === 2.0)
+    assert(interpreted(3L) === 0.0)
+    assert(interpreted(4L) === 1.0) // € counts as ONE code point
+    // H(2/3,1/3) = log2(3) - (2*1)/3
+    assert(math.abs(interpreted(5L) -
+      (math.log(3) / math.log(2) - 2.0 / 3)) < 1e-12)
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "true")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(run() === interpreted)
+    finally {
+      conf.set("spark.sql.codegen.fallback", "true")
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("hardNegatives: near-dup candidates excluded as hidden" +
       " positives, ranks re-densify, undirected pair symmetry") {
     import graft.operators.Retrieval
