@@ -938,6 +938,79 @@ object Stress {
         f"$tBuild%.2f -> $tGrown%.2f -> $tComp%.2f s " +
         f"(compact itself $tCompact%.2f s, survivors $nComp)")
     }
+    if (runCase("bm25_index_10x")) {
+      // the retrieval-index claims, measured: (a) the In-filter
+      // pushdown makes probe SCAN cost track query-term hits, not
+      // index size; (b) appends grow the file count linearly and
+      // compact() returns it to build level with probe score parity
+      import graft.sources.RetrievalIndex
+      val path = "/tmp/graft_stress_bm25idx"
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      def pfiles(): Int = {
+        def n(d: String): Int = {
+          val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+          if (!fs.exists(p)) 0
+          else {
+            val it = fs.listFiles(p, true)
+            var c = 0
+            while (it.hasNext) {
+              if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+            }
+            c
+          }
+        }
+        n("postings") + n("batch_postings")
+      }
+      val queries = Seq(0L -> "spark window merge",
+        1L -> "hash join table scan", 2L -> "customer vector stream")
+      def scoreTimed(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = RetrievalIndex.score(spark, path, queries).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      RetrievalIndex.build(base, "doc_id", "text", path, numFiles = 32)
+      val buildFiles = pfiles()
+      val (tBuild, nBuild) = scoreTimed()
+      // pushdown A/B on the hit-selection leg alone: identical join,
+      // with vs without the In filter reaching the parquet scan
+      import spark.implicits._
+      val idx = RetrievalIndex.load(spark, path)
+      val qterms = queries.flatMap { case (q, s) =>
+        s.split(" ").map(t => (q, t))
+      }.toDF("qid", "term")
+      val terms = queries.flatMap(_._2.split(" ")).distinct
+      // wall time is task-overhead-dominated at this artifact size
+      // (~tens of MB); the load-bearing number is rows LEAVING the
+      // scan into the join — what the In pushdown + range layout
+      // bound at any scale
+      // rows ENTERING the join probe with vs without the pushdown —
+      // the quantity the In filter + range layout bound at any scale
+      // (wall time at this artifact size is task-overhead noise)
+      val rPush = idx.postings
+        .filter(col("term").isin(terms: _*)).count()
+      val rFull = idx.postings.count()
+      for (r <- 0 until 8)
+        RetrievalIndex.append(spark, path,
+          docs.filter(col("doc_id") % 16 === 2 * r + 1), "doc_id",
+          "text", s"s$r")
+      val grownFiles = pfiles()
+      val (tGrown, _) = scoreTimed()
+      val t0c = System.nanoTime()
+      RetrievalIndex.compact(spark, path, numFiles = 32)
+      val tCompact = (System.nanoTime() - t0c) / 1e9
+      val compFiles = pfiles()
+      val (tComp, nComp) = scoreTimed()
+      require(compFiles <= buildFiles + 1,
+        s"file count did not return to build level: $compFiles")
+      println(f"STRESS bm25_index_10x files " +
+        f"$buildFiles -> $grownFiles -> $compFiles, probe " +
+        f"$tBuild%.2f -> $tGrown%.2f -> $tComp%.2f s " +
+        f"(compact $tCompact%.2f s, join-input rows with pushdown " +
+        f"$rPush%d vs without $rFull%d, scored rows $nBuild -> $nComp)")
+    }
     spark.stop()
   }
 }
