@@ -2069,6 +2069,36 @@ object SparkEntry {
     * quality predicate into the curation chain's length-gate CTE over
     * the same planted corpus.
     */
+  /** Shared recycled-span passage for the exposure-curation gate: 28
+    * words, so every %13 doc carries 16 fully-inside (shared) grams
+    * and 3 tail-crossing (unique) ones — exposure 16/19 ≈ 0.84.
+    */
+  private val CurateExposurePassage: String =
+    "the shared benchmark passage about distributed query engines " +
+      "repeats verbatim across many crawled documents and therefore " +
+      "every one of its thirteen word windows appears in numerous " +
+      "other places"
+
+  /** Entropy + memorization-exposure curation gate: every 17th doc is
+    * replanted as near-zero-entropy filler (dropped by the entropy
+    * gate), every other 13th as a recycled passage + unique tail
+    * (survives entropy and exact dedup, drops at the exposure cap).
+    * Oracle replays length gate → entropy histogram gate →
+    * exact-normalized dedup → shared-gram exposure on the survivors →
+    * split hash.
+    */
+  private def curateExposureQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 17 === 0, expr("repeat('aa ', 120)"))
+        .when(col("doc_id") % 13 === 0,
+          concat(lit(CurateExposurePassage), lit(" uniq tail "),
+            col("doc_id").cast("string")))
+        .otherwise(col("text")))
+    graft.operators.Pipeline.curate(planted, "doc_id", "text",
+      entropyRange = (2.0, 10.0), maxGramExposure = 0.5)
+      .select(col("doc_id"), col("split"))
+  }
+
   private def curateQualityQ(s: SparkSession, dir: String): DataFrame = {
     val planted = docs(s, dir).withColumn("text",
       when(col("doc_id") % 11 === 0,
@@ -5638,6 +5668,7 @@ object SparkEntry {
     "curate_classifier" -> (curateClassifierQ _),
     "curate_decon_exact" -> (curateDeconExactQ _),
     "curate_quality"   -> (curateQualityQ _),
+    "curate_exposure"  -> (curateExposureQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -6815,6 +6846,47 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM cex)""",
     "curate_quality" -> dkCurateQuality,
+    "curate_exposure" ->
+      s"""WITH src AS (SELECT doc_id, CASE
+           WHEN doc_id % 17 = 0 THEN repeat('aa ', 120)
+           WHEN doc_id % 13 = 0
+             THEN '$CurateExposurePassage uniq tail ' || CAST(doc_id AS VARCHAR)
+           ELSE text END AS text
+         FROM documents),
+         lg AS (SELECT * FROM src WHERE length(text) >= 1),
+         cc AS (SELECT doc_id, c, count(*) AS k FROM (SELECT doc_id,
+             unnest(string_split(text, '')) AS c FROM lg) GROUP BY 1, 2),
+         en AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n,
+             sum(k * log2(k)) AS s FROM cc GROUP BY 1),
+         eg AS (SELECT lg.doc_id, lg.text FROM lg JOIN en USING (doc_id)
+           WHERE log2(en.n) - en.s / en.n >= 2.0
+             AND log2(en.n) - en.s / en.n <= 10.0),
+         ex AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn FROM eg) WHERE rn = 1),
+         tt AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               w -> len(w) > 0) AS ws FROM ex),
+         tg AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+           FROM (SELECT doc_id, ws, unnest(CASE WHEN len(ws) >= 13
+               THEN range(1, len(ws) - 11) ELSE [] END) AS i FROM tt)),
+         nd AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c2
+             FROM tg GROUP BY 1) WHERE c2 >= 2),
+         tot AS (SELECT doc_id, count(*) AS ng FROM tg GROUP BY 1),
+         dup AS (SELECT doc_id, count(*) AS dg
+           FROM tg SEMI JOIN nd USING (g) GROUP BY 1),
+         keep AS (SELECT ex.doc_id FROM ex
+           LEFT JOIN tot ON ex.doc_id = tot.doc_id
+           LEFT JOIN dup ON ex.doc_id = dup.doc_id
+           WHERE CASE WHEN coalesce(tot.ng, 0) = 0 THEN 0.0
+             ELSE round(CAST(coalesce(dup.dg, 0) AS DOUBLE) / tot.ng, 6)
+             END <= 0.5)
+         SELECT doc_id, CASE WHEN h < 800000 THEN 'train'
+             WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+           FROM keep)""",
     "dedup_index_persist" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
          min(doc_id) AS keep_id

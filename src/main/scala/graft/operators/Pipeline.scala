@@ -75,6 +75,7 @@ object Pipeline {
       qualityFilter: Boolean = false,
       maxRepetition: Double = 0.3,
       maxSymbolRatio: Double = 0.2,
+      entropyRange: (Double, Double) = (0.0, Double.MaxValue),
       qualityModel: Option[Classifier.Model] = None,
       maxQualityScore: Double = 1.0,
       stripBoilerplate: Boolean = false,
@@ -87,6 +88,8 @@ object Pipeline {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
+      maxGramExposure: Double = 1.0,
+      exposureNgrams: Int = 13,
       decontaminateBroadcastProbe: Boolean = true,
       decontaminateMaxBucketSize: Int = 0,
       decontaminateExactNgrams: Int = 0,
@@ -173,6 +176,15 @@ object Pipeline {
       d = d.filter(rep <= maxRepetition && sym <= maxSymbolRatio)
       snap("quality_gate", d)
     }
+    // entropy gate beside the other per-row heuristics: the codegen'd
+    // code-point-entropy expression pipelines into the scan; both ends
+    // of the range are junk signals (near-zero = repeated filler,
+    // anomalously high = random/binary-in-text)
+    if (entropyRange._1 > 0.0 || entropyRange._2 < Double.MaxValue) {
+      val ent = graft.functions.TextFunctions.charEntropy(col(textCol))
+      d = d.filter(ent >= entropyRange._1 && ent <= entropyRange._2)
+      snap("entropy_gate", d)
+    }
     // model-based quality gating (the DCLM/fastText filter deployment):
     // a TRAINED [[Classifier.Model]]'s score is a pure per-row
     // expression, so like the heuristic gate above it pipelines into
@@ -253,6 +265,21 @@ object Pipeline {
       .select(col("keep_id").as(idCol))
     d = d.join(keepExact, Seq(idCol), "left_semi")
     snap("exact_dedup", d)
+    // memorization-exposure gate ON THE EXACT-DEDUP SURVIVORS (an
+    // exact-dup family collapses to one doc first, so its survivor is
+    // judged only against genuinely OTHER text): docs whose shared-
+    // 13-gram position fraction exceeds the cap are mostly recycled
+    // spans and drop whole — the doc-level policy complement of the
+    // substring REWRITE stage above (that trims spans; this drops
+    // recycled documents outright)
+    if (maxGramExposure < 1.0) {
+      val keepLow = Dedup.crossDocGramExposure(
+          d, idCol, textCol, exposureNgrams)
+        .filter(col("exposure") <= maxGramExposure)
+        .select(col(idCol))
+      d = d.join(keepLow, Seq(idCol), "left_semi")
+      snap("gram_exposure_gate", d)
+    }
     // CCNet LM gate (`ccnetBucketBy` names the grouping column, e.g.
     // lang): per-group perplexity terciles computed ON THE DEDUPED
     // SURVIVORS — the paper's stage order (dedup, then LM filter, so
