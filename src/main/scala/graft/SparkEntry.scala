@@ -3936,6 +3936,23 @@ object SparkEntry {
       "stream_curate").select(col("text_hash"))
   }
 
+  /** Streaming entropy-gate twin: the near-zero-entropy plant streams
+    * through [[graft.operators.Pipeline.curateStream]]'s stateless
+    * entropy predicate (dedup off — pure per-row stages, so the
+    * surviving set is arrival-order-free and the batch oracle replays
+    * verbatim).
+    */
+  private def streamingCurateEntropyQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docStream(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, expr("repeat('aa ', 120)"))
+          .otherwise(col("text")).as("text"))
+    runStreamToTable(s,
+      graft.operators.Pipeline.curateStream(planted, "doc_id", "text",
+        entropyRange = (2.0, 10.0), exactDedup = false),
+      "stream_curate_entropy").select(col("doc_id"), col("split"))
+  }
+
   /** SemDeDup curate-stage gate: length gate → exact dedup → semantic
     * drop (embeddings of SURVIVORS only, fixture centroids, tau 0.3) →
     * split. At sf0.1 the embeddings table covers only the first 2000
@@ -5669,6 +5686,7 @@ object SparkEntry {
     "curate_decon_exact" -> (curateDeconExactQ _),
     "curate_quality"   -> (curateQualityQ _),
     "curate_exposure"  -> (curateExposureQ _),
+    "streaming_curate_entropy" -> (streamingCurateEntropyQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -6846,6 +6864,23 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM cex)""",
     "curate_quality" -> dkCurateQuality,
+    "streaming_curate_entropy" ->
+      s"""WITH src AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+           THEN repeat('aa ', 120) ELSE text END AS text
+         FROM documents),
+         lg AS (SELECT * FROM src WHERE length(text) >= 1),
+         cc AS (SELECT doc_id, c, count(*) AS k FROM (SELECT doc_id,
+             unnest(string_split(text, '')) AS c FROM lg) GROUP BY 1, 2),
+         en AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n,
+             sum(k * log2(k)) AS s FROM cc GROUP BY 1),
+         eg AS (SELECT lg.doc_id FROM lg JOIN en USING (doc_id)
+           WHERE log2(en.n) - en.s / en.n >= 2.0
+             AND log2(en.n) - en.s / en.n <= 10.0)
+         SELECT doc_id, CASE WHEN h < 800000 THEN 'train'
+             WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+           FROM eg)""",
     "curate_exposure" ->
       s"""WITH src AS (SELECT doc_id, CASE
            WHEN doc_id % 17 = 0 THEN repeat('aa ', 120)

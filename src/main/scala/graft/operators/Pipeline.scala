@@ -515,6 +515,7 @@ object Pipeline {
       qualityFilter: Boolean = false,
       maxRepetition: Double = 0.3,
       maxSymbolRatio: Double = 0.2,
+      entropyRange: (Double, Double) = (0.0, Double.MaxValue),
       qualityModel: Option[Classifier.Model] = None,
       maxQualityScore: Double = 1.0,
       exactDedup: Boolean = true,
@@ -547,6 +548,14 @@ object Pipeline {
     if (qualityFilter) {
       val (rep, sym) = TextAnalysis.qualityRatios(col(textCol))
       d = d.filter(rep <= maxRepetition && sym <= maxSymbolRatio)
+    }
+    // entropy gate: stateless per-row expression, streams like the
+    // heuristics above (the exposure CAP deliberately has no stream
+    // form - cross-doc gram counts over an unbounded stream are
+    // global state; cap at the batch backfill)
+    if (entropyRange._1 > 0.0 || entropyRange._2 < Double.MaxValue) {
+      val ent = graft.functions.TextFunctions.charEntropy(col(textCol))
+      d = d.filter(ent >= entropyRange._1 && ent <= entropyRange._2)
     }
     qualityModel.foreach { m =>
       d = d.filter(
