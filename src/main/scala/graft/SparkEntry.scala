@@ -2471,6 +2471,22 @@ object SparkEntry {
     Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 5,
       centroidPred = col("vec_id") % 100 === 0)
 
+  /** ANN recall gate: IVF top-5 measured against the brute-force
+    * ground truth for query vec_id < 50 — the recall/latency trade
+    * quantified; the oracle replays BOTH retrievers and the per-query
+    * hit fraction.
+    */
+  private def retrievalRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val truth = Similarity.knnBruteForce(e.filter(col("vec_id") < 50), e,
+      "vec_id", "embedding", k = 5)
+    val cand = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
+        centroidPred = col("vec_id") % 100 === 0)
+      .filter(col("query_id") < 50)
+    graft.operators.Retrieval.recallAtK(cand, truth,
+      "query_id", "neighbor_id", "knn_rank", k = 5)
+  }
+
   private def annIvfMultiprobeQ(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 5,
       centroidPred = col("vec_id") % 100 === 0, probes = 2)
@@ -5734,6 +5750,7 @@ object SparkEntry {
     "char_entropy"  -> (charEntropyQ _),
     "mine_hard_negatives" -> (mineHardNegativesQ _),
     "embedding_outliers" -> (embeddingOutliersQ _),
+    "retrieval_recall" -> (retrievalRecallQ _),
     "bm25_index_probe"  -> (bm25IndexProbeQ _),
     "bm25_index_append" -> (bm25IndexAppendQ _),
     "streaming_bm25_ingest" -> (streamingBm25IngestQ _),
@@ -7541,6 +7558,40 @@ object SparkEntry {
     "ann_lsh_buckets" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings)
          SELECT vec_id, CAST($dkLshBucketExpr AS BIGINT) AS bucket FROM v""",
+    "retrieval_recall" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         asg AS (SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                          centroid_id) AS rn
+             FROM v, c) WHERE rn = 1),
+         ij AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(av.vd, bv.vd), 6) AS cos_sim
+           FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+             AND a.vec_id <> b.vec_id
+           JOIN v av ON av.vec_id = a.vec_id
+           JOIN v bv ON bv.vec_id = b.vec_id
+           WHERE a.vec_id < 50),
+         cand AS (SELECT query_id, neighbor_id FROM (SELECT *,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rk FROM ij)
+           WHERE rk <= 5),
+         bj AS (SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.vd, cv.vd), 6) DESC,
+                        cv.vec_id) AS rk
+           FROM v q, v cv WHERE q.vec_id < 50 AND q.vec_id <> cv.vec_id),
+         truth AS (SELECT query_id, neighbor_id FROM bj WHERE rk <= 5)
+         SELECT t.query_id, count(*) AS n_truth,
+           CAST(count(c2.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(c2.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall
+         FROM truth t LEFT JOIN cand c2
+           ON t.query_id = c2.query_id AND t.neighbor_id = c2.neighbor_id
+         GROUP BY 1""",
     "ann_ivf_topk" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
            FROM embeddings WHERE vec_id % 100 = 0),

@@ -45,6 +45,37 @@ object Retrieval {
     TopK.topKPerKey(fused, Seq(qidCol), "rrf", idCol, k)
   }
 
+  /** Ranked-retrieval recall@k — how every ANN deployment quantifies
+    * its recall/latency trade (the FAISS benchmarking practice): the
+    * fraction of the ground-truth top-k a candidate retriever also
+    * returned, per query. Both inputs are k-BOUNDED ranked frames
+    * `(qidCol, idCol, rankCol)` (brute truth vs IVF/PQ/LSH candidates,
+    * or any two retrievers against each other), so the comparison is
+    * one bounded join + a per-query aggregate — |queries|·k rows
+    * total, nothing corpus-sized. Output
+    * `(qidCol, n_truth, n_hit, recall)`; queries absent from the
+    * candidate frame honestly read recall 0.
+    */
+  def recallAtK(
+      candidates: DataFrame,
+      truth: DataFrame,
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = candidates.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), lit(1).as("__hit"))
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol))
+    t.join(c, Seq(qidCol, idCol), "left")
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_truth"), 6))
+  }
+
   /** Hard-negative mining for embedding-training data (the DPR/E5
     * practice — Karpukhin et al. 2020 §3.2: the most useful negatives
     * are the highest-scoring NON-positives): given any k-bounded

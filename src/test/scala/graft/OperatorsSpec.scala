@@ -5093,6 +5093,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) === ((0.0, 0.75, true)))
   }
 
+  test("recallAtK: hand-counted hit fractions; candidate-less query" +
+      " reads 0; ranks beyond k ignored") {
+    import graft.operators.Retrieval
+    val truth = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3),
+      (2L, 30L, 1)).toDF("qid", "nid", "rk")
+    val cand = Seq((0L, 11L, 1), (0L, 99L, 2), (0L, 12L, 3),
+      (0L, 10L, 4), // beyond k=3: must NOT count
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3)
+    ).toDF("qid", "nid", "rk")
+    val got = Retrieval.recallAtK(cand, truth, "qid", "nid", "rk", k = 3)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("recall")))).toMap
+    assert(got(0L) === ((3L, 2L, 0.666667))) // 11,12 hit; 10 at rank 4
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((1L, 0L, 0.0)))
+  }
+
   test("charEntropy: hand values (uniform/binary/empty), code-point" +
       " multibyte contract, codegen bit-equals interpreted") {
     import graft.functions.TextFunctions.charEntropy
