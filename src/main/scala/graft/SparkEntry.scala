@@ -1314,6 +1314,13 @@ object SparkEntry {
     Dedup.connectedComponents(
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text"))
 
+  /** Cluster-size-report gate over the LSH pair graph; oracle folds
+    * the recursive-CTE components to the size histogram.
+    */
+  private def dedupClusterReportQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.componentSizeReport(
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text"))
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text")
 
@@ -5598,6 +5605,7 @@ object SparkEntry {
     "dedup_lsh_char"   -> (dedupLshCharQ _),
     "dedup_drop_near"  -> (dedupDropNear _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_cluster_report" -> (dedupClusterReportQ _),
     "dedup_simhash"    -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
@@ -6606,6 +6614,21 @@ object SparkEntry {
            SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
          )
          SELECT id, min(label) AS component FROM cc GROUP BY id""",
+    "dedup_cluster_report" ->
+      s"""WITH RECURSIVE pairs AS ($dkLshPairs),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS id, src AS label FROM edges
+           UNION
+           SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+         ),
+         comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+         sz AS (SELECT component, count(*) AS cluster_size
+           FROM comp GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           cluster_size * count(*) AS n_docs
+         FROM sz GROUP BY 1""",
     "dedup_simhash" -> dkSimhash,
     "dedup_simhash_pairs" -> {
       val bandSelects = (0 until 4).map { b =>

@@ -655,6 +655,25 @@ object Dedup {
       filter(split(trim(lower(col(textCol))), "\\s+"),
         w => length(w) > 0), n)).as("__h"): _*)
 
+  /** Duplicate-cluster size histogram — the "how much mass sits in
+    * dup clusters, and how big do they get" report a dedup rollout
+    * decision reads (a corpus with ten 10k-doc viral clusters needs a
+    * different plan than one with a million pairs): component sizes
+    * over the near-dup pair graph, folded to one row per size. Output
+    * `(cluster_size, n_clusters, n_docs)`, ≤ |distinct sizes| rows —
+    * singletons (docs with no near-dup edge) are by construction not
+    * in the pair graph and not counted; subtract `Σ n_docs` from the
+    * corpus count for them.
+    */
+  def componentSizeReport(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** Per-document CROSS-doc duplication exposure — the memorization-
     * risk ranking of the dedup-analysis family (Lee et al. 2022 §5 /
     * Carlini et al. 2022 connect duplicated training spans to verbatim
