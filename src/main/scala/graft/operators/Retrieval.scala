@@ -76,6 +76,35 @@ object Retrieval {
         round(col("n_hit").cast("double") / col("n_truth"), 6))
   }
 
+  /** Mean-reciprocal-rank companion to [[recallAtK]]: per query, the
+    * reciprocal rank of the FIRST candidate that appears in the
+    * ground-truth top-k (0.0 when none does) — the position-sensitive
+    * retrieval metric (recall says whether truth was found, RR says
+    * how high). Same bounded shapes: k-bounded frames in, one join +
+    * one min aggregate, |queries| rows out. `rr` rounds to 6 (1/3 is
+    * not exact; the cross-engine convention). Macro-average the
+    * column for the headline MRR.
+    */
+  def reciprocalRankAtK(
+      candidates: DataFrame,
+      truth: DataFrame,
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = candidates.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), col(rankCol).cast("int").as("__crk"))
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol))
+    t.join(c, Seq(qidCol, idCol), "left")
+      .groupBy(col(qidCol))
+      .agg(min(col("__crk")).as("first_hit_rank"))
+      .select(col(qidCol), col("first_hit_rank"),
+        coalesce(round(lit(1.0) / col("first_hit_rank"), 6), lit(0.0))
+          .as("rr"))
+  }
+
   /** Hard-negative mining for embedding-training data (the DPR/E5
     * practice — Karpukhin et al. 2020 §3.2: the most useful negatives
     * are the highest-scoring NON-positives): given any k-bounded

@@ -5112,6 +5112,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("reciprocalRankAtK: first-hit ranks, no-hit reads 0, candidate" +
+      " rank beyond k ignored") {
+    import graft.operators.Retrieval
+    val truth = Seq((0L, 10L, 1), (0L, 11L, 2),
+      (1L, 20L, 1), (2L, 30L, 1)).toDF("qid", "nid", "rk")
+    val cand = Seq((0L, 99L, 1), (0L, 11L, 2), (0L, 10L, 3),
+      (1L, 20L, 4), // beyond k=3
+      (2L, 31L, 1)).toDF("qid", "nid", "rk")
+    val got = Retrieval.reciprocalRankAtK(cand, truth,
+        "qid", "nid", "rk", k = 3).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("rr")).toMap
+    assert(got === Map(0L -> 0.5, 1L -> 0.0, 2L -> 0.0))
+  }
+
   test("charEntropy: hand values (uniform/binary/empty), code-point" +
       " multibyte contract, codegen bit-equals interpreted") {
     import graft.functions.TextFunctions.charEntropy
