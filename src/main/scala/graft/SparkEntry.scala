@@ -2922,6 +2922,22 @@ object SparkEntry {
   private def gramExposureQ(s: SparkSession, dir: String): DataFrame =
     Dedup.crossDocGramExposure(docs(s, dir), "doc_id", "text")
 
+  /** Script-detection gate: every 19th doc replanted as Cyrillic,
+    * every 19th+5 as CJK-mixed, one as Arabic — testdata is
+    * Latin-only, so the plants make every script lane load-bearing;
+    * counts, fractions, and the precedence CASE replayed.
+    */
+  private def scriptRatiosQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 19 === 0,
+        lit("Привет мир это русский текст документа"))
+        .when(col("doc_id") % 19 === 5,
+          lit("日本語のテキスト mixed with ラテン and 漢字"))
+        .when(col("doc_id") === 7, lit("مرحبا بالعالم"))
+        .otherwise(col("text")))
+    TextAnalysis.scriptRatios(planted, "doc_id", "text")
+  }
+
   /** Keyword-extraction gate: each doc's top-3 terms by tf × smooth
     * idf; tokenization, tf, df, the sklearn idf, and the rounded-
     * score/term-ASC ranking all replayed.
@@ -5770,6 +5786,7 @@ object SparkEntry {
     "tfidf_top_terms" -> (tfidfTopTermsQ _),
     "gram_exposure" -> (gramExposureQ _),
     "char_entropy"  -> (charEntropyQ _),
+    "script_ratios" -> (scriptRatiosQ _),
     "mine_hard_negatives" -> (mineHardNegativesQ _),
     "embedding_outliers" -> (embeddingOutliersQ _),
     "retrieval_recall" -> (retrievalRecallQ _),
@@ -8040,6 +8057,32 @@ object SparkEntry {
            round(m, 6) AS cluster_mean,
            cs < m - 1.0 * sd AS flagged
          FROM j""",
+    "script_ratios" ->
+      """WITH src AS (SELECT doc_id, CASE
+           WHEN doc_id % 19 = 0 THEN 'Привет мир это русский текст документа'
+           WHEN doc_id % 19 = 5 THEN '日本語のテキスト mixed with ラテン and 漢字'
+           WHEN doc_id = 7 THEN 'مرحبا بالعالم'
+           ELSE text END AS text FROM documents),
+         c AS (SELECT doc_id,
+             length(regexp_replace(text, '\s', '', 'g')) AS n,
+             length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS l,
+             length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS cy,
+             length(regexp_replace(text,
+               '[^\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]', '', 'g')) AS k,
+             length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) AS a
+           FROM src)
+         SELECT doc_id,
+           round(CAST(l AS DOUBLE) / greatest(n, 1), 6) AS frac_latin,
+           round(CAST(cy AS DOUBLE) / greatest(n, 1), 6) AS frac_cyrillic,
+           round(CAST(k AS DOUBLE) / greatest(n, 1), 6) AS frac_cjk,
+           round(CAST(a AS DOUBLE) / greatest(n, 1), 6) AS frac_arabic,
+           CASE WHEN n = 0 THEN 'empty'
+                WHEN l + cy + k + a = 0 THEN 'other'
+                WHEN l >= cy AND l >= k AND l >= a THEN 'latin'
+                WHEN cy >= k AND cy >= a THEN 'cyrillic'
+                WHEN k >= a THEN 'cjk'
+                ELSE 'arabic' END AS script
+         FROM c""",
     "char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
            FROM documents),

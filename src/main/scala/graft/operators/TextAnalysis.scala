@@ -503,6 +503,49 @@ object TextAnalysis {
       .agg(sum(col("__s")).as("score"))
   }
 
+  /** Unicode script-ratio detection — the routing signal UPSTREAM of
+    * language ID (a CJK doc should never enter a Latin-alphabet
+    * n-gram model, and mixed-script spam shows as no dominant
+    * script): per-doc fractions of non-whitespace characters in the
+    * Latin / Cyrillic / CJK (Han+kana+Hangul) / Arabic scripts, plus
+    * a dominant-script label with a fixed precedence tie-break.
+    * Pure `regexp_replace` counting — scan-pipelined, no UDF; the
+    * Java `\p{IsXxx}` classes and RE2's `\p{Xxx}` agree on these
+    * scripts, which is what makes the oracle exact.
+    *
+    * Output `(idCol, frac_latin, frac_cyrillic, frac_cjk,
+    * frac_arabic, script)`; fracs round to 6; `script` is `empty` for
+    * whitespace-only docs and `other` when no listed script occurs.
+    */
+  def scriptRatios(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(classes: String*) =
+      length(regexp_replace(t,
+        "[^" + classes.map(c => s"\\p{Is$c}").mkString + "]", ""))
+    val pre = docs.select(col(idCol),
+      length(regexp_replace(t, "\\s", "")).as("__n"),
+      cnt("Latin").as("__l"), cnt("Cyrillic").as("__c"),
+      cnt("Han", "Hiragana", "Katakana", "Hangul").as("__k"),
+      cnt("Arabic").as("__a"))
+    def frac(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") / greatest(col("__n"), lit(1)), 6)
+    pre.select(col(idCol),
+      frac(col("__l")).as("frac_latin"),
+      frac(col("__c")).as("frac_cyrillic"),
+      frac(col("__k")).as("frac_cjk"),
+      frac(col("__a")).as("frac_arabic"),
+      when(col("__n") === 0, "empty")
+        .when(col("__l") + col("__c") + col("__k") + col("__a") === 0,
+          "other")
+        .when(col("__l") >= col("__c") && col("__l") >= col("__k") &&
+          col("__l") >= col("__a"), "latin")
+        .when(col("__c") >= col("__k") && col("__c") >= col("__a"),
+          "cyrillic")
+        .when(col("__k") >= col("__a"), "cjk")
+        .otherwise("arabic").as("script"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the top-`kTop` terms of
     * each doc by `tf × smooth-idf` (sklearn's
     * `ln((1+N)/(1+df)) + 1` — never zero, so single-doc corpora still
