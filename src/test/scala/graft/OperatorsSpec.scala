@@ -5112,6 +5112,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("scriptRatios: empty and other label lanes; mixed doc picks" +
+      " the dominant script; ties break by precedence") {
+    val d = Seq((0L, "   "), (1L, "12345 !!!"),
+      (2L, "хорошо good но больше русского"),
+      (3L, "ab яб")).toDF("doc_id", "text") // 2 latin vs 2 cyrillic: tie
+    val got = TextAnalysis.scriptRatios(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("script"), r.getAs[Double]("frac_cyrillic")))
+      .toMap
+    assert(got(0L)._1 === "empty")
+    assert(got(1L)._1 === "other")
+    assert(got(2L) === (("cyrillic", 0.846154))) // 22 of 26 non-space
+    assert(got(3L)._1 === "latin", "tie goes to the precedence order")
+  }
+
   test("reciprocalRankAtK: first-hit ranks, no-hit reads 0, candidate" +
       " rank beyond k ignored") {
     import graft.operators.Retrieval
