@@ -2203,6 +2203,35 @@ object SparkEntry {
     * point-query file counts) is spec-pinned — range-partitioner
     * boundaries are sampled and not engine-replayable.
     */
+  /** OPTIMIZE-ZORDER gate: half the table written clustered, the rest
+    * appended UNclustered, then [[graft.sources.Tables.compactZOrdered]]
+    * re-clusters the whole — the read-back + recomputed z-values must
+    * equal the from-scratch build's (oracle shared verbatim with
+    * `layout_zorder`: same rows, same global stats, same lanes).
+    */
+  private def layoutZorderCompactQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val path = s"/tmp/graft_zorder_cpt_${Integer.toHexString(dir.hashCode)}"
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    Tables.writeZOrdered(l.filter(col("l_orderkey") % 2 === 0),
+      Seq("l_orderkey", "l_partkey"), path, numFiles = 8)
+    Tables.appendZOrdered(l.filter(col("l_orderkey") % 2 =!= 0), path,
+      numFiles = 4)
+    Tables.compactZOrdered(s, path, Seq("l_orderkey", "l_partkey"),
+      numFiles = 8)
+    val r = s.read.parquet(path)
+    val stats = r.agg(
+      min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+      min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")))
+      .head()
+    val lanes = Seq(
+      Tables.zorderScale(col("l_orderkey"), stats.getLong(0), stats.getLong(1)),
+      Tables.zorderScale(col("l_partkey"), stats.getLong(2), stats.getLong(3)))
+    r.select(col("l_orderkey"), col("l_linenumber"),
+      Tables.zorderValue(lanes).as("zval"))
+  }
+
   private def layoutZorderQ(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val path = s"/tmp/graft_zorder_${Integer.toHexString(dir.hashCode)}"
@@ -5724,6 +5753,7 @@ object SparkEntry {
     "langid_segments"  -> (langidSegmentsQ _),
     "source_roundtrip" -> (sourceRoundtripQ _),
     "layout_zorder"    -> (layoutZorderQ _),
+    "layout_zorder_compact" -> (layoutZorderCompactQ _),
     "layout_zorder3"   -> (layoutZorder3Q _),
     "release_manifest" -> (releaseManifestQ _),
     "release_append"   -> (releaseAppendQ _),
@@ -7217,6 +7247,9 @@ object SparkEntry {
     "source_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "layout_zorder" -> dkZorder,
+    // append + OPTIMIZE converges to the from-scratch layout's content
+    // and z-values — oracle shared verbatim
+    "layout_zorder_compact" -> dkZorder,
     "layout_zorder3" -> dkZorder3,
     "release_manifest" -> dkReleaseManifest,
     // content-addressed sharding: the touched-shards-only append

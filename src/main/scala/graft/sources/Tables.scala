@@ -218,4 +218,46 @@ object Tables {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Daily-ingest append to a Z-ordered table: the batch lands as
+    * `numFiles` NEW files with NO re-clustering — cheap (no stats
+    * pass, no corpus exchange), but each appended file's footer spans
+    * the batch's whole value range, so multi-dimensional pruning
+    * degrades as appends accumulate. [[compactZOrdered]] is the
+    * OPTIMIZE twin that restores it — the standard lake trade
+    * (Delta/Iceberg `OPTIMIZE ZORDER`): appends stay on the ingest
+    * path's latency budget, clustering is a background job.
+    */
+  def appendZOrdered(df: DataFrame, path: String, numFiles: Int = 8): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.repartition(numFiles).write.mode("append").parquet(path)
+  }
+
+  /** The OPTIMIZE ZORDER maintenance job: re-run the stats pass + z
+    * range exchange over the WHOLE table and swap the re-clustered
+    * files in. The rewrite stages to a side directory first (a scan
+    * must never overlap the directory it rewrites), then swaps via two
+    * renames — a crash leaves either the old table intact or the old
+    * table plus a complete staged copy, never a half state; re-running
+    * converges. Repeated compaction of an unchanged table is
+    * idempotent on content (same stats → same lanes → same layout).
+    */
+  def compactZOrdered(
+      spark: SparkSession,
+      path: String,
+      zcols: Seq[String],
+      numFiles: Int = 32,
+      bits: Int = 16): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(path).getFileSystem(hconf)
+    fs.delete(p(s"$path.compact"), true)
+    fs.delete(p(s"$path.old"), true)
+    writeZOrdered(spark.read.parquet(path), zcols, s"$path.compact",
+      numFiles, bits)
+    if (!fs.rename(p(path), p(s"$path.old")) ||
+        !fs.rename(p(s"$path.compact"), p(path)))
+      throw new IllegalStateException(s"z-order compaction swap failed at $path")
+    fs.delete(p(s"$path.old"), true)
+  }
 }

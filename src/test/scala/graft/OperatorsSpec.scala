@@ -5112,6 +5112,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("compactZOrdered: appended files overlap the z-range, the" +
+      " OPTIMIZE pass restores disjoint per-file ranges with rows" +
+      " unchanged") {
+    import graft.sources.Tables
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_zc").toString + "/tbl"
+    val rows = (0L until 4000L).map(i => (i, (i * 2654435761L) % 4000L))
+      .toDF("x", "y")
+    Tables.writeZOrdered(rows.filter(col("x") % 2 === 0),
+      Seq("x", "y"), path, numFiles = 4)
+    Tables.appendZOrdered(rows.filter(col("x") % 2 =!= 0), path,
+      numFiles = 2)
+    // per-file z ranges, computed with the FULL table's stats
+    def fileRanges(): Seq[(Long, Long)] = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(hp).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      val all = spark.read.parquet(path)
+      val st = all.agg(min(col("x")), max(col("x")),
+        min(col("y")), max(col("y"))).head()
+      val lanes = Seq(
+        Tables.zorderScale(col("x"), st.getLong(0), st.getLong(1)),
+        Tables.zorderScale(col("y"), st.getLong(2), st.getLong(3)))
+      files.map { f =>
+        val z = spark.read.parquet(f)
+          .select(Tables.zorderValue(lanes).as("z"))
+          .agg(min(col("z")), max(col("z"))).head()
+        (z.getLong(0), z.getLong(1))
+      }
+    }
+    def overlaps(r: Seq[(Long, Long)]): Boolean =
+      r.sorted.sliding(2).exists {
+        case Seq((_, hi1), (lo2, _)) => lo2 <= hi1
+        case _ => false
+      }
+    val before = rows.collect().toSet
+    assert(overlaps(fileRanges()),
+      "unclustered appended files must straddle the z-range")
+    Tables.compactZOrdered(spark, path, Seq("x", "y"), numFiles = 4)
+    val after = fileRanges()
+    assert(after.size === 4 && !overlaps(after),
+      "OPTIMIZE must restore disjoint per-file z-ranges")
+    assert(spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === before.map {
+        r => (r.getAs[Long]("x"), r.getAs[Long]("y")) },
+      "compaction rewrites layout, never rows")
+  }
+
   test("scriptRatios: empty and other label lanes; mixed doc picks" +
       " the dominant script; ties break by precedence") {
     val d = Seq((0L, "   "), (1L, "12345 !!!"),
