@@ -2537,6 +2537,20 @@ object SparkEntry {
       "query_id", "neighbor_id", "knn_rank", k = 5)
   }
 
+  /** nDCG sibling of [[retrievalRecallQ]]/[[retrievalMrrQ]]: same
+    * fixture, position-discounted credit for every found neighbor.
+    */
+  private def retrievalNdcgQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val truth = Similarity.knnBruteForce(e.filter(col("vec_id") < 50), e,
+      "vec_id", "embedding", k = 5)
+    val cand = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
+        centroidPred = col("vec_id") % 100 === 0)
+      .filter(col("query_id") < 50)
+    graft.operators.Retrieval.ndcgAtK(cand, truth,
+      "query_id", "neighbor_id", "knn_rank", k = 5)
+  }
+
   private def annIvfMultiprobeQ(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", k = 5,
       centroidPred = col("vec_id") % 100 === 0, probes = 2)
@@ -5821,6 +5835,7 @@ object SparkEntry {
     "embedding_outliers" -> (embeddingOutliersQ _),
     "retrieval_recall" -> (retrievalRecallQ _),
     "retrieval_mrr" -> (retrievalMrrQ _),
+    "retrieval_ndcg" -> (retrievalNdcgQ _),
     "bm25_index_probe"  -> (bm25IndexProbeQ _),
     "bm25_index_append" -> (bm25IndexAppendQ _),
     "streaming_bm25_ingest" -> (streamingBm25IngestQ _),
@@ -7680,6 +7695,44 @@ object SparkEntry {
          FROM truth t LEFT JOIN cand c2
            ON t.query_id = c2.query_id AND t.neighbor_id = c2.neighbor_id
          GROUP BY 1""",
+    "retrieval_ndcg" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         asg AS (SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                          centroid_id) AS rn
+             FROM v, c) WHERE rn = 1),
+         ij AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(av.vd, bv.vd), 6) AS cos_sim
+           FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+             AND a.vec_id <> b.vec_id
+           JOIN v av ON av.vec_id = a.vec_id
+           JOIN v bv ON bv.vec_id = b.vec_id
+           WHERE a.vec_id < 50),
+         cand AS (SELECT query_id, neighbor_id,
+             CAST(rk AS INTEGER) AS crk FROM (SELECT *,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rk FROM ij)
+           WHERE rk <= 5),
+         bj AS (SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.vd, cv.vd), 6) DESC,
+                        cv.vec_id) AS rk
+           FROM v q, v cv WHERE q.vec_id < 50 AND q.vec_id <> cv.vec_id),
+         truth AS (SELECT query_id, neighbor_id FROM bj WHERE rk <= 5),
+         g AS (SELECT t.query_id, count(*) AS n_truth,
+             coalesce(sum(CASE WHEN c2.crk IS NOT NULL
+               THEN 1.0 / log2(c2.crk + 1.0) END), 0.0) AS dcg0
+           FROM truth t LEFT JOIN cand c2
+             ON t.query_id = c2.query_id AND t.neighbor_id = c2.neighbor_id
+           GROUP BY 1)
+         SELECT query_id, n_truth, round(dcg0, 6) AS dcg,
+           round(dcg0 / list_sum([1.0 / log2(i + 1.0)
+             for i in range(1, CAST(n_truth AS INTEGER) + 1)]), 6) AS ndcg
+         FROM g""",
     "retrieval_mrr" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
            FROM embeddings WHERE vec_id % 100 = 0),

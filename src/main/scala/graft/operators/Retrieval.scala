@@ -105,6 +105,42 @@ object Retrieval {
           .as("rr"))
   }
 
+  /** Binary-gain nDCG@k, completing the eval triple with [[recallAtK]]
+    * (set overlap) and [[reciprocalRankAtK]] (first hit): position-
+    * discounted credit for EVERY true neighbor the candidate list
+    * holds — `DCG = Σ 1/log2(1+rank)` over candidate positions
+    * occupied by truth members, normalized by the ideal
+    * `IDCG = Σ_{i≤n_truth} 1/log2(1+i)` (Järvelin & Kekäläinen 2002,
+    * binary gains). Same bounded shapes; `ndcg` rounds to 6. Output
+    * `(qidCol, n_truth, dcg, ndcg)`.
+    */
+  def ndcgAtK(
+      candidates: DataFrame,
+      truth: DataFrame,
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = candidates.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol), col(rankCol).cast("int").as("__crk"))
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(qidCol), col(idCol))
+    def disc(r: org.apache.spark.sql.Column) =
+      lit(1.0) / (log(r.cast("double") + 1.0) / log(lit(2.0)))
+    t.join(c, Seq(qidCol, idCol), "left")
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(when(col("__crk").isNotNull, disc(col("__crk")))),
+          lit(0.0)).as("__dcg"))
+      .withColumn("__idcg",
+        aggregate(sequence(lit(1), col("n_truth").cast("int")),
+          lit(0.0), (acc, i) => acc + disc(i)))
+      .select(col(qidCol), col("n_truth"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__dcg") / col("__idcg"), 6).as("ndcg"))
+  }
+
   /** Hard-negative mining for embedding-training data (the DPR/E5
     * practice — Karpukhin et al. 2020 §3.2: the most useful negatives
     * are the highest-scoring NON-positives): given any k-bounded

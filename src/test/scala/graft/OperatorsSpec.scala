@@ -5176,6 +5176,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L)._1 === "latin", "tie goes to the precedence order")
   }
 
+  test("ndcgAtK: hand-computed discounted gains; perfect list reads" +
+      " 1.0; empty candidate list reads 0") {
+    import graft.operators.Retrieval
+    val truth = Seq((0L, 10L, 1), (0L, 11L, 2),
+      (1L, 20L, 1), (1L, 21L, 2), (2L, 30L, 1)).toDF("qid", "nid", "rk")
+    val cand = Seq((0L, 10L, 1), (0L, 11L, 2), // perfect
+      (1L, 99L, 1), (1L, 21L, 2) // one hit at rank 2
+    ).toDF("qid", "nid", "rk")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def disc(r: Int) = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    val got = Retrieval.ndcgAtK(cand, truth, "qid", "nid", "rk", k = 3)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Double]("dcg"), r.getAs[Double]("ndcg")))).toMap
+    assert(got(0L) === ((r6(disc(1) + disc(2)), 1.0)))
+    assert(got(1L) ===
+      ((r6(disc(2)), r6(disc(2) / (disc(1) + disc(2))))))
+    assert(got(2L) === ((0.0, 0.0)))
+  }
+
   test("reciprocalRankAtK: first-hit ranks, no-hit reads 0, candidate" +
       " rank beyond k ignored") {
     import graft.operators.Retrieval
