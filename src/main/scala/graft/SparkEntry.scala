@@ -2106,6 +2106,25 @@ object SparkEntry {
       .select(col("doc_id"), col("split"))
   }
 
+  /** Script-routing curation gate: the [[scriptRatiosQ]] plants flow
+    * through `curate(allowedScripts = latin)` — non-Latin-dominant
+    * docs drop at the routing stage, then exact dedup + split as
+    * usual; oracle replays the script CASE, the filter, the dedup,
+    * and the split hash.
+    */
+  private def curateScriptQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 19 === 0,
+        lit("Привет мир это русский текст документа"))
+        .when(col("doc_id") % 19 === 5,
+          lit("日本語のテキスト mixed with ラテン and 漢字"))
+        .when(col("doc_id") === 7, lit("مرحبا بالعالم"))
+        .otherwise(col("text")))
+    graft.operators.Pipeline.curate(planted, "doc_id", "text",
+      allowedScripts = Seq("latin"))
+      .select(col("doc_id"), col("split"))
+  }
+
   private def curateQualityQ(s: SparkSession, dir: String): DataFrame = {
     val planted = docs(s, dir).withColumn("text",
       when(col("doc_id") % 11 === 0,
@@ -5784,6 +5803,7 @@ object SparkEntry {
     "curate_decon_exact" -> (curateDeconExactQ _),
     "curate_quality"   -> (curateQualityQ _),
     "curate_exposure"  -> (curateExposureQ _),
+    "curate_script"    -> (curateScriptQ _),
     "streaming_curate_entropy" -> (streamingCurateEntropyQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
@@ -6998,6 +7018,30 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
            FROM eg)""",
+    "curate_script" ->
+      s"""WITH src AS (SELECT doc_id, CASE
+           WHEN doc_id % 19 = 0 THEN 'Привет мир это русский текст документа'
+           WHEN doc_id % 19 = 5 THEN '日本語のテキスト mixed with ラテン and 漢字'
+           WHEN doc_id = 7 THEN 'مرحبا بالعالم'
+           ELSE text END AS text FROM documents),
+         lg AS (SELECT * FROM src WHERE length(text) >= 1),
+         sc AS (SELECT doc_id, text,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n,
+             length(regexp_replace(text, '[^\\p{Latin}]', '', 'g')) AS l,
+             length(regexp_replace(text, '[^\\p{Cyrillic}]', '', 'g')) AS cy,
+             length(regexp_replace(text,
+               '[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS k,
+             length(regexp_replace(text, '[^\\p{Arabic}]', '', 'g')) AS a
+           FROM lg),
+         kept AS (SELECT doc_id, text FROM sc
+           WHERE n > 0 AND l + cy + k + a > 0
+             AND l >= cy AND l >= k AND l >= a),
+         ex AS (SELECT min(doc_id) AS doc_id FROM kept
+           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+         SELECT doc_id, CASE WHEN h < 800000 THEN 'train'
+             WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM ex)""",
     "curate_exposure" ->
       s"""WITH src AS (SELECT doc_id, CASE
            WHEN doc_id % 17 = 0 THEN repeat('aa ', 120)

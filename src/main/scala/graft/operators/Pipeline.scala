@@ -76,6 +76,7 @@ object Pipeline {
       maxRepetition: Double = 0.3,
       maxSymbolRatio: Double = 0.2,
       entropyRange: (Double, Double) = (0.0, Double.MaxValue),
+      allowedScripts: Seq[String] = Nil,
       qualityModel: Option[Classifier.Model] = None,
       maxQualityScore: Double = 1.0,
       stripBoilerplate: Boolean = false,
@@ -184,6 +185,19 @@ object Pipeline {
       val ent = graft.functions.TextFunctions.charEntropy(col(textCol))
       d = d.filter(ent >= entropyRange._1 && ent <= entropyRange._2)
       snap("entropy_gate", d)
+    }
+    // script routing beside the other per-row gates: keep only docs
+    // whose DOMINANT script is allow-listed (a corpus targeting a
+    // Latin-alphabet model drops CJK/Cyrillic here, before any
+    // tokenizer or n-gram model sees them); the label join is against
+    // scriptRatios' per-row expressions, so this too pipelines
+    if (allowedScripts.nonEmpty) {
+      val lbl = TextAnalysis.scriptRatios(
+        d.select(col(idCol), col(textCol)), idCol, textCol)
+        .filter(col("script").isInCollection(allowedScripts))
+        .select(col(idCol))
+      d = d.join(lbl, Seq(idCol), "left_semi")
+      snap("script_gate", d)
     }
     // model-based quality gating (the DCLM/fastText filter deployment):
     // a TRAINED [[Classifier.Model]]'s score is a pure per-row
