@@ -809,6 +809,30 @@ object SparkEntry {
       docs(s, dir), "doc_id", "text", "source")
       .select(col("metric"), round(col("value"), 6).as("value"))
 
+  /** Dataset-card gate for a PUBLISHED snapshot — the consumer flow:
+    * audit what you downloaded. The corpus publishes through the
+    * release sink (real gzip-JSONL shards + manifest) and the
+    * datasheet runs over the LOADED rows; since the release holds
+    * exactly the corpus, the inventory hash-matches
+    * [[corpusDatasheetQ]]'s oracle verbatim — the whole
+    * publish/load/inventory chain is load-bearing.
+    */
+  private def releaseDatasheetQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"/tmp/graft_release_ds_${Integer.toHexString(dir.hashCode)}"
+    val d = docs(s, dir).select("doc_id", "text", "lang", "source")
+    graft.sources.Release.writeRelease(d, "doc_id", "text", path,
+      nShards = 8)
+    val loaded = graft.sources.Release.loadRelease(s, path,
+      StructType(d.schema.fields :+ StructField("shard", LongType)))
+    require(graft.sources.Release
+        .validateRelease(loaded, "doc_id", "text").isEmpty,
+      "published release must verify before it is inventoried")
+    graft.operators.Pipeline.datasheet(
+      loaded.rows, "doc_id", "text", "source")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+  }
+
   /** The whitespace word projection shared by every CMS gate (batch,
     * merge, streaming): ONE definition, because the three gates share
     * one DuckDB oracle and their word derivation must stay
@@ -5540,6 +5564,66 @@ object SparkEntry {
   /** [[dkCurate]] with the quality ratios composed into the length-gate
     * CTE (same arithmetic as [[oracleSqlQualityFlags]]).
     */
+  /** Shared datasheet oracle: the corpus inventory gate and the
+    * release-composition gate replay it verbatim (the release holds
+    * exactly the corpus rows).
+    */
+  private val dkDatasheet: String =
+    s"""WITH tot AS (SELECT 'docs_total' AS metric,
+             round(CAST(count(*) AS DOUBLE), 6) AS value FROM documents),
+         tok AS (SELECT 'tokens_total_bpe' AS metric,
+             round(CAST(sum(strlen(text)
+               - (strlen(text) - strlen(replace(text, 'ab', ''))) // 2
+               - (strlen(text) - strlen(replace(text, 'abc', ''))) // 3)
+               AS DOUBLE), 6) AS value
+           FROM documents),
+         h AS (SELECT ${dkHash("text")} AS h
+           FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT h >> 48 AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
+           FROM h),
+         rg AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket),
+         sa AS (SELECT count(*) AS nz,
+             coalesce(sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)),
+               0::HUGEINT) AS si
+           FROM rg),
+         est AS (SELECT 'distinct_text_estimate' AS metric,
+             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
+                 <= 2.5 * 4096.0 AND 4096 - nz > 0
+               THEN 4096.0 * ln(4096.0 / (4096 - nz))
+               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END, 6) AS value
+           FROM sa),
+         hid AS (SELECT ${dkHash("CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents WHERE doc_id IS NOT NULL),
+         rid AS (SELECT h >> 48 AS bucket,
+             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
+           FROM hid),
+         rgid AS (SELECT bucket, max(rank) AS max_rank FROM rid GROUP BY bucket),
+         said AS (SELECT count(*) AS nz,
+             coalesce(sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)),
+               0::HUGEINT) AS si
+           FROM rgid),
+         estid AS (SELECT 'distinct_id_estimate' AS metric,
+             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
+                 <= 2.5 * 4096.0 AND 4096 - nz > 0
+               THEN 4096.0 * ln(4096.0 / (4096 - nz))
+               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
+                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END, 6) AS value
+           FROM said),
+         byg AS (SELECT concat('docs_by:', coalesce(source, '<null>')) AS metric,
+             round(CAST(count(*) AS DOUBLE), 6) AS value
+           FROM documents GROUP BY source)
+         SELECT metric, value FROM tot
+         UNION ALL SELECT metric, value FROM tok
+         UNION ALL SELECT metric, value FROM est
+         UNION ALL SELECT metric, value FROM estid
+         UNION ALL SELECT metric, value FROM byg"""
+
   private val dkCurateQuality: String =
     s"""WITH $dkBk,
        src AS (SELECT doc_id,
@@ -5737,6 +5821,7 @@ object SparkEntry {
     "sketch_hll_grouped"  -> (sketchHllGroupedQ _),
     "sketch_hll_overlap"  -> (sketchHllOverlapQ _),
     "corpus_datasheet"    -> (corpusDatasheetQ _),
+    "release_datasheet"   -> (releaseDatasheetQ _),
     "sketch_cms"          -> (sketchCmsQ _),
     "sketch_cms_point"    -> (sketchCmsPointQ _),
     "sketch_cms_merge"    -> (sketchCmsMergeQ _),
@@ -6385,61 +6470,9 @@ object SparkEntry {
            round(CASE WHEN est_b > 0 THEN est_i / est_b ELSE 0.0 END, 6)
              AS containment_b
          FROM f""",
-    "corpus_datasheet" ->
-      s"""WITH tot AS (SELECT 'docs_total' AS metric,
-             round(CAST(count(*) AS DOUBLE), 6) AS value FROM documents),
-         tok AS (SELECT 'tokens_total_bpe' AS metric,
-             round(CAST(sum(strlen(text)
-               - (strlen(text) - strlen(replace(text, 'ab', ''))) // 2
-               - (strlen(text) - strlen(replace(text, 'abc', ''))) // 3)
-               AS DOUBLE), 6) AS value
-           FROM documents),
-         h AS (SELECT ${dkHash("text")} AS h
-           FROM documents WHERE text IS NOT NULL),
-         r AS (SELECT h >> 48 AS bucket,
-             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
-                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
-           FROM h),
-         rg AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket),
-         sa AS (SELECT count(*) AS nz,
-             coalesce(sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)),
-               0::HUGEINT) AS si
-           FROM rg),
-         est AS (SELECT 'distinct_text_estimate' AS metric,
-             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
-                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
-                 <= 2.5 * 4096.0 AND 4096 - nz > 0
-               THEN 4096.0 * ln(4096.0 / (4096 - nz))
-               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
-                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END, 6) AS value
-           FROM sa),
-         hid AS (SELECT ${dkHash("CAST(doc_id AS VARCHAR)")} AS h
-           FROM documents WHERE doc_id IS NOT NULL),
-         rid AS (SELECT h >> 48 AS bucket,
-             CASE WHEN (h & ((1::BIGINT << 48) - 1)) = 0 THEN 49
-                  ELSE 49 - length(bin(h & ((1::BIGINT << 48) - 1))) END AS rank
-           FROM hid),
-         rgid AS (SELECT bucket, max(rank) AS max_rank FROM rid GROUP BY bucket),
-         said AS (SELECT count(*) AS nz,
-             coalesce(sum(CAST(pow(2.0, 49 - max_rank) AS HUGEINT)),
-               0::HUGEINT) AS si
-           FROM rgid),
-         estid AS (SELECT 'distinct_id_estimate' AS metric,
-             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
-                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE)
-                 <= 2.5 * 4096.0 AND 4096 - nz > 0
-               THEN 4096.0 * ln(4096.0 / (4096 - nz))
-               ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * pow(2.0, 49.0)
-                 / CAST(si + CAST(4096 - nz AS BIGINT) * CAST(pow(2.0, 49.0) AS BIGINT) AS DOUBLE) END, 6) AS value
-           FROM said),
-         byg AS (SELECT concat('docs_by:', coalesce(source, '<null>')) AS metric,
-             round(CAST(count(*) AS DOUBLE), 6) AS value
-           FROM documents GROUP BY source)
-         SELECT metric, value FROM tot
-         UNION ALL SELECT metric, value FROM tok
-         UNION ALL SELECT metric, value FROM est
-         UNION ALL SELECT metric, value FROM estid
-         UNION ALL SELECT metric, value FROM byg""",
+    "corpus_datasheet" -> dkDatasheet,
+    // inventory of a PUBLISHED snapshot == inventory of its corpus
+    "release_datasheet" -> dkDatasheet,
     "sketch_hll_merge" -> dkHllRegisters,
     "streaming_sketch" -> dkHllRegisters,
     "sketch_quantile" -> dkQuantileSketch,
