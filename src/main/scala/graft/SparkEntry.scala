@@ -4092,6 +4092,27 @@ object SparkEntry {
       "stream_curate_entropy").select(col("doc_id"), col("split"))
   }
 
+  /** Streaming twin of [[curateScriptQ]]: the dominant-script label is
+    * a pure per-row expression chain, so the allow-list routing runs
+    * stateless inside the ingest funnel — same planted multilingual
+    * rows, same latin allow-list, dedup off (corpus-wide state stays
+    * batch-side). Oracle = the batch gate's minus its dedup stage.
+    */
+  private def streamingCurateScriptQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docStream(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 19 === 0,
+          lit("Привет мир это русский текст документа"))
+          .when(col("doc_id") % 19 === 5,
+            lit("日本語のテキスト mixed with ラテン and 漢字"))
+          .when(col("doc_id") === 7, lit("مرحبا بالعالم"))
+          .otherwise(col("text")).as("text"))
+    runStreamToTable(s,
+      graft.operators.Pipeline.curateStream(planted, "doc_id", "text",
+        allowedScripts = Seq("latin"), exactDedup = false),
+      "stream_curate_script").select(col("doc_id"), col("split"))
+  }
+
   /** SemDeDup curate-stage gate: length gate → exact dedup → semantic
     * drop (embeddings of SURVIVORS only, fixture centroids, tau 0.3) →
     * split. At sf0.1 the embeddings table covers only the first 2000
@@ -5890,6 +5911,7 @@ object SparkEntry {
     "curate_exposure"  -> (curateExposureQ _),
     "curate_script"    -> (curateScriptQ _),
     "streaming_curate_entropy" -> (streamingCurateEntropyQ _),
+    "streaming_curate_script" -> (streamingCurateScriptQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -7075,6 +7097,28 @@ object SparkEntry {
              WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM ex)""",
+    "streaming_curate_script" ->
+      s"""WITH src AS (SELECT doc_id, CASE
+           WHEN doc_id % 19 = 0 THEN 'Привет мир это русский текст документа'
+           WHEN doc_id % 19 = 5 THEN '日本語のテキスト mixed with ラテン and 漢字'
+           WHEN doc_id = 7 THEN 'مرحبا بالعالم'
+           ELSE text END AS text FROM documents),
+         lg AS (SELECT * FROM src WHERE length(text) >= 1),
+         sc AS (SELECT doc_id,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n,
+             length(regexp_replace(text, '[^\\p{Latin}]', '', 'g')) AS l,
+             length(regexp_replace(text, '[^\\p{Cyrillic}]', '', 'g')) AS cy,
+             length(regexp_replace(text,
+               '[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS k,
+             length(regexp_replace(text, '[^\\p{Arabic}]', '', 'g')) AS a
+           FROM lg),
+         kept AS (SELECT doc_id FROM sc
+           WHERE n > 0 AND l + cy + k + a > 0
+             AND l >= cy AND l >= k AND l >= a)
+         SELECT doc_id, CASE WHEN h < 800000 THEN 'train'
+             WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM kept)""",
     "curate_exposure" ->
       s"""WITH src AS (SELECT doc_id, CASE
            WHEN doc_id % 17 = 0 THEN repeat('aa ', 120)

@@ -530,6 +530,7 @@ object Pipeline {
       maxRepetition: Double = 0.3,
       maxSymbolRatio: Double = 0.2,
       entropyRange: (Double, Double) = (0.0, Double.MaxValue),
+      allowedScripts: Seq[String] = Nil,
       qualityModel: Option[Classifier.Model] = None,
       maxQualityScore: Double = 1.0,
       exactDedup: Boolean = true,
@@ -570,6 +571,25 @@ object Pipeline {
     if (entropyRange._1 > 0.0 || entropyRange._2 < Double.MaxValue) {
       val ent = graft.functions.TextFunctions.charEntropy(col(textCol))
       d = d.filter(ent >= entropyRange._1 && ent <= entropyRange._2)
+    }
+    // script routing, stateless like the batch funnel's: the dominant-
+    // script label is a pure per-row expression chain, so a stream
+    // keeps only allow-listed scripts with no state
+    if (allowedScripts.nonEmpty) {
+      val t = col(textCol)
+      def cnt(classes: String*) =
+        length(regexp_replace(t,
+          "[^" + classes.map(c => s"\\p{Is$c}").mkString + "]", ""))
+      val (l, cy, k, a) = (cnt("Latin"), cnt("Cyrillic"),
+        cnt("Han", "Hiragana", "Katakana", "Hangul"), cnt("Arabic"))
+      val n = length(regexp_replace(t, "\\s", ""))
+      val label = when(n === 0, "empty")
+        .when(l + cy + k + a === 0, "other")
+        .when(l >= cy && l >= k && l >= a, "latin")
+        .when(cy >= k && cy >= a, "cyrillic")
+        .when(k >= a, "cjk")
+        .otherwise("arabic")
+      d = d.filter(label.isInCollection(allowedScripts))
     }
     qualityModel.foreach { m =>
       d = d.filter(

@@ -1466,6 +1466,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotHashes.size === 2) // longA family + longB; eval-dup gone
   }
 
+  test("curateStream script routing keeps exactly the ids scriptRatios" +
+      " labels as allowed — the inline stateless chain cannot drift") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("sscript").toString
+    val rows = Seq(
+      (0L, "plain latin text document"),          // latin
+      (1L, "Привет мир это русский текст"),       // cyrillic
+      (2L, "日本語のテキストと漢字"),                // cjk
+      (3L, "مرحبا بالعالم"),                      // arabic
+      (4L, "    "),                                // empty (ws only)
+      (5L, "12345 67890 !!"),                      // other (no script)
+      (6L, "год year"),                            // latin/cyr tie → latin
+      (7L, "日本 ab"))                             // latin>=cjk tie → latin
+    rows.map { case (id, txt) => (id, txt, "en", "web", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val allowed = Seq("latin", "cjk")
+    val out = Pipeline.curateStream(
+      spark.readStream.schema(
+        Seq((0L, "", "", "", 0L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars").schema)
+        .parquet(dir),
+      "doc_id", "text", allowedScripts = allowed, exactDedup = false)
+    val q = out.writeStream.format("memory").queryName("sscript_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sscript_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expect = TextAnalysis.scriptRatios(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .filter(col("script").isInCollection(allowed))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got === Set(0L, 2L, 6L, 7L)) // ties latin-first; empty/other out
+  }
+
   test("streaming exact dedup keeps only the first occurrence per content") {
     val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
     def write(rows: Seq[(Long, String)]): Unit =
