@@ -1382,6 +1382,33 @@ object SparkEntry {
   private def dedupNgramPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3)
 
+  /** Edit-distance join gate: 3-member key families planted from each
+    * group leader's cleaned 24-char prefix (base / first-char sub /
+    * one-char append → within-family distances 1, 1, 2). The oracle is
+    * the SEMANTICS, not the algorithm — a brute-force length-prefiltered
+    * levenshtein join over the same fixture — so the prefix-filter
+    * candidate generation is exactness-gated, cross-family accidental
+    * near-keys included.
+    */
+  private def dedupEditDistPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lead = d.select((col("doc_id")).as("__lid"),
+      substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 24)
+        .as("__base"))
+    val fix = d.filter(col("doc_id") % 5 === 0)
+      .withColumn("__lid", col("doc_id") - col("doc_id") % 15)
+      .select(col("doc_id"), col("__lid"))
+      .join(lead, Seq("__lid"))
+      .filter(length(col("__base")) >= 12)
+      .withColumn("key",
+        when(col("doc_id") % 15 === 0, col("__base"))
+          .when(col("doc_id") % 15 === 5,
+            concat(lit("x"), substring(col("__base"), 2, 24)))
+          .otherwise(concat(col("__base"), lit("q"))))
+      .select(col("doc_id"), col("key"))
+    Dedup.editDistancePairs(fix, "doc_id", "key", maxDist = 2, q = 2)
+  }
+
   private def dedupCosinePairs(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", "label",
       threshold = 0.4)
@@ -5806,6 +5833,7 @@ object SparkEntry {
     "dedup_simhash"    -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_pairs" -> (dedupNgramPairs _),
+    "dedup_editdist_pairs" -> (dedupEditDistPairsQ _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "decontaminate"    -> (decontaminateQ _),
     "decontaminate_exact" -> (decontaminateExactQ _),
@@ -6795,6 +6823,23 @@ object SparkEntry {
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     },
     "dedup_ngram_pairs" -> dkNgramPairs,
+    "dedup_editdist_pairs" ->
+      """WITH lead AS (SELECT doc_id AS lid,
+           substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 24)
+             AS base FROM documents),
+         fix AS (SELECT d.doc_id, CASE
+             WHEN d.doc_id % 15 = 0 THEN l.base
+             WHEN d.doc_id % 15 = 5 THEN 'x' || substr(l.base, 2)
+             ELSE l.base || 'q' END AS key
+           FROM documents d
+           JOIN lead l ON l.lid = d.doc_id - d.doc_id % 15
+           WHERE d.doc_id % 5 = 0 AND length(l.base) >= 12),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.key, b.key) AS dist
+           FROM fix a JOIN fix b ON a.doc_id < b.doc_id
+             AND abs(length(a.key) - length(b.key)) <= 2)
+         SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
+         FROM pr WHERE dist <= 2""",
     "dedup_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim

@@ -405,6 +405,102 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance similarity join: every pair (id_a < id_b) whose key
+    * strings are within Levenshtein distance `maxDist` — the classic
+    * entity-resolution primitive (near-identical titles, names, URLs)
+    * that Spark has no operator for. EXACT semantics (unlike the LSH
+    * family's probabilistic recall): candidate generation is the
+    * Ed-Join prefix filter (Xiao, Wang & Lin, VLDB 2008) over
+    * positional q-gram tokens with the Gravano et al. (VLDB 2001)
+    * count bound — a pair within distance d shares at least
+    * `max(L1,L2) - q + 1 - q·d` q-grams, so under ANY fixed total
+    * order on the token universe two qualifying strings must collide
+    * inside each other's `q·d + 1` first tokens. Tokens are (gram,
+    * occurrence#) so the bag bound becomes a set bound; the order is
+    * (global gram df, gram, occ) — rarity-first, which is what keeps
+    * the prefix join's buckets small (hot grams only reach a prefix
+    * when a key has nothing rarer). Survivors are confirmed with the
+    * thresholded native `levenshtein(a, b, maxDist)` (early-exit DP).
+    *
+    * The count bound is vacuous when BOTH keys are shorter than
+    * `q·(d+1)` chars — those pairs route through a short block: a
+    * length-band bucket join (width d+1, each row in two buckets),
+    * quadratic only in the number of sub-`q(d+1)`-char keys per band
+    * (a curated corpus bounds those up front via minChars).
+    *
+    * Scale shape: the occurrence tag is an in-row O(len²) array op —
+    * this operator is for SHORT key strings, not document bodies;
+    * gram df is a vocabulary-sized aggregate (char-gram vocab ≤
+    * |charset|^q, broadcast-safe for the enforced q ≤ 4 — the langid
+    * profile precedent); prefix selection is a per-id window with ≤
+    * len rows per group (skew-free); the candidate join carries only
+    * q·d+1 tokens per key, and the confirm re-attaches keys by two
+    * linear equi-joins. No pair enumeration anywhere.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxDist: Int = 2,
+      q: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDist >= 1, "maxDist must be >= 1 (use exact() for 0)")
+    require(q >= 1 && q <= 4, "q must be in [1, 4] (gram vocab bound)")
+    val prefixK = q * maxDist + 1
+    val minLong = q * (maxDist + 1)
+    val keys = docs.select(col(idCol), col(keyCol))
+      .filter(col(keyCol).isNotNull)
+      .withColumn("__len", length(col(keyCol)))
+
+    // main block: pairs where the LONGER key has >= q(d+1) chars.
+    // occ(i) = #equal grams before position i turns the gram bag into
+    // a token set, preserving the bag-overlap bound exactly
+    val toks = keys
+      .withColumn("__gs", charShingles(col(keyCol), q))
+      .withColumn("__occ", transform(col("__gs"),
+        (g, i) => size(filter(slice(col("__gs"), lit(1), i), x => x === g))))
+      .select(col(idCol), col("__len"),
+        explode(arrays_zip(col("__gs"), col("__occ"))).as("__t"))
+      .select(col(idCol), col("__len"),
+        col("__t.__gs").as("__g"), col("__t.__occ").as("__o"))
+    val dfTab = toks.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val prefix = toks.join(broadcast(dfTab), Seq("__g"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("__df"), col("__g"), col("__o"))))
+      .filter(col("__rk") <= prefixK)
+      .select(col(idCol), col("__len"), col("__g"), col("__o"))
+    val candMain = prefix.as("a").join(prefix.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__o") === col("b.__o") &&
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+        abs(col("a.__len") - col("b.__len")) <= maxDist &&
+        greatest(col("a.__len"), col("b.__len")) >= minLong)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+
+    // short block: both keys under q(d+1) chars — length bands of
+    // width d+1, two buckets per row so any |Δlen| <= d pair collides
+    val shortE = keys.filter(col("__len") < minLong)
+      .withColumn("__bk0", floor(col("__len") / (maxDist + 1)))
+      .select(col(idCol), col("__len"),
+        explode(array(col("__bk0"), col("__bk0") + 1)).as("__bk"))
+    val candShort = shortE.as("a").join(shortE.as("b"),
+        col("a.__bk") === col("b.__bk") &&
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+        abs(col("a.__len") - col("b.__len")) <= maxDist)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+
+    val kv = keys.select(col(idCol), col(keyCol))
+    candMain.unionByName(candShort)
+      .dropDuplicates("id_a", "id_b")
+      .join(kv.select(col(idCol).as("id_a"), col(keyCol).as("__ka")),
+        Seq("id_a"))
+      .join(kv.select(col(idCol).as("id_b"), col(keyCol).as("__kb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ka"), col("__kb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** LSH candidates post-verified by EXACT shingle Jaccard — the
     * standard two-stage fuzzy dedup: banding proposes (cheap, linear,
     * but a band collision can be a false positive), the exact set

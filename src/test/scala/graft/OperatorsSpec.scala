@@ -55,6 +55,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("editDistancePairs is exact: prefix filter + short block find" +
+      " precisely the brute-force levenshtein pairs, boundaries included") {
+    val rows = Seq(
+      (0L, "spark analytics engine"),
+      (1L, "spark analytics enginee"), // 1 append from 0
+      (2L, "spork analytics engine"),  // 1 sub from 0, 2 from 1
+      (3L, "completely different key"),
+      (4L, "ab"),                      // short block (len < 6)
+      (5L, "ba"),                      // ed(ab, ba) = 2
+      (6L, "abcd"),                    // short; ed to "ab" = 2
+      (7L, ""),                        // empty key: short block bucket 0
+      (8L, "aabb"),                    // repeated grams (occ tagging)
+      (9L, "abcdef"))                  // short<->main boundary: max len = 6
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      d = lev(a, b) if d <= 2
+    } yield (i, j, d)).toSet
+    val got = Dedup.editDistancePairs(
+        rows.toDF("id", "key"), "id", "key", maxDist = 2, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute)
+    assert(brute.contains((0L, 1L, 1)) && brute.contains((4L, 5L, 2)) &&
+      brute.contains((4L, 6L, 2)) && brute.contains((6L, 9L, 2)) &&
+      brute.contains((4L, 7L, 2))) // the cases the fixture is FOR
+  }
+
   test("chunkByTokensBpe: windows at true token boundaries; overlap-0" +
       " chunks reassemble to the original text; empty text = one chunk") {
     import graft.functions.Bpe
