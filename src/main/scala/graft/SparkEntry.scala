@@ -1409,6 +1409,78 @@ object SparkEntry {
     Dedup.editDistancePairs(fix, "doc_id", "key", maxDist = 2, q = 2)
   }
 
+  /** Contract fixture: documents with one planted violation class per
+    * rule — null text, out-of-range n_chars, malformed lang, broken
+    * n_chars↔text consistency, duplicated ids.
+    */
+  private def contractFixture(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("text",
+        when(col("doc_id") % 97 === 0, lit(null).cast("string"))
+          .otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 89 === 0, lit(-1L)).otherwise(col("n_chars")))
+      .withColumn("lang",
+        when(col("doc_id") % 83 === 0, lit("Z9")).otherwise(col("lang")))
+
+  /** Data-contract report gate: every rule class of
+    * [[graft.operators.Contracts]] over the planted fixture; the
+    * oracle recomputes each counter in plain SQL, declaration order
+    * and pass flags included.
+    */
+  private def contractChecksQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contracts._
+    val planted = contractFixture(s, dir)
+    val fix = planted.unionByName(planted.filter(col("doc_id") % 101 === 0))
+    graft.operators.Contracts.check(fix, Seq(
+      NotNull("text"),
+      InRange("n_chars", 1, 1000000),
+      Matches("lang", "^[a-z]{2}$"),
+      Predicate("n_chars_consistent",
+        col("n_chars") === length(col("text"))),
+      Unique(Seq("doc_id"))))
+  }
+
+  /** Referential-integrity gate: orders→customer with planted orphan
+    * keys (negated custkey on every 67th order).
+    */
+  private def contractFkQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contracts._
+    val orphaned = t(s, dir, "orders")
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 67 === 0, -col("o_custkey"))
+          .otherwise(col("o_custkey")))
+    graft.operators.Contracts.check(orphaned, Seq(
+      ForeignKeyIn("o_custkey", t(s, dir, "customer"), "c_custkey"),
+      NotNull("o_custkey")))
+  }
+
+  /** Streaming twin of the row-rule subset: `checkRowRules` is a plain
+    * aggregation (|rules| running counters, no other state), so it runs
+    * on the ingest stream under complete mode and the final table
+    * equals the batch totals — oracle shared with [[contractChecksQ]]'s
+    * row rules over the un-duplicated fixture.
+    */
+  private def streamingContractQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contracts._
+    val planted = docStream(s, dir)
+      .withColumn("text",
+        when(col("doc_id") % 97 === 0, lit(null).cast("string"))
+          .otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 89 === 0, lit(-1L)).otherwise(col("n_chars")))
+      .withColumn("lang",
+        when(col("doc_id") % 83 === 0, lit("Z9")).otherwise(col("lang")))
+    runStreamToTable(s,
+      graft.operators.Contracts.checkRowRules(planted, Seq(
+        NotNull("text"),
+        InRange("n_chars", 1, 1000000),
+        Matches("lang", "^[a-z]{2}$"),
+        Predicate("n_chars_consistent",
+          col("n_chars") === length(col("text"))))),
+      "stream_contract", mode = "complete")
+  }
+
   private def dedupCosinePairs(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding", "label",
       threshold = 0.4)
@@ -5940,6 +6012,9 @@ object SparkEntry {
     "curate_script"    -> (curateScriptQ _),
     "streaming_curate_entropy" -> (streamingCurateEntropyQ _),
     "streaming_curate_script" -> (streamingCurateScriptQ _),
+    "contract_checks"  -> (contractChecksQ _),
+    "contract_fk"      -> (contractFkQ _),
+    "streaming_contract" -> (streamingContractQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -7164,6 +7239,77 @@ object SparkEntry {
              WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM kept)""",
+    "contract_checks" ->
+      """WITH fix0 AS (SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN NULL ELSE text END AS text,
+           CASE WHEN doc_id % 89 = 0 THEN -1 ELSE n_chars END AS n_chars,
+           CASE WHEN doc_id % 83 = 0 THEN 'Z9' ELSE lang END AS lang
+         FROM documents),
+         fix AS (SELECT * FROM fix0
+           UNION ALL SELECT * FROM fix0 WHERE doc_id % 101 = 0),
+         tot AS (SELECT count(*) AS checked FROM fix)
+         SELECT rule, checked, violations, violations = 0 AS pass FROM (
+           SELECT 'not_null(text)' AS rule, t.checked,
+             (SELECT count(*) FROM fix WHERE text IS NULL) AS violations
+           FROM tot t
+           UNION ALL
+           SELECT 'in_range(n_chars,1.0,1000000.0)', t.checked,
+             (SELECT count(*) FROM fix
+              WHERE n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000)
+           FROM tot t
+           UNION ALL
+           SELECT 'matches(lang)', t.checked,
+             (SELECT count(*) FROM fix
+              WHERE lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$'))
+           FROM tot t
+           UNION ALL
+           SELECT 'predicate(n_chars_consistent)', t.checked,
+             (SELECT count(*) FROM fix
+              WHERE text IS NULL OR n_chars <> length(text))
+           FROM tot t
+           UNION ALL
+           SELECT 'unique(doc_id)', t.checked,
+             (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM
+               (SELECT count(*) AS n FROM fix GROUP BY doc_id) WHERE n > 1)
+           FROM tot t)""",
+    "contract_fk" ->
+      """WITH o AS (SELECT CASE WHEN o_orderkey % 67 = 0 THEN -o_custkey
+             ELSE o_custkey END AS k FROM orders),
+         tot AS (SELECT count(*) AS checked FROM o)
+         SELECT rule, checked, violations, violations = 0 AS pass FROM (
+           SELECT 'fk(o_custkey)' AS rule, t.checked,
+             (SELECT count(*) FROM o WHERE k IS NULL
+              OR k NOT IN (SELECT c_custkey FROM customer)) AS violations
+           FROM tot t
+           UNION ALL
+           SELECT 'not_null(o_custkey)', t.checked,
+             (SELECT count(*) FROM o WHERE k IS NULL) FROM tot t)""",
+    "streaming_contract" ->
+      """WITH fix AS (SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN NULL ELSE text END AS text,
+           CASE WHEN doc_id % 89 = 0 THEN -1 ELSE n_chars END AS n_chars,
+           CASE WHEN doc_id % 83 = 0 THEN 'Z9' ELSE lang END AS lang
+         FROM documents),
+         tot AS (SELECT count(*) AS checked FROM fix)
+         SELECT rule, checked, violations, violations = 0 AS pass FROM (
+           SELECT 'not_null(text)' AS rule, t.checked,
+             (SELECT count(*) FROM fix WHERE text IS NULL) AS violations
+           FROM tot t
+           UNION ALL
+           SELECT 'in_range(n_chars,1.0,1000000.0)', t.checked,
+             (SELECT count(*) FROM fix
+              WHERE n_chars IS NULL OR n_chars < 1 OR n_chars > 1000000)
+           FROM tot t
+           UNION ALL
+           SELECT 'matches(lang)', t.checked,
+             (SELECT count(*) FROM fix
+              WHERE lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$'))
+           FROM tot t
+           UNION ALL
+           SELECT 'predicate(n_chars_consistent)', t.checked,
+             (SELECT count(*) FROM fix
+              WHERE text IS NULL OR n_chars <> length(text))
+           FROM tot t)""",
     "curate_exposure" ->
       s"""WITH src AS (SELECT doc_id, CASE
            WHEN doc_id % 17 = 0 THEN repeat('aa ', 120)

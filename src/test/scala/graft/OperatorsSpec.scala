@@ -55,6 +55,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("Contracts.check: every rule class counts its violations; empty" +
+      " tables pass; requireContract throws with the failing rules") {
+    import graft.operators.Contracts._
+    val ref = Seq(1L, 2L, 3L).toDF("k")
+    val df = Seq(
+      (1L, "alpha", 5L, java.lang.Long.valueOf(1L)),
+      (2L, null.asInstanceOf[String], 0L,
+        java.lang.Long.valueOf(2L)),            // null text, range-low
+      (3L, "beta", 9999L, java.lang.Long.valueOf(9L)), // fk orphan
+      (3L, "gamma", 5L,
+        null.asInstanceOf[java.lang.Long]))     // dup id, null fk
+      .toDF("id", "text", "n", "fk")
+    val rep = graft.operators.Contracts.check(df, Seq(
+      NotNull("text"), InRange("n", 1, 100),
+      Predicate("short_text", length(col("text")) <= 5),
+      Unique(Seq("id")), ForeignKeyIn("fk", ref, "k")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rep.map(_._1).toSeq === Seq("not_null(text)",
+      "in_range(n,1.0,100.0)", "predicate(short_text)", "unique(id)",
+      "fk(fk)")) // declaration order survives the union
+    val byRule = rep.map(r => r._1 -> r).toMap
+    assert(byRule("not_null(text)") === ("not_null(text)", 4L, 1L, false))
+    assert(byRule("in_range(n,1.0,100.0)")._3 === 2L) // 0 and 9999
+    assert(byRule("predicate(short_text)")._3 === 1L) // null text only
+    assert(byRule("unique(id)")._3 === 2L) // both id=3 rows collide
+    assert(byRule("fk(fk)")._3 === 2L)     // orphan 9 + null key
+    // empty input: checked 0, all pass
+    val empty = graft.operators.Contracts.check(
+      df.filter(lit(false)), Seq(NotNull("text"), Unique(Seq("id"))))
+      .collect()
+    assert(empty.forall(r => r.getLong(1) == 0L && r.getBoolean(3)))
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Contracts.requireContract(df, Seq(NotNull("text")))
+    }
+    assert(err.getMessage.contains("not_null(text)"))
+    // a clean table passes the hard gate silently
+    graft.operators.Contracts.requireContract(
+      df.filter(col("id") === 1L), Seq(NotNull("text"), Unique(Seq("id"))))
+  }
+
   test("editDistancePairs is exact: prefix filter + short block find" +
       " precisely the brute-force levenshtein pairs, boundaries included") {
     val rows = Seq(
