@@ -1409,6 +1409,32 @@ object SparkEntry {
     Dedup.editDistancePairs(fix, "doc_id", "key", maxDist = 2, q = 2)
   }
 
+  /** Drift fixture: snapshot B drops every 3rd doc and shifts every
+    * 7th doc's length by +80 — a real mixture-and-scale drift for the
+    * PSI/KS monitor to flag.
+    */
+  private def driftSnapshots(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val a = docs(s, dir)
+    val b = docs(s, dir).filter(col("doc_id") % 3 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 7 === 0, col("n_chars") + 80)
+          .otherwise(col("n_chars")))
+    (a, b)
+  }
+
+  private def driftBinsQ(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = driftSnapshots(s, dir)
+    graft.operators.Sketches.driftBins(a, b, "n_chars",
+      nBins = 20, lo = 0, hi = 600)
+  }
+
+  private def driftPsiQ(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = driftSnapshots(s, dir)
+    graft.operators.Sketches.distributionDrift(a, b, "n_chars",
+      nBins = 20, lo = 0, hi = 600)
+  }
+
   /** Contract fixture: documents with one planted violation class per
     * rule — null text, out-of-range n_chars, malformed lang, broken
     * n_chars↔text consistency, duplicated ids.
@@ -6015,6 +6041,8 @@ object SparkEntry {
     "contract_checks"  -> (contractChecksQ _),
     "contract_fk"      -> (contractFkQ _),
     "streaming_contract" -> (streamingContractQ _),
+    "drift_bins"       -> (driftBinsQ _),
+    "drift_psi"        -> (driftPsiQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -7310,6 +7338,44 @@ object SparkEntry {
              (SELECT count(*) FROM fix
               WHERE text IS NULL OR n_chars <> length(text))
            FROM tot t)""",
+    "drift_bins" ->
+      """WITH bsnap AS (SELECT CASE WHEN doc_id % 7 = 0 THEN n_chars + 80
+             ELSE n_chars END AS v FROM documents WHERE doc_id % 3 <> 0),
+         ca AS (SELECT LEAST(GREATEST(CAST(FLOOR(n_chars / 30.0) AS INTEGER),
+             0), 19) AS bin, count(*) AS n FROM documents
+           WHERE n_chars IS NOT NULL GROUP BY 1),
+         cb AS (SELECT LEAST(GREATEST(CAST(FLOOR(v / 30.0) AS INTEGER),
+             0), 19) AS bin, count(*) AS n FROM bsnap
+           WHERE v IS NOT NULL GROUP BY 1),
+         sp AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 20))
+         SELECT sp.bin, COALESCE(ca.n, 0) AS cnt_a, COALESCE(cb.n, 0) AS cnt_b
+         FROM sp LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)""",
+    "drift_psi" ->
+      """WITH bsnap AS (SELECT CASE WHEN doc_id % 7 = 0 THEN n_chars + 80
+             ELSE n_chars END AS v FROM documents WHERE doc_id % 3 <> 0),
+         ca AS (SELECT LEAST(GREATEST(CAST(FLOOR(n_chars / 30.0) AS INTEGER),
+             0), 19) AS bin, count(*) AS n FROM documents
+           WHERE n_chars IS NOT NULL GROUP BY 1),
+         cb AS (SELECT LEAST(GREATEST(CAST(FLOOR(v / 30.0) AS INTEGER),
+             0), 19) AS bin, count(*) AS n FROM bsnap
+           WHERE v IS NOT NULL GROUP BY 1),
+         sp AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 20)),
+         bins AS (SELECT sp.bin, COALESCE(ca.n, 0) AS cnt_a,
+             COALESCE(cb.n, 0) AS cnt_b
+           FROM sp LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+         t AS (SELECT bin, cnt_a, cnt_b,
+             CAST(sum(cnt_a) OVER () AS DOUBLE) AS na,
+             CAST(sum(cnt_b) OVER () AS DOUBLE) AS nb,
+             CAST(sum(cnt_a) OVER (ORDER BY bin) AS DOUBLE) AS cum_a,
+             CAST(sum(cnt_b) OVER (ORDER BY bin) AS DOUBLE) AS cum_b
+           FROM bins),
+         p AS (SELECT (cnt_a + 0.5) / (na + 10.0) AS pa,
+             (cnt_b + 0.5) / (nb + 10.0) AS pb,
+             abs(cum_a / na - cum_b / nb) AS gap, na, nb FROM t)
+         SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           round(max(gap), 6) AS ks,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+         FROM p""",
     "curate_exposure" ->
       s"""WITH src AS (SELECT doc_id, CASE
            WHEN doc_id % 17 = 0 THEN repeat('aa ', 120)

@@ -1120,4 +1120,81 @@ object Sketches {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestKllBatch(batch.toDF(), valueCol, groupCol, path, batchId, k)
     }
+
+  /** Equal-width bin counts of `valueCol` in two corpus snapshots —
+    * the shared substrate for drift monitoring between releases (did
+    * the length / quality-score / entropy distribution move?). Values
+    * outside [lo, hi) clamp into the edge bins so the report is total.
+    *
+    * Scale shape: ONE partial-aggregable groupBy per snapshot (the bin
+    * id is a pure arithmetic expression, so the map-side combine
+    * reduces each partition to ≤ nBins rows before the exchange); the
+    * spine join runs on nBins rows. Bin counts are plain counters, so
+    * snapshot bins are mergeable across batches like every other
+    * sketch in this file.
+    */
+  def driftBins(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      nBins: Int = 20,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    require(hi > lo, s"hi $hi must exceed lo $lo")
+    val w = (hi - lo) / nBins
+    def binned(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(greatest(floor((col(valueCol) - lo) / w), lit(0.0)),
+        lit(nBins - 1.0)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val spine = a.sparkSession.range(0, nBins)
+      .select(col("id").cast("int").as("bin"))
+    spine
+      .join(binned(a, "cnt_a"), Seq("bin"), "left")
+      .join(binned(b, "cnt_b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+  }
+
+  /** Distribution drift between two snapshots: Population Stability
+    * Index over Laplace-smoothed bin shares (the credit-scoring /
+    * ML-monitoring standard — PSI < 0.1 stable, > 0.25 shifted) plus
+    * the two-sample Kolmogorov–Smirnov statistic from the binned CDFs.
+    * Output: one row (psi, ks, n_a, n_b), both statistics rounded to 6
+    * (engine-stable across summation orders).
+    *
+    * The windowed stage runs on the nBins-row AGGREGATE output, not
+    * the corpus — a single-partition window over ≤ nBins rows is the
+    * point, not a bottleneck (the heavy lifting happened in
+    * [[driftBins]]' map-side combines).
+    */
+  def distributionDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      nBins: Int = 20,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    val bins = driftBins(a, b, valueCol, nBins, lo, hi)
+    val all = Window.partitionBy(lit(1))
+    val cum = all.orderBy(col("bin"))
+    bins
+      .withColumn("__na", sum(col("cnt_a")).over(all))
+      .withColumn("__nb", sum(col("cnt_b")).over(all))
+      .withColumn("__pa",
+        (col("cnt_a") + 0.5) / (col("__na") + 0.5 * nBins))
+      .withColumn("__pb",
+        (col("cnt_b") + 0.5) / (col("__nb") + 0.5 * nBins))
+      .withColumn("__gap", abs(
+        sum(col("cnt_a")).over(cum) / col("__na") -
+        sum(col("cnt_b")).over(cum) / col("__nb")))
+      .agg(
+        round(sum((col("__pa") - col("__pb")) *
+          log(col("__pa") / col("__pb"))), 6).as("psi"),
+        round(max(col("__gap")), 6).as("ks"),
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"))
+  }
 }

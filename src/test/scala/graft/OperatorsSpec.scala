@@ -55,6 +55,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("distributionDrift: identical snapshots score zero; a collapsed" +
+      " distribution scores high PSI; outliers clamp into edge bins") {
+    import graft.operators.Sketches
+    val a = Seq(10.0, 20.0, 30.0, 40.0, -5.0, 999.0).toDF("v")
+    val bins = Sketches.driftBins(a, a, "v", nBins = 4, lo = 0, hi = 40)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // w=10: -5 clamps to bin 0; 10→1; 20→2; 30→3; 40 and 999 clamp to 3
+    assert(bins === Map(0 -> (1L, 1L), 1 -> (1L, 1L), 2 -> (1L, 1L),
+      3 -> (3L, 3L)))
+    val same = Sketches.distributionDrift(a, a, "v", 4, 0, 40).collect()(0)
+    assert(same.getDouble(0) === 0.0 && same.getDouble(1) === 0.0)
+    assert(same.getLong(2) === 6L && same.getLong(3) === 6L)
+    val b = Seq.fill(6)(10.0).toDF("v") // everything lands in one bin
+    val moved = Sketches.distributionDrift(a, b, "v", 4, 0, 40).collect()(0)
+    assert(moved.getDouble(0) > 0.25) // "significant shift" PSI band
+    assert(moved.getDouble(1) > 0.4)  // KS gap at the first bin edge
+  }
+
   test("Contracts.check: every rule class counts its violations; empty" +
       " tables pass; requireContract throws with the failing rules") {
     import graft.operators.Contracts._
