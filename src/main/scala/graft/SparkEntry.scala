@@ -3156,6 +3156,15 @@ object SparkEntry {
   private def tfidfTopTermsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", kTop = 3)
 
+  /** TF-IDF cosine all-pairs gate on the %5 subset (the brute oracle
+    * is quadratic; the ENGINE runs the prefix-filtered join — the
+    * oracle is the semantics, not the algorithm).
+    */
+  private def tfidfCosinePairsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfCosinePairs(
+      docs(s, dir).filter(col("doc_id") % 5 === 0), "doc_id", "text",
+      threshold = 0.85)
+
   /** The retrieval family's fixed query set — shared by the direct
     * BM25 gate, the three index-artifact gates, and the hybrid-fusion
     * gate so they all replay ONE oracle formula.
@@ -6086,6 +6095,7 @@ object SparkEntry {
     "code_quality" -> (codeQualityQ _),
     "bm25_score"   -> (bm25ScoreQ _),
     "tfidf_top_terms" -> (tfidfTopTermsQ _),
+    "tfidf_cosine_pairs" -> (tfidfCosinePairsQ _),
     "gram_exposure" -> (gramExposureQ _),
     "char_entropy"  -> (charEntropyQ _),
     "script_ratios" -> (scriptRatiosQ _),
@@ -8622,6 +8632,30 @@ object SparkEntry {
          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
              ORDER BY tfidf DESC, term) AS INTEGER) AS rk FROM sc)
          SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3""",
+    "tfidf_cosine_pairs" ->
+      """WITH fix AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 5 = 0),
+         toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               w -> len(w) > 0) AS ws
+           FROM fix),
+         tfc AS (SELECT doc_id, term, count(*) AS tfr
+           FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+           GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfr
+           FROM tfc GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+         w AS (SELECT tfc.doc_id, tfc.term,
+             tfc.tfr * (ln((1 + st.n) / (1 + dfq.dfr)) + 1) AS w
+           FROM tfc JOIN dfq USING (term), st),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY 1),
+         u AS (SELECT w.doc_id, w.term, w.w / nrm.nn AS u
+           FROM w JOIN nrm USING (doc_id)),
+         dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(sum(a.u * b.u), 6) AS cos_sim
+           FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, cos_sim FROM dot WHERE cos_sim >= 0.85""",
     // the three index-artifact gates REPLAY the direct form's oracle:
     // probe/append/streaming-ingest parity IS their contract
     "bm25_index_probe" -> oracleSqlBm25,

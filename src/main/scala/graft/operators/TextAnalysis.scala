@@ -594,6 +594,88 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** All-pairs TF-IDF cosine similarity join: every pair (id_a < id_b)
+    * of documents whose L2-normalized tf·smooth-idf term vectors have
+    * cosine ≥ `threshold` — the sparse-lexical dual of
+    * [[graft.operators.Dedup.embeddingCosinePairs]] (same output
+    * contract, term space instead of embedding space). Template-page
+    * detection, boilerplate families, near-identical articles that
+    * word-level MinHash misses.
+    *
+    * EXACT semantics via the L2 prefix filter (Bayardo, Ma & Srikant,
+    * WWW 2007 §3): per doc, sort terms by weight descending and keep
+    * as INDEX entries only those whose suffix squared mass is ≥ τ —
+    * the unindexed tail then has L2 norm < √τ, so by Cauchy–Schwarz a
+    * pair sharing ONLY tail terms has cosine < τ strictly and every
+    * qualifying pair must collide on a term indexed by at least one
+    * endpoint. Candidates = full-postings ⋈ prefix-postings on term
+    * (both roles covered by the one asymmetric join); the confirm
+    * re-attaches the two term→weight maps and computes the exact dot
+    * with native map ops. Cosines round to 6 BEFORE the threshold
+    * compare (engine-stable summation).
+    *
+    * Scale shape: tf / df / norm are the [[tfidfTopTerms]] aggregates
+    * (linear, partial-aggregable; df joins back on term — hash join,
+    * vocabulary is NOT broadcast-safe at corpus scale); the prefix
+    * windows are per-doc (rows ≤ doc vocab, skew-free); the candidate
+    * join is the inverted-index pattern with hot high-df terms pushed
+    * OUT of prefixes by their low idf weight (a stopword's suffix
+    * mass collapses, so stop-term buckets empty by construction); the
+    * per-pair confirm is linear in the vocab union of the two docs.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0).as("__toks"))
+    val tf = toks.select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val weighted = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__w", col("__tf") *
+        (log((lit(1.0) + col("__n")) / (lit(1.0) + col("__df"))) + 1.0))
+      .select(col(idCol), col("term"), col("__w"))
+    val u = weighted.withColumn("__u", col("__w") /
+        sqrt(sum(col("__w") * col("__w"))
+          .over(Window.partitionBy(col(idCol)))))
+      .select(col(idCol), col("term"), col("__u"))
+    val suffix = Window.partitionBy(col(idCol))
+      .orderBy(col("__u").desc, col("term").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = u
+      .withColumn("__sfx", sum(col("__u") * col("__u")).over(suffix))
+      .filter(col("__sfx") >= threshold)
+      .select(col(idCol).as("__pid"), col("term"))
+    val full = u.select(col(idCol).as("__fid"), col("term"))
+    val cand = full.join(prefix, Seq("term"))
+      .filter(col("__fid") =!= col("__pid"))
+      .select(least(col("__fid"), col("__pid")).as("id_a"),
+        greatest(col("__fid"), col("__pid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = u.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("__u"))))
+        .as("__vec"))
+    cand
+      .join(vecs.select(col(idCol).as("id_a"), col("__vec").as("__va")),
+        Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col("__vec").as("__vb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(map_values(map_zip_with(col("__va"), col("__vb"),
+          (_, x, y) => coalesce(x, lit(0.0)) * coalesce(y, lit(0.0)))),
+          lit(0.0), (acc, v) => acc + v), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** License detection over document text — the code-corpus curation
     * gate (the BigCode/StarCoder practice: permissively-licensed files
     * train, copyleft/unknown files are excluded or attributed; Kocetkov

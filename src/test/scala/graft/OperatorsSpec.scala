@@ -55,6 +55,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("tfidfCosinePairs: prefix-filtered join equals the brute-force" +
+      " cosine over normalized tf-idf vectors; exact dups score 1") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (0L, "spark shuffle join broadcast"),
+      (1L, "spark shuffle join broadcast"),      // exact dup of 0
+      (2L, "spark shuffle join partition"),      // 3/4 shared
+      (3L, "window agg sort order limit"),       // disjoint
+      (4L, "window agg sort order limit extra")) // superset of 3
+    val df = rows.toDF("id", "text")
+    def vec(t: String, n: Int, dfm: Map[String, Int]): Map[String, Double] = {
+      val tf = t.split("\\s+").groupBy(identity).map { case (k, v) =>
+        k -> v.length.toDouble }
+      val w = tf.map { case (k, c) =>
+        k -> c * (math.log((1.0 + n) / (1.0 + dfm(k))) + 1.0) }
+      val nn = math.sqrt(w.values.map(x => x * x).sum)
+      w.map { case (k, v) => k -> v / nn }
+    }
+    val dfm = rows.flatMap(_._2.split("\\s+").distinct)
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val vs = rows.map { case (i, t) => i -> vec(t, rows.size, dfm) }.toMap
+    val brute = (for {
+      (i, _) <- rows; (j, _) <- rows if i < j
+      c = vs(i).map { case (k, v) => v * vs(j).getOrElse(k, 0.0) }.sum
+      r = math.rint(c * 1e6) / 1e6 if r >= 0.5
+    } yield (i, j, r)).toSet
+    val got = TextAnalysis.tfidfCosinePairs(df, "id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+    assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 === 1.0))
+    assert(!got.exists(p => (p._1, p._2) == (0L, 3L))) // disjoint absent
+  }
+
   test("distributionDrift: identical snapshots score zero; a collapsed" +
       " distribution scores high PSI; outliers clamp into edge bins") {
     import graft.operators.Sketches
