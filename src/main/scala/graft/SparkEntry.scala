@@ -1390,12 +1390,12 @@ object SparkEntry {
     * candidate generation is exactness-gated, cross-family accidental
     * near-keys included.
     */
-  private def dedupEditDistPairsQ(s: SparkSession, dir: String): DataFrame = {
+  private def editDistFixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val lead = d.select((col("doc_id")).as("__lid"),
       substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 24)
         .as("__base"))
-    val fix = d.filter(col("doc_id") % 5 === 0)
+    d.filter(col("doc_id") % 5 === 0)
       .withColumn("__lid", col("doc_id") - col("doc_id") % 15)
       .select(col("doc_id"), col("__lid"))
       .join(lead, Seq("__lid"))
@@ -1406,7 +1406,26 @@ object SparkEntry {
             concat(lit("x"), substring(col("__base"), 2, 24)))
           .otherwise(concat(col("__base"), lit("q"))))
       .select(col("doc_id"), col("key"))
-    Dedup.editDistancePairs(fix, "doc_id", "key", maxDist = 2, q = 2)
+  }
+
+  private def dedupEditDistPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(editDistFixture(s, dir), "doc_id", "key",
+      maxDist = 2, q = 2)
+
+  /** Survivor composition: the edit-distance pair set feeding the
+    * standard keep-lowest-id anti-join — fuzzy KEY dedup end-to-end.
+    */
+  private def dedupDropEditDistQ(s: SparkSession, dir: String): DataFrame = {
+    val fix = editDistFixture(s, dir)
+    Dedup.dropNearDuplicates(fix, "doc_id",
+      Dedup.editDistancePairs(fix, "doc_id", "key", maxDist = 2, q = 2))
+      .select(col("doc_id"))
+  }
+
+  private def driftByLangQ(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = driftSnapshots(s, dir)
+    graft.operators.Sketches.distributionDriftBy(a, b, "n_chars", "lang",
+      nBins = 20, lo = 0, hi = 600)
   }
 
   /** Drift fixture: snapshot B drops every 3rd doc and shifts every
@@ -6052,6 +6071,8 @@ object SparkEntry {
     "streaming_contract" -> (streamingContractQ _),
     "drift_bins"       -> (driftBinsQ _),
     "drift_psi"        -> (driftPsiQ _),
+    "drift_by_lang"    -> (driftByLangQ _),
+    "dedup_drop_editdist" -> (dedupDropEditDistQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -6953,6 +6974,23 @@ object SparkEntry {
              AND abs(length(a.key) - length(b.key)) <= 2)
          SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
          FROM pr WHERE dist <= 2""",
+    "dedup_drop_editdist" ->
+      """WITH lead AS (SELECT doc_id AS lid,
+           substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 24)
+             AS base FROM documents),
+         fix AS (SELECT d.doc_id, CASE
+             WHEN d.doc_id % 15 = 0 THEN l.base
+             WHEN d.doc_id % 15 = 5 THEN 'x' || substr(l.base, 2)
+             ELSE l.base || 'q' END AS key
+           FROM documents d
+           JOIN lead l ON l.lid = d.doc_id - d.doc_id % 15
+           WHERE d.doc_id % 5 = 0 AND length(l.base) >= 12),
+         drops AS (SELECT DISTINCT b.doc_id FROM fix a JOIN fix b
+           ON a.doc_id < b.doc_id
+             AND abs(length(a.key) - length(b.key)) <= 2
+           WHERE levenshtein(a.key, b.key) <= 2)
+         SELECT doc_id FROM fix
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
     "dedup_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
@@ -7386,6 +7424,40 @@ object SparkEntry {
            round(max(gap), 6) AS ks,
            CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
          FROM p""",
+    "drift_by_lang" ->
+      """WITH asnap AS (SELECT lang, n_chars AS v FROM documents
+           WHERE n_chars IS NOT NULL),
+         bsnap AS (SELECT lang, CASE WHEN doc_id % 7 = 0 THEN n_chars + 80
+             ELSE n_chars END AS v FROM documents
+           WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL),
+         ca AS (SELECT lang, LEAST(GREATEST(CAST(FLOOR(v / 30.0) AS INTEGER),
+             0), 19) AS bin, count(*) AS n FROM asnap GROUP BY 1, 2),
+         cb AS (SELECT lang, LEAST(GREATEST(CAST(FLOOR(v / 30.0) AS INTEGER),
+             0), 19) AS bin, count(*) AS n FROM bsnap GROUP BY 1, 2),
+         gs AS (SELECT DISTINCT lang FROM (SELECT lang FROM asnap
+           UNION ALL SELECT lang FROM bsnap)),
+         sp AS (SELECT gs.lang, CAST(r.range AS INTEGER) AS bin
+           FROM gs, range(0, 20) r),
+         bins AS (SELECT sp.lang, sp.bin, COALESCE(ca.n, 0) AS cnt_a,
+             COALESCE(cb.n, 0) AS cnt_b
+           FROM sp LEFT JOIN ca USING (lang, bin)
+                   LEFT JOIN cb USING (lang, bin)),
+         t AS (SELECT lang, bin, cnt_a, cnt_b,
+             CAST(sum(cnt_a) OVER (PARTITION BY lang) AS DOUBLE) AS na,
+             CAST(sum(cnt_b) OVER (PARTITION BY lang) AS DOUBLE) AS nb,
+             CAST(sum(cnt_a) OVER (PARTITION BY lang ORDER BY bin)
+               AS DOUBLE) AS cum_a,
+             CAST(sum(cnt_b) OVER (PARTITION BY lang ORDER BY bin)
+               AS DOUBLE) AS cum_b
+           FROM bins),
+         p AS (SELECT lang, (cnt_a + 0.5) / (na + 10.0) AS pa,
+             (cnt_b + 0.5) / (nb + 10.0) AS pb,
+             abs(cum_a / na - cum_b / nb) AS gap, na, nb FROM t)
+         SELECT lang AS "group", round(sum((pa - pb) * ln(pa / pb)), 6)
+             AS psi,
+           round(max(gap), 6) AS ks,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+         FROM p GROUP BY lang""",
     "curate_exposure" ->
       s"""WITH src AS (SELECT doc_id, CASE
            WHEN doc_id % 17 = 0 THEN repeat('aa ', 120)

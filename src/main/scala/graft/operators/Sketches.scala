@@ -1170,6 +1170,82 @@ object Sketches {
     * point, not a bottleneck (the heavy lifting happened in
     * [[driftBins]]' map-side combines).
     */
+  /** Per-group [[driftBins]]: one bin table per group value (e.g. per
+    * language, per source domain). The group key is null-safed through
+    * a U+0000 sentinel internally — a null group is a REAL group (the
+    * exact-groupBy contract), not a dropped one — and surfaces as the
+    * original null. Spine = distinct groups × nBins via an exploded
+    * sequence (no cross join); everything else is the ungrouped shape
+    * with the group key prepended to each aggregate/join key.
+    */
+  def driftBinsBy(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      nBins: Int = 20,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    require(hi > lo, s"hi $hi must exceed lo $lo")
+    val w = (hi - lo) / nBins
+    def keyed(df: DataFrame) = df
+      .filter(col(valueCol).isNotNull)
+      .select(
+        coalesce(col(groupCol).cast("string"), lit(" ")).as("__gk"),
+        col(groupCol).cast("string").as("group"),
+        least(greatest(floor((col(valueCol) - lo) / w), lit(0.0)),
+          lit(nBins - 1.0)).cast("int").as("bin"))
+    def binned(df: DataFrame, out: String) = keyed(df)
+      .groupBy("__gk", "bin").agg(count(lit(1)).as(out))
+    val spine = keyed(a).unionByName(keyed(b))
+      .select(col("__gk"), col("group")).distinct()
+      .select(col("__gk"), col("group"),
+        explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    spine
+      .join(binned(a, "cnt_a"), Seq("__gk", "bin"), "left")
+      .join(binned(b, "cnt_b"), Seq("__gk", "bin"), "left")
+      .select(col("group"), col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+  }
+
+  /** Per-group [[distributionDrift]]: (group, psi, ks, n_a, n_b), one
+    * row per group — "which language moved between releases". Windows
+    * partition by group over the bins table (group cardinality × nBins
+    * rows total), so the whole statistic stage is aggregate-sized.
+    */
+  def distributionDriftBy(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      nBins: Int = 20,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    val bins = driftBinsBy(a, b, valueCol, groupCol, nBins, lo, hi)
+      .withColumn("__gk", coalesce(col("group"), lit(" ")))
+    val all = Window.partitionBy(col("__gk"))
+    val cum = all.orderBy(col("bin"))
+    bins
+      .withColumn("__na", sum(col("cnt_a")).over(all))
+      .withColumn("__nb", sum(col("cnt_b")).over(all))
+      .withColumn("__pa",
+        (col("cnt_a") + 0.5) / (col("__na") + 0.5 * nBins))
+      .withColumn("__pb",
+        (col("cnt_b") + 0.5) / (col("__nb") + 0.5 * nBins))
+      .withColumn("__gap", abs(
+        sum(col("cnt_a")).over(cum) / col("__na") -
+        sum(col("cnt_b")).over(cum) / col("__nb")))
+      .groupBy(col("group"))
+      .agg(
+        round(sum((col("__pa") - col("__pb")) *
+          log(col("__pa") / col("__pb"))), 6).as("psi"),
+        round(max(col("__gap")), 6).as("ks"),
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"))
+  }
+
   def distributionDrift(
       a: DataFrame,
       b: DataFrame,

@@ -106,6 +106,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(moved.getDouble(1) > 0.4)  // KS gap at the first bin edge
   }
 
+  test("distributionDriftBy: a null group is a real group and every" +
+      " group's stats equal the ungrouped form run on its slice") {
+    import graft.operators.Sketches
+    val a = Seq(("en", 5.0), ("en", 15.0), ("de", 5.0),
+      (null.asInstanceOf[String], 5.0), (null.asInstanceOf[String], 25.0))
+      .toDF("g", "v")
+    val b = Seq(("en", 5.0), ("en", 5.0), ("de", 35.0),
+      (null.asInstanceOf[String], 25.0)).toDF("g", "v")
+    val by = Sketches.distributionDriftBy(a, b, "v", "g", 4, 0, 40)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(by.keySet === Set(Some("en"), Some("de"), None))
+    for ((g, slice) <- Seq(
+        (Some("en"), (d: org.apache.spark.sql.DataFrame) =>
+          d.filter(col("g") === "en")),
+        (Some("de"), (d: org.apache.spark.sql.DataFrame) =>
+          d.filter(col("g") === "de")),
+        (None: Option[String], (d: org.apache.spark.sql.DataFrame) =>
+          d.filter(col("g").isNull)))) {
+      val solo = Sketches.distributionDrift(slice(a), slice(b), "v", 4, 0, 40)
+        .collect()(0)
+      assert(by(g) === ((solo.getDouble(0), solo.getDouble(1),
+        solo.getLong(2), solo.getLong(3))), s"group $g")
+    }
+  }
+
   test("Contracts.check: every rule class counts its violations; empty" +
       " tables pass; requireContract throws with the failing rules") {
     import graft.operators.Contracts._
