@@ -1428,6 +1428,14 @@ object SparkEntry {
       nBins = 20, lo = 0, hi = 600)
   }
 
+  /** Banding-quality eval gate on the %10 sample: the oracle replays
+    * BOTH sides — brute-force exact-Jaccard truth and the full
+    * minhash/band/bucket candidate arithmetic — then the hit counts.
+    */
+  private def dedupLshEvalQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshEval(docs(s, dir).filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", threshold = 0.3)
+
   /** Drift fixture: snapshot B drops every 3rd doc and shifts every
     * 7th doc's length by +80 — a real mixture-and-scale drift for the
     * PSI/KS monitor to flag.
@@ -5865,6 +5873,48 @@ object SparkEntry {
         AND a.doc_id < b.doc_id"""
   }
 
+  /** Oracle for `dedup_lsh_eval`: brute-force exact-Jaccard truth AND
+    * the dkLshPairs minhash/band arithmetic, both over the `% mod`
+    * document sample, folded into hit counts + recall/precision.
+    */
+  private def dkLshEvalSql(mod: Int): String = {
+    val bucketSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', sig_${2 * b}, sig_${2 * b + 1})) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val sigs = (0 until 16).map { j =>
+      val (a, b) = TextFunctions.hashParams(j)
+      s"list_min([($a*x + $b) % 2147483647 for x in hs]) AS sig_$j"
+    }
+    s"""WITH w AS (SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS words
+         FROM documents WHERE doc_id % $mod = 0),
+       s AS (SELECT doc_id, CASE WHEN len(words) >= 3
+           THEN list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
+           ELSE [array_to_string(words, ' ')] END AS sh FROM w),
+       truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           >= 0.3),
+       h AS (SELECT doc_id, [${dkHash("x")} % 2147483647 for x in sh] AS hs FROM s),
+       sig AS (SELECT doc_id, ${sigs.mkString(", ")} FROM h),
+       bk AS ($bucketSelects),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+       u AS (SELECT id_a, id_b, max(t) AS t, max(c) AS c FROM (
+           SELECT id_a, id_b, 1 AS t, 0 AS c FROM truth
+           UNION ALL SELECT id_a, id_b, 0, 1 FROM cand) GROUP BY 1, 2)
+     SELECT CAST(COALESCE(sum(t), 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(sum(t * c), 0) AS BIGINT) AS n_hit,
+       round(COALESCE(sum(t * c), 0)
+         / CAST(GREATEST(COALESCE(sum(t), 0), 1) AS DOUBLE), 6) AS recall,
+       round(COALESCE(sum(t * c), 0)
+         / CAST(GREATEST(COALESCE(sum(c), 0), 1) AS DOUBLE), 6) AS precision
+     FROM u"""
+  }
+
   private val dkNgramPairs: String =
     s"""WITH $dkShingles,
        a AS (SELECT doc_id, sh, list_sort(list_distinct(
@@ -6073,6 +6123,7 @@ object SparkEntry {
     "drift_psi"        -> (driftPsiQ _),
     "drift_by_lang"    -> (driftByLangQ _),
     "dedup_drop_editdist" -> (dedupDropEditDistQ _),
+    "dedup_lsh_eval"   -> (dedupLshEvalQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -6902,6 +6953,7 @@ object SparkEntry {
          GROUP BY 1, 2 HAVING count(*) >= 2""",
     "dedup_minhash_sig" -> dkMinhashSigSelect,
     "dedup_lsh_pairs" -> dkLshPairs,
+    "dedup_lsh_eval" -> dkLshEvalSql(10),
     "dedup_lsh_capped" ->
       """WITH d AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn
            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 70)),

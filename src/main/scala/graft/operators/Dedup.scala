@@ -405,6 +405,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Banding-quality eval: recall/precision of the MinHash-LSH
+    * candidate generator against EXACT shingle-Jaccard ground truth.
+    * The truth side is a brute-force non-equi pair join — quadratic BY
+    * DESIGN (the [[graft.operators.Similarity.knnBruteForce]]
+    * precedent): run it on a bounded SAMPLE to choose (numHashes,
+    * bands, shingleN) before the corpus pass, while the LSH side runs
+    * the production generator UNCHANGED, cap included. Output one row:
+    * (n_true, n_cand, n_hit, recall, precision). Recall is the number
+    * that matters — a true pair the banding misses never reaches any
+    * verify stage; precision only prices the verify-stage work.
+    */
+  def lshEval(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.3,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sh = Spread.ifNarrow(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+    val truth = sh.as("a")
+      .join(sh.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        jaccard(col("a.__sh"), col("b.__sh")).as("__j"))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val cand = minhashLshPairs(docs, idCol, textCol, shingleN, numHashes,
+        bands, maxBucketSize)
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    truth.withColumn("__t", lit(1)).withColumn("__c", lit(0))
+      .unionByName(cand.withColumn("__t", lit(0)).withColumn("__c", lit(1)))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("__t")).as("__t"), max(col("__c")).as("__c"))
+      .agg(
+        coalesce(sum(col("__t")), lit(0)).cast("long").as("n_true"),
+        coalesce(sum(col("__c")), lit(0)).cast("long").as("n_cand"),
+        coalesce(sum(col("__t") * col("__c")), lit(0)).cast("long")
+          .as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / greatest(col("n_true"), lit(1L)), 6)
+          .as("recall"),
+        round(col("n_hit") / greatest(col("n_cand"), lit(1L)), 6)
+          .as("precision"))
+  }
+
   /** Edit-distance similarity join: every pair (id_a < id_b) whose key
     * strings are within Levenshtein distance `maxDist` — the classic
     * entity-resolution primitive (near-identical titles, names, URLs)

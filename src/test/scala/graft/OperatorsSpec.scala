@@ -173,6 +173,25 @@ class OperatorsSpec extends AnyFunSuite {
       df.filter(col("id") === 1L), Seq(NotNull("text"), Unique(Seq("id"))))
   }
 
+  test("lshEval: exact dups are always recalled; counts are consistent" +
+      " (n_hit bounded by both sides, ratios match the counts)") {
+    val text = "alpha bravo charlie delta echo foxtrot golf hotel " * 3
+    val corpus = Seq(
+      (0L, text), (1L, text), // exact dup: identical signatures, a hit
+      (2L, "completely different words everywhere nothing shared here at all"),
+      (3L, "india juliett kilo lima mike november oscar papa " * 3))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshEval(corpus, "doc_id", "text", threshold = 0.3)
+      .collect()(0)
+    val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue >= 1L && nHit >= 1L) // the exact dup is found
+    assert(nHit <= math.min(nTrue, nCand))
+    assert(r.getDouble(3) ===
+      math.rint(nHit.toDouble / math.max(nTrue, 1L) * 1e6) / 1e6)
+    assert(r.getDouble(4) ===
+      math.rint(nHit.toDouble / math.max(nCand, 1L) * 1e6) / 1e6)
+  }
+
   test("editDistancePairs is exact: prefix filter + short block find" +
       " precisely the brute-force levenshtein pairs, boundaries included") {
     val rows = Seq(
