@@ -1192,7 +1192,7 @@ object Sketches {
     def keyed(df: DataFrame) = df
       .filter(col(valueCol).isNotNull)
       .select(
-        coalesce(col(groupCol).cast("string"), lit(" ")).as("__gk"),
+        coalesce(col(groupCol).cast("string"), lit("\u0000")).as("__gk"),
         col(groupCol).cast("string").as("group"),
         least(greatest(floor((col(valueCol) - lo) / w), lit(0.0)),
           lit(nBins - 1.0)).cast("int").as("bin"))
@@ -1224,7 +1224,7 @@ object Sketches {
       lo: Double = 0.0,
       hi: Double = 1.0): DataFrame = {
     val bins = driftBinsBy(a, b, valueCol, groupCol, nBins, lo, hi)
-      .withColumn("__gk", coalesce(col("group"), lit(" ")))
+      .withColumn("__gk", coalesce(col("group"), lit("\u0000")))
     val all = Window.partitionBy(col("__gk"))
     val cum = all.orderBy(col("bin"))
     bins
