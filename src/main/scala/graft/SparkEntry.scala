@@ -1428,6 +1428,33 @@ object SparkEntry {
       nBins = 20, lo = 0, hi = 600)
   }
 
+  /** Streaming drift gate: snapshot B's bin counters accumulate into
+    * the epoch artifact micro-batch by micro-batch (exactly-once under
+    * the batch-id cursor), then the frozen artifact scores against the
+    * batch baseline — counters telescope, so the result replays
+    * `drift_psi`'s oracle verbatim.
+    */
+  private def streamingDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val hex = Integer.toHexString(dir.hashCode)
+    val path = s"/tmp/graft_bins_stream_$hex"
+    val ckpt = s"/tmp/graft_bins_ckpt_$hex"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, ckpt).foreach { pp =>
+      val hp = new org.apache.hadoop.fs.Path(pp)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    val bStream = docStream(s, dir).filter(col("doc_id") % 3 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 7 === 0, col("n_chars") + 80)
+          .otherwise(col("n_chars")))
+    graft.operators.Sketches.binsIngestStream(
+        bStream, "n_chars", path, nBins = 20, lo = 0, hi = 600)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    graft.operators.Sketches.driftVsBins(docs(s, dir), "n_chars", path)
+  }
+
   /** Banding-quality eval gate on the %10 sample: the oracle replays
     * BOTH sides — brute-force exact-Jaccard truth and the full
     * minhash/band/bucket candidate arithmetic — then the hit counts.
@@ -5873,6 +5900,38 @@ object SparkEntry {
         AND a.doc_id < b.doc_id"""
   }
 
+  /** PSI/KS oracle over the planted drift snapshots — shared verbatim
+    * by `drift_psi` (two-DataFrame form) and `streaming_drift` (the
+    * stream-ingested bin artifact; counter telescoping makes them
+    * equal however the stream was micro-batched).
+    */
+  private val dkDriftPsi: String =
+    """WITH bsnap AS (SELECT CASE WHEN doc_id % 7 = 0 THEN n_chars + 80
+           ELSE n_chars END AS v FROM documents WHERE doc_id % 3 <> 0),
+       ca AS (SELECT LEAST(GREATEST(CAST(FLOOR(n_chars / 30.0) AS INTEGER),
+           0), 19) AS bin, count(*) AS n FROM documents
+         WHERE n_chars IS NOT NULL GROUP BY 1),
+       cb AS (SELECT LEAST(GREATEST(CAST(FLOOR(v / 30.0) AS INTEGER),
+           0), 19) AS bin, count(*) AS n FROM bsnap
+         WHERE v IS NOT NULL GROUP BY 1),
+       sp AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 20)),
+       bins AS (SELECT sp.bin, COALESCE(ca.n, 0) AS cnt_a,
+           COALESCE(cb.n, 0) AS cnt_b
+         FROM sp LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+       t AS (SELECT bin, cnt_a, cnt_b,
+           CAST(sum(cnt_a) OVER () AS DOUBLE) AS na,
+           CAST(sum(cnt_b) OVER () AS DOUBLE) AS nb,
+           CAST(sum(cnt_a) OVER (ORDER BY bin) AS DOUBLE) AS cum_a,
+           CAST(sum(cnt_b) OVER (ORDER BY bin) AS DOUBLE) AS cum_b
+         FROM bins),
+       p AS (SELECT (cnt_a + 0.5) / (na + 10.0) AS pa,
+           (cnt_b + 0.5) / (nb + 10.0) AS pb,
+           abs(cum_a / na - cum_b / nb) AS gap, na, nb FROM t)
+       SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+         round(max(gap), 6) AS ks,
+         CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+       FROM p"""
+
   /** Oracle for `dedup_lsh_eval`: brute-force exact-Jaccard truth AND
     * the dkLshPairs minhash/band arithmetic, both over the `% mod`
     * document sample, folded into hit counts + recall/precision.
@@ -6124,6 +6183,7 @@ object SparkEntry {
     "drift_by_lang"    -> (driftByLangQ _),
     "dedup_drop_editdist" -> (dedupDropEditDistQ _),
     "dedup_lsh_eval"   -> (dedupLshEvalQ _),
+    "streaming_drift"  -> (streamingDriftQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -7450,32 +7510,10 @@ object SparkEntry {
          sp AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 20))
          SELECT sp.bin, COALESCE(ca.n, 0) AS cnt_a, COALESCE(cb.n, 0) AS cnt_b
          FROM sp LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)""",
-    "drift_psi" ->
-      """WITH bsnap AS (SELECT CASE WHEN doc_id % 7 = 0 THEN n_chars + 80
-             ELSE n_chars END AS v FROM documents WHERE doc_id % 3 <> 0),
-         ca AS (SELECT LEAST(GREATEST(CAST(FLOOR(n_chars / 30.0) AS INTEGER),
-             0), 19) AS bin, count(*) AS n FROM documents
-           WHERE n_chars IS NOT NULL GROUP BY 1),
-         cb AS (SELECT LEAST(GREATEST(CAST(FLOOR(v / 30.0) AS INTEGER),
-             0), 19) AS bin, count(*) AS n FROM bsnap
-           WHERE v IS NOT NULL GROUP BY 1),
-         sp AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 20)),
-         bins AS (SELECT sp.bin, COALESCE(ca.n, 0) AS cnt_a,
-             COALESCE(cb.n, 0) AS cnt_b
-           FROM sp LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
-         t AS (SELECT bin, cnt_a, cnt_b,
-             CAST(sum(cnt_a) OVER () AS DOUBLE) AS na,
-             CAST(sum(cnt_b) OVER () AS DOUBLE) AS nb,
-             CAST(sum(cnt_a) OVER (ORDER BY bin) AS DOUBLE) AS cum_a,
-             CAST(sum(cnt_b) OVER (ORDER BY bin) AS DOUBLE) AS cum_b
-           FROM bins),
-         p AS (SELECT (cnt_a + 0.5) / (na + 10.0) AS pa,
-             (cnt_b + 0.5) / (nb + 10.0) AS pb,
-             abs(cum_a / na - cum_b / nb) AS gap, na, nb FROM t)
-         SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
-           round(max(gap), 6) AS ks,
-           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
-         FROM p""",
+    "drift_psi" -> dkDriftPsi,
+    // the stream-accumulated artifact's counters telescope to the batch
+    // bin table, so the streaming form replays the SAME oracle verbatim
+    "streaming_drift" -> dkDriftPsi,
     "drift_by_lang" ->
       """WITH asnap AS (SELECT lang, n_chars AS v FROM documents
            WHERE n_chars IS NOT NULL),

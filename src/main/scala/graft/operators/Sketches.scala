@@ -1133,30 +1133,41 @@ object Sketches {
     * snapshot bins are mergeable across batches like every other
     * sketch in this file.
     */
+  /** Single-snapshot bin counts: (bin, cnt) with EVERY bin present
+    * (zeros included) — the mergeable unit ([[driftBins]] is two of
+    * these joined; the persisted artifact stores one and counter-wise
+    * sum telescopes across ingested batches).
+    */
+  def binCounts(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    require(hi > lo, s"hi $hi must exceed lo $lo")
+    val w = (hi - lo) / nBins
+    val counted = df.filter(col(valueCol).isNotNull)
+      .select(least(greatest(floor((col(valueCol) - lo) / w), lit(0.0)),
+        lit(nBins - 1.0)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    df.sparkSession.range(0, nBins)
+      .select(col("id").cast("int").as("bin"))
+      .join(counted, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   def driftBins(
       a: DataFrame,
       b: DataFrame,
       valueCol: String,
       nBins: Int = 20,
       lo: Double = 0.0,
-      hi: Double = 1.0): DataFrame = {
-    require(nBins >= 2, "need at least 2 bins")
-    require(hi > lo, s"hi $hi must exceed lo $lo")
-    val w = (hi - lo) / nBins
-    def binned(df: DataFrame, out: String) = df
-      .filter(col(valueCol).isNotNull)
-      .select(least(greatest(floor((col(valueCol) - lo) / w), lit(0.0)),
-        lit(nBins - 1.0)).cast("int").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as(out))
-    val spine = a.sparkSession.range(0, nBins)
-      .select(col("id").cast("int").as("bin"))
-    spine
-      .join(binned(a, "cnt_a"), Seq("bin"), "left")
-      .join(binned(b, "cnt_b"), Seq("bin"), "left")
-      .select(col("bin"),
-        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
-        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-  }
+      hi: Double = 1.0): DataFrame =
+    binCounts(a, valueCol, nBins, lo, hi)
+      .withColumnRenamed("cnt", "cnt_a")
+      .join(binCounts(b, valueCol, nBins, lo, hi)
+        .withColumnRenamed("cnt", "cnt_b"), Seq("bin"))
 
   /** Distribution drift between two snapshots: Population Stability
     * Index over Laplace-smoothed bin shares (the credit-scoring /
@@ -1246,14 +1257,10 @@ object Sketches {
         max(col("__nb")).as("n_b"))
   }
 
-  def distributionDrift(
-      a: DataFrame,
-      b: DataFrame,
-      valueCol: String,
-      nBins: Int = 20,
-      lo: Double = 0.0,
-      hi: Double = 1.0): DataFrame = {
-    val bins = driftBins(a, b, valueCol, nBins, lo, hi)
+  /** The PSI/KS statistic stage over a (bin, cnt_a, cnt_b) table —
+    * shared by the two-DataFrame form and the artifact-backed form.
+    */
+  private def driftStats(bins: DataFrame, nBins: Int): DataFrame = {
     val all = Window.partitionBy(lit(1))
     val cum = all.orderBy(col("bin"))
     bins
@@ -1272,5 +1279,129 @@ object Sketches {
         round(max(col("__gap")), 6).as("ks"),
         max(col("__na")).as("n_a"),
         max(col("__nb")).as("n_b"))
+  }
+
+  def distributionDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      nBins: Int = 20,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame =
+    driftStats(driftBins(a, b, valueCol, nBins, lo, hi), nBins)
+
+  // ------------------------------------------------------------------
+  // Persisted bin-count artifact — drift monitoring at ingest: absorb
+  // each micro-batch's bin counters into an epoch artifact (counters
+  // telescope under sum), then score drift against any baseline
+  // without rescanning the stream's history
+  // ------------------------------------------------------------------
+
+  /** A loaded bin artifact: counts plus the binning they were built
+    * under.
+    */
+  final case class LoadedBins(
+      bins: DataFrame, nBins: Int, lo: Double, hi: Double)
+
+  private def binsMeta(
+      spark: SparkSession, nBins: Int, lo: Double, hi: Double,
+      version: Long, lastBatchId: Long = -1L): DataFrame = {
+    import spark.implicits._
+    Seq((nBins, lo, hi, version, lastBatchId))
+      .toDF("n_bins", "lo", "hi", "version", "last_batch_id")
+  }
+
+  /** Write a fresh bin artifact of `valueCol` over `df` (epoch 0). */
+  def writeBins(
+      df: DataFrame, valueCol: String, path: String,
+      nBins: Int = 20, lo: Double = 0.0, hi: Double = 1.0): Unit =
+    writeEpoch(df.sparkSession, path,
+      binCounts(df, valueCol, nBins, lo, hi),
+      binsMeta(df.sparkSession, nBins, lo, hi, 0L), 0L)
+
+  /** Load the live epoch's bin counts. Fails if no committed meta. */
+  def loadBins(spark: SparkSession, path: String): LoadedBins = {
+    val m = readMeta(spark, path)
+    LoadedBins(
+      spark.read.parquet(graft.sources.EpochStore.epochPath(
+        path, m.getAs[Long]("version"))),
+      m.getAs[Int]("n_bins"), m.getAs[Double]("lo"), m.getAs[Double]("hi"))
+  }
+
+  private def commitBinsMerge(
+      df: DataFrame, valueCol: String, path: String,
+      m: org.apache.spark.sql.Row, cursor: Long): Unit = {
+    val spark = df.sparkSession
+    val (nb, lo, hi, v) = (m.getAs[Int]("n_bins"), m.getAs[Double]("lo"),
+      m.getAs[Double]("hi"), m.getAs[Long]("version"))
+    val merged = spark.read
+      .parquet(graft.sources.EpochStore.epochPath(path, v))
+      .unionByName(binCounts(df, valueCol, nb, lo, hi))
+      .groupBy("bin").agg(sum(col("cnt")).as("cnt")).localCheckpoint()
+    writeEpoch(spark, path, merged,
+      binsMeta(spark, nb, lo, hi, v + 1L, cursor), v + 1L)
+  }
+
+  /** Absorb ONE stream micro-batch into the persisted bin counters,
+    * exactly-once under the committed `last_batch_id` cursor — the
+    * [[ingestCmsBatch]] contract verbatim: a replayed batch no-ops, a
+    * batch id below the cursor means a lost/reset checkpoint and fails
+    * loud, and every crash window leaves a loadable artifact (the
+    * epoch-store property). Binning parameters are read from the
+    * committed meta after initialization — the stream cannot drift out
+    * of its own bin space.
+    */
+  def ingestBinsBatch(
+      df: DataFrame, valueCol: String, path: String, batchId: Long,
+      nBins: Int = 20, lo: Double = 0.0, hi: Double = 1.0): Unit = {
+    val spark = df.sparkSession
+    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
+      graft.sources.EpochStore.requireInitializable(spark, path)
+      writeEpoch(spark, path, binCounts(df, valueCol, nBins, lo, hi),
+        binsMeta(spark, nBins, lo, hi, 0L, batchId), 0L)
+      return
+    }
+    val m = readMeta(spark, path)
+    val last = metaLastBatchId(m)
+    if (batchId == last) return
+    require(batchId > last,
+      s"bin sketch at $path has absorbed through stream batch $last " +
+        s"but received batch $batchId — the stream's checkpoint was " +
+        "lost or reset (ids restarted); continuing would silently " +
+        "drop every already-numbered batch. Point the query at its " +
+        "original checkpoint, or rebuild the sketch.")
+    commitBinsMerge(df, valueCol, path, m, batchId)
+  }
+
+  /** Streaming bin ingestion — [[ingestBinsBatch]] per micro-batch.
+    * Caller starts the returned writer with a durable checkpoint.
+    */
+  def binsIngestStream(
+      stream: DataFrame,
+      valueCol: String,
+      path: String,
+      nBins: Int = 20,
+      lo: Double = 0.0,
+      hi: Double = 1.0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBinsBatch(batch.toDF(), valueCol, path, batchId, nBins, lo, hi)
+    }
+
+  /** Drift of the STREAM-ACCUMULATED snapshot (the artifact — side B)
+    * against a baseline DataFrame (side A), binned under the
+    * artifact's own committed parameters. Counter telescoping makes
+    * this equal the batch [[distributionDrift]] over the same data,
+    * however the stream was micro-batched.
+    */
+  def driftVsBins(
+      baseline: DataFrame, valueCol: String, path: String): DataFrame = {
+    val lb = loadBins(baseline.sparkSession, path)
+    driftStats(
+      binCounts(baseline, valueCol, lb.nBins, lb.lo, lb.hi)
+        .withColumnRenamed("cnt", "cnt_a")
+        .join(lb.bins.select(col("bin"), col("cnt").as("cnt_b")),
+          Seq("bin")),
+      lb.nBins)
   }
 }

@@ -106,6 +106,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(moved.getDouble(1) > 0.4)  // KS gap at the first bin edge
   }
 
+  test("bin artifact: batched ingest telescopes to the one-shot build;" +
+      " a replayed batch no-ops; a reset cursor fails loud;" +
+      " driftVsBins equals the two-DataFrame form") {
+    import graft.operators.Sketches
+    val path = java.nio.file.Files.createTempDirectory("bins").toString +
+      "/art"
+    val all = Seq(1.0, 5.0, 9.0, 15.0, 25.0, 35.0, -3.0, 99.0).toDF("v")
+    val b0 = Seq(1.0, 5.0, 9.0, 15.0).toDF("v")
+    val b1 = Seq(25.0, 35.0, -3.0, 99.0).toDF("v")
+    Sketches.ingestBinsBatch(b0, "v", path, 0L, nBins = 4, lo = 0, hi = 40)
+    Sketches.ingestBinsBatch(b1, "v", path, 1L, nBins = 4, lo = 0, hi = 40)
+    def binsOf = Sketches.loadBins(spark, path).bins.collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oneShot = Sketches.binCounts(all, "v", 4, 0, 40).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(binsOf === oneShot)
+    Sketches.ingestBinsBatch(b1, "v", path, 1L) // replay: must no-op
+    assert(binsOf === oneShot)
+    val err = intercept[IllegalArgumentException] {
+      Sketches.ingestBinsBatch(b0, "v", path, 0L) // cursor went backwards
+    }
+    assert(err.getMessage.contains("checkpoint"))
+    val base = Seq(2.0, 6.0, 11.0, 33.0).toDF("v")
+    val viaArtifact = Sketches.driftVsBins(base, "v", path).collect()(0)
+    val direct = Sketches.distributionDrift(base, all, "v", 4, 0, 40)
+      .collect()(0)
+    assert(viaArtifact.toSeq === direct.toSeq)
+  }
+
   test("distributionDriftBy: a null group is a real group and every" +
       " group's stats equal the ungrouped form run on its slice") {
     import graft.operators.Sketches
