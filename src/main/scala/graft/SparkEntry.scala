@@ -833,6 +833,35 @@ object SparkEntry {
       .select(col("metric"), round(col("value"), 6).as("value"))
   }
 
+  /** Release-to-release drift: two snapshots published through the
+    * sink (B with a planted truncation bias), consumer-loaded and
+    * manifest-validated, then PSI/KS over the loaded text lengths —
+    * the "did the new release's distribution move" audit run the way a
+    * consumer would run it, off the published artifact.
+    */
+  private def releaseDriftQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val hex = Integer.toHexString(dir.hashCode)
+    val d = docs(s, dir).select("doc_id", "text", "lang", "source")
+    val pa = s"/tmp/graft_rel_drift_a_$hex"
+    val pb = s"/tmp/graft_rel_drift_b_$hex"
+    graft.sources.Release.writeRelease(d, "doc_id", "text", pa, nShards = 8)
+    graft.sources.Release.writeRelease(
+      d.filter(length(col("text")) <= 300), "doc_id", "text", pb,
+      nShards = 8)
+    val schema = StructType(d.schema.fields :+ StructField("shard", LongType))
+    val la = graft.sources.Release.loadRelease(s, pa, schema)
+    val lb = graft.sources.Release.loadRelease(s, pb, schema)
+    require(
+      graft.sources.Release.validateRelease(la, "doc_id", "text").isEmpty &&
+      graft.sources.Release.validateRelease(lb, "doc_id", "text").isEmpty,
+      "published releases must verify before drift scoring")
+    graft.operators.Sketches.distributionDrift(
+      la.rows.withColumn("len", length(col("text"))),
+      lb.rows.withColumn("len", length(col("text"))),
+      "len", nBins = 20, lo = 0, hi = 600)
+  }
+
   /** The whitespace word projection shared by every CMS gate (batch,
     * merge, streaming): ONE definition, because the three gates share
     * one DuckDB oracle and their word derivation must stay
@@ -6184,6 +6213,7 @@ object SparkEntry {
     "dedup_drop_editdist" -> (dedupDropEditDistQ _),
     "dedup_lsh_eval"   -> (dedupLshEvalQ _),
     "streaming_drift"  -> (streamingDriftQ _),
+    "release_drift"    -> (releaseDriftQ _),
     "knn_brute"        -> (knnBrute _),
     "bitext_mine"      -> (bitextMineQ _),
     "bitext_mine_ivf"  -> (bitextMineIvfQ _),
@@ -7514,6 +7544,30 @@ object SparkEntry {
     // the stream-accumulated artifact's counters telescope to the batch
     // bin table, so the streaming form replays the SAME oracle verbatim
     "streaming_drift" -> dkDriftPsi,
+    "release_drift" ->
+      """WITH ca AS (SELECT LEAST(GREATEST(CAST(FLOOR(n_chars / 30.0)
+             AS INTEGER), 0), 19) AS bin, count(*) AS n FROM documents
+           WHERE n_chars IS NOT NULL GROUP BY 1),
+         cb AS (SELECT LEAST(GREATEST(CAST(FLOOR(n_chars / 30.0)
+             AS INTEGER), 0), 19) AS bin, count(*) AS n FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars <= 300 GROUP BY 1),
+         sp AS (SELECT CAST(range AS INTEGER) AS bin FROM range(0, 20)),
+         bins AS (SELECT sp.bin, COALESCE(ca.n, 0) AS cnt_a,
+             COALESCE(cb.n, 0) AS cnt_b
+           FROM sp LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+         t AS (SELECT bin, cnt_a, cnt_b,
+             CAST(sum(cnt_a) OVER () AS DOUBLE) AS na,
+             CAST(sum(cnt_b) OVER () AS DOUBLE) AS nb,
+             CAST(sum(cnt_a) OVER (ORDER BY bin) AS DOUBLE) AS cum_a,
+             CAST(sum(cnt_b) OVER (ORDER BY bin) AS DOUBLE) AS cum_b
+           FROM bins),
+         p AS (SELECT (cnt_a + 0.5) / (na + 10.0) AS pa,
+             (cnt_b + 0.5) / (nb + 10.0) AS pb,
+             abs(cum_a / na - cum_b / nb) AS gap, na, nb FROM t)
+         SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           round(max(gap), 6) AS ks,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+         FROM p""",
     "drift_by_lang" ->
       """WITH asnap AS (SELECT lang, n_chars AS v FROM documents
            WHERE n_chars IS NOT NULL),
