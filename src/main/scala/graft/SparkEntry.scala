@@ -3239,6 +3239,22 @@ object SparkEntry {
   private def tfidfTopTermsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", kTop = 3)
 
+  /** OOV-rate gate: reference = the %3≠0 docs, batch = the %3=0 docs
+    * with a planted novel token on every 9th doc — both the planted
+    * types and whatever naturally-disjoint terms the split leaves are
+    * counted by the same arithmetic on both engines.
+    */
+  private def vocabOovQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .withColumn("text",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" zzznovel"),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")))
+    TextAnalysis.oovRates(d.filter(col("doc_id") % 3 =!= 0), batch, "text")
+  }
+
   /** TF-IDF cosine all-pairs gate on the %5 subset (the brute oracle
     * is quadratic; the ENGINE runs the prefix-filtered join — the
     * oracle is the semantics, not the algorithm).
@@ -6258,6 +6274,7 @@ object SparkEntry {
     "bm25_score"   -> (bm25ScoreQ _),
     "tfidf_top_terms" -> (tfidfTopTermsQ _),
     "tfidf_cosine_pairs" -> (tfidfCosinePairsQ _),
+    "vocab_oov"        -> (vocabOovQ _),
     "gram_exposure" -> (gramExposureQ _),
     "char_entropy"  -> (charEntropyQ _),
     "script_ratios" -> (scriptRatiosQ _),
@@ -8872,6 +8889,31 @@ object SparkEntry {
            FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b, cos_sim FROM dot WHERE cos_sim >= 0.85""",
+    "vocab_oov" ->
+      """WITH ref AS (SELECT DISTINCT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             w -> len(w) > 0)) AS term
+           FROM documents WHERE doc_id % 3 <> 0),
+         bt AS (SELECT unnest(list_filter(string_split_regex(
+             trim(lower(CASE WHEN doc_id % 9 = 0
+               THEN text || ' zzznovel' || CAST(doc_id AS VARCHAR)
+               ELSE text END)), '\s+'),
+             w -> len(w) > 0)) AS term
+           FROM documents WHERE doc_id % 3 = 0),
+         bc AS (SELECT term, count(*) AS n FROM bt GROUP BY 1),
+         j AS (SELECT bc.term, bc.n,
+             CASE WHEN ref.term IS NULL THEN 1 ELSE 0 END AS oov
+           FROM bc LEFT JOIN ref ON bc.term = ref.term)
+         SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(COALESCE(sum(oov * n), 0) AS BIGINT) AS oov_tokens,
+           CAST(COALESCE(sum(oov), 0) AS BIGINT) AS oov_types,
+           round(COALESCE(sum(oov * n), 0)
+             / CAST(GREATEST(COALESCE(sum(n), 0), 1) AS DOUBLE), 6)
+             AS token_rate,
+           round(COALESCE(sum(oov), 0)
+             / CAST(GREATEST(count(*), 1) AS DOUBLE), 6) AS type_rate
+         FROM j""",
     // the three index-artifact gates REPLAY the direct form's oracle:
     // probe/append/streaming-ingest parity IS their contract
     "bm25_index_probe" -> oracleSqlBm25,

@@ -594,6 +594,47 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** Out-of-vocabulary rates of a new batch against a reference
+    * corpus's vocabulary — the tokenizer-ops drift signal ("how much
+    * of the new crawl does the frozen tokenizer not know"): token-level
+    * (fraction of the batch's token INSTANCES outside the reference
+    * vocab — what inflates fertility) and type-level (fraction of the
+    * batch's DISTINCT terms that are new — what grows the merge table).
+    * Output one row: (n_tokens, n_types, oov_tokens, oov_types,
+    * token_rate, type_rate), rates rounded to 6.
+    *
+    * Scale shape: both sides are linear token explodes with
+    * partial-aggregable counts; the only join is batch-terms ⋈
+    * reference-vocab on term (hash join — a vocabulary is NOT
+    * broadcast-safe at corpus scale), then one scalar aggregate.
+    * Tokenization is the exact-decon family's (trim/lower/\s+).
+    */
+  def oovRates(
+      reference: DataFrame,
+      batch: DataFrame,
+      textCol: String): DataFrame = {
+    def terms(df: DataFrame) = df.select(explode(
+        filter(split(trim(lower(col(textCol))), "\\s+"),
+          w => length(w) > 0)).as("term"))
+    val vocab = terms(reference).distinct().withColumn("__known", lit(1))
+    terms(batch)
+      .groupBy(col("term")).agg(count(lit(1)).as("__n"))
+      .join(vocab, Seq("term"), "left")
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("__known").isNull, col("__n"))
+          .otherwise(0L)), lit(0L)).as("oov_tokens"),
+        coalesce(sum(when(col("__known").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("oov_types"))
+      .select(col("n_tokens"), col("n_types"), col("oov_tokens"),
+        col("oov_types"),
+        round(col("oov_tokens") / greatest(col("n_tokens"), lit(1L)), 6)
+          .as("token_rate"),
+        round(col("oov_types") / greatest(col("n_types"), lit(1L)), 6)
+          .as("type_rate"))
+  }
+
   /** All-pairs TF-IDF cosine similarity join: every pair (id_a < id_b)
     * of documents whose L2-normalized tf·smooth-idf term vectors have
     * cosine ≥ `threshold` — the sparse-lexical dual of

@@ -55,6 +55,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("oovRates: token vs type rates diverge on repeated novel tokens;" +
+      " fully-known batch scores zero; empty batch is all zeros") {
+    import graft.operators.TextAnalysis
+    val ref = Seq("alpha bravo charlie", "delta echo").toDF("text")
+    // batch: 2 known tokens + novel 'zork' three times + novel 'quux'
+    val batch = Seq("alpha zork zork", "zork quux bravo").toDF("text")
+    val r = TextAnalysis.oovRates(ref, batch, "text").collect()(0)
+    assert(r.getLong(0) === 6L && r.getLong(1) === 4L) // 6 tokens, 4 types
+    assert(r.getLong(2) === 4L && r.getLong(3) === 2L) // zork×3 + quux
+    assert(r.getDouble(4) === math.rint(4.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getDouble(5) === 0.5)
+    val clean = TextAnalysis.oovRates(ref, ref, "text").collect()(0)
+    assert(clean.getLong(2) === 0L && clean.getDouble(4) === 0.0)
+    val empty = TextAnalysis.oovRates(ref, ref.filter(lit(false)), "text")
+      .collect()(0)
+    assert(empty.toSeq === Seq(0L, 0L, 0L, 0L, 0.0, 0.0))
+  }
+
   test("tfidfCosinePairs: prefix-filtered join equals the brute-force" +
       " cosine over normalized tf-idf vectors; exact dups score 1") {
     import graft.operators.TextAnalysis
