@@ -1011,6 +1011,24 @@ object Stress {
         f"(compact $tCompact%.2f s, join-input rows with pushdown " +
         f"$rPush%d vs without $rFull%d, scored rows $nBuild -> $nComp)")
     }
+    time("editdist_pairs_10x") {
+      // short-key fixture at 10× (replication makes each key a 10-way
+      // exact family — the dup-heavy regime the prefix join must
+      // survive): candidate volume is prefix-bucket-bounded, confirm is
+      // the thresholded native levenshtein
+      val keys = docs.select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 24)
+          .as("key"))
+        .filter(length(col("key")) >= 12)
+      Dedup.editDistancePairs(keys, "doc_id", "key", maxDist = 2, q = 2)
+    }
+    time("tfidf_cosine_10x") {
+      // high τ on the replicated corpus: every doc is a 10-way exact
+      // family, so the output itself is ~45 pairs per family — the
+      // prefix filter's job is keeping CANDIDATES near that floor
+      TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+        threshold = 0.95)
+    }
     spark.stop()
   }
 }

@@ -497,55 +497,75 @@ object Dedup {
     val minLong = q * (maxDist + 1)
     val keys = docs.select(col(idCol), col(keyCol))
       .filter(col(keyCol).isNotNull)
-      .withColumn("__len", length(col(keyCol)))
 
-    // main block: pairs where the LONGER key has >= q(d+1) chars.
+    // the fuzzy join runs over DISTINCT keys only — a dup-heavy corpus
+    // (the normal case: fuzzy joins run on titles/names) would
+    // otherwise amplify every candidate bucket by its duplication
+    // factor SQUARED; identical-key doc pairs are reconstructed exactly
+    // below as the dist-0 block. The key string itself is the node id
+    // (binary-collation `<` is the pair-normalization total order)
+    val kd = keys.select(col(keyCol).as("__k")).distinct()
+      .withColumn("__len", length(col("__k")))
+
+    // main block: key pairs where the LONGER key has >= q(d+1) chars.
     // occ(i) = #equal grams before position i turns the gram bag into
     // a token set, preserving the bag-overlap bound exactly
-    val toks = keys
-      .withColumn("__gs", charShingles(col(keyCol), q))
+    val toks = kd
+      .withColumn("__gs", charShingles(col("__k"), q))
       .withColumn("__occ", transform(col("__gs"),
         (g, i) => size(filter(slice(col("__gs"), lit(1), i), x => x === g))))
-      .select(col(idCol), col("__len"),
+      .select(col("__k"), col("__len"),
         explode(arrays_zip(col("__gs"), col("__occ"))).as("__t"))
-      .select(col(idCol), col("__len"),
+      .select(col("__k"), col("__len"),
         col("__t.__gs").as("__g"), col("__t.__occ").as("__o"))
     val dfTab = toks.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val prefix = toks.join(broadcast(dfTab), Seq("__g"))
       .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(idCol))
+        Window.partitionBy(col("__k"))
           .orderBy(col("__df"), col("__g"), col("__o"))))
       .filter(col("__rk") <= prefixK)
-      .select(col(idCol), col("__len"), col("__g"), col("__o"))
+      .select(col("__k"), col("__len"), col("__g"), col("__o"))
     val candMain = prefix.as("a").join(prefix.as("b"),
         col("a.__g") === col("b.__g") && col("a.__o") === col("b.__o") &&
-        col(s"a.$idCol") < col(s"b.$idCol") &&
+        col("a.__k") < col("b.__k") &&
         abs(col("a.__len") - col("b.__len")) <= maxDist &&
         greatest(col("a.__len"), col("b.__len")) >= minLong)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .select(col("a.__k").as("__ka"), col("b.__k").as("__kb"))
 
     // short block: both keys under q(d+1) chars — length bands of
     // width d+1, two buckets per row so any |Δlen| <= d pair collides
-    val shortE = keys.filter(col("__len") < minLong)
+    val shortE = kd.filter(col("__len") < minLong)
       .withColumn("__bk0", floor(col("__len") / (maxDist + 1)))
-      .select(col(idCol), col("__len"),
+      .select(col("__k"), col("__len"),
         explode(array(col("__bk0"), col("__bk0") + 1)).as("__bk"))
     val candShort = shortE.as("a").join(shortE.as("b"),
         col("a.__bk") === col("b.__bk") &&
-        col(s"a.$idCol") < col(s"b.$idCol") &&
+        col("a.__k") < col("b.__k") &&
         abs(col("a.__len") - col("b.__len")) <= maxDist)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .select(col("a.__k").as("__ka"), col("b.__k").as("__kb"))
 
-    val kv = keys.select(col(idCol), col(keyCol))
-    candMain.unionByName(candShort)
-      .dropDuplicates("id_a", "id_b")
-      .join(kv.select(col(idCol).as("id_a"), col(keyCol).as("__ka")),
-        Seq("id_a"))
-      .join(kv.select(col(idCol).as("id_b"), col(keyCol).as("__kb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // confirm needs no re-join: the key strings ARE the candidate row
+    val kPairs = candMain.unionByName(candShort)
+      .dropDuplicates("__ka", "__kb")
+      .select(col("__ka"), col("__kb"),
         levenshtein(col("__ka"), col("__kb"), maxDist).as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
+
+    // expansion back to doc pairs: cross products of the two key
+    // families (linear in the OUTPUT), plus the identical-key block
+    val cross = kPairs
+      .join(keys.select(col(idCol).as("__ida"), col(keyCol).as("__ka")),
+        Seq("__ka"))
+      .join(keys.select(col(idCol).as("__idb"), col(keyCol).as("__kb")),
+        Seq("__kb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
+    val same = keys.as("x").join(keys.as("y"),
+        col(s"x.$keyCol") === col(s"y.$keyCol") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit(0).as("dist"))
+    same.unionByName(cross)
   }
 
   /** LSH candidates post-verified by EXACT shingle Jaccard — the

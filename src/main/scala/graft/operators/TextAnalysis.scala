@@ -672,49 +672,81 @@ object TextAnalysis {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol),
-      filter(split(trim(lower(col(textCol))), "\\s+"),
-        w => length(w) > 0).as("__toks"))
-    val tf = toks.select(col(idCol), explode(col("__toks")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    // the vector machinery runs over DISTINCT texts — a dup-heavy
+    // corpus would otherwise amplify every candidate bucket by its
+    // duplication factor squared (the editDistancePairs collapse).
+    // Exactness is preserved: identical texts have identical vectors,
+    // df counts DOCS via the family weight __m, and same-text doc
+    // pairs are cosine 1.0 by construction (unit vector against
+    // itself), reconstructed as the dist-0 analogue below
+    val keys = docs.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull)
+    val fam = keys.groupBy(col(textCol).as("__k"))
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("__toks",
+        filter(split(trim(lower(col("__k"))), "\\s+"),
+          w => length(w) > 0))
+      .filter(size(col("__toks")) > 0) // zero vectors have no cosine
+    val tf = fam.select(col("__k"), col("__m"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("__k"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"),
+        first(col("__m")).as("__m"))
     val dfreq = tf.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("__df"))
-    val stats = toks.agg(count(lit(1)).cast("double").as("__n"))
+      .agg(sum(col("__m")).cast("double").as("__df"))
+    val stats = fam.agg(sum(col("__m")).cast("double").as("__n"))
     val weighted = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__w", col("__tf") *
         (log((lit(1.0) + col("__n")) / (lit(1.0) + col("__df"))) + 1.0))
-      .select(col(idCol), col("term"), col("__w"))
+      .select(col("__k"), col("term"), col("__w"))
     val u = weighted.withColumn("__u", col("__w") /
         sqrt(sum(col("__w") * col("__w"))
-          .over(Window.partitionBy(col(idCol)))))
-      .select(col(idCol), col("term"), col("__u"))
-    val suffix = Window.partitionBy(col(idCol))
+          .over(Window.partitionBy(col("__k")))))
+      .select(col("__k"), col("term"), col("__u"))
+    val suffix = Window.partitionBy(col("__k"))
       .orderBy(col("__u").desc, col("term").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val prefix = u
       .withColumn("__sfx", sum(col("__u") * col("__u")).over(suffix))
       .filter(col("__sfx") >= threshold)
-      .select(col(idCol).as("__pid"), col("term"))
-    val full = u.select(col(idCol).as("__fid"), col("term"))
+      .select(col("__k").as("__pk"), col("term"))
+    val full = u.select(col("__k").as("__fk"), col("term"))
     val cand = full.join(prefix, Seq("term"))
-      .filter(col("__fid") =!= col("__pid"))
-      .select(least(col("__fid"), col("__pid")).as("id_a"),
-        greatest(col("__fid"), col("__pid")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val vecs = u.groupBy(col(idCol))
+      .filter(col("__fk") =!= col("__pk"))
+      .select(least(col("__fk"), col("__pk")).as("__ka"),
+        greatest(col("__fk"), col("__pk")).as("__kb"))
+      .dropDuplicates("__ka", "__kb")
+    val vecs = u.groupBy(col("__k"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("__u"))))
         .as("__vec"))
-    cand
-      .join(vecs.select(col(idCol).as("id_a"), col("__vec").as("__va")),
-        Seq("id_a"))
-      .join(vecs.select(col(idCol).as("id_b"), col("__vec").as("__vb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val kPairs = cand
+      .join(vecs.select(col("__k").as("__ka"), col("__vec").as("__va")),
+        Seq("__ka"))
+      .join(vecs.select(col("__k").as("__kb"), col("__vec").as("__vb")),
+        Seq("__kb"))
+      .select(col("__ka"), col("__kb"),
         round(aggregate(map_values(map_zip_with(col("__va"), col("__vb"),
           (_, x, y) => coalesce(x, lit(0.0)) * coalesce(y, lit(0.0)))),
           lit(0.0), (acc, v) => acc + v), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    // expansion: cross products of the two text families (linear in
+    // the OUTPUT), plus the identical-text block at exact cosine 1.0
+    val tokenful = keys.join(fam.select(col("__k").as(textCol)),
+      Seq(textCol), "left_semi")
+    val cross = kPairs
+      .join(tokenful.select(col(idCol).as("__ida"),
+        col(textCol).as("__ka")), Seq("__ka"))
+      .join(tokenful.select(col(idCol).as("__idb"),
+        col(textCol).as("__kb")), Seq("__kb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("cos_sim"))
+    val same = tokenful.as("x").join(tokenful.as("y"),
+        col(s"x.$textCol") === col(s"y.$textCol") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit(1.0).as("cos_sim"))
+    same.unionByName(cross)
   }
 
   /** License detection over document text — the code-corpus curation
