@@ -1564,6 +1564,18 @@ object SparkEntry {
       NotNull("o_custkey")))
   }
 
+  /** Per-source contract gate: the same planted fixture, violations
+    * attributed to the crawl feed that produced them.
+    */
+  private def contractBySourceQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contracts._
+    graft.operators.Contracts.checkRowRulesBy(
+      contractFixture(s, dir), "source", Seq(
+        NotNull("text"),
+        InRange("n_chars", 1, 1000000),
+        Matches("lang", "^[a-z]{2}$")))
+  }
+
   /** Streaming twin of the row-rule subset: `checkRowRules` is a plain
     * aggregation (|rules| running counters, no other state), so it runs
     * on the ingest stream under complete mode and the final table
@@ -3239,12 +3251,14 @@ object SparkEntry {
   private def tfidfTopTermsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", kTop = 3)
 
-  /** OOV-rate gate: reference = the %3≠0 docs, batch = the %3=0 docs
-    * with a planted novel token on every 9th doc — both the planted
-    * types and whatever naturally-disjoint terms the split leaves are
-    * counted by the same arithmetic on both engines.
+  /** The OOV family's shared fixture: reference = the %3≠0 docs,
+    * batch = the %3=0 docs with a planted novel token on every 9th
+    * doc — both the planted types and whatever naturally-disjoint
+    * terms the split leaves are counted by the same arithmetic on
+    * both engines.
     */
-  private def vocabOovQ(s: SparkSession, dir: String): DataFrame = {
+  private def oovFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = docs(s, dir)
     val batch = d.filter(col("doc_id") % 3 === 0)
       .withColumn("text",
@@ -3252,7 +3266,48 @@ object SparkEntry {
           concat(col("text"), lit(" zzznovel"),
             col("doc_id").cast("string")))
           .otherwise(col("text")))
-    TextAnalysis.oovRates(d.filter(col("doc_id") % 3 =!= 0), batch, "text")
+    (d.filter(col("doc_id") % 3 =!= 0), batch)
+  }
+
+  private def vocabOovQ(s: SparkSession, dir: String): DataFrame = {
+    val (ref, batch) = oovFixture(s, dir)
+    TextAnalysis.oovRates(ref, batch, "text")
+  }
+
+  /** Persisted-vocabulary probe: build the artifact from the
+    * reference, probe the batch through it — ≡ the two-DataFrame
+    * form, oracle shared verbatim.
+    */
+  private def vocabIndexOovQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_vocab_${Integer.toHexString(dir.hashCode)}"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val (ref, batch) = oovFixture(s, dir)
+    graft.sources.VocabIndex.build(ref, "text", path)
+    graft.sources.VocabIndex.oov(batch, "text", path)
+  }
+
+  /** Streaming vocabulary: the reference STREAMS into the artifact
+    * micro-batch by micro-batch (set union telescopes — absorb order
+    * cannot matter), then the frozen artifact scores the batch — the
+    * same oracle a third time.
+    */
+  private def streamingVocabQ(s: SparkSession, dir: String): DataFrame = {
+    val hex = Integer.toHexString(dir.hashCode)
+    val path = s"/tmp/graft_vocab_stream_$hex"
+    val ckpt = s"/tmp/graft_vocab_ckpt_$hex"
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(path, ckpt).foreach { pp =>
+      val hp = new org.apache.hadoop.fs.Path(pp)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    graft.sources.VocabIndex.ingestStream(
+        docStream(s, dir).filter(col("doc_id") % 3 =!= 0), "text", path)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val (_, batch) = oovFixture(s, dir)
+    graft.sources.VocabIndex.oov(batch, "text", path)
   }
 
   /** TF-IDF cosine all-pairs gate on the %5 subset (the brute oracle
@@ -5977,6 +6032,37 @@ object SparkEntry {
          CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
        FROM p"""
 
+  /** OOV oracle over the %3 split with planted novel tokens — shared
+    * verbatim by `vocab_oov` (two-DataFrame form), `vocab_index_oov`
+    * (persisted-artifact probe) and `streaming_vocab` (stream-built
+    * artifact): the vocabulary is a SET, and set union telescopes.
+    */
+  private val dkVocabOov: String =
+    """WITH ref AS (SELECT DISTINCT unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\s+'),
+           w -> len(w) > 0)) AS term
+         FROM documents WHERE doc_id % 3 <> 0),
+       bt AS (SELECT unnest(list_filter(string_split_regex(
+           trim(lower(CASE WHEN doc_id % 9 = 0
+             THEN text || ' zzznovel' || CAST(doc_id AS VARCHAR)
+             ELSE text END)), '\s+'),
+           w -> len(w) > 0)) AS term
+         FROM documents WHERE doc_id % 3 = 0),
+       bc AS (SELECT term, count(*) AS n FROM bt GROUP BY 1),
+       j AS (SELECT bc.term, bc.n,
+           CASE WHEN ref.term IS NULL THEN 1 ELSE 0 END AS oov
+         FROM bc LEFT JOIN ref ON bc.term = ref.term)
+       SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         CAST(COALESCE(sum(oov * n), 0) AS BIGINT) AS oov_tokens,
+         CAST(COALESCE(sum(oov), 0) AS BIGINT) AS oov_types,
+         round(COALESCE(sum(oov * n), 0)
+           / CAST(GREATEST(COALESCE(sum(n), 0), 1) AS DOUBLE), 6)
+           AS token_rate,
+         round(COALESCE(sum(oov), 0)
+           / CAST(GREATEST(count(*), 1) AS DOUBLE), 6) AS type_rate
+       FROM j"""
+
   /** Oracle for `dedup_lsh_eval`: brute-force exact-Jaccard truth AND
     * the dkLshPairs minhash/band arithmetic, both over the `% mod`
     * document sample, folded into hit counts + recall/precision.
@@ -6223,6 +6309,7 @@ object SparkEntry {
     "contract_checks"  -> (contractChecksQ _),
     "contract_fk"      -> (contractFkQ _),
     "streaming_contract" -> (streamingContractQ _),
+    "contract_by_source" -> (contractBySourceQ _),
     "drift_bins"       -> (driftBinsQ _),
     "drift_psi"        -> (driftPsiQ _),
     "drift_by_lang"    -> (driftByLangQ _),
@@ -6275,6 +6362,8 @@ object SparkEntry {
     "tfidf_top_terms" -> (tfidfTopTermsQ _),
     "tfidf_cosine_pairs" -> (tfidfCosinePairsQ _),
     "vocab_oov"        -> (vocabOovQ _),
+    "vocab_index_oov"  -> (vocabIndexOovQ _),
+    "streaming_vocab"  -> (streamingVocabQ _),
     "gram_exposure" -> (gramExposureQ _),
     "char_entropy"  -> (charEntropyQ _),
     "script_ratios" -> (scriptRatiosQ _),
@@ -7545,6 +7634,29 @@ object SparkEntry {
              (SELECT count(*) FROM fix
               WHERE text IS NULL OR n_chars <> length(text))
            FROM tot t)""",
+    "contract_by_source" ->
+      """WITH fix AS (SELECT source,
+           CASE WHEN doc_id % 97 = 0 THEN NULL ELSE text END AS text,
+           CASE WHEN doc_id % 89 = 0 THEN -1 ELSE n_chars END AS n_chars,
+           CASE WHEN doc_id % 83 = 0 THEN 'Z9' ELSE lang END AS lang
+         FROM documents)
+         SELECT source AS "group", rule, checked, violations,
+           violations = 0 AS pass FROM (
+           SELECT source, 'not_null(text)' AS rule, count(*) AS checked,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS violations
+           FROM fix GROUP BY source
+           UNION ALL
+           SELECT source, 'in_range(n_chars,1.0,1000000.0)', count(*),
+             CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+               OR n_chars > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM fix GROUP BY source
+           UNION ALL
+           SELECT source, 'matches(lang)', count(*),
+             CAST(sum(CASE WHEN lang IS NULL
+               OR NOT regexp_matches(lang, '^[a-z]{2}$')
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM fix GROUP BY source)""",
     "drift_bins" ->
       """WITH bsnap AS (SELECT CASE WHEN doc_id % 7 = 0 THEN n_chars + 80
              ELSE n_chars END AS v FROM documents WHERE doc_id % 3 <> 0),
@@ -8889,31 +9001,12 @@ object SparkEntry {
            FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b, cos_sim FROM dot WHERE cos_sim >= 0.85""",
-    "vocab_oov" ->
-      """WITH ref AS (SELECT DISTINCT unnest(list_filter(
-             string_split_regex(trim(lower(text)), '\s+'),
-             w -> len(w) > 0)) AS term
-           FROM documents WHERE doc_id % 3 <> 0),
-         bt AS (SELECT unnest(list_filter(string_split_regex(
-             trim(lower(CASE WHEN doc_id % 9 = 0
-               THEN text || ' zzznovel' || CAST(doc_id AS VARCHAR)
-               ELSE text END)), '\s+'),
-             w -> len(w) > 0)) AS term
-           FROM documents WHERE doc_id % 3 = 0),
-         bc AS (SELECT term, count(*) AS n FROM bt GROUP BY 1),
-         j AS (SELECT bc.term, bc.n,
-             CASE WHEN ref.term IS NULL THEN 1 ELSE 0 END AS oov
-           FROM bc LEFT JOIN ref ON bc.term = ref.term)
-         SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_tokens,
-           count(*) AS n_types,
-           CAST(COALESCE(sum(oov * n), 0) AS BIGINT) AS oov_tokens,
-           CAST(COALESCE(sum(oov), 0) AS BIGINT) AS oov_types,
-           round(COALESCE(sum(oov * n), 0)
-             / CAST(GREATEST(COALESCE(sum(n), 0), 1) AS DOUBLE), 6)
-             AS token_rate,
-           round(COALESCE(sum(oov), 0)
-             / CAST(GREATEST(count(*), 1) AS DOUBLE), 6) AS type_rate
-         FROM j""",
+    "vocab_oov" -> dkVocabOov,
+    // the persisted-artifact probe and the streamed-build probe both
+    // reduce to the same term set (set union telescopes), so the OOV
+    // family shares ONE oracle verbatim
+    "vocab_index_oov" -> dkVocabOov,
+    "streaming_vocab" -> dkVocabOov,
     // the three index-artifact gates REPLAY the direct form's oracle:
     // probe/append/streaming-ingest parity IS their contract
     "bm25_index_probe" -> oracleSqlBm25,

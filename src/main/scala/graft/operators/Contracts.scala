@@ -111,6 +111,37 @@ object Contracts {
       .orderBy(col("__i")).drop("__i")
   }
 
+  /** Per-group row-rule report: (group, rule, checked, violations,
+    * pass) — the per-source ingest gate ("which crawl feed broke the
+    * contract"). Still ONE aggregate over one scan, keyed by the group
+    * column; a null group is a REAL group (groupBy semantics). Group
+    * cardinality bounds the report size, not the scan.
+    */
+  def checkRowRulesBy(
+      df: DataFrame, groupCol: String, rules: Seq[Rule]): DataFrame = {
+    val row = rules.flatMap(rowViolation)
+    require(row.size == rules.size,
+      "checkRowRulesBy takes row-local rules only (NotNull/InRange/" +
+        "Matches/Predicate); use check() for Unique/ForeignKeyIn")
+    val counters =
+      count(lit(1)).as("__checked") +:
+      row.zipWithIndex.map { case ((_, bad), i) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"__v$i")
+      }
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(counters.head, counters.tail: _*)
+    val stacked = row.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i).as("__i"), lit(name).as("rule"),
+        col("__checked").as("checked"),
+        coalesce(col(s"__v$i"), lit(0L)).as("violations"))
+    }
+    g.select(col("group"), explode(array(stacked: _*)).as("__r"))
+      .select(col("group"), col("__r.rule").as("rule"),
+        col("__r.checked").as("checked"),
+        col("__r.violations").as("violations"))
+      .withColumn("pass", col("violations") === 0L)
+  }
+
   /** Full contract check: row rules in one pass, set rules as one
     * keyed job each, results unioned in rule-declaration order.
     * Output: (rule, checked, violations, pass).

@@ -612,12 +612,29 @@ object TextAnalysis {
   def oovRates(
       reference: DataFrame,
       batch: DataFrame,
-      textCol: String): DataFrame = {
-    def terms(df: DataFrame) = df.select(explode(
-        filter(split(trim(lower(col(textCol))), "\\s+"),
-          w => length(w) > 0)).as("term"))
-    val vocab = terms(reference).distinct().withColumn("__known", lit(1))
-    terms(batch)
+      textCol: String): DataFrame =
+    oovRatesVsVocab(batch, textCol,
+      corpusTerms(reference, textCol).distinct())
+
+  /** The distinct-or-not token projection the OOV family shares: one
+    * `term` row per token instance.
+    */
+  private[graft] def corpusTerms(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+      filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0)).as("term"))
+
+  /** [[oovRates]] against an explicit vocabulary TABLE (one `term`
+    * column) — the form the persisted vocabulary artifact probes
+    * through ([[graft.sources.VocabIndex]]).
+    */
+  def oovRatesVsVocab(
+      batch: DataFrame,
+      textCol: String,
+      vocabTerms: DataFrame): DataFrame = {
+    val vocab = vocabTerms.select(col("term")).distinct()
+      .withColumn("__known", lit(1))
+    corpusTerms(batch, textCol)
       .groupBy(col("term")).agg(count(lit(1)).as("__n"))
       .join(vocab, Seq("term"), "left")
       .agg(

@@ -55,6 +55,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("VocabIndex: batched ingest unions to the one-shot vocabulary;" +
+      " absorb grows it; replay no-ops; reset cursor fails loud;" +
+      " artifact probe equals the two-DataFrame form") {
+    import graft.operators.TextAnalysis
+    import graft.sources.VocabIndex
+    val path = java.nio.file.Files.createTempDirectory("vocab").toString +
+      "/art"
+    val b0 = Seq("alpha bravo charlie").toDF("text")
+    val b1 = Seq("bravo delta", "echo").toDF("text")
+    VocabIndex.ingestBatch(b0, "text", path, 0L)
+    VocabIndex.ingestBatch(b1, "text", path, 1L)
+    def vocabOf = VocabIndex.load(spark, path).collect()
+      .map(_.getString(0)).toSet
+    assert(vocabOf === Set("alpha", "bravo", "charlie", "delta", "echo"))
+    VocabIndex.ingestBatch(b1, "text", path, 1L) // replay: no-op
+    assert(vocabOf.size === 5)
+    val err = intercept[IllegalArgumentException] {
+      VocabIndex.ingestBatch(b0, "text", path, 0L)
+    }
+    assert(err.getMessage.contains("checkpoint"))
+    VocabIndex.absorb(Seq("foxtrot alpha").toDF("text"), "text", path)
+    assert(vocabOf === Set("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot"))
+    val batch = Seq("alpha zork", "delta quux zork").toDF("text")
+    val viaArtifact = VocabIndex.oov(batch, "text", path).collect()(0)
+    val ref = Seq("alpha bravo charlie", "bravo delta", "echo",
+      "foxtrot alpha").toDF("text")
+    val direct = TextAnalysis.oovRates(ref, batch, "text").collect()(0)
+    assert(viaArtifact.toSeq === direct.toSeq)
+    assert(viaArtifact.getLong(2) === 3L) // zork ×2 + quux
+  }
+
+  test("checkRowRulesBy: per-group report equals checkRowRules run per" +
+      " slice; null group is a real group") {
+    import graft.operators.Contracts._
+    val df = Seq(
+      ("web", "ok", 5L), ("web", null.asInstanceOf[String], 5L),
+      ("pdf", "ok", -1L),
+      (null.asInstanceOf[String], "ok", 5L)).toDF("src", "text", "n")
+    val rules = Seq(NotNull("text"), InRange("n", 1, 100))
+    val by = graft.operators.Contracts.checkRowRulesBy(df, "src", rules)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(by.keySet.map(_._1) === Set(Some("web"), Some("pdf"), None))
+    for (g <- Seq(Some("web"), Some("pdf"), None)) {
+      val slice = g.map(v => df.filter(col("src") === v))
+        .getOrElse(df.filter(col("src").isNull))
+      val solo = graft.operators.Contracts.checkRowRules(slice, rules)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      for ((rule, stats) <- solo)
+        assert(by((g, rule)) === stats, s"group $g rule $rule")
+    }
+    assert(by((Some("web"), "not_null(text)")) === ((2L, 1L, false)))
+    assert(by((Some("pdf"), "in_range(n,1.0,100.0)")) === ((1L, 1L, false)))
+  }
+
   test("oovRates: token vs type rates diverge on repeated novel tokens;" +
       " fully-known batch scores zero; empty batch is all zeros") {
     import graft.operators.TextAnalysis
