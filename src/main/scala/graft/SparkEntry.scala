@@ -2391,6 +2391,14 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("n_chars")),
       "doc_id", "n_chars", seqTokens = 2048L, nBuckets = 8)
 
+  /** Trainer observability gate: the efficiency row of the same pack
+    * assignment `pack_sequences` verifies — padding only in each
+    * bucket's LAST pack, boundary-straddling docs counted once.
+    */
+  private def packEfficiencyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packEfficiency(
+      packSequencesQ(s, dir), "n_chars", seqTokens = 2048L)
+
   /** Materialized-pack gate: the END of the corpus→trainer pipeline —
     * exact BPE counts address the packs, token ids gather into them,
     * documents split across pack boundaries. The oracle replays id
@@ -6364,6 +6372,7 @@ object SparkEntry {
     "vocab_oov"        -> (vocabOovQ _),
     "vocab_index_oov"  -> (vocabIndexOovQ _),
     "streaming_vocab"  -> (streamingVocabQ _),
+    "pack_efficiency"  -> (packEfficiencyQ _),
     "gram_exposure" -> (gramExposureQ _),
     "char_entropy"  -> (charEntropyQ _),
     "script_ratios" -> (scriptRatiosQ _),
@@ -8158,6 +8167,31 @@ object SparkEntry {
            CAST(8 AS BIGINT) AS n_buckets,
            md5('a b' || chr(10) || 'ab c' || chr(10)) AS merges_fingerprint
          FROM pm""",
+    "pack_efficiency" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         b AS (SELECT doc_id, n_chars, h, h % 8 AS pack_bucket FROM d),
+         c AS (SELECT *, COALESCE(sum(n_chars) OVER (
+             PARTITION BY pack_bucket ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM b),
+         per AS (SELECT pack_bucket, CAST(sum(n_chars) AS BIGINT) AS t,
+             count(*) AS docs,
+             CAST(sum(CASE WHEN st % 2048 + n_chars > 2048
+               THEN 1 ELSE 0 END) AS BIGINT) AS splits
+           FROM c GROUP BY 1),
+         e AS (SELECT t, docs, splits, (t + 2047) // 2048 AS packs,
+             CASE WHEN t % 2048 = 0 THEN 0 ELSE 2048 - t % 2048 END AS pad
+           FROM per)
+         SELECT count(*) AS n_buckets,
+           CAST(sum(docs) AS BIGINT) AS n_docs,
+           CAST(sum(packs) AS BIGINT) AS n_packs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST(sum(pad) AS BIGINT) AS padding_tokens,
+           round(sum(t) / CAST(sum(t) + sum(pad) AS DOUBLE), 6)
+             AS fill_rate,
+           CAST(sum(splits) AS BIGINT) AS split_docs
+         FROM e""",
     "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
            ${dkHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),

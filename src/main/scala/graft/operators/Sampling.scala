@@ -399,6 +399,44 @@ object Sampling {
         pmod(col("__start"), lit(seqTokens)).as("pack_offset"))
   }
 
+  /** Packing-efficiency report over a [[packSequences]] assignment —
+    * the trainer-facing observability row: how many packs the corpus
+    * fills, how much of the last pack per bucket is padding (start
+    * addressing wastes NOTHING else — every interior pack is 100%
+    * full by construction), and how many documents straddle a pack
+    * boundary (the attention-masking cost of packed training).
+    * Output one row: (n_buckets, n_docs, n_packs, total_tokens,
+    * padding_tokens, fill_rate, split_docs).
+    *
+    * Scale shape: one partial-aggregable groupBy on pack_bucket (the
+    * per-bucket totals), then a bucket-count-sized final aggregate.
+    */
+  def packEfficiency(
+      assignments: DataFrame,
+      tokenCol: String,
+      seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    assignments.groupBy(col("pack_bucket"))
+      .agg(sum(col(tokenCol)).as("__t"),
+        count(lit(1)).as("__docs"),
+        sum(when(col("pack_offset") + col(tokenCol) > seqTokens, 1L)
+          .otherwise(0L)).as("__split"))
+      .withColumn("__packs",
+        expr(s"(__t + ${seqTokens - 1}L) div ${seqTokens}L"))
+      .withColumn("__pad",
+        when(pmod(col("__t"), lit(seqTokens)) === 0, lit(0L))
+          .otherwise(lit(seqTokens) - pmod(col("__t"), lit(seqTokens))))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(col("__docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("__packs")), lit(0L)).as("n_packs"),
+        coalesce(sum(col("__t")), lit(0L)).as("total_tokens"),
+        coalesce(sum(col("__pad")), lit(0L)).as("padding_tokens"),
+        round(sum(col("__t")) /
+          (sum(col("__t")) + sum(col("__pad"))).cast("double"), 6)
+          .as("fill_rate"),
+        coalesce(sum(col("__split")), lit(0L)).as("split_docs"))
+  }
+
   /** Materialize the packed trainer sequences — the final stage of the
     * corpus→trainer pipeline: [[packSequences]] ASSIGNS each document a
     * start address in its bucket's token stream; this gathers the

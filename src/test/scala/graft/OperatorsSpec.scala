@@ -55,6 +55,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("packEfficiency: padding only in each bucket's last pack;" +
+      " boundary-straddling docs counted once; exact-fit bucket pads 0") {
+    import graft.operators.Sampling
+    // one bucket (nBuckets=1): docs of 6,3,7 tokens, seq=8
+    // stream: [0,6) [6,9) [9,16) → packs 0,1 (6+3+7=16 = exactly 2 packs)
+    val a = Seq((1L, 6L), (2L, 3L), (3L, 7L)).toDF("id", "tok")
+    val asg = Sampling.packSequences(a, "id", "tok", seqTokens = 8L,
+      nBuckets = 1)
+    val r = Sampling.packEfficiency(asg, "tok", 8L).collect()(0)
+    // order within the bucket is hash-determined; totals are invariant:
+    // 16 tokens = 2 full packs, 0 padding; at least one doc straddles
+    // (6/3/7 can't tile two 8-packs without a split)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 16L)
+    assert(r.getLong(4) === 0L && r.getDouble(5) === 1.0)
+    assert(r.getLong(6) >= 1L)
+    // add a 5-token doc: 21 tokens → 3 packs, 3 padding
+    val b = Seq((1L, 6L), (2L, 3L), (3L, 7L), (4L, 5L)).toDF("id", "tok")
+    val r2 = Sampling.packEfficiency(
+      Sampling.packSequences(b, "id", "tok", 8L, 1), "tok", 8L)
+      .collect()(0)
+    assert(r2.getLong(2) === 3L && r2.getLong(4) === 3L)
+    assert(r2.getDouble(5) === math.rint(21.0 / 24.0 * 1e6) / 1e6)
+  }
+
   test("VocabIndex: batched ingest unions to the one-shot vocabulary;" +
       " absorb grows it; replay no-ops; reset cursor fails loud;" +
       " artifact probe equals the two-DataFrame form") {
