@@ -3318,13 +3318,13 @@ object SparkEntry {
     graft.sources.VocabIndex.oov(batch, "text", path)
   }
 
-  /** TF-IDF cosine all-pairs gate on the %5 subset (the brute oracle
+  /** TF-IDF cosine all-pairs gate on the %10 subset (the brute oracle
     * is quadratic; the ENGINE runs the prefix-filtered join — the
     * oracle is the semantics, not the algorithm).
     */
   private def tfidfCosinePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfCosinePairs(
-      docs(s, dir).filter(col("doc_id") % 5 === 0), "doc_id", "text",
+      docs(s, dir).filter(col("doc_id") % 10 === 0), "doc_id", "text",
       threshold = 0.85)
 
   /** The retrieval family's fixed query set — shared by the direct
@@ -9013,7 +9013,7 @@ object SparkEntry {
          SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3""",
     "tfidf_cosine_pairs" ->
       """WITH fix AS (SELECT doc_id, text FROM documents
-           WHERE doc_id % 5 = 0),
+           WHERE doc_id % 10 = 0),
          toks AS (SELECT doc_id,
              list_filter(string_split_regex(trim(lower(text)), '\s+'),
                w -> len(w) > 0) AS ws
