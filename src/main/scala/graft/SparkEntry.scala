@@ -1163,6 +1163,26 @@ object SparkEntry {
     loaded.manifest
   }
 
+  /** Contract-gated publish gate: the same fixture shipped through
+    * `writeReleaseChecked` (sink preconditions + a lang rule, all
+    * passing) — manifest ≡ `release_manifest`'s oracle verbatim; the
+    * BLOCKING side (violations → nothing written) is spec-pinned.
+    */
+  private def releaseCheckedQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = s"/tmp/graft_release_ck_${Integer.toHexString(dir.hashCode)}"
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    graft.sources.Release.writeReleaseChecked(d, "doc_id", "text", path,
+      nShards = 8, extraRules = Seq(
+        graft.operators.Contracts.Matches("lang", "^[a-z]{2}$")))
+    val loaded = graft.sources.Release.loadRelease(s, path,
+      StructType(d.schema.fields :+ StructField("shard", LongType)))
+    require(graft.sources.Release
+        .validateRelease(loaded, "doc_id", "text").isEmpty,
+      "published manifest must verify against the shipped shards")
+    loaded.manifest
+  }
+
   /** Incremental-release gate: even half published, odd half folded in
     * via [[graft.sources.Release.appendRelease]] (touched-shards-only
     * manifest recompute); sharding is content-addressed, so the merged
@@ -6297,6 +6317,7 @@ object SparkEntry {
     "layout_zorder_compact" -> (layoutZorderCompactQ _),
     "layout_zorder3"   -> (layoutZorder3Q _),
     "release_manifest" -> (releaseManifestQ _),
+    "release_checked"  -> (releaseCheckedQ _),
     "release_append"   -> (releaseAppendQ _),
     "release_delete"   -> (releaseDeleteQ _),
     "release_diff"     -> (releaseDiffQ _),
@@ -8009,6 +8030,9 @@ object SparkEntry {
     "layout_zorder_compact" -> dkZorder,
     "layout_zorder3" -> dkZorder3,
     "release_manifest" -> dkReleaseManifest,
+    // the checked path publishes the identical artifact once the
+    // contract passes — manifest oracle shared verbatim
+    "release_checked" -> dkReleaseManifest,
     // content-addressed sharding: the touched-shards-only append
     // telescopes exactly to the from-scratch manifest
     "release_append" -> dkReleaseManifest,

@@ -43,6 +43,30 @@ object Release {
     * plus any other columns of `docs` are written; stats/checksum cover
     * the id and text (the payload a consumer trains on).
     */
+  /** Contract-gated publish: run the data-contract rules FIRST and
+    * refuse to touch the filesystem on any violation — the
+    * publish-blocking form of [[graft.operators.Contracts]]. The
+    * default rules are the sink's own preconditions (non-null id and
+    * text, unique id: a duplicate id would silently collide inside a
+    * content-addressed shard); callers add corpus-specific rules on
+    * top. Throws `IllegalArgumentException` naming the failing rules;
+    * nothing is written, so a blocked publish leaves no partial
+    * artifact to clean up.
+    */
+  def writeReleaseChecked(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      nShards: Int = 16,
+      extraRules: Seq[graft.operators.Contracts.Rule] = Nil): Unit = {
+    import graft.operators.Contracts._
+    graft.operators.Contracts.requireContract(docs,
+      Seq(NotNull(idCol), NotNull(textCol), Unique(Seq(idCol))) ++
+        extraRules)
+    writeRelease(docs, idCol, textCol, path, nShards)
+  }
+
   def writeRelease(
       docs: DataFrame,
       idCol: String,

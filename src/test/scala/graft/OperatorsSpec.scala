@@ -55,6 +55,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("writeReleaseChecked: a contract violation blocks the publish" +
+      " and leaves NO artifact; a clean corpus publishes normally") {
+    import graft.sources.Release
+    val base = java.nio.file.Files.createTempDirectory("relck").toString
+    val dup = Seq((1L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Release.writeReleaseChecked(dup, "doc_id", "text", s"$base/bad",
+        nShards = 2)
+    }
+    assert(err.getMessage.contains("unique(doc_id)"))
+    assert(!new java.io.File(s"$base/bad/manifest").exists())
+    assert(!new java.io.File(s"$base/bad/data").exists())
+    val ok = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    Release.writeReleaseChecked(ok, "doc_id", "text", s"$base/good",
+      nShards = 2)
+    assert(new java.io.File(s"$base/good/manifest").exists())
+  }
+
   test("packEfficiency: padding only in each bucket's last pack;" +
       " boundary-straddling docs counted once; exact-fit bucket pads 0") {
     import graft.operators.Sampling
