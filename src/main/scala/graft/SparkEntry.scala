@@ -7631,7 +7631,7 @@ object SparkEntry {
              ELSE o_custkey END AS k FROM orders),
          tot AS (SELECT count(*) AS checked FROM o)
          SELECT rule, checked, violations, violations = 0 AS pass FROM (
-           SELECT 'fk(o_custkey)' AS rule, t.checked,
+           SELECT 'fk(o_custkey->c_custkey)' AS rule, t.checked,
              (SELECT count(*) FROM o WHERE k IS NULL
               OR k NOT IN (SELECT c_custkey FROM customer)) AS violations
            FROM tot t

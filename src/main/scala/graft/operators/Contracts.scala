@@ -67,7 +67,10 @@ object Contracts {
     */
   case class ForeignKeyIn(column: String, ref: DataFrame, refCol: String)
       extends Rule {
-    def name: String = s"fk($column)"
+    // the reference column is part of the identity: two FK rules on
+    // the same column against different references must be
+    // distinguishable in the report and in requireContract's message
+    def name: String = s"fk($column->$refCol)"
   }
 
   private def rowViolation(r: Rule): Option[(String, Column)] = r match {
@@ -87,28 +90,50 @@ object Contracts {
     * counters). Output: (rule, checked, violations, pass), one row
     * per rule, rule-declaration order preserved via a leading index.
     */
-  def checkRowRules(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  def checkRowRules(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    rowRuleReport(df, rules, Nil)
+      .orderBy(col("__i")).drop("__i")
+
+  /** Shared scaffolding for the two row-rule reports: the one-pass
+    * counter fold, struct stacking, and report projection — grouped
+    * and ungrouped forms differ ONLY in the grouping key.
+    */
+  private def rowRuleReport(
+      df: DataFrame, rules: Seq[Rule],
+      groupKeys: Seq[Column]): DataFrame = {
     val row = rules.flatMap(rowViolation)
     require(row.size == rules.size,
-      "checkRowRules takes row-local rules only (NotNull/InRange/" +
+      "row-rule reports take row-local rules only (NotNull/InRange/" +
         "Matches/Predicate); use check() for Unique/ForeignKeyIn")
+    requireDistinctNames(rules)
     val counters =
       count(lit(1)).as("__checked") +:
       row.zipWithIndex.map { case ((_, bad), i) =>
         sum(when(bad, 1L).otherwise(0L)).as(s"__v$i")
       }
-    val one = df.agg(counters.head, counters.tail: _*)
+    val agged =
+      if (groupKeys.isEmpty) df.agg(counters.head, counters.tail: _*)
+      else df.groupBy(groupKeys: _*).agg(counters.head, counters.tail: _*)
     val stacked = row.zipWithIndex.map { case ((name, _), i) =>
       struct(lit(i).as("__i"), lit(name).as("rule"),
         col("__checked").as("checked"),
         coalesce(col(s"__v$i"), lit(0L)).as("violations"))
     }
-    one.select(explode(array(stacked: _*)).as("__r"))
-      .select(col("__r.__i").as("__i"), col("__r.rule").as("rule"),
-        col("__r.checked").as("checked"),
-        col("__r.violations").as("violations"))
+    val keep = agged.columns
+      .filterNot(c => c == "__checked" || c.startsWith("__v")).map(col)
+    agged.select(keep :+ explode(array(stacked: _*)).as("__r"): _*)
+      .select(keep ++ Seq(col("__r.__i").as("__i"),
+        col("__r.rule").as("rule"), col("__r.checked").as("checked"),
+        col("__r.violations").as("violations")): _*)
       .withColumn("pass", col("violations") === 0L)
-      .orderBy(col("__i")).drop("__i")
+  }
+
+  private def requireDistinctNames(rules: Seq[Rule]): Unit = {
+    val dup = rules.map(_.name).groupBy(identity)
+      .collect { case (n, v) if v.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate rule names: ${dup.mkString(", ")} — report rows and " +
+        "failure messages would be indistinguishable")
   }
 
   /** Per-group row-rule report: (group, rule, checked, violations,
@@ -118,29 +143,9 @@ object Contracts {
     * cardinality bounds the report size, not the scan.
     */
   def checkRowRulesBy(
-      df: DataFrame, groupCol: String, rules: Seq[Rule]): DataFrame = {
-    val row = rules.flatMap(rowViolation)
-    require(row.size == rules.size,
-      "checkRowRulesBy takes row-local rules only (NotNull/InRange/" +
-        "Matches/Predicate); use check() for Unique/ForeignKeyIn")
-    val counters =
-      count(lit(1)).as("__checked") +:
-      row.zipWithIndex.map { case ((_, bad), i) =>
-        sum(when(bad, 1L).otherwise(0L)).as(s"__v$i")
-      }
-    val g = df.groupBy(col(groupCol).as("group"))
-      .agg(counters.head, counters.tail: _*)
-    val stacked = row.zipWithIndex.map { case ((name, _), i) =>
-      struct(lit(i).as("__i"), lit(name).as("rule"),
-        col("__checked").as("checked"),
-        coalesce(col(s"__v$i"), lit(0L)).as("violations"))
-    }
-    g.select(col("group"), explode(array(stacked: _*)).as("__r"))
-      .select(col("group"), col("__r.rule").as("rule"),
-        col("__r.checked").as("checked"),
-        col("__r.violations").as("violations"))
-      .withColumn("pass", col("violations") === 0L)
-  }
+      df: DataFrame, groupCol: String, rules: Seq[Rule]): DataFrame =
+    rowRuleReport(df, rules, Seq(col(groupCol).as("group")))
+      .drop("__i")
 
   /** Full contract check: row rules in one pass, set rules as one
     * keyed job each, results unioned in rule-declaration order.
@@ -148,6 +153,7 @@ object Contracts {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules given")
+    requireDistinctNames(rules)
     val rowRules = rules.filter(rowViolation(_).isDefined)
     val rowPart =
       if (rowRules.nonEmpty) Seq(checkRowRules(df, rowRules)) else Nil

@@ -457,16 +457,17 @@ object Dedup {
     * entity-resolution primitive (near-identical titles, names, URLs)
     * that Spark has no operator for. EXACT semantics (unlike the LSH
     * family's probabilistic recall): candidate generation is the
-    * Ed-Join prefix filter (Xiao, Wang & Lin, VLDB 2008) over
-    * positional q-gram tokens with the Gravano et al. (VLDB 2001)
-    * count bound — a pair within distance d shares at least
-    * `max(L1,L2) - q + 1 - q·d` q-grams, so under ANY fixed total
-    * order on the token universe two qualifying strings must collide
-    * inside each other's `q·d + 1` first tokens. Tokens are (gram,
-    * occurrence#) so the bag bound becomes a set bound; the order is
-    * (global gram df, gram, occ) — rarity-first, which is what keeps
-    * the prefix join's buckets small (hot grams only reach a prefix
-    * when a key has nothing rarer). Survivors are confirmed with the
+    * Ed-Join prefix filter (Xiao, Wang & Lin, VLDB 2008) over the
+    * DISTINCT q-gram sets [[graft.functions.CharShinglesExpr]]
+    * produces, under the set form of the Gravano et al. (VLDB 2001)
+    * bound: one edit rewrites at most q gram positions, so d edits
+    * remove at most q·d gram TYPES from either side's distinct set —
+    * `|T1 ∩ T2| >= |T1| - q·d` (symmetrically for T2) — and under ANY
+    * fixed total order on the gram universe two qualifying keys must
+    * collide inside each other's `q·d + 1` first grams. The order is
+    * (global gram df, gram) — rarity-first, which is what keeps the
+    * prefix join's buckets small (hot grams only reach a prefix when
+    * a key has nothing rarer). Survivors are confirmed with the
     * thresholded native `levenshtein(a, b, maxDist)` (early-exit DP).
     *
     * The count bound is vacuous when BOTH keys are shorter than
@@ -475,14 +476,17 @@ object Dedup {
     * quadratic only in the number of sub-`q(d+1)`-char keys per band
     * (a curated corpus bounds those up front via minChars).
     *
-    * Scale shape: the occurrence tag is an in-row O(len²) array op —
-    * this operator is for SHORT key strings, not document bodies;
-    * gram df is a vocabulary-sized aggregate (char-gram vocab ≤
-    * |charset|^q, broadcast-safe for the enforced q ≤ 4 — the langid
-    * profile precedent); prefix selection is a per-id window with ≤
-    * len rows per group (skew-free); the candidate join carries only
-    * q·d+1 tokens per key, and the confirm re-attaches keys by two
-    * linear equi-joins. No pair enumeration anywhere.
+    * Scale shape: the fuzzy join runs over DISTINCT keys only (see
+    * the collapse note in the body — dup-heavy corpora would
+    * otherwise square every candidate bucket); this operator is for
+    * SHORT key strings, not document bodies. Gram df is a
+    * vocabulary-sized aggregate (char-gram vocab ≤ |charset|^q,
+    * broadcast-safe for the enforced q ≤ 4 — the langid profile
+    * precedent); prefix selection is a per-key window with ≤ len rows
+    * per group (skew-free); the candidate join carries only q·d+1
+    * grams per key and the confirm reads the key strings riding the
+    * candidate row — no re-join; the doc-pair expansion is linear in
+    * the OUTPUT. No pair enumeration anywhere.
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -507,26 +511,21 @@ object Dedup {
     val kd = keys.select(col(keyCol).as("__k")).distinct()
       .withColumn("__len", length(col("__k")))
 
-    // main block: key pairs where the LONGER key has >= q(d+1) chars.
-    // occ(i) = #equal grams before position i turns the gram bag into
-    // a token set, preserving the bag-overlap bound exactly
+    // main block: key pairs where the LONGER key has >= q(d+1) chars
+    // (charShingles emits the DISTINCT gram set — the set bound above
+    // is stated directly on it)
     val toks = kd
-      .withColumn("__gs", charShingles(col("__k"), q))
-      .withColumn("__occ", transform(col("__gs"),
-        (g, i) => size(filter(slice(col("__gs"), lit(1), i), x => x === g))))
       .select(col("__k"), col("__len"),
-        explode(arrays_zip(col("__gs"), col("__occ"))).as("__t"))
-      .select(col("__k"), col("__len"),
-        col("__t.__gs").as("__g"), col("__t.__occ").as("__o"))
+        explode(charShingles(col("__k"), q)).as("__g"))
     val dfTab = toks.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val prefix = toks.join(broadcast(dfTab), Seq("__g"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("__k"))
-          .orderBy(col("__df"), col("__g"), col("__o"))))
+          .orderBy(col("__df"), col("__g"))))
       .filter(col("__rk") <= prefixK)
-      .select(col("__k"), col("__len"), col("__g"), col("__o"))
+      .select(col("__k"), col("__len"), col("__g"))
     val candMain = prefix.as("a").join(prefix.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__o") === col("b.__o") &&
+        col("a.__g") === col("b.__g") &&
         col("a.__k") < col("b.__k") &&
         abs(col("a.__len") - col("b.__len")) <= maxDist &&
         greatest(col("a.__len"), col("b.__len")) >= minLong)

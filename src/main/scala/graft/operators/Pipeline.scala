@@ -573,22 +573,19 @@ object Pipeline {
       d = d.filter(ent >= entropyRange._1 && ent <= entropyRange._2)
     }
     // script routing, stateless like the batch funnel's: the dominant-
-    // script label is a pure per-row expression chain, so a stream
-    // keeps only allow-listed scripts with no state
+    // script label is a pure per-row expression chain (the SHARED
+    // scriptLabelFrom/scriptCount definitions — the batch gate and the
+    // stream cannot drift), so a stream keeps only allow-listed
+    // scripts with no state
     if (allowedScripts.nonEmpty) {
       val t = col(textCol)
-      def cnt(classes: String*) =
-        length(regexp_replace(t,
-          "[^" + classes.map(c => s"\\p{Is$c}").mkString + "]", ""))
-      val (l, cy, k, a) = (cnt("Latin"), cnt("Cyrillic"),
-        cnt("Han", "Hiragana", "Katakana", "Hangul"), cnt("Arabic"))
-      val n = length(regexp_replace(t, "\\s", ""))
-      val label = when(n === 0, "empty")
-        .when(l + cy + k + a === 0, "other")
-        .when(l >= cy && l >= k && l >= a, "latin")
-        .when(cy >= k && cy >= a, "cyrillic")
-        .when(k >= a, "cjk")
-        .otherwise("arabic")
+      val label = TextAnalysis.scriptLabelFrom(
+        TextAnalysis.scriptNonWs(t),
+        TextAnalysis.scriptCount(t, "Latin"),
+        TextAnalysis.scriptCount(t, "Cyrillic"),
+        TextAnalysis.scriptCount(t, "Han", "Hiragana", "Katakana",
+          "Hangul"),
+        TextAnalysis.scriptCount(t, "Arabic"))
       d = d.filter(label.isInCollection(allowedScripts))
     }
     qualityModel.foreach { m =>

@@ -570,22 +570,11 @@ object Sketches {
       width: Int = 1024,
       weight: Column = lit(1L)): Unit = {
     val spark = df.sparkSession
-    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
-      graft.sources.EpochStore.requireInitializable(spark, path)
+    graft.sources.EpochStore.ingestWithCursor(spark, path, batchId,
+      "CMS") { () =>
       writeEpoch(spark, path, cmsCounters(df, value, depth, width, weight),
         cmsMeta(spark, depth, width, 0L, batchId), 0L)
-      return
-    }
-    val m = readMeta(spark, path)
-    val last = metaLastBatchId(m)
-    if (batchId == last) return
-    require(batchId > last,
-      s"CMS at $path has absorbed through stream batch $last but " +
-        s"received batch $batchId — the stream's checkpoint was lost " +
-        "or reset (ids restarted); continuing would silently drop " +
-        "every already-numbered batch. Point the query at its " +
-        "original checkpoint, or rebuild the sketch.")
-    commitCmsMerge(df, value, path, m, weight, batchId)
+    } { m => commitCmsMerge(df, value, path, m, weight, batchId) }
   }
 
   /** Streaming CMS ingestion — [[ingestCmsBatch]] per micro-batch:
@@ -1203,7 +1192,7 @@ object Sketches {
     def keyed(df: DataFrame) = df
       .filter(col(valueCol).isNotNull)
       .select(
-        coalesce(col(groupCol).cast("string"), lit("\u0000")).as("__gk"),
+        groupKey(col(groupCol).cast("string")).as("__gk"),
         col(groupCol).cast("string").as("group"),
         least(greatest(floor((col(valueCol) - lo) / w), lit(0.0)),
           lit(nBins - 1.0)).cast("int").as("bin"))
@@ -1221,6 +1210,13 @@ object Sketches {
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
   }
 
+  /** Collision-free null-safe group join key: a (isNull, value) struct
+    * — no sentinel string a real group could equal (structs equi-join
+    * and window-partition natively).
+    */
+  private def groupKey(g: Column): Column =
+    struct(g.isNull.as("n"), coalesce(g, lit("")).as("v"))
+
   /** Per-group [[distributionDrift]]: (group, psi, ks, n_a, n_b), one
     * row per group — "which language moved between releases". Windows
     * partition by group over the bins table (group cardinality × nBins
@@ -1234,34 +1230,20 @@ object Sketches {
       nBins: Int = 20,
       lo: Double = 0.0,
       hi: Double = 1.0): DataFrame = {
-    val bins = driftBinsBy(a, b, valueCol, groupCol, nBins, lo, hi)
-      .withColumn("__gk", coalesce(col("group"), lit("\u0000")))
-    val all = Window.partitionBy(col("__gk"))
-    val cum = all.orderBy(col("bin"))
-    bins
-      .withColumn("__na", sum(col("cnt_a")).over(all))
-      .withColumn("__nb", sum(col("cnt_b")).over(all))
-      .withColumn("__pa",
-        (col("cnt_a") + 0.5) / (col("__na") + 0.5 * nBins))
-      .withColumn("__pb",
-        (col("cnt_b") + 0.5) / (col("__nb") + 0.5 * nBins))
-      .withColumn("__gap", abs(
-        sum(col("cnt_a")).over(cum) / col("__na") -
-        sum(col("cnt_b")).over(cum) / col("__nb")))
+    driftAnnotated(
+        driftBinsBy(a, b, valueCol, groupCol, nBins, lo, hi), nBins,
+        groupKey(col("group")))
       .groupBy(col("group"))
-      .agg(
-        round(sum((col("__pa") - col("__pb")) *
-          log(col("__pa") / col("__pb"))), 6).as("psi"),
-        round(max(col("__gap")), 6).as("ks"),
-        max(col("__na")).as("n_a"),
-        max(col("__nb")).as("n_b"))
+      .agg(driftAggs.head, driftAggs.tail: _*)
   }
 
-  /** The PSI/KS statistic stage over a (bin, cnt_a, cnt_b) table —
-    * shared by the two-DataFrame form and the artifact-backed form.
-    */
-  private def driftStats(bins: DataFrame, nBins: Int): DataFrame = {
-    val all = Window.partitionBy(lit(1))
+  // -- the PSI/KS statistic stage, ONE definition for every drift form
+  //    (two-DataFrame, grouped, artifact-backed): windows partitioned
+  //    by `part`, then the shared aggregate list ------------------------
+
+  private def driftAnnotated(
+      bins: DataFrame, nBins: Int, part: Column): DataFrame = {
+    val all = Window.partitionBy(part)
     val cum = all.orderBy(col("bin"))
     bins
       .withColumn("__na", sum(col("cnt_a")).over(all))
@@ -1273,13 +1255,18 @@ object Sketches {
       .withColumn("__gap", abs(
         sum(col("cnt_a")).over(cum) / col("__na") -
         sum(col("cnt_b")).over(cum) / col("__nb")))
-      .agg(
-        round(sum((col("__pa") - col("__pb")) *
-          log(col("__pa") / col("__pb"))), 6).as("psi"),
-        round(max(col("__gap")), 6).as("ks"),
-        max(col("__na")).as("n_a"),
-        max(col("__nb")).as("n_b"))
   }
+
+  private def driftAggs: Seq[Column] = Seq(
+    round(sum((col("__pa") - col("__pb")) *
+      log(col("__pa") / col("__pb"))), 6).as("psi"),
+    round(max(col("__gap")), 6).as("ks"),
+    max(col("__na")).as("n_a"),
+    max(col("__nb")).as("n_b"))
+
+  private def driftStats(bins: DataFrame, nBins: Int): DataFrame =
+    driftAnnotated(bins, nBins, lit(1))
+      .agg(driftAggs.head, driftAggs.tail: _*)
 
   def distributionDrift(
       a: DataFrame,
@@ -1355,22 +1342,11 @@ object Sketches {
       df: DataFrame, valueCol: String, path: String, batchId: Long,
       nBins: Int = 20, lo: Double = 0.0, hi: Double = 1.0): Unit = {
     val spark = df.sparkSession
-    if (!graft.sources.EpochStore.hasMeta(spark, path)) {
-      graft.sources.EpochStore.requireInitializable(spark, path)
+    graft.sources.EpochStore.ingestWithCursor(spark, path, batchId,
+      "bin sketch") { () =>
       writeEpoch(spark, path, binCounts(df, valueCol, nBins, lo, hi),
         binsMeta(spark, nBins, lo, hi, 0L, batchId), 0L)
-      return
-    }
-    val m = readMeta(spark, path)
-    val last = metaLastBatchId(m)
-    if (batchId == last) return
-    require(batchId > last,
-      s"bin sketch at $path has absorbed through stream batch $last " +
-        s"but received batch $batchId — the stream's checkpoint was " +
-        "lost or reset (ids restarted); continuing would silently " +
-        "drop every already-numbered batch. Point the query at its " +
-        "original checkpoint, or rebuild the sketch.")
-    commitBinsMerge(df, valueCol, path, m, batchId)
+    } { m => commitBinsMerge(df, valueCol, path, m, batchId) }
   }
 
   /** Streaming bin ingestion — [[ingestBinsBatch]] per micro-batch.

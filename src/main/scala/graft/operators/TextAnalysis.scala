@@ -517,17 +517,40 @@ object TextAnalysis {
     * frac_arabic, script)`; fracs round to 6; `script` is `empty` for
     * whitespace-only docs and `other` when no listed script occurs.
     */
+  /** Per-script character count — ONE definition for every consumer
+    * of the script family (the ratios report and the streaming
+    * funnel's stateless routing), so the character classes cannot
+    * drift between batch and stream.
+    */
+  private[graft] def scriptCount(t: Column, classes: String*): Column =
+    length(regexp_replace(t,
+      "[^" + classes.map(c => s"\\p{Is$c}").mkString + "]", ""))
+
+  private[graft] def scriptNonWs(t: Column): Column =
+    length(regexp_replace(t, "\\s", ""))
+
+  /** The dominant-script when-chain over precomputed counts — shared
+    * by [[scriptRatios]] and `Pipeline.curateStream` so the tie-break
+    * precedence (latin ≥ cyrillic ≥ cjk ≥ arabic) cannot drift.
+    */
+  private[graft] def scriptLabelFrom(
+      n: Column, l: Column, c: Column, k: Column, a: Column): Column =
+    when(n === 0, "empty")
+      .when(l + c + k + a === 0, "other")
+      .when(l >= c && l >= k && l >= a, "latin")
+      .when(c >= k && c >= a, "cyrillic")
+      .when(k >= a, "cjk")
+      .otherwise("arabic")
+
   def scriptRatios(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    def cnt(classes: String*) =
-      length(regexp_replace(t,
-        "[^" + classes.map(c => s"\\p{Is$c}").mkString + "]", ""))
     val pre = docs.select(col(idCol),
-      length(regexp_replace(t, "\\s", "")).as("__n"),
-      cnt("Latin").as("__l"), cnt("Cyrillic").as("__c"),
-      cnt("Han", "Hiragana", "Katakana", "Hangul").as("__k"),
-      cnt("Arabic").as("__a"))
+      scriptNonWs(t).as("__n"),
+      scriptCount(t, "Latin").as("__l"),
+      scriptCount(t, "Cyrillic").as("__c"),
+      scriptCount(t, "Han", "Hiragana", "Katakana", "Hangul").as("__k"),
+      scriptCount(t, "Arabic").as("__a"))
     def frac(c: org.apache.spark.sql.Column) =
       round(c.cast("double") / greatest(col("__n"), lit(1)), 6)
     pre.select(col(idCol),
@@ -535,15 +558,8 @@ object TextAnalysis {
       frac(col("__c")).as("frac_cyrillic"),
       frac(col("__k")).as("frac_cjk"),
       frac(col("__a")).as("frac_arabic"),
-      when(col("__n") === 0, "empty")
-        .when(col("__l") + col("__c") + col("__k") + col("__a") === 0,
-          "other")
-        .when(col("__l") >= col("__c") && col("__l") >= col("__k") &&
-          col("__l") >= col("__a"), "latin")
-        .when(col("__c") >= col("__k") && col("__c") >= col("__a"),
-          "cyrillic")
-        .when(col("__k") >= col("__a"), "cjk")
-        .otherwise("arabic").as("script"))
+      scriptLabelFrom(col("__n"), col("__l"), col("__c"), col("__k"),
+        col("__a")).as("script"))
   }
 
   /** Per-document TF-IDF keyword extraction: the top-`kTop` terms of
@@ -613,8 +629,10 @@ object TextAnalysis {
       reference: DataFrame,
       batch: DataFrame,
       textCol: String): DataFrame =
-    oovRatesVsVocab(batch, textCol,
-      corpusTerms(reference, textCol).distinct())
+    // no .distinct() here — the callee dedups, and Spark cannot prove
+    // an input distinct, so a second pass would re-shuffle the whole
+    // vocabulary
+    oovRatesVsVocab(batch, textCol, corpusTerms(reference, textCol))
 
   /** The distinct-or-not token projection the OOV family shares: one
     * `term` row per token instance.
@@ -698,11 +716,15 @@ object TextAnalysis {
     // itself), reconstructed as the dist-0 analogue below
     val keys = docs.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
-    val fam = keys.groupBy(col(textCol).as("__k"))
+    val famAll = keys.groupBy(col(textCol).as("__k"))
       .agg(count(lit(1)).as("__m"))
       .withColumn("__toks",
         filter(split(trim(lower(col("__k"))), "\\s+"),
           w => length(w) > 0))
+    // idf's N counts EVERY document (token-less ones included — the
+    // pre-collapse semantics); only the VECTOR machinery drops them
+    val stats = famAll.agg(sum(col("__m")).cast("double").as("__n"))
+    val fam = famAll
       .filter(size(col("__toks")) > 0) // zero vectors have no cosine
     val tf = fam.select(col("__k"), col("__m"),
         explode(col("__toks")).as("term"))
@@ -711,7 +733,6 @@ object TextAnalysis {
         first(col("__m")).as("__m"))
     val dfreq = tf.groupBy(col("term"))
       .agg(sum(col("__m")).cast("double").as("__df"))
-    val stats = fam.agg(sum(col("__m")).cast("double").as("__n"))
     val weighted = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__w", col("__tf") *
@@ -724,9 +745,13 @@ object TextAnalysis {
     val suffix = Window.partitionBy(col("__k"))
       .orderBy(col("__u").desc, col("term").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // prune HALF a rounding unit under the threshold: the emitted
+    // contract is round(cos, 6) >= τ, so a pair at true cosine
+    // τ - 4e-7 must still be GENERATED for the confirm to round it in
+    val pruneAt = threshold - 5e-7
     val prefix = u
       .withColumn("__sfx", sum(col("__u") * col("__u")).over(suffix))
-      .filter(col("__sfx") >= threshold)
+      .filter(col("__sfx") >= pruneAt)
       .select(col("__k").as("__pk"), col("term"))
     val full = u.select(col("__k").as("__fk"), col("term"))
     val cand = full.join(prefix, Seq("term"))

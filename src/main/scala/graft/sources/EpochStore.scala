@@ -71,6 +71,40 @@ private[graft] object EpochStore {
   def epochPath(path: String, version: Long): String =
     s"$path/registers_v$version"
 
+  /** The exactly-once stream-cursor skeleton shared by the epoch
+    * artifacts (CMS counters, drift bins, vocabulary): initialize when
+    * no meta is committed, no-op on a replayed batch id, fail LOUD on
+    * a reset cursor (a lost/re-created checkpoint restarts ids —
+    * continuing would silently drop every already-numbered batch),
+    * delegate the merge otherwise. `what` names the artifact in the
+    * failure message. KLL keeps its own variant: an optional cursor
+    * for batch-mode absorbs plus key-schema validation interleaved
+    * with the cursor checks.
+    */
+  def ingestWithCursor(
+      spark: SparkSession, path: String, batchId: Long, what: String)(
+      init: () => Unit)(
+      merge: org.apache.spark.sql.Row => Unit): Unit = {
+    if (!hasMeta(spark, path)) {
+      requireInitializable(spark, path)
+      init()
+      return
+    }
+    val m = readMeta(spark, path)
+    val last =
+      if (m.schema.fieldNames.contains("last_batch_id"))
+        m.getAs[Long]("last_batch_id")
+      else -1L
+    if (batchId == last) return
+    require(batchId > last,
+      s"$what at $path has absorbed through stream batch $last but " +
+        s"received batch $batchId — the stream's checkpoint was lost " +
+        "or reset (ids restarted); continuing would silently drop " +
+        "every already-numbered batch. Point the query at its " +
+        "original checkpoint, or rebuild the artifact.")
+    merge(m)
+  }
+
   /** Commit one epoch: payload first, meta (carrying `version` plus
     * store-specific parameters) flipped last VIA RENAME — the meta
     * parquet is staged to a temp directory and moved into place, so

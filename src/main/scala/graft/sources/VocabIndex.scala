@@ -96,22 +96,10 @@ object VocabIndex {
       batch: DataFrame, textCol: String, path: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (!EpochStore.hasMeta(spark, path)) {
-      EpochStore.requireInitializable(spark, path)
+    EpochStore.ingestWithCursor(spark, path, batchId, "vocabulary") { () =>
       EpochStore.writeEpoch(spark, path, distinctTerms(batch, textCol),
         vocabMeta(spark, 0L, batchId), 0L)
-      return
-    }
-    val m = EpochStore.readMeta(spark, path)
-    val last = metaCursor(m)
-    if (batchId == last) return
-    require(batchId > last,
-      s"vocabulary at $path has absorbed through stream batch $last " +
-        s"but received batch $batchId — the stream's checkpoint was " +
-        "lost or reset (ids restarted); continuing would silently " +
-        "drop every already-numbered batch. Point the query at its " +
-        "original checkpoint, or rebuild the vocabulary.")
-    commitUnion(batch, textCol, path, m, batchId)
+    } { m => commitUnion(batch, textCol, path, m, batchId) }
   }
 
   /** Streaming vocabulary ingestion — [[ingestBatch]] per micro-batch.

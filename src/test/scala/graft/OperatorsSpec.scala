@@ -300,13 +300,13 @@ class OperatorsSpec extends AnyFunSuite {
         r.getBoolean(3)))
     assert(rep.map(_._1).toSeq === Seq("not_null(text)",
       "in_range(n,1.0,100.0)", "predicate(short_text)", "unique(id)",
-      "fk(fk)")) // declaration order survives the union
+      "fk(fk->k)")) // declaration order survives the union
     val byRule = rep.map(r => r._1 -> r).toMap
     assert(byRule("not_null(text)") === ("not_null(text)", 4L, 1L, false))
     assert(byRule("in_range(n,1.0,100.0)")._3 === 2L) // 0 and 9999
     assert(byRule("predicate(short_text)")._3 === 1L) // null text only
     assert(byRule("unique(id)")._3 === 2L) // both id=3 rows collide
-    assert(byRule("fk(fk)")._3 === 2L)     // orphan 9 + null key
+    assert(byRule("fk(fk->k)")._3 === 2L)     // orphan 9 + null key
     // empty input: checked 0, all pass
     val empty = graft.operators.Contracts.check(
       df.filter(lit(false)), Seq(NotNull("text"), Unique(Seq("id"))))
