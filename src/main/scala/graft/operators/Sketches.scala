@@ -1172,9 +1172,10 @@ object Sketches {
     */
   /** Per-group [[driftBins]]: one bin table per group value (e.g. per
     * language, per source domain). The group key is null-safed through
-    * a U+0000 sentinel internally — a null group is a REAL group (the
-    * exact-groupBy contract), not a dropped one — and surfaces as the
-    * original null. Spine = distinct groups × nBins via an exploded
+    * a collision-free (isNull, value) struct internally — a null group
+    * is a REAL group (the exact-groupBy contract), not a dropped one —
+    * and surfaces as the original null. Spine = distinct groups × nBins
+    * via an exploded
     * sequence (no cross join); everything else is the ungrouped shape
     * with the group key prepended to each aggregate/join key.
     */
