@@ -3302,6 +3302,11 @@ object SparkEntry {
     TextAnalysis.oovRates(ref, batch, "text")
   }
 
+  private def vocabOovByLangQ(s: SparkSession, dir: String): DataFrame = {
+    val (ref, batch) = oovFixture(s, dir)
+    TextAnalysis.oovRatesBy(ref, batch, "text", "lang")
+  }
+
   /** Persisted-vocabulary probe: build the artifact from the
     * reference, probe the batch through it — ≡ the two-DataFrame
     * form, oracle shared verbatim.
@@ -6392,6 +6397,7 @@ object SparkEntry {
     "tfidf_cosine_pairs" -> (tfidfCosinePairsQ _),
     "vocab_oov"        -> (vocabOovQ _),
     "vocab_index_oov"  -> (vocabIndexOovQ _),
+    "vocab_oov_by_lang" -> (vocabOovByLangQ _),
     "streaming_vocab"  -> (streamingVocabQ _),
     "pack_efficiency"  -> (packEfficiencyQ _),
     "gram_exposure" -> (gramExposureQ _),
@@ -9065,6 +9071,32 @@ object SparkEntry {
     // family shares ONE oracle verbatim
     "vocab_index_oov" -> dkVocabOov,
     "streaming_vocab" -> dkVocabOov,
+    "vocab_oov_by_lang" ->
+      """WITH ref AS (SELECT DISTINCT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\s+'),
+             w -> len(w) > 0)) AS term
+           FROM documents WHERE doc_id % 3 <> 0),
+         bt AS (SELECT lang, unnest(list_filter(string_split_regex(
+             trim(lower(CASE WHEN doc_id % 9 = 0
+               THEN text || ' zzznovel' || CAST(doc_id AS VARCHAR)
+               ELSE text END)), '\s+'),
+             w -> len(w) > 0)) AS term
+           FROM documents WHERE doc_id % 3 = 0),
+         bc AS (SELECT lang, term, count(*) AS n FROM bt GROUP BY 1, 2),
+         j AS (SELECT bc.lang, bc.term, bc.n,
+             CASE WHEN ref.term IS NULL THEN 1 ELSE 0 END AS oov
+           FROM bc LEFT JOIN ref ON bc.term = ref.term)
+         SELECT lang AS "group",
+           CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(COALESCE(sum(oov * n), 0) AS BIGINT) AS oov_tokens,
+           CAST(COALESCE(sum(oov), 0) AS BIGINT) AS oov_types,
+           round(COALESCE(sum(oov * n), 0)
+             / CAST(GREATEST(COALESCE(sum(n), 0), 1) AS DOUBLE), 6)
+             AS token_rate,
+           round(COALESCE(sum(oov), 0)
+             / CAST(GREATEST(count(*), 1) AS DOUBLE), 6) AS type_rate
+         FROM j GROUP BY lang""",
     // the three index-artifact gates REPLAY the direct form's oracle:
     // probe/append/streaming-ingest parity IS their contract
     "bm25_index_probe" -> oracleSqlBm25,

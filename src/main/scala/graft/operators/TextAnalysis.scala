@@ -670,6 +670,42 @@ object TextAnalysis {
           .as("type_rate"))
   }
 
+  /** Per-group [[oovRates]]: one OOV row per group value (per
+    * language, per source feed) against ONE shared reference
+    * vocabulary — "whose crawl is drifting out of the tokenizer".
+    * Same cost shape with the group key prepended to the term
+    * aggregate; a null group is a REAL group (groupBy semantics).
+    * Output: (group, n_tokens, n_types, oov_tokens, oov_types,
+    * token_rate, type_rate).
+    */
+  def oovRatesBy(
+      reference: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    val vocab = corpusTerms(reference, textCol).distinct()
+      .withColumn("__known", lit(1))
+    batch.select(col(groupCol).cast("string").as("group"),
+        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+          w => length(w) > 0)).as("term"))
+      .groupBy(col("group"), col("term")).agg(count(lit(1)).as("__n"))
+      .join(vocab, Seq("term"), "left")
+      .groupBy(col("group"))
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("__known").isNull, col("__n"))
+          .otherwise(0L)), lit(0L)).as("oov_tokens"),
+        coalesce(sum(when(col("__known").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("oov_types"))
+      .select(col("group"), col("n_tokens"), col("n_types"),
+        col("oov_tokens"), col("oov_types"),
+        round(col("oov_tokens") / greatest(col("n_tokens"), lit(1L)), 6)
+          .as("token_rate"),
+        round(col("oov_types") / greatest(col("n_types"), lit(1L)), 6)
+          .as("type_rate"))
+  }
+
   /** All-pairs TF-IDF cosine similarity join: every pair (id_a < id_b)
     * of documents whose L2-normalized tf·smooth-idf term vectors have
     * cosine ≥ `threshold` — the sparse-lexical dual of

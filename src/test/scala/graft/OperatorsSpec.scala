@@ -156,6 +156,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(by((Some("pdf"), "in_range(n,1.0,100.0)")) === ((1L, 1L, false)))
   }
 
+  test("oovRatesBy: per-group rows equal oovRates run per slice against" +
+      " the SHARED reference vocabulary") {
+    import graft.operators.TextAnalysis
+    val ref = Seq("alpha bravo charlie", "delta echo").toDF("text")
+    val batch = Seq(("en", "alpha zork"), ("de", "zork quux bravo"),
+      ("en", "delta delta")).toDF("g", "text")
+    val by = TextAnalysis.oovRatesBy(ref, batch, "text", "g")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for (g <- Seq("en", "de")) {
+      val solo = TextAnalysis.oovRates(ref,
+        batch.filter(col("g") === g), "text").collect()(0).toSeq
+      assert(by(g) === solo, s"group $g")
+    }
+    assert(by("de").head === 3L) // de: 3 tokens, zork+quux OOV
+  }
+
   test("oovRates: token vs type rates diverge on repeated novel tokens;" +
       " fully-known batch scores zero; empty batch is all zeros") {
     import graft.operators.TextAnalysis
