@@ -202,13 +202,22 @@ abstract class GrayEncodeExpr extends UnaryExpression with CodegenFallback {
   def w: Int
   def h: Int
 
+  /** The codec's REAL per-side limit (format header field width):
+    * 65535 for JPEG SOF / GIF logical-screen 16-bit fields, 2^16 for
+    * PNG's IHDR u32 capped by [[PngCodec.MaxSide]]. Checked at
+    * ANALYSIS time so dims the codec's `require` would reject can
+    * never throw per row inside a scan (the never-throw contract).
+    */
+  protected def maxSide: Int = 0xffff
+
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(IntegerType | LongType, _) =>
-        if (w > 0 && h > 0 && w.toLong * h <= PngCodec.MaxPixels)
+        if (w > 0 && h > 0 && w <= maxSide && h <= maxSide &&
+            w.toLong * h <= PngCodec.MaxPixels)
           TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
           s"unsupported dimensions ${w}x$h")
@@ -239,6 +248,7 @@ case class PngEncodeExpr(child: Expression, w: Int, h: Int,
     deflateMode: Int) extends GrayEncodeExpr {
   require(deflateMode >= 0 && deflateMode <= 2,
     s"deflateMode must be 0|1|2, got $deflateMode")
+  override protected def maxSide: Int = PngCodec.MaxSide
   override protected def encode(pix: Array[Byte]): Array[Byte] =
     PngCodec.encodeGray(w, h, pix, deflateMode)
   override protected def withNewChildInternal(

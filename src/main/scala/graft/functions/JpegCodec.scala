@@ -502,8 +502,11 @@ object JpegCodec {
     */
   def encodeGray(w: Int, h: Int, pix: Array[Byte], color: Boolean = false,
       subsample: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0 && w.toLong * h <= MaxPixels,
-      s"unsupported dims ${w}x$h")
+    // side limits matter independently of the pixel budget: SOF stores
+    // width/height as 16-bit fields, so w or h above 65535 would emit
+    // a silently corrupt header (the bytes are masked to 8 bits each)
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
+      w.toLong * h <= MaxPixels, s"unsupported dims ${w}x$h")
     require(pix.length == w * h, "pixel buffer size mismatch")
     val useColor = color || subsample
     val out = new java.io.ByteArrayOutputStream()

@@ -68,11 +68,17 @@ object RetrievalIndex {
   /** Postings rows for one corpus slice: `(term, doc_id, dl, tf)`,
     * distinct by (term, doc_id). One explode + one partial-aggregable
     * groupBy; `dl` rides the grouping key (constant per doc, so it
-    * adds no groups).
+    * adds no groups). `doc_id` keeps the caller's NATIVE id type — a
+    * cast (e.g. to long) would silently null out non-numeric ids and
+    * collapse all such docs into one corrupt postings group, breaking
+    * the bit-parity contract with
+    * [[graft.operators.TextAnalysis.bm25Scores]], which accepts any id
+    * type. Any orderable type range-partitions and sorts fine; a
+    * non-orderable id fails loudly at the exchange instead.
     */
   private def postingsOf(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("term"))

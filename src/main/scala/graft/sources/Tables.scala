@@ -237,10 +237,13 @@ object Tables {
     * range exchange over the WHOLE table and swap the re-clustered
     * files in. The rewrite stages to a side directory first (a scan
     * must never overlap the directory it rewrites), then swaps via two
-    * renames — a crash leaves either the old table intact or the old
-    * table plus a complete staged copy, never a half state; re-running
-    * converges. Repeated compaction of an unchanged table is
-    * idempotent on content (same stats → same lanes → same layout).
+    * renames. A crash can land between the renames (table absent at
+    * `path`, data only in the side dirs) — re-running detects that
+    * half-swap on entry and rolls it forward (complete staged copy)
+    * or back (old table) BEFORE any delete, so every crash point
+    * converges without data loss. Repeated compaction of an unchanged
+    * table is idempotent on content (same stats → same lanes → same
+    * layout).
     */
   def compactZOrdered(
       spark: SparkSession,
@@ -251,6 +254,24 @@ object Tables {
     val hconf = spark.sparkContext.hadoopConfiguration
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(path).getFileSystem(hconf)
+    // Crash recovery FIRST, before any delete: a failure between the
+    // two swap renames leaves the table absent at `path` with the data
+    // living only at `path.old` (and possibly `path.compact`). Deleting
+    // the side directories at that point would be permanent data loss —
+    // roll the half-swap forward (staged copy is complete by
+    // construction: it is written before rename #1) or back (old table)
+    // so `path` exists again before the normal pre-clean runs.
+    if (!fs.exists(p(path))) {
+      if (fs.exists(p(s"$path.compact"))) {
+        if (!fs.rename(p(s"$path.compact"), p(path)))
+          throw new IllegalStateException(
+            s"z-order compaction recovery (roll-forward) failed at $path")
+      } else if (fs.exists(p(s"$path.old"))) {
+        if (!fs.rename(p(s"$path.old"), p(path)))
+          throw new IllegalStateException(
+            s"z-order compaction recovery (roll-back) failed at $path")
+      }
+    }
     fs.delete(p(s"$path.compact"), true)
     fs.delete(p(s"$path.old"), true)
     writeZOrdered(spark.read.parquet(path), zcols, s"$path.compact",

@@ -5784,4 +5784,76 @@ class OperatorsSpec extends AnyFunSuite {
       (11L, e11, 1), (10L, e10, 2),
       (13L, r6(1.0 / 62), 3), (12L, r6(1.0 / 63), 4)))
   }
+
+  test("compactZOrdered: re-run after a crash between the swap" +
+      " renames recovers the table (roll-forward and roll-back)," +
+      " rows unchanged") {
+    import graft.sources.Tables
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p("/tmp").getFileSystem(hconf)
+    def rowsAt(path: String): Set[(Long, Long)] =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    val rows = (0L until 500L).map(i => (i, (i * 7) % 500L)).toDF("x", "y")
+    val expected = rows.collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    // roll-forward: crash AFTER rename #1 (table gone, staged copy
+    // complete at .compact, old data at .old) — the advisory's
+    // data-loss scenario: a pre-fix re-run deleted both side dirs
+    val fwd = java.nio.file.Files
+      .createTempDirectory("graft_zrec").toString + "/tbl"
+    Tables.writeZOrdered(rows, Seq("x", "y"), fwd, numFiles = 2)
+    Tables.writeZOrdered(spark.read.parquet(fwd), Seq("x", "y"),
+      s"$fwd.compact", numFiles = 4)
+    assert(fs.rename(p(fwd), p(s"$fwd.old")))
+    Tables.compactZOrdered(spark, fwd, Seq("x", "y"), numFiles = 4)
+    assert(rowsAt(fwd) === expected, "roll-forward must lose no rows")
+    assert(!fs.exists(p(s"$fwd.old")) && !fs.exists(p(s"$fwd.compact")))
+    // roll-back: crash with only .old present (e.g. staged copy was
+    // already swapped-away/cleaned) — recover the old table
+    val bck = java.nio.file.Files
+      .createTempDirectory("graft_zrec").toString + "/tbl"
+    Tables.writeZOrdered(rows, Seq("x", "y"), bck, numFiles = 2)
+    assert(fs.rename(p(bck), p(s"$bck.old")))
+    Tables.compactZOrdered(spark, bck, Seq("x", "y"), numFiles = 4)
+    assert(rowsAt(bck) === expected, "roll-back must lose no rows")
+    assert(!fs.exists(p(s"$bck.old")) && !fs.exists(p(s"$bck.compact")))
+  }
+
+  test("RetrievalIndex: non-numeric doc ids keep their native type —" +
+      " probe parity with the direct form, no silent null collapse") {
+    import graft.sources.RetrievalIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ridx_str").toString
+    val d = Seq(("doc-a", "apple banana apple"), ("doc-b", "apple cherry"),
+      ("doc-c", "banana banana cherry")).toDF("doc_id", "text")
+    val qs = Seq(0L -> "apple cherry")
+    RetrievalIndex.build(d, "doc_id", "text", path, numFiles = 2)
+    val got = RetrievalIndex.score(spark, path, qs).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[String]("doc_id")) ->
+        (math.rint(r.getAs[Double]("score") * 1e9) / 1e9)).toMap
+    val expected = graft.operators.TextAnalysis
+      .bm25Scores(d, "doc_id", "text", qs).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[String]("doc_id")) ->
+        (math.rint(r.getAs[Double]("score") * 1e9) / 1e9)).toMap
+    assert(got === expected)
+    assert(got.keySet.map(_._2) === Set("doc-a", "doc-b", "doc-c"),
+      "every string id must survive indexing distinctly")
+  }
+
+  test("gray-plane encoders: per-side limits rejected at analysis" +
+      " time (16-bit header fields), never per row") {
+    import graft.functions.ImageFunctions
+    // 65536 x 1 fits the pixel budget but overflows JPEG's 16-bit SOF
+    // width field — must fail BEFORE execution, not corrupt the header
+    val d = Seq(Tuple1(Seq.fill(1 << 16)(128))).toDF("pix")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      d.select(ImageFunctions.jpegEncode(col("pix"), 1 << 16, 1))
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.functions.JpegCodec.encodeGray(1 << 16, 1,
+        new Array[Byte](1 << 16))
+    }
+  }
 }
