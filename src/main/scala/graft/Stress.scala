@@ -1029,6 +1029,25 @@ object Stress {
       TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
         threshold = 0.95)
     }
+    time("tfidf_cosine_degen_cap") {
+      // the adversarial regime the prefix filter cannot help: a
+      // ~30-word vocabulary where idf separates nothing (boilerplate
+      // farm / template shard), so every term bucket holds most of
+      // the corpus. maxBucketSize is the stated bound: candidate
+      // volume ≤ vocab × cap² regardless of corpus size
+      val degen = docs.limit(20000 * mult / 10).select(col("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          element_at(
+            split(lit("alpha beta gamma delta epsilon zeta eta theta " +
+              "iota kappa lambda mu nu xi omicron pi rho sigma tau " +
+              "upsilon phi chi psi omega one two three four five six"),
+              " "),
+            (pmod(col("doc_id") * (i * 2654435761L + 1) +
+              lit(i * 40503L), lit(30)) + 1).cast("int"))): _*)
+          .as("text"))
+      TextAnalysis.tfidfCosinePairs(degen, "doc_id", "text",
+        threshold = 0.8, maxBucketSize = 2000)
+    }
     spark.stop()
   }
 }

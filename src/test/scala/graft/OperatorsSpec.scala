@@ -221,6 +221,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === brute)
     assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 === 1.0))
     assert(!got.exists(p => (p._1, p._2) == (0L, 3L))) // disjoint absent
+    // worst-case guard: cap on → a subset of the exact output with
+    // cosines unchanged (recall trade only, never wrong values);
+    // a generous cap → identical to exact
+    val capped = TextAnalysis
+      .tfidfCosinePairs(df, "id", "text", 0.5, maxBucketSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped.subsetOf(brute))
+    assert(capped.contains((0L, 1L, 1.0)),
+      "identical-text pairs bypass candidate generation, cap-immune")
+    val loose = TextAnalysis
+      .tfidfCosinePairs(df, "id", "text", 0.5, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(loose === brute)
   }
 
   test("distributionDrift: identical snapshots score zero; a collapsed" +
