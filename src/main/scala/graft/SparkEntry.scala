@@ -2930,6 +2930,47 @@ object SparkEntry {
       probes = 2)
   }
 
+  /** Exact re-rank (FAISS IndexRefineFlat) over the same IVF-PQ
+    * fixture: ADC top-20 candidates re-scored with exact cosine, top-5
+    * kept. The oracle replays the full ADC chain then the exact
+    * re-rank, so `cos_sim` here is the true cosine, not the ADC
+    * estimate.
+    */
+  private def annIvfPqRefinedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    Similarity.ivfPqRefinedTopK(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", centroids, trainedPqCb(e, dir), m = 8, k = 5,
+      probes = 2, refine = 4)
+  }
+
+  /** The refine stage's recall report: per query, recall@5 against
+    * brute-force truth for raw ADC top-5 vs the refined top-5 — the
+    * FAISS-style evidence that one bounded exact join buys back
+    * quantization recall.
+    */
+  private def annIvfPqRefineRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val queries = e.filter(col("vec_id") < 10)
+    val cb = trainedPqCb(e, dir)
+    val truth = Similarity.knnBruteForce(queries, e, "vec_id", "embedding",
+      k = 5)
+    val adc = Similarity.ivfPqTopK(queries, e, "vec_id", "embedding",
+      centroids, cb, m = 8, k = 5, probes = 2)
+    val refined = Similarity.ivfPqRefinedTopK(queries, e, "vec_id",
+      "embedding", centroids, cb, m = 8, k = 5, probes = 2, refine = 4)
+    val rAdc = graft.operators.Retrieval.recallAtK(adc, truth,
+        "query_id", "neighbor_id", "knn_rank", k = 5)
+      .select(col("query_id"), col("recall").as("recall_adc"))
+    val rRef = graft.operators.Retrieval.recallAtK(refined, truth,
+        "query_id", "neighbor_id", "knn_rank", k = 5)
+      .select(col("query_id"), col("recall").as("recall_refined"))
+    rAdc.join(rRef, Seq("query_id"))
+  }
+
   /** Residual IVF-PQ (FAISS IVFADC layout): corpus codes encode
     * residuals against the id-selected coarse centroids, with the
     * residual codebook TRAINED by the same per-subspace Lloyd as
@@ -5735,6 +5776,37 @@ object SparkEntry {
          FROM tc GROUP BY code),
        $dkPqEncTail"""
 
+  /** The IVF-PQ ADC search chain shared by the `ann_ivfpq_*` oracles:
+    * PQ-reconstructed vectors, id-selected centroids, 2-probe query
+    * assignment, ADC scores for queries vec_id < 10, ranked as `rk`
+    * (cos_sim, knn_rank).
+    */
+  private val dkIvfPqAdcCtes: String =
+    s"""$dkPqEncTrained,
+       sub AS (SELECT e.vec_id, e.j,
+           [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
+         FROM enc e JOIN a ON a.code = e.code),
+       recon AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rv
+         FROM sub GROUP BY vec_id),
+       cen AS (SELECT vec_id AS centroid_id, vd AS cv FROM v
+         WHERE vec_id % 100 = 0),
+       ranked AS (SELECT v.vec_id, cen.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
+                      centroid_id) AS rn
+         FROM v, cen),
+       asg1 AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+       asgp AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2),
+       sc AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv.vd, r.rv), 6) AS cos_sim
+         FROM asgp p JOIN asg1 b ON p.centroid_id = b.centroid_id
+           AND p.vec_id <> b.vec_id
+         JOIN v qv ON qv.vec_id = p.vec_id
+         JOIN recon r ON r.vec_id = b.vec_id
+         WHERE p.vec_id < 10),
+       rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)"""
+
   /** Shared LSH band-bucket CTEs (w, s, h, sig, bk) over documents —
     * one (doc_id, band, bucket) row per band per doc, mirroring
     * `TextFunctions.minhashBuckets` with the default 16x8 layout.
@@ -6367,6 +6439,8 @@ object SparkEntry {
     "pq_encode"        -> (pqEncodeQ _),
     "ann_pq_topk"      -> (annPqTopKQ _),
     "ann_ivfpq_topk"   -> (annIvfPqTopKQ _),
+    "ann_ivfpq_refined" -> (annIvfPqRefinedQ _),
+    "ann_ivfpq_refine_recall" -> (annIvfPqRefineRecallQ _),
     "ann_ivfpq_residual" -> (annIvfPqResidualQ _),
     "ann_index_persist" -> (annIndexPersistQ _),
     "ann_index_append" -> (annIndexAppendQ _),
@@ -8671,32 +8745,57 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
          WHERE knn_rank <= 5""",
     "ann_ivfpq_topk" ->
-      s"""WITH $dkPqEncTrained,
-         sub AS (SELECT e.vec_id, e.j,
-             [a.av[CAST(e.j*8+i+1 AS INTEGER)] for i in range(0,8)] AS sv
-           FROM enc e JOIN a ON a.code = e.code),
-         recon AS (SELECT vec_id, flatten(list(sv ORDER BY j)) AS rv
-           FROM sub GROUP BY vec_id),
-         cen AS (SELECT vec_id AS centroid_id, vd AS cv FROM v
-           WHERE vec_id % 100 = 0),
-         ranked AS (SELECT v.vec_id, cen.centroid_id,
-             row_number() OVER (PARTITION BY v.vec_id
-               ORDER BY round(list_cosine_similarity(vd, cv), 6) DESC,
-                        centroid_id) AS rn
-           FROM v, cen),
-         asg1 AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
-         asgp AS (SELECT vec_id, centroid_id FROM ranked WHERE rn <= 2),
-         sc AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round(list_cosine_similarity(qv.vd, r.rv), 6) AS cos_sim
-           FROM asgp p JOIN asg1 b ON p.centroid_id = b.centroid_id
-             AND p.vec_id <> b.vec_id
-           JOIN v qv ON qv.vec_id = p.vec_id
-           JOIN recon r ON r.vec_id = b.vec_id
-           WHERE p.vec_id < 10),
-         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)
+      s"""WITH $dkIvfPqAdcCtes
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
          WHERE knn_rank <= 5""",
+    "ann_ivfpq_refined" ->
+      s"""WITH $dkIvfPqAdcCtes,
+         cand_r AS (SELECT query_id, neighbor_id FROM rk WHERE knn_rank <= 20),
+         ex AS (SELECT cd.query_id, cd.neighbor_id,
+             round(list_cosine_similarity(qv.vd, nv.vd), 6) AS cos_sim
+           FROM cand_r cd
+           JOIN v qv ON qv.vec_id = cd.query_id
+           JOIN v nv ON nv.vec_id = cd.neighbor_id),
+         rk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank
+           FROM ex)
+         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk2
+         WHERE knn_rank <= 5""",
+    "ann_ivfpq_refine_recall" ->
+      s"""WITH $dkIvfPqAdcCtes,
+         cand_adc AS (SELECT query_id, neighbor_id FROM rk
+           WHERE knn_rank <= 5),
+         cand20 AS (SELECT query_id, neighbor_id FROM rk
+           WHERE knn_rank <= 20),
+         ex AS (SELECT cd.query_id, cd.neighbor_id,
+             round(list_cosine_similarity(qv.vd, nv.vd), 6) AS cos_sim
+           FROM cand20 cd
+           JOIN v qv ON qv.vec_id = cd.query_id
+           JOIN v nv ON nv.vec_id = cd.neighbor_id),
+         cand_ref AS (SELECT query_id, neighbor_id FROM (SELECT *,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rk2 FROM ex)
+           WHERE rk2 <= 5),
+         bj AS (SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.vd, cv.vd), 6) DESC,
+                        cv.vec_id) AS trk
+           FROM v q, v cv WHERE q.vec_id < 10 AND q.vec_id <> cv.vec_id),
+         truth AS (SELECT query_id, neighbor_id FROM bj WHERE trk <= 5),
+         ra AS (SELECT t.query_id,
+             round(CAST(count(a2.neighbor_id) AS DOUBLE) / count(*), 6)
+               AS recall_adc
+           FROM truth t LEFT JOIN cand_adc a2
+             ON t.query_id = a2.query_id AND t.neighbor_id = a2.neighbor_id
+           GROUP BY 1),
+         rr AS (SELECT t.query_id,
+             round(CAST(count(r2.neighbor_id) AS DOUBLE) / count(*), 6)
+               AS recall_refined
+           FROM truth t LEFT JOIN cand_ref r2
+             ON t.query_id = r2.query_id AND t.neighbor_id = r2.neighbor_id
+           GROUP BY 1)
+         SELECT ra.query_id, ra.recall_adc, rr.recall_refined
+         FROM ra JOIN rr ON ra.query_id = rr.query_id""",
     "ann_ivfpq_residual" -> dkIvfPqResidualSql,
     "ann_index_persist" -> dkIvfPqResidualSql,
     "ann_index_append" -> dkIvfPqResidualSql,

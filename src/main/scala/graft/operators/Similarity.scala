@@ -778,6 +778,79 @@ object Similarity {
       .filter(col("knn_rank") <= k)
   }
 
+  /** Exact re-rank (refine) stage for IVF-PQ search — the FAISS
+    * `IndexRefineFlat` pattern: ADC retrieves R = `refine`·k
+    * approximate candidates per query, those candidates' FLOAT vectors
+    * join back from the corpus, and EXACT cosine re-ranks them to
+    * top-k. One linear hash join bounded by R·|queries| surviving rows
+    * recovers most of the quantization recall loss — the emitted
+    * `cos_sim` is the exact (round-6) cosine, not an ADC estimate.
+    *
+    * Scale shape: the ADC pass is [[ivfPqTopK]]/[[ivfPqResidualTopK]]
+    * unchanged (codes-only corpus scan); the refine join scans the
+    * float-vector table ONCE as a hash join against the
+    * R·|queries|-row candidate side — never a second ADC pass, never a
+    * vector shuffle proportional to the corpus. Ranks re-break ties by
+    * neighbor id, so output is deterministic and oracle-replayable.
+    *
+    * `residual = true` runs the candidate pass through the IVFADC
+    * residual form (its codes quantize `x − c`); the refine half is
+    * identical — exactness does not depend on which ADC produced the
+    * candidates.
+    */
+  def ivfPqRefinedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebook: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      probes: Int = 1,
+      refine: Int = 4,
+      residual: Boolean = false): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    val adc =
+      if (residual)
+        ivfPqResidualTopK(queries, corpus, idCol, vecCol, centroids,
+          codebook, m, k * refine, probes)
+      else
+        ivfPqTopK(queries, corpus, idCol, vecCol, centroids, codebook,
+          m, k * refine, probes)
+    refineExact(adc, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** The exact re-rank half on its own — composes with the `Encoded`
+    * search variants or a persisted-index probe
+    * ([[graft.sources.AnnIndex]]): `cands` is any
+    * `(query_id, neighbor_id, …)` candidate frame (typically an ADC
+    * top-R); its ids join back to the float vectors and exact cosine
+    * takes top-k. The join output is bounded by |cands|; the query
+    * side broadcasts (small by the ANN probe contract).
+    */
+  def refineExact(
+      cands: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cands.select(col("query_id"), col("neighbor_id"))
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("__qv"), col("__cv")).as("cos_sim"))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** ANN top-k: brute-force cosine *within* each LSH bucket. The join key
     * is the bucket id — shuffle is linear in corpus size; AQE splits hot
     * buckets. Recall < 1 by construction (bucket-boundary misses); raise

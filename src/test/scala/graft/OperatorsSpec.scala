@@ -5855,6 +5855,55 @@ class OperatorsSpec extends AnyFunSuite {
       "every string id must survive indexing distinctly")
   }
 
+  test("ivfPqRefinedTopK: exact cosines on ADC candidates — refined" +
+      " top-k equals brute-force truth when the probed cells cover it," +
+      " and per-query recall never drops below raw ADC") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = Similarity.pqTrainCodebook(vecs, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1)
+    val qs = vecs.filter(col("vec_id") < 4)
+    // probes = 2 of 2 cells → candidate pool is the WHOLE corpus, and
+    // refine·k = 90 ≥ corpus size keeps EVERY candidate in the refine
+    // window; exact re-rank must then reproduce brute-force truth
+    val refined = Similarity.ivfPqRefinedTopK(qs, vecs, "vec_id",
+      "embedding", centroids, cb, m = 2, k = 3, probes = 2, refine = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val truth = Similarity.knnBruteForce(qs, vecs, "vec_id", "embedding",
+        k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(refined === truth,
+      "full-coverage refine must equal exact brute-force top-k")
+    // at a tight refine window, refined recall must still dominate ADC
+    val adc = Similarity.ivfPqTopK(qs, vecs, "vec_id", "embedding",
+      centroids, cb, m = 2, k = 3, probes = 2)
+    val refined2 = Similarity.ivfPqRefinedTopK(qs, vecs, "vec_id",
+      "embedding", centroids, cb, m = 2, k = 3, probes = 2, refine = 3)
+    val tr = Similarity.knnBruteForce(qs, vecs, "vec_id", "embedding", k = 3)
+    def recalls(c: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      graft.operators.Retrieval.recallAtK(c, tr, "query_id",
+        "neighbor_id", "knn_rank", 3).collect()
+        .map(r => r.getAs[Long]("query_id") ->
+          r.getAs[Double]("recall")).toMap
+    val (ra, rr) = (recalls(adc), recalls(refined2))
+    assert(ra.keySet === rr.keySet)
+    // exact re-rank of a SUPERSET of the ADC pool can only help
+    assert(ra.forall { case (q, v) => rr(q) >= v },
+      s"refined recall must dominate ADC per query: adc=$ra refined=$rr")
+    // residual-ADC candidates feed the same exact refine half
+    val refinedRes = Similarity.ivfPqRefinedTopK(qs, vecs, "vec_id",
+      "embedding", centroids, cb, m = 2, k = 3, probes = 2,
+      refine = 30, residual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(refinedRes === truth)
+  }
+
   test("gray-plane encoders: per-side limits rejected at analysis" +
       " time (16-bit header fields), never per row") {
     import graft.functions.ImageFunctions
