@@ -4014,11 +4014,17 @@ object SparkEntry {
   /** 9×8 grayscale PNG of the fixture picture, REALLY deflated
     * in-plan ([[graft.functions.PngEncodeExpr]]) and really
     * inflated + unfiltered by the decode side of the dHash.
+    * `interlaced = true` emits the Adam7 wire layout of the SAME
+    * picture (9×8 exercises every pass, partial edge columns
+    * included), so the formula oracle stays container-blind while the
+    * decode side proves real deinterlacing.
     */
-  private def pngPayload(deflateMode: Int): Column = {
+  private def pngPayload(deflateMode: Int,
+      interlaced: Boolean = false): Column = {
     val gray = transform(sequence(lit(0), lit(71)), i =>
       codecGray(i % 9, floor(i / 9).cast("int")).cast("int"))
-    graft.functions.ImageFunctions.pngEncode(gray, 9, 8, deflateMode)
+    graft.functions.ImageFunctions.pngEncode(gray, 9, 8, deflateMode,
+      interlaced)
   }
 
   /** 72×64 block-constant baseline JPEG of the fixture picture: 8×8
@@ -4072,9 +4078,10 @@ object SparkEntry {
   private def multimodalDhashPngQ(s: SparkSession, dir: String): DataFrame =
     codecDocs(s, dir).select(col("doc_id"),
       graft.functions.ImageFunctions.dhash(
-        when(pmod(col("doc_id"), lit(3)) === 0, pngPayload(0))
-          .when(pmod(col("doc_id"), lit(3)) === 1, pngPayload(1))
-          .otherwise(pngPayload(2))).as("dhash"))
+        when(pmod(col("doc_id"), lit(4)) === 0, pngPayload(0))
+          .when(pmod(col("doc_id"), lit(4)) === 1, pngPayload(1))
+          .when(pmod(col("doc_id"), lit(4)) === 2, pngPayload(2))
+          .otherwise(pngPayload(1, interlaced = true))).as("dhash"))
 
   /** dHash through the REAL GIF decode path (LZW + 256-gray palette)
     * — same oracle again; the fourth container closes the

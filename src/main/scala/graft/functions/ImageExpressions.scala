@@ -170,9 +170,10 @@ object ImageFunctions {
     * a grayscale PNG ([[PngCodec.encodeGray]]). `deflateMode`: 0
     * stored, 1 fixed-Huffman, 2 dynamic-Huffman.
     */
-  def pngEncode(gray: Column, w: Int, h: Int, deflateMode: Int = 1): Column =
+  def pngEncode(gray: Column, w: Int, h: Int, deflateMode: Int = 1,
+      interlaced: Boolean = false): Column =
     GraftColumnCompat.toColumn(PngEncodeExpr(
-      GraftColumnCompat.toExpression(gray), w, h, deflateMode))
+      GraftColumnCompat.toExpression(gray), w, h, deflateMode, interlaced))
 
   /** Encode a row-major `array<int>` gray plane as a grayscale GIF
     * ([[GifCodec.encodeGray]]).
@@ -245,12 +246,12 @@ abstract class GrayEncodeExpr extends UnaryExpression with CodegenFallback {
 }
 
 case class PngEncodeExpr(child: Expression, w: Int, h: Int,
-    deflateMode: Int) extends GrayEncodeExpr {
+    deflateMode: Int, interlaced: Boolean = false) extends GrayEncodeExpr {
   require(deflateMode >= 0 && deflateMode <= 2,
     s"deflateMode must be 0|1|2, got $deflateMode")
   override protected def maxSide: Int = PngCodec.MaxSide
   override protected def encode(pix: Array[Byte]): Array[Byte] =
-    PngCodec.encodeGray(w, h, pix, deflateMode)
+    PngCodec.encodeGray(w, h, pix, deflateMode, interlaced)
   override protected def withNewChildInternal(
       newChild: Expression): PngEncodeExpr = copy(child = newChild)
 }

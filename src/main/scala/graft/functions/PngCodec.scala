@@ -9,13 +9,17 @@ package graft.functions
   *
   * Decode contract (crawl-grade): null — never an exception, never an
   * unbounded allocation — on anything outside the supported envelope:
-  * corrupt signature/CRC/zlib, truncated stream, bit depth ≠ 8,
-  * interlaced (Adam7) images, or dimensions beyond the decode-bomb
-  * guard ([[PngCodec.MaxSide]]/[[PngCodec.MaxPixels]], checked BEFORE
-  * any buffer is sized: a 20-byte IHDR can declare a 2^31-pixel
-  * image). Supported: bit-depth-8 gray / RGB / palette / gray+alpha /
-  * RGBA, all five row filters, stored + fixed + dynamic deflate
-  * blocks ([[Inflate]]).
+  * corrupt signature/CRC/zlib, truncated stream, bit depth ≠ 8, or
+  * dimensions beyond the decode-bomb guard
+  * ([[PngCodec.MaxSide]]/[[PngCodec.MaxPixels]], checked BEFORE any
+  * buffer is sized: a 20-byte IHDR can declare a 2^31-pixel image).
+  * Supported: bit-depth-8 gray / RGB / palette / gray+alpha / RGBA,
+  * all five row filters, stored + fixed + dynamic deflate blocks
+  * ([[Inflate]]), and BOTH interlace methods — sequential and Adam7
+  * (RFC 2083 §2.6/§8.2: seven sub-images, each filtered against its
+  * own previous scanline, deinterlaced by pure index arithmetic over
+  * the already-working inflate+unfilter path; the pixel budget is
+  * unchanged, so the bomb guard covers both layouts).
   *
   * Luma = `(r + g + b) / 3` integer division — the SAME formula as the
   * BMP walk in [[DHash]], so one picture re-encoded across containers
@@ -78,6 +82,7 @@ object PngCodec {
     while (i < 8) { if (u8(a, i) != Sig(i)) return null; i += 1 }
     var pos = 8
     var w = 0; var h = 0; var bitDepth = 0; var colorType = 0
+    var interlaced = false
     var sawIhdr = false; var sawIend = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -102,8 +107,10 @@ object PngCodec {
             wL * hL > MaxPixels) return null
           w = wL.toInt; h = hL.toInt
           if (bitDepth != 8 || channels(colorType) < 0 ||
-            compression != 0 || filterMethod != 0 || interlace != 0)
+            compression != 0 || filterMethod != 0 ||
+            (interlace != 0 && interlace != 1))
             return null
+          interlaced = interlace == 1
         case "PLTE" =>
           if (!sawIhdr || l % 3 != 0 || l > 768) return null
           palette = java.util.Arrays.copyOfRange(a, pos + 8, pos + 8 + l)
@@ -118,21 +125,122 @@ object PngCodec {
     if (!sawIhdr || !sawIend) return null
     if (colorType == 3 && palette == null) return null
     val bpp = channels(colorType)
-    val stride = 1 + w * bpp
-    val expect = stride.toLong * h
-    if (expect > Int.MaxValue) return null
     val z = idat.toByteArray
-    val raw = Inflate.zlibInflate(z, 0, z.length, expect.toInt)
-    if (raw == null || raw.length != expect.toInt) return null
-    // unfilter in place, row by row (filters reference the PRIOR
-    // unfiltered row, so order matters)
+    // the channel plane the luma pass reads: w*bpp-stride rows with NO
+    // filter bytes. Sequential images unfilter in place and alias the
+    // inflated buffer region-by-region; Adam7 scatters each pass there.
+    var plane: Array[Byte] = null
+    var planeRow = 0 // byte offset of row y = y * planeStride + planeOff
+    var planeOff = 0
+    if (!interlaced) {
+      val stride = 1 + w * bpp
+      val expect = stride.toLong * h
+      if (expect > Int.MaxValue) return null
+      val raw = Inflate.zlibInflate(z, 0, z.length, expect.toInt)
+      if (raw == null || raw.length != expect.toInt) return null
+      if (!unfilter(raw, 0, h, w * bpp, bpp)) return null
+      plane = raw; planeRow = stride; planeOff = 1
+    } else {
+      // Adam7: seven independently-filtered sub-images, concatenated
+      val expect = adam7Bytes(w, h, bpp)
+      if (expect > Int.MaxValue) return null
+      val raw = Inflate.zlibInflate(z, 0, z.length, expect.toInt)
+      if (raw == null || raw.length != expect.toInt) return null
+      val full = new Array[Byte](w * bpp * h)
+      var off = 0
+      var p = 0
+      while (p < 7) {
+        val x0 = Adam7(p)(0); val y0 = Adam7(p)(1)
+        val dx = Adam7(p)(2); val dy = Adam7(p)(3)
+        val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (wp > 0 && hp > 0) {
+          if (!unfilter(raw, off, hp, wp * bpp, bpp)) return null
+          val passStride = 1 + wp * bpp
+          var j = 0
+          while (j < hp) {
+            var i = 0
+            while (i < wp) {
+              val src = off + j * passStride + 1 + i * bpp
+              val dst = (y0 + j * dy) * w * bpp + (x0 + i * dx) * bpp
+              var c = 0
+              while (c < bpp) { full(dst + c) = raw(src + c); c += 1 }
+              i += 1
+            }
+            j += 1
+          }
+          off += hp * passStride
+        }
+        p += 1
+      }
+      plane = full; planeRow = w * bpp; planeOff = 0
+    }
+    val out = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
-      val rowOff = y * stride
-      val ft = u8(raw, rowOff)
-      if (ft > 4) return null
       var x = 0
-      while (x < w * bpp) {
+      while (x < w) {
+        val p = y * planeRow + planeOff + x * bpp
+        val g = colorType match {
+          case 0 | 4 => u8(plane, p)
+          case 2 | 6 =>
+            (u8(plane, p) + u8(plane, p + 1) + u8(plane, p + 2)) / 3
+          case 3 =>
+            val idx = u8(plane, p) * 3
+            if (idx + 2 >= palette.length) return null
+            (u8(palette, idx) + u8(palette, idx + 1) +
+              u8(palette, idx + 2)) / 3
+        }
+        out(y * w + x) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, out)
+  }
+
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass
+    * (RFC 2083 §2.6).
+    */
+  private val Adam7: Array[Array[Int]] = Array(
+    Array(0, 0, 8, 8), Array(4, 0, 8, 8), Array(0, 4, 4, 8),
+    Array(2, 0, 4, 4), Array(0, 2, 2, 4), Array(1, 0, 2, 2),
+    Array(0, 1, 1, 2))
+
+  /** Total filtered byte count of the seven Adam7 sub-images — empty
+    * passes (zero columns or rows at this size) contribute nothing,
+    * per spec.
+    */
+  private def adam7Bytes(w: Int, h: Int, bpp: Int): Long = {
+    var total = 0L
+    var p = 0
+    while (p < 7) {
+      val x0 = Adam7(p)(0); val y0 = Adam7(p)(1)
+      val dx = Adam7(p)(2); val dy = Adam7(p)(3)
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) total += hp.toLong * (1L + wp.toLong * bpp)
+      p += 1
+    }
+    total
+  }
+
+  /** In-place unfilter of one contiguous filtered sub-image: `rows`
+    * scanlines of `1 + rowBytes` bytes starting at `off`. Filters
+    * reference the PRIOR unfiltered row of the SAME sub-image (for
+    * Adam7 each pass starts from a clean slate), so order matters.
+    * False on an invalid filter type.
+    */
+  private def unfilter(raw: Array[Byte], off: Int, rows: Int,
+      rowBytes: Int, bpp: Int): Boolean = {
+    val stride = 1 + rowBytes
+    var y = 0
+    while (y < rows) {
+      val rowOff = off + y * stride
+      val ft = u8(raw, rowOff)
+      if (ft > 4) return false
+      var x = 0
+      while (x < rowBytes) {
         val p = rowOff + 1 + x
         val left = if (x >= bpp) u8(raw, p - bpp) else 0
         val up = if (y > 0) u8(raw, p - stride) else 0
@@ -156,53 +264,28 @@ object PngCodec {
       }
       y += 1
     }
-    val out = new Array[Byte](w * h)
-    y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = y * stride + 1 + x * bpp
-        val g = colorType match {
-          case 0 | 4 => u8(raw, p)
-          case 2 | 6 => (u8(raw, p) + u8(raw, p + 1) + u8(raw, p + 2)) / 3
-          case 3 =>
-            val idx = u8(raw, p) * 3
-            if (idx + 2 >= palette.length) return null
-            (u8(palette, idx) + u8(palette, idx + 1) +
-              u8(palette, idx + 2)) / 3
-        }
-        out(y * w + x) = g.toByte
-        x += 1
-      }
-      y += 1
-    }
-    Gray(w, h, out)
+    true
   }
 
-  /** Deterministic grayscale (color type 0, bit depth 8) encoder.
-    * Row `y` uses filter `y % 5` — every filter kind round-trips
-    * through [[decodeGray]] on every image taller than 4 rows.
-    * `deflateMode`: 0 stored, 1 fixed-Huffman, 2 dynamic-Huffman
-    * (all literal-only, so the byte stream is a pure function of the
-    * pixels and any engine can replay it).
+  /** Filter one grayscale sub-image (`wp` × `hp`, bpp 1) into `raw`
+    * at `off` as `hp` scanlines of `1 + wp` bytes; row `j` uses filter
+    * `j % 5`, referencing the sub-image's OWN prior row — exactly what
+    * [[unfilter]] inverts, for both the sequential whole-image case
+    * and each Adam7 pass.
     */
-  def encodeGray(w: Int, h: Int, pix: Array[Byte],
-      deflateMode: Int = 1): Array[Byte] = {
-    require(w > 0 && h > 0 && w <= MaxSide && h <= MaxSide &&
-      w.toLong * h <= MaxPixels, s"unsupported dims ${w}x$h")
-    require(pix.length == w * h, "pixel buffer size mismatch")
-    val stride = 1 + w
-    val raw = new Array[Byte](stride * h)
+  private def filterInto(sub: Array[Byte], wp: Int, hp: Int,
+      raw: Array[Byte], off: Int): Unit = {
+    val stride = 1 + wp
     var y = 0
-    while (y < h) {
+    while (y < hp) {
       val ft = y % 5
-      raw(y * stride) = ft.toByte
+      raw(off + y * stride) = ft.toByte
       var x = 0
-      while (x < w) {
-        val cur = pix(y * w + x) & 0xff
-        val left = if (x > 0) pix(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) pix((y - 1) * w + x) & 0xff else 0
-        val ul = if (y > 0 && x > 0) pix((y - 1) * w + x - 1) & 0xff else 0
+      while (x < wp) {
+        val cur = sub(y * wp + x) & 0xff
+        val left = if (x > 0) sub(y * wp + x - 1) & 0xff else 0
+        val up = if (y > 0) sub((y - 1) * wp + x) & 0xff else 0
+        val ul = if (y > 0 && x > 0) sub((y - 1) * wp + x - 1) & 0xff else 0
         val enc = ft match {
           case 0 => cur
           case 1 => cur - left
@@ -217,11 +300,60 @@ object PngCodec {
               else if (pb <= pc) up else ul
             cur - pred
         }
-        raw(y * stride + 1 + x) = enc.toByte
+        raw(off + y * stride + 1 + x) = enc.toByte
         x += 1
       }
       y += 1
     }
+  }
+
+  /** Deterministic grayscale (color type 0, bit depth 8) encoder.
+    * Row `y` uses filter `y % 5` — every filter kind round-trips
+    * through [[decodeGray]] on every image taller than 4 rows.
+    * `deflateMode`: 0 stored, 1 fixed-Huffman, 2 dynamic-Huffman
+    * (all literal-only, so the byte stream is a pure function of the
+    * pixels and any engine can replay it). `interlaced = true` emits
+    * the Adam7 layout (seven pass sub-images, each filtered
+    * independently) — same pixels, different wire order, so fixture
+    * formulas stay container-blind.
+    */
+  def encodeGray(w: Int, h: Int, pix: Array[Byte],
+      deflateMode: Int = 1, interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= MaxSide && h <= MaxSide &&
+      w.toLong * h <= MaxPixels, s"unsupported dims ${w}x$h")
+    require(pix.length == w * h, "pixel buffer size mismatch")
+    val raw =
+      if (!interlaced) {
+        val r = new Array[Byte]((1 + w) * h)
+        filterInto(pix, w, h, r, 0)
+        r
+      } else {
+        val r = new Array[Byte](adam7Bytes(w, h, 1).toInt)
+        var off = 0
+        var p = 0
+        while (p < 7) {
+          val x0 = Adam7(p)(0); val y0 = Adam7(p)(1)
+          val dx = Adam7(p)(2); val dy = Adam7(p)(3)
+          val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (wp > 0 && hp > 0) {
+            val sub = new Array[Byte](wp * hp)
+            var j = 0
+            while (j < hp) {
+              var i = 0
+              while (i < wp) {
+                sub(j * wp + i) = pix((y0 + j * dy) * w + (x0 + i * dx))
+                i += 1
+              }
+              j += 1
+            }
+            filterInto(sub, wp, hp, r, off)
+            off += hp * (1 + wp)
+          }
+          p += 1
+        }
+        r
+      }
     val deflated = deflateMode match {
       case 0 => Inflate.deflateStored(raw)
       case 1 => Inflate.deflateFixed(raw)
@@ -249,7 +381,8 @@ object PngCodec {
     ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
     ihdr(8) = 8 // bit depth
     ihdr(9) = 0 // gray
-    // compression 0, filter 0, interlace 0 already zeroed
+    // compression 0, filter 0 already zeroed
+    ihdr(12) = if (interlaced) 1 else 0
     chunk("IHDR", ihdr)
     chunk("IDAT", idat)
     chunk("IEND", Array.emptyByteArray)

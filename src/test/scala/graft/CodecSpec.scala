@@ -81,6 +81,30 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG Adam7 interlace round-trips exactly at sizes exercising" +
+      " full, partial and empty passes, matching the sequential decode") {
+    // 1x1 → only pass 1; 3x3/5x5 → empty later passes + partial edges;
+    // 9x8 → the fixture size (all 7 passes, ragged columns);
+    // 16x16 → every pass full; 1x9/8x1 → degenerate strips
+    for ((w, h) <- Seq((1, 1), (3, 3), (5, 5), (9, 8), (16, 16),
+        (1, 9), (8, 1), (17, 13))) {
+      val pix = pattern(w, h)
+      val seq = PngCodec.decodeGray(PngCodec.encodeGray(w, h, pix, 1))
+      val adam = PngCodec.decodeGray(
+        PngCodec.encodeGray(w, h, pix, 1, interlaced = true))
+      assert(adam != null, s"${w}x$h interlaced decode failed")
+      assert(adam.w == w && adam.h == h)
+      assert(adam.pix.sameElements(pix),
+        s"${w}x$h interlaced pixels diverged")
+      assert(adam.pix.sameElements(seq.pix),
+        s"${w}x$h interlaced != sequential decode")
+    }
+    // truncated interlaced stream still nulls (never throws)
+    val full = PngCodec.encodeGray(9, 8, pattern(9, 8), 1,
+      interlaced = true)
+    assert(PngCodec.decodeGray(full.take(full.length - 16)) == null)
+  }
+
   /** hand-assemble a PNG of arbitrary color type (filter-0 rows). */
   private def rawPng(w: Int, h: Int, colorType: Int, bitDepth: Int,
       interlace: Int, samples: Array[Byte],
@@ -165,8 +189,10 @@ class CodecSpec extends AnyFunSuite {
     }
     assert(PngCodec.decodeGray(bomb) == null)
     assert((System.nanoTime() - t0) < 2e9, "bomb rejection must be fast")
+    // interlace flag set but the stream holds the SEQUENTIAL byte
+    // layout: the Adam7 expected size differs, so the size check nulls
     assert(PngCodec.decodeGray(rawPng(4, 3, 0, 8, 1, pix)) == null,
-      "interlaced must be rejected")
+      "interlace flag with a sequential-length stream must be rejected")
     assert(PngCodec.decodeGray(rawPng(4, 3, 0, 16, 0,
       pattern(8, 3))) == null, "16-bit depth must be rejected")
     val corrupt = ok.clone()
