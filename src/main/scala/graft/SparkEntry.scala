@@ -4042,6 +4042,19 @@ object SparkEntry {
       subsample, dri)
   }
 
+  /** The same 72×64 block-constant picture as a PROGRESSIVE (SOF2)
+    * stream — multi-scan DC/AC first + refinement wire layout,
+    * identical quantized coefficients, so the formula oracle holds
+    * unchanged while the decode side proves the §G scan machinery.
+    */
+  private def jpegPayloadProgressive(color: Boolean): Column = {
+    val gray = transform(sequence(lit(0), lit(4607)), i =>
+      codecGray(floor((i % 72) / 8).cast("int"),
+        floor(i / 576).cast("int")).cast("int"))
+    graft.functions.ImageFunctions.jpegEncode(gray, 72, 64, color,
+      progressive = true)
+  }
+
   /** DCT perceptual-hash gate ([[graft.functions.PHash]]): containers
     * cycle BMP / dynamic-deflate PNG / baseline JPEG by doc — the BMP
     * and PNG are 9×8, the JPEG 72×64 block-constant, and all three
@@ -4100,17 +4113,26 @@ object SparkEntry {
     * dequant + IDCT), variant cycling gray / 4:4:4 color / 4:2:0
     * subsampled / restart-interval by doc.
     */
+  /** Container cycle covers the whole decode envelope: gray baseline,
+    * constant-chroma color, 4:2:0 subsampled, restart-interval, and
+    * PROGRESSIVE (SOF2, gray and interleaved-DC color) — the planted
+    * progressive near-dup fixtures whose grayscale the formula oracle
+    * replays container-blind.
+    */
   private def multimodalDhashJpegQ(s: SparkSession, dir: String): DataFrame =
     codecDocs(s, dir).select(col("doc_id"),
       graft.functions.ImageFunctions.dhash(
-        when(pmod(col("doc_id"), lit(4)) === 0,
+        when(pmod(col("doc_id"), lit(6)) === 0,
           jpegPayload(color = false, subsample = false, dri = 0))
-          .when(pmod(col("doc_id"), lit(4)) === 1,
+          .when(pmod(col("doc_id"), lit(6)) === 1,
             jpegPayload(color = true, subsample = false, dri = 0))
-          .when(pmod(col("doc_id"), lit(4)) === 2,
+          .when(pmod(col("doc_id"), lit(6)) === 2,
             jpegPayload(color = false, subsample = true, dri = 0))
-          .otherwise(jpegPayload(color = false, subsample = false,
-            dri = 3))).as("dhash"))
+          .when(pmod(col("doc_id"), lit(6)) === 3,
+            jpegPayload(color = false, subsample = false, dri = 3))
+          .when(pmod(col("doc_id"), lit(6)) === 4,
+            jpegPayloadProgressive(color = false))
+          .otherwise(jpegPayloadProgressive(color = true))).as("dhash"))
 
   private def wavHeaderHex(channels: Int, dataLen: Int): String = {
     def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
@@ -4267,7 +4289,9 @@ object SparkEntry {
         .when(col("m") === 2, jpegPayload(color = false,
           subsample = false, dri = 0))
         .when(col("m") === 3, pngPayload(2))
-        .otherwise(jpegPayload(color = false, subsample = true, dri = 0))
+        // the progressive family member: the SOF2 wire layout must
+        // land on the same dHash as its BMP/PNG/baseline-JPEG twins
+        .otherwise(jpegPayloadProgressive(color = false))
     Multimodal.perceptualDupPairs(
       codecDocs(s, dir).select(col("doc_id"), payload.as("payload")),
       "doc_id")

@@ -187,10 +187,11 @@ object ImageFunctions {
     * chroma color / 4:2:0 / restart-interval variants.
     */
   def jpegEncode(gray: Column, w: Int, h: Int, color: Boolean = false,
-      subsample: Boolean = false, restartInterval: Int = 0): Column =
+      subsample: Boolean = false, restartInterval: Int = 0,
+      progressive: Boolean = false): Column =
     GraftColumnCompat.toColumn(JpegEncodeExpr(
       GraftColumnCompat.toExpression(gray), w, h, color, subsample,
-      restartInterval))
+      restartInterval, progressive))
 }
 
 /** Shared shape of the gray-plane image encoders: `array<int>` (row
@@ -265,12 +266,16 @@ case class GifEncodeExpr(child: Expression, w: Int, h: Int)
 }
 
 case class JpegEncodeExpr(child: Expression, w: Int, h: Int,
-    color: Boolean, subsample: Boolean, restartInterval: Int)
+    color: Boolean, subsample: Boolean, restartInterval: Int,
+    progressive: Boolean = false)
     extends GrayEncodeExpr {
   require(restartInterval >= 0 && restartInterval <= 0xffff,
     s"restartInterval out of range: $restartInterval")
+  require(!progressive || (!subsample && restartInterval == 0),
+    "the progressive fixture encoder emits 1x1 sampling, no restarts")
   override protected def encode(pix: Array[Byte]): Array[Byte] =
-    JpegCodec.encodeGray(w, h, pix, color, subsample, restartInterval)
+    if (progressive) JpegCodec.encodeGrayProgressive(w, h, pix, color)
+    else JpegCodec.encodeGray(w, h, pix, color, subsample, restartInterval)
   override protected def withNewChildInternal(
       newChild: Expression): JpegEncodeExpr = copy(child = newChild)
 }

@@ -10,13 +10,18 @@ package graft.functions
   * inverse-transform work on 4:4:4 and all chroma upsampling.
   *
   * Decode envelope (null outside it, never an exception): baseline and
-  * extended-sequential Huffman (SOF0/SOF1), 8-bit precision, 1-4
-  * components, any legal sampling factors, restart intervals,
-  * single-scan interleaved or single-component scans. Progressive
-  * (SOF2), arithmetic coding, hierarchical and 12-bit streams return
-  * null, as does anything failing the decode-bomb guard
-  * ([[JpegCodec.MaxPixels]], checked at SOF BEFORE any plane is
-  * allocated).
+  * extended-sequential Huffman (SOF0/SOF1) and progressive Huffman
+  * (SOF2, ITU T.81 §G — spectral selection AND successive
+  * approximation, DC and AC refinement scans, EOB runs, interleaved
+  * DC scans, restart intervals), 8-bit precision, 1-4 components, any
+  * legal sampling factors. Progressive scans are marker-delimited, so
+  * scans that do not touch the luma component (chroma AC scans —
+  * most of a color stream's scan count) are skipped by a byte walk
+  * with NO entropy decode: the baseline path's luma-only economy,
+  * extended to the progressive scan structure. Arithmetic coding,
+  * hierarchical and 12-bit streams return null, as does anything
+  * failing the decode-bomb guard ([[JpegCodec.MaxPixels]], checked at
+  * SOF BEFORE any plane or coefficient store is allocated).
   *
   * Exactness contract for oracle replay: with an all-8s quantization
   * table a constant 8×8 block holds a single DC coefficient
@@ -124,6 +129,10 @@ object JpegCodec {
     var pred = 0
     var plane: Array[Int] = null // luma only
     var planeW = 0; var planeH = 0
+    // progressive only, luma only: dequantization-pending coefficient
+    // store over the MCU-padded block grid, accumulated across scans
+    var coefs: Array[Int] = null
+    var blocksW = 0; var blocksH = 0
   }
 
   /** Decode to a row-major luma plane; null outside the envelope. */
@@ -139,21 +148,31 @@ object JpegCodec {
     var restartInterval = 0
     var pos = 2
     var sofSeen = false
+    var progressive = false
+    var sawLumaDc = false
+    var scanCount = 0
 
     def u8(i: Int) = a(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
 
-    while (pos + 4 <= a.length) {
+    while (pos + 2 <= a.length) {
       if (u8(pos) != 0xff) return null
       var m = u8(pos + 1)
       while (m == 0xff && pos + 2 < a.length) { pos += 1; m = u8(pos + 1) }
-      if (m == 0xd9) return null // EOI before any scan completed
+      if (m == 0xd9) // EOI: a progressive stream finalizes here
+        return if (progressive && sawLumaDc)
+          finalizeProgressive(w, h, comps, quant, quantSeen)
+        else null
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
       else {
         if (pos + 3 >= a.length) return null
         val segLen = be16(pos + 2)
         if (segLen < 2 || pos + 2 + segLen > a.length) return null
         val p = pos + 4
+        // where the next marker walk resumes: right after this segment
+        // for every header, but past the entropy-coded data for a
+        // progressive SOS (set below)
+        var nextPos = pos + 2 + segLen
         m match {
           case 0xdb => // DQT: one or more tables
             var q = p
@@ -188,9 +207,10 @@ object JpegCodec {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               q += 17 + n
             }
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
             if (sofSeen) return null
             sofSeen = true
+            progressive = m == 0xc2
             if (u8(p) != 8) return null // 8-bit precision only
             h = be16(p + 1); w = be16(p + 3)
             // decode-bomb guard BEFORE any plane allocation
@@ -210,13 +230,13 @@ object JpegCodec {
                 return null
               i += 1
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return null // progressive / arithmetic / hierarchical
+            return null // lossless / arithmetic / hierarchical
           case 0xdd => // DRI
             if (segLen != 4) return null
             restartInterval = be16(p)
-          case 0xda => // SOS: decode the scan, then we are done
+          case 0xda => // SOS
             if (!sofSeen || comps == null) return null
             val ns = u8(p)
             if (ns < 1 || ns > comps.length ||
@@ -232,15 +252,31 @@ object JpegCodec {
               scanComps(i).acTab = u8(p + 2 + 2 * i) & 0x0f
               i += 1
             }
-            // this decoder is single-scan: the scan must cover every
-            // frame component (or be the one-component special case)
-            if (ns != comps.length && ns != 1) return null
-            return decodeScan(a, pos + 2 + segLen, w, h, comps,
-              scanComps, quant, quantSeen, dcTabs, acTabs,
-              restartInterval)
+            if (!progressive) {
+              // the sequential decoder is single-scan: the scan must
+              // cover every frame component (or the one-comp case)
+              if (ns != comps.length && ns != 1) return null
+              return decodeScan(a, pos + 2 + segLen, w, h, comps,
+                scanComps, quant, quantSeen, dcTabs, acTabs,
+                restartInterval)
+            }
+            // progressive: accumulate this scan's coefficients and
+            // keep walking markers until EOI
+            scanCount += 1
+            if (scanCount > 64) return null // adversarial scan flood
+            val ss = u8(p + 1 + 2 * ns)
+            val se = u8(p + 2 + 2 * ns)
+            val ahal = u8(p + 3 + 2 * ns)
+            val nxt = progressiveScan(a, pos + 2 + segLen, w, h, comps,
+              scanComps, dcTabs, acTabs, restartInterval,
+              ss, se, ahal >> 4, ahal & 0x0f)
+            if (nxt < 0) return null
+            if (ss == 0 && (ahal >> 4) == 0 &&
+              scanComps.exists(_ eq comps(0))) sawLumaDc = true
+            nextPos = nxt
           case _ => () // APPn / COM / others: skip by length
         }
-        pos += 2 + segLen
+        pos = nextPos
       }
     }
     null
@@ -299,51 +335,10 @@ object JpegCodec {
       true
     }
 
-    def idctToPlane(c: Component, bx: Int, by: Int): Unit = {
-      val q = quant(c.tq)
-      // rows then columns, double precision
-      var i = 0
-      while (i < 64) { tmp(i) = coef(i).toDouble * q(i); i += 1 }
-      val rowOut = new Array[Double](64)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var s = 0.0
-          var u = 0
-          while (u < 8) {
-            val cu = if (u == 0) InvSqrt2 else 1.0
-            s += cu * tmp(y * 8 + u) * Cos(x * 8 + u)
-            u += 1
-          }
-          rowOut(y * 8 + x) = s / 2.0
-          x += 1
-        }
-        y += 1
-      }
-      var x = 0
-      while (x < 8) {
-        var yy = 0
-        while (yy < 8) {
-          var s = 0.0
-          var v = 0
-          while (v < 8) {
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            s += cv * rowOut(v * 8 + x) * Cos(yy * 8 + v)
-            v += 1
-          }
-          val px = bx * 8 + x
-          val py = by * 8 + yy
-          if (px < c.planeW && py < c.planeH) {
-            val smp = StrictMath.round(s / 2.0).toInt + 128
-            c.plane(py * c.planeW + px) =
-              if (smp < 0) 0 else if (smp > 255) 255 else smp
-          }
-          yy += 1
-        }
-        x += 1
-      }
-    }
+    val rowOutBuf = new Array[Double](64)
+    def idctToPlane(c: Component, bx: Int, by: Int): Unit =
+      idctInto(coef, 0, quant(c.tq), c.plane, c.planeW, c.planeH,
+        bx, by, tmp, rowOutBuf)
 
     var mcusDone = 0
     def restartCheck(): Boolean = {
@@ -412,8 +407,66 @@ object JpegCodec {
       if (c ne luma) return null // luma-less scan cannot produce pixels
     }
 
-    // nearest-neighbor upsample the luma plane to full resolution when
-    // luma itself is subsampled (rare but legal)
+    lumaToGray(luma, w, h, hmax, vmax)
+  }
+
+  /** Dequantize + IDCT one 8×8 block from `coefs(off..off+63)` into a
+    * sample plane (rows then columns, double precision; edge blocks
+    * clip at the plane bounds). Shared by the sequential per-block
+    * path and the progressive finalize pass.
+    */
+  private def idctInto(coefs: Array[Int], off: Int, q: Array[Int],
+      plane: Array[Int], planeW: Int, planeH: Int, bx: Int, by: Int,
+      tmp: Array[Double], rowOut: Array[Double]): Unit = {
+    var i = 0
+    while (i < 64) { tmp(i) = coefs(off + i).toDouble * q(i); i += 1 }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          s += cu * tmp(y * 8 + u) * Cos(x * 8 + u)
+          u += 1
+        }
+        rowOut(y * 8 + x) = s / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          s += cv * rowOut(v * 8 + x) * Cos(yy * 8 + v)
+          v += 1
+        }
+        val px = bx * 8 + x
+        val py = by * 8 + yy
+        if (px < planeW && py < planeH) {
+          val smp = StrictMath.round(s / 2.0).toInt + 128
+          plane(py * planeW + px) =
+            if (smp < 0) 0 else if (smp > 255) 255 else smp
+        }
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Nearest-neighbor upsample of the decoded luma plane to full
+    * resolution (when luma itself is subsampled — rare but legal) and
+    * wrap as [[Gray]]. Shared decode tail.
+    */
+  private def lumaToGray(luma: Component, w: Int, h: Int,
+      hmax: Int, vmax: Int): Gray = {
+    val lumaW = luma.planeW; val lumaH = luma.planeH
     val out = new Array[Byte](w * h)
     if (lumaW == w && lumaH == h) {
       var i = 0
@@ -434,6 +487,298 @@ object JpegCodec {
     Gray(w, h, out)
   }
 
+  /** Byte offset of the next real marker (0xFF followed by anything
+    * but a stuffing 0x00 or an RSTn) at or after `from` — the scan
+    * delimiter that lets non-luma progressive scans skip with no
+    * entropy decode.
+    */
+  private def nextMarker(a: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 1 < a.length) {
+      if ((a(i) & 0xff) == 0xff) {
+        val n = a(i + 1) & 0xff
+        if (n != 0 && !(n >= 0xd0 && n <= 0xd7)) return i
+      }
+      i += 1
+    }
+    a.length
+  }
+
+  /** One progressive scan (ITU T.81 §G.2): entropy-decodes this scan's
+    * contribution into the luma coefficient store and returns the byte
+    * offset of the marker ending the scan, or -1 on corruption. Scans
+    * that do not include luma are skipped by [[nextMarker]] alone.
+    * Covers all four scan kinds — DC first (interleaved or not), DC
+    * refinement (one bit per block), AC first (run/size with EOB
+    * runs, §G.1.2.2) and AC refinement (correction bits, §G.1.2.3) —
+    * with restart-interval support (predictors and EOB run reset,
+    * reader realigned).
+    */
+  private def progressiveScan(
+      a: Array[Byte], scanStart: Int, w: Int, h: Int,
+      comps: Array[Component], scanComps: Array[Component],
+      dcTabs: Array[JHuff], acTabs: Array[JHuff],
+      restartInterval: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val luma = comps(0)
+    var hmax = 1; var vmax = 1
+    comps.foreach { c =>
+      if (c.h > hmax) hmax = c.h
+      if (c.v > vmax) vmax = c.v
+    }
+    // scan-header constraints (T.81 §G.1.1.1.1)
+    if (se < ss || se > 63) return -1
+    if ((ss == 0) != (se == 0)) return -1 // DC and AC never share a scan
+    if (ss > 0 && scanComps.length != 1) return -1 // AC: one component
+    if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return -1
+    if (luma.coefs == null) {
+      // MCU-padded grid so interleaved DC scans index directly; the
+      // store is ≤ 4 ints per guarded pixel (bomb guard at SOF)
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      luma.blocksW = mcusX * luma.h
+      luma.blocksH = mcusY * luma.v
+      val n = luma.blocksW.toLong * luma.blocksH * 64
+      if (n > MaxPixels.toLong * 4) return -1
+      luma.coefs = new Array[Int](n.toInt)
+    }
+    if (!scanComps.exists(_ eq luma))
+      return nextMarker(a, scanStart) // chroma-only: marker walk, no decode
+    var i = 0
+    while (i < scanComps.length) {
+      val c = scanComps(i)
+      if (ss == 0 && ah == 0 && dcTabs(c.dcTab) == null) return -1
+      if (ss > 0 && acTabs(c.acTab) == null) return -1
+      c.pred = 0
+      i += 1
+    }
+    val br = new BitReader(a, scanStart)
+    var eobrun = 0
+    var unitsDone = 0
+
+    def restartCheck(): Boolean = {
+      if (restartInterval > 0 && unitsDone % restartInterval == 0) {
+        br.align()
+        if (br.pos + 1 >= a.length) return false
+        if ((a(br.pos) & 0xff) != 0xff) return false
+        val mk = a(br.pos + 1) & 0xff
+        if (mk < 0xd0 || mk > 0xd7) return false
+        br.pos += 2
+        br.broken = false
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    def dcBlock(c: Component, bx: Int, by: Int): Boolean = {
+      val store = (c eq luma) && bx < luma.blocksW && by < luma.blocksH
+      if (ah == 0) { // first DC scan: value bits above al
+        val sym = br.decode(dcTabs(c.dcTab))
+        if (sym < 0 || sym > 15) return false
+        val diff = extend(br.bits(sym), sym)
+        if (br.broken) return false
+        c.pred += diff
+        if (store) luma.coefs((by * luma.blocksW + bx) * 64) = c.pred << al
+      } else { // refinement: one low bit per block
+        val b = br.bit()
+        if (br.broken) return false
+        if (store && b == 1)
+          luma.coefs((by * luma.blocksW + bx) * 64) |= 1 << al
+      }
+      true
+    }
+
+    // AC scans are single-component luma by the guards above
+    def acFirstBlock(bx: Int, by: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val off = (by * luma.blocksW + bx) * 64
+      var k = ss
+      while (k <= se) {
+        val rs = br.decode(acTabs(luma.acTab))
+        if (rs < 0) return false
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r < 15) { // EOBn: this block ends, (run-1) more skip
+            eobrun = (1 << r) - 1
+            if (r > 0) { eobrun += br.bits(r); if (br.broken) return false }
+            return true
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) return false
+          luma.coefs(off + Zigzag(k)) = extend(br.bits(s), s) << al
+          if (br.broken) return false
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefineBlock(bx: Int, by: Int): Boolean = {
+      val off = (by * luma.blocksW + bx) * 64
+      val p1 = 1 << al
+      val m1 = -1 << al
+      @inline def correct(ci: Int): Boolean = {
+        if (luma.coefs(ci) != 0) {
+          val b = br.bit()
+          if (br.broken) return false
+          if (b == 1 && (luma.coefs(ci) & p1) == 0)
+            luma.coefs(ci) += (if (luma.coefs(ci) >= 0) p1 else m1)
+        }
+        true
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = br.decode(acTabs(luma.acTab))
+          if (rs < 0) return false
+          var r = rs >> 4
+          var sVal = 0
+          if ((rs & 0x0f) == 0) {
+            if (r < 15) { // EOBn: correction tail below handles the rest
+              eobrun = 1 << r
+              if (r > 0) { eobrun += br.bits(r); if (br.broken) return false }
+              ended = true
+            }
+            // r == 15: ZRL — skip 16 zero-HISTORY positions
+          } else {
+            if ((rs & 0x0f) != 1) return false // refinement emits size 1
+            sVal = if (br.bit() == 1) p1 else m1
+            if (br.broken) return false
+          }
+          if (!ended) {
+            // advance over history coefficients (each takes a
+            // correction bit), spending r zero-history skips, then
+            // place the newly-significant value (if any)
+            var zrlSkips = if (r == 15 && sVal == 0) 16 else 0
+            if (zrlSkips > 0) { // ZRL: 16 zero-history skips, no store
+              while (k <= se && zrlSkips > 0) {
+                val ci = off + Zigzag(k)
+                if (luma.coefs(ci) != 0) { if (!correct(ci)) return false }
+                else zrlSkips -= 1
+                k += 1
+              }
+            } else {
+              var placed = false
+              while (k <= se && !placed) {
+                val ci = off + Zigzag(k)
+                if (luma.coefs(ci) != 0) { if (!correct(ci)) return false }
+                else {
+                  if (r == 0) {
+                    if (sVal != 0) luma.coefs(ci) = sVal
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+              if (!placed && sVal != 0) return false // ran off the band
+            }
+          }
+        }
+      }
+      if (eobrun > 0) { // EOB region: correction bits for the tail
+        while (k <= se) {
+          if (!correct(off + Zigzag(k))) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    def unit(c: Component, bx: Int, by: Int): Boolean =
+      if (ss == 0) dcBlock(c, bx, by)
+      else if (ah == 0) acFirstBlock(bx, by)
+      else acRefineBlock(bx, by)
+
+    if (ss == 0 && scanComps.length > 1) { // interleaved DC: MCU walk
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (unitsDone > 0 && !restartCheck()) return -1
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                if (!unit(c, mx * c.h + bx, my * c.v + by)) return -1
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          unitsDone += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else { // non-interleaved: the component's own unpadded block grid
+      val c = scanComps(0)
+      val cw = (w * c.h + hmax - 1) / hmax
+      val ch = (h * c.v + vmax - 1) / vmax
+      val bxN = (cw + 7) / 8
+      val byN = (ch + 7) / 8
+      var by = 0
+      while (by < byN) {
+        var bx = 0
+        while (bx < bxN) {
+          if (unitsDone > 0 && !restartCheck()) return -1
+          if (!unit(c, bx, by)) return -1
+          unitsDone += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    nextMarker(a, br.pos - 1)
+  }
+
+  /** Assemble the pixels a progressive stream accumulated: dequantize
+    * + IDCT every luma block of the UNPADDED grid, then the shared
+    * upsample tail. Runs once, at EOI.
+    */
+  private def finalizeProgressive(w: Int, h: Int,
+      comps: Array[Component], quant: Array[Array[Int]],
+      quantSeen: Array[Boolean]): Gray = {
+    if (comps == null) return null
+    val luma = comps(0)
+    if (luma.coefs == null || !quantSeen(luma.tq)) return null
+    var hmax = 1; var vmax = 1
+    comps.foreach { c =>
+      if (c.h > hmax) hmax = c.h
+      if (c.v > vmax) vmax = c.v
+    }
+    luma.planeW = (w * luma.h + hmax - 1) / hmax
+    luma.planeH = (h * luma.v + vmax - 1) / vmax
+    luma.plane = new Array[Int](luma.planeW * luma.planeH)
+    val q = quant(luma.tq)
+    val tmp = new Array[Double](64)
+    val rowOut = new Array[Double](64)
+    val bxN = (luma.planeW + 7) / 8
+    val byN = (luma.planeH + 7) / 8
+    var by = 0
+    while (by < byN) {
+      var bx = 0
+      while (bx < bxN) {
+        idctInto(luma.coefs, (by * luma.blocksW + bx) * 64, q,
+          luma.plane, luma.planeW, luma.planeH, bx, by, tmp, rowOut)
+        bx += 1
+      }
+      by += 1
+    }
+    lumaToGray(luma, w, h, hmax, vmax)
+  }
+
   // ---- encode side (deterministic fixture payloads) ----------------
 
   // compact valid Huffman specs (encoder and decoder both read them
@@ -446,6 +791,15 @@ object JpegCodec {
   private val EncAcVals: Array[Int] =
     0x00 +: 0xf0 +: (for (r <- 0 until 16; s <- 1 to 10)
       yield (r << 4) | s).toArray
+
+  // progressive AC table: the baseline symbols plus the EOBn symbols
+  // (r << 4, r = 1..14) that progressive EOB runs need — kept separate
+  // so the baseline encoder's DHT bytes are untouched. 176 codes, all
+  // length 8 (fits: 176 < 256, the all-ones code is never reached)
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Int] =
+    EncAcVals ++ (1 to 14).map(_ << 4)
 
   private def canonicalCodes(
       bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
@@ -490,6 +844,58 @@ object JpegCodec {
 
   @inline private def category(v: Int): Int =
     32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** FDCT + quantize (q = 8) one 8×8 block of `pix` whose top-left
+    * pixel sits at (px, py); out-of-image samples replicate the
+    * nearest edge. Separable rows-then-columns form (1024 multiplies
+    * per block instead of the direct form's 4096 — this is the hot
+    * loop of every codec fixture gate). Constant blocks still quantize
+    * exactly: the DC chain is exact sums, and the AC residues stay
+    * ~1e-13 under any summation order. Shared by the sequential and
+    * progressive encoders.
+    */
+  private def fdctQuant(pix: Array[Byte], w: Int, h: Int,
+      px: Int, py: Int, coef: Array[Int]): Unit = {
+    val f = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(h - 1, py + y)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(w - 1, px + x)
+        f(y * 8 + x) = (pix(sy * w + sx) & 0xff) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    val rowPass = new Array[Double](64)
+    var y3 = 0
+    while (y3 < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += f(y3 * 8 + x) * Cos(x * 8 + u); x += 1 }
+        rowPass(y3 * 8 + u) = s
+        u += 1
+      }
+      y3 += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y2 = 0
+        while (y2 < 8) { s += rowPass(y2 * 8 + u) * Cos(y2 * 8 + v); y2 += 1 }
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        coef(v * 8 + u) = StrictMath.round(0.25 * cu * cv * s / 8.0).toInt
+        v += 1
+      }
+      u += 1
+    }
+  }
 
   /** Encode a gray plane as baseline JPEG with an all-8s quant table
     * (the lossless-DC configuration the Scaladoc contract describes).
@@ -540,55 +946,9 @@ object JpegCodec {
     val bw = new JBitWriter(out)
     val preds = new Array[Int](3)
 
-    // FDCT + quantize (q = 8) one 8x8 block whose top-left pixel sits
-    // at (px, py); out-of-image samples replicate the nearest edge
     val coef = new Array[Int](64)
-    def fdctBlock(px: Int, py: Int): Unit = {
-      val f = new Array[Double](64)
-      var y = 0
-      while (y < 8) {
-        val sy = math.min(h - 1, py + y)
-        var x = 0
-        while (x < 8) {
-          val sx = math.min(w - 1, px + x)
-          f(y * 8 + x) = (pix(sy * w + sx) & 0xff) - 128.0
-          x += 1
-        }
-        y += 1
-      }
-      // separable FDCT: rows then columns (1024 multiplies per block
-      // instead of the direct form's 4096 — this encoder is the hot
-      // loop of every codec fixture gate). Constant blocks still
-      // quantize exactly: the DC chain is exact sums, and the AC
-      // residues stay ~1e-13 under any summation order.
-      val rowPass = new Array[Double](64)
-      var y3 = 0
-      while (y3 < 8) {
-        var u = 0
-        while (u < 8) {
-          var s = 0.0
-          var x = 0
-          while (x < 8) { s += f(y3 * 8 + x) * Cos(x * 8 + u); x += 1 }
-          rowPass(y3 * 8 + u) = s
-          u += 1
-        }
-        y3 += 1
-      }
-      var u = 0
-      while (u < 8) {
-        var v = 0
-        while (v < 8) {
-          var s = 0.0
-          var y2 = 0
-          while (y2 < 8) { s += rowPass(y2 * 8 + u) * Cos(y2 * 8 + v); y2 += 1 }
-          val cu = if (u == 0) InvSqrt2 else 1.0
-          val cv = if (v == 0) InvSqrt2 else 1.0
-          coef(v * 8 + u) = StrictMath.round(0.25 * cu * cv * s / 8.0).toInt
-          v += 1
-        }
-        u += 1
-      }
-    }
+    def fdctBlock(px: Int, py: Int): Unit =
+      fdctQuant(pix, w, h, px, py, coef)
 
     def emitBlock(ci: Int, constantZero: Boolean): Unit = {
       if (constantZero) java.util.Arrays.fill(coef, 0)
@@ -654,6 +1014,227 @@ object JpegCodec {
       my += 1
     }
     bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a gray plane as PROGRESSIVE JPEG (SOF2) with the same
+    * all-8s quant table as [[encodeGray]] — identical quantized
+    * coefficients, so the two containers decode to bit-identical
+    * luma. The scan script exercises every §G decoder path: DC first
+    * at Al=1 (interleaved when `color`), spectrally-split luma AC
+    * first scans at Al=1 (EOB runs, ZRL), DC refinement (one bit per
+    * block), and luma AC refinement at Al=0 (correction bits, newly-
+    * significant placement, buffered-bit EOB runs). `color = true`
+    * adds two constant-chroma components (all-zero blocks — their AC
+    * scans are single EOB runs, the scans a decoder skips without
+    * entropy work). Deterministic: the byte stream is a pure function
+    * of the pixels.
+    */
+  def encodeGrayProgressive(w: Int, h: Int, pix: Array[Byte],
+      color: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
+      w.toLong * h <= MaxPixels, s"unsupported dims ${w}x$h")
+    require(pix.length == w * h, "pixel buffer size mismatch")
+    val ncomp = if (color) 3 else 1
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val l = body.length + 2
+      out.write(l >> 8); out.write(l & 0xff)
+      body.foreach(b => out.write(b & 0xff))
+    }
+    marker(0xd8) // SOI
+    segment(0xdb, 0 +: Array.fill(64)(8)) // DQT: table 0, all 8s
+    segment(0xc2, // SOF2, all components 1x1
+      Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, ncomp) ++
+        (1 to ncomp).flatMap(cid => Seq(cid, 0x11, 0)))
+    segment(0xc4, (0x00 +: EncDcBits) ++ EncDcVals) // DHT DC 0
+    segment(0xc4, (0x10 +: ProgAcBits) ++ ProgAcVals) // DHT AC 0
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      segment(0xda, (comps.length +: comps.flatMap(c =>
+        Seq(c, 0x00)) :+ ss :+ se :+ ((ah << 4) | al)).toArray)
+
+    // all luma coefficient blocks, quantized once
+    val bxN = (w + 7) / 8
+    val byN = (h + 7) / 8
+    val blocks = Array.ofDim[Int](bxN * byN, 64)
+    var by = 0
+    while (by < byN) {
+      var bx = 0
+      while (bx < bxN) {
+        fdctQuant(pix, w, h, bx * 8, by * 8, blocks(by * bxN + bx))
+        bx += 1
+      }
+      by += 1
+    }
+    val zeroBlock = new Array[Int](64) // constant-128 chroma
+    def blockOf(comp: Int, b: Int): Array[Int] =
+      if (comp == 1) blocks(b) else zeroBlock
+
+    val dcCodes = canonicalCodes(EncDcBits, EncDcVals)
+    val acCodes = canonicalCodes(ProgAcBits, ProgAcVals)
+
+    // ---- DC scans (interleaved over all components) ----
+    def dcFirstScan(al: Int): Unit = {
+      sos(1 to ncomp, 0, 0, 0, al)
+      val bw = new JBitWriter(out)
+      val preds = new Array[Int](3)
+      var b = 0
+      while (b < bxN * byN) {
+        var ci = 0
+        while (ci < ncomp) {
+          val v = blockOf(ci + 1, b)(0) >> al // DC: arithmetic shift
+          val diff = v - preds(ci)
+          preds(ci) = v
+          val s = category(diff)
+          val (c, cl) = dcCodes(s)
+          bw.put(c, cl)
+          if (s > 0)
+            bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          ci += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+    def dcRefineScan(al: Int): Unit = {
+      sos(1 to ncomp, 0, 0, al + 1, al)
+      val bw = new JBitWriter(out)
+      var b = 0
+      while (b < bxN * byN) {
+        var ci = 0
+        while (ci < ncomp) {
+          bw.put((blockOf(ci + 1, b)(0) >> al) & 1, 1)
+          ci += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+
+    // ---- AC first scan (one component, §G.1.2.2) ----
+    def acFirstScan(comp: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(comp), ss, se, 0, al)
+      val bw = new JBitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, cl) = acCodes(nb << 4)
+        bw.put(c, cl)
+        if (nb > 0) bw.put(eobrun - (1 << nb), nb)
+        eobrun = 0
+      }
+      var b = 0
+      while (b < bxN * byN) {
+        val coefs = blockOf(comp, b)
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val t = coefs(Zigzag(k))
+          val tAbs = math.abs(t) >> al // AC point transform: toward 0
+          if (tAbs == 0) r += 1
+          else {
+            while (r > 15) {
+              flushEob()
+              val (z, zl) = acCodes(0xf0)
+              bw.put(z, zl)
+              r -= 16
+            }
+            flushEob()
+            val nbits = category(tAbs)
+            val (c, cl) = acCodes((r << 4) | nbits)
+            bw.put(c, cl)
+            bw.put(if (t < 0) (1 << nbits) - 1 - tAbs else tAbs, nbits)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+        b += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    // ---- AC refinement scan (one component, §G.1.2.3) ----
+    def acRefineScan(comp: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(comp), ss, se, al + 1, al)
+      val bw = new JBitWriter(out)
+      var eobrun = 0
+      val beBits = new scala.collection.mutable.ArrayBuffer[Int]
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val (c, cl) = acCodes(nb << 4)
+          bw.put(c, cl)
+          if (nb > 0) bw.put(eobrun - (1 << nb), nb)
+          eobrun = 0
+          beBits.foreach(bw.put(_, 1))
+          beBits.clear()
+        }
+      }
+      var b = 0
+      while (b < bxN * byN) {
+        val coefs = blockOf(comp, b)
+        // last newly-significant position: ZRLs beyond it fold into EOB
+        var eobPos = ss - 1
+        var k = ss
+        while (k <= se) {
+          if ((math.abs(coefs(Zigzag(k))) >> al) == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        val brBits = new scala.collection.mutable.ArrayBuffer[Int]
+        k = ss
+        while (k <= se) {
+          val t = coefs(Zigzag(k))
+          val av = math.abs(t) >> al
+          if (av == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              flushEob()
+              val (z, zl) = acCodes(0xf0)
+              bw.put(z, zl)
+              r -= 16
+              brBits.foreach(bw.put(_, 1))
+              brBits.clear()
+            }
+            if (av > 1) brBits += (av & 1) // history: correction bit
+            else { // newly significant at this precision
+              flushEob()
+              val (c, cl) = acCodes((r << 4) | 1)
+              bw.put(c, cl)
+              bw.put(if (t >= 0) 1 else 0, 1)
+              brBits.foreach(bw.put(_, 1))
+              brBits.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || brBits.nonEmpty) {
+          eobrun += 1
+          beBits ++= brBits
+          if (eobrun == 0x7fff) flushEob()
+        }
+        b += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    // scan script: DC first → luma AC first (split bands) → chroma AC
+    // first → DC refine → luma AC refine → chroma AC refine
+    dcFirstScan(1)
+    acFirstScan(1, 1, 5, 1)
+    acFirstScan(1, 6, 63, 1)
+    if (color) { acFirstScan(2, 1, 63, 1); acFirstScan(3, 1, 63, 1) }
+    dcRefineScan(0)
+    acRefineScan(1, 1, 5, 0)
+    acRefineScan(1, 6, 63, 0)
+    if (color) { acRefineScan(2, 1, 63, 0); acRefineScan(3, 1, 63, 0) }
     marker(0xd9) // EOI
     out.toByteArray
   }

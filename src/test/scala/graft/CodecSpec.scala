@@ -242,18 +242,57 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("JPEG envelope: progressive, truncation, garbage and" +
-      " decode-bombs return null, never throw") {
+  test("JPEG progressive (SOF2) decodes bit-identically to baseline:" +
+      " same quantized coefficients, full §G scan script (DC+AC" +
+      " first/refine, EOB runs), gray and color") {
+    for ((w, h) <- Seq((8, 8), (9, 8), (24, 17), (72, 64), (1, 1))) {
+      val pix = pattern(w, h)
+      val base = JpegCodec.decodeLuma(JpegCodec.encodeGray(w, h, pix))
+      val prog = JpegCodec.decodeLuma(
+        JpegCodec.encodeGrayProgressive(w, h, pix))
+      assert(prog != null, s"${w}x$h progressive decode failed")
+      assert(prog.w == w && prog.h == h)
+      assert(prog.pix.sameElements(base.pix),
+        s"${w}x$h progressive != baseline luma")
+      // color: interleaved DC scans + skipped chroma AC scans
+      val progC = JpegCodec.decodeLuma(
+        JpegCodec.encodeGrayProgressive(w, h, pix, color = true))
+      assert(progC != null && progC.pix.sameElements(base.pix),
+        s"${w}x$h progressive color != baseline luma")
+    }
+    // block-constant fixture: progressive decode is bit-exact too
+    // (single DC coefficient, lossless at q=8 — the oracle contract)
+    val w = 24; val h = 16
+    val bpix = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      ((bx * 37 + by * 101 + 13) % 256).toByte
+    }
+    val gp = JpegCodec.decodeLuma(
+      JpegCodec.encodeGrayProgressive(w, h, bpix))
+    assert(gp != null && gp.pix.sameElements(bpix),
+      "block-constant progressive must be bit-exact")
+    // truncation anywhere still nulls, never throws
+    val full = JpegCodec.encodeGrayProgressive(9, 8, pattern(9, 8))
+    for (cut <- Seq(2, full.length / 4, full.length / 2, full.length - 3))
+      assert(JpegCodec.decodeLuma(full.take(cut)) == null,
+        s"truncated at $cut must null")
+  }
+
+  test("JPEG envelope: ill-formed progressive, truncation, garbage" +
+      " and decode-bombs return null, never throw") {
     val pix = blockPlane((bx, by) => bx + by)
     val ok = JpegCodec.encodeGray(72, 64, pix)
     assert(JpegCodec.decodeLuma(ok) != null)
     val progressive = ok.clone()
-    // SOF0 marker byte -> SOF2 (progressive); find FF C0
+    // SOF0 marker byte -> SOF2 (progressive); find FF C0. The stream
+    // keeps its BASELINE scan header (ss=0, se=63) — a progressive
+    // scan may never mix DC and AC, so this must null, not garble
     val sofAt = (0 until progressive.length - 1).find(i =>
       (progressive(i) & 0xff) == 0xff &&
         (progressive(i + 1) & 0xff) == 0xc0).get
     progressive(sofAt + 1) = 0xc2.toByte
-    assert(JpegCodec.decodeLuma(progressive) == null, "progressive")
+    assert(JpegCodec.decodeLuma(progressive) == null,
+      "SOF2 with a mixed DC+AC scan header")
     assert(JpegCodec.decodeLuma(ok.take(ok.length / 2)) == null,
       "truncated entropy data")
     assert(JpegCodec.decodeLuma(ok.take(20)) == null, "truncated header")
