@@ -4176,12 +4176,34 @@ object SparkEntry {
     concat(lit(wavHeaderHex(if (stereo) 2 else 1, dataLen)), body)
   }
 
+  /** Interleaved 16-bit fixture samples for the FLAC twins — the SAME
+    * recording formula as [[wavHex]] (stereo duplicates L = R).
+    */
+  private def flacSamples(volumeScale: Int, stereo: Boolean): Column = {
+    val n = 650
+    transform(sequence(lit(0), lit((if (stereo) 2 * n else n) - 1)), i => {
+      val t = if (stereo) floor(i / 2).cast("int") else i
+      (audioSample(t) * volumeScale).cast("int")
+    })
+  }
+
+  /** Audio fixture payloads: the same recording across containers AND
+    * codings — mono WAV, L=R stereo WAV, perturbed WAV, a ×3-volume
+    * FLAC (FIXED+Rice — REAL sample decode must land on the base hash
+    * through both the codec and the volume invariance), and the solo
+    * member as a mid/side stereo FLAC through the LPC decode path. The
+    * envelope oracle stays container/volume/stereo-blind.
+    */
   private def wavPayloads(s: SparkSession, dir: String): DataFrame =
     codecDocs(s, dir).select(col("doc_id"),
-      unhex(
-        when(col("m") === 1, wavHex(stereo = true, volumeScale = 1))
-          .when(col("m") === 3, wavHex(stereo = false, volumeScale = 3))
-          .otherwise(wavHex(stereo = false, volumeScale = 1)))
+      when(col("m") === 3, graft.functions.AudioFunctions.flacEncode(
+        flacSamples(3, stereo = false), channels = 1))
+        .when(col("m") === 4, graft.functions.AudioFunctions.flacEncode(
+          flacSamples(1, stereo = true), channels = 2, mode = 2,
+          stereoMode = 2))
+        .otherwise(unhex(
+          when(col("m") === 1, wavHex(stereo = true, volumeScale = 1))
+            .otherwise(wavHex(stereo = false, volumeScale = 1))))
         .as("payload"))
 
   /** Perceptual AUDIO fingerprint gate: real RIFF/fmt/data parse,

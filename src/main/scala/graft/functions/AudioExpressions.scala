@@ -14,8 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixed-layout lossless containers: WAV (RIFF chunk walk, little-
   * endian `fmt `/`data`) and FLAC (STREAMINFO bit fields, big-endian).
   * Frame counts come from the DECLARED sizes (a metadata pass trusts
-  * the header, exactly like ffprobe's quick mode); full sample decode
-  * would slot in as a later stage over the same payload column.
+  * the header, exactly like ffprobe's quick mode); FULL sample decode
+  * over the same payload column lives in [[FlacCodec]] (Rice + LPC)
+  * and feeds the perceptual envelope hash's FLAC leg.
   *
   * Truncated, corrupt, or unrecognized payloads yield NULL — never an
   * exception (the same 100 TB-scan contract as the image decoder).
@@ -190,11 +191,21 @@ object AudioFunctions {
       GraftColumnCompat.toExpression(payload)))
 
   /** 64-bit perceptual energy-envelope hash of a decodable PCM WAV
-    * payload ([[WavEnvelope]]); null otherwise.
+    * ([[WavEnvelope]]) or FLAC ([[FlacEnvelope]] — real Rice/LPC
+    * sample decode) payload; null otherwise.
     */
   def audioEnvelopeHash(payload: Column): Column =
     GraftColumnCompat.toColumn(AudioEnvelopeHashExpr(
       GraftColumnCompat.toExpression(payload)))
+
+  /** Encode interleaved 16-bit samples as a real FLAC stream in-plan
+    * ([[FlacEncodeExpr]]) — fixture builder for the decode side.
+    */
+  def flacEncode(samples: Column, channels: Int, rate: Int = 8000,
+      mode: Int = 1, stereoMode: Int = 0): Column =
+    GraftColumnCompat.toColumn(FlacEncodeExpr(
+      GraftColumnCompat.toExpression(samples), channels, rate, mode,
+      stereoMode))
 }
 
 /** MP4/ISO-BMFF movie-header decoding — the video sibling of
@@ -622,7 +633,65 @@ object WavEnvelope {
   }
 }
 
-/** `binary -> bigint` wrapper around [[WavEnvelope.hash]]. */
+/** The FLAC leg of the envelope hash: REAL sample decode
+  * ([[FlacCodec]] — Rice/LPC, all stereo decorrelations) streamed
+  * through the SAME 65-window energy accumulation as [[WavEnvelope]].
+  * Window boundaries come from STREAMINFO's declared total, so the
+  * accumulator is O(1) per row — the recording is never materialized.
+  * A FLAC encode of the same PCM lands on the same hash as its WAV
+  * twin bit-for-bit (lossless codec + identical window arithmetic),
+  * which is exactly what makes the cross-container audio near-dup
+  * join work. Same contract gates as WAV: 16-bit, 1-2 channels,
+  * ≥ 65 frames; anything else (or any decode corruption) → null.
+  */
+object FlacEnvelope {
+
+  def hash(a: Array[Byte]): java.lang.Long = {
+    val si = FlacCodec.streamInfo(a)
+    if (si == null || si.bits != 16 || si.channels < 1 ||
+      si.channels > 2 || si.totalSamples < 65 ||
+      si.totalSamples > FlacCodec.MaxTotalSamples) return null
+    val n = si.totalSamples
+    val e = new Array[Long](65)
+    val wlen = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      wlen(w) = (w + 1) * n / 65 - w * n / 65
+      w += 1
+    }
+    val acc = new FlacCodec.Sink {
+      var idx = 0L
+      var cw = 0
+      var bound: Long = n / 65
+      def frame(sm: Array[Array[Int]], ch: Int, count: Int): Unit = {
+        var i = 0
+        while (i < count) {
+          val v = if (ch == 1) sm(0)(i) else (sm(0)(i) + sm(1)(i)) >> 1
+          while (idx >= bound && cw < 64) {
+            cw += 1
+            bound = (cw + 1).toLong * n / 65
+          }
+          e(cw) += math.abs(v.toLong)
+          idx += 1
+          i += 1
+        }
+      }
+    }
+    if (!FlacCodec.decode(a, acc)) return null
+    var bitsOut = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) * wlen(i + 1) > e(i + 1) * wlen(i)) bitsOut |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(bitsOut)
+  }
+}
+
+/** `binary -> bigint` envelope hash with container dispatch: PCM WAV
+  * via [[WavEnvelope]], FLAC via [[FlacEnvelope]] (real Rice/LPC
+  * sample decode); anything else null.
+  */
 case class AudioEnvelopeHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -636,9 +705,64 @@ case class AudioEnvelopeHashExpr(child: Expression)
         s"audio_envelope_hash needs binary, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any =
-    WavEnvelope.hash(input.asInstanceOf[Array[Byte]])
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[Array[Byte]]
+    if (a != null && a.length >= 4 && a(0) == 'f' && a(1) == 'L' &&
+      a(2) == 'a' && a(3) == 'C') FlacEnvelope.hash(a)
+    else WavEnvelope.hash(a)
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): AudioEnvelopeHashExpr = copy(child = newChild)
+}
+
+/** `array<int> -> binary` FLAC fixture encoder
+  * ([[FlacCodec.encode]]): interleaved 16-bit samples in, a real
+  * multi-frame FLAC stream out — the audio twin of
+  * [[PngEncodeExpr]]/[[JpegEncodeExpr]], built inside a scan so the
+  * decode side of the envelope hash is load-bearing in gates. Null on
+  * null/mis-shaped/out-of-range input (never-throw discipline).
+  */
+case class FlacEncodeExpr(child: Expression, channels: Int,
+    rate: Int = 8000, mode: Int = 1, stereoMode: Int = 0)
+    extends UnaryExpression with CodegenFallback {
+  require(channels == 1 || channels == 2, s"channels $channels")
+  require(mode >= 0 && mode <= 3, s"mode $mode")
+  require(stereoMode >= 0 && stereoMode <= 3 &&
+    (channels == 2 || stereoMode == 0), s"stereoMode $stereoMode")
+  require(rate > 0 && rate < (1 << 20), s"rate $rate")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"flac_encode needs array<int|bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    if (m == 0 || m % channels != 0 ||
+      m / channels > FlacCodec.MaxTotalSamples) return null
+    val longs = child.dataType.asInstanceOf[ArrayType].elementType ==
+      LongType
+    val samples = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) return null
+      val v = if (longs) arr.getLong(i) else arr.getInt(i).toLong
+      if (v < Short.MinValue || v > Short.MaxValue) return null
+      samples(i) = v.toInt
+      i += 1
+    }
+    FlacCodec.encode(samples, channels, rate, 16, mode, stereoMode)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FlacEncodeExpr = copy(child = newChild)
 }

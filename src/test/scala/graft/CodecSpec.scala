@@ -441,6 +441,100 @@ class CodecSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("FLAC decode round-trips exactly across subframe codings" +
+      " (verbatim/fixed+Rice/LPC/constant), stereo decorrelations and" +
+      " multi-frame streams; corruption and truncation null") {
+    import graft.functions.FlacCodec
+    def samplesOf(n: Int, ch: Int, f: Int => Int): Array[Int] =
+      Array.tabulate(n * ch)(i => f(i))
+    def decodeAll(a: Array[Byte], ch: Int): Array[Int] = {
+      val outB = new scala.collection.mutable.ArrayBuffer[Int]
+      val ok = FlacCodec.decode(a, new FlacCodec.Sink {
+        def frame(sm: Array[Array[Int]], c: Int, count: Int): Unit = {
+          var i = 0
+          while (i < count) {
+            var k = 0
+            while (k < c) { outB += sm(k)(i); k += 1 }
+            i += 1
+          }
+        }
+      })
+      if (ok) outB.toArray else null
+    }
+    val shapes = Seq[Int => Int](
+      i => ((i * 37) % 97) - 48,       // small ramp
+      i => if (i % 2 == 0) 30000 else -30000, // full-scale alternation
+      i => 7)                           // constant
+    for {
+      f <- shapes
+      mode <- 0 to 3
+      n <- Seq(65, 650, 5000) // 5000 > one 4096 block → multi-frame
+    } {
+      val mono = samplesOf(n, 1, f)
+      val enc = FlacCodec.encode(mono, 1, 8000, 16, mode)
+      val got = decodeAll(enc, 1)
+      assert(got != null, s"mode=$mode n=$n decode failed")
+      assert(got.sameElements(mono), s"mode=$mode n=$n mono diverged")
+    }
+    // stereo: all decorrelations, L ≠ R
+    val n = 650
+    val st = samplesOf(n, 2, i =>
+      if (i % 2 == 0) ((i * 31) % 199) - 90 else ((i * 17) % 151) - 70)
+    for (sm <- 0 to 3; mode <- Seq(0, 1, 2)) {
+      val enc = FlacCodec.encode(st, 2, 8000, 16, mode, sm)
+      val got = decodeAll(enc, 2)
+      assert(got != null, s"stereoMode=$sm mode=$mode decode failed")
+      assert(got.sameElements(st), s"stereoMode=$sm mode=$mode diverged")
+    }
+    // corruption: flip a byte mid-stream → CRC catches it, null
+    val ok = FlacCodec.encode(samplesOf(650, 1, i => (i % 97) - 40),
+      1, 8000, 16, 1)
+    val bad = ok.clone()
+    bad(ok.length / 2) = (bad(ok.length / 2) ^ 0x2d).toByte
+    assert(decodeAll(bad, 1) == null, "mid-stream corruption must null")
+    for (cut <- Seq(3, 20, ok.length / 2, ok.length - 1))
+      assert(decodeAll(ok.take(cut), 1) == null, s"truncated at $cut")
+    // declared-total bomb: patch STREAMINFO's 36-bit total huge
+    val bomb = ok.clone()
+    bomb(8 + 13) = (bomb(8 + 13) | 0x0f).toByte
+    bomb(8 + 14) = 0xff.toByte
+    assert(decodeAll(bomb, 1) == null, "declared-total bomb must null")
+  }
+
+  test("audioEnvelopeHash: FLAC twin of a WAV recording lands on the" +
+      " same hash (lossless decode + identical window arithmetic)") {
+    import graft.functions.{FlacCodec, FlacEnvelope, WavEnvelope}
+    val n = 650
+    val mono = Array.tabulate(n)(t => (t * 17 + 7) % 97)
+    def wavBytes(ch: Int, samples: Array[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Int) = (0 to 3).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def w16(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("RIFF".getBytes); w32(36 + dataLen)
+      out.write("WAVE".getBytes); out.write("fmt ".getBytes); w32(16)
+      w16(1); w16(ch); w32(8000); w32(8000 * 2 * ch); w16(2 * ch); w16(16)
+      out.write("data".getBytes); w32(dataLen)
+      samples.foreach(w16)
+      out.toByteArray
+    }
+    val wavHash = WavEnvelope.hash(wavBytes(1, mono))
+    assert(wavHash != null)
+    for (mode <- 0 to 3) {
+      val fl = FlacEnvelope.hash(FlacCodec.encode(mono, 1, 8000, 16, mode))
+      assert(fl === wavHash, s"FLAC mode=$mode hash != WAV twin")
+    }
+    // stereo L=R FLAC (mid/side) downmixes to the same recording
+    val st = Array.tabulate(2 * n)(i => mono(i / 2))
+    for (sm <- 0 to 3) {
+      val fl = FlacEnvelope.hash(FlacCodec.encode(st, 2, 8000, 16, 1, sm))
+      assert(fl === wavHash, s"stereo FLAC sm=$sm hash != mono WAV")
+    }
+    // < 65 frames: contract null
+    assert(FlacEnvelope.hash(
+      FlacCodec.encode(mono.take(64), 1, 8000, 16, 1)) == null)
+  }
+
   test("WavEnvelope: stereo downmix and volume scaling are hash-" +
       "invariant; unequal windows use exact cross-multiplication;" +
       " non-PCM/short/corrupt payloads yield null") {
