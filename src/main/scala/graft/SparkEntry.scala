@@ -3969,14 +3969,41 @@ object SparkEntry {
     when(m === 4, bmp(gSolo)).otherwise(bmp(gFam))
   }
 
-  private def dhashPayloads(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"),
-      (col("doc_id") / 5).cast("long").as("fam"),
-      (col("doc_id") % 5).cast("long").as("m"))
-    d.select(col("doc_id"),
-      unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id")))
-        .as("payload"))
-  }
+  /** Fixture-payload source switch. CORRECTNESS gates always build
+    * payloads IN-PLAN (the encode is deliberately load-bearing so the
+    * oracle proves the decode); the BENCH would otherwise price the
+    * per-row fixture FDCT/Huffman/deflate ENCODE instead of the
+    * operator — r16's top bench slots were measurement artifacts that
+    * masked decode regressions. [[graft.Bench]] (and only it) sets the
+    * `graft.fixture.dir` system property: the payload frame is then
+    * materialized ONCE per (gate, sf) to parquet and the timed region
+    * prices decode + join. Rep 1 pays the materialize; min-of-reps
+    * drops it.
+    */
+  private def fixturized(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    sys.props.get("graft.fixture.dir") match {
+      case Some(fd) =>
+        val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"$fd/${name}_$key"
+        SparkEntry.synchronized {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(hp)) build.write.mode("overwrite").parquet(path)
+        }
+        s.read.parquet(path)
+      case None => build
+    }
+
+  private def dhashPayloads(s: SparkSession, dir: String): DataFrame =
+    fixturized(s, dir, "bmp") {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") / 5).cast("long").as("fam"),
+        (col("doc_id") % 5).cast("long").as("m"))
+      d.select(col("doc_id"),
+        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id")))
+          .as("payload"))
+    }
 
   /** Perceptual dHash bit-exactness gate: the native BMP pixel walk +
     * grid sample + gradient bits vs the oracle's pure-arithmetic
@@ -4065,11 +4092,13 @@ object SparkEntry {
     * resolution invariance in the same hash match.
     */
   private def phashPayloads(s: SparkSession, dir: String): DataFrame =
-    codecDocs(s, dir).select(col("doc_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
-      .when(pmod(col("doc_id"), lit(3)) === 1, pngPayload(2))
-      .otherwise(jpegPayload(false, false, 0)).as("payload"))
+    fixturized(s, dir, "phash_mix") {
+      codecDocs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+        .when(pmod(col("doc_id"), lit(3)) === 1, pngPayload(2))
+        .otherwise(jpegPayload(false, false, 0)).as("payload"))
+    }
 
   private def multimodalPhashQ(s: SparkSession, dir: String): DataFrame =
     phashPayloads(s, dir).select(col("doc_id"),
@@ -4089,12 +4118,14 @@ object SparkEntry {
     * oracle as the BMP gate because the picture is the same.
     */
   private def multimodalDhashPngQ(s: SparkSession, dir: String): DataFrame =
-    codecDocs(s, dir).select(col("doc_id"),
-      graft.functions.ImageFunctions.dhash(
-        when(pmod(col("doc_id"), lit(4)) === 0, pngPayload(0))
+    fixturized(s, dir, "png_mix") {
+      codecDocs(s, dir).select(col("doc_id"),
+        (when(pmod(col("doc_id"), lit(4)) === 0, pngPayload(0))
           .when(pmod(col("doc_id"), lit(4)) === 1, pngPayload(1))
           .when(pmod(col("doc_id"), lit(4)) === 2, pngPayload(2))
-          .otherwise(pngPayload(1, interlaced = true))).as("dhash"))
+          .otherwise(pngPayload(1, interlaced = true))).as("payload"))
+    }.select(col("doc_id"),
+      graft.functions.ImageFunctions.dhash(col("payload")).as("dhash"))
 
   /** dHash through the REAL GIF decode path (LZW + 256-gray palette)
     * — same oracle again; the fourth container closes the
@@ -4103,10 +4134,12 @@ object SparkEntry {
   private def multimodalDhashGifQ(s: SparkSession, dir: String): DataFrame = {
     val gray = transform(sequence(lit(0), lit(71)), i =>
       codecGray(i % 9, floor(i / 9).cast("int")).cast("int"))
-    codecDocs(s, dir).select(col("doc_id"),
-      graft.functions.ImageFunctions.dhash(
-        graft.functions.ImageFunctions.gifEncode(gray, 9, 8))
-        .as("dhash"))
+    fixturized(s, dir, "gif") {
+      codecDocs(s, dir).select(col("doc_id"),
+        graft.functions.ImageFunctions.gifEncode(gray, 9, 8)
+          .as("payload"))
+    }.select(col("doc_id"),
+      graft.functions.ImageFunctions.dhash(col("payload")).as("dhash"))
   }
 
   /** dHash through the REAL baseline-JPEG decode path (Huffman +
@@ -4120,9 +4153,9 @@ object SparkEntry {
     * replays container-blind.
     */
   private def multimodalDhashJpegQ(s: SparkSession, dir: String): DataFrame =
-    codecDocs(s, dir).select(col("doc_id"),
-      graft.functions.ImageFunctions.dhash(
-        when(pmod(col("doc_id"), lit(6)) === 0,
+    fixturized(s, dir, "jpeg_mix") {
+      codecDocs(s, dir).select(col("doc_id"),
+        (when(pmod(col("doc_id"), lit(6)) === 0,
           jpegPayload(color = false, subsample = false, dri = 0))
           .when(pmod(col("doc_id"), lit(6)) === 1,
             jpegPayload(color = true, subsample = false, dri = 0))
@@ -4132,7 +4165,9 @@ object SparkEntry {
             jpegPayload(color = false, subsample = false, dri = 3))
           .when(pmod(col("doc_id"), lit(6)) === 4,
             jpegPayloadProgressive(color = false))
-          .otherwise(jpegPayloadProgressive(color = true))).as("dhash"))
+          .otherwise(jpegPayloadProgressive(color = true))).as("payload"))
+    }.select(col("doc_id"),
+      graft.functions.ImageFunctions.dhash(col("payload")).as("dhash"))
 
   private def wavHeaderHex(channels: Int, dataLen: Int): String = {
     def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
@@ -4195,16 +4230,18 @@ object SparkEntry {
     * envelope oracle stays container/volume/stereo-blind.
     */
   private def wavPayloads(s: SparkSession, dir: String): DataFrame =
-    codecDocs(s, dir).select(col("doc_id"),
-      when(col("m") === 3, graft.functions.AudioFunctions.flacEncode(
-        flacSamples(3, stereo = false), channels = 1))
-        .when(col("m") === 4, graft.functions.AudioFunctions.flacEncode(
-          flacSamples(1, stereo = true), channels = 2, mode = 2,
-          stereoMode = 2))
-        .otherwise(unhex(
-          when(col("m") === 1, wavHex(stereo = true, volumeScale = 1))
-            .otherwise(wavHex(stereo = false, volumeScale = 1))))
-        .as("payload"))
+    fixturized(s, dir, "audio_mix") {
+      codecDocs(s, dir).select(col("doc_id"),
+        when(col("m") === 3, graft.functions.AudioFunctions.flacEncode(
+          flacSamples(3, stereo = false), channels = 1))
+          .when(col("m") === 4, graft.functions.AudioFunctions.flacEncode(
+            flacSamples(1, stereo = true), channels = 2, mode = 2,
+            stereoMode = 2))
+          .otherwise(unhex(
+            when(col("m") === 1, wavHex(stereo = true, volumeScale = 1))
+              .otherwise(wavHex(stereo = false, volumeScale = 1))))
+          .as("payload"))
+    }
 
   /** Perceptual AUDIO fingerprint gate: real RIFF/fmt/data parse,
     * stereo downmix, 65-window energy envelope, sign bits — against a
@@ -4252,17 +4289,20 @@ object SparkEntry {
     * in one oracle row.
     */
   private def multimodalThumbnailQ(s: SparkSession, dir: String): DataFrame = {
-    val payload =
-      when(col("m") === 0,
-        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
-        .when(col("m") === 1, pngPayload(0))
-        .when(col("m") === 2, jpegPayload(color = true,
-          subsample = false, dri = 0))
-        .when(col("m") === 3, pngPayload(2))
-        .otherwise(jpegPayload(color = false, subsample = true, dri = 2))
+    val payloads = fixturized(s, dir, "thumb_mix") {
+      val payload =
+        when(col("m") === 0,
+          unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+          .when(col("m") === 1, pngPayload(0))
+          .when(col("m") === 2, jpegPayload(color = true,
+            subsample = false, dri = 0))
+          .when(col("m") === 3, pngPayload(2))
+          .otherwise(jpegPayload(color = false, subsample = true, dri = 2))
+      codecDocs(s, dir).select(col("doc_id"), payload.as("payload"))
+    }
     val thumb = graft.functions.ImageFunctions
-      .grayThumbnail(payload, 9, 8)
-    codecDocs(s, dir).select(col("doc_id"),
+      .grayThumbnail(col("payload"), 9, 8)
+    payloads.select(col("doc_id"),
       graft.functions.ImageFunctions.imageDims(thumb).as("__d"),
       graft.functions.ImageFunctions.dhash(thumb).as("dhash"))
       .select(col("doc_id"), col("__d.format").as("format"),
@@ -4277,16 +4317,18 @@ object SparkEntry {
     * arithmetically.
     */
   private def multimodalLumastatsQ(s: SparkSession, dir: String): DataFrame = {
-    val payload =
-      when(col("m") === 0,
-        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
-        .when(col("m") === 1, pngPayload(1))
-        .when(col("m") === 2, jpegPayload(color = false,
-          subsample = false, dri = 0))
-        .when(col("m") === 3, pngPayload(0))
-        .otherwise(jpegPayload(color = true, subsample = true, dri = 0))
-    codecDocs(s, dir).select(col("doc_id"),
-        graft.functions.ImageFunctions.grayStats(payload).as("__s"))
+    fixturized(s, dir, "luma_mix") {
+      val payload =
+        when(col("m") === 0,
+          unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+          .when(col("m") === 1, pngPayload(1))
+          .when(col("m") === 2, jpegPayload(color = false,
+            subsample = false, dri = 0))
+          .when(col("m") === 3, pngPayload(0))
+          .otherwise(jpegPayload(color = true, subsample = true, dri = 0))
+      codecDocs(s, dir).select(col("doc_id"), payload.as("payload"))
+    }.select(col("doc_id"),
+        graft.functions.ImageFunctions.grayStats(col("payload")).as("__s"))
       .select(col("doc_id"), col("__s.width").as("width"),
         col("__s.height").as("height"),
         col("__s.n_pixels").as("n_pixels"),
@@ -4303,21 +4345,22 @@ object SparkEntry {
     * real codecs end-to-end. Oracle: the `multimodal_dhash_pairs`
     * banding arithmetic, container-blind by construction.
     */
-  private def multimodalNeardupCodecQ(s: SparkSession, dir: String): DataFrame = {
-    val payload =
-      when(col("m") === 0,
-        unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
-        .when(col("m") === 1, pngPayload(1))
-        .when(col("m") === 2, jpegPayload(color = false,
-          subsample = false, dri = 0))
-        .when(col("m") === 3, pngPayload(2))
-        // the progressive family member: the SOF2 wire layout must
-        // land on the same dHash as its BMP/PNG/baseline-JPEG twins
-        .otherwise(jpegPayloadProgressive(color = false))
+  private def multimodalNeardupCodecQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.perceptualDupPairs(
-      codecDocs(s, dir).select(col("doc_id"), payload.as("payload")),
+      fixturized(s, dir, "neardup_mix") {
+        val payload =
+          when(col("m") === 0,
+            unhex(dhashPayloadHex(col("fam"), col("m"), col("doc_id"))))
+            .when(col("m") === 1, pngPayload(1))
+            .when(col("m") === 2, jpegPayload(color = false,
+              subsample = false, dri = 0))
+            .when(col("m") === 3, pngPayload(2))
+            // the progressive family member: the SOF2 wire layout must
+            // land on the same dHash as its BMP/PNG/baseline-JPEG twins
+            .otherwise(jpegPayloadProgressive(color = false))
+        codecDocs(s, dir).select(col("doc_id"), payload.as("payload"))
+      },
       "doc_id")
-  }
 
   /** Decode→fan-out composition gate: frame counts derive from the
     * DECODED MP4 duration (25 fps over duration_ms), then every 10th
