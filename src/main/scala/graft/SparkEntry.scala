@@ -7402,11 +7402,21 @@ object SparkEntry {
       val bandSelects = (0 until 4).map { b =>
         s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 4}) & 15 AS band_bits FROM sim"
       }.mkString(" UNION ALL ")
+      // `ok` models the operator's maxBucketSize=1000 hot-bucket cap
+      // (capHotBuckets: over-full buckets drop entirely BEFORE the
+      // self-join). No bucket reaches the cap at the driver's SFs, but
+      // a dup-amplified ~sf1 replica pushes every bucket past it — the
+      // r17 spot-sweep caught the oracle not modeling the documented
+      // recall trade.
       s"""WITH sim AS ($dkSimhash),
-         bk AS ($bandSelects)
+         bk AS ($bandSelects),
+         ok AS (SELECT band, band_bits FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         FROM bk a JOIN bk b ON a.band = b.band
+         FROM bk a
+         JOIN ok ON a.band = ok.band AND a.band_bits = ok.band_bits
+         JOIN bk b ON a.band = b.band
            AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     },
