@@ -520,6 +520,19 @@ class OperatorsSpec extends AnyFunSuite {
       val rows = px.grouped(27).flatMap(_ ++ Seq(0.toByte)).toArray
       hdr ++ rows
     }
+    // the same picture as a PROGRESSIVE JPEG (block-constant 72×64 so
+    // the decoded grid matches the BMP formula exactly at (8x, 8y)):
+    // the r16 blindness — progressive re-encodes silently skipped the
+    // perceptual leg and survived as "new" — must be gone
+    def progJpeg(seed: Int, tweak: Int): Array[Byte] = {
+      val pix = Array.tabulate(72 * 64) { i =>
+        // BMP rows decode bottom-up, so the JPEG twin flips y
+        val bx = (i % 72) / 8; val by = 7 - i / 576
+        (((bx * 29 + by * 53 + seed) % 256) +
+          (if (bx == 0 && by == 0) tweak else 0)).toByte
+      }
+      graft.functions.JpegCodec.encodeGrayProgressive(72, 64, pix)
+    }
     val d = Seq(
       (0L, base),                            // byte family owner
       (1L, Array[Byte](9, 9) ++ base),       // re-hosted copy -> dropped
@@ -527,12 +540,14 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, bmp(0, 0)),                       // picture family owner
       (4L, bmp(0, 9)),                       // re-encode (1px) -> dropped
       (5L, bmp(170, 0)),                     // unrelated picture survives
-      (6L, Array[Byte](1, 2)))               // below size gate
+      (6L, Array[Byte](1, 2)),               // below size gate
+      (7L, progJpeg(0, 0)))                  // progressive re-encode of 3
       .toDF("doc_id", "payload")
     val out = Pipeline.curateMedia(d, "doc_id", minBytes = 10,
       perceptual = true)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(out.keySet === Set(0L, 3L, 5L))
+    assert(out.keySet === Set(0L, 3L, 5L),
+      "the progressive re-encode must fall to the perceptual leg")
     assert(out(3L).getString(2) === "image") // describe metadata attached
     assert(out(0L).isNullAt(2))              // raw bytes stay null-kind
     // requireDecodable drops the raw-byte rows before any dedup
