@@ -1291,6 +1291,91 @@ case class HashedBagScoreExpr(
     copy(child = c)
 }
 
+/** Per-document hashed-bag feature VECTOR — the training-side twin of
+  * [[HashedBagScoreExpr]] with the identical tokenizer-to-bucket map
+  * (md5-prefix hash, `(v >>> 4) % buckets`, bigrams joined by one
+  * space): `array<string>` words → `array<struct<b:int, x:double>>`
+  * with one entry per occupied bucket, `x = count / n_features`, plus
+  * the constant bias entry `(buckets, 1.0)` — exactly the rows
+  * `Classifier.hashedFeatures` produces for the doc, computed in ONE
+  * local pass. This is what lets a training round be join-free: the
+  * exploded (id, bucket, x) table needed a corpus-wide shuffle just to
+  * count WITHIN documents (r17 measured that shuffle as ~all of the
+  * bigram trainer's cost), while this map-side form needs none.
+  * Output length ≤ buckets + 1: the bucket space bounds a document's
+  * occupied buckets no matter how long the text.
+  */
+case class HashedBagCountsExpr(
+    child: Expression,
+    buckets: Int,
+    ngrams: Int = 1)
+    extends UnaryExpression with CodegenFallback {
+
+  require(buckets > 0 && buckets <= (1 << 16),
+    s"buckets must be in [1, 65536], got $buckets (larger feature " +
+      "spaces train through the exploded-table path)")
+  require(ngrams == 1 || ngrams == 2, "ngrams must be 1 or 2")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("b", IntegerType, nullable = false),
+      StructField("x", DoubleType, nullable = false))),
+    containsNull = false)
+
+  private lazy val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](buckets)
+    var cnt = 0
+    def add(bytes: Array[Byte]): Unit = {
+      val d = md.digest(bytes)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      counts(((v >>> 4) % buckets).toInt) += 1
+      cnt += 1
+    }
+    var i = 0
+    while (i < n) {
+      if (!ws.isNullAt(i)) add(ws.getUTF8String(i).getBytes)
+      i += 1
+    }
+    if (ngrams >= 2) {
+      i = 0
+      while (i < n - 1) {
+        if (!ws.isNullAt(i) && !ws.isNullAt(i + 1))
+          add(org.apache.spark.unsafe.types.UTF8String.concat(
+            ws.getUTF8String(i), Space, ws.getUTF8String(i + 1))
+            .getBytes)
+        i += 1
+      }
+    }
+    var occupied = 0
+    i = 0
+    while (i < buckets) { if (counts(i) > 0) occupied += 1; i += 1 }
+    val out = new Array[Any](occupied + 1)
+    var o = 0
+    i = 0
+    while (i < buckets) {
+      if (counts(i) > 0) {
+        out(o) = org.apache.spark.sql.catalyst.InternalRow(
+          i, counts(i).toDouble / cnt)
+        o += 1
+      }
+      i += 1
+    }
+    out(o) = org.apache.spark.sql.catalyst.InternalRow(buckets, 1.0)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): HashedBagCountsExpr = copy(child = c)
+}
+
 object HashedBagScoreExpr {
   /** Deterministic fixture weights for the SQL registration
     * (`hashed_bag_score_fixture`): 8 buckets with `w(b) = b/8`, bias

@@ -94,10 +94,32 @@ object Classifier {
     tokenRows.union(biasRows)
   }
 
+  /** Literal-weight cutoff for the fused training round: below it the
+    * round's weight vector rides the plan as an array literal (the
+    * margin is a per-row `aggregate` lookup — no join at all), above
+    * it weights broadcast-join as a table. 4096 doubles keeps the plan
+    * tree and codegen comfortable; a fastText-sized 10M-bucket space
+    * takes the join path.
+    */
+  private val MaxLiteralBuckets = 4096
+
   /** Train by `rounds` full-batch GD steps from zero weights:
     * `w -= lr · mean_docs((sigmoid(w·x) − y) · x)`. `labelCol` must be
     * 0/1 (castable to double). Deterministic: same corpus → same
     * weights, bit-for-bit up to double-sum rounding.
+    *
+    * Round shape, small bucket spaces (≤ [[MaxLiteralBuckets]]): the
+    * per-doc feature vectors group ONCE into a bounded
+    * `array<struct<b,x>>` (≤ buckets+1 entries each — the bucket space
+    * caps a doc's occupied buckets) with the label attached, so every
+    * GD round is a SINGLE pass: margin = per-row array fold against
+    * the round's literal weight array, gradient = one explode into a
+    * (buckets+1)-group partial aggregate, one ≤ (buckets+1)-row
+    * collect (the Lloyd-fold pattern). No per-round join — r17
+    * measured the old two-joins-per-round form spending its 16.6 s on
+    * 10 × join scheduling, not math. Larger bucket spaces keep the
+    * broadcast-join rounds (a 10M-entry literal has no place in a
+    * plan).
     */
   def train(
       docs: DataFrame,
@@ -109,6 +131,47 @@ object Classifier {
       lr: Double = 0.5,
       ngrams: Int = 1): Model = {
     require(rounds > 0, "rounds must be positive")
+    val w = new Array[Double](buckets + 1)
+    if (buckets + 1 <= MaxLiteralBuckets) {
+      // per-doc feature vector in ONE native pass (same tokenizer +
+      // bucket hash as scoring, [[graft.functions.HashedBagCountsExpr]])
+      // with the label riding the same row: the feature build is a pure
+      // map — no explode, no shuffle, no join
+      import org.apache.spark.sql.GraftColumnCompat._
+      val wordsCol = filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0)
+      val docFeats = docs.select(
+        toColumn(graft.functions.HashedBagCountsExpr(
+          toExpression(wordsCol), buckets, ngrams)).as("__fv"),
+        col(labelCol).cast("double").as("__y"))
+        .localCheckpoint()
+      val nDocs = docFeats.count().toDouble // free: already materialized
+      require(nDocs > 0, "cannot train on an empty corpus")
+      var r = 0
+      while (r < rounds) {
+        // typedLit: ONE constant array literal — array(lit, ...) would
+        // rebuild the 65-element array per lambda step per row
+        val wArr = typedLit(w.toSeq)
+        val margin = aggregate(col("__fv"), lit(0.0), (acc, f) =>
+          acc + f.getField("x") * element_at(wArr, f.getField("b") + 1))
+        val resid =
+          (lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y")).as("__r")
+        // resid is computed BELOW the explode's Generate node — inside
+        // the generate projection it would re-run the margin fold once
+        // per feature row (O(|fv|²) per doc per round)
+        val grad = docFeats
+          .select(col("__fv"), resid)
+          .select(col("__r"), explode(col("__fv")).as("f"))
+          .groupBy(col("f.b").as("__bucket"))
+          .agg(sum(col("f.x") * col("__r")).as("__g"))
+          .collect() // bounded: <= buckets+1 rows
+        grad.foreach { row =>
+          w(row.getInt(0)) -= lr * row.getDouble(1) / nDocs
+        }
+        r += 1
+      }
+      return Model(w, buckets, ngrams)
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     // both tables feed every round; materialize once (same lifecycle
@@ -120,7 +183,6 @@ object Classifier {
       .localCheckpoint()
     val nDocs = labels.count().toDouble // free: checkpoint materialized
     require(nDocs > 0, "cannot train on an empty corpus")
-    val w = new Array[Double](buckets + 1)
     var r = 0
     while (r < rounds) {
       val wDF = w.zipWithIndex

@@ -5919,6 +5919,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(refinedRes === truth)
   }
 
+  test("HashedBagCountsExpr equals hashedFeatures' per-doc rows for" +
+      " both ngram settings (the join-free trainer's feature parity)") {
+    import graft.operators.Classifier
+    import org.apache.spark.sql.GraftColumnCompat._
+    val d = Seq(
+      (0L, "the quick brown fox the quick"),
+      (1L, "single"),
+      (2L, ""),                               // token-less: bias only
+      (3L, "a b a b a b c")).toDF("doc_id", "text")
+    for (ngrams <- Seq(1, 2); buckets <- Seq(8, 64)) {
+      val expected = Classifier
+        .hashedFeatures(d, "doc_id", "text", buckets, ngrams)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val wordsCol = filter(split(trim(lower(col("text"))), "\\s+"),
+        w => length(w) > 0)
+      val got = d.select(col("doc_id"),
+          explode(toColumn(graft.functions.HashedBagCountsExpr(
+            toExpression(wordsCol), buckets, ngrams))).as("f"))
+        .select(col("doc_id"), col("f.b").cast("long"), col("f.x"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === expected, s"ngrams=$ngrams buckets=$buckets")
+    }
+  }
+
   test("gray-plane encoders: per-side limits rejected at analysis" +
       " time (16-bit header fields), never per row") {
     import graft.functions.ImageFunctions
