@@ -3033,6 +3033,31 @@ object SparkEntry {
       idx.m, k = 5, probes = 2)
   }
 
+  /** Refined probe over a PERSISTED raw-vector index: frozen
+    * centroids/codebook/codes from disk drive the ADC top-20 pass,
+    * then [[Similarity.refineExact]] joins the float vectors back for
+    * the exact top-5 — the full FAISS IndexRefineFlat deployment over
+    * a loaded artifact. Shares the `ann_ivfpq_refined` oracle
+    * VERBATIM: persistence must not move a single score.
+    */
+  private def annIndexRefinedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val cb = trainedPqCb(e, dir)
+    val codes = Similarity.ivfPqEncode(
+      e, "vec_id", "embedding", centroids, cb, m = 8)
+    val path = s"/tmp/graft_annidx_raw_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.AnnIndex.write(path, centroids, cb, codes,
+      m = 8, residual = false)
+    val idx = graft.sources.AnnIndex.load(s, path)
+    require(!idx.residual, "loaded index must be raw-coded")
+    val queries = e.filter(col("vec_id") < 10)
+    val adc = Similarity.ivfPqTopKEncoded(queries, idx.codes, "vec_id",
+      "embedding", idx.centroids, idx.codebook, idx.m, k = 20, probes = 2)
+    Similarity.refineExact(adc, queries, e, "vec_id", "embedding", k = 5)
+  }
+
   /** Incremental-append roundtrip: the index is written from two thirds
     * of the corpus, the remaining third is encoded against the FROZEN
     * loaded codebook/centroids and appended, and the search over
@@ -5903,6 +5928,24 @@ object SparkEntry {
        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
            ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank FROM sc)"""
 
+  /** ADC top-20 + exact re-rank to top-5 — shared by
+    * `ann_ivfpq_refined` (in-session) and `ann_index_refined`
+    * (persisted-index probe), which must be bit-identical.
+    */
+  private val dkIvfPqRefinedSql: String =
+    s"""WITH $dkIvfPqAdcCtes,
+       cand_r AS (SELECT query_id, neighbor_id FROM rk WHERE knn_rank <= 20),
+       ex AS (SELECT cd.query_id, cd.neighbor_id,
+           round(list_cosine_similarity(qv.vd, nv.vd), 6) AS cos_sim
+         FROM cand_r cd
+         JOIN v qv ON qv.vec_id = cd.query_id
+         JOIN v nv ON nv.vec_id = cd.neighbor_id),
+       rk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank
+         FROM ex)
+       SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk2
+       WHERE knn_rank <= 5"""
+
   /** Shared LSH band-bucket CTEs (w, s, h, sig, bk) over documents —
     * one (doc_id, band, bucket) row per band per doc, mirroring
     * `TextFunctions.minhashBuckets` with the default 16x8 layout.
@@ -6539,6 +6582,7 @@ object SparkEntry {
     "ann_ivfpq_refine_recall" -> (annIvfPqRefineRecallQ _),
     "ann_ivfpq_residual" -> (annIvfPqResidualQ _),
     "ann_index_persist" -> (annIndexPersistQ _),
+    "ann_index_refined" -> (annIndexRefinedQ _),
     "ann_index_append" -> (annIndexAppendQ _),
     "ann_index_compact" -> (annIndexCompactQ _),
     "group_topk"       -> (groupTopKQ _),
@@ -8854,19 +8898,10 @@ object SparkEntry {
       s"""WITH $dkIvfPqAdcCtes
          SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk
          WHERE knn_rank <= 5""",
-    "ann_ivfpq_refined" ->
-      s"""WITH $dkIvfPqAdcCtes,
-         cand_r AS (SELECT query_id, neighbor_id FROM rk WHERE knn_rank <= 20),
-         ex AS (SELECT cd.query_id, cd.neighbor_id,
-             round(list_cosine_similarity(qv.vd, nv.vd), 6) AS cos_sim
-           FROM cand_r cd
-           JOIN v qv ON qv.vec_id = cd.query_id
-           JOIN v nv ON nv.vec_id = cd.neighbor_id),
-         rk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS knn_rank
-           FROM ex)
-         SELECT query_id, neighbor_id, cos_sim, knn_rank FROM rk2
-         WHERE knn_rank <= 5""",
+    "ann_ivfpq_refined" -> dkIvfPqRefinedSql,
+    // shared VERBATIM: the persisted-index refined probe must not move
+    // a single score vs the in-session form
+    "ann_index_refined" -> dkIvfPqRefinedSql,
     "ann_ivfpq_refine_recall" ->
       s"""WITH $dkIvfPqAdcCtes,
          cand_adc AS (SELECT query_id, neighbor_id FROM rk
