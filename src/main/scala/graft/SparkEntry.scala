@@ -4248,17 +4248,18 @@ object SparkEntry {
   }
 
   /** Audio fixture payloads: the same recording across containers AND
-    * codings — mono WAV, L=R stereo WAV, perturbed WAV, a ×3-volume
-    * FLAC (FIXED+Rice — REAL sample decode must land on the base hash
-    * through both the codec and the volume invariance), and the solo
-    * member as a mid/side stereo FLAC through the LPC decode path. The
-    * envelope oracle stays container/volume/stereo-blind.
+    * codings — mono WAV, L=R stereo WAV, perturbed WAV, a ×4-volume
+    * FLAC (FIXED+Rice with REAL wasted-bits on the wire: ×4 gives the
+    * block two common trailing zero bits, so the decode must undo the
+    * shift AND the volume invariance to land on the base hash), and
+    * the solo member as a mid/side stereo FLAC through the LPC decode
+    * path. The envelope oracle stays container/volume/stereo-blind.
     */
   private def wavPayloads(s: SparkSession, dir: String): DataFrame =
     fixturized(s, dir, "audio_mix") {
       codecDocs(s, dir).select(col("doc_id"),
         when(col("m") === 3, graft.functions.AudioFunctions.flacEncode(
-          flacSamples(3, stereo = false), channels = 1))
+          flacSamples(4, stereo = false), channels = 1))
           .when(col("m") === 4, graft.functions.AudioFunctions.flacEncode(
             flacSamples(1, stereo = true), channels = 2, mode = 2,
             stereoMode = 2))

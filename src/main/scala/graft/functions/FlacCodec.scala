@@ -572,18 +572,19 @@ object FlacCodec {
 
   private def encodeSubframe(bw: FBitWriter, v: Array[Int], n: Int,
       width: Int, mode: Int): Unit = {
-    @inline def raw(x: Int): Unit = bw.put(x.toLong & ((1L << width) - 1), width)
-    def residualRice(order: Int): Unit = {
+    @inline def rawW(x: Int, wd: Int): Unit =
+      bw.put(x.toLong & ((1L << wd) - 1), wd)
+    def residualRice(arr: Array[Int], order: Int): Unit = {
       // method 0 (4-bit params), partition order 0, one fitted param
+      @inline def predAt(i: Int): Long = order match {
+        case 0 => 0L
+        case 1 => arr(i - 1).toLong
+        case _ => 2L * arr(i - 1) - arr(i - 2)
+      }
       var maxU = 0L
       var i = order
       while (i < n) {
-        val pred = order match {
-          case 0 => 0L
-          case 1 => v(i - 1).toLong
-          case _ => 2L * v(i - 1) - v(i - 2)
-        }
-        val r = v(i) - pred
+        val r = arr(i) - predAt(i)
         val u = (r << 1) ^ (r >> 63)
         if (u > maxU) maxU = u
         i += 1
@@ -595,12 +596,7 @@ object FlacCodec {
       bw.put(k, 4)
       i = order
       while (i < n) {
-        val pred = order match {
-          case 0 => 0L
-          case 1 => v(i - 1).toLong
-          case _ => 2L * v(i - 1) - v(i - 2)
-        }
-        val r = v(i) - pred
+        val r = arr(i) - predAt(i)
         val u = (r << 1) ^ (r >> 63)
         val q = (u >>> k).toInt
         bw.put(0, q); bw.put(1, 1) // unary quotient
@@ -614,32 +610,54 @@ object FlacCodec {
     m match {
       case -1 => // CONSTANT
         bw.put(0, 6); bw.put(0, 1) // type 0, no wasted bits
-        raw(v(0))
+        rawW(v(0), width)
       case 0 => // VERBATIM
         bw.put(1, 6); bw.put(0, 1)
         var i = 0
-        while (i < n) { raw(v(i)); i += 1 }
+        while (i < n) { rawW(v(i), width); i += 1 }
       case 1 => // FIXED order 2 (order ≤ n falls back to order 0)
+        // wasted-bits detection (the real-encoder behavior on shifted
+        // PCM): common trailing zero bits leave the subframe, coded as
+        // flag + unary(k-1), samples carried k bits narrower
+        var kw = 0
+        if (v.exists(_ != 0)) {
+          kw = 32
+          var i = 0
+          while (i < n && kw > 0) {
+            if (v(i) != 0)
+              kw = math.min(kw, Integer.numberOfTrailingZeros(v(i)))
+            i += 1
+          }
+          kw = math.min(kw, width - 1)
+        }
+        val sv = if (kw == 0) v else v.map(_ >> kw)
+        val wd = width - kw
         val order = math.min(2, n)
-        bw.put(8 | order, 6); bw.put(0, 1)
+        bw.put(8 | order, 6)
+        if (kw == 0) bw.put(0, 1)
+        else { // flag, then k-1 zeros and the terminating 1 (unary)
+          bw.put(1, 1)
+          if (kw > 1) bw.put(0, kw - 1)
+          bw.put(1, 1)
+        }
         var i = 0
-        while (i < order) { raw(v(i)); i += 1 }
-        residualRice(order)
+        while (i < order) { rawW(sv(i), wd); i += 1 }
+        residualRice(sv, order)
       case _ => // LPC order 2, coefs [2, -1], shift 0 ≡ FIXED-2 math
         val order = math.min(2, n)
         if (order < 2) { // tiny block: fixed fallback
           bw.put(8 | order, 6); bw.put(0, 1)
           var i = 0
-          while (i < order) { raw(v(i)); i += 1 }
-          residualRice(order)
+          while (i < order) { rawW(v(i), width); i += 1 }
+          residualRice(v, order)
         } else {
           bw.put(32 | (order - 1), 6); bw.put(0, 1)
-          raw(v(0)); raw(v(1))
+          rawW(v(0), width); rawW(v(1), width)
           bw.put(14, 4) // precision 15
           bw.put(0, 5) // shift 0
           bw.put(2L & 0x7fff, 15) // coef 2
           bw.put((-1L) & 0x7fff, 15) // coef -1
-          residualRice(2)
+          residualRice(v, 2)
         }
     }
   }

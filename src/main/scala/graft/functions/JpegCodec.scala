@@ -1028,11 +1028,16 @@ object JpegCodec {
     * significant placement, buffered-bit EOB runs). `color = true`
     * adds two constant-chroma components (all-zero blocks — their AC
     * scans are single EOB runs, the scans a decoder skips without
-    * entropy work). Deterministic: the byte stream is a pure function
-    * of the pixels.
+    * entropy work). `restartInterval > 0` emits DRI + RSTn markers
+    * every that many MCUs in EVERY scan (predictors, EOB runs and
+    * buffered correction bits flush at each boundary — the reset
+    * discipline §G shares with the sequential mode). Deterministic:
+    * the byte stream is a pure function of the pixels.
     */
   def encodeGrayProgressive(w: Int, h: Int, pix: Array[Byte],
-      color: Boolean = false): Array[Byte] = {
+      color: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restartInterval out of range: $restartInterval")
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
       w.toLong * h <= MaxPixels, s"unsupported dims ${w}x$h")
     require(pix.length == w * h, "pixel buffer size mismatch")
@@ -1052,6 +1057,8 @@ object JpegCodec {
         (1 to ncomp).flatMap(cid => Seq(cid, 0x11, 0)))
     segment(0xc4, (0x00 +: EncDcBits) ++ EncDcVals) // DHT DC 0
     segment(0xc4, (0x10 +: ProgAcBits) ++ ProgAcVals) // DHT AC 0
+    if (restartInterval > 0)
+      segment(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
     def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
       segment(0xda, (comps.length +: comps.flatMap(c =>
         Seq(c, 0x00)) :+ ss :+ se :+ ((ah << 4) | al)).toArray)
@@ -1081,8 +1088,14 @@ object JpegCodec {
       sos(1 to ncomp, 0, 0, 0, al)
       val bw = new JBitWriter(out)
       val preds = new Array[Int](3)
+      var rst = 0
       var b = 0
       while (b < bxN * byN) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + (rst % 8)); rst += 1
+          java.util.Arrays.fill(preds, 0)
+        }
         var ci = 0
         while (ci < ncomp) {
           val v = blockOf(ci + 1, b)(0) >> al // DC: arithmetic shift
@@ -1102,8 +1115,13 @@ object JpegCodec {
     def dcRefineScan(al: Int): Unit = {
       sos(1 to ncomp, 0, 0, al + 1, al)
       val bw = new JBitWriter(out)
+      var rst = 0
       var b = 0
       while (b < bxN * byN) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + (rst % 8)); rst += 1
+        }
         var ci = 0
         while (ci < ncomp) {
           bw.put((blockOf(ci + 1, b)(0) >> al) & 1, 1)
@@ -1126,8 +1144,14 @@ object JpegCodec {
         if (nb > 0) bw.put(eobrun - (1 << nb), nb)
         eobrun = 0
       }
+      var rst = 0
       var b = 0
       while (b < bxN * byN) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          flushEob() // a pending EOB run must land in ITS interval
+          bw.flush()
+          marker(0xd0 + (rst % 8)); rst += 1
+        }
         val coefs = blockOf(comp, b)
         var r = 0
         var k = ss
@@ -1175,8 +1199,14 @@ object JpegCodec {
           beBits.clear()
         }
       }
+      var rst = 0
       var b = 0
       while (b < bxN * byN) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          flushEob() // pending EOB run + its correction bits flush here
+          bw.flush()
+          marker(0xd0 + (rst % 8)); rst += 1
+        }
         val coefs = blockOf(comp, b)
         // last newly-significant position: ZRLs beyond it fold into EOB
         var eobPos = ss - 1

@@ -271,6 +271,23 @@ class CodecSpec extends AnyFunSuite {
       JpegCodec.encodeGrayProgressive(w, h, bpix))
     assert(gp != null && gp.pix.sameElements(bpix),
       "block-constant progressive must be bit-exact")
+    // restart intervals in EVERY progressive scan kind: predictors,
+    // EOB runs and buffered correction bits reset at each boundary
+    for ((w2, h2, ri) <- Seq((24, 17, 2), (72, 64, 5), (9, 8, 1))) {
+      val pix2 = pattern(w2, h2)
+      val base2 = JpegCodec.decodeLuma(JpegCodec.encodeGray(w2, h2, pix2))
+      val progR = JpegCodec.decodeLuma(
+        JpegCodec.encodeGrayProgressive(w2, h2, pix2,
+          restartInterval = ri))
+      assert(progR != null, s"${w2}x$h2 ri=$ri decode failed")
+      assert(progR.pix.sameElements(base2.pix),
+        s"${w2}x$h2 ri=$ri progressive+restarts != baseline")
+      val progRC = JpegCodec.decodeLuma(
+        JpegCodec.encodeGrayProgressive(w2, h2, pix2, color = true,
+          restartInterval = ri))
+      assert(progRC != null && progRC.pix.sameElements(base2.pix),
+        s"${w2}x$h2 ri=$ri color progressive+restarts != baseline")
+    }
     // truncation anywhere still nulls, never throws
     val full = JpegCodec.encodeGrayProgressive(9, 8, pattern(9, 8))
     for (cut <- Seq(2, full.length / 4, full.length / 2, full.length - 3))
@@ -464,6 +481,9 @@ class CodecSpec extends AnyFunSuite {
     val shapes = Seq[Int => Int](
       i => ((i * 37) % 97) - 48,       // small ramp
       i => if (i % 2 == 0) 30000 else -30000, // full-scale alternation
+      i => (((i * 37) % 97) - 48) * 8, // 3 common trailing zeros: the
+                                       // FIXED path must emit (and the
+                                       // decoder undo) WASTED BITS
       i => 7)                           // constant
     for {
       f <- shapes
