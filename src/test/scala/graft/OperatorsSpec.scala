@@ -5919,6 +5919,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(refinedRes === truth)
   }
 
+  test("bench fixture path: a materialized codec payload frame is" +
+      " row-identical to the in-plan build (SparkEntry.fixturized" +
+      " must never change what the operator sees)") {
+    // the property only graft.Bench sets; scoped to this test
+    val key = "graft.fixture.dir"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fixspec").toString
+    // build the same frame with and without the fixture dir through
+    // the PUBLIC gate entry (payload bytes must match exactly)
+    val q = SparkEntry.queries("multimodal_dhash_png")
+    val inPlan = q(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    sys.props(key) = dir
+    try {
+      val viaFixture = q(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(viaFixture.sameElements(inPlan))
+      // second call reads the materialized parquet (idempotent)
+      val again = q(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(again.sameElements(inPlan))
+    } finally sys.props.remove(key)
+  }
+
   test("HashedBagCountsExpr equals hashedFeatures' per-doc rows for" +
       " both ngram settings (the join-free trainer's feature parity)") {
     import graft.operators.Classifier
