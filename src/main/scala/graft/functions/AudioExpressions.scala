@@ -747,7 +747,10 @@ case class FlacEncodeExpr(child: Expression, channels: Int,
     val arr = input.asInstanceOf[
       org.apache.spark.sql.catalyst.util.ArrayData]
     val m = arr.numElements()
-    if (m == 0 || m % channels != 0 ||
+    // < 16 frames cannot carry a spec-consistent STREAMINFO min block
+    // size (the 16-sample floor would declare a minimum larger than
+    // the only frame) — null, same as any other un-encodable shape
+    if (m < 16 * channels || m % channels != 0 ||
       m / channels > FlacCodec.MaxTotalSamples) return null
     val longs = child.dataType.asInstanceOf[ArrayType].elementType ==
       LongType

@@ -466,7 +466,12 @@ object FlacCodec {
     require(stereoMode >= 0 && stereoMode <= 3 &&
       (channels == 2 || stereoMode == 0), s"stereoMode $stereoMode")
     val total = samples.length / channels
-    require(total > 0 && total <= MaxTotalSamples, "sample count")
+    // >= 16 so the declared STREAMINFO min block size (clamped to the
+    // spec's 16-sample floor) never exceeds an emitted frame — a
+    // shorter single-frame stream would be self-consistent for THIS
+    // decoder but carry out-of-spec metadata a strict external decoder
+    // may reject. FlacEncodeExpr null-guards before calling.
+    require(total >= 16 && total <= MaxTotalSamples, "sample count")
     require(rate > 0 && rate < (1 << 20), s"rate $rate")
     val blockMax = 4096
     val out = new java.io.ByteArrayOutputStream()

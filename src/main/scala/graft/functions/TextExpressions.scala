@@ -1316,6 +1316,16 @@ case class HashedBagCountsExpr(
       "spaces train through the exploded-table path)")
   require(ngrams == 1 || ngrams == 2, "ngrams must be 1 or 2")
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_bag_counts needs array<string>, got ${other.simpleString}")
+    }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("b", IntegerType, nullable = false),

@@ -138,7 +138,13 @@ object Classifier {
       // with the label riding the same row: the feature build is a pure
       // map — no explode, no shuffle, no join
       import org.apache.spark.sql.GraftColumnCompat._
-      val wordsCol = filter(split(trim(lower(col(textCol))), "\\s+"),
+      // coalesce to '' so NULL-text docs get the bias-only vector the
+      // exploded-table path gives them (split(null) would null __fv and
+      // silently drop the doc from every round's gradient while still
+      // counting it in nDocs — the two paths would train different
+      // weights on the same corpus)
+      val wordsCol = filter(
+        split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"),
         w => length(w) > 0)
       val docFeats = docs.select(
         toColumn(graft.functions.HashedBagCountsExpr(

@@ -5971,6 +5971,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Classifier: NULL-text docs train as bias-only vectors in the" +
+      " fused path (same weights as empty text), matching the" +
+      " exploded path's bias row") {
+    import graft.operators.Classifier
+    val base = Seq(
+      (0L, "clean prose about weather", 0.0),
+      (1L, "spamspam junkjunk spamspam", 1.0),
+      (2L, "more clean prose here", 0.0))
+    val withNull = (base :+ ((3L, null: String, 0.0)))
+      .toDF("doc_id", "text", "label")
+    val withEmpty = (base :+ ((3L, "", 0.0)))
+      .toDF("doc_id", "text", "label")
+    val mN = Classifier.train(withNull, "doc_id", "text", "label",
+      buckets = 16, rounds = 5, lr = 2.0)
+    val mE = Classifier.train(withEmpty, "doc_id", "text", "label",
+      buckets = 16, rounds = 5, lr = 2.0)
+    mN.weights.zip(mE.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12,
+        "null text must train exactly like empty text (bias-only)") }
+    // the exploded-table path's feature build gives the null doc its
+    // bias row too — the two paths see the same vector
+    val rows = Classifier
+      .hashedFeatures(withNull, "doc_id", "text", 16, 1)
+      .filter(col("doc_id") === 3L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((16L, 1.0)))
+  }
+
+  test("HashedBagCountsExpr: non-array child fails at analysis time," +
+      " not per row") {
+    import org.apache.spark.sql.GraftColumnCompat._
+    val d = Seq(Tuple1("not an array")).toDF("s")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      d.select(toColumn(graft.functions.HashedBagCountsExpr(
+        toExpression(col("s")), 8, 1))).collect()
+    }
+  }
+
+  test("flacEncode: < 16 frames yields null (a shorter single-frame" +
+      " stream cannot carry spec-consistent STREAMINFO block sizes)") {
+    import graft.functions.AudioFunctions
+    val d = Seq(
+      Tuple1(Seq.fill(15)(100)),   // 15 frames mono: under the floor
+      Tuple1(Seq.fill(16)(100)))   // 16 frames: smallest legal stream
+    .toDF("pcm")
+    val out = d.select(AudioFunctions.flacEncode(col("pcm"), 1)
+      .as("f")).collect()
+    assert(out(0).isNullAt(0), "15-frame stream must be null")
+    assert(!out(1).isNullAt(0), "16-frame stream must encode")
+    assertThrows[IllegalArgumentException] {
+      graft.functions.FlacCodec.encode(new Array[Int](15), 1, 8000)
+    }
+  }
+
   test("gray-plane encoders: per-side limits rejected at analysis" +
       " time (16-bit header fields), never per row") {
     import graft.functions.ImageFunctions
