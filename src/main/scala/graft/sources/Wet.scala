@@ -1,7 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnCompat, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** WET-style (WARC conversion-record) text ingestion — the Common Crawl
   * interchange shape a 100 TB pretraining pipeline actually starts
@@ -17,32 +23,31 @@ import org.apache.spark.sql.functions._
   * ~100-150 MB gzip and gzip is unsplittable anyway, so the
   * per-file-task layout is exactly how every production WET reader
   * parallelizes; 100 TB arrives as ~1M files and schedules as ~1M
-  * tasks. Record fan-out (`split` + `explode`) and the header/payload
-  * regexes all pipeline inside the task — no shuffle anywhere in the
-  * read.
+  * tasks. Record fan-out ([[WetRecordsExpr]] + `explode`) pipelines
+  * inside the task — no shuffle anywhere in the read.
   *
-  * Parsing contract (documented bounds of a regex-based reader):
-  * records split on the literal `WARC/1.0\r\n` version-line string —
-  * UNANCHORED, so a payload containing that literal ANYWHERE (even
-  * mid-line, e.g. prose quoting a WARC header) mis-splits its record
-  * into fragments: the first fragment loses its payload tail and the
-  * later fragment can surface as a phantom record whose header
-  * regexes match stray payload text. The payload is the span from the
-  * first blank line to the LAST trailing blank line of the record
-  * (greedy, so internal `\r\n\r\n` inside a payload survives); a
-  * payload ending in a blank line also truncates. The
-  * `content_length` column carries the header's byte count so
-  * consumers can VALIDATE (`content_length = octet_length(text)`) and
-  * quarantine the vanishing minority of such records — including both
-  * fragments of a mis-split (the phantom either lacks a parsable
-  * header or fails the length check) — instead of trusting them
-  * silently. (A byte-offset streaming parser is what the
-  * format specifies; over `wholetext` strings Spark exposes no binary
-  * slicing, so validation-over-trust is the honest contract.)
+  * Parsing contract: the record walk is `Content-Length`-DRIVEN, the
+  * byte-exact procedure the WARC spec (ISO 28500 §4) prescribes — a
+  * version line, named header fields to the first blank line, then
+  * exactly `Content-Length` payload BYTES, then the two-CRLF record
+  * trailer. Payload content is never inspected while inside a
+  * record, so prose quoting WARC headers (`WARC/1.0` mid-payload —
+  * the case a version-line SPLIT provably fragments) passes through
+  * intact. Only when a record is malformed (missing/overrun
+  * `Content-Length`, truncated header) does the walk fall back to
+  * resynchronizing at the next LINE-ANCHORED version line, emitting
+  * the malformed span as a record whose `content_length` column (null
+  * or ≠ `octet_length(text)`) marks it for quarantine — validation
+  * stays available, it just stops being needed for well-formed input.
   */
 object Wet {
 
   private val Sep = "\r\n\r\n"
+
+  val RecordType: StructType = StructType(Seq(
+    StructField("uri", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = true),
+    StructField("text", StringType, nullable = false)))
 
   /** Write documents as WET-style conversion records, one record per
     * row, `numFiles` output files (partitioned by uri hash —
@@ -68,6 +73,13 @@ object Wet {
       .write.mode("overwrite").text(path)
   }
 
+  /** `file text -> array<struct<uri, content_length, text>>` — the
+    * exact record walk ([[WetRecords.parse]]) as a column.
+    */
+  def wetRecords(fileText: Column): Column =
+    GraftColumnCompat.toColumn(WetRecordsExpr(
+      GraftColumnCompat.toExpression(fileText)))
+
   /** The record fan-out + header/payload parse, shared verbatim by the
     * batch and streaming readers (same stage on the backfill and the
     * live crawl-ingest path).
@@ -75,20 +87,15 @@ object Wet {
   private def parseRecords(files: DataFrame): DataFrame =
     files
       .select(input_file_name().as("wet_file"),
-        explode(split(col("value"), "WARC/1\\.0\r\n")).as("__rec"))
-      .filter(length(col("__rec")) > 0)
-      .select(col("wet_file"),
-        regexp_extract(col("__rec"),
-          "WARC-Target-URI: ([^\r\n]+)", 1).as("uri"),
-        regexp_extract(col("__rec"),
-          "Content-Length: ([0-9]+)", 1).cast("long").as("content_length"),
-        regexp_extract(col("__rec"),
-          "(?s)\r\n\r\n(.*)\r\n\r\n[\r\n]*$", 1).as("text"))
+        explode(wetRecords(col("value"))).as("__r"))
+      .select(col("wet_file"), col("__r.uri").as("uri"),
+        col("__r.content_length").as("content_length"),
+        col("__r.text").as("text"))
 
   /** Read a directory of WET-style files into
     * `(wet_file, uri, content_length, text)` — `content_length` is the
-    * header's declared byte count (see the validation contract in the
-    * object doc), `text` the parsed payload.
+    * header's declared byte count (see the walk contract in the
+    * object doc), `text` the payload recovered by that count.
     */
   def readWet(spark: SparkSession, path: String): DataFrame =
     parseRecords(
@@ -106,4 +113,190 @@ object Wet {
     parseRecords(
       spark.readStream.format("text").option("wholetext", "true")
         .load(path))
+}
+
+/** The byte-exact WET walk, factored for direct spec coverage. All
+  * offsets are BYTE offsets into the file's UTF-8 bytes — payload
+  * slicing by `Content-Length` is only correct in bytes (multi-byte
+  * code points make character slicing wrong by construction), which is
+  * why this is an expression over `UTF8String` bytes and not a
+  * composition of character-offset SQL functions.
+  */
+object WetRecords {
+
+  private val Version = "WARC/1.0\r\n".getBytes("US-ASCII")
+  private val UriField = "warc-target-uri:".getBytes("US-ASCII")
+  private val LenField = "content-length:".getBytes("US-ASCII")
+
+  @inline private def lower(b: Byte): Int =
+    if (b >= 'A' && b <= 'Z') b + 32 else b & 0xff
+
+  /** Case-insensitive ASCII prefix match (WARC field names are
+    * case-insensitive, ISO 28500 §5.1).
+    */
+  private def fieldAt(a: Array[Byte], off: Int, f: Array[Byte]): Boolean = {
+    if (off + f.length > a.length) return false
+    var i = 0
+    while (i < f.length) {
+      if (lower(a(off + i)) != (f(i) & 0xff)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def versionAt(a: Array[Byte], off: Int): Boolean = {
+    if (off + Version.length > a.length) return false
+    var i = 0
+    while (i < Version.length) {
+      if (a(off + i) != Version(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Next LINE-ANCHORED version line at or after `from` (start of file
+    * counts as anchored); -1 if none. Used only to find the first
+    * record and to resynchronize after a malformed one.
+    */
+  private def nextStart(a: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p <= a.length - Version.length) {
+      if ((p == 0 || a(p - 1) == '\n') && versionAt(a, p)) return p
+      p += 1
+    }
+    -1
+  }
+
+  /** First `\r\n\r\n` at or after `from`; -1 if none. */
+  private def blankLine(a: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 3 < a.length) {
+      if (a(p) == '\r' && a(p + 1) == '\n' && a(p + 2) == '\r' &&
+        a(p + 3) == '\n') return p
+      p += 1
+    }
+    -1
+  }
+
+  /** Parse a file's records. Well-formed records advance by declared
+    * `Content-Length` bytes and never inspect payload content;
+    * malformed ones (no header blank line, missing/unparsable/overrun
+    * length) emit the span to the next line-anchored version line with
+    * whatever fields did parse, so nothing is silently dropped and the
+    * `content_length ≠ octet_length(text)` check quarantines them.
+    */
+  def parse(a: Array[Byte]): Array[InternalRowLike] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRowLike]
+    var pos = nextStart(a, 0)
+    while (pos >= 0 && pos < a.length) {
+      val hdrStart = pos + Version.length
+      val hdrEnd = blankLine(a, hdrStart)
+      // header fields: scan lines in [hdrStart, hdrEnd)
+      var uri: UTF8String = UTF8String.EMPTY_UTF8
+      var len = -1L
+      var lenSeen = false
+      val fieldsEnd = if (hdrEnd < 0) a.length else hdrEnd
+      var lp = hdrStart
+      while (lp < fieldsEnd) {
+        var le = lp
+        while (le < fieldsEnd && a(le) != '\r') le += 1
+        if (fieldAt(a, lp, UriField)) {
+          var v = lp + UriField.length
+          while (v < le && a(v) == ' ') v += 1
+          uri = UTF8String.fromBytes(a, v, le - v)
+        } else if (fieldAt(a, lp, LenField)) {
+          var v = lp + LenField.length
+          while (v < le && a(v) == ' ') v += 1
+          var l = 0L
+          var any = false
+          var bad = false
+          while (v < le) {
+            val c = a(v)
+            if (c >= '0' && c <= '9' && l < Long.MaxValue / 16) {
+              l = l * 10 + (c - '0'); any = true
+            } else bad = true
+            v += 1
+          }
+          if (any && !bad) { len = l; lenSeen = true }
+        }
+        lp = le + 2 // past CRLF
+      }
+      val bodyStart = if (hdrEnd < 0) a.length else hdrEnd + 4
+      if (lenSeen && bodyStart + len <= a.length) {
+        // the exact path: payload = declared byte count, content never
+        // inspected — a quoted `WARC/1.0` inside it cannot fragment
+        out += InternalRowLike(uri, len,
+          UTF8String.fromBytes(a, bodyStart, len.toInt))
+        var p = bodyStart + len.toInt
+        // consume the record trailer (two CRLFs; tolerate extra blank
+        // lines between records, as resilient readers do)
+        while (p < a.length && (a(p) == '\r' || a(p) == '\n')) p += 1
+        pos =
+          if (p >= a.length) -1
+          else if (versionAt(a, p)) p
+          // declared length didn't land on a record boundary (the
+          // header lied): resynchronize at the next anchored version
+          // line; the span in between is unreachable garbage by the
+          // validation contract
+          else nextStart(a, p)
+      } else {
+        // malformed: no blank line, or missing/overrun length — emit
+        // the span to the next anchored version line for quarantine
+        val nxt = nextStart(a, math.max(bodyStart, pos + 1))
+        val end = if (nxt < 0) a.length else nxt
+        var te = end
+        while (te > bodyStart &&
+          (a(te - 1) == '\r' || a(te - 1) == '\n')) te -= 1
+        val text =
+          if (bodyStart >= te) UTF8String.EMPTY_UTF8
+          else UTF8String.fromBytes(a, bodyStart, te - bodyStart)
+        out += InternalRowLike(uri, if (lenSeen) len else -1L, text)
+        pos = nxt
+      }
+    }
+    out.toArray
+  }
+
+  /** (uri, content_length — -1 encodes null, text) triple; kept as a
+    * plain case class so [[parse]] is testable without Catalyst.
+    */
+  final case class InternalRowLike(
+    uri: UTF8String, len: Long, text: UTF8String)
+}
+
+/** `string -> array<struct<uri:string, content_length:bigint,
+  * text:string>>` wrapper around [[WetRecords.parse]] — one element
+  * per WET record in the file.
+  */
+case class WetRecordsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(Wet.RecordType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"wet_records needs string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val recs = WetRecords.parse(input.asInstanceOf[UTF8String].getBytes)
+    val rows = new Array[Any](recs.length)
+    var i = 0
+    while (i < recs.length) {
+      val r = recs(i)
+      rows(i) = new GenericInternalRow(Array[Any](
+        r.uri, if (r.len < 0) null else java.lang.Long.valueOf(r.len),
+        r.text))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WetRecordsExpr = copy(child = newChild)
 }

@@ -3526,6 +3526,64 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Wet walk: a payload QUOTING a WARC header parses intact" +
+      " through the Content-Length walk, where a version-line split" +
+      " provably fragments it; malformed records quarantine by" +
+      " length mismatch") {
+    val quoting = "The spec example reads:\r\nWARC/1.0\r\n" +
+      "WARC-Type: conversion\r\nContent-Length: 4\r\n\r\nfake\r\n\r\n" +
+      "...and that is how a record looks."
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_q")
+      .toString
+    val d = Seq(
+      ("http://q.example/quoting", quoting),
+      ("http://q.example/plain", "ordinary text")).toDF("uri", "text")
+    graft.sources.Wet.writeWet(d, "uri", "text", dir, numFiles = 1)
+    val back = graft.sources.Wet.readWet(spark, dir)
+      .select("uri", "content_length", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(back.size === 2, s"exactly 2 records, got ${back.keySet}")
+    assert(back("http://q.example/quoting")._2 === quoting,
+      "quoted header must ride through the byte walk untouched")
+    assert(back.values.forall { case (len, text) =>
+      len === text.getBytes("UTF-8").length.toLong },
+      "every record validates content_length = octet_length(text)")
+    // the replaced regex form (unanchored split on the version line,
+    // blank-line payload recovery) PROVABLY mis-parses this file:
+    // the quoted "WARC/1.0\r\n" starts a phantom fragment
+    val raw = spark.read.format("text").option("wholetext", "true")
+      .load(dir)
+    val regexForm = raw.select(
+        explode(split(col("value"), "WARC/1\\.0\r\n")).as("__rec"))
+      .filter(length(col("__rec")) > 0)
+      .select(
+        regexp_extract(col("__rec"),
+          "WARC-Target-URI: ([^\r\n]+)", 1).as("uri"),
+        regexp_extract(col("__rec"),
+          "(?s)\r\n\r\n(.*)\r\n\r\n[\r\n]*$", 1).as("text"))
+      .collect()
+    assert(regexForm.length > 2,
+      "the split form must fragment the quoting record")
+    assert(!regexForm.exists(_.getString(1) == quoting),
+      "no fragment recovers the quoting payload intact")
+    // malformed record (declared length overruns the file): emitted
+    // with the parsed length so the validation predicate quarantines
+    // it — never silently dropped
+    val badDir = java.nio.file.Files.createTempDirectory("graft_wet_b")
+    java.nio.file.Files.write(badDir.resolve("bad.wet"),
+      ("WARC/1.0\r\nWARC-Target-URI: http://b.example/x\r\n" +
+        "Content-Length: 99999\r\n\r\nshort body").getBytes("UTF-8"))
+    val bad = graft.sources.Wet.readWet(spark, badDir.toString)
+      .select("uri", "content_length", "text").collect()
+    assert(bad.length === 1)
+    assert(bad(0).getString(0) === "http://b.example/x")
+    assert(bad(0).getLong(1) === 99999L)
+    assert(bad(0).getString(2) === "short body")
+    assert(bad(0).getLong(1) !=
+      bad(0).getString(2).getBytes("UTF-8").length.toLong,
+      "the quarantine predicate must fire")
+  }
+
   test("cluster-balanced sampling caps a head cluster at exactly n " +
       "and keeps a tail cluster whole — deterministically") {
     import graft.operators.Sampling
