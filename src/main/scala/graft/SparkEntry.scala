@@ -3109,6 +3109,55 @@ object SparkEntry {
       idx.m, k = 5, probes = 2)
   }
 
+  /** Scheduled-retrain roundtrip: the index is built with STALE
+    * quantizers (centroids + residual codebook trained when only two
+    * thirds of the corpus existed), the last third appends against
+    * those frozen artifacts, then [[graft.sources.AnnIndex.retrain]]
+    * rebuilds centroids/codebook/codes from the CURRENT corpus and
+    * atomically swaps. The post-retrain search shares the
+    * `ann_ivfpq_residual` oracle VERBATIM — hash-parity with a
+    * from-scratch full-corpus build, which only holds if the stale
+    * artifacts are fully gone (searching them returns different rows
+    * by construction: different centroids ⇒ different cells, codes,
+    * and ADC scores), so the re-encode and the swap are both
+    * load-bearing.
+    */
+  private def annIndexRetrainQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val initial = e.filter(col("vec_id") % 3 =!= 0)
+    val staleCents = initial.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("__cv"))
+    val staleCb = Similarity.pqTrainCodebook(
+      residualFrame(initial, staleCents), "vec_id", "embedding",
+      m = 8, k = 8, iters = 1, sampleFraction = 0.5)
+      .map(_.map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val path = s"/tmp/graft_annidx_rt_${Integer.toHexString(dir.hashCode)}"
+    graft.sources.AnnIndex.write(path, staleCents, staleCb,
+      Similarity.ivfPqResidualEncode(initial, "vec_id", "embedding",
+        staleCents, staleCb, m = 8), m = 8, residual = true)
+    graft.sources.AnnIndex.append(s, path,
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    // the cadence retrain: gate-convention quantizers over the CURRENT
+    // corpus (id-selected centroids, 6-decimal-rounded trained residual
+    // codebook — the same convention every ann_ivfpq_residual-family
+    // gate uses, so the oracle is shared verbatim)
+    graft.sources.AnnIndex.retrain(s, path, e, "vec_id", "embedding",
+      c => c.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("__cv")),
+      (pqFrame, _) => Similarity.pqTrainCodebook(pqFrame, "vec_id",
+        "embedding", m = 8, k = 8, iters = 1, sampleFraction = 0.5)
+        .map(_.map(x =>
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)))
+    val idx = graft.sources.AnnIndex.load(s, path)
+    require(idx.residual, "retrain must preserve the residual flag")
+    Similarity.ivfPqResidualTopKEncoded(e.filter(col("vec_id") < 10),
+      idx.codes, "vec_id", "embedding", idx.centroids, idx.codebook,
+      idx.m, k = 5, probes = 2)
+  }
+
   /** Group top-k via the bounded-heap partial-aggregable Aggregator —
     * same result set as q3_window_topn's window plan, produced with no
     * per-key window sort (the skew-safe plan shape).
@@ -6586,6 +6635,7 @@ object SparkEntry {
     "ann_index_refined" -> (annIndexRefinedQ _),
     "ann_index_append" -> (annIndexAppendQ _),
     "ann_index_compact" -> (annIndexCompactQ _),
+    "ann_index_retrain" -> (annIndexRetrainQ _),
     "group_topk"       -> (groupTopKQ _),
     "ngram_freq"       -> (ngramFreqQ _),
     "heavy_hitters"    -> (heavyHittersQ _),
@@ -8944,6 +8994,10 @@ object SparkEntry {
     // compaction is a pure layout rewrite of the appended index —
     // bit-identical search, oracle shared verbatim
     "ann_index_compact" -> dkIvfPqResidualSql,
+    // retrain rebuilds quantizers+codes from the current corpus — the
+    // post-swap search must equal a from-scratch build (same oracle,
+    // verbatim); the stale pre-retrain artifacts return different rows
+    "ann_index_retrain" -> dkIvfPqResidualSql,
     "group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -141,6 +141,123 @@ object AnnIndex {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Rebuild the quantizers from the CURRENT corpus and atomically
+    * swap the index — the scheduled-retrain half of the
+    * append-daily-retrain-on-a-cadence practice [[append]]'s recall
+    * note documents: appends encode against FROZEN centroids/codebook,
+    * so as the corpus drifts the quantizers stop reflecting it and
+    * recall decays; retrain is the reset. `m` and `residual` survive
+    * from meta (they are the search path's contract); everything else
+    * — coarse centroids, PQ codebook, every corpus code — is rebuilt
+    * from the float vectors the caller supplies (`corpus` — PQ codes
+    * are lossy, so retraining NEEDS the source vectors; an index is
+    * derived data, never the vector store of record).
+    *
+    * Quantizer choice is policy, so it arrives as closures:
+    * `trainCentroids(corpus)` returns the new `(centroid_id, __cv)`
+    * frame; `trainCodebook(pqFrame, centroids)` returns the new
+    * codebook, where `pqFrame` is ALREADY the frame PQ will encode —
+    * the corpus itself, or (for a residual index) the per-vector
+    * residuals against the new centroids, derived here so the closure
+    * cannot train on the wrong frame. The no-closure overload wires in
+    * the library trainers ([[graft.operators.Similarity
+    * .trainCentroids]] k-means + [[graft.operators.Similarity
+    * .pqTrainCodebook]] per-subspace Lloyd).
+    *
+    * Atomicity: the [[DedupIndex.swapCompacted]] meta-tombstone
+    * discipline — all three artifacts stage to side directories first
+    * (training and encode scan only `corpus`, never a directory being
+    * written), meta deletes, the artifacts swap, meta writes last. A
+    * crash anywhere leaves [[load]] failing loudly on missing/multi
+    * meta — never live meta over a half-swapped index.
+    */
+  def retrain(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      trainCentroids: DataFrame => DataFrame,
+      trainCodebook: (DataFrame, DataFrame) => Array[Array[Double]],
+      numFiles: Int = 32): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    import spark.implicits._
+    val old = load(spark, path)
+    val (m, residual) = (old.m, old.residual)
+    val centroids = trainCentroids(corpus)
+      .select(col("centroid_id"), col("__cv"))
+    // the frame the codebook must model = the frame the encode will
+    // quantize (residual indexes train on x − c, raw ones on x)
+    val pqFrame =
+      if (residual)
+        graft.operators.Similarity
+          .ivfAssign(corpus, idCol, vecCol, centroids)
+          .join(broadcast(centroids), Seq("centroid_id"))
+          .select(col(idCol),
+            zip_with(col(vecCol).cast("array<double>"),
+              col("__cv").cast("array<double>"), (x, c) => x - c)
+              .as(vecCol))
+      else corpus
+    val cb = trainCodebook(pqFrame, centroids)
+    require(cb.nonEmpty, "empty retrained codebook")
+    val codes =
+      if (residual)
+        graft.operators.Similarity.ivfPqResidualEncode(
+          corpus, idCol, vecCol, centroids, cb, m)
+      else
+        graft.operators.Similarity.ivfPqEncode(
+          corpus, idCol, vecCol, centroids, cb, m)
+    DedupIndex.swapCompacted(spark, path, Seq(
+      "centroids" -> { () =>
+        centroids.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/centroids.compact")
+      },
+      "codebook" -> { () =>
+        cb.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+          .toDF("code", "vals")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/codebook.compact")
+      },
+      "codes" -> { () =>
+        codes.repartition(numFiles, col("centroid_id"))
+          .sortWithinPartitions("centroid_id")
+          .write.mode("overwrite").parquet(s"$path/codes.compact")
+      }), s"$path/meta", () =>
+      Seq((m, cb.length, residual)).toDF("m", "n_codes", "residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
+  }
+
+  /** [[retrain]] with the library's own trainers: coarse centroids by
+    * `kCentroids`-means ([[graft.operators.Similarity
+    * .trainCentroids]]), codebook by per-subspace Lloyd over the
+    * encode frame ([[graft.operators.Similarity.pqTrainCodebook]],
+    * re-using the persisted index's `m`).
+    */
+  def retrain(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCentroids: Int,
+      kmeansIters: Int,
+      pqK: Int,
+      pqIters: Int,
+      pqSampleFraction: Double,
+      numFiles: Int): Unit = {
+    val m = {
+      val meta = spark.read.parquet(s"$path/meta").collect()
+      require(meta.length == 1, s"malformed index meta at $path")
+      meta(0).getAs[Int]("m")
+    }
+    retrain(spark, path, corpus, idCol, vecCol,
+      c => graft.operators.Similarity.trainCentroids(
+        c, idCol, vecCol, kCentroids, kmeansIters),
+      (f, _) => graft.operators.Similarity.pqTrainCodebook(
+        f, idCol, vecCol, m, pqK, pqIters, pqSampleFraction),
+      numFiles)
+  }
+
   /** Fold the append-accumulated `codes/` files back to the build
     * layout — the ANN leg of the family-wide compaction discipline
     * ([[DedupIndex.compact]] and siblings): every [[append]] adds up

@@ -646,6 +646,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(appendedR === unionRes)
   }
 
+  test("AnnIndex.retrain: k-means overload rebuilds quantizers+codes" +
+      " to exact parity with a from-scratch build, and the stale" +
+      " pre-retrain index really returned different rows") {
+    import graft.sources.AnnIndex
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.tabulate(90)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    val initial = vecs.filter(col("vec_id") % 3 =!= 0)
+    val qs = vecs.filter(col("vec_id") < 5)
+    // stale build: quantizers trained when only 2/3 of the corpus existed
+    val staleCents = Similarity.trainCentroids(initial, "vec_id",
+      "embedding", k = 4, iters = 2)
+    val staleCb = Similarity.pqTrainCodebook(initial, "vec_id",
+      "embedding", m = 2, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("annretrain").toString
+    AnnIndex.write(s"$dir/idx", staleCents, staleCb,
+      Similarity.ivfPqEncode(initial, "vec_id", "embedding", staleCents,
+        staleCb, m = 2), m = 2, residual = false)
+    AnnIndex.append(spark, s"$dir/idx",
+      vecs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    def search(idx: AnnIndex.Loaded) =
+      Similarity.ivfPqTopKEncoded(qs, idx.codes, "vec_id", "embedding",
+        idx.centroids, idx.codebook, idx.m, k = 3, probes = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .sorted
+    val stale = search(AnnIndex.load(spark, s"$dir/idx"))
+    AnnIndex.retrain(spark, s"$dir/idx", vecs, "vec_id", "embedding",
+      kCentroids = 4, kmeansIters = 2, pqK = 4, pqIters = 1,
+      pqSampleFraction = 1.0, numFiles = 4)
+    val retrained = AnnIndex.load(spark, s"$dir/idx")
+    assert(retrained.m === 2 && !retrained.residual,
+      "m and residual must survive retrain")
+    // from-scratch build with the same trainers over the same corpus
+    val freshCents = Similarity.trainCentroids(vecs, "vec_id",
+      "embedding", k = 4, iters = 2)
+    val freshCb = Similarity.pqTrainCodebook(vecs, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1)
+    AnnIndex.write(s"$dir/fresh", freshCents, freshCb,
+      Similarity.ivfPqEncode(vecs, "vec_id", "embedding", freshCents,
+        freshCb, m = 2), m = 2, residual = false)
+    val fresh = search(AnnIndex.load(spark, s"$dir/fresh"))
+    assert(search(retrained) === fresh,
+      "post-retrain search must hash-match the from-scratch build")
+    assert(stale !== fresh,
+      "the stale index must have returned different rows — otherwise" +
+        " the swap isn't load-bearing in this fixture")
+  }
+
   test("AnnIndex.append dedupeIds: replaying a committed batch is a" +
       " no-op with the flag, duplicates ids without it") {
     import graft.sources.AnnIndex
