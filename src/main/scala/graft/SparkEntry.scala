@@ -4243,6 +4243,56 @@ object SparkEntry {
     }.select(col("doc_id"),
       graft.functions.ImageFunctions.dhash(col("payload")).as("dhash"))
 
+  /** Mixed still/video fixture for the video content-near-dup gates:
+    * container cycles by doc — bare baseline JPEG of the family
+    * picture / single-keyframe MP4 carrying the SAME JPEG (its own
+    * timescale) / two-sample MP4 whose FIRST sample is a doc-unique
+    * decoy and whose `stss` marks only sample 2 (the family picture) —
+    * so the keyframe walk's stsd/stsz/stsc/stco tables AND the
+    * sync-sample selection are all load-bearing for the container-
+    * blind dHash oracle: extracting the wrong sample, the wrong byte
+    * range, or ignoring `stss` lands on the decoy (whose constant
+    * plane hashes to 0) and mismatches.
+    */
+  private def videoFramePayloads(s: SparkSession, dir: String): DataFrame =
+    fixturized(s, dir, "video_mix") {
+      val famJpeg = jpegPayload(color = false, subsample = false, dri = 0)
+      val decoy = graft.functions.ImageFunctions.jpegEncode(
+        transform(sequence(lit(0), lit(63)),
+          _ => pmod(col("doc_id") * 7 + 11, lit(256)).cast("int")),
+        8, 8)
+      import graft.functions.VideoFunctions.mp4Encode
+      codecDocs(s, dir).select(col("doc_id"),
+        (when(pmod(col("doc_id"), lit(3)) === 0, famJpeg)
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            mp4Encode(array(famJpeg), 72, 64, timescale = 1000,
+              frameDelta = 40))
+          .otherwise(
+            mp4Encode(array(decoy, famJpeg), 72, 64, timescale = 90000,
+              frameDelta = 3003, syncSamples = Seq(2)))).as("payload"))
+    }
+
+  /** dHash through the MP4 keyframe walk ([[Multimodal
+    * .canonicalFrame]]): stills hash directly, videos hash their
+    * first sync sample's REAL JPEG decode — same container-blind
+    * oracle as every other dHash gate because the picture is the same.
+    */
+  private def multimodalVideoDhashQ(s: SparkSession, dir: String): DataFrame =
+    videoFramePayloads(s, dir).select(col("doc_id"),
+      graft.functions.ImageFunctions.dhash(
+        Multimodal.canonicalFrame(col("payload"))).as("dhash"))
+
+  /** Video content-level near-dup ([[Multimodal.videoDupPairs]]):
+    * family members pair ACROSS containers — still↔video and
+    * video↔video — through extracted keyframes, which byte-level
+    * shingling can never do (the MP4s share no byte windows with the
+    * bare JPEG and differ from each other in tables, timescales and
+    * decoy samples). Oracle replays the banding + hamming arithmetic
+    * over the picture formula.
+    */
+  private def multimodalVideoNeardupQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoDupPairs(videoFramePayloads(s, dir), "doc_id")
+
   private def wavHeaderHex(channels: Int, dataLen: Int): String = {
     def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
     def le32(v: Int) =
@@ -6696,6 +6746,8 @@ object SparkEntry {
     "multimodal_dhash_png" -> (multimodalDhashPngQ _),
     "multimodal_dhash_gif" -> (multimodalDhashGifQ _),
     "multimodal_dhash_jpeg" -> (multimodalDhashJpegQ _),
+    "multimodal_video_dhash" -> (multimodalVideoDhashQ _),
+    "multimodal_video_neardup" -> (multimodalVideoNeardupQ _),
     "multimodal_neardup_codec" -> (multimodalNeardupCodecQ _),
     "multimodal_thumbnail" -> (multimodalThumbnailQ _),
     "multimodal_lumastats" -> (multimodalLumastatsQ _),
@@ -9554,6 +9606,22 @@ object SparkEntry {
     "multimodal_dhash_jpeg" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",
+    // the MP4 fixtures carry the SAME picture as a keyframe sample
+    // (decoys are non-sync), so the oracle stays container-blind:
+    // real sample-table walk + JPEG decode on the Spark side, pure
+    // arithmetic on the oracle side
+    "multimodal_video_dhash" ->
+      s"""WITH $dkDhash
+         SELECT doc_id, dhash FROM dh""",
+    "multimodal_video_neardup" ->
+      s"""WITH $dkDhash,
+         bk AS (SELECT doc_id, dhash, b,
+             (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM dh, (SELECT unnest(range(0, 4)) AS b))
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
+         FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_dhash_gif" ->
       s"""WITH $dkDhash
          SELECT doc_id, dhash FROM dh""",

@@ -344,6 +344,24 @@ object VideoFunctions {
   def webmInfo(payload: Column): Column =
     GraftColumnCompat.toColumn(WebmInfoExpr(
       GraftColumnCompat.toExpression(payload)))
+
+  /** First `maxFrames` sync-sample JPEG payloads of an MP4's first
+    * JPEG video track, by the real sample-table walk
+    * ([[Mp4Codec.keyframes]]); null for anything else.
+    */
+  def mp4Keyframes(payload: Column, maxFrames: Int = 1): Column =
+    GraftColumnCompat.toColumn(Mp4KeyframesExpr(
+      GraftColumnCompat.toExpression(payload), maxFrames))
+
+  /** Encode JPEG frames as a real single-track MJPEG MP4 in-plan
+    * ([[Mp4EncodeExpr]]) — fixture builder for the keyframe walk.
+    */
+  def mp4Encode(frames: Column, width: Int, height: Int,
+      timescale: Int = 1000, frameDelta: Int = 40,
+      syncSamples: Seq[Int] = Seq.empty): Column =
+    GraftColumnCompat.toColumn(Mp4EncodeExpr(
+      GraftColumnCompat.toExpression(frames), width, height, timescale,
+      frameDelta, syncSamples))
 }
 
 /** WebM/Matroska (EBML) header decoding — the other half of crawl-grade

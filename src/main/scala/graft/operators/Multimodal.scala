@@ -210,6 +210,40 @@ object Multimodal {
       p => graft.functions.ImageFunctions.dhash(p), payloadCol, bands,
       maxBucketSize)
 
+  /** Canonical visual frame of a media payload: the first SYNC
+    * keyframe for an MP4 with a JPEG video track (real ISO 14496-12
+    * sample-table walk — [[graft.functions.Mp4Codec.keyframes]]), the
+    * payload itself for a bare image — the column that lets stills and
+    * videos ride ONE perceptual near-dup pass. Non-MP4 payloads fall
+    * through untouched (the keyframe walk yields null there), so the
+    * projection is safe over a mixed crawl column.
+    */
+  def canonicalFrame(payload: Column): Column =
+    coalesce(
+      element_at(graft.functions.VideoFunctions.mp4Keyframes(payload, 1),
+        1),
+      payload)
+
+  /** [[perceptualDupPairs]] with video payloads participating at
+    * CONTENT level: every payload projects to its canonical frame
+    * first, so two MP4s of the same footage (different container
+    * metadata, chunking, decoy non-sync frames) pair through their
+    * keyframe pictures — and pair with bare stills of the same
+    * picture. Same banding machinery, hot-bucket cap, and pigeonhole
+    * guarantee; the frame projection is one more map stage, no new
+    * shuffle.
+    */
+  def videoDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String = "payload",
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame =
+    perceptualDupPairs(
+      df.select(col(idCol),
+        canonicalFrame(col(payloadCol)).as(payloadCol)),
+      idCol, payloadCol, bands, maxBucketSize)
+
   /** [[perceptualDupPairs]] over the integer-DCT pHash
     * ([[graft.functions.PHash]]) instead of dHash: the global
     * frequency envelope rather than local gradients — robust where a

@@ -3574,6 +3574,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Mp4Codec: keyframe walk recovers exact sample bytes across" +
+      " chunking shapes, honors stss sync selection, and nulls on" +
+      " garbage") {
+    import graft.functions.Mp4Codec
+    def jb(seed: Int, len: Int): Array[Byte] =
+      Array.tabulate(len)(i => ((seed * 31 + i * 7) & 0xff).toByte)
+    val frames = Array(jb(1, 300), jb(2, 217), jb(3, 512), jb(4, 64),
+      jb(5, 129))
+    // one sample per chunk, no stss: all samples are sync (§8.6.2)
+    val a = Mp4Codec.encode(frames, 72, 64, 1000, 40)
+    val ka = Mp4Codec.keyframes(a, 5)
+    assert(ka != null && ka.length === 5)
+    frames.zip(ka).foreach { case (f, k) => assert(f.sameElements(k)) }
+    assert(Mp4Codec.keyframes(a, 2).length === 2)
+    // multi-sample chunks: 5 frames at 2/chunk = chunks (2,2,1) — a
+    // two-run stsc whose within-chunk size-prefix arithmetic must
+    // still slice every frame exactly
+    val b = Mp4Codec.encode(frames, 72, 64, 1000, 40,
+      samplesPerChunk = 2)
+    val kb = Mp4Codec.keyframes(b, 5)
+    assert(kb != null && kb.length === 5)
+    frames.zip(kb).foreach { case (f, k) => assert(f.sameElements(k)) }
+    // explicit stss: only samples 2 and 5 are sync — extraction must
+    // skip non-sync samples entirely
+    val c = Mp4Codec.encode(frames, 72, 64, 90000, 3003,
+      syncSamples = Array(2, 5))
+    val kc = Mp4Codec.keyframes(c, 5)
+    assert(kc != null && kc.length === 2)
+    assert(kc(0).sameElements(frames(1)) && kc(1).sameElements(frames(4)))
+    // the header walk still reads this fixture's movie metadata
+    val info = graft.functions.VideoHeaders.info(a)
+    assert(info != null && info.getInt(1) === 1000)
+    // garbage / truncation / wrong container: null, never throw
+    assert(Mp4Codec.keyframes(null, 1) == null)
+    assert(Mp4Codec.keyframes(Array[Byte](1, 2, 3), 1) == null)
+    assert(Mp4Codec.keyframes(
+      java.util.Arrays.copyOfRange(a, 0, a.length / 2), 1) == null)
+    assert(Mp4Codec.keyframes("RIFFxxxxWAVE".getBytes, 1) == null)
+  }
+
   test("Wet walk: a payload QUOTING a WARC header parses intact" +
       " through the Content-Length walk, where a version-line split" +
       " provably fragments it; malformed records quarantine by" +
