@@ -4368,6 +4368,86 @@ object SparkEntry {
           .as("payload"))
     }
 
+  /** Lossy-robust recording for the MP3 envelope gates: 65 windows ×
+    * 1152 samples (window = exactly one MP3 frame; 74880 = 65·1152 so
+    * the envelope windows are equal-length in every container), each
+    * window a period-42 integer triangle at one of three amplitude
+    * levels {32, 192, 1152}. The level sequence is a REFLECTING WALK
+    * on {0,1,2} — forced turns at the edges, key-dependent direction
+    * in the middle — so every adjacent-window contrast is exactly one
+    * 6× step: big enough that ternary-quantization noise and the
+    * straddling-frame pre-echo of a loud neighbor can never flip an
+    * energy-sign bit (measured ≥ 1.5 dB decoded margin across 50
+    * keys), small enough that no 36× jump floods a quiet window. The
+    * walk is closed-form per (key, w), generated natively per row
+    * ([[graft.functions.TriWalkPcmExpr]]) and replayed by the oracle
+    * as a recursive CTE. Key = fam for family members, a doc-unique
+    * salt for the m=4 solo.
+    *
+    * Members: the same recording across LOSSY and
+    * lossless containers — mono WAV, stereo L=R FLAC, mono MP3, MS
+    * joint-stereo MP3 (mid/side + Huffman + filterbank all
+    * load-bearing), and an MP3 solo under its own key. The envelope
+    * oracle models NONE of the containers — only the source PCM
+    * arithmetic — so the MP3 members land on their WAV/FLAC twins'
+    * hash only through a faithful Layer III sample decode.
+    */
+  private def mp3Payloads(s: SparkSession, dir: String): DataFrame =
+    fixturized(s, dir, "audio_mp3") {
+      import graft.functions.AudioFunctions.{flacEncode, mp3Encode, triWalkPcm, wavEncode}
+      // the per-doc build is ~75k samples through a real MP3/FLAC
+      // encode — repartition so it parallelizes even when the source
+      // parquet is a single split (sf0.001 is one file)
+      val withKey = codecDocs(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"), col("m"),
+          when(col("m") === 4, col("doc_id") * 2L + 77L)
+            .otherwise(col("fam")).as("__key"))
+      withKey.select(col("doc_id"),
+        when(col("m") === 0,
+          wavEncode(triWalkPcm(col("__key"), stereo = false), channels = 1))
+          .when(col("m") === 1,
+            flacEncode(triWalkPcm(col("__key"), stereo = true), channels = 2))
+          .when(col("m") === 2,
+            mp3Encode(triWalkPcm(col("__key"), stereo = false), channels = 1))
+          .when(col("m") === 3,
+            mp3Encode(triWalkPcm(col("__key"), stereo = true), channels = 2,
+              msStereo = true))
+          .otherwise(
+            mp3Encode(triWalkPcm(col("__key"), stereo = false), channels = 1))
+          .as("payload"))
+    }
+
+  /** MP3 envelope-hash gate: WAV and FLAC members hash through the
+    * lossless legs, MP3 members through the REAL Layer III decode
+    * ([[graft.functions.Mp3Envelope]]) — one container-blind
+    * arithmetic oracle for all five.
+    */
+  private def multimodalAudiohashMp3Q(s: SparkSession, dir: String): DataFrame =
+    mp3Payloads(s, dir).select(col("doc_id"),
+      graft.functions.AudioFunctions.audioEnvelopeHash(col("payload"))
+        .as("ahash"))
+
+  /** MP3 near-dup band-join gate: family members pair ACROSS
+    * WAV/FLAC/MP3 — lossy-to-lossless pairing byte shingles can never
+    * produce.
+    */
+  private def multimodalAudioPairsMp3Q(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioDupPairs(mp3Payloads(s, dir), "doc_id")
+
+  /** Composed dedup over the MP3 family: one member survives per
+    * recording across its WAV/FLAC/MP3 variants (same survivor rule
+    * as [[multimodalAudioDedupQ]]).
+    */
+  private def multimodalAudioDedupMp3Q(s: SparkSession, dir: String): DataFrame = {
+    // pinned for the same reason as the WAV/FLAC dedup gate: the
+    // fixture feeds both the survivor projection and the pair pass,
+    // and the MP3 encodes would otherwise run twice per action
+    val w = mp3Payloads(s, dir).localCheckpoint()
+    graft.operators.Dedup.dropNearDuplicates(
+      w.select(col("doc_id")), "doc_id",
+      Multimodal.audioDupPairs(w, "doc_id"))
+  }
+
   /** Perceptual AUDIO fingerprint gate: real RIFF/fmt/data parse,
     * stereo downmix, 65-window energy envelope, sign bits — against a
     * pure-arithmetic oracle that (deliberately) models NEITHER the
@@ -5885,6 +5965,52 @@ object SparkEntry {
            ELSE hv END AS BIGINT) AS ahash
          FROM f LEFT JOIN ahs ON f.doc_id = ahs.doc_id)"""
 
+  /** Arithmetic envelope of the MP3-family fixture (CTE chain ending
+    * in `ah(doc_id, ahash)`; must run under WITH RECURSIVE): the
+    * reflecting level walk as a recursive CTE, the period-42 triangle
+    * |·|-sum per 1152-sample window (all windows equal-length — 74880
+    * = 65·1152 — so the sign bits compare plain sums), and the
+    * HUGEINT bit-pack folded to the signed value Spark computes. The
+    * oracle models NO container: WAV parses, FLAC decodes losslessly,
+    * and the two MP3 members must land on the same bits through the
+    * real Layer III decode.
+    */
+  private val dkMp3Envelope: String =
+    """f AS (SELECT doc_id, doc_id // 5 AS fam, doc_id % 5 AS m
+           FROM documents),
+       kk AS (SELECT doc_id, CASE WHEN m = 4 THEN doc_id * 2 + 77
+           ELSE fam END AS key FROM f),
+       walk AS (
+         SELECT doc_id, key, 0 AS w, 1 AS p FROM kk
+         UNION ALL
+         SELECT doc_id, key, w + 1,
+           p + CASE WHEN p = 0 THEN 1 WHEN p = 2 THEN -1
+                WHEN ((key + 1) * (w * 37 + 11)) % 97 % 2 = 0 THEN 1
+                ELSE -1 END
+         FROM walk WHERE w < 64),
+       lvl AS (SELECT doc_id, w,
+           CASE p WHEN 0 THEN 32 WHEN 1 THEN 192 ELSE 1152 END AS lvl
+         FROM walk),
+       wsum AS (SELECT w, sum(abs(abs(2 * ((w * 1152 + j) % 42) - 42)
+             - 21)) AS s
+         FROM (SELECT unnest(range(0, 65)) AS w),
+              (SELECT unnest(range(0, 1152)) AS j)
+         GROUP BY w),
+       ew AS (SELECT l.doc_id, l.w, l.lvl * ws.s AS e
+         FROM lvl l JOIN wsum ws USING (w)),
+       abits AS (SELECT a.doc_id, a.w AS i FROM ew a JOIN ew b
+         ON a.doc_id = b.doc_id AND b.w = a.w + 1
+         WHERE a.w < 64 AND a.e > b.e),
+       ahs AS (SELECT doc_id,
+           sum(1::HUGEINT << CAST(i AS INTEGER)) AS hv
+         FROM abits GROUP BY 1),
+       ah AS (SELECT f.doc_id, CAST(CASE
+           WHEN hv IS NULL THEN 0::HUGEINT
+           WHEN hv >= 9223372036854775808::HUGEINT
+             THEN hv - 18446744073709551616::HUGEINT
+           ELSE hv END AS BIGINT) AS ahash
+         FROM f LEFT JOIN ahs ON f.doc_id = ahs.doc_id)"""
+
   /** Batch-expressible survivor set of the streaming near-dup gate: a
     * doc survives iff no SMALLER doc shares any (band, bucket) — the
     * constant-ingest-ts single-window stream's bucket-ownership rule.
@@ -6754,6 +6880,9 @@ object SparkEntry {
     "multimodal_audiohash" -> (multimodalAudiohashQ _),
     "multimodal_audiodup_pairs" -> (multimodalAudioPairsQ _),
     "multimodal_audio_dedup" -> (multimodalAudioDedupQ _),
+    "multimodal_audiohash_mp3" -> (multimodalAudiohashMp3Q _),
+    "multimodal_audiodup_mp3"  -> (multimodalAudioPairsMp3Q _),
+    "multimodal_audio_dedup_mp3" -> (multimodalAudioDedupMp3Q _),
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -9599,9 +9728,13 @@ object SparkEntry {
          bk AS (SELECT doc_id, phash, b,
              (phash >> CAST(16*b AS INTEGER)) & 65535 AS bb
            FROM ph, (SELECT unnest(range(0, 4)) AS b))
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
-         FROM bk a JOIN bk c
+         FROM bk a
+         JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+         JOIN bk c
            ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_dhash_jpeg" ->
       s"""WITH $dkDhash
@@ -9618,9 +9751,13 @@ object SparkEntry {
          bk AS (SELECT doc_id, dhash, b,
              (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
            FROM dh, (SELECT unnest(range(0, 4)) AS b))
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
-         FROM bk a JOIN bk c
+         FROM bk a
+         JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+         JOIN bk c
            ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_dhash_gif" ->
       s"""WITH $dkDhash
@@ -9633,18 +9770,58 @@ object SparkEntry {
          bk AS (SELECT doc_id, ahash, b,
              (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
            FROM ah, (SELECT unnest(range(0, 4)) AS b))
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.ahash, c.ahash)) AS INTEGER) AS hamming
-         FROM bk a JOIN bk c
+         FROM bk a
+         JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+         JOIN bk c
            ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_audio_dedup" ->
       s"""WITH $dkAudioEnvelope,
          bk AS (SELECT doc_id, b,
              (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
            FROM ah, (SELECT unnest(range(0, 4)) AS b))
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT doc_id FROM ah
          WHERE doc_id NOT IN (
-           SELECT DISTINCT c.doc_id FROM bk a JOIN bk c
+           SELECT DISTINCT c.doc_id FROM bk a
+           JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+           JOIN bk c
+             ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id)""",
+    // the MP3-family oracles model only the source PCM arithmetic
+    // (recursive level walk + triangle window sums) — landing the MP3
+    // members on the WAV/FLAC twins' bits is the Layer III decode's job
+    "multimodal_audiohash_mp3" ->
+      s"""WITH RECURSIVE $dkMp3Envelope
+         SELECT doc_id, ahash FROM ah""",
+    "multimodal_audiodup_mp3" ->
+      s"""WITH RECURSIVE $dkMp3Envelope,
+         bk AS (SELECT doc_id, ahash, b,
+             (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM ah, (SELECT unnest(range(0, 4)) AS b))
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, c.ahash)) AS INTEGER) AS hamming
+         FROM bk a
+         JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+         JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
+    "multimodal_audio_dedup_mp3" ->
+      s"""WITH RECURSIVE $dkMp3Envelope,
+         bk AS (SELECT doc_id, b,
+             (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM ah, (SELECT unnest(range(0, 4)) AS b))
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
+         SELECT doc_id FROM ah
+         WHERE doc_id NOT IN (
+           SELECT DISTINCT c.doc_id FROM bk a
+           JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+           JOIN bk c
              ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id)""",
     "multimodal_lumastats" ->
       s"""WITH $dkDhash,
@@ -9674,9 +9851,13 @@ object SparkEntry {
          bk AS (SELECT doc_id, dhash, b,
              (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
            FROM dh, (SELECT unnest(range(0, 4)) AS b))
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
-         FROM bk a JOIN bk c
+         FROM bk a
+         JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+         JOIN bk c
            ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_describe" -> dkDescribe,
     "streaming_multimodal" -> dkDescribe,
@@ -9694,9 +9875,13 @@ object SparkEntry {
          bk AS (SELECT doc_id, dhash, b,
              (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
            FROM dh, (SELECT unnest(range(0, 4)) AS b))
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
            CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
-         FROM bk a JOIN bk c
+         FROM bk a
+         JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+         JOIN bk c
            ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_mp3" ->
       """WITH d AS (SELECT doc_id,

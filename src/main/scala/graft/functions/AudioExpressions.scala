@@ -206,6 +206,34 @@ object AudioFunctions {
     GraftColumnCompat.toColumn(FlacEncodeExpr(
       GraftColumnCompat.toExpression(samples), channels, rate, mode,
       stereoMode))
+
+  /** Encode interleaved 16-bit samples as a real 320 kbps MPEG-1
+    * Layer III stream in-plan ([[Mp3EncodeExpr]]) — fixture builder
+    * for the lossy decode side of the envelope hash.
+    */
+  def mp3Encode(samples: Column, channels: Int,
+      msStereo: Boolean = false): Column =
+    GraftColumnCompat.toColumn(Mp3EncodeExpr(
+      GraftColumnCompat.toExpression(samples), channels, msStereo))
+
+  /** Wrap interleaved 16-bit samples as a PCM WAV file in-plan
+    * ([[WavEncodeExpr]]) — the export/fixture writer twin of the WAV
+    * decode legs.
+    */
+  def wavEncode(samples: Column, channels: Int, rate: Int = 8000): Column =
+    GraftColumnCompat.toColumn(WavEncodeExpr(
+      GraftColumnCompat.toExpression(samples), channels, rate))
+
+  /** The MP3-gate fixture recording as a native generator (the
+    * 65×1152 reflecting-walk triangle — see the gate scaladoc): a
+    * 74880-element SQL `transform` is ~300 ms of interpreted
+    * per-element evaluation per row, this is ~1 ms. The ORACLE
+    * replays the same integer formula in SQL, so nothing about the
+    * gate's replayability changes.
+    */
+  def triWalkPcm(key: Column, stereo: Boolean): Column =
+    GraftColumnCompat.toColumn(TriWalkPcmExpr(
+      GraftColumnCompat.toExpression(key), stereo))
 }
 
 /** MP4/ISO-BMFF movie-header decoding — the video sibling of
@@ -706,9 +734,68 @@ object FlacEnvelope {
   }
 }
 
+/** The MP3 leg of the envelope hash: REAL MPEG-1 Layer III sample
+  * decode ([[Mp3Codec]] — Huffman regions, requantization, alias
+  * butterflies, IMDCT, polyphase synthesis) streamed through the SAME
+  * 65-window energy accumulation as [[WavEnvelope]]/[[FlacEnvelope]].
+  * Window boundaries come from the DECLARED frame total (every frame
+  * header walked — exact for CBR and VBR), so the accumulator is O(1)
+  * per row. Unlike the lossless legs the decode is approximate, so a
+  * planted MP3 member lands on its WAV/FLAC twins' hash only when the
+  * recording's inter-window energy contrast exceeds the quantization
+  * noise — which is exactly what makes this leg load-bearing in
+  * gates: a broken Huffman walk, requantizer, or filterbank cannot
+  * reproduce the envelope's sign pattern.
+  */
+object Mp3Envelope {
+
+  def hash(a: Array[Byte]): java.lang.Long = {
+    val si = Mp3Codec.streamInfo(a)
+    if (si == null) return null
+    val channels = si(1)
+    if (channels < 1 || channels > 2) return null
+    val n = si(2).toLong * Mp3Codec.FrameSamples
+    if (n < 65) return null
+    val e = new Array[Double](65)
+    val wlen = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      wlen(w) = (w + 1) * n / 65 - w * n / 65
+      w += 1
+    }
+    val acc = new Mp3Codec.Sink {
+      var idx = 0L
+      var cw = 0
+      var bound: Long = n / 65
+      def frame(sm: Array[Array[Double]], ch: Int, count: Int): Unit = {
+        var i = 0
+        while (i < count) {
+          val v = if (ch == 1) sm(0)(i) else (sm(0)(i) + sm(1)(i)) / 2.0
+          while (idx >= bound && cw < 64) {
+            cw += 1
+            bound = (cw + 1).toLong * n / 65
+          }
+          e(cw) += math.abs(v)
+          idx += 1
+          i += 1
+        }
+      }
+    }
+    if (!Mp3Codec.decode(a, acc)) return null
+    var bitsOut = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) * wlen(i + 1) > e(i + 1) * wlen(i)) bitsOut |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(bitsOut)
+  }
+}
+
 /** `binary -> bigint` envelope hash with container dispatch: PCM WAV
   * via [[WavEnvelope]], FLAC via [[FlacEnvelope]] (real Rice/LPC
-  * sample decode); anything else null.
+  * sample decode), MP3 via [[Mp3Envelope]] (real Layer III sample
+  * decode); anything else null.
   */
 case class AudioEnvelopeHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -725,13 +812,64 @@ case class AudioEnvelopeHashExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[Array[Byte]]
-    if (a != null && a.length >= 4 && a(0) == 'f' && a(1) == 'L' &&
+    if (a == null) null
+    else if (a.length >= 4 && a(0) == 'f' && a(1) == 'L' &&
       a(2) == 'a' && a(3) == 'C') FlacEnvelope.hash(a)
-    else WavEnvelope.hash(a)
+    else if (a.length >= 4 && a(0) == 'R' && a(1) == 'I' &&
+      a(2) == 'F' && a(3) == 'F') WavEnvelope.hash(a)
+    else Mp3Envelope.hash(a) // strict sync/header walk; null on garbage
   }
 
   override protected def withNewChildInternal(
       newChild: Expression): AudioEnvelopeHashExpr = copy(child = newChild)
+}
+
+/** `array<int> -> binary` MP3 fixture encoder ([[Mp3Codec.encode]]):
+  * interleaved 16-bit samples in, a real 320 kbps MPEG-1 Layer III
+  * stream out — the lossy sibling of [[FlacEncodeExpr]], built inside
+  * a scan so the Layer III decode chain is load-bearing in gates.
+  * Null on null/mis-shaped/out-of-range input.
+  */
+case class Mp3EncodeExpr(child: Expression, channels: Int,
+    msStereo: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+  require(channels == 1 || channels == 2, s"channels $channels")
+  require(!msStereo || channels == 2, "MS needs 2 channels")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mp3_encode needs array<int|bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    if (m == 0 || m % channels != 0 ||
+      m / channels > Mp3Codec.MaxFrames * Mp3Codec.FrameSamples)
+      return null
+    val longs = child.dataType.asInstanceOf[ArrayType].elementType ==
+      LongType
+    val samples = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) return null
+      val v = if (longs) arr.getLong(i) else arr.getInt(i).toLong
+      if (v < Short.MinValue || v > Short.MaxValue) return null
+      samples(i) = v.toInt
+      i += 1
+    }
+    Mp3Codec.encode(samples, channels, msStereo)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Mp3EncodeExpr = copy(child = newChild)
 }
 
 /** `array<int> -> binary` FLAC fixture encoder
@@ -786,4 +924,122 @@ case class FlacEncodeExpr(child: Expression, channels: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): FlacEncodeExpr = copy(child = newChild)
+}
+
+/** `array<int> -> binary` PCM WAV writer (16-bit little-endian,
+  * RIFF/fmt/data): interleaved samples in, a complete WAV file out —
+  * the inverse of the [[AudioHeaders]]/[[WavEnvelope]] parse legs and
+  * the fixture/export writer the audio gates build WAV members with.
+  * Null on null/mis-shaped/out-of-range input (never-throw).
+  */
+case class WavEncodeExpr(child: Expression, channels: Int, rate: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(channels == 1 || channels == 2, s"channels $channels")
+  require(rate > 0, s"rate $rate")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"wav_encode needs array<int|bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    if (m == 0 || m % channels != 0 || m > (1 << 28)) return null
+    val longs = child.dataType.asInstanceOf[ArrayType].elementType ==
+      LongType
+    val dataLen = m * 2
+    val out = new Array[Byte](44 + dataLen)
+    @inline def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    @inline def le32(o: Int, v: Int): Unit = {
+      le16(o, v & 0xffff); le16(o + 2, (v >>> 16) & 0xffff)
+    }
+    @inline def tag(o: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, rate); le32(28, rate * 2 * channels)
+    le16(32, 2 * channels); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) return null
+      val v = if (longs) arr.getLong(i) else arr.getInt(i).toLong
+      if (v < Short.MinValue || v > Short.MaxValue) return null
+      le16(44 + 2 * i, (v & 0xffff).toInt)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WavEncodeExpr = copy(child = newChild)
+}
+
+/** `bigint key -> array<int>` MP3-gate fixture generator: 65 windows
+  * × 1152 samples of a period-42 integer triangle, window amplitude
+  * from the key-seeded reflecting level walk on {32, 192, 1152}
+  * (forced turns at the edges, `((key+1)(37w+11)) mod 97 mod 2`
+  * direction in the middle). Pure integer arithmetic — the oracle
+  * replays it as a recursive CTE; this expression exists only
+  * because a 74880-element interpreted SQL transform is ~300× slower
+  * than this loop.
+  */
+case class TriWalkPcmExpr(child: Expression, stereo: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"tri_walk_pcm needs int|bigint key, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val key = input match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => other.asInstanceOf[Long]
+    }
+    val levels = Array(32, 192, 1152)
+    val p = new Array[Int](65)
+    p(0) = 1
+    var w = 0
+    while (w < 64) {
+      val dir =
+        if (p(w) == 0) 1
+        else if (p(w) == 2) -1
+        else if (((key + 1) * (w * 37 + 11)) % 97 % 2 == 0) 1 else -1
+      p(w + 1) = p(w) + dir
+      w += 1
+    }
+    val n = 65 * 1152
+    val out = new Array[Int](if (stereo) 2 * n else n)
+    var t = 0
+    while (t < n) {
+      val v = levels(p(t / 1152)) * (math.abs(2 * (t % 42) - 42) - 21)
+      if (stereo) { out(2 * t) = v; out(2 * t + 1) = v }
+      else out(t) = v
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TriWalkPcmExpr = copy(child = newChild)
 }

@@ -1,0 +1,1112 @@
+package graft.functions
+
+/** MPEG-1 Layer III (MP3) sample decode + deterministic fixture
+  * encoder — the codec that dominates real crawl audio, closing the
+  * envelope-hash gap [[AudioHeaders]] left (its MP3 path stops at the
+  * header walk, so MP3 payloads rode only the byte-shingle dedup leg).
+  *
+  * Decoder (ISO 11172-3 §2.4): frame sync walk (ID3v2 skip, CRC skip),
+  * side-info parse (main_data_begin / scfsi / per-granule fields), bit
+  * reservoir, scalefactor decode (long + short + scfsi groups),
+  * Huffman region decode (big_values regions from region0/1_count and
+  * the sample-rate-specific scalefactor-band table, count1 quads to
+  * the part2_3 boundary), requantization (is^{4/3} with global_gain,
+  * scalefac_scale, preflag/pretab, subblock_gain), MS stereo,
+  * short-block reorder, alias-reduction butterflies (the 8 ISO ci
+  * coefficients), IMDCT with all four window types, frequency
+  * inversion, and the 32-band polyphase synthesis filterbank.
+  *
+  * Documented divergences from a full ISO implementation (see
+  * DIVERGENCES.md): the Huffman codebook subset carried is tables 0
+  * and 1 plus both count1 tables — a payload selecting any other
+  * big-value table yields NULL (never garbage); intensity stereo
+  * yields NULL; the polyphase prototype is a closed-form 512-tap
+  * square-root-raised-cosine (near-perfect-reconstruction by
+  * construction, verified in specs) rather than ISO Table 3-B.3's tabulated
+  * coefficients, so real-world streams decode with a slightly
+  * different (still lowpass-flat) reconstruction filter — envelope
+  * semantics preserved, sample-exactness vs reference decoders not
+  * claimed. The fixture ENCODER emits only structures the decoder
+  * fully models (long blocks, tables 0/1 + count1B, no reservoir), so
+  * the encode→decode round trip exercises the real bitstream syntax
+  * end to end.
+  *
+  * Scale shape: one payload decodes in bounded per-row work (frame
+  * count × fixed per-granule cost); the envelope consumer streams
+  * PCM through an O(1) window accumulator ([[Mp3Envelope]]) — the
+  * recording is never materialized.
+  */
+object Mp3Codec {
+
+  val FrameSamples = 1152
+  /** Bomb guard: payloads declaring more frames than this are not
+    * fixture-scale audio; decode returns null.
+    */
+  val MaxFrames = 1 << 14
+
+  // ---------------------------------------------------------------
+  // Tables (public constants from ISO 11172-3)
+  // ---------------------------------------------------------------
+
+  private[functions] val Bitrates = Array(
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private[functions] val Rates = Array(44100, 48000, 32000, 0)
+
+  /** Long-block scalefactor band boundaries (23 entries, 22 bands)
+    * per sample-rate index.
+    */
+  private[functions] val SfbLong: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+      134, 162, 196, 238, 288, 342, 418, 576), // 44100
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+      128, 156, 190, 230, 276, 330, 384, 576), // 48000
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+      156, 194, 240, 296, 364, 448, 550, 576)) // 32000
+
+  /** Short-block boundaries (14 entries, 13 bands) per rate index. */
+  private[functions] val SfbShort: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192))
+
+  private[functions] val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+  private[functions] val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+
+  private[functions] val Pretab = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+  /** Huffman table 1 (x, y ∈ {0,1}): (hlen, hcod) indexed by x*2+y.
+    * Codes 1 / 001 / 01 / 000 — Kraft-complete, prefix-free (spec
+    * asserts both properties programmatically).
+    */
+  private[graft] val T1Len = Array(1, 3, 2, 3)
+  private[graft] val T1Cod = Array(1, 1, 1, 0)
+
+  /** count1 table A: (hlen, hcod) indexed by v*8+w*4+x*2+y. */
+  private[graft] val C1ALen = Array(
+    1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6)
+  private[graft] val C1ACod = Array(
+    1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1)
+  // count1 table B: every quad is 4 bits, code = one's complement
+
+  private val Pow43: Array[Double] =
+    Array.tabulate(16)(i => math.pow(i, 4.0 / 3.0))
+
+  /** Alias-reduction butterflies: ci → (cs, ca). */
+  private val AliasCs = new Array[Double](8)
+  private val AliasCa = new Array[Double](8)
+  locally {
+    val ci = Array(-0.6, -0.535, -0.33, -0.185, -0.095, -0.041,
+      -0.0142, -0.0037)
+    var i = 0
+    while (i < 8) {
+      val sq = math.sqrt(1.0 + ci(i) * ci(i))
+      AliasCs(i) = 1.0 / sq
+      AliasCa(i) = ci(i) / sq
+      i += 1
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Polyphase filterbank (closed-form near-PR prototype)
+  // ---------------------------------------------------------------
+
+  /** 512-tap prototype: square-root raised cosine at 1/64 rate,
+    * roll-off 1 — the classic closed-form near-PR pseudo-QMF recipe
+    * (|H(ω)|² is a Nyquist raised cosine, so the shifted-band power
+    * sums are flat and alias terms cancel to the transition-band
+    * residue). No tabulated constants; the analysis/synthesis pair
+    * built on it reconstructs at high SNR (asserted in spec).
+    */
+  private[graft] val Proto: Array[Double] = {
+    val alpha = 1.0
+    val h = new Array[Double](512)
+    var n = 0
+    while (n < 512) {
+      val t = (n - 255.5) / 64.0
+      val fourAt = 4.0 * alpha * t
+      h(n) =
+        if (math.abs(1.0 - fourAt * fourAt) < 1e-9)
+          // the |4αt| = 1 removable singularity of the SRRC closed form
+          (alpha / math.sqrt(2.0)) *
+            ((1 + 2 / math.Pi) * math.sin(math.Pi / (4 * alpha)) +
+              (1 - 2 / math.Pi) * math.cos(math.Pi / (4 * alpha)))
+        else {
+          val num = math.sin(math.Pi * t * (1 - alpha)) +
+            fourAt * math.cos(math.Pi * t * (1 + alpha))
+          val den = math.Pi * t * (1 - fourAt * fourAt)
+          if (math.abs(den) < 1e-12) 1 - alpha + 4 * alpha / math.Pi // t=0
+          else num / den
+        }
+      n += 1
+    }
+    // normalize: 32-phase partition sums to 1 so a DC input round-trips
+    // at unit-order gain (exact gain is irrelevant to the envelope hash
+    // — monotone scaling invariance — but keeps PCM in sane range)
+    val s = h.sum / 16.0
+    h.map(_ / s)
+  }
+
+  /** Analysis window: prototype with the (−1)^{⌊n/64⌋} modulation that
+    * folds the cosine basis' 128-periodicity into the window (the same
+    * sign embedding ISO's tabulated C carries).
+    */
+  private val CWin: Array[Double] = Array.tabulate(512)(n =>
+    Proto(n) * (if (((n >> 6) & 1) == 1) -1.0 else 1.0))
+
+  /** cos((2k+1)(i−16)π/64), k ∈ [0,32), i ∈ [0,64). */
+  private val CosA: Array[Array[Double]] = Array.tabulate(32, 64)((k, i) =>
+    math.cos((2 * k + 1) * (i - 16) * math.Pi / 64.0))
+
+  /** Analysis step: consume 32 new samples (newest last), emit 32
+    * subband samples. `hist` is the caller-owned 512 delay line,
+    * hist(0) = newest.
+    */
+  private[graft] final class AnalysisFB {
+    val hist = new Array[Double](512)
+    private val y = new Array[Double](64)
+    def step(block: Array[Double], out: Array[Double]): Unit = {
+      // shift in: hist(0) newest
+      System.arraycopy(hist, 0, hist, 32, 480)
+      var i = 0
+      while (i < 32) { hist(i) = block(31 - i); i += 1 }
+      i = 0
+      while (i < 64) {
+        var acc = 0.0
+        var j = 0
+        while (j < 8) {
+          acc += CWin(i + (j << 6)) * hist(i + (j << 6))
+          j += 1
+        }
+        y(i) = acc
+        i += 1
+      }
+      var k = 0
+      while (k < 32) {
+        val ck = CosA(k)
+        var acc = 0.0
+        i = 0
+        while (i < 64) { acc += ck(i) * y(i); i += 1 }
+        out(k) = acc
+        k += 1
+      }
+    }
+  }
+
+  /** Synthesis step — the exact transpose of [[AnalysisFB]] (plain
+    * prototype window, mod-64 V access; derivation in the scaladoc of
+    * the object): consume 32 subband samples, emit 32 PCM samples.
+    */
+  private[graft] final class SynthesisFB {
+    // FIFO of 16 V-blocks of 64; v(0) = newest
+    private val v = Array.ofDim[Double](16, 64)
+    def step(s: Array[Double], out: Array[Double]): Unit = {
+      // rotate: reuse oldest array as newest
+      val oldest = v(15)
+      System.arraycopy(v, 0, v, 1, 15)
+      v(0) = oldest
+      var i = 0
+      while (i < 64) {
+        var acc = 0.0
+        var k = 0
+        while (k < 32) { acc += CosA(k)(i) * s(k); k += 1 }
+        oldest(i) = acc
+        i += 1
+      }
+      // transpose emission: sample y[32T−480+m] collects, from step
+      // T−b, the delay-line position q = 32(T−b)+31−(32T−480+m)
+      // = 511−32b−m. The analysis kernel is literally
+      // CWin[q]·cosbase[q mod 64], so its transpose windows by the
+      // SAME σ-modulated CWin with mod-64 V access; the 480-sample
+      // causal lag shows up only as decoder startup attenuation, not
+      // as an index shift
+      var m = 0
+      while (m < 32) {
+        var acc = 0.0
+        var b = 0
+        while (b < 16) {
+          val q = 511 - (b << 5) - m
+          acc += CWin(q) * v(b)(q & 63)
+          b += 1
+        }
+        out(m) = acc / 16.0
+        m += 1
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // MDCT / IMDCT
+  // ---------------------------------------------------------------
+
+  /** cos(π/72·(2n+1+18)(2m+1)), n ∈ [0,36), m ∈ [0,18). */
+  private val CosL: Array[Array[Double]] = Array.tabulate(36, 18)((n, m) =>
+    math.cos(math.Pi / 72.0 * (2 * n + 1 + 18) * (2 * m + 1)))
+  /** 12-point twin for short blocks. */
+  private val CosS: Array[Array[Double]] = Array.tabulate(12, 6)((n, m) =>
+    math.cos(math.Pi / 24.0 * (2 * n + 1 + 6) * (2 * m + 1)))
+
+  private val WinLong: Array[Double] =
+    Array.tabulate(36)(n => math.sin(math.Pi / 36.0 * (n + 0.5)))
+  private val WinShort: Array[Double] =
+    Array.tabulate(12)(n => math.sin(math.Pi / 12.0 * (n + 0.5)))
+  private val WinStart: Array[Double] = Array.tabulate(36) { n =>
+    if (n < 18) WinLong(n)
+    else if (n < 24) 1.0
+    else if (n < 30) math.sin(math.Pi / 12.0 * (n - 18 + 0.5))
+    else 0.0
+  }
+  private val WinStop: Array[Double] = Array.tabulate(36) { n =>
+    if (n < 6) 0.0
+    else if (n < 12) math.sin(math.Pi / 12.0 * (n - 6 + 0.5))
+    else if (n < 18) 1.0
+    else WinLong(n)
+  }
+
+  private def winFor(blockType: Int): Array[Double] = blockType match {
+    case 1 => WinStart
+    case 3 => WinStop
+    case _ => WinLong
+  }
+
+  /** IMDCT 18→36 with window; blockType 2 = three 12-point short
+    * transforms windowed and overlapped inside the 36-slot frame.
+    */
+  private def imdct36(x: Array[Double], xo: Int, blockType: Int,
+      out: Array[Double]): Unit = {
+    java.util.Arrays.fill(out, 0.0)
+    if (blockType == 2) {
+      var w = 0
+      while (w < 3) {
+        var n = 0
+        while (n < 12) {
+          var acc = 0.0
+          var m = 0
+          while (m < 6) { acc += x(xo + m * 3 + w) * CosS(n)(m); m += 1 }
+          out(6 + 6 * w + n) += acc * WinShort(n)
+          n += 1
+        }
+        w += 1
+      }
+    } else {
+      val win = winFor(blockType)
+      var n = 0
+      while (n < 36) {
+        var acc = 0.0
+        var m = 0
+        while (m < 18) { acc += x(xo + m) * CosL(n)(m); m += 1 }
+        out(n) = acc * win(n)
+        n += 1
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Bit I/O
+  // ---------------------------------------------------------------
+
+  private[functions] final class BitReader(val a: Array[Byte],
+      var bytePos: Int, val end: Int) {
+    var bitPos = 0
+    def bitsLeft: Long = (end.toLong - bytePos) * 8 - bitPos
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (bytePos >= end) return -1
+        v = (v << 1) | ((a(bytePos) >> (7 - bitPos)) & 1)
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        i += 1
+      }
+      v
+    }
+    def bitOffsetFrom(byte0: Int): Long = (bytePos.toLong - byte0) * 8 + bitPos
+  }
+
+  private[functions] final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nb = 0
+    var bits: Long = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) { buf.write(cur); cur = 0; nb = 0 }
+        i -= 1
+      }
+      bits += n
+    }
+    def padToByte(): Unit = if (nb != 0) write(0, 8 - nb)
+    def toBytes: Array[Byte] = { padToByte(); buf.toByteArray }
+  }
+
+  // ---------------------------------------------------------------
+  // Decoder
+  // ---------------------------------------------------------------
+
+  /** Per-granule-channel side info. */
+  private final class GrInfo {
+    var part23 = 0; var bigValues = 0; var globalGain = 0
+    var scalefacCompress = 0; var windowSwitching = false
+    var blockType = 0; var mixedBlock = false
+    val tableSelect = new Array[Int](3)
+    val subblockGain = new Array[Int](3)
+    var region0 = 0; var region1 = 0
+    var preflag = 0; var scalefacScale = 0; var count1Table = 0
+  }
+
+  /** PCM sink — the audio twin of [[FlacCodec.Sink]]: `frame` receives
+    * per-channel sample blocks so consumers accumulate in O(1).
+    */
+  trait Sink {
+    def frame(samples: Array[Array[Double]], channels: Int, count: Int): Unit
+  }
+
+  /** Stream parameters from the first frame header (after optional
+    * ID3v2): (rateIdx, channels, frames, startOffset) or null. Walks
+    * ALL frame headers so the declared-total contract is exact for
+    * CBR and VBR alike.
+    */
+  private[graft] def streamInfo(a: Array[Byte]): Array[Int] = {
+    if (a == null || a.length < 4) return null
+    var o = 0
+    if (a.length >= 10 && a(0) == 'I' && a(1) == 'D' && a(2) == '3') {
+      o = 10 + (((a(6) & 0x7f) << 21) | ((a(7) & 0x7f) << 14) |
+        ((a(8) & 0x7f) << 7) | (a(9) & 0x7f))
+      if (o < 0 || o >= a.length) return null
+    }
+    var frames = 0
+    var rateIdx = -1
+    var channels = 0
+    val start = o
+    while (o + 4 <= a.length) {
+      val h = hdr(a, o)
+      if (h == null) {
+        // trailing garbage after >=1 valid frame tolerated (ID3v1 tag
+        // etc.); anything before the first frame is a reject
+        return if (frames > 0) Array(rateIdx, channels, frames, start)
+        else null
+      }
+      if (rateIdx < 0) { rateIdx = h(0); channels = h(1) }
+      else if (h(0) != rateIdx || h(1) != channels) return null
+      frames += 1
+      if (frames > MaxFrames) return null
+      o += h(2)
+    }
+    if (frames == 0) null else Array(rateIdx, channels, frames, start)
+  }
+
+  /** Parse one frame header at `o`: (rateIdx, channels, frameLen,
+    * mode, modeExt, protected) or null.
+    */
+  private def hdr(a: Array[Byte], o: Int): Array[Int] = {
+    if (o + 4 > a.length || (a(o) & 0xff) != 0xff) return null
+    val b1 = a(o + 1) & 0xff
+    if ((b1 & 0xe0) != 0xe0) return null
+    if (((b1 >> 3) & 3) != 3) return null // MPEG-1 only
+    if (((b1 >> 1) & 3) != 1) return null // Layer III only
+    val prot = b1 & 1 // 0 = CRC present
+    val b2 = a(o + 2) & 0xff
+    val brIdx = (b2 >> 4) & 0xf
+    val rateIdx = (b2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || rateIdx == 3) return null
+    val pad = (b2 >> 1) & 1
+    val b3 = a(o + 3) & 0xff
+    val mode = (b3 >> 6) & 3
+    val modeExt = (b3 >> 4) & 3
+    val len = 144 * Bitrates(brIdx) * 1000 / Rates(rateIdx) + pad
+    if (o + len > a.length) return null
+    Array(rateIdx, if (mode == 3) 1 else 2, len, mode, modeExt, prot)
+  }
+
+  /** Decode every frame into `sink`; true on success, false → caller
+    * yields null. Unsupported features (big-value tables outside
+    * {0,1}, intensity stereo on) fail the whole payload — never
+    * garbage samples.
+    */
+  def decode(a: Array[Byte], sink: Sink): Boolean = {
+    val si = streamInfo(a)
+    if (si == null) return false
+    val rateIdx = si(0); val channels = si(1)
+    var o = si(3)
+    // rolling main-data reservoir
+    var reservoir = new Array[Byte](0)
+    val store = Array.ofDim[Double](2, 32, 18) // IMDCT overlap per ch/sb
+    val synth = Array.fill(channels)(new SynthesisFB)
+    val pcm = Array.ofDim[Double](channels, FrameSamples)
+    val sbSamples = new Array[Double](32)
+    val sbOut = new Array[Double](32)
+    val xr = Array.ofDim[Double](2, 576)
+    val is = new Array[Int](576)
+    val scf = Array.ofDim[Int](2, 52) // long 0..21 / short at 12+band*3+w
+    val stage = Array.ofDim[Double](2, 32, 18)
+    val gr = Array.fill(2, 2)(new GrInfo)
+    val imdctOut = new Array[Double](36)
+    var frame = 0
+    val nFrames = si(2)
+    while (frame < nFrames) {
+      val h = hdr(a, o)
+      if (h == null) return frame > 0 // tolerated trailing garbage
+      val mode = h(3); val modeExt = h(4)
+      if (mode == 1 && (modeExt & 1) != 0) return false // intensity
+      val ms = mode == 1 && (modeExt & 2) != 0
+      var p = o + 4
+      if (h(5) == 0) p += 2 // CRC
+      val sideLen = if (channels == 1) 17 else 32
+      if (p + sideLen > a.length) return false
+      val br = new BitReader(a, p, p + sideLen)
+      val mainDataBegin = br.read(9)
+      br.read(if (channels == 1) 5 else 3) // private bits
+      val scfsi = Array.ofDim[Int](channels, 4)
+      var ch = 0
+      while (ch < channels) {
+        var i = 0
+        while (i < 4) { scfsi(ch)(i) = br.read(1); i += 1 }
+        ch += 1
+      }
+      var g = 0
+      while (g < 2) {
+        ch = 0
+        while (ch < channels) {
+          val gi = gr(g)(ch)
+          gi.part23 = br.read(12)
+          gi.bigValues = br.read(9)
+          gi.globalGain = br.read(8)
+          gi.scalefacCompress = br.read(4)
+          gi.windowSwitching = br.read(1) == 1
+          if (gi.windowSwitching) {
+            gi.blockType = br.read(2)
+            gi.mixedBlock = br.read(1) == 1
+            gi.tableSelect(0) = br.read(5)
+            gi.tableSelect(1) = br.read(5)
+            gi.tableSelect(2) = 0
+            var w = 0
+            while (w < 3) { gi.subblockGain(w) = br.read(3); w += 1 }
+            if (gi.blockType == 0) return false // forbidden
+            gi.region0 = if (gi.blockType == 2 && !gi.mixedBlock) 8 else 7
+            gi.region1 = 20
+          } else {
+            gi.blockType = 0
+            gi.mixedBlock = false
+            var r = 0
+            while (r < 3) { gi.tableSelect(r) = br.read(5); r += 1 }
+            gi.region0 = br.read(4)
+            gi.region1 = br.read(3)
+            gi.subblockGain(0) = 0; gi.subblockGain(1) = 0
+            gi.subblockGain(2) = 0
+          }
+          gi.preflag = br.read(1)
+          gi.scalefacScale = br.read(1)
+          gi.count1Table = br.read(1)
+          if (gi.bigValues > 288) return false
+          // mixed blocks: outside the modeled surface (their split
+          // long/short scalefactor + requantize layout); null, never
+          // garbage samples
+          if (gi.mixedBlock) return false
+          ch += 1
+        }
+        g += 1
+      }
+      // main data: append this frame's slice to the reservoir, locate
+      // this frame's read start main_data_begin bytes before it
+      val mainLen = o + h(2) - (p + sideLen)
+      if (mainLen < 0) return false
+      val prevLen = reservoir.length
+      val merged = new Array[Byte](prevLen + mainLen)
+      System.arraycopy(reservoir, 0, merged, 0, prevLen)
+      System.arraycopy(a, p + sideLen, merged, prevLen, mainLen)
+      val startByte = prevLen - mainDataBegin
+      var silent = false
+      if (startByte < 0) silent = true // reservoir under-run at start
+      val mr = if (silent) null
+        else new BitReader(merged, startByte, merged.length)
+      g = 0
+      while (g < 2) {
+        ch = 0
+        while (ch < channels) {
+          val gi = gr(g)(ch)
+          if (silent) {
+            java.util.Arrays.fill(xr(ch), 0.0)
+          } else {
+            val bitStart = mr.bitOffsetFrom(0)
+            if (!readScalefactors(mr, gi, g, scfsi(ch), scf(ch)))
+              return false
+            if (!huffmanDecode(mr, gi, rateIdx, is,
+              bitStart + gi.part23)) return false
+            requantize(gi, rateIdx, is, scf(ch), xr(ch))
+            // skip any ancillary slack to the declared boundary
+            val used = mr.bitOffsetFrom(0) - bitStart
+            if (used > gi.part23) return false
+            var skip = (gi.part23 - used).toInt
+            while (skip > 0) { mr.read(math.min(skip, 16)); skip -= math.min(skip, 16) }
+          }
+          ch += 1
+        }
+        if (ms && !silent) {
+          val sq = math.sqrt(2.0)
+          var i = 0
+          while (i < 576) {
+            val m = xr(0)(i); val s = xr(1)(i)
+            xr(0)(i) = (m + s) / sq
+            xr(1)(i) = (m - s) / sq
+            i += 1
+          }
+        }
+        ch = 0
+        while (ch < channels) {
+          val gi = gr(g)(ch)
+          if (!silent && gi.blockType == 2)
+            reorderShort(gi, rateIdx, xr(ch))
+          if (!silent) aliasReduce(gi, xr(ch))
+          // IMDCT per subband + overlap-add + frequency inversion
+          var sb = 0
+          while (sb < 32) {
+            val bt = if (gi.mixedBlock && sb < 2) 0 else gi.blockType
+            imdct36(xr(ch), sb * 18, if (silent) 0 else bt, imdctOut)
+            if (silent) java.util.Arrays.fill(imdctOut, 0.0)
+            val st = store(ch)(sb)
+            var n = 0
+            while (n < 18) {
+              var v = imdctOut(n) + st(n)
+              st(n) = imdctOut(n + 18)
+              if ((sb & 1) == 1 && (n & 1) == 1) v = -v
+              // freq inversion: odd subband, odd time sample
+              stage(ch)(sb)(n) = v
+              n += 1
+            }
+            sb += 1
+          }
+          ch += 1
+        }
+        // synthesis: 18 steps of 32 subband samples each
+        ch = 0
+        while (ch < channels) {
+          var n = 0
+          while (n < 18) {
+            var sb = 0
+            while (sb < 32) { sbSamples(sb) = stage(ch)(sb)(n); sb += 1 }
+            synth(ch).step(sbSamples, sbOut)
+            System.arraycopy(sbOut, 0, pcm(ch), g * 576 + n * 32, 32)
+            n += 1
+          }
+          ch += 1
+        }
+        g += 1
+      }
+      // trim reservoir to what later frames may reference (<= 511)
+      val keep = math.min(merged.length, 511)
+      reservoir = java.util.Arrays.copyOfRange(
+        merged, merged.length - keep, merged.length)
+      sink.frame(pcm, channels, FrameSamples)
+      o += h(2)
+      frame += 1
+    }
+    true
+  }
+
+  private def readScalefactors(br: BitReader, gi: GrInfo, g: Int,
+      scfsi: Array[Int], scf: Array[Int]): Boolean = {
+    val s1 = Slen1(gi.scalefacCompress)
+    val s2 = Slen2(gi.scalefacCompress)
+    if (gi.windowSwitching && gi.blockType == 2) {
+      var sb = 0
+      while (sb < 12) {
+        val sl = if (sb < 6) s1 else s2
+        var w = 0
+        while (w < 3) { scf(12 + sb * 3 + w) = br.read(sl); w += 1 }
+        sb += 1
+      }
+      scf(12 + 36) = 0; scf(12 + 37) = 0; scf(12 + 38) = 0 // band 12
+    } else {
+      // long: 4 scfsi groups (0-5, 6-10, 11-15, 16-20); reuse from
+      // granule 0 when the group's scfsi bit is set on granule 1
+      val groups = Array(0, 6, 11, 16, 21)
+      var grp = 0
+      while (grp < 4) {
+        var b = groups(grp)
+        while (b < groups(grp + 1)) {
+          if (g == 1 && scfsi(grp) == 1) () // keep scf(b) from granule 0
+          else scf(b) = br.read(if (b < 11) s1 else s2)
+          b += 1
+        }
+        grp += 1
+      }
+      scf(21) = 0
+    }
+    true
+  }
+
+  /** Decode big_values + count1 regions into `is`; true on success.
+    * Tables outside the carried subset fail the payload.
+    */
+  private def huffmanDecode(br: BitReader, gi: GrInfo, rateIdx: Int,
+      is: Array[Int], bitEnd: Long): Boolean = {
+    java.util.Arrays.fill(is, 0)
+    val bv2 = gi.bigValues * 2
+    val bounds = SfbLong(rateIdx)
+    val (r0End, r1End) =
+      if (gi.windowSwitching) (math.min(36, bv2), bv2)
+      else (
+        math.min(bounds(math.min(gi.region0 + 1, 22)), bv2),
+        math.min(bounds(math.min(gi.region0 + gi.region1 + 2, 22)), bv2))
+    var i = 0
+    while (i < bv2) {
+      val region = if (i < r0End) 0 else if (i < r1End) 1 else 2
+      val tbl = gi.tableSelect(region)
+      if (tbl == 0) { is(i) = 0; is(i + 1) = 0; i += 2 }
+      else if (tbl == 1) {
+        // walk codes 1 / 01 / 001 / 000
+        var x = 0; var y = 0
+        val b0 = br.read(1)
+        if (b0 < 0) return false
+        if (b0 == 1) { x = 0; y = 0 }
+        else {
+          val b1 = br.read(1)
+          if (b1 < 0) return false
+          if (b1 == 1) { x = 1; y = 0 }
+          else {
+            val b2 = br.read(1)
+            if (b2 < 0) return false
+            if (b2 == 1) { x = 0; y = 1 } else { x = 1; y = 1 }
+          }
+        }
+        if (x != 0 && br.read(1) == 1) x = -x
+        if (y != 0 && br.read(1) == 1) y = -y
+        is(i) = x; is(i + 1) = y
+        i += 2
+      } else return false // outside the carried codebook subset
+    }
+    // count1: quads until the part2_3 bit boundary or line 576
+    while (br.bitOffsetFrom(0) < bitEnd && i + 4 <= 576) {
+      var v = 0; var w = 0; var x = 0; var y = 0
+      if (gi.count1Table == 1) {
+        val c = br.read(4)
+        if (c < 0) return false
+        val q = (~c) & 0xf
+        v = (q >> 3) & 1; w = (q >> 2) & 1; x = (q >> 1) & 1; y = q & 1
+      } else {
+        // table A: canonical walk over the (hlen, hcod) lists
+        var code = 0; var len = 0; var hit = -1
+        while (hit < 0 && len < 7) {
+          val b = br.read(1)
+          if (b < 0) return false
+          code = (code << 1) | b; len += 1
+          var j = 0
+          while (j < 16 && hit < 0) {
+            if (C1ALen(j) == len && C1ACod(j) == code) hit = j
+            j += 1
+          }
+        }
+        if (hit < 0) return false
+        v = (hit >> 3) & 1; w = (hit >> 2) & 1; x = (hit >> 1) & 1
+        y = hit & 1
+      }
+      if (br.bitOffsetFrom(0) > bitEnd) return true // overrun quad: drop
+      if (v != 0 && br.read(1) == 1) v = -v
+      if (w != 0 && br.read(1) == 1) w = -w
+      if (x != 0 && br.read(1) == 1) x = -x
+      if (y != 0 && br.read(1) == 1) y = -y
+      if (br.bitOffsetFrom(0) > bitEnd) return true
+      is(i) = v; is(i + 1) = w; is(i + 2) = x; is(i + 3) = y
+      i += 4
+    }
+    true
+  }
+
+  private def requantize(gi: GrInfo, rateIdx: Int, is: Array[Int],
+      scf: Array[Int], xr: Array[Double]): Unit = {
+    val gain = math.pow(2.0, (gi.globalGain - 210) / 4.0)
+    val sfs = (gi.scalefacScale + 1) / 2.0
+    if (gi.blockType == 2 && !gi.mixedBlock) {
+      val bounds = SfbShort(rateIdx)
+      var i = 0
+      while (i < 576) {
+        // pre-reorder layout: consecutive runs of 3 windows per band;
+        // requantize walks the same layout the reorder consumes
+        xr(i) = 0.0
+        i += 1
+      }
+      // handled band-by-band below
+      var band = 0
+      while (band < 13) {
+        val w0 = bounds(band) * 3
+        val bw = bounds(band + 1) - bounds(band)
+        var w = 0
+        while (w < 3) {
+          val sf = scf(12 + band * 3 + w)
+          val mult = gain *
+            math.pow(2.0, -2.0 * gi.subblockGain(w)) *
+            math.pow(2.0, -sfs * 2 * sf)
+          var j = 0
+          while (j < bw) {
+            val idx = w0 + w * bw + j
+            if (idx < 576) {
+              val v = is(idx)
+              xr(idx) = math.signum(v.toDouble) * Pow43(math.abs(v)) * mult
+            }
+            j += 1
+          }
+          w += 1
+        }
+        band += 1
+      }
+    } else {
+      val bounds = SfbLong(rateIdx)
+      var band = 0
+      while (band < 22) {
+        val sf = scf(math.min(band, 21)) +
+          (if (gi.preflag == 1) Pretab(math.min(band, 21)) else 0)
+        val mult = gain * math.pow(2.0, -sfs * 2 * sf)
+        var i = bounds(band)
+        while (i < bounds(band + 1)) {
+          val v = is(i)
+          xr(i) = math.signum(v.toDouble) * Pow43(math.abs(v)) * mult
+          i += 1
+        }
+        band += 1
+      }
+    }
+  }
+
+  /** Short-block reorder: from (band, window, line) coding order to
+    * subband-major order the IMDCT consumes.
+    */
+  private def reorderShort(gi: GrInfo, rateIdx: Int,
+      xr: Array[Double]): Unit = {
+    val bounds = SfbShort(rateIdx)
+    val tmp = new Array[Double](576)
+    System.arraycopy(xr, 0, tmp, 0, 576)
+    var band = 0
+    while (band < 13) {
+      val start = bounds(band) * 3
+      val bw = bounds(band + 1) - bounds(band)
+      var w = 0
+      while (w < 3) {
+        var j = 0
+        while (j < bw) {
+          val src = start + w * bw + j
+          val dst = start + j * 3 + w
+          if (src < 576 && dst < 576) xr(dst) = tmp(src)
+          j += 1
+        }
+        w += 1
+      }
+      band += 1
+    }
+  }
+
+  private def aliasReduce(gi: GrInfo, xr: Array[Double]): Unit = {
+    if (gi.blockType == 2 && !gi.mixedBlock) return
+    val sbMax = if (gi.blockType == 2 && gi.mixedBlock) 1 else 31
+    var sb = 1
+    while (sb <= sbMax) {
+      var i = 0
+      while (i < 8) {
+        val lo = sb * 18 - 1 - i
+        val hi = sb * 18 + i
+        if (hi < 576) {
+          val d = xr(lo); val u = xr(hi)
+          xr(lo) = d * AliasCs(i) - u * AliasCa(i)
+          xr(hi) = u * AliasCs(i) + d * AliasCa(i)
+        }
+        i += 1
+      }
+      sb += 1
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Fixture encoder
+  // ---------------------------------------------------------------
+
+  /** Composite encoder→decoder sample shift of the filterbank + MDCT
+    * layers. The encoder primes its analysis with this many source
+    * samples so decoded sample j lines up with source sample j (the
+    * polyphase transpose pair is zero-shift by construction, the
+    * synthesis causal lag is 480, and the MDCT TDAC adds one granule);
+    * value pinned by the round-trip alignment spec.
+    */
+  val CodecDelay: Int = 480 + 576
+
+  /** Encode interleaved 16-bit samples as a real 320 kbps 44.1 kHz
+    * MPEG-1 Layer III stream: full analysis polyphase + MDCT + inverse
+    * alias butterflies, ternary quantization under per-band
+    * scalefactors (scalefac_scale = 0) + global_gain, Huffman packing
+    * with tables 0/1 (big_values, regions 7/7 at the 44.1 kHz band
+    * boundaries) and count1 table B, main_data_begin = 0 (no
+    * reservoir), mode joint-stereo MS / stereo / mono. The stream is
+    * bitstream-conformant; its quantizer keeps every spectral
+    * magnitude within the ternary alphabet the carried codebook
+    * subset encodes (a real encoder would pick larger tables — the
+    * wire syntax is identical).
+    *
+    * Total samples are padded up to whole frames; the envelope
+    * consumers use the declared frame total, so fixtures choose
+    * multiples of 1152.
+    */
+  def encode(samples: Array[Int], channels: Int,
+      msStereo: Boolean = false): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"channels $channels")
+    require(samples.length % channels == 0, "interleave mismatch")
+    require(!msStereo || channels == 2, "MS needs 2 channels")
+    val total = samples.length / channels
+    require(total > 0 && total <= MaxFrames * FrameSamples, "sample count")
+    val nFrames = (total + FrameSamples - 1) / FrameSamples
+    // channel streams (M/S transform is linear, so it composes before
+    // the analysis filterbank)
+    val src = Array.ofDim[Double](channels, total)
+    var t = 0
+    while (t < total) {
+      if (channels == 1) src(0)(t) = samples(t).toDouble
+      else {
+        val l = samples(2 * t).toDouble
+        val r = samples(2 * t + 1).toDouble
+        if (msStereo) {
+          val sq = math.sqrt(2.0)
+          src(0)(t) = (l + r) / sq
+          src(1)(t) = (l - r) / sq
+        } else { src(0)(t) = l; src(1)(t) = r }
+      }
+      t += 1
+    }
+    // subband steps for (CodecDelay priming + nFrames frames):
+    // step s consumes source samples [32s − CodecDelay, …+32)
+    val nSteps = nFrames * 36
+    val steps = Array.ofDim[Double](channels, nSteps, 32)
+    val block = new Array[Double](32)
+    var ch = 0
+    while (ch < channels) {
+      val fb = new AnalysisFB
+      val s = src(ch)
+      // priming: feed the first CodecDelay samples without emitting
+      var pos = 0
+      while (pos < CodecDelay) {
+        var i = 0
+        while (i < 32) {
+          val idx = pos + i
+          block(i) = if (idx < total) s(idx) else 0.0
+          i += 1
+        }
+        fb.step(block, block) // output discarded (reuse buffer)
+        pos += 32
+      }
+      var st = 0
+      while (st < nSteps) {
+        var i = 0
+        while (i < 32) {
+          val idx = pos + i
+          block(i) = if (idx < total) s(idx) else 0.0
+          i += 1
+        }
+        fb.step(block, steps(ch)(st))
+        pos += 32
+        st += 1
+      }
+      ch += 1
+    }
+    // granule spectra: MDCT over (prev 18 + cur 18) per subband with
+    // the long sine window, encoder-side frequency inversion mask,
+    // then the inverse alias butterflies (decoder's forward restores)
+    val nGran = nFrames * 2
+    val xr = Array.ofDim[Double](channels, nGran, 576)
+    val z = new Array[Double](36)
+    ch = 0
+    while (ch < channels) {
+      var g = 0
+      while (g < nGran) {
+        var sb = 0
+        while (sb < 32) {
+          var n = 0
+          while (n < 36) {
+            val st = g * 18 - 18 + n
+            var v = if (st < 0) 0.0 else steps(ch)(st)(sb)
+            // mirror of the decoder's post-IMDCT inversion
+            if ((sb & 1) == 1 && (((st % 18) + 18) % 18 % 2) == 1) v = -v
+            z(n) = v * WinLong(n)
+            n += 1
+          }
+          var m = 0
+          while (m < 18) {
+            var acc = 0.0
+            n = 0
+            while (n < 36) { acc += z(n) * CosL(n)(m); n += 1 }
+            // 2/18: the TDAC normalization (the decoder's IMDCT side
+            // carries no scale, ISO-style), and a fixed 1/512 encoder
+            // normalization so a full-scale 16-bit input's spectrum
+            // stays inside what the 8-bit global_gain field can
+            // declare (2^{(255−210)/4} ≈ 2435) — without it every loud
+            // granule saturates the gg ceiling and ternary-clips
+            xr(ch)(g)(sb * 18 + m) = acc / 9.0 / 512.0
+            m += 1
+          }
+          sb += 1
+        }
+        aliasUnreduce(xr(ch)(g))
+        g += 1
+      }
+      ch += 1
+    }
+    // pack frames
+    val out = new java.io.ByteArrayOutputStream()
+    val sideLen = if (channels == 1) 17 else 32
+    val frameLen = 144 * 320000 / 44100 // 1044, padding bit never set
+    val is = new Array[Int](576)
+    val sfb = SfbLong(0)
+    var f = 0
+    while (f < nFrames) {
+      val side = new BitWriter
+      val main = new BitWriter
+      side.write(0, 9) // main_data_begin
+      side.write(0, if (channels == 1) 5 else 3)
+      side.write(0, 4 * channels) // scfsi: transmit both granules
+      var g = 0
+      while (g < 2) {
+        ch = 0
+        while (ch < channels) {
+          val bits = quantizeAndCode(xr(ch)(f * 2 + g), is, sfb, main)
+          // per-granule side info
+          side.write(bits._1, 12)  // part2_3_length
+          side.write(98, 9)        // big_values
+          side.write(bits._2, 8)   // global_gain
+          side.write(15, 4)        // scalefac_compress: slen 4/3
+          side.write(0, 1)         // window_switching off
+          side.write(bits._3, 5)   // table_select region0
+          side.write(bits._4, 5)   // region1
+          side.write(bits._5, 5)   // region2
+          side.write(7, 4)         // region0_count
+          side.write(7, 3)         // region1_count
+          side.write(0, 1)         // preflag
+          side.write(0, 1)         // scalefac_scale
+          side.write(1, 1)         // count1table_select: B
+          ch += 1
+        }
+        g += 1
+      }
+      val sideBytes = side.toBytes
+      require(sideBytes.length == sideLen, s"side ${sideBytes.length}")
+      val mainBytes = main.toBytes
+      val cap = frameLen - 4 - sideLen
+      require(mainBytes.length <= cap,
+        s"main data ${mainBytes.length} exceeds $cap")
+      // header: sync, MPEG-1, Layer III, no CRC, 320 kbps, 44.1 kHz
+      out.write(0xff); out.write(0xfb)
+      out.write((14 << 4) | (0 << 2) | 0) // bitrate|rate|pad|priv
+      val mode = if (channels == 1) 3 else if (msStereo) 1 else 0
+      val modeExt = if (msStereo) 2 else 0
+      out.write((mode << 6) | (modeExt << 4) | (0 << 3) | (1 << 2) | 0)
+      out.write(sideBytes)
+      out.write(mainBytes)
+      var padN = cap - mainBytes.length
+      while (padN > 0) { out.write(0); padN -= 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Inverse alias butterflies (transpose of the decoder rotation). */
+  private def aliasUnreduce(xr: Array[Double]): Unit = {
+    var sb = 1
+    while (sb < 32) {
+      var i = 0
+      while (i < 8) {
+        val lo = sb * 18 - 1 - i
+        val hi = sb * 18 + i
+        val d = xr(lo); val u = xr(hi)
+        xr(lo) = d * AliasCs(i) + u * AliasCa(i)
+        xr(hi) = u * AliasCs(i) - d * AliasCa(i)
+        i += 1
+      }
+      sb += 1
+    }
+  }
+
+  /** Ternary-quantize one granule's spectrum and Huffman-pack it into
+    * `main`; returns (part2_3_length, global_gain, table_select ×3).
+    */
+  private def quantizeAndCode(xr: Array[Double], is: Array[Int],
+      sfb: Array[Int], main: BitWriter)
+      : (Int, Int, Int, Int, Int) = {
+    val startBits = main.bits
+    var maxAbs = 0.0
+    var i = 0
+    while (i < 576) { maxAbs = math.max(maxAbs, math.abs(xr(i))); i += 1 }
+    // global step >= max so every quantized magnitude is <= 1
+    val gg =
+      if (maxAbs <= 0) 210
+      else math.min(255, math.max(0,
+        210 + math.ceil(4.0 * (math.log(maxAbs * 1.0001) /
+          math.log(2.0))).toInt))
+    val step = math.pow(2.0, (gg - 210) / 4.0)
+    // per-band scalefactors (scalefac_scale=0: band step = step·2^{−sf/2})
+    val scf = new Array[Int](22)
+    var band = 0
+    while (band < 22) {
+      var bandMax = 0.0
+      i = sfb(band)
+      while (i < sfb(band + 1)) {
+        bandMax = math.max(bandMax, math.abs(xr(i))); i += 1
+      }
+      val cap = if (band < 11) 15 else if (band < 21) 7 else 0
+      val sf =
+        if (bandMax <= 0 || maxAbs <= 0) 0
+        else math.min(cap, math.max(0,
+          math.floor(2.0 * math.log(step / bandMax) / math.log(2.0)).toInt))
+      scf(band) = sf
+      val bandStep = step * math.pow(2.0, -sf / 2.0)
+      i = sfb(band)
+      while (i < sfb(band + 1)) {
+        val q = math.round(math.abs(xr(i)) / bandStep).toInt
+        is(i) = if (q >= 1) (if (xr(i) < 0) -1 else 1) else 0
+        i += 1
+      }
+      band += 1
+    }
+    // scalefactors: slen1=4 for bands 0-10, slen2=3 for 11-20
+    band = 0
+    while (band < 21) {
+      main.write(scf(band), if (band < 11) 4 else 3)
+      band += 1
+    }
+    // big_values: 98 pairs in three regions (0..36, 36..162, 162..196)
+    val bounds = Array(0, 36, 162, 196)
+    val tsel = new Array[Int](3)
+    var r = 0
+    while (r < 3) {
+      var any = false
+      i = bounds(r)
+      while (i < bounds(r + 1)) { if (is(i) != 0) any = true; i += 1 }
+      tsel(r) = if (any) 1 else 0
+      if (any) {
+        i = bounds(r)
+        while (i < bounds(r + 1)) {
+          val x = is(i); val y = is(i + 1)
+          val idx = (math.abs(x) << 1) | math.abs(y)
+          main.write(T1Cod(idx), T1Len(idx))
+          if (x != 0) main.write(if (x < 0) 1 else 0, 1)
+          if (y != 0) main.write(if (y < 0) 1 else 0, 1)
+          i += 2
+        }
+      }
+      r += 1
+    }
+    // count1: 95 quads, table B (code = one's complement nibble)
+    i = 196
+    while (i < 576) {
+      val v = is(i); val w = is(i + 1); val x = is(i + 2); val y = is(i + 3)
+      val q = (math.abs(v) << 3) | (math.abs(w) << 2) |
+        (math.abs(x) << 1) | math.abs(y)
+      main.write((~q) & 0xf, 4)
+      if (v != 0) main.write(if (v < 0) 1 else 0, 1)
+      if (w != 0) main.write(if (w < 0) 1 else 0, 1)
+      if (x != 0) main.write(if (x < 0) 1 else 0, 1)
+      if (y != 0) main.write(if (y < 0) 1 else 0, 1)
+      i += 4
+    }
+    val part23 = (main.bits - startBits).toInt
+    require(part23 < 4096, s"part2_3_length $part23")
+    (part23, gg, tsel(0), tsel(1), tsel(2))
+  }
+}

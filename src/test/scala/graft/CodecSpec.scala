@@ -606,3 +606,216 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 }
+
+/** MPEG-1 Layer III codec behavior: carried-codebook structure, the
+  * closed-form filterbank pair's reconstruction quality, full-chain
+  * alignment and envelope-hash fidelity across mono/stereo/MS, the
+  * bit-reservoir-era decode guards, and the never-throw contract.
+  */
+class Mp3CodecSpec extends AnyFunSuite {
+  import graft.functions.{Mp3Codec, Mp3Envelope}
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def triWalkSrc(key: Long): Array[Int] = {
+    val levels = Array(32, 192, 1152)
+    val p = new Array[Int](65)
+    p(0) = 1
+    for (w <- 0 until 64) {
+      val dir =
+        if (p(w) == 0) 1
+        else if (p(w) == 2) -1
+        else if (((key + 1) * (w * 37 + 11)) % 97 % 2 == 0) 1 else -1
+      p(w + 1) = p(w) + dir
+    }
+    Array.tabulate(65 * 1152)(t =>
+      levels(p(t / 1152)) * (math.abs(2 * (t % 42) - 42) - 21))
+  }
+
+  private def decodeMono(enc: Array[Byte]): Array[Double] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Double]()
+    val ok = Mp3Codec.decode(enc, new Mp3Codec.Sink {
+      def frame(sm: Array[Array[Double]], ch: Int, c: Int): Unit = {
+        var i = 0
+        while (i < c) {
+          out += (if (ch == 1) sm(0)(i) else (sm(0)(i) + sm(1)(i)) / 2)
+          i += 1
+        }
+      }
+    })
+    assert(ok, "decode must succeed")
+    out.toArray
+  }
+
+  private def srcHash(src: Array[Int]): Long = {
+    val e = new Array[Double](65)
+    var i = 0
+    while (i < src.length) { e(i / 1152) += math.abs(src(i).toDouble); i += 1 }
+    var bits = 0L
+    var w = 0
+    while (w < 64) { if (e(w) > e(w + 1)) bits |= 1L << w; w += 1 }
+    bits
+  }
+
+  test("carried Huffman codebooks are prefix-free and Kraft-complete") {
+    for ((lens, cods, name) <- Seq(
+      (Mp3Codec.T1Len, Mp3Codec.T1Cod, "table 1"),
+      (Mp3Codec.C1ALen, Mp3Codec.C1ACod, "count1 A"))) {
+      val codes = lens.zip(cods).map { case (l, c) =>
+        String.format(s"%${l}s", Integer.toBinaryString(c))
+          .replace(' ', '0')
+      }
+      assert(codes.distinct.length == codes.length, s"$name: dup codes")
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"$name: $a prefixes $b")
+      val kraft = lens.map(l => math.pow(2.0, -l)).sum
+      assert(math.abs(kraft - 1.0) < 1e-12, s"$name: Kraft sum $kraft")
+    }
+  }
+
+  test("closed-form polyphase pair reconstructs (transpose synthesis," +
+      " SRRC prototype): > 30 dB on a noisy tone, shift exactly 480") {
+    val n = 32 * 600
+    val rnd = new scala.util.Random(7)
+    val src = Array.tabulate(n)(t =>
+      math.sin(2 * math.Pi * t / 41.7) * 500 + rnd.nextGaussian() * 120)
+    val fb = new Mp3Codec.AnalysisFB
+    val sy = new Mp3Codec.SynthesisFB
+    val out = new Array[Double](n)
+    val blk = new Array[Double](32)
+    val sb = new Array[Double](32)
+    val pcm = new Array[Double](32)
+    for (t <- 0 until n / 32) {
+      var i = 0
+      while (i < 32) { blk(i) = src(32 * t + i); i += 1 }
+      fb.step(blk, sb)
+      sy.step(sb, pcm)
+      System.arraycopy(pcm, 0, out, 32 * t, 32)
+    }
+    // gain-fit at the derived 480-sample lag, then SNR
+    var num = 0.0; var dd = 0.0
+    for (i <- 1000 until n - 1000) {
+      num += out(i + 480) * src(i); dd += out(i + 480) * out(i + 480)
+    }
+    val g = num / dd
+    var err = 0.0; var sig = 0.0
+    for (i <- 1000 until n - 1000) {
+      val d = g * out(i + 480)
+      err += (d - src(i)) * (d - src(i)); sig += src(i) * src(i)
+    }
+    val snr = 10 * math.log10(sig / err)
+    assert(snr > 30, s"filterbank round-trip SNR $snr dB")
+  }
+
+  test("full chain: mono / dual-stereo / MS-stereo encodes decode" +
+      " aligned (CodecDelay) and land on the source envelope hash;" +
+      " margins stay wide across keys") {
+    for (key <- Seq(0L, 7L, 23L, 100L)) {
+      val src = triWalkSrc(key)
+      val want = srcHash(src)
+      for ((chs, ms) <- Seq((1, false), (2, false), (2, true))) {
+        val inter = if (chs == 1) src
+          else Array.tabulate(2 * src.length)(i => src(i / 2))
+        val enc = Mp3Codec.encode(inter, chs, ms)
+        val h = Mp3Envelope.hash(enc)
+        assert(h != null && h.longValue == want,
+          s"key=$key chs=$chs ms=$ms envelope hash")
+        if (chs == 1 && key == 7L) {
+          // alignment: the decoded stream must correlate best at shift 0
+          val dec = decodeMono(enc)
+          def corrAt(sh: Int): Double = {
+            var nu = 0.0; var aa = 0.0; var bb = 0.0
+            var i = 4000
+            while (i < src.length - 4000) {
+              nu += dec(i + sh) * src(i); aa += dec(i + sh) * dec(i + sh)
+              bb += src(i).toDouble * src(i); i += 17
+            }
+            nu / math.sqrt(aa * bb)
+          }
+          val c0 = corrAt(0)
+          assert(c0 > 0.85, s"aligned correlation $c0")
+          assert(c0 > corrAt(576) + 0.1 && c0 > corrAt(-576) + 0.1,
+            "shift-0 must dominate granule-off alignments")
+          // decoded adjacent-window margins: >= 1 dB everywhere
+          val eD = new Array[Double](65)
+          var i = 0
+          while (i < dec.length) { eD(i / 1152) += math.abs(dec(i)); i += 1 }
+          for (w <- 0 until 64) {
+            val m = math.abs(math.log(eD(w) / eD(w + 1)))
+            assert(m > 0.115, s"window $w margin $m too thin")
+          }
+        }
+      }
+    }
+  }
+
+  test("decode guards: ID3 prefix rides through; a big-value table" +
+      " outside the carried subset, intensity stereo, truncation, and" +
+      " garbage all yield null — never samples") {
+    val src = triWalkSrc(5L)
+    val enc = Mp3Codec.encode(src, 1)
+    val want = Mp3Envelope.hash(enc)
+    assert(want != null)
+    // ID3v2 prefix (10-byte header + 10 payload bytes, syncsafe size)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++ enc
+    assert(Mp3Envelope.hash(id3) == want)
+    // poke granule 0's table_select[0] (side-info bits 52-56 = frame
+    // bytes 10-11) to table 24 — outside the carried {0, 1} subset
+    val badTbl = enc.clone()
+    badTbl(10) = ((badTbl(10) & 0xf0) | 0x0c).toByte
+    badTbl(11) = (badTbl(11) & 0x7f).toByte
+    assert(Mp3Envelope.hash(badTbl) == null,
+      "uncarried Huffman table must null, not garble")
+    // intensity stereo: set mode_ext bit 0 on an MS frame
+    val ms = Mp3Codec.encode(
+      Array.tabulate(2 * src.length)(i => src(i / 2)), 2, msStereo = true)
+    val badMs = ms.clone()
+    badMs(3) = (badMs(3) | 0x10).toByte
+    assert(Mp3Envelope.hash(badMs) == null, "intensity stereo → null")
+    // truncation mid-stream: the stream-info walk rejects a frame
+    // whose declared length overruns; leading frames only → fewer
+    // than the declared 65 frames → envelope over the walked total
+    assert(Mp3Envelope.hash(java.util.Arrays.copyOf(enc, 100)) == null)
+    assert(Mp3Envelope.hash("garbage".getBytes) == null)
+    assert(Mp3Envelope.hash(Array[Byte](-1, -5, 0, 0)) == null)
+  }
+
+  test("Mp3EncodeExpr/WavEncodeExpr/TriWalkPcmExpr: null contracts and" +
+      " cross-container envelope equality through the SQL surface") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.AudioFunctions._
+    val d = Seq(3L, 9L).toDF("key")
+    val row = d.select(
+      audioEnvelopeHash(wavEncode(triWalkPcm(col("key"), stereo = false),
+        channels = 1)).as("hw"),
+      audioEnvelopeHash(flacEncode(triWalkPcm(col("key"), stereo = true),
+        channels = 2)).as("hf"),
+      audioEnvelopeHash(mp3Encode(triWalkPcm(col("key"), stereo = false),
+        channels = 1)).as("hm"),
+      audioEnvelopeHash(mp3Encode(triWalkPcm(col("key"), stereo = true),
+        channels = 2, msStereo = true)).as("hs"))
+      .collect()
+    row.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+        !r.isNullAt(3))
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == r.getLong(2)
+        && r.getLong(0) == r.getLong(3),
+        "WAV/FLAC/MP3/MS-MP3 of the same recording must share the hash")
+    }
+    // mis-shaped inputs → null
+    val bad = Seq(
+      (Seq(1, 2, 3), 2),          // interleave mismatch for 2ch
+      (Seq.empty[Int], 1)).toDF("pcm", "ch")
+    val b = bad.select(mp3Encode(col("pcm"), channels = 2).as("x")).collect()
+    assert(b.forall(_.isNullAt(0)))
+    val over = Seq(Tuple1(Seq(40000))).toDF("pcm")
+    assert(over.select(mp3Encode(col("pcm"), 1)).collect()(0).isNullAt(0))
+    assert(over.select(wavEncode(col("pcm"), 1)).collect()(0).isNullAt(0))
+  }
+}
