@@ -4397,8 +4397,12 @@ object SparkEntry {
       import graft.functions.AudioFunctions.{flacEncode, mp3Encode, triWalkPcm, wavEncode}
       // the per-doc build is ~75k samples through a real MP3/FLAC
       // encode — repartition so it parallelizes even when the source
-      // parquet is a single split (sf0.001 is one file)
-      val withKey = codecDocs(s, dir).repartition(col("doc_id"))
+      // parquet is a single split. The partition count is EXPLICIT:
+      // a bare repartition(col) is AQE-coalescible, and the exchange
+      // carries ~100 KB for ~2 CPU-minutes of downstream encode work,
+      // so AQE's size heuristic folds it to one task (measured 1.4×
+      // parallelism on 16 cores; 64 pinned tasks decode in seconds)
+      val withKey = codecDocs(s, dir).repartition(64, col("doc_id"))
         .select(col("doc_id"), col("m"),
           when(col("m") === 4, col("doc_id") * 2L + 77L)
             .otherwise(col("fam")).as("__key"))
@@ -9727,7 +9731,7 @@ object SparkEntry {
       s"""WITH $dkPhash,
          bk AS (SELECT doc_id, phash, b,
              (phash >> CAST(16*b AS INTEGER)) & 65535 AS bb
-           FROM ph, (SELECT unnest(range(0, 4)) AS b))
+           FROM ph, (SELECT unnest(range(0, 4)) AS b)),
          ok AS (SELECT b, bb FROM bk
            GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -9750,7 +9754,7 @@ object SparkEntry {
       s"""WITH $dkDhash,
          bk AS (SELECT doc_id, dhash, b,
              (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
-           FROM dh, (SELECT unnest(range(0, 4)) AS b))
+           FROM dh, (SELECT unnest(range(0, 4)) AS b)),
          ok AS (SELECT b, bb FROM bk
            GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -9769,7 +9773,7 @@ object SparkEntry {
       s"""WITH $dkAudioEnvelope,
          bk AS (SELECT doc_id, ahash, b,
              (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
-           FROM ah, (SELECT unnest(range(0, 4)) AS b))
+           FROM ah, (SELECT unnest(range(0, 4)) AS b)),
          ok AS (SELECT b, bb FROM bk
            GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -9782,7 +9786,7 @@ object SparkEntry {
       s"""WITH $dkAudioEnvelope,
          bk AS (SELECT doc_id, b,
              (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
-           FROM ah, (SELECT unnest(range(0, 4)) AS b))
+           FROM ah, (SELECT unnest(range(0, 4)) AS b)),
          ok AS (SELECT b, bb FROM bk
            GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT doc_id FROM ah
@@ -9801,7 +9805,7 @@ object SparkEntry {
       s"""WITH RECURSIVE $dkMp3Envelope,
          bk AS (SELECT doc_id, ahash, b,
              (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
-           FROM ah, (SELECT unnest(range(0, 4)) AS b))
+           FROM ah, (SELECT unnest(range(0, 4)) AS b)),
          ok AS (SELECT b, bb FROM bk
            GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -9814,7 +9818,7 @@ object SparkEntry {
       s"""WITH RECURSIVE $dkMp3Envelope,
          bk AS (SELECT doc_id, b,
              (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
-           FROM ah, (SELECT unnest(range(0, 4)) AS b))
+           FROM ah, (SELECT unnest(range(0, 4)) AS b)),
          ok AS (SELECT b, bb FROM bk
            GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT doc_id FROM ah
@@ -9850,7 +9854,7 @@ object SparkEntry {
       s"""WITH $dkDhash,
          bk AS (SELECT doc_id, dhash, b,
              (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
-           FROM dh, (SELECT unnest(range(0, 4)) AS b))
+           FROM dh, (SELECT unnest(range(0, 4)) AS b)),
          ok AS (SELECT b, bb FROM bk
            GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -9874,7 +9878,7 @@ object SparkEntry {
       s"""WITH $dkDhash,
          bk AS (SELECT doc_id, dhash, b,
              (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
-           FROM dh, (SELECT unnest(range(0, 4)) AS b))
+           FROM dh, (SELECT unnest(range(0, 4)) AS b)),
          ok AS (SELECT b, bb FROM bk
            GROUP BY 1, 2 HAVING count(*) <= 1000)
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
