@@ -6,7 +6,7 @@ dup-heavy corpus, their hardest regime), copy the TPC-H tables verbatim
 (the spot-swept gates never read them; check_oracle still needs the
 files present to create its views).
 
-Usage: python3 tools/make_sf1.py [srcDir] [dstDir]
+Usage: python3 tools/make_sf1.py [srcDir] [dstDir] [factor]
 """
 import os
 import shutil
@@ -16,6 +16,7 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 SHIFT = 10_000_000
 
 os.makedirs(DST, exist_ok=True)
@@ -35,7 +36,7 @@ for t, keys in REPL.items():
         f"{c} + i * {SHIFT} AS {c}" if c in keys else c for c in cols)
     con.sql(f"""
         COPY (SELECT {sel}
-              FROM read_parquet('{SRC}/{t}.parquet'), range(10) r(i)
+              FROM read_parquet('{SRC}/{t}.parquet'), range({FACTOR}) r(i)
               ORDER BY {keys[0]})
         TO '{DST}/{t}.parquet' (FORMAT PARQUET)""")
     n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
