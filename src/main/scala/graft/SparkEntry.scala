@@ -4431,6 +4431,56 @@ object SparkEntry {
       graft.functions.AudioFunctions.audioEnvelopeHash(col("payload"))
         .as("ahash"))
 
+  /** The large-table MP3 family: the same recording under multi-level
+    * quantization (`maxLevel` 3 / 7), where the encoder's cost-ranked
+    * table selection picks per-region among the carried Annex B
+    * codebooks 2-12 (the r18 ternary fixtures only ever exercised
+    * tables 0/1) and the decoder rides the generic tree walk +
+    * requantize over multi-bit magnitudes. Members: mono WAV anchor,
+    * MP3 mono at level 3, MP3 mono at level 7, MS joint-stereo MP3 at
+    * level 7, and a level-7 solo under its own key. The envelope
+    * oracle is VERBATIM the `multimodal_audiohash_mp3` CTE — it
+    * models only the source PCM arithmetic, so the lossy members land
+    * on the family hash only through a faithful multi-table decode.
+    */
+  private def mp3BtPayloads(s: SparkSession, dir: String): DataFrame =
+    fixturized(s, dir, "audio_mp3bt") {
+      import graft.functions.AudioFunctions.{mp3Encode, triWalkPcm, wavEncode}
+      val withKey = codecDocs(s, dir).repartition(64, col("doc_id"))
+        .select(col("doc_id"), col("m"),
+          when(col("m") === 4, col("doc_id") * 2L + 77L)
+            .otherwise(col("fam")).as("__key"))
+      withKey.select(col("doc_id"),
+        when(col("m") === 0,
+          wavEncode(triWalkPcm(col("__key"), stereo = false), channels = 1))
+          .when(col("m") === 1,
+            mp3Encode(triWalkPcm(col("__key"), stereo = false),
+              channels = 1, maxLevel = 3))
+          .when(col("m") === 2,
+            mp3Encode(triWalkPcm(col("__key"), stereo = false),
+              channels = 1, maxLevel = 7))
+          .when(col("m") === 3,
+            mp3Encode(triWalkPcm(col("__key"), stereo = true), channels = 2,
+              msStereo = true, maxLevel = 7))
+          .otherwise(
+            mp3Encode(triWalkPcm(col("__key"), stereo = false),
+              channels = 1, maxLevel = 7))
+          .as("payload"))
+    }
+
+  /** Large-table MP3 envelope-hash gate (see [[mp3BtPayloads]]). */
+  private def multimodalAudiohashMp3BtQ(s: SparkSession, dir: String): DataFrame =
+    mp3BtPayloads(s, dir).select(col("doc_id"),
+      graft.functions.AudioFunctions.audioEnvelopeHash(col("payload"))
+        .as("ahash"))
+
+  /** Large-table MP3 near-dup band join: quantization-level and
+    * container variants of one recording pair through the shared
+    * 64-bit band machinery.
+    */
+  private def multimodalAudioPairsMp3BtQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioDupPairs(mp3BtPayloads(s, dir), "doc_id")
+
   /** MP3 near-dup band-join gate: family members pair ACROSS
     * WAV/FLAC/MP3 — lossy-to-lossless pairing byte shingles can never
     * produce.
@@ -6887,6 +6937,8 @@ object SparkEntry {
     "multimodal_audiohash_mp3" -> (multimodalAudiohashMp3Q _),
     "multimodal_audiodup_mp3"  -> (multimodalAudioPairsMp3Q _),
     "multimodal_audio_dedup_mp3" -> (multimodalAudioDedupMp3Q _),
+    "multimodal_audiohash_mp3bt" -> (multimodalAudiohashMp3BtQ _),
+    "multimodal_audiodup_mp3bt"  -> (multimodalAudioPairsMp3BtQ _),
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -9801,6 +9853,25 @@ object SparkEntry {
     "multimodal_audiohash_mp3" ->
       s"""WITH RECURSIVE $dkMp3Envelope
          SELECT doc_id, ahash FROM ah""",
+    // the large-table family carries the SAME recording per key, so
+    // its oracle is the mp3 envelope CTE verbatim — the multi-table
+    // Huffman decode is what lands the lossy members on these bits
+    "multimodal_audiohash_mp3bt" ->
+      s"""WITH RECURSIVE $dkMp3Envelope
+         SELECT doc_id, ahash FROM ah""",
+    "multimodal_audiodup_mp3bt" ->
+      s"""WITH RECURSIVE $dkMp3Envelope,
+         bk AS (SELECT doc_id, ahash, b,
+             (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM ah, (SELECT unnest(range(0, 4)) AS b)),
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, c.ahash)) AS INTEGER) AS hamming
+         FROM bk a
+         JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+         JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_audiodup_mp3" ->
       s"""WITH RECURSIVE $dkMp3Envelope,
          bk AS (SELECT doc_id, ahash, b,

@@ -212,9 +212,10 @@ object AudioFunctions {
     * for the lossy decode side of the envelope hash.
     */
   def mp3Encode(samples: Column, channels: Int,
-      msStereo: Boolean = false): Column =
+      msStereo: Boolean = false, maxLevel: Int = 1): Column =
     GraftColumnCompat.toColumn(Mp3EncodeExpr(
-      GraftColumnCompat.toExpression(samples), channels, msStereo))
+      GraftColumnCompat.toExpression(samples), channels, msStereo,
+      maxLevel))
 
   /** Wrap interleaved 16-bit samples as a PCM WAV file in-plan
     * ([[WavEncodeExpr]]) — the export/fixture writer twin of the WAV
@@ -831,10 +832,11 @@ case class AudioEnvelopeHashExpr(child: Expression)
   * Null on null/mis-shaped/out-of-range input.
   */
 case class Mp3EncodeExpr(child: Expression, channels: Int,
-    msStereo: Boolean = false)
+    msStereo: Boolean = false, maxLevel: Int = 1)
     extends UnaryExpression with CodegenFallback {
   require(channels == 1 || channels == 2, s"channels $channels")
   require(!msStereo || channels == 2, "MS needs 2 channels")
+  require(maxLevel >= 1 && maxLevel <= 7, s"maxLevel $maxLevel")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -865,7 +867,7 @@ case class Mp3EncodeExpr(child: Expression, channels: Int,
       samples(i) = v.toInt
       i += 1
     }
-    Mp3Codec.encode(samples, channels, msStereo)
+    Mp3Codec.encode(samples, channels, msStereo, maxLevel)
   }
 
   override protected def withNewChildInternal(

@@ -17,19 +17,24 @@ package graft.functions
   * inversion, and the 32-band polyphase synthesis filterbank.
   *
   * Documented divergences from a full ISO implementation (see
-  * DIVERGENCES.md): the Huffman codebook subset carried is tables 0
-  * and 1 plus both count1 tables — a payload selecting any other
-  * big-value table yields NULL (never garbage); intensity stereo
-  * yields NULL; the polyphase prototype is a closed-form 512-tap
+  * DIVERGENCES.md): the Huffman codebook subset carried is tables
+  * 0-3 and 5-12 plus both count1 tables, decoded through a generic
+  * flattened-tree walk with the full linbits-ESC machinery in place
+  * (tables 16-31's linbits widths are wired; their SHARED 256-entry
+  * code tables — and 13/15's — are not carried because they could
+  * not be verified in this build environment, and an unverified
+  * codebook would decode real streams to silent garbage; selecting
+  * them yields NULL, never garbage). Intensity stereo yields NULL;
+  * the polyphase prototype is a closed-form 512-tap
   * square-root-raised-cosine (near-perfect-reconstruction by
   * construction, verified in specs) rather than ISO Table 3-B.3's tabulated
   * coefficients, so real-world streams decode with a slightly
   * different (still lowpass-flat) reconstruction filter — envelope
   * semantics preserved, sample-exactness vs reference decoders not
   * claimed. The fixture ENCODER emits only structures the decoder
-  * fully models (long blocks, tables 0/1 + count1B, no reservoir), so
-  * the encode→decode round trip exercises the real bitstream syntax
-  * end to end.
+  * fully models (long blocks, cost-ranked tables 1-12 + count1B, no
+  * reservoir), so the encode→decode round trip exercises the real
+  * bitstream syntax end to end.
   *
   * Scale shape: one payload decodes in bounded per-row work (frame
   * count × fixed per-granule cost); the envelope consumer streams
@@ -89,8 +94,153 @@ object Mp3Codec {
     1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1)
   // count1 table B: every quad is 4 bits, code = one's complement
 
+  // ---------------------------------------------------------------
+  // Annex B big-value code tables (ISO 11172-3 Table B.7)
+  // ---------------------------------------------------------------
+
+  /** One big-value Huffman table: dims + per-entry (hlen, hcod),
+    * row-major `x * ylen + y`, with a flattened binary decode tree
+    * built once at class load. The constructor PROVES the table is a
+    * complete prefix code (every internal node has both children,
+    * no codeword extends through a leaf) — a malformed table is a
+    * constructor error, never a silent mis-decode.
+    */
+  private[graft] final class HuffTable(
+      val xlen: Int, val ylen: Int,
+      val len: Array[Int], val cod: Array[Int]) {
+    require(len.length == xlen * ylen && cod.length == xlen * ylen,
+      s"table dims ${len.length}/${cod.length} vs ${xlen * ylen}")
+    /** child(2n) = 0-bit child, child(2n+1) = 1-bit child; values
+      * >= 0 are internal node ids, < 0 encode leaf `-1 - entry`.
+      */
+    private[graft] val child: Array[Int] = {
+      val cap = 2 * (len.length * (len.max + 1))
+      val c = Array.fill(cap)(Int.MinValue)
+      var nodes = 1
+      var e = 0
+      while (e < len.length) {
+        var node = 0
+        var bit = len(e) - 1
+        while (bit >= 0) {
+          val b = (cod(e) >> bit) & 1
+          val slot = 2 * node + b
+          if (bit == 0) {
+            require(c(slot) == Int.MinValue,
+              s"entry $e: code collides at a ${if (c(slot) < 0) "leaf"
+                else "prefix"}")
+            c(slot) = -1 - e
+          } else {
+            if (c(slot) == Int.MinValue) { c(slot) = nodes; nodes += 1 }
+            require(c(slot) >= 0, s"entry $e: code extends through a leaf")
+            node = c(slot)
+          }
+          bit -= 1
+        }
+        e += 1
+      }
+      // completeness (Kraft sum == 1): every allocated slot reachable
+      // from an internal node must be assigned
+      var n = 0
+      while (n < nodes) {
+        require(c(2 * n) != Int.MinValue && c(2 * n + 1) != Int.MinValue,
+          s"incomplete code: node $n missing a child")
+        n += 1
+      }
+      java.util.Arrays.copyOf(c, 2 * nodes)
+    }
+  }
+
+  /** linbits per table id (ISO Table B.7: 16-23 and 24-31 share one
+    * code table each, differing only in the ESC extension width).
+    */
+  private[graft] val Linbits: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 2, 3, 4, 6, 8, 10, 13,
+    4, 5, 6, 7, 8, 9, 11, 13)
+
+  /** Registry of big-value code tables by table_select id. `null`
+    * entries: 0 (zero table — no bits read, handled inline), 4 and 14
+    * (reserved by the spec), and 13/15/16-31 — their 256-entry code
+    * tables could not be VERIFIED in this build environment (no
+    * reference decoder, no spec copy; see DIVERGENCES.md) and an
+    * unverified codebook would decode real streams to silent garbage,
+    * so payloads selecting them return null instead. Every table that
+    * IS carried passed a programmatic completeness + prefix-freeness
+    * proof (the [[HuffTable]] constructor + spec).
+    */
+  private[graft] val Tables: Array[HuffTable] = {
+    val t = new Array[HuffTable](32)
+    t(1) = new HuffTable(2, 2, T1Len, T1Cod)
+    t(2) = new HuffTable(3, 3,
+      Array(1, 3, 6, 3, 3, 5, 5, 5, 6),
+      Array(1, 2, 1, 3, 1, 1, 3, 2, 0))
+    t(3) = new HuffTable(3, 3,
+      Array(2, 2, 6, 3, 2, 5, 5, 5, 6),
+      Array(3, 2, 1, 1, 1, 1, 3, 2, 0))
+    t(5) = new HuffTable(4, 4,
+      Array(1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8),
+      Array(1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0))
+    t(6) = new HuffTable(4, 4,
+      Array(3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7),
+      Array(7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0))
+    t(7) = new HuffTable(6, 6,
+      Array(1, 3, 6, 8, 8, 9, 3, 4, 6, 7, 7, 8, 6, 5, 7, 8, 8, 9,
+        7, 7, 8, 9, 9, 9, 7, 7, 8, 9, 9, 10, 8, 8, 9, 10, 10, 10),
+      Array(1, 2, 10, 19, 16, 10, 3, 3, 7, 10, 5, 3, 11, 4, 13, 17, 8, 4,
+        12, 11, 18, 15, 11, 2, 7, 6, 9, 14, 3, 1, 6, 4, 5, 3, 2, 0))
+    t(8) = new HuffTable(6, 6,
+      Array(2, 3, 6, 8, 8, 9, 3, 2, 4, 8, 8, 8, 6, 4, 6, 8, 8, 9,
+        8, 8, 8, 9, 9, 10, 8, 7, 8, 9, 10, 10, 9, 8, 9, 9, 11, 11),
+      Array(3, 4, 6, 18, 12, 5, 5, 1, 2, 16, 9, 3, 7, 3, 5, 14, 7, 3,
+        19, 17, 15, 13, 10, 4, 13, 5, 8, 11, 5, 1, 12, 4, 4, 1, 1, 0))
+    t(9) = new HuffTable(6, 6,
+      Array(3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8, 4, 4, 5, 6, 7, 8,
+        6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9),
+      Array(7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
+        15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0))
+    t(10) = new HuffTable(8, 8,
+      Array(1, 3, 6, 8, 9, 9, 9, 10, 3, 4, 6, 7, 8, 9, 8, 8,
+        6, 6, 7, 8, 9, 10, 9, 9, 7, 7, 8, 9, 10, 10, 9, 10,
+        8, 8, 9, 10, 10, 10, 10, 10, 9, 9, 10, 10, 11, 11, 10, 11,
+        8, 8, 9, 10, 10, 10, 11, 11, 9, 8, 9, 10, 10, 11, 11, 11),
+      Array(1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7,
+        11, 9, 15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7,
+        20, 19, 33, 47, 27, 22, 9, 3, 31, 22, 41, 26, 21, 20, 5, 3,
+        14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0))
+    t(11) = new HuffTable(8, 8,
+      Array(2, 3, 5, 7, 8, 9, 8, 9, 3, 3, 4, 6, 8, 8, 7, 8,
+        5, 5, 6, 7, 8, 9, 8, 8, 7, 6, 7, 9, 8, 10, 8, 9,
+        8, 8, 8, 9, 9, 10, 9, 10, 8, 8, 9, 10, 10, 11, 10, 11,
+        8, 7, 7, 8, 9, 10, 10, 10, 8, 7, 8, 9, 10, 10, 10, 10),
+      Array(3, 4, 10, 24, 34, 33, 21, 15, 5, 3, 4, 10, 32, 17, 11, 10,
+        11, 7, 13, 18, 30, 31, 20, 5, 25, 11, 19, 59, 27, 18, 12, 5,
+        35, 33, 31, 58, 30, 16, 7, 5, 28, 26, 32, 19, 17, 15, 8, 14,
+        14, 12, 9, 13, 14, 9, 4, 1, 11, 4, 6, 6, 6, 3, 2, 0))
+    t(12) = new HuffTable(8, 8,
+      Array(4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8,
+        5, 4, 5, 6, 7, 8, 7, 8, 6, 5, 6, 6, 7, 8, 8, 8,
+        7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8, 8, 9, 8, 9,
+        8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10),
+      Array(9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11,
+        17, 7, 11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5,
+        32, 13, 22, 19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2,
+        27, 12, 11, 15, 10, 7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0))
+    t
+  }
+
+  /** count1 table A as a decode tree (shares the walk with the
+    * big-value path; quads index as v*8+w*4+x*2+y with a 4x4 shape).
+    */
+  private[graft] val C1ATree = new HuffTable(4, 4, C1ALen, C1ACod)
+
   private val Pow43: Array[Double] =
     Array.tabulate(16)(i => math.pow(i, 4.0 / 3.0))
+
+  /** |is|^{4/3}: table for the non-ESC range, direct pow for linbits
+    * extensions (up to 15 + 2^13 − 1).
+    */
+  @inline private def pow43(av: Int): Double =
+    if (av < 16) Pow43(av) else math.pow(av.toDouble, 4.0 / 3.0)
 
   /** Alias-reduction butterflies: ci → (cs, ca). */
   private val AliasCs = new Array[Double](8)
@@ -305,7 +455,7 @@ object Mp3Codec {
   // Bit I/O
   // ---------------------------------------------------------------
 
-  private[functions] final class BitReader(val a: Array[Byte],
+  private[graft] final class BitReader(val a: Array[Byte],
       var bytePos: Int, val end: Int) {
     var bitPos = 0
     def bitsLeft: Long = (end.toLong - bytePos) * 8 - bitPos
@@ -322,9 +472,17 @@ object Mp3Codec {
       v
     }
     def bitOffsetFrom(byte0: Int): Long = (bytePos.toLong - byte0) * 8 + bitPos
+    /** Reposition to an absolute bit offset (from byte 0 of `a`) —
+      * the count1 overrun-quad tolerance rewinds to the part2_3
+      * boundary with this.
+      */
+    def seekBit(absBit: Long): Unit = {
+      bytePos = (absBit >> 3).toInt
+      bitPos = (absBit & 7).toInt
+    }
   }
 
-  private[functions] final class BitWriter {
+  private[graft] final class BitWriter {
     private val buf = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var nb = 0
@@ -639,6 +797,91 @@ object Mp3Codec {
     true
   }
 
+  /** Decode one big-value (x, y) pair: flattened-tree walk to a leaf,
+    * then per value the `lb`-wide linbits ESC extension (value 15
+    * escapes) and the sign bit — x fully before y, the ISO 2.4.2.7
+    * huffmancodebits order. Writes `is(i)`, `is(i+1)`; false on bit
+    * starvation (caller nulls the payload).
+    */
+  private[graft] def decodePair(br: BitReader, ht: HuffTable, lb: Int,
+      is: Array[Int], i: Int): Boolean = {
+    var node = 0
+    while (node >= 0) {
+      val b = br.read(1)
+      if (b < 0) return false
+      node = ht.child(2 * node + b)
+    }
+    val e = -1 - node
+    var x = e / ht.ylen
+    var y = e % ht.ylen
+    if (x == 15 && lb > 0) {
+      val ext = br.read(lb)
+      if (ext < 0) return false
+      x += ext
+    }
+    if (x != 0 && br.read(1) == 1) x = -x
+    if (y == 15 && lb > 0) {
+      val ext = br.read(lb)
+      if (ext < 0) return false
+      y += ext
+    }
+    if (y != 0 && br.read(1) == 1) y = -y
+    is(i) = x; is(i + 1) = y
+    true
+  }
+
+  /** Distinct big-value table_select ids actually in use (granules
+    * with big_values > 0) across every frame/granule/channel —
+    * diagnostic + spec hook proving which codebooks a stream
+    * exercises. Null-unsafe streams return an empty set.
+    */
+  private[graft] def streamTables(a: Array[Byte]): Set[Int] = {
+    val si = streamInfo(a)
+    if (si == null) return Set.empty
+    val channels = si(1)
+    var o = si(3)
+    val out = scala.collection.mutable.Set.empty[Int]
+    var frame = 0
+    while (frame < si(2)) {
+      val h = hdr(a, o)
+      if (h == null) return out.toSet
+      var p = o + 4
+      if (h(5) == 0) p += 2
+      val sideLen = if (channels == 1) 17 else 32
+      if (p + sideLen > a.length) return out.toSet
+      val br = new BitReader(a, p, p + sideLen)
+      br.read(9)
+      br.read(if (channels == 1) 5 else 3)
+      br.read(4 * channels) // scfsi
+      var g = 0
+      while (g < 2) {
+        var ch = 0
+        while (ch < channels) {
+          br.read(12) // part2_3_length
+          val bigValues = br.read(9)
+          br.read(8); br.read(4) // global_gain, scalefac_compress
+          if (br.read(1) == 1) { // window switching
+            br.read(3) // block_type + mixed
+            if (bigValues > 0) { out += br.read(5); out += br.read(5) }
+            else { br.read(10) }
+            br.read(9) // subblock gains
+          } else {
+            if (bigValues > 0) {
+              out += br.read(5); out += br.read(5); out += br.read(5)
+            } else br.read(15)
+            br.read(7) // region0_count + region1_count
+          }
+          br.read(3) // preflag, scalefac_scale, count1table_select
+          ch += 1
+        }
+        g += 1
+      }
+      o += h(2)
+      frame += 1
+    }
+    out.toSet
+  }
+
   /** Decode big_values + count1 regions into `is`; true on success.
     * Tables outside the carried subset fail the payload.
     */
@@ -657,27 +900,12 @@ object Mp3Codec {
       val region = if (i < r0End) 0 else if (i < r1End) 1 else 2
       val tbl = gi.tableSelect(region)
       if (tbl == 0) { is(i) = 0; is(i + 1) = 0; i += 2 }
-      else if (tbl == 1) {
-        // walk codes 1 / 01 / 001 / 000
-        var x = 0; var y = 0
-        val b0 = br.read(1)
-        if (b0 < 0) return false
-        if (b0 == 1) { x = 0; y = 0 }
-        else {
-          val b1 = br.read(1)
-          if (b1 < 0) return false
-          if (b1 == 1) { x = 1; y = 0 }
-          else {
-            val b2 = br.read(1)
-            if (b2 < 0) return false
-            if (b2 == 1) { x = 0; y = 1 } else { x = 1; y = 1 }
-          }
-        }
-        if (x != 0 && br.read(1) == 1) x = -x
-        if (y != 0 && br.read(1) == 1) y = -y
-        is(i) = x; is(i + 1) = y
+      else {
+        val ht = Tables(tbl)
+        if (ht == null) return false // reserved / not-carried table
+        if (!decodePair(br, ht, Linbits(tbl), is, i)) return false
         i += 2
-      } else return false // outside the carried codebook subset
+      }
     }
     // count1: quads until the part2_3 bit boundary or line 576
     while (br.bitOffsetFrom(0) < bitEnd && i + 4 <= 576) {
@@ -688,28 +916,27 @@ object Mp3Codec {
         val q = (~c) & 0xf
         v = (q >> 3) & 1; w = (q >> 2) & 1; x = (q >> 1) & 1; y = q & 1
       } else {
-        // table A: canonical walk over the (hlen, hcod) lists
-        var code = 0; var len = 0; var hit = -1
-        while (hit < 0 && len < 7) {
+        // table A: same flattened-tree walk as the big-value tables
+        var node = 0
+        while (node >= 0) {
           val b = br.read(1)
           if (b < 0) return false
-          code = (code << 1) | b; len += 1
-          var j = 0
-          while (j < 16 && hit < 0) {
-            if (C1ALen(j) == len && C1ACod(j) == code) hit = j
-            j += 1
-          }
+          node = C1ATree.child(2 * node + b)
         }
-        if (hit < 0) return false
+        val hit = -1 - node
         v = (hit >> 3) & 1; w = (hit >> 2) & 1; x = (hit >> 1) & 1
         y = hit & 1
       }
-      if (br.bitOffsetFrom(0) > bitEnd) return true // overrun quad: drop
+      // ISO tolerance: a final quad straddling the part2_3 boundary is
+      // discarded and the reader REWINDS to the boundary — without the
+      // rewind, decode's used > part23 accounting would null the whole
+      // payload for a legal stream
+      if (br.bitOffsetFrom(0) > bitEnd) { br.seekBit(bitEnd); return true }
       if (v != 0 && br.read(1) == 1) v = -v
       if (w != 0 && br.read(1) == 1) w = -w
       if (x != 0 && br.read(1) == 1) x = -x
       if (y != 0 && br.read(1) == 1) y = -y
-      if (br.bitOffsetFrom(0) > bitEnd) return true
+      if (br.bitOffsetFrom(0) > bitEnd) { br.seekBit(bitEnd); return true }
       is(i) = v; is(i + 1) = w; is(i + 2) = x; is(i + 3) = y
       i += 4
     }
@@ -745,7 +972,7 @@ object Mp3Codec {
             val idx = w0 + w * bw + j
             if (idx < 576) {
               val v = is(idx)
-              xr(idx) = math.signum(v.toDouble) * Pow43(math.abs(v)) * mult
+              xr(idx) = math.signum(v.toDouble) * pow43(math.abs(v)) * mult
             }
             j += 1
           }
@@ -763,7 +990,7 @@ object Mp3Codec {
         var i = bounds(band)
         while (i < bounds(band + 1)) {
           val v = is(i)
-          xr(i) = math.signum(v.toDouble) * Pow43(math.abs(v)) * mult
+          xr(i) = math.signum(v.toDouble) * pow43(math.abs(v)) * mult
           i += 1
         }
         band += 1
@@ -848,10 +1075,12 @@ object Mp3Codec {
     * multiples of 1152.
     */
   def encode(samples: Array[Int], channels: Int,
-      msStereo: Boolean = false): Array[Byte] = {
+      msStereo: Boolean = false, maxLevel: Int = 1): Array[Byte] = {
     require(channels == 1 || channels == 2, s"channels $channels")
     require(samples.length % channels == 0, "interleave mismatch")
     require(!msStereo || channels == 2, "MS needs 2 channels")
+    require(maxLevel >= 1 && maxLevel <= 7,
+      s"maxLevel $maxLevel outside the carried tables' value range")
     val total = samples.length / channels
     require(total > 0 && total <= MaxFrames * FrameSamples, "sample count")
     val nFrames = (total + FrameSamples - 1) / FrameSamples
@@ -966,7 +1195,8 @@ object Mp3Codec {
       while (g < 2) {
         ch = 0
         while (ch < channels) {
-          val bits = quantizeAndCode(xr(ch)(f * 2 + g), is, sfb, main)
+          val bits = quantizeAndCode(xr(ch)(f * 2 + g), is, sfb, main,
+            maxLevel)
           // per-granule side info
           side.write(bits._1, 12)  // part2_3_length
           side.write(98, 9)        // big_values
@@ -1023,17 +1253,31 @@ object Mp3Codec {
     }
   }
 
-  /** Ternary-quantize one granule's spectrum and Huffman-pack it into
-    * `main`; returns (part2_3_length, global_gain, table_select ×3).
+  /** Carried-table ids a fixture encoder may select from, by value
+    * ceiling (xlen − 1). Cost-ranked per region at encode time.
+    */
+  private val EncoderTables = Array(1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12)
+
+  /** Quantize one granule's spectrum to magnitudes ≤ `maxLevel`
+    * (count1 region stays ternary — quads only code ±1) and
+    * Huffman-pack it into `main`; returns (part2_3_length,
+    * global_gain, table_select ×3). Table selection is the real
+    * encoder decision: per region, the cheapest carried table whose
+    * value range covers the region's max, by exact bit cost.
+    * `maxLevel = 1` pins the historical wire format (table 1 when any
+    * pair is nonzero) — the r18 fixture oracles replay those exact
+    * bytes, and for ternary pairs table 1 is the cost-optimal choice
+    * for the zero-dominated spectra the fixtures produce.
     */
   private def quantizeAndCode(xr: Array[Double], is: Array[Int],
-      sfb: Array[Int], main: BitWriter)
+      sfb: Array[Int], main: BitWriter, maxLevel: Int)
       : (Int, Int, Int, Int, Int) = {
     val startBits = main.bits
     var maxAbs = 0.0
     var i = 0
     while (i < 576) { maxAbs = math.max(maxAbs, math.abs(xr(i))); i += 1 }
-    // global step >= max so every quantized magnitude is <= 1
+    // global step >= max so every quantized magnitude is <= 1 at
+    // maxLevel 1; larger maxLevel spreads magnitudes over [0, maxLevel]
     val gg =
       if (maxAbs <= 0) 210
       else math.min(255, math.max(0,
@@ -1050,16 +1294,29 @@ object Mp3Codec {
         bandMax = math.max(bandMax, math.abs(xr(i))); i += 1
       }
       val cap = if (band < 11) 15 else if (band < 21) 7 else 0
+      // largest sf (finest band step) keeping the band inside
+      // maxLevel: the decoder reconstructs q^{4/3}·bandStep, so the
+      // band's ceiling in the linear domain is maxLevel^{4/3}·bandStep
+      // (= bandStep exactly at maxLevel 1, preserving the r18 format)
+      val lvlCeil = math.pow(maxLevel.toDouble, 4.0 / 3.0)
       val sf =
         if (bandMax <= 0 || maxAbs <= 0) 0
         else math.min(cap, math.max(0,
-          math.floor(2.0 * math.log(step / bandMax) / math.log(2.0)).toInt))
+          math.floor(2.0 * math.log(step * lvlCeil / bandMax) /
+            math.log(2.0)).toInt))
       scf(band) = sf
       val bandStep = step * math.pow(2.0, -sf / 2.0)
       i = sfb(band)
       while (i < sfb(band + 1)) {
-        val q = math.round(math.abs(xr(i)) / bandStep).toInt
-        is(i) = if (q >= 1) (if (xr(i) < 0) -1 else 1) else 0
+        val ratio = math.abs(xr(i)) / bandStep
+        // the real Layer III quantizer shape: is = round(ratio^{3/4}),
+        // inverting the decoder's is^{4/3}. For a {0, 1} alphabet the
+        // midpoint quantizer IS the linear round — kept verbatim so
+        // maxLevel = 1 streams stay bit-identical to the r18 fixtures
+        val q =
+          if (maxLevel == 1 || i >= 196) math.min(1, math.round(ratio).toInt)
+          else math.min(maxLevel, math.round(math.pow(ratio, 0.75)).toInt)
+        is(i) = if (xr(i) < 0) -q else q
         i += 1
       }
       band += 1
@@ -1075,16 +1332,42 @@ object Mp3Codec {
     val tsel = new Array[Int](3)
     var r = 0
     while (r < 3) {
-      var any = false
+      var regionMax = 0
       i = bounds(r)
-      while (i < bounds(r + 1)) { if (is(i) != 0) any = true; i += 1 }
-      tsel(r) = if (any) 1 else 0
-      if (any) {
+      while (i < bounds(r + 1)) {
+        regionMax = math.max(regionMax, math.abs(is(i))); i += 1
+      }
+      tsel(r) =
+        if (regionMax == 0) 0
+        else if (maxLevel == 1) 1 // pinned historical format (doc above)
+        else {
+          var best = -1
+          var bestCost = Int.MaxValue
+          var c = 0
+          while (c < EncoderTables.length) {
+            val id = EncoderTables(c)
+            val ht = Tables(id)
+            if (ht.xlen > regionMax) {
+              var cost = 0
+              i = bounds(r)
+              while (i < bounds(r + 1)) {
+                cost += ht.len(math.abs(is(i)) * ht.ylen +
+                  math.abs(is(i + 1)))
+                i += 2
+              }
+              if (cost < bestCost) { bestCost = cost; best = id }
+            }
+            c += 1
+          }
+          best
+        }
+      if (tsel(r) > 0) {
+        val ht = Tables(tsel(r))
         i = bounds(r)
         while (i < bounds(r + 1)) {
           val x = is(i); val y = is(i + 1)
-          val idx = (math.abs(x) << 1) | math.abs(y)
-          main.write(T1Cod(idx), T1Len(idx))
+          val idx = math.abs(x) * ht.ylen + math.abs(y)
+          main.write(ht.cod(idx), ht.len(idx))
           if (x != 0) main.write(if (x < 0) 1 else 0, 1)
           if (y != 0) main.write(if (y < 0) 1 else 0, 1)
           i += 2

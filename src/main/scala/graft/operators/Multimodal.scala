@@ -299,19 +299,24 @@ object Multimodal {
     // mod 64) and a (1L << bw) - 1 mask would be 0 — every payload in
     // one bucket, a payloads² join; -1L is the correct all-bits mask
     val mask = if (bw == 64) -1L else (1L << bw) - 1
-    // materialize the fingerprint table ONCE (eager checkpoint): it is
+    // materialize the fingerprint table ONCE (LAZY checkpoint): it is
     // 16 bytes/row while hashFn is a full media decode, and without the
     // barrier Catalyst pushes isnotnull(hash) into the scan condition
     // and replicates the decode across the self-join's branches and the
     // hot-bucket count — measured 4 subtrees × filter+project = up to
     // 8 decodes/row (the MP3 pairs gate dropped 9.5 → ~2 s). At corpus
     // scale the trade is the same: billions of 16-byte rows beat
-    // re-decoding media payloads per consumer.
+    // re-decoding media payloads per consumer. `eager = false` keeps
+    // the public operator lazy — constructing the DataFrame runs no
+    // Spark job; the decode happens on FIRST action. Trade carried by
+    // the checkpoint either way: fingerprint blocks live in
+    // executor-local storage only, so an executor loss fails the job
+    // (caller retries) instead of recomputing the lineage.
     val hashed = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol),
         hashFn(col(payloadCol).cast(BinaryType)).as("__fp"))
       .filter(col("__fp").isNotNull)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val bandRows = Dedup.capHotBuckets(
       hashed.select(col(idCol), col("__fp"),
           posexplode(array((0 until bands).map(b =>

@@ -184,8 +184,14 @@ object AnnIndex {
     import spark.implicits._
     val old = load(spark, path)
     val (m, residual) = (old.m, old.residual)
+    // Materialized ONCE: three downstream actions (codebook collect,
+    // centroids write, codes write) would otherwise each re-run the
+    // trainer, and avg-based k-means is shuffle-order sensitive — the
+    // persisted centroids could differ bitwise from the ones the
+    // codebook/codes were trained against.
     val centroids = trainCentroids(corpus)
       .select(col("centroid_id"), col("__cv"))
+      .localCheckpoint()
     // the frame the codebook must model = the frame the encode will
     // quantize (residual indexes train on x − c, raw ones on x)
     val pqFrame =

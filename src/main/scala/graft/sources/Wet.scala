@@ -231,14 +231,26 @@ object WetRecords {
         // consume the record trailer (two CRLFs; tolerate extra blank
         // lines between records, as resilient readers do)
         while (p < a.length && (a(p) == '\r' || a(p) == '\n')) p += 1
-        pos =
-          if (p >= a.length) -1
-          else if (versionAt(a, p)) p
-          // declared length didn't land on a record boundary (the
-          // header lied): resynchronize at the next anchored version
-          // line; the span in between is unreachable garbage by the
-          // validation contract
-          else nextStart(a, p)
+        if (p >= a.length) pos = -1
+        else if (versionAt(a, p)) pos = p
+        else {
+          // declared length landed SHORT of the record boundary (the
+          // header under-counted): resynchronize at the next anchored
+          // version line, and emit the orphan span as its own
+          // quarantine record (null content_length) — the contract is
+          // that nothing is silently dropped and nothing escapes
+          // quarantine, and the well-formed-looking record above would
+          // otherwise pass the octet_length validation
+          val nxt = nextStart(a, p)
+          val end = if (nxt < 0) a.length else nxt
+          var te = end
+          while (te > p && (a(te - 1) == '\r' || a(te - 1) == '\n'))
+            te -= 1
+          if (te > p)
+            out += InternalRowLike(UTF8String.EMPTY_UTF8, -1L,
+              UTF8String.fromBytes(a, p, te - p))
+          pos = nxt
+        }
       } else {
         // malformed: no blank line, or missing/overrun length — emit
         // the span to the next anchored version line for quarantine

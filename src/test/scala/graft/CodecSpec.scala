@@ -661,10 +661,21 @@ class Mp3CodecSpec extends AnyFunSuite {
     bits
   }
 
-  test("carried Huffman codebooks are prefix-free and Kraft-complete") {
-    for ((lens, cods, name) <- Seq(
-      (Mp3Codec.T1Len, Mp3Codec.T1Cod, "table 1"),
-      (Mp3Codec.C1ALen, Mp3Codec.C1ACod, "count1 A"))) {
+  test("carried Huffman codebooks are prefix-free and Kraft-complete;" +
+      " the 32-entry registry carries exactly tables 1-3/5-12 and the" +
+      " spec linbits widths") {
+    val carried = (0 until 32).filter(Mp3Codec.Tables(_) != null)
+    assert(carried == Seq(1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12),
+      "registry shape: verified tables only (see DIVERGENCES.md)")
+    assert(Mp3Codec.Linbits.length == 32)
+    assert(Mp3Codec.Linbits.toSeq ==
+      Seq.fill(16)(0) ++ Seq(1, 2, 3, 4, 6, 8, 10, 13) ++
+        Seq(4, 5, 6, 7, 8, 9, 11, 13),
+      "ISO Table B.7 linbits for the ESC table families")
+    val all = carried.map(id =>
+      (Mp3Codec.Tables(id).len, Mp3Codec.Tables(id).cod, s"table $id")) ++
+      Seq((Mp3Codec.C1ALen, Mp3Codec.C1ACod, "count1 A"))
+    for ((lens, cods, name) <- all) {
       val codes = lens.zip(cods).map { case (l, c) =>
         String.format(s"%${l}s", Integer.toBinaryString(c))
           .replace(' ', '0')
@@ -675,6 +686,100 @@ class Mp3CodecSpec extends AnyFunSuite {
       val kraft = lens.map(l => math.pow(2.0, -l)).sum
       assert(math.abs(kraft - 1.0) < 1e-12, s"$name: Kraft sum $kraft")
     }
+    // dims: xlen/ylen by table family (ISO Table B.7)
+    for (id <- carried) {
+      val want = id match {
+        case 1 => 2
+        case 2 | 3 => 3
+        case 5 | 6 => 4
+        case 7 | 8 | 9 => 6
+        case _ => 8
+      }
+      assert(Mp3Codec.Tables(id).xlen == want &&
+        Mp3Codec.Tables(id).ylen == want, s"table $id dims")
+    }
+  }
+
+  test("linbits ESC machinery: tree walk + extension + sign decode" +
+      " (synthetic complete 16x16 code), and the reader lands exactly" +
+      " after the consumed bits") {
+    // canonical 8-bit code: entry e <-> code e (complete by construction)
+    val ht = new Mp3Codec.HuffTable(16, 16,
+      Array.fill(256)(8), Array.tabulate(256)(identity))
+    val w = new Mp3Codec.BitWriter
+    // (15, 3): code 15*16+3, ESC ext 9 for x (lb=4), sign x=1 (neg),
+    // sign y=0 (pos)
+    w.write(15 * 16 + 3, 8); w.write(9, 4); w.write(1, 1); w.write(0, 1)
+    // (2, 15): ESC on y only, ext 5, y negative
+    w.write(2 * 16 + 15, 8); w.write(0, 1); w.write(5, 4); w.write(1, 1)
+    // (0, 0): no ESC, no signs
+    w.write(0, 8)
+    val bytes = w.toBytes
+    val br = new Mp3Codec.BitReader(bytes, 0, bytes.length)
+    val is = new Array[Int](6)
+    assert(Mp3Codec.decodePair(br, ht, 4, is, 0))
+    assert(is(0) == -(15 + 9) && is(1) == 3, s"ESC x: ${is.toSeq}")
+    assert(Mp3Codec.decodePair(br, ht, 4, is, 2))
+    assert(is(2) == 2 && is(3) == -(15 + 5), s"ESC y: ${is.toSeq}")
+    assert(Mp3Codec.decodePair(br, ht, 4, is, 4))
+    assert(is(4) == 0 && is(5) == 0)
+    assert(br.bitOffsetFrom(0) == 14 + 14 + 8, "exact bit consumption")
+    // with lb = 0 (tables < 16) a decoded 15 is a LITERAL 15
+    val w2 = new Mp3Codec.BitWriter
+    w2.write(15 * 16 + 15, 8); w2.write(0, 1); w2.write(1, 1)
+    val b2 = w2.toBytes
+    val br2 = new Mp3Codec.BitReader(b2, 0, b2.length)
+    assert(Mp3Codec.decodePair(br2, ht, 0, is, 0))
+    assert(is(0) == 15 && is(1) == -15)
+    // bit starvation inside an extension -> false, never garbage
+    val w3 = new Mp3Codec.BitWriter
+    w3.write(15 * 16 + 0, 8); w3.write(1, 2) // ESC needs 4 bits, has 2+pad
+    val b3 = w3.toBytes.take(2)
+    val br3 = new Mp3Codec.BitReader(b3, 0, 1) // starve after the code
+    assert(!Mp3Codec.decodePair(br3, ht, 8, is, 0))
+  }
+
+  test("multi-level encode (maxLevel 3 / 7) selects larger carried" +
+      " tables per region by bit cost, and the decode still lands on" +
+      " the source envelope hash") {
+    for (key <- Seq(0L, 7L, 23L); lvl <- Seq(3, 7)) {
+      val src = triWalkSrc(key)
+      val want = srcHash(src)
+      for ((chs, ms) <- Seq((1, false), (2, true))) {
+        val inter = if (chs == 1) src
+          else Array.tabulate(2 * src.length)(i => src(i / 2))
+        val enc = Mp3Codec.encode(inter, chs, ms, maxLevel = lvl)
+        val used = Mp3Codec.streamTables(enc)
+        assert(used.exists(_ > 1),
+          s"key=$key lvl=$lvl chs=$chs: tables used $used must exceed" +
+            " the ternary subset")
+        assert(used.forall(t => t == 0 || Mp3Codec.Tables(t) != null),
+          s"encoder must only select carried tables, used $used")
+        val h = Mp3Envelope.hash(enc)
+        assert(h != null && h.longValue == want,
+          s"key=$key lvl=$lvl chs=$chs ms=$ms envelope hash")
+      }
+    }
+    // level-7 quantization is strictly finer: decoded SNR must beat
+    // the ternary encode on the same source
+    val src = triWalkSrc(11L)
+    def snrOf(enc: Array[Byte]): Double = {
+      val dec = decodeMono(enc)
+      var num = 0.0; var dd = 0.0
+      for (i <- 2000 until src.length - 2000) {
+        num += dec(i) * src(i); dd += dec(i) * dec(i)
+      }
+      val g = num / dd
+      var err = 0.0; var sig = 0.0
+      for (i <- 2000 until src.length - 2000) {
+        val d = g * dec(i)
+        err += (d - src(i)) * (d - src(i)); sig += src(i).toDouble * src(i)
+      }
+      10 * math.log10(sig / err)
+    }
+    val s1 = snrOf(Mp3Codec.encode(src, 1))
+    val s7 = snrOf(Mp3Codec.encode(src, 1, maxLevel = 7))
+    assert(s7 > s1 + 3, s"maxLevel 7 SNR $s7 must beat ternary $s1")
   }
 
   test("closed-form polyphase pair reconstructs (transpose synthesis," +
