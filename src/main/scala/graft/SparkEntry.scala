@@ -4481,6 +4481,53 @@ object SparkEntry {
   private def multimodalAudioPairsMp3BtQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioDupPairs(mp3BtPayloads(s, dir), "doc_id")
 
+  /** The "advanced Layer III" family: intensity stereo (one signal
+    * positioned per band by is_pos scalefactors — kl + kr = 1 keeps
+    * the channel-mean envelope) and MIXED blocks (window-switching
+    * granules whose two lowest subbands stay long while 3-window
+    * short MDCTs cover the rest — split scalefactor layout, split
+    * requantize, partial reorder, single alias boundary), both at
+    * multi-level quantization. Members: mono WAV anchor, intensity
+    * stereo, mixed-blocks mono, mixed-blocks MS stereo, and an
+    * intensity solo under its own key. The oracle is VERBATIM the mp3
+    * envelope CTE — only a faithful decode of these side-info shapes
+    * lands the members on it.
+    */
+  private def mp3AdvPayloads(s: SparkSession, dir: String): DataFrame =
+    fixturized(s, dir, "audio_mp3adv") {
+      import graft.functions.AudioFunctions.{mp3Encode, triWalkPcm, wavEncode}
+      val withKey = codecDocs(s, dir).repartition(64, col("doc_id"))
+        .select(col("doc_id"), col("m"),
+          when(col("m") === 4, col("doc_id") * 2L + 77L)
+            .otherwise(col("fam")).as("__key"))
+      withKey.select(col("doc_id"),
+        when(col("m") === 0,
+          wavEncode(triWalkPcm(col("__key"), stereo = false), channels = 1))
+          .when(col("m") === 1,
+            mp3Encode(triWalkPcm(col("__key"), stereo = true),
+              channels = 2, maxLevel = 7, intensity = true))
+          .when(col("m") === 2,
+            mp3Encode(triWalkPcm(col("__key"), stereo = false),
+              channels = 1, maxLevel = 7, mixedBlocks = true))
+          .when(col("m") === 3,
+            mp3Encode(triWalkPcm(col("__key"), stereo = true), channels = 2,
+              msStereo = true, maxLevel = 7, mixedBlocks = true))
+          .otherwise(
+            mp3Encode(triWalkPcm(col("__key"), stereo = true),
+              channels = 2, maxLevel = 7, intensity = true))
+          .as("payload"))
+    }
+
+  /** Intensity + mixed-block envelope-hash gate ([[mp3AdvPayloads]]). */
+  private def multimodalAudiohashMp3AdvQ(s: SparkSession, dir: String): DataFrame =
+    mp3AdvPayloads(s, dir).select(col("doc_id"),
+      graft.functions.AudioFunctions.audioEnvelopeHash(col("payload"))
+        .as("ahash"))
+
+  /** Intensity/mixed near-dup band join over the same family. */
+  private def multimodalAudioPairsMp3AdvQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioDupPairs(mp3AdvPayloads(s, dir), "doc_id")
+
   /** MP3 near-dup band-join gate: family members pair ACROSS
     * WAV/FLAC/MP3 — lossy-to-lossless pairing byte shingles can never
     * produce.
@@ -6939,6 +6986,8 @@ object SparkEntry {
     "multimodal_audio_dedup_mp3" -> (multimodalAudioDedupMp3Q _),
     "multimodal_audiohash_mp3bt" -> (multimodalAudiohashMp3BtQ _),
     "multimodal_audiodup_mp3bt"  -> (multimodalAudioPairsMp3BtQ _),
+    "multimodal_audiohash_mp3adv" -> (multimodalAudiohashMp3AdvQ _),
+    "multimodal_audiodup_mp3adv"  -> (multimodalAudioPairsMp3AdvQ _),
     "multimodal_describe" -> (multimodalDescribeQ _),
     "multimodal_frames" -> (multimodalFramesQ _),
     "events_hourly"    -> (eventsHourly _),
@@ -9859,6 +9908,24 @@ object SparkEntry {
     "multimodal_audiohash_mp3bt" ->
       s"""WITH RECURSIVE $dkMp3Envelope
          SELECT doc_id, ahash FROM ah""",
+    // intensity/mixed-block family: same source recording per key ->
+    // the envelope CTE again verbatim
+    "multimodal_audiohash_mp3adv" ->
+      s"""WITH RECURSIVE $dkMp3Envelope
+         SELECT doc_id, ahash FROM ah""",
+    "multimodal_audiodup_mp3adv" ->
+      s"""WITH RECURSIVE $dkMp3Envelope,
+         bk AS (SELECT doc_id, ahash, b,
+             (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM ah, (SELECT unnest(range(0, 4)) AS b)),
+         ok AS (SELECT b, bb FROM bk
+           GROUP BY 1, 2 HAVING count(*) <= 1000)
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, c.ahash)) AS INTEGER) AS hamming
+         FROM bk a
+         JOIN ok ON a.b = ok.b AND a.bb = ok.bb
+         JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND a.doc_id < c.doc_id""",
     "multimodal_audiodup_mp3bt" ->
       s"""WITH RECURSIVE $dkMp3Envelope,
          bk AS (SELECT doc_id, ahash, b,

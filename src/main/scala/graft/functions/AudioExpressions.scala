@@ -212,10 +212,11 @@ object AudioFunctions {
     * for the lossy decode side of the envelope hash.
     */
   def mp3Encode(samples: Column, channels: Int,
-      msStereo: Boolean = false, maxLevel: Int = 1): Column =
+      msStereo: Boolean = false, maxLevel: Int = 1,
+      intensity: Boolean = false, mixedBlocks: Boolean = false): Column =
     GraftColumnCompat.toColumn(Mp3EncodeExpr(
       GraftColumnCompat.toExpression(samples), channels, msStereo,
-      maxLevel))
+      maxLevel, intensity, mixedBlocks))
 
   /** Wrap interleaved 16-bit samples as a PCM WAV file in-plan
     * ([[WavEncodeExpr]]) — the export/fixture writer twin of the WAV
@@ -832,11 +833,15 @@ case class AudioEnvelopeHashExpr(child: Expression)
   * Null on null/mis-shaped/out-of-range input.
   */
 case class Mp3EncodeExpr(child: Expression, channels: Int,
-    msStereo: Boolean = false, maxLevel: Int = 1)
+    msStereo: Boolean = false, maxLevel: Int = 1,
+    intensity: Boolean = false, mixedBlocks: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(channels == 1 || channels == 2, s"channels $channels")
   require(!msStereo || channels == 2, "MS needs 2 channels")
   require(maxLevel >= 1 && maxLevel <= 7, s"maxLevel $maxLevel")
+  require(!intensity || channels == 2, "intensity needs 2 channels")
+  require(!(intensity && msStereo) && !(intensity && mixedBlocks),
+    "fixture scope: intensity is emitted alone")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -867,7 +872,8 @@ case class Mp3EncodeExpr(child: Expression, channels: Int,
       samples(i) = v.toInt
       i += 1
     }
-    Mp3Codec.encode(samples, channels, msStereo, maxLevel)
+    Mp3Codec.encode(samples, channels, msStereo, maxLevel,
+      intensity, mixedBlocks)
   }
 
   override protected def withNewChildInternal(

@@ -609,7 +609,7 @@ object Mp3Codec {
       val h = hdr(a, o)
       if (h == null) return frame > 0 // tolerated trailing garbage
       val mode = h(3); val modeExt = h(4)
-      if (mode == 1 && (modeExt & 1) != 0) return false // intensity
+      val intensity = mode == 1 && (modeExt & 1) != 0
       val ms = mode == 1 && (modeExt & 2) != 0
       var p = o + 4
       if (h(5) == 0) p += 2 // CRC
@@ -660,10 +660,6 @@ object Mp3Codec {
           gi.scalefacScale = br.read(1)
           gi.count1Table = br.read(1)
           if (gi.bigValues > 288) return false
-          // mixed blocks: outside the modeled surface (their split
-          // long/short scalefactor + requantize layout); null, never
-          // garbage samples
-          if (gi.mixedBlock) return false
           ch += 1
         }
         g += 1
@@ -683,6 +679,7 @@ object Mp3Codec {
         else new BitReader(merged, startByte, merged.length)
       g = 0
       while (g < 2) {
+        var rzero = 0 // right channel's decoded-spectrum zero boundary
         ch = 0
         while (ch < channels) {
           val gi = gr(g)(ch)
@@ -694,6 +691,11 @@ object Mp3Codec {
               return false
             if (!huffmanDecode(mr, gi, rateIdx, is,
               bitStart + gi.part23)) return false
+            if (intensity && ch == 1) {
+              var z = 576
+              while (z > 0 && is(z - 1) == 0) z -= 1
+              rzero = z
+            }
             requantize(gi, rateIdx, is, scf(ch), xr(ch))
             // skip any ancillary slack to the declared boundary
             val used = mr.bitOffsetFrom(0) - bitStart
@@ -703,16 +705,41 @@ object Mp3Codec {
           }
           ch += 1
         }
-        if (ms && !silent) {
-          val sq = math.sqrt(2.0)
-          var i = 0
-          while (i < 576) {
-            val m = xr(0)(i); val s = xr(1)(i)
-            xr(0)(i) = (m + s) / sq
-            xr(1)(i) = (m - s) / sq
-            i += 1
+        if (!silent && intensity) {
+          // MPEG-1 intensity stereo (ISO 2.4.3.4.9.3), LONG blocks:
+          // bands from the first sfb at/above the right channel's zero
+          // boundary carry one signal in LEFT, positioned by the RIGHT
+          // granule's scalefactors (is_pos): L = v·r/(1+r),
+          // R = v/(1+r), r = tan(is_pos·π/12); is_pos 6 is hard-left,
+          // 7 is reserved (band falls back to the lower-region rule).
+          // Short/mixed-block intensity is outside the modeled
+          // surface — null, never garbage (DIVERGENCES.md).
+          if (gr(g)(0).blockType == 2 || gr(g)(1).blockType == 2)
+            return false
+          val bounds = SfbLong(rateIdx)
+          var isb = 0
+          while (isb < 22 && bounds(isb) < rzero) isb += 1
+          if (ms) msJoint(xr, 0, bounds(isb))
+          var band = isb
+          while (band < 22) {
+            val isPos = scf(1)(math.min(band, 21))
+            if (isPos != 7) {
+              var kl = 1.0; var kr = 0.0
+              if (isPos < 6) {
+                val r = math.tan(isPos * math.Pi / 12.0)
+                kl = r / (1.0 + r); kr = 1.0 / (1.0 + r)
+              }
+              var i = bounds(band)
+              while (i < bounds(band + 1)) {
+                val v = xr(0)(i)
+                xr(0)(i) = v * kl
+                xr(1)(i) = v * kr
+                i += 1
+              }
+            } else if (ms) msJoint(xr, bounds(band), bounds(band + 1))
+            band += 1
           }
-        }
+        } else if (ms && !silent) msJoint(xr, 0, 576)
         ch = 0
         while (ch < channels) {
           val gi = gr(g)(ch)
@@ -765,11 +792,37 @@ object Mp3Codec {
     true
   }
 
+  /** Mid/side → left/right over line range [from, until). */
+  private def msJoint(xr: Array[Array[Double]], from: Int,
+      until: Int): Unit = {
+    val sq = math.sqrt(2.0)
+    var i = from
+    while (i < until) {
+      val m = xr(0)(i); val s = xr(1)(i)
+      xr(0)(i) = (m + s) / sq
+      xr(1)(i) = (m - s) / sq
+      i += 1
+    }
+  }
+
   private def readScalefactors(br: BitReader, gi: GrInfo, g: Int,
       scfsi: Array[Int], scf: Array[Int]): Boolean = {
     val s1 = Slen1(gi.scalefacCompress)
     val s2 = Slen2(gi.scalefacCompress)
-    if (gi.windowSwitching && gi.blockType == 2) {
+    if (gi.windowSwitching && gi.blockType == 2 && gi.mixedBlock) {
+      // mixed layout (ISO 2.4.2.7): long bands 0-7 (slen1), then
+      // short bands 3-11 per window (3-5 slen1, 6-11 slen2)
+      var b = 0
+      while (b < 8) { scf(b) = br.read(s1); b += 1 }
+      var sb = 3
+      while (sb < 12) {
+        val sl = if (sb < 6) s1 else s2
+        var w = 0
+        while (w < 3) { scf(12 + sb * 3 + w) = br.read(sl); w += 1 }
+        sb += 1
+      }
+      scf(12 + 36) = 0; scf(12 + 37) = 0; scf(12 + 38) = 0 // band 12
+    } else if (gi.windowSwitching && gi.blockType == 2) {
       var sb = 0
       while (sb < 12) {
         val sl = if (sb < 6) s1 else s2
@@ -947,7 +1000,48 @@ object Mp3Codec {
       scf: Array[Int], xr: Array[Double]): Unit = {
     val gain = math.pow(2.0, (gi.globalGain - 210) / 4.0)
     val sfs = (gi.scalefacScale + 1) / 2.0
-    if (gi.blockType == 2 && !gi.mixedBlock) {
+    if (gi.blockType == 2 && gi.mixedBlock) {
+      // mixed: lines 0-35 are the two LONG subbands under long bands
+      // 0-7 (preflag/pretab apply), lines 36+ short bands 3-12 under
+      // subblock gains — the split layout of ISO 2.4.3.4.6
+      val lb = SfbLong(rateIdx)
+      var band = 0
+      while (band < 8) {
+        val sf = scf(band) + (if (gi.preflag == 1) Pretab(band) else 0)
+        val mult = gain * math.pow(2.0, -sfs * 2 * sf)
+        var i = lb(band)
+        while (i < lb(band + 1)) {
+          val v = is(i)
+          xr(i) = math.signum(v.toDouble) * pow43(math.abs(v)) * mult
+          i += 1
+        }
+        band += 1
+      }
+      val bounds = SfbShort(rateIdx)
+      band = 3
+      while (band < 13) {
+        val w0 = bounds(band) * 3
+        val bw = bounds(band + 1) - bounds(band)
+        var w = 0
+        while (w < 3) {
+          val sf = scf(12 + band * 3 + w)
+          val mult = gain *
+            math.pow(2.0, -2.0 * gi.subblockGain(w)) *
+            math.pow(2.0, -sfs * 2 * sf)
+          var j = 0
+          while (j < bw) {
+            val idx = w0 + w * bw + j
+            if (idx < 576) {
+              val v = is(idx)
+              xr(idx) = math.signum(v.toDouble) * pow43(math.abs(v)) * mult
+            }
+            j += 1
+          }
+          w += 1
+        }
+        band += 1
+      }
+    } else if (gi.blockType == 2) {
       val bounds = SfbShort(rateIdx)
       var i = 0
       while (i < 576) {
@@ -999,14 +1093,16 @@ object Mp3Codec {
   }
 
   /** Short-block reorder: from (band, window, line) coding order to
-    * subband-major order the IMDCT consumes.
+    * subband-major order the IMDCT consumes. Mixed blocks reorder
+    * only the short part (bands 3+, lines 36+) — the long lower
+    * subbands are already in natural order.
     */
   private def reorderShort(gi: GrInfo, rateIdx: Int,
       xr: Array[Double]): Unit = {
     val bounds = SfbShort(rateIdx)
     val tmp = new Array[Double](576)
     System.arraycopy(xr, 0, tmp, 0, 576)
-    var band = 0
+    var band = if (gi.mixedBlock) 3 else 0
     while (band < 13) {
       val start = bounds(band) * 3
       val bw = bounds(band + 1) - bounds(band)
@@ -1075,17 +1171,24 @@ object Mp3Codec {
     * multiples of 1152.
     */
   def encode(samples: Array[Int], channels: Int,
-      msStereo: Boolean = false, maxLevel: Int = 1): Array[Byte] = {
+      msStereo: Boolean = false, maxLevel: Int = 1,
+      intensity: Boolean = false,
+      mixedBlocks: Boolean = false): Array[Byte] = {
     require(channels == 1 || channels == 2, s"channels $channels")
     require(samples.length % channels == 0, "interleave mismatch")
     require(!msStereo || channels == 2, "MS needs 2 channels")
     require(maxLevel >= 1 && maxLevel <= 7,
       s"maxLevel $maxLevel outside the carried tables' value range")
+    require(!intensity || channels == 2, "intensity needs 2 channels")
+    require(!(intensity && msStereo) && !(intensity && mixedBlocks),
+      "fixture scope: intensity is emitted alone (long blocks, no MS)")
     val total = samples.length / channels
     require(total > 0 && total <= MaxFrames * FrameSamples, "sample count")
     val nFrames = (total + FrameSamples - 1) / FrameSamples
     // channel streams (M/S transform is linear, so it composes before
-    // the analysis filterbank)
+    // the analysis filterbank). Intensity carries the downmix in the
+    // LEFT granules; the RIGHT granules are empty side info whose
+    // scalefactors position the image (is_pos), so src(1) stays zero.
     val src = Array.ofDim[Double](channels, total)
     var t = 0
     while (t < total) {
@@ -1097,6 +1200,8 @@ object Mp3Codec {
           val sq = math.sqrt(2.0)
           src(0)(t) = (l + r) / sq
           src(1)(t) = (l - r) / sq
+        } else if (intensity) {
+          src(0)(t) = (l + r) / 2.0
         } else { src(0)(t) = l; src(1)(t) = r }
       }
       t += 1
@@ -1148,32 +1253,65 @@ object Mp3Codec {
       while (g < nGran) {
         var sb = 0
         while (sb < 32) {
-          var n = 0
-          while (n < 36) {
-            val st = g * 18 - 18 + n
-            var v = if (st < 0) 0.0 else steps(ch)(st)(sb)
-            // mirror of the decoder's post-IMDCT inversion
-            if ((sb & 1) == 1 && (((st % 18) + 18) % 18 % 2) == 1) v = -v
-            z(n) = v * WinLong(n)
-            n += 1
-          }
-          var m = 0
-          while (m < 18) {
-            var acc = 0.0
-            n = 0
-            while (n < 36) { acc += z(n) * CosL(n)(m); n += 1 }
-            // 2/18: the TDAC normalization (the decoder's IMDCT side
-            // carries no scale, ISO-style), and a fixed 1/512 encoder
-            // normalization so a full-scale 16-bit input's spectrum
-            // stays inside what the 8-bit global_gain field can
-            // declare (2^{(255−210)/4} ≈ 2435) — without it every loud
-            // granule saturates the gg ceiling and ternary-clips
-            xr(ch)(g)(sb * 18 + m) = acc / 9.0 / 512.0
-            m += 1
+          if (mixedBlocks && sb >= 2) {
+            // short MDCT ×3: window w covers frame slots 6+6w..6+6w+11
+            // (the exact slots the decoder's 12-point IMDCT
+            // overlap-adds back); output lands in the IMDCT
+            // (subband-major, m*3+w interleaved) layout — the packer
+            // permutes to coding order
+            var w = 0
+            while (w < 3) {
+              var n = 0
+              while (n < 12) {
+                val st = g * 18 - 18 + 6 + 6 * w + n
+                var v = if (st < 0) 0.0 else steps(ch)(st)(sb)
+                if ((sb & 1) == 1 && (((st % 18) + 18) % 18 % 2) == 1)
+                  v = -v
+                z(n) = v * WinShort(n)
+                n += 1
+              }
+              var m = 0
+              while (m < 6) {
+                var acc = 0.0
+                n = 0
+                while (n < 12) { acc += z(n) * CosS(n)(m); n += 1 }
+                // 2/6 TDAC normalization (12-point twin of the long
+                // branch's 2/18) + the same 1/512 encoder fold
+                xr(ch)(g)(sb * 18 + m * 3 + w) = acc / 3.0 / 512.0
+                m += 1
+              }
+              w += 1
+            }
+          } else {
+            var n = 0
+            while (n < 36) {
+              val st = g * 18 - 18 + n
+              var v = if (st < 0) 0.0 else steps(ch)(st)(sb)
+              // mirror of the decoder's post-IMDCT inversion
+              if ((sb & 1) == 1 && (((st % 18) + 18) % 18 % 2) == 1) v = -v
+              z(n) = v * WinLong(n)
+              n += 1
+            }
+            var m = 0
+            while (m < 18) {
+              var acc = 0.0
+              n = 0
+              while (n < 36) { acc += z(n) * CosL(n)(m); n += 1 }
+              // 2/18: the TDAC normalization (the decoder's IMDCT side
+              // carries no scale, ISO-style), and a fixed 1/512 encoder
+              // normalization so a full-scale 16-bit input's spectrum
+              // stays inside what the 8-bit global_gain field can
+              // declare (2^{(255−210)/4} ≈ 2435) — without it every loud
+              // granule saturates the gg ceiling and ternary-clips
+              xr(ch)(g)(sb * 18 + m) = acc / 9.0 / 512.0
+              m += 1
+            }
           }
           sb += 1
         }
-        aliasUnreduce(xr(ch)(g))
+        // mixed granules alias-reduce only the long sb0/sb1 boundary
+        // on the decode side; invert exactly that
+        aliasUnreduce(xr(ch)(g), if (mixedBlocks) 2 else 32)
         g += 1
       }
       ch += 1
@@ -1195,22 +1333,59 @@ object Mp3Codec {
       while (g < 2) {
         ch = 0
         while (ch < channels) {
-          val bits = quantizeAndCode(xr(ch)(f * 2 + g), is, sfb, main,
-            maxLevel)
-          // per-granule side info
-          side.write(bits._1, 12)  // part2_3_length
-          side.write(98, 9)        // big_values
-          side.write(bits._2, 8)   // global_gain
-          side.write(15, 4)        // scalefac_compress: slen 4/3
-          side.write(0, 1)         // window_switching off
-          side.write(bits._3, 5)   // table_select region0
-          side.write(bits._4, 5)   // region1
-          side.write(bits._5, 5)   // region2
-          side.write(7, 4)         // region0_count
-          side.write(7, 3)         // region1_count
-          side.write(0, 1)         // preflag
-          side.write(0, 1)         // scalefac_scale
-          side.write(1, 1)         // count1table_select: B
+          if (intensity && ch == 1) {
+            // empty right granule: no big values, no count1 quads;
+            // its 21 scalefactor fields carry the is_pos positions
+            // (band % 7 — every legal position incl. both extremes)
+            val startBits = main.bits
+            var band = 0
+            while (band < 21) {
+              main.write(band % 7, if (band < 11) 4 else 3)
+              band += 1
+            }
+            side.write((main.bits - startBits).toInt, 12) // part2_3 = 74
+            side.write(0, 9)    // big_values
+            side.write(210, 8)  // global_gain (unused: all-zero lines)
+            side.write(15, 4)   // scalefac_compress: slen 4/3
+            side.write(0, 1)    // window_switching off
+            side.write(0, 15)   // table_select ×3 (table 0)
+            side.write(7, 4); side.write(7, 3) // region counts
+            side.write(0, 1); side.write(0, 1) // preflag, scalefac_scale
+            side.write(1, 1)    // count1table_select: B
+          } else if (mixedBlocks) {
+            val bits = quantizeAndCodeMixed(xr(ch)(f * 2 + g), is, main,
+              maxLevel)
+            side.write(bits._1, 12)  // part2_3_length
+            side.write(98, 9)        // big_values
+            side.write(bits._2, 8)   // global_gain
+            side.write(15, 4)        // scalefac_compress: slen 4/3
+            side.write(1, 1)         // window_switching ON
+            side.write(2, 2)         // block_type 2
+            side.write(1, 1)         // mixed_block_flag
+            side.write(bits._3, 5)   // table_select region0
+            side.write(bits._4, 5)   // region1
+            side.write(0, 9)         // subblock gains
+            side.write(0, 1)         // preflag
+            side.write(0, 1)         // scalefac_scale
+            side.write(1, 1)         // count1table_select: B
+          } else {
+            val bits = quantizeAndCode(xr(ch)(f * 2 + g), is, sfb, main,
+              maxLevel)
+            // per-granule side info
+            side.write(bits._1, 12)  // part2_3_length
+            side.write(98, 9)        // big_values
+            side.write(bits._2, 8)   // global_gain
+            side.write(15, 4)        // scalefac_compress: slen 4/3
+            side.write(0, 1)         // window_switching off
+            side.write(bits._3, 5)   // table_select region0
+            side.write(bits._4, 5)   // region1
+            side.write(bits._5, 5)   // region2
+            side.write(7, 4)         // region0_count
+            side.write(7, 3)         // region1_count
+            side.write(0, 1)         // preflag
+            side.write(0, 1)         // scalefac_scale
+            side.write(1, 1)         // count1table_select: B
+          }
           ch += 1
         }
         g += 1
@@ -1224,8 +1399,9 @@ object Mp3Codec {
       // header: sync, MPEG-1, Layer III, no CRC, 320 kbps, 44.1 kHz
       out.write(0xff); out.write(0xfb)
       out.write((14 << 4) | (0 << 2) | 0) // bitrate|rate|pad|priv
-      val mode = if (channels == 1) 3 else if (msStereo) 1 else 0
-      val modeExt = if (msStereo) 2 else 0
+      val mode =
+        if (channels == 1) 3 else if (msStereo || intensity) 1 else 0
+      val modeExt = if (intensity) 1 else if (msStereo) 2 else 0
       out.write((mode << 6) | (modeExt << 4) | (0 << 3) | (1 << 2) | 0)
       out.write(sideBytes)
       out.write(mainBytes)
@@ -1237,9 +1413,9 @@ object Mp3Codec {
   }
 
   /** Inverse alias butterflies (transpose of the decoder rotation). */
-  private def aliasUnreduce(xr: Array[Double]): Unit = {
+  private def aliasUnreduce(xr: Array[Double], sbLim: Int = 32): Unit = {
     var sb = 1
-    while (sb < 32) {
+    while (sb < sbLim) {
       var i = 0
       while (i < 8) {
         val lo = sb * 18 - 1 - i
@@ -1257,6 +1433,151 @@ object Mp3Codec {
     * ceiling (xlen − 1). Cost-ranked per region at encode time.
     */
   private val EncoderTables = Array(1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12)
+
+  /** Cheapest carried table covering a region of `is` (exact bit
+    * cost; sign bits are table-invariant); 0 when the region is all
+    * zero.
+    */
+  private def selectTable(is: Array[Int], from: Int, until: Int): Int = {
+    var regionMax = 0
+    var i = from
+    while (i < until) {
+      regionMax = math.max(regionMax, math.abs(is(i))); i += 1
+    }
+    if (regionMax == 0) return 0
+    var best = -1
+    var bestCost = Int.MaxValue
+    var c = 0
+    while (c < EncoderTables.length) {
+      val id = EncoderTables(c)
+      val ht = Tables(id)
+      if (ht.xlen > regionMax) {
+        var cost = 0
+        i = from
+        while (i < until) {
+          cost += ht.len(math.abs(is(i)) * ht.ylen + math.abs(is(i + 1)))
+          i += 2
+        }
+        if (cost < bestCost) { bestCost = cost; best = id }
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** Write one big-value region of `is` with table `tsel`. */
+  private def writeRegion(main: BitWriter, is: Array[Int], from: Int,
+      until: Int, tsel: Int): Unit = {
+    if (tsel == 0) return
+    val ht = Tables(tsel)
+    var i = from
+    while (i < until) {
+      val x = is(i); val y = is(i + 1)
+      val idx = math.abs(x) * ht.ylen + math.abs(y)
+      main.write(ht.cod(idx), ht.len(idx))
+      if (x != 0) main.write(if (x < 0) 1 else 0, 1)
+      if (y != 0) main.write(if (y < 0) 1 else 0, 1)
+      i += 2
+    }
+  }
+
+  /** Write the count1 region (table B) of `is` from line 196 up. */
+  private def writeCount1B(main: BitWriter, is: Array[Int]): Unit = {
+    var i = 196
+    while (i < 576) {
+      val v = is(i); val w = is(i + 1); val x = is(i + 2); val y = is(i + 3)
+      val q = (math.abs(v) << 3) | (math.abs(w) << 2) |
+        (math.abs(x) << 1) | math.abs(y)
+      main.write((~q) & 0xf, 4)
+      if (v != 0) main.write(if (v < 0) 1 else 0, 1)
+      if (w != 0) main.write(if (w < 0) 1 else 0, 1)
+      if (x != 0) main.write(if (x < 0) 1 else 0, 1)
+      if (y != 0) main.write(if (y < 0) 1 else 0, 1)
+      i += 4
+    }
+  }
+
+  /** MIXED-block granule: quantize the split-layout spectrum (xr
+    * arrives in the IMDCT layout — long lines 0-35 natural, short
+    * lines m*3+w interleaved per subband) under global_gain only
+    * (every scalefactor field is written as zero, so the decoder's
+    * mixed scalefactor read path is fully exercised while the
+    * quantizer stays one-step), permute the short part to CODING
+    * order (the reorder inverse), and pack. Returns (part2_3_length,
+    * global_gain, table_select region0, region1).
+    */
+  private def quantizeAndCodeMixed(xr: Array[Double], is: Array[Int],
+      main: BitWriter, maxLevel: Int): (Int, Int, Int, Int) = {
+    val startBits = main.bits
+    var maxAbs = 0.0
+    var i = 0
+    while (i < 576) { maxAbs = math.max(maxAbs, math.abs(xr(i))); i += 1 }
+    val gg =
+      if (maxAbs <= 0) 210
+      else math.min(255, math.max(0,
+        210 + math.ceil(4.0 * (math.log(maxAbs * 1.0001) /
+          math.log(2.0))).toInt))
+    val step = math.pow(2.0, (gg - 210) / 4.0)
+    // mixed scalefactors, all zero: 8 long (slen1) + short bands 3-5
+    // (slen1) + 6-11 (slen2), per window — 122 bits at compress 15
+    var b = 0
+    while (b < 8) { main.write(0, 4); b += 1 }
+    b = 3
+    while (b < 12) {
+      var w = 0
+      while (w < 3) { main.write(0, if (b < 6) 4 else 3); w += 1 }
+      b += 1
+    }
+    // quantize in the IMDCT layout (same power-law as the long path)
+    val q = new Array[Int](576)
+    i = 0
+    while (i < 576) {
+      val ratio = math.abs(xr(i)) / step
+      val qq =
+        if (maxLevel == 1) math.min(1, math.round(ratio).toInt)
+        else math.min(maxLevel,
+          math.round(math.pow(ratio, 0.75)).toInt)
+      q(i) = if (xr(i) < 0) -qq else qq
+      i += 1
+    }
+    // permute the short part (bands 3-12) to coding order; the long
+    // 36 lines are order-invariant
+    val bounds = SfbShort(0)
+    i = 0
+    while (i < 36) { is(i) = q(i); i += 1 }
+    b = 3
+    while (b < 13) {
+      val start = bounds(b) * 3
+      val bw = bounds(b + 1) - bounds(b)
+      var w = 0
+      while (w < 3) {
+        var j = 0
+        while (j < bw) {
+          is(start + w * bw + j) = q(start + j * 3 + w)
+          j += 1
+        }
+        w += 1
+      }
+      b += 1
+    }
+    // count1 quads only code ±1: clamp the coding tail
+    i = 196
+    while (i < 576) {
+      if (is(i) > 1) is(i) = 1 else if (is(i) < -1) is(i) = -1
+      i += 1
+    }
+    // big_values = 98: region0 = lines 0-35 (the long part exactly),
+    // region1 = 36-195 — the windowSwitching region split the decoder
+    // derives for mixed granules
+    val t0 = selectTable(is, 0, 36)
+    val t1 = selectTable(is, 36, 196)
+    writeRegion(main, is, 0, 36, t0)
+    writeRegion(main, is, 36, 196, t1)
+    writeCount1B(main, is)
+    val part23 = (main.bits - startBits).toInt
+    require(part23 < 4096, s"part2_3_length $part23")
+    (part23, gg, t0, t1)
+  }
 
   /** Quantize one granule's spectrum to magnitudes ≤ `maxLevel`
     * (count1 region stays ternary — quads only code ±1) and
