@@ -5056,6 +5056,130 @@ object SparkEntry {
     }
   }
 
+  /** Streaming AUDIO perceptual dedup gate
+    * ([[graft.streaming.StreamingDedup.audioDupStream]]): the MP3
+    * family payloads (WAV / FLAC / mono MP3 / MS MP3 / solo — the
+    * full Layer III decode at ingest) stream through the
+    * envelope-hash band-ownership state machine; with one constant-ts
+    * window the survivor set is batch-expressible — a doc survives
+    * iff no SMALLER doc shares any of its four 16-bit envelope bands
+    * — and the oracle replays that from the arithmetic envelope CTE.
+    * Same watermark-sentinel dance as `streaming_multimodal_neardup`;
+    * the sentinel is a short WAV (the hash needs a decodable payload
+    * to ride the post-state watermark).
+    */
+  private def streamingAudiodupMp3Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevCk = s.conf.get(ckKey)
+    val prevSp = s.conf.get(spKey)
+    s.conf.set(ckKey, "false")
+    s.conf.set(spKey, "8")
+    try {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("audiodup_gate").toString
+      mp3Payloads(s, dir)
+        .select(col("doc_id"), col("payload"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ingest_ts"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType),
+        StructField("ingest_ts", TimestampType)))
+      val out = graft.streaming.StreamingDedup.audioDupStream(
+        s.readStream.schema(schema).parquet(srcDir),
+        horizon = "10 seconds")
+      try s.catalog.dropTempView("stream_audiodup")
+      catch { case _: Throwable => () }
+      val q = out.writeStream.format("memory")
+        .queryName("stream_audiodup")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      def sentinel(ts: String): Unit =
+        Seq((-1L, ts)).toDF("doc_id", "ts")
+          .select(col("doc_id"),
+            graft.functions.AudioFunctions.wavEncode(
+              transform(sequence(lit(0), lit(129)), i => i * 7),
+              channels = 1).as("payload"),
+            col("ts").cast("timestamp").as("ingest_ts"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      sentinel("2024-01-02 00:00:00")
+      q.processAllAvailable()
+      sentinel("2024-01-03 00:00:00")
+      q.processAllAvailable()
+      q.stop()
+      s.table("stream_audiodup").filter(col("doc_id") >= 0)
+        .select(col("doc_id"))
+    } finally {
+      s.conf.set(ckKey, prevCk)
+      s.conf.set(spKey, prevSp)
+    }
+  }
+
+  /** Streaming VIDEO content-level dedup gate
+    * ([[graft.streaming.StreamingDedup.videoDupStream]]): the mixed
+    * still/MP4 fixture (bare JPEG / single-keyframe MP4 / decoy-first
+    * MP4 whose `stss` marks sample 2) streams through the canonical-
+    * frame projection + dHash band-ownership state machine — ingest-
+    * time dedup of videos against stills of the same picture, the
+    * sample-table walk load-bearing live. Constant-ts survivor rule
+    * and sentinel as in `streaming_multimodal_neardup`.
+    */
+  private def streamingVideoNeardupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevCk = s.conf.get(ckKey)
+    val prevSp = s.conf.get(spKey)
+    s.conf.set(ckKey, "false")
+    s.conf.set(spKey, "8")
+    try {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("videodup_gate").toString
+      videoFramePayloads(s, dir)
+        .select(col("doc_id"), col("payload"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ingest_ts"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType),
+        StructField("ingest_ts", TimestampType)))
+      val out = graft.streaming.StreamingDedup.videoDupStream(
+        s.readStream.schema(schema).parquet(srcDir),
+        horizon = "10 seconds")
+      try s.catalog.dropTempView("stream_videodup")
+      catch { case _: Throwable => () }
+      val q = out.writeStream.format("memory")
+        .queryName("stream_videodup")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // the sentinel must survive canonicalFrame + dhash: a 1x1 BMP
+      // falls through the keyframe walk untouched and hashes
+      val tinyBmp = "424D3A000000000000003600000028000000010000000100" +
+        "000001001800" + "0" * 48 + "AABBCC00"
+      def sentinel(ts: String): Unit =
+        Seq((-1L, ts)).toDF("doc_id", "ts")
+          .select(col("doc_id"), unhex(lit(tinyBmp)).as("payload"),
+            col("ts").cast("timestamp").as("ingest_ts"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      sentinel("2024-01-02 00:00:00")
+      q.processAllAvailable()
+      sentinel("2024-01-03 00:00:00")
+      q.processAllAvailable()
+      q.stop()
+      s.table("stream_videodup").filter(col("doc_id") >= 0)
+        .select(col("doc_id"))
+    } finally {
+      s.conf.set(ckKey, prevCk)
+      s.conf.set(spKey, prevSp)
+    }
+  }
+
   /** Streaming windowed hourly aggregation, gated against the exact
     * batch oracle: Complete output mode emits every window at the final
     * AvailableNow commit (the watermark only bounds state in the
@@ -7003,6 +7127,8 @@ object SparkEntry {
     "streaming_dedup_exact" -> (streamingDedupExactQ _),
     "streaming_dedup_neardup" -> (streamingDedupNearQ _),
     "streaming_multimodal_neardup" -> (streamingMultimodalNeardupQ _),
+    "streaming_audiodup_mp3" -> (streamingAudiodupMp3Q _),
+    "streaming_video_neardup" -> (streamingVideoNeardupQ _),
     "streaming_sessionize" -> (streamingSessionizeQ _),
     "streaming_sessionize_rocksdb" -> (streamingSessionizeRocksQ _),
     "streaming_sessionize_window" -> (streamingSessionizeWindowQ _),
@@ -10121,6 +10247,27 @@ object SparkEntry {
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     "streaming_dedup_neardup" -> dkStreamingNearDup,
     "streaming_multimodal_neardup" ->
+      s"""WITH $dkDhash,
+         bk AS (SELECT doc_id, b,
+             (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM dh, (SELECT unnest(range(0, 4)) AS b)),
+         coll AS (SELECT DISTINCT a.doc_id FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND c.doc_id < a.doc_id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM coll)""",
+    // streaming twins of the MP3-envelope / MP4-keyframe legs: same
+    // constant-ts bucket-ownership survivor rule, hashes from the
+    // respective arithmetic CTEs (envelope / picture formula)
+    "streaming_audiodup_mp3" ->
+      s"""WITH RECURSIVE $dkMp3Envelope,
+         bk AS (SELECT doc_id, b,
+             (ahash >> CAST(16*b AS INTEGER)) & 65535 AS bb
+           FROM ah, (SELECT unnest(range(0, 4)) AS b)),
+         coll AS (SELECT DISTINCT a.doc_id FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bb = c.bb AND c.doc_id < a.doc_id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM coll)""",
+    "streaming_video_neardup" ->
       s"""WITH $dkDhash,
          bk AS (SELECT doc_id, b,
              (dhash >> CAST(16*b AS INTEGER)) & 65535 AS bb

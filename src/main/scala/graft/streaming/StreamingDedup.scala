@@ -162,7 +162,51 @@ object StreamingDedup {
   def perceptualDupStream(
       stream: DataFrame,
       horizon: String = "1 hour",
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4): DataFrame =
+    hash64DupStream(stream,
+      p => graft.functions.ImageFunctions.dhash(p), horizon, bands)
+
+  /** [[perceptualDupStream]] for AUDIO: the same band-ownership state
+    * machine over the 64-bit energy-envelope hash (real WAV / FLAC /
+    * MP3 sample decode, [[graft.functions.AudioFunctions
+    * .audioEnvelopeHash]]) — ingest-time dedup of one recording
+    * across containers, codecs (incl. the multi-table / intensity /
+    * mixed-block Layer III shapes), and volume changes.
+    */
+  def audioDupStream(
+      stream: DataFrame,
+      horizon: String = "1 hour",
+      bands: Int = 4): DataFrame =
+    hash64DupStream(stream,
+      p => graft.functions.AudioFunctions.audioEnvelopeHash(p), horizon,
+      bands)
+
+  /** [[perceptualDupStream]] with VIDEO payloads participating at
+    * content level: every payload projects to its canonical visual
+    * frame first ([[graft.operators.Multimodal.canonicalFrame]] — the
+    * first sync keyframe of an MP4, the payload itself for a bare
+    * image), so live-ingested videos dedup against each other and
+    * against stills of the same picture. The frame projection is one
+    * more map stage on the pre-shuffle side; the state machine is
+    * unchanged.
+    */
+  def videoDupStream(
+      stream: DataFrame,
+      horizon: String = "1 hour",
+      bands: Int = 4): DataFrame =
+    hash64DupStream(stream,
+      p => graft.functions.ImageFunctions.dhash(
+        graft.operators.Multimodal.canonicalFrame(p)), horizon, bands)
+
+  /** The shared 64-bit-fingerprint band-ownership state machine
+    * behind the perceptual/audio/video dup streams — the streaming
+    * twin of [[graft.operators.Multimodal]]'s `hash64BandPairs`.
+    */
+  private def hash64DupStream(
+      stream: DataFrame,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      horizon: String,
+      bands: Int): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
@@ -184,8 +228,7 @@ object StreamingDedup {
 
     val marked = stream.withWatermark("ingest_ts", horizon)
       .select(col("doc_id"), col("ingest_ts"),
-        graft.functions.ImageFunctions.dhash(
-          col("payload").cast(BinaryType)).as("__dh"))
+        hashFn(col("payload").cast(BinaryType)).as("__dh"))
     val bandRows = marked.filter(col("__dh").isNotNull)
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
