@@ -34,9 +34,13 @@ import org.apache.spark.sql.types._
   */
 object Mp4Codec {
 
-  /** Bomb guard: more samples than this in a declared table → null
-    * (a fixture-scale payload with a million-entry table is corrupt
-    * or adversarial, and per-row work must stay bounded).
+  /** Encoder-side bound only (a fixture never needs more frames).
+    * The DECODE walk has no sample-count cap: the tables are lazy
+    * random-access views, so locating sync sample #k costs work
+    * proportional to that sample's table position — and every
+    * variable-length table is bounded by its box's byte length, i.e.
+    * by the payload itself (a 65k-sample ≈ 43-minute recording, or a
+    * 10^6-sample one, resolves keyframe 1 in a handful of reads).
     */
   val MaxSamples: Int = 1 << 16
 
@@ -70,13 +74,32 @@ object Mp4Codec {
     null
   }
 
-  /** The sample tables of the first JPEG-coded video track. */
+  /** LAZY view over the first JPEG-coded video track's sample tables.
+    * stsz/stco/co64/stsc/stss are flat fixed-width arrays inside
+    * their boxes, so every entry is one bounds-pre-checked O(1) read
+    * into the payload — nothing materializes, and the cost of
+    * locating a sample is proportional to its table position, never
+    * to the declared sample count. Per-entry VALUE validation
+    * (positive sizes, in-range offsets, ascending runs/sync ids)
+    * happens at access time on exactly the entries the walk touches;
+    * any violation surfaces as null from [[keyframes]].
+    */
   private final class Tables(
-    val sizes: Array[Int],          // per-sample byte sizes
-    val chunkOffsets: Array[Long],  // absolute file offsets
-    val stscFirst: Array[Int],      // 1-based first_chunk per run
-    val stscPer: Array[Int],        // samples_per_chunk per run
-    val sync: Array[Int])           // 1-based sample numbers; null = all
+    val a: Array[Byte],
+    val uniform: Int,   // != 0: every sample this size (no size array)
+    val stszData: Int,  // offset of the per-sample 32-bit size array
+    val n: Long,        // declared sample count
+    val coData: Int, val wide: Boolean, val nChunks: Int,
+    val stscData: Int, val nRuns: Int,
+    val stssData: Int, val nSync: Int) { // nSync -1 = absent: all sync
+    def size(i: Int): Long =
+      if (uniform != 0) uniform.toLong else be32(a, stszData + 4 * i)
+    def chunkOffset(c: Int): Long =
+      if (wide) be64(a, coData + 8 * c) else be32(a, coData + 4 * c)
+    def runFirst(r: Int): Long = be32(a, stscData + 12 * r)
+    def runPer(r: Int): Long = be32(a, stscData + 4 + 12 * r)
+    def sync(i: Int): Long = be32(a, stssData + 4 * i)
+  }
 
   /** Parse the first `jpeg`/`mjpa` track's tables; null if none or
     * malformed.
@@ -112,28 +135,21 @@ object Mp4Codec {
     if (be32(a, stsd(0)) != 0 || be32(a, stsd(0) + 4) < 1) return null
     val fmtOff = stsd(0) + 12
     if (!tag(a, fmtOff, "jpeg") && !tag(a, fmtOff, "mjpa")) return null
-    // stsz
+    // stsz: header checks only — the size array stays in place
     val stsz = findBox(a, stbl(0), stbl(1), "stsz")
     if (stsz == null || stsz(0) + 12 > stsz(1) ||
       be32(a, stsz(0)) != 0) return null
     val uniform = be32(a, stsz(0) + 4)
     val n = be32(a, stsz(0) + 8)
-    if (n <= 0 || n > MaxSamples) return null
-    val sizes = new Array[Int](n.toInt)
+    if (n <= 0) return null
     if (uniform != 0) {
       if (uniform > a.length) return null
-      java.util.Arrays.fill(sizes, uniform.toInt)
     } else {
+      // the size array must physically fit its box — this bounds n by
+      // the payload's own byte length, no artificial cap needed
       if (stsz(0) + 12 + 4L * n > stsz(1)) return null
-      var i = 0
-      while (i < n) {
-        val sz = be32(a, stsz(0) + 12 + 4 * i)
-        if (sz <= 0 || sz > a.length) return null
-        sizes(i) = sz.toInt
-        i += 1
-      }
     }
-    // stco / co64
+    // stco / co64: header checks; offsets read lazily
     val stco = findBox(a, stbl(0), stbl(1), "stco")
     val co64 = if (stco == null) findBox(a, stbl(0), stbl(1), "co64")
       else null
@@ -141,82 +157,72 @@ object Mp4Codec {
     val co = if (wide) co64 else stco
     if (co == null || co(0) + 8 > co(1) || be32(a, co(0)) != 0) return null
     val nc = be32(a, co(0) + 4)
-    if (nc <= 0 || nc > MaxSamples) return null
     val step = if (wide) 8 else 4
-    if (co(0) + 8 + step.toLong * nc > co(1)) return null
-    val offs = new Array[Long](nc.toInt)
-    var c = 0
-    while (c < nc) {
-      offs(c) = if (wide) be64(a, co(0) + 8 + 8 * c)
-        else be32(a, co(0) + 8 + 4 * c)
-      if (offs(c) < 0 || offs(c) > a.length) return null
-      c += 1
-    }
-    // stsc
+    if (nc <= 0 || co(0) + 8 + step.toLong * nc > co(1) ||
+      nc > Int.MaxValue) return null
+    // stsc: header checks; runs read lazily during the walk
     val stsc = findBox(a, stbl(0), stbl(1), "stsc")
     if (stsc == null || stsc(0) + 8 > stsc(1) ||
       be32(a, stsc(0)) != 0) return null
     val nr = be32(a, stsc(0) + 4)
-    if (nr <= 0 || nr > MaxSamples ||
-      stsc(0) + 8 + 12L * nr > stsc(1)) return null
-    val first = new Array[Int](nr.toInt)
-    val per = new Array[Int](nr.toInt)
-    var r = 0
-    while (r < nr) {
-      val f = be32(a, stsc(0) + 8 + 12 * r)
-      val p = be32(a, stsc(0) + 12 + 12 * r)
-      if (f <= 0 || f > nc || p <= 0 || p > n ||
-        (r > 0 && f <= first(r - 1))) return null
-      first(r) = f.toInt; per(r) = p.toInt
-      r += 1
-    }
+    if (nr <= 0 || stsc(0) + 8 + 12L * nr > stsc(1)) return null
     // stss (optional: absent = every sample is sync, §8.6.2)
     val stss = findBox(a, stbl(0), stbl(1), "stss")
-    val sync =
-      if (stss == null) null
-      else {
-        if (stss(0) + 8 > stss(1) || be32(a, stss(0)) != 0) return null
-        val ns = be32(a, stss(0) + 4)
-        if (ns < 0 || ns > MaxSamples ||
-          stss(0) + 8 + 4L * ns > stss(1)) return null
-        val s = new Array[Int](ns.toInt)
-        var i = 0
-        while (i < ns) {
-          val v = be32(a, stss(0) + 8 + 4 * i)
-          if (v <= 0 || v > n || (i > 0 && v <= s(i - 1))) return null
-          s(i) = v.toInt
-          i += 1
-        }
-        s
-      }
-    new Tables(sizes, offs, first, per, sync)
+    var stssData = -1
+    var ns = -1L
+    if (stss != null) {
+      if (stss(0) + 8 > stss(1) || be32(a, stss(0)) != 0) return null
+      ns = be32(a, stss(0) + 4)
+      if (ns < 0 || stss(0) + 8 + 4L * ns > stss(1)) return null
+      stssData = stss(0) + 8
+    }
+    new Tables(a, if (uniform != 0) uniform.toInt else 0,
+      stsz(0) + 12, n, co(0) + 8, wide, nc.toInt,
+      stsc(0) + 8, nr.toInt, stssData, ns.toInt)
   }
 
-  /** Absolute byte range of 0-based sample `s`: chunk from the stsc
-    * runs, then the within-chunk size prefix. Null range (-1) on any
-    * inconsistency.
+  /** Absolute byte range of 0-based sample `s`: walk the stsc runs to
+    * the covering chunk (validating exactly the runs touched), then
+    * the within-chunk size prefix — CLOSED FORM for uniform sizes, a
+    * loop bounded by the size array's byte length otherwise. -1 on
+    * any inconsistency.
     */
-  private def sampleOffset(t: Tables, s: Int): Long = {
-    // walk runs: run r covers chunks first(r)..first(r+1)-1, each
-    // holding per(r) samples
+  private def sampleOffset(t: Tables, s: Long): Long = {
     var r = 0
-    var firstSampleOfRun = 0 // 0-based index of run's first sample
-    while (r < t.stscFirst.length) {
-      val runChunks =
-        (if (r + 1 < t.stscFirst.length) t.stscFirst(r + 1)
-         else t.chunkOffsets.length + 1) - t.stscFirst(r)
-      val runSamples = runChunks.toLong * t.stscPer(r)
+    var firstSampleOfRun = 0L
+    var prevFirst = 0L
+    while (r < t.nRuns) {
+      val f = t.runFirst(r)
+      val p = t.runPer(r)
+      if (f <= prevFirst || f > t.nChunks || p <= 0 || p > t.n)
+        return -1L
+      val nextFirst =
+        if (r + 1 < t.nRuns) t.runFirst(r + 1) else t.nChunks + 1L
+      if (nextFirst <= f) return -1L
+      val runSamples = (nextFirst - f) * p
       if (s < firstSampleOfRun + runSamples) {
         val rel = s - firstSampleOfRun
-        val chunk = t.stscFirst(r) - 1 + rel / t.stscPer(r)
-        if (chunk >= t.chunkOffsets.length) return -1L
-        var off = t.chunkOffsets(chunk.toInt)
-        val firstInChunk = s - (rel % t.stscPer(r)).toInt
-        var i = firstInChunk
-        while (i < s) { off += t.sizes(i); i += 1 }
+        val chunk = f - 1 + rel / p
+        if (chunk >= t.nChunks) return -1L
+        var off = t.chunkOffset(chunk.toInt)
+        if (off < 0 || off > t.a.length) return -1L
+        if (t.uniform != 0) {
+          off += (rel % p) * t.uniform
+        } else {
+          // s fits an Int here: non-uniform n is bounded by the size
+          // array's box bytes (n <= payload/4)
+          var i = (s - rel % p).toInt
+          while (i < s) {
+            val sz = t.size(i)
+            if (sz <= 0 || sz > t.a.length) return -1L
+            off += sz
+            i += 1
+          }
+        }
         return off
       }
-      firstSampleOfRun += runSamples.toInt
+      firstSampleOfRun += runSamples
+      prevFirst = f
       r += 1
     }
     -1L
@@ -226,23 +232,31 @@ object Mp4Codec {
     * track; null if the payload is not such an MP4 (or any table is
     * malformed / out of bounds). Each element is a complete JPEG
     * stream sliced from `mdat` by the tables — content untouched.
+    * Work is proportional to the LAST requested sync sample's table
+    * position, never the declared sample count.
     */
   def keyframes(a: Array[Byte], maxFrames: Int): Array[Array[Byte]] = {
     val t = tables(a)
     if (t == null) return null
-    val n = t.sizes.length
-    val syncCount = if (t.sync == null) n else t.sync.length
-    val k = math.min(maxFrames, syncCount)
+    val syncCount: Long = if (t.nSync < 0) t.n else t.nSync.toLong
+    val k = math.min(maxFrames.toLong, syncCount).toInt
     if (k <= 0) return null
     val out = new Array[Array[Byte]](k)
+    var prevSync = 0L
     var i = 0
     while (i < k) {
-      val s = (if (t.sync == null) i + 1 else t.sync(i)) - 1 // 0-based
-      if (s < 0 || s >= n) return null
+      val s1 = if (t.nSync < 0) i + 1L else t.sync(i) // 1-based
+      if (s1 <= prevSync || s1 > t.n) return null // ascending, in range
+      prevSync = s1
+      val s = s1 - 1
       val off = sampleOffset(t, s)
-      if (off < 0 || off + t.sizes(s) > a.length) return null
+      if (off < 0) return null
+      val sz =
+        if (t.uniform != 0) t.uniform.toLong
+        else t.size(s.toInt) // non-uniform n bounded by payload/4
+      if (sz <= 0 || off + sz > a.length) return null
       out(i) = java.util.Arrays.copyOfRange(
-        a, off.toInt, off.toInt + t.sizes(s))
+        a, off.toInt, (off + sz).toInt)
       i += 1
     }
     out

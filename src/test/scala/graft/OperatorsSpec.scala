@@ -3614,6 +3614,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Mp4Codec.keyframes("RIFFxxxxWAVE".getBytes, 1) == null)
   }
 
+  test("Mp4Codec: the lazy table walk resolves keyframe 1 from a" +
+      " BILLION-sample declared table in bounded work (uniform stsz," +
+      " single chunk run) and still catches the out-of-payload tail") {
+    import graft.functions.Mp4Codec
+    def be32b(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(name: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32b(body.length + 8L) ++ name.getBytes("US-ASCII") ++ body
+    }
+    val frame = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val ftyp = bx("ftyp", "isom".getBytes, be32b(0), "isom".getBytes)
+    val mdat = bx("mdat", frame)
+    val frameOff = ftyp.length + 8L
+    val n = 1000000000L // a ~12-year recording at 30 fps; never iterated
+    val stsd = bx("stsd", be32b(0), be32b(1),
+      be32b(8), "jpeg".getBytes)
+    val stsz = bx("stsz", be32b(0), be32b(100), be32b(n)) // uniform
+    val stsc = bx("stsc", be32b(0), be32b(1),
+      be32b(1), be32b(n), be32b(1)) // one run: all samples, one chunk
+    val stco = bx("stco", be32b(0), be32b(1), be32b(frameOff))
+    val moov = bx("moov", bx("trak", bx("mdia", bx("minf",
+      bx("stbl", stsd, stsz, stsc, stco)))))
+    val mp4 = ftyp ++ mdat ++ moov
+    val t0 = System.nanoTime()
+    val k = Mp4Codec.keyframes(mp4, 1) // no stss: sample 1 is sync
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(k != null && k.length === 1 && k(0).sameElements(frame),
+      "keyframe 1 sliced from a 10^9-sample table")
+    assert(ms < 1000, s"walk must be table-position-bounded, took $ms ms")
+    // sample 3's uniform offset overruns the payload: caught, null
+    // (sample 2 lands inside the trailing moov bytes — structurally
+    // indistinguishable from a legal mdat placement, so only the
+    // payload boundary is checkable)
+    assert(Mp4Codec.keyframes(mp4, 3) == null,
+      "out-of-payload tail sample must null the extraction")
+  }
+
   test("Wet walk: a payload QUOTING a WARC header parses intact" +
       " through the Content-Length walk, where a version-line split" +
       " provably fragments it; malformed records quarantine by" +
