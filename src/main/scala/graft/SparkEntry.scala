@@ -2266,6 +2266,54 @@ object SparkEntry {
         col("text")),
       "uri", "text", base, numFiles = 8)
 
+  /** 27 ASCII chars; the truncated-record plant declares its
+    * Content-Length 20 bytes short, cutting INSIDE this marker so the
+    * byte arithmetic never splits a multi-byte code point of the
+    * document text.
+    */
+  private val QuarantineMarker = " #QUARANTINE-TAIL-ABCDEFGHI"
+
+  /** Malformed-WET ingest → quarantine → curate, end to end: every
+    * 7th doc's record declares a SHORT Content-Length (the orphan
+    * span between its payload end and the next record emits as a
+    * null-length quarantine row), every 7th+5 omits Content-Length,
+    * every 7th+6 declares a non-numeric one (both fall to the resync
+    * branch as null-length spans). The documented validation
+    * predicate (`content_length = octet_length(text)`, non-null)
+    * quarantines all three shapes; the survivors — including the
+    * truncated-but-self-consistent m=4 records, whose text keeps the
+    * first 7 marker chars — flow through [[graft.operators.Pipeline
+    * .curate]] (length gate, exact-normalized dedup, split
+    * assignment). The oracle replays corruption, quarantine rule, and
+    * the curate chain from `documents`.
+    */
+  private def wetCurateQuarantineQ(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_wetq_${Integer.toHexString(dir.hashCode)}"
+    val m = col("doc_id") % 7
+    val textp = when(m === 4, concat(col("text"), lit(QuarantineMarker)))
+      .otherwise(col("text"))
+    val cl = when(m === 4, octet_length(textp) - 20)
+      .otherwise(octet_length(textp))
+    val clField = when(m === 5, lit(""))
+      .when(m === 6, lit("\r\nContent-Length: 12x34"))
+      .otherwise(concat(lit("\r\nContent-Length: "), cl.cast("string")))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+      lit("http://example.org/doc/"), col("doc_id").cast("string"),
+      clField, lit("\r\n\r\n"), textp, lit("\r\n\r\n"))
+    docs(s, dir).select(col("doc_id").as("__u"), rec.as("value"))
+      .repartition(8, col("__u")).select(col("value"))
+      .write.mode("overwrite").text(base)
+    val recs = graft.sources.Wet.readWet(s, base)
+      .filter(col("content_length").isNotNull &&
+        col("content_length") === octet_length(col("text")))
+      .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), col("text"))
+    graft.operators.Pipeline.curate(recs, "doc_id", "text",
+      minChars = 250, maxChars = 100000)
+      .select(col("doc_id"), col("split"))
+  }
+
   /** Composed curation: length gate -> exact-normalized dedup ->
     * decontaminate (probe = %13 docs) -> train/val/test assignment.
     * The near-dup and line-dedup stages are off here (their survivor
@@ -6913,6 +6961,7 @@ object SparkEntry {
     "html_extract"     -> (htmlExtractQ _),
     "curate_html"      -> (curateHtmlQ _),
     "wet_roundtrip"    -> (wetRoundtripQ _),
+    "wet_curate_quarantine" -> (wetCurateQuarantineQ _),
     "streaming_upsample" -> (streamingUpsampleQ _),
     "streaming_wet"    -> (streamingWetQ _),
     "dedup_lsh_verified" -> (dedupLshVerifiedQ _),
@@ -8177,6 +8226,23 @@ object SparkEntry {
          FROM (SELECT doc_id,
              ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM fin)""",
     "wet_roundtrip" -> dkWetOracle,
+    // the malformed plants (m 5/6) never re-enter: the walk emits them
+    // as null-length spans and the quarantine predicate drops them;
+    // m=4 survives self-consistently truncated (7 marker chars kept)
+    "wet_curate_quarantine" ->
+      s"""WITH src AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 4 THEN text || ' #QUARA'
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 7 NOT IN (5, 6)),
+       q AS (SELECT doc_id, text FROM src
+         WHERE length(text) >= 250 AND length(text) <= 100000),
+       ex AS (SELECT min(doc_id) AS doc_id FROM q
+         GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+       SELECT doc_id,
+         CASE WHEN h < 800000 THEN 'train'
+              WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+           ${dkHash("CAST(doc_id AS VARCHAR)")} % 1000000 AS h FROM ex)""",
     "streaming_wet" -> dkWetOracle,
     "curate_pipeline" -> dkCurate,
     "curate_substring" -> dkCurateSubstring,

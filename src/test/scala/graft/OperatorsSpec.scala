@@ -3709,6 +3709,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bad(0).getLong(1) !=
       bad(0).getString(2).getBytes("UTF-8").length.toLong,
       "the quarantine predicate must fire")
+    // UNDER-declared length: the payload parses self-consistently, and
+    // the orphan span between its end and the next record emits as its
+    // OWN quarantine record (null content_length) — nothing silently
+    // drops, nothing escapes quarantine
+    val shortDir = java.nio.file.Files.createTempDirectory("graft_wet_s")
+    java.nio.file.Files.write(shortDir.resolve("s.wet"),
+      ("WARC/1.0\r\nWARC-Target-URI: http://s.example/a\r\n" +
+        "Content-Length: 4\r\n\r\nbody ORPHAN-SPAN\r\n\r\n" +
+        "WARC/1.0\r\nWARC-Target-URI: http://s.example/b\r\n" +
+        "Content-Length: 4\r\n\r\nnext\r\n\r\n").getBytes("UTF-8"))
+    val sh = graft.sources.Wet.readWet(spark, shortDir.toString)
+      .select("uri", "content_length", "text").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+        r.getString(2))).sortBy(_._1)
+    assert(sh.length === 3, s"2 records + 1 orphan, got ${sh.toSeq}")
+    assert(sh.contains(("http://s.example/a", 4L: java.lang.Long, "body")))
+    assert(sh.contains(("http://s.example/b", 4L: java.lang.Long, "next")))
+    val orphan = sh.find(_._2 == null).get
+    assert(orphan._1 === "" && orphan._3 === " ORPHAN-SPAN",
+      s"orphan span quarantines with null length: $orphan")
   }
 
   test("cluster-balanced sampling caps a head cluster at exactly n " +
