@@ -299,24 +299,54 @@ object Multimodal {
     // mod 64) and a (1L << bw) - 1 mask would be 0 — every payload in
     // one bucket, a payloads² join; -1L is the correct all-bits mask
     val mask = if (bw == 64) -1L else (1L << bw) - 1
-    // materialize the fingerprint table ONCE (LAZY checkpoint): it is
-    // 16 bytes/row while hashFn is a full media decode, and without the
-    // barrier Catalyst pushes isnotnull(hash) into the scan condition
+    // materialize the fingerprint table ONCE, via a SHUFFLE BARRIER
+    // (repartition of the 16-byte (id, fp) rows), not a checkpoint: it
+    // is 16 bytes/row while hashFn is a full media decode, and without
+    // a barrier Catalyst pushes isnotnull(hash) into the scan condition
     // and replicates the decode across the self-join's branches and the
     // hot-bucket count — measured 4 subtrees × filter+project = up to
-    // 8 decodes/row (the MP3 pairs gate dropped 9.5 → ~2 s). At corpus
-    // scale the trade is the same: billions of 16-byte rows beat
-    // re-decoding media payloads per consumer. `eager = false` keeps
-    // the public operator lazy — constructing the DataFrame runs no
-    // Spark job; the decode happens on FIRST action. Trade carried by
-    // the checkpoint either way: fingerprint blocks live in
-    // executor-local storage only, so an executor loss fails the job
-    // (caller retries) instead of recomputing the lineage.
+    // 8 decodes/row (the MP3 pairs gate dropped 9.5 → ~2 s when the
+    // barrier landed in r18). The exchange puts the decode in the map
+    // stage of ONE shuffle whose output every consumer stage re-reads
+    // (ReuseExchange unifies the identical subtrees), so the decode
+    // runs exactly once per action. Chosen over localCheckpoint
+    // (r18's form) because (a) an eager checkpoint runs a Spark job at
+    // plan-BUILD time — a side effect for a public lazy operator — and
+    // a lazy one (eager=false, r19 interim) lets the DAG scheduler
+    // launch the independent consumer stages concurrently, racing
+    // tasks through the not-yet-cached decode (measured ~2× decode on
+    // the pairs gates); and (b) shuffle output keeps lineage — an
+    // executor loss recomputes the lost map partitions instead of
+    // failing the job the way lost checkpoint blocks do. At corpus
+    // scale the trade is the same: shuffling billions of 16-byte rows
+    // once beats re-decoding media payloads per consumer.
+    // NO isnotnull(__fp) filter here: a filter on the hash column gets
+    // pushed below the exchange and — the hash expressions are
+    // CodegenFallback, so no common-subexpression elimination — the
+    // decode would run TWICE per row in the map stage (once in the
+    // Filter, once in the Project; measured +40% on the MP3 pairs
+    // gates). Null hashes die anyway: they explode to null band_bits,
+    // which the self-join's equi-keys never match (and a null-bucket
+    // row is never paired, so capping the null bucket or not cannot
+    // change the output).
+    //
+    // The isnotnull(id) filter IS explicit: the self-join infers it
+    // for its two sides and pushes it below their exchanges; stating
+    // it on the shared frame keeps all four consumer subtrees (join
+    // side a, join side b, hot-bucket count, its anti-join probe)
+    // canonically IDENTICAL, so exchange reuse folds them into one
+    // map stage — one decode per row per action. (A null-id payload
+    // could never pair regardless — `a.id < b.id` is never true on
+    // null.)
+    val fpWidth = df.sparkSession.sparkContext.defaultParallelism
     val hashed = Spread.ifNarrow(df, col(idCol))
+      .filter(col(idCol).isNotNull)
       .select(col(idCol),
         hashFn(col(payloadCol).cast(BinaryType)).as("__fp"))
-      .filter(col("__fp").isNotNull)
-      .localCheckpoint(eager = false)
+      // explicit count: a bare repartition(col) is AQE-coalescible and
+      // these rows are tiny by bytes precisely because the expensive
+      // compute sits BELOW the exchange
+      .repartition(fpWidth, col(idCol))
     val bandRows = Dedup.capHotBuckets(
       hashed.select(col(idCol), col("__fp"),
           posexplode(array((0 until bands).map(b =>
