@@ -1076,8 +1076,9 @@ object Dedup {
     val probeGrams = probe.select(explode(wordGramHash128(
         transform(words(col(textCol)), w => lower(w)), n)).as("__h"))
       .distinct()
-    val toks = substringMaterialize(corpus.select(col(idCol),
-      words(col(textCol)).as("__ws")))
+    val toks = substringMaterialize(
+      Spread.ifNarrow(corpus.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol), words(col(textCol)).as("__ws")))
     val grams = toks.filter(size(col("__ws")) >= n)
       .select(col(idCol), posexplode(wordGramHash128(
         transform(col("__ws"), w => lower(w)), n))
@@ -1131,8 +1132,10 @@ object Dedup {
     val probeGrams = probe.select(explode(intGramHash128(
         bpeTokenIds(col(textCol), merges), k)).as("__h"))
       .distinct()
-    val toks = substringMaterialize(corpus.select(col(idCol),
-      bpeTokenIds(col(textCol), merges).as("__ids")))
+    val toks = substringMaterialize(
+      Spread.ifNarrow(corpus.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol),
+          bpeTokenIds(col(textCol), merges).as("__ids")))
     val grams = toks.filter(size(col("__ids")) >= k)
       .select(col(idCol),
         posexplode(intGramHash128(col("__ids"), k))
@@ -1384,8 +1387,15 @@ object Dedup {
     // re-run over the scan for each — the same fan-out lesson (and the
     // same localCheckpoint-over-persist lifecycle choice) as
     // bigramSurprisal's transition rows
-    val toks = substringMaterialize(docs.select(col(idCol),
-      filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__ws")))
+    // spread BEFORE tokenizing: the eager materialize freezes the
+    // input's partitioning for every downstream consumer, and a
+    // single-split local input would run the whole gram fan-out
+    // (positional md5 per gram) serially (no-op at real scale)
+    val toks = substringMaterialize(
+      Spread.ifNarrow(docs.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol),
+          filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+            .as("__ws")))
     val grams = toks.filter(size(col("__ws")) >= k)
       .select(col(idCol),
         posexplode(wordGramHash128(col("__ws"), k)).as(Seq("__gpos", "__h")))
@@ -1524,8 +1534,12 @@ object Dedup {
       : DataFrame = {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val k = spanTokens
-    val toks = substringMaterialize(docs.select(col(idCol),
-      bpeTokenIds(col(textCol), merges).as("__ids")))
+    // spread BEFORE tokenizing (see dedupSubstrings): serial gram
+    // hashing on a single-split local input dominated this path
+    val toks = substringMaterialize(
+      Spread.ifNarrow(docs.select(col(idCol), col(textCol)), col(idCol))
+        .select(col(idCol),
+          bpeTokenIds(col(textCol), merges).as("__ids")))
     val grams = toks.filter(size(col("__ids")) >= k)
       .select(col(idCol),
         posexplode(intGramHash128(col("__ids"), k)).as(Seq("__gpos", "__h")))
