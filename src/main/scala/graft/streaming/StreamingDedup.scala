@@ -229,12 +229,24 @@ object StreamingDedup {
     val marked = stream.withWatermark("ingest_ts", horizon)
       .select(col("doc_id"), col("ingest_ts"),
         hashFn(col("payload").cast(BinaryType)).as("__dh"))
-    val bandRows = marked.filter(col("__dh").isNotNull)
+    // Undecodable payloads are dropped by the null-BUCKET filter AFTER
+    // the explode, not by an isnotnull(__dh) pre-filter: a filter on
+    // the hash column itself is pushed into the decode projection
+    // (PushDownPredicate substitutes the CodegenFallback decode into
+    // the predicate, and no common-subexpression elimination rescues
+    // it), so every payload was media-decoded TWICE per micro-batch —
+    // once in the Filter, once in the Project (measured ~2.5 s of the
+    // audio gate's 6 s first batch at sf0.1/32). A null __dh explodes
+    // to 4 null band_bits (shiftright(null) = null), so filtering the
+    // GENERATED bucket attribute — which cannot be pushed below the
+    // Generate — drops exactly the same rows with exactly one decode.
+    val bandRows = marked
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("__dh"), b * bw).bitwiseAND(lit(mask))
             .cast("string")): _*)),
         col("ingest_ts"))
+      .filter(col("col").isNotNull)
       .select(col("doc_id"), col("pos").as("band"),
         col("col").as("bucket"), col("ingest_ts"))
       .as[BandRow]
