@@ -140,6 +140,24 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       model: DataFrame,
+      materializeModel: Boolean = true): DataFrame =
+    langIdScoreKeyed(docs, Seq(idCol), textCol, model, materializeModel)
+
+  /** [[langIdScore]] over a COMPOSITE key — the shared implementation.
+    * One broadcast of the per-gram weight table and ONE partial-
+    * aggregable `groupBy(keys)` compute both the per-doc gram count and
+    * every language's hit sum in a single pass (the earlier two-
+    * aggregation form materialized the full gram fan-out — corpus
+    * text × 3-gram rows — in executor storage and shuffled it twice;
+    * the single pass ships only one combined row per key per map
+    * partition). The per-(gram, lang) weight table is ≤ topK·|langs|
+    * rows by [[langIdTrain]]'s cap: broadcastable by construction.
+    */
+  private[graft] def langIdScoreKeyed(
+      docs: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      model: DataFrame,
       materializeModel: Boolean = true): DataFrame = {
     val m = if (materializeModel) model.localCheckpoint() else model
     // bounded driver folds: per-lang totals + profile vocabulary size
@@ -148,23 +166,32 @@ object TextAnalysis {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(stats.nonEmpty, "empty language model")
     val v = m.select(countDistinct(col("gram"))).collect()(0).getLong(0)
-    val langDens = explode(array(stats.sortBy(_._1).map { case (l, tot) =>
+    val langs = stats.sortBy(_._1)
+    val keys = idCols.map(col)
+    // one weight column per language on the broadcast side: the NB hit
+    // contribution ln(cnt + 1) of this gram under that language, null
+    // when the gram is outside the language's profile (sum() skips
+    // nulls, reproducing the inner-join-then-sum semantics)
+    val wCols = langs.map { case (l, _) =>
+      sum(when(col("lang") === l,
+        log(col("cnt").cast("double") + 1.0))).as(s"__w_$l")
+    }
+    val mPivot = m.groupBy(col("gram")).agg(wCols.head, wCols.tail: _*)
+    val grams = docs.select(
+      keys :+ explode(charShingles(lower(col(textCol)), 3)).as("gram"): _*)
+    val agg = grams.join(broadcast(mPivot), Seq("gram"), "left")
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("__nd"),
+        langs.map { case (l, _) => sum(col(s"__w_$l")).as(s"__hit_$l") }: _*)
+    val perLang = explode(array(langs.map { case (l, tot) =>
       struct(lit(l).as("lang"),
-        lit(math.log(tot.toDouble + v)).as("__den")) }: _*))
-    val grams = docs.select(col(idCol),
-        explode(charShingles(lower(col(textCol)), 3)).as("gram"))
-      .localCheckpoint()
-    val nd = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__nd"))
-    val hits = grams.join(broadcast(m), Seq("gram"))
-      .groupBy(col(idCol), col("lang"))
-      .agg(sum(log(col("cnt").cast("double") + 1.0)).as("__hit"))
-    nd.select(col(idCol), col("__nd"), langDens.as("__l"))
-      .select(col(idCol), col("__nd"),
-        col("__l.lang").as("lang"), col("__l.__den").as("__den"))
-      .join(hits, Seq(idCol, "lang"), "left")
-      .select(col(idCol), col("lang"),
-        (coalesce(col("__hit"), lit(0.0))
-          - col("__nd").cast("double") * col("__den")).as("score"))
+        lit(math.log(tot.toDouble + v)).as("__den"),
+        col(s"__hit_$l").as("__hit"))
+    }: _*))
+    agg.select(keys :+ col("__nd") :+ perLang.as("__l"): _*)
+      .select(keys :+ col("__l.lang").as("lang") :+
+        (coalesce(col("__l.__hit"), lit(0.0))
+          - col("__nd").cast("double") * col("__l.__den")).as("score"): _*)
   }
 
   /** Paragraph-level language segmentation — the multilingual-document
@@ -194,20 +221,23 @@ object TextAnalysis {
       textCol: String,
       model: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // keyed on the NUMERIC (id, para_idx) pair throughout: the earlier
+    // string "id#idx" paragraph key rode every exploded 3-gram row
+    // through the scorer's shuffle — pure key-byte overhead on the
+    // widest table in the pipeline
     val paras = docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("para_idx", "__p")))
       .filter(length(trim(col("__p"))) > 0)
-      .withColumn("__pid", concat(col(idCol).cast("string"), lit("#"),
-        col("para_idx").cast("string")))
-    val scored = langIdScore(
-      paras.select(col("__pid"), col("__p")), "__pid", "__p", model)
-    val wp = Window.partitionBy(col("__pid"))
+    val scored = langIdScoreKeyed(
+      paras.select(col(idCol), col("para_idx"), col("__p")),
+      Seq(idCol, "para_idx"), "__p", model)
+    val wp = Window.partitionBy(col(idCol), col("para_idx"))
       .orderBy(round(col("score"), 6).desc, col("lang").asc)
     val best = scored.withColumn("__rn", row_number().over(wp))
       .filter(col("__rn") === 1)
-      .select(col("__pid"), col("lang").as("para_lang"))
-    val pb = paras.select(col(idCol), col("para_idx"), col("__pid"))
-      .join(best, Seq("__pid"))
+      .select(col(idCol), col("para_idx"), col("lang").as("para_lang"))
+    val pb = paras.select(col(idCol), col("para_idx"))
+      .join(best, Seq(idCol, "para_idx"))
     val wd = Window.partitionBy(col(idCol))
       .orderBy(col("__c").desc, col("para_lang").asc)
     val docLang = pb.groupBy(col(idCol), col("para_lang"))
