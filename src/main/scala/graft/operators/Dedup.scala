@@ -865,7 +865,14 @@ object Dedup {
       textCol: String,
       n: Int = 13): DataFrame = {
     require(n >= 1, "n must be positive")
-    val g = normalizedGramHashes(df, textCol, n, col(idCol))
+    // materialized ONCE (the substring-dedup fan-out lesson): the gram
+    // table feeds THREE consumers (shared-gram counts, per-doc totals,
+    // per-doc dup counts) — left lazy, each re-runs the positional
+    // gram hashing over the input; spread first so a single-split
+    // local input doesn't hash serially (no-op at real scale)
+    val g = substringMaterialize(normalizedGramHashes(
+      Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol)),
+      textCol, n, col(idCol)))
     val shared = g.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h"))
       .agg(count(lit(1)).as("__nd"))

@@ -795,11 +795,20 @@ object TextAnalysis {
     // itself), reconstructed as the dist-0 analogue below
     val keys = docs.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
-    val famAll = keys.groupBy(col(textCol).as("__k"))
-      .agg(count(lit(1)).as("__m"))
+    // the family key __k is the md5 of the distinct text, NOT the text
+    // itself: it rides every downstream row — tf/df term rows, two
+    // per-family windows, the prefix self-join, the vector maps — and
+    // a 16-byte binary key keeps document-sized strings out of all of
+    // those shuffles and sorts (md5-as-text-identity is the same
+    // convention as the exact-dedup text_hash). The id↔text expansion
+    // at the end joins through the same hash.
+    val famAll = keys.groupBy(md5(col(textCol)).as("__k"))
+      .agg(count(lit(1)).as("__m"),
+        first(col(textCol)).as("__text"))
       .withColumn("__toks",
-        filter(split(trim(lower(col("__k"))), "\\s+"),
+        filter(split(trim(lower(col("__text"))), "\\s+"),
           w => length(w) > 0))
+      .drop("__text")
     // idf's N counts EVERY document (token-less ones included — the
     // pre-collapse semantics); only the VECTOR machinery drops them
     val stats = famAll.agg(sum(col("__m")).cast("double").as("__n"))
@@ -878,18 +887,19 @@ object TextAnalysis {
           lit(0.0), (acc, v) => acc + v), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
     // expansion: cross products of the two text families (linear in
-    // the OUTPUT), plus the identical-text block at exact cosine 1.0
-    val tokenful = keys.join(fam.select(col("__k").as(textCol)),
-      Seq(textCol), "left_semi")
+    // the OUTPUT), plus the identical-text block at exact cosine 1.0 —
+    // both joined through the 16-byte family hash, never the text
+    val tokenful = keys.select(col(idCol), md5(col(textCol)).as("__kid"))
+      .join(fam.select(col("__k").as("__kid")), Seq("__kid"), "left_semi")
     val cross = kPairs
       .join(tokenful.select(col(idCol).as("__ida"),
-        col(textCol).as("__ka")), Seq("__ka"))
+        col("__kid").as("__ka")), Seq("__ka"))
       .join(tokenful.select(col(idCol).as("__idb"),
-        col(textCol).as("__kb")), Seq("__kb"))
+        col("__kid").as("__kb")), Seq("__kb"))
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"), col("cos_sim"))
     val same = tokenful.as("x").join(tokenful.as("y"),
-        col(s"x.$textCol") === col(s"y.$textCol") &&
+        col("x.__kid") === col("y.__kid") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         lit(1.0).as("cos_sim"))
