@@ -103,7 +103,6 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir"}"""
-    println(json)
     // the driver's stdout capture truncates long lines — persist the full
     // record so every per-query time survives regardless of the window
     try {
@@ -113,6 +112,10 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench_full.json: $e")
     }
+    // stop Spark BEFORE printing the record: a bounded tail capture of
+    // stdout must always contain the one-line JSON, so it goes out as
+    // the absolute last stdout line, after any shutdown noise
     spark.stop()
+    println(json)
   }
 }

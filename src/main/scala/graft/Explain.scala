@@ -11,6 +11,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // SPARK_GRAFT_EXPLAIN_FIXTURE=1: stage codec-gate payloads to a temp
+    // fixture dir exactly as graft.Bench does, so the printed plan is the
+    // BENCH-shape plan (parquet fixture scan) rather than the in-plan
+    // fixture encode the correctness runs price
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FIXTURE"))
+      sys.props("graft.fixture.dir") = java.nio.file.Files
+        .createTempDirectory("graft_fixtures").toString
     // SPARK_GRAFT_EXPLAIN_EXEC=1: execute THIS DataFrame's own
     // QueryExecution (toRdd — a .write would plan a fresh one and the
     // printed plan would stay pre-execution), then print it — shows

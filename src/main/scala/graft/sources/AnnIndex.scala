@@ -47,21 +47,30 @@ object AnnIndex {
     require(codebook.nonEmpty, "empty codebook")
     val spark = centroids.sparkSession
     import spark.implicits._
-    // small artifacts: one file each, no point fanning out k rows
-    centroids.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/centroids")
-    codebook.zipWithIndex
-      .map { case (v, c) => (c, v.toSeq) }.toSeq
-      .toDF("code", "vals")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // meta tombstone first / rewrite last (the family discipline): a
+    // crash mid-write leaves load() failing loudly on the missing meta
+    // instead of pairing stale parameters with half-written artifacts
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta")
+    metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaP, true)
+    // the three artifacts are independent — overlap their write jobs
+    // (guide §2.6) instead of paying three job tails back to back;
+    // small artifacts stay one file each (no point fanning out k rows)
+    DedupIndex.runOverlapped(Seq(
+      () => centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids"),
+      () => codebook.zipWithIndex
+        .map { case (v, c) => (c, v.toSeq) }.toSeq
+        .toDF("code", "vals")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook"),
+      // corpus codes: cluster files by the search join key so a probe
+      // of p cells reads ~p/cells of the data (row-group pruning on
+      // the sorted column), not the whole corpus
+      () => codes.repartition(col("centroid_id"))
+        .sortWithinPartitions("centroid_id")
+        .write.mode("overwrite").parquet(s"$path/codes")))
     Seq((m, codebook.length, residual)).toDF("m", "n_codes", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    // corpus codes: cluster files by the search join key so a probe of
-    // p cells reads ~p/cells of the data (row-group pruning on the
-    // sorted column), not the whole corpus
-    codes.repartition(col("centroid_id"))
-      .sortWithinPartitions("centroid_id")
-      .write.mode("overwrite").parquet(s"$path/codes")
   }
 
   /** Metastore-backed alternative for the codes table: bucketed by

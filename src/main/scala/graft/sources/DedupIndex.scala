@@ -74,6 +74,58 @@ object DedupIndex {
       numHashes: Int,
       bands: Int)
 
+  // -------------------------------------------------------------------
+  // Layout-clean sentinel (`_layout_clean_<family>/` under the index
+  // path): present iff that family's artifacts are exactly as the last
+  // build/compact left them — folded rows at the build file layout.
+  // Every absorb DELETES it before its first append file lands;
+  // build/compact (re)create it LAST. compact() then skips the full
+  // artifact rewrite of an untouched index (guide §6: don't rewrite
+  // unchanged data — a scheduled compaction over an index that saw no
+  // appends since the last build/compact would otherwise pay a
+  // corpus-scale rewrite to reproduce the bytes already on disk). The
+  // sentinel is advisory-for-speed only: its ABSENCE (legacy index,
+  // crashed build) costs one full — harmless — compaction, never
+  // correctness; a crash between an absorb's delete and its first file
+  // likewise only forfeits the skip. Family-scoped so co-located
+  // artifact families can never claim cleanliness for each other.
+  // -------------------------------------------------------------------
+  private def cleanPath(path: String, family: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_layout_clean_$family")
+  private[sources] def markClean(
+      spark: SparkSession, path: String, family: String): Unit = {
+    val p = cleanPath(path, family)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
+  private[sources] def unmarkClean(
+      spark: SparkSession, path: String, family: String): Unit = {
+    val p = cleanPath(path, family)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+  private[sources] def isClean(
+      spark: SparkSession, path: String, family: String): Boolean = {
+    val p = cleanPath(path, family)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Run independent artifact-staging actions CONCURRENTLY (guide
+    * §2.6 overlap independent jobs): Spark's scheduler happily runs
+    * several jobs at once inside one application, so two independent
+    * artifact rewrites overlap — the second job's tasks back-fill the
+    * executor slots the first job's stage tail leaves idle — instead
+    * of paying both jobs' tails back to back. Single-task lists run
+    * inline. Await rethrows the first failure to the caller.
+    */
+  private[sources] def runOverlapped(tasks: Seq[() => Unit]): Unit =
+    if (tasks.lengthCompare(2) < 0) tasks.foreach(_.apply())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(tasks)(t => Future(t.apply())), Duration.Inf)
+    }
+
   /** Build (or atomically rebuild) the index from a corpus. One
     * hash-keyed shuffle for the exact stage (partial-aggregable
     * `min`), one join back for survivor texts, one linear band pass —
@@ -105,6 +157,7 @@ object DedupIndex {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconfB).delete(hp, true)
     }
+    unmarkClean(spark, path, "exact")
     val hashed = docs.select(col(idCol).as("doc_id"),
       col(textCol).as("__text"),
       Dedup.normalizedHash(col(textCol)).as("text_hash"))
@@ -128,6 +181,8 @@ object DedupIndex {
     Seq((shingleN, numHashes, bands))
       .toDF("shingle_n", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // fresh build = folded rows at the build layout by construction
+    markClean(spark, path, "exact")
   }
 
   def load(spark: SparkSession, path: String): Loaded = {
@@ -274,6 +329,9 @@ object DedupIndex {
       b: BatchDedup,
       numFiles: Int = 8): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    // sentinel first: a crash after this delete but before a file lands
+    // only forfeits the next compact's skip — never the reverse hole
+    unmarkClean(spark, path, "exact")
     b.newBuckets.repartition(numFiles, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
       .write.mode("append").parquet(s"$path/buckets")
@@ -382,6 +440,7 @@ object DedupIndex {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconfB).delete(hp, true)
     }
+    unmarkClean(spark, path, "substring")
     val toks = Dedup.substringMaterialize(docs.select(col(idCol),
       words(col(textCol)).as("__ws")))
     val grams = Dedup.substringMaterialize(
@@ -395,6 +454,8 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$path/grams")
     Seq(Tuple1(k)).toDF("span_words")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/grams_meta")
+    // fresh build = distinct hashes at the build layout by construction
+    markClean(spark, path, "substring")
     // grams is already checkpointed above (it also feeds the grams/
     // write): the Materialized form must not checkpoint it a second
     // time
@@ -520,6 +581,7 @@ object DedupIndex {
       b: SubstringBatch,
       numFiles: Int = 8): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    unmarkClean(spark, path, "substring")
     b.newHashes.repartition(numFiles, col("gram_hash"))
       .sortWithinPartitions("gram_hash")
       .write.mode("append").parquet(s"$path/grams")
@@ -578,6 +640,7 @@ object DedupIndex {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconfB).delete(hp, true)
     }
+    unmarkClean(spark, path, "semantic")
     // one materialization: the assignment feeds the pair join twice,
     // the keep-flag join, and the artifact write
     val assigned = graft.operators.Similarity
@@ -596,13 +659,20 @@ object DedupIndex {
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid_id"), col("vec"),
         coalesce(col("kept"), lit(true)).as("kept"))
-    all.repartition(numFiles, col("centroid_id"))
-      .sortWithinPartitions("centroid_id", "vec_id")
-      .write.mode("overwrite").parquet(s"$path/sem_vecs")
-    centroids.select(col("centroid_id"), col("__cv").as("cvec"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/sem_centroids")
+    // independent artifacts (vecs derive from the checkpoints, the
+    // centroid table from the caller's frame) — overlap the two write
+    // jobs (guide §2.6); meta still lands last
+    runOverlapped(Seq(
+      () => all.repartition(numFiles, col("centroid_id"))
+        .sortWithinPartitions("centroid_id", "vec_id")
+        .write.mode("overwrite").parquet(s"$path/sem_vecs"),
+      () => centroids.select(col("centroid_id"), col("__cv").as("cvec"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/sem_centroids")))
     Seq(Tuple1(tau)).toDF("tau")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sem_meta")
+    // fresh build = folded vec_ids at the cell-clustered layout
+    markClean(spark, path, "semantic")
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id").as(idCol), col("centroid_id"))
   }
@@ -696,6 +766,7 @@ object DedupIndex {
       b: SemanticBatch,
       numFiles: Int = 8): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    unmarkClean(spark, path, "semantic")
     // present = index ids ∩ batch ids: the index STREAMS through a
     // broadcast semi join on the batch's id set; output batch-bounded
     val present = spark.read.parquet(s"$path/sem_vecs")
@@ -830,11 +901,14 @@ object DedupIndex {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(path).getFileSystem(hconf)
     // 1. stage every compacted artifact (reads old dirs, writes side
-    //    dirs — no overlap between a scan and the directory it scans)
-    staged.foreach { case (dir, write) =>
+    //    dirs — no overlap between a scan and the directory it scans).
+    //    The staged artifacts are INDEPENDENT, so their rewrite jobs run
+    //    concurrently (guide §2.6): each one's stage tail back-fills the
+    //    others' idle slots instead of the jobs queuing back to back
+    runOverlapped(staged.map { case (dir, write) => () => {
       fs.delete(p(s"$path/$dir.compact"), true)
       write() // the closure writes to $dir.compact
-    }
+    }})
     // 2. tombstone the meta: from here to step 4 the index is
     //    unloadable (load() requires exactly one meta row)
     fs.delete(p(metaDir), true)
@@ -860,6 +934,13 @@ object DedupIndex {
     */
   def compact(spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    // nothing absorbed since the last build/compact: the artifacts are
+    // already folded at their build layout — rewriting them would
+    // reproduce the bytes on disk (the sentinel records that build's
+    // own layout; a caller re-compacting an untouched index to a
+    // DIFFERENT numFiles keeps the existing build layout, which is the
+    // operation's stated contract)
+    if (isClean(spark, path, "exact")) return
     import spark.implicits._
     val idx = load(spark, path)
     val (sn, nh, bd) = (idx.shingleN, idx.numHashes, idx.bands)
@@ -879,6 +960,7 @@ object DedupIndex {
       }), s"$path/meta", () =>
       Seq((sn, nh, bd)).toDF("shingle_n", "num_hashes", "bands")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
+    markClean(spark, path, "exact")
   }
 
   /** Compact the substring gram index: `grams/` folds to DISTINCT
@@ -888,6 +970,8 @@ object DedupIndex {
   def compactSubstring(
       spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    // no-op fast path — see [[compact]]'s sentinel note
+    if (isClean(spark, path, "substring")) return
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/grams_meta").collect()
     require(meta.length == 1, s"malformed gram-index meta at $path")
@@ -902,6 +986,7 @@ object DedupIndex {
       }), s"$path/grams_meta", () =>
       Seq(Tuple1(k)).toDF("span_words")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/grams_meta"))
+    markClean(spark, path, "substring")
   }
 
   /** Compact the semantic index. Default (`dropShadowed = false`):
@@ -926,6 +1011,11 @@ object DedupIndex {
       spark: SparkSession, path: String, numFiles: Int = 32,
       dropShadowed: Boolean = false): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    // no-op fast path (see [[compact]]'s sentinel note) — but ONLY for
+    // the exact-parity fold: dropShadowed is a space/fidelity trade
+    // that removes rows even from a freshly-built index, so it always
+    // runs
+    if (!dropShadowed && isClean(spark, path, "semantic")) return
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/sem_meta").collect()
     require(meta.length == 1, s"malformed semantic-index meta at $path")
@@ -958,5 +1048,8 @@ object DedupIndex {
       }), s"$path/sem_meta", () =>
       Seq(Tuple1(tau)).toDF("tau")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/sem_meta"))
+    // either mode leaves folded vec_ids at the build layout, so a later
+    // exact-parity compact of the untouched artifact may skip
+    markClean(spark, path, "semantic")
   }
 }

@@ -125,15 +125,17 @@ object RetrievalIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  private def nonEmptyDir(spark: SparkSession, d: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(d)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp) && fs.listStatus(hp).nonEmpty
+  }
+
   def load(spark: SparkSession, path: String): Loaded = {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1, s"malformed retrieval-index meta at $path")
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def nonEmptyDir(d: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(d)
-      val fs = hp.getFileSystem(hconf)
-      fs.exists(hp) && fs.listStatus(hp).nonEmpty
-    }
+    def nonEmptyDir(d: String): Boolean =
+      RetrievalIndex.nonEmptyDir(spark, d)
     def withDeltas(base: String, deltas: String): DataFrame = {
       val b = spark.read.parquet(base)
       if (nonEmptyDir(deltas))
@@ -256,6 +258,12 @@ object RetrievalIndex {
     */
   def compact(spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    // generation fast path: the delta directories ARE the fold input —
+    // with no appends since the last build/compact there is nothing to
+    // fold, and the base artifacts are exactly as that build/compact
+    // left them (guide §6: don't rewrite unchanged data)
+    if (!nonEmptyDir(spark, s"$path/batch_postings") &&
+        !nonEmptyDir(spark, s"$path/batch_stats")) return
     import spark.implicits._
     val idx = load(spark, path)
     val (n, s) = (idx.nDocs, idx.sumDl)

@@ -5519,6 +5519,15 @@ class OperatorsSpec extends AnyFunSuite {
     vecs.filter(col("vec_id") === 0L)
       .withColumn("kept", lit(false))
       .write.mode("append").parquet(s"$path/sem_vecs")
+    // the corruption this simulates came from absorbSemantic replays,
+    // which drop the layout-clean sentinel before writing; the direct
+    // parquet append above bypasses the API, so drop it by hand or the
+    // compaction below would (correctly, per its contract) skip an
+    // index it believes untouched
+    new org.apache.hadoop.fs.Path(s"$path/_layout_clean_semantic")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(
+        s"$path/_layout_clean_semantic"), true)
     val probe = Seq((30L, xz(30)), (31L, yw(80)))
       .toDF("vec_id", "embedding")
     def probeIds() = DedupIndex.dedupSemanticBatch(spark, path, probe,
@@ -5553,6 +5562,62 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(drifted === Set(40L),
       "dropShadowed deliberately relaxes the drop rule for this case")
+  }
+
+  test("compaction fast path: an index untouched since build/compact is" +
+      " not rewritten (file identity preserved); any absorb re-arms the" +
+      " full rewrite") {
+    import graft.sources.{DedupIndex, RetrievalIndex}
+    def files(p: String): Set[String] =
+      Option(new java.io.File(p).listFiles()).map(
+        _.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.getName).toSet).getOrElse(Set.empty)
+    val path = "/tmp/graft_dedupidx_fast_spec"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(corpus, "doc_id", "text", path, numFiles = 2)
+    val (h0, b0) = (files(s"$path/hashes"), files(s"$path/buckets"))
+    // untouched since build → compact must not rewrite a byte
+    DedupIndex.compact(spark, path, numFiles = 2)
+    assert(files(s"$path/hashes") === h0 &&
+      files(s"$path/buckets") === b0,
+      "compact of an untouched index must skip the rewrite")
+    // an absorb re-arms the rewrite...
+    val b = DedupIndex.dedupBatch(spark, path,
+      Seq((100L, "a novel batch document body")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    DedupIndex.absorb(spark, path, b, numFiles = 2)
+    assert(files(s"$path/hashes") !== h0)
+    DedupIndex.compact(spark, path, numFiles = 2)
+    val h1 = files(s"$path/hashes")
+    assert(h1 !== h0, "dirty index must compact for real")
+    // ...and compact-after-compact is again a skip
+    DedupIndex.compact(spark, path, numFiles = 2)
+    assert(files(s"$path/hashes") === h1)
+    // retrieval index: the delta directories are the generation signal
+    val rpath = "/tmp/graft_bm25idx_fast_spec"
+    new org.apache.hadoop.fs.Path(rpath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(rpath), true)
+    RetrievalIndex.build(corpus, "doc_id", "text", rpath, numFiles = 2)
+    val p0 = files(s"$rpath/postings")
+    RetrievalIndex.compact(spark, rpath, numFiles = 2)
+    assert(files(s"$rpath/postings") === p0,
+      "no append deltas → nothing to fold → no rewrite")
+    RetrievalIndex.append(spark, rpath,
+      Seq((100L, "appended words here")).toDF("doc_id", "text"),
+      "doc_id", "text", "a0", numFiles = 2)
+    RetrievalIndex.compact(spark, rpath, numFiles = 2)
+    assert(files(s"$rpath/postings") !== p0,
+      "append deltas present → compact folds them")
+    val scored = RetrievalIndex.score(spark, rpath,
+      Seq(0L -> "alpha appended")).collect()
+    assert(scored.nonEmpty)
   }
 
   test("bm25Scores: exact Okapi/Lucene values on a hand-checked corpus;" +
