@@ -191,8 +191,14 @@ object AnnIndex {
       numFiles: Int = 32): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     import spark.implicits._
-    val old = load(spark, path)
-    val (m, residual) = (old.m, old.residual)
+    // meta only — NOT load(): retrain rebuilds the centroids, codebook
+    // and codes from scratch, so collecting the old codebook (one more
+    // driver job per retrain) and opening the old artifact frames would
+    // be pure waste; only the search contract (m, residual) survives
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1, s"malformed index meta at $path")
+    val (m, residual) = (metaRows(0).getAs[Int]("m"),
+      metaRows(0).getAs[Boolean]("residual"))
     // Materialized ONCE: three downstream actions (codebook collect,
     // centroids write, codes write) would otherwise each re-run the
     // trainer, and avg-based k-means is shuffle-order sensitive — the

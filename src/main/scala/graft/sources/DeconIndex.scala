@@ -161,13 +161,24 @@ object DeconIndex {
       .join(broadcast(batch), Seq("__h"), "left_semi")
       .distinct().localCheckpoint()
     val fresh = batch.join(broadcast(matched), Seq("__h"), "left_anti")
-    fresh.write.mode("append").parquet(s"$path/grams")
-    val merged = spark.read.parquet(EpochStore.epochPath(path, v))
-      .unionByName(wordsFrame(batch, mMBits, mK))
-      .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
-      .localCheckpoint() // the merged plan reads the epoch the commit's
-                         // cleanup will delete
-    EpochStore.writeEpoch(spark, path, merged,
+    // the gram append and the merged-filter materialization both derive
+    // only from already-checkpointed frames + the OLD epoch, so they
+    // run OVERLAPPED (guide §2.6); the epoch COMMIT below — the
+    // visibility gate the replay protocol rests on — still lands
+    // strictly after both (a filter bit must never become visible
+    // before its gram row is on disk, or the confirm join would
+    // false-negative)
+    val mergedSlot =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    DedupIndex.runOverlapped(Seq(
+      () => fresh.write.mode("append").parquet(s"$path/grams"),
+      () => mergedSlot.set(
+        spark.read.parquet(EpochStore.epochPath(path, v))
+          .unionByName(wordsFrame(batch, mMBits, mK))
+          .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+          .localCheckpoint()))) // the merged plan reads the epoch the
+                                // commit's cleanup will delete
+    EpochStore.writeEpoch(spark, path, mergedSlot.get(),
       meta(spark, mn, mMBits, mK, v + 1L), v + 1L)
   }
 

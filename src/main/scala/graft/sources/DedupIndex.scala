@@ -441,6 +441,12 @@ object DedupIndex {
       hp.getFileSystem(hconfB).delete(hp, true)
     }
     unmarkClean(spark, path, "substring")
+    // NO Spread before this tokenize: measured a REGRESSION twice (r19
+    // commit 8cc72a9 context, and re-measured r20: dedup_index_substring
+    // 2.92 → 3.82 s, compact_substring 2.59 → 3.74 s, 7-rep stash A/B
+    // at sf0.1/32) — the full-text exchange costs more than the
+    // single-split gram hashing saves at these batch sizes, unlike the
+    // corpus-wide dedup_substring operator where the spread won
     val toks = Dedup.substringMaterialize(docs.select(col(idCol),
       words(col(textCol)).as("__ws")))
     val grams = Dedup.substringMaterialize(
@@ -529,6 +535,9 @@ object DedupIndex {
     def bc(df: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(df) else df
     val idx = spark.read.parquet(s"$path/grams")
+    // NO Spread on the batch tokenize — same re-measured regression as
+    // [[buildSubstring]]'s note (streaming_substring_index 4.35 → 4.63 s
+    // in the same 7-rep A/B)
     val toks = Dedup.substringMaterialize(newDocs.select(col(idCol),
       words(col(textCol)).as("__ws")))
     val bg = Dedup.substringMaterialize(

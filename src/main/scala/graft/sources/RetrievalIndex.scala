@@ -223,13 +223,20 @@ object RetrievalIndex {
       s"$path/ingested/append_$appendId")
     val fs = marker.getFileSystem(hconf)
     if (fs.exists(marker)) return
-    postingsOf(newDocs, idCol, textCol)
-      .repartitionByRange(numFiles, col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/batch_postings/$appendId")
-    statsOf(newDocs, idCol, textCol)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/batch_stats/$appendId")
+    // the two delta writes are independent idempotent overwrites to
+    // their own directories, so they run OVERLAPPED (guide §2.6); the
+    // marker still lands strictly after both. The mid-append crash
+    // window (reader sees one delta without the other until the replay
+    // converges) existed under the sequential order too — only which
+    // delta can be observed alone changes
+    DedupIndex.runOverlapped(Seq(
+      () => postingsOf(newDocs, idCol, textCol)
+        .repartitionByRange(numFiles, col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/batch_postings/$appendId"),
+      () => statsOf(newDocs, idCol, textCol)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/batch_stats/$appendId")))
     fs.mkdirs(marker)
   }
 
