@@ -5056,10 +5056,21 @@ object SparkEntry {
     import org.apache.spark.sql.types._
     val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val spKey = "spark.sql.shuffle.partitions"
+    // multi-KB binary payload rows: the vectorized parquet reader's
+    // default 4096-row batch asks for rows-per-batch x payload-size of
+    // CONTIGUOUS heap per scan task (~140 MB/task at ~35 KB payloads
+    // once a staged file holds >= a full batch) - a 10x-sf replica run
+    // OOM-killed this gate's staged-source read exactly that way.
+    // Bound the batch by row count so reader memory tracks row width
+    // (guide #5 / #4.2 "lower it for very wide rows or large binary
+    // cells"); restored after the gate like the other pinned confs
+    val rbKey = "spark.sql.parquet.columnarReaderBatchSize"
     val prevCk = s.conf.get(ckKey)
     val prevSp = s.conf.get(spKey)
+    val prevRb = s.conf.get(rbKey)
     s.conf.set(ckKey, "false")
     s.conf.set(spKey, "8")
+    s.conf.set(rbKey, "256")
     try {
       val srcDir = java.nio.file.Files
         .createTempDirectory("pneardup_gate").toString
@@ -5123,6 +5134,7 @@ object SparkEntry {
     } finally {
       s.conf.set(ckKey, prevCk)
       s.conf.set(spKey, prevSp)
+      s.conf.set(rbKey, prevRb)
     }
   }
 
@@ -5143,10 +5155,21 @@ object SparkEntry {
     import org.apache.spark.sql.types._
     val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val spKey = "spark.sql.shuffle.partitions"
+    // multi-KB binary payload rows: the vectorized parquet reader's
+    // default 4096-row batch asks for rows-per-batch x payload-size of
+    // CONTIGUOUS heap per scan task (~140 MB/task at ~35 KB payloads
+    // once a staged file holds >= a full batch) - a 10x-sf replica run
+    // OOM-killed this gate's staged-source read exactly that way.
+    // Bound the batch by row count so reader memory tracks row width
+    // (guide #5 / #4.2 "lower it for very wide rows or large binary
+    // cells"); restored after the gate like the other pinned confs
+    val rbKey = "spark.sql.parquet.columnarReaderBatchSize"
     val prevCk = s.conf.get(ckKey)
     val prevSp = s.conf.get(spKey)
+    val prevRb = s.conf.get(rbKey)
     s.conf.set(ckKey, "false")
     s.conf.set(spKey, "8")
+    s.conf.set(rbKey, "256")
     try {
       val srcDir = java.nio.file.Files
         .createTempDirectory("audiodup_gate").toString
@@ -5193,6 +5216,7 @@ object SparkEntry {
     } finally {
       s.conf.set(ckKey, prevCk)
       s.conf.set(spKey, prevSp)
+      s.conf.set(rbKey, prevRb)
     }
   }
 
@@ -5210,10 +5234,21 @@ object SparkEntry {
     import org.apache.spark.sql.types._
     val ckKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val spKey = "spark.sql.shuffle.partitions"
+    // multi-KB binary payload rows: the vectorized parquet reader's
+    // default 4096-row batch asks for rows-per-batch x payload-size of
+    // CONTIGUOUS heap per scan task (~140 MB/task at ~35 KB payloads
+    // once a staged file holds >= a full batch) - a 10x-sf replica run
+    // OOM-killed this gate's staged-source read exactly that way.
+    // Bound the batch by row count so reader memory tracks row width
+    // (guide #5 / #4.2 "lower it for very wide rows or large binary
+    // cells"); restored after the gate like the other pinned confs
+    val rbKey = "spark.sql.parquet.columnarReaderBatchSize"
     val prevCk = s.conf.get(ckKey)
     val prevSp = s.conf.get(spKey)
+    val prevRb = s.conf.get(rbKey)
     s.conf.set(ckKey, "false")
     s.conf.set(spKey, "8")
+    s.conf.set(rbKey, "256")
     try {
       val srcDir = java.nio.file.Files
         .createTempDirectory("videodup_gate").toString
@@ -5257,6 +5292,7 @@ object SparkEntry {
     } finally {
       s.conf.set(ckKey, prevCk)
       s.conf.set(spKey, prevSp)
+      s.conf.set(rbKey, prevRb)
     }
   }
 
